@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source registry.
+  *
+  * The reference reads every relation over JDBC with full query pushdown
+  * (`readFromPostgres`, reference MENT/functions/mentoringFunction.scala:18-26).
+  * Our engine keeps the same pluggable-source idea but defaults to parquet
+  * (the harness testdata); a JDBC source produces the identical downstream
+  * plan, so switching is a config change, not a code change.
+  *
+  * At 100 TB the parquet reader is the scale path: Spark splits files into
+  * `spark.sql.files.maxPartitionBytes` tasks, pushes filters/projection into
+  * the scan, and prunes partitions. A JDBC source should always set
+  * `partitionColumn`/`numPartitions` (the reference's single-partition JDBC
+  * scans are its main scalability bug — SURVEY.md §3).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one testdata table from a scale-factor directory.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
+    * default; we read nanos as a long and rebuild a microsecond timestamp
+    * column, keeping the declared schema stable for downstream operators.
+    */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      // integer div: ns → µs (a double division would lose precision at 1e18)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+
+  /** Register every table as a temp view so spec SQL / spark.sql can see them. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** JDBC variant (reference parity, S1/S2): same relation, different source.
+    * Unlike the reference's single-partition scans, callers must provide
+    * partition bounds for any large table — a lone JDBC connection is the
+    * reference's main scalability bug (SURVEY.md §3).
+    */
+  def jdbc(spark: SparkSession, url: String, query: String,
+           partitioning: Option[(String, Long, Long, Int)] = None,
+           options: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"($query) subq")
+      .options(options)
+    partitioning match {
+      case Some((col, lower, upper, n)) =>
+        base.option("partitionColumn", col)
+          .option("lowerBound", lower.toString)
+          .option("upperBound", upper.toString)
+          .option("numPartitions", n.toString)
+          .load()
+      case None => base.load()
+    }
+  }
+}

@@ -1,0 +1,366 @@
+package graft.queries
+
+import graft.compile.SpecCompiler
+import graft.ops.{Num, Tables}
+import graft.spec.PipelineSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One named query per operator in SURVEY.md §2's inventory, each with a
+  * DuckDB oracle over the same parquet tables.
+  *
+  * Every query ends in a deterministic total ORDER BY (mirrored in the
+  * oracle) and all floating-point aggregation goes through [[Num]]'s exact
+  * decimal path, so results are bit-identical across engines and across
+  * partition counts — i.e., the same answer at local[32] and on a
+  * 1000-executor cluster.
+  */
+object ParityQueries {
+  import Tables.t
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Flagship: the mentor-report-shaped pipeline (FIXTURES.md §3) expressed
+    * as a PipelineSpec and compiled to one decorrelated plan. Exercises S1,
+    * S3→join decorrelation, S4 zero-fill, P1-P8, J1/J2/J4, A1/A2, the
+    * data_mapping average and the output contract in a single query.
+    */
+  val flagshipSpec: String = """
+  {
+    "input_data_schema": [
+      {
+        "fetchId": { "query": "SELECT c_custkey FROM customer",
+                     "database_name": "testdata", "id": "c_custkey" },
+        "tasks": [
+          { "single_process": {
+              "input": "mentor_id",
+              "query": "SELECT o_custkey AS mentor_id, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS order_value FROM orders WHERE o_custkey = ${id}",
+              "database_name": "testdata",
+              "agg": "none", "agg_on": "none", "groupby": "none",
+              "rename": "none", "join_on": "none", "join_type": "none" } },
+          { "single_process": {
+              "input": "mentor_id",
+              "query": "SELECT o_custkey AS mentor_id, CAST(o_totalprice AS DECIMAL(18,2)) AS session_value FROM orders WHERE o_custkey = ${id}",
+              "database_name": "testdata",
+              "agg": "sum", "agg_on": "session_value", "groupby": "mentor_id",
+              "rename": "total_value",
+              "join_on": "mentor_id", "join_type": "inner" } },
+          { "single_process": {
+              "input": "mentor_id",
+              "query": "SELECT o_custkey AS mentor_id, o_orderkey AS session_id FROM orders WHERE o_custkey = ${id}",
+              "database_name": "testdata",
+              "agg": "count", "agg_on": "session_id", "groupby": "mentor_id",
+              "rename": "n_sessions",
+              "join_on": "mentor_id", "join_type": "inner" } }
+        ]
+      }
+    ],
+    "data_mapping": {
+      "avg_value": { "aggregation": { "agg_type": "average",
+                     "column_name": ["order_value", "total_value"] } }
+    },
+    "output_data_schema": {
+      "mentor_id":   { "Input_data_type": "LongType",   "rename": "mentor" },
+      "o_orderkey":  { "Input_data_type": "LongType",   "rename": "orderkey" },
+      "order_value": { "Input_data_type": "DoubleType", "rename": "order_value" },
+      "total_value": { "Input_data_type": "DoubleType", "rename": "total_value" },
+      "n_sessions":  { "Input_data_type": "LongType",   "rename": "n_sessions" },
+      "avg_value":   { "Input_data_type": "DoubleType", "rename": "avg_value" }
+    }
+  }"""
+
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    SpecCompiler.compile(spark, PipelineSpec.fromJson(flagshipSpec))
+      .orderBy("mentor", "orderkey")
+  }
+
+  /** multiple_process subtree through the DSL: per customer (outer ID), the
+    * second-level fetch lists their orders (sub-IDs) and children aggregate
+    * lineitems per sub-ID, summed back to the customer (SURVEY §2 J3/A2,
+    * decorrelated from the reference's O(ids × sub-ids) loop).
+    */
+  val multiSpec: String = """
+  {
+    "input_data_schema": [
+      {
+        "fetchId": { "query": "SELECT c_custkey FROM customer",
+                     "database_name": "testdata", "id": "c_custkey" },
+        "tasks": [
+          { "single_process": {
+              "input": "c_custkey",
+              "query": "SELECT c_custkey, c_name FROM customer WHERE c_custkey = ${id}",
+              "database_name": "testdata",
+              "agg": "none", "agg_on": "none", "groupby": "none",
+              "rename": "none", "join_on": "none", "join_type": "none" } },
+          { "fetchID_with_InputID": {
+              "query": "SELECT o_custkey, o_orderkey FROM orders WHERE o_custkey = ${id}",
+              "database_name": "testdata", "id": "o_orderkey",
+              "join_on": "c_custkey", "join_type": "left" },
+            "child": [
+              { "multiple_process": {
+                  "input": "l_orderkey",
+                  "query": "SELECT l_orderkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty FROM lineitem WHERE l_orderkey = ${id}",
+                  "database_name": "testdata",
+                  "agg": "sum", "agg_on": "qty",
+                  "join_on": "l_orderkey", "join_type": "inner",
+                  "rename": "total_qty" } } ] }
+        ]
+      }
+    ],
+    "data_mapping": {},
+    "output_data_schema": {
+      "c_custkey": { "Input_data_type": "LongType",   "rename": "custkey" },
+      "c_name":    { "Input_data_type": "StringType", "rename": "name" },
+      "total_qty": { "Input_data_type": "DoubleType", "rename": "total_qty" }
+    }
+  }"""
+
+  def specMulti(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    SpecCompiler.compile(spark, PipelineSpec.fromJson(multiSpec))
+      .orderBy("custkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_scan_filter_project" -> ((s, d) =>
+      // S1 + §2.4 predicates: filter+projection must reach the parquet scan
+      // string literal coerces to l_shipdate's timestamp type (NTZ or LTZ)
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("1997-01-01") && col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q02_join_config_type" -> ((s, d) => {
+      // J1: USING-style single-key equi-join, config-driven type; the small
+      // dimension leg is explicitly broadcast
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey").as("nationkey"),
+          col("c_acctbal"))
+      val nat = t(s, d, "nation")
+        .select(col("n_nationkey").as("nationkey"), col("n_name"))
+      cust.join(broadcast(nat), Seq("nationkey"), "inner").orderBy("c_custkey")
+    }),
+
+    "q03_join_fold_agg" -> ((s, d) => {
+      // J2 left-deep fold + A1 grouped agg over 4 tables; dims broadcast
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          Num.moneySum(col("o_totalprice")).as("total_revenue"))
+        .orderBy("r_name")
+    }),
+
+    "q04_decorrelated_zero_fill" -> ((s, d) => {
+      // J4 decorrelated + S4/A3 zero-fill: every customer yields a row,
+      // missing aggregates coalesce to zero — the declarative equivalent of
+      // the reference's per-ID loop + fallback-row (generic_script.scala:305-310)
+      val perCust = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), Num.moneySum(col("o_totalprice")).as("total"))
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n"), lit(0L)).as("n_orders"),
+          coalesce(col("total"), lit(0.0)).as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+
+    "q05_two_level_agg" -> ((s, d) => {
+      // J3 decorrelated: facts two levels down (lineitem→orders→customer)
+      // aggregated per outer ID in one shuffle chain, not nested loops
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val per = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(Num.dec2(col("l_quantity"))).cast(DoubleType).as("total_qty"),
+          count(lit(1)).as("n_items"))
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(per, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("total_qty"), lit(0.0)).as("total_qty"),
+          coalesce(col("n_items"), lit(0L)).as("n_items"))
+        .orderBy("c_custkey")
+    }),
+
+    "q06_flagship_pipeline" -> (flagship(_, _)),
+    "q07_spec_multiprocess" -> (specMulti(_, _)),
+
+    "q08_union_positional" -> ((s, d) => {
+      // §2.7: positional, duplicate-preserving union (the reference's
+      // unionAll fold, generic_script.scala:438)
+      val a = t(s, d, "orders")
+        .select(lit("order").as("src"), col("o_orderkey").as("key"),
+          col("o_totalprice").as("amount"))
+      val b = t(s, d, "lineitem")
+        .select(lit("line").as("src"), col("l_orderkey").as("key"),
+          col("l_extendedprice").as("amount"))
+      a.union(b).orderBy("src", "key", "amount")
+    }),
+
+    "q09_agg_expr_string" -> ((s, d) =>
+      // A1: aggregate-function-as-config-string through expr(), validated
+      // against SpecCompiler.allowedAggs (the reference splices unvalidated:
+      // generic_script.scala:170-174)
+      t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          expr("count(l_orderkey)").as("n_rows"),
+          expr("min(l_quantity)").as("min_qty"),
+          expr("max(l_quantity)").as("max_qty"),
+          expr("count(distinct l_suppkey)").as("n_supp"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q10_derived_average" -> ((s, d) =>
+      // P6/A5: the data_mapping "average" derived column, exact-decimal path
+      SpecCompiler.deriveAverage(
+          t(s, d, "lineitem"), "avg_val", "l_extendedprice", "l_quantity")
+        .select("l_orderkey", "l_linenumber", "avg_val")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q11_array_flatten" -> ((s, d) =>
+      // P7: ArrayType(StringType) → concat_ws flatten (plus array ops)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(", ",
+            slice(sort_array(array_distinct(split(col("text"), " "))), 1, 5))
+            .as("first_tokens"))
+        .orderBy("doc_id")),
+
+    "q12_na_fill_cast" -> ((s, d) =>
+      // P8 null normalization + P4 cast (floor+cast, identical both engines)
+      t(s, d, "events")
+        .withColumn("v", when(col("value") >= 1, col("value")))
+        .na.fill(0, Seq("v"))
+        .select(col("event_id"), col("v").as("v_filled"),
+          floor(col("v")).cast(LongType).as("v_int"))
+        .orderBy("event_id")),
+
+    "q13_constant_rename" -> ((s, d) =>
+      // P3 constant stamp + P5 rename
+      t(s, d, "nation")
+        .withColumn("report_type", lit("mentor_report"))
+        .withColumnRenamed("n_name", "nation_name")
+        .orderBy("n_nationkey")),
+
+    "q14_output_contract_mismatch" -> ((s, d) => {
+      // §1.3/P5: the skip-rename-on-type-mismatch contract rule — n_name is
+      // declared IntegerType (wrong) so it keeps its original name, while
+      // n_nationkey matches and is renamed
+      val contract = Seq(
+        "n_nationkey" -> graft.spec.OutputColumn("IntegerType", "nation_key"),
+        "n_name" -> graft.spec.OutputColumn("IntegerType", "renamed_wrong"))
+      SpecCompiler.applyOutputContract(t(s, d, "nation"), contract)
+        .orderBy("nation_key")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q02_join_config_type" ->
+      """SELECT c_nationkey AS nationkey, c_custkey, c_name, c_acctbal, n_name
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY c_custkey""",
+
+    "q03_join_fold_agg" ->
+      """SELECT r_name, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+
+    "q04_decorrelated_zero_fill" ->
+      """SELECT c_custkey, COALESCE(n, 0) AS n_orders, COALESCE(total, 0) AS total_spent
+         FROM customer LEFT JOIN (
+           SELECT o_custkey, count(*) AS n,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders GROUP BY o_custkey) agg ON c_custkey = o_custkey
+         ORDER BY c_custkey""",
+
+    "q05_two_level_agg" ->
+      """SELECT c_custkey, COALESCE(total_qty, 0) AS total_qty, COALESCE(n_items, 0) AS n_items
+         FROM customer LEFT JOIN (
+           SELECT o_custkey,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+                  count(*) AS n_items
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY o_custkey) agg ON c_custkey = o_custkey
+         ORDER BY c_custkey""",
+
+    "q06_flagship_pipeline" ->
+      """WITH t2 AS (
+           SELECT o_custkey AS mentor_id,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_value,
+                  count(*) AS n_sessions
+           FROM orders GROUP BY o_custkey)
+         SELECT o.o_custkey AS mentor, o.o_orderkey AS orderkey,
+                CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS order_value,
+                CAST(t2.total_value AS DOUBLE) AS total_value,
+                t2.n_sessions AS n_sessions,
+                CAST(round((CAST(o.o_totalprice AS DECIMAL(18,2)) + CAST(t2.total_value AS DECIMAL(18,2)))
+                     * CAST(0.5 AS DECIMAL(2,1)), 2) AS DOUBLE) AS avg_value
+         FROM orders o JOIN t2 ON o.o_custkey = t2.mentor_id
+         ORDER BY mentor, orderkey""",
+
+    "q07_spec_multiprocess" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+                COALESCE(CAST(lq.total_qty AS DOUBLE), 0) AS total_qty
+         FROM customer
+         LEFT JOIN (
+           SELECT o_custkey, sum(qty) AS total_qty
+           FROM orders JOIN (
+             SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+             FROM lineitem GROUP BY l_orderkey) liagg
+           ON o_orderkey = l_orderkey
+           GROUP BY o_custkey) lq ON c_custkey = lq.o_custkey
+         ORDER BY custkey""",
+
+    "q08_union_positional" ->
+      """SELECT 'order' AS src, o_orderkey AS key, o_totalprice AS amount FROM orders
+         UNION ALL
+         SELECT 'line' AS src, l_orderkey AS key, l_extendedprice AS amount FROM lineitem
+         ORDER BY src, key, amount""",
+
+    "q09_agg_expr_string" ->
+      """SELECT l_returnflag, l_linestatus, count(l_orderkey) AS n_rows,
+                min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                count(DISTINCT l_suppkey) AS n_supp
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q10_derived_average" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(round((CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_quantity AS DECIMAL(18,2)))
+                     * CAST(0.5 AS DECIMAL(2,1)), 2) AS DOUBLE) AS avg_val
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q11_array_flatten" ->
+      """SELECT doc_id,
+                array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ', ') AS first_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q12_na_fill_cast" ->
+      """SELECT event_id,
+                COALESCE(CASE WHEN value >= 1 THEN value END, 0) AS v_filled,
+                CAST(floor(COALESCE(CASE WHEN value >= 1 THEN value END, 0)) AS BIGINT) AS v_int
+         FROM events ORDER BY event_id""",
+
+    "q13_constant_rename" ->
+      """SELECT n_nationkey, n_name AS nation_name, n_regionkey,
+                'mentor_report' AS report_type
+         FROM nation ORDER BY n_nationkey""",
+
+    "q14_output_contract_mismatch" ->
+      """SELECT n_nationkey AS nation_key, n_name FROM nation ORDER BY nation_key"""
+  )
+}
