@@ -1,0 +1,200 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design (the point of each shape):
+  *  - exact: group on a 256-bit content hash, not the text — the shuffle
+  *    moves 32-byte keys instead of documents.
+  *  - MinHash+LSH: candidate generation is an equi-join on (band, bandKey),
+  *    never an O(n²) cross product; the cross product only happens WITHIN a
+  *    bucket, whose expected size is controlled by the banding parameters.
+  *  - SimHash: one 64-bit signature per doc via a typed Aggregator with
+  *    partial aggregation (map-side combine), then pigeonhole banding for
+  *    Hamming-distance candidate pairs.
+  *  - n-gram Jaccard: exact verification, run only on candidate pairs (or
+  *    small explicit buckets), never the full corpus square.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct content, keeping the smallest ID.
+    * Grouping key is sha2(text) so the shuffle carries 32-byte keys; the
+    * aggregate output is identical to grouping on the full text (modulo
+    * 2^-128 collision odds).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Deterministic affine hash family over xxhash64 token hashes:
+    * h_i(x) = (a_i·x + b_i) mod p. Seeds are fixed constants so signatures
+    * are stable across runs and cluster sizes.
+    */
+  private val MinhashP = 2147483647L // 2^31 - 1: keeps a·h + b < 2^62,
+  // overflow-free under ANSI mode (Spark 4 default) without try_multiply
+  private def hashParams(k: Int): Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(42)
+    Seq.fill(k)((math.abs(rnd.nextLong()) % (MinhashP - 1) + 1,
+      math.abs(rnd.nextLong()) % MinhashP))
+  }
+
+  /** MinHash signature (k mins over the distinct-token set) as an
+    * expression column — no UDF, no extra shuffle; computed in the scan
+    * stage. Token hashes go through xxhash64 (codegen'd), folded into
+    * [0, p) before the affine family so products stay in range.
+    */
+  def minhashSignature(text: Column, k: Int = 32): Column = {
+    val toks = array_distinct(split(text, " "))
+    val hashes = transform(toks, t => pmod(xxhash64(t), lit(MinhashP)))
+    array(hashParams(k).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * a + b, lit(MinhashP))))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: band the signature, equi-join on
+    * (band, bandKey) for candidates, verify with exact Jaccard over the
+    * distinct-token sets, keep pairs ≥ threshold.
+    *
+    * Banding: k hashes split into `bands` rows of k/bands; a pair collides
+    * if ANY band matches — with k=32, bands=8 (r=4) the candidate recall at
+    * j=0.9 is 1-(1-0.9⁴)⁸ ≈ 0.9998. At larger scale tighten r to keep
+    * bucket sizes bounded and let AQE handle residual skew.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double = 0.9, k: Int = 32, bands: Int = 8): DataFrame = {
+    val r = k / bands
+    val docs = df.select(
+      col(idCol).as("doc"),
+      array_distinct(split(col(textCol), " ")).as("toks"),
+      minhashSignature(col(textCol), k).as("sig"))
+    val banded = docs.select(col("doc"), col("toks"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * r + 1, r))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val left = banded.select(col("band"), col("band_key"),
+      col("doc").as("doc_a"), col("toks").as("toks_a"))
+    val right = banded.select(col("band"), col("band_key"),
+      col("doc").as("doc_b"), col("toks").as("toks_b"))
+    left.join(right, Seq("band", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b")))).as("jaccard"))
+      .distinct()
+      .where(col("jaccard") >= threshold)
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** Typed Aggregator folding token hashes into a 64-bit SimHash: per bit,
+    * count +1/-1 votes weighted by the token hash's bit, sign of the total
+    * becomes the signature bit. Supports partial aggregation, so the
+    * map-side combine reduces each partition to one 64-int buffer per doc
+    * before any shuffle.
+    */
+  class SimhashAgg extends Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(buf: Array[Int], tokenHash: Long): Array[Int] = {
+      var j = 0
+      while (j < 64) {
+        if (((tokenHash >>> j) & 1L) == 1L) buf(j) += 1 else buf(j) -= 1
+        j += 1
+      }
+      buf
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var j = 0
+      while (j < 64) { a(j) += b(j); j += 1 }
+      a
+    }
+    def finish(buf: Array[Int]): Long = {
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (buf(j) > 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+    def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** (id, simhash) per document: explode distinct tokens, xxhash64 them,
+    * fold with the Aggregator (partial agg keeps the shuffle at one row
+    * per doc per partition).
+    */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sim = udaf(new SimhashAgg, Encoders.scalaLong)
+    df.select(col(idCol).as("doc"),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .select(col("doc"), xxhash64(col("tok")).as("h"))
+      .groupBy("doc").agg(sim(col("h")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
+    * pigeonhole banding: split the 64-bit signature into `chunks` pieces;
+    * any pair within distance < chunks must agree on ≥1 chunk, so an
+    * equi-join on (chunkIdx, chunkValue) finds all candidates without a
+    * cross product. Requires maxHamming < chunks.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 7, chunks: Int = 8): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole banding needs maxHamming < chunks")
+    val bitsPer = 64 / chunks
+    val sigs = simhashSignatures(df, textCol, idCol)
+    val banded = sigs.select(col("doc"), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftrightunsigned(col("simhash"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val l = banded.select(col("chunk"), col("chunk_val"),
+      col("doc").as("doc_a"), col("simhash").as("sig_a"))
+    val rgt = banded.select(col("chunk"), col("chunk_val"),
+      col("doc").as("doc_b"), col("simhash").as("sig_b"))
+    l.join(rgt, Seq("chunk", "chunk_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------------- n-gram Jaccard
+
+  /** Distinct word n-gram shingles as an expression (n ≥ 2). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    // guard: sequence(1, 0) would generate a DESCENDING range, not empty
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact n-gram Jaccard pairs within an explicit bucket column (e.g. a
+    * source/partition key): the cross product is confined to buckets. At
+    * 100 TB the bucket column is what bounds the join — callers pick
+    * something with bounded cardinality per value, or use minhashPairs
+    * for candidate generation instead.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        bucketCol: String, n: Int = 2,
+                        threshold: Double = 0.05): DataFrame = {
+    val docs = df.select(col(bucketCol).as("bucket"), col(idCol).as("doc"),
+      wordNgrams(col(textCol), n).as("grams"))
+    val l = docs.select(col("bucket"), col("doc").as("doc_a"), col("grams").as("g_a"))
+    val rgt = docs.select(col("bucket"), col("doc").as("doc_b"), col("grams").as("g_b"))
+    l.join(rgt, Seq("bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("bucket"), col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

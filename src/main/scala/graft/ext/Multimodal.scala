@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque BINARY columns
+  * with typed metadata, processed per-partition in batches.
+  *
+  * The decode step is STUBBED (this container has no image/audio codecs):
+  * `fakeDecode` derives deterministic pseudo-metadata from the bytes. The
+  * Spark-side plumbing — schema, binary column handling, partition-batched
+  * processing via mapPartitions (the Scala analog of mapInPandas), and the
+  * output metadata struct — is real and tested; swapping `fakeDecode` for
+  * a JNI/codec call is the only change needed for real media.
+  */
+object Multimodal {
+
+  /** Output schema of the decode stage: one typed metadata struct per blob. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_intensity", DoubleType, nullable = false)))
+
+  /** STUB decode: deterministic pseudo-metadata from the raw bytes.
+    * Replace with a real codec (e.g. TwelveMonkeys/javacv) for production;
+    * signature and batch shape stay identical.
+    */
+  def fakeDecode(bytes: Array[Byte]): (String, Int, Int, Double) = {
+    val n = bytes.length
+    val fmt = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
+    val width = 64 + (n % 128)
+    val height = 64 + ((n / 2) % 128)
+    // mean over bytes, fixed traversal order → deterministic
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (bytes(i) & 0xff); i += 1 }
+    val mean = if (n == 0) 0.0 else sum.toDouble / n
+    (fmt, width, height, mean)
+  }
+
+  /** Synthesize a binary "media" column from text (the testdata carries no
+    * real blobs): UTF-8 bytes stand in for an encoded image.
+    */
+  def withFakeBlob(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("blob", encode(col(textCol), "UTF-8"))
+
+  /** Partition-batched decode: mapPartitions so any per-batch setup (codec
+    * contexts, model sessions) is amortized across the partition — the
+    * direct Scala analog of a Pandas-UDF `mapInPandas` stage. Input must
+    * have (doc_id LONG, blob BINARY).
+    */
+  def decodeMedia(spark: SparkSession, blobs: DataFrame): DataFrame = {
+    val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+      // per-partition setup would go here (decoder init, buffer reuse)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (fmt, w, h, mean) = fakeDecode(bytes)
+        Row(id, bytes.length, fmt, w, h, mean)
+      }
+    }
+    spark.createDataFrame(rdd, mediaMetaSchema)
+  }
+
+  /** Frame-sample stub: emits `everyN`-th chunk offsets of a blob, the
+    * shape of video frame sampling (one row per sampled frame).
+    */
+  def sampleFrames(blobs: DataFrame, chunkBytes: Int, everyN: Int): DataFrame =
+    blobs.select(col("doc_id"),
+        posexplode(split(col("blob").cast("string"),
+          s"(?<=\\G.{$chunkBytes})")).as(Seq("frame_idx", "frame")))
+      .where(pmod(col("frame_idx"), lit(everyN)) === 0)
+      .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("frame_len"))
+}

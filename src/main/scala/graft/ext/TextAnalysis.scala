@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is pure Catalyst expressions (no UDFs): the per-row work
+  * stays inside whole-stage codegen / vectorized evaluation and needs no
+  * shuffle at all — at 100 TB these are embarrassingly parallel map stages
+  * whose cost is the parquet scan itself.
+  *
+  * Determinism: token counts and ratios are integer arithmetic followed by
+  * a single double division, which is bit-identical across engines — these
+  * operators are all DuckDB-oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword count upper bound: splits on non-alphanumerics AND
+    * letter/digit boundaries, the usual pre-tokenization pass.
+    */
+  def roughTokenCount(text: Column): Column =
+    size(split(text, "[^A-Za-z0-9]+|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Type-token ratio: distinct tokens / tokens — a repetition signal. */
+  def typeTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords))).cast("double") /
+      size(tokens(text))
+
+  /** Mean token length (separator-aware integer arithmetic: chars minus the
+    * n-1 separators, divided by n — avoids a second pass over the tokens).
+    */
+  def meanTokenLen(text: Column): Column =
+    (length(text) - (size(tokens(text)) - 1)).cast("double") / size(tokens(text))
+
+  /** Composite quality score in [0,1]: rewards lexical diversity, penalizes
+    * stopword stuffing, rewards mid-length tokens. Deterministic double
+    * arithmetic (fixed operation order).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val ttr = typeTokenRatio(text)
+    val stop = stopwordRatio(text, stopwords)
+    val lenOk = when(meanTokenLen(text).between(3.0, 8.0), lit(1.0)).otherwise(lit(0.5))
+    ttr * lit(0.5) + (lit(1.0) - stop) * lit(0.3) + lenOk * lit(0.2)
+  }
+
+  /** Per-language stopword marker sets for the n-gram/marker heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des"))
+
+  /** Marker-hit language ID: score = marker hits per language, predict the
+    * argmax (ties break by the declared language order). A real system
+    * would use char n-gram profiles; the decision structure — per-language
+    * score then argmax, all expression-level — is the same.
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(tokens(text), t => t.isInCollection(markers)))
+    }
+    // argmax with order-stable tie-breaking: fold keeping (bestLang, bestScore)
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Rolling-hash document fingerprint: fold (acc*31 + termHash) mod p over
+    * tokens, where termHash = ascii(first char)*100 + len. Order-sensitive
+    * (a permuted document fingerprints differently), overflow-free
+    * (acc < p=1e9+7, so acc*31+term < 2^63), and SQL-expressible for the
+    * oracle. For collision-grade fingerprints compose with xxhash64; this
+    * keeps the rolling structure portable.
+    */
+  def fingerprint(text: Column): Column = {
+    val p = lit(1000000007L)
+    val termHash = transform(tokens(text),
+      t => ascii(substring(t, 1, 1)).cast("long") * 100L + length(t))
+    aggregate(termHash, lit(0L), (acc, h) => (acc * 31L + h) % p)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.ext.Dedup
+import graft.ops.Tables.t
+import org.apache.spark.sql.functions._
+
+/** Dedup operator queries. Exact and n-gram Jaccard have DuckDB oracles
+  * (pure set arithmetic); MinHash/SimHash signatures hash with xxhash64,
+  * which DuckDB cannot reproduce, so those two get rows-only checks — their
+  * semantics are pinned by DedupSpec unit tests instead (planted
+  * duplicates must be found; verified Jaccard bounds must hold).
+  */
+object DedupQueries {
+  import ParityQueries.Q
+
+  val queries: Map[String, Q] = Map(
+    "q30_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "text", "doc_id")
+        .select(col("keeper_id"), col("n_copies"))
+        .orderBy("keeper_id")),
+
+    "q31_dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashPairs(t(s, d, "documents"), "text", "doc_id",
+        threshold = 0.9)
+        .orderBy("doc_a", "doc_b")),
+
+    "q32_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id",
+        maxHamming = 7, chunks = 8)
+        .orderBy("doc_a", "doc_b")),
+
+    "q33_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+        bucketCol = "source", n = 2, threshold = 0.05)
+        .orderBy("bucket", "doc_a", "doc_b"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keeper_id""",
+
+    // q31/q32: no oracle (xxhash64-based signatures); rows-only check.
+
+    "q33_dedup_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT source AS bucket, doc_id,
+                  list_distinct(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS grams
+           FROM (SELECT source, doc_id, string_split(text, ' ') AS toks
+                 FROM documents))
+         SELECT a.bucket AS bucket, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                  AS jaccard
+         FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+               >= 0.05
+         ORDER BY a.bucket, doc_a, doc_b"""
+  )
+}

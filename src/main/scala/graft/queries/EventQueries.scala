@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.ops.{Num, Tables}
+import graft.ops.Tables.t
+import graft.streaming.EventStreams
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-table queries: time windows, JSON extraction, sessionization,
+  * ranking/running windows — plus the Structured Streaming dual of the
+  * hourly window, whose finished memory table is compared against the same
+  * DuckDB oracle as the batch version.
+  */
+object EventQueries {
+  import ParityQueries.Q
+
+  val queries: Map[String, Q] = Map(
+    "q40_window_hourly" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(date_trunc("HOUR", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Num.moneySum(col("value")).as("total_value"))
+        .orderBy("hour_start", "event_type")),
+
+    "q41_json_extract" -> ((s, d) =>
+      // data-plane JSON (SURVEY §2.8: the reference parses JSON only on the
+      // driver; from_json/get_json_object moves it into the plan)
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          count(when(col("k") > 50, 1)).as("n_high"))
+        .orderBy("event_type")),
+
+    "q42_sessionize" -> ((s, d) => {
+      // gap-based sessionization: session starts where the per-user gap
+      // exceeds 30 min; session id = running count of starts (all integer
+      // µs arithmetic — deterministic)
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = t(s, d, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("is_start",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("is_start")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      ev.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    "q43_window_rank" -> ((s, d) => {
+      // extension beyond the reference (§2.7: none there): top-3 orders per
+      // customer by value
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q44_running_sum" -> ((s, d) => {
+      // running total per customer in exact decimal (order-insensitive
+      // money math → identical at any partitioning)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(Num.dec2(col("o_totalprice"))).over(w).cast(DoubleType).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q45_stream_window_hourly" -> ((s, d) =>
+      // REAL Structured Streaming query (parquet source → windowed agg →
+      // memory sink), result identical to q40's batch plan
+      EventStreams.hourlyWindowed(s, d)
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("hour_start", "event_type"))
+  )
+
+  private val hourlyOracle =
+    """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
+
+  val oracles: Map[String, String] = Map(
+    "q40_window_hourly" -> hourlyOracle,
+    "q45_stream_window_hourly" -> hourlyOracle,
+
+    "q41_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                           THEN 1 END) AS n_high
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q42_sessionize" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                    (PARTITION BY user_id
+                     ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
+           FROM events),
+         marked AS (
+           SELECT user_id, event_id, us,
+                  CASE WHEN prev_us IS NULL OR us - prev_us > 30*60*1000000
+                       THEN 1 ELSE 0 END AS is_start
+           FROM ev),
+         sess AS (
+           SELECT user_id, us,
+                  CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM marked)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(us) AS start_us, max(us) AS end_us
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+
+    "q43_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_custkey, rn""",
+
+    "q44_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey"""
+  )
+}

@@ -246,6 +246,40 @@ object ParityQueries {
         .withColumnRenamed("n_name", "nation_name")
         .orderBy("n_nationkey")),
 
+    "q15_join_semi_anti" -> ((s, d) => {
+      // semi/anti joins (EXISTS / NOT EXISTS): customers partitioned into
+      // with-orders / without-orders, tagged and unioned
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      val ord = t(s, d, "orders").select(col("o_custkey"))
+      val withO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("has_orders", lit(1))
+      val noO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .withColumn("has_orders", lit(0))
+      withO.union(noO).orderBy("c_custkey")
+    }),
+
+    "q16_join_full_outer" -> ((s, d) => {
+      // full outer: per-nation customer counts vs supplier counts, nations
+      // appearing on either side survive
+      val cn = t(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = t(s, d, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, Seq("nk"), "full")
+        .select(col("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nk")
+    }),
+
+    "q17_topk_limit" -> ((s, d) =>
+      // ORDER BY + LIMIT → TakeOrderedAndProject (no global sort of the
+      // full relation; each partition keeps k, driver merges)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)),
+
     "q14_output_contract_mismatch" -> ((s, d) => {
       // §1.3/P5: the skip-rename-on-type-mismatch contract rule — n_name is
       // declared IntegerType (wrong) so it keeps its original name, while
@@ -361,6 +395,27 @@ object ParityQueries {
          FROM nation ORDER BY n_nationkey""",
 
     "q14_output_contract_mismatch" ->
-      """SELECT n_nationkey AS nation_key, n_name FROM nation ORDER BY nation_key"""
+      """SELECT n_nationkey AS nation_key, n_name FROM nation ORDER BY nation_key""",
+
+    "q15_join_semi_anti" ->
+      """SELECT c_custkey, c_name, 1 AS has_orders FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT c_custkey, c_name, 0 AS has_orders FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q16_join_full_outer" ->
+      """SELECT COALESCE(cn.nk, sn.nk) AS nk,
+                COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+               FROM customer GROUP BY 1) cn
+         FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp
+                    FROM supplier GROUP BY 1) sn ON cn.nk = sn.nk
+         ORDER BY nk""",
+
+    "q17_topk_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
   )
 }

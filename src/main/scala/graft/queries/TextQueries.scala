@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.ext.TextAnalysis
+import graft.ops.Tables.t
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator queries over the documents table, all
+  * DuckDB-oracle-checkable (integer arithmetic + single double divisions).
+  */
+object TextQueries {
+  import ParityQueries.Q
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopListSql = stopwords.map(s => s"'$s'").mkString(", ")
+
+  val queries: Map[String, Q] = Map(
+    "q20_text_tokens" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"))
+        .orderBy("doc_id")),
+
+    "q21_text_quality" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.typeTokenRatio(col("text")).as("ttr"),
+        TextAnalysis.stopwordRatio(col("text"), stopwords).as("stop_ratio"),
+        TextAnalysis.qualityScore(col("text"), stopwords).as("quality"))
+        .orderBy("doc_id")),
+
+    "q22_text_langid" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), col("lang").as("declared_lang"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")),
+
+    "q23_text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_text_tokens" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tokens,
+                length(text) AS n_chars,
+                CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS mean_token_len
+         FROM documents ORDER BY doc_id""",
+
+    "q21_text_quality" ->
+      s"""WITH b AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS toks,
+                   length(text) AS n_chars
+            FROM documents),
+          m AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+                   CAST(len(list_filter(toks, x -> x IN ($stopListSql))) AS DOUBLE)
+                     / len(toks) AS stop_ratio,
+                   CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks) AS mtl
+            FROM b)
+          SELECT doc_id, ttr, stop_ratio,
+                 ttr * 0.5 + (1.0 - stop_ratio) * 0.3 +
+                 (CASE WHEN mtl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+          FROM m ORDER BY doc_id""",
+
+    "q22_text_langid" ->
+      { val scores = TextAnalysis.langMarkers.map { case (lang, markers) =>
+          val list = markers.map(m => s"'$m'").mkString(", ")
+          s"len(list_filter(toks, x -> x IN ($list))) AS s_$lang"
+        }.mkString(", ")
+        // argmax with the same left-to-right tie-breaking as langId's fold
+        s"""WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+            m AS (SELECT doc_id, lang, $scores FROM b)
+            SELECT doc_id, lang AS declared_lang,
+                   CASE WHEN s_fr > (CASE WHEN s_es > s_en THEN s_es ELSE s_en END)
+                        THEN 'fr'
+                        WHEN s_es > s_en THEN 'es' ELSE 'en' END AS predicted_lang
+            FROM m ORDER BY doc_id""" },
+
+    "q23_text_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(text, ' '),
+                      t -> CAST(ascii(substr(t, 1, 1)) AS BIGINT) * 100 + length(t))),
+                  (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+         FROM documents ORDER BY doc_id"""
+  )
+}
