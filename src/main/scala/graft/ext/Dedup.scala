@@ -45,16 +45,26 @@ object Dedup {
       math.abs(rnd.nextLong()) % MinhashP))
   }
 
+  /** Distinct-token set as sorted xxhash64 longs: downstream set arithmetic
+    * (Jaccard intersect/union) runs over 8-byte longs instead of strings —
+    * smaller shuffle payloads and branch-free comparisons. Collision odds at
+    * 64 bits are negligible for document-sized token sets.
+    */
+  private def tokenHashes(text: Column): Column =
+    array_sort(array_distinct(transform(split(text, " "), t => xxhash64(t))))
+
   /** MinHash signature (k mins over the distinct-token set) as an
     * expression column — no UDF, no extra shuffle; computed in the scan
     * stage. Token hashes go through xxhash64 (codegen'd), folded into
     * [0, p) before the affine family so products stay in range.
     */
-  def minhashSignature(text: Column, k: Int = 32): Column = {
-    val toks = array_distinct(split(text, " "))
-    val hashes = transform(toks, t => pmod(xxhash64(t), lit(MinhashP)))
+  def minhashSignature(text: Column, k: Int = 32): Column =
+    minhashFromHashes(tokenHashes(text), k)
+
+  private def minhashFromHashes(hashes: Column, k: Int): Column = {
+    val folded = transform(hashes, h => pmod(h, lit(MinhashP)))
     array(hashParams(k).map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * a + b, lit(MinhashP))))
+      array_min(transform(folded, h => pmod(h * a + b, lit(MinhashP))))
     }: _*)
   }
 
@@ -66,28 +76,49 @@ object Dedup {
     * if ANY band matches — with k=32, bands=8 (r=4) the candidate recall at
     * j=0.9 is 1-(1-0.9⁴)⁸ ≈ 0.9998. At larger scale tighten r to keep
     * bucket sizes bounded and let AQE handle residual skew.
+    *
+    * Shuffle discipline (this is what survives a dense near-dup cluster —
+    * a C-doc bucket emits O(C²) collisions, so per-collision cost must be
+    * bytes, not documents):
+    *  1. the banding self-join carries only (doc id, token count) — no
+    *     token arrays cross the candidate shuffle;
+    *  2. a size prefilter (j ≥ t ⇒ min|A|,|B| ≥ t·max|A|,|B|, an exact
+    *     necessary condition) drops impossible pairs before dedup;
+    *  3. candidate pairs are `distinct()`-ed as bare (long, long) rows, so
+    *     a pair colliding in all 8 bands is verified once, not 8 times;
+    *  4. only then are the token-hash sets joined back (shuffle keyed on
+    *     doc id, proportional to surviving candidates) for one exact
+    *     Jaccard evaluation per unique pair.
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.9, k: Int = 32, bands: Int = 8): DataFrame = {
     val r = k / bands
-    val docs = df.select(
-      col(idCol).as("doc"),
-      array_distinct(split(col(textCol), " ")).as("toks"),
-      minhashSignature(col(textCol), k).as("sig"))
-    val banded = docs.select(col("doc"), col("toks"),
+    val docs = df.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
+    // `sig` is referenced by all `bands` slices below: keeping it as its own
+    // projection stops CollapseProject from inlining (and so re-computing)
+    // the k-hash signature once per band.
+    val sigs = docs.select(col("doc"), size(col("toks")).as("ntok"),
+      minhashFromHashes(col("toks"), k).as("sig"))
+    val banded = sigs.select(col("doc"), col("ntok"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val left = banded.select(col("band"), col("band_key"),
-      col("doc").as("doc_a"), col("toks").as("toks_a"))
+      col("doc").as("doc_a"), col("ntok").as("n_a"))
     val right = banded.select(col("band"), col("band_key"),
-      col("doc").as("doc_b"), col("toks").as("toks_b"))
-    left.join(right, Seq("band", "band_key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b")))).as("jaccard"))
+      col("doc").as("doc_b"), col("ntok").as("n_b"))
+    val candidates = left.join(right, Seq("band", "band_key"))
+      .where(col("doc_a") < col("doc_b") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+    candidates
+      .join(docs.select(col("doc").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(docs.select(col("doc").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.SetExpressions
+          .sortedSetJaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -182,19 +213,36 @@ object Dedup {
     * 100 TB the bucket column is what bounds the join — callers pick
     * something with bounded cardinality per value, or use minhashPairs
     * for candidate generation instead.
+    *
+    * The bucket key is usually LOW-cardinality (a handful of sources), which
+    * would collapse the equi-join onto that many tasks. The join is salted:
+    * the left leg takes `salt = doc_id mod fanout`, the right leg is
+    * replicated across all `fanout` salts, so each bucket's cross product is
+    * spread over `fanout` independent tasks at the cost of shuffling the
+    * (small, gram-hashed) right leg `fanout` times.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         bucketCol: String, n: Int = 2,
-                        threshold: Double = 0.05): DataFrame = {
+                        threshold: Double = 0.05, fanout: Int = 32): DataFrame = {
+    // Grams are hashed to sorted longs: Jaccard over 8-byte values is
+    // identical (modulo 2^-64 collisions) but the within-bucket cross
+    // product compares longs, not strings, and the fused merge-walk
+    // SortedSetJaccard replaces hash-set intersect/union per pair.
     val docs = df.select(col(bucketCol).as("bucket"), col(idCol).as("doc"),
-      wordNgrams(col(textCol), n).as("grams"))
-    val l = docs.select(col("bucket"), col("doc").as("doc_a"), col("grams").as("g_a"))
+      array_sort(transform(wordNgrams(col(textCol), n), g => xxhash64(g))).as("grams"))
+    val l = docs.select(col("bucket"),
+      pmod(col("doc"), lit(fanout)).cast("int").as("salt"),
+      col("doc").as("doc_a"), col("grams").as("g_a"))
     val rgt = docs.select(col("bucket"), col("doc").as("doc_b"), col("grams").as("g_b"))
-    l.join(rgt, Seq("bucket"))
-      .where(col("doc_a") < col("doc_b"))
+      .withColumn("salt", explode(sequence(lit(0), lit(fanout - 1))))
+    l.join(rgt, Seq("bucket", "salt"))
+      .where(col("doc_a") < col("doc_b") &&
+        // exact necessary condition of j ≥ t: min size ≥ t · max size
+        least(size(col("g_a")), size(col("g_b"))).cast("double") >=
+          lit(threshold) * greatest(size(col("g_a")), size(col("g_b"))))
       .select(col("bucket"), col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+        graft.functions.SetExpressions
+          .sortedSetJaccard(col("g_a"), col("g_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 }

@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact double dot product with fixed fold order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
-      lit(0.0), _ + _)
+  /** Exact double dot product with fixed left-to-right fold order.
+    * Backed by the codegen'd [[graft.functions.DotProduct]] expression —
+    * bit-identical to `aggregate(zip_with(...))` but runs as a primitive
+    * loop inside whole-stage codegen instead of the HOF interpreter.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -39,9 +41,14 @@ object Similarity {
     */
   def topKBruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+    // float→double widening happens ONCE per vector here, not per pair
+    // inside the join (a per-pair cast re-allocates both arrays for every
+    // one of the |Q|·|C| combinations).
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"),
       norm(col(vecCol)).as("q_norm"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("c_vec"),
       norm(col(vecCol)).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -65,9 +72,7 @@ object Similarity {
   def lshSignature(vec: Column, nBits: Int, dim: Int): Column = {
     val planes = hyperplanes(nBits, dim)
     val bits = planes.zipWithIndex.map { case (h, i) =>
-      val proj = aggregate(
-        zip_with(vec.cast("array<double>"),
-          array(h.map(lit(_)): _*), _ * _), lit(0.0), _ + _)
+      val proj = dot(vec, array(h.map(lit(_)): _*))
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -79,10 +84,12 @@ object Similarity {
     */
   def topKLsh(queries: DataFrame, corpus: DataFrame, k: Int, nBits: Int, dim: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"),
       norm(col(vecCol)).as("q_norm"),
       lshSignature(col(vecCol), nBits, dim).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("c_vec"),
       norm(col(vecCol)).as("c_norm"),
       lshSignature(col(vecCol), nBits, dim).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
@@ -101,9 +108,11 @@ object Similarity {
     */
   def cosineDupPairs(corpus: DataFrame, threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+    val a = corpus.select(col(idCol).as("id_a"),
+      col(vecCol).cast("array<double>").as("v_a"),
       norm(col(vecCol)).as("n_a"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+    val b = corpus.select(col(idCol).as("id_b"),
+      col(vecCol).cast("array<double>").as("v_b"),
       norm(col(vecCol)).as("n_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between the public `Column` API and Catalyst `Expression`s.
+  *
+  * Spark 4 made the Column↔Expression conversions `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`), so custom native
+  * expressions (graft.functions.*) need this one-file shim living in the
+  * `org.apache.spark.sql` package to wrap/unwrap them.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
