@@ -222,6 +222,7 @@ object SpecCompiler {
     * types already match behave exactly as in the reference.
     */
   def applyOutputContract(df: DataFrame, contract: Seq[(String, OutputColumn)]): DataFrame = {
+    if (contract.isEmpty) return df // no contract declared -> identity
     val cols = contract.collect { case (name, oc) if df.columns.contains(name) =>
       val actual = df.schema(name).dataType
       val declared = parseDeclaredType(oc.inputDataType)

@@ -1,0 +1,112 @@
+package graft
+
+import graft.ext.Dedup
+import graft.functions.SetExpressions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup-family semantics on planted duplicates. MinHash/SimHash have no
+  * SQL oracle (xxhash64 signatures), so these tests are what pins them:
+  * planted near-duplicates MUST be found, unrelated docs MUST NOT pair,
+  * and reported Jaccard values must equal set arithmetic done in Scala.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while seventeen astronauts debate quantum chromodynamics near berlin"
+  // near-dup of `base`: one token changed out of 17 distinct
+  private val near = base.replace("berlin", "paris")
+  private val unrelated = Seq(
+    "completely different subject matter entirely about cooking pasta recipes",
+    "stock markets fluctuate wildly according to macroeconomic indicators",
+    "gardening tips for growing tomatoes in temperate climates zone five")
+
+  private def corpus = Seq(
+    (1L, base), (2L, base), // exact pair
+    (3L, near),             // near-dup of 1/2
+    (4L, unrelated(0)), (5L, unrelated(1)), (6L, unrelated(2)))
+    .toDF("doc_id", "text")
+
+  private def jaccard(a: String, b: String): Double = {
+    val (sa, sb) = (a.split(" ").toSet, b.split(" ").toSet)
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("exact dedup groups identical texts, keeps min id, counts copies") {
+    val out = Dedup.exact(corpus, "text", "doc_id")
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L))
+  }
+
+  test("minhash LSH finds planted duplicates with exact verified Jaccard") {
+    val pairs = Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0)
+    // 1-3 and 2-3 are near-dups; verified Jaccard must equal set arithmetic
+    val expected13 = jaccard(base, near)
+    assert(expected13 > 0.8) // sanity on the fixture itself
+    assert(pairs.get((1L, 3L)).contains(expected13))
+    assert(pairs.get((2L, 3L)).contains(expected13))
+    // no unrelated doc appears in any pair
+    assert(pairs.keys.flatMap(p => Seq(p._1, p._2)).forall(_ <= 3L))
+    // canonical orientation only
+    assert(pairs.keys.forall { case (a, b) => a < b })
+  }
+
+  test("minhash signature is deterministic and identical for identical text") {
+    val sigs = corpus.select(col("doc_id"),
+      Dedup.minhashSignature(col("text")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    assert(sigs(1L).size == 32)
+  }
+
+  test("simhash pairs identical and near-identical docs within Hamming budget") {
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
+      maxHamming = 7, chunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0)) // identical -> distance 0
+    assert(pairs.contains((1L, 3L))) // one-token change stays within 7 bits
+    assert(pairs.keys.flatMap(p => Seq(p._1, p._2)).forall(_ <= 3L))
+  }
+
+  test("ngram jaccard within buckets matches brute force and respects buckets") {
+    val docs = Seq(
+      (1L, base, "web"), (2L, base, "web"), (3L, near, "web"),
+      (4L, base, "books"), // same text, different bucket: must NOT pair with 1/2
+      (5L, unrelated(0), "web"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source",
+      n = 2, threshold = 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    def grams(s: String) = s.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    def gj(a: String, b: String) =
+      grams(a).intersect(grams(b)).size.toDouble / grams(a).union(grams(b)).size
+    assert(out(("web", 1L, 2L)) == 1.0)
+    assert(out(("web", 1L, 3L)) == gj(base, near))
+    assert(out(("web", 2L, 3L)) == gj(base, near))
+    assert(!out.keys.exists { case (_, a, b) => a == 4L || b == 4L })
+    assert(!out.keys.exists { case (_, a, b) => a == 5L || b == 5L }) // below threshold
+  }
+
+  test("SortedSetJaccard: overlap, disjoint, empty-empty semantics") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)), // j = 2/4
+      (Seq(1L, 2L), Seq(3L, 4L)),         // disjoint = 0
+      (Seq.empty[Long], Seq.empty[Long]), // 0/0 -> null
+      (Seq(5L), Seq(5L)))                 // identical = 1
+      .toDF("a", "b")
+    val got = df.select(SetExpressions.sortedSetJaccard(col("a"), col("b")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got == Seq(Some(0.5), Some(0.0), None, Some(1.0)))
+  }
+
+  test("wordNgrams guards short documents") {
+    val df = Seq((1L, "single"), (2L, "two tokens"), (3L, "")).toDF("id", "t")
+    val got = df.select(size(Dedup.wordNgrams(col("t"), 2))).as[Int].collect().toSeq
+    assert(got == Seq(0, 1, 0))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.ext.Similarity
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN operators: the codegen DotProduct must agree bit-for-bit with the
+  * interpreted higher-order-function form (they share the fold order), and
+  * the LSH path must find what brute force finds for co-bucketed vectors.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("DotProduct equals the known value and the interpreted HOF form") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = df.select(
+      VectorExpressions.dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a").cast("array<double>"),
+        col("b").cast("array<double>"), _ * _), lit(0.0), _ + _).as("hof"))
+      .as[(Double, Double)].collect().head
+    assert(got._1 == 32.0 && got._2 == 32.0)
+
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq.fill(50)((Seq.fill(64)(rnd.nextFloat()), Seq.fill(64)(rnd.nextFloat())))
+    val both = vecs.toDF("a", "b").select(
+      VectorExpressions.dot(col("a"), col("b")),
+      aggregate(zip_with(col("a").cast("array<double>"),
+        col("b").cast("array<double>"), _ * _), lit(0.0), _ + _))
+      .as[(Double, Double)].collect()
+    assert(both.forall { case (n, h) => n == h }) // bit-identical, not approx
+  }
+
+  test("DotProduct is null-safe and handles empty arrays") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
+      (None, Some(Seq(1.0))),
+      (Some(Seq.empty[Double]), Some(Seq.empty[Double])))
+      .toDF("a", "b")
+    val got = df.select(VectorExpressions.dot(col("a"), col("b"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got == Seq(Some(11.0), None, Some(0.0)))
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    // query 0 = unit x; corpus: aligned, diagonal, orthogonal, opposite
+    val vecs = Seq(
+      0L -> Seq(1.0f, 0.0f),
+      1L -> Seq(2.0f, 0.0f),    // cos 1.0
+      2L -> Seq(1.0f, 1.0f),    // cos ~0.707
+      3L -> Seq(0.0f, 1.0f),    // cos 0
+      4L -> Seq(-1.0f, 0.0f))   // cos -1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.topKBruteForce(
+      vecs.where(col("vec_id") === 0L), vecs, k = 3)
+      .orderBy("rank")
+      .select("neighbor_id", "cos_sim", "rank").as[(Long, Double, Int)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0)._2 == 1.0)
+    assert(math.abs(out(1)._2 - math.sqrt(0.5)) < 1e-12)
+    assert(out(2)._2 == 0.0)
+  }
+
+  test("identical vectors share an LSH bucket and pair at cosine 1") {
+    val rnd = new scala.util.Random(11)
+    val noise = Seq.fill(30)(Seq.fill(64)(rnd.nextFloat() * 2 - 1))
+    val v = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
+    val vecs = ((0L -> v) +: (1L -> v) +: noise.zipWithIndex.map {
+      case (n, i) => (i + 2L) -> n
+    }).toDF("vec_id", "embedding")
+    val out = Similarity.topKLsh(
+      vecs.where(col("vec_id") === 0L), vecs, k = 1, nBits = 8, dim = 64)
+      .select("neighbor_id", "cos_sim").as[(Long, Double)].collect()
+    assert(out.length == 1)
+    assert(out.head._1 == 1L)
+    assert(math.abs(out.head._2 - 1.0) < 1e-12)
+  }
+
+  test("cosineDupPairs finds planted duplicate pairs above threshold") {
+    val rnd = new scala.util.Random(5)
+    val v = Seq.fill(16)(rnd.nextFloat())
+    val out = Similarity.cosineDupPairs(
+      Seq(10L -> v, 20L -> v,
+        30L -> Seq.fill(16)(rnd.nextFloat() * 2 - 1),
+        40L -> Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+        .toDF("vec_id", "embedding"), threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((10L, 20L)))
+    assert(out.forall { case (a, b) => a < b })
+  }
+}

@@ -1,0 +1,172 @@
+package graft
+
+import graft.compile.SpecCompiler
+import graft.spec._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spec-DSL compiler semantics, pinned against the reference interpreter's
+  * observable behavior (SURVEY.md §2.11, §7.3): decorrelation, zero-fill,
+  * join-fold, allowlist validation, data-mapping, and the output contract's
+  * skip-rename-on-mismatch + array-flatten rules.
+  */
+class SpecCompilerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def specJson(aggA: String = "sum"): String =
+    s"""{
+       |"input_data_schema": [
+       |  {"fetchId": {"query": "SELECT id FROM drivers", "database_name": "db", "id": "id"},
+       |   "tasks": [
+       |     {"single_process": {"input": "driver_id",
+       |        "query": "SELECT driver_id, amount FROM facts WHERE driver_id = $${id}",
+       |        "database_name": "db", "agg": "$aggA", "agg_on": "amount",
+       |        "groupby": "none", "rename": "total",
+       |        "join_on": "driver_id", "join_type": "none"}},
+       |     {"single_process": {"input": "driver_id",
+       |        "query": "SELECT driver_id, amount FROM facts WHERE driver_id = $${id}",
+       |        "database_name": "db", "agg": "count", "agg_on": "amount",
+       |        "groupby": "none", "rename": "n",
+       |        "join_on": "driver_id", "join_type": "inner"}}
+       |   ]}
+       |],
+       |"data_mapping": {"avg_col": {"aggregation":
+       |    {"agg_type": "average", "column_name": ["total", "n"]}}},
+       |"output_data_schema": {
+       |  "driver_id": {"Input_data_type": "IntegerType", "rename": "driver"},
+       |  "total": {"Input_data_type": "DoubleType", "rename": "total_amount"},
+       |  "n": {"Input_data_type": "LongType", "rename": "n_rows"},
+       |  "avg_col": {"Input_data_type": "DoubleType", "rename": "avg_val"}}
+       |}""".stripMargin
+
+  private def register(ids: Seq[Int], facts: Seq[(Int, Double)]): Unit = {
+    ids.toDF("id").createOrReplaceTempView("drivers")
+    facts.toDF("driver_id", "amount").createOrReplaceTempView("facts")
+  }
+
+  test("decorrelate splits the ${id} conjunct and names the correlation column") {
+    val (sql, corr) = SpecCompiler.decorrelate(
+      "SELECT a, b FROM t WHERE user_id = ${id} AND b > 3")
+    assert(sql == "SELECT a, b FROM t WHERE 1=1 AND b > 3")
+    assert(corr.contains("user_id"))
+    assert(SpecCompiler.decorrelate("SELECT 1") == (("SELECT 1", None)))
+  }
+
+  test("spec JSON round-trips through the typed ADT (v3 spelling)") {
+    val spec = PipelineSpec.fromJson(specJson())
+    assert(spec.entries.size == 1)
+    assert(spec.entries.head.fetchId == Fetch("SELECT id FROM drivers", "db", "id"))
+    assert(spec.entries.head.tasks.size == 2)
+    assert(spec.dataMapping == Seq("avg_col" -> AverageOf("total", "n")))
+    assert(spec.outputSchema.toMap.apply("total") == OutputColumn("DoubleType", "total_amount"))
+  }
+
+  test("v0 spelling (fetchID/child) parses to the same structure") {
+    val v0 = """[{"fetchID": {"query": "SELECT id FROM drivers",
+                "database_name": "db", "id": "id"}, "child": []}]"""
+    val spec = PipelineSpec.fromJson(v0, "{}", "{}")
+    assert(spec.entries.head.fetchId.id == "id")
+  }
+
+  test("compiled plan == reference loop semantics, including zero-fill for idle IDs") {
+    register(ids = Seq(1, 2, 3, 4, 5),
+      facts = Seq((1, 10.0), (1, 5.0), (2, 7.5), (3, 2.5), (7, 99.0)))
+    val out = SpecCompiler.compile(spark, PipelineSpec.fromJson(specJson()))
+    assert(out.columns.toSeq == Seq("driver", "total_amount", "n_rows", "avg_val"))
+    val got = out.collect().map(r => r.getInt(0) ->
+      ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    // reference loop: per fetched ID run the query, empty result -> zero row
+    // (generic_script.scala:305-310); id 7 is NOT fetched -> absent
+    val expected = Map(
+      1 -> ((15.0, 2L, 8.5)), // avg_col = round((15+2)/2, 2)
+      2 -> ((7.5, 1L, 4.25)),
+      3 -> ((2.5, 1L, 1.75)),
+      4 -> ((0.0, 0L, 0.0)),
+      5 -> ((0.0, 0L, 0.0)))
+    assert(got == expected)
+  }
+
+  test("loop ≡ decorrelated-join equivalence on randomized relations") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val ids = (0 until 12).filter(_ => rnd.nextBoolean())
+      val facts = Seq.fill(40)((rnd.nextInt(15), (rnd.nextInt(400) / 4.0)))
+      if (ids.nonEmpty) {
+        register(ids, facts)
+        val out = SpecCompiler.compile(spark, PipelineSpec.fromJson(specJson()))
+        val got = out.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        // driver-loop truth computed with plain collections
+        val expected = ids.map { id =>
+          val rows = facts.filter(_._1 == id).map(_._2)
+          id -> (if (rows.isEmpty) 0.0 else rows.sum)
+        }.toMap
+        assert(got == expected, s"trial $trial ids=$ids")
+      }
+    }
+  }
+
+  test("agg strings outside the allowlist are rejected") {
+    register(Seq(1), Seq((1, 1.0)))
+    val hostile = specJson(aggA = "java_method")
+    val ex = intercept[IllegalArgumentException] {
+      SpecCompiler.compile(spark, PipelineSpec.fromJson(hostile)).collect()
+    }
+    assert(ex.getMessage.contains("allowlist"))
+  }
+
+  test("multi-process subtree: per-sub-ID scans aggregate to the outer ID with zero-fill") {
+    Seq(1, 2, 3).toDF("id").createOrReplaceTempView("drivers")
+    // sub-relation: outer driver -> sessions (driver 3 has none)
+    Seq((1, 100), (1, 101), (2, 102)).toDF("driver_id", "session_id")
+      .createOrReplaceTempView("sessions")
+    Seq((100, 4.0), (100, 6.0), (101, 1.0), (102, 9.0), (999, 50.0))
+      .toDF("session_id", "score").createOrReplaceTempView("scores")
+    val spec = PipelineSpec(
+      entries = Seq(ScriptEntry(
+        Fetch("SELECT id FROM drivers", "db", "id"),
+        Seq(MultiProcess(
+          Fetch("SELECT driver_id, session_id FROM sessions WHERE driver_id = ${id}", "db", "session_id"),
+          joinOn = "driver_id", joinType = "left",
+          children = Seq(SubProcess("session_id",
+            "SELECT session_id, score FROM scores WHERE session_id = ${id}",
+            "db", "sum", "score", "session_id", "left", "total_score")))))),
+      dataMapping = Seq.empty, outputSchema = Seq.empty)
+    val out = SpecCompiler.compile(spark, spec)
+    val scores = out.select(col("driver_id"), col("total_score")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // driver 1: sessions 100,101 -> 4+6+1 = 11; driver 2: session 102 -> 9;
+    // driver 3: no sessions -> zero-filled 0; score row 999 has no session -> excluded
+    assert(scores == Map(1 -> 11.0, 2 -> 9.0, 3 -> 0.0))
+  }
+
+  test("deriveAverage rounds half-up in exact decimal like the reference's round()") {
+    val df = Seq((1.05, 2.00), (0.10, 0.11), (2.0, 4.0)).toDF("a", "b")
+    val got = SpecCompiler.deriveAverage(df, "avg", "a", "b")
+      .select("avg").as[Double].collect().toSeq
+    // (1.05+2.00)/2 = 1.525 -> 1.53 (exact decimal half-up); 0.105 -> 0.11
+    assert(got == Seq(1.53, 0.11, 3.0))
+  }
+
+  test("output contract: match renames, array flattens, hard mismatch keeps name") {
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1, "x", Seq("p", "q"), 2.5)),
+      StructType(Seq(
+        StructField("i", IntegerType), StructField("s", StringType),
+        StructField("arr", ArrayType(StringType, true)), StructField("d", DoubleType))))
+    val contract = Seq(
+      "i" -> OutputColumn("IntegerType", "i_renamed"),          // exact match
+      "s" -> OutputColumn("IntegerType", "s_renamed"),          // string!=int: skip rename
+      "arr" -> OutputColumn("ArrayType(StringType,true)", "arr_flat"), // flatten
+      "d" -> OutputColumn("IntegerType", "d_int"),              // numeric widening: cast+rename
+      "missing" -> OutputColumn("IntegerType", "never"))        // absent: dropped
+    val out = SpecCompiler.applyOutputContract(df, contract)
+    assert(out.columns.toSeq == Seq("i_renamed", "s", "arr_flat", "d_int"))
+    val row = out.collect().head
+    assert(row.getString(out.columns.indexOf("arr_flat")) == "p, q")
+    assert(row.getInt(out.columns.indexOf("d_int")) == 2)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val stop = Seq("the", "a", "of")
+
+  test("token counts and ratios") {
+    val df = Seq("a a b", "ab cd").toDF("t")
+    val got = df.select(
+      TextAnalysis.tokenCount(col("t")),
+      TextAnalysis.typeTokenRatio(col("t")),
+      TextAnalysis.meanTokenLen(col("t")))
+      .as[(Int, Double, Double)].collect().toSeq
+    assert(got(0) == ((3, 2.0 / 3, 1.0))) // "a a b": 3 toks, 2 distinct, len (5-2)/3
+    assert(got(1) == ((2, 1.0, 2.0)))     // "ab cd": (5-1)/2 = 2
+  }
+
+  test("stopword ratio and quality score bounds") {
+    val df = Seq("the a of", "paris hosts exhibitions yearly").toDF("t")
+    val got = df.select(
+      TextAnalysis.stopwordRatio(col("t"), stop),
+      TextAnalysis.qualityScore(col("t"), stop))
+      .as[(Double, Double)].collect().toSeq
+    assert(got(0)._1 == 1.0) // all stopwords
+    assert(got(1)._1 == 0.0)
+    assert(got.forall { case (_, q) => q >= 0.0 && q <= 1.0 })
+    assert(got(1)._2 > got(0)._2) // real sentence scores higher than stuffing
+  }
+
+  test("roughTokenCount splits subword boundaries") {
+    val df = Seq("abc123def", "hello-world").toDF("t")
+    val got = df.select(TextAnalysis.roughTokenCount(col("t"))).as[Int].collect().toSeq
+    assert(got == Seq(3, 2)) // abc|123|def ; hello|world
+  }
+
+  test("langId predicts marker-dominant language with stable ties") {
+    val df = Seq(
+      "the cat sat on the mat of doom",
+      "el perro y la casa de los gatos",
+      "le chien et les chats des villes",
+      "zzz yyy xxx").toDF("t") // no markers at all -> first language wins ties
+    val got = df.select(TextAnalysis.langId(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "fr", "en"))
+  }
+
+  test("fingerprint is deterministic, order-sensitive, and within [0, p)") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma").toDF("t")
+    val got = df.select(TextAnalysis.fingerprint(col("t"))).as[Long].collect().toSeq
+    assert(got(0) == got(2))
+    assert(got(0) != got(1))
+    assert(got.forall(f => f >= 0 && f < 1000000007L))
+  }
+}
