@@ -223,7 +223,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         bucketCol: String, n: Int = 2,
-                        threshold: Double = 0.05, fanout: Int = 32): DataFrame = {
+                        threshold: Double = 0.05, fanout: Int = 8): DataFrame = {
     // Grams are hashed to sorted longs: Jaccard over 8-byte values is
     // identical (modulo 2^-64 collisions) but the within-bucket cross
     // product compares longs, not strings, and the fused merge-walk
