@@ -85,7 +85,13 @@ object EventQueries {
       EventStreams.hourlyWindowed(s, d)
         .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"), col("n_events"), col("total_value"))
-        .orderBy("hour_start", "event_type"))
+        .orderBy("hour_start", "event_type")),
+
+    "q46_stream_sessionize" -> ((s, d) =>
+      // stateful streaming (flatMapGroupsWithState) dual of q42 — identical
+      // result set, same oracle
+      EventStreams.sessionizeStateful(s, d)
+        .orderBy("user_id", "session_id"))
   )
 
   private val hourlyOracle =
@@ -94,19 +100,8 @@ object EventQueries {
               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
 
-  val oracles: Map[String, String] = Map(
-    "q40_window_hourly" -> hourlyOracle,
-    "q45_stream_window_hourly" -> hourlyOracle,
-
-    "q41_json_extract" ->
-      """SELECT event_type, count(*) AS n,
-                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-                count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-                           THEN 1 END) AS n_high
-         FROM events GROUP BY event_type ORDER BY event_type""",
-
-    "q42_sessionize" ->
-      """WITH ev AS (
+  private val sessionizeOracle =
+    """WITH ev AS (
            SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
                   lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
                     (PARTITION BY user_id
@@ -125,7 +120,20 @@ object EventQueries {
          SELECT user_id, session_id, count(*) AS n_events,
                 min(us) AS start_us, max(us) AS end_us
          FROM sess GROUP BY user_id, session_id
-         ORDER BY user_id, session_id""",
+         ORDER BY user_id, session_id"""
+
+  val oracles: Map[String, String] = Map(
+    "q40_window_hourly" -> hourlyOracle,
+    "q45_stream_window_hourly" -> hourlyOracle,
+    "q42_sessionize" -> sessionizeOracle,
+    "q46_stream_sessionize" -> sessionizeOracle,
+
+    "q41_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                           THEN 1 END) AS n_high
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q43_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

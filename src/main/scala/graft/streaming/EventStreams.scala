@@ -50,9 +50,92 @@ object EventStreams {
     spark.table(queryName)
   }
 
-  /** Gap-based sessionization as a stateful streaming shape is expressed in
-    * batch via window functions (see EventQueries.q44); the streaming dual
-    * would be flatMapGroupsWithState keyed by user with a session-gap
-    * timeout. Kept batch-side until the harness can drive stateful output.
+  // ------------------------------------------------------- stateful sessions
+
+  /** Raw event row as stored (ts = TIMESTAMP(NANOS) read as long nanos). */
+  final case class RawEvent(event_id: Long, ts: Long, user_id: Long,
+                            event_type: String, value: Double, props: String)
+
+  /** Open-session state carried between micro-batches, one per user key. */
+  final case class OpenSession(idx: Long, startUs: Long, lastUs: Long, n: Long)
+
+  /** Emitted closed session — column-compatible with the batch q42 shape. */
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                              start_us: Long, end_us: Long)
+
+  val EndOfStreamType = "__end"
+
+  /** Gap-based sessionization as a REAL stateful streaming query:
+    * `flatMapGroupsWithState` keyed by user, an [[OpenSession]] per key as
+    * state, sessions emitted as they close. This is the streaming dual of
+    * the batch window-function sessionize (EventQueries q42) and produces
+    * the identical result set, so it shares q42's SQL oracle.
+    *
+    * Finite-input closure: timeouts only fire on a subsequent trigger, which
+    * a drained file source never runs — so end-of-stream is made explicit
+    * instead: a second tiny file source carries one far-future sentinel
+    * event per user (written under target/, unioned into the stream), and
+    * the state handler closes the open session when it sees it. In a live
+    * deployment the sentinel source is dropped and
+    * `GroupStateTimeout.EventTimeTimeout` plays that role.
+    *
+    * Scale: state is one small case class per active user; each microbatch
+    * group is sorted in memory, which is bounded by per-user-per-batch event
+    * counts (not total history).
     */
+  def sessionizeStateful(spark: SparkSession, sfDir: String,
+                         gapMinutes: Long = 30,
+                         queryName: String = "graft_stream_sessions"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    // one sentinel per user at max(ts)+10d, same raw schema, parquet source #2
+    val batchRaw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val sentinelDir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "graft-sentinel-")
+      .toString
+    batchRaw.groupBy(col("user_id")).agg(max(col("ts")).as("max_ts"))
+      .select(lit(-1L).as("event_id"),
+        (col("max_ts") + lit(10L * 24 * 3600 * 1000000000L)).as("ts"),
+        col("user_id"), lit(EndOfStreamType).as("event_type"),
+        lit(0.0).as("value"), lit(null).cast(StringType).as("props"))
+      .write.mode("overwrite").parquet(sentinelDir)
+
+    val gapUs = gapMinutes * 60L * 1000000L
+    def src(dir: String) = spark.readStream.schema(rawSchema).parquet(dir)
+    val events = src(s"$sfDir/events.*").union(src(sentinelDir)).as[RawEvent]
+
+    def handle(userId: Long, it: Iterator[RawEvent],
+               state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      // ordered replay within the batch; state carries order across batches
+      val evs = it.toArray.sortBy(e => (e.ts, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var open: Option[OpenSession] = state.getOption
+      def close(o: OpenSession): Unit =
+        out += SessionOut(userId, o.idx, o.n, o.startUs, o.lastUs)
+      evs.foreach { e =>
+        val us = Math.floorDiv(e.ts, 1000L)
+        if (e.event_type == EndOfStreamType) {
+          open.foreach(close); open = None
+        } else open match {
+          case Some(o) if us - o.lastUs <= gapUs =>
+            open = Some(o.copy(lastUs = us, n = o.n + 1))
+          case Some(o) =>
+            close(o); open = Some(OpenSession(o.idx + 1, us, us, 1))
+          case None =>
+            open = Some(OpenSession(1, us, us, 1))
+        }
+      }
+      open match { case Some(o) => state.update(o); case None => state.remove() }
+      out.iterator
+    }
+
+    val sessions = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(handle)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
 }
