@@ -102,9 +102,120 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Banded sign-LSH near-duplicate pairs: the scale path for
+    * [[cosineDupPairs]]. Same candidate-first shuffle discipline as
+    * `Dedup.minhashPairs`: the banded self-join carries only vector ids,
+    * candidate pairs are distinct-ed, then vectors join back for ONE exact
+    * cosine verification per unique pair — so a dense duplicate cluster
+    * costs O(pairs) long-comparisons in the candidate stage, not O(pairs)
+    * vector dot products per band.
+    *
+    * Recall: a pair at angle θ agrees on one bit with prob p = 1 − θ/π;
+    * collision prob = 1 − (1 − p^bitsPerBand)^bands. Defaults (6×6) give
+    * ≈0.95 at cos 0.9 and ≈0.9998 at cos 0.99; verification is exact, so
+    * precision is always 1.
+    *
+    * Hyperplanes are CENTERED on the corpus mean: all-positive embeddings
+    * (count vectors, post-ReLU features) live in one orthant where raw
+    * sign-LSH barely discriminates — every bucket is dense and candidates
+    * approach O(n²). Since dot(v−m, p) = dot(v,p) − dot(m,p), centering is
+    * just a per-plane scalar offset on the bit threshold; the offsets come
+    * from one corpus-mean aggregate (a constant 1×dim row at any scale) and
+    * near-identical pairs still land together because both members shift
+    * identically. Verification cosine stays on the RAW vectors.
+    */
+  def cosineDupPairsLsh(corpus: DataFrame, threshold: Double, dim: Int,
+                        bitsPerBand: Int = 6, bands: Int = 6,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(bitsPerBand * bands, dim)
+    // (id, v, nrm) feeds FOUR subtrees (mean aggregate, banding, both
+    // verification join-backs); persisting stops a computed embedding column
+    // (e.g. TextAnalysis.hashEmbedding) from being re-derived per consumer.
+    // MEMORY_AND_DISK: at cluster scale this spills instead of OOMing; if
+    // embeddings are already a stored table the persist is a cheap no-op win.
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), norm(col(vecCol)).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-plane offset dot(mean, p): one tiny aggregate, collected as consts
+    val mean = c.select(posexplode(col("v")))
+      .groupBy(col("pos")).agg(avg(col("col")).as("m"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    val offsets = planes.map(p => p.zip(mean).map { case (a, b) => a * b }.sum)
+    val banded = c.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        (0 until bitsPerBand).map { i =>
+          val plane = b * bitsPerBand + i
+          val proj = dot(col("v"), array(planes(plane).map(lit(_)): _*))
+          when(proj > offsets(plane), lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val candidates = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("band_key"), col("id").as("id_b")),
+        Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(c.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(c.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
+  /** Deterministic coarse-quantizer centroids (fixed seed, distinct from the
+    * hyperplane seed).
+    */
+  private def centroids(n: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(13L)
+    Array.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** IVF-style ANN: corpus rows are assigned to their best coarse centroid
+    * (the inverted list); each query probes its `nProbe` nearest centroids
+    * and scores only those lists. The assignment/probing is pure expression
+    * work (array of (dot, idx) structs; struct ordering makes array_max an
+    * argmax), the probe fan-out is an explode + equi-join on the centroid
+    * id — so the corpus is scanned once and never shuffled by pair.
+    *
+    * Versus [[topKLsh]]: buckets follow the data's density (centroid
+    * Voronoi cells) rather than fixed hyperplane sign patterns, and recall
+    * is tuned at query time via nProbe with no re-indexing. A production
+    * index would train centroids with k-means; the fixed random centroids
+    * here keep the operator deterministic while exercising the identical
+    * plan shape.
+    */
+  def topKIvf(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids(nCentroids, dim)
+    def centDots(v: Column): Column = array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(dot(v, array(cv.map(lit(_)): _*)).as("d"), lit(i).as("c"))
+    }: _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("c_vec"),
+        norm(col(vecCol)).as("c_norm"), centDots(col(vecCol).cast("array<double>")).as("cd"))
+      .select(col("neighbor_id"), col("c_vec"), col("c_norm"),
+        array_max(col("cd")).getField("c").as("centroid"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("q_vec"),
+        norm(col(vecCol)).as("q_norm"), centDots(col(vecCol).cast("array<double>")).as("cd"))
+      .select(col("query_id"), col("q_vec"), col("q_norm"),
+        explode(transform(slice(reverse(array_sort(col("cd"))), 1, nProbe),
+          p => p.getField("c"))).as("centroid"))
+    val scored = c.join(broadcast(q), Seq("centroid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. Brute-force
-    * within-corpus self-join here; at scale route through topKLsh buckets
-    * first and verify exactly, same as Dedup.minhashPairs.
+    * within-corpus self-join here; at scale route through
+    * [[cosineDupPairsLsh]] buckets instead, same as Dedup.minhashPairs.
     */
   def cosineDupPairs(corpus: DataFrame, threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -77,6 +77,19 @@ object TextAnalysis {
     }._1
   }
 
+  /** Feature-hashed bag-of-words embedding: dimension i counts the tokens
+    * whose xxhash64 lands in slot i ("hashing trick"). Deterministic, pure
+    * expression, and near-duplicate documents map to near-identical vectors
+    * — the cheap on-ramp into the embedding-cosine dedup/ANN operators when
+    * no model embeddings exist. Float output matches the embeddings table's
+    * column type.
+    */
+  def hashEmbedding(text: Column, dim: Int = 64): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => size(filter(toks, t => pmod(xxhash64(t), lit(dim)) === i)).cast("float"))
+  }
+
   /** Rolling-hash document fingerprint: fold (acc*31 + termHash) mod p over
     * tokens, where termHash = ascii(first char)*100 + len. Order-sensitive
     * (a permuted document fingerprints differently), overflow-free

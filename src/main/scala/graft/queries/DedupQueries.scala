@@ -32,7 +32,18 @@ object DedupQueries {
     "q33_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
         bucketCol = "source", n = 2, threshold = 0.05)
-        .orderBy("bucket", "doc_a", "doc_b"))
+        .orderBy("bucket", "doc_a", "doc_b")),
+
+    "q38_dedup_embed_cosine" -> ((s, d) => {
+      // embedding-cosine near-dup, LSH-bucketed (the q36 brute-force's scale
+      // path): docs are feature-hash embedded, near-dup docs land above 0.9
+      val vecs = t(s, d, "documents").select(col("doc_id").as("vec_id"),
+        graft.ext.TextAnalysis.hashEmbedding(col("text"), 64).as("embedding"))
+      // 0.98: planted near-dups sit >=0.98 in hash-embedding space, while
+      // unrelated same-language docs cluster at 0.85-0.9 (shared stopwords)
+      graft.ext.Similarity.cosineDupPairsLsh(vecs, threshold = 0.98, dim = 64)
+        .orderBy("id_a", "id_b")
+    })
   )
 
   val oracles: Map[String, String] = Map(

@@ -40,6 +40,13 @@ object SimilarityQueries {
       Similarity.topKLsh(
         emb.where(col("vec_id") < 10), emb, k = 10, nBits = 8, dim = 64)
         .orderBy("query_id", "rank")
+    }),
+
+    "q39_sim_topk_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.topKIvf(
+        emb.where(col("vec_id") < 10), emb, k = 10, dim = 64)
+        .orderBy("query_id", "rank")
     })
   )
 

@@ -77,6 +77,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out.head._2 - 1.0) < 1e-12)
   }
 
+  test("LSH-bucketed dup pairs find planted near-identical vectors exactly") {
+    val rnd = new scala.util.Random(17)
+    val v = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
+    val nearV = v.updated(0, v.head + 0.01f) // tiny perturbation, cos ~1
+    val corpus = ((100L -> v) +: (200L -> v) +: (300L -> nearV) +:
+      Seq.tabulate(40)(i => (i + 1000L) -> Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineDupPairsLsh(corpus, threshold = 0.99, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(pairs((100L, 200L)) - 1.0) < 1e-12)
+    assert(pairs.contains((100L, 300L)) && pairs.contains((200L, 300L)))
+    assert(pairs.keys.flatMap(p => Seq(p._1, p._2)).forall(_ < 1000L))
+    // verification is exact: every reported cos_sim really is >= threshold
+    assert(pairs.values.forall(_ >= 0.99))
+  }
+
+  test("IVF top-k finds the identical vector as rank-1 via its centroid list") {
+    val rnd = new scala.util.Random(23)
+    val v = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
+    val corpus = ((0L -> v) +: (1L -> v) +:
+      Seq.tabulate(60)(i => (i + 2L) -> Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.topKIvf(
+      corpus.where(col("vec_id") === 0L), corpus, k = 3, dim = 64)
+      .orderBy("rank").select("neighbor_id", "cos_sim").as[(Long, Double)].collect()
+    // the identical vector shares the argmax centroid by construction
+    assert(out.head._1 == 1L)
+    assert(math.abs(out.head._2 - 1.0) < 1e-12)
+    assert(out.length == 3) // nProbe=4 of 16 lists still held >= k candidates
+  }
+
   test("cosineDupPairs finds planted duplicate pairs above threshold") {
     val rnd = new scala.util.Random(5)
     val v = Seq.fill(16)(rnd.nextFloat())

@@ -49,6 +49,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq("en", "es", "fr", "en"))
   }
 
+  test("hashEmbedding: token counts land in hash slots; near-dup texts stay close") {
+    val df = Seq("alpha beta gamma delta", "alpha beta gamma delta",
+      "alpha beta gamma epsilon").toDF("t")
+    val vecs = df.select(TextAnalysis.hashEmbedding(col("t"), 16))
+      .as[Seq[Float]].collect()
+    assert(vecs(0) == vecs(1)) // deterministic
+    assert(vecs(0).map(_.toDouble).sum == 4.0) // one count per token
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    assert(cos(vecs(0), vecs(2)) > 0.7) // 3/4 shared tokens
+    assert(cos(vecs(0), vecs(2)) < 1.0)
+  }
+
   test("fingerprint is deterministic, order-sensitive, and within [0, p)") {
     val df = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma").toDF("t")
     val got = df.select(TextAnalysis.fingerprint(col("t"))).as[Long].collect().toSeq
