@@ -60,6 +60,26 @@ final case class PipelineSpec(
 object PipelineSpec {
   private val mapper = new ObjectMapper()
 
+  /** Reference-parity bootstrap (E1 lifecycle steps 2-3, SURVEY.md §3):
+    * select the config row for `scriptType` and pull its three JSON cells
+    * — `input_data_schema`, `output_data_schema`, `data_mapping` — to the
+    * driver (reference: MENT/task/mentoringExecution.scala:21-38, which
+    * does the same with a `WHERE script_type=` JDBC scan and three
+    * `.first()` actions). The config DataFrame can come from any source
+    * (JDBC config table via [[graft.ops.Tables.jdbc]], a parquet/json
+    * file); only one driver round-trip is made for all three cells.
+    */
+  def fromConfigTable(config: org.apache.spark.sql.DataFrame,
+                      scriptType: String): PipelineSpec = {
+    import org.apache.spark.sql.functions.col
+    val rows = config.where(col("script_type") === scriptType)
+      .select("input_data_schema", "data_mapping", "output_data_schema")
+      .limit(1).collect()
+    require(rows.nonEmpty, s"no config row with script_type='$scriptType'")
+    val r = rows.head
+    fromJson(r.getString(0), r.getString(1), r.getString(2))
+  }
+
   /** Decode the three JSON documents of a config row. Accepts both the v0
     * spelling (`fetchID`/`child`) and the v3 spelling (`fetchId`/`tasks`)
     * (reference: generic_script.scala:83,90 vs mentoringFunction2.scala:32,40).

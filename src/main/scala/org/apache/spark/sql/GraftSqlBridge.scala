@@ -12,4 +12,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a native function on a LIVE session (the public
+    * `SparkSessionExtensions.injectFunction` channel only applies at
+    * session build time).
+    */
+  def registerFunction(spark: SparkSession,
+                       id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+                       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(id, info, builder)
 }

@@ -64,6 +64,29 @@ class SpecCompilerSpec extends AnyFunSuite {
     assert(spec.outputSchema.toMap.apply("total") == OutputColumn("DoubleType", "total_amount"))
   }
 
+  test("config-table bootstrap: three JSON cells selected by script_type") {
+    val cfg = Seq(
+      ("mentor_report", """[{"fetchId": {"query": "SELECT id FROM drivers",
+         "database_name": "db", "id": "id"}, "tasks": []}]""", "{}", "{}"),
+      ("other", "[]", "{}", "{}"))
+      .toDF("script_type", "input_data_schema", "data_mapping", "output_data_schema")
+    val spec = PipelineSpec.fromConfigTable(cfg, "mentor_report")
+    assert(spec.entries.size == 1 && spec.entries.head.fetchId.id == "id")
+    val ex = intercept[IllegalArgumentException](
+      PipelineSpec.fromConfigTable(cfg, "missing"))
+    assert(ex.getMessage.contains("script_type"))
+  }
+
+  test("registered SQL functions: graft_dot and graft_sorted_set_jaccard") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                graft_sorted_set_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j""")
+      .collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 0.5)
+  }
+
   test("v0 spelling (fetchID/child) parses to the same structure") {
     val v0 = """[{"fetchID": {"query": "SELECT id FROM drivers",
                 "database_name": "db", "id": "id"}, "child": []}]"""
