@@ -66,17 +66,14 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit LSH signature: bit i = (v · h_i) > 0. Pure expression — the
-    * hyperplane constants fold into the plan, no UDF.
+  /** Sign-bit LSH signature: bit i = (v · h_i) > 0. One fused native
+    * expression ([[graft.functions.HyperplaneSignBits]]): a single pass
+    * over the vector against a constant plane matrix, instead of nBits
+    * composed dot/when/sum expressions that bloat codegen.
     */
-  def lshSignature(vec: Column, nBits: Int, dim: Int): Column = {
-    val planes = hyperplanes(nBits, dim)
-    val bits = planes.zipWithIndex.map { case (h, i) =>
-      val proj = dot(vec, array(h.map(lit(_)): _*))
-      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def lshSignature(vec: Column, nBits: Int, dim: Int): Column =
+    graft.functions.VectorExpressions
+      .hyperplaneSignBits(vec, hyperplanes(nBits, dim))
 
   /** Bucketed ANN: equi-join query and corpus on the LSH bucket, exact
     * cosine within the bucket, top-k per query. Approximate — recall
@@ -141,14 +138,15 @@ object Similarity {
       .groupBy(col("pos")).agg(avg(col("col")).as("m"))
       .orderBy("pos").collect().map(_.getDouble(1))
     val offsets = planes.map(p => p.zip(mean).map { case (a, b) => a * b }.sum)
-    val banded = c.select(col("id"),
-      posexplode(array((0 until bands).map { b =>
-        (0 until bitsPerBand).map { i =>
-          val plane = b * bitsPerBand + i
-          val proj = dot(col("v"), array(planes(plane).map(lit(_)): _*))
-          when(proj > offsets(plane), lit(1L << i)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      }: _*)))
+    // one fused signature over ALL planes; band keys are bit-chunks of it
+    val sigCol = graft.functions.VectorExpressions
+      .hyperplaneSignBits(col("v"), planes, offsets)
+    val mask = (1L << bitsPerBand) - 1
+    val banded = c.select(col("id"), sigCol.as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))
+        }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val candidates = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("band_key"), col("id").as("id_b")),
