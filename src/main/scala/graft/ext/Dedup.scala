@@ -84,8 +84,11 @@ object Dedup {
     *     token arrays cross the candidate shuffle;
     *  2. a size prefilter (j ≥ t ⇒ min|A|,|B| ≥ t·max|A|,|B|, an exact
     *     necessary condition) drops impossible pairs before dedup;
-    *  3. candidate pairs are `distinct()`-ed as bare (long, long) rows, so
-    *     a pair colliding in all 8 bands is verified once, not 8 times;
+    *  3. pair dedup is the FIRST-MATCHING-BAND rule, not a distinct(): each
+    *     side carries its (small) band-key array, and a collision at band b
+    *     survives only if no band before b also collided — pairs are unique
+    *     by construction, so the multi-million-row candidate exchange +
+    *     hash aggregate disappears into a map-side filter;
     *  4. only then are the token-hash sets joined back (shuffle keyed on
     *     doc id, proportional to surviving candidates) for one exact
     *     Jaccard evaluation per unique pair.
@@ -99,20 +102,30 @@ object Dedup {
     // the k-hash signature once per band.
     val sigs = docs.select(col("doc"), size(col("toks")).as("ntok"),
       minhashFromHashes(col("toks"), k).as("sig"))
-    val banded = sigs.select(col("doc"), col("ntok"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), b * r + 1, r))): _*)))
+    val keyed = sigs.select(col("doc"), col("ntok"),
+      array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * r + 1, r))): _*).as("keys"))
+    val banded = keyed.select(col("doc"), col("ntok"), col("keys"),
+      posexplode(col("keys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val left = banded.select(col("band"), col("band_key"),
-      col("doc").as("doc_a"), col("ntok").as("n_a"))
+      col("doc").as("doc_a"), col("ntok").as("n_a"), col("keys").as("keys_a"))
     val right = banded.select(col("band"), col("band_key"),
-      col("doc").as("doc_b"), col("ntok").as("n_b"))
+      col("doc").as("doc_b"), col("ntok").as("n_b"), col("keys").as("keys_b"))
+    // first-matching-band test, UNROLLED into element_at comparisons: a
+    // lambda form (exists/zip_with) would run the interpreted HOF evaluator
+    // once per collision row — tens of millions of allocations in a dense
+    // cluster. element_at is codegen'd scalar access.
+    val earlierBandMatched = (0 until bands - 1).map(b =>
+      (col("band") > b) &&
+        (element_at(col("keys_a"), b + 1) === element_at(col("keys_b"), b + 1)))
+      .reduce(_ || _)
     val candidates = left.join(right, Seq("band", "band_key"))
       .where(col("doc_a") < col("doc_b") &&
         least(col("n_a"), col("n_b")).cast("double") >=
-          lit(threshold) * greatest(col("n_a"), col("n_b")))
+          lit(threshold) * greatest(col("n_a"), col("n_b")) &&
+        !earlierBandMatched)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
     candidates
       .join(docs.select(col("doc").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
       .join(docs.select(col("doc").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
@@ -178,21 +191,28 @@ object Dedup {
                    maxHamming: Int = 7, chunks: Int = 8): DataFrame = {
     require(maxHamming < chunks, "pigeonhole banding needs maxHamming < chunks")
     val bitsPer = 64 / chunks
+    val mask = (1L << bitsPer) - 1
     val sigs = simhashSignatures(df, textCol, idCol)
     val banded = sigs.select(col("doc"), col("simhash"),
       posexplode(array((0 until chunks).map(c =>
-        shiftrightunsigned(col("simhash"), c * bitsPer)
-          .bitwiseAND(lit((1L << bitsPer) - 1))): _*)))
+        shiftrightunsigned(col("simhash"), c * bitsPer).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val l = banded.select(col("chunk"), col("chunk_val"),
       col("doc").as("doc_a"), col("simhash").as("sig_a"))
     val rgt = banded.select(col("chunk"), col("chunk_val"),
       col("doc").as("doc_b"), col("simhash").as("sig_b"))
+    // first-matching-chunk rule via pure bit math on the signature XOR:
+    // chunk c matched earlier iff byte c of xor is zero — no candidate
+    // distinct(), no arrays through the join, all codegen'd
+    val xor = col("sig_a").bitwiseXOR(col("sig_b"))
+    val earlierChunkMatched = (0 until chunks - 1).map(c =>
+      (col("chunk") > c) &&
+        (shiftrightunsigned(xor, c * bitsPer).bitwiseAND(lit(mask)) === 0L))
+      .reduce(_ || _)
     l.join(rgt, Seq("chunk", "chunk_val"))
-      .where(col("doc_a") < col("doc_b"))
+      .where(col("doc_a") < col("doc_b") && !earlierChunkMatched)
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+        bit_count(xor).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 
