@@ -62,10 +62,9 @@ object Dedup {
     minhashFromHashes(tokenHashes(text), k)
 
   private def minhashFromHashes(hashes: Column, k: Int): Column = {
-    val folded = transform(hashes, h => pmod(h, lit(MinhashP)))
-    array(hashParams(k).map { case (a, b) =>
-      array_min(transform(folded, h => pmod(h * a + b, lit(MinhashP))))
-    }: _*)
+    val params = hashParams(k)
+    graft.functions.SetExpressions.minhashSignature(hashes,
+      params.map(_._1).toArray, params.map(_._2).toArray, MinhashP)
   }
 
   /** MinHash+LSH near-dup pairs: band the signature, equi-join on

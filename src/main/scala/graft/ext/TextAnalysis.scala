@@ -84,11 +84,9 @@ object TextAnalysis {
     * no model embeddings exist. Float output matches the embeddings table's
     * column type.
     */
-  def hashEmbedding(text: Column, dim: Int = 64): Column = {
-    val toks = tokens(text)
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => size(filter(toks, t => pmod(xxhash64(t), lit(dim)) === i)).cast("float"))
-  }
+  def hashEmbedding(text: Column, dim: Int = 64): Column =
+    graft.functions.SetExpressions.featureHashCounts(
+      transform(tokens(text), t => xxhash64(t)), dim)
 
   /** Rolling-hash document fingerprint: fold (acc*31 + termHash) mod p over
     * tokens, where termHash = ascii(first char)*100 + len. Order-sensitive
