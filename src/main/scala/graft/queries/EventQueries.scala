@@ -91,7 +91,37 @@ object EventQueries {
       // stateful streaming (flatMapGroupsWithState) dual of q42 — identical
       // result set, same oracle
       EventStreams.sessionizeStateful(s, d)
-        .orderBy("user_id", "session_id"))
+        .orderBy("user_id", "session_id")),
+
+    "q47_asof_join" -> ((s, d) => {
+      // as-of join (absent from the reference, SURVEY §2.5): each purchase
+      // matched to the user's latest click at-or-before it. Implemented as
+      // union + LOCF window (last ignoreNulls over preceding rows) — one
+      // sort-based pass, NO per-pair join explosion: an equi-join on user
+      // plus ts<=ts filter would materialize |purchases|x|clicks| rows per
+      // user before picking the max. Ties: a click at the same microsecond
+      // counts as prior; among equal-ts clicks the highest event_id wins.
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("us"), col("event_id"), lit(0).as("is_probe"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("event_id"), lit(1).as("is_probe"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("is_probe"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      clicks.unionByName(purchases)
+        .withColumn("last_click_id",
+          last(when(col("is_probe") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("last_click_us",
+          last(when(col("is_probe") === 0, col("us")), ignoreNulls = true).over(w))
+        .where(col("is_probe") === 1)
+        .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+          coalesce(col("last_click_id"), lit(-1L)).as("last_click_id"),
+          coalesce(col("last_click_us"), lit(-1L)).as("last_click_us"))
+        .orderBy("event_id")
+    })
   )
 
   private val hourlyOracle =
@@ -134,6 +164,22 @@ object EventQueries {
                 count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
                            THEN 1 END) AS n_high
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q47_asof_join" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  event_type FROM events),
+         p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM e WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, p.us AS purchase_us,
+                COALESCE((SELECT c.event_id FROM c
+                          WHERE c.user_id = p.user_id AND c.us <= p.us
+                          ORDER BY c.us DESC, c.event_id DESC LIMIT 1), -1)
+                  AS last_click_id,
+                COALESCE((SELECT max(c.us) FROM c
+                          WHERE c.user_id = p.user_id AND c.us <= p.us), -1)
+                  AS last_click_us
+         FROM p ORDER BY p.event_id""",
 
     "q43_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -4,6 +4,7 @@ import graft.compile.SpecCompiler
 import graft.ops.{Num, Tables}
 import graft.spec.PipelineSpec
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -280,6 +281,37 @@ object ParityQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)),
 
+    "q18_rollup" -> ((s, d) => {
+      // grouping-sets family (absent from the reference, SURVEY §2.6):
+      // region/nation subtotal hierarchy in one pass over the joined dims
+      val c = t(s, d, "customer")
+      val r = t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+      c.join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), Num.moneySum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    "q19_median_exact" -> ((s, d) => {
+      // exact median per customer WITHOUT percentile_cont: row_number picks
+      // the middle one/two orders, their decimal sum is divided by 1 or 2 —
+      // a power of two, so even the double division is bit-exact and
+      // engine-independent (interpolating percentiles are not)
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val cnt = Window.partitionBy(col("o_custkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(byPrice))
+        .withColumn("cnt", count(lit(1)).over(cnt))
+        .where(col("rn") === expr("(cnt + 1) div 2") ||
+          col("rn") === expr("(cnt + 2) div 2"))
+        .groupBy(col("o_custkey"))
+        .agg((sum(Num.dec2(col("o_totalprice"))).cast(DoubleType) /
+          count(lit(1))).as("median_price"))
+        .orderBy("o_custkey")
+    }),
+
     "q14_output_contract_mismatch" -> ((s, d) => {
       // §1.3/P5: the skip-rename-on-type-mismatch contract rule — n_name is
       // declared IntegerType (wrong) so it keeps its original name, while
@@ -416,6 +448,29 @@ object ParityQueries {
 
     "q17_topk_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    "q18_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "q19_median_exact" ->
+      """WITH ranked AS (
+           SELECT o_custkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice, o_orderkey) AS rn,
+                  count(*) OVER (PARTITION BY o_custkey) AS cnt
+           FROM orders)
+         SELECT o_custkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                  AS median_price
+         FROM ranked
+         WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+         GROUP BY o_custkey ORDER BY o_custkey"""
   )
 }

@@ -40,7 +40,29 @@ object TextQueries {
       t(s, d, "documents").select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q24_tfidf_top_terms" -> ((s, d) => {
+      // corpus-level statistic (tf · N / df, unlogged idf so the only
+      // floating-point op is one division of exact integers — identical in
+      // any IEEE engine): top-3 terms per document. Shuffle shape: one
+      // explode + two aggs + a broadcast-sized df join; the corpus is never
+      // paired with itself.
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val n = t(s, d, "documents").count()
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token"))
+      tf.join(dfreq, Seq("token"))
+        .select(col("doc_id"), col("token"),
+          ((col("tf") * lit(n)).cast("double") / col("df")).as("tfidf"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .orderBy("doc_id", "rn")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -91,6 +113,26 @@ object TextQueries {
                     list_transform(string_split(text, ' '),
                       t -> CAST(ascii(substr(t, 1, 1)) AS BIGINT) * 100 + length(t))),
                   (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "q24_tfidf_top_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+         dfreq AS (
+           SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.token,
+                  CAST(tf.tf * n.n AS DOUBLE) / dfreq.df AS tfidf
+           FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, token, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, token) AS rn
+           FROM scored)
+         SELECT doc_id, token, tfidf, rn FROM ranked
+         WHERE rn <= 3 ORDER BY doc_id, rn"""
   )
 }
