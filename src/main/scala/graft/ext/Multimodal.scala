@@ -66,6 +66,43 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaMetaSchema)
   }
 
+  /** Embedding schema for encoded media. */
+  val mediaEmbeddingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  /** STUB media encoder: a deterministic chunk-hash bag-of-features vector
+    * per blob (slot = chunk hash mod dim), standing in for a vision/audio
+    * encoder. Same mapPartitions batch shape as [[decodeMedia]] — the
+    * per-partition block is where a real model session would be loaded
+    * once and run over batched inputs. Near-identical blobs map to
+    * near-identical vectors, so the output plugs straight into the ANN
+    * operators (Similarity.topKLsh / cosineDupPairsLsh).
+    */
+  def embedMedia(spark: SparkSession, blobs: DataFrame,
+                 dim: Int = 64, chunkBytes: Int = 16): DataFrame = {
+    val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+      // model/session init would happen here, once per partition
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val counts = new Array[Float](dim)
+        var off = 0
+        while (off < bytes.length) {
+          val end = math.min(off + chunkBytes, bytes.length)
+          var h = 1125899906842597L // FNV-ish deterministic rolling hash
+          var i = off
+          while (i < end) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
+          counts(java.lang.Math.floorMod(h, dim.toLong).toInt) += 1f
+          off = end
+        }
+        Row(id, counts.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, mediaEmbeddingSchema)
+  }
+
   /** Frame-sample stub: emits `everyN`-th chunk offsets of a blob, the
     * shape of video frame sampling (one row per sampled frame).
     */

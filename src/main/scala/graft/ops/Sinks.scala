@@ -36,4 +36,20 @@ object Sinks {
     val w = df.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Bucketed managed table: rows are hash-clustered into `nBuckets` files
+    * per partition on `bucketCols`, and the layout is recorded in the
+    * catalog. Joins/aggregations keyed on the bucket columns between
+    * co-bucketed tables then run with NO shuffle exchange at all — at
+    * 100 TB this converts every recurring fact⋈fact join on the same key
+    * into a map-side zip of bucket files. (Bucketing requires the table
+    * catalog, hence saveAsTable rather than a bare path.)
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -25,6 +25,18 @@ object MultimodalQueries {
       val blobs = Multimodal.withFakeBlob(t(s, d, "documents"), "text")
       Multimodal.sampleFrames(blobs, chunkBytes = 64, everyN = 4)
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    "q52_multimodal_embed_ann" -> ((s, d) => {
+      // end-to-end modality pipeline: blob -> batched stub encoder
+      // (mapPartitions) -> embedding column -> LSH-bucketed near-dup pairs.
+      // Near-dup documents produce near-dup blobs, so their chunk-hash
+      // vectors pair above the cosine threshold (rows-only: encoder is
+      // engine-side; semantics pinned by MultimodalSpec).
+      val blobs = Multimodal.withFakeBlob(t(s, d, "documents"), "text")
+      val vecs = Multimodal.embedMedia(s, blobs)
+      graft.ext.Similarity.cosineDupPairsLsh(vecs, threshold = 0.98, dim = 64)
+        .orderBy("id_a", "id_b")
     })
   )
 

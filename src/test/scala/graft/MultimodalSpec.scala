@@ -27,6 +27,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows == Map(1L -> 3, 2L -> 6, 3L -> 0))
   }
 
+  test("embedMedia: deterministic vectors, identical blobs pair in ANN") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different content with other words entirely here"))
+      .toDF("doc_id", "text")
+    val vecs = Multimodal.embedMedia(spark, Multimodal.withFakeBlob(docs, "text"))
+    assert(vecs.schema == Multimodal.mediaEmbeddingSchema)
+    val collected = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(collected(1L) == collected(2L))
+    assert(collected(1L) != collected(3L))
+    assert(collected(1L).sum > 0f)
+    val pairs = graft.ext.Similarity
+      .cosineDupPairsLsh(vecs, threshold = 0.99, dim = 64)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("sampleFrames emits every Nth chunk with its offset") {
     val docs = Seq((1L, "aabbccddee")).toDF("doc_id", "text") // 5 chunks of 2
     val out = Multimodal.sampleFrames(

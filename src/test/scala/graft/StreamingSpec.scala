@@ -38,6 +38,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("co-bucketed tables join and aggregate with zero shuffle exchanges") {
+    import spark.implicits._
+    // the in-memory catalog forgets tables across JVMs but their warehouse
+    // dirs persist: drop both layers before re-creating
+    Seq("b_facts", "b_dims").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"target/spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    val facts = (1 to 1000).map(i => (i % 100, i, i * 2.0)).toDF("k", "id", "v")
+    val dims = (0 until 100).map(i => (i, s"dim_$i")).toDF("k", "name")
+    Sinks.bucketedTable(facts, "b_facts", Seq("k"), nBuckets = 8)
+    Sinks.bucketedTable(dims, "b_dims", Seq("k"), nBuckets = 8)
+    // disable auto-broadcast so the join must rely on co-bucketing
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_facts").join(spark.table("b_dims"), Seq("k"))
+        .groupBy("k").agg(sum("v").as("total"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free plan, got:\n$plan")
+      assert(plan.contains("Bucketed: true"))
+      assert(joined.count() == 100)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("parquet sink round-trips with partition pruning directories") {
     import spark.implicits._
     val dir = java.nio.file.Files
