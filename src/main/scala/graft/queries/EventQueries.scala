@@ -93,6 +93,14 @@ object EventQueries {
       EventStreams.sessionizeStateful(s, d)
         .orderBy("user_id", "session_id")),
 
+    "q48_stream_window_append" -> ((s, d) =>
+      // append-mode watermark lifecycle (windows emit on close), same
+      // result set as the batch hourly window -> same oracle
+      EventStreams.hourlyWindowedAppend(s, d)
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("hour_start", "event_type")),
+
     "q47_asof_join" -> ((s, d) => {
       // as-of join (absent from the reference, SURVEY §2.5): each purchase
       // matched to the user's latest click at-or-before it. Implemented as
@@ -155,6 +163,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q40_window_hourly" -> hourlyOracle,
     "q45_stream_window_hourly" -> hourlyOracle,
+    "q48_stream_window_append" -> hourlyOracle,
     "q42_sessionize" -> sessionizeOracle,
     "q46_stream_sessionize" -> sessionizeOracle,
 

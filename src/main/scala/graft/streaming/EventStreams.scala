@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 /** Structured Streaming over the events table: the batch operators'
   * streaming duals (SURVEY.md §2.9 — the reference is batch-only, so this
   * whole module is an extension).
@@ -48,6 +50,77 @@ object EventStreams {
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
+  }
+
+  /** Append-mode hourly windows with a REAL watermark lifecycle: windows
+    * emit only when the watermark passes their end (unlike
+    * [[hourlyWindowed]]'s complete mode, which re-emits everything).
+    *
+    * A drained finite source never advances the watermark past its own max
+    * event time, so the last windows would never close. The driver stages
+    * the input as two files in one source directory — the real events, then
+    * one far-future sentinel row — and `maxFilesPerTrigger=1` forces two
+    * micro-batches: batch 1 aggregates the real data, batch 2's sentinel
+    * pushes the watermark 30 days ahead, closing and appending every real
+    * window. The sentinel's grouping row is filtered from the result; its
+    * own window never closes, so it can't leak. State size is bounded by
+    * open windows per key — the watermark's whole point at 100 TB/day.
+    */
+  def hourlyWindowedAppend(spark: SparkSession, sfDir: String,
+                           queryName: String = "graft_stream_hourly_append"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "graft-append-")
+    // phase-1 file: the real events (copied so everything is ONE source dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("batch0-events.parquet"))
+    val batchRaw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    // sentinels are added BETWEEN processAllAvailable calls (below), each
+    // forcing its own micro-batch. A window finalizes in the batch AFTER
+    // the one whose data advanced the watermark past its end, so sentinel
+    // #1 closes everything except the trailing windows (the watermark at
+    // its batch's start still lags them) and sentinel #2 triggers the
+    // extra batch that closes those.
+    def addSentinel(i: Int, days: Long): Unit = {
+      val sentinelTmp = dir.resolve(s"sentinel-build-$i")
+      batchRaw.select(max(col("ts")).as("mx"))
+        .select(lit(-1L - i).as("event_id"),
+          (col("mx") + lit(days * 24 * 3600 * 1000000000L)).as("ts"),
+          lit(-1L).as("user_id"), lit(EndOfStreamType).as("event_type"),
+          lit(0.0).as("value"), lit(null).cast(StringType).as("props"))
+        .coalesce(1).write.parquet(sentinelTmp.toString)
+      val part = java.nio.file.Files.list(sentinelTmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, dir.resolve(s"batch${i + 1}-sentinel.parquet"))
+    }
+
+    val events = spark.readStream.schema(rawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    // NOTE: the sentinel filter must NOT live inside the streaming query —
+    // a predicate on the grouping column pushes below the EventTimeWatermark
+    // operator and drops the sentinel before it can advance the watermark.
+    // It is applied on the materialized sink table instead.
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: real events aggregate into state
+      addSentinel(0, days = 30)
+      q.processAllAvailable() // batch 2: watermark jumps +30d
+      addSentinel(1, days = 60)
+      q.processAllAvailable() // batch 3: every real window closes + appends
+    } finally q.stop()
+    spark.table(queryName).where(col("event_type") =!= EndOfStreamType)
   }
 
   // ------------------------------------------------------- stateful sessions
