@@ -134,6 +134,67 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------------------- clustering
+
+  /** Connected components over a near-dup pair list by min-label
+    * propagation: every node starts as its own component, and each round
+    * every node adopts the smallest label among itself and its neighbors,
+    * until a fixpoint. The driver loop iterates O(cluster diameter) times
+    * (NOT over data — each round is one distributed join+agg, the Pregel
+    * shape); near-dup clusters are shallow, so a handful of rounds
+    * converges. At extreme scale swap in the alternating large-star /
+    * small-star algorithm (Kiveris et al.) — same join primitives, fewer
+    * rounds on high-diameter graphs.
+    *
+    * Returns (id, comp) for EVERY node; comp is the cluster's minimum id,
+    * so `id === comp` selects one canonical representative per cluster
+    * (singletons keep themselves) — the "keep one doc per duplicate
+    * cluster" step of a dedup pipeline.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val neighborMin = undirected
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("neighbor_comp"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // convergence probe: any label that still shrank this round?
+      converged = updated.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .where(col("comp") < col("prev")).isEmpty
+      labels.unpersist()
+      labels = updated
+      it += 1
+    }
+    labels
+  }
+
+  /** Near-dup clustering end-to-end: n-gram Jaccard pairs as edges →
+    * connected components → every document labeled with its cluster
+    * representative and whether it is the keeper.
+    */
+  def dedupClusters(df: DataFrame, textCol: String, idCol: String,
+                    bucketCol: String, n: Int = 2,
+                    threshold: Double = 0.05): DataFrame = {
+    val edges = ngramJaccardPairs(df, textCol, idCol, bucketCol, n, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val nodes = df.select(col(idCol).as("id"))
+    connectedComponents(nodes, edges)
+      .select(col("id").as(idCol), col("comp").as("cluster_rep"),
+        (col("id") === col("comp")).cast("int").as("is_keeper"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** Typed Aggregator folding token hashes into a 64-bit SimHash: per bit,

@@ -34,6 +34,11 @@ object DedupQueries {
         bucketCol = "source", n = 2, threshold = 0.05)
         .orderBy("bucket", "doc_a", "doc_b")),
 
+    "q34_dedup_cluster" -> ((s, d) =>
+      Dedup.dedupClusters(t(s, d, "documents"), "text", "doc_id",
+        bucketCol = "source", n = 2, threshold = 0.05)
+        .orderBy("doc_id")),
+
     "q38_dedup_embed_cosine" -> ((s, d) => {
       // embedding-cosine near-dup, LSH-bucketed (the q36 brute-force's scale
       // path): docs are feature-hash embedded, near-dup docs land above 0.9
@@ -68,6 +73,33 @@ object DedupQueries {
          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                  / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
                >= 0.05
-         ORDER BY a.bucket, doc_a, doc_b"""
+         ORDER BY a.bucket, doc_a, doc_b""",
+
+    // connected components as a recursive reachability CTE: comp(node) =
+    // min(node reachable) — exact dual of the engine's label propagation
+    "q34_dedup_cluster" ->
+      """WITH RECURSIVE g AS (
+           SELECT source AS bucket, doc_id,
+                  list_distinct(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS grams
+           FROM (SELECT source, doc_id, string_split(text, ' ') AS toks
+                 FROM documents)),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                 >= 0.05),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION ALL
+           SELECT doc_b AS a, doc_a AS b FROM pairs),
+         reach(node, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+         SELECT node AS doc_id, min(r) AS cluster_rep,
+                CAST(CASE WHEN node = min(r) THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+         FROM reach GROUP BY node ORDER BY doc_id"""
   )
 }

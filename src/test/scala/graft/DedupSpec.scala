@@ -92,6 +92,29 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.keys.exists { case (_, a, b) => a == 5L || b == 5L }) // below threshold
   }
 
+  test("connectedComponents: min-label clusters with singletons") {
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val comps = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("dedupClusters keeps exactly one representative per near-dup cluster") {
+    val docs = Seq(
+      (10L, base, "web"), (11L, base, "web"), (12L, near, "web"),
+      (20L, unrelated(0), "web"), (30L, base, "books"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dedupClusters(docs, "text", "doc_id", "source",
+      n = 2, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(10L) == ((10L, 1)))
+    assert(out(11L) == ((10L, 0)))
+    assert(out(12L) == ((10L, 0))) // near-dup joins the cluster
+    assert(out(20L) == ((20L, 1))) // unrelated singleton keeps itself
+    assert(out(30L) == ((30L, 1))) // same text, other bucket: own cluster
+  }
+
   test("SortedSetJaccard: overlap, disjoint, empty-empty semantics") {
     val df = Seq(
       (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)), // j = 2/4
