@@ -153,12 +153,17 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 25): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val undirected = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("id"), col("id").as("comp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(mem)
+    var labels = nodes.select(col("id"), col("id").as("comp")).persist(mem)
+    // labels only ever shrink, so sum(comp) is a monotone convergence
+    // certificate — one cheap agg per round instead of a change-join
+    def certificate(df: DataFrame): Long =
+      df.agg(sum(col("comp"))).head().getLong(0)
+    var prevCert = certificate(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -169,10 +174,10 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // convergence probe: any label that still shrank this round?
-      converged = updated.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .where(col("comp") < col("prev")).isEmpty
+        .persist(mem)
+      val cert = certificate(updated)
+      converged = cert == prevCert
+      prevCert = cert
       labels.unpersist()
       labels = updated
       it += 1
