@@ -107,8 +107,14 @@ object Dedup {
     val banded = keyed.select(col("doc"), col("ntok"), col("keys"),
       posexplode(col("keys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    // spread the streamed side over the shuffle width: collision work is
+    // quadratic in bucket size while input bytes are tiny, so the planner
+    // would otherwise run every bucket's cross product in the scan's one task
+    val shufflePartitions =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val left = banded.select(col("band"), col("band_key"),
       col("doc").as("doc_a"), col("ntok").as("n_a"), col("keys").as("keys_a"))
+      .repartition(shufflePartitions, col("band"), col("band_key"))
     val right = banded.select(col("band"), col("band_key"),
       col("doc").as("doc_b"), col("ntok").as("n_b"), col("keys").as("keys_b"))
     // first-matching-band test, UNROLLED into element_at comparisons: a
@@ -136,53 +142,89 @@ object Dedup {
 
   // ------------------------------------------------------------- clustering
 
-  /** Connected components over a near-dup pair list by min-label
-    * propagation: every node starts as its own component, and each round
-    * every node adopts the smallest label among itself and its neighbors,
-    * until a fixpoint. The driver loop iterates O(cluster diameter) times
-    * (NOT over data — each round is one distributed join+agg, the Pregel
-    * shape); near-dup clusters are shallow, so a handful of rounds
-    * converges. At extreme scale swap in the alternating large-star /
-    * small-star algorithm (Kiveris et al.) — same join primitives, fewer
-    * rounds on high-diameter graphs.
+  /** Connected components by the alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): each round rewires edges toward the smallest node seen in a
+    * neighborhood, converging to one star per component rooted at the
+    * component's minimum id in O(log²) rounds — versus O(diameter) for
+    * plain min-label propagation, the difference between a handful and
+    * hundreds of rounds on the chain-shaped clusters near-dup graphs grow
+    * at 100 TB. The driver loop iterates over ROUNDS only; every round is
+    * two distributed groupBy+join passes over the (shrinking) edge set.
     *
-    * Returns (id, comp) for EVERY node; comp is the cluster's minimum id,
-    * so `id === comp` selects one canonical representative per cluster
-    * (singletons keep themselves) — the "keep one doc per duplicate
-    * cluster" step of a dedup pipeline.
+    *  - large-star: for each node u, connect every LARGER neighbor to
+    *    m = min(Γ(u) ∪ {u}) — high-degree nodes fan their neighborhoods
+    *    out to their local minimum (skew-safe: the groupBy key is the
+    *    node, the per-key state one long).
+    *  - small-star: each node and its smaller neighbors all re-point at
+    *    the smallest of them.
+    *
+    * Edges stay oriented (larger → smaller) throughout; convergence is one
+    * (count, decimal-sum-of-edge-hashes) aggregate per round compared to
+    * the previous round's — no driver-side edge diff. Every round ends in
+    * an EAGER `localCheckpoint`: each iteration stacks two join+agg+distinct
+    * layers on the plan, so without per-round lineage truncation Catalyst
+    * re-analyzes a tree that grows ~4× per round and the DRIVER (not the
+    * cluster) becomes the bottleneck — checkpointing is what keeps round
+    * cost flat in the round number. (`localCheckpoint` trades executor-loss
+    * recovery for speed; a production cluster run would point
+    * `sparkContext.setCheckpointDir` at durable storage and use
+    * `checkpoint` — same plan shape.)
+    *
+    * Returns (id, comp) for EVERY node in `nodes`; comp is the cluster's
+    * minimum id, so `id === comp` selects one canonical representative per
+    * cluster (singletons keep themselves) — the "keep one doc per
+    * duplicate cluster" step of a dedup pipeline.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 25): DataFrame = {
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val undirected = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist(mem)
-    var labels = nodes.select(col("id"), col("id").as("comp")).persist(mem)
-    // labels only ever shrink, so sum(comp) is a monotone convergence
-    // certificate — one cheap agg per round instead of a change-join
-    def certificate(df: DataFrame): Long =
-      df.agg(sum(col("comp"))).head().getLong(0)
-    var prevCert = certificate(labels)
+    // orient (larger → smaller), drop self-loops, dedup once up front;
+    // eager checkpoint so the (possibly expensive) edge-generation plan is
+    // computed exactly once and the loop starts from a flat lineage
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    // set certificate: (edge count, Σ xxhash64(u,v) as decimal — overflow-
+    // free at any edge count). Equal certificates ⇒ the round was a no-op
+    // ⇒ stars formed (the star state is the contraction's unique fixpoint).
+    def certificate(df: DataFrame): String =
+      df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head().mkString("|")
+    var prev = certificate(e)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val neighborMin = undirected
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("comp")).as("neighbor_comp"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("comp"))
-        .persist(mem)
-      val cert = certificate(updated)
-      converged = cert == prevCert
-      prevCert = cert
-      labels.unpersist()
-      labels = updated
+      // large-star: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+      val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy("u").agg(min(col("v")).as("mn"))
+      val ls = bidir.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+        .distinct()
+      // small-star: m = min of u's (all smaller) neighbors; u and every
+      // neighbor except m re-point at m
+      val ssMins = ls.groupBy("u").agg(min(col("v")).as("mn"))
+      val withMin = ls.join(ssMins, Seq("u"))
+      val ssRaw = withMin.where(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .union(withMin.select(col("u"), col("mn").as("v")))
+        .distinct()
+      // EAGER checkpoint: materializes this round AND truncates lineage
+      val ss = ssRaw.localCheckpoint()
+      // certificate agg reads the checkpointed blocks — no recompute
+      val cert = certificate(ss)
+      converged = cert == prev
+      prev = cert
+      e.unpersist()
+      e = ss
       it += 1
     }
-    labels
+    // stars point member → root; roots and isolated nodes label themselves
+    val members = e.select(col("u").as("id"), col("v").as("comp"))
+    nodes.select(col("id"))
+      .join(members, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Near-dup clustering end-to-end: n-gram Jaccard pairs as edges →
@@ -262,8 +304,11 @@ object Dedup {
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("simhash"), c * bitsPer).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val shufflePartitions =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val l = banded.select(col("chunk"), col("chunk_val"),
       col("doc").as("doc_a"), col("simhash").as("sig_a"))
+      .repartition(shufflePartitions, col("chunk"), col("chunk_val"))
     val rgt = banded.select(col("chunk"), col("chunk_val"),
       col("doc").as("doc_b"), col("simhash").as("sig_b"))
     // first-matching-chunk rule via pure bit math on the signature XOR:
@@ -315,9 +360,19 @@ object Dedup {
     // SortedSetJaccard replaces hash-set intersect/union per pair.
     val docs = df.select(col(bucketCol).as("bucket"), col(idCol).as("doc"),
       array_sort(transform(wordNgrams(col(textCol), n), g => xxhash64(g))).as("grams"))
+    // The join's WORK is quadratic in bucket size while its INPUT is tiny,
+    // so the planner (and AQE, which only sees input bytes) happily runs it
+    // on however few partitions the scan produced — one small parquet file
+    // = one task doing every pairwise Jaccard. Spread the streamed side
+    // across the full shuffle width explicitly: (bucket, salt) has
+    // nBuckets·fanout distinct keys, each holding 1/fanout of one bucket's
+    // cross product.
+    val shufflePartitions =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val l = docs.select(col("bucket"),
       pmod(col("doc"), lit(fanout)).cast("int").as("salt"),
       col("doc").as("doc_a"), col("grams").as("g_a"))
+      .repartition(shufflePartitions, col("bucket"), col("salt"))
     val rgt = docs.select(col("bucket"), col("doc").as("doc_b"), col("grams").as("g_b"))
       .withColumn("salt", explode(sequence(lit(0), lit(fanout - 1))))
     l.join(rgt, Seq("bucket", "salt"))

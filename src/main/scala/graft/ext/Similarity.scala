@@ -101,11 +101,14 @@ object Similarity {
 
   /** Banded sign-LSH near-duplicate pairs: the scale path for
     * [[cosineDupPairs]]. Same candidate-first shuffle discipline as
-    * `Dedup.minhashPairs`: the banded self-join carries only vector ids,
-    * candidate pairs are distinct-ed, then vectors join back for ONE exact
-    * cosine verification per unique pair — so a dense duplicate cluster
-    * costs O(pairs) long-comparisons in the candidate stage, not O(pairs)
-    * vector dot products per band.
+    * `Dedup.minhashPairs`: the banded self-join carries only vector ids
+    * (plus the 36-bit signature both sides already have), pair uniqueness
+    * is the FIRST-MATCHING-BAND rule — a collision at band b survives only
+    * if no earlier band of the signature XOR is all-zero, pure bit math —
+    * then vectors join back for ONE exact cosine verification per unique
+    * pair. No `distinct()` exchange over the candidate set: a dense
+    * duplicate cluster costs O(pairs) long-comparisons in the candidate
+    * stage, not a multi-million-row shuffle + hash aggregate.
     *
     * Recall: a pair at angle θ agrees on one bit with prob p = 1 − θ/π;
     * collision prob = 1 − (1 − p^bitsPerBand)^bands. Defaults (6×6) give
@@ -143,16 +146,31 @@ object Similarity {
       .hyperplaneSignBits(col("v"), planes, offsets)
     val mask = (1L << bitsPerBand) - 1
     val banded = c.select(col("id"), sigCol.as("sig"))
-      .select(col("id"),
+      .select(col("id"), col("sig"),
         posexplode(array((0 until bands).map { b =>
           shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))
         }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val candidates = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("band_key"), col("id").as("id_b")),
-        Seq("band", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // candidate work is quadratic in bucket size but its input is tiny, so
+    // the streamed side must be spread over the shuffle width explicitly
+    // (AQE sizes partitions by input bytes and would run it single-task)
+    val shufflePartitions =
+      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val left = banded.select(col("band"), col("band_key"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+      .repartition(shufflePartitions, col("band"), col("band_key"))
+    val right = banded.select(col("band"), col("band_key"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    // first-matching-band: band b survives only if no earlier bitsPerBand-
+    // wide chunk of sig_a XOR sig_b is zero — pairs unique by construction
+    val xor = col("sig_a").bitwiseXOR(col("sig_b"))
+    val earlierBandMatched = (0 until bands - 1).map { b =>
+      (col("band") > b) &&
+        (shiftrightunsigned(xor, b * bitsPerBand).bitwiseAND(lit(mask)) === 0L)
+    }.reduce(_ || _)
+    val candidates = left.join(right, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b") && !earlierBandMatched)
+      .select("id_a", "id_b")
     candidates
       .join(c.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
       .join(c.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))

@@ -27,10 +27,13 @@ object Tables {
     * `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
     * default; we read nanos as a long and rebuild a microsecond timestamp
     * column, keeping the declared schema stable for downstream operators.
+    * Sessions that read events must be BUILT with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (all entry points in this
+    * repo do) — mutating session conf per read call surprises concurrent
+    * users of a shared session.
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       // integer div: ns → µs (a double division would lose precision at 1e18)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -47,18 +47,21 @@ object TextQueries {
       // floating-point op is one division of exact integers — identical in
       // any IEEE engine): top-3 terms per document. Shuffle shape: one
       // explode + two aggs + a broadcast-sized df join; the corpus is never
-      // paired with itself.
-      val toks = t(s, d, "documents")
+      // paired with itself. N enters the plan as a broadcast 1-row cross
+      // join, not a driver-side count() — one job, no extra corpus pass.
+      val docs = t(s, d, "documents")
+      val toks = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val n = t(s, d, "documents").count()
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val dfreq = toks.select("doc_id", "token").distinct()
         .groupBy("token").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("token"))
       tf.join(dfreq, Seq("token"))
+        .crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("token"),
-          ((col("tf") * lit(n)).cast("double") / col("df")).as("tfidf"))
+          ((col("tf") * col("n_docs")).cast("double") / col("df")).as("tfidf"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
         .orderBy("doc_id", "rn")

@@ -1,10 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-
-import scala.jdk.CollectionConverters._
 
 /** Structured Streaming over the events table: the batch operators'
   * streaming duals (SURVEY.md §2.9 — the reference is batch-only, so this
@@ -32,7 +30,6 @@ object EventStreams {
     */
   def hourlyWindowed(spark: SparkSession, sfDir: String,
                      queryName: String = "graft_stream_hourly"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file source wants a directory/glob, not a bare file path
     val events = spark.readStream.schema(rawSchema)
       .parquet(s"$sfDir/events.*")
@@ -68,14 +65,17 @@ object EventStreams {
     */
   def hourlyWindowedAppend(spark: SparkSession, sfDir: String,
                            queryName: String = "graft_stream_hourly_append"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "graft-append-")
     // phase-1 file: the real events (copied so everything is ONE source dir)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("batch0-events.parquet"))
-    val batchRaw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    // one scalar agg over the ts column (projection-pruned scan) collected
+    // ONCE; each sentinel is then a 1-row createDataFrame + tiny parquet
+    // append — no per-sentinel full-file aggregate jobs
+    val maxTs = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+      .agg(max(col("ts"))).head().getLong(0)
     // sentinels are added BETWEEN processAllAvailable calls (below), each
     // forcing its own micro-batch. A window finalizes in the batch AFTER
     // the one whose data advanced the watermark past its end, so sentinel
@@ -83,16 +83,10 @@ object EventStreams {
     // its batch's start still lags them) and sentinel #2 triggers the
     // extra batch that closes those.
     def addSentinel(i: Int, days: Long): Unit = {
-      val sentinelTmp = dir.resolve(s"sentinel-build-$i")
-      batchRaw.select(max(col("ts")).as("mx"))
-        .select(lit(-1L - i).as("event_id"),
-          (col("mx") + lit(days * 24 * 3600 * 1000000000L)).as("ts"),
-          lit(-1L).as("user_id"), lit(EndOfStreamType).as("event_type"),
-          lit(0.0).as("value"), lit(null).cast(StringType).as("props"))
-        .coalesce(1).write.parquet(sentinelTmp.toString)
-      val part = java.nio.file.Files.list(sentinelTmp).iterator().asScala
-        .find(_.toString.endsWith(".parquet")).get
-      java.nio.file.Files.move(part, dir.resolve(s"batch${i + 1}-sentinel.parquet"))
+      val row = Row(-1L - i, maxTs + days * 24 * 3600 * 1000000000L,
+        -1L, EndOfStreamType, 0.0, null)
+      spark.createDataFrame(java.util.Collections.singletonList(row), rawSchema)
+        .coalesce(1).write.mode("append").parquet(dir.toString)
     }
 
     val events = spark.readStream.schema(rawSchema)
@@ -119,8 +113,20 @@ object EventStreams {
       q.processAllAvailable() // batch 2: watermark jumps +30d
       addSentinel(1, days = 60)
       q.processAllAvailable() // batch 3: every real window closes + appends
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the memory sink holds materialized rows — the staging dir is dead
+      deleteRecursively(dir)
+    }
     spark.table(queryName).where(col("event_type") =!= EndOfStreamType)
+  }
+
+  /** Remove a staging directory tree (children before parents). */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root))
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
   }
 
   // ------------------------------------------------------- stateful sessions
@@ -161,13 +167,12 @@ object EventStreams {
                          queryName: String = "graft_stream_sessions"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     // one sentinel per user at max(ts)+10d, same raw schema, parquet source #2
     val batchRaw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
-    val sentinelDir = java.nio.file.Files
+    val sentinelPath = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "graft-sentinel-")
-      .toString
+    val sentinelDir = sentinelPath.toString
     batchRaw.groupBy(col("user_id")).agg(max(col("ts")).as("max_ts"))
       .select(lit(-1L).as("event_id"),
         (col("max_ts") + lit(10L * 24 * 3600 * 1000000000L)).as("ts"),
@@ -208,7 +213,10 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(handle)
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName(queryName).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      deleteRecursively(sentinelPath)
+    }
     spark.table(queryName)
   }
 }
