@@ -75,20 +75,50 @@ object Similarity {
     graft.functions.VectorExpressions
       .hyperplaneSignBits(vec, hyperplanes(nBits, dim))
 
+  /** Corpus-sample hyperplanes: plane i = v(2i) − v(2i+1) over the 2·nBits
+    * smallest-id vectors. One constant-size driver lookup at any corpus
+    * scale (a sorted-limit scan of 2·nBits rows), deterministic, and —
+    * unlike RNG planes — exactly reproducible by an external oracle engine
+    * from the data alone, which is what lets an approximate ANN query
+    * carry a full equality oracle. Difference-of-samples planes also adapt
+    * to the data's location: for all-positive embeddings they discriminate
+    * where origin-anchored Gaussian planes collapse into one orthant.
+    */
+  def samplePlanes(corpus: DataFrame, nBits: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Array[Array[Double]] = {
+    val rows = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col(idCol)).limit(2 * nBits).select("v").collect()
+    require(rows.length == 2 * nBits,
+      s"samplePlanes needs ${2 * nBits} corpus vectors, found ${rows.length}")
+    Array.tabulate(nBits) { i =>
+      val a = rows(2 * i).getSeq[Double](0)
+      val b = rows(2 * i + 1).getSeq[Double](0)
+      a.zip(b).map { case (x, y) => x - y }.toArray
+    }
+  }
+
   /** Bucketed ANN: equi-join query and corpus on the LSH bucket, exact
     * cosine within the bucket, top-k per query. Approximate — recall
     * depends on nBits; pairs in different buckets are never scored.
+    * `planes` overrides the default fixed-seed Gaussian hyperplanes (see
+    * [[samplePlanes]] for the oracle-reproducible choice).
     */
   def topKLsh(queries: DataFrame, corpus: DataFrame, k: Int, nBits: Int, dim: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              planes: Array[Array[Double]] = null): DataFrame = {
+    val pl = if (planes == null) hyperplanes(nBits, dim) else planes
+    def sig(vec: Column): Column =
+      graft.functions.VectorExpressions.hyperplaneSignBits(vec, pl)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("q_vec"),
       norm(col(vecCol)).as("q_norm"),
-      lshSignature(col(vecCol), nBits, dim).as("bucket"))
+      sig(col(vecCol)).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("c_vec"),
       norm(col(vecCol)).as("c_norm"),
-      lshSignature(col(vecCol), nBits, dim).as("bucket"))
+      sig(col(vecCol)).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -187,6 +217,59 @@ object Similarity {
     Array.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Coarse-quantizer centroids seeded from the data: the `n` smallest-id
+    * corpus vectors. Constant driver-side work at any corpus size, and
+    * exactly reproducible by an oracle engine (the seeds are rows, not RNG
+    * state) — the IVF dual of [[samplePlanes]].
+    */
+  def sampleCentroids(corpus: DataFrame, n: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Array[Double]] = {
+    val rows = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col(idCol)).limit(n).select("v").collect()
+    require(rows.length == n,
+      s"sampleCentroids needs $n corpus vectors, found ${rows.length}")
+    rows.map(_.getSeq[Double](0).toArray)
+  }
+
+  /** K-means-trained centroids: Lloyd iterations run AS DATAFRAME JOBS —
+    * assignment is the same argmax-dot expression the IVF query uses, the
+    * re-estimation is one groupBy over (centroid, position). Nothing but
+    * the k×dim centroid matrix ever reaches the driver, so training a
+    * 100 TB corpus is `iters` distributed passes, not a collect.
+    *
+    * Seeded from [[sampleCentroids]] (deterministic); vectors are
+    * L2-normalized inside the objective (spherical k-means) so the trained
+    * cells partition by DIRECTION, matching the cosine metric the IVF
+    * search ranks by. Empty cells keep their previous centroid.
+    */
+  def trainCentroids(corpus: DataFrame, n: Int, dim: Int, iters: Int = 3,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Array[Array[Double]] = {
+    var cents = sampleCentroids(corpus, n, idCol, vecCol)
+    val unit = {
+      val v = col(vecCol).cast("array<double>")
+      transform(v, x => x / sqrt(graft.functions.VectorExpressions.dot(v, v)))
+    }
+    val vecs = corpus.select(unit.as("v")).where(!isnan(element_at(col("v"), 1)))
+    for (_ <- 1 to iters) {
+      val cd = array(cents.zipWithIndex.map { case (cv, i) =>
+        struct(graft.functions.VectorExpressions
+          .dot(col("v"), array(cv.map(lit(_)): _*)).as("d"), lit(i).as("c"))
+      }: _*)
+      val means = vecs
+        .select(col("v"), array_max(cd).getField("c").as("centroid"))
+        .select(col("centroid"), posexplode(col("v")))
+        .groupBy("centroid", "pos").agg(avg("col").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+    }
+    cents
+  }
+
   /** IVF-style ANN: corpus rows are assigned to their best coarse centroid
     * (the inverted list); each query probes its `nProbe` nearest centroids
     * and scores only those lists. The assignment/probing is pure expression
@@ -196,15 +279,16 @@ object Similarity {
     *
     * Versus [[topKLsh]]: buckets follow the data's density (centroid
     * Voronoi cells) rather than fixed hyperplane sign patterns, and recall
-    * is tuned at query time via nProbe with no re-indexing. A production
-    * index would train centroids with k-means; the fixed random centroids
-    * here keep the operator deterministic while exercising the identical
-    * plan shape.
+    * is tuned at query time via nProbe with no re-indexing. `centroidsIn`
+    * overrides the default fixed-seed Gaussian centroids: pass
+    * [[trainCentroids]] for k-means cells (the production shape) or
+    * [[sampleCentroids]] for oracle-reproducible determinism.
     */
   def topKIvf(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = centroids(nCentroids, dim)
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroidsIn: Array[Array[Double]] = null): DataFrame = {
+    val cents = if (centroidsIn == null) centroids(nCentroids, dim) else centroidsIn
     def centDots(v: Column): Column = array(cents.zipWithIndex.map { case (cv, i) =>
       struct(dot(v, array(cv.map(lit(_)): _*)).as("d"), lit(i).as("c"))
     }: _*)

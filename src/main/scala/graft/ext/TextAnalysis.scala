@@ -88,6 +88,31 @@ object TextAnalysis {
     graft.functions.SetExpressions.featureHashCounts(
       transform(tokens(text), t => xxhash64(t)), dim)
 
+  /** SQL-portable token hash: fold (acc·31 + ascii(char)) mod p over the
+    * token's characters, p = 1e9+7 — the same rolling structure as
+    * [[fingerprint]], kept in [0, p) so acc·31 + 255 never overflows a
+    * long. Character access is by position (`sequence` + `substring`), not
+    * `split(t, "")`, because regex-split keeps a trailing empty string that
+    * external engines' char-splits drop.
+    */
+  def portableTokenHash(tok: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(tok)),
+        i => ascii(substring(tok, i, lit(1))).cast("long")),
+      lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
+
+  /** [[hashEmbedding]] over [[portableTokenHash]] instead of xxhash64:
+    * identical vector semantics (slot = hash mod dim, value = token count),
+    * but every step is plain integer arithmetic an oracle engine can
+    * replay — this is the variant the correctness harness cross-checks
+    * end-to-end (xxhash64 exists nowhere outside Spark). Production
+    * callers keep [[hashEmbedding]]; its xxhash64 slots mix better and
+    * cost one codegen'd hash per token instead of a per-char fold.
+    */
+  def portableHashEmbedding(text: Column, dim: Int = 64): Column =
+    graft.functions.SetExpressions.featureHashCounts(
+      transform(tokens(text), portableTokenHash _), dim)
+
   /** Rolling-hash document fingerprint: fold (acc*31 + termHash) mod p over
     * tokens, where termHash = ascii(first char)*100 + len. Order-sensitive
     * (a permuted document fingerprints differently), overflow-free

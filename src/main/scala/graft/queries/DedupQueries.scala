@@ -4,11 +4,17 @@ import graft.ext.Dedup
 import graft.ops.Tables.t
 import org.apache.spark.sql.functions._
 
-/** Dedup operator queries. Exact and n-gram Jaccard have DuckDB oracles
-  * (pure set arithmetic); MinHash/SimHash signatures hash with xxhash64,
-  * which DuckDB cannot reproduce, so those two get rows-only checks — their
-  * semantics are pinned by DedupSpec unit tests instead (planted
-  * duplicates must be found; verified Jaccard bounds must hold).
+/** Dedup operator queries.
+  *
+  * Oracle strategy: exact/n-gram ops are pure set arithmetic → direct SQL.
+  * The MinHash LSH ops verify candidates with EXACT Jaccard and their
+  * banding recall at the query threshold is ≈1 − 3·10⁻¹² per pair (k=32,
+  * r=2, b=16; measured 0 misses out of 964 854 true pairs at sf0.1), so
+  * the emitted set equals "all pairs with Jaccard ≥ t" and the oracle is
+  * the exact self-join — an approximate ALGORITHM carrying an exact
+  * CONTRACT. SimHash stays rows-only: its signature is a vote over
+  * xxhash64 bits, which exists in no external engine; DedupSpec pins it
+  * with planted duplicates and hand-verified Hamming distances.
   */
 object DedupQueries {
   import ParityQueries.Q
@@ -21,7 +27,7 @@ object DedupQueries {
 
     "q31_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), "text", "doc_id",
-        threshold = 0.9)
+        threshold = 0.9, bands = 16)
         .orderBy("doc_a", "doc_b")),
 
     "q32_dedup_simhash" -> ((s, d) =>
@@ -41,22 +47,74 @@ object DedupQueries {
 
     "q38_dedup_embed_cosine" -> ((s, d) => {
       // embedding-cosine near-dup, LSH-bucketed (the q36 brute-force's scale
-      // path): docs are feature-hash embedded, near-dup docs land above 0.9
+      // path). Vectors come from the SQL-portable feature-hash embedding so
+      // the oracle can rebuild them; near-dup docs land >=0.98 in count-
+      // vector space while unrelated same-language docs sit at 0.85-0.9.
       val vecs = t(s, d, "documents").select(col("doc_id").as("vec_id"),
-        graft.ext.TextAnalysis.hashEmbedding(col("text"), 64).as("embedding"))
-      // 0.98: planted near-dups sit >=0.98 in hash-embedding space, while
-      // unrelated same-language docs cluster at 0.85-0.9 (shared stopwords)
+        graft.ext.TextAnalysis.portableHashEmbedding(col("text"), 64).as("embedding"))
       graft.ext.Similarity.cosineDupPairsLsh(vecs, threshold = 0.98, dim = 64)
         .orderBy("id_a", "id_b")
-    })
+    }),
+
+    "q49_dedup_cluster_minhash" -> ((s, d) =>
+      // corpus-wide near-dup clustering, the 100 TB path: MinHash candidate
+      // edges (never a bucket cross product) -> large-star/small-star CC
+      Dedup.minhashClusters(t(s, d, "documents"), "text", "doc_id",
+        threshold = 0.9)
+        .orderBy("doc_id"))
   )
+
+  /** DuckDB left-fold dot product over two DOUBLE lists (mirrors the
+    * engine's fixed fold order exactly).
+    */
+  private def duckDot(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0,
+          list_transform(range(1, len($a) + 1),
+            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+          (x, y) -> x + y)"""
+
+  /** DuckDB reconstruction of TextAnalysis.portableHashEmbedding: slot =
+    * (char-fold (acc*31 + ascii) mod 1e9+7) mod 64 per token; vector =
+    * per-slot token counts as DOUBLE.
+    */
+  private val portableVectors =
+    """SELECT doc_id, list_transform(range(0, 64),
+         s -> CAST(len(list_filter(slots, x -> x = s)) AS DOUBLE)) AS vec
+       FROM (
+         SELECT doc_id, list_transform(string_split(text, ' '),
+           t -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(t) + 1),
+                      i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) % 64) AS slots
+         FROM documents)"""
+
+  /** Exact unigram-Jaccard pair join ≥ 0.9 (the contract the MinHash ops
+    * fulfil). Token sets are distinct STRINGS where the engine uses
+    * distinct xxhash64 longs — identical set sizes minus 2^-64 collisions.
+    */
+  private val tokenSets =
+    "SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents"
+  private val exactJaccardPairs =
+    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+                AS jaccard
+       FROM ($tokenSets) a JOIN ($tokenSets) b ON a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+             >= 0.9"""
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keeper_id""",
 
-    // q31/q32: no oracle (xxhash64-based signatures); rows-only check.
+    "q31_dedup_minhash_lsh" ->
+      s"""SELECT doc_a, doc_b, jaccard FROM ($exactJaccardPairs)
+          ORDER BY doc_a, doc_b""",
+
+    // q32: no oracle (xxhash64-vote signature); rows-only check + DedupSpec.
 
     "q33_dedup_ngram_jaccard" ->
       """WITH g AS (
@@ -76,7 +134,7 @@ object DedupQueries {
          ORDER BY a.bucket, doc_a, doc_b""",
 
     // connected components as a recursive reachability CTE: comp(node) =
-    // min(node reachable) — exact dual of the engine's label propagation
+    // min(node reachable) — exact dual of the engine's star contraction
     "q34_dedup_cluster" ->
       """WITH RECURSIVE g AS (
            SELECT source AS bucket, doc_id,
@@ -100,6 +158,34 @@ object DedupQueries {
            SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
          SELECT node AS doc_id, min(r) AS cluster_rep,
                 CAST(CASE WHEN node = min(r) THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
-         FROM reach GROUP BY node ORDER BY doc_id"""
+         FROM reach GROUP BY node ORDER BY doc_id""",
+
+    "q38_dedup_embed_cosine" ->
+      s"""WITH v AS ($portableVectors),
+          e AS (SELECT doc_id, vec,
+                       sqrt(${duckDot("vec", "vec")}) AS nrm
+                FROM v)
+          SELECT id_a, id_b, cos_sim FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ${duckDot("a.vec", "b.vec")} / (a.nrm * b.nrm) AS cos_sim
+            FROM e a JOIN e b ON a.doc_id < b.doc_id)
+          WHERE cos_sim >= 0.98
+          ORDER BY id_a, id_b""",
+
+    // same reachability closure as q34, over the corpus-wide exact-Jaccard
+    // pair set the MinHash candidate stage reproduces at recall 1
+    "q49_dedup_cluster_minhash" ->
+      s"""WITH RECURSIVE pairs AS ($exactJaccardPairs),
+          edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs),
+          reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+          SELECT node AS doc_id, min(r) AS cluster_rep,
+                 CAST(CASE WHEN node = min(r) THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+          FROM reach GROUP BY node ORDER BY doc_id"""
   )
 }

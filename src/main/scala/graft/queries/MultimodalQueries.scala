@@ -20,8 +20,9 @@ object MultimodalQueries {
     }),
 
     "q51_multimodal_frames" -> ((s, d) => {
-      // frame-sampling shape: every 4th 64-byte chunk per blob (rows-only:
-      // chunking regex is engine-side)
+      // frame-sampling shape: every 4th 64-byte chunk per blob. Chunk
+      // lengths are pure arithmetic on length(text) — oracle-expressible
+      // (incl. the regex-split's trailing empty frame at exact multiples)
       val blobs = Multimodal.withFakeBlob(t(s, d, "documents"), "text")
       Multimodal.sampleFrames(blobs, chunkBytes = 64, everyN = 4)
         .orderBy("doc_id", "frame_idx")
@@ -31,14 +32,44 @@ object MultimodalQueries {
       // end-to-end modality pipeline: blob -> batched stub encoder
       // (mapPartitions) -> embedding column -> LSH-bucketed near-dup pairs.
       // Near-dup documents produce near-dup blobs, so their chunk-hash
-      // vectors pair above the cosine threshold (rows-only: encoder is
-      // engine-side; semantics pinned by MultimodalSpec).
+      // vectors pair above the cosine threshold. The encoder's slot is
+      // floorMod(h, 64) of a wrapping 64-bit rolling hash, and since
+      // 64 | 2^64 the slot depends only on mod-64 arithmetic — the oracle
+      // replays it with small-integer folds (see oracle SQL).
       val blobs = Multimodal.withFakeBlob(t(s, d, "documents"), "text")
       val vecs = Multimodal.embedMedia(s, blobs)
       graft.ext.Similarity.cosineDupPairsLsh(vecs, threshold = 0.98, dim = 64)
         .orderBy("id_a", "id_b")
     })
   )
+
+  /** DuckDB left-fold dot product (mirrors the engine's fold order). */
+  private def duckDot(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0,
+          list_transform(range(1, len($a) + 1),
+            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+          (x, y) -> x + y)"""
+
+  /** DuckDB reconstruction of Multimodal.embedMedia over the UTF-8 fake
+    * blob: 16-byte chunks; per chunk a rolling hash h = 31·h + byte on a
+    * wrapping 64-bit int, bucketed by floorMod(h, 64). Because 64 divides
+    * 2^64, floorMod(h, 64) == the same fold done directly in mod-64
+    * arithmetic, seeded with 1125899906842597 mod 64 = 37 — no 64-bit
+    * wraparound emulation needed. Vector = per-slot chunk counts.
+    */
+  private val mediaVectors =
+    """SELECT doc_id, list_transform(range(0, 64),
+         s -> CAST(len(list_filter(ss, x -> x = s)) AS DOUBLE)) AS vec
+       FROM (
+         SELECT doc_id, list_transform(
+           list_transform(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT)),
+             k -> substr(text, CAST(k * 16 + 1 AS INTEGER), 16)),
+           ch -> list_reduce(
+                   list_prepend(CAST(37 AS BIGINT),
+                     list_transform(range(1, length(ch) + 1),
+                       i -> CAST(ascii(substr(ch, i, 1)) AS BIGINT))),
+                   (m, b) -> (m * 31 + b) % 64)) AS ss
+         FROM documents)"""
 
   val oracles: Map[String, String] = Map(
     "q50_multimodal_decode" ->
@@ -56,6 +87,33 @@ object MultimodalQueries {
                 CAST(64 + (n % 128) AS INTEGER) AS width,
                 CAST(64 + ((n // 2) % 128) AS INTEGER) AS height,
                 CAST(byte_sum AS DOUBLE) / n AS mean_intensity
-         FROM b ORDER BY doc_id"""
+         FROM b ORDER BY doc_id""",
+
+    // frame lengths are arithmetic on length(text): the engine splits on a
+    // zero-width regex every 64 chars with Java limit=-1 semantics, which
+    // KEEPS the trailing empty frame when the length is an exact multiple
+    "q51_multimodal_frames" ->
+      """WITH f AS (
+           SELECT doc_id, length(text) AS n,
+                  CASE WHEN length(text) % 64 = 0 THEN length(text) // 64 + 1
+                       ELSE CAST(ceil(length(text) / 64.0) AS BIGINT) END AS n_frames
+           FROM documents)
+         SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+                CAST(LEAST(64, n - i * 64) AS INTEGER) AS frame_len
+         FROM (SELECT doc_id, n, unnest(range(0, n_frames)) AS i FROM f)
+         WHERE i % 4 = 0
+         ORDER BY doc_id, frame_idx""",
+
+    "q52_multimodal_embed_ann" ->
+      s"""WITH v AS ($mediaVectors),
+          e AS (SELECT doc_id, vec,
+                       sqrt(${duckDot("vec", "vec")}) AS nrm
+                FROM v)
+          SELECT id_a, id_b, cos_sim FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ${duckDot("a.vec", "b.vec")} / (a.nrm * b.nrm) AS cos_sim
+            FROM e a JOIN e b ON a.doc_id < b.doc_id)
+          WHERE cos_sim >= 0.98
+          ORDER BY id_a, id_b"""
   )
 }

@@ -7,8 +7,16 @@ import org.apache.spark.sql.functions._
 /** Similarity-search queries over the embeddings table. Cosine math is
   * deterministic double arithmetic with a fixed fold order, so the
   * brute-force queries have exact DuckDB oracles (mirrored fold, norms
-  * precomputed per vector exactly as the engine does). The LSH variant's
-  * bucketing constants aren't SQL-reproducible → rows-only.
+  * precomputed per vector exactly as the engine does).
+  *
+  * The approximate queries (q37 LSH, q39 IVF) get FULL equality oracles
+  * too, by deriving their projection constants from the data instead of an
+  * RNG: q37's hyperplanes are differences of the 16 smallest-id corpus
+  * vectors, q39's coarse centroids are the 16 smallest-id vectors — both a
+  * constant-size driver lookup at any corpus scale, and both exactly
+  * replayable in SQL. The oracle then recomputes the same approximate
+  * result (buckets, probes and all), not just a reference answer: what is
+  * verified is the entire bucketing/probing/ranking machinery.
   */
 object SimilarityQueries {
   import ParityQueries.Q
@@ -38,23 +46,37 @@ object SimilarityQueries {
     "q37_sim_topk_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.topKLsh(
-        emb.where(col("vec_id") < 10), emb, k = 10, nBits = 8, dim = 64)
+        emb.where(col("vec_id") < 10), emb, k = 10, nBits = 8, dim = 64,
+        planes = Similarity.samplePlanes(emb, 8))
         .orderBy("query_id", "rank")
     }),
 
     "q39_sim_topk_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.topKIvf(
-        emb.where(col("vec_id") < 10), emb, k = 10, dim = 64)
+        emb.where(col("vec_id") < 10), emb, k = 10, dim = 64,
+        centroidsIn = Similarity.sampleCentroids(emb, 16))
         .orderBy("query_id", "rank")
     })
   )
 
+  /** Norm-annotated embeddings. */
+  private val normed =
+    s"""SELECT vec_id, embedding,
+               sqrt(${duckDot("embedding", "embedding")}) AS nrm
+        FROM embeddings"""
+
+  /** The 16 smallest-id vectors, numbered 0..15 in id order — q37's plane
+    * material and q39's centroid set.
+    */
+  private val sample16 =
+    """SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS rn,
+              embedding
+       FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)"""
+
   val oracles: Map[String, String] = Map(
     "q35_sim_topk_bruteforce" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-                            sqrt(${duckDot("embedding", "embedding")}) AS nrm
-                     FROM embeddings),
+      s"""WITH e AS ($normed),
               scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
@@ -70,16 +92,87 @@ object SimilarityQueries {
           ORDER BY query_id, rank""",
 
     "q36_sim_cosine_dup" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-                            sqrt(${duckDot("embedding", "embedding")}) AS nrm
-                     FROM embeddings)
+      s"""WITH e AS ($normed)
           SELECT id_a, id_b, cos_sim FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
             FROM e a JOIN e b ON a.vec_id < b.vec_id)
           WHERE cos_sim >= 0.4
-          ORDER BY id_a, id_b"""
+          ORDER BY id_a, id_b""",
 
-    // q37: LSH bucketing constants live in the engine; rows-only check.
+    // full replay of the LSH machinery: planes from sample vectors, bit p
+    // of a signature = (v · plane_p) > 0, buckets = whole signatures,
+    // candidates = bucket equi-join, exact cosine + rank within bucket
+    "q37_sim_topk_lsh" ->
+      s"""WITH e AS ($normed),
+              smp AS ($sample16),
+              pl AS (
+                SELECT a.rn // 2 AS p,
+                       list_transform(range(1, len(a.embedding) + 1),
+                         i -> CAST(a.embedding[i] AS DOUBLE)
+                              - CAST(b.embedding[i] AS DOUBLE)) AS plane
+                FROM smp a JOIN smp b ON b.rn = a.rn + 1
+                WHERE a.rn % 2 = 0),
+              sigs AS (
+                SELECT e.vec_id,
+                       SUM(CASE WHEN ${duckDot("e.embedding", "pl.plane")} > 0
+                                THEN 1 << pl.p ELSE 0 END) AS bucket
+                FROM e CROSS JOIN pl GROUP BY e.vec_id),
+              scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ${duckDot("qe.embedding", "ce.embedding")}
+                         / (qe.nrm * ce.nrm) AS cos_sim
+                FROM sigs q JOIN sigs c ON q.bucket = c.bucket
+                JOIN e qe ON qe.vec_id = q.vec_id
+                JOIN e ce ON ce.vec_id = c.vec_id
+                WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+              ranked AS (
+                SELECT query_id, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM scored)
+          SELECT query_id, neighbor_id, cos_sim, rank
+          FROM ranked WHERE rank <= 10
+          ORDER BY query_id, rank""",
+
+    // full replay of the IVF machinery: centroids = sample vectors,
+    // assignment = argmax dot (ties to the larger centroid index, the
+    // engine's struct-max order), probes = query's top-4 centroids by the
+    // same order, scoring confined to probed inverted lists
+    "q39_sim_topk_ivf" ->
+      s"""WITH e AS ($normed),
+              cent AS (SELECT rn AS c, embedding AS cv FROM ($sample16)),
+              cd AS (
+                SELECT e.vec_id, cent.c,
+                       ${duckDot("e.embedding", "cent.cv")} AS d
+                FROM e CROSS JOIN cent),
+              assigned AS (
+                SELECT vec_id, c AS centroid FROM (
+                  SELECT vec_id, c,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d DESC, c DESC) AS r
+                  FROM cd) WHERE r = 1),
+              probes AS (
+                SELECT vec_id, c AS centroid FROM (
+                  SELECT vec_id, c,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d DESC, c DESC) AS r
+                  FROM cd WHERE vec_id < 10) WHERE r <= 4),
+              scored AS (
+                SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                       ${duckDot("qe.embedding", "ce.embedding")}
+                         / (qe.nrm * ce.nrm) AS cos_sim
+                FROM probes p JOIN assigned a ON p.centroid = a.centroid
+                JOIN e qe ON qe.vec_id = p.vec_id
+                JOIN e ce ON ce.vec_id = a.vec_id
+                WHERE p.vec_id <> a.vec_id),
+              ranked AS (
+                SELECT query_id, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM scored)
+          SELECT query_id, neighbor_id, cos_sim, rank
+          FROM ranked WHERE rank <= 10
+          ORDER BY query_id, rank"""
   )
 }

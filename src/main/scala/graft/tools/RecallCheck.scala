@@ -1,0 +1,87 @@
+package graft.tools
+
+import graft.ext.{Dedup, Similarity}
+import graft.ops.Tables.t
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: compare LSH-candidate operators against their exact
+  * brute-force duals on the real testdata — the measurement behind every
+  * "this approximate query has an exact oracle" claim. For a FIXED dataset
+  * and fixed signature constants the comparison is deterministic: either
+  * the candidate stage has recall 1 on this data (emitted set == exact
+  * set, so the DuckDB oracle may assert full equality) or it hasn't.
+  *
+  * `runMain graft.tools.RecallCheck [sfDir]`
+  */
+object RecallCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- minhashPairs vs exact unigram-Jaccard self-join (threshold 0.9)
+    val docs = t(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id").as("doc"),
+      array_sort(array_distinct(transform(split(col("text"), " "),
+        x => xxhash64(x)))).as("toks"))
+    val exact = toks.select(col("doc").as("doc_a"), col("toks").as("ta"))
+      .crossJoin(toks.select(col("doc").as("doc_b"), col("toks").as("tb")))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.SetExpressions.sortedSetJaccard(col("ta"), col("tb")).as("j"))
+      .where(col("j") >= 0.9)
+      .select("doc_a", "doc_b")
+    val nExact = exact.count()
+    for (bands <- Seq(8, 16)) {
+      val t0 = System.nanoTime()
+      val lsh = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.9,
+        bands = bands).select("doc_a", "doc_b")
+      val nLsh = lsh.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val missed = exact.except(lsh).count()
+      val extra = lsh.except(exact).count()
+      println(f"[recall] minhash@0.9 b=$bands: exact=$nExact lsh=$nLsh " +
+        f"missed=$missed extra=$extra t=$dt%.2fs")
+    }
+
+    // ---- cosineDupPairsLsh on the embeddings table vs exact cross join
+    for (th <- Seq(0.8, 0.9)) {
+      val emb = t(spark, sfDir, "embeddings")
+      val exactCos = Similarity.cosineDupPairs(emb, threshold = th)
+        .select("id_a", "id_b")
+      val lshCos = Similarity.cosineDupPairsLsh(emb, threshold = th, dim = 64)
+        .select("id_a", "id_b")
+      val m = exactCos.except(lshCos).count()
+      val e = lshCos.except(exactCos).count()
+      val n = exactCos.count()
+      println(s"[recall] cosineLsh@$th(6x6): exact=$n missed=$m extra=$e")
+    }
+
+    // ---- q38 vectors: portable hash embedding of documents, LSH vs exact
+    val pvecs = docs.select(col("doc_id").as("vec_id"),
+      graft.ext.TextAnalysis.portableHashEmbedding(col("text"), 64).as("embedding"))
+    val pexact = Similarity.cosineDupPairs(pvecs, threshold = 0.98).select("id_a", "id_b")
+    val plsh = Similarity.cosineDupPairsLsh(pvecs, threshold = 0.98, dim = 64)
+      .select("id_a", "id_b")
+    println(s"[recall] portableEmb@0.98: exact=${pexact.count()} " +
+      s"missed=${pexact.except(plsh).count()} extra=${plsh.except(pexact).count()}")
+
+    // ---- q52 vectors: chunk-hash media embedding, LSH vs exact
+    val blobs = graft.ext.Multimodal.withFakeBlob(docs, "text")
+    val mvecs = graft.ext.Multimodal.embedMedia(spark, blobs)
+    val mexact = Similarity.cosineDupPairs(mvecs, threshold = 0.98).select("id_a", "id_b")
+    val mlsh = Similarity.cosineDupPairsLsh(mvecs, threshold = 0.98, dim = 64)
+      .select("id_a", "id_b")
+    println(s"[recall] mediaEmb@0.98: exact=${mexact.count()} " +
+      s"missed=${mexact.except(mlsh).count()} extra=${mlsh.except(mexact).count()}")
+
+    spark.stop()
+  }
+}
