@@ -147,25 +147,38 @@ object SpecCompiler {
     val outerKey = fetchCorr.getOrElse(idCol)
     val subId = mp.fetch.id
 
+    val idRel = ids.withColumnRenamed(idCol, outerKey)
+    val zeroable = Set("sum", "count", "avg", "mean", "min", "max",
+      "approx_count_distinct")
     val perChild = mp.children.map { ch =>
       require(allowedAggs.contains(ch.agg), s"agg '${ch.agg}' not in allowlist")
       val (sql, corr) = decorrelate(ch.query)
       val childCorr = corr.getOrElse(subId)
       val scan = spark.sql(sql).na.fill(0, Seq(ch.aggOn))
       // child facts → attach outer key through the sub-ID relation
-      scan.join(subRel.select(col(outerKey), col(subId).as(childCorr)).distinct(),
+      val agged = scan
+        .join(subRel.select(col(outerKey), col(subId).as(childCorr)).distinct(),
           Seq(childCorr), "inner")
         .groupBy(col(outerKey))
         .agg(expr(s"${ch.agg}(${ch.aggOn})").alias(ch.rename))
+      // zero-fill PER CHILD from the ID relation — the declarative dual of
+      // the reference's per-ID fallback row (generic_script.scala:425-431:
+      // an empty per-ID read contributes Row(0), so every fetched ID yields
+      // one row per child BEFORE the fold). With both fold inputs total on
+      // the same key set, every join type below computes the same relation.
+      val zeroed = idRel.join(agged, Seq(outerKey), "left")
+      if (zeroable(ch.agg)) zeroed.withColumn(ch.rename, coalesce(col(ch.rename), lit(0)))
+      else zeroed
     }
-    // children fold on the outer key, then zero-fill from the ID relation
-    val folded = perChild.reduceLeft((a, b) => a.join(b, Seq(outerKey), "full"))
-    val renames = mp.children.map(_.rename)
-    val zeroed = renames.foldLeft(
-      ids.withColumnRenamed(idCol, outerKey).join(folded, Seq(outerKey), "left")
-    )((df, r) => df.withColumn(r, coalesce(col(r), lit(0))))
+    // fold honoring each child's DECLARED join_type (reference:
+    // generic_script.scala:376-378 joins child j's frame with the running
+    // fold using child j's join_on/join_type; the first child seeds it)
+    val folded = perChild.zip(mp.children).tail
+      .foldLeft(perChild.head) { case (acc, (df, ch)) =>
+        acc.join(df, Seq(outerKey), normalizeJoinType(ch.joinType))
+      }
     // the spec's join_on names the column the fold joins back on
-    if (mp.joinOn != outerKey) zeroed.withColumnRenamed(outerKey, mp.joinOn) else zeroed
+    if (mp.joinOn != outerKey) folded.withColumnRenamed(outerKey, mp.joinOn) else folded
   }
 
   /** data_mapping pass (reference: generic_script.scala:200-218): derived
@@ -186,10 +199,20 @@ object SpecCompiler {
         .cast(DoubleType))
   }
 
+  /** ratio kind (extension slot): a / b per row, 0 when the denominator is
+    * 0 (the zero-fill convention every other derived value follows), double
+    * division — a single deterministic IEEE op on exact inputs.
+    */
+  def deriveRatio(df: DataFrame, name: String, a: String, b: String): DataFrame =
+    df.withColumn(name,
+      when(col(b).cast(DoubleType) === 0.0, lit(0.0))
+        .otherwise(col(a).cast(DoubleType) / col(b).cast(DoubleType)))
+
   def applyDataMapping(df: DataFrame, mapping: Seq[(String, DerivedCol)]): DataFrame =
     mapping.foldLeft(df) {
       case (d, (_, NoDerivation)) => d
       case (d, (name, AverageOf(a, b))) => deriveAverage(d, name, a, b)
+      case (d, (name, RatioOf(a, b))) => deriveRatio(d, name, a, b)
     }
 
   /** Parse a declared type: the reference's `"IntegerType"`-style Scala

@@ -47,6 +47,11 @@ sealed trait DerivedCol
 case object NoDerivation extends DerivedCol
 final case class AverageOf(a: String, b: String) extends DerivedCol
 
+/** Extension kind proving the registry slot: a / b (0 when b = 0), the
+  * per-row ratio the reference's report configs compute downstream today.
+  */
+final case class RatioOf(a: String, b: String) extends DerivedCol
+
 /** `output_data_schema` entry: declared input type + output name
   * (reference: MENT/generic_script.scala:236-248).
   */
@@ -152,6 +157,10 @@ object PipelineSpec {
             val cols = agg.get("column_name").elements().asScala.map(_.asText()).toSeq
             require(cols.size == 2, s"spec: average needs 2 columns, got $cols")
             AverageOf(cols.head, cols(1))
+          case "ratio" =>
+            val cols = agg.get("column_name").elements().asScala.map(_.asText()).toSeq
+            require(cols.size == 2, s"spec: ratio needs 2 columns, got $cols")
+            RatioOf(cols.head, cols(1))
           case other => throw new IllegalArgumentException(s"spec: unknown agg_type '$other'")
         }
       e.getKey -> derived

@@ -108,6 +108,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.length == 3) // nProbe=4 of 16 lists still held >= k candidates
   }
 
+  test("trained IVF centroids are deterministic and beat sample seeds on clustered data") {
+    // three tight direction-clusters; sample seeding puts all 4 seeds in
+    // cluster 0 (the 4 smallest ids), k-means must spread them out
+    val rnd = new scala.util.Random(31)
+    def around(center: Seq[Double]): Seq[Float] =
+      center.map(c => (c + rnd.nextGaussian() * 0.05).toFloat)
+    val centers = Seq.fill(3)(Seq.fill(16)(rnd.nextGaussian()))
+    val corpus = Seq.tabulate(90)(i => i.toLong -> around(centers(i / 30)))
+      .toDF("vec_id", "embedding")
+
+    val trained1 = Similarity.trainCentroids(corpus, n = 4, dim = 16, iters = 3)
+    val trained2 = Similarity.trainCentroids(corpus, n = 4, dim = 16, iters = 3)
+    assert(trained1.map(_.toSeq).toSeq == trained2.map(_.toSeq).toSeq,
+      "training must be deterministic run-to-run")
+
+    def recallAt10(centroids: Array[Array[Double]]): Double = {
+      val queries = corpus.where(col("vec_id") % 30 === 7) // one per cluster
+      val exact = Similarity.topKBruteForce(queries, corpus, k = 10)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val approx = Similarity.topKIvf(queries, corpus, k = 10, dim = 16,
+          nCentroids = 4, nProbe = 1, centroidsIn = centroids)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val sampleRecall = recallAt10(Similarity.sampleCentroids(corpus, 4))
+    val trainedRecall = recallAt10(trained1)
+    // sample seeds all fall in cluster 0: queries from clusters 1/2 probe a
+    // cell that holds (nearly) nothing of theirs. Lloyd rounds must fix it.
+    assert(trainedRecall >= sampleRecall,
+      s"trained=$trainedRecall sample=$sampleRecall")
+    assert(trainedRecall >= 0.9, s"trained recall too low: $trainedRecall")
+  }
+
   test("cosineDupPairs finds planted duplicate pairs above threshold") {
     val rnd = new scala.util.Random(5)
     val v = Seq.fill(16)(rnd.nextFloat())

@@ -165,12 +165,81 @@ class SpecCompilerSpec extends AnyFunSuite {
     assert(scores == Map(1 -> 11.0, 2 -> 9.0, 3 -> 0.0))
   }
 
+  test("multi-process fold honors per-child join_type; all types agree on total key sets") {
+    // Reference semantics (generic_script.scala:376-378,425-431): every
+    // fetched ID contributes one row per child (empty reads fall back to a
+    // zero row), then children fold with each child's declared join_type.
+    // Because each fold input is total on the same key set, every join type
+    // must produce the same relation — verified here against a plain
+    // collections loop across randomized relations, join types, and aggs.
+    val rnd = new scala.util.Random(11)
+    val joinTypes = Seq("inner", "left", "right", "full", "left_outer", "none")
+    for (trial <- 1 to 5) {
+      val ids = (0 until 8).filter(_ => rnd.nextBoolean())
+      if (ids.nonEmpty) {
+        val sessions = Seq.fill(12)((rnd.nextInt(10), 100 + rnd.nextInt(8)))
+        val scoreRows = Seq.fill(20)((100 + rnd.nextInt(10), rnd.nextInt(40) / 2.0))
+        val agg2 = Seq("count", "max", "sum")(rnd.nextInt(3))
+        ids.toDF("id").createOrReplaceTempView("drivers")
+        sessions.toDF("driver_id", "session_id").createOrReplaceTempView("sessions")
+        scoreRows.toDF("session_id", "score").createOrReplaceTempView("scores")
+        val children = Seq(
+          SubProcess("session_id",
+            "SELECT session_id, score FROM scores WHERE session_id = ${id}",
+            "db", "sum", "score", "driver_id", joinTypes(rnd.nextInt(joinTypes.size)), "total"),
+          SubProcess("session_id",
+            "SELECT session_id, score FROM scores WHERE session_id = ${id}",
+            "db", agg2, "score", "driver_id", joinTypes(rnd.nextInt(joinTypes.size)), "m2"))
+        val spec = PipelineSpec(
+          entries = Seq(ScriptEntry(
+            Fetch("SELECT id FROM drivers", "db", "id"),
+            Seq(MultiProcess(
+              Fetch("SELECT driver_id, session_id FROM sessions WHERE driver_id = ${id}", "db", "session_id"),
+              joinOn = "driver_id", joinType = "left", children = children)))),
+          dataMapping = Seq.empty, outputSchema = Seq.empty)
+        def num(v: Any): Double = v match {
+          case l: Long => l.toDouble
+          case i: Int => i.toDouble
+          case d: Double => d
+        }
+        val out = SpecCompiler.compile(spark, spec).collect()
+          .map(r => r.getInt(0) -> ((num(r.get(1)), num(r.get(2))))).toMap
+        // collections truth: per driver, scores of its DISTINCT sessions
+        val truth = ids.map { id =>
+          val subIds = sessions.filter(_._1 == id).map(_._2).distinct
+          val vals = scoreRows.filter(r => subIds.contains(r._1)).map(_._2)
+          val total = vals.sum
+          val m2 = agg2 match {
+            case "count" => vals.size.toDouble
+            case "max" => if (vals.isEmpty) 0.0 else vals.max
+            case "sum" => vals.sum
+          }
+          id -> ((total, m2))
+        }.toMap
+        assert(out == truth, s"trial $trial agg2=$agg2 ids=$ids")
+      }
+    }
+  }
+
   test("deriveAverage rounds half-up in exact decimal like the reference's round()") {
     val df = Seq((1.05, 2.00), (0.10, 0.11), (2.0, 4.0)).toDF("a", "b")
     val got = SpecCompiler.deriveAverage(df, "avg", "a", "b")
       .select("avg").as[Double].collect().toSeq
     // (1.05+2.00)/2 = 1.525 -> 1.53 (exact decimal half-up); 0.105 -> 0.11
     assert(got == Seq(1.53, 0.11, 3.0))
+  }
+
+  test("data_mapping ratio kind: parses, divides, zero-fills div-by-zero") {
+    val spec = PipelineSpec.fromJson(
+      """[]""",
+      """{"rate": {"aggregation":
+           {"agg_type": "ratio", "column_name": ["hits", "tries"]}}}""",
+      """{}""")
+    assert(spec.dataMapping == Seq("rate" -> RatioOf("hits", "tries")))
+    val df = Seq((3.0, 4.0), (1.0, 0.0)).toDF("hits", "tries")
+    val got = SpecCompiler.applyDataMapping(df, spec.dataMapping)
+      .select("rate").as[Double].collect().toSeq
+    assert(got == Seq(0.75, 0.0))
   }
 
   test("output contract: match renames, array flattens, hard mismatch keeps name") {
