@@ -14,7 +14,12 @@ object Bench {
     // JIT/codegen warmup on the tiny sf so per-query times measure the
     // engine, not first-touch JVM compilation of Catalyst/janino paths
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated substring filter for local iteration, e.g.
+    // SPARK_GRAFT_ONLY=q34,q49 — the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.contains)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

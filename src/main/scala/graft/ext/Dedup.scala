@@ -181,10 +181,17 @@ object Dedup {
     // orient (larger → smaller), drop self-loops, dedup once up front;
     // eager checkpoint so the (possibly expensive) edge-generation plan is
     // computed exactly once and the loop starts from a flat lineage
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (debug) {
+      System.err.println(f"[cc] $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      t0 = System.nanoTime()
+    }
     var e = edges
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    lap("edges+checkpoint")
     // set certificate: (edge count, Σ xxhash64(u,v) as decimal — overflow-
     // free at any edge count). Equal certificates ⇒ the round was a no-op
     // ⇒ stars formed (the star state is the contraction's unique fixpoint).
@@ -192,20 +199,27 @@ object Dedup {
       df.agg(count(lit(1)),
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head().mkString("|")
     var prev = certificate(e)
+    lap("cert0")
     var converged = false
     var it = 0
+    // Both star steps need min-over-neighborhood alongside every edge row.
+    // A groupBy+self-join computes it in 3 exchanges (partial-agg, then both
+    // join legs re-exchanged); an unbounded window min over partitionBy(u)
+    // is ONE exchange + a per-key scan — per round that halves the shuffles,
+    // and at 100 TB shuffle bytes are the round cost.
+    val perU = org.apache.spark.sql.expressions.Window.partitionBy("u")
     while (!converged && it < maxIter) {
-      // large-star: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+      // large-star: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+      // No dedup here — duplicate (v, m) rows pass through to the single
+      // distinct below; one fewer exchange beats early dedup at any scale
+      // where duplicates are a minority (they are: one per shared-min pair).
       val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = bidir.groupBy("u").agg(min(col("v")).as("mn"))
-      val ls = bidir.join(mins, Seq("u"))
+      val ls = bidir.withColumn("mn", min(col("v")).over(perU))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
-        .distinct()
       // small-star: m = min of u's (all smaller) neighbors; u and every
       // neighbor except m re-point at m
-      val ssMins = ls.groupBy("u").agg(min(col("v")).as("mn"))
-      val withMin = ls.join(ssMins, Seq("u"))
+      val withMin = ls.withColumn("mn", min(col("v")).over(perU))
       val ssRaw = withMin.where(col("v") =!= col("mn"))
         .select(col("v").as("u"), col("mn").as("v"))
         .union(withMin.select(col("u"), col("mn").as("v")))
@@ -219,6 +233,7 @@ object Dedup {
       e.unpersist()
       e = ss
       it += 1
+      lap(s"round $it (converged=$converged)")
     }
     // stars point member → root; roots and isolated nodes label themselves
     val members = e.select(col("u").as("id"), col("v").as("comp"))
