@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ EventQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ EventQueries.queries ++
+      MultimodalQueries.queries ++ CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ EventQueries.oracles ++ MultimodalQueries.oracles
+      SimilarityQueries.oracles ++ EventQueries.oracles ++
+      MultimodalQueries.oracles ++ CorpusQueries.oracles
 }

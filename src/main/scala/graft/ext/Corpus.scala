@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators for training-data pipelines: deterministic
+  * train/val/test splitting and cross-split decontamination.
+  *
+  * Scale design:
+  *  - splitting is a pure map stage (a content fingerprint mod 100) — zero
+  *    shuffle, stable under re-ingestion and re-partitioning because the
+  *    assignment depends on the DOCUMENT, not on row order, file layout, or
+  *    a session RNG (`randomSplit` gives none of those guarantees);
+  *  - decontamination is an inverted-index equi-join on n-gram hashes,
+  *    never a doc×doc product: work scales with Σ_gram df_train(g)·df_eval(g),
+  *    the true collision volume. A stop-gram cap (`maxDf`) drops
+  *    degenerate grams whose document frequency exceeds the cap BEFORE the
+  *    join — at 100 TB one boilerplate sentence shared by 1% of the corpus
+  *    would otherwise dominate the join output quadratically.
+  */
+object Corpus {
+
+  /** Deterministic content-keyed split assignment: bucket = rolling-hash
+    * fingerprint of the text mod 100 (always in [0,100) — the fingerprint
+    * is non-negative by construction), label by cumulative percentage
+    * (train < trainPct ≤ val < trainPct+valPct ≤ test). Pure expression,
+    * no shuffle, no RNG: the same document lands in the same split on any
+    * cluster, any partitioning, any run.
+    */
+  def splitAssign(df: DataFrame, textCol: String,
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = pmod(TextAnalysis.fingerprint(col(textCol)), lit(100L))
+    df.withColumn("bucket", bucket.cast("int"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** Distinct word n-gram hashes per document (xxhash64 of the gram text:
+    * the downstream join only needs gram EQUALITY, and 8-byte keys beat
+    * ~9-token strings through a 100 TB shuffle; collision odds 2⁻⁶⁴ per
+    * gram pair).
+    */
+  private def gramHashes(text: Column, n: Int): Column =
+    transform(Dedup.wordNgrams(text, n), g => xxhash64(g))
+
+  /** Cross-split contamination: for every (eval doc, train doc) pair
+    * sharing ≥ minShared distinct n-grams, emit the pair and its shared
+    * count — the "is my test set leaking from my training set" report.
+    *
+    * Plan shape: explode each side to (gram_hash, doc), drop grams with
+    * train-side document frequency > maxDf (stop-gram cap), equi-join on
+    * the hash, count per pair. The only shuffles are the two explode-side
+    * exchanges on gram_hash and the final pair aggregation.
+    */
+  def decontaminate(train: DataFrame, eval_ : DataFrame, textCol: String,
+                    idCol: String, n: Int = 5, minShared: Int = 1,
+                    maxDf: Long = 10000L): DataFrame = {
+    def grams(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(side),
+          explode(gramHashes(col(textCol), n)).as("g"))
+    val trainGrams = grams(train, "train_id")
+    // stop-gram cap: df computed on the train side only (one agg), applied
+    // to both sides of the join via the inner join itself
+    val keptTrain = trainGrams
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .where(col("df") <= maxDf).drop("df")
+    keptTrain.join(grams(eval_, "eval_id"), Seq("g"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+}

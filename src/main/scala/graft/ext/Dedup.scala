@@ -319,15 +319,18 @@ object Dedup {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
-  /** (id, simhash) per document: explode distinct tokens, xxhash64 them,
-    * fold with the Aggregator (partial agg keeps the shuffle at one row
-    * per doc per partition).
+  /** (id, simhash) per document: explode distinct tokens, hash them, fold
+    * with the Aggregator (partial agg keeps the shuffle at one row per doc
+    * per partition). `hasher` defaults to xxhash64 (codegen'd, best bit
+    * mixing); pass [[TextAnalysis.portableTokenHash64]] when the signature
+    * must be replayable by an external oracle engine.
     */
-  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        hasher: Column => Column = xxhash64(_)): DataFrame = {
     val sim = udaf(new SimhashAgg, Encoders.scalaLong)
     df.select(col(idCol).as("doc"),
         explode(array_distinct(split(col(textCol), " "))).as("tok"))
-      .select(col("doc"), xxhash64(col("tok")).as("h"))
+      .select(col("doc"), hasher(col("tok")).as("h"))
       .groupBy("doc").agg(sim(col("h")).as("simhash"))
   }
 
@@ -335,14 +338,19 @@ object Dedup {
     * pigeonhole banding: split the 64-bit signature into `chunks` pieces;
     * any pair within distance < chunks must agree on ≥1 chunk, so an
     * equi-join on (chunkIdx, chunkValue) finds all candidates without a
-    * cross product. Requires maxHamming < chunks.
+    * cross product. Requires maxHamming < chunks. Recall is 1 by the
+    * pigeonhole theorem (not probabilistic), so the output is EXACTLY
+    * "all pairs at Hamming ≤ maxHamming" for whatever `hasher` feeds the
+    * votes — with the portable hasher that makes the whole operator
+    * replayable by a brute-force oracle join.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 7, chunks: Int = 8): DataFrame = {
+                   maxHamming: Int = 7, chunks: Int = 8,
+                   hasher: Column => Column = xxhash64(_)): DataFrame = {
     require(maxHamming < chunks, "pigeonhole banding needs maxHamming < chunks")
     val bitsPer = 64 / chunks
     val mask = (1L << bitsPer) - 1
-    val sigs = simhashSignatures(df, textCol, idCol)
+    val sigs = simhashSignatures(df, textCol, idCol, hasher)
     val banded = sigs.select(col("doc"), col("simhash"),
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("simhash"), c * bitsPer).bitwiseAND(lit(mask))): _*)))

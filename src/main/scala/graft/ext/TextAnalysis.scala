@@ -113,6 +113,22 @@ object TextAnalysis {
     graft.functions.SetExpressions.featureHashCounts(
       transform(tokens(text), portableTokenHash _), dim)
 
+  /** SQL-portable 64-bit token hash: two INDEPENDENT char folds — base 31
+    * mod 1e9+7 and base 131 mod 998244353 — packed as h1·2³¹ + h2 (< 2⁶¹,
+    * overflow-free). Bits 61-63 are always zero; bit-consumers (SimHash
+    * votes) see a constant there on every token, which cancels out of any
+    * distance. This is the oracle-replayable stand-in for xxhash64 where a
+    * full 64-bit surface is needed; same tradeoff as
+    * [[portableHashEmbedding]] — production callers keep xxhash64.
+    */
+  def portableTokenHash64(tok: Column): Column = {
+    val h2 = aggregate(
+      transform(sequence(lit(1), length(tok)),
+        i => ascii(substring(tok, i, lit(1))).cast("long")),
+      lit(0L), (acc, c) => (acc * 131L + c) % 998244353L)
+    portableTokenHash(tok) * lit(2147483648L) + h2
+  }
+
   /** Rolling-hash document fingerprint: fold (acc*31 + termHash) mod p over
     * tokens, where termHash = ascii(first char)*100 + len. Order-sensitive
     * (a permuted document fingerprints differently), overflow-free

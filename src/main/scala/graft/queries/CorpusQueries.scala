@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.ext.Corpus
+import graft.ops.Tables.t
+import org.apache.spark.sql.functions._
+
+/** Corpus-management queries: deterministic splitting + decontamination.
+  *
+  * Both carry full DuckDB equality oracles: the split bucket is the q23
+  * rolling fingerprint mod 100, and decontamination joins on n-gram
+  * EQUALITY (the engine's xxhash64 gram keys collide with probability
+  * 2⁻⁶⁴ per gram pair — the oracle joins the gram strings directly).
+  */
+object CorpusQueries {
+  import ParityQueries.Q
+
+  val queries: Map[String, Q] = Map(
+    "q53_split_assign" -> ((s, d) =>
+      Corpus.splitAssign(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")),
+
+    "q54_decontaminate" -> ((s, d) => {
+      val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
+      Corpus.decontaminate(
+        docs.where(col("split") === "train"),
+        docs.where(col("split") === "test"),
+        "text", "doc_id", n = 5, minShared = 1)
+        .orderBy("eval_id", "train_id")
+    })
+  )
+
+  /** q23's rolling fingerprint fold, reused for the split bucket. */
+  private val fpFold =
+    """list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+             t -> CAST(ascii(substr(t, 1, 1)) AS BIGINT) * 100 + length(t))),
+         (acc, h) -> (acc * 31 + h) % 1000000007)"""
+
+  val oracles: Map[String, String] = Map(
+    "q53_split_assign" ->
+      s"""SELECT doc_id, CAST(fp % 100 AS INTEGER) AS bucket,
+                 CASE WHEN fp % 100 < 80 THEN 'train'
+                      WHEN fp % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id, $fpFold AS fp FROM documents)
+          ORDER BY doc_id""",
+
+    "q54_decontaminate" ->
+      s"""WITH s AS (
+            SELECT doc_id, string_split(text, ' ') AS toks, $fpFold % 100 AS b
+            FROM documents),
+          g AS (
+            SELECT doc_id, b,
+                   list_distinct(list_transform(range(1, len(toks) - 3),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4])) AS grams
+            FROM s),
+          tg AS (SELECT doc_id AS train_id, unnest(grams) AS gr
+                 FROM g WHERE b < 80),
+          df AS (SELECT gr, count(*) AS dfc FROM tg GROUP BY gr),
+          tk AS (SELECT train_id, tg.gr FROM tg JOIN df USING (gr)
+                 WHERE dfc <= 10000),
+          eg AS (SELECT doc_id AS eval_id, unnest(grams) AS gr
+                 FROM g WHERE b >= 90)
+          SELECT eval_id, train_id, count(*) AS n_shared
+          FROM tk JOIN eg USING (gr)
+          GROUP BY eval_id, train_id
+          HAVING count(*) >= 1
+          ORDER BY eval_id, train_id"""
+  )
+}

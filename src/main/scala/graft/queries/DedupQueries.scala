@@ -31,8 +31,12 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")),
 
     "q32_dedup_simhash" -> ((s, d) =>
+      // portable 64-bit token hash so the oracle can replay the vote →
+      // signature → Hamming pipeline exactly; banding recall is 1 by the
+      // pigeonhole theorem, so output = ALL pairs at Hamming ≤ 7
       Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id",
-        maxHamming = 7, chunks = 8)
+        maxHamming = 7, chunks = 8,
+        hasher = graft.ext.TextAnalysis.portableTokenHash64 _)
         .orderBy("doc_a", "doc_b")),
 
     "q33_dedup_ngram_jaccard" -> ((s, d) =>
@@ -114,7 +118,40 @@ object DedupQueries {
       s"""SELECT doc_a, doc_b, jaccard FROM ($exactJaccardPairs)
           ORDER BY doc_a, doc_b""",
 
-    // q32: no oracle (xxhash64-vote signature); rows-only check + DedupSpec.
+    // q32: replay the portable hash → per-bit votes → signature → exact
+    // Hamming join. Bits 61-63 of the packed hash are always 0, so both
+    // engines' signatures agree there (all-minus votes → bit 0) and the
+    // oracle only materializes votes for bits 0..60.
+    "q32_dedup_simhash" -> {
+      val charFold = (base: Long, p: Long) =>
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(tok) + 1),
+                i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+              (acc, c) -> (acc * $base + c) % $p)"""
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents),
+          h AS (
+            SELECT doc_id,
+                   ${charFold(31L, 1000000007L)} * 2147483648
+                     + ${charFold(131L, 998244353L)} AS h
+            FROM toks),
+          votes AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM h CROSS JOIN range(0, 61) b(bit)
+            GROUP BY doc_id, b.bit),
+          sigs AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                       ELSE 0 END) AS BIGINT) AS sig
+            FROM votes GROUP BY doc_id)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 7
+          ORDER BY doc_a, doc_b"""
+    },
 
     "q33_dedup_ngram_jaccard" ->
       """WITH g AS (

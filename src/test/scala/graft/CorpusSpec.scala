@@ -1,0 +1,68 @@
+package graft
+
+import graft.ext.Corpus
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-management semantics: split assignment must be a pure function
+  * of content (no RNG, no row-order dependence), decontamination must find
+  * planted train→test leaks and respect the stop-gram cap.
+  */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq.tabulate(200) { i =>
+    (i.toLong, s"document number $i talks about topic ${i % 7} in depth " +
+      s"with unique trailing content piece$i")
+  }
+
+  test("splitAssign is deterministic, content-keyed, and partition-invariant") {
+    val df = docs.toDF("doc_id", "text")
+    val a = Corpus.splitAssign(df, "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // same content, different ids / different partitioning → same split
+    val b = Corpus.splitAssign(df.repartition(7), "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    val relabeled = docs.map { case (id, tx) => (id + 1000L, tx) }
+      .toDF("doc_id", "text")
+    val c = Corpus.splitAssign(relabeled, "text")
+      .select("doc_id", "split").as[(Long, String)].collect()
+      .map { case (id, s) => (id - 1000L, s) }.toMap
+    assert(a == c, "split must depend on content, not on the id")
+    // all three labels appear and cover every doc
+    assert(a.values.toSet == Set("train", "val", "test"))
+    assert(a.size == 200)
+  }
+
+  test("decontaminate finds a planted leak with the exact shared-gram count") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "totally different training text about culinary arts and baking"))
+      .toDF("doc_id", "text")
+    // eval doc 10 copies train doc 1 with one word changed at the end:
+    // 10 tokens → 6 5-grams each; the first 5 grams survive the edit
+    val eval_ = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (11L, "completely unrelated evaluation text regarding orbital mechanics today"))
+      .toDF("doc_id", "text")
+    val out = Corpus.decontaminate(train, eval_, "text", "doc_id", n = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((10L, 1L, 5L)))
+  }
+
+  test("stop-gram cap drops grams above the train-side document frequency") {
+    val boiler = "this content is provided as is without any warranty"
+    val train = Seq.tabulate(6)(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    val eval_ = Seq((100L, boiler)).toDF("doc_id", "text")
+    // every gram's train-side df is 6 > maxDf=5 → all dropped, no pairs
+    val capped = Corpus.decontaminate(train, eval_, "text", "doc_id",
+      n = 5, maxDf = 5L)
+    assert(capped.count() == 0)
+    // with the cap above df, all 6 train docs pair with the eval doc
+    val uncapped = Corpus.decontaminate(train, eval_, "text", "doc_id",
+      n = 5, maxDf = 6L)
+    assert(uncapped.count() == 6)
+  }
+}

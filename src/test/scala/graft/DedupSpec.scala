@@ -5,10 +5,12 @@ import graft.functions.SetExpressions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Dedup-family semantics on planted duplicates. MinHash/SimHash have no
-  * SQL oracle (xxhash64 signatures), so these tests are what pins them:
-  * planted near-duplicates MUST be found, unrelated docs MUST NOT pair,
-  * and reported Jaccard values must equal set arithmetic done in Scala.
+/** Dedup-family semantics on planted duplicates: planted near-duplicates
+  * MUST be found, unrelated docs MUST NOT pair, and reported Jaccard
+  * values must equal set arithmetic done in Scala. (The q31/q32 queries
+  * additionally carry full DuckDB equality oracles — exact-Jaccard pairs
+  * and a portable-hash signature replay respectively; these tests pin the
+  * xxhash64 production defaults the oracles can't reach.)
   */
 class DedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -70,6 +72,16 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs.get((1L, 2L)).contains(0)) // identical -> distance 0
     assert(pairs.contains((1L, 3L))) // one-token change stays within 7 bits
+    assert(pairs.keys.flatMap(p => Seq(p._1, p._2)).forall(_ <= 3L))
+  }
+
+  test("simhash with the portable hasher keeps the planted-dup contract") {
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
+      maxHamming = 7, chunks = 8,
+      hasher = graft.ext.TextAnalysis.portableTokenHash64 _)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(pairs.contains((1L, 3L)))
     assert(pairs.keys.flatMap(p => Seq(p._1, p._2)).forall(_ <= 3L))
   }
 
