@@ -32,10 +32,19 @@ object TextAnalysis {
   def typeTokenRatio(text: Column): Column =
     size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
 
+  /** Occurrences of any of `words` among the tokens. A lambda
+    * `filter(toks, _.isInCollection(words))` computes the same count but
+    * as a CodegenFallback HOF it would break whole-stage codegen for the
+    * entire projection (PlanAuditSpec caught exactly that); per-word
+    * `array_remove` size deltas keep the stage fully codegen'd.
+    */
+  private def hitCount(text: Column, words: Seq[String]): Column =
+    words.map(w => size(tokens(text)) - size(array_remove(tokens(text), w)))
+      .reduce(_ + _)
+
   /** Fraction of tokens that are stopwords. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isInCollection(stopwords))).cast("double") /
-      size(tokens(text))
+    hitCount(text, stopwords).cast("double") / size(tokens(text))
 
   /** Mean token length (separator-aware integer arithmetic: chars minus the
     * n-1 separators, divided by n — avoids a second pass over the tokens).
@@ -67,7 +76,7 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = {
     val scores = langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(tokens(text), t => t.isInCollection(markers)))
+      lang -> hitCount(text, markers)
     }
     // argmax with order-stable tie-breaking: fold keeping (bestLang, bestScore)
     scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
