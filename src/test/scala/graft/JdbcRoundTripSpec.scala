@@ -56,6 +56,73 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("full reference lifecycle over JDBC: config row → compile → append sink") {
+    // the reference's actual E1 run (SURVEY §3): read the three spec cells
+    // from a DB config table, run the compiled pipeline against DB-backed
+    // relations, append the report back to the DB — all through JDBC
+    val specInput =
+      """[{"fetchId": {"query": "SELECT id FROM drivers", "database_name": "db", "id": "id"},
+           "tasks": [
+             {"single_process": {"input": "driver_id",
+                "query": "SELECT driver_id, amount FROM facts WHERE driver_id = ${id}",
+                "database_name": "db", "agg": "sum", "agg_on": "amount",
+                "groupby": "none", "rename": "total",
+                "join_on": "driver_id", "join_type": "none"}},
+             {"single_process": {"input": "driver_id",
+                "query": "SELECT driver_id, amount FROM facts WHERE driver_id = ${id}",
+                "database_name": "db", "agg": "count", "agg_on": "amount",
+                "groupby": "none", "rename": "n",
+                "join_on": "driver_id", "join_type": "inner"}}]}]"""
+    val specMapping =
+      """{"avg_col": {"aggregation": {"agg_type": "average", "column_name": ["total", "n"]}}}"""
+    val specOutput =
+      """{"driver_id": {"Input_data_type": "IntegerType", "rename": "driver"},
+          "total": {"Input_data_type": "DoubleType", "rename": "total_amount"},
+          "n": {"Input_data_type": "LongType", "rename": "n_rows"},
+          "avg_col": {"Input_data_type": "DoubleType", "rename": "avg_val"}}"""
+
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      for (tbl <- Seq("report_out", "graft_config", "drivers", "facts"))
+        try st.executeUpdate(s"DROP TABLE $tbl")
+        catch { case _: java.sql.SQLException => () }
+      st.executeUpdate("CREATE TABLE drivers (id INT)")
+      st.executeUpdate("INSERT INTO drivers VALUES (1), (2), (3)")
+      st.executeUpdate("CREATE TABLE facts (driver_id INT, amount DOUBLE)")
+      st.executeUpdate("INSERT INTO facts VALUES (1, 10.0), (1, 5.0), (2, 7.5)")
+      st.executeUpdate(
+        """CREATE TABLE graft_config (script_type VARCHAR(64),
+             input_data_schema VARCHAR(4000), data_mapping VARCHAR(4000),
+             output_data_schema VARCHAR(4000))""")
+      val ps = conn.prepareStatement("INSERT INTO graft_config VALUES (?, ?, ?, ?)")
+      ps.setString(1, "mentor_report"); ps.setString(2, specInput)
+      ps.setString(3, specMapping); ps.setString(4, specOutput)
+      ps.executeUpdate(); ps.close()
+      st.executeUpdate(
+        """CREATE TABLE report_out (driver INT, total_amount DOUBLE,
+             n_rows BIGINT, avg_val DOUBLE)""")
+      st.close()
+    } finally conn.close()
+
+    // data relations resolve through JDBC-backed views, as in the reference
+    Tables.jdbc(spark, url, "SELECT id FROM drivers").createOrReplaceTempView("drivers")
+    Tables.jdbc(spark, url, "SELECT driver_id, amount FROM facts")
+      .createOrReplaceTempView("facts")
+    val spec = graft.spec.PipelineSpec.fromConfigTable(
+      Tables.jdbc(spark, url,
+        "SELECT script_type, input_data_schema, data_mapping, output_data_schema FROM graft_config"),
+      "mentor_report")
+    val report = graft.compile.SpecCompiler.compile(spark, spec)
+    Sinks.jdbcAppend(report, url, "report_out")
+
+    val got = Tables.jdbc(spark, url,
+      "SELECT driver, total_amount, n_rows, avg_val FROM report_out")
+      .as[(Int, Double, Long, Double)].collect().sorted.toSeq
+    assert(got == Seq(
+      (1, 15.0, 2L, 8.5), (2, 7.5, 1L, 4.25), (3, 0.0, 0L, 0.0)))
+  }
+
   test("Tables.jdbc pushes the full query into the database (S2 config-table shape)") {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
