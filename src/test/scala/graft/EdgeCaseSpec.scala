@@ -1,0 +1,89 @@
+package graft
+
+import graft.ext.{Corpus, Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input behavior, pinned: a 100 TB corpus always contains
+  * nulls, empties, and single-token rows, and the operators must neither
+  * crash nor silently corrupt neighboring rows. Null text drops out of
+  * pair outputs (null keys never equi-join) — the documented contract is
+  * that callers filter nulls explicitly when they need them reported.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val messy = Seq(
+    (1L, "normal document with several plain tokens inside"),
+    (2L, "normal document with several plain tokens inside"),
+    (3L, null.asInstanceOf[String]),
+    (4L, ""),
+    (5L, ""),
+    (6L, "single"),
+    (7L, "käsefondue with ünïcode tokens straße 東京 content"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup: null and empty texts group among themselves only") {
+    val out = Dedup.exact(messy, "text", "doc_id")
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L) // the two normal dups
+    assert(out(4L) == 2L) // the two empties group together
+    assert(out(3L) == 1L) // null groups alone (sha2(null) = null group)
+    assert(out(6L) == 1L && out(7L) == 1L)
+  }
+
+  test("minhash pairs: nulls drop, empties pair at jaccard 1.0, no crashes") {
+    val pairs = Dedup.minhashPairs(messy, "text", "doc_id", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.contains((1L, 2L, 1.0)))
+    assert(pairs.contains((4L, 5L, 1.0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "null text must not pair")
+  }
+
+  test("simhash pairs: identical/empty docs pair at distance 0, nulls drop") {
+    val pairs = Dedup.simhashPairs(messy, "text", "doc_id", maxHamming = 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(pairs.contains((4L, 5L, 0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram pairs: sub-n-token docs produce empty gram sets and never pair") {
+    val docs = messy.withColumn("source", lit("one"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", n = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // "single"/""/null have no bigrams
+  }
+
+  test("connected components: empty edge set labels every node a singleton") {
+    val nodes = (1L to 5L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == (1L to 5L).map(i => i -> i).toMap)
+  }
+
+  test("connected components: a chain contracts to its minimum") {
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((6L, 5L), (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val out = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == (1L to 6L).map(i => i -> 1L).toMap)
+  }
+
+  test("text analysis and split assignment tolerate empty and unicode text") {
+    val out = messy.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(6L)._1 == 1)
+    assert(out(7L)._2 != 0L) // unicode text fingerprints without crashing
+    val splits = Corpus.splitAssign(messy.where(col("text").isNotNull), "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(splits.values.forall(Set("train", "val", "test")))
+  }
+}
