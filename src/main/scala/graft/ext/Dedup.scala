@@ -92,10 +92,28 @@ object Dedup {
     *     doc id, proportional to surviving candidates) for one exact
     *     Jaccard evaluation per unique pair.
     */
-  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   threshold: Double = 0.9, k: Int = 32, bands: Int = 8): DataFrame = {
+  /** Exact-collapse of identical token sets: (seth = xxhash64 of the sorted
+    * distinct token-hash array, doc, rep = min doc of the class). The
+    * exchange carries only (8-byte seth, doc id) — token arrays never move.
+    * Identical sets have identical Jaccard against EVERYTHING, so every
+    * pair-level computation downstream only needs one representative per
+    * class; real corpora are heavily exact-duplicated, and collision work
+    * in a banded self-join is quadratic in class size, so collapsing first
+    * is the single biggest lever on a duplicate-dense 100 TB corpus.
+    * Null-token docs are excluded (they must never pair).
+    */
+  private[ext] def exactClasses(docs: DataFrame): DataFrame =
+    docs.where(col("toks").isNotNull)
+      .select(xxhash64(col("toks")).as("seth"), col("doc"))
+      .withColumn("rep", min(col("doc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("seth")))
+
+  /** Verified near-dup pairs among the given (doc, toks) relation — the
+    * banded-LSH candidate stage + exact-Jaccard verify, no collapse.
+    */
+  private def verifiedPairs(docs: DataFrame, threshold: Double,
+                            k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    val docs = df.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
     // `sig` is referenced by all `bands` slices below: keeping it as its own
     // projection stops CollapseProject from inlining (and so re-computing)
     // the k-hash signature once per band.
@@ -111,7 +129,7 @@ object Dedup {
     // quadratic in bucket size while input bytes are tiny, so the planner
     // would otherwise run every bucket's cross product in the scan's one task
     val shufflePartitions =
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val left = banded.select(col("band"), col("band_key"),
       col("doc").as("doc_a"), col("ntok").as("n_a"), col("keys").as("keys_a"))
       .repartition(shufflePartitions, col("band"), col("band_key"))
@@ -138,6 +156,46 @@ object Dedup {
         graft.functions.SetExpressions
           .sortedSetJaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Class-level near-dup machinery shared by [[minhashPairs]] and
+    * [[minhashClusters]]: returns (members, repPairs) where members is
+    * (seth, doc, rep) over every non-null doc and repPairs is the verified
+    * (doc_a, doc_b, jaccard) relation over class REPRESENTATIVES only.
+    */
+  private def classPairs(df: DataFrame, textCol: String, idCol: String,
+                         threshold: Double, k: Int,
+                         bands: Int): (DataFrame, DataFrame) = {
+    val docs = df.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
+    val members = exactClasses(docs)
+    // token arrays stay map-side: the rep filter is a slim semi-join on the
+    // doc id, and only representatives enter the banded pipeline
+    val repDocs = docs.join(
+      members.where(col("doc") === col("rep")).select(col("doc")),
+      Seq("doc"), "left_semi")
+    (members, verifiedPairs(repDocs, threshold, k, bands))
+  }
+
+  /** MinHash+LSH near-dup pairs over ALL documents: exact-collapse first,
+    * banded LSH + exact verify over class representatives, then expand —
+    * cross-class pairs inherit the class-pair Jaccard (identical sets ⇒
+    * identical Jaccard), within-class pairs are 1.0 by construction. The
+    * expansion joins carry only ids and one double.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double = 0.9, k: Int = 32, bands: Int = 8): DataFrame = {
+    val (members, repPairs) = classPairs(df, textCol, idCol, threshold, k, bands)
+    val memA = members.select(col("rep").as("doc_a"), col("doc").as("m_a"))
+    val memB = members.select(col("rep").as("doc_b"), col("doc").as("m_b"))
+    val cross = repPairs
+      .join(memA, Seq("doc_a")).join(memB, Seq("doc_b"))
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"), col("jaccard"))
+    val within = members.select(col("seth"), col("doc").as("doc_a"))
+      .join(members.select(col("seth"), col("doc").as("doc_b")), Seq("seth"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    cross.union(within)
   }
 
   // ------------------------------------------------------------- clustering
@@ -277,8 +335,16 @@ object Dedup {
     */
   def minhashClusters(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double = 0.9, bands: Int = 16): DataFrame = {
-    val edges = minhashPairs(df, textCol, idCol, threshold, bands = bands)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // CC runs on the CLASS graph, not the doc graph: rep-level near-dup
+    // edges plus one member→rep star edge per duplicate doc. Reachability
+    // is identical (members connect through their rep; a doc-level edge
+    // has the same Jaccard as its class-level edge) but the edge relation
+    // shrinks from Σ|A|·|B| expanded pairs to one row per class pair.
+    val (members, repPairs) = classPairs(df, textCol, idCol, threshold,
+      k = 32, bands = bands)
+    val edges = repPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(members.where(col("doc") =!= col("rep"))
+        .select(col("doc").as("src"), col("rep").as("dst")))
     val nodes = df.select(col(idCol).as("id"))
     connectedComponents(nodes, edges)
       .select(col("id").as(idCol), col("comp").as("cluster_rep"),
