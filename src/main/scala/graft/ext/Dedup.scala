@@ -31,6 +31,25 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental-ingestion dedup: of a new batch, keep one representative
+    * per content that does NOT already exist in the corpus. The anti-join
+    * runs on 32-byte content hashes (the existing side is pre-distinct so
+    * its exchange carries one row per distinct content, not per document),
+    * then [[exact]] collapses the survivors — the daily-ingest shape of a
+    * 100 TB pipeline, where `existing` is yesterday's hash manifest.
+    */
+  def incrementalNew(newDocs: DataFrame, existing: DataFrame,
+                     textCol: String, idCol: String): DataFrame = {
+    val known = existing
+      .select(sha2(col(textCol), 256).as("content_hash")).distinct()
+    val fresh = newDocs
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .join(known, Seq("content_hash"), "left_anti")
+    fresh.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Deterministic affine hash family over xxhash64 token hashes:

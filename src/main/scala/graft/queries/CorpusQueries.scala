@@ -27,8 +27,28 @@ object CorpusQueries {
         docs.where(col("split") === "test"),
         "text", "doc_id", n = 5, minShared = 1)
         .orderBy("eval_id", "train_id")
+    }),
+
+    "q55_stream_quality_gate" -> ((s, d) =>
+      // the text/corpus expressions under a REAL streaming query — same
+      // columns, same results as the batch dual (stateless append mode)
+      graft.streaming.DocumentStreams.qualityGate(s, d, stopwords)
+        .orderBy("doc_id")),
+
+    "q56_dedup_incremental" -> ((s, d) => {
+      // daily-ingest shape: new batch anti-joined against the existing
+      // corpus manifest by content hash, then collapsed to keepers
+      val docs = t(s, d, "documents")
+      graft.ext.Dedup.incrementalNew(
+        docs.where(pmod(col("doc_id"), lit(10)) >= 6),
+        docs.where(pmod(col("doc_id"), lit(10)) < 6),
+        "text", "doc_id")
+        .orderBy("keeper_id")
     })
   )
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopListSql = stopwords.map(s => s"'$s'").mkString(", ")
 
   /** q23's rolling fingerprint fold, reused for the split bucket. */
   private val fpFold =
@@ -68,6 +88,37 @@ object CorpusQueries {
           FROM tk JOIN eg USING (gr)
           GROUP BY eval_id, train_id
           HAVING count(*) >= 1
-          ORDER BY eval_id, train_id"""
+          ORDER BY eval_id, train_id""",
+
+    "q55_stream_quality_gate" ->
+      s"""WITH b AS (
+            SELECT doc_id, text, string_split(text, ' ') AS toks,
+                   length(text) AS nc
+            FROM documents),
+          m AS (
+            SELECT doc_id, text,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+                   CAST(len(list_filter(toks, x -> x IN ($stopListSql))) AS DOUBLE)
+                     / len(toks) AS stop_ratio,
+                   CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) AS mtl
+            FROM b),
+          sc AS (
+            SELECT doc_id, text,
+                   ttr * 0.5 + (1.0 - stop_ratio) * 0.3 +
+                   (CASE WHEN mtl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+                     AS quality
+            FROM m)
+          SELECT doc_id, quality,
+                 CASE WHEN $fpFold % 100 < 80 THEN 'train'
+                      WHEN $fpFold % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM sc WHERE quality >= 0.8 ORDER BY doc_id""",
+
+    "q56_dedup_incremental" ->
+      """WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 >= 6),
+          ex AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 < 6)
+          SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+          FROM newd WHERE text NOT IN (SELECT text FROM ex)
+          GROUP BY text ORDER BY keeper_id"""
   )
 }

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import graft.ext.{Corpus, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the documents table: the ingestion-side dual
+  * of the batch text/corpus operators. A training-data pipeline ingests
+  * continuously; quality gating and split assignment are pure per-row
+  * expressions, so the SAME column definitions run batch or streaming with
+  * bit-identical results — this module exists to prove that property under
+  * a real streaming query (stateless map/filter, append mode, zero state).
+  */
+object DocumentStreams {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming quality gate + split assignment: score each arriving doc,
+    * drop low-quality rows, label the survivors train/val/test. Stateless →
+    * append mode needs no watermark, and at 100 TB/day this plan is a pure
+    * map over the ingest stream (the shuffle count is zero).
+    */
+  def qualityGate(spark: SparkSession, sfDir: String,
+                  stopwords: Seq[String], minQuality: Double = 0.8,
+                  queryName: String = "graft_stream_quality"): DataFrame = {
+    val docs = spark.readStream.schema(docSchema).parquet(s"$sfDir/documents.*")
+    val gated = Corpus.splitAssign(
+      docs.select(col("doc_id"), col("text"),
+        TextAnalysis.qualityScore(col("text"), stopwords).as("quality"))
+        .where(col("quality") >= minQuality),
+      "text")
+      .select(col("doc_id"), col("quality"), col("split"))
+    val q = gated.writeStream
+      .outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+}

@@ -75,6 +75,19 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.keys.flatMap(p => Seq(p._1, p._2)).forall(_ <= 3L))
   }
 
+  test("incrementalNew drops known contents, collapses the new batch") {
+    val existing = Seq((1L, "previously ingested content"),
+      (2L, "other old content")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "previously ingested content"), // known → dropped
+      (11L, "genuinely new content"),
+      (12L, "genuinely new content")) // in-batch dup → one keeper
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(fresh, existing, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(11L -> 2L))
+  }
+
   test("simhash with the portable hasher keeps the planted-dup contract") {
     val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
       maxHamming = 7, chunks = 8,
