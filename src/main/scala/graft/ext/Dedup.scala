@@ -86,9 +86,26 @@ object Dedup {
       params.map(_._1).toArray, params.map(_._2).toArray, MinhashP)
   }
 
-  /** MinHash+LSH near-dup pairs: band the signature, equi-join on
-    * (band, bandKey) for candidates, verify with exact Jaccard over the
-    * distinct-token sets, keep pairs ≥ threshold.
+  /** Exact-collapse of identical token sets: (seth = xxhash64 of the sorted
+    * distinct token-hash array, doc, rep = min doc of the class). The
+    * exchange carries only (8-byte seth, doc id) — token arrays never move.
+    * Identical sets have identical Jaccard against EVERYTHING, so every
+    * pair-level computation downstream only needs one representative per
+    * class; real corpora are heavily exact-duplicated, and collision work
+    * in a banded self-join is quadratic in class size, so collapsing first
+    * is the single biggest lever on a duplicate-dense 100 TB corpus.
+    * Null-token docs are excluded (they must never pair).
+    */
+  private[ext] def exactClasses(docs: DataFrame): DataFrame =
+    docs.where(col("toks").isNotNull)
+      .select(xxhash64(col("toks")).as("seth"), col("doc"))
+      .withColumn("rep", min(col("doc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("seth")))
+
+  /** Verified near-dup pairs among the given (doc, toks) relation: band
+    * the signature, equi-join on (band, bandKey) for candidates, verify
+    * with exact Jaccard over the distinct-token sets, keep pairs ≥
+    * threshold.
     *
     * Banding: k hashes split into `bands` rows of k/bands; a pair collides
     * if ANY band matches — with k=32, bands=8 (r=4) the candidate recall at
@@ -110,25 +127,6 @@ object Dedup {
     *  4. only then are the token-hash sets joined back (shuffle keyed on
     *     doc id, proportional to surviving candidates) for one exact
     *     Jaccard evaluation per unique pair.
-    */
-  /** Exact-collapse of identical token sets: (seth = xxhash64 of the sorted
-    * distinct token-hash array, doc, rep = min doc of the class). The
-    * exchange carries only (8-byte seth, doc id) — token arrays never move.
-    * Identical sets have identical Jaccard against EVERYTHING, so every
-    * pair-level computation downstream only needs one representative per
-    * class; real corpora are heavily exact-duplicated, and collision work
-    * in a banded self-join is quadratic in class size, so collapsing first
-    * is the single biggest lever on a duplicate-dense 100 TB corpus.
-    * Null-token docs are excluded (they must never pair).
-    */
-  private[ext] def exactClasses(docs: DataFrame): DataFrame =
-    docs.where(col("toks").isNotNull)
-      .select(xxhash64(col("toks")).as("seth"), col("doc"))
-      .withColumn("rep", min(col("doc")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("seth")))
-
-  /** Verified near-dup pairs among the given (doc, toks) relation — the
-    * banded-LSH candidate stage + exact-Jaccard verify, no collapse.
     */
   private def verifiedPairs(docs: DataFrame, threshold: Double,
                             k: Int, bands: Int): DataFrame = {
