@@ -54,8 +54,10 @@ object TextQueries {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.select("doc_id", "token").distinct()
-        .groupBy("token").agg(count(lit(1)).as("df"))
+      // tf already holds one row per distinct (doc, token): df is a
+      // reaggregation of it — no second explode + distinct pass over the
+      // corpus, and the agg input is already exchange-partitioned
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("token"))
       tf.join(dfreq, Seq("token"))
