@@ -103,6 +103,35 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaEmbeddingSchema)
   }
 
+  /** Output schema of the resize stage. */
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("out_width", IntegerType, nullable = false),
+    StructField("out_height", IntegerType, nullable = false)))
+
+  /** Fit-in-box resize: scale = min(maxW/w, maxH/h, 1) (never upscale),
+    * output dims floor(dim·scale). The pixel resampling itself is part of
+    * the decode stub; the DIMENSION arithmetic — what a pipeline filters
+    * and bins on — is real, deterministic double math, and the stage keeps
+    * the same mapPartitions batch shape as [[decodeMedia]] (a real
+    * resampler amortizes its buffers per partition).
+    */
+  def resizeMedia(spark: SparkSession, blobs: DataFrame,
+                  maxW: Int = 128, maxH: Int = 128): DataFrame = {
+    val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (_, w, h, _) = fakeDecode(bytes)
+        val scale = math.min(math.min(maxW.toDouble / w, maxH.toDouble / h), 1.0)
+        Row(id, w, h, math.floor(w * scale).toInt, math.floor(h * scale).toInt)
+      }
+    }
+    spark.createDataFrame(rdd, resizeSchema)
+  }
+
   /** Frame-sample stub: emits `everyN`-th chunk offsets of a blob, the
     * shape of video frame sampling (one row per sampled frame).
     */

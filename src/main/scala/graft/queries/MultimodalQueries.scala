@@ -28,6 +28,14 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    "q57_multimodal_resize" -> ((s, d) => {
+      // fit-in-box resize over the decoded dims; the dimension arithmetic
+      // (pure doubles on length(text)-derived dims) is oracle-replayable
+      val blobs = Multimodal.withFakeBlob(t(s, d, "documents"), "text")
+      Multimodal.resizeMedia(s, blobs, maxW = 96, maxH = 112)
+        .orderBy("doc_id")
+    }),
+
     "q52_multimodal_embed_ann" -> ((s, d) => {
       // end-to-end modality pipeline: blob -> batched stub encoder
       // (mapPartitions) -> embedding column -> LSH-bucketed near-dup pairs.
@@ -103,6 +111,21 @@ object MultimodalQueries {
          FROM (SELECT doc_id, n, unnest(range(0, n_frames)) AS i FROM f)
          WHERE i % 4 = 0
          ORDER BY doc_id, frame_idx""",
+
+    "q57_multimodal_resize" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(64 + length(text) % 128 AS INTEGER) AS width,
+                  CAST(64 + (length(text) // 2) % 128 AS INTEGER) AS height
+           FROM documents),
+         s AS (
+           SELECT doc_id, width, height,
+                  LEAST(96.0 / width, 112.0 / height, 1.0) AS scale
+           FROM d)
+         SELECT doc_id, width, height,
+                CAST(floor(width * scale) AS INTEGER) AS out_width,
+                CAST(floor(height * scale) AS INTEGER) AS out_height
+         FROM s ORDER BY doc_id""",
 
     "q52_multimodal_embed_ann" ->
       s"""WITH v AS ($mediaVectors),

@@ -44,6 +44,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("resizeMedia fits the box, preserves aspect, never upscales") {
+    val docs = Seq((1L, "x" * 100), (2L, "y" * 3)).toDF("doc_id", "text")
+    // n=100 → w=164, h=114; n=3 → w=67, h=65
+    val out = Multimodal.resizeMedia(spark,
+        Multimodal.withFakeBlob(docs, "text"), maxW = 82, maxH = 82)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    val (w1, h1, ow1, oh1) = out(1L)
+    assert((w1, h1) == (164, 114))
+    assert(ow1 <= 82 && oh1 <= 82)
+    // aspect preserved within floor rounding: scale chosen by the W side
+    assert(ow1 == 82 && oh1 == math.floor(114 * (82.0 / 164)).toInt)
+    val (_, _, ow2, oh2) = out(2L)
+    assert(ow2 <= 67 && oh2 <= 65, "small image must never upscale")
+  }
+
   test("sampleFrames emits every Nth chunk with its offset") {
     val docs = Seq((1L, "aabbccddee")).toDF("doc_id", "text") // 5 chunks of 2
     val out = Multimodal.sampleFrames(
