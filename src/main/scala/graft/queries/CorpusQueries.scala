@@ -35,6 +35,13 @@ object CorpusQueries {
       graft.streaming.DocumentStreams.qualityGate(s, d, stopwords)
         .orderBy("doc_id")),
 
+    "q58_stream_dedup" -> ((s, d) =>
+      // stateful streaming dedup, state bounded by the ingest watermark;
+      // the emitted hash SET is deterministic (which row carried it isn't,
+      // so only the hash column leaves the operator)
+      graft.streaming.DocumentStreams.streamingDedup(s, d)
+        .orderBy("content_hash")),
+
     "q56_dedup_incremental" -> ((s, d) => {
       // daily-ingest shape: new batch anti-joined against the existing
       // corpus manifest by content hash, then collapsed to keepers
@@ -113,6 +120,10 @@ object CorpusQueries {
                       WHEN $fpFold % 100 < 90 THEN 'val'
                       ELSE 'test' END AS split
           FROM sc WHERE quality >= 0.8 ORDER BY doc_id""",
+
+    "q58_stream_dedup" ->
+      """SELECT DISTINCT sha256(text) AS content_hash FROM documents
+         ORDER BY content_hash""",
 
     "q56_dedup_incremental" ->
       """WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 >= 6),

@@ -41,4 +41,29 @@ object DocumentStreams {
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
+
+  /** Streaming exact-dedup with BOUNDED state: each distinct content hash
+    * is emitted once; `dropDuplicatesWithinWatermark` keyed on the 32-byte
+    * hash lets the state store evict keys once the ingest-time watermark
+    * passes them — the property that makes continuous dedup survive an
+    * unbounded stream (a plain `dropDuplicates` keeps every key forever).
+    * Only the hash is emitted: WHICH physical row carried it first is
+    * arrival-order-dependent, the hash set itself is deterministic.
+    */
+  def streamingDedup(spark: SparkSession, sfDir: String,
+                     queryName: String = "graft_stream_dedup"): DataFrame = {
+    val docs = spark.readStream.schema(docSchema).parquet(s"$sfDir/documents.*")
+    val hashed = docs
+      .select(sha2(col("text"), 256).as("content_hash"),
+        current_timestamp().as("ingest_ts"))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("content_hash"))
+    val q = hashed.writeStream
+      .outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
 }
