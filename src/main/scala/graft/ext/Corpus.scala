@@ -61,12 +61,16 @@ object Corpus {
       df.select(col(idCol).as(side),
           explode(gramHashes(col(textCol), n)).as("g"))
     val trainGrams = grams(train, "train_id")
-    // stop-gram cap: df computed on the train side only (one agg), applied
-    // to both sides of the join via the inner join itself
+    // stop-gram cap via the HEAVY-HITTER list: df per gram is a skew-safe
+    // partial-agged groupBy (a window over partitionBy(g) would funnel the
+    // exact mega-df gram the cap targets into one task), and only grams
+    // ABOVE the cap survive the filter — a relation tiny by construction
+    // at any corpus size, so the exclusion is a broadcast anti-join
+    val stopGrams = trainGrams.groupBy("g")
+      .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
+      .select(col("g"))
     val keptTrain = trainGrams
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("g")))
-      .where(col("df") <= maxDf).drop("df")
+      .join(broadcast(stopGrams), Seq("g"), "left_anti")
     keptTrain.join(grams(eval_, "eval_id"), Seq("g"))
       .groupBy("eval_id", "train_id")
       .agg(count(lit(1)).as("n_shared"))
