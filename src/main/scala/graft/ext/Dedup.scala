@@ -96,11 +96,15 @@ object Dedup {
     * is the single biggest lever on a duplicate-dense 100 TB corpus.
     * Null-token docs are excluded (they must never pair).
     */
-  private[ext] def exactClasses(docs: DataFrame): DataFrame =
-    docs.where(col("toks").isNotNull)
+  private[ext] def exactClasses(docs: DataFrame): DataFrame = {
+    val slim = docs.where(col("toks").isNotNull)
       .select(xxhash64(col("toks")).as("seth"), col("doc"))
-      .withColumn("rep", min(col("doc")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("seth")))
+    // rep via groupBy + join back, NOT a window over partitionBy(seth): a
+    // mega-class (1M copies of one boilerplate page) is a single window
+    // partition = a single task, while the groupBy partial-aggregates
+    // map-side and AQE skew-splits the join's oversized partition
+    slim.join(slim.groupBy("seth").agg(min(col("doc")).as("rep")), Seq("seth"))
+  }
 
   /** Verified near-dup pairs among the given (doc, toks) relation: band
     * the signature, equi-join on (band, bandKey) for candidates, verify
@@ -278,23 +282,27 @@ object Dedup {
     var converged = false
     var it = 0
     // Both star steps need min-over-neighborhood alongside every edge row.
-    // A groupBy+self-join computes it in 3 exchanges (partial-agg, then both
-    // join legs re-exchanged); an unbounded window min over partitionBy(u)
-    // is ONE exchange + a per-key scan — per round that halves the shuffles,
-    // and at 100 TB shuffle bytes are the round cost.
-    val perU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    // That min comes from a groupBy + join back, NOT a window over
+    // partitionBy(u): near-dup graphs GUARANTEE hub nodes (a component
+    // root accumulates its whole cluster as neighbors), and a hub's window
+    // partition is one task doing the whole cluster, while the groupBy
+    // partial-aggregates map-side (one row per key per map task) and the
+    // join's oversized hub partition is AQE-skew-splittable. One more
+    // exchange per star, but the exchange that skew can't kill.
     while (!converged && it < maxIter) {
       // large-star: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
       // No dedup here — duplicate (v, m) rows pass through to the single
       // distinct below; one fewer exchange beats early dedup at any scale
       // where duplicates are a minority (they are: one per shared-min pair).
       val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val ls = bidir.withColumn("mn", min(col("v")).over(perU))
+      val lsMins = bidir.groupBy("u").agg(min(col("v")).as("mn"))
+      val ls = bidir.join(lsMins, Seq("u"))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
       // small-star: m = min of u's (all smaller) neighbors; u and every
       // neighbor except m re-point at m
-      val withMin = ls.withColumn("mn", min(col("v")).over(perU))
+      val ssMins = ls.groupBy("u").agg(min(col("v")).as("mn"))
+      val withMin = ls.join(ssMins, Seq("u"))
       val ssRaw = withMin.where(col("v") =!= col("mn"))
         .select(col("v").as("u"), col("mn").as("v"))
         .union(withMin.select(col("u"), col("mn").as("v")))
