@@ -37,6 +37,24 @@ object Corpus {
           .otherwise(lit("test")))
   }
 
+  /** Deterministic source-mixture sampling: keep each document with its
+    * source's configured rate, decided by content fingerprint bucket (no
+    * RNG, no global coordination, stable under re-partitioning — the same
+    * guarantees as [[splitAssign]]). This is how a training mix
+    * downweights a crawl and upweights curated sources; rates are exact
+    * per-mille fractions so the decision is integer arithmetic. Sources
+    * absent from `ratesPerMille` keep `defaultPerMille`. Zero shuffle: a
+    * broadcast map lookup plus a comparison per row.
+    */
+  def mixtureSample(df: DataFrame, textCol: String, sourceCol: String,
+                    ratesPerMille: Map[String, Int],
+                    defaultPerMille: Int = 1000): DataFrame = {
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (src, r)) => when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    df.where(pmod(TextAnalysis.fingerprint(col(textCol)), lit(1000L)) < rate)
+  }
+
   /** Distinct word n-gram hashes per document (xxhash64 of the gram text:
     * the downstream join only needs gram EQUALITY, and 8-byte keys beat
     * ~9-token strings through a 100 TB shuffle; collision odds 2⁻⁶⁴ per

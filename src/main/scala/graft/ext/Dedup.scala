@@ -134,6 +134,9 @@ object Dedup {
     */
   private def verifiedPairs(docs: DataFrame, threshold: Double,
                             k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide the signature length ($k) — a remainder " +
+        "would silently drop the trailing hashes from every band key")
     val r = k / bands
     // `sig` is referenced by all `bands` slices below: keeping it as its own
     // projection stops CollapseProject from inlining (and so re-computing)

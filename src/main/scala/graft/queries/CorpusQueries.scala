@@ -35,6 +35,14 @@ object CorpusQueries {
       graft.streaming.DocumentStreams.qualityGate(s, d, stopwords)
         .orderBy("doc_id")),
 
+    "q59_mixture_sample" -> ((s, d) =>
+      // training-mix weighting: downsample two crawl-ish sources, keep the
+      // rest whole; decision is the content fingerprint's per-mille bucket
+      Corpus.mixtureSample(t(s, d, "documents"), "text", "source",
+        ratesPerMille = Map("src0" -> 250, "src1" -> 500))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     "q58_stream_dedup" -> ((s, d) =>
       // stateful streaming dedup, state bounded by the ingest watermark;
       // the emitted hash SET is deterministic (which row carried it isn't,
@@ -120,6 +128,13 @@ object CorpusQueries {
                       WHEN $fpFold % 100 < 90 THEN 'val'
                       ELSE 'test' END AS split
           FROM sc WHERE quality >= 0.8 ORDER BY doc_id""",
+
+    "q59_mixture_sample" ->
+      s"""SELECT doc_id, source FROM
+          (SELECT doc_id, source, $fpFold % 1000 AS b FROM documents)
+          WHERE b < (CASE source WHEN 'src0' THEN 250
+                                 WHEN 'src1' THEN 500 ELSE 1000 END)
+          ORDER BY doc_id""",
 
     "q58_stream_dedup" ->
       """SELECT DISTINCT sha256(text) AS content_hash FROM documents

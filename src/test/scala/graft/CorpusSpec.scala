@@ -36,6 +36,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.size == 200)
   }
 
+  test("mixtureSample keeps configured per-source fractions, deterministically") {
+    val df = (docs.map { case (id, tx) => (id, tx, "web") } ++
+      docs.map { case (id, tx) => (id + 1000L, tx + " curated", "books") })
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.mixtureSample(df, "text", "source",
+      ratesPerMille = Map("web" -> 300), defaultPerMille = 1000)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    // unconfigured source keeps everything
+    assert(out.count(_._2 == "books") == 200)
+    // configured source keeps roughly its rate (fingerprint buckets)
+    val kept = out.count(_._2 == "web")
+    assert(kept > 200 * 0.15 && kept < 200 * 0.45, s"kept=$kept of 200")
+    // deterministic: same input → same kept set
+    val again = Corpus.mixtureSample(df.repartition(5), "text", "source",
+      ratesPerMille = Map("web" -> 300), defaultPerMille = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+  }
+
   test("decontaminate finds a planted leak with the exact shared-gram count") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
