@@ -269,19 +269,35 @@ object Dedup {
       System.err.println(f"[cc] $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
       t0 = System.nanoTime()
     }
-    var e = edges
-      .select(greatest(col("src"), col("dst")).as("u"),
-        least(col("src"), col("dst")).as("v"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint()
-    lap("edges+checkpoint")
     // set certificate: (edge count, Σ xxhash64(u,v) as decimal — overflow-
     // free at any edge count). Equal certificates ⇒ the round was a no-op
     // ⇒ stars formed (the star state is the contraction's unique fixpoint).
-    def certificate(df: DataFrame): String =
-      df.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head().mkString("|")
-    var prev = certificate(e)
-    lap("cert0")
+    // The certificate rides the checkpoint's own materialization job as
+    // observe() metrics — no separate per-round aggregate job; the
+    // standalone aggregate stays as a fallback if metrics don't surface.
+    def certNames = Seq("cc_n", "cc_s")
+    def certExprs = Seq(count(lit(1)).as("cc_n"),
+      sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("cc_s"))
+    def checkpointWithCert(df: DataFrame): (DataFrame, String) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, certExprs.head, certExprs.tail: _*)
+        .localCheckpoint()
+      val cert = try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val m = Await.result(Future(obs.get), 60.seconds)
+        certNames.map(m(_)).mkString("|")
+      } catch { case _: java.util.concurrent.TimeoutException =>
+        out.agg(certExprs.head, certExprs.tail: _*).head().mkString("|")
+      }
+      (out, cert)
+    }
+    var (e, prev) = checkpointWithCert(edges
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct())
+    lap("edges+checkpoint+cert0")
     var converged = false
     var it = 0
     // Both star steps need min-over-neighborhood alongside every edge row.
@@ -310,10 +326,9 @@ object Dedup {
         .select(col("v").as("u"), col("mn").as("v"))
         .union(withMin.select(col("u"), col("mn").as("v")))
         .distinct()
-      // EAGER checkpoint: materializes this round AND truncates lineage
-      val ss = ssRaw.localCheckpoint()
-      // certificate agg reads the checkpointed blocks — no recompute
-      val cert = certificate(ss)
+      // EAGER checkpoint: materializes this round AND truncates lineage;
+      // the convergence certificate rides the same job via observe()
+      val (ss, cert) = checkpointWithCert(ssRaw)
       converged = cert == prev
       prev = cert
       e.unpersist()
