@@ -110,9 +110,11 @@ object EventStreams {
     try {
       q.processAllAvailable() // batch 1: real events aggregate into state
       addSentinel(0, days = 30)
-      q.processAllAvailable() // batch 2: watermark jumps +30d
-      addSentinel(1, days = 60)
-      q.processAllAvailable() // batch 3: every real window closes + appends
+      // batch 2 ingests the sentinel and advances the watermark; the
+      // engine's no-data micro-batch (noDataMicroBatches, on by default)
+      // then closes and appends every real window without a second
+      // sentinel — processAllAvailable blocks through both
+      q.processAllAvailable()
     } finally {
       q.stop()
       // the memory sink holds materialized rows — the staging dir is dead
