@@ -144,11 +144,13 @@ object TextAnalysis {
     * (acc < p=1e9+7, so acc*31+term < 2^63), and SQL-expressible for the
     * oracle. For collision-grade fingerprints compose with xxhash64; this
     * keeps the rolling structure portable.
+    *
+    * Computed by the codegen'd [[graft.functions.TextExpressions]]
+    * expression (one pass over the UTF-8 bytes): the composable
+    * `aggregate(transform(split(...)))` form is a CodegenFallback HOF
+    * chain costing two interpreted lambdas per token per row, and this
+    * fingerprint keys split/sampling decisions over the whole corpus.
     */
-  def fingerprint(text: Column): Column = {
-    val p = lit(1000000007L)
-    val termHash = transform(tokens(text),
-      t => ascii(substring(t, 1, 1)).cast("long") * 100L + length(t))
-    aggregate(termHash, lit(0L), (acc, h) => (acc * 31L + h) % p)
-  }
+  def fingerprint(text: Column): Column =
+    graft.functions.TextExpressions.rollingFingerprint(text)
 }

@@ -21,7 +21,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => DotProduct(es.head, es(1))),
     (FunctionIdentifier("graft_sorted_set_jaccard"),
       new ExpressionInfo(classOf[SortedSetJaccard].getName, "graft_sorted_set_jaccard"),
-      (es: Seq[Expression]) => SortedSetJaccard(es.head, es(1))))
+      (es: Seq[Expression]) => SortedSetJaccard(es.head, es(1))),
+    (FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint"),
+      (es: Seq[Expression]) => RollingFingerprint(es.head)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

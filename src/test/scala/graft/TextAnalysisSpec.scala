@@ -71,4 +71,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(0) != got(1))
     assert(got.forall(f => f >= 0 && f < 1000000007L))
   }
+
+  test("native fingerprint == composable HOF form on every tricky shape") {
+    // the codegen'd byte-walk must agree with the reference expression it
+    // replaced: empty string, single token, trailing/consecutive spaces
+    // (split keeps empty tokens), and 2- and 3-byte UTF-8 first chars
+    val cases = Seq("", "x", "hello world", "trailing space ", " leading",
+      "two  spaces", "käse straße", "東京 大阪", "mixed ascii 東 tail", "   ")
+    val df = cases.toDF("t")
+    val composable = {
+      val p = lit(1000000007L)
+      val termHash = transform(split(col("t"), " "),
+        t => ascii(substring(t, 1, 1)).cast("long") * 100L + length(t))
+      aggregate(termHash, lit(0L), (acc, h) => (acc * 31L + h) % p)
+    }
+    val rows = df.select(TextAnalysis.fingerprint(col("t")).as("native"),
+      composable.as("hof")).as[(Long, Long)].collect()
+    cases.zip(rows).foreach { case (s, (n, h)) =>
+      assert(n == h, s"mismatch on '$s': native=$n hof=$h")
+    }
+  }
 }
