@@ -97,18 +97,14 @@ object TextAnalysis {
     graft.functions.SetExpressions.featureHashCounts(
       transform(tokens(text), t => xxhash64(t)), dim)
 
-  /** SQL-portable token hash: fold (acc·31 + ascii(char)) mod p over the
+  /** SQL-portable token hash: fold (acc·31 + codepoint) mod p over the
     * token's characters, p = 1e9+7 — the same rolling structure as
-    * [[fingerprint]], kept in [0, p) so acc·31 + 255 never overflows a
-    * long. Character access is by position (`sequence` + `substring`), not
-    * `split(t, "")`, because regex-split keeps a trailing empty string that
-    * external engines' char-splits drop.
+    * [[fingerprint]], kept in [0, p) so acc·31 + cp never overflows a
+    * long. Computed by the codegen'd CharFold expression; oracle engines
+    * replay it as a per-character `ascii(substr(...))` fold.
     */
   def portableTokenHash(tok: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(tok)),
-        i => ascii(substring(tok, i, lit(1))).cast("long")),
-      lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
+    graft.functions.TextExpressions.charFold(tok, 31L, 1000000007L)
 
   /** [[hashEmbedding]] over [[portableTokenHash]] instead of xxhash64:
     * identical vector semantics (slot = hash mod dim, value = token count),
@@ -130,13 +126,9 @@ object TextAnalysis {
     * full 64-bit surface is needed; same tradeoff as
     * [[portableHashEmbedding]] — production callers keep xxhash64.
     */
-  def portableTokenHash64(tok: Column): Column = {
-    val h2 = aggregate(
-      transform(sequence(lit(1), length(tok)),
-        i => ascii(substring(tok, i, lit(1))).cast("long")),
-      lit(0L), (acc, c) => (acc * 131L + c) % 998244353L)
-    portableTokenHash(tok) * lit(2147483648L) + h2
-  }
+  def portableTokenHash64(tok: Column): Column =
+    portableTokenHash(tok) * lit(2147483648L) +
+      graft.functions.TextExpressions.charFold(tok, 131L, 998244353L)
 
   /** Rolling-hash document fingerprint: fold (acc*31 + termHash) mod p over
     * tokens, where termHash = ascii(first char)*100 + len. Order-sensitive

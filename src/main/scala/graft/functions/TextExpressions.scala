@@ -72,6 +72,64 @@ object TextExpressions {
 
   def rollingFingerprint(text: Column): Column =
     GraftSqlBridge.column(RollingFingerprint(GraftSqlBridge.expression(text)))
+
+  /** One-pass polynomial char fold (acc·base + codepoint) mod p; static so
+    * generated code calls it directly. Matches the composable
+    * `aggregate(transform(sequence…, ascii(substring…)))` form exactly,
+    * including the empty-string → 0 case.
+    */
+  def charFoldBytes(s: UTF8String, base: Long, mod: Long): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val b0 = bytes(i) & 0xff
+      var cp = b0
+      var step = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xe0) == 0xc0 && i + 1 < n) {
+          cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); step = 2
+        } else if ((b0 & 0xf0) == 0xe0 && i + 2 < n) {
+          cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+            (bytes(i + 2) & 0x3f); step = 3
+        } else if ((b0 & 0xf8) == 0xf0 && i + 3 < n) {
+          cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+            ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); step = 4
+        }
+      }
+      acc = (acc * base + cp) % mod
+      i += step
+    }
+    acc
+  }
+
+  def charFold(tok: Column, base: Long, mod: Long): Column =
+    GraftSqlBridge.column(CharFold(GraftSqlBridge.expression(tok), base, mod))
+}
+
+/** Codegen'd polynomial char fold over a string's codepoints. */
+case class CharFold(child: Expression, base: Long, mod: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_char_fold"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.charFoldBytes(input.asInstanceOf[UTF8String], base, mod)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExpressions.charFoldBytes($c, ${base}L, ${mod}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class RollingFingerprint(child: Expression) extends UnaryExpression {

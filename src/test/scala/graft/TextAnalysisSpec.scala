@@ -72,6 +72,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.forall(f => f >= 0 && f < 1000000007L))
   }
 
+  test("native charFold == composable HOF form on every tricky shape") {
+    val cases = Seq("", "x", "hello", "käse", "東京", "a東b", "straße")
+    val df = cases.toDF("t")
+    val composable = aggregate(
+      transform(sequence(lit(1), length(col("t"))),
+        i => ascii(substring(col("t"), i, lit(1))).cast("long")),
+      lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
+    val rows = df.select(
+      graft.functions.TextExpressions.charFold(col("t"), 31L, 1000000007L).as("native"),
+      composable.as("hof")).as[(Long, Long)].collect()
+    cases.zip(rows).foreach { case (s, (n, h)) =>
+      assert(n == h, s"mismatch on '$s': native=$n hof=$h")
+    }
+  }
+
   test("native fingerprint == composable HOF form on every tricky shape") {
     // the codegen'd byte-walk must agree with the reference expression it
     // replaced: empty string, single token, trailing/consecutive spaces
