@@ -50,6 +50,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents handles hub graphs (star + chain) exactly") {
+    // the shapes that stress the contraction: a high-degree hub (every
+    // leaf attached to one center) and a long chain (worst case for
+    // label propagation), sharing one node
+    val hubLeaves = (100L to 400L).map(i => (50L, i))
+    val chain = (1L to 12L).sliding(2).map(p => (p.head, p.last)).toSeq
+    val bridge = Seq((12L, 50L)) // chain joins the hub's component
+    val loners = Seq(900L, 901L)
+    val nodes = (hubLeaves.flatMap(e => Seq(e._1, e._2)) ++
+      chain.flatMap(e => Seq(e._1, e._2)) ++ loners).distinct.toDF("id")
+    val edges = (hubLeaves ++ chain ++ bridge).toDF("src", "dst")
+    val out = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out(50L) == 1L && out(400L) == 1L && out(12L) == 1L)
+    assert(out(900L) == 900L && out(901L) == 901L)
+    assert(out.values.toSet == Set(1L, 900L, 901L))
+  }
+
   test("connectedComponents == union-find on random graphs") {
     val rnd = new scala.util.Random(53)
     for (trial <- 1 to 6) {
