@@ -205,6 +205,12 @@ object Dedup {
     * cross-class pairs inherit the class-pair Jaccard (identical sets ⇒
     * identical Jaccard), within-class pairs are 1.0 by construction. The
     * expansion joins carry only ids and one double.
+    *
+    * The PAIRS contract is inherently quadratic in duplicate-class size
+    * (a 1M-copy class owes 5·10¹¹ within-class rows); the expansion only
+    * makes that cost explicit and streamable. Callers who need GROUPS
+    * rather than pairs use [[minhashClusters]], which stays linear in
+    * members via star edges.
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.9, k: Int = 32, bands: Int = 8): DataFrame = {
