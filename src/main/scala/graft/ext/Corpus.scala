@@ -55,6 +55,27 @@ object Corpus {
     df.where(pmod(TextAnalysis.fingerprint(col(textCol)), lit(1000L)) < rate)
   }
 
+  /** Sequence packing: assign each document a pack id such that packs are
+    * filled to `budget` tokens in doc-id order WITHIN each shard column
+    * (source, split, …). pack = floor(tokens-before-this-doc / budget) —
+    * the deterministic streaming-friendly packing a training-data writer
+    * uses to emit fixed-budget sequences. Partitioned by the shard column
+    * on purpose: packing is per-output-shard by design (shards are
+    * independent training files), so the window parallelizes across
+    * shards instead of serializing the corpus through one task. A doc
+    * longer than the budget still gets its own pack(s) — the assignment
+    * is by preceding-token count, never by truncation.
+    */
+  def packSequences(df: DataFrame, textCol: String, shardCol: String,
+                    orderCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val before = coalesce(sum(TextAnalysis.tokenCount(col(textCol))).over(w), lit(0L))
+    df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("pack_id", floor(before / lit(budget)).cast("long"))
+  }
+
   /** Distinct word n-gram hashes per document (xxhash64 of the gram text:
     * the downstream join only needs gram EQUALITY, and 8-byte keys beat
     * ~9-token strings through a 100 TB shuffle; collision odds 2⁻⁶⁴ per

@@ -35,6 +35,14 @@ object CorpusQueries {
       graft.streaming.DocumentStreams.qualityGate(s, d, stopwords)
         .orderBy("doc_id")),
 
+    "q60_pack_sequences" -> ((s, d) =>
+      // fixed-token-budget packing per source shard, deterministic by
+      // doc_id order — the training-file writer's group assignment
+      Corpus.packSequences(t(s, d, "documents"), "text",
+        shardCol = "source", orderCol = "doc_id", budget = 256L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
+        .orderBy("doc_id")),
+
     "q59_mixture_sample" -> ((s, d) =>
       // training-mix weighting: downsample two crawl-ish sources, keep the
       // rest whole; decision is the content fingerprint's per-mille bucket
@@ -128,6 +136,15 @@ object CorpusQueries {
                       WHEN $fpFold % 100 < 90 THEN 'val'
                       ELSE 'test' END AS split
           FROM sc WHERE quality >= 0.8 ORDER BY doc_id""",
+
+    "q60_pack_sequences" ->
+      """SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(floor(COALESCE(sum(len(string_split(text, ' ')))
+                    OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 256.0) AS BIGINT) AS pack_id
+         FROM documents ORDER BY doc_id""",
 
     "q59_mixture_sample" ->
       s"""SELECT doc_id, source FROM

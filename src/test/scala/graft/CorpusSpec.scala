@@ -55,6 +55,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == out.map(_._1).toSet)
   }
 
+  test("packSequences fills fixed-budget packs in order, per shard") {
+    val df = Seq(
+      (1L, "a b c d", "s1"),      // 4 tokens, before=0  -> pack 0
+      (2L, "e f g", "s1"),        // 3 tokens, before=4  -> pack 0
+      (3L, "h i j k l", "s1"),    // 5 tokens, before=7  -> pack 0
+      (4L, "m n", "s1"),          // before=12 -> pack 1
+      (5L, "o p q r s t u v w x y z a2 b2", "s1"), // 14 toks, before=14 -> pack 1
+      (6L, "big doc", "s2"))      // separate shard restarts at pack 0
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.packSequences(df, "text", "source", "doc_id", budget = 10L)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 0L))
+  }
+
   test("decontaminate finds a planted leak with the exact shared-gram count") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
