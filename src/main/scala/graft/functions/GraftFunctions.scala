@@ -24,7 +24,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => SortedSetJaccard(es.head, es(1))),
     (FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint"),
-      (es: Seq[Expression]) => RollingFingerprint(es.head)))
+      (es: Seq[Expression]) => RollingFingerprint(es.head)),
+    (FunctionIdentifier("graft_char_fold"),
+      new ExpressionInfo(classOf[CharFold].getName, "graft_char_fold"),
+      (es: Seq[Expression]) => CharFold(es.head,
+        GraftSqlBridge.longLiteral(es(1)), GraftSqlBridge.longLiteral(es(2)))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

@@ -87,6 +87,20 @@ class SpecCompilerSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 0.5)
   }
 
+  test("registered SQL functions: graft_fingerprint and graft_char_fold") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_fingerprint('alpha beta') AS fp,
+                graft_char_fold('ab', 31L, 1000000007L) AS cf""").collect().head
+    // fp: fold of (97*100+5, 98*100+4) = ((0*31+9705)%p)*31+9804 = 310659
+    assert(r.getLong(0) == 310659L)
+    // cf: (0*31+97)*31+98 = 3105
+    assert(r.getLong(1) == 3105L)
+    val ex = intercept[Exception](
+      spark.sql("SELECT graft_char_fold('x', id, 7L) FROM range(1)").collect())
+    assert(ex.getMessage.contains("literal"))
+  }
+
   test("v0 spelling (fetchID/child) parses to the same structure") {
     val v0 = """[{"fetchID": {"query": "SELECT id FROM drivers",
                 "database_name": "db", "id": "id"}, "child": []}]"""
