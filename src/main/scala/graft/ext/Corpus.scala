@@ -49,6 +49,8 @@ object Corpus {
   def mixtureSample(df: DataFrame, textCol: String, sourceCol: String,
                     ratesPerMille: Map[String, Int],
                     defaultPerMille: Int = 1000): DataFrame = {
+    (ratesPerMille.values.toSeq :+ defaultPerMille).foreach(r =>
+      require(r >= 0 && r <= 1000, s"per-mille rate out of [0,1000]: $r"))
     val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) {
       case (acc, (src, r)) => when(col(sourceCol) === src, lit(r)).otherwise(acc)
     }
