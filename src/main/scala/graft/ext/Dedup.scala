@@ -494,15 +494,21 @@ object Dedup {
 
   // ---------------------------------------------------------- n-gram Jaccard
 
-  /** Distinct word n-gram shingles as an expression (n ≥ 2). */
-  def wordNgrams(text: Column, n: Int): Column = {
+  /** Word n-gram shingles in document order, repeats kept (n ≥ 2) — the
+    * multiset form repetition statistics need.
+    */
+  def rawWordNgrams(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     // guard: sequence(1, 0) would generate a DESCENDING range, not empty
     when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word n-gram shingles as an expression (n ≥ 2). */
+  def wordNgrams(text: Column, n: Int): Column =
+    array_distinct(rawWordNgrams(text, n))
 
   /** Exact n-gram Jaccard pairs within an explicit bucket column (e.g. a
     * source/partition key): the cross product is confined to buckets. At
