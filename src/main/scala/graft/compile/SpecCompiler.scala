@@ -51,14 +51,25 @@ object SpecCompiler {
 
   /** Compile one spec against tables pre-registered as temp views
     * (see [[graft.ops.Tables.registerAll]]). Returns the final projected
-    * DataFrame; entries are unioned if there are several.
+    * DataFrame; entries are unioned if there are several (requires
+    * union-compatible entry schemas — for heterogeneous entries use
+    * [[compileEntries]], the reference's actual per-entry sink shape).
     */
-  def compile(spark: SparkSession, spec: PipelineSpec): DataFrame = {
-    val compiled = spec.entries.map(compileEntry(spark, _))
-    val joined = compiled.reduce(_ union _)
-    val mapped = applyDataMapping(joined, spec.dataMapping)
-    applyOutputContract(mapped, spec.outputSchema)
-  }
+  def compile(spark: SparkSession, spec: PipelineSpec): DataFrame =
+    compileEntries(spark, spec).reduce(_ union _)
+
+  /** One fully-mapped, contract-projected frame PER entry — the reference
+    * appends each `input_data_schema` entry independently
+    * (generic_script.scala:75-78 `dataArray.foreach` → transform → write),
+    * so entries with different schemas are legal and must not be unioned.
+    * Mapping/contract are row-wise, so for union-compatible entries
+    * `compileEntries(...).reduce(union)` ≡ the union-then-map order.
+    */
+  def compileEntries(spark: SparkSession, spec: PipelineSpec): Seq[DataFrame] =
+    spec.entries.map { e =>
+      val mapped = applyDataMapping(compileEntry(spark, e), spec.dataMapping)
+      applyOutputContract(mapped, spec.outputSchema)
+    }
 
   /** fetchId → ID relation; tasks → left-deep join fold keyed on the spec's
     * join_on columns (reference join fold: generic_script.scala:149-193).
@@ -208,12 +219,21 @@ object SpecCompiler {
       when(col(b).cast(DoubleType) === 0.0, lit(0.0))
         .otherwise(col(a).cast(DoubleType) / col(b).cast(DoubleType)))
 
-  def applyDataMapping(df: DataFrame, mapping: Seq[(String, DerivedCol)]): DataFrame =
+  /** Derivations whose inputs an entry doesn't carry are skipped for that
+    * entry — the mapping document is spec-global but entries may have
+    * heterogeneous schemas when sunk per-entry (the reference reaches the
+    * same outcome through its blanket per-entry Try/Failure fallback,
+    * generic_script.scala:444-449).
+    */
+  def applyDataMapping(df: DataFrame, mapping: Seq[(String, DerivedCol)]): DataFrame = {
+    val has = df.columns.toSet
     mapping.foldLeft(df) {
       case (d, (_, NoDerivation)) => d
-      case (d, (name, AverageOf(a, b))) => deriveAverage(d, name, a, b)
-      case (d, (name, RatioOf(a, b))) => deriveRatio(d, name, a, b)
+      case (d, (name, AverageOf(a, b))) if has(a) && has(b) => deriveAverage(d, name, a, b)
+      case (d, (name, RatioOf(a, b))) if has(a) && has(b) => deriveRatio(d, name, a, b)
+      case (d, _) => d
     }
+  }
 
   /** Parse a declared type: the reference's `"IntegerType"`-style Scala
     * `toString` spellings (generic_script.scala:240), plus DDL spellings
