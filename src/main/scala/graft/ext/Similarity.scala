@@ -130,7 +130,7 @@ object Similarity {
   }
 
   /** Banded sign-LSH near-duplicate pairs: the scale path for
-    * [[cosineDupPairs]]. Same candidate-first shuffle discipline as
+    * [[cosineDupPairsExact]]. Same candidate-first shuffle discipline as
     * `Dedup.minhashPairs`: the banded self-join carries only vector ids
     * (plus the 36-bit signature both sides already have), pair uniqueness
     * is the FIRST-MATCHING-BAND rule — a collision at band b survives only
@@ -156,8 +156,11 @@ object Similarity {
     */
   def cosineDupPairsLsh(corpus: DataFrame, threshold: Double, dim: Int,
                         bitsPerBand: Int = 6, bands: Int = 6,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val planes = hyperplanes(bitsPerBand * bands, dim)
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        planes: Array[Array[Double]] = null): DataFrame = {
+    val pl = if (planes == null) hyperplanes(bitsPerBand * bands, dim) else planes
+    require(pl.length == bitsPerBand * bands,
+      s"need ${bitsPerBand * bands} planes, got ${pl.length}")
     // (id, v, nrm) feeds FOUR subtrees (mean aggregate, banding, both
     // verification join-backs); persisting stops a computed embedding column
     // (e.g. TextAnalysis.hashEmbedding) from being re-derived per consumer.
@@ -166,14 +169,23 @@ object Similarity {
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"), norm(col(vecCol)).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-plane offset dot(mean, p): one tiny aggregate, collected as consts
-    val mean = c.select(posexplode(col("v")))
-      .groupBy(col("pos")).agg(avg(col("col")).as("m"))
-      .orderBy("pos").collect().map(_.getDouble(1))
-    val offsets = planes.map(p => p.zip(mean).map { case (a, b) => a * b }.sum)
+    // RNG planes are origin-anchored, so they get mean-centered via per-plane
+    // offsets dot(mean, p) — one tiny aggregate, collected as consts. Caller-
+    // provided planes (e.g. [[samplePlanes]] differences) already adapt to
+    // the data's location AND an avg-aggregate offset is float-order
+    // sensitive, so zero offsets keep the whole machinery exactly replayable
+    // by an external oracle engine.
+    val offsets: Array[Double] =
+      if (planes != null) new Array[Double](pl.length)
+      else {
+        val mean = c.select(posexplode(col("v")))
+          .groupBy(col("pos")).agg(avg(col("col")).as("m"))
+          .orderBy("pos").collect().map(_.getDouble(1))
+        pl.map(p => p.zip(mean).map { case (a, b) => a * b }.sum)
+      }
     // one fused signature over ALL planes; band keys are bit-chunks of it
     val sigCol = graft.functions.VectorExpressions
-      .hyperplaneSignBits(col("v"), planes, offsets)
+      .hyperplaneSignBits(col("v"), pl, offsets)
     val mask = (1L << bitsPerBand) - 1
     val banded = c.select(col("id"), sigCol.as("sig"))
       .select(col("id"), col("sig"),
@@ -313,12 +325,22 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold. Brute-force
-    * within-corpus self-join here; at scale route through
-    * [[cosineDupPairsLsh]] buckets instead, same as Dedup.minhashPairs.
+  /** Exact embedding-cosine pairs above a threshold — a corpus×corpus
+    * self-join, O(n²) BY CONSTRUCTION. This is the small-corpus reference
+    * oracle (tests, eval sets), NOT the dup-pairs operator: the production
+    * contract is [[cosineDupPairsLsh]] (bucketed candidates, exact
+    * verification). The `maxRows` guard makes the quadratic boundary
+    * explicit — past it the job fails fast with the routing hint instead of
+    * melting a cluster. The guard count is one ids-only pass, noise next to
+    * the n² pair stage it protects.
     */
-  def cosineDupPairs(corpus: DataFrame, threshold: Double,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  def cosineDupPairsExact(corpus: DataFrame, threshold: Double,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          maxRows: Long = 100000L): DataFrame = {
+    val n = corpus.select(col(idCol)).count()
+    require(n <= maxRows,
+      s"cosineDupPairsExact is O(n²) and corpus has $n rows (> $maxRows); " +
+        "use cosineDupPairsLsh for the bucketed scale path")
     val a = corpus.select(col(idCol).as("id_a"),
       col(vecCol).cast("array<double>").as("v_a"),
       norm(col(vecCol)).as("n_a"))

@@ -39,9 +39,21 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
-    "q36_sim_cosine_dup" -> ((s, d) =>
-      Similarity.cosineDupPairs(t(s, d, "embeddings"), threshold = 0.4)
-        .orderBy("id_a", "id_b")),
+    // the dup-pairs CONTRACT routes through banded LSH (no corpus×corpus
+    // cartesian anywhere in the plan): candidates from a 9-band × 4-bit
+    // equi-join on sample-difference plane signatures, exact cosine
+    // verification per candidate. The oracle replays the ENTIRE banding
+    // machinery (planes, signatures, band collisions, verification), so
+    // the approximate candidate set itself is what's equality-checked —
+    // same philosophy as q37/q39. Exact brute force survives only as the
+    // guarded test oracle (cosineDupPairsExact, SimilaritySpec).
+    "q36_sim_cosine_dup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.cosineDupPairsLsh(emb, threshold = 0.4, dim = 64,
+        bitsPerBand = 4, bands = 9,
+        planes = Similarity.samplePlanes(emb, 36))
+        .orderBy("id_a", "id_b")
+    }),
 
     "q37_sim_topk_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -74,6 +86,12 @@ object SimilarityQueries {
               embedding
        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)"""
 
+  /** The 72 smallest-id vectors — q36's 36 difference planes. */
+  private val sample72 =
+    """SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS rn,
+              embedding
+       FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 72)"""
+
   val oracles: Map[String, String] = Map(
     "q35_sim_topk_bruteforce" ->
       s"""WITH e AS ($normed),
@@ -91,12 +109,39 @@ object SimilarityQueries {
           FROM ranked WHERE rank <= 10
           ORDER BY query_id, rank""",
 
+    // full replay of the banded-LSH dup-pairs machinery: 36 sample-
+    // difference planes, sign-bit signatures, a pair is a candidate iff
+    // SOME 4-bit band of the two signatures agrees, then exact cosine
+    // verification ≥ threshold — byte-for-byte the engine's candidate set
+    // (first-matching-band there only dedups; the surviving pair set is
+    // "any band agrees")
     "q36_sim_cosine_dup" ->
-      s"""WITH e AS ($normed)
+      s"""WITH e AS ($normed),
+              smp AS ($sample72),
+              pl AS (
+                SELECT a.rn // 2 AS p,
+                       list_transform(range(1, len(a.embedding) + 1),
+                         i -> CAST(a.embedding[i] AS DOUBLE)
+                              - CAST(b.embedding[i] AS DOUBLE)) AS plane
+                FROM smp a JOIN smp b ON b.rn = a.rn + 1
+                WHERE a.rn % 2 = 0),
+              sigs AS (
+                SELECT e.vec_id,
+                       SUM(CASE WHEN ${duckDot("e.embedding", "pl.plane")} > 0
+                                THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS sig
+                FROM e CROSS JOIN pl GROUP BY e.vec_id),
+              cand AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+                WHERE ${(0 until 9).map(b =>
+                  s"((a.sig >> ${4 * b}) & 15) = ((b.sig >> ${4 * b}) & 15)")
+                  .mkString(" OR ")})
           SELECT id_a, id_b, cos_sim FROM (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            SELECT c.id_a, c.id_b,
                    ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
-            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            FROM cand c
+            JOIN e a ON a.vec_id = c.id_a
+            JOIN e b ON b.vec_id = c.id_b)
           WHERE cos_sim >= 0.4
           ORDER BY id_a, id_b""",
 

@@ -54,7 +54,7 @@ object RecallCheck {
     // ---- cosineDupPairsLsh on the embeddings table vs exact cross join
     for (th <- Seq(0.8, 0.9)) {
       val emb = t(spark, sfDir, "embeddings")
-      val exactCos = Similarity.cosineDupPairs(emb, threshold = th)
+      val exactCos = Similarity.cosineDupPairsExact(emb, threshold = th)
         .select("id_a", "id_b")
       val lshCos = Similarity.cosineDupPairsLsh(emb, threshold = th, dim = 64)
         .select("id_a", "id_b")
@@ -67,7 +67,7 @@ object RecallCheck {
     // ---- q38 vectors: portable hash embedding of documents, LSH vs exact
     val pvecs = docs.select(col("doc_id").as("vec_id"),
       graft.ext.TextAnalysis.portableHashEmbedding(col("text"), 64).as("embedding"))
-    val pexact = Similarity.cosineDupPairs(pvecs, threshold = 0.98).select("id_a", "id_b")
+    val pexact = Similarity.cosineDupPairsExact(pvecs, threshold = 0.98).select("id_a", "id_b")
     val plsh = Similarity.cosineDupPairsLsh(pvecs, threshold = 0.98, dim = 64)
       .select("id_a", "id_b")
     println(s"[recall] portableEmb@0.98: exact=${pexact.count()} " +
@@ -76,7 +76,7 @@ object RecallCheck {
     // ---- q52 vectors: chunk-hash media embedding, LSH vs exact
     val blobs = graft.ext.Multimodal.withFakeBlob(docs, "text")
     val mvecs = graft.ext.Multimodal.embedMedia(spark, blobs)
-    val mexact = Similarity.cosineDupPairs(mvecs, threshold = 0.98).select("id_a", "id_b")
+    val mexact = Similarity.cosineDupPairsExact(mvecs, threshold = 0.98).select("id_a", "id_b")
     val mlsh = Similarity.cosineDupPairsLsh(mvecs, threshold = 0.98, dim = 64)
       .select("id_a", "id_b")
     println(s"[recall] mediaEmb@0.98: exact=${mexact.count()} " +

@@ -141,10 +141,10 @@ class SimilaritySpec extends AnyFunSuite {
     assert(trainedRecall >= 0.9, s"trained recall too low: $trainedRecall")
   }
 
-  test("cosineDupPairs finds planted duplicate pairs above threshold") {
+  test("cosineDupPairsExact finds planted duplicate pairs above threshold") {
     val rnd = new scala.util.Random(5)
     val v = Seq.fill(16)(rnd.nextFloat())
-    val out = Similarity.cosineDupPairs(
+    val out = Similarity.cosineDupPairsExact(
       Seq(10L -> v, 20L -> v,
         30L -> Seq.fill(16)(rnd.nextFloat() * 2 - 1),
         40L -> Seq.fill(16)(rnd.nextFloat() * 2 - 1))
@@ -152,5 +152,35 @@ class SimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out.contains((10L, 20L)))
     assert(out.forall { case (a, b) => a < b })
+  }
+
+  test("cosineDupPairsExact refuses a corpus past its quadratic guard") {
+    val big = spark.range(0, 50).select(col("id").as("vec_id"),
+      array(Seq.fill(4)(rand(42)).map(_.cast("float")): _*).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineDupPairsExact(big, threshold = 0.5, maxRows = 10)
+    }
+    assert(e.getMessage.contains("cosineDupPairsLsh"))
+  }
+
+  test("LSH dup pairs with sample planes: every emitted pair is exact-verified " +
+    "and candidates come only from band collisions") {
+    val rnd = new scala.util.Random(41)
+    val v = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
+    val corpus = ((100L -> v) +: (200L -> v) +:
+      Seq.tabulate(80)(i => (i + 1000L) -> Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val planes = Similarity.samplePlanes(corpus, 36)
+    val got = Similarity.cosineDupPairsLsh(corpus, threshold = 0.4, dim = 64,
+      bitsPerBand = 4, bands = 9, planes = planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical planted pair always collides (all 9 bands agree)
+    assert(math.abs(got((100L, 200L)) - 1.0) < 1e-12)
+    // exact verification: nothing below threshold leaks through a collision
+    assert(got.values.forall(_ >= 0.4))
+    // subset of the exact pair set, with identical scores where present
+    val exact = Similarity.cosineDupPairsExact(corpus, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { case (k, s) => assert(exact(k) == s, s"pair $k not in exact set") }
   }
 }
