@@ -281,23 +281,35 @@ object Dedup {
     // The certificate rides the checkpoint's own materialization job as
     // observe() metrics — no separate per-round aggregate job; the
     // standalone aggregate stays as a fallback if metrics don't surface.
-    def certNames = Seq("cc_n", "cc_s")
     def certExprs = Seq(count(lit(1)).as("cc_n"),
       sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("cc_s"))
+    // `localCheckpoint()` is eager, so by the time it returns the observe()
+    // metrics of its materialization job are either set or they will never
+    // be; `getRowOrEmpty` does one BOUNDED (~100 ms) wait on this thread —
+    // no helper thread to park, nothing leaked when metrics don't surface.
+    // If they don't, fall back to a standalone aggregate for this round and
+    // skip the Observation path for the rest of the process (detect-once).
     def checkpointWithCert(df: DataFrame): (DataFrame, String) = {
-      val obs = org.apache.spark.sql.Observation()
-      val out = df.observe(obs, certExprs.head, certExprs.tail: _*)
-        .localCheckpoint()
-      val cert = try {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration._
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val m = Await.result(Future(obs.get), 60.seconds)
-        certNames.map(m(_)).mkString("|")
-      } catch { case _: java.util.concurrent.TimeoutException =>
+      def aggCert(out: DataFrame): String =
         out.agg(certExprs.head, certExprs.tail: _*).head().mkString("|")
+      if (Dedup.observeMetricsBroken) {
+        val out = df.localCheckpoint()
+        (out, aggCert(out))
+      } else {
+        val obs = org.apache.spark.sql.Observation()
+        val out = df.observe(obs, certExprs.head, certExprs.tail: _*)
+          .localCheckpoint()
+        // bounded wait on THIS thread (Observation.future is the only
+        // public non-blocking-forever accessor); on timeout nothing is
+        // parked or abandoned — we just stop asking
+        scala.util.Try(scala.concurrent.Await.result(
+          obs.future, scala.concurrent.duration.Duration(2, "s"))) match {
+          case scala.util.Success(row) => (out, row.mkString("|"))
+          case scala.util.Failure(_) =>
+            Dedup.observeMetricsBroken = true
+            (out, aggCert(out))
+        }
       }
-      (out, cert)
     }
     var (e, prev) = checkpointWithCert(edges
       .select(greatest(col("src"), col("dst")).as("u"),
@@ -343,11 +355,34 @@ object Dedup {
       lap(s"round $it (converged=$converged)")
     }
     // stars point member → root; roots and isolated nodes label themselves
-    val members = e.select(col("u").as("id"), col("v").as("comp"))
+    val members0 = e.select(col("u").as("id"), col("v").as("comp"))
+    // If maxIter ended the loop before the certificate stabilized, the edge
+    // relation is a PARTIAL contraction, not yet a star forest: a node can
+    // still carry several outgoing edges, and a bare left join would emit
+    // duplicate (id, comp) rows. Collapse to min-label per node — exactly
+    // one row per node, every label a smaller node of the SAME component
+    // (contraction never crosses components) — and say so: labels may not
+    // be fully collapsed to the component minimum, so `id === comp` keeper
+    // selection can over-select until maxIter is raised.
+    val members =
+      if (converged) members0
+      else {
+        System.err.println(s"[cc] WARNING: no convergence after $maxIter " +
+          "rounds; emitting min-label partial contraction (one row per " +
+          "node, labels component-consistent but possibly non-minimal)")
+        members0.groupBy("id").agg(min(col("comp")).as("comp"))
+      }
     nodes.select(col("id"))
       .join(members, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
+
+  /** Set once when observe() metrics fail to surface after an eager
+    * checkpoint's materialization job — later [[connectedComponents]]
+    * rounds then go straight to the standalone certificate aggregate
+    * instead of re-probing (and re-waiting) every round.
+    */
+  @volatile private var observeMetricsBroken: Boolean = false
 
   /** Near-dup clustering end-to-end: n-gram Jaccard pairs as edges →
     * connected components → every document labeled with its cluster

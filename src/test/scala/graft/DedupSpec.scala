@@ -125,6 +125,24 @@ class DedupSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connectedComponents under forced non-convergence still emits one row per node") {
+    // a 12-node chain needs several star rounds; maxIter=1 guarantees the
+    // certificate never stabilizes, exercising the partial-contraction exit
+    val n = 12
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Dedup.connectedComponents(nodes, edges, maxIter = 1)
+      .as[(Long, Long)].collect()
+    assert(out.length == n, s"expected one row per node, got ${out.length}")
+    assert(out.map(_._1).distinct.length == n, "duplicate node ids emitted")
+    // labels are a valid partial contraction: strictly decreasing or self
+    assert(out.forall { case (id, comp) => comp <= id })
+    // ... and the converged run on the same graph is the full collapse
+    val full = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(full == (0L until n.toLong).map(_ -> 0L).toMap)
+  }
+
   test("dedupClusters keeps exactly one representative per near-dup cluster") {
     val docs = Seq(
       (10L, base, "web"), (11L, base, "web"), (12L, near, "web"),
