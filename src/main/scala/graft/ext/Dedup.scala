@@ -545,6 +545,26 @@ object Dedup {
   def wordNgrams(text: Column, n: Int): Column =
     array_distinct(rawWordNgrams(text, n))
 
+  /** Per-bucket salting fanout `(bucket, f)` for the bucket-scoped pair
+    * join: `f = ceil(C(count,2) / targetPairsPerTask)` clamped to
+    * [1, cap], or the forced constant when `fixed > 0`. One count
+    * aggregate over the bucket column — linear, columnar, and broadcast
+    * back (the bucket key is low-cardinality by the operator's contract).
+    */
+  private[graft] def bucketFanouts(df: DataFrame, bucketCol: String,
+                                   fixed: Int, targetPairsPerTask: Long,
+                                   cap: Int): DataFrame = {
+    val counts = df.groupBy(col(bucketCol).as("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val f =
+      if (fixed > 0) lit(fixed)
+      else least(
+        greatest(ceil(col("bn") * (col("bn") - 1) / lit(2.0 * targetPairsPerTask)),
+          lit(1)),
+        lit(cap.max(1)))
+    counts.select(col("bucket"), f.cast("int").as("f"))
+  }
+
   /** Exact n-gram Jaccard pairs within an explicit bucket column (e.g. a
     * source/partition key): the cross product is confined to buckets. At
     * 100 TB the bucket column is what bounds the join — callers pick
@@ -552,15 +572,25 @@ object Dedup {
     * for candidate generation instead.
     *
     * The bucket key is usually LOW-cardinality (a handful of sources), which
-    * would collapse the equi-join onto that many tasks. The join is salted:
-    * the left leg takes `salt = doc_id mod fanout`, the right leg is
-    * replicated across all `fanout` salts, so each bucket's cross product is
-    * spread over `fanout` independent tasks at the cost of shuffling the
-    * (small, gram-hashed) right leg `fanout` times.
+    * would collapse the equi-join onto that many tasks. The join is salted
+    * PER BUCKET: the left leg takes `salt = doc_id mod f(bucket)`, the
+    * right leg is replicated across that bucket's `f(bucket)` salts, so each
+    * bucket's cross product is spread over `f` independent tasks at the cost
+    * of shuffling the (small, gram-hashed) right leg `f` times.
+    *
+    * `fanout = 0` (the default) derives `f(bucket)` from bucket-size stats:
+    * one cheap count pre-agg, then f = ceil(pairs(bucket) /
+    * `targetPairsPerTask`), clamped to [1, shuffle width]. A dominant bucket
+    * thus gets its quadratic workload cut into target-sized tasks no matter
+    * how skewed the bucket histogram is, while small buckets pay zero
+    * replication — a FIXED fanout either under-splits the giant bucket or
+    * multiplies the small ones' shuffle volume for nothing. Positive
+    * `fanout` forces that constant for every bucket.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         bucketCol: String, n: Int = 2,
-                        threshold: Double = 0.05, fanout: Int = 8): DataFrame = {
+                        threshold: Double = 0.05, fanout: Int = 0,
+                        targetPairsPerTask: Long = 2000000L): DataFrame = {
     // Grams are hashed to sorted longs: Jaccard over 8-byte values is
     // identical (modulo 2^-64 collisions) but the within-bucket cross
     // product compares longs, not strings, and the fused merge-walk
@@ -571,17 +601,19 @@ object Dedup {
     // so the planner (and AQE, which only sees input bytes) happily runs it
     // on however few partitions the scan produced — one small parquet file
     // = one task doing every pairwise Jaccard. Spread the streamed side
-    // across the full shuffle width explicitly: (bucket, salt) has
-    // nBuckets·fanout distinct keys, each holding 1/fanout of one bucket's
-    // cross product.
+    // across the full shuffle width explicitly: (bucket, salt) keys each
+    // hold ~targetPairsPerTask of their bucket's cross product.
     val shufflePartitions =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val l = docs.select(col("bucket"),
-      pmod(col("doc"), lit(fanout)).cast("int").as("salt"),
+    val fanouts = broadcast(
+      bucketFanouts(df, bucketCol, fanout, targetPairsPerTask, shufflePartitions))
+    val salted = docs.join(fanouts, Seq("bucket"))
+    val l = salted.select(col("bucket"),
+      pmod(col("doc"), col("f")).cast("int").as("salt"),
       col("doc").as("doc_a"), col("grams").as("g_a"))
       .repartition(shufflePartitions, col("bucket"), col("salt"))
-    val rgt = docs.select(col("bucket"), col("doc").as("doc_b"), col("grams").as("g_b"))
-      .withColumn("salt", explode(sequence(lit(0), lit(fanout - 1))))
+    val rgt = salted.select(col("bucket"), col("doc").as("doc_b"), col("grams").as("g_b"),
+      explode(sequence(lit(0), col("f") - 1)).as("salt"))
     l.join(rgt, Seq("bucket", "salt"))
       .where(col("doc_a") < col("doc_b") &&
         // exact necessary condition of j ≥ t: min size ≥ t · max size

@@ -117,6 +117,34 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.keys.exists { case (_, a, b) => a == 5L || b == 5L }) // below threshold
   }
 
+  test("adaptive salting fanout scales with bucket size, small buckets pay none") {
+    // dominant bucket: 40 docs (780 pairs); minor bucket: 4 docs (6 pairs).
+    // targetPairsPerTask=100 → dominant spreads over ceil(780/100)=8 salts,
+    // minor stays at 1; the cap clamps a monster bucket to the shuffle width
+    val docs = (Seq.tabulate(40)(i => (i.toLong, s"$base tail$i", "big")) ++
+      Seq.tabulate(4)(i => ((100 + i).toLong, s"$base tail$i", "small")))
+      .toDF("doc_id", "text", "source")
+    val f = Dedup.bucketFanouts(docs, "source", fixed = 0,
+        targetPairsPerTask = 100L, cap = 64)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(f == Map("big" -> 8, "small" -> 1), s"got $f")
+    val capped = Dedup.bucketFanouts(docs, "source", fixed = 0,
+        targetPairsPerTask = 10L, cap = 16)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(capped("big") == 16, s"cap must clamp, got ${capped("big")}")
+
+    // salting is invisible in the result: adaptive == forced-constant
+    def pairSet(fanout: Int, target: Long) =
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source",
+        n = 2, threshold = 0.05, fanout = fanout, targetPairsPerTask = target)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val adaptive = pairSet(0, 100L)
+    assert(adaptive == pairSet(3, 100L))
+    assert(adaptive.nonEmpty &&
+      adaptive.forall { case (_, a, b, _) => (a < 100) == (b < 100) })
+  }
+
   test("connectedComponents: min-label clusters with singletons") {
     val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L).toDF("id")
     val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
