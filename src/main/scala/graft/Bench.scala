@@ -1,9 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point. Emits ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Contention robustness: a single timed run per query is unusable on a
+  * shared machine — two byte-identical trees benched in consecutive rounds
+  * moved one query 7.5× with zero code change. Each query therefore runs
+  * `SPARK_GRAFT_BENCH_RUNS` (default 3) times INTERLEAVED — round 1 of all
+  * queries, then round 2, then round 3 — so a transient contention event
+  * inflates at most one round of each query instead of all samples of one
+  * query. Reported per-query figure and the total are the per-query
+  * MEDIANS; min and max ship alongside so the spread is visible in the
+  * recorded artifact.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,15 +40,21 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.contains)) }
-    val results = selected.map { case (name, fn) =>
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    for (_ <- 1 to runs; (name, fn) <- selected) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jmap(f: Vector[Double] => Double) = selected
+      .map { case (n, _) => s"\"" + n + "\":" + f(samples(n)) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val med = jmap(median)
+    val mins = jmap(_.min)
+    val maxs = jmap(_.max)
+    val total = selected.map { case (n, _) => median(samples(n)) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"runs":$runs,"queries_min":$mins,"queries_max":$maxs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -546,23 +546,38 @@ object Dedup {
     array_distinct(rawWordNgrams(text, n))
 
   /** Per-bucket salting fanout `(bucket, f)` for the bucket-scoped pair
-    * join: `f = ceil(C(count,2) / targetPairsPerTask)` clamped to
-    * [1, cap], or the forced constant when `fixed > 0`. One count
-    * aggregate over the bucket column — linear, columnar, and broadcast
-    * back (the bucket key is low-cardinality by the operator's contract).
+    * join: `f = max(ceil(C(count,2) / targetPairsPerTask),
+    * ceil(cap / nBuckets))` clamped to [1, min(count, cap)], or the forced
+    * constant when `fixed > 0`. One count aggregate over the bucket
+    * column — linear, columnar, and broadcast back (the bucket key is
+    * low-cardinality by the operator's contract).
+    *
+    * The `ceil(cap / nBuckets)` term is the PARALLELISM FLOOR: demand-only
+    * fanout picks f = 1 for every bucket whose pair count is under target,
+    * which at modest scale collapses the whole quadratic pair join onto
+    * nBuckets tasks of a cap-wide shuffle. The floor spreads Σf over at
+    * least the shuffle width whenever the buckets have the rows for it —
+    * the `min(count, …)` clamp stops a tiny bucket from being replicated
+    * into salts that `pmod(id, f)` can never populate on the probe side.
     */
   private[graft] def bucketFanouts(df: DataFrame, bucketCol: String,
                                    fixed: Int, targetPairsPerTask: Long,
                                    cap: Int): DataFrame = {
     val counts = df.groupBy(col(bucketCol).as("bucket"))
       .agg(count(lit(1)).as("bn"))
-    val f =
-      if (fixed > 0) lit(fixed)
-      else least(
-        greatest(ceil(col("bn") * (col("bn") - 1) / lit(2.0 * targetPairsPerTask)),
-          lit(1)),
-        lit(cap.max(1)))
-    counts.select(col("bucket"), f.cast("int").as("f"))
+    if (fixed > 0)
+      counts.select(col("bucket"), lit(fixed).cast("int").as("f"))
+    else {
+      // whole-relation window: counts has one row per bucket (tiny by the
+      // operator's contract), so single-partition evaluation is free and
+      // saves a second scan of df that a driver-side count() would cost
+      val nBuckets = count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy())
+      val demand = ceil(col("bn") * (col("bn") - 1) / lit(2.0 * targetPairsPerTask))
+      val floor = ceil(lit(cap.max(1).toDouble) / nBuckets)
+      val f = least(greatest(demand, floor, lit(1L)), col("bn"), lit(cap.max(1).toLong))
+      counts.select(col("bucket"), greatest(f, lit(1L)).cast("int").as("f"))
+    }
   }
 
   /** Exact n-gram Jaccard pairs within an explicit bucket column (e.g. a

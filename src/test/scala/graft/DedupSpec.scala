@@ -117,21 +117,41 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.keys.exists { case (_, a, b) => a == 5L || b == 5L }) // below threshold
   }
 
-  test("adaptive salting fanout scales with bucket size, small buckets pay none") {
+  test("adaptive salting fanout scales with bucket size and floors at the shuffle width") {
     // dominant bucket: 40 docs (780 pairs); minor bucket: 4 docs (6 pairs).
-    // targetPairsPerTask=100 → dominant spreads over ceil(780/100)=8 salts,
-    // minor stays at 1; the cap clamps a monster bucket to the shuffle width
+    // cap=64 over 2 buckets → parallelism floor ceil(64/2)=32: the dominant
+    // bucket takes the floor (demand ceil(780/100)=8 < 32), the minor one is
+    // clamped to its row count (4 salts are all pmod(id,f) can populate)
     val docs = (Seq.tabulate(40)(i => (i.toLong, s"$base tail$i", "big")) ++
       Seq.tabulate(4)(i => ((100 + i).toLong, s"$base tail$i", "small")))
       .toDF("doc_id", "text", "source")
     val f = Dedup.bucketFanouts(docs, "source", fixed = 0,
         targetPairsPerTask = 100L, cap = 64)
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-    assert(f == Map("big" -> 8, "small" -> 1), s"got $f")
+    assert(f == Map("big" -> 32, "small" -> 4), s"got $f")
     val capped = Dedup.bucketFanouts(docs, "source", fixed = 0,
         targetPairsPerTask = 10L, cap = 16)
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(capped("big") == 16, s"cap must clamp, got ${capped("big")}")
+    // demand-dominant regime: enough buckets that the floor is 1 — a small
+    // bucket pays zero replication, the dominant one splits by demand alone
+    val many = (Seq.tabulate(40)(i => (i.toLong, s"$base tail$i", "big")) ++
+      Seq.tabulate(63)(i => ((1000 + i).toLong, s"$base tail$i", s"m$i")))
+      .toDF("doc_id", "text", "source")
+    val fm = Dedup.bucketFanouts(many, "source", fixed = 0,
+        targetPairsPerTask = 100L, cap = 64)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(fm("big") == 8, s"demand split, got ${fm("big")}")
+    assert(fm("m0") == 1, s"singleton bucket must not replicate, got ${fm("m0")}")
+    // floor-dominant regime (the sf0.1 shape that motivated the floor): two
+    // equal mid-size buckets, demand 1 each — Σf must still cover the width
+    val two = (Seq.tabulate(20)(i => (i.toLong, s"$base tail$i", "a")) ++
+      Seq.tabulate(20)(i => ((100 + i).toLong, s"$base tail$i", "b")))
+      .toDF("doc_id", "text", "source")
+    val ft = Dedup.bucketFanouts(two, "source", fixed = 0,
+        targetPairsPerTask = 1000L, cap = 32)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(ft == Map("a" -> 16, "b" -> 16), s"floor must spread, got $ft")
 
     // salting is invisible in the result: adaptive == forced-constant
     def pairSet(fanout: Int, target: Long) =
