@@ -67,11 +67,20 @@ object Corpus {
     * shards instead of serializing the corpus through one task. A doc
     * longer than the budget still gets its own pack(s) — the assignment
     * is by preceding-token count, never by truncation.
+    *
+    * `idCol` breaks `orderCol` ties: a running sum over an order with
+    * duplicates is only defined up to the arbitrary physical order of the
+    * tied rows, so without the tiebreak two runs of the same corpus under
+    * different partitioning can emit DIFFERENT pack assignments. With a
+    * unique id in the sort key the packing is a pure function of the data.
     */
   def packSequences(df: DataFrame, textCol: String, shardCol: String,
-                    orderCol: String, budget: Long): DataFrame = {
+                    orderCol: String, budget: Long,
+                    idCol: String = null): DataFrame = {
+    val order = if (idCol == null || idCol == orderCol) Seq(col(orderCol))
+      else Seq(col(orderCol), col(idCol))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(shardCol).orderBy(orderCol)
+      .partitionBy(shardCol).orderBy(order: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val before = coalesce(sum(TextAnalysis.tokenCount(col(textCol))).over(w), lit(0L))
     df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
@@ -105,13 +114,17 @@ object Corpus {
     // stop-gram cap via the HEAVY-HITTER list: df per gram is a skew-safe
     // partial-agged groupBy (a window over partitionBy(g) would funnel the
     // exact mega-df gram the cap targets into one task), and only grams
-    // ABOVE the cap survive the filter — a relation tiny by construction
-    // at any corpus size, so the exclusion is a broadcast anti-join
+    // ABOVE the cap survive the filter. The exclusion anti-join carries NO
+    // broadcast hint on purpose: the stop-gram count is usually tiny but is
+    // bounded only by total_grams/maxDf, so an unconditional broadcast can
+    // exceed driver memory on a pathological corpus — AQE sees the built
+    // side's ACTUAL size at runtime and picks broadcast when it fits,
+    // shuffle when it doesn't
     val stopGrams = trainGrams.groupBy("g")
       .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
       .select(col("g"))
     val keptTrain = trainGrams
-      .join(broadcast(stopGrams), Seq("g"), "left_anti")
+      .join(stopGrams, Seq("g"), "left_anti")
     keptTrain.join(grams(eval_, "eval_id"), Seq("g"))
       .groupBy("eval_id", "train_id")
       .agg(count(lit(1)).as("n_shared"))

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   *    whenever |Q| is small (ad-hoc probes, eval sets).
   *  - LSH (random hyperplanes): corpus bucketed by signature; the join is
   *    an equi-join on the bucket key, so each query only scores its bucket.
-  *    Signature length trades recall for bucket size; at 100 TB add
-  *    multi-probe (flip one bit) instead of shortening signatures.
+  *    Signature length trades recall for bucket size; at 100 TB raise
+  *    recall with multi-probe (`topKLsh(nProbe = …)` — query-side bit-flip
+  *    probes into Hamming-1 buckets) instead of shortening signatures,
+  *    which would grow EVERY bucket.
   */
 object Similarity {
 
@@ -101,20 +103,37 @@ object Similarity {
 
   /** Bucketed ANN: equi-join query and corpus on the LSH bucket, exact
     * cosine within the bucket, top-k per query. Approximate — recall
-    * depends on nBits; pairs in different buckets are never scored.
+    * depends on nBits; pairs in unprobed buckets are never scored.
     * `planes` overrides the default fixed-seed Gaussian hyperplanes (see
     * [[samplePlanes]] for the oracle-reproducible choice).
+    *
+    * MULTI-PROBE (`nProbe` > 1): each query also probes the Hamming-1
+    * neighbor buckets from flipping bits 0..nProbe-2 of its signature —
+    * the near-miss buckets where one borderline hyperplane vote went the
+    * other way, which is where most single-probe recall loss lives. The
+    * recall lever costs query-side fan-out only: the corpus index is
+    * untouched (fixed index cost), and because a (query, neighbor) pair
+    * can match through exactly ONE mask (the mask must equal sig_q XOR
+    * sig_c), the probe fan-out never emits duplicate pairs — no distinct
+    * needed before ranking. `nProbe = nBits + 1` probes the full
+    * Hamming-1 ball, a condition an oracle replays as
+    * `bit_count(sig_q XOR sig_c) <= 1`.
     */
   def topKLsh(queries: DataFrame, corpus: DataFrame, k: Int, nBits: Int, dim: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              planes: Array[Array[Double]] = null): DataFrame = {
+              planes: Array[Array[Double]] = null, nProbe: Int = 1): DataFrame = {
     val pl = if (planes == null) hyperplanes(nBits, dim) else planes
     def sig(vec: Column): Column =
       graft.functions.VectorExpressions.hyperplaneSignBits(vec, pl)
+    val masks: Seq[Long] =
+      0L +: (0 until math.min(nProbe - 1, nBits)).map(i => 1L << i)
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("q_vec"),
-      norm(col(vecCol)).as("q_norm"),
-      sig(col(vecCol)).as("bucket"))
+        col(vecCol).cast("array<double>").as("q_vec"),
+        norm(col(vecCol)).as("q_norm"),
+        sig(col(vecCol)).as("sig"))
+      .select(col("query_id"), col("q_vec"), col("q_norm"),
+        explode(array(masks.map(m =>
+          col("sig").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("c_vec"),
       norm(col(vecCol)).as("c_norm"),
@@ -252,14 +271,24 @@ object Similarity {
     * 100 TB corpus is `iters` distributed passes, not a collect.
     *
     * Seeded from [[sampleCentroids]] (deterministic); vectors are
-    * L2-normalized inside the objective (spherical k-means) so the trained
-    * cells partition by DIRECTION, matching the cosine metric the IVF
-    * search ranks by. Empty cells keep their previous centroid.
+    * L2-normalized inside the objective and every centroid — seed or
+    * re-estimated mean — is L2-normalized back to the unit sphere
+    * (spherical k-means), so argmax-DOT assignment IS argmax-cosine and
+    * the trained cells partition by DIRECTION, matching the metric the
+    * IVF search ranks by. Without the re-normalization a mean of unit
+    * vectors shrinks with its cluster's spread (‖mean‖ ≈ avg cos to the
+    * center), and argmax-dot would systematically favor COHERENT cells
+    * over diffuse ones near boundaries. Empty cells keep their previous
+    * (already unit) centroid.
     */
   def trainCentroids(corpus: DataFrame, n: Int, dim: Int, iters: Int = 3,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): Array[Array[Double]] = {
-    var cents = sampleCentroids(corpus, n, idCol, vecCol)
+    def unitize(c: Array[Double]): Array[Double] = {
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      if (nrm > 0.0) c.map(_ / nrm) else c
+    }
+    var cents = sampleCentroids(corpus, n, idCol, vecCol).map(unitize)
     val unit = {
       val v = col(vecCol).cast("array<double>")
       transform(v, x => x / sqrt(graft.functions.VectorExpressions.dot(v, v)))
@@ -277,7 +306,9 @@ object Similarity {
         .collect()
       val next = cents.map(_.clone())
       means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      cents = next
+      val updated = means.map(_.getInt(0)).toSet
+      cents = next.zipWithIndex.map { case (c, i) =>
+        if (updated(i)) unitize(c) else c }
     }
     cents
   }

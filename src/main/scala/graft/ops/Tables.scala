@@ -68,4 +68,31 @@ object Tables {
       case None => base.load()
     }
   }
+
+  /** Partitioned JDBC read with bounds derived by the engine: one pushed
+    * `MIN/MAX(partitionColumn)` probe (a single-row scan the database
+    * aggregates itself), then a [[jdbc]] read split into `numPartitions`
+    * bounded scans. Spark's JDBC bounds only steer the STRIDE — the first
+    * and last partition predicates are open-ended — so probe-derived
+    * bounds never drop rows, even racing concurrent inserts. An empty
+    * relation (NULL min) degrades to the unpartitioned single scan.
+    */
+  def jdbcPartitioned(spark: SparkSession, url: String, query: String,
+                      partitionColumn: String, numPartitions: Int,
+                      options: Map[String, String] = Map.empty): DataFrame = {
+    val probe = jdbc(spark, url,
+      s"SELECT MIN($partitionColumn) AS lo, MAX($partitionColumn) AS hi " +
+        s"FROM ($query) bounds_probe",
+      None, options).collect().head
+    if (probe.isNullAt(0)) jdbc(spark, url, query, None, options)
+    else {
+      val lo = probe.getAs[Number](0).longValue
+      val hi = probe.getAs[Number](1).longValue
+      // lo == hi gives Spark a zero-width stride → single partition anyway;
+      // keep the read unpartitioned rather than warn-and-degrade
+      if (lo == hi) jdbc(spark, url, query, None, options)
+      else jdbc(spark, url, query,
+        Some((partitionColumn, lo, hi, numPartitions)), options)
+    }
+  }
 }

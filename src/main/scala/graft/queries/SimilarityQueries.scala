@@ -57,9 +57,13 @@ object SimilarityQueries {
 
     "q37_sim_topk_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
+      // nProbe=9 = the full Hamming-1 ball over the 8-bit signature: each
+      // query scores its own bucket plus the 8 one-borderline-vote-away
+      // buckets — the recall uplift costs query fan-out only, the corpus
+      // index is untouched
       Similarity.topKLsh(
         emb.where(col("vec_id") < 10), emb, k = 10, nBits = 8, dim = 64,
-        planes = Similarity.samplePlanes(emb, 8))
+        planes = Similarity.samplePlanes(emb, 8), nProbe = 9)
         .orderBy("query_id", "rank")
     }),
 
@@ -147,7 +151,9 @@ object SimilarityQueries {
 
     // full replay of the LSH machinery: planes from sample vectors, bit p
     // of a signature = (v · plane_p) > 0, buckets = whole signatures,
-    // candidates = bucket equi-join, exact cosine + rank within bucket
+    // candidates = the engine's multi-probe set (own bucket + the full
+    // Hamming-1 ball of bit-flip probes = signatures differing in <= 1
+    // bit), exact cosine + rank within the probed candidates
     "q37_sim_topk_lsh" ->
       s"""WITH e AS ($normed),
               smp AS ($sample16),
@@ -161,13 +167,14 @@ object SimilarityQueries {
               sigs AS (
                 SELECT e.vec_id,
                        SUM(CASE WHEN ${duckDot("e.embedding", "pl.plane")} > 0
-                                THEN 1 << pl.p ELSE 0 END) AS bucket
+                                THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS bucket
                 FROM e CROSS JOIN pl GROUP BY e.vec_id),
               scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        ${duckDot("qe.embedding", "ce.embedding")}
                          / (qe.nrm * ce.nrm) AS cos_sim
-                FROM sigs q JOIN sigs c ON q.bucket = c.bucket
+                FROM sigs q JOIN sigs c
+                  ON bit_count(xor(q.bucket, c.bucket)) <= 1
                 JOIN e qe ON qe.vec_id = q.vec_id
                 JOIN e ce ON ce.vec_id = c.vec_id
                 WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),

@@ -69,6 +69,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 0L))
   }
 
+  test("packSequences with an idCol tiebreak is stable across partitionings on tied order") {
+    // every doc shares priority=1: without a tiebreak the running sum (and
+    // so the pack assignment) depends on the physical order of the tied
+    // rows, which repartitioning is free to change
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(3)(s"tok$i w$i x$i").mkString(" "), "s1", 1L))
+    def packs(parts: Int) = Corpus.packSequences(
+        rows.toDF("doc_id", "text", "source", "priority").repartition(parts),
+        "text", "source", orderCol = "priority", budget = 20L,
+        idCol = "doc_id")
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    val p1 = packs(1)
+    assert(p1 == packs(7) && p1 == packs(13),
+      "tied orderCol must still give one deterministic packing")
+    // ties resolved by id: doc order within the shard is 0..39, 9 tokens
+    // each, budget 20 → packs of ~2-3 docs in strict id order
+    assert(p1(0L) == 0L && p1.values.max == (40 * 9 - 1) / 20)
+    assert(rows.indices.forall(i => p1(i.toLong) == i.toLong * 9 / 20))
+  }
+
   test("decontaminate finds a planted leak with the exact shared-gram count") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

@@ -56,6 +56,34 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("jdbcPartitioned derives bounds from a min/max probe and loses no rows") {
+    // relies on the metrics table the round-trip test creates; rebuild it
+    // here so this test stands alone
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE metrics_auto")
+      catch { case _: java.sql.SQLException => () }
+      st.executeUpdate(
+        "CREATE TABLE metrics_auto (id BIGINT, zone VARCHAR(16), score DOUBLE)")
+      st.close()
+    } finally conn.close()
+    Sinks.jdbcAppend(sourceRows.toDF("id", "zone", "score"), url, "metrics_auto")
+
+    val back = Tables.jdbcPartitioned(spark, url,
+      "SELECT id, zone, score FROM metrics_auto", "id", numPartitions = 3)
+    assert(back.rdd.getNumPartitions == 3,
+      "auto-bounded read must still split into numPartitions scans")
+    assert(back.as[(Long, String, Double)].collect().sorted.toSeq ==
+      sourceRows.sorted)
+
+    // empty relation: NULL min/max must degrade to a single clean scan
+    val empty = Tables.jdbcPartitioned(spark, url,
+      "SELECT id, zone, score FROM metrics_auto WHERE id < 0", "id",
+      numPartitions = 3)
+    assert(empty.count() == 0)
+  }
+
   test("full reference lifecycle over JDBC: config row → compile → append sink") {
     // the reference's actual E1 run (SURVEY §3): read the three spec cells
     // from a DB config table, run the compiled pipeline against DB-backed

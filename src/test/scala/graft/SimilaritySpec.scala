@@ -77,6 +77,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out.head._2 - 1.0) < 1e-12)
   }
 
+  test("multi-probe LSH recovers neighbors one borderline bit away, without duplicates") {
+    val rnd = new scala.util.Random(29)
+    val corpus = Seq.tabulate(60)(i =>
+      i.toLong -> Seq.fill(32)(rnd.nextFloat() * 2 - 1)).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 8)
+    def ids(nProbe: Int) = Similarity.topKLsh(queries, corpus, k = 60,
+        nBits = 8, dim = 32, nProbe = nProbe)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    val single = ids(1)
+    val multi = ids(9) // full Hamming-1 ball over 8 bits
+    // a (query, neighbor) pair matches through exactly one XOR mask, so the
+    // probe fan-out must not introduce duplicate candidate pairs
+    assert(multi.distinct.size == multi.size, "multi-probe emitted duplicates")
+    // probing strictly more buckets: candidate set is a superset, and with
+    // random 32-dim vectors the Hamming-1 shell is non-empty in practice
+    assert(multi.toSet.size > single.toSet.size,
+      s"expected recall uplift: single=${single.size} multi=${multi.size}")
+    assert(single.toSet.subsetOf(multi.toSet))
+    // recall against brute force can only improve
+    val exact = Similarity.topKBruteForce(queries, corpus, k = 60)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exact.intersect(multi.toSet).size >= exact.intersect(single.toSet).size)
+  }
+
   test("LSH-bucketed dup pairs find planted near-identical vectors exactly") {
     val rnd = new scala.util.Random(17)
     val v = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
@@ -123,6 +147,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(trained1.map(_.toSeq).toSeq == trained2.map(_.toSeq).toSeq,
       "training must be deterministic run-to-run")
 
+    // sample seeds all fall in cluster 0 (the 4 smallest ids); Lloyd rounds
+    // must spread them: every true cluster direction ends up within ~18°
+    // (cos > 0.95) of some trained centroid, where the raw seeds cover only
+    // cluster 0's direction
+    def unit(v: Seq[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def coverage(cs: Array[Array[Double]]): Int = centers.count(ctr =>
+      cs.exists(c => dot(unit(c.toSeq), unit(ctr)) > 0.95))
+    assert(coverage(Similarity.sampleCentroids(corpus, 4)) == 1,
+      "fixture: raw sample seeds must cover only one cluster")
+    assert(coverage(trained1) == 3,
+      s"trained centroids must cover all clusters, got ${coverage(trained1)}")
+
     def recallAt10(centroids: Array[Array[Double]]): Double = {
       val queries = corpus.where(col("vec_id") % 30 === 7) // one per cluster
       val exact = Similarity.topKBruteForce(queries, corpus, k = 10)
@@ -132,13 +169,60 @@ class SimilaritySpec extends AnyFunSuite {
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       exact.intersect(approx).size.toDouble / exact.size
     }
-    val sampleRecall = recallAt10(Similarity.sampleCentroids(corpus, 4))
-    val trainedRecall = recallAt10(trained1)
-    // sample seeds all fall in cluster 0: queries from clusters 1/2 probe a
-    // cell that holds (nearly) nothing of theirs. Lloyd rounds must fix it.
-    assert(trainedRecall >= sampleRecall,
-      s"trained=$trainedRecall sample=$sampleRecall")
-    assert(trainedRecall >= 0.9, s"trained recall too low: $trainedRecall")
+    // honest spherical k-means may split one cluster across two cells, so
+    // nProbe=1 recall can dip slightly below perfect — but it must stay high
+    assert(recallAt10(trained1) >= 0.9,
+      s"trained recall too low: ${recallAt10(trained1)}")
+  }
+
+  test("trainCentroids re-normalizes means: assignment matches exact cosine argmax " +
+    "on one coherent and one diffuse cluster") {
+    // coherent cluster hugs direction (1,0); diffuse cluster spreads ±40°
+    // around (0,1). A mean of unit vectors SHRINKS with its cluster's spread
+    // (‖mean‖ ≈ avg cos to center: ~0.84 diffuse vs ~1.0 coherent), so
+    // without re-normalization argmax-dot pulls a 47° boundary probe into
+    // the coherent cell against the cosine metric. Ids 0/1 are the seeds,
+    // one per cluster; magnitudes vary to exercise input normalization.
+    def dir(deg: Double, mag: Double) = Seq(
+      mag * math.cos(math.toRadians(deg)), mag * math.sin(math.toRadians(deg)))
+    val corpus = Seq(
+      0L -> dir(1.15, 10.0), 2L -> dir(-1.15, 10.0),          // coherent
+      3L -> dir(0.6, 10.0), 4L -> dir(-0.6, 10.0),
+      1L -> dir(90, 5.0),                                      // diffuse seed
+      5L -> dir(50, 5.0), 6L -> dir(130, 5.0),
+      7L -> dir(50, 4.0), 8L -> dir(130, 4.0),
+      100L -> dir(47, 3.0))                                    // boundary probe
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus, n = 2, dim = 2, iters = 3)
+    // spherical k-means contract: every centroid is back on the unit sphere
+    cents.foreach(c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-12,
+        s"centroid not unit: ${c.toSeq}"))
+    def unit(v: Seq[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def assign(cs: Seq[Seq[Double]], v: Seq[Double]): Int =
+      cs.zipWithIndex.maxBy { case (c, i) => (dot(c, unit(v)), i) }._2
+    val rows = corpus.as[(Long, Seq[Double])].collect().toMap
+    val trained = cents.map(_.toSeq).toSeq
+    // trained (unit) centroids: argmax-dot == argmax-cosine for every vector,
+    // and the probe lands with the diffuse seed (its cosine-nearest cell)
+    val cells = rows.map { case (id, v) => id -> assign(trained, v) }
+    assert(cells(100L) == cells(1L), s"probe must join the diffuse cell: $cells")
+    assert(cells(0L) != cells(1L), "clusters must not collapse")
+    assert(Seq(2L, 3L, 4L).forall(cells(_) == cells(0L)))
+    assert(Seq(5L, 6L, 7L, 8L).forall(cells(_) == cells(1L)))
+    // the failure mode the re-normalization fixes: raw (shrunken) cell means
+    // would send the probe to the coherent cell by argmax-dot
+    def mean(ids: Seq[Long]) = {
+      val us = ids.map(id => unit(rows(id)))
+      us.head.indices.map(i => us.map(_(i)).sum / us.length)
+    }
+    val coherentMean = mean(Seq(0L, 2L, 3L, 4L))
+    val diffuseMean = mean(Seq(1L, 5L, 6L, 7L, 8L, 100L))
+    val p = unit(rows(100L))
+    assert(dot(p, diffuseMean) < dot(p, coherentMean),
+      "fixture must make unnormalized means misassign the probe")
+    assert(dot(p, unit(diffuseMean)) > dot(p, unit(coherentMean)))
   }
 
   test("cosineDupPairsExact finds planted duplicate pairs above threshold") {
