@@ -64,6 +64,25 @@ object RecallCheck {
       println(s"[recall] cosineLsh@$th(6x6): exact=$n missed=$m extra=$e")
     }
 
+    // ---- topKLsh multi-probe: recall@10 vs brute force, single bucket vs
+    // the full Hamming-1 ball (q37's configuration) — same corpus index,
+    // query-side fan-out only
+    {
+      val emb = t(spark, sfDir, "embeddings")
+      val qs = emb.where(col("vec_id") < 50)
+      val exactTopk = Similarity.topKBruteForce(qs, emb, k = 10)
+        .select("query_id", "neighbor_id")
+      val nTopk = exactTopk.count()
+      val planes = Similarity.samplePlanes(emb, 8)
+      for (np <- Seq(1, 9)) {
+        val lshTopk = Similarity.topKLsh(qs, emb, k = 10, nBits = 8, dim = 64,
+          planes = planes, nProbe = np).select("query_id", "neighbor_id")
+        val hit = exactTopk.intersect(lshTopk).count()
+        println(f"[recall] topKLsh@10 nProbe=$np: recall=${hit.toDouble / nTopk}%.3f " +
+          s"($hit/$nTopk, emitted=${lshTopk.count()})")
+      }
+    }
+
     // ---- q38 vectors: portable hash embedding of documents, LSH vs exact
     val pvecs = docs.select(col("doc_id").as("vec_id"),
       graft.ext.TextAnalysis.portableHashEmbedding(col("text"), 64).as("embedding"))

@@ -50,6 +50,49 @@ object ScaleProbe {
         Dedup.exact(docs, "text", "doc_id").count()
       }
     }
+
+    // ---- dominant-bucket skew: one bucket gets ~100x the rows of each of
+    // ten minor buckets (the crawl-source histogram), and the per-bucket
+    // pair demand far exceeds a fixed fanout. Adaptive-with-floor must cut
+    // the giant's quadratic workload into shuffle-width tasks where fixed-8
+    // strands 3/4 of the cores; the minor buckets take the floor, not the
+    // fixed replication. targetPairsPerTask is lowered so the sf0.1 fixture
+    // presents the same demand/width ratio a 100 TB bucket would.
+    val skewed = base.withColumn("bucket",
+      when(pmod(col("doc_id"), lit(110)) < 100, lit("giant"))
+        .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(10)))))
+      .localCheckpoint()
+    val target = 200000L
+    val fanouts = Dedup.bucketFanouts(skewed, "bucket", fixed = 0,
+      targetPairsPerTask = target, cap = cpus.toInt)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).sortBy(_._1)
+    println(s"[scale] skew fanouts (adaptive+floor): ${fanouts.mkString(", ")}")
+    val taskMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        taskMs.synchronized { taskMs += te.taskInfo.duration }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    for (fan <- Seq(0, 8)) {
+      val tag = if (fan == 0) "adaptive+floor" else s"fixed-$fan"
+      val walls = (1 to 3).map { _ =>
+        taskMs.synchronized(taskMs.clear())
+        val t0 = System.nanoTime()
+        Dedup.ngramJaccardPairs(skewed, "text", "doc_id", "bucket",
+          n = 2, threshold = 0.05, fanout = fan,
+          targetPairsPerTask = target).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200) // let the async listener bus drain
+        val ts = taskMs.synchronized(taskMs.toVector)
+        (dt, ts.max, ts.sum.toDouble / ts.length)
+      }
+      val med = walls.sortBy(_._1).apply(1)
+      println(f"[scale] skew pair-join $tag: median ${med._1}%.2fs " +
+        f"(straggler task ${med._2}ms vs mean ${med._3}%.0fms; " +
+        s"walls=${walls.map(w => f"${w._1}%.2f").mkString(",")})")
+    }
+    spark.sparkContext.removeSparkListener(listener)
     spark.stop()
   }
 }

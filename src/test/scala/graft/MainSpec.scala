@@ -165,4 +165,17 @@ class MainSpec extends AnyFunSuite {
       Main.parseArgs(Array("cfg_table", "mentor_report"), props)
     }
   }
+
+  test("the shipped conf/job.properties sample loads and parses into a JobConfig") {
+    val args = Array("report_config", "mentor_report",
+      "--properties", "conf/job.properties")
+    val props = Main.loadProperties(args)
+    val conf = Main.parseArgs(args, props)
+    assert(conf.url.startsWith("jdbc:derby:"),
+      "sample must target embedded Derby so it runs offline")
+    assert(conf.inputTables == Seq("drivers", "facts"))
+    assert(conf.sinkTable == "report_sink")
+    assert(conf.user.isEmpty && conf.inputDatabase.isEmpty,
+      "commented-out sample keys must stay unset")
+  }
 }
