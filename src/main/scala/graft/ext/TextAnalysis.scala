@@ -52,6 +52,36 @@ object TextAnalysis {
   def meanTokenLen(text: Column): Column =
     (length(text) - (size(tokens(text)) - 1)).cast("double") / size(tokens(text))
 
+  /** Fraction of word n-gram slots occupied by a repeat of an earlier gram
+    * (1 − distinct/total) — the standard repetition filter for boilerplate
+    * and looping generations: natural text sits near 0, templated spam near
+    * 1. Docs shorter than n tokens score 0. Gram construction shares the
+    * dedup operators' HOF build ([[Dedup.rawWordNgrams]]), so unlike the
+    * q20-q22 metrics this projection is interpreted rather than
+    * whole-stage-codegen'd — still a shuffle-free map stage whose 100 TB
+    * cost is the scan itself.
+    */
+  def duplicateGramRatio(text: Column, n: Int = 2): Column = {
+    val g = Dedup.rawWordNgrams(text, n)
+    when(size(g) > 0,
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of n-gram slots taken by the single most frequent gram — the
+    * companion repetition signal (catches one boilerplate sentence pasted
+    * between otherwise-distinct content, which dilutes
+    * [[duplicateGramRatio]]). 1/total when all grams are unique; 0 for docs
+    * shorter than n tokens.
+    */
+  def topGramRatio(text: Column, n: Int = 2): Column = {
+    val g = Dedup.rawWordNgrams(text, n)
+    when(size(g) > 0,
+      array_max(transform(array_distinct(g), x =>
+        size(filter(g, _ === x)))).cast("double") / size(g))
+      .otherwise(lit(0.0))
+  }
+
   /** Composite quality score in [0,1]: rewards lexical diversity, penalizes
     * stopword stuffing, rewards mid-length tokens. Deterministic double
     * arithmetic (fixed operation order).

@@ -42,6 +42,15 @@ object TextQueries {
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    "q61_text_repetition" -> ((s, d) =>
+      // Gopher-style repetition filter inputs: duplicate-bigram fraction
+      // and most-frequent-bigram fraction per document
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.duplicateGramRatio(col("text"), 2).as("dup_gram_ratio"),
+        TextAnalysis.topGramRatio(col("text"), 2).as("top_gram_ratio"))
+        .orderBy("doc_id")),
+
     "q24_tfidf_top_terms" -> ((s, d) => {
       // corpus-level statistic (tf · N / df, unlogged idf so the only
       // floating-point op is one division of exact integers — identical in
@@ -119,6 +128,27 @@ object TextQueries {
                       t -> CAST(ascii(substr(t, 1, 1)) AS BIGINT) * 100 + length(t))),
                   (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
          FROM documents ORDER BY doc_id""",
+
+    // bigrams in document order with repeats kept, exactly the engine's
+    // rawWordNgrams multiset (range(1,1) is empty, matching the <n-token
+    // guard); ratios are integer counts through one double division each
+    "q61_text_repetition" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id,
+                      list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS grams
+               FROM b)
+         SELECT doc_id,
+                CASE WHEN len(grams) > 0
+                     THEN CAST(1.0 AS DOUBLE)
+                          - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                     ELSE CAST(0.0 AS DOUBLE) END AS dup_gram_ratio,
+                CASE WHEN len(grams) > 0
+                     THEN CAST(list_max(list_transform(list_distinct(grams),
+                            x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE)
+                          / len(grams)
+                     ELSE CAST(0.0 AS DOUBLE) END AS top_gram_ratio
+         FROM g ORDER BY doc_id""",
 
     "q24_tfidf_top_terms" ->
       """WITH toks AS (

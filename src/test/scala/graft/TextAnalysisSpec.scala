@@ -33,6 +33,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1)._2 > got(0)._2) // real sentence scores higher than stuffing
   }
 
+  test("repetition metrics: duplicate-gram and top-gram fractions") {
+    // "a b a b c": bigrams [a b, b a, a b, b c] → 4 slots, 3 distinct
+    //   dup = 1 − 3/4 = 0.25; top gram "a b" ×2 → 0.5
+    // "w x y z": all bigrams unique → dup 0, top 1/3
+    // "solo": shorter than n tokens → both 0 by contract
+    val df = Seq("a b a b c", "w x y z", "solo").toDF("t")
+    val got = df.select(
+      TextAnalysis.duplicateGramRatio(col("t"), 2),
+      TextAnalysis.topGramRatio(col("t"), 2))
+      .as[(Double, Double)].collect().toSeq
+    assert(got(0) == ((0.25, 0.5)))
+    assert(got(1) == ((0.0, 1.0 / 3)))
+    assert(got(2) == ((0.0, 0.0)))
+  }
+
   test("roughTokenCount splits subword boundaries") {
     val df = Seq("abc123def", "hello-world").toDF("t")
     val got = df.select(TextAnalysis.roughTokenCount(col("t"))).as[Int].collect().toSeq
