@@ -87,6 +87,33 @@ object Corpus {
       .withColumn("pack_id", floor(before / lit(budget)).cast("long"))
   }
 
+  /** Deterministic stratified sample: exactly `k` documents per stratum
+    * (source, language, …), chosen by smallest content fingerprint with an
+    * id tiebreak — the eval-set builder. Content-keyed like [[splitAssign]]
+    * and [[mixtureSample]]: no RNG, identical selection on any cluster,
+    * partitioning, or re-ingestion, and balanced across strata no matter
+    * how skewed the corpus histogram is (where rate-based sampling keeps a
+    * stratum's share of the skew).
+    *
+    * Scale shape: declared as rank-over-window + `rank <= k`, which Spark
+    * plans with a map-side WindowGroupLimit — each input partition forwards
+    * at most k rows per stratum into the exchange, so the shuffle carries
+    * O(k · strata · partitions) rows, never the corpus. (Asserted in
+    * PlanAuditSpec; this is why the declarative form beats a hand-rolled
+    * two-phase top-k.)
+    */
+  def stratifiedSample(df: DataFrame, textCol: String, stratumCol: String,
+                       idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(col("sample_fp"), col(idCol))
+    df.withColumn("sample_fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+      .drop("sample_fp")
+  }
+
   /** Distinct word n-gram hashes per document (xxhash64 of the gram text:
     * the downstream join only needs gram EQUALITY, and 8-byte keys beat
     * ~9-token strings through a 100 TB shuffle; collision odds 2⁻⁶⁴ per

@@ -58,6 +58,14 @@ object CorpusQueries {
       graft.streaming.DocumentStreams.streamingDedup(s, d)
         .orderBy("content_hash")),
 
+    "q62_stratified_sample" -> ((s, d) =>
+      // balanced eval-set construction: exactly 10 docs per source, chosen
+      // by content fingerprint — deterministic, skew-immune
+      Corpus.stratifiedSample(t(s, d, "documents"), "text",
+        stratumCol = "source", idCol = "doc_id", k = 10)
+        .select(col("doc_id"), col("source"), col("sample_rank"))
+        .orderBy("doc_id")),
+
     "q56_dedup_incremental" -> ((s, d) => {
       // daily-ingest shape: new batch anti-joined against the existing
       // corpus manifest by content hash, then collapsed to keepers
@@ -156,6 +164,15 @@ object CorpusQueries {
     "q58_stream_dedup" ->
       """SELECT DISTINCT sha256(text) AS content_hash FROM documents
          ORDER BY content_hash""",
+
+    "q62_stratified_sample" ->
+      s"""SELECT doc_id, source, sample_rank FROM (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY fp, doc_id) AS INTEGER)
+                     AS sample_rank
+            FROM (SELECT doc_id, source, $fpFold AS fp FROM documents))
+          WHERE sample_rank <= 10 ORDER BY doc_id""",
 
     "q56_dedup_incremental" ->
       """WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 >= 6),

@@ -89,6 +89,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.indices.forall(i => p1(i.toLong) == i.toLong * 9 / 20))
   }
 
+  test("stratifiedSample keeps exactly k per stratum, deterministically, skew-immune") {
+    // heavy skew: 150 web docs vs 8 books docs; k=5 must come back per
+    // stratum regardless (books keeps min(k, size) — here all 8 > 5)
+    val df = (docs.take(150).map { case (id, tx) => (id, tx, "web") } ++
+      docs.take(8).map { case (id, tx) => (id + 1000L, tx + " curated", "books") })
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.stratifiedSample(df, "text", "source", "doc_id", k = 5)
+      .select("doc_id", "source", "sample_rank")
+      .as[(Long, String, Int)].collect()
+    assert(out.count(_._2 == "web") == 5 && out.count(_._2 == "books") == 5)
+    assert(out.groupBy(_._2).values.forall(_.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    // deterministic + partition-invariant: the selection is content-keyed
+    val again = Corpus.stratifiedSample(df.repartition(11), "text", "source",
+        "doc_id", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+    // a stratum smaller than k yields all its rows
+    val tiny = Corpus.stratifiedSample(
+      df.where(col("source") === "books"), "text", "source", "doc_id", k = 100)
+    assert(tiny.count() == 8)
+  }
+
   test("decontaminate finds a planted leak with the exact shared-gram count") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

@@ -53,6 +53,13 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q62 stratified sample gets a map-side WindowGroupLimit before the exchange") {
+    // the rank <= k filter must be pushed into a partial group-limit so the
+    // shuffle carries O(k · strata) rows per input partition, not the corpus
+    val plan = planOf("q62_stratified_sample")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("q31 banded self-join spreads candidates across the shuffle width") {
     // the explicit repartition on (band, band_key) must survive planning —
     // without it every bucket's quadratic collision work lands in the
