@@ -50,6 +50,99 @@ object Dedup {
       .select(col("keeper_id"), col("n_copies"))
   }
 
+  /** [[incrementalNew]] with a Bloom prefilter on the batch side: the
+    * existing corpus is first compressed into a Bloom sketch (one
+    * distributed pass, map-side partial sketch merge, ~1.2 MB per million
+    * manifest entries), and only batch docs the sketch claims to have seen
+    * (true dups + the false-positive fraction) enter the anti-join
+    * exchange. Bloom filters have no false negatives, so the result is
+    * EXACTLY [[incrementalNew]]'s — the sketch moves shuffle volume, not
+    * semantics. On the daily-ingest shape where most of a batch is new,
+    * the anti-join's probe exchange shrinks from the whole batch to its
+    * duplicate fraction; the rest short-circuits map-side.
+    *
+    * The built sketch is collected to the driver and embedded as a literal
+    * (`BloomFilterMightContain` requires a foldable or scalar-subquery
+    * filter argument) — a constant-size collect explicitly bounded by
+    * `expectedItems`, the same discipline as the planes/centroids collects
+    * in [[Similarity]]. The batch relation feeds two branches
+    * (definitely-new bypass + candidate confirm), i.e. is scanned twice;
+    * at ingest scale the second columnar scan is far cheaper than pushing
+    * definitely-new rows through the join exchange.
+    */
+  def incrementalNewBloom(newDocs: DataFrame, existing: DataFrame,
+                          textCol: String, idCol: String,
+                          expectedItems: Long = 1000000L): DataFrame = {
+    import graft.functions.BloomFunctions._
+    val known = existing
+      .select(sha2(col(textCol), 256).as("content_hash")).distinct()
+    // sketch over the raw (pre-distinct) hash stream: Bloom insertion is
+    // idempotent, so this pass aggregates straight to one row with no
+    // exchange of the manifest at all
+    val sketch = existing
+      .agg(bloomFilterAgg(xxhash64(sha2(col(textCol), 256)), expectedItems)
+        .as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val stamped = newDocs.withColumn("content_hash", sha2(col(textCol), 256))
+    // null sketch = empty corpus: nothing can be a duplicate
+    val flagged =
+      if (sketch == null) stamped.withColumn("maybe_seen", lit(false))
+      else stamped.withColumn("maybe_seen",
+        mightContain(lit(sketch), xxhash64(col("content_hash"))))
+    val definiteNew = flagged.where(!col("maybe_seen"))
+    val confirmedNew = flagged.where(col("maybe_seen"))
+      .join(known, Seq("content_hash"), "left_anti")
+    definiteNew.unionByName(confirmedNew)
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+  }
+
+  /** Chunk-level (paragraph-granularity) exact dedup, C4-style: split each
+    * document into fixed `chunkTokens`-token windows, keep each distinct
+    * chunk's FIRST corpus-wide occurrence (ordered by (doc, position)),
+    * and rebuild every document from its surviving chunks in original
+    * order. Boilerplate repeated across millions of pages (headers,
+    * footers, license blocks) survives only in the first document that
+    * carries it; unique content is untouched. Returns one row per input
+    * document: (doc_id, n_chunks, n_kept, clean_text) — documents whose
+    * every chunk was seen earlier come back with n_kept = 0 and empty
+    * text, which is the downstream drop signal.
+    *
+    * Shuffle discipline: chunk ownership exchanges the 8-byte xxhash64 of
+    * the chunk, never its text, and keeper selection is groupBy-min +
+    * join-back — NOT a window over partitionBy(hash): a mega-duplicated
+    * chunk is one window partition = one task, while the groupBy
+    * partial-aggregates map-side and AQE skew-splits the join. The rebuild
+    * groups by doc id carrying only surviving chunks.
+    */
+  def chunkDedup(df: DataFrame, textCol: String, idCol: String,
+                 chunkTokens: Int = 20): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nChunks = (floor((size(toks) - 1) / lit(chunkTokens)) + 1).cast("int")
+    val chunked = df.select(
+      col(idCol).as("doc"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
+        .as(Seq("idx", "chunk")))
+    val hashed = chunked.withColumn("h", xxhash64(col("chunk")))
+    val owners = hashed.groupBy("h")
+      .agg(min(struct(col("doc"), col("idx"))).as("owner"))
+    val kept = hashed.join(owners, Seq("h"))
+      .where(col("doc") === col("owner").getField("doc") &&
+        col("idx") === col("owner").getField("idx"))
+    val rebuilt = kept.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("clean_text"))
+    df.select(col(idCol).as("doc"), nChunks.as("n_chunks"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Deterministic affine hash family over xxhash64 token hashes:

@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) joins — the join family SURVEY §2.5 records as absent
+  * from both Spark's high-level API and the reference.
+  *
+  * The naive declaration `points.join(intervals, keys && ts BETWEEN start
+  * AND end)` plans as an equi-join on the keys with the range predicate as
+  * a post-join filter. That is correct but collapses at scale exactly where
+  * real event data is worst: a hot key (one user, one device, one tenant
+  * with millions of rows) turns into |points_k| × |intervals_k| candidate
+  * pairs inside one join partition, almost all discarded by the filter.
+  *
+  * [[rangeJoinBucketed]] adds a time bucket to the equi-join key: intervals
+  * are exploded into the buckets they cover, points carry their single
+  * bucket, and the join runs on (keys..., bucket). Candidate pairs are then
+  * only those within `bucketUs` of each other, so per-task work tracks the
+  * TRUE match density instead of the key skew, and AQE can split what
+  * remains. Each true (interval, point) pair meets in exactly one bucket —
+  * the point's — so no post-join dedup is needed. Choose `bucketUs` near
+  * the typical interval length: shorter buckets duplicate the interval side
+  * (ceil(len/bucketUs)+1 copies), longer buckets readmit skew.
+  */
+object Intervals {
+
+  /** Inner interval join: rows of `points` matched to rows of `intervals`
+    * sharing all `keys` with `tsCol` in [startCol, endCol], both ends
+    * inclusive. Bounds and timestamps are integer microseconds (or any
+    * consistent integer clock). Column names must be disjoint apart from
+    * `keys`. Bucket indices use floor division via exact integer
+    * arithmetic, so pre-1970 (negative) clocks stay correct.
+    */
+  def rangeJoinBucketed(intervals: DataFrame, points: DataFrame,
+                        keys: Seq[String], startCol: String, endCol: String,
+                        tsCol: String, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      (c - pmod(c, lit(bucketUs))) / lit(bucketUs)
+    val iv = intervals.withColumn("_bucket",
+      explode(sequence(bucketOf(col(startCol)).cast("long"),
+        bucketOf(col(endCol)).cast("long"))))
+    val pt = points.withColumn("_bucket", bucketOf(col(tsCol)).cast("long"))
+    pt.join(iv, keys :+ "_bucket")
+      .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_bucket")
+  }
+}

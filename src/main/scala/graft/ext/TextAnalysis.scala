@@ -175,4 +175,31 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     graft.functions.TextExpressions.rollingFingerprint(text)
+
+  /** PII surface patterns (emails, IPv4 addresses, NANP-shaped phone
+    * numbers), deliberately kept in the RE2-compatible subset of Java
+    * regex — no backreferences, no lookaround — so oracle engines replay
+    * them byte-identically. Redaction order matters and is fixed by this
+    * sequence: emails first, so a phone-shaped email local part is
+    * consumed by `<EMAIL>` and never double-redacted.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "IP" -> "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b",
+    "PHONE" -> "\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b")
+
+  /** Redact every [[piiPatterns]] occurrence with a `<KIND>` placeholder
+    * token: a chain of codegen'd regexp_replace calls, shuffle-free — the
+    * standard pre-training scrub pass, whose 100 TB cost is the scan.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (kind, pat)) =>
+      regexp_replace(c, pat, s"<$kind>")
+    }
+
+  /** Occurrences of one [[piiPatterns]] kind in the ORIGINAL text (counts
+    * are per-kind independent, unlike the sequential redaction chain).
+    */
+  def piiCount(text: Column, kind: String): Column =
+    regexp_count(text, lit(piiPatterns.toMap.apply(kind)))
 }

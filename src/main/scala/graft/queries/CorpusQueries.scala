@@ -75,6 +75,20 @@ object CorpusQueries {
         docs.where(pmod(col("doc_id"), lit(10)) < 6),
         "text", "doc_id")
         .orderBy("keeper_id")
+    }),
+
+    "q63_dedup_bloom_incremental" -> ((s, d) => {
+      // q56's ingest shape with the Bloom prefilter: identical output
+      // contract (the sketch has no false negatives), but the anti-join
+      // probe exchange carries only the sketch-positive fraction of the
+      // batch. Different split than q56 so the two exercise different
+      // batch compositions.
+      val docs = t(s, d, "documents")
+      graft.ext.Dedup.incrementalNewBloom(
+        docs.where(pmod(col("doc_id"), lit(10)) >= 4),
+        docs.where(pmod(col("doc_id"), lit(10)) < 4),
+        "text", "doc_id")
+        .orderBy("keeper_id")
     })
   )
 
@@ -177,6 +191,15 @@ object CorpusQueries {
     "q56_dedup_incremental" ->
       """WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 >= 6),
           ex AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 < 6)
+          SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+          FROM newd WHERE text NOT IN (SELECT text FROM ex)
+          GROUP BY text ORDER BY keeper_id""",
+
+    // exact dual of q56's oracle on the q63 split: the Bloom prefilter is
+    // invisible to the output contract
+    "q63_dedup_bloom_incremental" ->
+      """WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 >= 4),
+          ex AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 < 4)
           SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
           FROM newd WHERE text NOT IN (SELECT text FROM ex)
           GROUP BY text ORDER BY keeper_id"""

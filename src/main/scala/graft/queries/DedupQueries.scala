@@ -65,6 +65,13 @@ object DedupQueries {
       // edges (never a bucket cross product) -> large-star/small-star CC
       Dedup.minhashClusters(t(s, d, "documents"), "text", "doc_id",
         threshold = 0.9)
+        .orderBy("doc_id")),
+
+    "q66_dedup_chunk" -> ((s, d) =>
+      // C4-style paragraph-granularity dedup: fixed 20-token chunks, first
+      // corpus-wide occurrence wins, documents rebuilt from survivors
+      Dedup.chunkDedup(t(s, d, "documents"), "text", "doc_id",
+        chunkTokens = 20)
         .orderBy("doc_id"))
   )
 
@@ -223,6 +230,32 @@ object DedupQueries {
             SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
           SELECT node AS doc_id, min(r) AS cluster_rep,
                  CAST(CASE WHEN node = min(r) THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
-          FROM reach GROUP BY node ORDER BY doc_id"""
+          FROM reach GROUP BY node ORDER BY doc_id""",
+
+    // keeper = first (doc, idx) occurrence per chunk TEXT where the engine
+    // groups on the chunk's xxhash64 — identical modulo 2^-64 collisions
+    "q66_dedup_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id,
+                      list_transform(range(0, (len(toks) - 1) // 20 + 1),
+                        i -> struct_pack(idx := i,
+                               chunk := array_to_string(toks[(i*20+1):(i*20+20)], ' '))) AS cs
+               FROM t),
+         c AS (SELECT doc_id, u.idx AS idx, u.chunk AS chunk
+               FROM (SELECT doc_id, unnest(cs) AS u FROM g)),
+         k AS (SELECT doc_id, idx, chunk,
+                      row_number() OVER (PARTITION BY chunk
+                                         ORDER BY doc_id, idx) AS rn
+               FROM c),
+         r AS (SELECT doc_id, count(*) AS n_kept,
+                      string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+               FROM k WHERE rn = 1 GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST((len(string_split(d.text, ' ')) - 1) // 20 + 1 AS INTEGER)
+                  AS n_chunks,
+                coalesce(r.n_kept, 0) AS n_kept,
+                coalesce(r.clean_text, '') AS clean_text
+         FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+         ORDER BY d.doc_id"""
   )
 }

@@ -79,6 +79,27 @@ object EventQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "q67_range_join" -> ((s, d) => {
+      // interval join via time-bucketed equi-keys (see ext.Intervals):
+      // clicks within one hour after each purchase by the same user —
+      // attribution-window shape. All integer-µs arithmetic.
+      val e = t(s, d, "events").select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("us").as("start_us"), (col("us") + 3600000000L).as("end_us"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("us"))
+      val hits = graft.ext.Intervals.rangeJoinBucketed(purchases, clicks,
+        Seq("user_id"), "start_us", "end_us", "us", bucketUs = 3600000000L)
+        .groupBy(col("purchase_id")).agg(count(lit(1)).as("cnt"))
+      // left join back: purchases with zero in-window clicks still report
+      purchases.join(hits, Seq("purchase_id"), "left")
+        .select(col("purchase_id"), col("user_id"), col("start_us"),
+          coalesce(col("cnt"), lit(0L)).as("n_clicks"))
+        .orderBy("purchase_id")
+    }),
+
     "q45_stream_window_hourly" -> ((s, d) =>
       // REAL Structured Streaming query (parquet source → windowed agg →
       // memory sink), result identical to q40's batch plan
@@ -173,6 +194,26 @@ object EventQueries {
                 count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
                            THEN 1 END) AS n_high
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // plain BETWEEN range join: the time-bucketing in the engine plan is
+    // invisible to the result contract
+    "q67_range_join" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  event_type FROM events),
+         p AS (SELECT event_id AS purchase_id, user_id, us AS start_us,
+                      us + 3600000000 AS end_us
+               FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, us FROM e WHERE event_type = 'click'),
+         hits AS (
+           SELECT p.purchase_id, count(*) AS cnt
+           FROM p JOIN c ON c.user_id = p.user_id
+                        AND c.us BETWEEN p.start_us AND p.end_us
+           GROUP BY p.purchase_id)
+         SELECT p.purchase_id, p.user_id, p.start_us,
+                coalesce(hits.cnt, 0) AS n_clicks
+         FROM p LEFT JOIN hits USING (purchase_id)
+         ORDER BY p.purchase_id""",
 
     "q47_asof_join" ->
       """WITH e AS (

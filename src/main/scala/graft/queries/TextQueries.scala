@@ -51,6 +51,28 @@ object TextQueries {
         TextAnalysis.topGramRatio(col("text"), 2).as("top_gram_ratio"))
         .orderBy("doc_id")),
 
+    "q64_vocab_top_ngrams" -> ((s, d) =>
+      // corpus-wide vocabulary statistic for tokenizer training: the 50
+      // most frequent bigrams. Plan shape: explode → partial-agged groupBy
+      // → TakeOrderedAndProject (never a full sort of the gram table);
+      // count-desc-then-gram ordering makes the boundary set deterministic
+      t(s, d, "documents")
+        .select(explode(graft.ext.Dedup.rawWordNgrams(col("text"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram"))
+        .limit(50)),
+
+    "q65_pii_redact" -> ((s, d) =>
+      // pre-training PII scrub: per-kind counts on the original text +
+      // the redacted text, all codegen'd regex work in the scan stage
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.piiCount(col("text"), "EMAIL").as("n_emails"),
+        TextAnalysis.piiCount(col("text"), "IP").as("n_ips"),
+        TextAnalysis.piiCount(col("text"), "PHONE").as("n_phones"),
+        TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")),
+
     "q24_tfidf_top_terms" -> ((s, d) => {
       // corpus-level statistic (tf · N / df, unlogged idf so the only
       // floating-point op is one division of exact integers — identical in
@@ -149,6 +171,33 @@ object TextQueries {
                           / len(grams)
                      ELSE CAST(0.0 AS DOUBLE) END AS top_gram_ratio
          FROM g ORDER BY doc_id""",
+
+    // same gram expansion as q61 (repeats kept, document order), then a
+    // plain group-count with the deterministic (cnt DESC, gram) boundary
+    "q64_vocab_top_ngrams" ->
+      """WITH b AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS gram
+               FROM b)
+         SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+         ORDER BY cnt DESC, gram LIMIT 50""",
+
+    // patterns shared verbatim with TextAnalysis.piiPatterns (RE2-safe
+    // subset); counts on the original text, redaction chained in the same
+    // fixed order as the engine
+    "q65_pii_redact" -> {
+      val pats = TextAnalysis.piiPatterns.toMap
+      val redacted = TextAnalysis.piiPatterns.foldLeft("text") {
+        case (acc, (kind, pat)) =>
+          s"regexp_replace($acc, '$pat', '<$kind>', 'g')"
+      }
+      s"""SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '${pats("EMAIL")}')) AS INTEGER) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '${pats("IP")}')) AS INTEGER) AS n_ips,
+                 CAST(len(regexp_extract_all(text, '${pats("PHONE")}')) AS INTEGER) AS n_phones,
+                 $redacted AS redacted
+          FROM documents ORDER BY doc_id"""
+    },
 
     "q24_tfidf_top_terms" ->
       """WITH toks AS (

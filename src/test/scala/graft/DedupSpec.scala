@@ -88,6 +88,51 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(11L -> 2L))
   }
 
+  test("incrementalNewBloom is exactly incrementalNew (no false negatives)") {
+    val existing = Seq((1L, "previously ingested content"),
+      (2L, "other old content")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "previously ingested content"), // known → dropped
+      (11L, "genuinely new content"),
+      (12L, "genuinely new content"), // in-batch dup → one keeper
+      (13L, "other old content"), // known → dropped
+      (14L, "another new document")).toDF("doc_id", "text")
+    val bloom = Dedup.incrementalNewBloom(fresh, existing, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val exact = Dedup.incrementalNew(fresh, existing, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(bloom == exact)
+    assert(bloom == Map(11L -> 2L, 14L -> 1L))
+  }
+
+  test("incrementalNewBloom against an empty corpus keeps the whole batch") {
+    val existing = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val fresh = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val out = Dedup.incrementalNewBloom(fresh, existing, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("chunkDedup keeps first corpus-wide chunk occurrence, rebuilds in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // both chunks novel
+      (2L, "a b c x y z"),       // "a b c" owned by doc 1 → only "x y z"
+      (3L, "a b c d e f"),       // fully duplicated → dropped entirely
+      (4L, "p q r p q r"),       // within-doc dup → first kept
+      (5L, "x y z a b c m n"),   // both leading chunks owned → "m n"
+      (6L, "k l m n o p q r s")) // all novel: rebuilt == original
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "text", "doc_id", chunkTokens = 3)
+      .as[(Long, Int, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2, 2L, "a b c d e f")))
+    assert(out(2L) == ((2, 1L, "x y z")))
+    assert(out(3L) == ((2, 0L, "")))
+    assert(out(4L) == ((2, 1L, "p q r")))
+    assert(out(5L) == ((3, 1L, "m n")))
+    assert(out(6L) == ((3, 3L, "k l m n o p q r s")))
+  }
+
   test("simhash with the portable hasher keeps the planted-dup contract") {
     val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
       maxHamming = 7, chunks = 8,

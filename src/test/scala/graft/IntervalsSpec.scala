@@ -1,0 +1,46 @@
+package graft
+
+import graft.ext.Intervals
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed interval-join semantics: inclusive bounds, key isolation,
+  * exactly-once pairs across bucket-spanning intervals, and floor-division
+  * bucketing on negative clocks.
+  */
+class IntervalsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rangeJoinBucketed: inclusive bounds, key isolation, exactly-once pairs") {
+    val intervals = Seq(
+      ("A", 1L, 100L, 200L), // spans buckets 1 and 2 at width 100
+      ("B", 1L, 150L, 160L),
+      ("C", 2L, 100L, 200L))
+      .toDF("iv_id", "user_id", "start_us", "end_us")
+    val points = Seq(
+      (10L, 1L, 100L), // start boundary → A
+      (11L, 1L, 200L), // end boundary → A
+      (12L, 1L, 155L), // inside A and B
+      (13L, 1L, 250L), // no interval
+      (14L, 2L, 155L), // C only — never crosses into user 1's intervals
+      (15L, 3L, 155L)) // keyless
+      .toDF("pt_id", "user_id", "us")
+    val got = Intervals.rangeJoinBucketed(intervals, points,
+      Seq("user_id"), "start_us", "end_us", "us", bucketUs = 100L)
+      .select("pt_id", "iv_id").as[(Long, String)].collect().sorted.toList
+    // a Seq (not a Set) so a bucket-spanning duplicate pair would fail
+    assert(got == List((10L, "A"), (11L, "A"), (12L, "A"), (12L, "B"),
+      (14L, "C")))
+  }
+
+  test("rangeJoinBucketed buckets negative clocks by floor division") {
+    val intervals = Seq(("N", 1L, -150L, -50L))
+      .toDF("iv_id", "user_id", "start_us", "end_us")
+    val points = Seq((20L, 1L, -100L), (21L, 1L, -151L), (22L, 1L, -49L))
+      .toDF("pt_id", "user_id", "us")
+    val got = Intervals.rangeJoinBucketed(intervals, points,
+      Seq("user_id"), "start_us", "end_us", "us", bucketUs = 100L)
+      .select("pt_id", "iv_id").as[(Long, String)].collect().toList
+    assert(got == List((20L, "N")))
+  }
+}

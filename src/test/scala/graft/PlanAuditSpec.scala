@@ -40,6 +40,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("q64 vocab top-k: partial-agged groupBy feeding TakeOrderedAndProject") {
+    val plan = planOf("q64_vocab_top_ngrams")
+    // never a global sort of the gram table...
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // ...and the count partial-aggregates map-side before the exchange
+    assert(plan.contains("partial_count"), plan.take(2000))
+  }
+
   test("text operators stay inside whole-stage codegen") {
     // AQE finalizes stages lazily — run the query, then audit the final
     // adaptive plan for codegen'd stages

@@ -121,4 +121,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(n == h, s"mismatch on '$s': native=$n hof=$h")
     }
   }
+
+  test("redactPii masks emails, IPs and phones; counts are per-kind") {
+    val cases = Seq(
+      ("contact a.b+spam@example.co.uk or call 555-123-4567 now",
+        "contact <EMAIL> or call <PHONE> now", 1, 0, 1),
+      ("server 10.0.0.1 and 192.168.1.255 up", "server <IP> and <IP> up", 0, 2, 0),
+      ("version 1.2.3 stays, x@y.io goes", "version 1.2.3 stays, <EMAIL> goes", 1, 0, 0),
+      ("intl +44 123.456.7890 and bare 123 456 7890",
+        "intl +44 <PHONE> and bare <PHONE>", 0, 0, 2),
+      ("no pii here at all", "no pii here at all", 0, 0, 0))
+    val rows = cases.map(_._1).toDF("t").select(
+      TextAnalysis.redactPii(col("t")),
+      TextAnalysis.piiCount(col("t"), "EMAIL"),
+      TextAnalysis.piiCount(col("t"), "IP"),
+      TextAnalysis.piiCount(col("t"), "PHONE"))
+      .as[(String, Int, Int, Int)].collect()
+    cases.zip(rows).foreach { case ((in, red, e, ip, ph), got) =>
+      assert(got == ((red, e, ip, ph)), s"on '$in'")
+    }
+  }
 }
