@@ -48,6 +48,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan.take(2000))
   }
 
+  test("q63 bloom incremental: sketch probe prefilters the anti-join") {
+    val plan = planOf("q63_dedup_bloom_incremental")
+    // the membership probe is in the plan as a filter predicate, and the
+    // confirm join is an anti-join (only over the sketch-positive branch)
+    assert(plan.contains("might_contain"), plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+  }
+
+  test("q66 chunk dedup: ownership via groupBy+join, never a window") {
+    // a window over partitionBy(chunk hash) would funnel a mega-duplicated
+    // chunk into one task; the skew-safe form is groupBy-min + join-back
+    val plan = planOf("q66_dedup_chunk")
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("q67 range join: bucketed equi-join, never a nested-loop product") {
+    val plan = planOf("q67_range_join")
+    assert(plan.contains("_bucket"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("text operators stay inside whole-stage codegen") {
     // AQE finalizes stages lazily — run the query, then audit the final
     // adaptive plan for codegen'd stages
