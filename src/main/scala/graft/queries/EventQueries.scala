@@ -100,6 +100,12 @@ object EventQueries {
         .orderBy("purchase_id")
     }),
 
+    "q68_stream_stream_join" -> ((s, d) =>
+      // REAL two-stream interval join (watermarks both sides, time-bounded
+      // state) — q67's attribution window at pair granularity
+      EventStreams.purchaseClickJoin(s, d)
+        .orderBy("purchase_id", "click_id")),
+
     "q45_stream_window_hourly" -> ((s, d) =>
       // REAL Structured Streaming query (parquet source → windowed agg →
       // memory sink), result identical to q40's batch plan
@@ -194,6 +200,21 @@ object EventQueries {
                 count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
                            THEN 1 END) AS n_high
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // pair-granularity dual of q67's oracle: every (purchase, click)
+    // match within the hour window
+    "q68_stream_stream_join" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  event_type FROM events),
+         p AS (SELECT event_id AS purchase_id, user_id, us AS p_us
+               FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, us AS c_us
+               FROM e WHERE event_type = 'click')
+         SELECT p.purchase_id, p.user_id, c.click_id, c.c_us AS click_us
+         FROM p JOIN c ON c.user_id = p.user_id
+                      AND c.c_us BETWEEN p.p_us AND p.p_us + 3600000000
+         ORDER BY p.purchase_id, c.click_id""",
 
     // plain BETWEEN range join: the time-bucketing in the engine plan is
     // invisible to the result contract

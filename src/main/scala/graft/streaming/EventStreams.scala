@@ -123,6 +123,44 @@ object EventStreams {
     spark.table(queryName).where(col("event_type") =!= EndOfStreamType)
   }
 
+  /** Stream-stream interval join: purchases joined to the clicks that land
+    * within `windowMinutes` AFTER them, per user — q67's attribution shape
+    * as a REAL two-stream join. Both sides carry event-time watermarks and
+    * the join condition bounds their time difference, which is exactly
+    * what lets the engine expire join state: a buffered click older than
+    * (watermark − window) can never match a future purchase and is dropped,
+    * so state is bounded by the time window instead of the stream length —
+    * the property that makes this run forever at 100 TB/day.
+    *
+    * Inner-join matches emit as soon as both rows have arrived (no
+    * watermark-closure wait, so a drained finite source needs no
+    * sentinel); the finite-input result is the exact batch join, pair for
+    * pair, and the oracle checks it at that granularity.
+    */
+  def purchaseClickJoin(spark: SparkSession, sfDir: String,
+                        windowMinutes: Long = 60,
+                        queryName: String = "graft_stream_ssjoin"): DataFrame = {
+    def side(eventType: String, idAs: String, userAs: String, tsAs: String) =
+      spark.readStream.schema(rawSchema).parquet(s"$sfDir/events.*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .where(col("event_type") === eventType)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val purchases = side("purchase", "purchase_id", "p_user", "p_ts")
+    val clicks = side("click", "click_id", "c_user", "c_ts")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), unix_micros(col("c_ts")).as("click_us"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Remove a staging directory tree (children before parents). */
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.Files
