@@ -108,7 +108,11 @@ object Corpus {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratumCol)
       .orderBy(col("sample_fp"), col(idCol))
-    df.withColumn("sample_fp", TextAnalysis.fingerprint(col(textCol)))
+    // NULL content never enters an eval sample: its fingerprint is NULL,
+    // which Spark ranks FIRST ascending (oracle engines rank it last) —
+    // without the filter every null-text row would win rank 1
+    df.where(col(textCol).isNotNull)
+      .withColumn("sample_fp", TextAnalysis.fingerprint(col(textCol)))
       .withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= k)
       .drop("sample_fp")

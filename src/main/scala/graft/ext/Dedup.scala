@@ -65,10 +65,15 @@ object Dedup {
     * (`BloomFilterMightContain` requires a foldable or scalar-subquery
     * filter argument) — a constant-size collect explicitly bounded by
     * `expectedItems`, the same discipline as the planes/centroids collects
-    * in [[Similarity]]. The batch relation feeds two branches
-    * (definitely-new bypass + candidate confirm), i.e. is scanned twice;
-    * at ingest scale the second columnar scan is far cheaper than pushing
-    * definitely-new rows through the join exchange.
+    * in [[Similarity]]. Scan accounting, honestly: `existing` is read
+    * twice (the eager linear sketch pass — xxhash64 only, no exchange —
+    * plus the distinct manifest feeding the confirm join) and `newDocs`
+    * twice (definitely-new bypass + candidate confirm). In the production
+    * shape both costs collapse: yesterday's hash manifest is a
+    * materialized table, so the sketch pass and the join build side read
+    * 8/32-byte hash columns, not the corpus. What the sketch buys is the
+    * join's PROBE exchange: only the duplicate-ish fraction of the batch
+    * shuffles.
     */
   def incrementalNewBloom(newDocs: DataFrame, existing: DataFrame,
                           textCol: String, idCol: String,
@@ -76,19 +81,19 @@ object Dedup {
     import graft.functions.BloomFunctions._
     val known = existing
       .select(sha2(col(textCol), 256).as("content_hash")).distinct()
-    // sketch over the raw (pre-distinct) hash stream: Bloom insertion is
-    // idempotent, so this pass aggregates straight to one row with no
-    // exchange of the manifest at all
+    // sketch membership is keyed on xxhash64 of the raw text (cheaper than
+    // sha2 and probed with the same expression batch-side); Bloom insertion
+    // is idempotent, so the pre-distinct stream aggregates straight to one
+    // row with no exchange of the manifest at all
     val sketch = existing
-      .agg(bloomFilterAgg(xxhash64(sha2(col(textCol), 256)), expectedItems)
-        .as("bf"))
+      .agg(bloomFilterAgg(xxhash64(col(textCol)), expectedItems).as("bf"))
       .head.getAs[Array[Byte]]("bf")
     val stamped = newDocs.withColumn("content_hash", sha2(col(textCol), 256))
     // null sketch = empty corpus: nothing can be a duplicate
     val flagged =
       if (sketch == null) stamped.withColumn("maybe_seen", lit(false))
       else stamped.withColumn("maybe_seen",
-        mightContain(lit(sketch), xxhash64(col("content_hash"))))
+        mightContain(lit(sketch), xxhash64(col(textCol))))
     val definiteNew = flagged.where(!col("maybe_seen"))
     val confirmedNew = flagged.where(col("maybe_seen"))
       .join(known, Seq("content_hash"), "left_anti")
@@ -120,7 +125,10 @@ object Dedup {
                  chunkTokens: Int = 20): DataFrame = {
     val toks = split(col(textCol), " ")
     val nChunks = (floor((size(toks) - 1) / lit(chunkTokens)) + 1).cast("int")
-    val chunked = df.select(
+    // NULL text contributes no chunks: size(split(NULL)) is -1, and
+    // sequence(0, -1) would generate the DESCENDING array [0, -1] — two
+    // phantom NULL chunks competing for ownership corpus-wide
+    val chunked = df.where(col(textCol).isNotNull).select(
       col(idCol).as("doc"),
       posexplode(transform(sequence(lit(0), nChunks - 1),
         i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
@@ -136,7 +144,8 @@ object Dedup {
         array_join(
           transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
             x => x.getField("chunk")), " ").as("clean_text"))
-    df.select(col(idCol).as("doc"), nChunks.as("n_chunks"))
+    df.select(col(idCol).as("doc"),
+        when(col(textCol).isNotNull, nChunks).otherwise(lit(0)).as("n_chunks"))
       .join(rebuilt, Seq("doc"), "left")
       .select(col("doc").as("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

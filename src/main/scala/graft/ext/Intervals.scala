@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
 
 /** Interval (range) joins — the join family SURVEY §2.5 records as absent
@@ -36,12 +37,17 @@ object Intervals {
                         keys: Seq[String], startCol: String, endCol: String,
                         tsCol: String, bucketUs: Long): DataFrame = {
     require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    // true integer division (catalyst `div`), never a double round-trip:
+    // clocks near 2^63 (e.g. nanosecond epochs) stay exact. Subtracting
+    // pmod first makes the numerator exactly divisible, so `div`'s
+    // truncation equals floor on negative clocks too.
     def bucketOf(c: org.apache.spark.sql.Column) =
-      (c - pmod(c, lit(bucketUs))) / lit(bucketUs)
+      GraftSqlBridge.column(new IntegralDivide(
+        GraftSqlBridge.expression(c - pmod(c, lit(bucketUs))),
+        GraftSqlBridge.expression(lit(bucketUs))))
     val iv = intervals.withColumn("_bucket",
-      explode(sequence(bucketOf(col(startCol)).cast("long"),
-        bucketOf(col(endCol)).cast("long"))))
-    val pt = points.withColumn("_bucket", bucketOf(col(tsCol)).cast("long"))
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    val pt = points.withColumn("_bucket", bucketOf(col(tsCol)))
     pt.join(iv, keys :+ "_bucket")
       .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bucket")

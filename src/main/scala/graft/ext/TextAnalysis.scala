@@ -76,10 +76,28 @@ object TextAnalysis {
     */
   def topGramRatio(text: Column, n: Int = 2): Column = {
     val g = Dedup.rawWordNgrams(text, n)
-    when(size(g) > 0,
-      array_max(transform(array_distinct(g), x =>
-        size(filter(g, _ === x)))).cast("double") / size(g))
-      .otherwise(lit(0.0))
+    // max gram frequency == longest equal run in the SORTED gram array:
+    // sort, mark adjacent-equal pairs, take the longest TRUE run + 1 in
+    // one linear aggregate pass. The composable distinct×refilter form
+    // (count each distinct gram by refiltering the slot array) is
+    // O(distinct·m) per document — quadratic exactly on the long spammy
+    // documents this metric exists to catch. Evaluation discipline: the
+    // sorted array is referenced only as a DIRECT child of zip_with/slice
+    // (evaluated once per row); referencing it from INSIDE an interpreted
+    // HOF lambda would re-evaluate the sort per element (O(m² log m) —
+    // measured 40× slower on the docs table)
+    val s = array_sort(g)
+    val n1 = greatest(size(s) - 1, lit(0))
+    val eqs = zip_with(slice(s, lit(1), n1), slice(s, lit(2), n1),
+      (a, b) => a === b)
+    val best = aggregate(eqs,
+      struct(lit(1).as("run"), lit(1).as("best")),
+      (acc, eq) => {
+        val run = when(eq, acc.getField("run") + 1).otherwise(lit(1))
+        struct(run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(g) > 0, best.cast("double") / size(g)).otherwise(lit(0.0))
   }
 
   /** Composite quality score in [0,1]: rewards lexical diversity, penalizes
@@ -186,7 +204,11 @@ object TextAnalysis {
   val piiPatterns: Seq[(String, String)] = Seq(
     "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "IP" -> "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b",
-    "PHONE" -> "\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b")
+    // the \b after the optional '+' blocks matches starting mid-digit-run
+    // ("ref 91555 123 4567" must not half-redact) while still admitting a
+    // leading '+' (non-word char, so the boundary sits between it and the
+    // first digit)
+    "PHONE" -> "\\+?\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b")
 
   /** Redact every [[piiPatterns]] occurrence with a `<KIND>` placeholder
     * token: a chain of codegen'd regexp_replace calls, shuffle-free — the

@@ -109,6 +109,14 @@ class CorpusSpec extends AnyFunSuite {
     val tiny = Corpus.stratifiedSample(
       df.where(col("source") === "books"), "text", "source", "doc_id", k = 100)
     assert(tiny.count() == 8)
+    // NULL content never enters a sample (its NULL fingerprint would rank
+    // FIRST ascending and win every selection)
+    val withNull = df.union(Seq((9999L, null.asInstanceOf[String], "web"))
+      .toDF("doc_id", "text", "source"))
+    val sampled = Corpus.stratifiedSample(withNull, "text", "source",
+        "doc_id", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!sampled.contains(9999L) && sampled == out.map(_._1).toSet)
   }
 
   test("decontaminate finds a planted leak with the exact shared-gram count") {

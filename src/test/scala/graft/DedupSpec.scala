@@ -120,7 +120,8 @@ class DedupSpec extends AnyFunSuite {
       (3L, "a b c d e f"),       // fully duplicated → dropped entirely
       (4L, "p q r p q r"),       // within-doc dup → first kept
       (5L, "x y z a b c m n"),   // both leading chunks owned → "m n"
-      (6L, "k l m n o p q r s")) // all novel: rebuilt == original
+      (6L, "k l m n o p q r s"), // all novel: rebuilt == original
+      (7L, null))                // NULL text: zero chunks, never an owner
       .toDF("doc_id", "text")
     val out = Dedup.chunkDedup(docs, "text", "doc_id", chunkTokens = 3)
       .as[(Long, Int, Long, String)].collect()
@@ -131,6 +132,7 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((2, 1L, "p q r")))
     assert(out(5L) == ((3, 1L, "m n")))
     assert(out(6L) == ((3, 3L, "k l m n o p q r s")))
+    assert(out(7L) == ((0, 0L, "")))
   }
 
   test("simhash with the portable hasher keeps the planted-dup contract") {

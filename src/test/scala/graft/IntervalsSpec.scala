@@ -33,6 +33,24 @@ class IntervalsSpec extends AnyFunSuite {
       (14L, "C")))
   }
 
+  test("rangeJoinBucketed stays exact on nanosecond-scale clocks (> 2^53)") {
+    // bucket arithmetic must be true integer division: a double round-trip
+    // at ~1.7e18 ns carries 256-ulp input rounding
+    val t0 = 1700000000000000000L // ns epoch, well above 2^53
+    val hourNs = 3600000000000L
+    val intervals = Seq(("G", 1L, t0, t0 + hourNs))
+      .toDF("iv_id", "user_id", "start_us", "end_us")
+    val points = Seq(
+      (30L, 1L, t0),              // start boundary
+      (31L, 1L, t0 + hourNs),     // end boundary (next bucket)
+      (32L, 1L, t0 + hourNs + 1)) // just outside
+      .toDF("pt_id", "user_id", "us")
+    val got = Intervals.rangeJoinBucketed(intervals, points,
+      Seq("user_id"), "start_us", "end_us", "us", bucketUs = hourNs)
+      .select("pt_id").as[Long].collect().sorted.toList
+    assert(got == List(30L, 31L))
+  }
+
   test("rangeJoinBucketed buckets negative clocks by floor division") {
     val intervals = Seq(("N", 1L, -150L, -50L))
       .toDF("iv_id", "user_id", "start_us", "end_us")

@@ -130,6 +130,8 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("version 1.2.3 stays, x@y.io goes", "version 1.2.3 stays, <EMAIL> goes", 1, 0, 0),
       ("intl +44 123.456.7890 and bare 123 456 7890",
         "intl +44 <PHONE> and bare <PHONE>", 0, 0, 2),
+      // a longer digit run must not be half-redacted from the middle
+      ("ref 91555 123 4567 stays", "ref 91555 123 4567 stays", 0, 0, 0),
       ("no pii here at all", "no pii here at all", 0, 0, 0))
     val rows = cases.map(_._1).toDF("t").select(
       TextAnalysis.redactPii(col("t")),
