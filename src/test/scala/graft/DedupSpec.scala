@@ -135,6 +135,34 @@ class DedupSpec extends AnyFunSuite {
     assert(out(7L) == ((0, 0L, "")))
   }
 
+  test("chunkDedup ≡ sequential first-occurrence reference on randomized docs") {
+    val rnd = new scala.util.Random(19)
+    val vocab = Array("a", "b", "c", "d")
+    for (trial <- 1 to 3) {
+      val ct = 1 + rnd.nextInt(3)
+      // small vocab + short docs force heavy cross-doc chunk collisions;
+      // include the empty string (split("", -1) == Array(""), one chunk)
+      val docs = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(4))).mkString(" "))
+      }
+      // reference: walk docs in id order, chunks in position order, keep
+      // first global occurrence of each chunk text
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = docs.map { case (id, tx) =>
+        val toks = tx.split(" ", -1) // Spark split keeps empty tokens
+        val chunks = (0 until ((toks.length - 1) / ct + 1))
+          .map(i => toks.slice(i * ct, i * ct + ct).mkString(" "))
+        val kept = chunks.filter(c => seen.add(c))
+        id -> ((chunks.length, kept.length.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = Dedup.chunkDedup(docs.toDF("doc_id", "text"), "text",
+        "doc_id", chunkTokens = ct)
+        .as[(Long, Int, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == expected, s"trial $trial chunkTokens=$ct")
+    }
+  }
+
   test("simhash with the portable hasher keeps the planted-dup contract") {
     val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
       maxHamming = 7, chunks = 8,

@@ -51,6 +51,30 @@ class IntervalsSpec extends AnyFunSuite {
     assert(got == List(30L, 31L))
   }
 
+  test("rangeJoinBucketed ≡ brute-force range join on randomized relations") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3; bucketUs <- Seq(1L, 7L, 100L)) {
+      val intervals = (0 until 25).map { i =>
+        val start = rnd.nextInt(200) - 100L
+        (i.toLong, rnd.nextInt(4).toLong, start, start + rnd.nextInt(40))
+      }
+      val points = (0 until 60).map { i =>
+        (100L + i, rnd.nextInt(4).toLong, rnd.nextInt(240) - 120L)
+      }
+      val got = Intervals.rangeJoinBucketed(
+        intervals.toDF("iv_id", "user_id", "start_us", "end_us"),
+        points.toDF("pt_id", "user_id", "us"),
+        Seq("user_id"), "start_us", "end_us", "us", bucketUs)
+        .select("iv_id", "pt_id").as[(Long, Long)].collect().sorted.toList
+      val expected = (for {
+        (iv, k, s, e) <- intervals
+        (pt, pk, ts) <- points
+        if pk == k && ts >= s && ts <= e
+      } yield (iv, pt)).sorted.toList
+      assert(got == expected, s"trial $trial bucketUs=$bucketUs")
+    }
+  }
+
   test("rangeJoinBucketed buckets negative clocks by floor division") {
     val intervals = Seq(("N", 1L, -150L, -50L))
       .toDF("iv_id", "user_id", "start_us", "end_us")
