@@ -49,6 +49,13 @@ object ScaleProbe {
       time(s"${k}x exact") {
         Dedup.exact(docs, "text", "doc_id").count()
       }
+      time(s"${k}x chunk-dedup") {
+        // checksum over the rebuilt text so column pruning can't skip the
+        // ownership join or the rebuild aggregation
+        Dedup.chunkDedup(docs, "text", "doc_id")
+          .agg(sum(length(col("clean_text"))).as("chars"),
+            sum(col("n_kept")).as("kept")).head()
+      }
     }
 
     // ---- dominant-bucket skew: one bucket gets ~100x the rows of each of
