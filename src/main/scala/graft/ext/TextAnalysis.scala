@@ -26,6 +26,16 @@ object TextAnalysis {
   def roughTokenCount(text: Column): Column =
     size(split(text, "[^A-Za-z0-9]+|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"))
 
+  /** Count of maximal letter-runs and digit-runs — the same BPE-ish
+    * pre-tokenization segments as [[roughTokenCount]], but formulated as an
+    * extraction (`[A-Za-z]+|[0-9]+`) instead of lookaround splits, so it
+    * stays in the RE2-compatible subset an oracle engine can replay, and
+    * never counts the empty leading segment the split form emits on texts
+    * starting with a separator.
+    */
+  def tokenSegments(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+"), lit(0)))
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Type-token ratio: distinct tokens / tokens — a repetition signal. */

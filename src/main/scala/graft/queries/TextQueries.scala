@@ -51,6 +51,16 @@ object TextQueries {
         TextAnalysis.topGramRatio(col("text"), 2).as("top_gram_ratio"))
         .orderBy("doc_id")),
 
+    "q69_token_segments" -> ((s, d) =>
+      // BPE-ish pre-tokenization count (maximal letter/digit runs) next to
+      // the whitespace count — the two standard budget estimators, both
+      // codegen'd in the scan stage
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenSegments(col("text")).as("n_segments"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"))
+        .orderBy("doc_id")),
+
     "q64_vocab_top_ngrams" -> ((s, d) =>
       // corpus-wide vocabulary statistic for tokenizer training: the 50
       // most frequent bigrams. Plan shape: explode → partial-agged groupBy
@@ -171,6 +181,13 @@ object TextQueries {
                           / len(grams)
                      ELSE CAST(0.0 AS DOUBLE) END AS top_gram_ratio
          FROM g ORDER BY doc_id""",
+
+    "q69_token_segments" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS INTEGER)
+                  AS n_segments,
+                len(string_split(text, ' ')) AS n_ws_tokens
+         FROM documents ORDER BY doc_id""",
 
     // same gram expansion as q61 (repeats kept, document order), then a
     // plain group-count with the deterministic (cnt DESC, gram) boundary

@@ -122,6 +122,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenSegments counts maximal letter/digit runs") {
+    val cases = Seq(
+      ("ab12cd x.y", 5),    // ab | 12 | cd | x | y
+      ("hello world", 2),
+      ("...", 0), ("", 0),
+      ("v2beta3", 4),       // v | 2 | beta | 3
+      ("  lead", 1))
+    val rows = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.tokenSegments(col("t"))).as[Int].collect()
+    cases.zip(rows).foreach { case ((in, want), got) =>
+      assert(got == want, s"on '$in'")
+    }
+  }
+
   test("redactPii masks emails, IPs and phones; counts are per-kind") {
     val cases = Seq(
       ("contact a.b+spam@example.co.uk or call 555-123-4567 now",
