@@ -85,15 +85,35 @@ object Dedup {
     // sha2 and probed with the same expression batch-side); Bloom insertion
     // is idempotent, so the pre-distinct stream aggregates straight to one
     // row with no exchange of the manifest at all
-    val sketch = existing
-      .agg(bloomFilterAgg(xxhash64(col(textCol)), expectedItems).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+    // One eager pass over `existing` (a Spark job at operator-construction
+    // time, unlike the lazy siblings — deliberate: the sketch must exist
+    // before the probe plan can embed it). An HLL distinct-count rides the
+    // same aggregate (map-side sketch merge, still no manifest exchange)
+    // so undersizing is detected for free: a sketch sized for 1M holding
+    // 50M has a false-positive rate near 1 — still correct (the anti-join
+    // confirms every candidate) but pure overhead, so warn.
+    val sketchRow = existing
+      .agg(bloomFilterAgg(xxhash64(col(textCol)), expectedItems).as("bf"),
+        approx_count_distinct(xxhash64(col(textCol))).as("n"))
+      .head
+    val sketch = sketchRow.getAs[Array[Byte]]("bf")
+    val actualItems = sketchRow.getAs[Long]("n")
+    if (actualItems > 2 * expectedItems)
+      System.err.println(s"[graft] incrementalNewBloom: manifest holds " +
+        s"$actualItems distinct hashes but the sketch was sized for " +
+        s"$expectedItems — false-positive rate degrades toward 1 and the " +
+        s"prefilter becomes overhead; raise expectedItems")
     val stamped = newDocs.withColumn("content_hash", sha2(col(textCol), 256))
-    // null sketch = empty corpus: nothing can be a duplicate
+    // null sketch = empty corpus: nothing can be a duplicate. NULL text
+    // makes the probe NULL, which must mean "not seen" (false), or the row
+    // would vanish from BOTH branches below; coalesce(..., false) routes
+    // NULL-text rows down the definitely-new path, where the final groupBy
+    // collapses them into one NULL-hash keeper group — exactly what
+    // [[incrementalNew]]'s anti-join does (null keys never match).
     val flagged =
       if (sketch == null) stamped.withColumn("maybe_seen", lit(false))
       else stamped.withColumn("maybe_seen",
-        mightContain(lit(sketch), xxhash64(col(textCol))))
+        coalesce(mightContain(lit(sketch), xxhash64(col(textCol))), lit(false)))
     val definiteNew = flagged.where(!col("maybe_seen"))
     val confirmedNew = flagged.where(col("maybe_seen"))
       .join(known, Seq("content_hash"), "left_anti")

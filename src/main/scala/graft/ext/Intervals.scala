@@ -32,11 +32,23 @@ object Intervals {
     * consistent integer clock). Column names must be disjoint apart from
     * `keys`. Bucket indices use floor division via exact integer
     * arithmetic, so pre-1970 (negative) clocks stay correct.
+    *
+    * Robustness guards (all semantics-preserving):
+    *  - inverted intervals (end < start) match nothing under the inclusive
+    *    BETWEEN, so they are filtered BEFORE the explode — a malformed row
+    *    costs one comparison, not a descending `sequence` of phantom rows.
+    *  - an interval spanning more than `maxBucketsPerInterval` buckets
+    *    fails the job with a clear message instead of silently exploding a
+    *    giant (or Spark-limit-exceeding) array; raise `bucketUs` or the cap.
+    *  - the internal bucket column name is uniquified against both inputs.
     */
   def rangeJoinBucketed(intervals: DataFrame, points: DataFrame,
                         keys: Seq[String], startCol: String, endCol: String,
-                        tsCol: String, bucketUs: Long): DataFrame = {
+                        tsCol: String, bucketUs: Long,
+                        maxBucketsPerInterval: Long = 1L << 16): DataFrame = {
     require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
     // true integer division (catalyst `div`), never a double round-trip:
     // clocks near 2^63 (e.g. nanosecond epochs) stay exact. Subtracting
     // pmod first makes the numerator exactly divisible, so `div`'s
@@ -45,11 +57,25 @@ object Intervals {
       GraftSqlBridge.column(new IntegralDivide(
         GraftSqlBridge.expression(c - pmod(c, lit(bucketUs))),
         GraftSqlBridge.expression(lit(bucketUs))))
-    val iv = intervals.withColumn("_bucket",
-      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
-    val pt = points.withColumn("_bucket", bucketOf(col(tsCol)))
-    pt.join(iv, keys :+ "_bucket")
+    val taken = (intervals.columns ++ points.columns).toSet
+    val bucket = Iterator.from(0).map(i => s"_bucket$i")
+      .find(!taken.contains(_)).get
+    val firstBucket = bucketOf(col(startCol))
+    val lastBucket = bucketOf(col(endCol))
+    val fanout = lastBucket - firstBucket + lit(1L)
+    val iv = intervals
+      .where(col(endCol) >= col(startCol))
+      .withColumn(bucket, explode(sequence(
+        when(fanout > lit(maxBucketsPerInterval), raise_error(concat(
+          lit("rangeJoinBucketed: interval ["), col(startCol), lit(", "),
+          col(endCol), lit(s"] spans "), fanout,
+          lit(s" buckets > cap $maxBucketsPerInterval at bucketUs=$bucketUs;" +
+            " raise bucketUs or maxBucketsPerInterval")))
+        ).otherwise(firstBucket),
+        lastBucket)))
+    val pt = points.withColumn(bucket, bucketOf(col(tsCol)))
+    pt.join(iv, keys :+ bucket)
       .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
-      .drop("_bucket")
+      .drop(bucket)
   }
 }

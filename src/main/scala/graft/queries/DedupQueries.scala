@@ -251,8 +251,9 @@ object DedupQueries {
                       string_agg(chunk, ' ' ORDER BY idx) AS clean_text
                FROM k WHERE rn = 1 GROUP BY doc_id)
          SELECT d.doc_id,
-                CAST((len(string_split(d.text, ' ')) - 1) // 20 + 1 AS INTEGER)
-                  AS n_chunks,
+                CAST(CASE WHEN d.text IS NULL THEN 0
+                          ELSE (len(string_split(d.text, ' ')) - 1) // 20 + 1
+                     END AS INTEGER) AS n_chunks,
                 coalesce(r.n_kept, 0) AS n_kept,
                 coalesce(r.clean_text, '') AS clean_text
          FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id

@@ -140,13 +140,20 @@ object EventStreams {
   def purchaseClickJoin(spark: SparkSession, sfDir: String,
                         windowMinutes: Long = 60,
                         queryName: String = "graft_stream_ssjoin"): DataFrame = {
+    // The watermark delay must cover the join window: a buffered click is
+    // only safe to expire once the watermark guarantees no purchase up to
+    // `windowMinutes` earlier can still arrive. A fixed "1 hour" here would
+    // silently drop pairs for windowMinutes > 60 when input spans multiple
+    // micro-batches, so the delay is derived from the window (floor 1h for
+    // ordinary out-of-orderness).
+    val watermarkDelay = s"${math.max(windowMinutes, 60L)} minutes"
     def side(eventType: String, idAs: String, userAs: String, tsAs: String) =
       spark.readStream.schema(rawSchema).parquet(s"$sfDir/events.*")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .where(col("event_type") === eventType)
         .select(col("event_id").as(idAs), col("user_id").as(userAs),
           col("ts").as(tsAs))
-        .withWatermark(tsAs, "1 hour")
+        .withWatermark(tsAs, watermarkDelay)
     val purchases = side("purchase", "purchase_id", "p_user", "p_ts")
     val clicks = side("click", "click_id", "c_user", "c_ts")
     val joined = purchases.join(clicks,

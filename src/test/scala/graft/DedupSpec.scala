@@ -105,6 +105,26 @@ class DedupSpec extends AnyFunSuite {
     assert(bloom == Map(11L -> 2L, 14L -> 1L))
   }
 
+  test("incrementalNewBloom matches incrementalNew on NULL-text rows") {
+    // xxhash64(NULL) makes the Bloom probe NULL; without coalesce(..., false)
+    // those rows would vanish from BOTH branches, while incrementalNew's
+    // anti-join keeps them (null keys never match) as one NULL-hash group
+    val existing = Seq((1L, Some("previously ingested content")),
+      (2L, Option.empty[String])).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, Option.empty[String]),                    // NULL → keeper group
+      (11L, Option.empty[String]),                    // same NULL group
+      (12L, Some("genuinely new content")),
+      (13L, Some("previously ingested content")))     // known → dropped
+      .toDF("doc_id", "text")
+    val bloom = Dedup.incrementalNewBloom(fresh, existing, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val exact = Dedup.incrementalNew(fresh, existing, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(bloom == exact)
+    assert(bloom == Map(10L -> 2L, 12L -> 1L))
+  }
+
   test("incrementalNewBloom against an empty corpus keeps the whole batch") {
     val existing = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val fresh = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")

@@ -75,6 +75,50 @@ class IntervalsSpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoinBucketed filters inverted intervals instead of exploding them") {
+    // end < start matches nothing under inclusive BETWEEN; pre-explode
+    // filtering means the malformed row costs one comparison, and the
+    // descending sequence (which would otherwise generate phantom buckets
+    // or fail) is never built
+    val intervals = Seq(("I", 1L, 500L, 100L), ("V", 1L, 100L, 200L))
+      .toDF("iv_id", "user_id", "start_us", "end_us")
+    val points = Seq((10L, 1L, 150L), (11L, 1L, 300L))
+      .toDF("pt_id", "user_id", "us")
+    val got = Intervals.rangeJoinBucketed(intervals, points,
+      Seq("user_id"), "start_us", "end_us", "us", bucketUs = 100L)
+      .select("pt_id", "iv_id").as[(Long, String)].collect().toList
+    assert(got == List((10L, "V")))
+  }
+
+  test("rangeJoinBucketed fails loudly past the per-interval fanout cap") {
+    val intervals = Seq(("W", 1L, 0L, 10000L))
+      .toDF("iv_id", "user_id", "start_us", "end_us")
+    val points = Seq((10L, 1L, 5L)).toDF("pt_id", "user_id", "us")
+    val ex = intercept[Exception] {
+      Intervals.rangeJoinBucketed(intervals, points,
+        Seq("user_id"), "start_us", "end_us", "us", bucketUs = 1L,
+        maxBucketsPerInterval = 100L).collect()
+    }
+    assert(ex.getMessage.contains("rangeJoinBucketed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rangeJoinBucketed")))
+    // same span succeeds under the default cap
+    val ok = Intervals.rangeJoinBucketed(intervals, points,
+      Seq("user_id"), "start_us", "end_us", "us", bucketUs = 1L)
+      .select("pt_id").as[Long].collect().toList
+    assert(ok == List(10L))
+  }
+
+  test("rangeJoinBucketed tolerates a user column named _bucket0") {
+    val intervals = Seq(("A", 1L, 100L, 200L, "ivb"))
+      .toDF("iv_id", "user_id", "start_us", "end_us", "_bucket0")
+    val points = Seq((10L, 1L, 150L)).toDF("pt_id", "user_id", "us")
+    val got = Intervals.rangeJoinBucketed(intervals, points,
+      Seq("user_id"), "start_us", "end_us", "us", bucketUs = 100L)
+    assert(got.columns.count(_ == "_bucket0") == 1) // user's column survives
+    assert(got.select("pt_id", "_bucket0").as[(Long, String)]
+      .collect().toList == List((10L, "ivb")))
+  }
+
   test("rangeJoinBucketed buckets negative clocks by floor division") {
     val intervals = Seq(("N", 1L, -150L, -50L))
       .toDF("iv_id", "user_id", "start_us", "end_us")
