@@ -134,6 +134,16 @@ object Corpus {
     * train-side document frequency > maxDf (stop-gram cap), equi-join on
     * the hash, count per pair. The only shuffles are the two explode-side
     * exchanges on gram_hash and the final pair aggregation.
+    *
+    * The train corpus is deliberately exploded TWICE (once under the df
+    * aggregate, once as the anti-join probe): the two subtrees' exchanges
+    * differ structurally (partial-agg vs raw gram stream), so Spark's
+    * ReusedExchange can never dedup them, and persisting the gram table
+    * instead would materialize ~(tokens−n+1) rows per document — order 10×
+    * the corpus, infeasible at 100 TB. Recompute costs one extra scan +
+    * explode, and Catalyst prunes that scan to the text column alone.
+    * PlanAuditSpec pins all of this: broadcast anti-join, text-only
+    * recompute scan, and exactly three explodes.
     */
   def decontaminate(train: DataFrame, eval_ : DataFrame, textCol: String,
                     idCol: String, n: Int = 5, minShared: Int = 1,

@@ -24,8 +24,16 @@ object Probe {
     fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val n = df.count()
       println(f"[probe] $name rep$i rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      if (i == 1) {
+        // post-execution plan: AQE's runtime decisions (broadcast
+        // conversions, ReusedExchange, coalesced partitions) only appear
+        // in the FINAL adaptive plan, after an action has run
+        println(s"== final adaptive plan for $name ==")
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }

@@ -98,4 +98,62 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = planOf("q31_dedup_minhash_lsh")
     assert(plan.contains("hashpartitioning(band"), plan.take(3000))
   }
+
+  // the executed-plan string appends the pre-AQE "Initial Plan" section;
+  // final-plan assertions must read only the first section
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"), full.take(500))
+    full.split("== Initial Plan ==")(0)
+  }
+
+  test("q54 decontaminate: empty stop-gram list is AQE-eliminated, recompute pruned") {
+    // at harness scale no 5-gram exceeds maxDf, so the stop-gram list
+    // materializes EMPTY and AQE's empty-relation propagation must erase
+    // the anti-join from the final plan — the exclusion costs zero join
+    // work exactly when there is nothing to exclude
+    val df = SparkEntry.queries("q54_decontaminate")(spark, sf)
+    val plan = finalPlanOf(df)
+    assert(!plan.contains("LeftAnti"), plan.take(4000))
+    assert(plan.linesIterator.count(_.contains("Generate explode")) == 2,
+      plan.take(4000))
+    // trainGrams is deliberately recomputed, never reused or persisted
+    // (see Corpus.decontaminate doc) — the df-aggregate stage ran and was
+    // dropped from the final tree, but its scan (visible in the initial
+    // plan) must prune to the text column alone
+    val initial = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(1)
+    assert(initial.contains("ReadSchema: struct<text:string>"), initial.take(4000))
+    assert(!initial.contains("InMemoryTableScan"), initial.take(4000))
+  }
+
+  test("decontaminate: non-empty stop-gram list anti-joins as a BROADCAST") {
+    // when heavy grams DO exist, the exclusion list is tiny (bounded by
+    // total_grams/maxDf) and carries no broadcast hint on purpose — AQE
+    // must pick broadcast from the built side's actual runtime size; a
+    // shuffle here would exchange the whole exploded gram stream
+    import spark.implicits._
+    // every train doc leads with the same heavy gram (df=40 > maxDf=10)
+    // and tails with doc-unique tokens; doc 1's tail is shared with eval —
+    // keptTrain stays non-empty so AQE cannot empty-propagate the join away
+    val train = (1 to 40).map { i =>
+      val tail = if (i == 1) "s1 s2 s3 s4 s5"
+                 else s"u${i}a u${i}b u${i}c u${i}d u${i}e"
+      (i.toLong, s"h1 h2 h3 h4 h5 $tail")
+    }.toDF("doc_id", "text")
+    val eval_ = Seq((100L, "s1 s2 s3 s4 s5"),
+      (101L, "a rare unique eval sentence x")).toDF("doc_id", "text")
+    val df = graft.ext.Corpus.decontaminate(train, eval_,
+      "text", "doc_id", n = 5, minShared = 1, maxDf = 10L)
+    val plan = finalPlanOf(df)
+    val antiLines = plan.linesIterator.filter(_.contains("LeftAnti")).toList
+    assert(antiLines.nonEmpty && antiLines.forall(_.contains("BroadcastHashJoin")),
+      plan.take(4000))
+    // the heavy gram was suppressed (docs 2..40 share it with nobody) and
+    // the genuine leak survived: eval 100 ⇄ train 1 via the shared tail
+    val got = df.select("eval_id", "train_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((100L, 1L, 1L)), got)
+  }
 }
