@@ -41,20 +41,32 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.contains)) }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val errors = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to runs; (name, fn) <- selected) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+      // a query that throws must NOT record its fast-fail wall time as a
+      // healthy sample — mark it errored and exclude it from the totals
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+      } catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      }
     }
-    def jmap(f: Vector[Double] => Double) = selected
+    val ok = selected.filter { case (n, _) => samples.contains(n) }
+    def jmap(f: Vector[Double] => Double) = ok
       .map { case (n, _) => s"\"" + n + "\":" + f(samples(n)) }
       .mkString("{", ",", "}")
     val med = jmap(median)
     val mins = jmap(_.min)
     val maxs = jmap(_.max)
-    val total = selected.map { case (n, _) => median(samples(n)) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"runs":$runs,"queries_min":$mins,"queries_max":$maxs,"sf":"$sfDir"}""")
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (n, m) => s"\"" + n + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map { case (n, _) => median(samples(n)) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"runs":$runs,"queries_min":$mins,"queries_max":$maxs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
