@@ -35,17 +35,47 @@ object SpecCompiler {
     "sum", "count", "avg", "mean", "min", "max",
     "collect_list", "collect_set", "first", "approx_count_distinct")
 
-  private val corrPattern = """([A-Za-z_][A-Za-z0-9_]*)\s*=\s*\$\{id\}""".r
+  // the negative lookahead rejects `col = ${id} + 1`-style arithmetic and
+  // `|| 'x'` concatenation: a trailing operator means the conjunct is NOT
+  // plain equality, so the match fails and the residual ${id} throws below
+  private val corrEqPattern =
+    """([A-Za-z_][A-Za-z0-9_]*)\s*=\s*\$\{id\}(?!\s*[-+*/%|&^.,0-9'"(])""".r
+  private val corrInPattern =
+    """([A-Za-z_][A-Za-z0-9_]*)\s+[Ii][Nn]\s*\(\s*\$\{id\}\s*\)""".r
 
   /** Split a task query into (decorrelated SQL, correlation column).
-    * `col = ${id}` conjuncts are the only correlation form the reference's
-    * configs use (FIXTURES.md §3); each is replaced by a tautology so the
-    * scan reads all IDs at once and the predicate becomes a join.
+    *
+    * The reference does a raw string replace of `${id}` anywhere in the
+    * query text (generic_script.scala:275, mentoringFunction2.scala:158),
+    * so a config author may write the correlation as `col = ${id}` or
+    * `col IN (${id})` — both mean per-iteration equality and both become a
+    * join once decorrelated (each conjunct is replaced by a tautology so
+    * the scan reads all IDs at once). `col = ${id}` is the only form in
+    * shipped configs (FIXTURES.md §3); `IN` is accepted for compatibility.
+    *
+    * Any OTHER placement (arithmetic on the id, `IN (${id}, ...)` lists,
+    * string concatenation) has no join equivalent, and several correlation
+    * conjuncts naming DIFFERENT columns would need a multi-column join
+    * this compiler doesn't emit — both fail loudly here instead of leaving
+    * `${id}` in the SQL for the parser to trip over (or worse, silently
+    * widening the result the way a dropped conjunct would).
     */
   def decorrelate(query: String): (String, Option[String]) = {
-    corrPattern.findFirstMatchIn(query) match {
-      case Some(m) => (corrPattern.replaceAllIn(query, "1=1"), Some(m.group(1)))
-      case None => (query, None)
+    val corrCols = (corrEqPattern.findAllMatchIn(query).map(_.group(1)) ++
+      corrInPattern.findAllMatchIn(query).map(_.group(1))).toSeq.distinct
+    val stripped = corrInPattern.replaceAllIn(
+      corrEqPattern.replaceAllIn(query, "1=1"), "1=1")
+    if (stripped.contains("${id}"))
+      throw new IllegalArgumentException(
+        "unsupported ${id} placement: only `col = ${id}` and " +
+          s"`col IN ($${id})` conjuncts decorrelate to a join; query: $query")
+    corrCols match {
+      case Seq() => (query, None)
+      case Seq(one) => (stripped, Some(one))
+      case many => throw new IllegalArgumentException(
+        s"ambiguous correlation: $${id} constrains several columns " +
+          s"${many.mkString("(", ", ", ")")} — one correlation column per " +
+          s"task query is supported; query: $query")
     }
   }
 

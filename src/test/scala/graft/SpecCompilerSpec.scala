@@ -55,6 +55,45 @@ class SpecCompilerSpec extends AnyFunSuite {
     assert(SpecCompiler.decorrelate("SELECT 1") == (("SELECT 1", None)))
   }
 
+  test("decorrelate accepts IN (${id}) as per-iteration equality") {
+    val (sql, corr) = SpecCompiler.decorrelate(
+      "SELECT a FROM t WHERE user_id IN (${id}) AND b > 3")
+    assert(sql == "SELECT a FROM t WHERE 1=1 AND b > 3")
+    assert(corr.contains("user_id"))
+    // case-insensitive keyword, whitespace tolerated
+    val (sql2, corr2) = SpecCompiler.decorrelate(
+      "SELECT a FROM t WHERE user_id in ( ${id} )")
+    assert(sql2 == "SELECT a FROM t WHERE 1=1")
+    assert(corr2.contains("user_id"))
+    // repeated conjuncts on the SAME column collapse to one correlation
+    val (sql3, corr3) = SpecCompiler.decorrelate(
+      "SELECT a FROM t WHERE user_id = ${id} OR user_id IN (${id})")
+    assert(sql3 == "SELECT a FROM t WHERE 1=1 OR 1=1")
+    assert(corr3.contains("user_id"))
+  }
+
+  test("decorrelate fails loudly on unsupported ${id} placements") {
+    // arithmetic / concatenation / IN-list placements have no join
+    // equivalent; the reference's raw string-replace would accept them,
+    // so the compiler must reject them instead of leaving ${id} in the SQL
+    for (q <- Seq(
+      "SELECT a FROM t WHERE user_id = ${id} + 1",
+      "SELECT a FROM t WHERE user_id IN (${id}, 5)",
+      "SELECT concat('u', ${id}) FROM t",
+      "SELECT a FROM t WHERE ${id} = user_id")) {
+      val ex = intercept[IllegalArgumentException](SpecCompiler.decorrelate(q))
+      assert(ex.getMessage.contains("unsupported ${id} placement"), q)
+    }
+  }
+
+  test("decorrelate rejects ${id} constraining two different columns") {
+    // `a = ${id} AND b = ${id}` would need a two-column join; dropping one
+    // conjunct silently widens the result, so it must throw
+    val ex = intercept[IllegalArgumentException](SpecCompiler.decorrelate(
+      "SELECT a FROM t WHERE a = ${id} AND b = ${id}"))
+    assert(ex.getMessage.contains("ambiguous correlation"))
+  }
+
   test("spec JSON round-trips through the typed ADT (v3 spelling)") {
     val spec = PipelineSpec.fromJson(specJson())
     assert(spec.entries.size == 1)
