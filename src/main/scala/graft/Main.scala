@@ -1,7 +1,7 @@
 package graft
 
 import graft.compile.SpecCompiler
-import graft.ops.{Sinks, Tables}
+import graft.ops.{JdbcRouter, Sinks, SourceRouter, Tables, ViewRouter}
 import graft.spec.PipelineSpec
 import org.apache.spark.sql.SparkSession
 
@@ -45,6 +45,13 @@ import java.util.Properties
   *                     spec's decorrelated queries hit the views)
   *  - `sink.database`  sink database (default: `input.database`)
   *  - `sink.table`     sink table (overridable by `--sink`)
+  *  - `database.<name>.url`  multi-database routing (extension of the
+  *                     reference's per-task `database_name` URL building,
+  *                     generic_script.scala:117-118): a task whose spec
+  *                     entry names `database_name: <name>` executes its
+  *                     query IN that database over JDBC; names without a
+  *                     `database.<name>.url` key fall back to the
+  *                     registered temp views of the default input database
   *
   * Per-entry sink semantics: the reference appends each
   * `input_data_schema` entry's frame independently
@@ -64,7 +71,8 @@ object Main {
       inputTables: Seq[String],
       sinkDatabase: Option[String],
       sinkTable: String,
-      unionEntries: Boolean) {
+      unionEntries: Boolean,
+      databaseUrls: Map[String, String] = Map.empty) {
     def inputUrl: String = compose(url, inputDatabase)
     def sinkUrl: String = compose(url, sinkDatabase.orElse(inputDatabase))
     def jdbcOptions: Map[String, String] =
@@ -112,7 +120,14 @@ object Main {
         .filter(_.nonEmpty).map(requireIdent("input table", _)),
       sinkDatabase = prop("sink.database"),
       sinkTable = requireIdent("sink table", sinkTable),
-      unionEntries = flags._2)
+      unionEntries = flags._2,
+      databaseUrls = {
+        import scala.jdk.CollectionConverters._
+        val pat = """^database\.(.+)\.url$""".r
+        props.stringPropertyNames.asScala.toSeq.collect {
+          case k @ pat(name) => name -> props.getProperty(k).trim
+        }.filter(_._2.nonEmpty).toMap
+      })
   }
 
   /** `--properties <path>` wins; else the classpath resource the reference
@@ -152,9 +167,14 @@ object Main {
         .createOrReplaceTempView(t)
     }
 
+    // multi-database routing: database_name entries with a configured URL
+    // query that database directly; everything else hits the views above
+    val router: SourceRouter =
+      if (conf.databaseUrls.isEmpty) ViewRouter
+      else JdbcRouter(conf.databaseUrls, opts, fallback = Some(ViewRouter))
     val outputs =
-      if (conf.unionEntries) Seq(SpecCompiler.compile(spark, spec))
-      else SpecCompiler.compileEntries(spark, spec)
+      if (conf.unionEntries) Seq(SpecCompiler.compile(spark, spec, router))
+      else SpecCompiler.compileEntries(spark, spec, router)
     outputs.foreach(df => Sinks.jdbcAppend(df, conf.sinkUrl, conf.sinkTable, opts))
   }
 

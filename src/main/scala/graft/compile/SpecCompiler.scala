@@ -1,5 +1,6 @@
 package graft.compile
 
+import graft.ops.{SourceRouter, ViewRouter}
 import graft.spec._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -85,8 +86,9 @@ object SpecCompiler {
     * union-compatible entry schemas — for heterogeneous entries use
     * [[compileEntries]], the reference's actual per-entry sink shape).
     */
-  def compile(spark: SparkSession, spec: PipelineSpec): DataFrame =
-    compileEntries(spark, spec).reduce(_ union _)
+  def compile(spark: SparkSession, spec: PipelineSpec,
+              router: SourceRouter = ViewRouter): DataFrame =
+    compileEntries(spark, spec, router).reduce(_ union _)
 
   /** One fully-mapped, contract-projected frame PER entry — the reference
     * appends each `input_data_schema` entry independently
@@ -95,18 +97,21 @@ object SpecCompiler {
     * Mapping/contract are row-wise, so for union-compatible entries
     * `compileEntries(...).reduce(union)` ≡ the union-then-map order.
     */
-  def compileEntries(spark: SparkSession, spec: PipelineSpec): Seq[DataFrame] =
+  def compileEntries(spark: SparkSession, spec: PipelineSpec,
+                     router: SourceRouter = ViewRouter): Seq[DataFrame] =
     spec.entries.map { e =>
-      val mapped = applyDataMapping(compileEntry(spark, e), spec.dataMapping)
+      val mapped = applyDataMapping(compileEntry(spark, e, router), spec.dataMapping)
       applyOutputContract(mapped, spec.outputSchema)
     }
 
   /** fetchId → ID relation; tasks → left-deep join fold keyed on the spec's
     * join_on columns (reference join fold: generic_script.scala:149-193).
     */
-  private def compileEntry(spark: SparkSession, entry: ScriptEntry): DataFrame = {
-    val ids = spark.sql(entry.fetchId.query).select(col(entry.fetchId.id)).distinct()
-    val tasks = entry.tasks.map(compileTask(spark, ids, entry.fetchId.id, _))
+  private def compileEntry(spark: SparkSession, entry: ScriptEntry,
+                           router: SourceRouter): DataFrame = {
+    val ids = router.run(spark, entry.fetchId.databaseName, entry.fetchId.query)
+      .select(col(entry.fetchId.id)).distinct()
+    val tasks = entry.tasks.map(compileTask(spark, ids, entry.fetchId.id, _, router))
     tasks.tail.foldLeft(tasks.head.df) { (acc, t) =>
       acc.join(t.df, Seq(t.joinOn), normalizeJoinType(t.joinType))
     }
@@ -124,9 +129,11 @@ object SpecCompiler {
   }
 
   private def compileTask(spark: SparkSession, ids: DataFrame, idCol: String,
-                          task: Task): CompiledTask = task match {
-    case sp: SingleProcess => CompiledTask(compileSingle(spark, ids, idCol, sp), sp.joinOn, sp.joinType)
-    case mp: MultiProcess => CompiledTask(compileMulti(spark, ids, idCol, mp), mp.joinOn, mp.joinType)
+                          task: Task, router: SourceRouter): CompiledTask = task match {
+    case sp: SingleProcess =>
+      CompiledTask(compileSingle(spark, ids, idCol, sp, router), sp.joinOn, sp.joinType)
+    case mp: MultiProcess =>
+      CompiledTask(compileMulti(spark, ids, idCol, mp, router), mp.joinOn, mp.joinType)
   }
 
   /** single_process: scan once (decorrelated), fill nulls on the agg input
@@ -136,9 +143,9 @@ object SpecCompiler {
     * equivalence tested in SpecCompilerSpec).
     */
   private def compileSingle(spark: SparkSession, ids: DataFrame, idCol: String,
-                            sp: SingleProcess): DataFrame = {
+                            sp: SingleProcess, router: SourceRouter): DataFrame = {
     val (sql, corr) = decorrelate(sp.query)
-    val scan = spark.sql(sql)
+    val scan = router.run(spark, sp.databaseName, sql)
     // the correlation predicate names a SOURCE column which the task query
     // may alias away; the spec's `input` field names the surviving column
     def corrKey: String =
@@ -176,11 +183,11 @@ object SpecCompiler {
     * once, join through the sub-ID relation, and aggregate per outer ID.
     */
   private def compileMulti(spark: SparkSession, ids: DataFrame, idCol: String,
-                           mp: MultiProcess): DataFrame = {
+                           mp: MultiProcess, router: SourceRouter): DataFrame = {
     val (fetchSql, fetchCorr) = decorrelate(mp.fetch.query)
     // relation (outer correlation col?, sub_id): keeps ALL columns the fetch
     // query selected so the outer key survives alongside the sub-ID
-    val subRel0 = spark.sql(fetchSql)
+    val subRel0 = router.run(spark, mp.fetch.databaseName, fetchSql)
     val subRel = fetchCorr match {
       case Some(c) => subRel0.join(ids.withColumnRenamed(idCol, c), Seq(c), "left_semi")
       case None => subRel0
@@ -195,7 +202,7 @@ object SpecCompiler {
       require(allowedAggs.contains(ch.agg), s"agg '${ch.agg}' not in allowlist")
       val (sql, corr) = decorrelate(ch.query)
       val childCorr = corr.getOrElse(subId)
-      val scan = spark.sql(sql).na.fill(0, Seq(ch.aggOn))
+      val scan = router.run(spark, ch.databaseName, sql).na.fill(0, Seq(ch.aggOn))
       // child facts → attach outer key through the sub-ID relation
       val agged = scan
         .join(subRel.select(col(outerKey), col(subId).as(childCorr)).distinct(),

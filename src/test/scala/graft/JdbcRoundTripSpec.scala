@@ -174,4 +174,71 @@ class JdbcRoundTripSpec extends AnyFunSuite {
       .as[(Int, String)].collect().toSeq
     assert(cfg == Seq((1, "select-a")))
   }
+
+  test("multi-database routing: fetch and facts live in different databases") {
+    // the reference builds a JDBC URL per task from the spec's
+    // database_name (generic_script.scala:117-118,273-276) — one pipeline,
+    // several databases. Two embedded Derby databases stand in: `hr` holds
+    // the ID relation, `sales` the facts; JdbcRouter sends each task query
+    // to its own database and the decorrelated join runs Spark-side.
+    val urlHr = "jdbc:derby:target/derby-routed-hr;create=true"
+    val urlSales = "jdbc:derby:target/derby-routed-sales;create=true"
+    def exec(url: String)(stmts: String*): Unit = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        stmts.foreach { s =>
+          try st.executeUpdate(s)
+          catch { case e: java.sql.SQLException if s.startsWith("DROP") => () }
+        }
+        st.close()
+      } finally conn.close()
+    }
+    exec(urlHr)(
+      "DROP TABLE people",
+      "CREATE TABLE people (id BIGINT)",
+      "INSERT INTO people VALUES (1), (2), (3)")
+    exec(urlSales)(
+      "DROP TABLE payments",
+      "CREATE TABLE payments (person_id BIGINT, amount DOUBLE)",
+      "INSERT INTO payments VALUES (1, 10.0), (1, 5.5), (2, 4.5)")
+
+    // Derby uppercases unquoted identifiers; the quoted aliases pin the
+    // exact column names the spec references
+    val specJson = """
+    {
+      "input_data_schema": [{
+        "fetchId": { "query": "SELECT id AS \"person_id\" FROM people",
+                     "database_name": "hr", "id": "person_id" },
+        "tasks": [
+          { "single_process": {
+              "input": "person_id",
+              "query": "SELECT person_id AS \"person_id\", amount AS \"amount\" FROM payments WHERE person_id = ${id}",
+              "database_name": "sales",
+              "agg": "sum", "agg_on": "amount", "groupby": "person_id",
+              "rename": "total_paid",
+              "join_on": "person_id", "join_type": "inner" } }
+        ]
+      }],
+      "data_mapping": {},
+      "output_data_schema": {
+        "person_id":  { "Input_data_type": "LongType",   "rename": "person" },
+        "total_paid": { "Input_data_type": "DoubleType", "rename": "total_paid" }
+      }
+    }"""
+    val spec = graft.spec.PipelineSpec.fromJson(specJson)
+    val router = graft.ops.JdbcRouter(Map("hr" -> urlHr, "sales" -> urlSales))
+    val out = graft.compile.SpecCompiler.compile(spark, spec, router)
+      .select("person", "total_paid").as[(Long, Double)].collect().toMap
+    // person 3 has no payments → zero-filled, exactly like the
+    // single-database path
+    assert(out == Map(1L -> 15.5, 2L -> 4.5, 3L -> 0.0))
+
+    // an unroutable database name must fail loudly, not query the wrong DB
+    val partial = graft.ops.JdbcRouter(Map("hr" -> urlHr))
+    val ex = intercept[IllegalArgumentException] {
+      graft.compile.SpecCompiler.compile(spark, spec, partial)
+    }
+    assert(ex.getMessage.contains("sales"))
+  }
 }
