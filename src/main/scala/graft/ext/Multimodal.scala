@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque BINARY columns
   * with typed metadata, processed per-partition in batches.
   *
-  * The decode step is STUBBED (this container has no image/audio codecs):
-  * `fakeDecode` derives deterministic pseudo-metadata from the bytes. The
-  * Spark-side plumbing — schema, binary column handling, partition-batched
-  * processing via mapPartitions (the Scala analog of mapInPandas), and the
-  * output metadata struct — is real and tested; swapping `fakeDecode` for
-  * a JNI/codec call is the only change needed for real media.
+  * The IMAGE decode step is REAL: [[imageIoDecode]] parses the formats the
+  * JDK ships codecs for (PNG/JPEG/GIF/BMP via `javax.imageio` — no external
+  * dependency) and [[decodeMedia]]/[[resizeMedia]] use it whenever the
+  * bytes are a parseable image. Bytes no JDK codec recognizes (audio,
+  * video, exotic image formats — this container has no external codecs)
+  * fall back to [[fakeDecode]]'s deterministic pseudo-metadata, so the
+  * batch plumbing is exercised end-to-end either way; swapping the
+  * fallback for a JNI/codec call is the only change needed for real
+  * audio/video.
   */
 object Multimodal {
 
@@ -25,9 +28,52 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("mean_intensity", DoubleType, nullable = false)))
 
-  /** STUB decode: deterministic pseudo-metadata from the raw bytes.
-    * Replace with a real codec (e.g. TwelveMonkeys/javacv) for production;
-    * signature and batch shape stay identical.
+  /** Real image decode via `javax.imageio` (PNG/JPEG/GIF/BMP — the codecs
+    * the JDK ships; no external dependency, works headless). Returns the
+    * container format name, pixel dimensions, and the mean over all pixels
+    * of (r+g+b)/3 in sRGB; None when no installed reader recognizes the
+    * bytes (then callers fall back to [[fakeDecode]]).
+    */
+  def imageIoDecode(bytes: Array[Byte]): Option[(String, Int, Int, Double)] = {
+    import javax.imageio.ImageIO
+    val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val img = reader.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+              x += 1
+            }
+            y += 1
+          }
+          Some((reader.getFormatName.toLowerCase, w, h, sum / (w.toLong * h)))
+        } finally reader.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
+  /** [[imageIoDecode]] with the deterministic fallback: the decode every
+    * batch stage runs per blob.
+    */
+  def decode(bytes: Array[Byte]): (String, Int, Int, Double) =
+    imageIoDecode(bytes).getOrElse(fakeDecode(bytes))
+
+  /** FALLBACK decode for bytes no JDK codec parses: deterministic
+    * pseudo-metadata from the raw bytes. Replace with a real codec (e.g.
+    * TwelveMonkeys/javacv) for production audio/video; signature and batch
+    * shape stay identical.
     */
   def fakeDecode(bytes: Array[Byte]): (String, Int, Int, Double) = {
     val n = bytes.length
@@ -43,15 +89,65 @@ object Multimodal {
   }
 
   /** Synthesize a binary "media" column from text (the testdata carries no
-    * real blobs): UTF-8 bytes stand in for an encoded image.
+    * real blobs): UTF-8 bytes stand in for an encoded image. These bytes
+    * are NOT a parseable image, so downstream decode exercises the
+    * [[fakeDecode]] fallback path.
     */
   def withFakeBlob(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("blob", encode(col(textCol), "UTF-8"))
 
+  /** Schema of the synthesized-PNG relation. */
+  val blobSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("blob", BinaryType, nullable = false)))
+
+  /** Synthesize a REAL PNG per row with the JDK encoder, so downstream
+    * decode exercises the real `javax.imageio` path. The image is a
+    * uniform gray fill whose every property is a deterministic function of
+    * the text (and therefore replayable by a SQL oracle):
+    * width = 1 + (|utf8| mod 48), height = 1 + (⌊|utf8|/2⌋ mod 48),
+    * fill value v = (Σ utf8 bytes) mod 256 on all three channels — PNG is
+    * lossless, so the decoded mean intensity is exactly v. Batch shape
+    * matches [[decodeMedia]]: mapPartitions, encoder state amortizable
+    * per partition.
+    */
+  def pngBlobs(spark: SparkSession, df: DataFrame, textCol: String,
+               idCol: String = "doc_id"): DataFrame = {
+    val rdd = df.where(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol)).rdd.mapPartitions { it =>
+        import java.awt.image.BufferedImage
+        import javax.imageio.ImageIO
+        val bos = new java.io.ByteArrayOutputStream() // reused per partition
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getString(1).getBytes("UTF-8")
+          val n = bytes.length
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum += bytes(i) & 0xff; i += 1 }
+          val v = (sum % 256).toInt
+          val (w, h) = (1 + n % 48, 1 + (n / 2) % 48)
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val rgb = (v << 16) | (v << 8) | v
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          bos.reset()
+          ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray)
+        }
+      }
+    spark.createDataFrame(rdd, blobSchema)
+  }
+
   /** Partition-batched decode: mapPartitions so any per-batch setup (codec
     * contexts, model sessions) is amortized across the partition — the
     * direct Scala analog of a Pandas-UDF `mapInPandas` stage. Input must
-    * have (doc_id LONG, blob BINARY).
+    * have (doc_id LONG, blob BINARY). Parseable images decode for real
+    * ([[imageIoDecode]]); anything else takes the [[fakeDecode]] fallback.
     */
   def decodeMedia(spark: SparkSession, blobs: DataFrame): DataFrame = {
     val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
@@ -59,7 +155,7 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val (fmt, w, h, mean) = fakeDecode(bytes)
+        val (fmt, w, h, mean) = decode(bytes)
         Row(id, bytes.length, fmt, w, h, mean)
       }
     }
@@ -112,11 +208,12 @@ object Multimodal {
     StructField("out_height", IntegerType, nullable = false)))
 
   /** Fit-in-box resize: scale = min(maxW/w, maxH/h, 1) (never upscale),
-    * output dims floor(dim·scale). The pixel resampling itself is part of
-    * the decode stub; the DIMENSION arithmetic — what a pipeline filters
-    * and bins on — is real, deterministic double math, and the stage keeps
-    * the same mapPartitions batch shape as [[decodeMedia]] (a real
-    * resampler amortizes its buffers per partition).
+    * output dims floor(dim·scale). Input dims come from the real decode
+    * (with the [[fakeDecode]] fallback for non-image bytes); the DIMENSION
+    * arithmetic — what a pipeline filters and bins on — is deterministic
+    * double math, and the stage keeps the same mapPartitions batch shape
+    * as [[decodeMedia]] (a real resampler amortizes its buffers per
+    * partition).
     */
   def resizeMedia(spark: SparkSession, blobs: DataFrame,
                   maxW: Int = 128, maxH: Int = 128): DataFrame = {
@@ -124,7 +221,7 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val (_, w, h, _) = fakeDecode(bytes)
+        val (_, w, h, _) = decode(bytes)
         val scale = math.min(math.min(maxW.toDouble / w, maxH.toDouble / h), 1.0)
         Row(id, w, h, math.floor(w * scale).toInt, math.floor(h * scale).toInt)
       }

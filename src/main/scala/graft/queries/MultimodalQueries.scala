@@ -36,6 +36,25 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    "q70_multimodal_decode_real" -> ((s, d) => {
+      // REAL javax.imageio round trip: synthesize a PNG per document
+      // (uniform gray fill, dims and fill value deterministic functions of
+      // the text — Multimodal.pngBlobs doc), decode it back with the JDK
+      // reader. n_bytes is excluded from the projection: PNG container
+      // size depends on the encoder, not the image, and has no SQL oracle.
+      val blobs = Multimodal.pngBlobs(s, t(s, d, "documents"), "text")
+      Multimodal.decodeMedia(s, blobs)
+        .select("doc_id", "format", "width", "height", "mean_intensity")
+        .orderBy("doc_id")
+    }),
+
+    "q71_multimodal_resize_real" -> ((s, d) => {
+      // fit-in-box arithmetic over REAL decoded PNG dimensions
+      val blobs = Multimodal.pngBlobs(s, t(s, d, "documents"), "text")
+      Multimodal.resizeMedia(s, blobs, maxW = 32, maxH = 32)
+        .orderBy("doc_id")
+    }),
+
     "q52_multimodal_embed_ann" -> ((s, d) => {
       // end-to-end modality pipeline: blob -> batched stub encoder
       // (mapPartitions) -> embedding column -> LSH-bucketed near-dup pairs.
@@ -121,6 +140,40 @@ object MultimodalQueries {
          s AS (
            SELECT doc_id, width, height,
                   LEAST(96.0 / width, 112.0 / height, 1.0) AS scale
+           FROM d)
+         SELECT doc_id, width, height,
+                CAST(floor(width * scale) AS INTEGER) AS out_width,
+                CAST(floor(height * scale) AS INTEGER) AS out_height
+         FROM s ORDER BY doc_id""",
+
+    // the PNG is a uniform gray fill: width/height are modular arithmetic
+    // on |utf8|, and the decoded mean is EXACTLY the fill value
+    // (byte_sum mod 256) because PNG is lossless and all pixels agree
+    "q70_multimodal_decode_real" ->
+      """WITH b AS (
+           SELECT doc_id, length(text) AS n,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''),
+                        c -> CAST(ascii(c) AS BIGINT))),
+                    (a, x) -> a + x) AS byte_sum
+           FROM documents)
+         SELECT doc_id,
+                'png' AS format,
+                CAST(1 + (n % 48) AS INTEGER) AS width,
+                CAST(1 + ((n // 2) % 48) AS INTEGER) AS height,
+                CAST(byte_sum % 256 AS DOUBLE) AS mean_intensity
+         FROM b ORDER BY doc_id""",
+
+    "q71_multimodal_resize_real" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(1 + (length(text) % 48) AS INTEGER) AS width,
+                  CAST(1 + ((length(text) // 2) % 48) AS INTEGER) AS height
+           FROM documents),
+         s AS (
+           SELECT doc_id, width, height,
+                  LEAST(32.0 / width, 32.0 / height, 1.0) AS scale
            FROM d)
          SELECT doc_id, width, height,
                 CAST(floor(width * scale) AS INTEGER) AS out_width,

@@ -27,6 +27,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows == Map(1L -> 3, 2L -> 6, 3L -> 0))
   }
 
+  test("pngBlobs → decodeMedia round-trips real PNGs exactly") {
+    val docs = Seq((1L, "abc"), (2L, "a longer document with more text"),
+      (3L, "x")).toDF("doc_id", "text")
+    val out = Multimodal.decodeMedia(spark,
+        Multimodal.pngBlobs(spark, docs, "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getInt(3), r.getInt(4), r.getDouble(5)))).toMap
+    def expect(text: String) = {
+      val b = text.getBytes("UTF-8")
+      val v = (b.map(_ & 0xffL).sum % 256).toDouble
+      ("png", 1 + b.length % 48, 1 + (b.length / 2) % 48, v)
+    }
+    assert(out(1L) == expect("abc"))
+    assert(out(2L) == expect("a longer document with more text"))
+    assert(out(3L) == expect("x"))
+    // the blob really is a PNG container (magic bytes), not pseudo-bytes
+    val blob = Multimodal.pngBlobs(spark, docs, "text")
+      .where(col("doc_id") === 1L).collect().head.getAs[Array[Byte]]("blob")
+    assert((blob(0) & 0xff) == 0x89 && blob(1) == 'P' && blob(2) == 'N' &&
+      blob(3) == 'G')
+  }
+
+  test("imageIoDecode rejects non-image bytes; decode falls back") {
+    val garbage = "just some text, not an image".getBytes("UTF-8")
+    assert(Multimodal.imageIoDecode(garbage).isEmpty)
+    assert(Multimodal.decode(garbage) == Multimodal.fakeDecode(garbage))
+    // a real PNG takes the real path, not the fallback
+    val img = new java.awt.image.BufferedImage(
+      5, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(y => (0 until 5).foreach(x =>
+      img.setRGB(x, y, 0x0a141e))) // r=10 g=20 b=30 → mean 20
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.decode(bos.toByteArray) == (("png", 5, 4, 20.0)))
+  }
+
   test("embedMedia: deterministic vectors, identical blobs pair in ANN") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, "alpha beta gamma delta epsilon zeta eta theta"),
