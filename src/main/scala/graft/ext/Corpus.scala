@@ -171,4 +171,47 @@ object Corpus {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** Sentence-level decontamination: per eval document, how many of its
+    * distinct sentences (split on `[.!?]+` runs, trimmed, at least
+    * `minChars` chars — the floor drops "Yes"-style stop sentences) appear
+    * VERBATIM anywhere in the train corpus. The sentence is the
+    * granularity eval-benchmark leaks actually happen at: a test question
+    * pasted into a training document survives [[decontaminate]]'s
+    * document-pair threshold only if enough other grams co-occur, but is
+    * caught here sentence by sentence. Output: one row per eval document
+    * — (eval_id, n_sentences, n_leaked), zero-filled so clean documents
+    * are visible as 0/0 rather than absent.
+    *
+    * Same exchange discipline as [[graft.ext.Dedup.chunkDedup]]'s
+    * ownership pass: sentences cross the wire as 8-byte xxhash64 values,
+    * never text. The train side is pre-distinct (one row per distinct
+    * sentence corpus-wide), so the probe join's fanout is exactly 1 and a
+    * boilerplate sentence repeated in millions of train docs costs one
+    * hash, not millions — no stop-sentence cap needed where [[decontaminate]]
+    * needs its maxDf.
+    */
+  def decontaminateSentences(train: DataFrame, eval_ : DataFrame,
+                             textCol: String, idCol: String,
+                             minChars: Int = 20): DataFrame = {
+    def sentences(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(side),
+          explode(split(col(textCol), "[.!?]+")).as("raw"))
+        .select(col(side), trim(col("raw")).as("sent"))
+        .where(length(col("sent")) >= minChars)
+    val trainSet = sentences(train, "train_id")
+      .select(xxhash64(col("sent")).as("h")).distinct()
+      .withColumn("leaked", lit(1L))
+    val evalSent = sentences(eval_, "eval_id")
+      .select(col("eval_id"), xxhash64(col("sent")).as("h")).distinct()
+    val agged = evalSent.join(trainSet, Seq("h"), "left")
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(coalesce(col("leaked"), lit(0L))).as("n_leaked"))
+    eval_.select(col(idCol).as("eval_id")).distinct()
+      .join(agged, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+  }
 }

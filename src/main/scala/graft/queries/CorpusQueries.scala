@@ -29,6 +29,22 @@ object CorpusQueries {
         .orderBy("eval_id", "train_id")
     }),
 
+    "q72_decontaminate_sentences" -> ((s, d) => {
+      // eval-leak check at SENTENCE granularity: per test doc, how many
+      // of its sentences appear verbatim anywhere in the train split.
+      // The fixture corpus carries no [.!?] punctuation, so here every
+      // document is one sentence and the expected result is all-zero
+      // leaks — which is itself a designed property under test: content-
+      // fingerprint splitting can never put byte-identical text in two
+      // splits. Multi-sentence leak detection is pinned by CorpusSpec.
+      val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
+      Corpus.decontaminateSentences(
+        docs.where(col("split") === "train"),
+        docs.where(col("split") === "test"),
+        "text", "doc_id", minChars = 20)
+        .orderBy("eval_id")
+    }),
+
     "q55_stream_quality_gate" -> ((s, d) =>
       // the text/corpus expressions under a REAL streaming query — same
       // columns, same results as the batch dual (stateless append mode)
@@ -134,6 +150,35 @@ object CorpusQueries {
           GROUP BY eval_id, train_id
           HAVING count(*) >= 1
           ORDER BY eval_id, train_id""",
+
+    // engine joins on xxhash64 of the sentence; the oracle joins on the
+    // sentence text itself — identical modulo 2^-64 collisions (the same
+    // equivalence q66 relies on)
+    "q72_decontaminate_sentences" ->
+      s"""WITH s AS (
+            SELECT doc_id, text, $fpFold % 100 AS b FROM documents),
+          sen AS (
+            SELECT doc_id, b, trim(x) AS sent
+            FROM (SELECT doc_id, b,
+                         unnest(string_split_regex(text, '[.!?]+')) AS x
+                  FROM s)
+            WHERE length(trim(x)) >= 20),
+          tset AS (SELECT DISTINCT sent FROM sen WHERE b < 80),
+          es AS (SELECT DISTINCT doc_id AS eval_id, sent
+                 FROM sen WHERE b >= 90),
+          agg AS (
+            SELECT eval_id,
+                   count(*) AS n_sentences,
+                   CAST(sum(CASE WHEN t.sent IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_leaked
+            FROM es LEFT JOIN tset t ON es.sent = t.sent
+            GROUP BY eval_id)
+          SELECT d.doc_id AS eval_id,
+                 coalesce(a.n_sentences, 0) AS n_sentences,
+                 coalesce(a.n_leaked, 0) AS n_leaked
+          FROM (SELECT doc_id FROM s WHERE b >= 90) d
+          LEFT JOIN agg a ON d.doc_id = a.eval_id
+          ORDER BY eval_id""",
 
     "q55_stream_quality_gate" ->
       s"""WITH b AS (

@@ -135,6 +135,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Set((10L, 1L, 5L)))
   }
 
+  test("decontaminateSentences counts verbatim sentence leaks per eval doc") {
+    val leaked = "the quick brown fox jumps over the lazy dog"
+    val train = Seq(
+      (1L, s"Some unrelated training prose here. $leaked. More filler text follows"),
+      (2L, "Entirely different content with nothing shared at all"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      // one leaked + one clean sentence; "Yes" is under minChars → ignored
+      (10L, s"$leaked! A genuinely novel evaluation sentence appears here. Yes"),
+      (11L, "No overlap with training data in this document whatsoever"),
+      (12L, null.asInstanceOf[String])) // NULL text → 0/0, still present
+      .toDF("doc_id", "text")
+    val out = Corpus.decontaminateSentences(train, eval_, "text", "doc_id")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(10L -> ((2L, 1L)), 11L -> ((1L, 0L)), 12L -> ((0L, 0L))))
+  }
+
+  test("decontaminateSentences dedups repeats within a document") {
+    val s1 = "a sentence long enough to clear the floor"
+    val train = Seq((1L, s"$s1. $s1. $s1")).toDF("doc_id", "text")
+    val eval_ = Seq((10L, s"$s1! $s1? trailing novel sentence of real length"))
+      .toDF("doc_id", "text")
+    val out = Corpus.decontaminateSentences(train, eval_, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toList
+    // the repeated sentence counts once: 2 distinct sentences, 1 leaked
+    assert(out == List((10L, 2L, 1L)))
+  }
+
   test("stop-gram cap drops grams above the train-side document frequency") {
     val boiler = "this content is provided as is without any warranty"
     val train = Seq.tabulate(6)(i => (i.toLong, boiler)).toDF("doc_id", "text")
