@@ -176,6 +176,30 @@ object TextAnalysis {
     graft.functions.SetExpressions.featureHashCounts(
       transform(tokens(text), portableTokenHash _), dim)
 
+  /** Model-based quality gate, fastText-shaped: a LINEAR classifier over
+    * the hashed bag-of-words — score = bias + w · hashEmbedding(text, |w|).
+    * `weights` are the fixed coefficients of a trained model, supplied as
+    * plan literals (TextQueries carries a deterministic fixture; a real
+    * model's coefficients drop straight in). Pure codegen'd expressions
+    * (FeatureHashCounts + DotProduct) — no UDF, no shuffle, evaluated in
+    * the scan stage at any scale.
+    *
+    * No sigmoid on purpose: it is monotone, so gating on the linear score
+    * is the SAME decision as gating on the calibrated probability, and
+    * with integer-valued weights the score is exact integer arithmetic
+    * carried in doubles — deterministic and (with `portable = true`)
+    * replayable by a SQL oracle. Production callers keep the default
+    * xxhash64 slots, which mix better.
+    */
+  def modelQualityScore(text: Column, weights: Seq[Double], bias: Double,
+                        portable: Boolean = false): Column = {
+    val emb =
+      if (portable) portableHashEmbedding(text, weights.size)
+      else hashEmbedding(text, weights.size)
+    graft.functions.VectorExpressions.dot(
+      emb.cast("array<double>"), array(weights.map(lit): _*)) + lit(bias)
+  }
+
   /** SQL-portable 64-bit token hash: two INDEPENDENT char folds — base 31
     * mod 1e9+7 and base 131 mod 998244353 — packed as h1·2³¹ + h2 (< 2⁶¹,
     * overflow-free). Bits 61-63 are always zero; bit-consumers (SimHash

@@ -13,6 +13,15 @@ object TextQueries {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopListSql = stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** Fixture coefficients for the model-based quality gate: 64 integer
+    * weights in [-1000, 1000], deterministically derived from the slot
+    * index by a Knuth-multiplicative scatter so the oracle can rebuild
+    * them with the same arithmetic (i·2654435761 stays < 2⁶³ for i < 64).
+    * Integer-valued so the linear score is exact in double arithmetic.
+    */
+  val fixtureWeights: Seq[Double] =
+    (0 until 64).map(i => ((i * 2654435761L) % 2001L - 1000L).toDouble)
+
   val queries: Map[String, Q] = Map(
     "q20_text_tokens" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -108,7 +117,19 @@ object TextQueries {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
         .orderBy("doc_id", "rn")
-    })
+    }),
+
+    "q73_quality_model" -> ((s, d) =>
+      // model-based quality gate: fixed-coefficient linear classifier over
+      // the hashed bag-of-words (the fastText-classifier shape), gating at
+      // score >= 0. Portable slots so DuckDB replays the vector exactly;
+      // integer weights x integer counts keep the score exact.
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.modelQualityScore(col("text"), fixtureWeights,
+          bias = 0.0, portable = true).as("score"))
+        .withColumn("keep", col("score") >= 0)
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -234,6 +255,32 @@ object TextQueries {
                                      ORDER BY tfidf DESC, token) AS rn
            FROM scored)
          SELECT doc_id, token, tfidf, rn FROM ranked
-         WHERE rn <= 3 ORDER BY doc_id, rn"""
+         WHERE rn <= 3 ORDER BY doc_id, rn""",
+
+    // vector = portableHashEmbedding replay (char-fold slots, as in q38's
+    // oracle); weights = the same Knuth-multiplicative scatter the engine
+    // fixture uses; all-integer values make the double dot product exact
+    "q73_quality_model" ->
+      """WITH v AS (
+           SELECT doc_id, list_transform(range(0, 64),
+             s -> CAST(len(list_filter(slots, x -> x = s)) AS DOUBLE)) AS vec
+           FROM (
+             SELECT doc_id, list_transform(string_split(text, ' '),
+               t -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(t) + 1),
+                          i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+                      (acc, c) -> (acc * 31 + c) % 1000000007) % 64) AS slots
+             FROM documents)),
+         w AS (SELECT list_transform(range(0, 64),
+                 i -> CAST((i * 2654435761) % 2001 - 1000 AS DOUBLE)) AS wt),
+         scored AS (
+           SELECT doc_id,
+                  list_reduce(list_prepend(0.0,
+                    list_transform(range(1, 65), i -> vec[i] * wt[i])),
+                    (x, y) -> x + y) AS score
+           FROM v CROSS JOIN w)
+         SELECT doc_id, score, score >= 0 AS keep
+         FROM scored ORDER BY doc_id"""
   )
 }

@@ -79,6 +79,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(cos(vecs(0), vecs(2)) < 1.0)
   }
 
+  test("modelQualityScore: degenerate dim-1 model reduces to token count") {
+    // one slot → every token lands in it → score = bias + w0 · n_tokens;
+    // the cleanest view of the linear-gate threshold behavior
+    val df = Seq((1L, "one two three"), (2L, "one")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.modelQualityScore(col("text"), Seq(1.0), bias = -2.0)
+          .as("score"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> -1.0)) // 3 tokens pass, 1 token fails
+  }
+
+  test("modelQualityScore: portable fixture weights gate hand-computed docs") {
+    import graft.queries.TextQueries.fixtureWeights
+    // "a": charFold = 97, slot 97 % 64 = 33, w33 = (33·2654435761) % 2001
+    // − 1000 = 812 → keep. "@": charFold = 64, slot 0, w0 = −1000 → drop.
+    assert(fixtureWeights(33) == 812.0 && fixtureWeights(0) == -1000.0)
+    val df = Seq((1L, "a"), (2L, "@"), (3L, "a a a")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.modelQualityScore(col("text"), fixtureWeights,
+          bias = 0.0, portable = true).as("score"))
+      .withColumn("keep", col("score") >= 0)
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((812.0, true)))
+    assert(got(2L) == ((-1000.0, false)))
+    assert(got(3L) == ((2436.0, true))) // counts scale the weight linearly
+  }
+
   test("fingerprint is deterministic, order-sensitive, and within [0, p)") {
     val df = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma").toDF("t")
     val got = df.select(TextAnalysis.fingerprint(col("t"))).as[Long].collect().toSeq
