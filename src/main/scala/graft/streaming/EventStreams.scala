@@ -191,6 +191,77 @@ object EventStreams {
 
   val EndOfStreamType = "__end"
 
+  /** Core per-key session fold shared by both stateful variants: replay
+    * the batch's events in (ts, event_id) order, extend or close the open
+    * session on each gap, close unconditionally on the harness sentinel.
+    * Pure over (events, prior state) → (emissions, new state), so the
+    * variants differ only in how end-of-stream is signalled.
+    */
+  private[graft] def sessionFold(userId: Long, gapUs: Long,
+      evs: Array[RawEvent], prior: Option[OpenSession])
+      : (Seq[SessionOut], Option[OpenSession]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    var open: Option[OpenSession] = prior
+    def close(o: OpenSession): Unit =
+      out += SessionOut(userId, o.idx, o.n, o.startUs, o.lastUs)
+    evs.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      val us = Math.floorDiv(e.ts, 1000L)
+      if (e.event_type == EndOfStreamType) {
+        open.foreach(close); open = None
+      } else open match {
+        case Some(o) if us - o.lastUs <= gapUs =>
+          open = Some(o.copy(lastUs = us, n = o.n + 1))
+        case Some(o) =>
+          close(o); open = Some(OpenSession(o.idx + 1, us, us, 1))
+        case None =>
+          open = Some(OpenSession(1, us, us, 1))
+      }
+    }
+    (out.toSeq, open)
+  }
+
+  /** Handler for the sentinel-closed harness path (NoTimeout): state
+    * carries the open session across batches; the sentinel event closes it.
+    */
+  private[graft] def sessionHandler(gapUs: Long)(userId: Long,
+      it: Iterator[RawEvent],
+      state: org.apache.spark.sql.streaming.GroupState[OpenSession])
+      : Iterator[SessionOut] = {
+    val (out, open) = sessionFold(userId, gapUs, it.toArray, state.getOption)
+    open match { case Some(o) => state.update(o); case None => state.remove() }
+    out.iterator
+  }
+
+  /** Handler for the LIVE deployment path (EventTimeTimeout): no sentinel
+    * anywhere — after each batch the open session registers an event-time
+    * timeout at lastUs + gap, and when the WATERMARK passes that point the
+    * runtime calls back with `hasTimedOut` and the session closes exactly
+    * as the gap rule demands. The watermark can only pass lastUs + gap
+    * once no event that could extend the session can still arrive, so the
+    * emitted sessions are identical to the sentinel path's.
+    */
+  private[graft] def sessionTimeoutHandler(gapUs: Long)(userId: Long,
+      it: Iterator[RawEvent],
+      state: org.apache.spark.sql.streaming.GroupState[OpenSession])
+      : Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val o = state.get
+      state.remove()
+      Iterator.single(SessionOut(userId, o.idx, o.n, o.startUs, o.lastUs))
+    } else {
+      val (out, open) = sessionFold(userId, gapUs, it.toArray, state.getOption)
+      open match {
+        case Some(o) =>
+          state.update(o)
+          // event-time timeouts are millisecond-epoch; fire one gap after
+          // the last event (+1ms so an exactly-on-gap event still extends)
+          state.setTimeoutTimestamp(o.lastUs / 1000L + gapUs / 1000L + 1L)
+        case None => state.remove()
+      }
+      out.iterator
+    }
+  }
+
   /** Gap-based sessionization as a REAL stateful streaming query:
     * `flatMapGroupsWithState` keyed by user, an [[OpenSession]] per key as
     * state, sessions emitted as they close. This is the streaming dual of
@@ -231,33 +302,9 @@ object EventStreams {
     def src(dir: String) = spark.readStream.schema(rawSchema).parquet(dir)
     val events = src(s"$sfDir/events.*").union(src(sentinelDir)).as[RawEvent]
 
-    def handle(userId: Long, it: Iterator[RawEvent],
-               state: GroupState[OpenSession]): Iterator[SessionOut] = {
-      // ordered replay within the batch; state carries order across batches
-      val evs = it.toArray.sortBy(e => (e.ts, e.event_id))
-      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-      var open: Option[OpenSession] = state.getOption
-      def close(o: OpenSession): Unit =
-        out += SessionOut(userId, o.idx, o.n, o.startUs, o.lastUs)
-      evs.foreach { e =>
-        val us = Math.floorDiv(e.ts, 1000L)
-        if (e.event_type == EndOfStreamType) {
-          open.foreach(close); open = None
-        } else open match {
-          case Some(o) if us - o.lastUs <= gapUs =>
-            open = Some(o.copy(lastUs = us, n = o.n + 1))
-          case Some(o) =>
-            close(o); open = Some(OpenSession(o.idx + 1, us, us, 1))
-          case None =>
-            open = Some(OpenSession(1, us, us, 1))
-        }
-      }
-      open match { case Some(o) => state.update(o); case None => state.remove() }
-      out.iterator
-    }
-
     val sessions = events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(handle)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(sessionHandler(gapUs))
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName(queryName).start()
     try q.processAllAvailable() finally {
@@ -265,5 +312,46 @@ object EventStreams {
       deleteRecursively(sentinelPath)
     }
     spark.table(queryName)
+  }
+
+  /** [[RawEvent]] plus the watermark column EventTimeTimeout requires. */
+  final case class WmEvent(event_id: Long, ts: Long, user_id: Long,
+                           event_type: String, value: Double, props: String,
+                           event_ts: java.sql.Timestamp) {
+    def toRaw: RawEvent = RawEvent(event_id, ts, user_id, event_type, value, props)
+  }
+
+  /** The LIVE deployment form of [[sessionizeStateful]]: no sentinel
+    * source — open sessions close via `GroupStateTimeout.EventTimeTimeout`
+    * when the watermark passes lastEvent + gap ([[sessionTimeoutHandler]]).
+    * Returns the running StreamingQuery writing closed sessions to a
+    * memory sink; the caller owns its lifecycle.
+    *
+    * Deliberately NOT a correctness query: timeouts fire on a trigger
+    * AFTER the watermark advances, and a drained finite file source runs
+    * no further triggers — the exact harness limitation the sentinel path
+    * works around. The handler's timeout semantics are pinned by
+    * StreamingSpec against Spark's TestGroupState instead.
+    */
+  def sessionizeStatefulEventTime(spark: SparkSession, sfDir: String,
+      gapMinutes: Long = 30,
+      queryName: String = "graft_stream_sessions_live")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val events = spark.readStream.schema(rawSchema).parquet(s"$sfDir/events.*")
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", s"$gapMinutes minutes")
+      .as[WmEvent]
+    val sessions = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[WmEvent],
+         st: org.apache.spark.sql.streaming.GroupState[OpenSession]) =>
+          sessionTimeoutHandler(gapUs)(uid, it.map(_.toRaw), st)
+      }
+    sessions.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
   }
 }

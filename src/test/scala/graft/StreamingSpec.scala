@@ -24,6 +24,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("EventTimeTimeout handler: sessions close on timeout, extend on data") {
+    import graft.streaming.EventStreams.{OpenSession, RawEvent, SessionOut}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val gapUs = 30L * 60 * 1000000
+    val handler = EventStreams.sessionTimeoutHandler(gapUs) _
+    def ev(id: Long, tsNs: Long) = RawEvent(id, tsNs, 7L, "click", 1.0, null)
+
+    // batch 1: two events 10 min apart -> one open session, no emission,
+    // a timeout registered one gap (+1ms) after the last event
+    val s1 = TestGroupState.create[OpenSession](Optional.empty(),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+    val out1 = handler(7L, Iterator(ev(1, 1000000000000L),
+      ev(2, 1000000000000L + 600L * 1000000000L)), s1).toList
+    assert(out1.isEmpty)
+    val startUs = 1000000000L // 1e12 ns → µs
+    val lastUs = startUs + 600L * 1000000L
+    assert(s1.get == OpenSession(1, startUs, lastUs, 2))
+    assert(s1.getTimeoutTimestampMs.get ==
+      lastUs / 1000 + gapUs / 1000 + 1)
+
+    // batch 2: another event inside the gap extends the same session and
+    // pushes the timeout forward
+    val s2 = TestGroupState.create[OpenSession](Optional.of(s1.get),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+    val out2 = handler(7L,
+      Iterator(ev(3, (lastUs + 60L * 1000000) * 1000)), s2).toList
+    assert(out2.isEmpty && s2.get.n == 3)
+    assert(s2.getTimeoutTimestampMs.get > s1.getTimeoutTimestampMs.get)
+
+    // timeout callback: the watermark passed lastUs + gap -> the open
+    // session is emitted and the state removed, no sentinel involved
+    val s3 = TestGroupState.create[OpenSession](Optional.of(s2.get),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(s2.getTimeoutTimestampMs.get + 1), true)
+    val out3 = handler(7L, Iterator.empty, s3).toList
+    assert(out3 == List(SessionOut(7L, 1, 3, startUs, s2.get.lastUs)))
+    assert(s3.isRemoved)
+
+    // a gap-exceeding event in one batch closes the first session inline
+    // and opens session 2 (same fold as the sentinel path)
+    val s4 = TestGroupState.create[OpenSession](Optional.empty(),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+    val out4 = handler(7L, Iterator(ev(1, 1000000000000L),
+      ev(2, 1000000000000L + 2 * gapUs * 1000)), s4).toList
+    assert(out4.map(_.session_id) == List(1L))
+    assert(s4.get.idx == 2)
+  }
+
+  test("live EventTimeTimeout query closes a session once the watermark moves") {
+    // staged two-file source: the second file's far-future event advances
+    // the watermark past session 1's timeout, and Spark's no-data batch
+    // fires the timeout callback — the closed session is emitted with NO
+    // sentinel anywhere, end-to-end proof of the live path on finite input
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-live-session-")
+    val schema = EventStreams.rawSchema
+    def writeEvents(name: String,
+                    rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      // the source glob is $dir/events.*: stage to a temp dir, then move
+      // the single part file into place as a new matching FILE
+      val tmp = s"$dir/stage-$name"
+      spark.createDataFrame(rows.toDF("event_id", "ts", "user_id",
+          "event_type", "value", "props").rdd, schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(s"$dir/events.$name"))
+    }
+    val t0 = 1700000000000000000L // ns
+    val min = 60L * 1000000000L
+    writeEvents("a", Seq((1L, t0, 42L, "click", 1.0, null),
+      (2L, t0 + 5 * min, 42L, "click", 1.0, null)))
+    val q = EventStreams.sessionizeStatefulEventTime(spark, dir.toString,
+      gapMinutes = 30, queryName = "graft_live_sessions_test")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_live_sessions_test").count() == 0) // open
+      // three days later: advances the watermark far past lastUs + gap
+      writeEvents("b", Seq((3L, t0 + 3L * 24 * 60 * min, 42L, "click", 1.0, null)))
+      q.processAllAvailable()
+      val got = spark.table("graft_live_sessions_test")
+        .as[(Long, Long, Long, Long, Long)].collect().toList
+      assert(got == List((42L, 1L, 2L,
+        t0 / 1000, (t0 + 5 * min) / 1000))) // session 2 still open
+    } finally q.stop()
+  }
+
   test("streaming hourly window == batch hourly window") {
     val streamed = EventStreams.hourlyWindowed(spark, sf, "spec_hourly")
       .select(unix_micros(col("hour_start")).as("h"), col("event_type"),
