@@ -9,26 +9,39 @@ import org.apache.spark.sql.DataFrame
   * MENT/functions/mentoringFunction2.scala:269-278). We keep that surface
   * and add the engine-native parquet sink the harness uses (Verify dumps).
   *
-  * Scale notes: `jdbcAppend` writes one connection per partition — callers
-  * repartition to the connection budget the target DB tolerates (the
-  * reference writes with whatever partitioning it inherited, which at
-  * cluster scale would open thousands of connections). Parquet writes
-  * inherit the upstream partitioning; `partitionBy` columns turn into
-  * directory-level partition pruning for downstream readers.
+  * Scale notes: `jdbcAppend` writes one connection per partition and
+  * bounds them itself with a final repartition (the reference writes with
+  * whatever partitioning it inherited, which at cluster scale would open
+  * thousands of connections). Parquet writes inherit the upstream
+  * partitioning; `partitionBy` columns turn into directory-level
+  * partition pruning for downstream readers.
   */
 object Sinks {
 
-  /** Append into a JDBC table (reference K1 parity). */
+  /** Append into a JDBC table (reference K1 parity).
+    *
+    * Connection bounding is a `repartition`, not a conditional `coalesce`:
+    * coalesce would narrow the ENTIRE final stage to `maxConnections`
+    * tasks (upstream aggregation work included), and deciding via
+    * `df.rdd.getNumPartitions` forces an extra physical planning of the
+    * frame just to read a number. The exchange shuffles only the final
+    * output rows, and AQE right-sizes it when the frame is small.
+    */
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  options: Map[String, String] = Map.empty,
-                 maxConnections: Int = 8): Unit = {
-    val bounded =
-      if (df.rdd.getNumPartitions > maxConnections) df.coalesce(maxConnections)
-      else df
-    bounded.write.mode("append").format("jdbc")
+                 maxConnections: Int = 8): Unit =
+    df.repartition(maxConnections).write.mode("append").format("jdbc")
       .option("url", url).option("dbtable", table)
       .options(options).save()
-  }
+
+  /** Console/debug sink (reference K2): the reference scatters ~50 bare
+    * `show()` calls through its pipeline (e.g. generic_script.scala:50,98)
+    * — this is that surface as ONE explicit, bounded sink. `show` brings
+    * only the displayed rows to the driver, never the frame; anything
+    * beyond eyeballing belongs in [[parquet]]/[[jdbcAppend]].
+    */
+  def console(df: DataFrame, numRows: Int = 20, truncate: Boolean = true): Unit =
+    df.show(numRows, truncate)
 
   /** Parquet sink, optionally hive-style partitioned for pruning. */
   def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Seq.empty,

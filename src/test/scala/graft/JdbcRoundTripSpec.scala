@@ -175,6 +175,18 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assert(cfg == Seq((1, "select-a")))
   }
 
+  test("console sink (K2) renders a bounded tabular dump") {
+    val df = sourceRows.toDF("id", "zone", "score")
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Sinks.console(df.orderBy("id"), numRows = 2)
+    }
+    val out = buf.toString("UTF-8")
+    assert(out.contains("zone") && out.contains("north"))
+    assert(!out.contains("east")) // row 3 is beyond numRows=2
+    assert(out.contains("only showing top 2 rows"))
+  }
+
   test("multi-database routing: fetch and facts live in different databases") {
     // the reference builds a JDBC URL per task from the spec's
     // database_name (generic_script.scala:117-118,273-276) — one pipeline,
