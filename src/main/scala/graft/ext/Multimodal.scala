@@ -46,16 +46,16 @@ object Multimodal {
           reader.setInput(iis)
           val img = reader.read(0)
           val (w, h) = (img.getWidth, img.getHeight)
+          // one bulk sRGB fetch per image: per-pixel getRGB pays a
+          // color-model dispatch per call, ~3x the decode cost on the
+          // small images this stage batches
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var sum = 0.0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            i += 1
           }
           Some((reader.getFormatName.toLowerCase, w, h, sum / (w.toLong * h)))
         } finally reader.dispose()
@@ -127,14 +127,15 @@ object Multimodal {
           while (i < n) { sum += bytes(i) & 0xff; i += 1 }
           val v = (sum % 256).toInt
           val (w, h) = (1 + n % 48, 1 + (n / 2) % 48)
+          // TYPE_INT_RGB specifically: a TYPE_BYTE_GRAY image would run
+          // gray→sRGB color conversion on read and break mean == v. The
+          // uniform fill goes straight into the backing int buffer —
+          // per-pixel setRGB costs a color-model round trip per call
           val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-          val rgb = (v << 16) | (v << 8) | v
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
+          java.util.Arrays.fill(
+            img.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferInt].getData,
+            (v << 16) | (v << 8) | v)
           bos.reset()
           ImageIO.write(img, "png", bos)
           Row(id, bos.toByteArray)
