@@ -58,6 +58,18 @@ object ScaleProbe {
       }
     }
 
+    // ---- sentence decontamination: train-side duplication (the crawl
+    // regime) must collapse in the pre-distinct BEFORE the probe join —
+    // the distinct sentence set is invariant in k, so N× train rows cost
+    // only the linear explode+distinct, never N× join work
+    for (k <- Seq(1, n)) {
+      val train = replicated(k).localCheckpoint()
+      time(s"${k}x sentence-decon") {
+        graft.ext.Corpus.decontaminateSentences(train, base, "text", "doc_id")
+          .agg(sum(col("n_leaked")), sum(col("n_sentences"))).head()
+      }
+    }
+
     // ---- dominant-bucket skew: one bucket gets ~100x the rows of each of
     // ten minor buckets (the crawl-source histogram), and the per-bucket
     // pair demand far exceeds a fixed fanout. Adaptive-with-floor must cut
