@@ -172,6 +172,46 @@ object Corpus {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-group corpus report card with EXACT token-length quantiles — the
+    * curation dashboard a training-mix owner reads before weighting
+    * sources. Output per group: n_docs, mean_tokens, p50/p90/p99_tokens.
+    *
+    * Exactness without the usual scale trap: a window over
+    * partitionBy(group) on the raw corpus funnels each giant group into
+    * one sort task, and approx_percentile trades the exactness away. Token
+    * counts are small discrete ints, so the quantiles come from a VALUE
+    * HISTOGRAM instead — groupBy(group, n_toks) partial-aggregates
+    * map-side to a |groups|·|distinct lengths| relation, and the
+    * cumulative window runs over that, never the corpus. Ranks use the
+    * discrete-quantile definition (element at floor(p·(n−1)) + 1, ranks
+    * 1-based), all integer arithmetic; the mean's single division of
+    * exact integers is the only double.
+    */
+  def corpusStats(df: DataFrame, groupCols: Seq[String], textCol: String,
+                  quantiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quantiles.forall(p => p >= 0 && p <= 100),
+      s"quantiles must be percentages in [0,100], got $quantiles")
+    val gcols = groupCols.map(col)
+    val hist = df.select(gcols :+
+        TextAnalysis.tokenCount(col(textCol)).as("n_toks"): _*)
+      .groupBy(gcols :+ col("n_toks"): _*).agg(count(lit(1)).as("c"))
+    val byToks = Window.partitionBy(gcols: _*).orderBy("n_toks")
+    val whole = Window.partitionBy(gcols: _*)
+    val cum = hist
+      .withColumn("hi", sum(col("c")).over(byToks))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("cnt", sum(col("c")).over(whole))
+    def q(p: Int) = max(when(
+      expr(s"(cnt - 1) * $p div 100 + 1").between(col("lo"), col("hi")),
+      col("n_toks"))).cast("long").as(s"p${p}_tokens")
+    val aggs = Seq(
+      max(col("cnt")).as("n_docs"),
+      (sum(col("n_toks").cast("long") * col("c")).cast("double") /
+        max(col("cnt"))).as("mean_tokens")) ++ quantiles.map(q)
+    cum.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Sentence-level decontamination: per eval document, how many of its
     * distinct sentences (split on `[.!?]+` runs, trimmed, at least
     * `minChars` chars — the floor drops "Yes"-style stop sentences) appear

@@ -119,6 +119,14 @@ object TextQueries {
         .orderBy("doc_id", "rn")
     }),
 
+    "q74_corpus_stats" -> ((s, d) =>
+      // per-(source, lang) corpus report card with EXACT length quantiles
+      // via the value-histogram formulation (see Corpus.corpusStats —
+      // never a per-group sort of the raw corpus)
+      graft.ext.Corpus.corpusStats(t(s, d, "documents"),
+        Seq("source", "lang"), "text")
+        .orderBy("source", "lang")),
+
     "q73_quality_model" -> ((s, d) =>
       // model-based quality gate: fixed-coefficient linear classifier over
       // the hashed bag-of-words (the fastText-classifier shape), gating at
@@ -256,6 +264,31 @@ object TextQueries {
            FROM scored)
          SELECT doc_id, token, tfidf, rn FROM ranked
          WHERE rn <= 3 ORDER BY doc_id, rn""",
+
+    // same histogram + integer-rank formulation; the only double is the
+    // mean's single division of exact integers
+    "q74_corpus_stats" ->
+      """WITH h AS (
+           SELECT source, lang, len(string_split(text, ' ')) AS n_toks,
+                  count(*) AS c
+           FROM documents GROUP BY 1, 2, 3),
+         cum AS (
+           SELECT source, lang, n_toks, c,
+                  sum(c) OVER (PARTITION BY source, lang
+                               ORDER BY n_toks) AS hi,
+                  sum(c) OVER (PARTITION BY source, lang) AS cnt
+           FROM h),
+         b AS (SELECT *, hi - c + 1 AS lo FROM cum)
+         SELECT source, lang,
+                CAST(max(cnt) AS BIGINT) AS n_docs,
+                CAST(sum(n_toks * c) AS DOUBLE) / max(cnt) AS mean_tokens,
+                CAST(max(CASE WHEN (cnt-1)*50//100+1 BETWEEN lo AND hi
+                              THEN n_toks END) AS BIGINT) AS p50_tokens,
+                CAST(max(CASE WHEN (cnt-1)*90//100+1 BETWEEN lo AND hi
+                              THEN n_toks END) AS BIGINT) AS p90_tokens,
+                CAST(max(CASE WHEN (cnt-1)*99//100+1 BETWEEN lo AND hi
+                              THEN n_toks END) AS BIGINT) AS p99_tokens
+         FROM b GROUP BY source, lang ORDER BY source, lang""",
 
     // vector = portableHashEmbedding replay (char-fold slots, as in q38's
     // oracle); weights = the same Knuth-multiplicative scatter the engine

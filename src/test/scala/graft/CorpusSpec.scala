@@ -135,6 +135,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Set((10L, 1L, 5L)))
   }
 
+  test("corpusStats: exact discrete quantiles from the value histogram") {
+    // group A: lengths 1..10 (even n) — p50 = element at (9*50)//100+1 =
+    // rank 5 → 5; p90 → rank 9 → 9; p99 → rank 9 → 9
+    // group B: lengths 1,1,1,1,100 (tie-heavy, odd n) — p50 = rank 3 → 1;
+    // p90 = rank 4 → 1; p99 = rank 4 → 1 (the outlier only at rank 5)
+    val docs =
+      (1 to 10).map(i => ("A", ("x " * i).trim)) ++
+        Seq(("B", "x"), ("B", "x"), ("B", "x"), ("B", "x"),
+          ("B", ("x " * 100).trim))
+    val out = Corpus.corpusStats(docs.toDF("source", "text"),
+        Seq("source"), "text")
+      .orderBy("source")
+      .as[(String, Long, Double, Long, Long, Long)].collect().toList
+    assert(out == List(
+      ("A", 10L, 5.5, 5L, 9L, 9L),
+      ("B", 5L, 20.8, 1L, 1L, 1L)))
+  }
+
   test("decontaminateSentences counts verbatim sentence leaks per eval doc") {
     val leaked = "the quick brown fox jumps over the lazy dog"
     val train = Seq(

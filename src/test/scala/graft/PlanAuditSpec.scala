@@ -108,6 +108,22 @@ class PlanAuditSpec extends AnyFunSuite {
     full.split("== Initial Plan ==")(0)
   }
 
+  test("q74 corpus stats: window sorts the HISTOGRAM, never the corpus") {
+    // the cumulative window must consume the aggregated (group, n_toks)
+    // histogram: a Window directly over the scan would funnel each giant
+    // group into one sort task at 100 TB
+    val plan = planOf("q74_corpus_stats")
+    assert(plan.contains("partial_count"), plan.take(3000)) // map-side combine
+    // plans print top-down (deeper = later): the histogram aggregate must
+    // sit BETWEEN the deepest Window and the scan — i.e. the windows
+    // consume aggregated rows, and nothing windows the raw corpus
+    val deepestWindow = plan.lastIndexOf("Window")
+    val histAgg = plan.lastIndexOf("HashAggregate")
+    val scan = plan.indexOf("FileScan")
+    assert(deepestWindow >= 0 && deepestWindow < histAgg && histAgg < scan,
+      plan.take(4000))
+  }
+
   test("q54 decontaminate: empty stop-gram list is AQE-eliminated, recompute pruned") {
     // at harness scale no 5-gram exceeds maxDf, so the stop-gram list
     // materializes EMPTY and AQE's empty-relation propagation must erase
