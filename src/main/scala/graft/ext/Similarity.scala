@@ -62,6 +62,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** k-NN majority label vote over a top-k neighbor relation — the
+    * embedding-quality eval (how often do a vector's nearest neighbors
+    * share its label?) and the weak-labeling step of a curation pipeline.
+    * `neighbors` is ANY (query_id, neighbor_id) relation —
+    * [[topKBruteForce]], [[topKLsh]] or [[topKIvf]] output — so the vote
+    * inherits its producer's scale contract; this stage itself only joins
+    * the slim (id, label) relation (broadcast when small) and aggregates
+    * |Q|·k rows. Ties break toward the smaller label — deterministic and
+    * oracle-replayable. Output: (query_id, predicted_label, votes).
+    */
+  def knnClassify(neighbors: DataFrame, labeled: DataFrame,
+                  idCol: String = "vec_id",
+                  labelCol: String = "label"): DataFrame = {
+    val lab = labeled.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("n_label"))
+    val votes = neighbors.join(lab, Seq("neighbor_id"))
+      .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    votes.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("query_id"), col("n_label").as("predicted_label"),
+        col("votes"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed) for sign-bit LSH. */
   private def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
     val rnd = new java.util.Random(7L)

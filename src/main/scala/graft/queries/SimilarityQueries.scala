@@ -39,6 +39,22 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q75_knn_classify" -> ((s, d) => {
+      // embedding-quality eval: 10-NN majority label vote for a 4% query
+      // sample against the full corpus, scored against the true label.
+      // The vote composes over the brute-force neighbor relation here (the
+      // oracle path); at scale the same knnClassify takes topKLsh/topKIvf
+      // output unchanged.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(pmod(col("vec_id"), lit(25)) === 0)
+      val nn = Similarity.topKBruteForce(queries, emb, k = 10)
+      Similarity.knnClassify(nn, emb)
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+        .withColumn("correct", col("predicted_label") === col("true_label"))
+        .orderBy("query_id")
+    }),
+
     // the dup-pairs CONTRACT routes through banded LSH (no corpus×corpus
     // cartesian anywhere in the plan): candidates from a 9-band × 4-bit
     // equi-join on sample-difference plane signatures, exact cosine
@@ -112,6 +128,37 @@ object SimilarityQueries {
           SELECT query_id, neighbor_id, cos_sim, rank
           FROM ranked WHERE rank <= 10
           ORDER BY query_id, rank""",
+
+    // brute-force kNN replay (as q35) + the vote: count labels among the
+    // top-10, keep the most frequent with smaller-label tiebreak
+    "q75_knn_classify" ->
+      s"""WITH e AS ($normed),
+              scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+                FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id % 25 = 0) q
+                WHERE q.vec_id <> c.vec_id),
+              ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM scored),
+              votes AS (
+                SELECT r.query_id, l.label AS n_label, count(*) AS votes
+                FROM ranked r
+                JOIN embeddings l ON r.neighbor_id = l.vec_id
+                WHERE r.rank <= 10
+                GROUP BY 1, 2),
+              win AS (
+                SELECT query_id, n_label, votes,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY votes DESC, n_label) AS rn
+                FROM votes)
+          SELECT w.query_id, w.n_label AS predicted_label, w.votes,
+                 t.label AS true_label,
+                 w.n_label = t.label AS correct
+          FROM win w JOIN embeddings t ON w.query_id = t.vec_id
+          WHERE w.rn = 1 ORDER BY w.query_id""",
 
     // full replay of the banded-LSH dup-pairs machinery: 36 sample-
     // difference planes, sign-bit signatures, a pair is a candidate iff

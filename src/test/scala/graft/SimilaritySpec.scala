@@ -62,6 +62,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2)._2 == 0.0)
   }
 
+  test("knnClassify votes the majority neighbor label with a stable tiebreak") {
+    // query 0 points at +x; labels among its 4 neighbors: 7 twice (ids 1,2),
+    // 9 twice (ids 3,4) — a 2-2 tie must break toward the SMALLER label 7.
+    // With k=3 the vote is 7:2 vs 9:1 — an outright majority.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 5),
+      (1L, Seq(2.0f, 0.0f), 7),    // cos 1.0
+      (2L, Seq(1.0f, 0.1f), 7),    // cos ~0.995
+      (3L, Seq(1.0f, 0.2f), 9),    // cos ~0.981
+      (4L, Seq(1.0f, 0.3f), 9))    // cos ~0.958
+      .toDF("vec_id", "embedding", "label")
+    val q = vecs.where(col("vec_id") === 0L)
+    def vote(k: Int) = Similarity.knnClassify(
+        Similarity.topKBruteForce(q, vecs, k), vecs)
+      .select("query_id", "predicted_label", "votes")
+      .as[(Long, Int, Long)].collect().toList
+    assert(vote(3) == List((0L, 7, 2L))) // majority
+    assert(vote(4) == List((0L, 7, 2L))) // 2-2 tie → smaller label wins
+  }
+
   test("identical vectors share an LSH bucket and pair at cosine 1") {
     val rnd = new scala.util.Random(11)
     val noise = Seq.fill(30)(Seq.fill(64)(rnd.nextFloat() * 2 - 1))
