@@ -74,6 +74,15 @@ object CorpusQueries {
       graft.streaming.DocumentStreams.streamingDedup(s, d)
         .orderBy("content_hash")),
 
+    "q76_stream_incremental_dedup" -> ((s, d) =>
+      // continuous daily-ingest: the stream anti-joins a static known-hash
+      // manifest (here: every third document plays yesterday's corpus),
+      // in-stream dups collapse under the watermark — q56/q63's contract
+      // as a forever-running query
+      graft.streaming.DocumentStreams.streamingIncrementalDedup(s, d,
+        t(s, d, "documents").where(pmod(col("doc_id"), lit(3)) === 0))
+        .orderBy("content_hash")),
+
     "q62_stratified_sample" -> ((s, d) =>
       // balanced eval-set construction: exactly 10 docs per source, chosen
       // by content fingerprint — deterministic, skew-immune
@@ -222,6 +231,20 @@ object CorpusQueries {
 
     "q58_stream_dedup" ->
       """SELECT DISTINCT sha256(text) AS content_hash FROM documents
+         ORDER BY content_hash""",
+
+    // LEFT JOIN ... IS NULL, not NOT IN: anti-join semantics must keep
+    // NULL-hash rows the way the engine's left_anti does (null keys never
+    // match), where NOT IN would three-value-logic them away
+    "q76_stream_incremental_dedup" ->
+      """WITH known AS (
+           SELECT DISTINCT sha256(text) AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         hashes AS (SELECT DISTINCT sha256(text) AS content_hash
+                    FROM documents)
+         SELECT content_hash
+         FROM hashes LEFT JOIN known ON hashes.content_hash = known.h
+         WHERE known.h IS NULL
          ORDER BY content_hash""",
 
     "q62_stratified_sample" ->

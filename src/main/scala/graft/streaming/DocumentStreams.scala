@@ -66,4 +66,38 @@ object DocumentStreams {
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
+
+  /** Continuous incremental ingest — the streaming form of the daily-batch
+    * incrementalNew (q56/q63): the document stream is anti-joined against
+    * a STATIC known-content manifest (yesterday's corpus), then
+    * within-stream duplicates collapse via the watermark-bounded
+    * dropDuplicates. Emits each genuinely-new content hash exactly once.
+    *
+    * Scale shape: a stream-static join is STATELESS on the static side —
+    * the manifest relation is re-planned each micro-batch (broadcast when
+    * it fits, shuffle otherwise), so at 100 TB it is a materialized
+    * hash-manifest table, not a cached DataFrame. The only streaming state
+    * is the within-stream hash set, and the ingest-time watermark bounds
+    * it — the two properties that let this run forever.
+    */
+  def streamingIncrementalDedup(spark: SparkSession, sfDir: String,
+      existing: org.apache.spark.sql.DataFrame,
+      queryName: String = "graft_stream_incr_dedup"): DataFrame = {
+    val known = existing
+      .select(sha2(col("text"), 256).as("content_hash")).distinct()
+    val docs = spark.readStream.schema(docSchema).parquet(s"$sfDir/documents.*")
+    val fresh = docs
+      .select(sha2(col("text"), 256).as("content_hash"),
+        current_timestamp().as("ingest_ts"))
+      .join(known, Seq("content_hash"), "left_anti")
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("content_hash"))
+    val q = fresh.writeStream
+      .outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
 }
