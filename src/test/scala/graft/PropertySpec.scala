@@ -50,6 +50,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("corpusStats == naive sorted-array quantiles on random groups") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 6) {
+      val docs = (0 until 3).flatMap { g =>
+        val n = 1 + rnd.nextInt(40) // including 1-doc groups
+        Seq.fill(n)((s"g$g", ("w " * (1 + rnd.nextInt(30))).trim))
+      }
+      val got = graft.ext.Corpus.corpusStats(docs.toDF("source", "text"),
+          Seq("source"), "text")
+        .as[(String, Long, Double, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      for ((g, lens0) <- docs.groupBy(_._1)) {
+        val lens = lens0.map(_._2.split(" ").length.toLong).sorted
+        val n = lens.size
+        def q(p: Int) = lens(((n - 1) * p / 100).toInt)
+        val (_, nd, mean, p50, p90, p99) = got(g)
+        assert(nd == n.toLong, s"trial $trial $g")
+        assert(mean == lens.sum.toDouble / n, s"trial $trial $g")
+        assert((p50, p90, p99) == ((q(50), q(90), q(99))), s"trial $trial $g")
+      }
+    }
+  }
+
+  test("decontaminateSentences == brute-force set check on random corpora") {
+    val rnd = new scala.util.Random(73)
+    val sentences = Vector.tabulate(12)(i =>
+      s"sentence number $i with enough words to pass the floor")
+    for (trial <- 1 to 5) {
+      def doc() = Seq.fill(1 + rnd.nextInt(4))(
+        sentences(rnd.nextInt(sentences.size))).mkString(". ")
+      val train = Seq.tabulate(10)(i => (i.toLong, doc())).toDF("doc_id", "text")
+      val eval_ = Seq.tabulate(6)(i => (100L + i, doc()))
+      val got = graft.ext.Corpus.decontaminateSentences(
+          train.toDF(), eval_.toDF("doc_id", "text"), "text", "doc_id")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val trainSet = train.as[(Long, String)].collect()
+        .flatMap(_._2.split("[.!?]+")).map(_.trim).filter(_.length >= 20).toSet
+      for ((id, text) <- eval_) {
+        val ss = text.split("[.!?]+").map(_.trim)
+          .filter(_.length >= 20).distinct
+        val want = (ss.length.toLong, ss.count(trainSet).toLong)
+        assert(got(id) == want, s"trial $trial doc $id")
+      }
+    }
+  }
+
   test("connectedComponents handles hub graphs (star + chain) exactly") {
     // the shapes that stress the contraction: a high-degree hub (every
     // leaf attached to one center) and a long chain (worst case for
