@@ -62,6 +62,27 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Scalar int8 quantization of an embedding column: the first memory
+    * lever of a 100 TB vector store (4× fewer bytes than float32 through
+    * every scan, shuffle and cache; recall cost bounded by the rounding
+    * error ≤ 1/(2·scale) per component). Values clamp into [−128, 127].
+    * Pure expression — runs in the scan stage.
+    *
+    * floor(x·scale + 0.5) instead of round(): round-half-even vs half-up
+    * varies across engines, while floor is the same IEEE operation
+    * everywhere — so quantized vectors are bit-identical in any replayer.
+    */
+  def quantize(vec: Column, scale: Double): Column =
+    transform(vec.cast("array<double>"), x =>
+      greatest(least(floor(x * lit(scale) + lit(0.5)), lit(127.0)),
+        lit(-128.0)).cast("tinyint"))
+
+  /** Inverse of [[quantize]] (up to rounding): int8 codes back to doubles,
+    * ready for the unchanged similarity operators.
+    */
+  def dequantize(qvec: Column, scale: Double): Column =
+    transform(qvec, v => v.cast("double") / lit(scale))
+
   /** k-NN majority label vote over a top-k neighbor relation — the
     * embedding-quality eval (how often do a vector's nearest neighbors
     * share its label?) and the weak-labeling step of a curation pipeline.

@@ -39,6 +39,19 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q77_ann_quantized" -> ((s, d) => {
+      // top-k over int8-QUANTIZED vectors (scale 200 covers the corpus's
+      // ±0.53 range): the 4×-smaller store running the same brute-force
+      // operator. The oracle replays quantize→dequantize→rank exactly, so
+      // what's checked is the quantized geometry itself.
+      val emb = t(s, d, "embeddings")
+      val deq = emb.select(col("vec_id"),
+        Similarity.dequantize(
+          Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+      Similarity.topKBruteForce(deq.where(col("vec_id") < 10), deq, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q75_knn_classify" -> ((s, d) => {
       // embedding-quality eval: 10-NN majority label vote for a 4% query
       // sample against the full corpus, scored against the true label.
@@ -125,6 +138,31 @@ object SimilarityQueries {
                        row_number() OVER (PARTITION BY query_id
                                           ORDER BY cos_sim DESC, neighbor_id) AS rank
                 FROM scored)
+          SELECT query_id, neighbor_id, cos_sim, rank
+          FROM ranked WHERE rank <= 10
+          ORDER BY query_id, rank""",
+
+    // q35's replay over the quantize→dequantize round trip:
+    // floor(x·200 + 0.5) clamped to int8, back to doubles, same ranking
+    "q77_ann_quantized" ->
+      s"""WITH dq AS (
+            SELECT vec_id, list_transform(embedding,
+              x -> greatest(least(floor(CAST(x AS DOUBLE) * 200 + 0.5),
+                                  127), -128) / 200.0) AS embedding
+            FROM embeddings),
+          e AS (SELECT vec_id, embedding,
+                       sqrt(${duckDot("embedding", "embedding")}) AS nrm
+                FROM dq),
+          scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+            FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 10) q
+            WHERE q.vec_id <> c.vec_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored)
           SELECT query_id, neighbor_id, cos_sim, rank
           FROM ranked WHERE rank <= 10
           ORDER BY query_id, rank""",

@@ -62,6 +62,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2)._2 == 0.0)
   }
 
+  test("quantize/dequantize: int8 round trip bounded by half a code, clamped") {
+    val vecs = Seq((1L, Seq(0.1f, -0.3f, 0.45f, -0.52f, 5.0f, -5.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val scale = 200.0
+    val out = vecs.select(
+        Similarity.quantize(col("embedding"), scale).as("q"),
+        Similarity.dequantize(
+          Similarity.quantize(col("embedding"), scale), scale).as("dq"))
+      .as[(Seq[Byte], Seq[Double])].collect().head
+    // codes: floor(x·200 + 0.5), clamped to [-128, 127]
+    assert(out._1 == Seq[Byte](20, -60, 90, -104, 127, -128, 0))
+    // round-trip error ≤ 1/(2·scale) wherever no clamping occurred
+    val orig = Seq(0.1f, -0.3f, 0.45f, -0.52f).map(_.toDouble)
+    orig.zip(out._2).foreach { case (x, d) =>
+      assert(math.abs(x - d) <= 0.5 / scale + 1e-12, s"$x vs $d")
+    }
+  }
+
   test("knnClassify votes the majority neighbor label with a stable tiebreak") {
     // query 0 points at +x; labels among its 4 neighbors: 7 twice (ids 1,2),
     // 9 twice (ids 3,4) — a 2-2 tie must break toward the SMALLER label 7.
