@@ -31,6 +31,23 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Text normalization for near-exact dedup: lowercase, collapse
+    * whitespace runs to one space, trim. Catches the re-crawl variants
+    * exact hashing misses (case changes, reflowed whitespace) while
+    * staying a pure expression — the standard cheap pre-pass before
+    * [[exact]], and each step is replayable by a SQL oracle.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** [[exact]] over [[normalizeText]]-ed content: one keeper per distinct
+    * NORMALIZED content. Same shuffle discipline — the exchange carries
+    * the 32-byte hash of the normalized text, never the text.
+    */
+  def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(normalizeText(col(textCol)), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
   /** Incremental-ingestion dedup: of a new batch, keep one representative
     * per content that does NOT already exist in the corpus. The anti-join
     * runs on 32-byte content hashes (the existing side is pre-distinct so

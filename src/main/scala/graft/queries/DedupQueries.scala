@@ -25,6 +25,14 @@ object DedupQueries {
         .select(col("keeper_id"), col("n_copies"))
         .orderBy("keeper_id")),
 
+    "q78_dedup_normalized" -> ((s, d) =>
+      // near-exact dedup: one keeper per distinct NORMALIZED content
+      // (lowercase, whitespace-collapsed, trimmed) — the re-crawl-variant
+      // pre-pass exact hashing misses
+      Dedup.exactNormalized(t(s, d, "documents"), "text", "doc_id")
+        .select(col("keeper_id"), col("n_copies"))
+        .orderBy("keeper_id")),
+
     "q31_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), "text", "doc_id",
         threshold = 0.9, bands = 16)
@@ -120,6 +128,12 @@ object DedupQueries {
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keeper_id""",
+
+    "q78_dedup_normalized" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents
+         GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+         ORDER BY keeper_id""",
 
     "q31_dedup_minhash_lsh" ->
       s"""SELECT doc_a, doc_b, jaccard FROM ($exactJaccardPairs)

@@ -75,6 +75,21 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.keys.flatMap(p => Seq(p._1, p._2)).forall(_ <= 3L))
   }
 
+  test("exactNormalized collapses case and whitespace variants") {
+    val docs = Seq(
+      (1L, "The Quick Brown Fox"),
+      (2L, "the quick brown fox"),      // case variant of 1
+      (3L, "the  quick\tbrown   fox "), // whitespace variant of 1
+      (4L, "a different document"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(docs, "text", "doc_id")
+      .select("keeper_id", "n_copies")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L))
+    // plain exact sees four distinct contents
+    assert(Dedup.exact(docs, "text", "doc_id").count() == 4)
+  }
+
   test("incrementalNew drops known contents, collapses the new batch") {
     val existing = Seq((1L, "previously ingested content"),
       (2L, "other old content")).toDF("doc_id", "text")
