@@ -193,8 +193,13 @@ object Corpus {
     require(quantiles.forall(p => p >= 0 && p <= 100),
       s"quantiles must be percentages in [0,100], got $quantiles")
     val gcols = groupCols.map(col)
-    val hist = df.select(gcols :+
-        TextAnalysis.tokenCount(col(textCol)).as("n_toks"): _*)
+    // NULL text would put a NULL n_toks row into the histogram, and the
+    // cumulative window would order it differently across engines (Spark
+    // sorts NULLS FIRST, most SQL engines NULLS LAST) — shifting every
+    // rank. NULL-text documents carry no length, so they are excluded;
+    // n_docs counts documents WITH text.
+    val hist = df.where(col(textCol).isNotNull)
+      .select(gcols :+ TextAnalysis.tokenCount(col(textCol)).as("n_toks"): _*)
       .groupBy(gcols :+ col("n_toks"): _*).agg(count(lit(1)).as("c"))
     val byToks = Window.partitionBy(gcols: _*).orderBy("n_toks")
     val whole = Window.partitionBy(gcols: _*)

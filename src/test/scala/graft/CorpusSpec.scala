@@ -151,6 +151,15 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == List(
       ("A", 10L, 5.5, 5L, 9L, 9L),
       ("B", 5L, 20.8, 1L, 1L, 1L)))
+
+    // NULL text never enters the histogram (its rank shift would diverge
+    // across engines' NULL ordering); n_docs counts documents WITH text
+    val withNull = docs :+ (("A", null.asInstanceOf[String]))
+    val guarded = Corpus.corpusStats(withNull.toDF("source", "text"),
+        Seq("source"), "text")
+      .orderBy("source")
+      .as[(String, Long, Double, Long, Long, Long)].collect().toList
+    assert(guarded == out)
   }
 
   test("decontaminateSentences counts verbatim sentence leaks per eval doc") {
