@@ -43,6 +43,27 @@ object Sinks {
   def console(df: DataFrame, numRows: Int = 20, truncate: Boolean = true): Unit =
     df.show(numRows, truncate)
 
+  /** Streaming → JDBC: appends each micro-batch through [[jdbcAppend]]
+    * inside `foreachBatch` — the canonical recipe, since Spark's JDBC
+    * relation provider has no native streaming sink. Returns the running
+    * query; the caller owns its lifecycle.
+    *
+    * Delivery is at-least-once: a batch retried after a sink-side failure
+    * appends again (plain INSERTs carry no transactional batch id).
+    * Exactly-once needs an idempotent target — a unique key the database
+    * enforces, or a staging table merged by batchId — which is
+    * target-schema-specific and out of scope here.
+    */
+  def streamJdbcAppend(stream: DataFrame, url: String, table: String,
+                       options: Map[String, String] = Map.empty,
+                       maxConnections: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        jdbcAppend(batch, url, table, options, maxConnections)
+      }
+      .start()
+
   /** Parquet sink, optionally hive-style partitioned for pruning. */
   def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Seq.empty,
               mode: String = "overwrite"): Unit = {

@@ -175,6 +175,38 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assert(cfg == Seq((1, "select-a")))
   }
 
+  test("streaming foreachBatch JDBC sink appends every micro-batch row") {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE stream_sink")
+      catch { case _: java.sql.SQLException => () }
+      st.executeUpdate(
+        "CREATE TABLE stream_sink (doc_id BIGINT, n_chars BIGINT)")
+      st.close()
+    } finally conn.close()
+
+    val sf = "/root/testdata/sf0.001"
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(docSchema)
+      .parquet(s"$sf/documents.*")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val q = Sinks.streamJdbcAppend(stream, url, "stream_sink")
+    try q.processAllAvailable() finally q.stop()
+
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val got = Tables.jdbc(spark, url,
+      "SELECT doc_id, n_chars FROM stream_sink")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want)
+  }
+
   test("console sink (K2) renders a bounded tabular dump") {
     val df = sourceRows.toDF("id", "zone", "score")
     val buf = new java.io.ByteArrayOutputStream()
