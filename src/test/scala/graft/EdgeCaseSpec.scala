@@ -73,6 +73,42 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out == (1L to 6L).map(i => i -> 1L).toMap)
   }
 
+  test("round-8 operators tolerate the messy corpus without corruption") {
+    // normalized dedup: empties and nulls keep exact()'s grouping contract,
+    // and unicode text survives lower() untouched
+    val norm = Dedup.exactNormalized(messy, "text", "doc_id")
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(norm(1L) == 2L && norm(4L) == 2L && norm(3L) == 1L)
+    // corpus stats: a group whose every doc is empty still yields exact
+    // zeros... an empty string is ONE empty token for tokenCount, so the
+    // quantiles are 1 (same contract as q20); null text is excluded
+    val stats = Corpus.corpusStats(messy.withColumn("g", lit("all")),
+        Seq("g"), "text")
+      .as[(String, Long, Double, Long, Long, Long)].collect().head
+    assert(stats._2 == 6L) // 7 docs minus the null
+    // sentence decon: empty-vs-empty never "leaks" (under the length floor)
+    val sd = Corpus.decontaminateSentences(messy, messy, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(sd(4L) == 0L && sd(3L) == 0L)
+    // quantized ANN machinery: empty and null vectors don't crash
+    import graft.ext.Similarity
+    val vecs = Seq((1L, Seq.empty[Float]), (2L, Seq(0.5f)))
+      .toDF("vec_id", "embedding")
+    val qdq = vecs.select(
+        Similarity.dequantize(Similarity.quantize(col("embedding"), 200.0),
+          200.0).as("v"))
+      .as[Seq[Double]].collect()
+    assert(qdq(0).isEmpty && qdq(1) == Seq(0.5))
+    // model quality gate: null text scores null and never gates true
+    val gate = messy.select(col("doc_id"),
+        (TextAnalysis.modelQualityScore(col("text"),
+          graft.queries.TextQueries.fixtureWeights, 0.0,
+          portable = true) >= 0).as("keep"))
+      .as[(Long, Option[Boolean])].collect().toMap
+    assert(gate(3L).isEmpty) // NULL, not true/false
+    assert(gate(1L).isDefined)
+  }
+
   test("text analysis and split assignment tolerate empty and unicode text") {
     val out = messy.where(col("text").isNotNull)
       .select(col("doc_id"),
