@@ -172,6 +172,23 @@ object Corpus {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Enforcement form of [[decontaminate]]: the TRAIN corpus with every
+    * document that leaks into the eval set removed (shares ≥ minShared
+    * distinct n-grams with ANY eval doc). [[decontaminate]] is the report;
+    * this is what the training-file writer actually consumes. One extra
+    * anti-join over the report's distinct train ids — a relation bounded
+    * by the contamination rate, so AQE broadcasts it in the common case
+    * where leaks are rare.
+    */
+  def decontaminateFilter(train: DataFrame, eval_ : DataFrame,
+                          textCol: String, idCol: String, n: Int = 5,
+                          minShared: Int = 1,
+                          maxDf: Long = 10000L): DataFrame = {
+    val leaked = decontaminate(train, eval_, textCol, idCol, n, minShared, maxDf)
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(leaked, Seq(idCol), "left_anti")
+  }
+
   /** Per-group corpus report card with EXACT token-length quantiles — the
     * curation dashboard a training-mix owner reads before weighting
     * sources. Output per group: n_docs, mean_tokens, p50/p90/p99_tokens.

@@ -29,6 +29,18 @@ object CorpusQueries {
         .orderBy("eval_id", "train_id")
     }),
 
+    "q79_decontaminate_filter" -> ((s, d) => {
+      // enforcement: the train split with leaking documents REMOVED —
+      // what the training-file writer consumes after reading q54's report
+      val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
+      Corpus.decontaminateFilter(
+        docs.where(col("split") === "train"),
+        docs.where(col("split") === "test"),
+        "text", "doc_id", n = 5, minShared = 1)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     "q72_decontaminate_sentences" -> ((s, d) => {
       // eval-leak check at SENTENCE granularity: per test doc, how many
       // of its sentences appear verbatim anywhere in the train split.
@@ -159,6 +171,31 @@ object CorpusQueries {
           GROUP BY eval_id, train_id
           HAVING count(*) >= 1
           ORDER BY eval_id, train_id""",
+
+    // q54's machinery, inverted: train docs NOT in the leak-pair set
+    "q79_decontaminate_filter" ->
+      s"""WITH s AS (
+            SELECT doc_id, source, string_split(text, ' ') AS toks,
+                   $fpFold % 100 AS b
+            FROM documents),
+          g AS (
+            SELECT doc_id, b,
+                   list_distinct(list_transform(range(1, len(toks) - 3),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4])) AS grams
+            FROM s),
+          tg AS (SELECT doc_id AS train_id, unnest(grams) AS gr
+                 FROM g WHERE b < 80),
+          dfq AS (SELECT gr, count(*) AS dfc FROM tg GROUP BY gr),
+          tk AS (SELECT train_id, tg.gr FROM tg JOIN dfq USING (gr)
+                 WHERE dfc <= 10000),
+          eg AS (SELECT doc_id AS eval_id, unnest(grams) AS gr
+                 FROM g WHERE b >= 90),
+          leaks AS (SELECT DISTINCT train_id FROM tk JOIN eg USING (gr))
+          SELECT s.doc_id, s.source
+          FROM s LEFT JOIN leaks ON s.doc_id = leaks.train_id
+          WHERE s.b < 80 AND leaks.train_id IS NULL
+          ORDER BY s.doc_id""",
 
     // engine joins on xxhash64 of the sentence; the oracle joins on the
     // sentence text itself — identical modulo 2^-64 collisions (the same

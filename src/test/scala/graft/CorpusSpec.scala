@@ -191,6 +191,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == List((10L, 2L, 1L)))
   }
 
+  test("decontaminateFilter removes exactly the leaking train docs") {
+    val leaked = "one two three four five six seven"
+    val train = Seq(
+      (1L, s"$leaked plus some extra training material here"),
+      (2L, "completely clean training document number two here"),
+      (3L, "another clean training document with original words"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, leaked)).toDF("doc_id", "text")
+    val kept = Corpus.decontaminateFilter(train, eval_, "text", "doc_id",
+        n = 5).select("doc_id").as[Long].collect().sorted.toList
+    assert(kept == List(2L, 3L)) // doc 1 shares grams with eval → dropped
+  }
+
   test("stop-gram cap drops grams above the train-side document frequency") {
     val boiler = "this content is provided as is without any warranty"
     val train = Seq.tabulate(6)(i => (i.toLong, boiler)).toDF("doc_id", "text")
