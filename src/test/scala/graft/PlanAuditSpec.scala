@@ -124,6 +124,17 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.take(4000))
   }
 
+  test("q75 kNN vote: every join broadcasts; no shuffle of the corpus") {
+    // the query side, the label relation and the true-label join are all
+    // small relative to the corpus — none of them may force a corpus
+    // exchange at this scale
+    val df = SparkEntry.queries("q75_knn_classify")(spark, sf)
+    val plan = finalPlanOf(df)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+  }
+
   test("q54 decontaminate: empty stop-gram list is AQE-eliminated, recompute pruned") {
     // at harness scale no 5-gram exceeds maxDf, so the stop-gram list
     // materializes EMPTY and AQE's empty-relation propagation must erase
