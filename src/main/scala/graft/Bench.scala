@@ -52,7 +52,7 @@ object Bench {
         samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
       } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
       }
     }
     val ok = selected.filter { case (n, _) => samples.contains(n) }

@@ -28,7 +28,14 @@ object Dedup {
     * 2^-128 collision odds).
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+    collapseByContentHash(df, col(textCol), idCol)
+
+  /** The shared keeper/count contract of [[exact]] and [[exactNormalized]]:
+    * group on sha2(content), keep the smallest id, count the copies.
+    */
+  private def collapseByContentHash(df: DataFrame, content: Column,
+                                    idCol: String): DataFrame =
+    df.groupBy(sha2(content, 256).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** Text normalization for near-exact dedup: lowercase, collapse
@@ -45,8 +52,7 @@ object Dedup {
     * the 32-byte hash of the normalized text, never the text.
     */
   def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(sha2(normalizeText(col(textCol)), 256).as("content_hash"))
-      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+    collapseByContentHash(df, normalizeText(col(textCol)), idCol)
 
   /** Incremental-ingestion dedup: of a new batch, keep one representative
     * per content that does NOT already exist in the corpus. The anti-join

@@ -37,6 +37,10 @@ object Multimodal {
   def imageIoDecode(bytes: Array[Byte]): Option[(String, Int, Int, Double)] = {
     import javax.imageio.ImageIO
     val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    // createImageInputStream returns null when no ImageInputStreamSpi is
+    // registered (stripped IIORegistry / isolated classloader); that must
+    // take the fallback path, not NPE in the finally below
+    if (iis == null) return None
     try {
       val readers = ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None

@@ -10,7 +10,7 @@ import org.apache.spark.sql.DataFrame
   * and add the engine-native parquet sink the harness uses (Verify dumps).
   *
   * Scale notes: `jdbcAppend` writes one connection per partition and
-  * bounds them itself with a final repartition (the reference writes with
+  * bounds them itself with a final coalesce (the reference writes with
   * whatever partitioning it inherited, which at cluster scale would open
   * thousands of connections). Parquet writes inherit the upstream
   * partitioning; `partitionBy` columns turn into directory-level
@@ -20,17 +20,23 @@ object Sinks {
 
   /** Append into a JDBC table (reference K1 parity).
     *
-    * Connection bounding is a `repartition`, not a conditional `coalesce`:
-    * coalesce would narrow the ENTIRE final stage to `maxConnections`
-    * tasks (upstream aggregation work included), and deciding via
-    * `df.rdd.getNumPartitions` forces an extra physical planning of the
-    * frame just to read a number. The exchange shuffles only the final
-    * output rows, and AQE right-sizes it when the frame is small.
+    * Connection bounding is an UNCONDITIONAL `coalesce(maxConnections)`:
+    * coalesce never increases a partition count, so a small frame keeps
+    * its single connection with zero added exchange, and a wide frame is
+    * capped — without reading `df.rdd.getNumPartitions` first, which
+    * would force an extra physical planning of the frame. (A
+    * `repartition(n)` here would be strictly worse: user-numbered
+    * repartitions are exempt from AQE partition coalescing, so every
+    * write — however tiny — would pay a full shuffle AND open exactly n
+    * connections.) The known tradeoff stays the old one: when the cap
+    * binds, coalesce narrows the final stage's parallelism; writers with
+    * heavy upstream work in that stage should repartition explicitly
+    * before calling this.
     */
   def jdbcAppend(df: DataFrame, url: String, table: String,
                  options: Map[String, String] = Map.empty,
                  maxConnections: Int = 8): Unit =
-    df.repartition(maxConnections).write.mode("append").format("jdbc")
+    df.coalesce(maxConnections).write.mode("append").format("jdbc")
       .option("url", url).option("dbtable", table)
       .options(options).save()
 

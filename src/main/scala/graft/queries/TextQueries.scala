@@ -271,7 +271,7 @@ object TextQueries {
       """WITH h AS (
            SELECT source, lang, len(string_split(text, ' ')) AS n_toks,
                   count(*) AS c
-           FROM documents GROUP BY 1, 2, 3),
+           FROM documents WHERE text IS NOT NULL GROUP BY 1, 2, 3),
          cum AS (
            SELECT source, lang, n_toks, c,
                   sum(c) OVER (PARTITION BY source, lang

@@ -196,14 +196,22 @@ object EventStreams {
     * session on each gap, close unconditionally on the harness sentinel.
     * Pure over (events, prior state) → (emissions, new state), so the
     * variants differ only in how end-of-stream is signalled.
+    *
+    * A prior state with n == 0 is a CLOSED-SESSION MARKER (idx = the last
+    * emitted index, lastUs = its end): the timeout path leaves one behind
+    * so a user's next session continues the numbering instead of reusing
+    * session_id 1. A fresh session therefore starts at marker.idx + 1.
     */
   private[graft] def sessionFold(userId: Long, gapUs: Long,
       evs: Array[RawEvent], prior: Option[OpenSession])
       : (Seq[SessionOut], Option[OpenSession]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-    var open: Option[OpenSession] = prior
-    def close(o: OpenSession): Unit =
+    var open: Option[OpenSession] = prior.filter(_.n > 0)
+    var nextIdx: Long = prior.map(_.idx + 1).getOrElse(1L)
+    def close(o: OpenSession): Unit = {
       out += SessionOut(userId, o.idx, o.n, o.startUs, o.lastUs)
+      nextIdx = o.idx + 1
+    }
     evs.sortBy(e => (e.ts, e.event_id)).foreach { e =>
       val us = Math.floorDiv(e.ts, 1000L)
       if (e.event_type == EndOfStreamType) {
@@ -214,7 +222,7 @@ object EventStreams {
         case Some(o) =>
           close(o); open = Some(OpenSession(o.idx + 1, us, us, 1))
         case None =>
-          open = Some(OpenSession(1, us, us, 1))
+          open = Some(OpenSession(nextIdx, us, us, 1))
       }
     }
     (out.toSeq, open)
@@ -246,8 +254,23 @@ object EventStreams {
       : Iterator[SessionOut] = {
     if (state.hasTimedOut) {
       val o = state.get
-      state.remove()
-      Iterator.single(SessionOut(userId, o.idx, o.n, o.startUs, o.lastUs))
+      if (o.n > 0) {
+        // close and emit the open session, but leave a CLOSED-SESSION
+        // MARKER (n = 0) behind so the user's next session continues the
+        // numbering instead of reusing session_id 1 — without it the live
+        // path would diverge from the sentinel path on any user with two
+        // timeout-separated sessions. The marker itself expires after
+        // 10 more gaps (bounded state): a user idle longer than that
+        // restarts numbering at 1, the documented retention horizon.
+        state.update(o.copy(n = 0, startUs = o.lastUs))
+        state.setTimeoutTimestamp(
+          state.getCurrentWatermarkMs() + 10L * (gapUs / 1000L))
+        Iterator.single(SessionOut(userId, o.idx, o.n, o.startUs, o.lastUs))
+      } else {
+        // retention expired: drop the marker, nothing to emit
+        state.remove()
+        Iterator.empty
+      }
     } else {
       val (out, open) = sessionFold(userId, gapUs, it.toArray, state.getOption)
       open match {
@@ -256,7 +279,10 @@ object EventStreams {
           // event-time timeouts are millisecond-epoch; fire one gap after
           // the last event (+1ms so an exactly-on-gap event still extends)
           state.setTimeoutTimestamp(o.lastUs / 1000L + gapUs / 1000L + 1L)
-        case None => state.remove()
+        case None =>
+          // only reachable on an empty data batch (no sentinels exist in
+          // the live path); any closed-session marker stays as it was
+          ()
       }
       out.iterator
     }

@@ -25,7 +25,11 @@ object Probe {
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
-      val n = df.count()
+      // execute df's OWN QueryExecution: df.count() would build a separate
+      // aggregate QueryExecution and leave df's plan unexecuted, so the
+      // "final adaptive plan" below would print isFinalPlan=false with
+      // none of AQE's runtime decisions
+      val n = df.queryExecution.toRdd.count()
       println(f"[probe] $name rep$i rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
       if (i == 1) {
         // post-execution plan: AQE's runtime decisions (broadcast

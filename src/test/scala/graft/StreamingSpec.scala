@@ -55,13 +55,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(s2.getTimeoutTimestampMs.get > s1.getTimeoutTimestampMs.get)
 
     // timeout callback: the watermark passed lastUs + gap -> the open
-    // session is emitted and the state removed, no sentinel involved
+    // session is emitted; a closed-session MARKER (n = 0, same idx) stays
+    // behind with a retention timeout so numbering continues
     val s3 = TestGroupState.create[OpenSession](Optional.of(s2.get),
       GroupStateTimeout.EventTimeTimeout, 0L,
       Optional.of(s2.getTimeoutTimestampMs.get + 1), true)
     val out3 = handler(7L, Iterator.empty, s3).toList
     assert(out3 == List(SessionOut(7L, 1, 3, startUs, s2.get.lastUs)))
-    assert(s3.isRemoved)
+    assert(s3.get.n == 0 && s3.get.idx == 1)
+    assert(s3.getTimeoutTimestampMs.isPresent)
+
+    // a later event finds the marker and opens session TWO — without the
+    // marker the live path would reuse session_id 1 and diverge from the
+    // sentinel path on any user with two timeout-separated sessions
+    val s3b = TestGroupState.create[OpenSession](Optional.of(s3.get),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), false)
+    val out3b = handler(7L,
+      Iterator(ev(9, (s2.get.lastUs + 3 * gapUs) * 1000)), s3b).toList
+    assert(out3b.isEmpty && s3b.get == OpenSession(2,
+      s2.get.lastUs + 3 * gapUs, s2.get.lastUs + 3 * gapUs, 1))
+
+    // marker retention expiry: the second timeout drops it silently
+    val s3c = TestGroupState.create[OpenSession](Optional.of(s3.get),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(s3.getTimeoutTimestampMs.get + 1), true)
+    assert(handler(7L, Iterator.empty, s3c).toList.isEmpty)
+    assert(s3c.isRemoved)
 
     // a gap-exceeding event in one batch closes the first session inline
     // and opens session 2 (same fold as the sentinel path)
