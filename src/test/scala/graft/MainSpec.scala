@@ -166,6 +166,27 @@ class MainSpec extends AnyFunSuite {
     }
   }
 
+  test("parseArgs collects database.<name>.url keys into the routing map") {
+    val props = new java.util.Properties()
+    props.setProperty("url", url)
+    props.setProperty("sink.table", "ok_sink")
+    props.setProperty("database.hr.url", "jdbc:derby:target/hr;create=true")
+    props.setProperty("database.sales.url", "jdbc:derby:target/sales")
+    props.setProperty("database.blank.url", "  ") // blank values are dropped
+    props.setProperty("database.urlless.name", "ignored") // wrong suffix
+    val conf = Main.parseArgs(Array("cfg_table", "mentor_report"), props)
+    assert(conf.databaseUrls == Map(
+      "hr" -> "jdbc:derby:target/hr;create=true",
+      "sales" -> "jdbc:derby:target/sales"))
+    // no routing keys → empty map → ViewRouter path
+    props.remove("database.hr.url")
+    props.remove("database.sales.url")
+    props.remove("database.blank.url")
+    props.remove("database.urlless.name")
+    assert(Main.parseArgs(Array("cfg_table", "mentor_report"), props)
+      .databaseUrls.isEmpty)
+  }
+
   test("the shipped conf/job.properties sample loads and parses into a JobConfig") {
     val args = Array("report_config", "mentor_report",
       "--properties", "conf/job.properties")
