@@ -80,6 +80,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("quantized store composes through the IVF index with high recall") {
+    // the two scale levers together: 4x-smaller int8 vectors flowing
+    // through the same IVF operator unchanged. On the real embeddings
+    // fixture, quantized-IVF top-5 must agree with exact-float32
+    // brute-force top-5 on >= 80% of neighbor slots.
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = emb.select(col("vec_id"),
+      Similarity.dequantize(
+        Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+    val qset = deq.where(col("vec_id") < 5)
+    val ivf = Similarity.topKIvf(qset, deq, k = 5, dim = 64,
+        centroidsIn = Similarity.trainCentroids(deq, 16, 64))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.topKBruteForce(
+        emb.where(col("vec_id") < 5), emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val overlap = ivf.intersect(exact).size
+    assert(overlap >= (exact.size * 0.8).toInt,
+      s"quantized-IVF recall $overlap/${exact.size}")
+  }
+
   test("knnClassify votes the majority neighbor label with a stable tiebreak") {
     // query 0 points at +x; labels among its 4 neighbors: 7 twice (ids 1,2),
     // 9 twice (ids 3,4) — a 2-2 tie must break toward the SMALLER label 7.
