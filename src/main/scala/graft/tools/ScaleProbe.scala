@@ -70,6 +70,16 @@ object ScaleProbe {
       }
     }
 
+    // ---- corpus stats: the histogram relation is invariant under
+    // duplication (same groups × same distinct lengths), so N× rows add
+    // only linear partial-agg work before the tiny window
+    for (k <- Seq(1, n)) {
+      val docs = replicated(k).withColumn("g", lit("all")).localCheckpoint()
+      time(s"${k}x corpus-stats") {
+        graft.ext.Corpus.corpusStats(docs, Seq("g"), "text").count()
+      }
+    }
+
     // ---- dominant-bucket skew: one bucket gets ~100x the rows of each of
     // ten minor buckets (the crawl-source histogram), and the per-bucket
     // pair demand far exceeds a fixed fanout. Adaptive-with-floor must cut
