@@ -209,6 +209,10 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     require(quantiles.forall(p => p >= 0 && p <= 100),
       s"quantiles must be percentages in [0,100], got $quantiles")
+    // duplicates would emit two identically-named p<N>_tokens columns and
+    // break any by-name select far from this call site
+    require(quantiles.distinct.size == quantiles.size,
+      s"quantiles must be distinct, got $quantiles")
     val gcols = groupCols.map(col)
     // NULL text would put a NULL n_toks row into the histogram, and the
     // cumulative window would order it differently across engines (Spark

@@ -98,6 +98,16 @@ object MultimodalQueries {
                    (m, b) -> (m * 31 + b) % 64)) AS ss
          FROM documents)"""
 
+  /** ORACLE FIXTURE ASSUMPTION — ASCII-only text. The q50/q70/q71 oracles
+    * reconstruct byte arithmetic (`getBytes("UTF-8").length`, byte sums)
+    * from DuckDB's `length(text)` (characters) and `ascii(c)` (code
+    * points); the two agree only while every fixture character is ASCII
+    * (one byte, code point == byte value). The generated `documents`
+    * corpus satisfies this and MultimodalSpec pins it
+    * ("documents fixture is ASCII-only"); a non-ASCII corpus would need
+    * these oracles rebased onto octet_length/encode. q73's charFoldBytes
+    * oracle (TextQueries) shares the same assumption.
+    */
   val oracles: Map[String, String] = Map(
     "q50_multimodal_decode" ->
       """WITH b AS (

@@ -71,7 +71,13 @@ object DocumentStreams {
     * incrementalNew (q56/q63): the document stream is anti-joined against
     * a STATIC known-content manifest (yesterday's corpus), then
     * within-stream duplicates collapse via the watermark-bounded
-    * dropDuplicates. Emits each genuinely-new content hash exactly once.
+    * dropDuplicates. Emits each genuinely-new content hash exactly once
+    * WITHIN THE WATERMARK HORIZON: dedup state is bounded by a 1-hour
+    * watermark over ingest (processing) time, so a duplicate arriving
+    * more than an hour after its first emission is emitted again. A
+    * long-running deployment keeps the guarantee by refreshing the static
+    * manifest (e.g. daily) so re-arrivals older than the horizon are
+    * caught by the anti-join instead of the in-stream state.
     *
     * Scale shape: a stream-static join is STATELESS on the static side —
     * the manifest relation is re-planned each micro-batch (broadcast when

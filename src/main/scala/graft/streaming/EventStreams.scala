@@ -277,8 +277,16 @@ object EventStreams {
         case Some(o) =>
           state.update(o)
           // event-time timeouts are millisecond-epoch; fire one gap after
-          // the last event (+1ms so an exactly-on-gap event still extends)
-          state.setTimeoutTimestamp(o.lastUs / 1000L + gapUs / 1000L + 1L)
+          // the last event (+1ms so an exactly-on-gap event still extends).
+          // Clamped to watermark+1: flatMapGroupsWithState does NOT drop
+          // late rows, and setTimeoutTimestamp throws when handed a
+          // timestamp at-or-before the current watermark — without the
+          // clamp a single event arriving more than one gap late would
+          // fail the whole live query.
+          val wmMs = try state.getCurrentWatermarkMs()
+            catch { case _: UnsupportedOperationException => Long.MinValue }
+          state.setTimeoutTimestamp(
+            math.max(wmMs + 1L, o.lastUs / 1000L + gapUs / 1000L + 1L))
         case None =>
           // only reachable on an empty data batch (no sentinels exist in
           // the live path); any closed-session marker stays as it was

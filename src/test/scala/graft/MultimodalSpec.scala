@@ -103,4 +103,17 @@ class MultimodalSpec extends AnyFunSuite {
       .select("frame_idx", "frame_len").as[(Int, Int)].collect().toSeq.sorted
     assert(out == Seq((0, 2), (2, 2), (4, 2))) // frames 0,2,4 sampled
   }
+
+  test("documents fixture is ASCII-only (q50/q70/q71/q73 oracle assumption)") {
+    // The DuckDB oracles rebuild byte arithmetic from length(text)/ascii(c)
+    // — character-based — while the engine works on UTF-8 bytes. They agree
+    // iff every fixture character is ASCII. Pin that here so a future
+    // non-ASCII corpus fails loudly at the assumption, not as a hash
+    // mismatch three layers away (see MultimodalQueries.oracles doc).
+    val nonAscii = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0L)
+  }
 }
