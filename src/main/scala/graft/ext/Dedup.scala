@@ -395,14 +395,17 @@ object Dedup {
     * Edges stay oriented (larger → smaller) throughout; convergence is one
     * (count, decimal-sum-of-edge-hashes) aggregate per round compared to
     * the previous round's — no driver-side edge diff. Every round ends in
-    * an EAGER `localCheckpoint`: each iteration stacks two join+agg+distinct
+    * an EAGER checkpoint: each iteration stacks two join+agg+distinct
     * layers on the plan, so without per-round lineage truncation Catalyst
     * re-analyzes a tree that grows ~4× per round and the DRIVER (not the
     * cluster) becomes the bottleneck — checkpointing is what keeps round
-    * cost flat in the round number. (`localCheckpoint` trades executor-loss
-    * recovery for speed; a production cluster run would point
-    * `sparkContext.setCheckpointDir` at durable storage and use
-    * `checkpoint` — same plan shape.)
+    * cost flat in the round number. WHICH checkpoint follows the session:
+    * when `sparkContext.setCheckpointDir` points at durable storage the
+    * loop uses reliable `checkpoint()` (an executor lost mid-run recovers
+    * from the checkpoint files — the cluster-production mode); otherwise it
+    * falls back to `localCheckpoint()` (blocks on executor local storage,
+    * faster, lost blocks are NOT recomputable — the local-mode default).
+    * Same plan shape either way.
     *
     * Returns (id, comp) for EVERY node in `nodes`; comp is the cluster's
     * minimum id, so `id === comp` selects one canonical representative per
@@ -434,16 +437,20 @@ object Dedup {
     // no helper thread to park, nothing leaked when metrics don't surface.
     // If they don't, fall back to a standalone aggregate for this round and
     // skip the Observation path for the rest of the process (detect-once).
+    // reliable checkpoint when the session has a durable checkpoint dir,
+    // localCheckpoint otherwise (both eager — see the scaladoc)
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     def checkpointWithCert(df: DataFrame): (DataFrame, String) = {
       def aggCert(out: DataFrame): String =
         out.agg(certExprs.head, certExprs.tail: _*).head().mkString("|")
       if (Dedup.observeMetricsBroken) {
-        val out = df.localCheckpoint()
+        val out = ckpt(df)
         (out, aggCert(out))
       } else {
         val obs = org.apache.spark.sql.Observation()
-        val out = df.observe(obs, certExprs.head, certExprs.tail: _*)
-          .localCheckpoint()
+        val out = ckpt(df.observe(obs, certExprs.head, certExprs.tail: _*))
         // bounded wait on THIS thread (Observation.future is the only
         // public non-blocking-forever accessor); on timeout nothing is
         // parked or abandoned — we just stop asking

@@ -169,7 +169,7 @@ object EventStreams {
   }
 
   /** Remove a staging directory tree (children before parents). */
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.exists(root))
       Files.walk(root).sorted(java.util.Comparator.reverseOrder())

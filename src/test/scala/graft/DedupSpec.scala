@@ -301,6 +301,28 @@ class DedupSpec extends AnyFunSuite {
     assert(full == (0L until n.toLong).map(_ -> 0L).toMap)
   }
 
+  test("connectedComponents uses durable checkpoints when a checkpoint dir is set") {
+    // with setCheckpointDir the loop switches from localCheckpoint to
+    // reliable checkpoint() — same result, and the dir actually receives
+    // checkpoint data (executor loss mid-CC then recovers from storage)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt-")
+    val sc = spark.sparkContext
+    try {
+      sc.setCheckpointDir(dir.toString)
+      val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L).toDF("id")
+      val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+      val comps = Dedup.connectedComponents(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+      val written = java.nio.file.Files.walk(dir)
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(written > 0, "no checkpoint files written to the durable dir")
+    } finally {
+      sc.setCheckpointDir(null) // restore the local-mode default for other tests
+      graft.streaming.EventStreams.deleteRecursively(dir)
+    }
+  }
+
   test("dedupClusters keeps exactly one representative per near-dup cluster") {
     val docs = Seq(
       (10L, base, "web"), (11L, base, "web"), (12L, near, "web"),
