@@ -195,6 +195,70 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Exact-substring dedup, the published standard beyond [[chunkDedup]]'s
+    * fixed non-overlapping chunks (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" — which removes every repeated substring
+    * of ≥ 50 tokens via a corpus suffix array): any repeated token run of
+    * at least `minTokens` is removed from every occurrence except the first
+    * corpus-wide one, at ARBITRARY offsets — the header pasted mid-document
+    * that chunk alignment misses. The suffix array is replaced by a
+    * shuffle-friendly sliding-window formulation with identical coverage
+    * for runs ≥ minTokens:
+    *
+    *  1. every `minTokens`-token window gets an 8-byte rolling hash
+    *     ([[graft.functions.TextExpressions.windowHashesBytes]] — O(doc)
+    *     per document, computed in the scan stage, window strings never
+    *     materialize);
+    *  2. per distinct window hash, the first (doc, offset) occurrence owns
+    *     it (groupBy-min + join back, the [[chunkDedup]] ownership
+    *     machinery — skew-safe under mega-duplicated boilerplate);
+    *  3. a token is removed iff some NON-owned window covers it: a
+    *     repeated m ≥ minTokens run has all m−minTokens+1 of its windows
+    *     non-owned at later occurrences, so the union of their spans is
+    *     the whole run — while a unique token keeps at least one owned
+    *     window over every span containing it only if no window covering
+    *     it is duplicated, which is the definition of not being inside a
+    *     ≥ minTokens repeat.
+    *
+    * Returns one row per input document: (doc_id, n_tokens, n_removed,
+    * clean_text), clean_text the surviving tokens in original order.
+    * Documents shorter than `minTokens` tokens carry no windows and are
+    * kept whole.
+    *
+    * Shuffle discipline: the ownership exchange carries (8-byte hash, doc,
+    * int offset) — never text; duplicate-window starts come back to their
+    * document as one sorted int array (bounded by the document's own
+    * length); the rebuild is a per-row expression over that array, no
+    * second explode.
+    */
+  def substringDedup(df: DataFrame, textCol: String, idCol: String,
+                     minTokens: Int = 20): DataFrame = {
+    val wins = df.where(col(textCol).isNotNull).select(col(idCol).as("doc"),
+      posexplode(graft.functions.TextExpressions.tokenWindowHashes(
+        col(textCol), minTokens)).as(Seq("i", "h")))
+    val owners = wins.groupBy("h")
+      .agg(min(struct(col("doc"), col("i"))).as("owner"))
+    val dupStarts = wins.join(owners, Seq("h"))
+      .where(col("doc") =!= col("owner").getField("doc") ||
+        col("i") =!= col("owner").getField("i"))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    val toks = split(col(textCol), " ")
+    def covered(j: Column) = exists(col("starts"),
+      s => s <= j && j < s + lit(minTokens))
+    val kept = filter(toks, (_, j) => !covered(j))
+    df.select(col(idCol).as("doc"), col(textCol))
+      .join(dupStarts, Seq("doc"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .select(col("doc").as("doc_id"),
+        when(col(textCol).isNotNull, size(toks)).otherwise(0).as("n_tokens"),
+        when(col(textCol).isNotNull, size(toks) - size(kept))
+          .otherwise(0).as("n_removed"),
+        when(col(textCol).isNotNull, array_join(kept, " "))
+          .otherwise("").as("clean_text"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Deterministic affine hash family over xxhash64 token hashes:

@@ -28,7 +28,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_char_fold"),
       new ExpressionInfo(classOf[CharFold].getName, "graft_char_fold"),
       (es: Seq[Expression]) => CharFold(es.head,
-        GraftSqlBridge.longLiteral(es(1)), GraftSqlBridge.longLiteral(es(2)))))
+        GraftSqlBridge.longLiteral(es(1)), GraftSqlBridge.longLiteral(es(2)))),
+    (FunctionIdentifier("graft_token_window_hash"),
+      new ExpressionInfo(classOf[TokenWindowHash].getName, "graft_token_window_hash"),
+      (es: Seq[Expression]) => TokenWindowHash(es.head,
+        GraftSqlBridge.longLiteral(es(1)).toInt)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

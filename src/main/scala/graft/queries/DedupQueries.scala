@@ -80,6 +80,15 @@ object DedupQueries {
       // corpus-wide occurrence wins, documents rebuilt from survivors
       Dedup.chunkDedup(t(s, d, "documents"), "text", "doc_id",
         chunkTokens = 20)
+        .orderBy("doc_id")),
+
+    "q80_dedup_substring" -> ((s, d) =>
+      // exact-substring dedup: repeated >=20-token runs at ARBITRARY
+      // offsets removed from all but their first corpus occurrence —
+      // the suffix-array standard re-expressed as sliding rolling-hash
+      // windows + chunkDedup's ownership machinery
+      Dedup.substringDedup(t(s, d, "documents"), "text", "doc_id",
+        minTokens = 20)
         .orderBy("doc_id"))
   )
 
@@ -270,6 +279,43 @@ object DedupQueries {
                      END AS INTEGER) AS n_chunks,
                 coalesce(r.n_kept, 0) AS n_kept,
                 coalesce(r.clean_text, '') AS clean_text
+         FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+         ORDER BY d.doc_id""",
+
+    // ownership on the window TEXT where the engine uses a double-modulus
+    // rolling hash (collision odds ~2^-61 per pair); a token survives iff
+    // no non-first window covers it
+    "q80_dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         w AS (SELECT doc_id, u AS i,
+                      array_to_string(toks[(u+1):(u+20)], ' ') AS win
+               FROM (SELECT doc_id, toks,
+                            unnest(range(0, greatest(len(toks) - 19, 0))) AS u
+                     FROM t)),
+         k AS (SELECT doc_id, i,
+                      row_number() OVER (PARTITION BY win
+                                         ORDER BY doc_id, i) AS rn
+               FROM w),
+         s AS (SELECT doc_id, list_sort(list(i)) AS starts
+               FROM k WHERE rn > 1 GROUP BY doc_id),
+         r AS (SELECT t.doc_id, t.toks,
+                      list_filter(range(0, len(t.toks)),
+                        j -> len(list_filter(
+                               coalesce(s.starts, CAST([] AS BIGINT[])),
+                               st -> st <= j AND j < st + 20)) = 0) AS keep
+               FROM t LEFT JOIN s ON t.doc_id = s.doc_id)
+         SELECT d.doc_id,
+                CAST(CASE WHEN d.text IS NULL THEN 0
+                          ELSE len(r.toks) END AS INTEGER) AS n_tokens,
+                CAST(CASE WHEN d.text IS NULL THEN 0
+                          ELSE len(r.toks) - len(r.keep) END AS INTEGER) AS n_removed,
+                CASE WHEN d.text IS NULL THEN ''
+                     -- coalesce: DuckDB's array_to_string of an EMPTY list
+                     -- is NULL, the engine's array_join is ''
+                     ELSE coalesce(array_to_string(list_transform(r.keep,
+                            j -> r.toks[CAST(j + 1 AS INTEGER)]), ' '), '')
+                END AS clean_text
          FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
          ORDER BY d.doc_id"""
   )

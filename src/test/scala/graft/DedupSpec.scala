@@ -198,6 +198,77 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("substringDedup removes later occurrences of long runs at arbitrary offsets") {
+    val boiler = (1 to 25).map(i => s"b$i").mkString(" ") // 25-token run
+    val docs = Seq(
+      (1L, s"$boiler unique one two three"),
+      // same run pasted MID-document at an unaligned offset
+      (2L, s"lead tokens here $boiler tail"),
+      (3L, "totally unrelated short text"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "text", "doc_id", minTokens = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // doc 1 owns every window of the run — untouched
+    assert(out(1L) == ((29, 0, s"$boiler unique one two three")))
+    // doc 2 loses exactly the 25 pasted tokens, keeps lead + tail
+    assert(out(2L) == ((29, 25, "lead tokens here tail")))
+    assert(out(3L) == ((4, 0, "totally unrelated short text")))
+    assert(out(4L) == ((0, 0, "")))
+  }
+
+  test("substringDedup removes intra-document repetition too") {
+    val run = (1 to 20).map(i => s"r$i").mkString(" ")
+    val docs = Seq((7L, s"$run middle $run")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "text", "doc_id", minTokens = 20)
+      .as[(Long, Int, Int, String)].collect().head
+    assert(out == ((7L, 41, 20, s"$run middle")))
+  }
+
+  /** Sequential reference: iterate documents by id, windows left to right;
+    * a window seen before (anywhere earlier) covers its span.
+    */
+  private def bruteSubstringDedup(docs: Seq[(Long, String)], l: Int)
+      : Map[Long, (Int, Int, String)] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    docs.sortBy(_._1).map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val covered = Array.fill(toks.length)(false)
+      for (i <- 0 to toks.length - l) {
+        val win = toks.slice(i, i + l).mkString(" ")
+        if (seen.contains(win)) (i until i + l).foreach(covered(_) = true)
+        else seen += win
+      }
+      val kept = toks.indices.filterNot(covered).map(toks)
+      id -> ((toks.length, covered.count(identity), kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("substringDedup ≡ sequential first-occurrence reference on randomized docs") {
+    val rnd = new scala.util.Random(4242)
+    // small alphabet + copied spans force plenty of cross-doc repeats
+    val pool = Vector.tabulate(30)(i => s"w$i")
+    val base = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val docs = (1L to 40L).map { id =>
+      val fresh = Seq.fill(5 + rnd.nextInt(30))(pool(rnd.nextInt(pool.size)))
+      val spans = if (base.nonEmpty && rnd.nextBoolean()) {
+        val src = base(rnd.nextInt(base.size))
+        val at = rnd.nextInt(math.max(1, src.size - 8))
+        Seq(src.slice(at, at + 8 + rnd.nextInt(12)))
+      } else Seq.empty
+      val toks = rnd.shuffle(spans :+ fresh).flatten
+      base += toks
+      id -> toks.mkString(" ")
+    }
+    val want = bruteSubstringDedup(docs, 8)
+    val got = Dedup.substringDedup(docs.toDF("doc_id", "text"),
+        "text", "doc_id", minTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got == want)
+  }
+
   test("simhash with the portable hasher keeps the planted-dup contract") {
     val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
       maxHamming = 7, chunks = 8,

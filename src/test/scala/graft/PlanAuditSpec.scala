@@ -64,6 +64,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("q80 substring dedup: hashes in the scan stage, ownership via groupBy+join") {
+    val plan = planOf("q80_dedup_substring")
+    // the rolling-hash expression runs pre-explode — window STRINGS never
+    // exist in the plan, the explode emits (pos, long) only
+    assert(plan.contains("graft_token_window_hash"), plan.take(3000))
+    // ownership must be the skew-safe groupBy-min + join-back, not a window
+    // over partitionBy(hash) (a mega-duplicated window = one task)
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("partial_min"), plan.take(3000)) // map-side combine
+  }
+
   test("q67 range join: bucketed equi-join, never a nested-loop product") {
     val plan = planOf("q67_range_join")
     assert(plan.contains("_bucket"), plan.take(3000))
