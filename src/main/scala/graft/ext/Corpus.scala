@@ -238,6 +238,77 @@ object Corpus {
     cum.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** KenLM-shaped n-gram LM quality score: per-document surprisal under a
+    * bigram model with add-one smoothing, trained on the corpus itself
+    * (the CCNet recipe scores against a reference-corpus LM — pass that
+    * corpus as `train` — and keeps the low-perplexity tail). Per bigram
+    * (p, w) the smoothed probability is (c(p,w) + 1) / (c(p) + V); the
+    * reported surprisal is its INTEGER log₂ floor:
+    *
+    *   bits(p, w) = floor(log₂((c(p) + V) div (c(p,w) + 1)))
+    *
+    * computed as `length(bin(ratio)) − 1` — pure integer arithmetic, no
+    * float log anywhere, so the score replays bit-identically in any
+    * engine (float ln/log2 differ across libm implementations in the last
+    * ulp, which an exact-equality oracle cannot tolerate). Resolution is
+    * whole bits at the per-bigram level; per document the mean over
+    * hundreds of bigrams recovers fractional precision — bits_x100 is the
+    * per-bigram mean in centibits, again by integer division.
+    *
+    * Output: (doc_id, n_bigrams, total_bits, bits_x100) per input
+    * document; documents with fewer than two tokens (or NULL text) have no
+    * bigrams and come back 0/0/0. High bits_x100 = surprising = low
+    * quality under the model.
+    *
+    * Scale shape: the model is the (bigram count, prefix count) pair of
+    * aggregate relations — partial-agged map-side; scoring joins the
+    * exploded bigram stream to them by key (the prefix join's hot keys —
+    * "the", "of" — are AQE-skew-splittable; no window anywhere). The
+    * vocabulary size rides as a one-row broadcast. When scoring against a
+    * FIXED reference LM at 100 TB, persist the two count relations and
+    * broadcast them if the vocabulary is bounded.
+    */
+  def lmPerplexity(train: DataFrame, score: DataFrame, textCol: String,
+                   idCol: String): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame = {
+      val toks = split(col(textCol), " ")
+      // sequence(1, n-1) would generate DESCENDING [1, 0] for one-token
+      // docs — guard to an empty index list instead
+      val idxs = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+        .otherwise(array().cast("array<int>"))
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol).as("doc"),
+          explode(transform(idxs, i => struct(
+            element_at(toks, i).as("p"),
+            element_at(toks, i + 1).as("w")))).as("g"))
+        .select(col("doc"), col("g.p").as("p"), col("g.w").as("w"))
+    }
+    val trainGrams = bigrams(train)
+    val cb = trainGrams.groupBy("p", "w").agg(count(lit(1)).as("cb"))
+    val cu = trainGrams.groupBy("p").agg(count(lit(1)).as("cu"))
+    val v = train.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    // unseen bigrams/prefixes score against zero counts (left joins):
+    // bits = floor(log2((c(p) + V) div (c(p,w) + 1))) in pure integers
+    val scored = bigrams(score)
+      .join(cb, Seq("p", "w"), "left")
+      .join(cu, Seq("p"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc"),
+        (length(bin(expr("(coalesce(cu, 0) + v) div (coalesce(cb, 0) + 1)")))
+          - 1).cast("long").as("bits"))
+    val perDoc = scored.groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+    score.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        coalesce(expr("total_bits * 100 div n_bigrams"), lit(0L))
+          .as("bits_x100"))
+  }
+
   /** Sentence-level decontamination: per eval document, how many of its
     * distinct sentences (split on `[.!?]+` runs, trimmed, at least
     * `minChars` chars — the floor drops "Yes"-style stop sentences) appear

@@ -114,6 +114,15 @@ object CorpusQueries {
         .orderBy("keeper_id")
     }),
 
+    "q81_lm_perplexity" -> ((s, d) => {
+      // CCNet-shaped quality signal: per-doc surprisal under a bigram LM
+      // trained on the corpus itself, in pure INTEGER log2 arithmetic so
+      // the score replays exactly in any engine
+      val docs = t(s, d, "documents")
+      Corpus.lmPerplexity(docs, docs, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q63_dedup_bloom_incremental" -> ((s, d) => {
       // q56's ingest shape with the Bloom prefilter: identical output
       // contract (the sketch has no false negatives), but the anti-join
@@ -171,6 +180,33 @@ object CorpusQueries {
           GROUP BY eval_id, train_id
           HAVING count(*) >= 1
           ORDER BY eval_id, train_id""",
+
+    // integer-only bigram LM replay: counts, integer division, and log2
+    // floor via binary-string length — no float log on either engine
+    "q81_lm_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, len(toks))) AS i
+                     FROM t)),
+         cb AS (SELECT p, w, count(*) AS cb FROM g GROUP BY p, w),
+         cu AS (SELECT p, count(*) AS cu FROM g GROUP BY p),
+         v AS (SELECT count(DISTINCT tok) AS v
+               FROM (SELECT unnest(toks) AS tok FROM t)),
+         s AS (SELECT g.doc_id,
+                      length(bin((cu.cu + v.v) // (cb.cb + 1))) - 1 AS bits
+               FROM g JOIN cb USING (p, w) JOIN cu USING (p) CROSS JOIN v),
+         r AS (SELECT doc_id, count(*) AS n_bigrams,
+                      sum(bits) AS total_bits
+               FROM s GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(r.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(coalesce(r.total_bits, 0) AS BIGINT) AS total_bits,
+                CAST(coalesce(r.total_bits * 100 // r.n_bigrams, 0)
+                     AS BIGINT) AS bits_x100
+         FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+         ORDER BY d.doc_id""",
 
     // q54's machinery, inverted: train docs NOT in the leak-pair set
     "q79_decontaminate_filter" ->

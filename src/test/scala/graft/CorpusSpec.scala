@@ -162,6 +162,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(guarded == out)
   }
 
+  test("lmPerplexity: integer log2 surprisal, hand-checked bigram model") {
+    // corpus: "a b a b" + "a b c" → cb: (a,b)=3 (b,a)=1 (b,c)=1; cu: a=3
+    // b=2; V=3. bits = floor(log2((cu+V) div (cb+1))):
+    //   (a,b): 6 div 4 = 1 → 0;  (b,a): 5 div 2 = 2 → 1;  (b,c): 2 → 1
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"),
+      (3L, null.asInstanceOf[String]), (4L, "single"))
+      .toDF("doc_id", "text")
+    val out = Corpus.lmPerplexity(docs, docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 3L, 1L, 33L),  // 0+1+0 bits over 3 bigrams → 100 div 3
+      (2L, 2L, 1L, 50L),
+      (3L, 0L, 0L, 0L),   // NULL text: no bigrams
+      (4L, 0L, 0L, 0L)))  // one token: no bigrams
+  }
+
+  test("lmPerplexity scores unseen bigrams against zero counts") {
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val score = Seq((9L, "z z")).toDF("doc_id", "text")
+    // (z,z): cu=0, cb=0 → (0+3) div 1 = 3 → 1 bit
+    val out = Corpus.lmPerplexity(train, score, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((9L, 1L, 1L, 100L)))
+  }
+
   test("decontaminateSentences counts verbatim sentence leaks per eval doc") {
     val leaked = "the quick brown fox jumps over the lazy dog"
     val train = Seq(
