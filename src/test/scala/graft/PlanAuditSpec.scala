@@ -75,6 +75,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_min"), plan.take(3000)) // map-side combine
   }
 
+  test("q82 indexed ANN: probe list dynamically prunes the index partitions") {
+    // the inverted lists are partitioned by centroid; the query batch's
+    // probe set must reach the scan as a dynamic partition filter, so a
+    // batch probing p of k centroids reads p/k of the index bytes
+    val plan = planOf("q82_ann_indexed")
+    assert(plan.contains("dynamicpruningexpression"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000)) // probes broadcast
+  }
+
   test("q67 range join: bucketed equi-join, never a nested-loop product") {
     val plan = planOf("q67_range_join")
     assert(plan.contains("_bucket"), plan.take(3000))

@@ -102,6 +102,56 @@ class SimilaritySpec extends AnyFunSuite {
       s"quantized-IVF recall $overlap/${exact.size}")
   }
 
+  test("IVF index round-trips: train → save → load → identical top-k") {
+    val spark = TestSpark.spark
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.trainCentroids(emb, 16, 64)
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-ivf-rt-").toString
+    Similarity.saveIvfIndex(emb, dir, nCentroids = 16, dim = 64,
+      centroidsIn = cents)
+    val qset = emb.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val direct = rows(Similarity.topKIvf(qset, emb, k = 5, dim = 64,
+      centroidsIn = cents))
+    val served = rows(Similarity.topKIvfIndexed(spark, qset, dir, k = 5))
+    assert(served == direct, "index-served top-k must equal the direct IVF")
+    // loaded centroids survive the round trip bit-exactly
+    val loaded = spark.read.parquet(s"$dir/centroids").orderBy("centroid")
+      .select("vec").as[Seq[Double]].collect().map(_.toArray)
+    assert(loaded.length == 16 &&
+      loaded.zip(cents).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("quantized IVF index stores int8 codes and serves the quantized geometry") {
+    val spark = TestSpark.spark
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = emb.select(col("vec_id"),
+      Similarity.dequantize(
+        Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+    val cents = Similarity.sampleCentroids(deq, 16)
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-ivf-q-").toString
+    Similarity.saveIvfIndex(emb, dir, nCentroids = 16, dim = 64,
+      quantScale = 200.0, centroidsIn = cents)
+    // the lists really hold int8 codes — the 4x storage lever is real
+    val codeType = spark.read.parquet(s"$dir/lists").schema("code").dataType
+    assert(codeType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+      codeType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+        org.apache.spark.sql.types.ByteType, codeType)
+    // serving equals direct IVF over the dequantized vectors
+    val qset = deq.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val direct = rows(Similarity.topKIvf(qset, deq, k = 5, dim = 64,
+      centroidsIn = cents))
+    val served = rows(Similarity.topKIvfIndexed(spark, qset, dir, k = 5))
+    assert(served == direct)
+  }
+
   test("knnClassify votes the majority neighbor label with a stable tiebreak") {
     // query 0 points at +x; labels among its 4 neighbors: 7 twice (ids 1,2),
     // 9 twice (ids 3,4) — a 2-2 tie must break toward the SMALLER label 7.
