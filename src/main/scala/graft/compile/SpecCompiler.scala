@@ -164,8 +164,23 @@ object SpecCompiler {
       require(allowedAggs.contains(sp.agg), s"agg '${sp.agg}' not in allowlist $allowedAggs")
       val filled = scan.na.fill(0, Seq(sp.aggOn).filter(scan.columns.contains))
       val key = if (corr.isDefined) corrKey else sp.groupby
+      // RUNTIME PRUNING of the decorrelated scan: the reference's loop
+      // pushed `col = ${id}` into the source per query
+      // (generic_script.scala:275), so only matching rows ever left it; the
+      // decorrelated scan reads every key and would drop non-fetched ones
+      // only AFTER aggregating them. This semi-join restores the pruning
+      // BEFORE the aggregation's exchange — semantics-free (the post-agg
+      // left join from `ids` discards those keys anyway), and when the ID
+      // relation is selective it is the difference between shuffling the
+      // matching slice and shuffling the whole fact table. Spark plans the
+      // tiny ID side as a broadcast, so the filter executes scan-side; with
+      // `spark.sql.optimizer.runtime.bloomFilter.enabled` (default on) the
+      // same shape feeds Catalyst's own runtime-filter injection.
+      val pruned = if (key != "none" && filled.columns.contains(key))
+        filled.join(ids.withColumnRenamed(idCol, key), Seq(key), "left_semi")
+      else filled
       val groupCols = (Seq(sp.groupby) ++ Seq(key)).distinct.filter(_ != "none")
-      val agged = filled.groupBy(groupCols.map(col): _*)
+      val agged = pruned.groupBy(groupCols.map(col): _*)
         .agg(expr(s"${sp.agg}(${sp.aggOn})").alias(sp.rename))
       // zero-fill: every fetched ID yields a row even with no matching facts
       // (≡ the reference's 1-row fallback relation, generic_script.scala:305-310)

@@ -91,6 +91,38 @@ class PlanAuditSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("decorrelated agg task scans are runtime-pruned by the ID relation") {
+    // the reference's loop pushed `col = ${id}` into the source per query
+    // (generic_script.scala:275); the decorrelated plan must recover that
+    // pruning with a semi-join BELOW the aggregation, so a selective ID
+    // fetch filters the fact scan before the agg exchange, not after it
+    import spark.implicits._
+    (1 to 2).toDF("id").createOrReplaceTempView("pa_ids")
+    (1 to 1000).map(i => (i, i.toDouble)).toDF("driver_id", "amount")
+      .createOrReplaceTempView("pa_facts")
+    val spec = graft.spec.PipelineSpec.fromJson("""
+      {"input_data_schema": [
+         {"fetchId": {"query": "SELECT id FROM pa_ids",
+                      "database_name": "db", "id": "id"},
+          "tasks": [
+            {"single_process": {"input": "driver_id",
+               "query": "SELECT driver_id, amount FROM pa_facts WHERE driver_id = ${id}",
+               "database_name": "db", "agg": "sum", "agg_on": "amount",
+               "groupby": "none", "rename": "total",
+               "join_on": "driver_id", "join_type": "none"}}]}],
+       "data_mapping": {},
+       "output_data_schema": {}}""")
+    val df = graft.compile.SpecCompiler.compile(spark, spec)
+    val plan = df.queryExecution.executedPlan.toString
+    val partial = plan.indexOf("partial_sum")
+    val semi = plan.indexOf("LeftSemi")
+    assert(partial >= 0 && semi >= 0 && partial < semi,
+      s"semi-join must sit under the partial aggregate\n${plan.take(4000)}")
+    // and the result still zero-fills from the selective ID set only
+    assert(df.select("driver_id", "total").as[(Int, Double)].collect().toSet ==
+      Set((1, 1.0), (2, 2.0)))
+  }
+
   test("text operators stay inside whole-stage codegen") {
     // AQE finalizes stages lazily — run the query, then audit the final
     // adaptive plan for codegen'd stages
