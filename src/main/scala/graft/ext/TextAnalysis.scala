@@ -52,6 +52,13 @@ object TextAnalysis {
     words.map(w => size(tokens(text)) - size(array_remove(tokens(text), w)))
       .reduce(_ + _)
 
+  /** Total stopword occurrences among the tokens (public face of
+    * [[hitCount]], needed by threshold rules that gate on an absolute
+    * count rather than a ratio).
+    */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    hitCount(text, stopwords)
+
   /** Fraction of tokens that are stopwords. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
     hitCount(text, stopwords).cast("double") / size(tokens(text))
@@ -120,6 +127,32 @@ object TextAnalysis {
     val lenOk = when(meanTokenLen(text).between(3.0, 8.0), lit(1.0)).otherwise(lit(0.5))
     ttr * lit(0.5) + (lit(1.0) - stop) * lit(0.3) + lenOk * lit(0.2)
   }
+
+  /** The Gopher rules' 8-word English stop list (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * table A1): a kept document must contain at least two of these.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Symbol-to-word ratio, the Gopher boilerplate signal: occurrences of
+    * `#` or `...` per word. Codegen'd regexp counts over the raw text — no
+    * token array is materialized.
+    */
+  def symbolWordRatio(text: Column): Column =
+    (regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\.")))
+      .cast("double") / size(tokens(text))
+
+  /** Fraction of words containing at least one alphabetic character. The
+    * per-token lambda form (`filter(toks, …)`) is a CodegenFallback HOF;
+    * counting matches of a token-shaped pattern on the raw single-space
+    * text keeps the stage codegen'd and is RE2-safe for oracle replay:
+    * each match consumes its leading separator (or string start), so
+    * adjacent qualifying words cannot overlap.
+    */
+  def alphaWordFrac(text: Column): Column =
+    regexp_count(text, lit("(^| )[^ ]*[A-Za-z]")).cast("double") /
+      size(tokens(text))
 
   /** Per-language stopword marker sets for the n-gram/marker heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

@@ -137,6 +137,31 @@ object TextQueries {
         TextAnalysis.modelQualityScore(col("text"), fixtureWeights,
           bias = 0.0, portable = true).as("score"))
         .withColumn("keep", col("score") >= 0)
+        .orderBy("doc_id")),
+
+    "q83_gopher_rules" -> ((s, d) =>
+      // the published Gopher heuristic-rules filter (Rae et al. 2021,
+      // table A1), word-level subset: word-count bounds, mean-word-length
+      // bounds, symbol-to-word ratio, alphabetic-word fraction, minimum
+      // stopword count. Complements q73's learned gate and q61's
+      // repetition signals. Entirely codegen'd expressions over the scan —
+      // a shuffle-free map stage whose 100 TB cost is the scan itself.
+      // Metrics are emitted alongside the verdict so a pipeline can audit
+      // WHICH rule rejected a document.
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean_word_len"),
+        TextAnalysis.symbolWordRatio(col("text")).as("symbol_ratio"),
+        TextAnalysis.alphaWordFrac(col("text")).as("alpha_frac"),
+        TextAnalysis.stopwordCount(col("text"), TextAnalysis.gopherStopwords)
+          .as("n_stop"))
+        .withColumn("keep",
+          col("n_words").between(50, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("symbol_ratio") <= 0.1 &&
+            col("alpha_frac") >= 0.8 &&
+            col("n_stop") >= 2)
         .orderBy("doc_id"))
   )
 
@@ -314,6 +339,33 @@ object TextQueries {
                     (x, y) -> x + y) AS score
            FROM v CROSS JOIN w)
          SELECT doc_id, score, score >= 0 AS keep
-         FROM scored ORDER BY doc_id"""
+         FROM scored ORDER BY doc_id""",
+
+    // every metric is integer counts through one double division; the
+    // alpha-word pattern is shared verbatim with alphaWordFrac (RE2-safe)
+    "q83_gopher_rules" -> {
+      val stopList = TextAnalysis.gopherStopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                     FROM documents),
+          m AS (SELECT doc_id,
+                  len(toks) AS n_words,
+                  CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
+                    AS mean_word_len,
+                  CAST(len(regexp_extract_all(text, '#'))
+                       + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+                    / len(toks) AS symbol_ratio,
+                  CAST(len(regexp_extract_all(text, '(^| )[^ ]*[A-Za-z]'))
+                       AS DOUBLE) / len(toks) AS alpha_frac,
+                  len(list_filter(toks, x -> x IN ($stopList))) AS n_stop
+                FROM b)
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+                 n_stop,
+                 (n_words BETWEEN 50 AND 100000)
+                   AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                   AND symbol_ratio <= 0.1
+                   AND alpha_frac >= 0.8
+                   AND n_stop >= 2 AS keep
+          FROM m ORDER BY doc_id"""
+    }
   )
 }

@@ -126,7 +126,8 @@ class PlanAuditSpec extends AnyFunSuite {
   test("text operators stay inside whole-stage codegen") {
     // AQE finalizes stages lazily — run the query, then audit the final
     // adaptive plan for codegen'd stages
-    for (q <- Seq("q20_text_tokens", "q21_text_quality", "q22_text_langid")) {
+    for (q <- Seq("q20_text_tokens", "q21_text_quality", "q22_text_langid",
+                  "q83_gopher_rules")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString

@@ -185,4 +185,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got == ((red, e, ip, ph)), s"on '$in'")
     }
   }
+
+  test("gopher rule metrics: symbol ratio, alpha-word fraction, stop count") {
+    val df = Seq(
+      "see # section ... below",   // 1 '#' + 1 '...' over 5 words
+      "the cat sat with the dog",  // 3 gopher stopwords (the, with, the)
+      "123 456 abc",               // 1 of 3 words contains a letter
+      "a1 2b 33").toDF("t")
+    val got = df.select(
+      TextAnalysis.symbolWordRatio(col("t")),
+      TextAnalysis.alphaWordFrac(col("t")),
+      TextAnalysis.stopwordCount(col("t"), TextAnalysis.gopherStopwords))
+      .as[(Double, Double, Int)].collect().toSeq
+    assert(got(0) == ((2.0 / 5, 3.0 / 5, 0)))
+    assert(got(1) == ((0.0, 1.0, 3)))
+    assert(got(2) == ((0.0, 1.0 / 3, 0)))
+    assert(got(3) == ((0.0, 2.0 / 3, 0))) // letters mid-token still count
+  }
 }
