@@ -341,20 +341,29 @@ object Dedup {
     *     doc id, proportional to surviving candidates) for one exact
     *     Jaccard evaluation per unique pair.
     */
-  private def verifiedPairs(docs: DataFrame, threshold: Double,
-                            k: Int, bands: Int): DataFrame = {
+  /** (doc, ntok, keys): per-doc token count and the `bands` LSH band keys
+    * (xxhash64 of each signature slice). The signature lives in its own
+    * projection: `sig` is referenced by all `bands` slices, and keeping it
+    * separate stops CollapseProject from inlining (and so re-computing) the
+    * k-hash signature once per band. Shared by the self-join pair finder
+    * and the persisted-manifest incremental path, which must band
+    * IDENTICALLY for their buckets to be join-compatible.
+    */
+  private def keyedSignatures(docs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0,
       s"bands ($bands) must divide the signature length ($k) — a remainder " +
         "would silently drop the trailing hashes from every band key")
     val r = k / bands
-    // `sig` is referenced by all `bands` slices below: keeping it as its own
-    // projection stops CollapseProject from inlining (and so re-computing)
-    // the k-hash signature once per band.
     val sigs = docs.select(col("doc"), size(col("toks")).as("ntok"),
       minhashFromHashes(col("toks"), k).as("sig"))
-    val keyed = sigs.select(col("doc"), col("ntok"),
+    sigs.select(col("doc"), col("ntok"),
       array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * r + 1, r))): _*).as("keys"))
+  }
+
+  private def verifiedPairs(docs: DataFrame, threshold: Double,
+                            k: Int, bands: Int): DataFrame = {
+    val keyed = keyedSignatures(docs, k, bands)
     val banded = keyed.select(col("doc"), col("ntok"), col("keys"),
       posexplode(col("keys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
@@ -435,6 +444,114 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
     cross.union(within)
+  }
+
+  // ------------------------------------- persisted MinHash manifest (q84)
+
+  /** Build and persist the LSH near-dup manifest for a corpus: the
+    * signature/banding work that [[minhashPairs]] recomputes per run, paid
+    * ONCE and amortized over every later ingest batch (the dedup analogue
+    * of the persisted IVF index, Similarity.saveIvfIndex). Layout under
+    * `path`:
+    *  - `docs/`   (doc, toks, ntok, keys): one row per EXACT-CLASS
+    *    representative — identical token sets have identical Jaccard
+    *    against everything, so non-reps add candidates without adding
+    *    information; collapsing at build time shrinks the manifest by the
+    *    corpus's duplication factor.
+    *  - `bands/`  (band, band_key, doc, ntok, keys): the exploded LSH
+    *    buckets, ready to equi-join against a probe batch with no
+    *    signature recomputation.
+    *  - `meta/`   (k, bands, threshold is NOT pinned — it's a probe-time
+    *    choice): banding parameters, validated at probe time because a
+    *    probe banded with different parameters would silently miss every
+    *    bucket.
+    */
+  def saveMinhashManifest(df: DataFrame, textCol: String, idCol: String,
+                          path: String, k: Int = 32, bands: Int = 8): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = df.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
+    val members = exactClasses(docs)
+    val reps = docs.join(
+      members.where(col("doc") === col("rep")).select(col("doc")),
+      Seq("doc"), "left_semi")
+    val keyed = keyedSignatures(reps, k, bands)
+    reps.join(keyed, Seq("doc"))
+      .select(col("doc"), col("toks"), col("ntok"), col("keys"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+    keyed.select(col("doc"), col("ntok"), col("keys"), posexplode(col("keys")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .write.mode("overwrite").parquet(s"$path/bands")
+    Seq((k, bands)).toDF("k", "bands")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Incremental NEAR-dup detection of an ingest batch against a persisted
+    * [[saveMinhashManifest]] manifest: per new document, the maximum exact
+    * Jaccard against any manifest document among LSH candidates (null when
+    * none reaches `threshold`) and the keep/flag verdict — the near-dup
+    * generalization of [[incrementalNew]]'s exact-hash anti-join.
+    *
+    * Scale shape: the manifest is NOT recomputed — its banded buckets load
+    * straight into the candidate equi-join, so per-batch cost is
+    * signatures over the batch plus a join whose left side is batch-sized.
+    * The batch is exact-collapsed first (only class representatives enter
+    * the join; verdicts fan back out over ids). Candidate dedup is the
+    * same first-matching-band rule as [[minhashPairs]] — no distinct()
+    * exchange — and the verification join touches token sets only for
+    * surviving candidates. New-vs-new duplication is deliberately out of
+    * scope (that is the batch-level [[minhashPairs]]/[[minhashClusters]]
+    * pass); this operator answers "is it already in the corpus".
+    */
+  def incrementalNearDups(newDf: DataFrame, manifestPath: String,
+                          textCol: String, idCol: String,
+                          threshold: Double = 0.9): DataFrame = {
+    val spark = newDf.sparkSession
+    val meta = spark.read.parquet(s"$manifestPath/meta").head()
+    val (k, bands) = (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+    val manBands = spark.read.parquet(s"$manifestPath/bands")
+    val manDocs = spark.read.parquet(s"$manifestPath/docs")
+
+    val docs = newDf.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
+    val members = exactClasses(docs) // null-text docs excluded: never match
+    val repDocs = docs.join(
+      members.where(col("doc") === col("rep")).select(col("doc")),
+      Seq("doc"), "left_semi")
+    val newBands = keyedSignatures(repDocs, k, bands)
+      .select(col("doc"), col("ntok"), col("keys"), posexplode(col("keys")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .select(col("band"), col("band_key"), col("doc").as("doc_n"),
+        col("ntok").as("n_n"), col("keys").as("keys_n"))
+    val right = manBands.select(col("band"), col("band_key"),
+      col("doc").as("doc_m"), col("ntok").as("n_m"), col("keys").as("keys_m"))
+    // first-matching-band, unrolled (see verifiedPairs for why not a HOF)
+    val earlierBandMatched = (0 until bands - 1).map(b =>
+      (col("band") > b) &&
+        (element_at(col("keys_n"), b + 1) === element_at(col("keys_m"), b + 1)))
+      .reduce(_ || _)
+    val candidates = newBands.join(right, Seq("band", "band_key"))
+      .where(least(col("n_n"), col("n_m")).cast("double") >=
+        lit(threshold) * greatest(col("n_n"), col("n_m")) &&
+        !earlierBandMatched)
+      .select(col("doc_n"), col("doc_m"))
+    val verdicts = candidates
+      .join(repDocs.select(col("doc").as("doc_n"), col("toks").as("toks_n")),
+        Seq("doc_n"))
+      .join(manDocs.select(col("doc").as("doc_m"), col("toks").as("toks_m")),
+        Seq("doc_m"))
+      .select(col("doc_n"), graft.functions.SetExpressions
+        .sortedSetJaccard(col("toks_n"), col("toks_m")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .groupBy("doc_n").agg(max(col("jaccard")).as("near_jaccard"))
+    // rep verdicts fan out over exact-class members; docs outside `members`
+    // (null text) and unmatched reps flag false with a null jaccard
+    val flags = members.select(col("doc"), col("rep"))
+      .join(verdicts.withColumnRenamed("doc_n", "rep"), Seq("rep"))
+      .select(col("doc"), col("near_jaccard"))
+    newDf.select(col(idCol).as("doc"))
+      .join(flags, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("near_jaccard"),
+        col("near_jaccard").isNotNull.as("is_near_dup"))
   }
 
   // ------------------------------------------------------------- clustering

@@ -38,6 +38,24 @@ object DedupQueries {
         threshold = 0.9, bands = 16)
         .orderBy("doc_a", "doc_b")),
 
+    "q84_dedup_incremental_minhash" -> ((s, d) => {
+      // incremental NEAR-dup ingest against a PERSISTED LSH manifest: the
+      // corpus side's signatures/bands are built once on disk (amortized
+      // over every later batch — the dedup analogue of q82's persisted
+      // IVF index), the new batch probes them. Same k=32/r=2/b=16 recall
+      // ≈ 1 as q31, so the verdict equals "∃ manifest doc with exact
+      // Jaccard ≥ 0.9" and the oracle is the exact cross check.
+      val docs = t(s, d, "documents")
+      val path = s"target/graft-minhash-manifest-${new java.io.File(d).getName}"
+      Dedup.saveMinhashManifest(
+        docs.where(pmod(col("doc_id"), lit(10)) < 5), "text", "doc_id",
+        path, k = 32, bands = 16)
+      Dedup.incrementalNearDups(
+        docs.where(pmod(col("doc_id"), lit(10)) >= 5), path,
+        "text", "doc_id", threshold = 0.9)
+        .orderBy("doc_id")
+    }),
+
     "q32_dedup_simhash" -> ((s, d) =>
       // portable 64-bit token hash so the oracle can replay the vote →
       // signature → Hamming pipeline exactly; banding recall is 1 by the
@@ -147,6 +165,28 @@ object DedupQueries {
     "q31_dedup_minhash_lsh" ->
       s"""SELECT doc_a, doc_b, jaccard FROM ($exactJaccardPairs)
           ORDER BY doc_a, doc_b""",
+
+    // exact dual of the manifest probe: per new doc the max exact Jaccard
+    // ≥ 0.9 against any manifest doc (cross pairing replayed in full; the
+    // engine's LSH candidates + first-matching-band dedup are invisible to
+    // the contract at this recall). Null-text docs pair with nothing.
+    "q84_dedup_incremental_minhash" ->
+      """WITH m AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           FROM documents WHERE doc_id % 10 < 5 AND text IS NOT NULL),
+         n AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           FROM documents WHERE doc_id % 10 >= 5),
+         p AS (
+           SELECT n.doc_id,
+                  CAST(len(list_intersect(n.toks, m.toks)) AS DOUBLE)
+                    / (len(n.toks) + len(m.toks)
+                       - len(list_intersect(n.toks, m.toks))) AS jac
+           FROM n LEFT JOIN m ON n.toks IS NOT NULL)
+         SELECT doc_id,
+                max(CASE WHEN jac >= 0.9 THEN jac END) AS near_jaccard,
+                coalesce(bool_or(jac >= 0.9), false) AS is_near_dup
+         FROM p GROUP BY doc_id ORDER BY doc_id""",
 
     // q32: replay the portable hash → per-bit votes → signature → exact
     // Hamming join. Bits 61-63 of the packed hash are always 0, so both

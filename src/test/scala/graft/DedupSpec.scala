@@ -426,4 +426,38 @@ class DedupSpec extends AnyFunSuite {
     val got = df.select(size(Dedup.wordNgrams(col("t"), 2))).as[Int].collect().toSeq
     assert(got == Seq(0, 1, 0))
   }
+
+  test("persisted minhash manifest round-trip: probe flags exact, near, novel, null") {
+    val path = "target/graft-test-minhash-manifest"
+    val manifest = Seq((1L, base), (2L, base), (3L, unrelated(0)))
+      .toDF("doc_id", "text")
+    Dedup.saveMinhashManifest(manifest, "text", "doc_id", path,
+      k = 32, bands = 16)
+    // manifest docs/ holds only exact-class representatives (1 of {1,2})
+    assert(spark.read.parquet(s"$path/docs").count() == 2)
+    val batch = Seq(
+      (10L, base),             // exact copy of manifest content
+      (11L, base),             // same class — same verdict as 10
+      (12L, near),             // near-dup: jaccard 15/17 ≈ 0.88
+      (13L, unrelated(1)),     // novel
+      (14L, null.asInstanceOf[String])) // null text never matches
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(batch, path, "text", "doc_id",
+      threshold = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2))))
+      .toMap
+    assert(out(10L) == ((Some(1.0), true)))
+    assert(out(11L) == ((Some(1.0), true)))
+    val expNear = jaccard(base, near)
+    assert(expNear < 0.9 && expNear >= 0.8) // the split the thresholds probe
+    assert(out(12L) == ((Some(expNear), true)))
+    assert(out(13L) == ((None, false)))
+    assert(out(14L) == ((None, false)))
+    // and at the stricter default threshold the near-dup no longer flags
+    val strict = Dedup.incrementalNearDups(batch, path, "text", "doc_id",
+      threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(strict(12L) == false && strict(10L) == true)
+  }
 }
