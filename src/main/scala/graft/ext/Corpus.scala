@@ -238,6 +238,74 @@ object Corpus {
     cum.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Token-budget corpus selection: keep the best documents by `score`
+    * until the running token total reaches `budgetPerMille`/1000 of the
+    * corpus's tokens — the data-selection step that turns a quality signal
+    * (q73's learned score, q81's perplexity, q83's rules) into a training
+    * set of a target size. Selection order is (score DESC, id ASC) with
+    * the PREFIX rule: a document is kept iff the cumulative token count
+    * up to and including it fits the budget.
+    *
+    * Scale shape — the naive formulation is a TOTAL sort of the corpus
+    * under one cumulative window (single reduce task at 100 TB). This one
+    * never sorts the corpus: like [[corpusStats]], it windows the SCORE
+    * HISTOGRAM (one row per distinct score value — bounded by the score's
+    * resolution, NOT the corpus size; quantize continuous scores first).
+    * Entire score classes are then admitted or rejected map-side against
+    * the histogram's running totals, and only the single class straddling
+    * the budget line needs per-document resolution — a window over that
+    * one tie class (its size is the documented scale caveat: an
+    * all-one-score corpus degenerates to the total sort, exactly when the
+    * score carries no information). NULL-text documents carry no tokens
+    * and are excluded, as in [[corpusStats]].
+    *
+    * `score` must be deterministic and exactly representable (integer
+    * counts, or integer-valued model scores like q73's) for the selection
+    * boundary to replay identically across engines.
+    */
+  def budgetSelect(df: DataFrame, textCol: String, idCol: String,
+                   score: Column, budgetPerMille: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetPerMille >= 0 && budgetPerMille <= 1000,
+      s"budgetPerMille out of [0,1000]: $budgetPerMille")
+    val docs = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), score.as("score"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val hist = docs.groupBy("score")
+      .agg(sum(col("n_tokens")).as("tok_sum"))
+    // budget enters the plan as a broadcast 1-row cross join (q24's n_docs
+    // pattern) — no driver-side collect, one job
+    // decimal arithmetic: at 100 TB total_tokens · 1000 overflows the
+    // double-precision integer range a plain `/` would route through
+    val budget = docs.agg(
+      (sum(col("n_tokens")).cast("decimal(38,0)") * budgetPerMille / 1000)
+        .cast("long").as("budget"))
+    // running totals over the HISTOGRAM: this window's input is one row
+    // per distinct score, never the corpus
+    val byScore = Window.orderBy(col("score").desc)
+    val edges = hist
+      .withColumn("cum_incl", sum(col("tok_sum")).over(byScore))
+      .withColumn("cum_before", col("cum_incl") - col("tok_sum"))
+      .crossJoin(broadcast(budget))
+    val interior = docs.join(
+      edges.where(col("cum_incl") <= col("budget")).select(col("score")),
+      Seq("score"), "left_semi")
+    // exactly one class can straddle the budget line (cum_before is
+    // monotone over classes); its members get the per-document prefix rule
+    val straddle = edges.where(
+      col("cum_before") <= col("budget") && col("cum_incl") > col("budget"))
+    val byId = Window.partitionBy(col("score")).orderBy(col("id"))
+    val boundary = docs
+      .join(straddle.select(col("score"), col("cum_before"), col("budget")),
+        Seq("score"))
+      .withColumn("cum_in", sum(col("n_tokens")).over(byId))
+      .where(col("cum_before") + col("cum_in") <= col("budget"))
+      .select(col("score"), col("id"), col("n_tokens"))
+    interior.select(col("score"), col("id"), col("n_tokens"))
+      .union(boundary)
+      .select(col("id").as(idCol), col("score"), col("n_tokens"))
+  }
+
   /** KenLM-shaped n-gram LM quality score: per-document surprisal under a
     * bigram model with add-one smoothing, trained on the corpus itself
     * (the CCNet recipe scores against a reference-corpus LM — pass that

@@ -123,6 +123,21 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q85_budget_select" -> ((s, d) => {
+      // data selection under a token budget: keep the best documents by a
+      // quality score until half the corpus's tokens are spent, prefix
+      // rule over (score DESC, doc_id ASC). Fixture score = distinct-token
+      // count (integer, heavily tied — exercising the straddling-class
+      // resolution); q73's learned score drops in unchanged. The corpus is
+      // never globally sorted — admission is decided against the score
+      // HISTOGRAM's running totals (see Corpus.budgetSelect).
+      val docs = t(s, d, "documents")
+      Corpus.budgetSelect(docs, "text", "doc_id",
+        size(array_distinct(split(col("text"), " "))).cast("long"),
+        budgetPerMille = 500)
+        .orderBy("doc_id")
+    }),
+
     "q63_dedup_bloom_incremental" -> ((s, d) => {
       // q56's ingest shape with the Bloom prefilter: identical output
       // contract (the sketch has no false negatives), but the anti-join
@@ -335,6 +350,24 @@ object CorpusQueries {
           SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
           FROM newd WHERE text NOT IN (SELECT text FROM ex)
           GROUP BY text ORDER BY keeper_id""",
+
+    // the naive total-sort formulation IS the oracle: cumulative tokens
+    // over (score DESC, doc_id), kept while within half the corpus's
+    // tokens — the engine's histogram-admission plan must agree exactly
+    "q85_budget_select" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                    AS score,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents WHERE text IS NOT NULL),
+         t AS (SELECT sum(n_tokens) * 500 // 1000 AS budget FROM s),
+         c AS (SELECT s.*,
+                      sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                        AS cum
+               FROM s)
+         SELECT doc_id, score, n_tokens FROM c, t
+         WHERE cum <= budget ORDER BY doc_id""",
 
     // exact dual of q56's oracle on the q63 split: the Bloom prefilter is
     // invisible to the output contract

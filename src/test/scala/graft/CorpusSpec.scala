@@ -242,4 +242,56 @@ class CorpusSpec extends AnyFunSuite {
       n = 5, maxDf = 6L)
     assert(uncapped.count() == 6)
   }
+
+  test("budgetSelect: prefix rule resolves the straddling score class by id") {
+    // scores: doc 1,2,3 score 3 (4 tokens each), doc 4,5 score 2 (4 each),
+    // doc 6 score 1. Total tokens 24; budget 500‰ → 12 tokens.
+    // Order (score desc, id): 1,2,3 fill 12 exactly; 4.. excluded.
+    val docs = Seq(
+      (1L, "a b c a"), (2L, "b c d d"), (3L, "c d e e"),
+      (4L, "f f g g"), (5L, "g g h h"), (6L, "i i i i"))
+      .toDF("doc_id", "text")
+    def run(perMille: Int) = Corpus.budgetSelect(docs, "text", "doc_id",
+        size(array_distinct(split(col("text"), " "))).cast("long"),
+        budgetPerMille = perMille)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toList
+    assert(run(500) == List((1L, 3L, 4L), (2L, 3L, 4L), (3L, 3L, 4L)))
+    // 375‰ → 9 tokens: the score-3 class itself straddles; prefix rule
+    // admits docs 1,2 (8 tokens), doc 3 would reach 12 > 9
+    assert(run(375) == List((1L, 3L, 4L), (2L, 3L, 4L)))
+    // 1000‰ → everything (incl. the score-1 doc); null text excluded
+    val withNull = docs.union(Seq((7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val all = Corpus.budgetSelect(withNull, "text", "doc_id",
+        size(array_distinct(split(col("text"), " "))).cast("long"),
+        budgetPerMille = 1000)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toList
+    assert(all.map(_._1) == List(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("budgetSelect ≡ brute-force sorted prefix on randomized corpora") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 80L).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i, Seq.fill(n)(("w" + rnd.nextInt(6))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val score = size(array_distinct(split(col("text"), " "))).cast("long")
+    for (perMille <- Seq(0, 250, 500, 900, 1000)) {
+      val got = Corpus.budgetSelect(df, "text", "doc_id", score, perMille)
+        .orderBy("doc_id").as[(Long, Long, Long)].collect().toList
+      // reference: total sort + running prefix in plain Scala
+      val scored = docs.map { case (id, t) =>
+        val toks = t.split(" ")
+        (id, toks.distinct.length.toLong, toks.length.toLong)
+      }
+      val budget = scored.map(_._3).sum * perMille / 1000
+      var cum = 0L
+      val want = scored.sortBy { case (id, s, _) => (-s, id) }
+        .takeWhile { case (_, _, n) => { cum += n; cum <= budget } }
+        .sortBy(_._1).toList
+      assert(got == want, s"perMille=$perMille")
+    }
+  }
 }

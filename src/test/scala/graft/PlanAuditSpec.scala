@@ -177,6 +177,25 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.take(4000))
   }
 
+  test("q85 budget select: the single-partition window consumes the histogram") {
+    // the running-total window over (score DESC) is the one unpartitioned
+    // (single-task) operator in the plan — its input must be the per-score
+    // aggregate, never the corpus; per-document resolution happens only in
+    // the score-partitioned boundary window
+    val plan = planOf("q85_budget_select")
+    // every SinglePartition exchange must feed from below an aggregate
+    // (the histogram or the 1-row budget), not straight from a corpus scan
+    val singleParts = "SinglePartition".r.findAllMatchIn(plan).map(_.start).toList
+    assert(singleParts.nonEmpty, plan.take(3000))
+    for (sp <- singleParts) {
+      val below = plan.substring(sp)
+      val agg = below.indexOf("HashAggregate")
+      val scan = below.indexOf("FileScan")
+      assert(agg >= 0 && (scan < 0 || agg < scan),
+        s"SinglePartition not fed by an aggregate\n${below.take(2000)}")
+    }
+  }
+
   test("q75 kNN vote: every join broadcasts; no shuffle of the corpus") {
     // the query side, the label relation and the true-label join are all
     // small relative to the corpus — none of them may force a corpus
