@@ -349,16 +349,20 @@ object Dedup {
     * and the persisted-manifest incremental path, which must band
     * IDENTICALLY for their buckets to be join-compatible.
     */
-  private def keyedSignatures(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+  private def keyedSignatures(docs: DataFrame, k: Int, bands: Int,
+                              keepToks: Boolean = false): DataFrame = {
     require(k % bands == 0,
       s"bands ($bands) must divide the signature length ($k) — a remainder " +
         "would silently drop the trailing hashes from every band key")
     val r = k / bands
-    val sigs = docs.select(col("doc"), size(col("toks")).as("ntok"),
-      minhashFromHashes(col("toks"), k).as("sig"))
-    sigs.select(col("doc"), col("ntok"),
+    // keepToks threads the token set through instead of re-joining `docs`
+    // later: a streaming caller may reference its source only once
+    val extra = if (keepToks) Seq(col("toks")) else Seq.empty
+    val sigs = docs.select(Seq(col("doc"), size(col("toks")).as("ntok"),
+      minhashFromHashes(col("toks"), k).as("sig")) ++ extra: _*)
+    sigs.select(Seq(col("doc"), col("ntok"),
       array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), b * r + 1, r))): _*).as("keys"))
+        xxhash64(slice(col("sig"), b * r + 1, r))): _*).as("keys")) ++ extra: _*)
   }
 
   private def verifiedPairs(docs: DataFrame, threshold: Double,
@@ -506,42 +510,12 @@ object Dedup {
   def incrementalNearDups(newDf: DataFrame, manifestPath: String,
                           textCol: String, idCol: String,
                           threshold: Double = 0.9): DataFrame = {
-    val spark = newDf.sparkSession
-    val meta = spark.read.parquet(s"$manifestPath/meta").head()
-    val (k, bands) = (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
-    val manBands = spark.read.parquet(s"$manifestPath/bands")
-    val manDocs = spark.read.parquet(s"$manifestPath/docs")
-
     val docs = newDf.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
     val members = exactClasses(docs) // null-text docs excluded: never match
     val repDocs = docs.join(
       members.where(col("doc") === col("rep")).select(col("doc")),
       Seq("doc"), "left_semi")
-    val newBands = keyedSignatures(repDocs, k, bands)
-      .select(col("doc"), col("ntok"), col("keys"), posexplode(col("keys")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-      .select(col("band"), col("band_key"), col("doc").as("doc_n"),
-        col("ntok").as("n_n"), col("keys").as("keys_n"))
-    val right = manBands.select(col("band"), col("band_key"),
-      col("doc").as("doc_m"), col("ntok").as("n_m"), col("keys").as("keys_m"))
-    // first-matching-band, unrolled (see verifiedPairs for why not a HOF)
-    val earlierBandMatched = (0 until bands - 1).map(b =>
-      (col("band") > b) &&
-        (element_at(col("keys_n"), b + 1) === element_at(col("keys_m"), b + 1)))
-      .reduce(_ || _)
-    val candidates = newBands.join(right, Seq("band", "band_key"))
-      .where(least(col("n_n"), col("n_m")).cast("double") >=
-        lit(threshold) * greatest(col("n_n"), col("n_m")) &&
-        !earlierBandMatched)
-      .select(col("doc_n"), col("doc_m"))
-    val verdicts = candidates
-      .join(repDocs.select(col("doc").as("doc_n"), col("toks").as("toks_n")),
-        Seq("doc_n"))
-      .join(manDocs.select(col("doc").as("doc_m"), col("toks").as("toks_m")),
-        Seq("doc_m"))
-      .select(col("doc_n"), graft.functions.SetExpressions
-        .sortedSetJaccard(col("toks_n"), col("toks_m")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    val verdicts = manifestMatchRows(repDocs, manifestPath, threshold)
       .groupBy("doc_n").agg(max(col("jaccard")).as("near_jaccard"))
     // rep verdicts fan out over exact-class members; docs outside `members`
     // (null text) and unmatched reps flag false with a null jaccard
@@ -553,6 +527,74 @@ object Dedup {
       .select(col("doc").as(idCol), col("near_jaccard"),
         col("near_jaccard").isNotNull.as("is_near_dup"))
   }
+
+  /** Verified (doc_n, jaccard) match rows of a probe relation against a
+    * persisted manifest — one row per (probe doc, matching manifest doc)
+    * pair at `jaccard ≥ threshold`. The shared core of the batch
+    * [[incrementalNearDups]] (which exact-collapses, then aggregates to a
+    * per-doc verdict) and the STREAMING probe (which cannot pre-aggregate
+    * in append mode and instead deduplicates emissions under a watermark).
+    * `probe` is (doc, toks) with toks from [[tokenHashes]].
+    *
+    * `carryTokens` picks who pays for verification's token sets:
+    *  - `false` (batch): the candidate exchange carries ids and band keys
+    *    only, and token sets join back in afterwards, proportional to
+    *    surviving candidates — the cheap shape, but the join-back
+    *    references `probe` a second time, which a streaming source cannot
+    *    do (it would become a stream-stream self-join).
+    *  - `true` (streaming): the probe's token set rides through the
+    *    banding explode and candidate join — `bands`× duplication of one
+    *    document's token hashes, the price of keeping every stream-side
+    *    step a stateless projection or stream-static equi-join.
+    */
+  private[graft] def manifestMatchRows(probe: DataFrame, manifestPath: String,
+                                       threshold: Double,
+                                       carryTokens: Boolean = false): DataFrame = {
+    val spark = probe.sparkSession
+    val meta = spark.read.parquet(s"$manifestPath/meta").head()
+    val (k, bands) = (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+    val manBands = spark.read.parquet(s"$manifestPath/bands")
+    val manDocs = spark.read.parquet(s"$manifestPath/docs")
+    val keyed = keyedSignatures(probe, k, bands, keepToks = carryTokens)
+    val carryIn = if (carryTokens) Seq(col("toks").as("toks_n")) else Seq.empty
+    val carryOn = if (carryTokens) Seq(col("toks_n")) else Seq.empty
+    val newBands = keyed
+      .select(Seq(col("doc"), col("ntok"), col("keys"),
+        posexplode(col("keys"))) ++ carryIn: _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .select(Seq(col("band"), col("band_key"), col("doc").as("doc_n"),
+        col("ntok").as("n_n"), col("keys").as("keys_n")) ++ carryOn: _*)
+    val right = manBands.select(col("band"), col("band_key"),
+      col("doc").as("doc_m"), col("ntok").as("n_m"), col("keys").as("keys_m"))
+    // first-matching-band, unrolled (see verifiedPairs for why not a HOF)
+    val earlierBandMatched = (0 until bands - 1).map(b =>
+      (col("band") > b) &&
+        (element_at(col("keys_n"), b + 1) === element_at(col("keys_m"), b + 1)))
+      .reduce(_ || _)
+    val candidates = newBands.join(right, Seq("band", "band_key"))
+      .where(least(col("n_n"), col("n_m")).cast("double") >=
+        lit(threshold) * greatest(col("n_n"), col("n_m")) &&
+        !earlierBandMatched)
+      .select(Seq(col("doc_n"), col("doc_m")) ++ carryOn: _*)
+    val paired =
+      if (carryTokens) candidates
+      else candidates.join(
+        probe.select(col("doc").as("doc_n"), col("toks").as("toks_n")),
+        Seq("doc_n"))
+    paired
+      .join(manDocs.select(col("doc").as("doc_m"), col("toks").as("toks_m")),
+        Seq("doc_m"))
+      .select(col("doc_n"), graft.functions.SetExpressions
+        .sortedSetJaccard(col("toks_n"), col("toks_m")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** (doc, toks) probe relation for [[manifestMatchRows]] — public face of
+    * the token-set projection so streaming callers band identically.
+    */
+  private[graft] def tokenSetRelation(df: DataFrame, textCol: String,
+                                      idCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
 
   // ------------------------------------------------------------- clustering
 

@@ -95,6 +95,21 @@ object CorpusQueries {
         t(s, d, "documents").where(pmod(col("doc_id"), lit(3)) === 0))
         .orderBy("content_hash")),
 
+    "q86_stream_neardup_manifest" -> ((s, d) => {
+      // continuous near-dup ingest: the stream probes q84's persisted LSH
+      // manifest via stream-static equi-joins (zero join state; the only
+      // state is the watermark-evicted emission dedup) and flags arriving
+      // docs with Jaccard ≥ 0.9 against yesterday's corpus
+      val docs = t(s, d, "documents")
+      val path = s"target/graft-minhash-manifest-stream-${new java.io.File(d).getName}"
+      graft.ext.Dedup.saveMinhashManifest(
+        docs.where(pmod(col("doc_id"), lit(10)) < 5), "text", "doc_id",
+        path, k = 32, bands = 16)
+      graft.streaming.DocumentStreams.streamingNearDupFlags(s, d, path,
+        newFilter = pmod(col("doc_id"), lit(10)) >= 5, threshold = 0.9)
+        .orderBy("doc_id")
+    }),
+
     "q62_stratified_sample" -> ((s, d) =>
       // balanced eval-set construction: exactly 10 docs per source, chosen
       // by content fingerprint — deterministic, skew-immune
@@ -350,6 +365,23 @@ object CorpusQueries {
           SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
           FROM newd WHERE text NOT IN (SELECT text FROM ex)
           GROUP BY text ORDER BY keeper_id""",
+
+    // q84's flag contract restricted to the flagged ids: exact Jaccard ≥
+    // 0.9 against any manifest doc (the engine's streaming LSH probe is
+    // invisible at recall ≈ 1; null-text docs never flag)
+    "q86_stream_neardup_manifest" ->
+      """WITH m AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           FROM documents WHERE doc_id % 10 < 5 AND text IS NOT NULL),
+         n AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           FROM documents WHERE doc_id % 10 >= 5 AND text IS NOT NULL)
+         SELECT DISTINCT n.doc_id AS doc_id
+         FROM n JOIN m ON
+           CAST(len(list_intersect(n.toks, m.toks)) AS DOUBLE)
+             / (len(n.toks) + len(m.toks) - len(list_intersect(n.toks, m.toks)))
+           >= 0.9
+         ORDER BY 1""",
 
     // the naive total-sort formulation IS the oracle: cumulative tokens
     // over (score DESC, doc_id), kept while within half the corpus's

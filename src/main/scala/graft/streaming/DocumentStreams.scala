@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ext.{Corpus, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -100,6 +100,42 @@ object DocumentStreams {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("content_hash"))
     val q = fresh.writeStream
+      .outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** Streaming NEAR-dup flagging against a persisted MinHash manifest
+    * (Dedup.saveMinhashManifest): each arriving document whose token-set
+    * Jaccard reaches `threshold` against ANY manifest document is emitted
+    * once — the streaming face of the batch incremental probe (q84), for
+    * the ingest pipeline that filters near-dups of yesterday's corpus
+    * continuously.
+    *
+    * Stream discipline: signatures and band keys are stateless projections
+    * carrying the token set inline (a stream may be referenced once, so
+    * verification cannot join back — see manifestMatchRows' carryTokens);
+    * the candidate and verification joins are stream-STATIC equi-joins
+    * against the loaded manifest (no state); the only state is the
+    * emitted-flag dedup, keyed on doc_id and evicted by the ingest-time
+    * watermark. A matching doc colliding in several bands emits one flag.
+    */
+  def streamingNearDupFlags(spark: SparkSession, sfDir: String,
+                            manifestPath: String, newFilter: Column,
+                            threshold: Double = 0.9,
+                            queryName: String = "graft_stream_neardup"): DataFrame = {
+    val docs = spark.readStream.schema(docSchema)
+      .parquet(s"$sfDir/documents.*").where(newFilter)
+    val probe = graft.ext.Dedup.tokenSetRelation(docs, "text", "doc_id")
+    val flagged = graft.ext.Dedup
+      .manifestMatchRows(probe, manifestPath, threshold, carryTokens = true)
+      .select(col("doc_n").as("doc_id"), current_timestamp().as("ingest_ts"))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"))
+    val q = flagged.writeStream
       .outputMode("append")
       .format("memory").queryName(queryName)
       .start()

@@ -181,6 +181,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("streaming near-dup manifest flags == batch incremental probe flags") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.t(spark, sf, "documents")
+    val path = "target/graft-test-stream-manifest"
+    graft.ext.Dedup.saveMinhashManifest(
+      docs.where(pmod(col("doc_id"), lit(10)) < 5), "text", "doc_id",
+      path, k = 32, bands = 16)
+    val streamed = graft.streaming.DocumentStreams.streamingNearDupFlags(
+      spark, sf, path, newFilter = pmod(col("doc_id"), lit(10)) >= 5,
+      threshold = 0.9, queryName = "graft_test_neardup")
+      .as[Long].collect().toSet
+    val batch = graft.ext.Dedup.incrementalNearDups(
+      docs.where(pmod(col("doc_id"), lit(10)) >= 5), path, "text", "doc_id",
+      threshold = 0.9)
+      .where(col("is_near_dup")).select(col("doc_id")).as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty) // fixture plants cross-split duplicates
+  }
+
   test("parquet sink round-trips with partition pruning directories") {
     import spark.implicits._
     val dir = java.nio.file.Files
