@@ -172,6 +172,40 @@ object Corpus {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-eval-document n-gram contamination OVERLAP: the fraction of each
+    * eval doc's distinct n-grams that appear anywhere in the train corpus
+    * — the corpus-level overlap statistic reported alongside benchmark
+    * results (GPT-3 appendix C's dirtiness measure), complementing
+    * [[decontaminate]]'s per-pair report (WHICH train doc leaked) and
+    * [[decontaminateSentences]]' verbatim-sentence count.
+    *
+    * Plan shape: the train side collapses to DISTINCT gram hashes before
+    * the join (presence is all that matters — document frequency and the
+    * per-pair blowup never enter), then one semi-join keyed on 8-byte
+    * hashes and one per-doc count. Both shuffles carry (hash) or
+    * (eval_id, hash) — never text. Eval docs shorter than n tokens have
+    * no grams and report 0 overlap.
+    */
+  def contaminationOverlap(train: DataFrame, eval_ : DataFrame,
+                           textCol: String, idCol: String,
+                           n: Int = 5): DataFrame = {
+    val trainGrams = train
+      .select(explode(gramHashes(col(textCol), n)).as("g")).distinct()
+    val evalGrams = eval_.select(col(idCol).as("eval_id"),
+      explode(gramHashes(col(textCol), n)).as("g"))
+    val seen = evalGrams.join(trainGrams, Seq("g"), "left_semi")
+      .groupBy("eval_id").agg(count(lit(1)).as("n_seen"))
+    val totals = eval_.select(col(idCol).as("eval_id"),
+      size(gramHashes(col(textCol), n)).cast("long").as("n_grams"))
+    totals.join(seen, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("overlap_frac",
+        when(col("n_grams") > 0,
+          col("n_seen").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Enforcement form of [[decontaminate]]: the TRAIN corpus with every
     * document that leaks into the eval set removed (shares ≥ minShared
     * distinct n-grams with ANY eval doc). [[decontaminate]] is the report;

@@ -41,6 +41,19 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q87_contamination_overlap" -> ((s, d) => {
+      // corpus-level dirtiness statistic: per test doc, the fraction of
+      // its distinct 3-grams that appear anywhere in the train split —
+      // the overlap measure reported next to benchmark scores, companion
+      // to q54's per-pair report and q72's sentence-leak count
+      val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
+      Corpus.contaminationOverlap(
+        docs.where(col("split") === "train"),
+        docs.where(col("split") === "test"),
+        "text", "doc_id", n = 3)
+        .orderBy("eval_id")
+    }),
+
     "q72_decontaminate_sentences" -> ((s, d) => {
       // eval-leak check at SENTENCE granularity: per test doc, how many
       // of its sentences appear verbatim anywhere in the train split.
@@ -187,6 +200,32 @@ object CorpusQueries {
                       ELSE 'test' END AS split
           FROM (SELECT doc_id, $fpFold AS fp FROM documents)
           ORDER BY doc_id""",
+
+    // same split + gram construction as q54 at n=3; the train side
+    // collapses to a DISTINCT gram set (presence-only), per eval doc one
+    // count and one double division
+    "q87_contamination_overlap" ->
+      s"""WITH s AS (
+            SELECT doc_id, string_split(text, ' ') AS toks, $fpFold % 100 AS b
+            FROM documents),
+          g AS (
+            SELECT doc_id, b,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     AS grams
+            FROM s),
+          tg AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE b < 80),
+          e AS (SELECT doc_id AS eval_id, grams FROM g WHERE b >= 90),
+          eg AS (SELECT eval_id, unnest(grams) AS gr FROM e),
+          seen AS (SELECT eval_id, count(*) AS n_seen
+                   FROM eg JOIN tg USING (gr) GROUP BY eval_id)
+          SELECT e.eval_id, len(e.grams) AS n_grams,
+                 coalesce(seen.n_seen, 0) AS n_seen,
+                 CASE WHEN len(e.grams) > 0
+                      THEN CAST(coalesce(seen.n_seen, 0) AS DOUBLE)
+                           / len(e.grams)
+                      ELSE 0.0 END AS overlap_frac
+          FROM e LEFT JOIN seen USING (eval_id) ORDER BY eval_id""",
 
     "q54_decontaminate" ->
       s"""WITH s AS (

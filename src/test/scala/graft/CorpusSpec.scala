@@ -243,6 +243,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(uncapped.count() == 6)
   }
 
+  test("contaminationOverlap: per-eval-doc fraction of grams seen in train") {
+    val train = Seq(
+      (1L, "a b c d e"),          // grams: abc bcd cde
+      (2L, "x y z w v")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "a b c d q"),         // abc bcd | cdq → 2/3
+      (11L, "a b c d e"),         // all three seen → 3/3
+      (12L, "p q r s t"),         // none → 0/3
+      (13L, "hi"),                // < n tokens → 0 grams, frac 0
+      (14L, "a b c a b c d"))     // distinct grams: abc bca cab bcd → abc,bcd seen → 2/4
+      .toDF("doc_id", "text")
+    val got = Corpus.contaminationOverlap(train, eval_, "text", "doc_id", n = 3)
+      .orderBy("eval_id")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      (10L, 3L, 2L, 2.0 / 3), (11L, 3L, 3L, 1.0), (12L, 3L, 0L, 0.0),
+      (13L, 0L, 0L, 0.0), (14L, 4L, 2L, 0.5)))
+  }
+
   test("budgetSelect: prefix rule resolves the straddling score class by id") {
     // scores: doc 1,2,3 score 3 (4 tokens each), doc 4,5 score 2 (4 each),
     // doc 6 score 1. Total tokens 24; budget 500‰ → 12 tokens.
