@@ -58,6 +58,33 @@ object ScaleProbe {
       }
     }
 
+    // ---- persisted minhash manifest (q84): the corpus side's signature/
+    // banding work is paid once at build; per-ingest probe cost must be
+    // batch-dominated, NOT corpus-dominated. Salted replication (each copy
+    // gets one distinct extra token) grows the DISTINCT class count k×, so
+    // this measures a genuinely growing manifest — probe time may grow
+    // with the slim bands scan but must stay far under the no-index
+    // alternative (recomputing pair signatures over corpus ∪ batch every
+    // ingest), and far under its own build time.
+    for (k <- Seq(1, n)) {
+      val corpus = (0 until k).map(i => base.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" v$i")).as("text")))
+        .reduce(_ union _).localCheckpoint()
+      val path = s"target/graft-scaleprobe-manifest-$k"
+      time(s"${k}x manifest-build") {
+        Dedup.saveMinhashManifest(corpus, "text", "doc_id", path,
+          k = 32, bands = 16)
+      }
+      time(s"${k}x manifest-probe") {
+        Dedup.incrementalNearDups(base, path, "text", "doc_id", 0.9).count()
+      }
+      if (k == n) time(s"${k}x no-index-recompute") {
+        Dedup.minhashPairs(corpus.union(base), "text", "doc_id",
+          threshold = 0.9, bands = 16).count()
+      }
+    }
+
     // ---- sentence decontamination: train-side duplication (the crawl
     // regime) must collapse in the pre-distinct BEFORE the probe join —
     // the distinct sentence set is invariant in k, so N× train rows cost
