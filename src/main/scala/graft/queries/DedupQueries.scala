@@ -38,6 +38,28 @@ object DedupQueries {
         threshold = 0.9, bands = 16)
         .orderBy("doc_a", "doc_b")),
 
+    "q88_dup_source_matrix" -> ((s, d) => {
+      // dedup-policy planning input: the near-dup pair relation rolled up
+      // to an unordered (source, source) matrix — which sources duplicate
+      // each other, and how much of it is exact. Counts only (integer,
+      // hash-stable); a double average of Jaccards would be summation-
+      // order-dependent across engines.
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+        threshold = 0.9, bands = 16)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("source_a")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("source_b")), Seq("doc_b"))
+        .groupBy(least(col("source_a"), col("source_b")).as("src_lo"),
+          greatest(col("source_a"), col("source_b")).as("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("jaccard") === 1.0, lit(1))).as("n_exact"))
+        .orderBy("src_lo", "src_hi")
+    }),
+
     "q84_dedup_incremental_minhash" -> ((s, d) => {
       // incremental NEAR-dup ingest against a PERSISTED LSH manifest: the
       // corpus side's signatures/bands are built once on disk (amortized
@@ -165,6 +187,19 @@ object DedupQueries {
     "q31_dedup_minhash_lsh" ->
       s"""SELECT doc_a, doc_b, jaccard FROM ($exactJaccardPairs)
           ORDER BY doc_a, doc_b""",
+
+    // rollup of the exact pair relation through the (doc → source) map;
+    // jaccard = 1.0 is exact in both engines (intersection == union)
+    "q88_dup_source_matrix" ->
+      s"""WITH p AS ($exactJaccardPairs),
+          s AS (SELECT doc_id, source FROM documents)
+          SELECT least(sa.source, sb.source) AS src_lo,
+                 greatest(sa.source, sb.source) AS src_hi,
+                 count(*) AS n_pairs,
+                 count(CASE WHEN jaccard = 1.0 THEN 1 END) AS n_exact
+          FROM p JOIN s sa ON p.doc_a = sa.doc_id
+                 JOIN s sb ON p.doc_b = sb.doc_id
+          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // exact dual of the manifest probe: per new doc the max exact Jaccard
     // ≥ 0.9 against any manifest doc (cross pairing replayed in full; the
