@@ -455,6 +455,37 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid").parquet(s"$path/lists")
   }
 
+  /** Append new vectors to a persisted [[saveIvfIndex]] index WITHOUT
+    * retraining: the saved centroids stay fixed, arrivals are assigned to
+    * their nearest centroid with the same quantize→dequantize geometry and
+    * appended to that centroid's inverted-list partition. Because the
+    * assignment is a pure function of (vector, centroids), an index built
+    * on a base set and appended with a batch is bit-identical in content
+    * to one built on the union with the same centroids (SimilaritySpec
+    * pins this) — the daily-ingest path that keeps serving from one index
+    * while the corpus grows, paying one batch-sized pass per day instead
+    * of a corpus-sized rebuild. Quality caveat, as in every IVF system:
+    * centroids drift stale as the distribution shifts; retrain on the
+    * index's own schedule, not per batch.
+    */
+  def appendToIvfIndex(newVecs: DataFrame, path: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val scale = meta.getAs[Double]("quant_scale")
+    val cents = spark.read.parquet(s"$path/centroids").orderBy("centroid")
+      .select("vec").collect().map(_.getSeq[Double](0).toArray) // k×dim only
+    val code = if (scale > 0) quantize(col(vecCol), scale)
+      else col(vecCol).cast("array<double>")
+    val assignVec = if (scale > 0)
+      dequantize(quantize(col(vecCol), scale), scale)
+    else col(vecCol).cast("array<double>")
+    newVecs.select(col(idCol).as("vec_id"), code.as("code"),
+        array_max(centDotsFor(cents)(assignVec)).getField("c").as("centroid"))
+      .write.mode("append").partitionBy("centroid").parquet(s"$path/lists")
+  }
+
   /** Serve top-k from a [[saveIvfIndex]] index: identical ranking contract
     * to [[topKIvf]] over the same centroids and (de)quantized vectors, but
     * the corpus side is the prebuilt inverted lists — no training, no

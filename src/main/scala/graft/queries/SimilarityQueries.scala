@@ -121,6 +121,29 @@ object SimilarityQueries {
         centroidsIn = Similarity.sampleCentroids(deq, 16))
       Similarity.topKIvfIndexed(s, deq.where(col("vec_id") < 10), path, k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    "q89_ann_index_append" -> ((s, d) => {
+      // daily-ingest index maintenance: build the persisted IVF index on
+      // the even-id half (centroids sampled THERE), append the odd-id
+      // batch against the FROZEN centroids, serve from the merged lists.
+      // Assignment is a pure function of (vector, centroids), so the
+      // served index equals a fresh build over the union — the oracle
+      // replays it that way, with only the centroid sample restricted to
+      // the build half.
+      val emb = t(s, d, "embeddings")
+      val deq = emb.select(col("vec_id"),
+        Similarity.dequantize(
+          Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+      val path = s"target/graft-ivf-append-${new java.io.File(d).getName}"
+      Similarity.saveIvfIndex(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+        path, nCentroids = 16, dim = 64, quantScale = 200.0,
+        centroidsIn = Similarity.sampleCentroids(
+          deq.where(pmod(col("vec_id"), lit(2)) === 0), 16))
+      Similarity.appendToIvfIndex(
+        emb.where(pmod(col("vec_id"), lit(2)) === 1), path)
+      Similarity.topKIvfIndexed(s, deq.where(col("vec_id") < 10), path, k = 10)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -347,6 +370,57 @@ object SimilarityQueries {
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS rn,
                    embedding
             FROM (SELECT vec_id, embedding FROM dq ORDER BY vec_id LIMIT 16)),
+          cent AS (SELECT rn AS c, embedding AS cv FROM smp),
+          cd AS (
+            SELECT e.vec_id, cent.c,
+                   ${duckDot("e.embedding", "cent.cv")} AS d
+            FROM e CROSS JOIN cent),
+          assigned AS (
+            SELECT vec_id, c AS centroid FROM (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, c DESC) AS r
+              FROM cd) WHERE r = 1),
+          probes AS (
+            SELECT vec_id, c AS centroid FROM (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, c DESC) AS r
+              FROM cd WHERE vec_id < 10) WHERE r <= 4),
+          scored AS (
+            SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   ${duckDot("qe.embedding", "ce.embedding")}
+                     / (qe.nrm * ce.nrm) AS cos_sim
+            FROM probes p JOIN assigned a ON p.centroid = a.centroid
+            JOIN e qe ON qe.vec_id = p.vec_id
+            JOIN e ce ON ce.vec_id = a.vec_id
+            WHERE p.vec_id <> a.vec_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, cos_sim, rank
+          FROM ranked WHERE rank <= 10
+          ORDER BY query_id, rank""",
+
+    // q82's replay with the centroid sample drawn from the BUILD half
+    // only (vec_id % 2 = 0): append with frozen centroids equals a fresh
+    // build over the union, so assignment/probing/scoring are unchanged
+    "q89_ann_index_append" ->
+      s"""WITH dq AS (
+            SELECT vec_id, list_transform(embedding,
+              x -> greatest(least(floor(CAST(x AS DOUBLE) * 200 + 0.5),
+                                  127), -128) / 200.0) AS embedding
+            FROM embeddings),
+          e AS (SELECT vec_id, embedding,
+                       sqrt(${duckDot("embedding", "embedding")}) AS nrm
+                FROM dq),
+          smp AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS rn,
+                   embedding
+            FROM (SELECT vec_id, embedding FROM dq
+                  WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16)),
           cent AS (SELECT rn AS c, embedding AS cv FROM smp),
           cd AS (
             SELECT e.vec_id, cent.c,

@@ -377,4 +377,36 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     got.foreach { case (k, s) => assert(exact(k) == s, s"pair $k not in exact set") }
   }
+
+  test("appendToIvfIndex: build-half + append == fresh build over the union") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = emb.select(col("vec_id"),
+      Similarity.dequantize(
+        Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+    val cents = Similarity.sampleCentroids(
+      deq.where(pmod(col("vec_id"), lit(2)) === 0), 16)
+    val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val grown = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-ivf-app-").toString
+    Similarity.saveIvfIndex(even, grown, nCentroids = 16, dim = 64,
+      quantScale = 200.0, centroidsIn = cents)
+    Similarity.appendToIvfIndex(odd, grown)
+    val rebuilt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-ivf-reb-").toString
+    Similarity.saveIvfIndex(emb, rebuilt, nCentroids = 16, dim = 64,
+      quantScale = 200.0, centroidsIn = cents)
+    // identical logical index content: (vec_id, centroid, code)
+    def content(p: String) = spark.read.parquet(s"$p/lists")
+      .select(col("vec_id"), col("centroid"), col("code"))
+      .as[(Long, Int, Seq[Byte])].collect()
+      .map { case (v, c, cd) => (v, c, cd.toList) }.toSet
+    assert(content(grown) == content(rebuilt))
+    // and identical serving results
+    val qset = deq.where(col("vec_id") < 5)
+    def rows(p: String) = Similarity.topKIvfIndexed(spark, qset, p, k = 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(grown) == rows(rebuilt))
+  }
 }
