@@ -490,6 +490,37 @@ object Dedup {
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Append a batch to a persisted [[saveMinhashManifest]] manifest
+    * WITHOUT rebuilding: signatures/bands are computed for the batch
+    * against the manifest's own (k, bands) parameters and appended to
+    * `docs/` and `bands/`. The intended ingest loop is
+    * [[incrementalNearDups]] → filter survivors → append THEM, so the
+    * manifest stays near-dup-free by construction; appending an
+    * un-probed batch is allowed but duplicates matching content in the
+    * manifest (harmless for probe verdicts — identical token sets band
+    * identically — but wasted bytes). The batch is exact-collapsed
+    * within itself, like the builder. The dedup analogue of
+    * Similarity.appendToIvfIndex.
+    */
+  def appendToMinhashManifest(newDf: DataFrame, textCol: String,
+                              idCol: String, path: String): Unit = {
+    val spark = newDf.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (k, bands) = (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+    val docs = newDf.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
+    val members = exactClasses(docs)
+    val reps = docs.join(
+      members.where(col("doc") === col("rep")).select(col("doc")),
+      Seq("doc"), "left_semi")
+    val keyed = keyedSignatures(reps, k, bands)
+    reps.join(keyed, Seq("doc"))
+      .select(col("doc"), col("toks"), col("ntok"), col("keys"))
+      .write.mode("append").parquet(s"$path/docs")
+    keyed.select(col("doc"), col("ntok"), col("keys"), posexplode(col("keys")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .write.mode("append").parquet(s"$path/bands")
+  }
+
   /** Incremental NEAR-dup detection of an ingest batch against a persisted
     * [[saveMinhashManifest]] manifest: per new document, the maximum exact
     * Jaccard against any manifest document among LSH candidates (null when

@@ -460,4 +460,24 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(strict(12L) == false && strict(10L) == true)
   }
+
+  test("ingest loop: probe, filter survivors, append them, re-probe flags them") {
+    val path = "target/graft-test-minhash-append"
+    Dedup.saveMinhashManifest(Seq((1L, base)).toDF("doc_id", "text"),
+      "text", "doc_id", path, k = 32, bands = 16)
+    val batch = Seq((10L, base), (11L, unrelated(0)), (12L, unrelated(1)))
+      .toDF("doc_id", "text")
+    val probed = Dedup.incrementalNearDups(batch, path, "text", "doc_id", 0.9)
+    val survivors = batch.join(
+      probed.where(!col("is_near_dup")).select(col("doc_id")), Seq("doc_id"))
+    assert(survivors.count() == 2) // 10 flagged against the manifest
+    Dedup.appendToMinhashManifest(survivors, "text", "doc_id", path)
+    // the grown manifest now flags re-arrivals of the appended content
+    val again = Dedup.incrementalNearDups(
+      Seq((20L, unrelated(0)), (21L, unrelated(2))).toDF("doc_id", "text"),
+      path, "text", "doc_id", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(again(20L) == true)  // matches appended doc 11
+    assert(again(21L) == false) // still novel
+  }
 }
