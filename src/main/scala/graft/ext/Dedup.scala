@@ -479,9 +479,10 @@ object Dedup {
     val reps = docs.join(
       members.where(col("doc") === col("rep")).select(col("doc")),
       Seq("doc"), "left_semi")
-    val keyed = keyedSignatures(reps, k, bands)
-    reps.join(keyed, Seq("doc"))
-      .select(col("doc"), col("toks"), col("ntok"), col("keys"))
+    // keepToks threads the token sets through the signature projection —
+    // no join-back shuffle to reattach them for the docs table
+    val keyed = keyedSignatures(reps, k, bands, keepToks = true)
+    keyed.select(col("doc"), col("toks"), col("ntok"), col("keys"))
       .write.mode("overwrite").parquet(s"$path/docs")
     keyed.select(col("doc"), col("ntok"), col("keys"), posexplode(col("keys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
@@ -512,9 +513,8 @@ object Dedup {
     val reps = docs.join(
       members.where(col("doc") === col("rep")).select(col("doc")),
       Seq("doc"), "left_semi")
-    val keyed = keyedSignatures(reps, k, bands)
-    reps.join(keyed, Seq("doc"))
-      .select(col("doc"), col("toks"), col("ntok"), col("keys"))
+    val keyed = keyedSignatures(reps, k, bands, keepToks = true)
+    keyed.select(col("doc"), col("toks"), col("ntok"), col("keys"))
       .write.mode("append").parquet(s"$path/docs")
     keyed.select(col("doc"), col("ntok"), col("keys"), posexplode(col("keys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
