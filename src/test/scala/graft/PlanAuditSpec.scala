@@ -177,6 +177,30 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.take(4000))
   }
 
+  test("q84 manifest probe computes signatures for the BATCH only") {
+    // the whole point of the persisted manifest: the corpus side's
+    // signatures/bands load from parquet, so the minhash expression may
+    // appear in the probe plan exactly once — on the batch side. A second
+    // occurrence means the manifest is being recomputed per ingest.
+    import spark.implicits._
+    val path = "target/graft-audit-manifest"
+    graft.ext.Dedup.saveMinhashManifest(
+      Seq((1L, "a b c d e f g h")).toDF("doc_id", "text"),
+      "text", "doc_id", path, k = 32, bands = 16)
+    val probe = graft.ext.Dedup.incrementalNearDups(
+      Seq((2L, "a b c d e f g h"), (3L, "p q r s t u v w"))
+        .toDF("doc_id", "text"), path, "text", "doc_id", 0.9)
+    probe.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — audit only
+    // the final executed plan or every expression double-counts
+    val full = probe.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==").head
+    val hits = "graft_minhash_signature".r.findAllMatchIn(plan).size
+    assert(hits == 1, s"minhash computed $hits times\n${plan.take(3000)}")
+    // and the manifest bands really are consumed from their parquet files
+    assert(plan.contains("graft-audit-manifest/bands"), plan.take(3000))
+  }
+
   test("q85 budget select: the single-partition window consumes the histogram") {
     // the running-total window over (score DESC) is the one unpartitioned
     // (single-task) operator in the plan — its input must be the per-score
