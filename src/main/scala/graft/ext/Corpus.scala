@@ -308,11 +308,13 @@ object Corpus {
     val hist = docs.groupBy("score")
       .agg(sum(col("n_tokens")).as("tok_sum"))
     // budget enters the plan as a broadcast 1-row cross join (q24's n_docs
-    // pattern) — no driver-side collect, one job
-    // decimal arithmetic: at 100 TB total_tokens · 1000 overflows the
+    // pattern) — no driver-side collect. It aggregates the HISTOGRAM, not
+    // the corpus: Σ tok_sum over score classes equals the corpus total, so
+    // this costs a histogram-sized pass instead of a third corpus scan.
+    // Decimal arithmetic: at 100 TB total_tokens · 1000 overflows the
     // double-precision integer range a plain `/` would route through
-    val budget = docs.agg(
-      (sum(col("n_tokens")).cast("decimal(38,0)") * budgetPerMille / 1000)
+    val budget = hist.agg(
+      (sum(col("tok_sum")).cast("decimal(38,0)") * budgetPerMille / 1000)
         .cast("long").as("budget"))
     // running totals over the HISTOGRAM: this window's input is one row
     // per distinct score, never the corpus
