@@ -184,18 +184,20 @@ object Corpus {
     * per-pair blowup never enter), then one semi-join keyed on 8-byte
     * hashes and one per-doc count. Both shuffles carry (hash) or
     * (eval_id, hash) — never text. Eval docs shorter than n tokens have
-    * no grams and report 0 overlap.
+    * no grams and report 0 overlap; NULL-text eval docs carry no grams at
+    * all and are EXCLUDED (no row), as in [[corpusStats]].
     */
   def contaminationOverlap(train: DataFrame, eval_ : DataFrame,
                            textCol: String, idCol: String,
                            n: Int = 5): DataFrame = {
+    val evalDocs = eval_.where(col(textCol).isNotNull)
     val trainGrams = train
       .select(explode(gramHashes(col(textCol), n)).as("g")).distinct()
-    val evalGrams = eval_.select(col(idCol).as("eval_id"),
+    val evalGrams = evalDocs.select(col(idCol).as("eval_id"),
       explode(gramHashes(col(textCol), n)).as("g"))
     val seen = evalGrams.join(trainGrams, Seq("g"), "left_semi")
       .groupBy("eval_id").agg(count(lit(1)).as("n_seen"))
-    val totals = eval_.select(col(idCol).as("eval_id"),
+    val totals = evalDocs.select(col(idCol).as("eval_id"),
       size(gramHashes(col(textCol), n)).cast("long").as("n_grams"))
     totals.join(seen, Seq("eval_id"), "left")
       .select(col("eval_id"), col("n_grams"),

@@ -349,6 +349,19 @@ object Dedup {
     * and the persisted-manifest incremental path, which must band
     * IDENTICALLY for their buckets to be join-compatible.
     */
+  /** TRUE when some band BEFORE this collision row's band also matched —
+    * the predicate the first-matching-band pair dedup filters on. With a
+    * single band there is no earlier band to match (an empty `reduce`
+    * would throw at plan construction, which a bands=1 manifest made
+    * reachable from persisted state).
+    */
+  private def firstMatchingBandViolation(bands: Int, keysA: Column,
+                                         keysB: Column): Column =
+    if (bands <= 1) lit(false)
+    else (0 until bands - 1).map(b =>
+      (col("band") > b) && (element_at(keysA, b + 1) === element_at(keysB, b + 1)))
+      .reduce(_ || _)
+
   private def keyedSignatures(docs: DataFrame, k: Int, bands: Int,
                               keepToks: Boolean = false): DataFrame = {
     require(k % bands == 0,
@@ -385,10 +398,8 @@ object Dedup {
     // lambda form (exists/zip_with) would run the interpreted HOF evaluator
     // once per collision row — tens of millions of allocations in a dense
     // cluster. element_at is codegen'd scalar access.
-    val earlierBandMatched = (0 until bands - 1).map(b =>
-      (col("band") > b) &&
-        (element_at(col("keys_a"), b + 1) === element_at(col("keys_b"), b + 1)))
-      .reduce(_ || _)
+    val earlierBandMatched =
+      firstMatchingBandViolation(bands, col("keys_a"), col("keys_b"))
     val candidates = left.join(right, Seq("band", "band_key"))
       .where(col("doc_a") < col("doc_b") &&
         least(col("n_a"), col("n_b")).cast("double") >=
@@ -474,6 +485,21 @@ object Dedup {
                           path: String, k: Int = 32, bands: Int = 8): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    writeManifestTables(df, textCol, idCol, path, k, bands, "overwrite")
+    Seq((k, bands)).toDF("k", "bands")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The shared docs/bands pipeline of [[saveMinhashManifest]] (overwrite)
+    * and [[appendToMinhashManifest]] (append): tokenize, exact-collapse to
+    * class representatives, sign and band. ONE implementation on purpose —
+    * build and append must stay join-compatible, and a schema or collapse
+    * change applied to only one of them would silently corrupt every probe
+    * of a mixed manifest.
+    */
+  private def writeManifestTables(df: DataFrame, textCol: String,
+                                  idCol: String, path: String, k: Int,
+                                  bands: Int, mode: String): Unit = {
     val docs = df.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
     val members = exactClasses(docs)
     val reps = docs.join(
@@ -483,12 +509,10 @@ object Dedup {
     // no join-back shuffle to reattach them for the docs table
     val keyed = keyedSignatures(reps, k, bands, keepToks = true)
     keyed.select(col("doc"), col("toks"), col("ntok"), col("keys"))
-      .write.mode("overwrite").parquet(s"$path/docs")
+      .write.mode(mode).parquet(s"$path/docs")
     keyed.select(col("doc"), col("ntok"), col("keys"), posexplode(col("keys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-      .write.mode("overwrite").parquet(s"$path/bands")
-    Seq((k, bands)).toDF("k", "bands")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+      .write.mode(mode).parquet(s"$path/bands")
   }
 
   /** Append a batch to a persisted [[saveMinhashManifest]] manifest
@@ -505,20 +529,9 @@ object Dedup {
     */
   def appendToMinhashManifest(newDf: DataFrame, textCol: String,
                               idCol: String, path: String): Unit = {
-    val spark = newDf.sparkSession
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val (k, bands) = (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
-    val docs = newDf.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
-    val members = exactClasses(docs)
-    val reps = docs.join(
-      members.where(col("doc") === col("rep")).select(col("doc")),
-      Seq("doc"), "left_semi")
-    val keyed = keyedSignatures(reps, k, bands, keepToks = true)
-    keyed.select(col("doc"), col("toks"), col("ntok"), col("keys"))
-      .write.mode("append").parquet(s"$path/docs")
-    keyed.select(col("doc"), col("ntok"), col("keys"), posexplode(col("keys")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-      .write.mode("append").parquet(s"$path/bands")
+    val meta = newDf.sparkSession.read.parquet(s"$path/meta").head()
+    writeManifestTables(newDf, textCol, idCol, path,
+      meta.getAs[Int]("k"), meta.getAs[Int]("bands"), "append")
   }
 
   /** Incremental NEAR-dup detection of an ingest batch against a persisted
@@ -598,10 +611,8 @@ object Dedup {
     val right = manBands.select(col("band"), col("band_key"),
       col("doc").as("doc_m"), col("ntok").as("n_m"), col("keys").as("keys_m"))
     // first-matching-band, unrolled (see verifiedPairs for why not a HOF)
-    val earlierBandMatched = (0 until bands - 1).map(b =>
-      (col("band") > b) &&
-        (element_at(col("keys_n"), b + 1) === element_at(col("keys_m"), b + 1)))
-      .reduce(_ || _)
+    val earlierBandMatched =
+      firstMatchingBandViolation(bands, col("keys_n"), col("keys_m"))
     val candidates = newBands.join(right, Seq("band", "band_key"))
       .where(least(col("n_n"), col("n_m")).cast("double") >=
         lit(threshold) * greatest(col("n_n"), col("n_m")) &&

@@ -445,14 +445,39 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
     Seq((dim, cents.length, quantScale)).toDF("dim", "n_centroids", "quant_scale")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeIvfLists(corpus, cents, quantScale, idCol, vecCol, path, "overwrite")
+  }
+
+  /** The (scale, centroids) a persisted index was built with — ONE loader
+    * for every function that must agree on them bit-exactly (serve,
+    * append). Only k×dim doubles reach the driver.
+    */
+  private def loadIvfMeta(spark: org.apache.spark.sql.SparkSession,
+                          path: String): (Double, Array[Array[Double]]) = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val cents = spark.read.parquet(s"$path/centroids").orderBy("centroid")
+      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+    (meta.getAs[Double]("quant_scale"), cents)
+  }
+
+  /** Quantize-assign-write of the inverted lists, shared by the builder
+    * (overwrite) and [[appendToIvfIndex]] (append). ONE implementation on
+    * purpose: build and append must agree bit-exactly on the code and the
+    * assignment geometry, or a grown index silently stops matching a
+    * fresh build (the invariant SimilaritySpec pins).
+    */
+  private def writeIvfLists(vecs: DataFrame, cents: Array[Array[Double]],
+                            quantScale: Double, idCol: String,
+                            vecCol: String, path: String,
+                            mode: String): Unit = {
     val code = if (quantScale > 0) quantize(col(vecCol), quantScale)
       else col(vecCol).cast("array<double>")
     val assignVec = if (quantScale > 0)
       dequantize(quantize(col(vecCol), quantScale), quantScale)
     else col(vecCol).cast("array<double>")
-    corpus.select(col(idCol).as("vec_id"), code.as("code"),
+    vecs.select(col(idCol).as("vec_id"), code.as("code"),
         array_max(centDotsFor(cents)(assignVec)).getField("c").as("centroid"))
-      .write.mode("overwrite").partitionBy("centroid").parquet(s"$path/lists")
+      .write.mode(mode).partitionBy("centroid").parquet(s"$path/lists")
   }
 
   /** Append new vectors to a persisted [[saveIvfIndex]] index WITHOUT
@@ -471,19 +496,8 @@ object Similarity {
   def appendToIvfIndex(newVecs: DataFrame, path: String,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): Unit = {
-    val spark = newVecs.sparkSession
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val scale = meta.getAs[Double]("quant_scale")
-    val cents = spark.read.parquet(s"$path/centroids").orderBy("centroid")
-      .select("vec").collect().map(_.getSeq[Double](0).toArray) // k×dim only
-    val code = if (scale > 0) quantize(col(vecCol), scale)
-      else col(vecCol).cast("array<double>")
-    val assignVec = if (scale > 0)
-      dequantize(quantize(col(vecCol), scale), scale)
-    else col(vecCol).cast("array<double>")
-    newVecs.select(col(idCol).as("vec_id"), code.as("code"),
-        array_max(centDotsFor(cents)(assignVec)).getField("c").as("centroid"))
-      .write.mode("append").partitionBy("centroid").parquet(s"$path/lists")
+    val (scale, cents) = loadIvfMeta(newVecs.sparkSession, path)
+    writeIvfLists(newVecs, cents, scale, idCol, vecCol, path, "append")
   }
 
   /** Serve top-k from a [[saveIvfIndex]] index: identical ranking contract
@@ -496,10 +510,7 @@ object Similarity {
                      queries: DataFrame, path: String, k: Int, nProbe: Int = 4,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val scale = meta.getAs[Double]("quant_scale")
-    val cents = spark.read.parquet(s"$path/centroids").orderBy("centroid")
-      .select("vec").collect().map(_.getSeq[Double](0).toArray) // k×dim only
+    val (scale, cents) = loadIvfMeta(spark, path)
     val cvec = if (scale > 0) dequantize(col("code"), scale)
       else col("code")
     val c = spark.read.parquet(s"$path/lists")

@@ -77,8 +77,18 @@ object Sinks {
     * replayed after any failure either (a) finds its batchId in the ledger
     * — fully published, skip — or (b) wipes its partial staging rows and
     * re-runs; the publish transaction is the only step that makes rows
-    * visible, so no failure window duplicates target rows. This closes
-    * [[streamJdbcAppend]]'s documented at-least-once gap.
+    * visible, so no failure window duplicates target rows. Staging itself
+    * is idempotent under Spark TASK retry: each partition writes its rows
+    * and a (batchId, partitionId) marker in one database transaction, and
+    * a retried task that finds its marker skips — a partition can never
+    * stage twice. This closes [[streamJdbcAppend]]'s documented
+    * at-least-once gap.
+    *
+    * `checkpointDir` is REQUIRED and must be durable: batch ids are only
+    * meaningful relative to one checkpoint lineage, and the ledger
+    * persists in the database — a restart under a fresh (or temporary)
+    * checkpoint restarts batch ids at 0, which the ledger would treat as
+    * already published and silently drop.
     *
     * Contract: the target table must already exist with columns in the
     * stream's column ORDER (the publish insert is positional, so the
@@ -93,14 +103,27 @@ object Sinks {
     * empties itself on every successful publish.
     */
   def streamJdbcExactlyOnce(stream: DataFrame, url: String, table: String,
+                            checkpointDir: String,
                             options: Map[String, String] = Map.empty,
                             maxConnections: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         jdbcIdempotentBatch(batch, batchId, url, table, options, maxConnections)
       }
       .start()
+
+  /** SQLStates meaning "table does not exist" across the engines we
+    * target (Derby 42X05, Postgres 42P01, MySQL 42S02) — the ONLY error a
+    * best-effort DELETE/SELECT on a maybe-not-yet-created table may
+    * swallow. Anything else (lock timeout, dropped connection) must
+    * surface: swallowing it would let stale staging rows survive into the
+    * publish and double-deliver.
+    */
+  private val missingTableStates = Set("42X05", "42P01", "42S02")
+  private def isMissingTable(e: java.sql.SQLException): Boolean =
+    missingTableStates.contains(e.getSQLState)
 
   /** One idempotent micro-batch publish (see [[streamJdbcExactlyOnce]]);
     * package-visible so the replay guarantee is directly testable.
@@ -110,6 +133,7 @@ object Sinks {
       maxConnections: Int): Unit = {
     val staging = table + "_staging"
     val ledger = table + "_ledger"
+    val parts = table + "_staging_parts"
     val props = new java.util.Properties()
     options.foreach { case (k, v) => props.setProperty(k, v) }
     def withConn[T](f: java.sql.Connection => T): T = {
@@ -125,10 +149,15 @@ object Sinks {
     val alreadyPublished = withConn { conn =>
       val st = conn.createStatement()
       try {
-        // first use: create the ledger; an "already exists" error is the
-        // normal steady state (a real DDL failure resurfaces on the SELECT)
+        // first use: create the ledger + the per-partition staging marker
+        // table; an "already exists" error is the normal steady state (a
+        // real DDL failure resurfaces on the SELECT)
         try st.executeUpdate(
           s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
+        catch { case _: java.sql.SQLException => () }
+        try st.executeUpdate(
+          s"CREATE TABLE $parts (batch_id BIGINT, part_id INT, " +
+            "PRIMARY KEY (batch_id, part_id))")
         catch { case _: java.sql.SQLException => () }
         val rs = st.executeQuery(
           s"SELECT batch_id FROM $ledger WHERE batch_id = $batchId")
@@ -136,18 +165,18 @@ object Sinks {
       } finally st.close()
     }
     if (!alreadyPublished) {
-      // wipe partial staging rows a failed earlier attempt may have left
+      // wipe rows + markers a failed earlier BATCH attempt may have left
+      // (a re-attempt may partition differently, invalidating old markers)
       withConn { conn =>
         val st = conn.createStatement()
-        try st.executeUpdate(
-          s"DELETE FROM $staging WHERE ${q(batchCol)} = $batchId")
-        catch { case _: java.sql.SQLException => () } // staging not created yet
-        finally st.close()
+        try {
+          try st.executeUpdate(
+            s"DELETE FROM $staging WHERE ${q(batchCol)} = $batchId")
+          catch { case e: java.sql.SQLException if isMissingTable(e) => () }
+          st.executeUpdate(s"DELETE FROM $parts WHERE batch_id = $batchId")
+        } finally st.close()
       }
-      // distributed staging write (Spark creates the table on first append)
-      jdbcAppend(batch.withColumn(batchCol,
-          org.apache.spark.sql.functions.lit(batchId)),
-        url, staging, options, maxConnections)
+      stageBatch(batch, batchId, url, staging, parts, options, maxConnections)
       // atomic publish: target insert + ledger mark + staging clear, one txn
       val cols = batch.columns.map(q).mkString(", ")
       withConn { conn =>
@@ -159,10 +188,75 @@ object Sinks {
           st.executeUpdate(s"INSERT INTO $ledger VALUES ($batchId)")
           st.executeUpdate(
             s"DELETE FROM $staging WHERE ${q(batchCol)} = $batchId")
+          st.executeUpdate(s"DELETE FROM $parts WHERE batch_id = $batchId")
           conn.commit()
         } catch { case e: Throwable => conn.rollback(); throw e }
         finally st.close()
       }
+    }
+  }
+
+  /** Stage one micro-batch, idempotent under TASK retry: each partition
+    * inserts its rows AND a (batchId, partitionId) marker in ONE database
+    * transaction; a retried task that finds its marker skips cleanly, so
+    * a partition's rows can never land twice even when an executor dies
+    * after its insert committed but before Spark saw the task succeed.
+    * (Spark's own JDBC append has exactly that hole — per-partition
+    * INSERTs with no attempt dedup.) Package-visible so the retry
+    * idempotency is directly testable by staging the same batch twice.
+    */
+  private[graft] def stageBatch(batch: DataFrame, batchId: Long, url: String,
+      staging: String, parts: String, options: Map[String, String],
+      maxConnections: Int): Unit = {
+    val batchCol = "_graft_batch_id"
+    val tagged = batch.withColumn(batchCol,
+      org.apache.spark.sql.functions.lit(batchId))
+    // empty append first: creates the staging table from the schema when
+    // absent (Spark DDL), writes nothing — deterministic, retry-free
+    jdbcAppend(tagged.limit(0), url, staging, options, maxConnections)
+    val insertSql = {
+      val cols = tagged.columns.map(c => "\"" + c + "\"").mkString(", ")
+      val ph = tagged.columns.map(_ => "?").mkString(", ")
+      s"INSERT INTO $staging ($cols) VALUES ($ph)"
+    }
+    val nCols = tagged.columns.length
+    tagged.coalesce(maxConnections).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val pid = org.apache.spark.TaskContext.get().partitionId()
+          val props = new java.util.Properties()
+          options.foreach { case (k, v) => props.setProperty(k, v) }
+          val conn = java.sql.DriverManager.getConnection(url, props)
+          try {
+            conn.setAutoCommit(false)
+            val check = conn.prepareStatement(
+              s"SELECT 1 FROM $parts WHERE batch_id = ? AND part_id = ?")
+            val staged = try {
+              check.setLong(1, batchId); check.setInt(2, pid)
+              val rs = check.executeQuery()
+              try rs.next() finally rs.close()
+            } finally check.close()
+            if (!staged) {
+              val ins = conn.prepareStatement(insertSql)
+              try {
+                rows.foreach { r =>
+                  var i = 0
+                  while (i < nCols) { ins.setObject(i + 1, r.get(i)); i += 1 }
+                  ins.addBatch()
+                }
+                ins.executeBatch()
+              } finally ins.close()
+              val mark = conn.prepareStatement(
+                s"INSERT INTO $parts VALUES (?, ?)")
+              try {
+                mark.setLong(1, batchId); mark.setInt(2, pid)
+                mark.executeUpdate()
+              } finally mark.close()
+              conn.commit()
+            } else conn.rollback() // end the marker-check SELECT's txn
+          } catch { case e: Throwable => conn.rollback(); throw e }
+          finally conn.close()
+        }
     }
   }
 

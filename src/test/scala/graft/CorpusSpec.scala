@@ -260,6 +260,14 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == List(
       (10L, 3L, 2L, 2.0 / 3), (11L, 3L, 3L, 1.0), (12L, 3L, 0L, 0.0),
       (13L, 0L, 0L, 0.0), (14L, 4L, 2L, 0.5)))
+    // NULL-text eval docs are excluded entirely (no grams — corpusStats
+    // convention, and what a SQL oracle's null-propagating filter does)
+    val withNull = eval_.union(
+      Seq((15L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val guarded = Corpus.contaminationOverlap(train, withNull, "text",
+      "doc_id", n = 3).orderBy("eval_id")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(guarded == got)
   }
 
   test("budgetSelect: prefix rule resolves the straddling score class by id") {

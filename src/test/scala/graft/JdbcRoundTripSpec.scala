@@ -211,7 +211,8 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
-      for (tbl <- Seq("eo_sink", "eo_sink_staging", "eo_sink_ledger"))
+      for (tbl <- Seq("eo_sink", "eo_sink_staging", "eo_sink_ledger",
+          "eo_sink_staging_parts"))
         try st.executeUpdate(s"DROP TABLE $tbl")
         catch { case _: java.sql.SQLException => () }
       st.executeUpdate("CREATE TABLE eo_sink (doc_id BIGINT, n_chars BIGINT)")
@@ -226,9 +227,11 @@ class JdbcRoundTripSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StringType)))
     def proj(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-eo-ckpt-").toString
     val q = Sinks.streamJdbcExactlyOnce(
       proj(spark.readStream.schema(docSchema).parquet(s"$sf/documents.*")),
-      url, "eo_sink")
+      url, "eo_sink", ckpt)
     try q.processAllAvailable() finally q.stop()
 
     def sunk() = Tables.jdbc(spark, url,
@@ -259,6 +262,22 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assert(Tables.jdbc(spark, url,
       "SELECT batch_id FROM eo_sink_ledger WHERE batch_id = 99")
       .count() == 1L)
+
+    // TASK-retry idempotency: the same batch staged twice (a retried task
+    // re-running after its partition's insert already committed) must not
+    // duplicate staging rows — the per-partition markers skip the rerun
+    Sinks.stageBatch(batch0.limit(4), 100L, url, "eo_sink_staging",
+      "eo_sink_staging_parts", Map.empty, 2)
+    Sinks.stageBatch(batch0.limit(4), 100L, url, "eo_sink_staging",
+      "eo_sink_staging_parts", Map.empty, 2)
+    assert(Tables.jdbc(spark, url,
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM eo_sink_staging " +
+        "WHERE \"_graft_batch_id\" = 100")
+      .collect().head.getLong(0) == 4L,
+      "restaged partitions must be skipped by their markers")
+    Sinks.jdbcIdempotentBatch(batch0.limit(4), 100L, url, "eo_sink",
+      Map.empty, 2)
+    assert(sunk().length == want.length + 3 + 4)
   }
 
   test("console sink (K2) renders a bounded tabular dump") {
