@@ -261,6 +261,56 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.functions.TextExpressions.rollingFingerprint(text)
 
+  /** Per-document DEFLATE compression ratio (compressed/raw bytes over
+    * UTF-8), the classic cheap repetition/junk signal (low ratio =
+    * templated or repeated content; natural prose sits near the top of
+    * the range): used as a quality gate alongside the n-gram repetition
+    * metrics, which it complements by catching long-range repetition that
+    * fixed-n grams miss. Implemented over `mapPartitions` with the JDK's
+    * own Deflater at a FIXED level — java.util.zip wraps zlib with
+    * deterministic output for a given (input, level), so the score is
+    * reproducible across runs and executors, but it is NOT expressible in
+    * SQL: the q90 query carries the driver's weaker rows-only check and
+    * the spec pins hand-computed values instead. Shuffle-free map stage;
+    * one Deflater instance is reused (reset) across each partition's rows
+    * rather than allocated per document. Empty and NULL text score 1.0
+    * (nothing to compress — never "maximally repetitive").
+    */
+  def compressionRatios(df: org.apache.spark.sql.DataFrame, textCol: String,
+                        idCol: String, level: Int = 6): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol), col(textCol)).rdd.mapPartitions { it =>
+      val deflater = new java.util.zip.Deflater(level)
+      val buf = new Array[Byte](64 * 1024)
+      it.map { r =>
+        val id = r.getLong(0)
+        val text = if (r.isNullAt(1)) null else r.getString(1)
+        if (text == null || text.isEmpty) {
+          org.apache.spark.sql.Row(id, if (text == null) 0L else 0L, 0L, 1.0)
+        } else {
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished())
+            compressed += deflater.deflate(buf)
+          org.apache.spark.sql.Row(id, raw.length.toLong, compressed,
+            compressed.toDouble / raw.length)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("raw_bytes",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("deflate_bytes",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("compression_ratio",
+        org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
   /** PII surface patterns (emails, IPv4 addresses, NANP-shaped phone
     * numbers), deliberately kept in the RE2-compatible subset of Java
     * regex — no backreferences, no lookaround — so oracle engines replay

@@ -139,6 +139,15 @@ object TextQueries {
         .withColumn("keep", col("score") >= 0)
         .orderBy("doc_id")),
 
+    "q90_compression_ratio" -> ((s, d) =>
+      // DEFLATE-ratio repetition/junk signal (RefinedWeb-style): catches
+      // long-range repetition the fixed-n gram metrics (q61) miss. zlib
+      // is deterministic at a fixed level but not SQL-expressible — no
+      // oracle entry; the driver records the rows-only check and
+      // TextAnalysisSpec pins exact values against the JDK Deflater
+      TextAnalysis.compressionRatios(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
     "q83_gopher_rules" -> ((s, d) =>
       // the published Gopher heuristic-rules filter (Rae et al. 2021,
       // table A1), word-level subset: word-count bounds, mean-word-length

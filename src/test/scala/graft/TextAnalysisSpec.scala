@@ -186,6 +186,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("compressionRatios: exact Deflater replay, repetitive text compresses harder") {
+    val repetitive = "spam ham " * 200
+    val varied = (1 to 200).map(i => s"w${i * 7919}").mkString(" ")
+    val df = Seq((1L, repetitive), (2L, varied), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatios(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toList
+    // exact replay of the same JDK Deflater on the driver
+    def ref(s: String): (Long, Long, Double) = {
+      val raw = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](64 * 1024)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      (raw.length.toLong, n, n.toDouble / raw.length)
+    }
+    val (r1, c1, f1) = ref(repetitive)
+    val (r2, c2, f2) = ref(varied)
+    assert(got(0) == ((1L, r1, c1, f1)))
+    assert(got(1) == ((2L, r2, c2, f2)))
+    assert(f1 < 0.05 && f2 > 0.3, s"ratios $f1 / $f2") // the signal itself
+    assert(got(2) == ((3L, 0L, 0L, 1.0)))              // empty text
+    assert(got(3) == ((4L, 0L, 0L, 1.0)))              // null text
+  }
+
   test("gopher rule metrics: symbol ratio, alpha-word fraction, stop count") {
     val df = Seq(
       "see # section ... below",   // 1 '#' + 1 '...' over 5 words
