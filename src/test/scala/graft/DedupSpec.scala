@@ -461,6 +461,18 @@ class DedupSpec extends AnyFunSuite {
     assert(strict(12L) == false && strict(10L) == true)
   }
 
+  test("probing an EMPTY manifest flags nothing and keeps every batch doc") {
+    val path = "target/graft-test-minhash-empty"
+    Dedup.saveMinhashManifest(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", "doc_id", path, k = 32, bands = 16)
+    val out = Dedup.incrementalNearDups(
+      Seq((1L, base), (2L, unrelated(0))).toDF("doc_id", "text"),
+      path, "text", "doc_id", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> false, 2L -> false))
+  }
+
   test("ingest loop: probe, filter survivors, append them, re-probe flags them") {
     val path = "target/graft-test-minhash-append"
     Dedup.saveMinhashManifest(Seq((1L, base)).toDF("doc_id", "text"),
