@@ -376,28 +376,45 @@ object Corpus {
     */
   def lmPerplexity(train: DataFrame, score: DataFrame, textCol: String,
                    idCol: String): DataFrame = {
-    def bigrams(df: DataFrame): DataFrame = {
-      val toks = split(col(textCol), " ")
-      // sequence(1, n-1) would generate DESCENDING [1, 0] for one-token
-      // docs — guard to an empty index list instead
-      val idxs = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
-        .otherwise(array().cast("array<int>"))
-      df.where(col(textCol).isNotNull)
-        .select(col(idCol).as("doc"),
-          explode(transform(idxs, i => struct(
-            element_at(toks, i).as("p"),
-            element_at(toks, i + 1).as("w")))).as("g"))
-        .select(col("doc"), col("g.p").as("p"), col("g.w").as("w"))
-    }
-    val trainGrams = bigrams(train)
-    val cb = trainGrams.groupBy("p", "w").agg(count(lit(1)).as("cb"))
-    val cu = trainGrams.groupBy("p").agg(count(lit(1)).as("cu"))
-    val v = train.where(col(textCol).isNotNull)
-      .select(explode(split(col(textCol), " ")).as("tok"))
-      .agg(countDistinct(col("tok")).as("v"))
+    val (cb, cu, v) = trainLmCounts(train, textCol, idCol)
+    scoreAgainstLm(score, cb, cu, v, textCol, idCol)
+  }
+
+  /** The (doc, p, w) bigram stream of a corpus — shared by LM training
+    * and scoring, which must tokenize identically.
+    */
+  private def bigramStream(df: DataFrame, textCol: String,
+                           idCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // sequence(1, n-1) would generate DESCENDING [1, 0] for one-token
+    // docs — guard to an empty index list instead
+    val idxs = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+      .otherwise(array().cast("array<int>"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        explode(transform(idxs, i => struct(
+          element_at(toks, i).as("p"),
+          element_at(toks, i + 1).as("w")))).as("g"))
+      .select(col("doc"), col("g.p").as("p"), col("g.w").as("w"))
+  }
+
+  /** (bigram counts, prefix counts, vocab size) — the entire model. */
+  private def trainLmCounts(train: DataFrame, textCol: String,
+                            idCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val trainGrams = bigramStream(train, textCol, idCol)
+    (trainGrams.groupBy("p", "w").agg(count(lit(1)).as("cb")),
+      trainGrams.groupBy("p").agg(count(lit(1)).as("cu")),
+      train.where(col(textCol).isNotNull)
+        .select(explode(split(col(textCol), " ")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v")))
+  }
+
+  private def scoreAgainstLm(score: DataFrame, cb: DataFrame, cu: DataFrame,
+                             v: DataFrame, textCol: String,
+                             idCol: String): DataFrame = {
     // unseen bigrams/prefixes score against zero counts (left joins):
     // bits = floor(log2((c(p) + V) div (c(p,w) + 1))) in pure integers
-    val scored = bigrams(score)
+    val scored = bigramStream(score, textCol, idCol)
       .join(cb, Seq("p", "w"), "left")
       .join(cu, Seq("p"), "left")
       .crossJoin(broadcast(v))
@@ -413,6 +430,33 @@ object Corpus {
         coalesce(col("total_bits"), lit(0L)).as("total_bits"),
         coalesce(expr("total_bits * 100 div n_bigrams"), lit(0L))
           .as("bits_x100"))
+  }
+
+  /** Persist the bigram LM to `path` (`bigrams/`, `prefixes/`, `meta/`) —
+    * the model IS its two count relations plus the vocab size, so this is
+    * the CCNet deployment shape: train the reference LM once, score every
+    * later crawl batch from the loaded counts ([[lmPerplexityIndexed]])
+    * without touching the reference corpus again. Completes the persisted-
+    * artifact set (IVF index, MinHash manifest, LM counts).
+    */
+  def saveLm(train: DataFrame, textCol: String, idCol: String,
+             path: String): Unit = {
+    val (cb, cu, v) = trainLmCounts(train, textCol, idCol)
+    cb.write.mode("overwrite").parquet(s"$path/bigrams")
+    cu.write.mode("overwrite").parquet(s"$path/prefixes")
+    v.repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** [[lmPerplexity]] scoring against a [[saveLm]] model on disk: the
+    * training pass is skipped entirely — per-batch cost is the batch's
+    * bigram explode plus two count-relation joins.
+    */
+  def lmPerplexityIndexed(score: DataFrame, path: String, textCol: String,
+                          idCol: String): DataFrame = {
+    val spark = score.sparkSession
+    scoreAgainstLm(score, spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/prefixes"),
+      spark.read.parquet(s"$path/meta"), textCol, idCol)
   }
 
   /** Sentence-level decontamination: per eval document, how many of its

@@ -166,6 +166,22 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q91_lm_perplexity_indexed" -> ((s, d) => {
+      // the CCNet deployment shape: the reference LM (trained on the
+      // train split) persists to disk ONCE, and each later batch (here
+      // the test split) scores against the loaded counts — no training
+      // pass per batch. Unseen test bigrams hit the add-one floor via
+      // the left joins.
+      val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
+      val path = s"target/graft-lm-${new java.io.File(d).getName}"
+      Corpus.saveLm(docs.where(col("split") === "train"), "text", "doc_id",
+        path)
+      Corpus.lmPerplexityIndexed(
+        docs.where(col("split") === "test" && col("text").isNotNull),
+        path, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q63_dedup_bloom_incremental" -> ((s, d) => {
       // q56's ingest shape with the Bloom prefilter: identical output
       // contract (the sketch has no false negatives), but the anti-join
@@ -276,6 +292,41 @@ object CorpusQueries {
                      AS BIGINT) AS bits_x100
          FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
          ORDER BY d.doc_id""",
+
+    // q81's integer-bits replay with counts from the TRAIN split and
+    // scoring over the TEST split; unseen bigrams take the add-one floor
+    // through coalesce(…, 0), exactly the engine's left joins
+    "q91_lm_perplexity_indexed" ->
+      s"""WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                             $fpFold % 100 AS b
+                      FROM documents WHERE text IS NOT NULL),
+         tr AS (SELECT doc_id, toks FROM s0 WHERE b < 80),
+         te AS (SELECT doc_id, toks FROM s0 WHERE b >= 90),
+         gtr AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+                 FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                       FROM tr)),
+         gte AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+                 FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                       FROM te)),
+         cb AS (SELECT p, w, count(*) AS cb FROM gtr GROUP BY p, w),
+         cu AS (SELECT p, count(*) AS cu FROM gtr GROUP BY p),
+         v AS (SELECT count(DISTINCT tok) AS v
+               FROM (SELECT unnest(toks) AS tok FROM tr)),
+         s AS (SELECT gte.doc_id,
+                      length(bin((coalesce(cu.cu, 0) + v.v)
+                                 // (coalesce(cb.cb, 0) + 1))) - 1 AS bits
+               FROM gte LEFT JOIN cb USING (p, w) LEFT JOIN cu USING (p)
+               CROSS JOIN v),
+         r AS (SELECT doc_id, count(*) AS n_bigrams,
+                      sum(bits) AS total_bits
+               FROM s GROUP BY doc_id)
+         SELECT te.doc_id,
+                CAST(coalesce(r.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(coalesce(r.total_bits, 0) AS BIGINT) AS total_bits,
+                CAST(coalesce(r.total_bits * 100 // r.n_bigrams, 0)
+                     AS BIGINT) AS bits_x100
+         FROM te LEFT JOIN r ON te.doc_id = r.doc_id
+         ORDER BY te.doc_id""",
 
     // q54's machinery, inverted: train docs NOT in the leak-pair set
     "q79_decontaminate_filter" ->

@@ -243,6 +243,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(uncapped.count() == 6)
   }
 
+  test("lmPerplexityIndexed: scoring from the persisted LM equals inline training") {
+    val train = Seq((1L, "a b c a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b c"), (11L, "x y z"), (12L, "q"))
+      .toDF("doc_id", "text")
+    val path = "target/graft-test-lm"
+    Corpus.saveLm(train, "text", "doc_id", path)
+    val indexed = Corpus.lmPerplexityIndexed(batch, path, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toList
+    val inline = Corpus.lmPerplexity(train, batch, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toList
+    assert(indexed == inline)
+    assert(indexed.head._2 == 2L)          // "a b c" has two bigrams
+    assert(indexed(2) == ((12L, 0L, 0L, 0L))) // one-token doc zero-fills
+  }
+
   test("contaminationOverlap: per-eval-doc fraction of grams seen in train") {
     val train = Seq(
       (1L, "a b c d e"),          // grams: abc bcd cde
