@@ -201,6 +201,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("graft-audit-manifest/bands"), plan.take(3000))
   }
 
+  test("q91 indexed LM scoring loads counts; it never retrains") {
+    import spark.implicits._
+    val path = "target/graft-audit-lm"
+    graft.ext.Corpus.saveLm(
+      Seq((1L, "a b c a b")).toDF("doc_id", "text"), "text", "doc_id", path)
+    val scored = graft.ext.Corpus.lmPerplexityIndexed(
+      Seq((2L, "a b x")).toDF("doc_id", "text"), path, "text", "doc_id")
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the model relations come from their parquet files…
+    assert(plan.contains("graft-audit-lm/bigrams") &&
+      plan.contains("graft-audit-lm/prefixes"), plan.take(3000))
+    // …and the vocab-size training aggregate is absent from serving
+    assert(!plan.contains("distinct"), plan.take(3000))
+  }
+
   test("q85 budget select: the single-partition window consumes the histogram") {
     // the running-total window over (score DESC) is the one unpartitioned
     // (single-task) operator in the plan — its input must be the per-score
