@@ -401,12 +401,19 @@ object Corpus {
   /** (bigram counts, prefix counts, vocab size) — the entire model. */
   private def trainLmCounts(train: DataFrame, textCol: String,
                             idCol: String): (DataFrame, DataFrame, DataFrame) = {
-    val trainGrams = bigramStream(train, textCol, idCol)
-    (trainGrams.groupBy("p", "w").agg(count(lit(1)).as("cb")),
-      trainGrams.groupBy("p").agg(count(lit(1)).as("cu")),
-      train.where(col(textCol).isNotNull)
-        .select(explode(split(col(textCol), " ")).as("tok"))
-        .agg(countDistinct(col("tok")).as("v")))
+    val cb = bigramStream(train, textCol, idCol)
+      .groupBy("p", "w").agg(count(lit(1)).as("cb"))
+    // c(p) = Σ_w c(p,w) exactly (every bigram occurrence carries prefix
+    // p), so the prefix counts REAGGREGATE the much smaller bigram-count
+    // relation instead of a second explode pass over the corpus — q24's
+    // tf→df shape. The vocab scan stays its own pass: a token appearing
+    // only in one-token documents forms no bigram, so V is not derivable
+    // from the gram stream.
+    val cu = cb.groupBy("p").agg(sum(col("cb")).as("cu"))
+    val v = train.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    (cb, cu, v)
   }
 
   private def scoreAgainstLm(score: DataFrame, cb: DataFrame, cu: DataFrame,
