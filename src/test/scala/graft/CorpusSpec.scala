@@ -285,6 +285,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(guarded == got)
   }
 
+  test("contaminationOverlap ≡ brute-force gram-set arithmetic on randomized corpora") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector.tabulate(12)(i => s"w$i")
+    def doc(): String =
+      Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val train = (1L to 25L).map(i => (i, doc()))
+    val eval_ = (101L to 130L).map(i => (i, doc()))
+    val n = 3
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val trainSet = train.flatMap { case (_, t) => grams(t) }.toSet
+    val want = eval_.map { case (id, t) =>
+      val g = grams(t)
+      val seen = g.count(trainSet.contains).toLong
+      (id, g.size.toLong, seen,
+        if (g.nonEmpty) seen.toDouble / g.size else 0.0)
+    }.toList
+    val got = Corpus.contaminationOverlap(train.toDF("doc_id", "text"),
+      eval_.toDF("doc_id", "text"), "text", "doc_id", n)
+      .orderBy("eval_id")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got == want)
+  }
+
   test("budgetSelect: prefix rule resolves the straddling score class by id") {
     // scores: doc 1,2,3 score 3 (4 tokens each), doc 4,5 score 2 (4 each),
     // doc 6 score 1. Total tokens 24; budget 500‰ → 12 tokens.

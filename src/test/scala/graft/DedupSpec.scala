@@ -461,6 +461,38 @@ class DedupSpec extends AnyFunSuite {
     assert(strict(12L) == false && strict(10L) == true)
   }
 
+  test("incrementalNearDups ≡ brute-force max-Jaccard on randomized corpora") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector.tabulate(40)(i => s"tok$i")
+    def doc(): String =
+      Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val manifest = (1L to 30L).map(i => (i, doc()))
+    // batch: fresh randoms + exact copies + near-misses (one token swapped)
+    val batch = (101L to 120L).map(i => (i, doc())) ++
+      manifest.take(5).map { case (i, t) => (i + 200L, t) } ++
+      manifest.slice(5, 10).map { case (i, t) =>
+        (i + 300L, t.split(" ").updated(0, "tok0").mkString(" ")) }
+    val path = "target/graft-test-minhash-prop"
+    Dedup.saveMinhashManifest(manifest.toDF("doc_id", "text"),
+      "text", "doc_id", path, k = 32, bands = 16)
+    for (threshold <- Seq(0.7, 0.9)) {
+      val got = Dedup.incrementalNearDups(batch.toDF("doc_id", "text"),
+        path, "text", "doc_id", threshold)
+        .collect().map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2))))
+        .toMap
+      val want = batch.map { case (id, t) =>
+        val s = t.split(" ").toSet
+        val jacs = manifest.map { case (_, mt) =>
+          val ms = mt.split(" ").toSet
+          s.intersect(ms).size.toDouble / s.union(ms).size
+        }.filter(_ >= threshold)
+        id -> ((jacs.sorted.lastOption, jacs.nonEmpty))
+      }.toMap
+      assert(got == want, s"threshold=$threshold")
+    }
+  }
+
   test("probing an EMPTY manifest flags nothing and keeps every batch doc") {
     val path = "target/graft-test-minhash-empty"
     Dedup.saveMinhashManifest(
