@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
-      MultimodalQueries.queries ++ CorpusQueries.queries
+      MultimodalQueries.queries ++ CorpusQueries.queries ++
+      SearchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
-      MultimodalQueries.oracles ++ CorpusQueries.oracles
+      MultimodalQueries.oracles ++ CorpusQueries.oracles ++
+      SearchQueries.oracles
 }

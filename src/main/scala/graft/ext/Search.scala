@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus search operators: BM25 ranked retrieval and exact all-pairs
+  * cosine similarity with prefix filtering. Both are built from the same
+  * inverted-index primitives (token explode → tf/df aggregates) the TF-IDF
+  * query (q24) uses, and both keep the corpus un-self-joined: BM25 never
+  * pairs documents at all, and APSS pairs them only through the
+  * df-ascending prefix index that the Bayardo et al. (WWW'07) bound proves
+  * lossless.
+  */
+object Search {
+
+  /** BM25 top-k ranked retrieval for a fixed term set, rational-idf
+    * variant: idf'(t) = (N − df + 0.5)/(df + 0.5), i.e. Robertson idf
+    * without the log. The log is omitted DELIBERATELY: ln() is not
+    * required to be correctly rounded, so engine/oracle replays could
+    * differ in the last ulp; every operation here (integer casts, one
+    * division per factor, fixed-order sums) is IEEE-exact-identical in
+    * any engine. Documented as a variant — per-term monotone in tf and
+    * anti-monotone in df exactly like BM25, but the cross-term weighting
+    * is steeper than the logged form.
+    *
+    * Scale shape: the token explode is filtered to the |terms| query
+    * tokens BEFORE any exchange (the post-explode filter runs map-side),
+    * so the tf shuffle carries only matching (doc, term) rows — at 100 TB
+    * that is the posting list, not the corpus. df (≤ |terms| rows) and
+    * the one-row corpus stats enter as broadcasts; N comes from the same
+    * job, never a driver-side count(). The per-document score is a pivot
+    * over the fixed term set — max(when) per term then a FIXED-ORDER
+    * left-assoc sum, so no nondeterministic double accumulation ever
+    * happens. Top-k is orderBy+limit → TakeOrderedAndProject (per-partition
+    * heap + driver merge of k rows), never a global sort.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+               idCol: String = "doc_id", textCol: String = "text",
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size == terms.distinct.size,
+      "bm25TopK needs a non-empty, duplicate-free term set")
+    val toks = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .where(col("token").isInCollection(terms))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    // df re-aggregates tf (one distinct (doc, term) row each) — no second
+    // corpus pass, and the input is already exchange-partitioned
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("total_tokens"))
+    val dl = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("token"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl"), col("token"),
+        // every paren mirrored verbatim in the oracle SQL — the doubles
+        // must come out bit-identical, not just close
+        (((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) *
+          ((col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) + lit(b) *
+                (col("dl").cast("double") /
+                  (col("total_tokens").cast("double") /
+                    col("n_docs").cast("double"))))))).as("c"))
+    // pivot over the fixed term set: max(when) per term is order-safe on
+    // doubles, and the final sum is a fixed left-assoc expression
+    val aggs = terms.map(t =>
+      coalesce(max(when(col("token") === t, col("c"))), lit(0.0)).as(s"c_$t"))
+    val perDoc = contrib.groupBy(col(idCol), col("dl"))
+      .agg(aggs.head, aggs.tail: _*)
+    val scored = perDoc.withColumn("score",
+      terms.map(t => col(s"c_$t")).reduceLeft(_ + _))
+    val top = scored.orderBy(col("score").desc, col(idCol)).limit(k)
+    // rank stamped AFTER the limit: the window sees k rows, not the corpus
+    val w = Window.orderBy(col("score").desc, col(idCol))
+    top.withColumn("rank", row_number().over(w))
+      .orderBy("rank")
+  }
+
+  /** Exact all-pairs cosine similarity over distinct word n-gram shingle
+    * sets at rational threshold tau = tauNum/tauDen, via prefix filtering
+    * (Bayardo, Ma, Srikant — "Scaling Up All Pairs Similarity Search",
+    * WWW'07): order each document's shingles by ascending global document
+    * frequency (rarest first) and index only the first
+    * p = n − ceil(tau²·n) + 1 of them. A candidate pair is generated when
+    * a full set shares a token with another document's PREFIX; any pair
+    * whose shared shingles all hide in both suffixes has
+    * dot ≤ min(ceil(tau²·n₁), ceil(tau²·n₂)) − 1 < tau·sqrt(n₁·n₂), so
+    * the filter is LOSSLESS — the output equals the brute-force
+    * self-join, which is exactly what the DuckDB oracle computes.
+    *
+    * All threshold math is integer: cos ≥ tauNum/tauDen ⇔
+    * tauDen²·dot² ≥ tauNum²·n₁·n₂ (dot ≥ 0), and the prefix bound uses
+    * ceil(tauNum²·n/tauDen²) = (tauNum²·n + tauDen² − 1) div tauDen² —
+    * no float ever decides membership. The reported cos_sim double is one
+    * division of a sqrt of exact integers, bit-identical in any engine.
+    *
+    * Scale shape: the candidate join is keyed on PREFIX shingles, whose
+    * df is small by construction on Zipfian corpora (rarest-first
+    * ordering); frequent shingles never enter the index, so the classic
+    * stopword-posting blowup cannot happen. The verification join carries
+    * (id, shingle) pairs only — never document text — and the per-pair
+    * work is one count aggregate. Set sizes and shingle dfs are linear
+    * aggregates. On an adversarially DENSE corpus (tiny vocabulary) the
+    * true result itself is Θ(n²) pairs and no exact algorithm does
+    * better; the threshold is the knob that keeps output sparse.
+    */
+  def apssCosinePairs(docs: DataFrame, n: Int = 3,
+                      tauNum: Int = 4, tauDen: Int = 5,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"need a threshold in (0, 1], got $tauNum/$tauDen")
+    val t2n = tauNum.toLong * tauNum; val t2d = tauDen.toLong * tauDen
+    val sets = docs.select(col(idCol).as("id"),
+      explode(Dedup.wordNgrams(col(textCol), n)).as("g"))
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfreq = sets.groupBy("g").agg(count(lit(1)).as("gdf"))
+    // global rarest-first order; position within each document's set
+    val wpos = Window.partitionBy(col("id")).orderBy(col("gdf"), col("g"))
+    val positioned = sets.join(dfreq, Seq("g"))
+      .withColumn("pos", row_number().over(wpos))
+      .join(sizes, Seq("id"))
+    // ceil(t2n·sz/t2d) in exact integer arithmetic (sz < 2^31 ⇒ no overflow)
+    // allowed suffix length = ceil(tau²·sz) − 1; prefix = the rest.
+    // (t2n·sz + t2d − 1) ≤ 25·2³¹ ≪ 2⁵³ so the double division is exact.
+    val suffixLen = floor((lit(t2n) * col("sz") + lit(t2d - 1)) / lit(t2d))
+      .cast("long") - lit(1L)
+    val prefix = positioned.where(col("pos") <= col("sz") - suffixLen)
+      .select(col("id").as("id_p"), col("g"))
+    val cand = sets.join(prefix, Seq("g"))
+      .where(col("id") =!= col("id_p"))
+      .select(least(col("id"), col("id_p")).as("id_a"),
+        greatest(col("id"), col("id_p")).as("id_b"))
+      .distinct()
+    // exact dot for candidates only: fan out by id_a's shingles, keep the
+    // ones id_b shares, count — (id, shingle) rows, never text
+    val dots = cand
+      .join(sets.select(col("id").as("id_a"), col("g")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("dot"))
+    dots
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("n_b")), Seq("id_b"))
+      .where(lit(t2d) * col("dot") * col("dot") >= lit(t2n) * col("n_a") * col("n_b"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("dot"),
+        (col("dot").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double"))).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -533,6 +533,49 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * embedding space coarsely, then search for near-duplicates ONLY
+    * within each cluster — the cluster assignment bounds the quadratic.
+    * Per vector the verdict is: `dup_of` = the smallest earlier (lower-id)
+    * same-cluster vector with cosine ≥ tau, or −1; `keep` = 1 iff no such
+    * earlier duplicate exists. Keeping the minimum id makes the verdict a
+    * pure function of the corpus (no RNG, no iteration order).
+    *
+    * Scale shape: assignment is the same argmax-dot expression array the
+    * IVF path uses — pure map work against a broadcast k×dim centroid
+    * matrix. The pair search is a self-join ON THE CLUSTER ID, so each
+    * cluster's Θ(c²) pair work stays inside its own shuffle partitions
+    * and the cross-cluster n² never materializes. The operating contract
+    * at 100 TB is the paper's: k grows with the corpus (k ∝ n keeps
+    * E[c²] bounded), and the AQE skew-join split handles the occasional
+    * dense cell. Pass [[trainCentroids]] for production cells;
+    * [[sampleCentroids]] keeps the oracle replayable.
+    */
+  def semDedup(corpus: DataFrame, tau: Double, dim: Int, nClusters: Int = 16,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               centroidsIn: Array[Array[Double]] = null): DataFrame = {
+    val cents = if (centroidsIn == null) centroids(nClusters, dim) else centroidsIn
+    val assigned = corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"),
+        norm(col(vecCol)).as("nrm"),
+        array_max(centDotsFor(cents)(col(vecCol).cast("array<double>")))
+          .getField("c").as("centroid"))
+    val a = assigned.select(col("centroid"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("centroid"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val dups = a.join(b, Seq("centroid"))
+      .where(col("id_a") < col("id_b"))
+      .where(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")) >= tau)
+      .groupBy(col("id_b").as("vec_id")).agg(min(col("id_a")).as("dup_of"))
+    assigned.select(col("vec_id"), col("centroid"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        (coalesce(col("dup_of"), lit(-1L)) < 0).cast("int").as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Exact embedding-cosine pairs above a threshold — a corpus×corpus
     * self-join, O(n²) BY CONSTRUCTION. This is the small-corpus reference
     * oracle (tests, eval sets), NOT the dup-pairs operator: the production

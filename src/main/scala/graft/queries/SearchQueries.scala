@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.ext.Search
+import graft.ops.Num
+import graft.ops.Tables.t
+import org.apache.spark.sql.functions._
+
+/** Search + co-located-join operator queries: BM25 ranked retrieval (q92),
+  * exact prefix-filtered all-pairs similarity (q93), and the bucketed
+  * shuffle-free join path (q95).
+  */
+object SearchQueries {
+  import ParityQueries.Q
+
+  /** Fixed query-term set for q92 — all present in the fixture vocabulary
+    * with distinct document frequencies, so idf actually differentiates.
+    */
+  private val bmTerms = Seq("spark", "join", "window", "stream")
+  private val k1 = 1.2
+  private val b = 0.75
+
+  val queries: Map[String, Q] = Map(
+    "q92_bm25_topk" -> ((s, d) =>
+      // BM25 (rational-idf variant — see Search.bm25TopK for why the log
+      // is deliberately omitted) top-20 over the documents corpus
+      Search.bm25TopK(t(s, d, "documents"), bmTerms, k = 20,
+        k1 = k1, b = b)),
+
+    "q93_apss_cosine" -> ((s, d) =>
+      // exact all-pairs trigram-shingle cosine at tau = 4/5 via lossless
+      // prefix filtering; the oracle brute-forces the same contract
+      Search.apssCosinePairs(t(s, d, "documents"), n = 3,
+        tauNum = 4, tauDen = 5)),
+
+    "q95_bucketed_join" -> ((s, d) => {
+      // the co-located join path: both fact tables are written bucketed
+      // (+ sorted) on the join key, so the join needs NO exchange — at
+      // 100 TB this is the difference between re-shuffling two fact
+      // tables per query and reading pre-shuffled buckets. The bucket
+      // count is per-cluster config (8 here for local[32] at test SF);
+      // PlanAuditSpec pins the exchange-free plan shape. Results are
+      // bucketing-invariant, so the oracle is the plain join.
+      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val lt = s"graft_bkt_lineitem_$sf"; val ot = s"graft_bkt_orders_$sf"
+      // the warehouse directory outlives the in-memory catalog, so a
+      // stale location from a previous JVM blocks saveAsTable even with
+      // mode=overwrite — drop the catalog entry AND the leftover files
+      Seq(lt, ot).foreach { name =>
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      t(s, d, "lineitem")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      t(s, d, "orders")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Num.moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    })
+  )
+
+  private val termListSql = bmTerms.map(t => s"'$t'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    // same arithmetic, same parenthesization, constants interpolated from
+    // the SAME Scala doubles (toString round-trips the bits)
+    "q92_bm25_topk" -> {
+      val cExprs = bmTerms.map(t =>
+        s"coalesce(max(CASE WHEN token = '$t' THEN c END), 0.0) AS c_$t")
+        .mkString(",\n                  ")
+      val scoreSum = bmTerms.map(t => s"c_$t").mkString(" + ")
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents),
+          tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM toks
+            WHERE token IN ($termListSql) GROUP BY doc_id, token),
+          dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+          stats AS (
+            SELECT count(*) AS n_docs,
+                   sum(len(string_split(text, ' '))) AS total_tokens
+            FROM documents),
+          dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+                 FROM documents),
+          contrib AS (
+            SELECT tf.doc_id, dl.dl, tf.token,
+                   (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                     / (CAST(dfreq.df AS DOUBLE) + 0.5)
+                     * ((CAST(tf.tf AS DOUBLE) * ${k1 + 1.0})
+                        / (CAST(tf.tf AS DOUBLE) + $k1
+                           * (${1.0 - b} + $b
+                              * (CAST(dl.dl AS DOUBLE)
+                                 / (CAST(stats.total_tokens AS DOUBLE)
+                                    / CAST(stats.n_docs AS DOUBLE)))))) AS c
+            FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+            CROSS JOIN stats),
+          piv AS (
+            SELECT doc_id, dl,
+                  $cExprs
+            FROM contrib GROUP BY doc_id, dl),
+          scored AS (SELECT *, $scoreSum AS score FROM piv)
+          SELECT doc_id, dl, ${bmTerms.map(t => s"c_$t").mkString(", ")},
+                 score, rank
+          FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+                            AS rank
+                FROM scored)
+          WHERE rank <= 20 ORDER BY rank"""
+    },
+
+    // brute-force reference: the prefix filter is lossless (Bayardo bound),
+    // so the full self-join IS the engine's contract. 25·dot² ≥ 16·n_a·n_b
+    // is the exact integer form of cos ≥ 4/5.
+    "q93_apss_cosine" ->
+      """WITH g AS (
+           SELECT doc_id AS id,
+                  list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                    AS grams
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         p AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+                  CAST(len(a.grams) AS BIGINT) AS n_a,
+                  CAST(len(b.grams) AS BIGINT) AS n_b,
+                  CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS dot
+           FROM g a JOIN g b ON a.id < b.id)
+         SELECT id_a, id_b, n_a, n_b, dot,
+                CAST(dot AS DOUBLE) / sqrt(CAST(n_a * n_b AS DOUBLE)) AS cos_sim
+         FROM p
+         WHERE 25 * dot * dot >= 16 * n_a * n_b
+         ORDER BY id_a, id_b""",
+
+    "q95_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+  )
+}

@@ -144,6 +144,15 @@ object SimilarityQueries {
         emb.where(pmod(col("vec_id"), lit(2)) === 1), path)
       Similarity.topKIvfIndexed(s, deq.where(col("vec_id") < 10), path, k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    "q94_semdedup" -> ((s, d) => {
+      // SemDeDup: coarse k-means cells bound the near-dup quadratic; the
+      // oracle replays assignment from the same 16 smallest-id sample
+      // centroids (the q39 convention) and the within-cell pair search
+      val emb = t(s, d, "embeddings")
+      Similarity.semDedup(emb, tau = 0.98, dim = 64, nClusters = 16,
+        centroidsIn = Similarity.sampleCentroids(emb, 16))
     })
   )
 
@@ -453,6 +462,39 @@ object SimilarityQueries {
             FROM scored)
           SELECT query_id, neighbor_id, cos_sim, rank
           FROM ranked WHERE rank <= 10
-          ORDER BY query_id, rank"""
+          ORDER BY query_id, rank""",
+
+    // q39's assignment replay (raw vectors, sample centroids), then the
+    // within-cell pair search: dup_of = min earlier same-cell id with
+    // cos ≥ 0.98, keep = 1 iff none — deterministic integer minima over
+    // bit-identical cosines
+    "q94_semdedup" ->
+      s"""WITH e AS ($normed),
+          cent AS (SELECT rn AS c, embedding AS cv FROM ($sample16)),
+          cd AS (
+            SELECT e.vec_id, cent.c,
+                   ${duckDot("e.embedding", "cent.cv")} AS d
+            FROM e CROSS JOIN cent),
+          assigned AS (
+            SELECT vec_id, c AS centroid FROM (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, c DESC) AS r
+              FROM cd) WHERE r = 1),
+          dups AS (
+            SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+            FROM assigned a JOIN assigned b
+              ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id
+            WHERE ${duckDot("ea.embedding", "eb.embedding")}
+                    / (ea.nrm * eb.nrm) >= 0.98
+            GROUP BY b.vec_id)
+          SELECT a.vec_id, a.centroid,
+                 coalesce(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of,
+                 CAST(CASE WHEN coalesce(d.dup_of, CAST(-1 AS BIGINT)) < 0
+                           THEN 1 ELSE 0 END AS INTEGER) AS keep
+          FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+          ORDER BY a.vec_id"""
   )
 }

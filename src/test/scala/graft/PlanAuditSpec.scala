@@ -296,4 +296,35 @@ class PlanAuditSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toList
     assert(got == List((100L, 1L, 1L)), got)
   }
+
+  test("q92 BM25: top-k is TakeOrderedAndProject; df and stats broadcast") {
+    val plan = planOf("q92_bm25_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // the ≤|terms|-row df relation and the 1-row stats relation broadcast;
+    // nothing nested-loops except the deliberate 1-row stats cross join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q93 APSS: equi-joins only — no cartesian pair generation") {
+    val plan = planOf("q93_apss_cosine")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+  }
+
+  test("q95 bucketed join: neither fact side re-shuffles on the join key") {
+    // force the SMJ path (at test SF the whole of orders would broadcast)
+    // so the audit actually exercises bucket co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q95_bucketed_join")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      // the ONLY exchange sits above the join (the groupBy on priority);
+      // neither scan is followed by a hashpartitioning on its join key
+      assert(!plan.contains("hashpartitioning(l_orderkey") &&
+        !plan.contains("hashpartitioning(o_orderkey"), plan.take(4000))
+      assert(plan.contains("SelectedBucketsCount"), plan.take(4000))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import graft.ext.{Search, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Search-operator semantics: BM25 against hand-computed scores, the
+  * prefix-filtered APSS against a literal brute-force replay (the lossless
+  * claim, exercised on randomized corpora with planted duplicates), and
+  * SemDeDup's within-cluster verdicts on a constructed geometry.
+  */
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ BM25
+
+  test("bm25TopK matches the hand-computed rational-idf scores") {
+    val docs = Seq(
+      (1L, "spark join spark"),
+      (2L, "stream window table"),
+      (3L, "the quick fox")).toDF("doc_id", "text")
+    val out = Search.bm25TopK(docs, Seq("spark", "join", "window", "stream"),
+      k = 10).collect()
+    // d3 has no query term: inner tf join drops it
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val idf = (3.0 - 1.0 + 0.5) / (1.0 + 0.5) // every term: df = 1, N = 3
+    def tfPart(tf: Double, dl: Double): Double = // avgdl = 9/3 = 3
+      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / 3.0)))
+    val d1 = idf * tfPart(2, 3) + idf * tfPart(1, 3)
+    val d2 = idf * tfPart(1, 3) + idf * tfPart(1, 3)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(byId(1L).getAs[Double]("score") - d1) < 1e-12)
+    assert(math.abs(byId(2L).getAs[Double]("score") - d2) < 1e-12)
+    assert(byId(1L).getAs[Int]("rank") == 1 && byId(2L).getAs[Int]("rank") == 2)
+    // the per-term pivot keeps unmatched contributions at exactly 0.0
+    assert(byId(2L).getAs[Double]("c_spark") == 0.0)
+    assert(byId(1L).getAs[Double]("c_window") == 0.0)
+  }
+
+  test("bm25TopK honors k with deterministic doc_id tie-breaks") {
+    val docs = (1L to 30L).map(i => (i, "spark table")).toDF("doc_id", "text")
+    val out = Search.bm25TopK(docs, Seq("spark"), k = 5).collect()
+    // identical scores everywhere: ties resolve by ascending doc_id
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  // ------------------------------------------------------------------ APSS
+
+  /** Literal brute force over distinct trigram sets with the same integer
+    * threshold — the contract apssCosinePairs must reproduce exactly.
+    */
+  private def bruteApss(docs: Seq[(Long, String)], tauNum: Int, tauDen: Int)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    def grams(s: String): Set[String] = {
+      val t = s.split(" ", -1)
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, s) => id -> grams(s) }.filter(_._2.nonEmpty)
+    (for {
+      (ia, ga) <- sets; (ib, gb) <- sets if ia < ib
+      dot = (ga & gb).size.toLong
+      na = ga.size.toLong; nb = gb.size.toLong
+      if tauDen.toLong * tauDen * dot * dot >= tauNum.toLong * tauNum * na * nb
+    } yield (ia, ib, na, nb, dot)).toSet
+  }
+
+  test("apssCosinePairs equals brute force on a randomized corpus with planted dups") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "sort")
+    val base = (0L until 50L).map { i =>
+      val len = 5 + rnd.nextInt(26)
+      (i, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // planted: two exact duplicates and a one-token edit of doc 0
+    val d0 = base.head._2
+    val edited = { val t = d0.split(" "); t(t.length / 2) = "edit"; t.mkString(" ") }
+    val docs = base ++ Seq((100L, d0), (101L, base(1)._2), (102L, edited))
+    val out = Search.apssCosinePairs(docs.toDF("doc_id", "text"), n = 3,
+      tauNum = 4, tauDen = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val brute = bruteApss(docs, 4, 5)
+    assert(out == brute, s"engine=${out.size} brute=${brute.size}")
+    // the planted exact duplicates must surface (cos = 1)
+    assert(out.exists(p => p._1 == 0L && p._2 == 100L))
+    assert(out.exists(p => p._1 == 1L && p._2 == 101L))
+  }
+
+  test("apssCosinePairs drops sub-n-token documents and self-pairs") {
+    val docs = Seq((1L, "a b"), (2L, "a b c d"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = Search.apssCosinePairs(docs, n = 3, tauNum = 4, tauDen = 5)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
+    assert(out.head.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  // -------------------------------------------------------------- SemDeDup
+
+  test("semDedup keeps cluster minima and flags within-cluster near-dups only") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // cell 0 anchor
+      (2L, Seq(0.999f, 0.01f)),// ~cos 1 with id 1 → dup_of 1
+      (3L, Seq(0.0f, 1.0f)),   // cell 1 anchor
+      (4L, Seq(0.01f, 0.999f)),// ~cos 1 with id 3 → dup_of 3
+      (5L, Seq(0.6f, 0.8f))    // cell 1, cos(5,3) = .8, cos(5,4) ≈ .806 → keep
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, tau = 0.98, dim = 2, nClusters = 2,
+      centroidsIn = cents).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((0, -1L, 1)))
+    assert(out(2L) == ((0, 1L, 0)))
+    assert(out(3L) == ((1, -1L, 1)))
+    assert(out(4L) == ((1, 3L, 0)))
+    assert(out(5L) == ((1, -1L, 1)))
+  }
+
+  test("semDedup duplicate verdicts point at the SMALLEST earlier cluster member") {
+    val cents = Array(Array(1.0, 0.0))
+    val same = Seq(1.0f, 0.0f)
+    val vecs = Seq((7L, same), (3L, same), (9L, same))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, tau = 0.98, dim = 2, nClusters = 1,
+      centroidsIn = cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(3L -> -1L, 7L -> 3L, 9L -> 3L))
+  }
+}
