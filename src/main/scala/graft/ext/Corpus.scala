@@ -241,7 +241,43 @@ object Corpus {
     * exact integers is the only double.
     */
   def corpusStats(df: DataFrame, groupCols: Seq[String], textCol: String,
-                  quantiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+                  quantiles: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    statsFromHistogram(tokenHistogram(df, groupCols, textCol), groupCols,
+      quantiles)
+
+  /** The token-length histogram [[corpusStats]] derives everything from —
+    * exposed because it is the report card's MERGEABLE STATE: histograms
+    * of disjoint corpus parts sum ([[mergeHistograms]]) to the histogram
+    * of the union, so a daily pipeline persists yesterday's tiny
+    * (group × distinct-length) relation and folds in only today's batch,
+    * never re-scanning the accumulated corpus. NULL text would put a NULL
+    * n_toks row into the histogram, and the cumulative window would order
+    * it differently across engines (Spark sorts NULLS FIRST, most SQL
+    * engines NULLS LAST) — shifting every rank. NULL-text documents carry
+    * no length, so they are excluded; n_docs counts documents WITH text.
+    */
+  def tokenHistogram(df: DataFrame, groupCols: Seq[String],
+                     textCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    df.where(col(textCol).isNotNull)
+      .select(gcols :+ TextAnalysis.tokenCount(col(textCol)).as("n_toks"): _*)
+      .groupBy(gcols :+ col("n_toks"): _*).agg(count(lit(1)).as("c"))
+  }
+
+  /** Sum per-part token histograms into the union's histogram — count
+    * vectors over the same (group, n_toks) key space add componentwise.
+    * The shuffle is histogram-sized on both ends.
+    */
+  def mergeHistograms(parts: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "mergeHistograms needs at least one part")
+    val gcols = groupCols.map(col)
+    parts.reduce(_.unionByName(_))
+      .groupBy(gcols :+ col("n_toks"): _*).agg(sum(col("c")).as("c"))
+  }
+
+  /** Finalize a (merged) [[tokenHistogram]] into the report card. */
+  def statsFromHistogram(hist: DataFrame, groupCols: Seq[String],
+                         quantiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(quantiles.forall(p => p >= 0 && p <= 100),
       s"quantiles must be percentages in [0,100], got $quantiles")
@@ -250,14 +286,6 @@ object Corpus {
     require(quantiles.distinct.size == quantiles.size,
       s"quantiles must be distinct, got $quantiles")
     val gcols = groupCols.map(col)
-    // NULL text would put a NULL n_toks row into the histogram, and the
-    // cumulative window would order it differently across engines (Spark
-    // sorts NULLS FIRST, most SQL engines NULLS LAST) — shifting every
-    // rank. NULL-text documents carry no length, so they are excluded;
-    // n_docs counts documents WITH text.
-    val hist = df.where(col(textCol).isNotNull)
-      .select(gcols :+ TextAnalysis.tokenCount(col(textCol)).as("n_toks"): _*)
-      .groupBy(gcols :+ col("n_toks"): _*).agg(count(lit(1)).as("c"))
     val byToks = Window.partitionBy(gcols: _*).orderBy("n_toks")
     val whole = Window.partitionBy(gcols: _*)
     val cum = hist

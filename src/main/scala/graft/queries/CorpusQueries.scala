@@ -194,6 +194,23 @@ object CorpusQueries {
         docs.where(pmod(col("doc_id"), lit(10)) < 4),
         "text", "doc_id")
         .orderBy("keeper_id")
+    }),
+
+    "q96_stats_merge" -> ((s, d) => {
+      // the INCREMENTAL report-card path: per-"day" token histograms are
+      // the mergeable state — summing them reproduces the union's
+      // histogram, so the accumulated corpus is never re-scanned. The
+      // oracle is q74's whole-corpus SQL: merge(parts) must equal
+      // recompute(whole) exactly.
+      val docs = t(s, d, "documents")
+      val keys = Seq("source", "lang")
+      val day1 = graft.ext.Corpus.tokenHistogram(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), keys, "text")
+      val day2 = graft.ext.Corpus.tokenHistogram(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), keys, "text")
+      graft.ext.Corpus.statsFromHistogram(
+        graft.ext.Corpus.mergeHistograms(Seq(day1, day2), keys), keys)
+        .orderBy("source", "lang")
     })
   )
 
@@ -498,6 +515,31 @@ object CorpusQueries {
           ex AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 < 4)
           SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
           FROM newd WHERE text NOT IN (SELECT text FROM ex)
-          GROUP BY text ORDER BY keeper_id"""
+          GROUP BY text ORDER BY keeper_id""",
+
+    // q74's whole-corpus report card verbatim: the merged per-part
+    // histograms must be indistinguishable from a single-pass recompute
+    "q96_stats_merge" ->
+      """WITH h AS (
+           SELECT source, lang, len(string_split(text, ' ')) AS n_toks,
+                  count(*) AS c
+           FROM documents WHERE text IS NOT NULL GROUP BY 1, 2, 3),
+         cum AS (
+           SELECT source, lang, n_toks, c,
+                  sum(c) OVER (PARTITION BY source, lang
+                               ORDER BY n_toks) AS hi,
+                  sum(c) OVER (PARTITION BY source, lang) AS cnt
+           FROM h),
+         b AS (SELECT *, hi - c + 1 AS lo FROM cum)
+         SELECT source, lang,
+                CAST(max(cnt) AS BIGINT) AS n_docs,
+                CAST(sum(n_toks * c) AS DOUBLE) / max(cnt) AS mean_tokens,
+                CAST(max(CASE WHEN (cnt-1)*50//100+1 BETWEEN lo AND hi
+                              THEN n_toks END) AS BIGINT) AS p50_tokens,
+                CAST(max(CASE WHEN (cnt-1)*90//100+1 BETWEEN lo AND hi
+                              THEN n_toks END) AS BIGINT) AS p90_tokens,
+                CAST(max(CASE WHEN (cnt-1)*99//100+1 BETWEEN lo AND hi
+                              THEN n_toks END) AS BIGINT) AS p99_tokens
+         FROM b GROUP BY source, lang ORDER BY source, lang"""
   )
 }

@@ -171,7 +171,32 @@ object TextQueries {
             col("symbol_ratio") <= 0.1 &&
             col("alpha_frac") >= 0.8 &&
             col("n_stop") >= 2)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q97_oov_rate" -> ((s, d) => {
+      // vocabulary-coverage gate: per-document out-of-vocabulary token
+      // fraction against the corpus's own top-k unigram vocabulary (the
+      // tokenizer-fit signal a mix owner checks before training a BPE).
+      // Shuffle shape: one explode feeds BOTH the vocab top-k (partial
+      // agg → TakeOrderedAndProject) and the per-doc counts; the ≤k-row
+      // vocab joins back as a BROADCAST, so the corpus is never paired
+      // or re-shuffled by token. The boundary is the deterministic
+      // (cnt DESC, token) total order (q64's convention). k=16 here —
+      // the fixture vocabulary has 31 distinct tokens, so coverage is
+      // genuinely partial.
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(16)
+        .select(col("token"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), count(col("in_vocab")).as("n_known"))
+        .select(col("doc_id"), col("n_tokens"), col("n_known"),
+          ((col("n_tokens") - col("n_known")).cast("double") /
+            col("n_tokens").cast("double")).as("oov_rate"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -375,6 +400,22 @@ object TextQueries {
                    AND alpha_frac >= 0.8
                    AND n_stop >= 2 AS keep
           FROM m ORDER BY doc_id"""
-    }
+    },
+
+    // vocab boundary = the deterministic (cnt DESC, token) total order;
+    // the OOV fraction is one division of exact integers
+    "q97_oov_rate" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         v AS (SELECT token FROM (
+                 SELECT token, count(*) AS cnt FROM toks GROUP BY token
+                 ORDER BY cnt DESC, token LIMIT 16)),
+         j AS (SELECT t.doc_id, v.token AS vt
+               FROM toks t LEFT JOIN v ON t.token = v.token)
+         SELECT doc_id, count(*) AS n_tokens, count(vt) AS n_known,
+                CAST(count(*) - count(vt) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS oov_rate
+         FROM j GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -360,4 +360,27 @@ class CorpusSpec extends AnyFunSuite {
       assert(got == want, s"perMille=$perMille")
     }
   }
+
+  test("merged per-part histograms reproduce the whole-corpus report card exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 300L).map { i =>
+      val src = Seq("web", "book", "code")(rnd.nextInt(3))
+      val len = 1 + rnd.nextInt(40)
+      (i, src, Seq.fill(len)("w").mkString(" "))
+    } ++ Seq((301L, "web", null: String)) // NULL text must drop in both paths
+    val df = docs.toDF("doc_id", "source", "text")
+    // three arbitrary disjoint "days" (uneven split, one day source-empty)
+    val parts = Seq(
+      df.where($"doc_id" % 7 === 0),
+      df.where($"doc_id" % 7 === 1),
+      df.where($"doc_id" % 7 >= 2))
+    val merged = graft.ext.Corpus.statsFromHistogram(
+      graft.ext.Corpus.mergeHistograms(
+        parts.map(p => graft.ext.Corpus.tokenHistogram(p, Seq("source"), "text")),
+        Seq("source")), Seq("source"))
+    val whole = graft.ext.Corpus.corpusStats(df, Seq("source"), "text")
+    assert(merged.orderBy("source").collect().toSeq ==
+      whole.orderBy("source").collect().toSeq)
+  }
 }

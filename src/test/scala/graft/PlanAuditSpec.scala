@@ -312,6 +312,13 @@ class PlanAuditSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
   }
 
+  test("q97 OOV rate: vocab top-k is TakeOrdered and joins back as a broadcast") {
+    val plan = planOf("q97_oov_rate")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("q95 bucketed join: neither fact side re-shuffles on the join key") {
     // force the SMJ path (at test SF the whole of orders would broadcast)
     // so the audit actually exercises bucket co-location
