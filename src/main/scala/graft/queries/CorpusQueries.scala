@@ -211,6 +211,27 @@ object CorpusQueries {
       graft.ext.Corpus.statsFromHistogram(
         graft.ext.Corpus.mergeHistograms(Seq(day1, day2), keys), keys)
         .orderBy("source", "lang")
+    }),
+
+    "q98_length_outliers" -> ((s, d) => {
+      // stats-DRIVEN gating: flag documents longer than their own
+      // (source, lang) group's exact p90 — the curation step that turns
+      // q74's report card into a filter. The group-stats relation is
+      // bounded by group cardinality (never corpus size), so it joins
+      // back as a broadcast and the gate itself is map-side: two corpus
+      // passes total (histogram + scan), no corpus shuffle.
+      val docs = t(s, d, "documents")
+      val stats = graft.ext.Corpus.corpusStats(
+        docs, Seq("source", "lang"), "text", quantiles = Seq(90))
+        .select(col("source"), col("lang"), col("p90_tokens"))
+      docs.where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), col("lang"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_toks"))
+        .join(broadcast(stats), Seq("source", "lang"))
+        .withColumn("is_outlier",
+          (col("n_toks") > col("p90_tokens")).cast("int"))
+        .orderBy("doc_id")
     })
   )
 
@@ -540,6 +561,33 @@ object CorpusQueries {
                               THEN n_toks END) AS BIGINT) AS p90_tokens,
                 CAST(max(CASE WHEN (cnt-1)*99//100+1 BETWEEN lo AND hi
                               THEN n_toks END) AS BIGINT) AS p99_tokens
-         FROM b GROUP BY source, lang ORDER BY source, lang"""
+         FROM b GROUP BY source, lang ORDER BY source, lang""",
+
+    // q74's p90 replay joined back onto the corpus — the gate itself is
+    // pure integer comparison
+    "q98_length_outliers" ->
+      """WITH h AS (
+           SELECT source, lang, len(string_split(text, ' ')) AS n_toks,
+                  count(*) AS c
+           FROM documents WHERE text IS NOT NULL GROUP BY 1, 2, 3),
+         cum AS (
+           SELECT source, lang, n_toks, c,
+                  sum(c) OVER (PARTITION BY source, lang
+                               ORDER BY n_toks) AS hi,
+                  sum(c) OVER (PARTITION BY source, lang) AS cnt
+           FROM h),
+         b AS (SELECT *, hi - c + 1 AS lo FROM cum),
+         st AS (
+           SELECT source, lang,
+                  CAST(max(CASE WHEN (cnt-1)*90//100+1 BETWEEN lo AND hi
+                                THEN n_toks END) AS BIGINT) AS p90_tokens
+           FROM b GROUP BY source, lang)
+         SELECT doc_id, d.source, d.lang,
+                len(string_split(text, ' ')) AS n_toks, p90_tokens,
+                CAST(CASE WHEN len(string_split(text, ' ')) > p90_tokens
+                          THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+         FROM documents d JOIN st ON d.source = st.source AND d.lang = st.lang
+         WHERE d.text IS NOT NULL
+         ORDER BY doc_id"""
   )
 }

@@ -63,7 +63,22 @@ object SearchQueries {
         .agg(count(lit(1)).as("n_items"),
           Num.moneySum(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderpriority")
-    })
+    }),
+
+    "q99_salted_join" -> ((s, d) =>
+      // the explicit skew lever: join on (key, salt) with the build side
+      // replicated — result provably identical to the plain join (the
+      // oracle IS the plain join). Salt is content-derived (xxhash64 of
+      // the line number), never rand(): task retries must re-salt
+      // identically or failure replay duplicates/drops rows.
+      graft.ops.Joins.saltedJoin(
+        t(s, d, "lineitem"), t(s, d, "orders"),
+        "l_orderkey", "o_orderkey", salts = 8,
+        probeSalt = xxhash64(col("l_linenumber")))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          Num.moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderstatus"))
   )
 
   private val termListSql = bmTerms.map(t => s"'$t'").mkString(", ")
@@ -143,6 +158,14 @@ object SearchQueries {
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the salted join must be indistinguishable from the plain equi-join
+    "q99_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }

@@ -319,6 +319,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("q99 salted join: the exchange partitions on (key, salt), not key alone") {
+    // force the shuffle path so the salt actually widens the exchange key
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q99_salted_join")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("_g_salt"), plan.take(4000))
+      assert("hashpartitioning\\(l_orderkey[^)]*_g_salt_p".r
+        .findFirstIn(plan).isDefined, plan.take(4000))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q98 length outliers: the group-stats leg broadcasts; the gate is map-side") {
+    val plan = planOf("q98_length_outliers")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("q95 bucketed join: neither fact side re-shuffles on the join key") {
     // force the SMJ path (at test SF the whole of orders would broadcast)
     // so the audit actually exercises bucket co-location
