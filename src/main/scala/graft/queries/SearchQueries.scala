@@ -65,6 +65,25 @@ object SearchQueries {
         .orderBy("o_orderpriority")
     }),
 
+    "q100_partitioned_scan" -> ((s, d) => {
+      // layout-as-index: the corpus is laid out PARTITIONED BY a
+      // low-cardinality routing column (lang), so a single-language query
+      // reads only that directory — partition pruning happens before any
+      // I/O, which at 100 TB is the difference between scanning one
+      // language's shard and the whole corpus. PlanAuditSpec pins the
+      // PartitionFilters entry. Results are layout-invariant, so the
+      // oracle is the plain filtered aggregate over the unpartitioned
+      // parquet.
+      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val path = s"target/graft-part-docs-$sf"
+      t(s, d, "documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(path)
+      s.read.parquet(path).where(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
     "q99_salted_join" -> ((s, d) =>
       // the explicit skew lever: join on (key, salt) with the build side
       // replicated — result provably identical to the plain join (the
@@ -159,6 +178,14 @@ object SearchQueries {
                   AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // layout-invariant result: the plain filtered aggregate (DuckDB
+    // sum(BIGINT) is HUGEINT — cast back to the engine's LONG)
+    "q100_partitioned_scan" ->
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE lang = 'en'
+         GROUP BY source ORDER BY source""",
 
     // the salted join must be indistinguishable from the plain equi-join
     "q99_salted_join" ->

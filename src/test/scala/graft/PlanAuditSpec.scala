@@ -331,6 +331,14 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q100 partitioned scan: the lang predicate prunes partitions, not rows") {
+    val plan = planOf("q100_partitioned_scan")
+    val pf = "PartitionFilters: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("lang"), plan.take(3000))
+    // the predicate must NOT survive as a post-scan row filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang"), plan.take(3000))
+  }
+
   test("q98 length outliers: the group-stats leg broadcasts; the gate is map-side") {
     val plan = planOf("q98_length_outliers")
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
