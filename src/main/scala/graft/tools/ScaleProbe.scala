@@ -28,6 +28,13 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated section filter for local iteration, e.g.
+    // SPARK_GRAFT_PROBE_ONLY=apss,saltjoin
+    val sectionsOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").toSeq)
+    def sel(section: String): Boolean =
+      sectionsOnly.forall(_.exists(section.contains))
+
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     def replicated(k: Int) =
@@ -41,7 +48,7 @@ object ScaleProbe {
       println(f"[scale] $tag: $r in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
 
-    for (k <- Seq(1, n)) {
+    if (sel("dedup")) for (k <- Seq(1, n)) {
       val docs = replicated(k).localCheckpoint() // isolate op cost from input build
       time(s"${k}x clusters") {
         Dedup.minhashClusters(docs, "text", "doc_id").count()
@@ -66,7 +73,7 @@ object ScaleProbe {
     // with the slim bands scan but must stay far under the no-index
     // alternative (recomputing pair signatures over corpus ∪ batch every
     // ingest), and far under its own build time.
-    for (k <- Seq(1, n)) {
+    if (sel("manifest")) for (k <- Seq(1, n)) {
       val corpus = (0 until k).map(i => base.select(
         (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
         concat(col("text"), lit(s" v$i")).as("text")))
@@ -89,7 +96,7 @@ object ScaleProbe {
     // regime) must collapse in the pre-distinct BEFORE the probe join —
     // the distinct sentence set is invariant in k, so N× train rows cost
     // only the linear explode+distinct, never N× join work
-    for (k <- Seq(1, n)) {
+    if (sel("decon")) for (k <- Seq(1, n)) {
       val train = replicated(k).localCheckpoint()
       time(s"${k}x sentence-decon") {
         graft.ext.Corpus.decontaminateSentences(train, base, "text", "doc_id")
@@ -100,7 +107,7 @@ object ScaleProbe {
     // ---- corpus stats: the histogram relation is invariant under
     // duplication (same groups × same distinct lengths), so N× rows add
     // only linear partial-agg work before the tiny window
-    for (k <- Seq(1, n)) {
+    if (sel("stats")) for (k <- Seq(1, n)) {
       val docs = replicated(k).withColumn("g", lit("all")).localCheckpoint()
       time(s"${k}x corpus-stats") {
         graft.ext.Corpus.corpusStats(docs, Seq("g"), "text").count()
@@ -114,21 +121,22 @@ object ScaleProbe {
     // strands 3/4 of the cores; the minor buckets take the floor, not the
     // fixed replication. targetPairsPerTask is lowered so the sf0.1 fixture
     // presents the same demand/width ratio a 100 TB bucket would.
-    val skewed = base.withColumn("bucket",
-      when(pmod(col("doc_id"), lit(110)) < 100, lit("giant"))
-        .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(10)))))
-      .localCheckpoint()
-    val target = 200000L
-    val fanouts = Dedup.bucketFanouts(skewed, "bucket", fixed = 0,
-      targetPairsPerTask = target, cap = cpus.toInt)
-      .collect().map(r => r.getString(0) -> r.getInt(1)).sortBy(_._1)
-    println(s"[scale] skew fanouts (adaptive+floor): ${fanouts.mkString(", ")}")
     val taskMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         taskMs.synchronized { taskMs += te.taskInfo.duration }
     }
+    val skewed = base.withColumn("bucket",
+      when(pmod(col("doc_id"), lit(110)) < 100, lit("giant"))
+        .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(10)))))
+      .localCheckpoint()
+    val target = 200000L
+    if (sel("skewpairs")) {
+    val fanouts = Dedup.bucketFanouts(skewed, "bucket", fixed = 0,
+      targetPairsPerTask = target, cap = cpus.toInt)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).sortBy(_._1)
+    println(s"[scale] skew fanouts (adaptive+floor): ${fanouts.mkString(", ")}")
     spark.sparkContext.addSparkListener(listener)
     for (fan <- Seq(0, 8)) {
       val tag = if (fan == 0) "adaptive+floor" else s"fixed-$fan"
@@ -149,6 +157,87 @@ object ScaleProbe {
         s"walls=${walls.map(w => f"${w._1}%.2f").mkString(",")})")
     }
     spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // ---- APSS (q93): replication with a PER-COPY TOKEN NAMESPACE (every
+    // token of copy i is suffixed with the copy tag, so cross-copy cosine
+    // is 0, true pair density per copy equals the original, and — unlike
+    // salt INTERLEAVING, which collapses the gram space onto ~|vocab|²
+    // super-frequent types and inflates join density 30× — each copy's
+    // gram-frequency profile is exactly the original's). Candidate-join
+    // and verify work must then scale ~linearly in k. Plain replication
+    // would also be the wrong probe: exact copies are genuine near-dups,
+    // so the TRUE output itself is Θ(k²) pairs and no exact algorithm can
+    // beat its own answer size.
+    if (sel("apss")) for (k <- Seq(1, n)) {
+      val docs = (0 until k).map(i => base.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1c$i")).as("text")))
+        .reduce(_ union _).localCheckpoint()
+      time(s"${k}x apss-pairs") {
+        graft.ext.Search.apssCosinePairs(docs, n = 3).count()
+      }
+    }
+
+    // ---- mergeable report cards (q96): folding k per-day histograms must
+    // cost histogram-sized work (groups × distinct lengths — corpus-size-
+    // invariant), while the recompute alternative re-scans all k days
+    if (sel("merge")) for (k <- Seq(1, n)) {
+      val keys = Seq("g")
+      val days = (0 until k).map { i =>
+        graft.ext.Corpus.tokenHistogram(
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text")).withColumn("g", lit("all")),
+          keys, "text").localCheckpoint() // persisted state, as in production
+      }
+      time(s"${k}x stats-merge(histograms)") {
+        graft.ext.Corpus.statsFromHistogram(
+          graft.ext.Corpus.mergeHistograms(days, keys), keys).count()
+      }
+      if (k == n) time(s"${k}x stats-recompute(corpus)") {
+        graft.ext.Corpus.corpusStats(
+          replicated(k).withColumn("g", lit("all")), Seq("g"), "text").count()
+      }
+    }
+
+    // ---- salted join (q99): 90% of 4M probe rows pile on one key (the
+    // null-pile / dominant-tenant shape); compare straggler task time
+    // plain vs salted at the same shuffle width. The salted plan's build
+    // side is ×salts, so its MEAN rises a little — the point is the MAX
+    // collapsing toward the mean.
+    // AQE's own skew split would mask the lever (it handles the plain SMJ
+    // case); the probe models the paths AQE won't re-plan
+    if (sel("saltjoin")) {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val skewProbe = spark.range(0, 4000000).select(
+      when(pmod(col("id"), lit(10)) < 9, lit(1L))
+        .otherwise(pmod(col("id"), lit(1000L))).as("k"),
+      col("id").as("pv")).localCheckpoint()
+    val buildSide = spark.range(0, 1000).select(
+      col("id").as("bk"), (col("id") * 7).as("bv")).localCheckpoint()
+    spark.sparkContext.addSparkListener(listener)
+    for (salted <- Seq(false, true)) {
+      val tag = if (salted) "salted-8" else "plain"
+      val walls = (1 to 3).map { _ =>
+        taskMs.synchronized(taskMs.clear())
+        val t0 = System.nanoTime()
+        val j = if (salted)
+          graft.ops.Joins.saltedJoin(skewProbe, buildSide, "k", "bk",
+            salts = 8, probeSalt = xxhash64(col("pv")))
+        else skewProbe.join(buildSide, col("k") === col("bk"))
+        j.agg(sum(col("pv") + col("bv"))).head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200)
+        val ts = taskMs.synchronized(taskMs.toVector)
+        (dt, ts.max, ts.sum.toDouble / ts.length)
+      }
+      val med = walls.sortBy(_._1).apply(1)
+      println(f"[scale] skew join $tag: median ${med._1}%.2fs " +
+        f"(straggler task ${med._2}ms vs mean ${med._3}%.0fms)")
+    }
+    spark.sparkContext.removeSparkListener(listener)
+    }
     spark.stop()
   }
 }
