@@ -213,6 +213,15 @@ object CorpusQueries {
         .orderBy("source", "lang")
     }),
 
+    "q101_stream_stats" -> ((s, d) =>
+      // the report card maintained OVER THE INGEST STREAM: complete-mode
+      // histogram aggregation whose state is corpus-size-invariant, then
+      // the same exact-quantile finalization as q74 (whose oracle this
+      // must match bit-for-bit)
+      graft.streaming.DocumentStreams.streamingStats(
+        s, d, Seq("source", "lang"))
+        .orderBy("source", "lang")),
+
     "q98_length_outliers" -> ((s, d) => {
       // stats-DRIVEN gating: flag documents longer than their own
       // (source, lang) group's exact p90 — the curation step that turns
@@ -541,6 +550,31 @@ object CorpusQueries {
     // q74's whole-corpus report card verbatim: the merged per-part
     // histograms must be indistinguishable from a single-pass recompute
     "q96_stats_merge" ->
+      """WITH h AS (
+           SELECT source, lang, len(string_split(text, ' ')) AS n_toks,
+                  count(*) AS c
+           FROM documents WHERE text IS NOT NULL GROUP BY 1, 2, 3),
+         cum AS (
+           SELECT source, lang, n_toks, c,
+                  sum(c) OVER (PARTITION BY source, lang
+                               ORDER BY n_toks) AS hi,
+                  sum(c) OVER (PARTITION BY source, lang) AS cnt
+           FROM h),
+         b AS (SELECT *, hi - c + 1 AS lo FROM cum)
+         SELECT source, lang,
+                CAST(max(cnt) AS BIGINT) AS n_docs,
+                CAST(sum(n_toks * c) AS DOUBLE) / max(cnt) AS mean_tokens,
+                CAST(max(CASE WHEN (cnt-1)*50//100+1 BETWEEN lo AND hi
+                              THEN n_toks END) AS BIGINT) AS p50_tokens,
+                CAST(max(CASE WHEN (cnt-1)*90//100+1 BETWEEN lo AND hi
+                              THEN n_toks END) AS BIGINT) AS p90_tokens,
+                CAST(max(CASE WHEN (cnt-1)*99//100+1 BETWEEN lo AND hi
+                              THEN n_toks END) AS BIGINT) AS p99_tokens
+         FROM b GROUP BY source, lang ORDER BY source, lang""",
+
+    // q74's whole-corpus SQL again: the stream-maintained histogram must
+    // finalize to exactly the batch report card
+    "q101_stream_stats" ->
       """WITH h AS (
            SELECT source, lang, len(string_split(text, ' ')) AS n_toks,
                   count(*) AS c

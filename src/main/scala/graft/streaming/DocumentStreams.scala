@@ -142,4 +142,27 @@ object DocumentStreams {
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
+
+  /** Streaming report card: the token-length histogram (q96's mergeable
+    * state) maintained as a COMPLETE-mode aggregation over the ingest
+    * stream, finalized into exact quantiles per micro-batch view. The
+    * streaming STATE here is the histogram itself — (groups × distinct
+    * lengths) rows, corpus-size INVARIANT — so the state store never
+    * grows with ingest volume: the property that lets a curation
+    * dashboard sit on the raw stream forever. Bit-identical to the batch
+    * q74 over the same rows (the histogram sum is order-insensitive
+    * integer arithmetic).
+    */
+  def streamingStats(spark: SparkSession, sfDir: String,
+                     groupCols: Seq[String],
+                     queryName: String = "graft_stream_stats"): DataFrame = {
+    val docs = spark.readStream.schema(docSchema).parquet(s"$sfDir/documents.*")
+    val hist = Corpus.tokenHistogram(docs, groupCols, "text")
+    val q = hist.writeStream
+      .outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Corpus.statsFromHistogram(spark.table(queryName), groupCols)
+  }
 }
