@@ -65,6 +65,26 @@ object SearchQueries {
         .orderBy("o_orderpriority")
     }),
 
+    "q102_bm25_indexed" -> ((s, d) => {
+      // BM25 served from the PERSISTED text index: build postings/doclens/
+      // stats on disk (one corpus pass, amortized over every later query
+      // batch), then score from the query terms' posting lists alone.
+      // Must be bit-identical to q92 — the oracle is q92's SQL verbatim.
+      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val path = s"target/graft-text-index-$sf"
+      Search.saveTextIndex(t(s, d, "documents"), path)
+      Search.bm25TopKIndexed(s, path, bmTerms, k = 20, k1 = k1, b = b)
+    }),
+
+    "q103_conjunctive_search" -> ((s, d) => {
+      // AND-semantics retrieval from the same persisted index: documents
+      // containing every query term, with per-doc match statistics
+      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val path = s"target/graft-text-index-conj-$sf"
+      Search.saveTextIndex(t(s, d, "documents"), path)
+      Search.conjunctiveSearch(s, path, bmTerms)
+    }),
+
     "q100_partitioned_scan" -> ((s, d) => {
       // layout-as-index: the corpus is laid out PARTITIONED BY a
       // low-cardinality routing column (lang), so a single-language query
@@ -102,10 +122,12 @@ object SearchQueries {
 
   private val termListSql = bmTerms.map(t => s"'$t'").mkString(", ")
 
-  val oracles: Map[String, String] = Map(
-    // same arithmetic, same parenthesization, constants interpolated from
-    // the SAME Scala doubles (toString round-trips the bits)
-    "q92_bm25_topk" -> {
+  /** The BM25 oracle — same arithmetic, same parenthesization, constants
+    * interpolated from the SAME Scala doubles (toString round-trips the
+    * bits). Shared verbatim by q92 (fresh compute) and q102 (index-served)
+    * because the engine paths must be bit-identical.
+    */
+  private val bm25Sql: String = {
       val cExprs = bmTerms.map(t =>
         s"coalesce(max(CASE WHEN token = '$t' THEN c END), 0.0) AS c_$t")
         .mkString(",\n                  ")
@@ -146,7 +168,27 @@ object SearchQueries {
                             AS rank
                 FROM scored)
           WHERE rank <= 20 ORDER BY rank"""
-    },
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q92_bm25_topk" -> bm25Sql,
+
+    // index-served BM25 must be indistinguishable from fresh compute
+    "q102_bm25_indexed" -> bm25Sql,
+
+    // AND-semantics over the same posting lists (DuckDB sum(BIGINT) is
+    // HUGEINT — cast back to the engine's LONG)
+    "q103_conjunctive_search" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents),
+          tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM toks
+            WHERE token IN ($termListSql) GROUP BY doc_id, token)
+          SELECT doc_id, count(*) AS n_terms,
+                 CAST(sum(tf) AS BIGINT) AS n_occurrences
+          FROM tf GROUP BY doc_id HAVING count(*) = ${bmTerms.size}
+          ORDER BY doc_id""",
 
     // brute-force reference: the prefix filter is lossless (Bayardo bound),
     // so the full self-join IS the engine's contract. 25·dot² ≥ 16·n_a·n_b

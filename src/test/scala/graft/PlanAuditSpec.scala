@@ -331,6 +331,14 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q102 indexed BM25: the term filter reaches the postings scan") {
+    val plan = planOf("q102_bm25_indexed")
+    // the serving scan reads the query terms' posting lists, not the index
+    assert("PushedFilters: \\[[^\\]]*In\\(token".r.findFirstIn(plan).isDefined ||
+      plan.contains("PushedFilters: [IsNotNull(token), In(token"), plan.take(4000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("q100 partitioned scan: the lang predicate prunes partitions, not rows") {
     val plan = planOf("q100_partitioned_scan")
     val pf = "PartitionFilters: [^\n]*".r.findFirstIn(plan).getOrElse("")

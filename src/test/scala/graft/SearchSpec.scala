@@ -46,6 +46,36 @@ class SearchSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("bm25TopKIndexed serves bit-identical results to fresh compute") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("spark", "join", "table", "scan", "window", "stream",
+      "agg", "sort")
+    val docs = (1L to 60L).map { i =>
+      val len = 3 + rnd.nextInt(20)
+      (i, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val path = "target/graft-test-text-index"
+    Search.saveTextIndex(docs, path)
+    val fresh = Search.bm25TopK(docs, Seq("spark", "window"), k = 10).collect()
+    val served = Search.bm25TopKIndexed(spark, path,
+      Seq("spark", "window"), k = 10).collect()
+    assert(fresh.map(_.toSeq).toSeq == served.map(_.toSeq).toSeq)
+  }
+
+  test("conjunctiveSearch keeps only documents containing every term") {
+    val docs = Seq(
+      (1L, "spark join spark window"), // both terms
+      (2L, "spark table scan"),        // missing window
+      (3L, "window window sort"),      // missing spark
+      (4L, "window spark")             // both, once each
+    ).toDF("doc_id", "text")
+    val path = "target/graft-test-conj-index"
+    Search.saveTextIndex(docs, path)
+    val out = Search.conjunctiveSearch(spark, path, Seq("spark", "window"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 3L), (4L, 2L, 2L)))
+  }
+
   // ------------------------------------------------------------------ APSS
 
   /** Literal brute force over distinct trigram sets with the same integer
