@@ -125,6 +125,69 @@ object Search {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Append a new ingest batch to a [[saveTextIndex]] index without
+    * rebuilding: document postings are per-doc disjoint, so the batch's
+    * lists land as new files (append mode) and BM25's corpus statistics
+    * are plain sums — the grown index serves bit-identically to a fresh
+    * build over the union. Batch-sized work only; the one-row stats
+    * update is the only driver-side read (constant by construction).
+    */
+  def appendToTextIndex(batch: DataFrame, path: String,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    batch
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .repartition(col("token")).sortWithinPartitions("token", idCol)
+      .write.mode("append").parquet(s"$path/postings")
+    batch.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$path/doclens")
+    val old = spark.read.parquet(s"$path/stats").collect()(0)
+    val add = batch.agg(count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        .as("total_tokens")).collect()(0)
+    import spark.implicits._
+    Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
+      .toDF("n_docs", "total_tokens")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Delete documents from a [[saveTextIndex]] index — the
+    * right-to-be-forgotten path. A compaction rewrite: postings and
+    * doclens are anti-joined against the id set into staging directories,
+    * then swapped in (read-then-overwrite-in-place would race the lazy
+    * scan against the delete); stats recompute from the surviving doclens
+    * relation — index-sized work, never a corpus re-tokenization. Serving
+    * afterwards is bit-identical to a fresh build over the remaining
+    * corpus.
+    */
+  def deleteFromTextIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, ids: DataFrame,
+                          idCol: String = "doc_id"): Unit = {
+    val del = ids.select(col(idCol)).distinct()
+    def rewrite(sub: String)(df: DataFrame): Unit = {
+      val staged = s"$path/$sub.staging"
+      df.write.mode("overwrite").parquet(staged)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = live.getFileSystem(conf)
+      fs.delete(live, true)
+      fs.rename(new org.apache.hadoop.fs.Path(staged), live)
+    }
+    rewrite("postings") {
+      spark.read.parquet(s"$path/postings").join(del, Seq(idCol), "left_anti")
+    }
+    rewrite("doclens") {
+      spark.read.parquet(s"$path/doclens").join(del, Seq(idCol), "left_anti")
+    }
+    rewrite("stats") {
+      spark.read.parquet(s"$path/doclens") // already the post-delete lens
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    }
+  }
+
   /** BM25 served from a [[saveTextIndex]] index — bit-identical to
     * [[bm25TopK]] over the same corpus (shared scoring tail), but the
     * per-query cost is the query terms' posting lists plus the doc-length

@@ -85,6 +85,35 @@ object SearchQueries {
       Search.conjunctiveSearch(s, path, bmTerms)
     }),
 
+    "q104_bm25_index_append" -> ((s, d) => {
+      // daily-ingest index maintenance: build the text index on the
+      // even-id half, append the odd-id batch (postings land as new
+      // files; stats are plain sums), serve from the grown index. BM25
+      // over summed stats equals a fresh build over the union — the
+      // oracle is whole-corpus q92 verbatim.
+      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val path = s"target/graft-text-index-append-$sf"
+      val docs = t(s, d, "documents")
+      Search.saveTextIndex(docs.where(pmod(col("doc_id"), lit(2)) === 0), path)
+      Search.appendToTextIndex(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), path)
+      Search.bm25TopKIndexed(s, path, bmTerms, k = 20, k1 = k1, b = b)
+    }),
+
+    "q105_bm25_index_delete" -> ((s, d) => {
+      // the right-to-be-forgotten path: build the full index, DELETE a
+      // tenth of the documents (compaction rewrite + stats recompute from
+      // the surviving doclens), serve. Must equal fresh compute over the
+      // survivors — the oracle filters the same ids out of the corpus.
+      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val path = s"target/graft-text-index-delete-$sf"
+      val docs = t(s, d, "documents")
+      Search.saveTextIndex(docs, path)
+      Search.deleteFromTextIndex(s, path,
+        docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"))
+      Search.bm25TopKIndexed(s, path, bmTerms, k = 20, k1 = k1, b = b)
+    }),
+
     "q100_partitioned_scan" -> ((s, d) => {
       // layout-as-index: the corpus is laid out PARTITIONED BY a
       // low-cardinality routing column (lang), so a single-language query
@@ -124,17 +153,20 @@ object SearchQueries {
 
   /** The BM25 oracle — same arithmetic, same parenthesization, constants
     * interpolated from the SAME Scala doubles (toString round-trips the
-    * bits). Shared verbatim by q92 (fresh compute) and q102 (index-served)
-    * because the engine paths must be bit-identical.
+    * bits). Shared by q92 (fresh compute), q102 (index-served), q104
+    * (index-appended) and q105 (index-deleted) because every serving path
+    * must be bit-identical to fresh compute over its effective corpus —
+    * only the corpus relation differs.
     */
-  private val bm25Sql: String = {
+  private def bm25SqlOver(corpus: String): String = {
       val cExprs = bmTerms.map(t =>
         s"coalesce(max(CASE WHEN token = '$t' THEN c END), 0.0) AS c_$t")
         .mkString(",\n                  ")
       val scoreSum = bmTerms.map(t => s"c_$t").mkString(" + ")
-      s"""WITH toks AS (
+      s"""WITH cdocs AS ($corpus),
+          toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS token
-            FROM documents),
+            FROM cdocs),
           tf AS (
             SELECT doc_id, token, count(*) AS tf FROM toks
             WHERE token IN ($termListSql) GROUP BY doc_id, token),
@@ -142,9 +174,9 @@ object SearchQueries {
           stats AS (
             SELECT count(*) AS n_docs,
                    sum(len(string_split(text, ' '))) AS total_tokens
-            FROM documents),
+            FROM cdocs),
           dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
-                 FROM documents),
+                 FROM cdocs),
           contrib AS (
             SELECT tf.doc_id, dl.dl, tf.token,
                    (CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5)
@@ -171,10 +203,17 @@ object SearchQueries {
   }
 
   val oracles: Map[String, String] = Map(
-    "q92_bm25_topk" -> bm25Sql,
+    "q92_bm25_topk" -> bm25SqlOver("SELECT * FROM documents"),
 
     // index-served BM25 must be indistinguishable from fresh compute
-    "q102_bm25_indexed" -> bm25Sql,
+    "q102_bm25_indexed" -> bm25SqlOver("SELECT * FROM documents"),
+
+    // append with summed stats must equal a fresh build over the union
+    "q104_bm25_index_append" -> bm25SqlOver("SELECT * FROM documents"),
+
+    // after deletion, serving must equal fresh compute over the survivors
+    "q105_bm25_index_delete" ->
+      bm25SqlOver("SELECT * FROM documents WHERE doc_id % 10 <> 3"),
 
     // AND-semantics over the same posting lists (DuckDB sum(BIGINT) is
     // HUGEINT — cast back to the engine's LONG)

@@ -62,6 +62,40 @@ class SearchSpec extends AnyFunSuite {
     assert(fresh.map(_.toSeq).toSeq == served.map(_.toSeq).toSeq)
   }
 
+  test("index append and delete serve exactly like fresh builds over the effective corpus") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("spark", "join", "table", "scan", "window", "stream")
+    def corpus(ids: Range) = ids.map { i =>
+      (i.toLong, Vector.fill(4 + rnd.nextInt(15))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val all = corpus(1 to 80)
+    val (dayOne, dayTwo) = all.partition(_._1 % 2 == 0)
+    val grown = "target/graft-test-index-grown"
+    Search.saveTextIndex(dayOne.toDF("doc_id", "text"), grown)
+    Search.appendToTextIndex(dayTwo.toDF("doc_id", "text"), grown)
+    val fresh = "target/graft-test-index-fresh"
+    Search.saveTextIndex(all.toDF("doc_id", "text"), fresh)
+    val terms = Seq("spark", "stream")
+    assert(Search.bm25TopKIndexed(spark, grown, terms, 15).collect().map(_.toSeq).toSeq ==
+      Search.bm25TopKIndexed(spark, fresh, terms, 15).collect().map(_.toSeq).toSeq)
+
+    // delete a third of the docs from the grown index; compare against a
+    // fresh build over the survivors
+    val deadIds = all.map(_._1).filter(_ % 3 == 0)
+    Search.deleteFromTextIndex(spark, grown,
+      deadIds.toDF("doc_id"))
+    val survivors = "target/graft-test-index-survivors"
+    Search.saveTextIndex(
+      all.filterNot(d => deadIds.contains(d._1)).toDF("doc_id", "text"),
+      survivors)
+    val afterDelete = Search.bm25TopKIndexed(spark, grown, terms, 15).collect()
+    assert(afterDelete.map(_.toSeq).toSeq ==
+      Search.bm25TopKIndexed(spark, survivors, terms, 15).collect().map(_.toSeq).toSeq)
+    // and none of the deleted ids can ever surface again
+    assert(afterDelete.forall(r => !deadIds.contains(r.getLong(0))))
+  }
+
   test("conjunctiveSearch keeps only documents containing every term") {
     val docs = Seq(
       (1L, "spark join spark window"), // both terms
