@@ -156,36 +156,24 @@ object Search {
 
   /** Delete documents from a [[saveTextIndex]] index — the
     * right-to-be-forgotten path. A compaction rewrite: postings and
-    * doclens are anti-joined against the id set into staging directories,
-    * then swapped in (read-then-overwrite-in-place would race the lazy
-    * scan against the delete); stats recompute from the surviving doclens
-    * relation — index-sized work, never a corpus re-tokenization. Serving
-    * afterwards is bit-identical to a fresh build over the remaining
-    * corpus.
+    * doclens are anti-joined against the id set and staged-swapped in
+    * ([[graft.ops.Stage.swapRewrite]] — rewriting in place would race the
+    * lazy scan against the delete); stats recompute from the surviving
+    * doclens relation — index-sized work, never a corpus re-tokenization.
+    * Serving afterwards is bit-identical to a fresh build over the
+    * remaining corpus.
     */
   def deleteFromTextIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, ids: DataFrame,
                           idCol: String = "doc_id"): Unit = {
     val del = ids.select(col(idCol)).distinct()
-    def rewrite(sub: String)(df: DataFrame): Unit = {
-      val staged = s"$path/$sub.staging"
-      df.write.mode("overwrite").parquet(staged)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      val fs = live.getFileSystem(conf)
-      fs.delete(live, true)
-      fs.rename(new org.apache.hadoop.fs.Path(staged), live)
-    }
-    rewrite("postings") {
-      spark.read.parquet(s"$path/postings").join(del, Seq(idCol), "left_anti")
-    }
-    rewrite("doclens") {
-      spark.read.parquet(s"$path/doclens").join(del, Seq(idCol), "left_anti")
-    }
-    rewrite("stats") {
+    graft.ops.Stage.swapRewrite(spark, s"$path/postings",
+      spark.read.parquet(s"$path/postings").join(del, Seq(idCol), "left_anti"))
+    graft.ops.Stage.swapRewrite(spark, s"$path/doclens",
+      spark.read.parquet(s"$path/doclens").join(del, Seq(idCol), "left_anti"))
+    graft.ops.Stage.swapRewrite(spark, s"$path/stats",
       spark.read.parquet(s"$path/doclens") // already the post-delete lens
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-    }
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens")))
   }
 
   /** BM25 served from a [[saveTextIndex]] index — bit-identical to

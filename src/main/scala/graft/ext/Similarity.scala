@@ -500,6 +500,28 @@ object Similarity {
     writeIvfLists(newVecs, cents, scale, idCol, vecCol, path, "append")
   }
 
+  /** Delete vectors from a [[saveIvfIndex]] index — unlike the MinHash
+    * manifest (whose docs table stores exact-collapse REPRESENTATIVES, so
+    * an id-keyed delete could forget content other living docs still
+    * carry), the inverted lists hold one row PER VECTOR, making id-keyed
+    * deletion exact: anti-join the lists, staged-swap
+    * ([[graft.ops.Stage.swapRewrite]]), centroids and meta stay frozen.
+    * Assignment is a pure per-vector function of the frozen centroids, so
+    * the shrunk index is bit-identical to a fresh build over the
+    * survivors with the same centroids (the invariant SimilaritySpec and
+    * the q106 oracle pin).
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, ids: DataFrame,
+                         idCol: String = "vec_id"): Unit = {
+    val del = ids.select(col(idCol).as("vec_id")).distinct()
+    graft.ops.Stage.swapRewrite(spark, s"$path/lists") { staged =>
+      spark.read.parquet(s"$path/lists")
+        .join(del, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("centroid").parquet(staged)
+    }
+  }
+
   /** Serve top-k from a [[saveIvfIndex]] index: identical ranking contract
     * to [[topKIvf]] over the same centroids and (de)quantized vectors, but
     * the corpus side is the prebuilt inverted lists — no training, no

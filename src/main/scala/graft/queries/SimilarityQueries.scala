@@ -146,6 +146,26 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q106_ann_index_delete" -> ((s, d) => {
+      // right-to-be-forgotten on the ANN index: build on the full corpus,
+      // DELETE a tenth of the vectors (anti-join compaction of the
+      // per-vector lists; centroids frozen), serve. Equals a fresh build
+      // over the survivors with the same centroids — the oracle filters
+      // the same ids out of the assigned corpus only.
+      val emb = t(s, d, "embeddings")
+      val deq = emb.select(col("vec_id"),
+        Similarity.dequantize(
+          Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+      val path = s"target/graft-ivf-delete-${new java.io.File(d).getName}"
+      Similarity.saveIvfIndex(emb, path, nCentroids = 16, dim = 64,
+        quantScale = 200.0,
+        centroidsIn = Similarity.sampleCentroids(deq, 16))
+      Similarity.deleteFromIvfIndex(s, path,
+        emb.where(pmod(col("vec_id"), lit(10)) === 7).select("vec_id"))
+      Similarity.topKIvfIndexed(s, deq.where(col("vec_id") < 10), path, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q94_semdedup" -> ((s, d) => {
       // SemDeDup: coarse k-means cells bound the near-dup quadratic; the
       // oracle replays assignment from the same 16 smallest-id sample
@@ -495,6 +515,56 @@ object SimilarityQueries {
                  CAST(CASE WHEN coalesce(d.dup_of, CAST(-1 AS BIGINT)) < 0
                            THEN 1 ELSE 0 END AS INTEGER) AS keep
           FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
-          ORDER BY a.vec_id"""
+          ORDER BY a.vec_id""",
+
+    // q82's replay with the ASSIGNED corpus filtered to the survivors —
+    // centroids/probing/scoring unchanged (frozen centroid geometry);
+    // deletion touches only which vectors sit in the inverted lists
+    "q106_ann_index_delete" ->
+      s"""WITH dq AS (
+            SELECT vec_id, list_transform(embedding,
+              x -> greatest(least(floor(CAST(x AS DOUBLE) * 200 + 0.5),
+                                  127), -128) / 200.0) AS embedding
+            FROM embeddings),
+          e AS (SELECT vec_id, embedding,
+                       sqrt(${duckDot("embedding", "embedding")}) AS nrm
+                FROM dq),
+          smp AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS rn,
+                   embedding
+            FROM (SELECT vec_id, embedding FROM dq ORDER BY vec_id LIMIT 16)),
+          cent AS (SELECT rn AS c, embedding AS cv FROM smp),
+          cd AS (
+            SELECT e.vec_id, cent.c,
+                   ${duckDot("e.embedding", "cent.cv")} AS d
+            FROM e CROSS JOIN cent),
+          assigned AS (
+            SELECT vec_id, c AS centroid FROM (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, c DESC) AS r
+              FROM cd WHERE vec_id % 10 <> 7) WHERE r = 1),
+          probes AS (
+            SELECT vec_id, c AS centroid FROM (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, c DESC) AS r
+              FROM cd WHERE vec_id < 10) WHERE r <= 4),
+          scored AS (
+            SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   ${duckDot("qe.embedding", "ce.embedding")}
+                     / (qe.nrm * ce.nrm) AS cos_sim
+            FROM probes p JOIN assigned a ON p.centroid = a.centroid
+            JOIN e qe ON qe.vec_id = p.vec_id
+            JOIN e ce ON ce.vec_id = a.vec_id
+            WHERE p.vec_id <> a.vec_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, cos_sim, rank
+          FROM ranked WHERE rank <= 10
+          ORDER BY query_id, rank"""
   )
 }

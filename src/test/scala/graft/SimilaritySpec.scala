@@ -409,4 +409,36 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(rows(grown) == rows(rebuilt))
   }
+
+  test("deleteFromIvfIndex: shrunk index == fresh build over the survivors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = emb.select(col("vec_id"),
+      Similarity.dequantize(
+        Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+    val cents = Similarity.sampleCentroids(deq, 16)
+    val shrunk = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-ivf-del-").toString
+    Similarity.saveIvfIndex(emb, shrunk, nCentroids = 16, dim = 64,
+      quantScale = 200.0, centroidsIn = cents)
+    val dead = emb.where(pmod(col("vec_id"), lit(3)) === 1).select("vec_id")
+    Similarity.deleteFromIvfIndex(spark, shrunk, dead)
+    val survivors = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-ivf-sur-").toString
+    Similarity.saveIvfIndex(emb.where(pmod(col("vec_id"), lit(3)) =!= 1),
+      survivors, nCentroids = 16, dim = 64,
+      quantScale = 200.0, centroidsIn = cents)
+    def content(p: String) = spark.read.parquet(s"$p/lists")
+      .select(col("vec_id"), col("centroid"), col("code"))
+      .as[(Long, Int, Seq[Byte])].collect()
+      .map { case (v, c, cd) => (v, c, cd.toList) }.toSet
+    assert(content(shrunk) == content(survivors))
+    val qset = deq.where(col("vec_id") < 5)
+    def rows(p: String) = Similarity.topKIvfIndexed(spark, qset, p, k = 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(shrunk) == rows(survivors))
+    // deleted ids can never be served again
+    val deadIds = dead.as[Long].collect().toSet
+    assert(rows(shrunk).forall(r => !deadIds.contains(r._2)))
+  }
 }
