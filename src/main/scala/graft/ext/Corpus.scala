@@ -480,6 +480,51 @@ object Corpus {
     cb.write.mode("overwrite").parquet(s"$path/bigrams")
     cu.write.mode("overwrite").parquet(s"$path/prefixes")
     v.repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    // per-token occurrence counts — not used for scoring, but the vocab
+    // size V is NOT maintainable under deletion without them (a deleted
+    // document's tokens may survive in other documents; only a count can
+    // tell). Kept current by [[deleteFromLm]].
+    train.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Delete documents from a [[saveLm]] model — every model statistic is
+    * a COUNT, so deletion is exact subtraction: the deleted documents'
+    * bigram and token counts are recomputed (their text must be supplied;
+    * the contract is `deleted` ⊆ the trained corpus, each document passed
+    * exactly once) and subtracted, zero rows dropped, prefixes re-derived
+    * from the post-delete bigrams exactly as training derives them, and V
+    * becomes the count of tokens with surviving occurrences. Scoring
+    * afterwards is bit-identical to a fresh train over the survivors
+    * (the q107 oracle and CorpusSpec pin it). Work is batch-sized plus
+    * count-relation-sized — never a surviving-corpus re-scan.
+    */
+  def deleteFromLm(deleted: DataFrame, path: String, textCol: String,
+                   idCol: String): Unit = {
+    val spark = deleted.sparkSession
+    val cbD = bigramStream(deleted, textCol, idCol)
+      .groupBy("p", "w").agg(count(lit(1)).as("cbd"))
+    graft.ops.Stage.swapRewrite(spark, s"$path/bigrams",
+      spark.read.parquet(s"$path/bigrams")
+        .join(cbD, Seq("p", "w"), "left")
+        .select(col("p"), col("w"),
+          (col("cb") - coalesce(col("cbd"), lit(0L))).as("cb"))
+        .where(col("cb") > 0))
+    graft.ops.Stage.swapRewrite(spark, s"$path/prefixes",
+      spark.read.parquet(s"$path/bigrams") // post-delete counts
+        .groupBy("p").agg(sum(col("cb")).as("cu")))
+    val vD = deleted.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cd"))
+    graft.ops.Stage.swapRewrite(spark, s"$path/vocab",
+      spark.read.parquet(s"$path/vocab")
+        .join(vD, Seq("tok"), "left")
+        .select(col("tok"), (col("c") - coalesce(col("cd"), lit(0L))).as("c"))
+        .where(col("c") > 0))
+    graft.ops.Stage.swapRewrite(spark, s"$path/meta",
+      spark.read.parquet(s"$path/vocab").agg(count(lit(1)).as("v")))
   }
 
   /** [[lmPerplexity]] scoring against a [[saveLm]] model on disk: the

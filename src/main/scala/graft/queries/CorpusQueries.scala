@@ -213,6 +213,24 @@ object CorpusQueries {
         .orderBy("source", "lang")
     }),
 
+    "q107_lm_index_delete" -> ((s, d) => {
+      // right-to-be-forgotten on the persisted LM: every model statistic
+      // is a count, so deletion is exact subtraction — the shrunk model
+      // must score bit-identically to a fresh train over the surviving
+      // train docs (the oracle trains on exactly those)
+      val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
+      val path = s"target/graft-lm-delete-${new java.io.File(d).getName}"
+      val train = docs.where(col("split") === "train")
+      Corpus.saveLm(train, "text", "doc_id", path)
+      Corpus.deleteFromLm(
+        train.where(pmod(col("doc_id"), lit(10)) === 3), path,
+        "text", "doc_id")
+      Corpus.lmPerplexityIndexed(
+        docs.where(col("split") === "test" && col("text").isNotNull),
+        path, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q101_stream_stats" -> ((s, d) =>
       // the report card maintained OVER THE INGEST STREAM: complete-mode
       // histogram aggregation whose state is corpus-size-invariant, then
@@ -348,6 +366,41 @@ object CorpusQueries {
                              $fpFold % 100 AS b
                       FROM documents WHERE text IS NOT NULL),
          tr AS (SELECT doc_id, toks FROM s0 WHERE b < 80),
+         te AS (SELECT doc_id, toks FROM s0 WHERE b >= 90),
+         gtr AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+                 FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                       FROM tr)),
+         gte AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+                 FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                       FROM te)),
+         cb AS (SELECT p, w, count(*) AS cb FROM gtr GROUP BY p, w),
+         cu AS (SELECT p, count(*) AS cu FROM gtr GROUP BY p),
+         v AS (SELECT count(DISTINCT tok) AS v
+               FROM (SELECT unnest(toks) AS tok FROM tr)),
+         s AS (SELECT gte.doc_id,
+                      length(bin((coalesce(cu.cu, 0) + v.v)
+                                 // (coalesce(cb.cb, 0) + 1))) - 1 AS bits
+               FROM gte LEFT JOIN cb USING (p, w) LEFT JOIN cu USING (p)
+               CROSS JOIN v),
+         r AS (SELECT doc_id, count(*) AS n_bigrams,
+                      sum(bits) AS total_bits
+               FROM s GROUP BY doc_id)
+         SELECT te.doc_id,
+                CAST(coalesce(r.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(coalesce(r.total_bits, 0) AS BIGINT) AS total_bits,
+                CAST(coalesce(r.total_bits * 100 // r.n_bigrams, 0)
+                     AS BIGINT) AS bits_x100
+         FROM te LEFT JOIN r ON te.doc_id = r.doc_id
+         ORDER BY te.doc_id""",
+
+    // q91's replay with the TRAIN side filtered to the survivors — the
+    // subtracted model must be indistinguishable from training on them
+    "q107_lm_index_delete" ->
+      s"""WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                             $fpFold % 100 AS b
+                      FROM documents WHERE text IS NOT NULL),
+         tr AS (SELECT doc_id, toks FROM s0
+                WHERE b < 80 AND doc_id % 10 <> 3),
          te AS (SELECT doc_id, toks FROM s0 WHERE b >= 90),
          gtr AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
                  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i

@@ -361,6 +361,40 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteFromLm: subtracted model scores exactly like training on the survivors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "zonly")
+    val train = (1L to 50L).map { i =>
+      // doc 50 is the sole carrier of "zonly": deleting it must shrink V
+      val words = if (i == 50L) Vector("zonly", "a")
+        else Vector.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(6)))
+      (i, words.mkString(" "))
+    }
+    val eval_ = (100L to 110L).map(i =>
+      (i, Vector.fill(6)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val deadIds = Set(7L, 20L, 50L)
+    val shrunk = "target/graft-test-lm-delete"
+    graft.ext.Corpus.saveLm(train.toDF("doc_id", "text"), "text", "doc_id",
+      shrunk)
+    graft.ext.Corpus.deleteFromLm(
+      train.filter(d => deadIds.contains(d._1)).toDF("doc_id", "text"),
+      shrunk, "text", "doc_id")
+    val fresh = "target/graft-test-lm-fresh"
+    graft.ext.Corpus.saveLm(
+      train.filterNot(d => deadIds.contains(d._1)).toDF("doc_id", "text"),
+      "text", "doc_id", fresh)
+    def scores(p: String) = graft.ext.Corpus.lmPerplexityIndexed(
+      eval_.toDF("doc_id", "text"), p, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(scores(shrunk) == scores(fresh))
+    // the sole-carrier token is really gone from the vocabulary
+    assert(spark.read.parquet(s"$shrunk/meta").head().getLong(0) ==
+      spark.read.parquet(s"$fresh/meta").head().getLong(0))
+    assert(spark.read.parquet(s"$shrunk/vocab")
+      .where($"tok" === "zonly").count() == 0)
+  }
+
   test("merged per-part histograms reproduce the whole-corpus report card exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
