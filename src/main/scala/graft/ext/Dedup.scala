@@ -534,6 +534,35 @@ object Dedup {
       meta.getAs[Int]("k"), meta.getAs[Int]("bands"), "append")
   }
 
+  /** Delete CONTENT from a persisted manifest — keyed by the documents'
+    * distinct-token sets, NOT their ids, and deliberately so: the docs
+    * table stores exact-collapse REPRESENTATIVES, so an id-keyed delete
+    * would silently forget content that other collapsed-away documents
+    * still carry. Content-keyed semantics match what manifest deletion
+    * means operationally: this content must no longer be recognized as
+    * "known" (new arrivals of it probe as fresh). Every manifest entry
+    * whose token set equals a deleted document's token set is dropped
+    * from both tables via anti-join + staged swap
+    * ([[graft.ops.Stage.swapRewrite]]; bands first — its removed-id
+    * relation derives from the still-live docs table). Probing afterwards
+    * equals probing a manifest built without that content (the q108
+    * oracle pins it).
+    */
+  def deleteContentFromMinhashManifest(deleted: DataFrame, textCol: String,
+                                       path: String): Unit = {
+    val spark = deleted.sparkSession
+    val delKeys = deleted.where(col(textCol).isNotNull)
+      .select(xxhash64(tokenHashes(col(textCol))).as("seth")).distinct()
+    val live = spark.read.parquet(s"$path/docs")
+      .withColumn("seth", xxhash64(col("toks")))
+    val removed = live.join(delKeys, Seq("seth")).select("doc")
+    graft.ops.Stage.swapRewrite(spark, s"$path/bands",
+      spark.read.parquet(s"$path/bands")
+        .join(removed, Seq("doc"), "left_anti"))
+    graft.ops.Stage.swapRewrite(spark, s"$path/docs",
+      live.join(delKeys, Seq("seth"), "left_anti").drop("seth"))
+  }
+
   /** Incremental NEAR-dup detection of an ingest batch against a persisted
     * [[saveMinhashManifest]] manifest: per new document, the maximum exact
     * Jaccard against any manifest document among LSH candidates (null when

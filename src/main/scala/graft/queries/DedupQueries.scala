@@ -60,6 +60,27 @@ object DedupQueries {
         .orderBy("src_lo", "src_hi")
     }),
 
+    "q108_manifest_content_delete" -> ((s, d) => {
+      // right-to-be-forgotten on the dedup manifest — CONTENT-keyed (the
+      // docs table stores exact-collapse representatives, so id-keyed
+      // deletion could forget content other collapsed documents still
+      // carry; see Dedup.deleteContentFromMinhashManifest). Build q84's
+      // manifest, forget a seventh of its content, probe the same batch:
+      // verdicts must equal probing a manifest that never held it.
+      val docs = t(s, d, "documents")
+      val path =
+        s"target/graft-manifest-delete-${new java.io.File(d).getName}"
+      val manifest = docs.where(pmod(col("doc_id"), lit(10)) < 5)
+      Dedup.saveMinhashManifest(manifest, "text", "doc_id", path,
+        k = 32, bands = 16)
+      Dedup.deleteContentFromMinhashManifest(
+        manifest.where(pmod(col("doc_id"), lit(7)) === 2), "text", path)
+      Dedup.incrementalNearDups(
+        docs.where(pmod(col("doc_id"), lit(10)) >= 5), path,
+        "text", "doc_id", threshold = 0.9)
+        .orderBy("doc_id")
+    }),
+
     "q84_dedup_incremental_minhash" -> ((s, d) => {
       // incremental NEAR-dup ingest against a PERSISTED LSH manifest: the
       // corpus side's signatures/bands are built once on disk (amortized
@@ -209,6 +230,35 @@ object DedupQueries {
       """WITH m AS (
            SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
            FROM documents WHERE doc_id % 10 < 5 AND text IS NOT NULL),
+         n AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           FROM documents WHERE doc_id % 10 >= 5),
+         p AS (
+           SELECT n.doc_id,
+                  CAST(len(list_intersect(n.toks, m.toks)) AS DOUBLE)
+                    / (len(n.toks) + len(m.toks)
+                       - len(list_intersect(n.toks, m.toks))) AS jac
+           FROM n LEFT JOIN m ON n.toks IS NOT NULL)
+         SELECT doc_id,
+                max(CASE WHEN jac >= 0.9 THEN jac END) AS near_jaccard,
+                coalesce(bool_or(jac >= 0.9), false) AS is_near_dup
+         FROM p GROUP BY doc_id ORDER BY doc_id""",
+
+    // q84's exact cross check with the manifest side minus the forgotten
+    // CONTENT: any manifest doc whose distinct-token set equals a deleted
+    // doc's set drops out (set equality via sorted distinct lists —
+    // identical to the engine's hash-set key modulo 2^-64 collisions)
+    "q108_manifest_content_delete" ->
+      """WITH m0 AS (
+           SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+           FROM documents WHERE doc_id % 10 < 5 AND text IS NOT NULL),
+         del AS (
+           SELECT DISTINCT list_sort(list_distinct(string_split(text, ' '))) AS k
+           FROM documents
+           WHERE doc_id % 10 < 5 AND doc_id % 7 = 2 AND text IS NOT NULL),
+         m AS (
+           SELECT m0.doc_id, m0.toks FROM m0
+           LEFT JOIN del ON m0.toks = del.k WHERE del.k IS NULL),
          n AS (
            SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
            FROM documents WHERE doc_id % 10 >= 5),

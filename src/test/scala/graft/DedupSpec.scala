@@ -524,4 +524,29 @@ class DedupSpec extends AnyFunSuite {
     assert(again(20L) == true)  // matches appended doc 11
     assert(again(21L) == false) // still novel
   }
+
+  test("manifest content delete forgets a whole exact class, by content not id") {
+    // docs 1 and 2 carry IDENTICAL text → one collapsed class (rep 1);
+    // doc 3 is distinct. Deleting via doc 2's TEXT must forget the class
+    // even though the stored representative is doc 1.
+    val manifest = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different content here now")).toDF("doc_id", "text")
+    val path = "target/graft-test-manifest-delete"
+    Dedup.saveMinhashManifest(manifest, "text", "doc_id", path,
+      k = 32, bands = 16)
+    Dedup.deleteContentFromMinhashManifest(
+      manifest.where($"doc_id" === 2L), "text", path)
+    val verdicts = Dedup.incrementalNearDups(
+      Seq((10L, "alpha beta gamma delta epsilon"),
+        (11L, "totally different content here now")).toDF("doc_id", "text"),
+      path, "text", "doc_id", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(verdicts(10L) == false) // forgotten content probes as fresh
+    assert(verdicts(11L) == true)  // untouched content still known
+    // and the docs table no longer holds the class representative
+    assert(spark.read.parquet(s"$path/docs")
+      .where($"doc" === 1L).count() == 0)
+  }
 }
