@@ -144,12 +144,19 @@ object Search {
     batch.select(col(idCol),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
       .write.mode("append").parquet(s"$path/doclens")
-    val old = spark.read.parquet(s"$path/stats").collect()(0)
+    // absent stats (first batch of a streaming ingest building the index
+    // from nothing) count as zero — append then CREATES the index
+    val (oldDocs, oldToks) =
+      try {
+        val r = spark.read.parquet(s"$path/stats").collect()(0)
+        (r.getLong(0), r.getLong(1))
+      } catch { case _: org.apache.spark.sql.AnalysisException => (0L, 0L) }
     val add = batch.agg(count(lit(1)).as("n_docs"),
       sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
         .as("total_tokens")).collect()(0)
     import spark.implicits._
-    Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
+    Seq((oldDocs + add.getLong(0),
+        oldToks + (if (add.isNullAt(1)) 0L else add.getLong(1))))
       .toDF("n_docs", "total_tokens")
       .write.mode("overwrite").parquet(s"$path/stats")
   }

@@ -85,6 +85,38 @@ object SearchQueries {
       Search.conjunctiveSearch(s, path, bmTerms)
     }),
 
+    "q109_stream_index_ingest" -> ((s, d) => {
+      // the ingest loop CLOSED over streaming: a document stream feeds
+      // the persisted text index via foreachBatch append (the index is
+      // CREATED by the first batch's append), and serving afterwards
+      // equals fresh compute over everything ingested — q92's oracle.
+      // foreachBatch is at-least-once: a batch replayed after a crash
+      // would double its postings. The exactly-once upgrade is the same
+      // batchId-staging pattern Sinks.streamJdbcAppend uses; documented
+      // rather than built because the index's consumers (dedup gates)
+      // tolerate duplicate postings in the window between crash and the
+      // next compaction.
+      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val path = s"target/graft-stream-index-$sf"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(path, s"$path.ckpt").foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val docs = s.readStream
+        .schema(graft.streaming.DocumentStreams.docSchema)
+        .parquet(s"$d/documents.*")
+      val q = docs.writeStream
+        .option("checkpointLocation", s"$path.ckpt")
+        .foreachBatch((batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          Search.appendToTextIndex(batch, path))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Search.bm25TopKIndexed(s, path, bmTerms, k = 20, k1 = k1, b = b)
+    }),
+
     "q104_bm25_index_append" -> ((s, d) => {
       // daily-ingest index maintenance: build the text index on the
       // even-id half, append the odd-id batch (postings land as new
@@ -210,6 +242,10 @@ object SearchQueries {
 
     // append with summed stats must equal a fresh build over the union
     "q104_bm25_index_append" -> bm25SqlOver("SELECT * FROM documents"),
+
+    // stream-built index serves exactly like fresh compute over the
+    // ingested corpus
+    "q109_stream_index_ingest" -> bm25SqlOver("SELECT * FROM documents"),
 
     // after deletion, serving must equal fresh compute over the survivors
     "q105_bm25_index_delete" ->

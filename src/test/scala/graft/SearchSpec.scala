@@ -96,6 +96,49 @@ class SearchSpec extends AnyFunSuite {
     assert(afterDelete.forall(r => !deadIds.contains(r.getLong(0))))
   }
 
+  test("multi-batch streaming ingest builds an index identical to a fresh build") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("spark", "join", "table", "scan", "window", "stream")
+    val all = (1L to 45L).map { i =>
+      (i, Vector.fill(4 + rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val src = "target/graft-test-stream-src"
+    // three separate files → with maxFilesPerTrigger=1, three real
+    // micro-batches, so the summed stats path is actually exercised
+    all.grouped(15).zipWithIndex.foreach { case (part, i) =>
+      part.toDF("doc_id", "text").coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(src)
+    }
+    val grown = "target/graft-test-stream-index"
+    val ckpt = "target/graft-test-stream-ckpt"
+    Seq(grown, ckpt).foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    var batches = 0
+    val q = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) => {
+        batches += 1
+        Search.appendToTextIndex(batch, grown)
+      })
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+    val fresh = "target/graft-test-stream-fresh"
+    Search.saveTextIndex(all.toDF("doc_id", "text"), fresh)
+    val terms = Seq("spark", "stream")
+    assert(Search.bm25TopKIndexed(spark, grown, terms, 15).collect().map(_.toSeq).toSeq ==
+      Search.bm25TopKIndexed(spark, fresh, terms, 15).collect().map(_.toSeq).toSeq)
+  }
+
   test("conjunctiveSearch keeps only documents containing every term") {
     val docs = Seq(
       (1L, "spark join spark window"), // both terms
