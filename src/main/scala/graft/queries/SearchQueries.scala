@@ -5,9 +5,12 @@ import graft.ops.Num
 import graft.ops.Tables.t
 import org.apache.spark.sql.functions._
 
-/** Search + co-located-join operator queries: BM25 ranked retrieval (q92),
-  * exact prefix-filtered all-pairs similarity (q93), and the bucketed
-  * shuffle-free join path (q95).
+/** Search + join-scale-path operator queries: BM25 ranked retrieval
+  * (q92 fresh, q102 index-served, q104 index-appended, q105
+  * index-deleted, q109 stream-ingested), conjunctive search (q103),
+  * exact prefix-filtered all-pairs similarity (q93), the bucketed
+  * shuffle-free join (q95), the salted skew join (q99), and the
+  * partitioned-layout scan (q100).
   */
 object SearchQueries {
   import ParityQueries.Q

@@ -200,6 +200,32 @@ object ScaleProbe {
       }
     }
 
+    // ---- text-index lifecycle (q102/q104): the maintenance claim is that
+    // APPEND cost tracks the BATCH while a rebuild tracks the accumulated
+    // corpus. Build the index over k× salted corpus, then append one 1×
+    // batch — the gap between append and rebuild is the amortization a
+    // daily ingest pipeline banks every day.
+    if (sel("textindex")) {
+      val k = n
+      val big = (0 until k).map(i => base.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1c$i")).as("text")))
+        .reduce(_ union _).localCheckpoint()
+      val idx = s"target/graft-scaleprobe-textindex-$k"
+      time(s"${k}x textindex-build") {
+        graft.ext.Search.saveTextIndex(big, idx)
+      }
+      val batch = base.select(col("doc_id") + lit(900000000L) as "doc_id",
+        col("text")).localCheckpoint()
+      time(s"${k}x textindex-append-1x-batch") {
+        graft.ext.Search.appendToTextIndex(batch, idx)
+      }
+      time(s"${k}x textindex-serve") {
+        graft.ext.Search.bm25TopKIndexed(spark, idx,
+          Seq("spark", "join", "window", "stream"), 20).count()
+      }
+    }
+
     // ---- salted join (q99): 90% of 4M probe rows pile on one key (the
     // null-pile / dominant-tenant shape); compare straggler task time
     // plain vs salted at the same shuffle width. The salted plan's build

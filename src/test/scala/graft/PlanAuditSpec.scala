@@ -331,6 +331,12 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q94 SemDeDup: the pair search is an equi-join on the cluster id") {
+    val plan = planOf("q94_semdedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+  }
+
   test("q102 indexed BM25: the term filter reaches the postings scan") {
     val plan = planOf("q102_bm25_indexed")
     // the serving scan reads the query terms' posting lists, not the index
