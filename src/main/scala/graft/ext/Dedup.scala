@@ -195,6 +195,59 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Boilerplate removal, CCNet-shaped at paragraph granularity: drop every
+    * chunk whose content appears in at least `minDocs` DISTINCT documents —
+    * from ALL of them, first occurrence included — and rebuild each
+    * document from its surviving chunks. Complements [[chunkDedup]]: chunk
+    * dedup keeps exactly one copy of repeated content, while this operator
+    * decides content crossing the document-frequency threshold is
+    * boilerplate (nav bars, cookie banners, license blocks) and keeps zero
+    * copies; content repeated in fewer than `minDocs` documents is
+    * untouched in every copy.
+    *
+    * Scale shape: the frequency pass exchanges (8-byte chunk hash, doc id)
+    * pairs with map-side partial aggregation, and the anti-join that marks
+    * surviving chunk slots carries (hash, doc, int idx) — chunk TEXT never
+    * enters a shuffle, because each document's clean text is re-derived
+    * from its own `textCol` and the sorted surviving-slot array in a pure
+    * per-row expression after one join by document id. The boilerplate
+    * relation is an aggregation output, so AQE sizes the anti-join at
+    * runtime (broadcast when the threshold keeps it small — the common
+    * case — sans OOM-risking hint when an adversarial corpus makes it
+    * wide).
+    */
+  def stripFrequentChunks(df: DataFrame, textCol: String, idCol: String,
+                          chunkTokens: Int = 20, minDocs: Int = 3): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val toks = split(col(textCol), " ")
+    val nChunks = (floor((size(toks) - 1) / lit(chunkTokens)) + 1).cast("int")
+    // NULL text contributes no chunks (see chunkDedup's sequence(0, -1) note)
+    val slots = df.where(col(textCol).isNotNull).select(
+      col(idCol).as("doc"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => xxhash64(array_join(slice(toks, i * chunkTokens + 1,
+          lit(chunkTokens)), " "))))
+        .as(Seq("idx", "h")))
+    val boiler = slots.groupBy("h")
+      .agg(countDistinct(col("doc")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select("h")
+    val keptSlots = slots.join(boiler, Seq("h"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("idx"))).as("keep_idx"))
+    df.select(col(idCol).as("doc"), col(textCol).as("bp_text"),
+        when(col(textCol).isNotNull, nChunks).otherwise(lit(0)).as("n_chunks"))
+      .join(keptSlots, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("n_chunks"),
+        coalesce(size(col("keep_idx")), lit(0)).cast("long").as("n_kept"),
+        coalesce(
+          array_join(transform(col("keep_idx"),
+            i => array_join(slice(split(col("bp_text"), " "),
+              i * chunkTokens + 1, lit(chunkTokens)), " ")), " "),
+          lit("")).as("clean_text"))
+  }
+
   /** Exact-substring dedup, the published standard beyond [[chunkDedup]]'s
     * fixed non-overlapping chunks (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better" — which removes every repeated substring

@@ -143,6 +143,14 @@ object DedupQueries {
         chunkTokens = 20)
         .orderBy("doc_id")),
 
+    "q110_boilerplate_strip" -> ((s, d) =>
+      // CCNet-shaped boilerplate removal: a chunk appearing in >= 3
+      // DISTINCT documents is dropped from every copy (q66 keeps the
+      // first occurrence; a frequency threshold keeps none)
+      Dedup.stripFrequentChunks(t(s, d, "documents"), "text", "doc_id",
+        chunkTokens = 20, minDocs = 3)
+        .orderBy("doc_id")),
+
     "q80_dedup_substring" -> ((s, d) =>
       // exact-substring dedup: repeated >=20-token runs at ARBITRARY
       // offsets removed from all but their first corpus occurrence —
@@ -398,6 +406,35 @@ object DedupQueries {
          r AS (SELECT doc_id, count(*) AS n_kept,
                       string_agg(chunk, ' ' ORDER BY idx) AS clean_text
                FROM k WHERE rn = 1 GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(CASE WHEN d.text IS NULL THEN 0
+                          ELSE (len(string_split(d.text, ' ')) - 1) // 20 + 1
+                     END AS INTEGER) AS n_chunks,
+                coalesce(r.n_kept, 0) AS n_kept,
+                coalesce(r.clean_text, '') AS clean_text
+         FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+         ORDER BY d.doc_id""",
+
+    // frequency on the chunk TEXT where the engine counts distinct docs
+    // per 8-byte chunk hash; chunks at document frequency >= 3 vanish
+    // from every document, survivors rebuild in original order
+    "q110_boilerplate_strip" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT doc_id,
+                      list_transform(range(0, (len(toks) - 1) // 20 + 1),
+                        i -> struct_pack(idx := i,
+                               chunk := array_to_string(toks[(i*20+1):(i*20+20)], ' '))) AS cs
+               FROM t),
+         c AS (SELECT doc_id, u.idx AS idx, u.chunk AS chunk
+               FROM (SELECT doc_id, unnest(cs) AS u FROM g)),
+         b AS (SELECT chunk FROM c GROUP BY chunk
+               HAVING count(DISTINCT doc_id) >= 3),
+         k AS (SELECT c.doc_id, c.idx, c.chunk
+               FROM c ANTI JOIN b USING (chunk)),
+         r AS (SELECT doc_id, count(*) AS n_kept,
+                      string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+               FROM k GROUP BY doc_id)
          SELECT d.doc_id,
                 CAST(CASE WHEN d.text IS NULL THEN 0
                           ELSE (len(string_split(d.text, ' ')) - 1) // 20 + 1

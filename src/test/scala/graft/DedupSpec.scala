@@ -170,6 +170,55 @@ class DedupSpec extends AnyFunSuite {
     assert(out(7L) == ((0, 0L, "")))
   }
 
+  test("stripFrequentChunks drops every copy past the doc-frequency threshold") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // "a b c" in docs 1,2,3 → boilerplate
+      (2L, "a b c x y z"),       // "x y z" only in 2 docs → kept
+      (3L, "a b c a b c"),       // within-doc repeat counts ONE doc
+      (4L, "x y z m n o"),
+      (5L, "p q r s t u"),       // untouched: rebuilt == original
+      (6L, null))                // NULL text: zero chunks
+      .toDF("doc_id", "text")
+    val out = Dedup.stripFrequentChunks(docs, "text", "doc_id",
+      chunkTokens = 3, minDocs = 3)
+      .as[(Long, Int, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2, 1L, "d e f")))
+    assert(out(2L) == ((2, 1L, "x y z")))
+    assert(out(3L) == ((2, 0L, "")))    // both chunks were boilerplate
+    assert(out(4L) == ((2, 2L, "x y z m n o")))
+    assert(out(5L) == ((2, 2L, "p q r s t u")))
+    assert(out(6L) == ((0, 0L, "")))
+  }
+
+  test("stripFrequentChunks ≡ doc-frequency reference on randomized docs") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Array("a", "b", "c", "d")
+    for (trial <- 1 to 3) {
+      val ct = 1 + rnd.nextInt(3)
+      val minDocs = 2 + rnd.nextInt(2)
+      val docs = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(4))).mkString(" "))
+      }
+      def chunksOf(tx: String): Seq[String] = {
+        val toks = tx.split(" ", -1)
+        (0 until ((toks.length - 1) / ct + 1))
+          .map(i => toks.slice(i * ct, i * ct + ct).mkString(" "))
+      }
+      val docFreq = docs.flatMap { case (_, tx) => chunksOf(tx).distinct }
+        .groupBy(identity).map { case (c, o) => c -> o.size }
+      val expected = docs.map { case (id, tx) =>
+        val kept = chunksOf(tx).filter(c => docFreq(c) < minDocs)
+        id -> ((chunksOf(tx).length, kept.length.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = Dedup.stripFrequentChunks(docs.toDF("doc_id", "text"),
+        "text", "doc_id", chunkTokens = ct, minDocs = minDocs)
+        .as[(Long, Int, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == expected, s"trial $trial chunkTokens=$ct minDocs=$minDocs")
+    }
+  }
+
   test("chunkDedup ≡ sequential first-occurrence reference on randomized docs") {
     val rnd = new scala.util.Random(19)
     val vocab = Array("a", "b", "c", "d")

@@ -64,6 +64,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("q110 boilerplate strip: frequency pass and anti-join never shuffle text") {
+    val plan = planOf("q110_boilerplate_strip")
+    // chunk hashing happens INSIDE the pre-explode transform: every
+    // Generate emits (idx, 8-byte hash) slots, never a chunk string, so
+    // the countDistinct exchange and the anti-join shuffle ~20-byte rows
+    // and clean text is re-derived per row after the single by-id join
+    val gens = plan.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gens.nonEmpty, plan.take(4000))
+    assert(gens.forall(l => !l.contains("chunk")), gens.mkString("\n"))
+    assert(plan.contains("LeftAnti"), plan.take(4000))
+    // frequency is a skew-safe two-phase distinct count, not a window
+    assert(!plan.contains("Window"), plan.take(4000))
+  }
+
   test("q80 substring dedup: hashes in the scan stage, ownership via groupBy+join") {
     val plan = planOf("q80_dedup_substring")
     // the rolling-hash expression runs pre-explode — window STRINGS never
