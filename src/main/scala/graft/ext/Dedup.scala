@@ -934,6 +934,42 @@ object Dedup {
         (col("id") === col("comp")).cast("int").as("is_keeper"))
   }
 
+  /** [[minhashClusters]] with QUALITY-RANKED keeper selection: instead of
+    * keeping each near-dup cluster's smallest id (an arbitrary choice),
+    * keep its best document under `score` (ties broken toward the
+    * smallest id, so the output is a pure function of the data). This is
+    * the keep-best policy production dedup runs use — when a page exists
+    * as both a boilerplate-riddled scrape and a clean mirror, the cluster
+    * should surface the clean one.
+    *
+    * Output: one row per input document — (idCol, cluster_rep, keeper_id,
+    * is_keeper). `cluster_rep` stays the component minimum (a stable
+    * cluster KEY, independent of the scoring function); `keeper_id` is the
+    * quality argmax (the document to RETAIN).
+    *
+    * Scale shape: inherits [[minhashClusters]]'s candidate discipline; the
+    * argmax adds one groupBy over (cluster, score, id) triples — map-side
+    * partial max — and one join back by cluster key. The keeper relation
+    * has one row per cluster, so the join is AQE-broadcastable exactly
+    * when dedup found real collapse; in the no-dup worst case it is a
+    * same-cardinality equi-join on the cluster key, never a cross
+    * product.
+    */
+  def minhashClustersKeepBest(df: DataFrame, textCol: String, idCol: String,
+                              score: Column, threshold: Double = 0.9,
+                              bands: Int = 16): DataFrame = {
+    val clusters = minhashClusters(df, textCol, idCol, threshold, bands)
+      .select(col(idCol), col("cluster_rep"))
+    val scored = clusters.join(
+      df.select(col(idCol), score.as("kb_score")), Seq(idCol))
+    val keepers = scored.groupBy(col("cluster_rep"))
+      .agg(max(struct(col("kb_score"), (-col(idCol)).as("kb_neg_id"))).as("kb"))
+      .select(col("cluster_rep"), (-col("kb").getField("kb_neg_id")).as("keeper_id"))
+    scored.join(keepers, Seq("cluster_rep"))
+      .select(col(idCol), col("cluster_rep"), col("keeper_id"),
+        (col(idCol) === col("keeper_id")).cast("int").as("is_keeper"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** Typed Aggregator folding token hashes into a 64-bit SimHash: per bit,

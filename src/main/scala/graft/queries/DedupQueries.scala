@@ -136,6 +136,14 @@ object DedupQueries {
         threshold = 0.9)
         .orderBy("doc_id")),
 
+    "q111_dedup_keep_best" -> ((s, d) =>
+      // q49's clustering with the production keeper policy: retain each
+      // cluster's LONGEST document (ties to smallest id), not its
+      // smallest id — the clean mirror over the boilerplate scrape
+      Dedup.minhashClustersKeepBest(t(s, d, "documents"), "text", "doc_id",
+        score = col("n_chars"), threshold = 0.9)
+        .orderBy("doc_id")),
+
     "q66_dedup_chunk" -> ((s, d) =>
       // C4-style paragraph-granularity dedup: fixed 20-token chunks, first
       // corpus-wide occurrence wins, documents rebuilt from survivors
@@ -387,6 +395,32 @@ object DedupQueries {
           SELECT node AS doc_id, min(r) AS cluster_rep,
                  CAST(CASE WHEN node = min(r) THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
           FROM reach GROUP BY node ORDER BY doc_id""",
+
+    // q49's reachability closure + per-component quality argmax: the
+    // keeper is the longest document (ties to the smallest id), while
+    // cluster_rep stays the component minimum as the stable cluster key
+    "q111_dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS ($exactJaccardPairs),
+          edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs),
+          reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+          comp AS (
+            SELECT node, min(r) AS cluster_rep FROM reach GROUP BY node),
+          rk AS (
+            SELECT c.node, c.cluster_rep,
+                   row_number() OVER (PARTITION BY c.cluster_rep
+                                      ORDER BY d.n_chars DESC, c.node) AS rn
+            FROM comp c JOIN documents d ON c.node = d.doc_id),
+          best AS (SELECT cluster_rep, node AS keeper_id FROM rk WHERE rn = 1)
+          SELECT c.node AS doc_id, c.cluster_rep, b.keeper_id,
+                 CAST(CASE WHEN c.node = b.keeper_id THEN 1 ELSE 0 END
+                      AS INTEGER) AS is_keeper
+          FROM comp c JOIN best b USING (cluster_rep) ORDER BY doc_id""",
 
     // keeper = first (doc, idx) occurrence per chunk TEXT where the engine
     // groups on the chunk's xxhash64 — identical modulo 2^-64 collisions

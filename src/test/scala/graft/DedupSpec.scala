@@ -170,6 +170,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out(7L) == ((0, 0L, "")))
   }
 
+  test("minhashClustersKeepBest retains the quality argmax, not the min id") {
+    // docs 1,2,3 are one near-dup cluster (identical token sets); doc 2 is
+    // the longest → keeper. Singleton doc 9 keeps itself.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", 10L),
+      (2L, "alpha beta gamma delta epsilon zeta extra", 99L),
+      (3L, "alpha beta gamma delta epsilon zeta", 10L),
+      (9L, "totally different content here now", 5L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.minhashClustersKeepBest(docs, "text", "doc_id",
+      score = col("n_chars"), threshold = 0.5)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((1L, 2L, 0)))
+    assert(out(2L) == ((1L, 2L, 1)))  // longest wins despite id 2 > 1
+    assert(out(3L) == ((1L, 2L, 0)))
+    assert(out(9L) == ((9L, 9L, 1)))
+    // score ties break toward the SMALLEST id: equalize the scores
+    val tied = Dedup.minhashClustersKeepBest(
+      docs.withColumn("n_chars", lit(7L)), "text", "doc_id",
+      score = col("n_chars"), threshold = 0.5)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(tied(1L) == 1L && tied(2L) == 1L && tied(3L) == 1L)
+  }
+
   test("stripFrequentChunks drops every copy past the doc-frequency threshold") {
     val docs = Seq(
       (1L, "a b c d e f"),       // "a b c" in docs 1,2,3 → boilerplate
