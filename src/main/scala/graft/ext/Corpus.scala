@@ -328,48 +328,77 @@ object Corpus {
     * boundary to replay identically across engines.
     */
   def budgetSelect(df: DataFrame, textCol: String, idCol: String,
-                   score: Column, budgetPerMille: Int = 500): DataFrame = {
+                   score: Column, budgetPerMille: Int = 500): DataFrame =
+    budgetSelectBy(df, textCol, idCol, score, Nil, budgetPerMille)
+
+  /** [[budgetSelect]] partitioned: an independent `budgetPerMille` token
+    * budget PER value of `partitionCols` — the per-source cap a mixture
+    * designer applies so one crawl cannot spend the whole budget ("at most
+    * half of each source's tokens, best-first"). With `partitionCols` empty
+    * this is exactly the global selection.
+    *
+    * Scale shape: identical to the global path, with every histogram,
+    * window, and admission decision keyed by the partition columns — the
+    * histogram window's partition count is #(partition values), so skew in
+    * SOURCE SIZE never serializes the corpus (only the per-(partition,
+    * score) straddle class needs per-document resolution, same caveat as
+    * the global path). The per-partition budget relation has one row per
+    * partition value and joins back to the histogram by key, AQE-broadcast
+    * when small.
+    */
+  def budgetSelectBy(df: DataFrame, textCol: String, idCol: String,
+                     score: Column, partitionCols: Seq[String],
+                     budgetPerMille: Int = 500): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetPerMille >= 0 && budgetPerMille <= 1000,
       s"budgetPerMille out of [0,1000]: $budgetPerMille")
+    val pcols = partitionCols.map(col)
+    val keyCols = partitionCols :+ "score"
     val docs = df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), score.as("score"),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val hist = docs.groupBy("score")
+      .select(pcols ++ Seq(col(idCol).as("id"), score.as("score"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")): _*)
+    val hist = docs.groupBy(keyCols.map(col): _*)
       .agg(sum(col("n_tokens")).as("tok_sum"))
-    // budget enters the plan as a broadcast 1-row cross join (q24's n_docs
-    // pattern) — no driver-side collect. It aggregates the HISTOGRAM, not
-    // the corpus: Σ tok_sum over score classes equals the corpus total, so
-    // this costs a histogram-sized pass instead of a third corpus scan.
-    // Decimal arithmetic: at 100 TB total_tokens · 1000 overflows the
+    // the budget enters the plan as a relation, never a collect. It
+    // aggregates the HISTOGRAM, not the corpus: Σ tok_sum over score
+    // classes equals the (per-partition) total, so this costs a
+    // histogram-sized pass instead of a third corpus scan. Decimal
+    // arithmetic: at 100 TB total_tokens · 1000 overflows the
     // double-precision integer range a plain `/` would route through
-    val budget = hist.agg(
-      (sum(col("tok_sum")).cast("decimal(38,0)") * budgetPerMille / 1000)
-        .cast("long").as("budget"))
+    val budgetExpr = (sum(col("tok_sum")).cast("decimal(38,0)")
+      * budgetPerMille / 1000).cast("long").as("budget")
     // running totals over the HISTOGRAM: this window's input is one row
-    // per distinct score, never the corpus
-    val byScore = Window.orderBy(col("score").desc)
-    val edges = hist
+    // per distinct (partition, score), never the corpus
+    val byScore = Window.partitionBy(pcols: _*).orderBy(col("score").desc)
+    val edgesBase = hist
       .withColumn("cum_incl", sum(col("tok_sum")).over(byScore))
       .withColumn("cum_before", col("cum_incl") - col("tok_sum"))
-      .crossJoin(broadcast(budget))
+    val edges =
+      if (partitionCols.isEmpty)
+        edgesBase.crossJoin(broadcast(hist.agg(budgetExpr)))
+      else edgesBase.join(
+        hist.groupBy(pcols: _*).agg(budgetExpr), partitionCols)
     val interior = docs.join(
-      edges.where(col("cum_incl") <= col("budget")).select(col("score")),
-      Seq("score"), "left_semi")
-    // exactly one class can straddle the budget line (cum_before is
-    // monotone over classes); its members get the per-document prefix rule
+      edges.where(col("cum_incl") <= col("budget"))
+        .select(keyCols.map(col): _*),
+      keyCols, "left_semi")
+    // per partition value, exactly one class can straddle the budget line
+    // (cum_before is monotone over classes); its members get the
+    // per-document prefix rule
     val straddle = edges.where(
       col("cum_before") <= col("budget") && col("cum_incl") > col("budget"))
-    val byId = Window.partitionBy(col("score")).orderBy(col("id"))
+    val byId = Window.partitionBy(keyCols.map(col): _*).orderBy(col("id"))
     val boundary = docs
-      .join(straddle.select(col("score"), col("cum_before"), col("budget")),
-        Seq("score"))
+      .join(straddle.select(keyCols.map(col) ++
+          Seq(col("cum_before"), col("budget")): _*),
+        keyCols)
       .withColumn("cum_in", sum(col("n_tokens")).over(byId))
       .where(col("cum_before") + col("cum_in") <= col("budget"))
-      .select(col("score"), col("id"), col("n_tokens"))
-    interior.select(col("score"), col("id"), col("n_tokens"))
+      .select(keyCols.map(col) :+ col("id") :+ col("n_tokens"): _*)
+    interior.select(keyCols.map(col) :+ col("id") :+ col("n_tokens"): _*)
       .union(boundary)
-      .select(col("id").as(idCol), col("score"), col("n_tokens"))
+      .select(Seq(col("id").as(idCol)) ++ pcols ++
+        Seq(col("score"), col("n_tokens")): _*)
   }
 
   /** KenLM-shaped n-gram LM quality score: per-document surprisal under a

@@ -166,6 +166,18 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q112_budget_select_by_source" -> ((s, d) => {
+      // q85's selection with an INDEPENDENT budget per source: each source
+      // keeps its best half (by tokens), so one dominant crawl cannot
+      // spend the corpus-wide budget — the per-source cap of a mixture
+      // design. Same histogram discipline, keyed by source.
+      val docs = t(s, d, "documents")
+      Corpus.budgetSelectBy(docs, "text", "doc_id",
+        size(array_distinct(split(col("text"), " "))).cast("long"),
+        partitionCols = Seq("source"), budgetPerMille = 500)
+        .orderBy("doc_id")
+    }),
+
     "q91_lm_perplexity_indexed" -> ((s, d) => {
       // the CCNet deployment shape: the reference LM (trained on the
       // train split) persists to disk ONCE, and each later batch (here
@@ -589,6 +601,25 @@ object CorpusQueries {
                         AS cum
                FROM s)
          SELECT doc_id, score, n_tokens FROM c, t
+         WHERE cum <= budget ORDER BY doc_id""",
+
+    // q85's prefix rule with the window and budget both keyed by source
+    "q112_budget_select_by_source" ->
+      """WITH s AS (
+           SELECT doc_id, source,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                    AS score,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents WHERE text IS NOT NULL),
+         t AS (SELECT source, sum(n_tokens) * 500 // 1000 AS budget
+               FROM s GROUP BY source),
+         c AS (SELECT s.*,
+                      sum(n_tokens) OVER (PARTITION BY source
+                                          ORDER BY score DESC, doc_id)
+                        AS cum
+               FROM s)
+         SELECT c.doc_id, c.source, c.score, c.n_tokens
+         FROM c JOIN t USING (source)
          WHERE cum <= budget ORDER BY doc_id""",
 
     // exact dual of q56's oracle on the q63 split: the Bloom prefilter is

@@ -361,6 +361,34 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("budgetSelectBy ≡ per-partition brute-force prefix on randomized corpora") {
+    val rnd = new scala.util.Random(31)
+    val docs = (1L to 80L).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i, "s" + rnd.nextInt(3),
+        Seq.fill(n)(("w" + rnd.nextInt(6))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "source", "text")
+    val score = size(array_distinct(split(col("text"), " "))).cast("long")
+    for (perMille <- Seq(0, 250, 500, 900, 1000)) {
+      val got = Corpus.budgetSelectBy(df, "text", "doc_id", score,
+          partitionCols = Seq("source"), perMille)
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toList
+      // reference: per source, total sort + running prefix in plain Scala
+      val want = docs.groupBy(_._2).toSeq.flatMap { case (src, grp) =>
+        val scored = grp.map { case (id, _, t) =>
+          val toks = t.split(" ")
+          (id, src, toks.distinct.length.toLong, toks.length.toLong)
+        }
+        val budget = scored.map(_._4).sum * perMille / 1000
+        var cum = 0L
+        scored.sortBy { case (id, _, s, _) => (-s, id) }
+          .takeWhile { case (_, _, _, n) => { cum += n; cum <= budget } }
+      }.sortBy(_._1).toList
+      assert(got == want, s"perMille=$perMille")
+    }
+  }
+
   test("deleteFromLm: subtracted model scores exactly like training on the survivors") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
