@@ -610,4 +610,54 @@ object Corpus {
         coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
         coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
   }
+
+  /** Composed cleaning pipeline with a per-stage attrition report — the
+    * funnel a corpus owner reads before a training run: ingest → quality
+    * gate → normalized exact dedup → token-budget selection, each stage
+    * consuming the previous stage's survivors. One row per stage with the
+    * surviving document and token counts.
+    *
+    * Stage semantics (each an operator this library ships standalone):
+    *  - `quality`: [[TextAnalysis.qualityScore]] ≥ `qualityMin`;
+    *  - `dedup`: one keeper (min id) per distinct [[Dedup.normalizeText]]-ed
+    *    content AMONG the quality survivors — gate order matters: a
+    *    low-quality copy must not become the keeper of a class whose other
+    *    copies pass;
+    *  - `budget`: [[budgetSelectBy]] over the dedup survivors, best
+    *    quality first, `budgetPerMille` of the surviving tokens.
+    *
+    * Scale shape: the report is four aggregate rows. Stage membership is
+    * decided by the operators' own plans (hash-groupBy dedup on 32-byte
+    * normalized-content hashes, histogram-windowed budget admission — see
+    * their docs); the funnel adds only id-only semi-joins and count/sum
+    * aggregates, never a second pass over text. The four stage aggregates
+    * share their deepest subplans via Spark's ReuseExchange; a pipeline
+    * that has already MATERIALIZED per-stage outputs should aggregate
+    * those instead of re-deriving them here.
+    */
+  def pipelineFunnel(df: DataFrame, textCol: String, idCol: String,
+                     stopwords: Seq[String], qualityMin: Double = 0.5,
+                     budgetPerMille: Int = 500): DataFrame = {
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore(col(textCol), stopwords).as("quality"))
+    val gated = base.where(col("quality") >= qualityMin)
+    val keepers = gated
+      .groupBy(sha2(Dedup.normalizeText(col("text")), 256).as("h"))
+      .agg(min(col("id")).as("id"))
+      .select("id")
+    val deduped = gated.join(keepers, Seq("id"), "left_semi")
+    val selected = budgetSelectBy(deduped, "text", "id", col("quality"),
+      Nil, budgetPerMille)
+    def stageRow(i: Int, name: String, stage: DataFrame) =
+      stage.agg(count(lit(1)).as("docs_kept"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("tokens_kept"))
+        .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+          col("docs_kept"), col("tokens_kept"))
+    stageRow(0, "ingest", base)
+      .unionAll(stageRow(1, "quality", gated))
+      .unionAll(stageRow(2, "dedup", deduped))
+      .unionAll(stageRow(3, "budget", selected))
+  }
 }

@@ -178,6 +178,21 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q113_pipeline_funnel" -> ((s, d) =>
+      // the composed cleaning pipeline's attrition report: ingest →
+      // quality gate → normalized exact dedup → token-budget selection,
+      // one row per stage with surviving doc/token counts — the funnel a
+      // corpus owner reads before a training run. Every stage is an
+      // operator this library ships standalone (q21/q78/q85); the funnel
+      // pins that they COMPOSE, gate order included (dedup keepers are
+      // chosen among quality survivors only). 0.68 sits just under the
+      // fixture's median quality, so the gate visibly bites; the fixture
+      // has no normalized-dup pairs at sf0.01 (8 at sf0.1), so the dedup
+      // stage's nonzero attrition is pinned by CorpusSpec instead.
+      Corpus.pipelineFunnel(t(s, d, "documents"), "text", "doc_id",
+        stopwords, qualityMin = 0.68, budgetPerMille = 500)
+        .orderBy("stage_idx")),
+
     "q91_lm_perplexity_indexed" -> ((s, d) => {
       // the CCNet deployment shape: the reference LM (trained on the
       // train split) persists to disk ONCE, and each later batch (here
@@ -621,6 +636,50 @@ object CorpusQueries {
          SELECT c.doc_id, c.source, c.score, c.n_tokens
          FROM c JOIN t USING (source)
          WHERE cum <= budget ORDER BY doc_id""",
+
+    // the funnel replayed as a CTE chain of the stages' own oracles
+    // (q21's quality formula, q78's normalized-content grouping, q85's
+    // prefix-rule budget), aggregated to per-stage counts
+    "q113_pipeline_funnel" ->
+      s"""WITH base AS (
+            SELECT doc_id, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) * 0.5
+                   + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ($stopListSql))) AS DOUBLE)
+                       / len(string_split(text, ' '))) * 0.3
+                   + (CASE WHEN CAST(length(text)
+                                     - (len(string_split(text, ' ')) - 1)
+                                  AS DOUBLE) / len(string_split(text, ' '))
+                             BETWEEN 3.0 AND 8.0
+                           THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+            FROM documents WHERE text IS NOT NULL),
+          gated AS (SELECT * FROM base WHERE quality >= 0.68),
+          keep AS (SELECT min(doc_id) AS doc_id FROM gated
+                   GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+          dd AS (SELECT gated.* FROM gated JOIN keep USING (doc_id)),
+          bud AS (SELECT sum(n_tokens) * 500 // 1000 AS budget FROM dd),
+          cum AS (SELECT dd.*,
+                         sum(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+                           AS cum_tok
+                  FROM dd),
+          sel AS (SELECT cum.* FROM cum, bud WHERE cum_tok <= budget)
+          SELECT * FROM (
+            SELECT CAST(0 AS INTEGER) AS stage_idx, 'ingest' AS stage,
+                   count(*) AS docs_kept,
+                   CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS tokens_kept
+            FROM base
+            UNION ALL
+            SELECT 1, 'quality', count(*),
+                   CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM gated
+            UNION ALL
+            SELECT 2, 'dedup', count(*),
+                   CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM dd
+            UNION ALL
+            SELECT 3, 'budget', count(*),
+                   CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM sel)
+          ORDER BY stage_idx""",
 
     // exact dual of q56's oracle on the q63 split: the Bloom prefilter is
     // invisible to the output contract

@@ -445,4 +445,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(merged.orderBy("source").collect().toSeq ==
       whole.orderBy("source").collect().toSeq)
   }
+
+  test("pipelineFunnel composes the gates in order with exact attrition") {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val df = Seq(
+      (1L, "the a of and to in is the a of"), // all-stopword: fails quality
+      (2L, "THE A OF AND TO IN IS THE A OF"), // same normalized class, passes
+      (3L, "alpha bravo charlie delta echo foxtrot"),
+      (4L, "ALPHA bravo charlie delta echo foxtrot"), // normalized dup of 3
+      (5L, "golf hotel india juliet kilo lima mike november"),
+      (6L, "oscar papa quebec romeo sierra tango uniform victor"),
+      (7L, null: String) // dropped at ingest
+    ).toDF("doc_id", "text")
+    val out = Corpus.pipelineFunnel(df, "text", "doc_id", stop,
+      qualityMin = 0.68, budgetPerMille = 500)
+      .orderBy("stage_idx")
+      .select("stage", "docs_kept", "tokens_kept")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("ingest", 6L, 48L),
+      ("quality", 5L, 38L),
+      // keeper of the {1,2} class is 2: min id AMONG QUALITY SURVIVORS —
+      // dedup-before-gate would pick 1 and the class would vanish
+      ("dedup", 4L, 32L),
+      // budget = 32·500‰ = 16 tokens; the quality-1.0 class in id order:
+      // 3 (cum 6), 5 (cum 14), 6 (cum 22 > 16 — dropped); 2 never reached
+      ("budget", 2L, 14L)))
+  }
 }
