@@ -105,7 +105,11 @@ object Search {
     *    a term-filtered read prunes row groups on the token min/max and
     *    the scan carries only the query terms' posting lists;
     *  - `doclens/`: (doc_id, dl);
-    *  - `stats/`: one row (n_docs, total_tokens).
+    *  - `stats/`: ADDITIVE rows summing to (n_docs, total_tokens) — a
+    *    fresh build writes one; each appended batch adds one. Serving
+    *    sums them ([[readStats]]), so growing the index never
+    *    read-modify-writes a stats file (the step a replayed batch would
+    *    double-count).
     *
     * df needs no table of its own: postings rows are distinct (token,
     * doc) pairs, so df(t) is a count over the already-filtered postings.
@@ -135,7 +139,6 @@ object Search {
   def appendToTextIndex(batch: DataFrame, path: String,
                         idCol: String = "doc_id",
                         textCol: String = "text"): Unit = {
-    val spark = batch.sparkSession
     batch
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
@@ -144,21 +147,102 @@ object Search {
     batch.select(col(idCol),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
       .write.mode("append").parquet(s"$path/doclens")
-    // absent stats (first batch of a streaming ingest building the index
-    // from nothing) count as zero — append then CREATES the index
-    val (oldDocs, oldToks) =
-      try {
-        val r = spark.read.parquet(s"$path/stats").collect()(0)
-        (r.getLong(0), r.getLong(1))
-      } catch { case _: org.apache.spark.sql.AnalysisException => (0L, 0L) }
-    val add = batch.agg(count(lit(1)).as("n_docs"),
-      sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
-        .as("total_tokens")).collect()(0)
-    import spark.implicits._
-    Seq((oldDocs + add.getLong(0),
-        oldToks + (if (add.isNullAt(1)) 0L else add.getLong(1))))
-      .toDF("n_docs", "total_tokens")
-      .write.mode("overwrite").parquet(s"$path/stats")
+    // stats are ADDITIVE rows: the batch contributes one more, and
+    // serving sums ([[readStats]]) — no read-modify-write, no collect.
+    // On the FIRST batch of a streaming ingest this append also CREATES
+    // the index.
+    batchStats(batch, textCol).write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** One additive stats row for a batch (coalesce: zero docs must still
+    * produce a (0, 0) row, and sum() over nothing is NULL). */
+  private def batchStats(batch: DataFrame, textCol: String): DataFrame =
+    batch.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L))
+        .as("total_tokens"))
+
+  /** The index's corpus stats as ONE row: sum of the additive stats rows
+    * (identity on a fresh single-row build). */
+  private def readStats(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"))
+
+  /** [[appendToTextIndex]] with EXACTLY-ONCE semantics for streaming
+    * ingest (`foreachBatch` is at-least-once: a micro-batch replayed
+    * after a crash re-runs its side effects). The batch's index files are
+    * written to a batch-scoped staging directory, then PUBLISHED by
+    * renaming them into the live index under deterministic
+    * `b<batchId>-<i>` names, and finally a `_ledger/batch-<batchId>`
+    * marker records completion. Every failure window replays safely:
+    *
+    *  - marker exists → the batch fully published; skip (the no-op path
+    *    a Structured Streaming restart takes for its replayed batch);
+    *  - crash mid-staging → retry wipes the staging dir and re-stages;
+    *  - crash mid-publish or before the marker → retry re-stages, wipes
+    *    exactly the `b<batchId>-*` files a dead attempt moved in (names
+    *    are deterministic — a re-attempt can always identify them), and
+    *    republishes.
+    *
+    * The marker write is an atomic file create, and publish renames are
+    * single-file metadata ops (atomic on HDFS and local filesystems; on
+    * object stores an HDFS-compatible layer such as a metadata-backed
+    * committer is assumed, the standard caveat). Like
+    * [[graft.ops.Sinks.streamJdbcExactlyOnce]], batch ids are only
+    * meaningful relative to ONE durable checkpoint lineage.
+    *
+    * Scale: identical plan to [[appendToTextIndex]] (batch-sized), plus
+    * one file listing + |files| renames per component — metadata work,
+    * no second data pass.
+    */
+  def appendToTextIndexExactlyOnce(batch: DataFrame, path: String,
+                                   batchId: Long, idCol: String = "doc_id",
+                                   textCol: String = "text"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val marker = new Path(s"$path/_ledger/batch-$batchId")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return // fully published — replay is a no-op
+    val staging = s"$path/_staging/batch-$batchId"
+    fs.delete(new Path(staging), true) // wipe a dead attempt's partials
+    batch
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .repartition(col("token")).sortWithinPartitions("token", idCol)
+      .write.mode("overwrite").parquet(s"$staging/postings")
+    batch.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$staging/doclens")
+    batchStats(batch, textCol).write.mode("overwrite").parquet(s"$staging/stats")
+    Seq("postings", "doclens", "stats").foreach { comp =>
+      publishStaged(fs, s"$staging/$comp", s"$path/$comp", s"b$batchId") }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close() // atomic: the batch is now published
+    fs.delete(new Path(staging), true)
+  }
+
+  /** Move a staged component's data files into the live index under
+    * deterministic `<prefix>-<i>` names, first removing any files a dead
+    * earlier publish attempt left under the same prefix — making the
+    * publish idempotent. Hadoop FileSystem throughout, so the same code
+    * runs on local disk and HDFS.
+    */
+  private def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
+                            srcDir: String, dstDir: String,
+                            prefix: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(dstDir)
+    fs.mkdirs(dst)
+    fs.listStatus(dst).map(_.getPath)
+      .filter(_.getName.startsWith(prefix + "-"))
+      .foreach(p => fs.delete(p, false))
+    val staged = fs.listStatus(new Path(srcDir)).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .sortBy(_.getName)
+    staged.zipWithIndex.foreach { case (p, i) =>
+      if (!fs.rename(p, new Path(dst, s"$prefix-$i.parquet")))
+        throw new java.io.IOException(s"publish rename failed: $p") }
   }
 
   /** Delete documents from a [[saveTextIndex]] index — the
@@ -194,7 +278,7 @@ object Search {
     val tf = spark.read.parquet(s"$path/postings")
       .where(col("token").isInCollection(terms))
     scoreBm25(tf, spark.read.parquet(s"$path/doclens"),
-      spark.read.parquet(s"$path/stats"), terms, k, idCol, k1, b)
+      readStats(spark, path), terms, k, idCol, k1, b)
   }
 
   /** Conjunctive (AND-semantics) search from the same index: documents

@@ -91,14 +91,13 @@ object SearchQueries {
     "q109_stream_index_ingest" -> ((s, d) => {
       // the ingest loop CLOSED over streaming: a document stream feeds
       // the persisted text index via foreachBatch append (the index is
-      // CREATED by the first batch's append), and serving afterwards
+      // CREATED by the first batch's publish), and serving afterwards
       // equals fresh compute over everything ingested — q92's oracle.
-      // foreachBatch is at-least-once: a batch replayed after a crash
-      // would double its postings. The exactly-once upgrade is the same
-      // batchId-staging pattern Sinks.streamJdbcAppend uses; documented
-      // rather than built because the index's consumers (dedup gates)
-      // tolerate duplicate postings in the window between crash and the
-      // next compaction.
+      // Delivery is EXACTLY-ONCE: appendToTextIndexExactlyOnce stages
+      // each micro-batch's files and publishes them under a batchId
+      // ledger, so a replayed batch is a no-op (the file-side dual of
+      // Sinks.streamJdbcExactlyOnce; replay windows pinned in
+      // SearchSpec).
       val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
       val path = s"target/graft-stream-index-$sf"
       val conf = s.sparkContext.hadoopConfiguration
@@ -113,8 +112,8 @@ object SearchQueries {
       val q = docs.writeStream
         .option("checkpointLocation", s"$path.ckpt")
         .foreachBatch((batch: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
-          Search.appendToTextIndex(batch, path))
+            org.apache.spark.sql.Row], batchId: Long) =>
+          Search.appendToTextIndexExactlyOnce(batch, path, batchId))
         .start()
       try q.processAllAvailable() finally q.stop()
       Search.bm25TopKIndexed(s, path, bmTerms, k = 20, k1 = k1, b = b)

@@ -139,6 +139,51 @@ class SearchSpec extends AnyFunSuite {
       Search.bm25TopKIndexed(spark, fresh, terms, 15).collect().map(_.toSeq).toSeq)
   }
 
+  test("exactly-once index append: every replay window is a no-op or a clean redo") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("target").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val idx = "target/graft-test-xonce-index"
+    fs.delete(new Path(idx), true)
+    val b0 = Seq((1L, "spark join spark"), (2L, "stream window table"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "spark stream"), (4L, "table scan window"))
+      .toDF("doc_id", "text")
+    val terms = Seq("spark", "stream")
+    def served = Search.bm25TopKIndexed(spark, idx, terms, 10)
+      .collect().map(_.toSeq).toSeq
+
+    // first batch CREATES the index via its publish
+    Search.appendToTextIndexExactlyOnce(b0, idx, batchId = 0L)
+    Search.appendToTextIndexExactlyOnce(b1, idx, batchId = 1L)
+    val expected = served
+    val fresh = "target/graft-test-xonce-fresh"
+    Search.saveTextIndex(b0.unionAll(b1), fresh)
+    assert(expected ==
+      Search.bm25TopKIndexed(spark, fresh, terms, 10).collect().map(_.toSeq).toSeq)
+
+    // window A: marker present (the normal streaming-restart replay) —
+    // the whole call is a no-op
+    Search.appendToTextIndexExactlyOnce(b1, idx, batchId = 1L)
+    assert(served == expected)
+
+    // window B: crash AFTER publish but BEFORE the marker — the retry
+    // must wipe the dead attempt's published files and republish without
+    // duplicating postings or stats
+    fs.delete(new Path(s"$idx/_ledger/batch-1"), false)
+    Search.appendToTextIndexExactlyOnce(b1, idx, batchId = 1L)
+    assert(served == expected)
+
+    // window C: crash MID-STAGING (partial staging dir, no marker) —
+    // the retry wipes and re-stages
+    fs.delete(new Path(s"$idx/_ledger/batch-1"), false)
+    fs.mkdirs(new Path(s"$idx/_staging/batch-1/postings"))
+    fs.create(new Path(s"$idx/_staging/batch-1/postings/part-junk"), true).close()
+    Search.appendToTextIndexExactlyOnce(b1, idx, batchId = 1L)
+    assert(served == expected)
+    assert(!fs.exists(new Path(s"$idx/_staging/batch-1")))
+  }
+
   test("conjunctiveSearch keeps only documents containing every term") {
     val docs = Seq(
       (1L, "spark join spark window"), // both terms
