@@ -189,6 +189,7 @@ object Main {
         .master(sys.props.getOrElse("graft.master", "local[*]"))
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     }

@@ -24,19 +24,27 @@ object Tables {
 
   /** Read one testdata table from a scale-factor directory.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
-    * default; we read nanos as a long and rebuild a microsecond timestamp
-    * column, keeping the declared schema stable for downstream operators.
-    * Sessions that read events must be BUILT with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (all entry points in this
-    * repo do) — mutating session conf per read call surprises concurrent
-    * users of a shared session.
+    * `events.ts` has shipped in two encodings across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark 4 rejects unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` turns it into a LONG —
+    * and parquet timestamp[us] (isAdjustedToUTC=false, read as
+    * TIMESTAMP_NTZ). Branch on the footer's actual type and normalize both
+    * to a session-TZ TimestampType column, keeping the declared schema
+    * stable for downstream operators. Entry points set the session TZ to
+    * UTC, so the NTZ→LTZ cast is value-preserving. Mutating session conf
+    * per read call would surprise concurrent users of a shared session,
+    * hence the build-time nanosAsLong requirement documented here.
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      // integer div: ns → µs (a double division would lose precision at 1e18)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ts = raw.schema("ts").dataType match {
+        // integer div: ns → µs (double division loses precision at 1e18)
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000"))
+        case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      }
+      raw.withColumn("ts", ts)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")

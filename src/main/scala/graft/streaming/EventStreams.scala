@@ -15,13 +15,46 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet carries TIMESTAMP(NANOS); streaming schemas are
-    * explicit, so read ts as LONG nanos and rebuild µs timestamps.
+  /** Internal contract: `ts` is a LONG of NANOSECONDS since epoch. The
+    * sentinel arithmetic, `sessionFold`, and every `ts div 1000` µs rebuild
+    * below assume it. Files WE write (sentinel dirs) use this schema
+    * directly.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The driver's testdata generator has shipped `events.ts` two ways
+    * across rounds: parquet TIMESTAMP(NANOS) (a LONG under the session's
+    * `nanosAsLong`) and parquet timestamp[us] (TIMESTAMP_NTZ). Streaming
+    * file sources need an explicit schema, so probe the footer ONCE (a
+    * metadata-only batch read) and normalize either encoding to the
+    * long-nanos contract. The NTZ→LTZ cast is value-preserving because
+    * every entry point pins the session TZ to UTC.
+    */
+  private def tsTypeOnDisk(spark: SparkSession, path: String): DataType =
+    spark.read.parquet(path).schema("ts").dataType
+
+  private def schemaWithTs(ts: DataType): StructType =
+    StructType(rawSchema.map(f => if (f.name == "ts") f.copy(dataType = ts) else f))
+
+  private def toNanos(df: DataFrame, onDisk: DataType): DataFrame = onDisk match {
+    case LongType => df
+    case _ => df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+  }
+
+  /** Streaming events source with `ts` normalized to long nanos. */
+  private def eventsStreamNanos(spark: SparkSession, glob: String): DataFrame = {
+    val dt = tsTypeOnDisk(spark, glob)
+    toNanos(spark.readStream.schema(schemaWithTs(dt)).parquet(glob), dt)
+  }
+
+  /** Batch events read with `ts` normalized to long nanos. */
+  private def eventsBatchNanos(spark: SparkSession, path: String): DataFrame = {
+    val dt = tsTypeOnDisk(spark, path)
+    toNanos(spark.read.schema(schemaWithTs(dt)).parquet(path), dt)
+  }
 
   /** Hourly tumbling-window counts/sums per event type, computed by a real
     * streaming query and returned as the finished in-memory table.
@@ -31,8 +64,7 @@ object EventStreams {
   def hourlyWindowed(spark: SparkSession, sfDir: String,
                      queryName: String = "graft_stream_hourly"): DataFrame = {
     // the file source wants a directory/glob, not a bare file path
-    val events = spark.readStream.schema(rawSchema)
-      .parquet(s"$sfDir/events.*")
+    val events = eventsStreamNanos(spark, s"$sfDir/events.*")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = events
       .withWatermark("ts", "1 hour")
@@ -67,15 +99,17 @@ object EventStreams {
                            queryName: String = "graft_stream_hourly_append"): DataFrame = {
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "graft-append-")
-    // phase-1 file: the real events (copied so everything is ONE source dir)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("batch0-events.parquet"))
+    // phase-1 files: the real events, rewritten normalized to the
+    // long-nanos schema so the sentinel appends below share ONE source dir
+    // and ONE encoding regardless of which ts encoding the driver shipped.
+    // Written INTO dir itself (not a subdir) — the parquet file stream
+    // source lists files at the top level only.
+    val batch0 = eventsBatchNanos(spark, s"$sfDir/events.parquet")
+    batch0.write.mode("append").parquet(dir.toString)
     // one scalar agg over the ts column (projection-pruned scan) collected
     // ONCE; each sentinel is then a 1-row createDataFrame + tiny parquet
     // append — no per-sentinel full-file aggregate jobs
-    val maxTs = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
-      .agg(max(col("ts"))).head().getLong(0)
+    val maxTs = batch0.agg(max(col("ts"))).head().getLong(0)
     // sentinels are added BETWEEN processAllAvailable calls (below), each
     // forcing its own micro-batch. A window finalizes in the batch AFTER
     // the one whose data advanced the watermark past its end, so sentinel
@@ -148,7 +182,7 @@ object EventStreams {
     // ordinary out-of-orderness).
     val watermarkDelay = s"${math.max(windowMinutes, 60L)} minutes"
     def side(eventType: String, idAs: String, userAs: String, tsAs: String) =
-      spark.readStream.schema(rawSchema).parquet(s"$sfDir/events.*")
+      eventsStreamNanos(spark, s"$sfDir/events.*")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .where(col("event_type") === eventType)
         .select(col("event_id").as(idAs), col("user_id").as(userAs),
@@ -321,7 +355,7 @@ object EventStreams {
     import spark.implicits._
 
     // one sentinel per user at max(ts)+10d, same raw schema, parquet source #2
-    val batchRaw = spark.read.schema(rawSchema).parquet(s"$sfDir/events.parquet")
+    val batchRaw = eventsBatchNanos(spark, s"$sfDir/events.parquet")
     val sentinelPath = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "graft-sentinel-")
     val sentinelDir = sentinelPath.toString
@@ -333,8 +367,11 @@ object EventStreams {
       .write.mode("overwrite").parquet(sentinelDir)
 
     val gapUs = gapMinutes * 60L * 1000000L
-    def src(dir: String) = spark.readStream.schema(rawSchema).parquet(dir)
-    val events = src(s"$sfDir/events.*").union(src(sentinelDir)).as[RawEvent]
+    // the sentinel dir is OUR parquet (long-nanos rawSchema); the testdata
+    // dir needs the encoding probe — normalize both before the union
+    val events = eventsStreamNanos(spark, s"$sfDir/events.*")
+      .union(spark.readStream.schema(rawSchema).parquet(sentinelDir))
+      .as[RawEvent]
 
     val sessions = events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
@@ -374,7 +411,7 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    val events = spark.readStream.schema(rawSchema).parquet(s"$sfDir/events.*")
+    val events = eventsStreamNanos(spark, s"$sfDir/events.*")
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", s"$gapMinutes minutes")
       .as[WmEvent]
