@@ -533,27 +533,29 @@ object Corpus {
   def deleteFromLm(deleted: DataFrame, path: String, textCol: String,
                    idCol: String): Unit = {
     val spark = deleted.sparkSession
+    import graft.ops.Stage.{publishRewrite, resolve}
     val cbD = bigramStream(deleted, textCol, idCol)
       .groupBy("p", "w").agg(count(lit(1)).as("cbd"))
-    graft.ops.Stage.swapRewrite(spark, s"$path/bigrams",
-      spark.read.parquet(s"$path/bigrams")
+    publishRewrite(spark, s"$path/bigrams",
+      spark.read.parquet(resolve(spark, s"$path/bigrams"))
         .join(cbD, Seq("p", "w"), "left")
         .select(col("p"), col("w"),
           (col("cb") - coalesce(col("cbd"), lit(0L))).as("cb"))
         .where(col("cb") > 0))
-    graft.ops.Stage.swapRewrite(spark, s"$path/prefixes",
-      spark.read.parquet(s"$path/bigrams") // post-delete counts
+    publishRewrite(spark, s"$path/prefixes",
+      spark.read.parquet(resolve(spark, s"$path/bigrams")) // post-delete counts
         .groupBy("p").agg(sum(col("cb")).as("cu")))
     val vD = deleted.where(col(textCol).isNotNull)
       .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cd"))
-    graft.ops.Stage.swapRewrite(spark, s"$path/vocab",
-      spark.read.parquet(s"$path/vocab")
+    publishRewrite(spark, s"$path/vocab",
+      spark.read.parquet(resolve(spark, s"$path/vocab"))
         .join(vD, Seq("tok"), "left")
         .select(col("tok"), (col("c") - coalesce(col("cd"), lit(0L))).as("c"))
         .where(col("c") > 0))
-    graft.ops.Stage.swapRewrite(spark, s"$path/meta",
-      spark.read.parquet(s"$path/vocab").agg(count(lit(1)).as("v")))
+    publishRewrite(spark, s"$path/meta",
+      spark.read.parquet(resolve(spark, s"$path/vocab"))
+        .agg(count(lit(1)).as("v")))
   }
 
   /** [[lmPerplexity]] scoring against a [[saveLm]] model on disk: the
@@ -563,9 +565,10 @@ object Corpus {
   def lmPerplexityIndexed(score: DataFrame, path: String, textCol: String,
                           idCol: String): DataFrame = {
     val spark = score.sparkSession
-    scoreAgainstLm(score, spark.read.parquet(s"$path/bigrams"),
-      spark.read.parquet(s"$path/prefixes"),
-      spark.read.parquet(s"$path/meta"), textCol, idCol)
+    import graft.ops.Stage.resolve
+    scoreAgainstLm(score, spark.read.parquet(resolve(spark, s"$path/bigrams")),
+      spark.read.parquet(resolve(spark, s"$path/prefixes")),
+      spark.read.parquet(resolve(spark, s"$path/meta")), textCol, idCol)
   }
 
   /** Sentence-level decontamination: per eval document, how many of its

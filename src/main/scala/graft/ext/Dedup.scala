@@ -560,12 +560,13 @@ object Dedup {
       Seq("doc"), "left_semi")
     // keepToks threads the token sets through the signature projection —
     // no join-back shuffle to reattach them for the docs table
+    val spark = df.sparkSession
     val keyed = keyedSignatures(reps, k, bands, keepToks = true)
     keyed.select(col("doc"), col("toks"), col("ntok"), col("keys"))
-      .write.mode(mode).parquet(s"$path/docs")
+      .write.mode(mode).parquet(graft.ops.Stage.resolve(spark, s"$path/docs"))
     keyed.select(col("doc"), col("ntok"), col("keys"), posexplode(col("keys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-      .write.mode(mode).parquet(s"$path/bands")
+      .write.mode(mode).parquet(graft.ops.Stage.resolve(spark, s"$path/bands"))
   }
 
   /** Append a batch to a persisted [[saveMinhashManifest]] manifest
@@ -582,9 +583,34 @@ object Dedup {
     */
   def appendToMinhashManifest(newDf: DataFrame, textCol: String,
                               idCol: String, path: String): Unit = {
-    val meta = newDf.sparkSession.read.parquet(s"$path/meta").head()
+    val meta = newDf.sparkSession.read.parquet(
+      graft.ops.Stage.resolve(newDf.sparkSession, s"$path/meta")).head()
     writeManifestTables(newDf, textCol, idCol, path,
       meta.getAs[Int]("k"), meta.getAs[Int]("bands"), "append")
+  }
+
+  /** [[appendToMinhashManifest]] with EXACTLY-ONCE semantics for
+    * streaming ingest, via the shared ledger protocol
+    * ([[graft.ops.Stage.appendExactlyOnce]]): the batch's docs/bands rows
+    * are staged against the manifest's own (k, bands) parameters, then
+    * published under deterministic `b<batchId>-*` names. A replayed plain
+    * append would not change probe VERDICTS (identical token sets band
+    * identically), but it doubles the replayed batch's bytes in both
+    * tables and its rows in every later candidate join — this keeps a
+    * crash-looping ingest from quietly bloating the manifest. Batch ids
+    * are only meaningful relative to one durable checkpoint lineage.
+    */
+  def appendToMinhashManifestExactlyOnce(newDf: DataFrame, textCol: String,
+                                         idCol: String, path: String,
+                                         batchId: Long): Unit = {
+    val spark = newDf.sparkSession
+    val meta = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$path/meta")).head()
+    graft.ops.Stage.appendExactlyOnce(spark, path, batchId,
+      Seq("docs", "bands")) { staging =>
+      writeManifestTables(newDf, textCol, idCol, staging,
+        meta.getAs[Int]("k"), meta.getAs[Int]("bands"), "overwrite")
+    }
   }
 
   /** Delete CONTENT from a persisted manifest — keyed by the documents'
@@ -595,8 +621,8 @@ object Dedup {
     * means operationally: this content must no longer be recognized as
     * "known" (new arrivals of it probe as fresh). Every manifest entry
     * whose token set equals a deleted document's token set is dropped
-    * from both tables via anti-join + staged swap
-    * ([[graft.ops.Stage.swapRewrite]]; bands first — its removed-id
+    * from both tables via anti-join + atomic publish
+    * ([[graft.ops.Stage.publishRewrite]]; bands first — its removed-id
     * relation derives from the still-live docs table). Probing afterwards
     * equals probing a manifest built without that content (the q108
     * oracle pins it).
@@ -606,13 +632,14 @@ object Dedup {
     val spark = deleted.sparkSession
     val delKeys = deleted.where(col(textCol).isNotNull)
       .select(xxhash64(tokenHashes(col(textCol))).as("seth")).distinct()
-    val live = spark.read.parquet(s"$path/docs")
+    import graft.ops.Stage.{publishRewrite, resolve}
+    val live = spark.read.parquet(resolve(spark, s"$path/docs"))
       .withColumn("seth", xxhash64(col("toks")))
     val removed = live.join(delKeys, Seq("seth")).select("doc")
-    graft.ops.Stage.swapRewrite(spark, s"$path/bands",
-      spark.read.parquet(s"$path/bands")
+    publishRewrite(spark, s"$path/bands",
+      spark.read.parquet(resolve(spark, s"$path/bands"))
         .join(removed, Seq("doc"), "left_anti"))
-    graft.ops.Stage.swapRewrite(spark, s"$path/docs",
+    publishRewrite(spark, s"$path/docs",
       live.join(delKeys, Seq("seth"), "left_anti").drop("seth"))
   }
 
@@ -677,10 +704,13 @@ object Dedup {
                                        threshold: Double,
                                        carryTokens: Boolean = false): DataFrame = {
     val spark = probe.sparkSession
-    val meta = spark.read.parquet(s"$manifestPath/meta").head()
+    val meta = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$manifestPath/meta")).head()
     val (k, bands) = (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
-    val manBands = spark.read.parquet(s"$manifestPath/bands")
-    val manDocs = spark.read.parquet(s"$manifestPath/docs")
+    val manBands = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$manifestPath/bands"))
+    val manDocs = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$manifestPath/docs"))
     val keyed = keyedSignatures(probe, k, bands, keepToks = carryTokens)
     val carryIn = if (carryTokens) Seq(col("toks").as("toks_n")) else Seq.empty
     val carryOn = if (carryTokens) Seq(col("toks_n")) else Seq.empty

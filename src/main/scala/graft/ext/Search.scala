@@ -139,19 +139,21 @@ object Search {
   def appendToTextIndex(batch: DataFrame, path: String,
                         idCol: String = "doc_id",
                         textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
     batch
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
       .repartition(col("token")).sortWithinPartitions("token", idCol)
-      .write.mode("append").parquet(s"$path/postings")
+      .write.mode("append").parquet(graft.ops.Stage.resolve(spark, s"$path/postings"))
     batch.select(col(idCol),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
-      .write.mode("append").parquet(s"$path/doclens")
+      .write.mode("append").parquet(graft.ops.Stage.resolve(spark, s"$path/doclens"))
     // stats are ADDITIVE rows: the batch contributes one more, and
     // serving sums ([[readStats]]) — no read-modify-write, no collect.
     // On the FIRST batch of a streaming ingest this append also CREATES
     // the index.
-    batchStats(batch, textCol).write.mode("append").parquet(s"$path/stats")
+    batchStats(batch, textCol).write.mode("append")
+      .parquet(graft.ops.Stage.resolve(spark, s"$path/stats"))
   }
 
   /** One additive stats row for a batch (coalesce: zero docs must still
@@ -165,30 +167,15 @@ object Search {
     * (identity on a fresh single-row build). */
   private def readStats(spark: org.apache.spark.sql.SparkSession,
                         path: String): DataFrame =
-    spark.read.parquet(s"$path/stats")
+    spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/stats"))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_tokens")).as("total_tokens"))
 
   /** [[appendToTextIndex]] with EXACTLY-ONCE semantics for streaming
-    * ingest (`foreachBatch` is at-least-once: a micro-batch replayed
-    * after a crash re-runs its side effects). The batch's index files are
-    * written to a batch-scoped staging directory, then PUBLISHED by
-    * renaming them into the live index under deterministic
-    * `b<batchId>-<i>` names, and finally a `_ledger/batch-<batchId>`
-    * marker records completion. Every failure window replays safely:
-    *
-    *  - marker exists → the batch fully published; skip (the no-op path
-    *    a Structured Streaming restart takes for its replayed batch);
-    *  - crash mid-staging → retry wipes the staging dir and re-stages;
-    *  - crash mid-publish or before the marker → retry re-stages, wipes
-    *    exactly the `b<batchId>-*` files a dead attempt moved in (names
-    *    are deterministic — a re-attempt can always identify them), and
-    *    republishes.
-    *
-    * The marker write is an atomic file create, and publish renames are
-    * single-file metadata ops (atomic on HDFS and local filesystems; on
-    * object stores an HDFS-compatible layer such as a metadata-backed
-    * committer is assumed, the standard caveat). Like
+    * ingest, via the shared ledger protocol
+    * ([[graft.ops.Stage.appendExactlyOnce]] — marker check, batch-scoped
+    * staging, deterministic `b<batchId>-*` publish; every crash window
+    * replays safely, see its scaladoc). Like
     * [[graft.ops.Sinks.streamJdbcExactlyOnce]], batch ids are only
     * meaningful relative to ONE durable checkpoint lineage.
     *
@@ -198,72 +185,43 @@ object Search {
     */
   def appendToTextIndexExactlyOnce(batch: DataFrame, path: String,
                                    batchId: Long, idCol: String = "doc_id",
-                                   textCol: String = "text"): Unit = {
-    import org.apache.hadoop.fs.Path
-    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-    val marker = new Path(s"$path/_ledger/batch-$batchId")
-    val fs = marker.getFileSystem(conf)
-    if (fs.exists(marker)) return // fully published — replay is a no-op
-    val staging = s"$path/_staging/batch-$batchId"
-    fs.delete(new Path(staging), true) // wipe a dead attempt's partials
-    batch
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
-      .repartition(col("token")).sortWithinPartitions("token", idCol)
-      .write.mode("overwrite").parquet(s"$staging/postings")
-    batch.select(col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$staging/doclens")
-    batchStats(batch, textCol).write.mode("overwrite").parquet(s"$staging/stats")
-    Seq("postings", "doclens", "stats").foreach { comp =>
-      publishStaged(fs, s"$staging/$comp", s"$path/$comp", s"b$batchId") }
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, false).close() // atomic: the batch is now published
-    fs.delete(new Path(staging), true)
-  }
-
-  /** Move a staged component's data files into the live index under
-    * deterministic `<prefix>-<i>` names, first removing any files a dead
-    * earlier publish attempt left under the same prefix — making the
-    * publish idempotent. Hadoop FileSystem throughout, so the same code
-    * runs on local disk and HDFS.
-    */
-  private def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
-                            srcDir: String, dstDir: String,
-                            prefix: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val dst = new Path(dstDir)
-    fs.mkdirs(dst)
-    fs.listStatus(dst).map(_.getPath)
-      .filter(_.getName.startsWith(prefix + "-"))
-      .foreach(p => fs.delete(p, false))
-    val staged = fs.listStatus(new Path(srcDir)).map(_.getPath)
-      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
-      .sortBy(_.getName)
-    staged.zipWithIndex.foreach { case (p, i) =>
-      if (!fs.rename(p, new Path(dst, s"$prefix-$i.parquet")))
-        throw new java.io.IOException(s"publish rename failed: $p") }
-  }
+                                   textCol: String = "text"): Unit =
+    graft.ops.Stage.appendExactlyOnce(batch.sparkSession, path, batchId,
+      Seq("postings", "doclens", "stats")) { staging =>
+      batch
+        .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+        .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
+        .repartition(col("token")).sortWithinPartitions("token", idCol)
+        .write.mode("overwrite").parquet(s"$staging/postings")
+      batch.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(s"$staging/doclens")
+      batchStats(batch, textCol).write.mode("overwrite")
+        .parquet(s"$staging/stats")
+    }
 
   /** Delete documents from a [[saveTextIndex]] index — the
     * right-to-be-forgotten path. A compaction rewrite: postings and
-    * doclens are anti-joined against the id set and staged-swapped in
-    * ([[graft.ops.Stage.swapRewrite]] — rewriting in place would race the
-    * lazy scan against the delete); stats recompute from the surviving
-    * doclens relation — index-sized work, never a corpus re-tokenization.
-    * Serving afterwards is bit-identical to a fresh build over the
-    * remaining corpus.
+    * doclens are anti-joined against the id set and atomically published
+    * ([[graft.ops.Stage.publishRewrite]] — a crash mid-rewrite leaves the
+    * old index serving); stats recompute from the surviving doclens
+    * relation — index-sized work, never a corpus re-tokenization. Serving
+    * afterwards is bit-identical to a fresh build over the remaining
+    * corpus.
     */
   def deleteFromTextIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, ids: DataFrame,
                           idCol: String = "doc_id"): Unit = {
+    import graft.ops.Stage.{publishRewrite, resolve}
     val del = ids.select(col(idCol)).distinct()
-    graft.ops.Stage.swapRewrite(spark, s"$path/postings",
-      spark.read.parquet(s"$path/postings").join(del, Seq(idCol), "left_anti"))
-    graft.ops.Stage.swapRewrite(spark, s"$path/doclens",
-      spark.read.parquet(s"$path/doclens").join(del, Seq(idCol), "left_anti"))
-    graft.ops.Stage.swapRewrite(spark, s"$path/stats",
-      spark.read.parquet(s"$path/doclens") // already the post-delete lens
+    publishRewrite(spark, s"$path/postings",
+      spark.read.parquet(resolve(spark, s"$path/postings"))
+        .join(del, Seq(idCol), "left_anti"))
+    publishRewrite(spark, s"$path/doclens",
+      spark.read.parquet(resolve(spark, s"$path/doclens"))
+        .join(del, Seq(idCol), "left_anti"))
+    publishRewrite(spark, s"$path/stats",
+      spark.read.parquet(resolve(spark, s"$path/doclens")) // post-delete lens
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens")))
   }
 
@@ -275,9 +233,10 @@ object Search {
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                       terms: Seq[String], k: Int, idCol: String = "doc_id",
                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = spark.read.parquet(s"$path/postings")
+    val tf = spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/postings"))
       .where(col("token").isInCollection(terms))
-    scoreBm25(tf, spark.read.parquet(s"$path/doclens"),
+    scoreBm25(tf,
+      spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/doclens")),
       readStats(spark, path), terms, k, idCol, k1, b)
   }
 
@@ -290,7 +249,7 @@ object Search {
                         terms: Seq[String], idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty && terms.size == terms.distinct.size,
       "conjunctiveSearch needs a non-empty, duplicate-free term set")
-    spark.read.parquet(s"$path/postings")
+    spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/postings"))
       .where(col("token").isInCollection(terms))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_occurrences"))

@@ -454,8 +454,10 @@ object Similarity {
     */
   private def loadIvfMeta(spark: org.apache.spark.sql.SparkSession,
                           path: String): (Double, Array[Array[Double]]) = {
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val cents = spark.read.parquet(s"$path/centroids").orderBy("centroid")
+    val meta = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$path/meta")).head()
+    val cents = spark.read.parquet(
+        graft.ops.Stage.resolve(spark, s"$path/centroids")).orderBy("centroid")
       .select("vec").collect().map(_.getSeq[Double](0).toArray)
     (meta.getAs[Double]("quant_scale"), cents)
   }
@@ -477,7 +479,8 @@ object Similarity {
     else col(vecCol).cast("array<double>")
     vecs.select(col(idCol).as("vec_id"), code.as("code"),
         array_max(centDotsFor(cents)(assignVec)).getField("c").as("centroid"))
-      .write.mode(mode).partitionBy("centroid").parquet(s"$path/lists")
+      .write.mode(mode).partitionBy("centroid")
+      .parquet(graft.ops.Stage.resolve(vecs.sparkSession, s"$path/lists"))
   }
 
   /** Append new vectors to a persisted [[saveIvfIndex]] index WITHOUT
@@ -500,12 +503,36 @@ object Similarity {
     writeIvfLists(newVecs, cents, scale, idCol, vecCol, path, "append")
   }
 
+  /** [[appendToIvfIndex]] with EXACTLY-ONCE semantics for streaming
+    * ingest, via the shared ledger protocol
+    * ([[graft.ops.Stage.appendExactlyOnce]]): the batch's assigned lists
+    * are staged with the same frozen-centroid geometry, then published
+    * into the live `lists/` partitions under deterministic `b<batchId>-*`
+    * names (the partition-preserving publish — each staged
+    * `centroid=N/` file lands in the live `centroid=N/`). This closes the
+    * at-least-once exposure the plain append has under `foreachBatch`
+    * replay: a replayed batch would duplicate its vectors in the lists,
+    * and duplicated vectors SURFACE IN SERVED RESULTS as duplicate top-k
+    * candidate rows — unlike the manifest, where duplicates only waste
+    * bytes. Batch ids are only meaningful relative to one durable
+    * checkpoint lineage.
+    */
+  def appendToIvfIndexExactlyOnce(newVecs: DataFrame, path: String,
+                                  batchId: Long, idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): Unit = {
+    val (scale, cents) = loadIvfMeta(newVecs.sparkSession, path)
+    graft.ops.Stage.appendExactlyOnce(newVecs.sparkSession, path, batchId,
+      Seq("lists")) { staging =>
+      writeIvfLists(newVecs, cents, scale, idCol, vecCol, staging, "overwrite")
+    }
+  }
+
   /** Delete vectors from a [[saveIvfIndex]] index — unlike the MinHash
     * manifest (whose docs table stores exact-collapse REPRESENTATIVES, so
     * an id-keyed delete could forget content other living docs still
     * carry), the inverted lists hold one row PER VECTOR, making id-keyed
-    * deletion exact: anti-join the lists, staged-swap
-    * ([[graft.ops.Stage.swapRewrite]]), centroids and meta stay frozen.
+    * deletion exact: anti-join the lists, atomically publish
+    * ([[graft.ops.Stage.publishRewrite]]), centroids and meta stay frozen.
     * Assignment is a pure per-vector function of the frozen centroids, so
     * the shrunk index is bit-identical to a fresh build over the
     * survivors with the same centroids (the invariant SimilaritySpec and
@@ -515,10 +542,10 @@ object Similarity {
                          path: String, ids: DataFrame,
                          idCol: String = "vec_id"): Unit = {
     val del = ids.select(col(idCol).as("vec_id")).distinct()
-    graft.ops.Stage.swapRewrite(spark, s"$path/lists") { staged =>
-      spark.read.parquet(s"$path/lists")
+    graft.ops.Stage.publishRewrite(spark, s"$path/lists") { versionDir =>
+      spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/lists"))
         .join(del, Seq("vec_id"), "left_anti")
-        .write.mode("overwrite").partitionBy("centroid").parquet(staged)
+        .write.mode("overwrite").partitionBy("centroid").parquet(versionDir)
     }
   }
 
@@ -535,7 +562,7 @@ object Similarity {
     val (scale, cents) = loadIvfMeta(spark, path)
     val cvec = if (scale > 0) dequantize(col("code"), scale)
       else col("code")
-    val c = spark.read.parquet(s"$path/lists")
+    val c = spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/lists"))
       .select(col("vec_id").as("neighbor_id"), cvec.as("c_vec"), col("centroid"))
       .withColumn("c_norm", norm(col("c_vec")))
     val q = queries.select(col(idCol).as("query_id"),

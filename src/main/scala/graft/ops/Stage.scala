@@ -1,30 +1,198 @@
 package graft.ops
 
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Staged directory swap for persisted-index maintenance. Rewriting a
-  * parquet directory in place would race the lazy scan against its own
-  * delete, so maintenance writes the new contents NEXT TO the live
-  * directory and swaps with a filesystem rename. The swap window is the
-  * documented durability caveat: a crash between delete and rename loses
-  * the live directory (the staging copy survives and the operation is
-  * re-runnable from it) — on an object store a production deployment
-  * would point a manifest/catalog entry at the new location instead.
+/** Atomic publish for persisted-index maintenance (the storage layer under
+  * Search/Similarity/Corpus/Dedup's delete and compaction paths).
+  *
+  * A maintenance rewrite must never leave a window where a crash loses the
+  * live data. The earlier design (delete live dir, rename staging in) had
+  * exactly that window, so this is a VERSIONED layout with a pointer flip:
+  *
+  * {{{
+  *   root/
+  *     _current        # small text file naming the live version, "v00000002"
+  *     v00000001/      # a previous version (GC'd after the flip)
+  *     v00000002/      # the live data files
+  * }}}
+  *
+  * [[publishRewrite]] writes the new contents into a fresh `v<n+1>/`
+  * directory, then flips `_current` with a single overwrite-rename
+  * (`FileContext.rename(..., Options.Rename.OVERWRITE)` — atomic on POSIX
+  * filesystems and HDFS; on raw object stores an HDFS-compatible metadata
+  * layer is assumed, the standard caveat), then garbage-collects every
+  * stale version. Each crash window is now safe:
+  *
+  *  - crash while writing the new version → `_current` untouched, the old
+  *    version serves; the orphan directory is GC'd by the next publish;
+  *  - crash between the pointer-tmp write and the rename → same;
+  *  - crash after the flip, before GC → new version serves, stale files
+  *    linger harmlessly until the next publish sweeps them.
+  *
+  * [[resolve]] is the read-side half: index readers resolve `root` to the
+  * live data directory before every scan. A directory with no `_current`
+  * is a PLAIN layout (the data files sit in `root` itself) — what the
+  * initial `save*` builders and first-batch streaming appends produce —
+  * and resolves to itself, so the two layouts interoperate: the first
+  * rewrite of a plain directory migrates it to versioned.
+  *
+  * Single-writer contract (unchanged from the old design): concurrent
+  * maintenance ops on one index race; in-flight lazy scans of a version
+  * that a later publish GC'd fail like any scan of compacted-away files.
   */
 object Stage {
-  def swapRewrite(spark: SparkSession, livePath: String)
-                 (write: String => Unit): Unit = {
-    val staged = s"$livePath.staging"
-    write(staged)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(livePath)
-    val fs = live.getFileSystem(conf)
-    fs.delete(live, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), live)
+
+  private val VersionRe = "v\\d{8}".r
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The live data directory for `root`: `root/<version>` when a
+    * `_current` pointer exists, `root` itself (plain layout) otherwise.
+    */
+  def resolve(spark: SparkSession, root: String): String = {
+    val rootPath = new Path(root)
+    val fs = fsFor(spark, rootPath)
+    val pointer = new Path(rootPath, "_current")
+    if (!fs.exists(pointer)) root
+    else {
+      val in = fs.open(pointer)
+      val version =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(VersionRe.matches(version),
+        s"$pointer names '$version', not a version directory")
+      new Path(rootPath, version).toString
+    }
   }
 
-  /** The common case: replace a directory's contents with a DataFrame. */
-  def swapRewrite(spark: SparkSession, livePath: String, df: DataFrame): Unit =
-    swapRewrite(spark, livePath)(staged =>
-      df.write.mode("overwrite").parquet(staged))
+  /** Atomically replace the contents of `root`: `write` receives a fresh
+    * version directory to populate, and only after it returns is the
+    * `_current` pointer flipped there. If `write` throws, the pointer is
+    * untouched and the old contents keep serving.
+    */
+  def publishRewrite(spark: SparkSession, root: String)
+                    (write: String => Unit): Unit = {
+    val rootPath = new Path(root)
+    val fs = fsFor(spark, rootPath)
+    fs.mkdirs(rootPath)
+    val existing = fs.listStatus(rootPath).map(_.getPath.getName)
+    val next = existing.filter(VersionRe.matches)
+      .map(_.drop(1).toInt).foldLeft(0)(math.max) + 1
+    val version = f"v$next%08d"
+    write(new Path(rootPath, version).toString)
+    flipPointer(spark, fs, rootPath, version)
+    gcStale(fs, rootPath, version)
+  }
+
+  /** The common case: replace a directory's contents with a DataFrame.
+    * The plan may read from the directory being replaced — it scans the
+    * old version while the new one is written next to it.
+    */
+  def publishRewrite(spark: SparkSession, root: String, df: DataFrame): Unit =
+    publishRewrite(spark, root)(versionDir =>
+      df.write.mode("overwrite").parquet(versionDir))
+
+  /** Point `root/_current` at `version` with an atomic overwrite-rename. */
+  private def flipPointer(spark: SparkSession, fs: FileSystem,
+                          rootPath: Path, version: String): Unit = {
+    val tmp = new Path(rootPath, "_current.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(rootPath.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(rootPath, "_current"), Options.Rename.OVERWRITE)
+  }
+
+  /** Delete everything under `root` except the pointer and the live
+    * version: stale versions, orphans of crashed publishes, and the plain
+    * layout's old data files on first migration.
+    */
+  private def gcStale(fs: FileSystem, rootPath: Path, keep: String): Unit =
+    fs.listStatus(rootPath).map(_.getPath)
+      .filter(p => p.getName != "_current" && p.getName != keep)
+      .foreach(p => fs.delete(p, true))
+
+  /** Run one ingest batch against a persisted index with EXACTLY-ONCE
+    * semantics — the shared ledger protocol of the text-index, IVF, and
+    * MinHash-manifest streaming appends (`foreachBatch` is at-least-once:
+    * a micro-batch replayed after a crash re-runs its side effects).
+    * `stage` writes the batch's contribution to each of `components` under
+    * a batch-scoped staging directory; the staged files are then PUBLISHED
+    * by renaming them into the live component directories under
+    * deterministic `b<batchId>-<i>` names, and a `_ledger/batch-<batchId>`
+    * marker records completion. Every failure window replays safely:
+    *
+    *  - marker exists → the batch fully published; skip (the no-op path a
+    *    Structured Streaming restart takes for its replayed batch);
+    *  - crash mid-staging → retry wipes the staging dir and re-stages;
+    *  - crash mid-publish or before the marker → retry re-stages, sweeps
+    *    exactly the `b<batchId>-*` files a dead attempt moved in (names
+    *    are deterministic — a re-attempt can always identify them), and
+    *    republishes.
+    *
+    * The marker write is an atomic file create, and publish renames are
+    * single-file metadata ops (atomic on HDFS and local filesystems; on
+    * object stores an HDFS-compatible metadata layer is assumed, the
+    * standard caveat). Batch ids are only meaningful relative to ONE
+    * durable checkpoint lineage. Cost: the staged write (batch-sized) plus
+    * one listing + |files| renames per component — no second data pass.
+    */
+  def appendExactlyOnce(spark: SparkSession, path: String, batchId: Long,
+                        components: Seq[String])
+                       (stage: String => Unit): Unit = {
+    val marker = new Path(s"$path/_ledger/batch-$batchId")
+    val fs = fsFor(spark, marker)
+    if (fs.exists(marker)) return // fully published — replay is a no-op
+    val staging = s"$path/_staging/batch-$batchId"
+    fs.delete(new Path(staging), true) // wipe a dead attempt's partials
+    stage(staging)
+    components.foreach { comp =>
+      publishStaged(fs, new Path(s"$staging/$comp"),
+        new Path(resolve(spark, s"$path/$comp")), s"b$batchId") }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close() // atomic: the batch is now published
+    fs.delete(new Path(staging), true)
+  }
+
+  /** Move a staged directory's data files into the live directory under
+    * deterministic `<prefix>-<i>` names, preserving partition
+    * subdirectories (`key=value/`, the IVF lists layout), after first
+    * sweeping any files a dead earlier publish attempt left under the same
+    * prefix — which makes the publish idempotent. Hadoop FileSystem
+    * throughout, so the same code runs on local disk and HDFS.
+    */
+  def publishStaged(fs: FileSystem, srcDir: Path, dstDir: Path,
+                    prefix: String): Unit = {
+    sweepPrefix(fs, dstDir, prefix)
+    moveStaged(fs, srcDir, dstDir, prefix)
+  }
+
+  private def dataEntries(fs: FileSystem, dir: Path) =
+    if (!fs.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+    else fs.listStatus(dir).filter { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  private def sweepPrefix(fs: FileSystem, dir: Path, prefix: String): Unit =
+    dataEntries(fs, dir).foreach { s =>
+      if (s.isDirectory) sweepPrefix(fs, s.getPath, prefix)
+      else if (s.getPath.getName.startsWith(prefix + "-"))
+        fs.delete(s.getPath, false)
+    }
+
+  private def moveStaged(fs: FileSystem, src: Path, dst: Path,
+                         prefix: String): Unit = {
+    fs.mkdirs(dst)
+    val (dirs, files) = dataEntries(fs, src).partition(_.isDirectory)
+    files.map(_.getPath).sortBy(_.getName).zipWithIndex.foreach {
+      case (p, i) =>
+        if (!fs.rename(p, new Path(dst, s"$prefix-$i.parquet")))
+          throw new java.io.IOException(s"publish rename failed: $p")
+    }
+    dirs.foreach(d =>
+      moveStaged(fs, d.getPath, new Path(dst, d.getPath.getName), prefix))
+  }
 }

@@ -417,9 +417,11 @@ class CorpusSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(scores(shrunk) == scores(fresh))
     // the sole-carrier token is really gone from the vocabulary
-    assert(spark.read.parquet(s"$shrunk/meta").head().getLong(0) ==
+    // (shrunk components are versioned — read through the _current pointer)
+    assert(spark.read.parquet(graft.ops.Stage.resolve(spark, s"$shrunk/meta"))
+      .head().getLong(0) ==
       spark.read.parquet(s"$fresh/meta").head().getLong(0))
-    assert(spark.read.parquet(s"$shrunk/vocab")
+    assert(spark.read.parquet(graft.ops.Stage.resolve(spark, s"$shrunk/vocab"))
       .where($"tok" === "zonly").count() == 0)
   }
 

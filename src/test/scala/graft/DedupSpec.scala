@@ -600,6 +600,50 @@ class DedupSpec extends AnyFunSuite {
     assert(again(21L) == false) // still novel
   }
 
+  test("appendToMinhashManifestExactlyOnce: replays never double-append") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("target").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val path = "target/graft-test-minhash-xonce"
+    fs.delete(new Path(path), true)
+    Dedup.saveMinhashManifest(Seq((1L, base)).toDF("doc_id", "text"),
+      "text", "doc_id", path, k = 32, bands = 16)
+    val batch = Seq((10L, unrelated(0)), (11L, unrelated(1)))
+      .toDF("doc_id", "text")
+    Dedup.appendToMinhashManifestExactlyOnce(batch, "text", "doc_id", path,
+      batchId = 0L)
+    def counts() = (
+      spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/docs")).count(),
+      spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/bands")).count())
+    val expected = counts()
+    assert(expected._1 == 3) // base rep + two appended docs, no duplicates
+    // window A: marker present → the whole call is a no-op
+    Dedup.appendToMinhashManifestExactlyOnce(batch, "text", "doc_id", path,
+      batchId = 0L)
+    assert(counts() == expected)
+    // window B: crash AFTER publish, BEFORE the marker → sweep + republish
+    fs.delete(new Path(s"$path/_ledger/batch-0"), false)
+    Dedup.appendToMinhashManifestExactlyOnce(batch, "text", "doc_id", path,
+      batchId = 0L)
+    assert(counts() == expected)
+    // window C: crash MID-STAGING (partial staging dir, no marker)
+    fs.delete(new Path(s"$path/_ledger/batch-0"), false)
+    fs.mkdirs(new Path(s"$path/_staging/batch-0/docs"))
+    fs.create(new Path(s"$path/_staging/batch-0/docs/part-junk"), true).close()
+    Dedup.appendToMinhashManifestExactlyOnce(batch, "text", "doc_id", path,
+      batchId = 0L)
+    assert(counts() == expected)
+    assert(!fs.exists(new Path(s"$path/_staging/batch-0")))
+    // and probe verdicts match the grown manifest's content
+    val verdicts = Dedup.incrementalNearDups(
+      Seq((20L, unrelated(0)),
+        (21L, "astronomy telescopes observe distant galaxies at night"))
+        .toDF("doc_id", "text"),
+      path, "text", "doc_id", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(verdicts == Map(20L -> true, 21L -> false))
+  }
+
   test("manifest content delete forgets a whole exact class, by content not id") {
     // docs 1 and 2 carry IDENTICAL text → one collapsed class (rep 1);
     // doc 3 is distinct. Deleting via doc 2's TEXT must forget the class
@@ -621,7 +665,8 @@ class DedupSpec extends AnyFunSuite {
     assert(verdicts(10L) == false) // forgotten content probes as fresh
     assert(verdicts(11L) == true)  // untouched content still known
     // and the docs table no longer holds the class representative
-    assert(spark.read.parquet(s"$path/docs")
+    // (read through the _current pointer — deletes publish a new version)
+    assert(spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/docs"))
       .where($"doc" === 1L).count() == 0)
   }
 }

@@ -410,6 +410,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(grown) == rows(rebuilt))
   }
 
+  test("appendToIvfIndexExactlyOnce: every replay window is a no-op or a clean redo") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("target").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = emb.select(col("vec_id"),
+      Similarity.dequantize(
+        Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+    val cents = Similarity.sampleCentroids(
+      deq.where(pmod(col("vec_id"), lit(2)) === 0), 16)
+    val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val grown = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-ivf-xonce-").toString
+    Similarity.saveIvfIndex(even, grown, nCentroids = 16, dim = 64,
+      quantScale = 200.0, centroidsIn = cents)
+    Similarity.appendToIvfIndexExactlyOnce(odd, grown, batchId = 0L)
+    def content() = spark.read.parquet(
+        graft.ops.Stage.resolve(spark, s"$grown/lists"))
+      .select(col("vec_id"), col("centroid"), col("code"))
+      .as[(Long, Int, Seq[Byte])].collect()
+      .map { case (v, c, cd) => (v, c, cd.toList) }
+      .sortBy(t => (t._1, t._2)).toList // a LIST: duplicates must show
+    val expected = content()
+    // a plain-append replay would DUPLICATE the odd vectors; each replay
+    // window below must instead leave the lists content identical
+    // window A: marker present (normal streaming-restart replay) → no-op
+    Similarity.appendToIvfIndexExactlyOnce(odd, grown, batchId = 0L)
+    assert(content() == expected)
+    // window B: crash AFTER publish, BEFORE the marker → sweep + republish
+    fs.delete(new Path(s"$grown/_ledger/batch-0"), false)
+    Similarity.appendToIvfIndexExactlyOnce(odd, grown, batchId = 0L)
+    assert(content() == expected)
+    // window C: crash MID-STAGING (partial staging dir, no marker)
+    fs.delete(new Path(s"$grown/_ledger/batch-0"), false)
+    fs.mkdirs(new Path(s"$grown/_staging/batch-0/lists/centroid=0"))
+    fs.create(
+      new Path(s"$grown/_staging/batch-0/lists/centroid=0/part-junk"),
+      true).close()
+    Similarity.appendToIvfIndexExactlyOnce(odd, grown, batchId = 0L)
+    assert(content() == expected)
+    assert(!fs.exists(new Path(s"$grown/_staging/batch-0")))
+    // and the grown index serves exactly like a fresh build over the union
+    val rebuilt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-ivf-xreb-").toString
+    Similarity.saveIvfIndex(emb, rebuilt, nCentroids = 16, dim = 64,
+      quantScale = 200.0, centroidsIn = cents)
+    val qset = deq.where(col("vec_id") < 5)
+    def rows(p: String) = Similarity.topKIvfIndexed(spark, qset, p, k = 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(grown) == rows(rebuilt))
+  }
+
   test("deleteFromIvfIndex: shrunk index == fresh build over the survivors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val deq = emb.select(col("vec_id"),
@@ -427,7 +481,9 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.saveIvfIndex(emb.where(pmod(col("vec_id"), lit(3)) =!= 1),
       survivors, nCentroids = 16, dim = 64,
       quantScale = 200.0, centroidsIn = cents)
-    def content(p: String) = spark.read.parquet(s"$p/lists")
+    // the shrunk lists are versioned post-delete — read via the pointer
+    def content(p: String) = spark.read.parquet(
+        graft.ops.Stage.resolve(spark, s"$p/lists"))
       .select(col("vec_id"), col("centroid"), col("code"))
       .as[(Long, Int, Seq[Byte])].collect()
       .map { case (v, c, cd) => (v, c, cd.toList) }.toSet

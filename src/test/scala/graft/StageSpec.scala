@@ -1,0 +1,106 @@
+package graft
+
+import graft.ext.Search
+import graft.ops.Stage
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The atomic-publish contract of [[graft.ops.Stage]]: a rewrite either
+  * fully publishes (pointer flip) or leaves the old contents serving —
+  * there is no window where a crash loses the live data. Exercised at the
+  * Stage level (crash injection between the version write and the flip)
+  * and at the index level (a crashed text-index delete must not change
+  * what BM25 serves).
+  */
+class StageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def values(dir: String): Set[Long] =
+    spark.read.parquet(Stage.resolve(spark, dir))
+      .collect().map(_.getLong(0)).toSet
+
+  private def children(dir: String): Set[String] =
+    fs(dir).listStatus(new Path(dir)).map(_.getPath.getName).toSet
+
+  test("publishRewrite migrates a plain directory and GCs its old files") {
+    val root = "target/graft-test-stage-migrate"
+    fs(root).delete(new Path(root), true)
+    Seq(1L, 2L, 3L).toDF("v").write.parquet(root) // plain layout
+    assert(Stage.resolve(spark, root) == root)
+    Stage.publishRewrite(spark, root, Seq(4L, 5L).toDF("v"))
+    assert(Stage.resolve(spark, root) == s"$root/v00000001")
+    assert(values(root) == Set(4L, 5L))
+    // the plain layout's data files are swept; only pointer + version remain
+    assert(children(root) == Set("_current", "v00000001"))
+  }
+
+  test("a crash between the version write and the flip leaves the old data serving") {
+    val root = "target/graft-test-stage-crash"
+    fs(root).delete(new Path(root), true)
+    Seq(1L, 2L).toDF("v").write.parquet(root)
+    val boom = intercept[RuntimeException] {
+      Stage.publishRewrite(spark, root) { versionDir =>
+        Seq(9L).toDF("v").write.parquet(versionDir) // new version fully written
+        throw new RuntimeException("crash before flip")
+      }
+    }
+    assert(boom.getMessage == "crash before flip")
+    // pointer untouched: still the plain layout, still the old rows
+    assert(Stage.resolve(spark, root) == root)
+    assert(values(root) == Set(1L, 2L))
+    // a later successful publish supersedes and GCs the orphan version
+    Stage.publishRewrite(spark, root, Seq(7L).toDF("v"))
+    assert(values(root) == Set(7L))
+    assert(children(root) == Set("_current", "v00000002"))
+  }
+
+  test("a crashed rewrite of a versioned directory keeps the prior version") {
+    val root = "target/graft-test-stage-crash2"
+    fs(root).delete(new Path(root), true)
+    Seq(1L).toDF("v").write.parquet(root)
+    Stage.publishRewrite(spark, root, Seq(2L).toDF("v")) // → v00000001
+    intercept[RuntimeException] {
+      Stage.publishRewrite(spark, root) { versionDir =>
+        Seq(3L).toDF("v").write.parquet(versionDir)
+        throw new RuntimeException("crash")
+      }
+    }
+    assert(Stage.resolve(spark, root) == s"$root/v00000001")
+    assert(values(root) == Set(2L))
+  }
+
+  test("a crashed text-index delete does not change what BM25 serves") {
+    val docs = Seq(
+      (1L, "spark join spark"),
+      (2L, "stream window table"),
+      (3L, "spark stream spark")).toDF("doc_id", "text")
+    val idx = "target/graft-test-stage-idx-crash"
+    fs(idx).delete(new Path(idx), true)
+    Search.saveTextIndex(docs, idx)
+    def serve() = Search.bm25TopKIndexed(spark, idx, Seq("spark", "stream"), 10)
+      .collect().map(_.toSeq).toSeq
+    val before = serve()
+    // simulate deleteFromTextIndex dying after writing the shrunk postings
+    // but before the pointer flip — exactly the old swapRewrite's data-loss
+    // window
+    intercept[RuntimeException] {
+      Stage.publishRewrite(spark, s"$idx/postings") { versionDir =>
+        spark.read.parquet(Stage.resolve(spark, s"$idx/postings"))
+          .where(col("doc_id") =!= 1L)
+          .write.parquet(versionDir)
+        throw new RuntimeException("crash mid-delete")
+      }
+    }
+    assert(serve() == before) // the live index is intact
+    // and the retried delete still completes and serves the shrunk corpus
+    Search.deleteFromTextIndex(spark, idx, Seq(1L).toDF("doc_id"))
+    val after = serve()
+    assert(after.map(_.head) == Seq(3L, 2L).map(x => x: Any))
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+}
