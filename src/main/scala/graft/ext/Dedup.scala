@@ -643,6 +643,31 @@ object Dedup {
       live.join(delKeys, Seq("seth"), "left_anti").drop("seth"))
   }
 
+  /** Compact a [[saveMinhashManifest]] manifest after a run of per-batch
+    * appends: every ingest batch leaves its own `b<batchId>-*` (or plain
+    * part) files in `docs/` and `bands/`, so after thousands of batches a
+    * probe pays file-listing and tiny-row-group overhead proportional to
+    * batch count. One manifest-sized rewrite per table coalesces to
+    * [[graft.ops.Stage.compactionPartitions]] files (live bytes /
+    * `maxPartitionBytes`); bands repartitions on its join key
+    * (band, band_key) so each bucket's rows co-locate in one file's row
+    * groups. Row multisets are preserved exactly — probe verdicts are
+    * unchanged (DedupSpec pins it). Publishes atomically
+    * ([[graft.ops.Stage.publishRewrite]]): a crash mid-compaction leaves
+    * the fragmented-but-correct manifest serving.
+    */
+  def compactMinhashManifest(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Unit = {
+    import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
+    val nDocs = compactionPartitions(spark, s"$path/docs")
+    publishRewrite(spark, s"$path/docs",
+      spark.read.parquet(resolve(spark, s"$path/docs")).repartition(nDocs))
+    val nBands = compactionPartitions(spark, s"$path/bands")
+    publishRewrite(spark, s"$path/bands",
+      spark.read.parquet(resolve(spark, s"$path/bands"))
+        .repartition(nBands, col("band"), col("band_key")))
+  }
+
   /** Incremental NEAR-dup detection of an ingest batch against a persisted
     * [[saveMinhashManifest]] manifest: per new document, the maximum exact
     * Jaccard against any manifest document among LSH candidates (null when

@@ -225,6 +225,47 @@ object Search {
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens")))
   }
 
+  /** Compact a [[saveTextIndex]] index after a run of per-batch appends.
+    * Streaming ingest accumulates one file set per micro-batch
+    * (`b<batchId>-*` from the exactly-once publish, plain part files from
+    * batch appends): after thousands of micro-batches every query pays
+    * file-listing over thousands of entries and reads tiny row groups
+    * whose token min/max prune poorly. One index-sized rewrite restores
+    * the fresh-build layout:
+    *
+    *  - postings: re-sorted `repartition(token)` + token-ordered files —
+    *    the exact builder shape, so row-group pruning works again; file
+    *    count from [[graft.ops.Stage.compactionPartitions]] (live bytes /
+    *    `maxPartitionBytes`);
+    *  - doclens: coalesced the same way (no sort contract);
+    *  - stats: the additive rows FOLD INTO ONE — [[readStats]] sums them,
+    *    so the fold is exact (long addition) and serving is unchanged.
+    *
+    * Each component publishes atomically ([[graft.ops.Stage.publishRewrite]]):
+    * a crash mid-compaction leaves the fragmented-but-correct index
+    * serving. Serving before and after is bit-identical (per-document
+    * scores are fixed-order expressions over per-(doc, term) rows whose
+    * multiset the rewrite preserves — SearchSpec pins it).
+    */
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, idCol: String = "doc_id"): Unit = {
+    import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
+    val nPost = compactionPartitions(spark, s"$path/postings")
+    publishRewrite(spark, s"$path/postings") { versionDir =>
+      spark.read.parquet(resolve(spark, s"$path/postings"))
+        .repartition(nPost, col("token")).sortWithinPartitions("token", idCol)
+        .write.mode("overwrite").parquet(versionDir)
+    }
+    val nLens = compactionPartitions(spark, s"$path/doclens")
+    publishRewrite(spark, s"$path/doclens",
+      spark.read.parquet(resolve(spark, s"$path/doclens")).repartition(nLens))
+    publishRewrite(spark, s"$path/stats",
+      spark.read.parquet(resolve(spark, s"$path/stats"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_tokens")).as("total_tokens"))
+        .repartition(1))
+  }
+
   /** BM25 served from a [[saveTextIndex]] index — bit-identical to
     * [[bm25TopK]] over the same corpus (shared scoring tail), but the
     * per-query cost is the query terms' posting lists plus the doc-length

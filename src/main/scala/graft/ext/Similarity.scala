@@ -549,6 +549,33 @@ object Similarity {
     }
   }
 
+  /** Compact a [[saveIvfIndex]] index's inverted lists after a run of
+    * per-batch appends: each micro-batch leaves its own `b<batchId>-*`
+    * (or plain part) files inside every `centroid=N/` partition it
+    * touched, so after thousands of batches a probe pays file-listing and
+    * tiny-row-group overhead proportional to batch count, not data size.
+    * One lists-sized rewrite restores one-file-per-centroid:
+    * `repartition(centroid)` (task count from
+    * [[graft.ops.Stage.compactionPartitions]]) keeps each centroid's rows
+    * in one task, and the partitionBy write lands them in one file per
+    * directory — still scan-parallel at 100 TB because parquet splits on
+    * row groups, not files. Content (vec_id, centroid, code) is
+    * preserved exactly — centroids, meta, and served top-k are untouched
+    * (SimilaritySpec pins it). Publishes atomically
+    * ([[graft.ops.Stage.publishRewrite]]): a crash mid-compaction leaves
+    * the fragmented-but-correct lists serving.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
+    val n = compactionPartitions(spark, s"$path/lists")
+    publishRewrite(spark, s"$path/lists") { versionDir =>
+      spark.read.parquet(resolve(spark, s"$path/lists"))
+        .repartition(n, col("centroid"))
+        .write.mode("overwrite").partitionBy("centroid").parquet(versionDir)
+    }
+  }
+
   /** Serve top-k from a [[saveIvfIndex]] index: identical ranking contract
     * to [[topKIvf]] over the same centroids and (de)quantized vectors, but
     * the corpus side is the prebuilt inverted lists — no training, no

@@ -269,9 +269,12 @@ object TextAnalysis {
     * fixed-n grams miss. Implemented over `mapPartitions` with the JDK's
     * own Deflater at a FIXED level — java.util.zip wraps zlib with
     * deterministic output for a given (input, level), so the score is
-    * reproducible across runs and executors, but it is NOT expressible in
-    * SQL: the q90 query carries the driver's weaker rows-only check and
-    * the spec pins hand-computed values instead. Shuffle-free map stage;
+    * reproducible across runs and executors. Compressed output at
+    * levels >= 1 is NOT expressible in SQL (the spec pins hand-computed
+    * level-6 values); level 0 IS — zlib stored framing is raw + 11 bytes
+    * for inputs that fit one stored block (<= ~64 KiB with this buffer),
+    * which is how the q90 harness query gets a full DuckDB oracle over
+    * the identical codec stage. Shuffle-free map stage;
     * one Deflater instance is reused (reset) across each partition's rows
     * rather than allocated per document. Empty and NULL text score 1.0
     * (nothing to compress — never "maximally repetitive").

@@ -156,6 +156,23 @@ object Stage {
     fs.delete(new Path(staging), true)
   }
 
+  /** How many partitions a compaction rewrite of `dir` should produce:
+    * its live data bytes divided by `spark.sql.files.maxPartitionBytes`
+    * (the same knob that sizes scan partitions), floored at 1. Sized from
+    * one recursive file listing — metadata work, no data read — so a
+    * compaction neither collapses a large component into too few
+    * oversized files nor keeps the per-batch file fragmentation it exists
+    * to remove.
+    */
+  def compactionPartitions(spark: SparkSession, dir: String): Int = {
+    val p = new Path(resolve(spark, dir))
+    val fs = fsFor(spark, p)
+    def bytes(d: Path): Long = dataEntries(fs, d).map(s =>
+      if (s.isDirectory) bytes(s.getPath) else s.getLen).sum
+    val target = spark.sessionState.conf.filesMaxPartitionBytes
+    math.max(1L, (bytes(p) + target - 1) / target).toInt
+  }
+
   /** Move a staged directory's data files into the live directory under
     * deterministic `<prefix>-<i>` names, preserving partition
     * subdirectories (`key=value/`, the IVF lists layout), after first

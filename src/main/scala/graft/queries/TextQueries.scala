@@ -140,12 +140,18 @@ object TextQueries {
         .orderBy("doc_id")),
 
     "q90_compression_ratio" -> ((s, d) =>
-      // DEFLATE-ratio repetition/junk signal (RefinedWeb-style): catches
-      // long-range repetition the fixed-n gram metrics (q61) miss. zlib
-      // is deterministic at a fixed level but not SQL-expressible — no
-      // oracle entry; the driver records the rows-only check and
-      // TextAnalysisSpec pins exact values against the JDK Deflater
-      TextAnalysis.compressionRatios(t(s, d, "documents"), "text", "doc_id")
+      // DEFLATE-codec plumbing, oracle-checked end-to-end: the harness
+      // query runs the REAL java.util.zip.Deflater mapPartitions stage at
+      // level 0, the one level where DEFLATE's output is closed-form
+      // (zlib stored framing: 2-byte header + one 5-byte stored block +
+      // 4-byte adler32 = raw + 11 for raw <= ~64 KiB — documents top out
+      // near 600 bytes), so DuckDB recomputes the exact byte counts and
+      // the hash compare proves the codec stage ran correctly. The
+      // level-6 repetition/junk SIGNAL (RefinedWeb-style) is the same
+      // code path at its default level, pinned by TextAnalysisSpec's
+      // hand-computed values — levels differ only in the zlib parameter.
+      TextAnalysis.compressionRatios(t(s, d, "documents"), "text", "doc_id",
+        level = 0)
         .orderBy("doc_id")),
 
     "q83_gopher_rules" -> ((s, d) =>
@@ -200,6 +206,22 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // level-0 DEFLATE is zlib stored framing: raw + 2 (header) + 5 (one
+    // stored-block header; documents are far under the 64 KiB block
+    // limit) + 4 (adler32). The ratio is ONE double division on both
+    // sides — bit-identical.
+    "q90_compression_ratio" ->
+      """SELECT doc_id,
+                CASE WHEN text IS NULL THEN 0
+                     ELSE octet_length(encode(text)) END AS raw_bytes,
+                CASE WHEN text IS NULL OR text = '' THEN 0
+                     ELSE octet_length(encode(text)) + 11 END AS deflate_bytes,
+                CASE WHEN text IS NULL OR text = '' THEN 1.0
+                     ELSE (octet_length(encode(text)) + 11)::DOUBLE
+                          / octet_length(encode(text))::DOUBLE
+                END AS compression_ratio
+         FROM documents ORDER BY doc_id""",
+
     "q20_text_tokens" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS n_tokens,

@@ -213,6 +213,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 0L, 0L, 1.0)))              // null text
   }
 
+  test("compressionRatios at level 0: output equals closed-form zlib stored framing") {
+    // the q90 oracle's whole premise: for inputs fitting one stored block,
+    // level-0 DEFLATE output is exactly raw + 2 (zlib header) + 5 (stored
+    // block header) + 4 (adler32) — checkable by an engine with no zlib
+    val texts = Seq("x", "spam ham " * 200,
+      (1 to 500).map(i => s"w${i * 7919}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatios(df, "text", "doc_id", level = 0)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toList
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val raw = t.getBytes("UTF-8").length.toLong
+      assert(got(i) == ((i.toLong, raw, raw + 11, (raw + 11).toDouble / raw)))
+    }
+  }
+
   test("gopher rule metrics: symbol ratio, alpha-word fraction, stop count") {
     val df = Seq(
       "see # section ... below",   // 1 '#' + 1 '...' over 5 words
