@@ -331,6 +331,25 @@ object Corpus {
                    score: Column, budgetPerMille: Int = 500): DataFrame =
     budgetSelectBy(df, textCol, idCol, score, Nil, budgetPerMille)
 
+  /** Quantize a CONTINUOUS quality score for [[budgetSelectBy]]:
+    * `floor(score · resolution)` as a long. The budget selector's scale
+    * contract is that its windows run over the score HISTOGRAM, one row
+    * per distinct value — a continuous score (a float perplexity, a model
+    * logit) makes every class size 1 and the histogram corpus-sized,
+    * which is the documented degenerate case. Quantizing first bounds the
+    * class count by `resolution × score-range` regardless of corpus size,
+    * and bounds the straddle class (the one needing per-document window
+    * resolution) to the documents sharing one quantized value — the
+    * selector trades ≤ 1/resolution of score discrimination for a
+    * corpus-size-invariant plan. floor of an IEEE multiply is
+    * deterministic and replays identically in SQL
+    * (`floor(score * resolution)`), so the oracle boundary is exact.
+    */
+  def quantizeScore(score: Column, resolution: Int): Column = {
+    require(resolution > 0, s"resolution must be positive: $resolution")
+    floor(score * resolution).cast("long")
+  }
+
   /** [[budgetSelect]] partitioned: an independent `budgetPerMille` token
     * budget PER value of `partitionCols` — the per-source cap a mixture
     * designer applies so one crawl cannot spend the whole budget ("at most

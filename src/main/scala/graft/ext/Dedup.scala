@@ -643,6 +643,54 @@ object Dedup {
       live.join(delKeys, Seq("seth"), "left_anti").drop("seth"))
   }
 
+  /** TOMBSTONE content in a persisted manifest — the batched alternative
+    * to [[deleteContentFromMinhashManifest]], whose anti-join rewrite
+    * pays manifest-sized work PER CALL: under a drip-feed of daily
+    * right-to-be-forgotten requests that is index-sized work every day.
+    * This instead appends the deleted content's token-set keys to a
+    * `tombstones/` table (batch-sized work), probes consult the pending
+    * tombstones (the docs relation is anti-joined on the same key before
+    * verification, so tombstoned content probes as fresh — candidates
+    * from its still-present bands rows die in the verification join), and
+    * [[compactMinhashManifest]] folds the tombstones into a physical
+    * delete on the compaction schedule. Verdict-equivalent to the
+    * immediate delete at every point (DedupSpec pins it).
+    *
+    * Contract note: a tombstone masks its content until folded —
+    * deliberately including copies APPENDED while it is pending
+    * ("forget this content" beats "but it arrived again"); re-admitting
+    * content requires compacting first, then appending it.
+    */
+  def tombstoneContentInMinhashManifest(deleted: DataFrame, textCol: String,
+                                        path: String): Unit = {
+    val spark = deleted.sparkSession
+    deleted.where(col(textCol).isNotNull)
+      .select(xxhash64(tokenHashes(col(textCol))).as("seth")).distinct()
+      .write.mode("append")
+      .parquet(graft.ops.Stage.resolve(spark, s"$path/tombstones"))
+  }
+
+  /** The pending tombstone keys, or None when the manifest has never been
+    * tombstoned (no `tombstones/` directory). */
+  private def pendingTombstones(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Option[DataFrame] = {
+    val t = graft.ops.Stage.resolve(spark, s"$path/tombstones")
+    val p = new org.apache.hadoop.fs.Path(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(t).distinct()) else None
+  }
+
+  /** `docs` minus rows whose token-set key is tombstoned (identity when
+    * no tombstones exist). The anti-join's right side is the (small)
+    * pending-delete set — Spark broadcasts it. */
+  private def minusTombstoned(docs: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                              path: String): DataFrame =
+    pendingTombstones(spark, path) match {
+      case Some(tomb) => docs.withColumn("seth", xxhash64(col("toks")))
+        .join(tomb, Seq("seth"), "left_anti").drop("seth")
+      case None => docs
+    }
+
   /** Compact a [[saveMinhashManifest]] manifest after a run of per-batch
     * appends: every ingest batch leaves its own `b<batchId>-*` (or plain
     * part) files in `docs/` and `bands/`, so after thousands of batches a
@@ -651,21 +699,40 @@ object Dedup {
     * [[graft.ops.Stage.compactionPartitions]] files (live bytes /
     * `maxPartitionBytes`); bands repartitions on its join key
     * (band, band_key) so each bucket's rows co-locate in one file's row
-    * groups. Row multisets are preserved exactly — probe verdicts are
-    * unchanged (DedupSpec pins it). Publishes atomically
-    * ([[graft.ops.Stage.publishRewrite]]): a crash mid-compaction leaves
-    * the fragmented-but-correct manifest serving.
+    * groups. Pending [[tombstoneContentInMinhashManifest]] tombstones are
+    * FOLDED by the same pass — matching docs and their bands rows drop,
+    * then the tombstone table resets — so the drip-feed of deletes pays
+    * index-sized work once per compaction, not once per delete. Probe
+    * verdicts are unchanged at every point (DedupSpec pins it; bands
+    * rewrites first, like the immediate delete, so its removed-id
+    * relation derives from the still-live docs table). Publishes
+    * atomically ([[graft.ops.Stage.publishRewrite]]): a crash
+    * mid-compaction leaves a fragmented-but-correct manifest serving —
+    * tombstones stay pending until the final reset, so a crash between
+    * the table rewrites and the reset only re-folds an already-clean
+    * manifest next time.
     */
   def compactMinhashManifest(spark: org.apache.spark.sql.SparkSession,
                              path: String): Unit = {
     import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
-    val nDocs = compactionPartitions(spark, s"$path/docs")
-    publishRewrite(spark, s"$path/docs",
-      spark.read.parquet(resolve(spark, s"$path/docs")).repartition(nDocs))
+    val removed = pendingTombstones(spark, path) match {
+      case Some(tomb) => spark.read.parquet(resolve(spark, s"$path/docs"))
+        .withColumn("seth", xxhash64(col("toks")))
+        .join(tomb, Seq("seth")).select("doc")
+      case None => spark.range(0).select(col("id").as("doc"))
+    }
     val nBands = compactionPartitions(spark, s"$path/bands")
     publishRewrite(spark, s"$path/bands",
       spark.read.parquet(resolve(spark, s"$path/bands"))
+        .join(removed, Seq("doc"), "left_anti")
         .repartition(nBands, col("band"), col("band_key")))
+    val nDocs = compactionPartitions(spark, s"$path/docs")
+    publishRewrite(spark, s"$path/docs",
+      minusTombstoned(spark.read.parquet(resolve(spark, s"$path/docs")),
+        spark, path).repartition(nDocs))
+    if (pendingTombstones(spark, path).isDefined)
+      publishRewrite(spark, s"$path/tombstones",
+        spark.range(0).select(col("id").as("seth")))
   }
 
   /** Incremental NEAR-dup detection of an ingest batch against a persisted
@@ -734,8 +801,12 @@ object Dedup {
     val (k, bands) = (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
     val manBands = spark.read.parquet(
       graft.ops.Stage.resolve(spark, s"$manifestPath/bands"))
-    val manDocs = spark.read.parquet(
-      graft.ops.Stage.resolve(spark, s"$manifestPath/docs"))
+    // pending tombstones mask their content here: a tombstoned doc's bands
+    // rows may still generate candidates, but those die in the
+    // verification join against the filtered docs relation
+    val manDocs = minusTombstoned(
+      spark.read.parquet(graft.ops.Stage.resolve(spark, s"$manifestPath/docs")),
+      spark, manifestPath)
     val keyed = keyedSignatures(probe, k, bands, keepToks = carryTokens)
     val carryIn = if (carryTokens) Seq(col("toks").as("toks_n")) else Seq.empty
     val carryOn = if (carryTokens) Seq(col("toks_n")) else Seq.empty

@@ -81,6 +81,44 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    "q115_stream_manifest_ingest" -> ((s, d) => {
+      // the dedup-manifest ingest loop CLOSED over streaming (q109's
+      // shape for the LSH manifest): a manifest SHELL is built first —
+      // meta only, empty docs/bands — then the manifest half of the
+      // corpus streams in via foreachBatch with EXACTLY-ONCE appends
+      // (appendToMinhashManifestExactlyOnce: staged docs/bands published
+      // under a batchId ledger; a replayed plain append would bloat both
+      // tables — replay windows pinned in DedupSpec). Probing the other
+      // half afterwards equals probing a batch-built manifest — q84's
+      // oracle verbatim.
+      val docs = t(s, d, "documents")
+      val path = s"target/graft-stream-manifest-${new java.io.File(d).getName}"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(path, s"$path.ckpt").foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Dedup.saveMinhashManifest(docs.where(lit(false)), "text", "doc_id",
+        path, k = 32, bands = 16)
+      val stream = s.readStream
+        .schema(graft.streaming.DocumentStreams.docSchema)
+        .parquet(s"$d/documents.*")
+        .where(pmod(col("doc_id"), lit(10)) < 5)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$path.ckpt")
+        .foreachBatch((batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          Dedup.appendToMinhashManifestExactlyOnce(batch, "text", "doc_id",
+            path, batchId))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Dedup.incrementalNearDups(
+        docs.where(pmod(col("doc_id"), lit(10)) >= 5), path,
+        "text", "doc_id", threshold = 0.9)
+        .orderBy("doc_id")
+    }),
+
     "q84_dedup_incremental_minhash" -> ((s, d) => {
       // incremental NEAR-dup ingest against a PERSISTED LSH manifest: the
       // corpus side's signatures/bands are built once on disk (amortized
@@ -210,6 +248,30 @@ object DedupQueries {
                / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
              >= 0.9"""
 
+  /** Exact dual of the manifest probe (q84 batch-built, q115
+    * stream-ingested — identical manifest content either way): per new
+    * doc the max exact Jaccard >= 0.9 against any manifest doc. The
+    * engine's LSH candidates + first-matching-band dedup are invisible to
+    * the contract at this recall; null-text docs pair with nothing.
+    */
+  private val incrementalMinhashReplay =
+    """WITH m AS (
+         SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+         FROM documents WHERE doc_id % 10 < 5 AND text IS NOT NULL),
+       n AS (
+         SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+         FROM documents WHERE doc_id % 10 >= 5),
+       p AS (
+         SELECT n.doc_id,
+                CAST(len(list_intersect(n.toks, m.toks)) AS DOUBLE)
+                  / (len(n.toks) + len(m.toks)
+                     - len(list_intersect(n.toks, m.toks))) AS jac
+         FROM n LEFT JOIN m ON n.toks IS NOT NULL)
+       SELECT doc_id,
+              max(CASE WHEN jac >= 0.9 THEN jac END) AS near_jaccard,
+              coalesce(bool_or(jac >= 0.9), false) AS is_near_dup
+       FROM p GROUP BY doc_id ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -238,27 +300,12 @@ object DedupQueries {
                  JOIN s sb ON p.doc_b = sb.doc_id
           GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    // exact dual of the manifest probe: per new doc the max exact Jaccard
-    // ≥ 0.9 against any manifest doc (cross pairing replayed in full; the
-    // engine's LSH candidates + first-matching-band dedup are invisible to
-    // the contract at this recall). Null-text docs pair with nothing.
-    "q84_dedup_incremental_minhash" ->
-      """WITH m AS (
-           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-           FROM documents WHERE doc_id % 10 < 5 AND text IS NOT NULL),
-         n AS (
-           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-           FROM documents WHERE doc_id % 10 >= 5),
-         p AS (
-           SELECT n.doc_id,
-                  CAST(len(list_intersect(n.toks, m.toks)) AS DOUBLE)
-                    / (len(n.toks) + len(m.toks)
-                       - len(list_intersect(n.toks, m.toks))) AS jac
-           FROM n LEFT JOIN m ON n.toks IS NOT NULL)
-         SELECT doc_id,
-                max(CASE WHEN jac >= 0.9 THEN jac END) AS near_jaccard,
-                coalesce(bool_or(jac >= 0.9), false) AS is_near_dup
-         FROM p GROUP BY doc_id ORDER BY doc_id""",
+    "q84_dedup_incremental_minhash" -> incrementalMinhashReplay,
+
+    // q115 streams the same manifest half in through exactly-once appends:
+    // the grown manifest's content equals q84's batch build, so the probe
+    // contract — and the oracle — are q84's verbatim
+    "q115_stream_manifest_ingest" -> incrementalMinhashReplay,
 
     // q84's exact cross check with the manifest side minus the forgotten
     // CONTENT: any manifest doc whose distinct-token set equals a deleted

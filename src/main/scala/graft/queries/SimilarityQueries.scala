@@ -173,6 +173,45 @@ object SimilarityQueries {
       val emb = t(s, d, "embeddings")
       Similarity.semDedup(emb, tau = 0.98, dim = 64, nClusters = 16,
         centroidsIn = Similarity.sampleCentroids(emb, 16))
+    }),
+
+    "q114_stream_ivf_ingest" -> ((s, d) => {
+      // the IVF ingest loop CLOSED over streaming (q109's shape for the
+      // ANN index): an index SHELL is built first — frozen full-corpus
+      // sample centroids + meta, empty lists — then an embedding stream
+      // feeds the inverted lists via foreachBatch with EXACTLY-ONCE
+      // appends (appendToIvfIndexExactlyOnce: staged files published
+      // under a batchId ledger; a replayed batch would otherwise
+      // DUPLICATE vectors and change served top-k — replay windows
+      // pinned in SimilaritySpec). Assignment is a pure function of
+      // (vector, frozen centroids), so serving afterwards equals a fresh
+      // build over everything ingested — q82's oracle verbatim.
+      val emb = t(s, d, "embeddings")
+      val deq = emb.select(col("vec_id"),
+        Similarity.dequantize(
+          Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+      val path = s"target/graft-stream-ivf-${new java.io.File(d).getName}"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(path, s"$path.ckpt").foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Similarity.saveIvfIndex(emb.where(lit(false)), path, nCentroids = 16,
+        dim = 64, quantScale = 200.0,
+        centroidsIn = Similarity.sampleCentroids(deq, 16))
+      val vecs = s.readStream
+        .schema(s.read.parquet(s"$d/embeddings.parquet").schema)
+        .parquet(s"$d/embeddings.*")
+      val q = vecs.writeStream
+        .option("checkpointLocation", s"$path.ckpt")
+        .foreachBatch((batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          Similarity.appendToIvfIndexExactlyOnce(batch, path, batchId))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Similarity.topKIvfIndexed(s, deq.where(col("vec_id") < 10), path, k = 10)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -195,6 +234,59 @@ object SimilarityQueries {
     """SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS rn,
               embedding
        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 72)"""
+
+  /** q39's IVF replay composed over q77's quantize→dequantize vectors,
+    * with full-corpus sample centroids — the served contract of BOTH the
+    * batch-built persisted index (q82) and the stream-ingested one
+    * (q114): assignment is a pure function of (vector, frozen centroids),
+    * so both indexes hold identical lists.
+    */
+  private val ivfIndexedReplay =
+    s"""WITH dq AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> greatest(least(floor(CAST(x AS DOUBLE) * 200 + 0.5),
+                                127), -128) / 200.0) AS embedding
+          FROM embeddings),
+        e AS (SELECT vec_id, embedding,
+                     sqrt(${duckDot("embedding", "embedding")}) AS nrm
+              FROM dq),
+        smp AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS rn,
+                 embedding
+          FROM (SELECT vec_id, embedding FROM dq ORDER BY vec_id LIMIT 16)),
+        cent AS (SELECT rn AS c, embedding AS cv FROM smp),
+        cd AS (
+          SELECT e.vec_id, cent.c,
+                 ${duckDot("e.embedding", "cent.cv")} AS d
+          FROM e CROSS JOIN cent),
+        assigned AS (
+          SELECT vec_id, c AS centroid FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, c DESC) AS r
+            FROM cd) WHERE r = 1),
+        probes AS (
+          SELECT vec_id, c AS centroid FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, c DESC) AS r
+            FROM cd WHERE vec_id < 10) WHERE r <= 4),
+        scored AS (
+          SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                 ${duckDot("qe.embedding", "ce.embedding")}
+                   / (qe.nrm * ce.nrm) AS cos_sim
+          FROM probes p JOIN assigned a ON p.centroid = a.centroid
+          JOIN e qe ON qe.vec_id = p.vec_id
+          JOIN e ce ON ce.vec_id = a.vec_id
+          WHERE p.vec_id <> a.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos_sim, rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank"""
 
   val oracles: Map[String, String] = Map(
     "q35_sim_topk_bruteforce" ->
@@ -386,52 +478,12 @@ object SimilarityQueries {
     // q39's IVF replay composed over q77's quantize→dequantize vectors —
     // the persisted index stores int8 codes, so the index-served geometry
     // IS the quantized geometry, reproducible from the codes alone
-    "q82_ann_indexed" ->
-      s"""WITH dq AS (
-            SELECT vec_id, list_transform(embedding,
-              x -> greatest(least(floor(CAST(x AS DOUBLE) * 200 + 0.5),
-                                  127), -128) / 200.0) AS embedding
-            FROM embeddings),
-          e AS (SELECT vec_id, embedding,
-                       sqrt(${duckDot("embedding", "embedding")}) AS nrm
-                FROM dq),
-          smp AS (
-            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS rn,
-                   embedding
-            FROM (SELECT vec_id, embedding FROM dq ORDER BY vec_id LIMIT 16)),
-          cent AS (SELECT rn AS c, embedding AS cv FROM smp),
-          cd AS (
-            SELECT e.vec_id, cent.c,
-                   ${duckDot("e.embedding", "cent.cv")} AS d
-            FROM e CROSS JOIN cent),
-          assigned AS (
-            SELECT vec_id, c AS centroid FROM (
-              SELECT vec_id, c,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY d DESC, c DESC) AS r
-              FROM cd) WHERE r = 1),
-          probes AS (
-            SELECT vec_id, c AS centroid FROM (
-              SELECT vec_id, c,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY d DESC, c DESC) AS r
-              FROM cd WHERE vec_id < 10) WHERE r <= 4),
-          scored AS (
-            SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-                   ${duckDot("qe.embedding", "ce.embedding")}
-                     / (qe.nrm * ce.nrm) AS cos_sim
-            FROM probes p JOIN assigned a ON p.centroid = a.centroid
-            JOIN e qe ON qe.vec_id = p.vec_id
-            JOIN e ce ON ce.vec_id = a.vec_id
-            WHERE p.vec_id <> a.vec_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, cos_sim,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
-            FROM scored)
-          SELECT query_id, neighbor_id, cos_sim, rank
-          FROM ranked WHERE rank <= 10
-          ORDER BY query_id, rank""",
+    "q82_ann_indexed" -> ivfIndexedReplay,
+
+    // q114 streams the same corpus into the same shell (frozen full-corpus
+    // sample centroids), with exactly-once appends: served results equal
+    // q82's fresh build, so the oracle is q82's replay verbatim
+    "q114_stream_ivf_ingest" -> ivfIndexedReplay,
 
     // q82's replay with the centroid sample drawn from the BUILD half
     // only (vec_id % 2 = 0): append with frozen centroids equals a fresh

@@ -93,6 +93,44 @@ object ScaleProbe {
       }
     }
 
+    // ---- manifest delete cost (q108 vs tombstones): the immediate
+    // content delete anti-join-rewrites BOTH manifest tables per call —
+    // index-sized work per delete — while the tombstone path appends a
+    // batch-sized key set and defers the rewrite to one compaction. A
+    // daily drip-feed of D deletes pays D×(index rewrite) immediately vs
+    // D×(batch append) + 1×(compaction) batched; the probe measures one
+    // delete each way, plus the fold, on the k×-salted manifest.
+    if (sel("manifestdelete")) {
+      val k = n
+      val corpus = (0 until k).map(i => base.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" v$i")).as("text")))
+        .reduce(_ union _).localCheckpoint()
+      val victim = corpus.where(pmod(col("doc_id"), lit(1000)) === 7)
+        .localCheckpoint()
+      for (mode <- Seq("immediate", "tombstone")) {
+        val path = s"target/graft-scaleprobe-mandel-$mode-$k"
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        Dedup.saveMinhashManifest(corpus, "text", "doc_id", path,
+          k = 32, bands = 16)
+        if (mode == "immediate") time(s"${k}x delete-immediate") {
+          Dedup.deleteContentFromMinhashManifest(victim, "text", path)
+        } else {
+          time(s"${k}x delete-tombstone") {
+            Dedup.tombstoneContentInMinhashManifest(victim, "text", path)
+          }
+          time(s"${k}x probe-with-pending-tombstones") {
+            Dedup.incrementalNearDups(base, path, "text", "doc_id", 0.9).count()
+          }
+          time(s"${k}x tombstone-fold(compaction)") {
+            Dedup.compactMinhashManifest(spark, path)
+          }
+        }
+      }
+    }
+
     // ---- sentence decontamination: train-side duplication (the crawl
     // regime) must collapse in the pre-distinct BEFORE the probe join —
     // the distinct sentence set is invariant in k, so N× train rows cost
@@ -102,6 +140,28 @@ object ScaleProbe {
       time(s"${k}x sentence-decon") {
         graft.ext.Corpus.decontaminateSentences(train, base, "text", "doc_id")
           .agg(sum(col("n_leaked")), sum(col("n_sentences"))).head()
+      }
+    }
+
+    // ---- budget selection (q85): the selector windows the SCORE
+    // HISTOGRAM, so its cost contract depends on the score's resolution.
+    // A CONTINUOUS score (xxhash-derived double here — every doc its own
+    // class) degenerates the histogram to corpus size; quantizeScore
+    // bounds it at `resolution` classes regardless of rows. Both must
+    // produce budget-sized selections; the quantized plan's window input
+    // must stay flat as k grows while the raw one tracks the corpus.
+    if (sel("budget")) for (k <- Seq(1, n)) {
+      val docs = replicated(k)
+        .withColumn("q", (abs(xxhash64(col("doc_id"))) % 1000000L)
+          .cast("double") / 1000000.0)
+        .localCheckpoint()
+      time(s"${k}x budget-raw-continuous") {
+        graft.ext.Corpus.budgetSelect(docs, "text", "doc_id",
+          col("q"), 500).count()
+      }
+      time(s"${k}x budget-quantized-256") {
+        graft.ext.Corpus.budgetSelect(docs, "text", "doc_id",
+          graft.ext.Corpus.quantizeScore(col("q"), 256), 500).count()
       }
     }
 

@@ -361,6 +361,34 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("quantizeScore: continuous scores select by bounded quantized classes") {
+    val rnd = new scala.util.Random(43)
+    // CONTINUOUS score (distinct per doc — the degenerate histogram case):
+    // quantization must bound the class count and replay deterministically
+    val docs = (1L to 120L).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i, rnd.nextDouble(), Seq.fill(n)("w").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "quality", "text")
+    val q = Corpus.quantizeScore(col("quality"), resolution = 8)
+    // the class count the selector's windows actually see is bounded by
+    // the resolution, not the corpus
+    assert(df.select(q.as("s")).distinct().count() <= 8)
+    val got = Corpus.budgetSelect(df, "text", "doc_id", q, 500)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toList
+    // reference: the same floor(quality*8) classes, prefix rule by
+    // (class DESC, id ASC) in plain Scala
+    val scored = docs.map { case (id, qual, t) =>
+      (id, math.floor(qual * 8).toLong, t.split(" ").length.toLong)
+    }
+    val budget = scored.map(_._3).sum * 500 / 1000
+    var cum = 0L
+    val want = scored.sortBy { case (id, s, _) => (-s, id) }
+      .takeWhile { case (_, _, n) => { cum += n; cum <= budget } }
+      .sortBy(_._1).toList
+    assert(got == want)
+  }
+
   test("budgetSelectBy ≡ per-partition brute-force prefix on randomized corpora") {
     val rnd = new scala.util.Random(31)
     val docs = (1L to 80L).map { i =>

@@ -644,6 +644,48 @@ class DedupSpec extends AnyFunSuite {
     assert(verdicts == Map(20L -> true, 21L -> false))
   }
 
+  test("tombstoned content probes as fresh; compaction folds and resets") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("target").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val path = "target/graft-test-manifest-tombstone"
+    fs.delete(new Path(path), true)
+    // docs 1/2 carry identical text (one collapsed class, rep 1); doc 3 is
+    // distinct — the deleteContentFromMinhashManifest fixture, but batched
+    val manifest = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different content here now")).toDF("doc_id", "text")
+    Dedup.saveMinhashManifest(manifest, "text", "doc_id", path,
+      k = 32, bands = 16)
+    def verdicts() = Dedup.incrementalNearDups(
+      Seq((10L, "alpha beta gamma delta epsilon"),
+        (11L, "totally different content here now")).toDF("doc_id", "text"),
+      path, "text", "doc_id", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(verdicts() == Map(10L -> true, 11L -> true))
+    // tombstone via doc 2's TEXT: batch-sized append, no manifest rewrite —
+    // yet the class is forgotten immediately at probe time
+    Dedup.tombstoneContentInMinhashManifest(
+      manifest.where($"doc_id" === 2L), "text", path)
+    assert(verdicts() == Map(10L -> false, 11L -> true))
+    // the docs table still physically holds the rep (no rewrite happened)
+    assert(spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/docs"))
+      .where($"doc" === 1L).count() == 1)
+    // compaction folds the tombstone into a physical delete and resets it
+    Dedup.compactMinhashManifest(spark, path)
+    assert(spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/docs"))
+      .where($"doc" === 1L).count() == 0)
+    assert(spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$path/tombstones")).count() == 0)
+    assert(verdicts() == Map(10L -> false, 11L -> true))
+    // with tombstones folded, the content can be re-admitted
+    Dedup.appendToMinhashManifest(
+      Seq((20L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      "text", "doc_id", path)
+    assert(verdicts() == Map(10L -> true, 11L -> true))
+  }
+
   test("manifest content delete forgets a whole exact class, by content not id") {
     // docs 1 and 2 carry IDENTICAL text → one collapsed class (rep 1);
     // doc 3 is distinct. Deleting via doc 2's TEXT must forget the class
