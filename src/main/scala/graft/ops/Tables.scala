@@ -42,13 +42,28 @@ object Tables {
         // integer div: ns → µs (double division loses precision at 1e18)
         case org.apache.spark.sql.types.LongType =>
           timestamp_micros(expr("ts div 1000"))
-        case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+        case _ =>
+          requireUtc(spark)
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)
       }
       raw.withColumn("ts", ts)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
+
+  /** The NTZ→session-TZ timestamp cast is only VALUE-preserving when the
+    * session TZ is UTC; on any other setting every event silently shifts.
+    * Asserted wherever the cast happens (here and in
+    * EventStreams.toNanos) instead of trusting that every caller-built
+    * session copied the entry points' UTC pin.
+    */
+  private[graft] def requireUtc(spark: SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"events.ts NTZ normalization requires spark.sql.session.timeZone=UTC " +
+        s"(got '$tz') — set it in the SparkSession builder")
+  }
 
   /** Register every table as a temp view so spec SQL / spark.sql can see them. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -31,17 +31,28 @@ object EventStreams {
     * file sources need an explicit schema, so probe the footer ONCE (a
     * metadata-only batch read) and normalize either encoding to the
     * long-nanos contract. The NTZ→LTZ cast is value-preserving because
-    * every entry point pins the session TZ to UTC.
+    * the session TZ is UTC ([[graft.ops.Tables.requireUtc]] asserts it on
+    * the cast path). ASSUMPTION: every file under the glob shares one ts
+    * encoding — the probe reads one footer and a mixed-encoding directory
+    * would decode the minority encoding wrongly; testdata generations
+    * never mix encodings within a directory. A glob matching no files yet
+    * (a stream source created before its first input) falls back to the
+    * long-nanos contract of [[rawSchema]] — the encoding files WE write.
     */
-  private def tsTypeOnDisk(spark: SparkSession, path: String): DataType =
-    spark.read.parquet(path).schema("ts").dataType
+  private[graft] def tsTypeOnDisk(spark: SparkSession, path: String): DataType =
+    try spark.read.parquet(path).schema("ts").dataType
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => LongType
+    }
 
   private def schemaWithTs(ts: DataType): StructType =
     StructType(rawSchema.map(f => if (f.name == "ts") f.copy(dataType = ts) else f))
 
   private def toNanos(df: DataFrame, onDisk: DataType): DataFrame = onDisk match {
     case LongType => df
-    case _ => df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    case _ =>
+      graft.ops.Tables.requireUtc(df.sparkSession)
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
   }
 
   /** Streaming events source with `ts` normalized to long nanos. */
@@ -99,17 +110,26 @@ object EventStreams {
                            queryName: String = "graft_stream_hourly_append"): DataFrame = {
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "graft-append-")
-    // phase-1 files: the real events, rewritten normalized to the
-    // long-nanos schema so the sentinel appends below share ONE source dir
-    // and ONE encoding regardless of which ts encoding the driver shipped.
-    // Written INTO dir itself (not a subdir) — the parquet file stream
+    // phase-1 files: the real events, staged into the source dir in the
+    // long-nanos schema so the sentinel appends below share ONE dir and
+    // ONE encoding regardless of which ts encoding the driver shipped.
+    // Already-long-nanos files stage as a plain file copy (metadata-speed
+    // at any SF); only the NTZ encoding pays a normalizing rewrite.
+    // Staged INTO dir itself (not a subdir) — the parquet file stream
     // source lists files at the top level only.
-    val batch0 = eventsBatchNanos(spark, s"$sfDir/events.parquet")
-    batch0.write.mode("append").parquet(dir.toString)
-    // one scalar agg over the ts column (projection-pruned scan) collected
-    // ONCE; each sentinel is then a 1-row createDataFrame + tiny parquet
-    // append — no per-sentinel full-file aggregate jobs
-    val maxTs = batch0.agg(max(col("ts"))).head().getLong(0)
+    val srcFile = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    if (tsTypeOnDisk(spark, s"$sfDir/events.parquet") == LongType &&
+        java.nio.file.Files.isRegularFile(srcFile))
+      java.nio.file.Files.copy(srcFile, dir.resolve("b0-events.parquet"))
+    else
+      eventsBatchNanos(spark, s"$sfDir/events.parquet")
+        .write.mode("append").parquet(dir.toString)
+    // one scalar agg over the ts column (projection-pruned scan of the
+    // staged dir) collected ONCE; each sentinel is then a 1-row
+    // createDataFrame + tiny parquet append — no per-sentinel full-file
+    // aggregate jobs
+    val maxTs = spark.read.schema(rawSchema).parquet(dir.toString)
+      .agg(max(col("ts"))).head().getLong(0)
     // sentinels are added BETWEEN processAllAvailable calls (below), each
     // forcing its own micro-batch. A window finalizes in the batch AFTER
     // the one whose data advanced the watermark past its end, so sentinel
