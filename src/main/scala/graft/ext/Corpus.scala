@@ -515,79 +515,153 @@ object Corpus {
           .as("bits_x100"))
   }
 
-  /** Persist the bigram LM to `path` (`bigrams/`, `prefixes/`, `meta/`) —
-    * the model IS its two count relations plus the vocab size, so this is
-    * the CCNet deployment shape: train the reference LM once, score every
-    * later crawl batch from the loaded counts ([[lmPerplexityIndexed]])
-    * without touching the reference corpus again. Completes the persisted-
-    * artifact set (IVF index, MinHash manifest, LM counts).
+  /** Persist the bigram LM to `path` — the CCNet deployment shape: train
+    * the reference LM once, score every later crawl batch from the loaded
+    * counts ([[lmPerplexityIndexed]]) without touching the reference
+    * corpus again. Layout (the ADDITIVE-counts design the text index's
+    * stats rows use, which is what makes the LM maintainable):
+    *
+    *  - `bigrams/`: (p, w, cb) DELTA rows — a fresh build writes one row
+    *    per bigram; [[appendToLm]] appends a batch's positive counts;
+    *    [[deleteFromLm]] appends NEGATIVE counts. The model's count is
+    *    the SUM per (p, w), positive-only.
+    *  - `vocab/`: (tok, c) delta rows, same discipline. Scoring only
+    *    needs the vocab SIZE, but size is not maintainable under deletion
+    *    without per-token counts (a deleted document's tokens may survive
+    *    in other documents; only a count can tell).
+    *
+    * Prefix counts and the vocab size are DERIVED at load ([[loadLm]]) —
+    * c(p) = Σ_w c(p,w) exactly as training derives it, V = tokens with a
+    * positive summed count — so growing or shrinking the model never
+    * read-modify-writes an aggregate row. [[compactLm]] folds the delta
+    * trail on the maintenance schedule.
     */
   def saveLm(train: DataFrame, textCol: String, idCol: String,
              path: String): Unit = {
-    val (cb, cu, v) = trainLmCounts(train, textCol, idCol)
-    cb.write.mode("overwrite").parquet(s"$path/bigrams")
-    cu.write.mode("overwrite").parquet(s"$path/prefixes")
-    v.repartition(1).write.mode("overwrite").parquet(s"$path/meta")
-    // per-token occurrence counts — not used for scoring, but the vocab
-    // size V is NOT maintainable under deletion without them (a deleted
-    // document's tokens may survive in other documents; only a count can
-    // tell). Kept current by [[deleteFromLm]].
+    bigramStream(train, textCol, idCol)
+      .groupBy("p", "w").agg(count(lit(1)).as("cb"))
+      .write.mode("overwrite").parquet(s"$path/bigrams")
     train.where(col(textCol).isNotNull)
       .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .write.mode("overwrite").parquet(s"$path/vocab")
   }
 
-  /** Delete documents from a [[saveLm]] model — every model statistic is
-    * a COUNT, so deletion is exact subtraction: the deleted documents'
-    * bigram and token counts are recomputed (their text must be supplied;
-    * the contract is `deleted` ⊆ the trained corpus, each document passed
-    * exactly once) and subtracted, zero rows dropped, prefixes re-derived
-    * from the post-delete bigrams exactly as training derives them, and V
-    * becomes the count of tokens with surviving occurrences. Scoring
-    * afterwards is bit-identical to a fresh train over the survivors
-    * (the q107 oracle and CorpusSpec pin it). Work is batch-sized plus
-    * count-relation-sized — never a surviving-corpus re-scan.
+  /** The model relations of a persisted LM: summed positive bigram
+    * counts, prefix counts derived from them, and the one-row vocab size.
+    * ONE loader so every consumer agrees on the fold. The groupBy's
+    * exchange doubles as the scoring join's (p, w) partitioning, so
+    * folding deltas at load adds no extra shuffle over pre-aggregated
+    * tables.
+    */
+  private def loadLm(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.ops.Stage.resolve
+    val cb = spark.read.parquet(resolve(spark, s"$path/bigrams"))
+      .groupBy("p", "w").agg(sum(col("cb")).as("cb"))
+      .where(col("cb") > 0)
+    val cu = cb.groupBy("p").agg(sum(col("cb")).as("cu"))
+    val v = spark.read.parquet(resolve(spark, s"$path/vocab"))
+      .groupBy("tok").agg(sum(col("c")).as("c"))
+      .agg(count(when(col("c") > 0, lit(1))).as("v"))
+    (cb, cu, v)
+  }
+
+  /** The additive (bigrams, vocab) delta pair of a batch, shared by every
+    * maintenance path so build, append, and delete agree on tokenization
+    * to the letter. `sign` is +1 (ingest) or -1 (delete). */
+  private def lmDeltas(batch: DataFrame, textCol: String, idCol: String,
+                       sign: Int): (DataFrame, DataFrame) = (
+    bigramStream(batch, textCol, idCol)
+      .groupBy("p", "w").agg((count(lit(1)) * sign).as("cb")),
+    batch.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg((count(lit(1)) * sign).as("c")))
+
+  /** Grow a [[saveLm]] model with a new training batch WITHOUT retraining:
+    * every model statistic is a count, so ingest is exact addition — the
+    * batch's bigram/token counts land as new delta rows, batch-sized work
+    * only. Scoring afterwards equals a fresh train over the union
+    * (CorpusSpec pins it).
+    */
+  def appendToLm(batch: DataFrame, path: String, textCol: String,
+                 idCol: String): Unit = {
+    val spark = batch.sparkSession
+    import graft.ops.Stage.resolve
+    val (cbD, vD) = lmDeltas(batch, textCol, idCol, sign = 1)
+    cbD.write.mode("append").parquet(resolve(spark, s"$path/bigrams"))
+    vD.write.mode("append").parquet(resolve(spark, s"$path/vocab"))
+  }
+
+  /** [[appendToLm]] with EXACTLY-ONCE semantics for streaming ingest, via
+    * the shared ledger protocol ([[graft.ops.Stage.appendExactlyOnce]]).
+    * A replayed plain append would double the batch's counts and CHANGE
+    * every later score — counts are the model, so the LM is as exposed to
+    * at-least-once replay as the IVF lists. Batch ids are only meaningful
+    * relative to one durable checkpoint lineage.
+    */
+  def appendToLmExactlyOnce(batch: DataFrame, path: String, textCol: String,
+                            idCol: String, batchId: Long): Unit = {
+    val (cbD, vD) = lmDeltas(batch, textCol, idCol, sign = 1)
+    graft.ops.Stage.appendExactlyOnce(batch.sparkSession, path, batchId,
+      Seq("bigrams", "vocab")) { staging =>
+      cbD.write.mode("overwrite").parquet(s"$staging/bigrams")
+      vD.write.mode("overwrite").parquet(s"$staging/vocab")
+    }
+  }
+
+  /** Delete documents from a [[saveLm]] model — exact subtraction, now as
+    * NEGATIVE delta rows (their text must be supplied; the contract is
+    * `deleted` ⊆ the trained corpus, each document passed exactly once).
+    * BATCH-sized work: where the earlier design anti-join-rewrote every
+    * count table per delete (index-sized — the manifest's pre-tombstone
+    * problem), the delta append defers the physical fold to [[compactLm]]
+    * while [[loadLm]]'s positive-sum fold makes scoring reflect the
+    * deletion immediately. Scoring afterwards is bit-identical to a fresh
+    * train over the survivors (the q107 oracle and CorpusSpec pin it):
+    * counts sum to exactly the survivor counts, zeroed bigrams drop from
+    * the model, V counts only tokens with surviving occurrences.
     */
   def deleteFromLm(deleted: DataFrame, path: String, textCol: String,
                    idCol: String): Unit = {
     val spark = deleted.sparkSession
-    import graft.ops.Stage.{publishRewrite, resolve}
-    val cbD = bigramStream(deleted, textCol, idCol)
-      .groupBy("p", "w").agg(count(lit(1)).as("cbd"))
+    import graft.ops.Stage.resolve
+    val (cbD, vD) = lmDeltas(deleted, textCol, idCol, sign = -1)
+    cbD.write.mode("append").parquet(resolve(spark, s"$path/bigrams"))
+    vD.write.mode("append").parquet(resolve(spark, s"$path/vocab"))
+  }
+
+  /** Compact a [[saveLm]] model's delta trail: fold the additive rows to
+    * one positive row per key (dropping zeroed bigrams/tokens — folded
+    * deletes physically disappear here), coalesced to
+    * [[graft.ops.Stage.compactionPartitions]] files. Scoring before and
+    * after is identical ([[loadLm]] sums either representation to the
+    * same counts); publish is atomic, so a crash mid-compaction leaves
+    * the delta trail serving.
+    */
+  def compactLm(spark: org.apache.spark.sql.SparkSession,
+                path: String): Unit = {
+    import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
+    val nB = compactionPartitions(spark, s"$path/bigrams")
     publishRewrite(spark, s"$path/bigrams",
       spark.read.parquet(resolve(spark, s"$path/bigrams"))
-        .join(cbD, Seq("p", "w"), "left")
-        .select(col("p"), col("w"),
-          (col("cb") - coalesce(col("cbd"), lit(0L))).as("cb"))
-        .where(col("cb") > 0))
-    publishRewrite(spark, s"$path/prefixes",
-      spark.read.parquet(resolve(spark, s"$path/bigrams")) // post-delete counts
-        .groupBy("p").agg(sum(col("cb")).as("cu")))
-    val vD = deleted.where(col(textCol).isNotNull)
-      .select(explode(split(col(textCol), " ")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cd"))
+        .groupBy("p", "w").agg(sum(col("cb")).as("cb"))
+        .where(col("cb") > 0).repartition(nB))
+    val nV = compactionPartitions(spark, s"$path/vocab")
     publishRewrite(spark, s"$path/vocab",
       spark.read.parquet(resolve(spark, s"$path/vocab"))
-        .join(vD, Seq("tok"), "left")
-        .select(col("tok"), (col("c") - coalesce(col("cd"), lit(0L))).as("c"))
-        .where(col("c") > 0))
-    publishRewrite(spark, s"$path/meta",
-      spark.read.parquet(resolve(spark, s"$path/vocab"))
-        .agg(count(lit(1)).as("v")))
+        .groupBy("tok").agg(sum(col("c")).as("c"))
+        .where(col("c") > 0).repartition(nV))
   }
 
   /** [[lmPerplexity]] scoring against a [[saveLm]] model on disk: the
     * training pass is skipped entirely — per-batch cost is the batch's
-    * bigram explode plus two count-relation joins.
+    * bigram explode plus the count-relation joins over the loaded model.
     */
   def lmPerplexityIndexed(score: DataFrame, path: String, textCol: String,
                           idCol: String): DataFrame = {
-    val spark = score.sparkSession
-    import graft.ops.Stage.resolve
-    scoreAgainstLm(score, spark.read.parquet(resolve(spark, s"$path/bigrams")),
-      spark.read.parquet(resolve(spark, s"$path/prefixes")),
-      spark.read.parquet(resolve(spark, s"$path/meta")), textCol, idCol)
+    val (cb, cu, v) = loadLm(score.sparkSession, path)
+    scoreAgainstLm(score, cb, cu, v, textCol, idCol)
   }
 
   /** Sentence-level decontamination: per eval document, how many of its

@@ -209,6 +209,43 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q116_stream_lm_ingest" -> ((s, d) => {
+      // the LM lifecycle CLOSED over streaming (q109's shape for the
+      // model counts): the reference LM grows from a document stream —
+      // train-split filter stream-side, then per-micro-batch count
+      // deltas with EXACTLY-ONCE publish (appendToLmExactlyOnce: a
+      // replayed plain append would double the batch's counts and change
+      // every score; replay windows pinned in CorpusSpec) — is compacted
+      // (delta trail folded to one row per key), then scores the test
+      // split. Counts are exact sums regardless of batching, so the
+      // streamed model scores bit-identically to q91's one-shot build —
+      // q91's oracle verbatim.
+      val path = s"target/graft-stream-lm-${new java.io.File(d).getName}"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(path, s"$path.ckpt").foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val stream = Corpus.splitAssign(
+        s.readStream.schema(graft.streaming.DocumentStreams.docSchema)
+          .parquet(s"$d/documents.*"), "text")
+        .where(col("split") === "train")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$path.ckpt")
+        .foreachBatch((batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          Corpus.appendToLmExactlyOnce(batch, path, "text", "doc_id", batchId))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Corpus.compactLm(s, path)
+      val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
+      Corpus.lmPerplexityIndexed(
+        docs.where(col("split") === "test" && col("text").isNotNull),
+        path, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q63_dedup_bloom_incremental" -> ((s, d) => {
       // q56's ingest shape with the Bloom prefilter: identical output
       // contract (the sketch has no false negatives), but the anti-join
@@ -300,6 +337,43 @@ object CorpusQueries {
              t -> CAST(ascii(substr(t, 1, 1)) AS BIGINT) * 100 + length(t))),
          (acc, h) -> (acc * 31 + h) % 1000000007)"""
 
+  /** q81's integer-bits replay with counts from the TRAIN split and
+    * scoring over the TEST split — the served contract of BOTH the
+    * one-shot persisted LM (q91) and the stream-ingested one (q116):
+    * every model statistic is a count, exact under any batching.
+    */
+  private val lmIndexedReplay =
+    s"""WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                           $fpFold % 100 AS b
+                    FROM documents WHERE text IS NOT NULL),
+       tr AS (SELECT doc_id, toks FROM s0 WHERE b < 80),
+       te AS (SELECT doc_id, toks FROM s0 WHERE b >= 90),
+       gtr AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+               FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                     FROM tr)),
+       gte AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+               FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                     FROM te)),
+       cb AS (SELECT p, w, count(*) AS cb FROM gtr GROUP BY p, w),
+       cu AS (SELECT p, count(*) AS cu FROM gtr GROUP BY p),
+       v AS (SELECT count(DISTINCT tok) AS v
+             FROM (SELECT unnest(toks) AS tok FROM tr)),
+       s AS (SELECT gte.doc_id,
+                    length(bin((coalesce(cu.cu, 0) + v.v)
+                               // (coalesce(cb.cb, 0) + 1))) - 1 AS bits
+             FROM gte LEFT JOIN cb USING (p, w) LEFT JOIN cu USING (p)
+             CROSS JOIN v),
+       r AS (SELECT doc_id, count(*) AS n_bigrams,
+                    sum(bits) AS total_bits
+             FROM s GROUP BY doc_id)
+       SELECT te.doc_id,
+              CAST(coalesce(r.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              CAST(coalesce(r.total_bits, 0) AS BIGINT) AS total_bits,
+              CAST(coalesce(r.total_bits * 100 // r.n_bigrams, 0)
+                   AS BIGINT) AS bits_x100
+       FROM te LEFT JOIN r ON te.doc_id = r.doc_id
+       ORDER BY te.doc_id"""
+
   val oracles: Map[String, String] = Map(
     "q53_split_assign" ->
       s"""SELECT doc_id, CAST(fp % 100 AS INTEGER) AS bucket,
@@ -388,37 +462,12 @@ object CorpusQueries {
     // q81's integer-bits replay with counts from the TRAIN split and
     // scoring over the TEST split; unseen bigrams take the add-one floor
     // through coalesce(…, 0), exactly the engine's left joins
-    "q91_lm_perplexity_indexed" ->
-      s"""WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
-                             $fpFold % 100 AS b
-                      FROM documents WHERE text IS NOT NULL),
-         tr AS (SELECT doc_id, toks FROM s0 WHERE b < 80),
-         te AS (SELECT doc_id, toks FROM s0 WHERE b >= 90),
-         gtr AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
-                 FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-                       FROM tr)),
-         gte AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
-                 FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-                       FROM te)),
-         cb AS (SELECT p, w, count(*) AS cb FROM gtr GROUP BY p, w),
-         cu AS (SELECT p, count(*) AS cu FROM gtr GROUP BY p),
-         v AS (SELECT count(DISTINCT tok) AS v
-               FROM (SELECT unnest(toks) AS tok FROM tr)),
-         s AS (SELECT gte.doc_id,
-                      length(bin((coalesce(cu.cu, 0) + v.v)
-                                 // (coalesce(cb.cb, 0) + 1))) - 1 AS bits
-               FROM gte LEFT JOIN cb USING (p, w) LEFT JOIN cu USING (p)
-               CROSS JOIN v),
-         r AS (SELECT doc_id, count(*) AS n_bigrams,
-                      sum(bits) AS total_bits
-               FROM s GROUP BY doc_id)
-         SELECT te.doc_id,
-                CAST(coalesce(r.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-                CAST(coalesce(r.total_bits, 0) AS BIGINT) AS total_bits,
-                CAST(coalesce(r.total_bits * 100 // r.n_bigrams, 0)
-                     AS BIGINT) AS bits_x100
-         FROM te LEFT JOIN r ON te.doc_id = r.doc_id
-         ORDER BY te.doc_id""",
+    "q91_lm_perplexity_indexed" -> lmIndexedReplay,
+
+    // q116 streams the same train split into the model through
+    // exactly-once count-delta appends + compaction: counts are exact
+    // sums regardless of batching, so the oracle is q91's verbatim
+    "q116_stream_lm_ingest" -> lmIndexedReplay,
 
     // q91's replay with the TRAIN side filtered to the survivors — the
     // subtracted model must be indistinguishable from training on them

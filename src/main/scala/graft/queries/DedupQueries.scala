@@ -113,6 +113,10 @@ object DedupQueries {
             path, batchId))
         .start()
       try q.processAllAvailable() finally q.stop()
+      // compact the per-batch docs/bands files before probing (full
+      // lifecycle: ingest → compact → probe), putting compaction under
+      // this oracle
+      Dedup.compactMinhashManifest(s, path)
       Dedup.incrementalNearDups(
         docs.where(pmod(col("doc_id"), lit(10)) >= 5), path,
         "text", "doc_id", threshold = 0.9)

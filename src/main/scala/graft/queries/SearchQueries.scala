@@ -116,6 +116,10 @@ object SearchQueries {
           Search.appendToTextIndexExactlyOnce(batch, path, batchId))
         .start()
       try q.processAllAvailable() finally q.stop()
+      // compact the per-batch file trail before serving — the full
+      // lifecycle (ingest → compact → serve), so compaction itself sits
+      // under this oracle: serving must still equal fresh compute
+      Search.compactTextIndex(s, path)
       Search.bm25TopKIndexed(s, path, bmTerms, k = 20, k1 = k1, b = b)
     }),
 

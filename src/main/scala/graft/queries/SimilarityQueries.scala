@@ -210,6 +210,9 @@ object SimilarityQueries {
           Similarity.appendToIvfIndexExactlyOnce(batch, path, batchId))
         .start()
       try q.processAllAvailable() finally q.stop()
+      // compact the per-batch list files before serving (full lifecycle:
+      // ingest → compact → serve), putting compaction under this oracle
+      Similarity.compactIvfIndex(s, path)
       Similarity.topKIvfIndexed(s, deq.where(col("vec_id") < 10), path, k = 10)
         .orderBy("query_id", "rank")
     })

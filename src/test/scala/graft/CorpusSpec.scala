@@ -258,6 +258,57 @@ class CorpusSpec extends AnyFunSuite {
     assert(indexed(2) == ((12L, 0L, 0L, 0L))) // one-token doc zero-fills
   }
 
+  test("appendToLm: grown model scores exactly like training on the union") {
+    val half1 = Seq((1L, "a b c a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val half2 = Seq((3L, "c d e"), (4L, "a e b")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b c d e"), (11L, "x y")).toDF("doc_id", "text")
+    val grown = "target/graft-test-lm-append"
+    Corpus.saveLm(half1, "text", "doc_id", grown)
+    Corpus.appendToLm(half2, grown, "text", "doc_id")
+    def score(p: String) = Corpus.lmPerplexityIndexed(batch, p, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toList
+    val fresh = "target/graft-test-lm-append-fresh"
+    Corpus.saveLm(half1.unionAll(half2), "text", "doc_id", fresh)
+    assert(score(grown) == score(fresh))
+    // compaction folds the two delta generations; scoring is unchanged
+    Corpus.compactLm(spark, grown)
+    assert(score(grown) == score(fresh))
+  }
+
+  test("appendToLmExactlyOnce: every replay window is a no-op or a clean redo") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("target").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val path = "target/graft-test-lm-xonce"
+    fs.delete(new Path(path), true)
+    val b0 = Seq((1L, "a b c a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "c d e"), (4L, "a e b")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    // first batch CREATES the model via its publish
+    Corpus.appendToLmExactlyOnce(b0, path, "text", "doc_id", batchId = 0L)
+    Corpus.appendToLmExactlyOnce(b1, path, "text", "doc_id", batchId = 1L)
+    def score() = Corpus.lmPerplexityIndexed(batch, path, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toList
+    val expected = score()
+    val fresh = "target/graft-test-lm-xonce-fresh"
+    Corpus.saveLm(b0.unionAll(b1), "text", "doc_id", fresh)
+    assert(expected == Corpus.lmPerplexityIndexed(batch, fresh, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toList)
+    // a replayed plain append would double b1's counts and change scores;
+    // each replay window below must leave them identical
+    Corpus.appendToLmExactlyOnce(b1, path, "text", "doc_id", batchId = 1L)
+    assert(score() == expected) // window A: marker present → no-op
+    fs.delete(new Path(s"$path/_ledger/batch-1"), false)
+    Corpus.appendToLmExactlyOnce(b1, path, "text", "doc_id", batchId = 1L)
+    assert(score() == expected) // window B: post-publish crash → clean redo
+    fs.delete(new Path(s"$path/_ledger/batch-1"), false)
+    fs.mkdirs(new Path(s"$path/_staging/batch-1/bigrams"))
+    fs.create(new Path(s"$path/_staging/batch-1/bigrams/part-junk"), true).close()
+    Corpus.appendToLmExactlyOnce(b1, path, "text", "doc_id", batchId = 1L)
+    assert(score() == expected) // window C: mid-staging crash → re-stage
+    assert(!fs.exists(new Path(s"$path/_staging/batch-1")))
+  }
+
   test("contaminationOverlap: per-eval-doc fraction of grams seen in train") {
     val train = Seq(
       (1L, "a b c d e"),          // grams: abc bcd cde
@@ -444,13 +495,19 @@ class CorpusSpec extends AnyFunSuite {
       eval_.toDF("doc_id", "text"), p, "text", "doc_id")
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(scores(shrunk) == scores(fresh))
-    // the sole-carrier token is really gone from the vocabulary
-    // (shrunk components are versioned — read through the _current pointer)
-    assert(spark.read.parquet(graft.ops.Stage.resolve(spark, s"$shrunk/meta"))
-      .head().getLong(0) ==
-      spark.read.parquet(s"$fresh/meta").head().getLong(0))
+    // the sole-carrier token is really gone from the vocabulary: its
+    // delta rows sum to zero (invisible to scoring immediately) and
+    // compaction removes them physically
+    def vocabCount(p: String, tok: String) =
+      spark.read.parquet(graft.ops.Stage.resolve(spark, s"$p/vocab"))
+        .where($"tok" === tok).agg(coalesce(sum($"c"), lit(0L)))
+        .head().getLong(0)
+    assert(vocabCount(shrunk, "zonly") == 0)
+    graft.ext.Corpus.compactLm(spark, shrunk)
     assert(spark.read.parquet(graft.ops.Stage.resolve(spark, s"$shrunk/vocab"))
       .where($"tok" === "zonly").count() == 0)
+    // and the compacted model still scores identically to the fresh train
+    assert(scores(shrunk) == scores(fresh))
   }
 
   test("merged per-part histograms reproduce the whole-corpus report card exactly") {

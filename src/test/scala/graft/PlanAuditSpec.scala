@@ -225,10 +225,12 @@ class PlanAuditSpec extends AnyFunSuite {
     scored.collect()
     val plan = scored.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // the model relations come from their parquet files…
+    // the model relations come from their parquet files (bigram deltas +
+    // vocab deltas; prefixes/V fold from them at load)…
     assert(plan.contains("graft-audit-lm/bigrams") &&
-      plan.contains("graft-audit-lm/prefixes"), plan.take(3000))
-    // …and the vocab-size training aggregate is absent from serving
+      plan.contains("graft-audit-lm/vocab"), plan.take(3000))
+    // …and the vocab-size training aggregate (countDistinct over the
+    // train corpus's exploded tokens) is absent from serving
     assert(!plan.contains("distinct"), plan.take(3000))
   }
 
