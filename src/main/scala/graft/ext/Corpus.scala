@@ -538,6 +538,9 @@ object Corpus {
     */
   def saveLm(train: DataFrame, textCol: String, idCol: String,
              path: String): Unit = {
+    // a rebuild starts a fresh streaming lineage: stale exactly-once
+    // markers would silently no-op the new stream's first batches
+    graft.ops.Stage.clearLedger(train.sparkSession, path)
     bigramStream(train, textCol, idCol)
       .groupBy("p", "w").agg(count(lit(1)).as("cb"))
       .write.mode("overwrite").parquet(s"$path/bigrams")

@@ -538,6 +538,13 @@ object Dedup {
                           path: String, k: Int = 32, bands: Int = 8): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    // a rebuild starts a fresh streaming lineage: stale exactly-once
+    // markers would silently no-op the new stream's first batches; a
+    // stale tombstone table would mask re-ingested content
+    graft.ops.Stage.clearLedger(spark, path)
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(tomb, true)
     writeManifestTables(df, textCol, idCol, path, k, bands, "overwrite")
     Seq((k, bands)).toDF("k", "bands")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")

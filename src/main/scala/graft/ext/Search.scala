@@ -116,6 +116,9 @@ object Search {
     */
   def saveTextIndex(docs: DataFrame, path: String,
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    // a rebuild starts a fresh streaming lineage: stale exactly-once
+    // markers would silently no-op the new stream's first batches
+    graft.ops.Stage.clearLedger(docs.sparkSession, path)
     val toks = docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
     toks.groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))

@@ -437,6 +437,9 @@ object Similarity {
                    centroidsIn: Array[Array[Double]] = null): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a rebuild starts a fresh streaming lineage: stale exactly-once
+    // markers would silently no-op the new stream's first batches
+    graft.ops.Stage.clearLedger(spark, path)
     val cents = if (centroidsIn == null)
       trainCentroids(corpus, nCentroids, dim, iters, idCol, vecCol)
     else centroidsIn

@@ -156,6 +156,20 @@ object Stage {
     fs.delete(new Path(staging), true)
   }
 
+  /** Reset an index root's exactly-once machinery — called by the `save*`
+    * builders: a REBUILT index starts a fresh checkpoint lineage whose
+    * batch ids restart at 0, and `_ledger` markers surviving from the
+    * previous lineage would make [[appendExactlyOnce]] silently no-op the
+    * new stream's first batches (batch ids are only meaningful relative
+    * to ONE lineage — this enforces it at the rebuild boundary).
+    */
+  def clearLedger(spark: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    val fs = fsFor(spark, root)
+    fs.delete(new Path(root, "_ledger"), true)
+    fs.delete(new Path(root, "_staging"), true)
+  }
+
   /** How many partitions a compaction rewrite of `dir` should produce:
     * its live data bytes divided by `spark.sql.files.maxPartitionBytes`
     * (the same knob that sizes scan partitions), floored at 1. Sized from

@@ -143,6 +143,42 @@ object ScaleProbe {
       }
     }
 
+    // ---- LM maintenance cost (q91/q107/q116): with additive delta
+    // counts, append and delete are BATCH-sized (one delta write) while
+    // the fold defers to compaction — the same shape as the manifest's
+    // tombstones. Build over the k×-namespaced corpus, then time one
+    // delete, a scoring pass over the pending deltas, and the fold.
+    if (sel("lmdelete")) {
+      val k = n
+      val corpus = (0 until k).map(i => base.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1c$i")).as("text")))
+        .reduce(_ union _).localCheckpoint()
+      val path = s"target/graft-scaleprobe-lm-$k"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      time(s"${k}x lm-build") {
+        graft.ext.Corpus.saveLm(corpus, "text", "doc_id", path)
+      }
+      val victim = corpus.where(pmod(col("doc_id"), lit(1000)) === 7)
+        .localCheckpoint()
+      time(s"${k}x lm-delete(delta-append)") {
+        graft.ext.Corpus.deleteFromLm(victim, path, "text", "doc_id")
+      }
+      time(s"${k}x lm-score-with-pending-deltas") {
+        graft.ext.Corpus.lmPerplexityIndexed(base, path, "text", "doc_id")
+          .count()
+      }
+      time(s"${k}x lm-delta-fold(compaction)") {
+        graft.ext.Corpus.compactLm(spark, path)
+      }
+      time(s"${k}x lm-score-compacted") {
+        graft.ext.Corpus.lmPerplexityIndexed(base, path, "text", "doc_id")
+          .count()
+      }
+    }
+
     // ---- budget selection (q85): the selector windows the SCORE
     // HISTOGRAM, so its cost contract depends on the score's resolution.
     // A CONTINUOUS score (xxhash-derived double here — every doc its own

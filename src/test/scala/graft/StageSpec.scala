@@ -102,5 +102,21 @@ class StageSpec extends AnyFunSuite {
     assert(after.map(_.head) == Seq(3L, 2L).map(x => x: Any))
   }
 
+  test("a rebuilt index starts a fresh exactly-once lineage") {
+    val idx = "target/graft-test-stage-relineage"
+    fs(idx).delete(new Path(idx), true)
+    // lineage 1: stream a batch in under batchId 0
+    Search.appendToTextIndexExactlyOnce(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), idx, batchId = 0L)
+    // REBUILD the index — a new stream (new checkpoint) will reuse id 0;
+    // the stale lineage-1 marker must not make its first batch a no-op
+    Search.saveTextIndex(Seq((2L, "gamma delta")).toDF("doc_id", "text"), idx)
+    Search.appendToTextIndexExactlyOnce(
+      Seq((3L, "epsilon zeta")).toDF("doc_id", "text"), idx, batchId = 0L)
+    val served = Search.conjunctiveSearch(spark, idx, Seq("epsilon"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(served == Seq(3L), s"lineage-2 batch 0 was dropped: $served")
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
