@@ -321,6 +321,25 @@ object ScaleProbe {
         graft.ext.Search.bm25TopKIndexed(spark, idx,
           Seq("spark", "join", "window", "stream"), 20).count()
       }
+      // fragmentation: 30 more micro-batch appends leave 30 file
+      // generations per component; compare serve cost fragmented vs
+      // compacted — the listing + tiny-row-group tax compaction removes
+      for (b <- 1 to 30) {
+        val slice = batch.where(pmod(col("doc_id"), lit(30)) === b % 30)
+        graft.ext.Search.appendToTextIndexExactlyOnce(
+          slice, idx, batchId = b.toLong)
+      }
+      time(s"${k}x textindex-serve-fragmented(31-gen)") {
+        graft.ext.Search.bm25TopKIndexed(spark, idx,
+          Seq("spark", "join", "window", "stream"), 20).count()
+      }
+      time(s"${k}x textindex-compact") {
+        graft.ext.Search.compactTextIndex(spark, idx)
+      }
+      time(s"${k}x textindex-serve-compacted") {
+        graft.ext.Search.bm25TopKIndexed(spark, idx,
+          Seq("spark", "join", "window", "stream"), 20).count()
+      }
     }
 
     // ---- salted join (q99): 90% of 4M probe rows pile on one key (the

@@ -215,6 +215,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("graft-audit-manifest/bands"), plan.take(3000))
   }
 
+  test("pending tombstones enter the probe as a broadcast anti-join") {
+    // the tombstone contract: consulting pending deletes at probe time
+    // must cost a BROADCAST of the (small) key set against the docs
+    // relation — if the anti-join shuffled the manifest, every delete
+    // would tax every later probe with an index-sized exchange
+    import spark.implicits._
+    val path = "target/graft-audit-tombstone"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    graft.ext.Dedup.saveMinhashManifest(
+      Seq((1L, "a b c d e f g h"), (2L, "p q r s t u v w"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", path, k = 32, bands = 16)
+    graft.ext.Dedup.tombstoneContentInMinhashManifest(
+      Seq((1L, "a b c d e f g h")).toDF("doc_id", "text"), "text", path)
+    // probe BOTH a tombstoned and a live match — an all-forgotten probe
+    // would let AQE empty-relation propagation collapse the whole join
+    // subtree out of the final plan, leaving nothing to audit
+    val probe = graft.ext.Dedup.incrementalNearDups(
+      Seq((10L, "a b c d e f g h"), (11L, "p q r s t u v w"))
+        .toDF("doc_id", "text"),
+      path, "text", "doc_id", 0.9)
+    val got = probe.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(10L -> false, 11L -> true), got.toString)
+    val plan = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the tombstone relation is consumed from its parquet files…
+    assert(plan.contains("graft-audit-tombstone/tombstones"), plan.take(3000))
+    // …through a broadcast LeftAnti, never a shuffled join
+    val anti = plan.linesIterator.filter(_.contains("LeftAnti")).toList
+    assert(anti.nonEmpty && anti.forall(_.contains("BroadcastHashJoin")),
+      s"tombstone anti-join not broadcast:\n${anti.mkString("\n")}\n${plan.take(3000)}")
+  }
+
   test("q91 indexed LM scoring loads counts; it never retrains") {
     import spark.implicits._
     val path = "target/graft-audit-lm"
