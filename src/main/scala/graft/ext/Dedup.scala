@@ -542,9 +542,7 @@ object Dedup {
     // markers would silently no-op the new stream's first batches; a
     // stale tombstone table would mask re-ingested content
     graft.ops.Stage.clearLedger(spark, path)
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(tomb, true)
+    graft.ops.Stage.clearTombstones(spark, path)
     writeManifestTables(df, textCol, idCol, path, k, bands, "overwrite")
     Seq((k, bands)).toDF("k", "bands")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -669,30 +667,17 @@ object Dedup {
     * content requires compacting first, then appending it.
     */
   def tombstoneContentInMinhashManifest(deleted: DataFrame, textCol: String,
-                                        path: String): Unit = {
-    val spark = deleted.sparkSession
-    deleted.where(col(textCol).isNotNull)
-      .select(xxhash64(tokenHashes(col(textCol))).as("seth")).distinct()
-      .write.mode("append")
-      .parquet(graft.ops.Stage.resolve(spark, s"$path/tombstones"))
-  }
-
-  /** The pending tombstone keys, or None when the manifest has never been
-    * tombstoned (no `tombstones/` directory). */
-  private def pendingTombstones(spark: org.apache.spark.sql.SparkSession,
-                                path: String): Option[DataFrame] = {
-    val t = graft.ops.Stage.resolve(spark, s"$path/tombstones")
-    val p = new org.apache.hadoop.fs.Path(t)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(t).distinct()) else None
-  }
+                                        path: String): Unit =
+    graft.ops.Stage.appendTombstones(
+      deleted.where(col(textCol).isNotNull)
+        .select(xxhash64(tokenHashes(col(textCol))).as("seth")), path)
 
   /** `docs` minus rows whose token-set key is tombstoned (identity when
     * no tombstones exist). The anti-join's right side is the (small)
-    * pending-delete set — Spark broadcasts it. */
+    * pending-delete set — Spark broadcasts it (PlanAuditSpec pins it). */
   private def minusTombstoned(docs: DataFrame, spark: org.apache.spark.sql.SparkSession,
                               path: String): DataFrame =
-    pendingTombstones(spark, path) match {
+    graft.ops.Stage.pendingTombstones(spark, path) match {
       case Some(tomb) => docs.withColumn("seth", xxhash64(col("toks")))
         .join(tomb, Seq("seth"), "left_anti").drop("seth")
       case None => docs
@@ -722,7 +707,7 @@ object Dedup {
   def compactMinhashManifest(spark: org.apache.spark.sql.SparkSession,
                              path: String): Unit = {
     import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
-    val removed = pendingTombstones(spark, path) match {
+    val removed = graft.ops.Stage.pendingTombstones(spark, path) match {
       case Some(tomb) => spark.read.parquet(resolve(spark, s"$path/docs"))
         .withColumn("seth", xxhash64(col("toks")))
         .join(tomb, Seq("seth")).select("doc")
@@ -737,9 +722,8 @@ object Dedup {
     publishRewrite(spark, s"$path/docs",
       minusTombstoned(spark.read.parquet(resolve(spark, s"$path/docs")),
         spark, path).repartition(nDocs))
-    if (pendingTombstones(spark, path).isDefined)
-      publishRewrite(spark, s"$path/tombstones",
-        spark.range(0).select(col("id").as("seth")))
+    graft.ops.Stage.resetTombstones(spark, path,
+      spark.range(0).select(col("id").as("seth")))
   }
 
   /** Incremental NEAR-dup detection of an ingest batch against a persisted

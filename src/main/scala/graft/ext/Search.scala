@@ -117,8 +117,10 @@ object Search {
   def saveTextIndex(docs: DataFrame, path: String,
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
     // a rebuild starts a fresh streaming lineage: stale exactly-once
-    // markers would silently no-op the new stream's first batches
+    // markers would silently no-op the new stream's first batches, and a
+    // stale tombstone table would mask the new corpus's documents
     graft.ops.Stage.clearLedger(docs.sparkSession, path)
+    graft.ops.Stage.clearTombstones(docs.sparkSession, path)
     val toks = docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
     toks.groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
@@ -166,13 +168,29 @@ object Search {
       coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L))
         .as("total_tokens"))
 
-  /** The index's corpus stats as ONE row: sum of the additive stats rows
-    * (identity on a fresh single-row build). */
+  /** The index's corpus stats as ONE row. No tombstones pending: the sum
+    * of the additive stats rows (identity on a fresh single-row build) —
+    * never a doclens pass. Tombstones pending: aggregated from the
+    * TOMBSTONE-FILTERED doclens relation instead — the same relation the
+    * scorer's dl join uses, so stats and doc lengths are derived from ONE
+    * consistent source in every compaction crash window (a stats-table
+    * subtraction would double- or under-count when a crash lands between
+    * the doclens fold and the stats recompute). One extra aggregate over
+    * a relation serving already scans, and only while deletes are
+    * pending.
+    */
   private def readStats(spark: org.apache.spark.sql.SparkSession,
-                        path: String): DataFrame =
-    spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/stats"))
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("total_tokens")).as("total_tokens"))
+                        path: String, idCol: String): DataFrame =
+    if (graft.ops.Stage.pendingTombstones(spark, path).isDefined)
+      minusTombstoned(
+        spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/doclens")),
+        spark, path, idCol)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
+    else
+      spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/stats"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_tokens")).as("total_tokens"))
 
   /** [[appendToTextIndex]] with EXACTLY-ONCE semantics for streaming
     * ingest, via the shared ledger protocol
@@ -253,35 +271,76 @@ object Search {
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, idCol: String = "doc_id"): Unit = {
     import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
+    // pending tombstones FOLD here: postings/doclens drop the tombstoned
+    // documents, stats recompute from the surviving doclens (the
+    // immediate-delete recipe), then the tombstone table resets
     val nPost = compactionPartitions(spark, s"$path/postings")
     publishRewrite(spark, s"$path/postings") { versionDir =>
-      spark.read.parquet(resolve(spark, s"$path/postings"))
+      minusTombstoned(spark.read.parquet(resolve(spark, s"$path/postings")),
+        spark, path, idCol)
         .repartition(nPost, col("token")).sortWithinPartitions("token", idCol)
         .write.mode("overwrite").parquet(versionDir)
     }
     val nLens = compactionPartitions(spark, s"$path/doclens")
     publishRewrite(spark, s"$path/doclens",
-      spark.read.parquet(resolve(spark, s"$path/doclens")).repartition(nLens))
+      minusTombstoned(spark.read.parquet(resolve(spark, s"$path/doclens")),
+        spark, path, idCol).repartition(nLens))
     publishRewrite(spark, s"$path/stats",
-      spark.read.parquet(resolve(spark, s"$path/stats"))
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("total_tokens")).as("total_tokens"))
+      spark.read.parquet(resolve(spark, s"$path/doclens")) // post-fold lens
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
         .repartition(1))
+    graft.ops.Stage.resetTombstones(spark, path,
+      spark.range(0).select(col("id").as(idCol)))
   }
+
+  /** TOMBSTONE documents in a [[saveTextIndex]] index — the batched
+    * alternative to [[deleteFromTextIndex]], whose anti-join rewrite pays
+    * index-sized work per call (the manifest's pre-tombstone problem,
+    * here). The delete appends its id set to `tombstones/` (batch-sized);
+    * serving consults the pending ids — postings and doclens anti-join
+    * them (broadcast — the filtered posting lists are already
+    * query-term-sized), and corpus stats subtract the tombstoned
+    * documents' doclens contribution ([[readStats]]), so BM25 idf/avgdl
+    * reflect the deletion immediately and exactly. [[compactTextIndex]]
+    * folds the tombstones into a physical delete on the compaction
+    * schedule. Serve-equivalent to the immediate delete at every point
+    * (SearchSpec pins it; q117 pins it against q105's oracle).
+    */
+  def tombstoneFromTextIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String, ids: DataFrame,
+                             idCol: String = "doc_id"): Unit =
+    graft.ops.Stage.appendTombstones(ids.select(col(idCol)), path)
+
+  /** `rel` minus tombstoned documents (identity when the index has never
+    * been tombstoned). Broadcast anti-join — the pending set is small by
+    * the drip-feed contract. */
+  private def minusTombstoned(rel: DataFrame,
+                              spark: org.apache.spark.sql.SparkSession,
+                              path: String, idCol: String): DataFrame =
+    graft.ops.Stage.pendingTombstones(spark, path) match {
+      case Some(tomb) =>
+        rel.join(tomb.withColumnRenamed(tomb.columns.head, idCol),
+          Seq(idCol), "left_anti")
+      case None => rel
+    }
 
   /** BM25 served from a [[saveTextIndex]] index — bit-identical to
     * [[bm25TopK]] over the same corpus (shared scoring tail), but the
     * per-query cost is the query terms' posting lists plus the doc-length
-    * relation, never a corpus tokenization.
+    * relation, never a corpus tokenization. Pending tombstones are
+    * excluded from postings, doclens, and the corpus stats.
     */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                       terms: Seq[String], k: Int, idCol: String = "doc_id",
                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/postings"))
-      .where(col("token").isInCollection(terms))
-    scoreBm25(tf,
+    val tf = minusTombstoned(
+      spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/postings"))
+        .where(col("token").isInCollection(terms)), spark, path, idCol)
+    val dl = minusTombstoned(
       spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/doclens")),
-      readStats(spark, path), terms, k, idCol, k1, b)
+      spark, path, idCol)
+    scoreBm25(tf, dl, readStats(spark, path, idCol), terms, k, idCol, k1, b)
   }
 
   /** Conjunctive (AND-semantics) search from the same index: documents
@@ -293,8 +352,9 @@ object Search {
                         terms: Seq[String], idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty && terms.size == terms.distinct.size,
       "conjunctiveSearch needs a non-empty, duplicate-free term set")
-    spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/postings"))
-      .where(col("token").isInCollection(terms))
+    minusTombstoned(
+      spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/postings"))
+        .where(col("token").isInCollection(terms)), spark, path, idCol)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_occurrences"))
       .where(col("n_terms") === terms.size)

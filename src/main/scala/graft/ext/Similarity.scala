@@ -438,8 +438,10 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     // a rebuild starts a fresh streaming lineage: stale exactly-once
-    // markers would silently no-op the new stream's first batches
+    // markers would silently no-op the new stream's first batches, and a
+    // stale tombstone table would mask the new corpus's vectors
     graft.ops.Stage.clearLedger(spark, path)
+    graft.ops.Stage.clearTombstones(spark, path)
     val cents = if (centroidsIn == null)
       trainCentroids(corpus, nCentroids, dim, iters, idCol, vecCol)
     else centroidsIn
@@ -552,6 +554,33 @@ object Similarity {
     }
   }
 
+  /** TOMBSTONE vectors in a [[saveIvfIndex]] index — the batched
+    * alternative to [[deleteFromIvfIndex]]'s per-call lists rewrite
+    * (index-sized work per delete under a drip-feed). Appends the id set
+    * (batch-sized); [[topKIvfIndexed]] anti-joins the pending ids
+    * (broadcast) so deleted vectors stop appearing in served top-k
+    * immediately, and [[compactIvfIndex]] folds the tombstones into a
+    * physical delete then resets. Serve-equivalent to the immediate
+    * delete at every point (q118 pins it against q106's oracle).
+    */
+  def tombstoneFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, ids: DataFrame,
+                            idCol: String = "vec_id"): Unit =
+    graft.ops.Stage.appendTombstones(
+      ids.select(col(idCol).as("vec_id")), path)
+
+  /** `lists` minus tombstoned vectors (identity when the index has never
+    * been tombstoned). Broadcast anti-join on vec_id. */
+  private def minusTombstoned(lists: DataFrame,
+                              spark: org.apache.spark.sql.SparkSession,
+                              path: String): DataFrame =
+    graft.ops.Stage.pendingTombstones(spark, path) match {
+      case Some(tomb) => lists.join(
+        tomb.withColumnRenamed(tomb.columns.head, "vec_id"),
+        Seq("vec_id"), "left_anti")
+      case None => lists
+    }
+
   /** Compact a [[saveIvfIndex]] index's inverted lists after a run of
     * per-batch appends: each micro-batch leaves its own `b<batchId>-*`
     * (or plain part) files inside every `centroid=N/` partition it
@@ -572,11 +601,15 @@ object Similarity {
                       path: String): Unit = {
     import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
     val n = compactionPartitions(spark, s"$path/lists")
+    // pending tombstones FOLD here (physical delete), then reset
     publishRewrite(spark, s"$path/lists") { versionDir =>
-      spark.read.parquet(resolve(spark, s"$path/lists"))
+      minusTombstoned(spark.read.parquet(resolve(spark, s"$path/lists")),
+        spark, path)
         .repartition(n, col("centroid"))
         .write.mode("overwrite").partitionBy("centroid").parquet(versionDir)
     }
+    graft.ops.Stage.resetTombstones(spark, path,
+      spark.range(0).select(col("id").as("vec_id")))
   }
 
   /** Serve top-k from a [[saveIvfIndex]] index: identical ranking contract
@@ -592,7 +625,9 @@ object Similarity {
     val (scale, cents) = loadIvfMeta(spark, path)
     val cvec = if (scale > 0) dequantize(col("code"), scale)
       else col("code")
-    val c = spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/lists"))
+    val c = minusTombstoned(
+        spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/lists")),
+        spark, path)
       .select(col("vec_id").as("neighbor_id"), cvec.as("c_vec"), col("centroid"))
       .withColumn("c_norm", norm(col("c_vec")))
     val q = queries.select(col(idCol).as("query_id"),

@@ -156,6 +156,44 @@ object Stage {
     fs.delete(new Path(staging), true)
   }
 
+  /** Append delete keys to an index root's `tombstones/` table — the
+    * batched-delete pattern every index family shares: a delete appends
+    * its key set (batch-sized), serving consults the pending keys with a
+    * broadcast anti-join, and the family's compaction folds them into a
+    * physical delete then resets. The append rides Spark's commit
+    * protocol (uncommitted task files stay under `_temporary`), so a
+    * crashed delete leaves no torn key set.
+    */
+  def appendTombstones(keys: DataFrame, path: String): Unit =
+    keys.distinct().write.mode("append")
+      .parquet(resolve(keys.sparkSession, s"$path/tombstones"))
+
+  /** The pending tombstone keys of an index root, or None when the index
+    * has never been tombstoned (no `tombstones/` directory). */
+  def pendingTombstones(spark: SparkSession,
+                        path: String): Option[DataFrame] = {
+    val t = resolve(spark, s"$path/tombstones")
+    val p = new Path(t)
+    if (fsFor(spark, p).exists(p)) Some(spark.read.parquet(t).distinct())
+    else None
+  }
+
+  /** Reset the tombstone table after a compaction folded it (an
+    * `emptyLike` relation keeps the key schema). No-op when the index has
+    * never been tombstoned. */
+  def resetTombstones(spark: SparkSession, path: String,
+                      emptyKeys: DataFrame): Unit =
+    if (pendingTombstones(spark, path).isDefined)
+      publishRewrite(spark, s"$path/tombstones", emptyKeys)
+
+  /** Drop an index root's tombstone table entirely — the rebuild
+    * boundary: a fresh build must not inherit the old corpus's pending
+    * deletes. */
+  def clearTombstones(spark: SparkSession, path: String): Unit = {
+    val p = new Path(s"$path/tombstones")
+    fsFor(spark, p).delete(p, true)
+  }
+
   /** Reset an index root's exactly-once machinery — called by the `save*`
     * builders: a REBUILT index starts a fresh checkpoint lineage whose
     * batch ids restart at 0, and `_ledger` markers surviving from the

@@ -152,6 +152,27 @@ object SearchQueries {
       Search.bm25TopKIndexed(s, path, bmTerms, k = 20, k1 = k1, b = b)
     }),
 
+    "q117_bm25_index_tombstone" -> ((s, d) => {
+      // the DRIP-FEED right-to-be-forgotten path: instead of q105's
+      // per-call index rewrite, two delete batches append their id sets
+      // to the tombstone table (batch-sized each) and serving masks them
+      // immediately — postings/doclens anti-join the pending ids and the
+      // corpus stats derive from the filtered doclens, so BM25 idf/avgdl
+      // shift exactly as if the index had been rewritten. Served results
+      // must equal fresh compute over the survivors BEFORE any
+      // compaction folds the tombstones — q105's oracle verbatim.
+      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val path = s"target/graft-text-index-tomb-$sf"
+      val docs = t(s, d, "documents")
+      Search.saveTextIndex(docs, path)
+      val dead = docs.where(pmod(col("doc_id"), lit(10)) === 3)
+      Search.tombstoneFromTextIndex(s, path,
+        dead.where(pmod(col("doc_id"), lit(2)) === 0).select("doc_id"))
+      Search.tombstoneFromTextIndex(s, path,
+        dead.where(pmod(col("doc_id"), lit(2)) === 1).select("doc_id"))
+      Search.bm25TopKIndexed(s, path, bmTerms, k = 20, k1 = k1, b = b)
+    }),
+
     "q100_partitioned_scan" -> ((s, d) => {
       // layout-as-index: the corpus is laid out PARTITIONED BY a
       // low-cardinality routing column (lang), so a single-language query
@@ -255,6 +276,11 @@ object SearchQueries {
 
     // after deletion, serving must equal fresh compute over the survivors
     "q105_bm25_index_delete" ->
+      bm25SqlOver("SELECT * FROM documents WHERE doc_id % 10 <> 3"),
+
+    // q117 tombstones the same tenth instead of rewriting; serving with
+    // the tombstones PENDING must equal the physically-deleted index
+    "q117_bm25_index_tombstone" ->
       bm25SqlOver("SELECT * FROM documents WHERE doc_id % 10 <> 3"),
 
     // AND-semantics over the same posting lists (DuckDB sum(BIGINT) is

@@ -166,6 +166,31 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q118_ann_index_tombstone" -> ((s, d) => {
+      // the DRIP-FEED right-to-be-forgotten path on the ANN index:
+      // instead of q106's per-call lists rewrite, two delete batches
+      // append their id sets to the tombstone table (batch-sized each);
+      // serving anti-joins the pending ids (broadcast) so deleted
+      // vectors vanish from top-k immediately. Must equal the physically
+      // deleted index BEFORE any compaction folds — q106's oracle
+      // verbatim.
+      val emb = t(s, d, "embeddings")
+      val deq = emb.select(col("vec_id"),
+        Similarity.dequantize(
+          Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+      val path = s"target/graft-ivf-tomb-${new java.io.File(d).getName}"
+      Similarity.saveIvfIndex(emb, path, nCentroids = 16, dim = 64,
+        quantScale = 200.0,
+        centroidsIn = Similarity.sampleCentroids(deq, 16))
+      val dead = emb.where(pmod(col("vec_id"), lit(10)) === 7)
+      Similarity.tombstoneFromIvfIndex(s, path,
+        dead.where(pmod(col("vec_id"), lit(2)) === 0).select("vec_id"))
+      Similarity.tombstoneFromIvfIndex(s, path,
+        dead.where(pmod(col("vec_id"), lit(2)) === 1).select("vec_id"))
+      Similarity.topKIvfIndexed(s, deq.where(col("vec_id") < 10), path, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q94_semdedup" -> ((s, d) => {
       // SemDeDup: coarse k-means cells bound the near-dup quadratic; the
       // oracle replays assignment from the same 16 smallest-id sample
@@ -575,51 +600,60 @@ object SimilarityQueries {
     // q82's replay with the ASSIGNED corpus filtered to the survivors —
     // centroids/probing/scoring unchanged (frozen centroid geometry);
     // deletion touches only which vectors sit in the inverted lists
-    "q106_ann_index_delete" ->
-      s"""WITH dq AS (
-            SELECT vec_id, list_transform(embedding,
-              x -> greatest(least(floor(CAST(x AS DOUBLE) * 200 + 0.5),
-                                  127), -128) / 200.0) AS embedding
-            FROM embeddings),
-          e AS (SELECT vec_id, embedding,
-                       sqrt(${duckDot("embedding", "embedding")}) AS nrm
-                FROM dq),
-          smp AS (
-            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS rn,
-                   embedding
-            FROM (SELECT vec_id, embedding FROM dq ORDER BY vec_id LIMIT 16)),
-          cent AS (SELECT rn AS c, embedding AS cv FROM smp),
-          cd AS (
-            SELECT e.vec_id, cent.c,
-                   ${duckDot("e.embedding", "cent.cv")} AS d
-            FROM e CROSS JOIN cent),
-          assigned AS (
-            SELECT vec_id, c AS centroid FROM (
-              SELECT vec_id, c,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY d DESC, c DESC) AS r
-              FROM cd WHERE vec_id % 10 <> 7) WHERE r = 1),
-          probes AS (
-            SELECT vec_id, c AS centroid FROM (
-              SELECT vec_id, c,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY d DESC, c DESC) AS r
-              FROM cd WHERE vec_id < 10) WHERE r <= 4),
-          scored AS (
-            SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-                   ${duckDot("qe.embedding", "ce.embedding")}
-                     / (qe.nrm * ce.nrm) AS cos_sim
-            FROM probes p JOIN assigned a ON p.centroid = a.centroid
-            JOIN e qe ON qe.vec_id = p.vec_id
-            JOIN e ce ON ce.vec_id = a.vec_id
-            WHERE p.vec_id <> a.vec_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, cos_sim,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
-            FROM scored)
-          SELECT query_id, neighbor_id, cos_sim, rank
-          FROM ranked WHERE rank <= 10
-          ORDER BY query_id, rank"""
+    "q106_ann_index_delete" -> ivfDeleteReplay,
+
+    // q118 tombstones the same tenth instead of rewriting; serving with
+    // the tombstones PENDING must equal the physically-deleted index
+    "q118_ann_index_tombstone" -> ivfDeleteReplay
   )
+
+  /** q82's replay with the assigned corpus filtered to the survivors —
+    * shared by the immediate delete (q106) and the tombstoned delete
+    * (q118), which must serve identically at every point. */
+  private lazy val ivfDeleteReplay =
+    s"""WITH dq AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> greatest(least(floor(CAST(x AS DOUBLE) * 200 + 0.5),
+                                127), -128) / 200.0) AS embedding
+          FROM embeddings),
+        e AS (SELECT vec_id, embedding,
+                     sqrt(${duckDot("embedding", "embedding")}) AS nrm
+              FROM dq),
+        smp AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS rn,
+                 embedding
+          FROM (SELECT vec_id, embedding FROM dq ORDER BY vec_id LIMIT 16)),
+        cent AS (SELECT rn AS c, embedding AS cv FROM smp),
+        cd AS (
+          SELECT e.vec_id, cent.c,
+                 ${duckDot("e.embedding", "cent.cv")} AS d
+          FROM e CROSS JOIN cent),
+        assigned AS (
+          SELECT vec_id, c AS centroid FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, c DESC) AS r
+            FROM cd WHERE vec_id % 10 <> 7) WHERE r = 1),
+        probes AS (
+          SELECT vec_id, c AS centroid FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, c DESC) AS r
+            FROM cd WHERE vec_id < 10) WHERE r <= 4),
+        scored AS (
+          SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                 ${duckDot("qe.embedding", "ce.embedding")}
+                   / (qe.nrm * ce.nrm) AS cos_sim
+          FROM probes p JOIN assigned a ON p.centroid = a.centroid
+          JOIN e qe ON qe.vec_id = p.vec_id
+          JOIN e ce ON ce.vec_id = a.vec_id
+          WHERE p.vec_id <> a.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos_sim, rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank"""
 }

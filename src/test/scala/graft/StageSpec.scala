@@ -102,6 +102,67 @@ class StageSpec extends AnyFunSuite {
     assert(after.map(_.head) == Seq(3L, 2L).map(x => x: Any))
   }
 
+  test("text-index tombstones: pending == physically deleted; compaction folds") {
+    val docs = Seq(
+      (1L, "spark join spark"),
+      (2L, "stream window table"),
+      (3L, "spark stream spark"),
+      (4L, "window join table")).toDF("doc_id", "text")
+    val terms = Seq("spark", "stream", "window")
+    val tomb = "target/graft-test-text-tomb"
+    val cut = "target/graft-test-text-cut"
+    Seq(tomb, cut).foreach(p => fs(p).delete(new Path(p), true))
+    Search.saveTextIndex(docs, tomb)
+    Search.saveTextIndex(docs, cut)
+    // drip-feed: two tombstone batches vs one immediate delete
+    Search.tombstoneFromTextIndex(spark, tomb, Seq(1L).toDF("doc_id"))
+    Search.tombstoneFromTextIndex(spark, tomb, Seq(4L).toDF("doc_id"))
+    Search.deleteFromTextIndex(spark, cut, Seq(1L, 4L).toDF("doc_id"))
+    def serve(p: String) = (
+      Search.bm25TopKIndexed(spark, p, terms, 10).collect().map(_.toSeq).toSeq,
+      Search.conjunctiveSearch(spark, p, Seq("spark", "stream"))
+        .collect().map(_.toSeq).toSeq)
+    // identical BM25 scores require identical idf/avgdl — the stats must
+    // reflect the pending deletes, not just the filtered postings
+    assert(serve(tomb) == serve(cut))
+    // compaction folds: tombstone table resets, doclens shrinks, serving
+    // unchanged; the stats fast path takes over (one additive row)
+    Search.compactTextIndex(spark, tomb)
+    assert(spark.read.parquet(Stage.resolve(spark, s"$tomb/tombstones"))
+      .count() == 0)
+    assert(spark.read.parquet(Stage.resolve(spark, s"$tomb/doclens"))
+      .count() == 2)
+    assert(serve(tomb) == serve(cut))
+  }
+
+  test("IVF tombstones: pending == physically deleted; compaction folds") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+      graft.ext.Similarity.dequantize(
+        graft.ext.Similarity.quantize(col("embedding"), 200.0), 200.0)
+        .as("embedding"))
+    val cents = graft.ext.Similarity.sampleCentroids(deq, 8)
+    val tomb = "target/graft-test-ivf-tomb"
+    val cut = "target/graft-test-ivf-cut"
+    Seq(tomb, cut).foreach(p => fs(p).delete(new Path(p), true))
+    for (p <- Seq(tomb, cut))
+      graft.ext.Similarity.saveIvfIndex(emb, p, nCentroids = 8, dim = 64,
+        quantScale = 200.0, centroidsIn = cents)
+    val dead = emb.where(col("vec_id") % 3 === 1).select("vec_id")
+    graft.ext.Similarity.tombstoneFromIvfIndex(spark, tomb, dead)
+    graft.ext.Similarity.deleteFromIvfIndex(spark, cut, dead)
+    val qset = deq.where(col("vec_id") < 5)
+    def serve(p: String) =
+      graft.ext.Similarity.topKIvfIndexed(spark, qset, p, k = 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .collect().map(_.toSeq).toSet
+    assert(serve(tomb) == serve(cut))
+    graft.ext.Similarity.compactIvfIndex(spark, tomb)
+    assert(spark.read.parquet(Stage.resolve(spark, s"$tomb/tombstones"))
+      .count() == 0)
+    assert(serve(tomb) == serve(cut))
+  }
+
   test("a rebuilt index starts a fresh exactly-once lineage") {
     val idx = "target/graft-test-stage-relineage"
     fs(idx).delete(new Path(idx), true)
