@@ -21,8 +21,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * directory, then flips `_current` with a single overwrite-rename
   * (`FileContext.rename(..., Options.Rename.OVERWRITE)` — atomic on POSIX
   * filesystems and HDFS; on raw object stores an HDFS-compatible metadata
-  * layer is assumed, the standard caveat), then garbage-collects every
-  * stale version. Each crash window is now safe:
+  * layer is assumed, the standard caveat), then garbage-collects stale
+  * versions — except the previously-live one, which the pointer's second
+  * line names and which survives one publish cycle so an in-flight scan
+  * that resolved just before the flip still finds its files. Each crash
+  * window is now safe:
   *
   *  - crash while writing the new version → `_current` untouched, the old
   *    version serves; the orphan directory is GC'd by the next publish;
@@ -48,23 +51,34 @@ object Stage {
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The pointer file's lines: the live version first, then (after a
+    * second publish) the previously-live version — which [[gcStale]]
+    * keeps for one publish cycle so in-flight scans that resolved just
+    * before a flip still find their files. Orphan versions of crashed
+    * publishes are named by neither line and are swept immediately.
+    */
+  private def pointerLines(fs: FileSystem, rootPath: Path): Seq[String] = {
+    val pointer = new Path(rootPath, "_current")
+    if (!fs.exists(pointer)) Nil
+    else {
+      val in = fs.open(pointer)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      require(lines.nonEmpty && lines.forall(VersionRe.matches),
+        s"$pointer names ${lines.mkString(",")}, not version directories")
+      lines
+    }
+  }
+
   /** The live data directory for `root`: `root/<version>` when a
     * `_current` pointer exists, `root` itself (plain layout) otherwise.
     */
   def resolve(spark: SparkSession, root: String): String = {
     val rootPath = new Path(root)
-    val fs = fsFor(spark, rootPath)
-    val pointer = new Path(rootPath, "_current")
-    if (!fs.exists(pointer)) root
-    else {
-      val in = fs.open(pointer)
-      val version =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      require(VersionRe.matches(version),
-        s"$pointer names '$version', not a version directory")
-      new Path(rootPath, version).toString
-    }
+    pointerLines(fsFor(spark, rootPath), rootPath).headOption
+      .map(v => new Path(rootPath, v).toString).getOrElse(root)
   }
 
   /** Atomically replace the contents of `root`: `write` receives a fresh
@@ -83,7 +97,7 @@ object Stage {
     val version = f"v$next%08d"
     write(new Path(rootPath, version).toString)
     flipPointer(spark, fs, rootPath, version)
-    gcStale(fs, rootPath, version)
+    gcStale(fs, rootPath)
   }
 
   /** The common case: replace a directory's contents with a DataFrame.
@@ -94,25 +108,33 @@ object Stage {
     publishRewrite(spark, root)(versionDir =>
       df.write.mode("overwrite").parquet(versionDir))
 
-  /** Point `root/_current` at `version` with an atomic overwrite-rename. */
+  /** Point `root/_current` at `version` with an atomic overwrite-rename;
+    * the previously-live version rides along as the second line so GC
+    * can spare it for one cycle. */
   private def flipPointer(spark: SparkSession, fs: FileSystem,
                           rootPath: Path, version: String): Unit = {
+    val content = (version +: pointerLines(fs, rootPath).take(1))
+      .mkString("\n")
     val tmp = new Path(rootPath, "_current.tmp")
     val out = fs.create(tmp, true)
-    try out.write(version.getBytes("UTF-8")) finally out.close()
+    try out.write(content.getBytes("UTF-8")) finally out.close()
     val fc = FileContext.getFileContext(rootPath.toUri,
       spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, new Path(rootPath, "_current"), Options.Rename.OVERWRITE)
   }
 
-  /** Delete everything under `root` except the pointer and the live
-    * version: stale versions, orphans of crashed publishes, and the plain
-    * layout's old data files on first migration.
+  /** Delete stale state under `root`: orphan versions of crashed
+    * publishes, older generations, and the plain layout's old data files
+    * on first migration. The versions the pointer names (live +
+    * previously-live) survive — an in-flight scan that resolved just
+    * before the flip still finds its files; the next publish sweeps it.
     */
-  private def gcStale(fs: FileSystem, rootPath: Path, keep: String): Unit =
+  private def gcStale(fs: FileSystem, rootPath: Path): Unit = {
+    val keep = pointerLines(fs, rootPath).toSet
     fs.listStatus(rootPath).map(_.getPath)
-      .filter(p => p.getName != "_current" && p.getName != keep)
+      .filter(p => p.getName != "_current" && !keep.contains(p.getName))
       .foreach(p => fs.delete(p, true))
+  }
 
   /** Run one ingest batch against a persisted index with EXACTLY-ONCE
     * semantics — the shared ledger protocol of the text-index, IVF, and

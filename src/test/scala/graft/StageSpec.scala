@@ -58,6 +58,21 @@ class StageSpec extends AnyFunSuite {
     assert(children(root) == Set("_current", "v00000002"))
   }
 
+  test("the previously-live version survives exactly one publish cycle") {
+    val root = "target/graft-test-stage-prev"
+    fs(root).delete(new Path(root), true)
+    Seq(1L).toDF("v").write.parquet(root)
+    Stage.publishRewrite(spark, root, Seq(2L).toDF("v")) // → v1 live
+    Stage.publishRewrite(spark, root, Seq(3L).toDF("v")) // → v2 live, v1 spared
+    assert(children(root) == Set("_current", "v00000001", "v00000002"))
+    // an in-flight scan that resolved v1 before the flip still reads it
+    assert(spark.read.parquet(s"$root/v00000001")
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    Stage.publishRewrite(spark, root, Seq(4L).toDF("v")) // → v3, v1 swept
+    assert(children(root) == Set("_current", "v00000002", "v00000003"))
+    assert(values(root) == Set(4L))
+  }
+
   test("a crashed rewrite of a versioned directory keeps the prior version") {
     val root = "target/graft-test-stage-crash2"
     fs(root).delete(new Path(root), true)
@@ -161,6 +176,20 @@ class StageSpec extends AnyFunSuite {
     assert(spark.read.parquet(Stage.resolve(spark, s"$tomb/tombstones"))
       .count() == 0)
     assert(serve(tomb) == serve(cut))
+  }
+
+  test("tombstoning every document serves empty results, not an error") {
+    val idx = "target/graft-test-tomb-all"
+    fs(idx).delete(new Path(idx), true)
+    Search.saveTextIndex(
+      Seq((1L, "spark join"), (2L, "spark stream")).toDF("doc_id", "text"), idx)
+    Search.tombstoneFromTextIndex(spark, idx, Seq(1L, 2L).toDF("doc_id"))
+    // the pending-path stats fold to (0, 0) — no division blows up
+    // because no candidate row reaches the scorer
+    assert(Search.bm25TopKIndexed(spark, idx, Seq("spark"), 10).count() == 0)
+    assert(Search.conjunctiveSearch(spark, idx, Seq("spark")).count() == 0)
+    Search.compactTextIndex(spark, idx)
+    assert(Search.bm25TopKIndexed(spark, idx, Seq("spark"), 10).count() == 0)
   }
 
   test("a rebuilt index starts a fresh exactly-once lineage") {
