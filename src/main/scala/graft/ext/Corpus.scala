@@ -655,6 +655,19 @@ object Corpus {
       spark.read.parquet(resolve(spark, s"$path/vocab"))
         .groupBy("tok").agg(sum(col("c")).as("c"))
         .where(col("c") > 0).repartition(nV))
+    graft.ops.Stage.compactLedger(spark, path)
+  }
+
+  /** [[compactLm]] when the delta trail has fragmented past
+    * `maxFilesPerComponent` live files ([[graft.ops.Stage.shouldCompact]]);
+    * otherwise a metadata-only listing. The self-maintenance hook for
+    * streaming ingest sinks. Returns whether a compaction ran. */
+  def autoCompactLm(spark: org.apache.spark.sql.SparkSession, path: String,
+                    maxFilesPerComponent: Int = 64): Boolean = {
+    val go = graft.ops.Stage.shouldCompact(spark, path,
+      Seq("bigrams", "vocab"), maxFilesPerComponent)
+    if (go) compactLm(spark, path)
+    go
   }
 
   /** [[lmPerplexity]] scoring against a [[saveLm]] model on disk: the

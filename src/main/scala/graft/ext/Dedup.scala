@@ -724,6 +724,20 @@ object Dedup {
         spark, path).repartition(nDocs))
     graft.ops.Stage.resetTombstones(spark, path,
       spark.range(0).select(col("id").as("seth")))
+    graft.ops.Stage.compactLedger(spark, path)
+  }
+
+  /** [[compactMinhashManifest]] when either table has fragmented past
+    * `maxFilesPerComponent` live files ([[graft.ops.Stage.shouldCompact]]);
+    * otherwise a metadata-only listing. The self-maintenance hook for
+    * streaming ingest sinks. Returns whether a compaction ran. */
+  def autoCompactMinhashManifest(spark: org.apache.spark.sql.SparkSession,
+                                 path: String,
+                                 maxFilesPerComponent: Int = 64): Boolean = {
+    val go = graft.ops.Stage.shouldCompact(spark, path, Seq("docs", "bands"),
+      maxFilesPerComponent)
+    if (go) compactMinhashManifest(spark, path)
+    go
   }
 
   /** Incremental NEAR-dup detection of an ingest batch against a persisted

@@ -292,6 +292,25 @@ object Search {
         .repartition(1))
     graft.ops.Stage.resetTombstones(spark, path,
       spark.range(0).select(col("id").as(idCol)))
+    graft.ops.Stage.compactLedger(spark, path)
+  }
+
+  /** [[compactTextIndex]] when the index has fragmented past
+    * `maxFilesPerComponent` live files in any component
+    * ([[graft.ops.Stage.shouldCompact]]); otherwise a metadata-only
+    * listing. The self-maintenance hook for long-running streaming
+    * ingest — each exactly-once batch publishes ≥1 file per component,
+    * so a `foreachBatch` sink calls this after its append and file
+    * counts stay bounded without an operator remembering to compact.
+    * Returns whether a compaction ran.
+    */
+  def autoCompactTextIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, maxFilesPerComponent: Int = 64,
+                           idCol: String = "doc_id"): Boolean = {
+    val go = graft.ops.Stage.shouldCompact(spark, path,
+      Seq("postings", "doclens", "stats"), maxFilesPerComponent)
+    if (go) compactTextIndex(spark, path, idCol)
+    go
   }
 
   /** TOMBSTONE documents in a [[saveTextIndex]] index — the batched

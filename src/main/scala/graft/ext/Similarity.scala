@@ -610,6 +610,20 @@ object Similarity {
     }
     graft.ops.Stage.resetTombstones(spark, path,
       spark.range(0).select(col("id").as("vec_id")))
+    graft.ops.Stage.compactLedger(spark, path)
+  }
+
+  /** [[compactIvfIndex]] when the lists have fragmented past
+    * `maxFilesPerComponent` live files ([[graft.ops.Stage.shouldCompact]]);
+    * otherwise a metadata-only listing. The self-maintenance hook for
+    * streaming ingest sinks. Returns whether a compaction ran. */
+  def autoCompactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          maxFilesPerComponent: Int = 64): Boolean = {
+    val go = graft.ops.Stage.shouldCompact(spark, path, Seq("lists"),
+      maxFilesPerComponent)
+    if (go) compactIvfIndex(spark, path)
+    go
   }
 
   /** Serve top-k from a [[saveIvfIndex]] index: identical ranking contract

@@ -47,6 +47,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Stage {
 
   private val VersionRe = "v\\d{8}".r
+  private val BatchMarkerRe = "batch-(\\d+)".r
+  private val HighMarkerRe = "high-(\\d+)".r
 
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -166,7 +168,12 @@ object Stage {
                        (stage: String => Unit): Unit = {
     val marker = new Path(s"$path/_ledger/batch-$batchId")
     val fs = fsFor(spark, marker)
-    if (fs.exists(marker)) return // fully published — replay is a no-op
+    // fully published — replay is a no-op: either the batch's own marker
+    // survives, or ledger compaction folded it into a high-water marker
+    // (batch ids in one lineage are strictly increasing, so id ≤ high
+    // implies published)
+    if (batchId <= ledgerHighWater(fs, marker.getParent) ||
+      fs.exists(marker)) return
     val staging = s"$path/_staging/batch-$batchId"
     fs.delete(new Path(staging), true) // wipe a dead attempt's partials
     stage(staging)
@@ -215,6 +222,79 @@ object Stage {
     val p = new Path(s"$path/tombstones")
     fsFor(spark, p).delete(p, true)
   }
+
+  /** The highest batch id a `high-<n>` marker certifies as published, or
+    * -1 when ledger compaction has never run. More than one high marker
+    * can coexist after a crash mid-[[compactLedger]]; the max is the
+    * truth (each was only ever written over fully-published batches). */
+  private def ledgerHighWater(fs: FileSystem, ledger: Path): Long =
+    if (!fs.exists(ledger)) -1L
+    else fs.listStatus(ledger).map(_.getPath.getName).foldLeft(-1L) {
+      case (acc, HighMarkerRe(n)) => math.max(acc, n.toLong)
+      case (acc, _)               => acc
+    }
+
+  /** Fold an index root's per-batch ledger markers into one high-water
+    * marker. [[appendExactlyOnce]] writes `_ledger/batch-<id>` per
+    * micro-batch — one empty file per batch, forever: after a month of
+    * minute-batches the replay check lists ~43k entries, the ledger's own
+    * small-files problem. Because batch ids within one checkpoint lineage
+    * are strictly increasing and Structured Streaming only ever replays
+    * the LAST uncommitted batch, a single `high-<maxId>` marker carries
+    * the same information as every marker below it.
+    *
+    * Crash-safe in the ledger's own style: the high marker is created
+    * (atomic file create) BEFORE the folded markers are deleted, so a
+    * crash mid-sweep leaves extra markers that the next compaction
+    * removes — never a missing one. Called by every family's `compact*`,
+    * so one maintenance op bounds both data and ledger fragmentation.
+    */
+  def compactLedger(spark: SparkSession, path: String): Unit = {
+    val ledger = new Path(s"$path/_ledger")
+    val fs = fsFor(spark, ledger)
+    if (!fs.exists(ledger)) return
+    val entries = fs.listStatus(ledger).map(_.getPath)
+    val high = entries.map(_.getName).foldLeft(-1L) {
+      case (acc, BatchMarkerRe(n)) => math.max(acc, n.toLong)
+      case (acc, HighMarkerRe(n))  => math.max(acc, n.toLong)
+      case (acc, _)                => acc
+    }
+    if (high < 0) return
+    val highMarker = new Path(ledger, s"high-$high")
+    if (!fs.exists(highMarker)) fs.create(highMarker, false).close()
+    entries.foreach { p =>
+      p.getName match {
+        case BatchMarkerRe(n) if n.toLong <= high => fs.delete(p, false)
+        case HighMarkerRe(n) if n.toLong < high   => fs.delete(p, false)
+        case _                                    => ()
+      }
+    }
+  }
+
+  /** The live data-file count of `dir` (pointer-resolved, recursive into
+    * partition subdirectories, `_`/`.` metadata excluded) — the
+    * fragmentation signal [[shouldCompact]] thresholds. Metadata-only:
+    * one recursive listing, no data read. 0 for a missing directory. */
+  def fragmentation(spark: SparkSession, dir: String): Int = {
+    val fs = fsFor(spark, new Path(dir))
+    def count(d: Path): Int = dataEntries(fs, d).map(s =>
+      if (s.isDirectory) count(s.getPath) else 1).sum
+    count(new Path(resolve(spark, dir)))
+  }
+
+  /** Whether any of an index root's `components` has fragmented past
+    * `maxFilesPerComponent` live files — the trigger each family's
+    * `autoCompact*` consults so long-running streaming ingest bounds its
+    * own file counts (per-batch exactly-once publishes add ≥1 file per
+    * component per micro-batch) instead of relying on an operator
+    * remembering to compact. Threshold semantics, not exact sizing:
+    * the compaction itself re-sizes files via [[compactionPartitions]].
+    */
+  def shouldCompact(spark: SparkSession, path: String,
+                    components: Seq[String],
+                    maxFilesPerComponent: Int): Boolean =
+    components.exists(c =>
+      fragmentation(spark, s"$path/$c") > maxFilesPerComponent)
 
   /** Reset an index root's exactly-once machinery — called by the `save*`
     * builders: a REBUILT index starts a fresh checkpoint lineage whose

@@ -192,6 +192,54 @@ class StageSpec extends AnyFunSuite {
     assert(Search.bm25TopKIndexed(spark, idx, Seq("spark"), 10).count() == 0)
   }
 
+  test("ledger compaction folds batch markers into one high-water marker") {
+    val idx = "target/graft-test-ledger-compact"
+    fs(idx).delete(new Path(idx), true)
+    Search.saveTextIndex(Seq((1L, "alpha beta")).toDF("doc_id", "text"), idx)
+    for (b <- 0L to 3L)
+      Search.appendToTextIndexExactlyOnce(
+        Seq((10L + b, s"tok$b alpha")).toDF("doc_id", "text"), idx, batchId = b)
+    def ledger = children(s"$idx/_ledger")
+    assert(ledger == (0L to 3L).map(b => s"batch-$b").toSet)
+    Stage.compactLedger(spark, idx)
+    assert(ledger == Set("high-3"))
+    // a replayed FOLDED batch is still a no-op (id ≤ high-water)
+    val before = Search.conjunctiveSearch(spark, idx, Seq("alpha")).count()
+    Search.appendToTextIndexExactlyOnce(
+      Seq((12L, "tok2 alpha")).toDF("doc_id", "text"), idx, batchId = 2L)
+    assert(Search.conjunctiveSearch(spark, idx, Seq("alpha")).count() == before)
+    // batches past the high water still publish, then fold on the next pass
+    Search.appendToTextIndexExactlyOnce(
+      Seq((14L, "tok4 alpha")).toDF("doc_id", "text"), idx, batchId = 4L)
+    assert(Search.conjunctiveSearch(spark, idx, Seq("alpha")).count() == before + 1)
+    assert(ledger == Set("high-3", "batch-4"))
+    Stage.compactLedger(spark, idx)
+    assert(ledger == Set("high-4"))
+  }
+
+  test("auto-compaction triggers on fragmentation and serves identically") {
+    val idx = "target/graft-test-autocompact"
+    fs(idx).delete(new Path(idx), true)
+    Search.saveTextIndex(Seq((1L, "alpha beta")).toDF("doc_id", "text"), idx)
+    for (b <- 0L to 4L)
+      Search.appendToTextIndexExactlyOnce(
+        Seq((10L + b, s"alpha tok$b")).toDF("doc_id", "text"), idx, batchId = b)
+    val frag = Stage.fragmentation(spark, s"$idx/postings")
+    assert(frag >= 6) // the builder's files plus one per exactly-once batch
+    // threshold not reached: metadata-only listing, nothing rewritten
+    assert(!Search.autoCompactTextIndex(spark, idx, maxFilesPerComponent = 1000))
+    assert(Stage.fragmentation(spark, s"$idx/postings") == frag)
+    val before = Search.bm25TopKIndexed(spark, idx, Seq("alpha"), 10)
+      .collect().map(_.toSeq).toSeq
+    // threshold crossed: the compaction runs, file counts drop, the ledger
+    // folds alongside the data, and serving is bit-identical
+    assert(Search.autoCompactTextIndex(spark, idx, maxFilesPerComponent = 2))
+    assert(Stage.fragmentation(spark, s"$idx/postings") < frag)
+    assert(children(s"$idx/_ledger") == Set("high-4"))
+    assert(Search.bm25TopKIndexed(spark, idx, Seq("alpha"), 10)
+      .collect().map(_.toSeq).toSeq == before)
+  }
+
   test("a rebuilt index starts a fresh exactly-once lineage") {
     val idx = "target/graft-test-stage-relineage"
     fs(idx).delete(new Path(idx), true)
