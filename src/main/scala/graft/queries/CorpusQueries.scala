@@ -233,9 +233,13 @@ object CorpusQueries {
         .where(col("split") === "train")
       val q = stream.writeStream
         .option("checkpointLocation", s"$path.ckpt")
-        .foreachBatch((batch: org.apache.spark.sql.Dataset[
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], batchId: Long) =>
-          Corpus.appendToLmExactlyOnce(batch, path, "text", "doc_id", batchId))
+          Corpus.appendToLmExactlyOnce(batch, path, "text", "doc_id", batchId)
+          // self-maintaining sink: bound delta-file and ledger growth
+          Corpus.autoCompactLm(batch.sparkSession, path)
+          ()
+        }
         .start()
       try q.processAllAvailable() finally q.stop()
       Corpus.compactLm(s, path)

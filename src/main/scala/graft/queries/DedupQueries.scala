@@ -107,10 +107,14 @@ object DedupQueries {
         .where(pmod(col("doc_id"), lit(10)) < 5)
       val q = stream.writeStream
         .option("checkpointLocation", s"$path.ckpt")
-        .foreachBatch((batch: org.apache.spark.sql.Dataset[
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], batchId: Long) =>
           Dedup.appendToMinhashManifestExactlyOnce(batch, "text", "doc_id",
-            path, batchId))
+            path, batchId)
+          // self-maintaining sink: bound docs/bands-file and ledger growth
+          Dedup.autoCompactMinhashManifest(batch.sparkSession, path)
+          ()
+        }
         .start()
       try q.processAllAvailable() finally q.stop()
       // compact the per-batch docs/bands files before probing (full

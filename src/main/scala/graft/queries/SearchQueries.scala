@@ -111,9 +111,15 @@ object SearchQueries {
         .parquet(s"$d/documents.*")
       val q = docs.writeStream
         .option("checkpointLocation", s"$path.ckpt")
-        .foreachBatch((batch: org.apache.spark.sql.Dataset[
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], batchId: Long) =>
-          Search.appendToTextIndexExactlyOnce(batch, path, batchId))
+          Search.appendToTextIndexExactlyOnce(batch, path, batchId)
+          // the self-maintaining sink: bound the per-batch file trail
+          // (and the ledger, which compaction folds to a high-water
+          // marker — replays stay no-ops across the fold)
+          Search.autoCompactTextIndex(batch.sparkSession, path)
+          ()
+        }
         .start()
       try q.processAllAvailable() finally q.stop()
       // compact the per-batch file trail before serving — the full

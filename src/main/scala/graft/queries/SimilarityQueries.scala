@@ -230,9 +230,13 @@ object SimilarityQueries {
         .parquet(s"$d/embeddings.*")
       val q = vecs.writeStream
         .option("checkpointLocation", s"$path.ckpt")
-        .foreachBatch((batch: org.apache.spark.sql.Dataset[
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], batchId: Long) =>
-          Similarity.appendToIvfIndexExactlyOnce(batch, path, batchId))
+          Similarity.appendToIvfIndexExactlyOnce(batch, path, batchId)
+          // self-maintaining sink: bound list-file and ledger growth
+          Similarity.autoCompactIvfIndex(batch.sparkSession, path)
+          ()
+        }
         .start()
       try q.processAllAvailable() finally q.stop()
       // compact the per-batch list files before serving (full lifecycle:
