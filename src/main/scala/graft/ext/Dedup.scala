@@ -609,6 +609,9 @@ object Dedup {
                                          idCol: String, path: String,
                                          batchId: Long): Unit = {
     val spark = newDf.sparkSession
+    // replay no-op BEFORE the meta head() job (appendExactlyOnce
+    // rechecks — this is the cheap fast exit)
+    if (graft.ops.Stage.alreadyPublished(spark, path, batchId)) return
     val meta = spark.read.parquet(
       graft.ops.Stage.resolve(spark, s"$path/meta")).head()
     graft.ops.Stage.appendExactlyOnce(spark, path, batchId,
@@ -674,12 +677,13 @@ object Dedup {
 
   /** `docs` minus rows whose token-set key is tombstoned (identity when
     * no tombstones exist). The anti-join's right side is the (small)
-    * pending-delete set — Spark broadcasts it (PlanAuditSpec pins it). */
-  private def minusTombstoned(docs: DataFrame, spark: org.apache.spark.sql.SparkSession,
-                              path: String): DataFrame =
-    graft.ops.Stage.pendingTombstones(spark, path) match {
-      case Some(tomb) => docs.withColumn("seth", xxhash64(col("toks")))
-        .join(tomb, Seq("seth"), "left_anti").drop("seth")
+    * pending-delete set — Spark broadcasts it (PlanAuditSpec pins it).
+    * Callers load [[graft.ops.Stage.pendingTombstones]] once per query. */
+  private def minusTombstoned(docs: DataFrame,
+                              tomb: Option[DataFrame]): DataFrame =
+    tomb match {
+      case Some(t) => docs.withColumn("seth", xxhash64(col("toks")))
+        .join(t, Seq("seth"), "left_anti").drop("seth")
       case None => docs
     }
 
@@ -707,10 +711,11 @@ object Dedup {
   def compactMinhashManifest(spark: org.apache.spark.sql.SparkSession,
                              path: String): Unit = {
     import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
-    val removed = graft.ops.Stage.pendingTombstones(spark, path) match {
-      case Some(tomb) => spark.read.parquet(resolve(spark, s"$path/docs"))
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    val removed = tomb match {
+      case Some(t) => spark.read.parquet(resolve(spark, s"$path/docs"))
         .withColumn("seth", xxhash64(col("toks")))
-        .join(tomb, Seq("seth")).select("doc")
+        .join(t, Seq("seth")).select("doc")
       case None => spark.range(0).select(col("id").as("doc"))
     }
     val nBands = compactionPartitions(spark, s"$path/bands")
@@ -721,9 +726,8 @@ object Dedup {
     val nDocs = compactionPartitions(spark, s"$path/docs")
     publishRewrite(spark, s"$path/docs",
       minusTombstoned(spark.read.parquet(resolve(spark, s"$path/docs")),
-        spark, path).repartition(nDocs))
-    graft.ops.Stage.resetTombstones(spark, path,
-      spark.range(0).select(col("id").as("seth")))
+        tomb).repartition(nDocs))
+    graft.ops.Stage.resetTombstones(spark, path)
     graft.ops.Stage.compactLedger(spark, path)
   }
 
@@ -811,7 +815,7 @@ object Dedup {
     // verification join against the filtered docs relation
     val manDocs = minusTombstoned(
       spark.read.parquet(graft.ops.Stage.resolve(spark, s"$manifestPath/docs")),
-      spark, manifestPath)
+      graft.ops.Stage.pendingTombstones(spark, manifestPath))
     val keyed = keyedSignatures(probe, k, bands, keepToks = carryTokens)
     val carryIn = if (carryTokens) Seq(col("toks").as("toks_n")) else Seq.empty
     val carryOn = if (carryTokens) Seq(col("toks_n")) else Seq.empty

@@ -168,29 +168,29 @@ object Search {
       coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L))
         .as("total_tokens"))
 
-  /** The index's corpus stats as ONE row. No tombstones pending: the sum
-    * of the additive stats rows (identity on a fresh single-row build) —
-    * never a doclens pass. Tombstones pending: aggregated from the
-    * TOMBSTONE-FILTERED doclens relation instead — the same relation the
-    * scorer's dl join uses, so stats and doc lengths are derived from ONE
-    * consistent source in every compaction crash window (a stats-table
-    * subtraction would double- or under-count when a crash lands between
-    * the doclens fold and the stats recompute). One extra aggregate over
-    * a relation serving already scans, and only while deletes are
-    * pending.
+  /** The index's corpus stats as ONE row. No tombstones pending (None):
+    * the sum of the additive stats rows (identity on a fresh single-row
+    * build) — never a doclens pass. Tombstones pending: aggregated from
+    * the caller's TOMBSTONE-FILTERED doclens relation — the same
+    * relation the scorer's dl join uses, so stats and doc lengths derive
+    * from ONE consistent source in every compaction crash window (a
+    * stats-table subtraction would double- or under-count when a crash
+    * lands between the doclens fold and the stats recompute). One extra
+    * aggregate over a relation serving already scans, and only while
+    * deletes are pending.
     */
   private def readStats(spark: org.apache.spark.sql.SparkSession,
-                        path: String, idCol: String): DataFrame =
-    if (graft.ops.Stage.pendingTombstones(spark, path).isDefined)
-      minusTombstoned(
-        spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/doclens")),
-        spark, path, idCol)
-        .agg(count(lit(1)).as("n_docs"),
+                        path: String,
+                        filteredDoclens: Option[DataFrame]): DataFrame =
+    filteredDoclens match {
+      case Some(dl) =>
+        dl.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
-    else
-      spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/stats"))
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("total_tokens")).as("total_tokens"))
+      case None =>
+        spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/stats"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("total_tokens")).as("total_tokens"))
+    }
 
   /** [[appendToTextIndex]] with EXACTLY-ONCE semantics for streaming
     * ingest, via the shared ledger protocol
@@ -274,24 +274,24 @@ object Search {
     // pending tombstones FOLD here: postings/doclens drop the tombstoned
     // documents, stats recompute from the surviving doclens (the
     // immediate-delete recipe), then the tombstone table resets
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
     val nPost = compactionPartitions(spark, s"$path/postings")
     publishRewrite(spark, s"$path/postings") { versionDir =>
       minusTombstoned(spark.read.parquet(resolve(spark, s"$path/postings")),
-        spark, path, idCol)
+        tomb, idCol)
         .repartition(nPost, col("token")).sortWithinPartitions("token", idCol)
         .write.mode("overwrite").parquet(versionDir)
     }
     val nLens = compactionPartitions(spark, s"$path/doclens")
     publishRewrite(spark, s"$path/doclens",
       minusTombstoned(spark.read.parquet(resolve(spark, s"$path/doclens")),
-        spark, path, idCol).repartition(nLens))
+        tomb, idCol).repartition(nLens))
     publishRewrite(spark, s"$path/stats",
       spark.read.parquet(resolve(spark, s"$path/doclens")) // post-fold lens
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
         .repartition(1))
-    graft.ops.Stage.resetTombstones(spark, path,
-      spark.range(0).select(col("id").as(idCol)))
+    graft.ops.Stage.resetTombstones(spark, path)
     graft.ops.Stage.compactLedger(spark, path)
   }
 
@@ -331,15 +331,16 @@ object Search {
                              idCol: String = "doc_id"): Unit =
     graft.ops.Stage.appendTombstones(ids.select(col(idCol)), path)
 
-  /** `rel` minus tombstoned documents (identity when the index has never
-    * been tombstoned). Broadcast anti-join — the pending set is small by
-    * the drip-feed contract. */
-  private def minusTombstoned(rel: DataFrame,
-                              spark: org.apache.spark.sql.SparkSession,
-                              path: String, idCol: String): DataFrame =
-    graft.ops.Stage.pendingTombstones(spark, path) match {
-      case Some(tomb) =>
-        rel.join(tomb.withColumnRenamed(tomb.columns.head, idCol),
+  /** `rel` minus tombstoned documents (identity when nothing is
+    * pending). Broadcast anti-join — the pending set is small by the
+    * drip-feed contract. Callers load [[graft.ops.Stage.pendingTombstones]]
+    * ONCE per query and thread it through, so the serve path pays one
+    * pointer-resolve + listing, not one per relation. */
+  private def minusTombstoned(rel: DataFrame, tomb: Option[DataFrame],
+                              idCol: String): DataFrame =
+    tomb match {
+      case Some(t) =>
+        rel.join(t.withColumnRenamed(t.columns.head, idCol),
           Seq(idCol), "left_anti")
       case None => rel
     }
@@ -353,13 +354,15 @@ object Search {
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                       terms: Seq[String], k: Int, idCol: String = "doc_id",
                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
     val tf = minusTombstoned(
       spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/postings"))
-        .where(col("token").isInCollection(terms)), spark, path, idCol)
+        .where(col("token").isInCollection(terms)), tomb, idCol)
     val dl = minusTombstoned(
       spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/doclens")),
-      spark, path, idCol)
-    scoreBm25(tf, dl, readStats(spark, path, idCol), terms, k, idCol, k1, b)
+      tomb, idCol)
+    scoreBm25(tf, dl, readStats(spark, path, tomb.map(_ => dl)), terms, k,
+      idCol, k1, b)
   }
 
   /** Conjunctive (AND-semantics) search from the same index: documents
@@ -373,7 +376,8 @@ object Search {
       "conjunctiveSearch needs a non-empty, duplicate-free term set")
     minusTombstoned(
       spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/postings"))
-        .where(col("token").isInCollection(terms)), spark, path, idCol)
+        .where(col("token").isInCollection(terms)),
+      graft.ops.Stage.pendingTombstones(spark, path), idCol)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_occurrences"))
       .where(col("n_terms") === terms.size)

@@ -525,6 +525,11 @@ object Similarity {
   def appendToIvfIndexExactlyOnce(newVecs: DataFrame, path: String,
                                   batchId: Long, idCol: String = "vec_id",
                                   vecCol: String = "embedding"): Unit = {
+    // replay no-op BEFORE the metadata load: a replayed batch must not
+    // pay the meta head() + full centroid collect just to discover its
+    // marker (appendExactlyOnce rechecks — this is the cheap fast exit)
+    if (graft.ops.Stage.alreadyPublished(newVecs.sparkSession, path, batchId))
+      return
     val (scale, cents) = loadIvfMeta(newVecs.sparkSession, path)
     graft.ops.Stage.appendExactlyOnce(newVecs.sparkSession, path, batchId,
       Seq("lists")) { staging =>
@@ -569,14 +574,14 @@ object Similarity {
     graft.ops.Stage.appendTombstones(
       ids.select(col(idCol).as("vec_id")), path)
 
-  /** `lists` minus tombstoned vectors (identity when the index has never
-    * been tombstoned). Broadcast anti-join on vec_id. */
+  /** `lists` minus tombstoned vectors (identity when nothing is
+    * pending). Broadcast anti-join on vec_id; callers load
+    * [[graft.ops.Stage.pendingTombstones]] once per query. */
   private def minusTombstoned(lists: DataFrame,
-                              spark: org.apache.spark.sql.SparkSession,
-                              path: String): DataFrame =
-    graft.ops.Stage.pendingTombstones(spark, path) match {
-      case Some(tomb) => lists.join(
-        tomb.withColumnRenamed(tomb.columns.head, "vec_id"),
+                              tomb: Option[DataFrame]): DataFrame =
+    tomb match {
+      case Some(t) => lists.join(
+        t.withColumnRenamed(t.columns.head, "vec_id"),
         Seq("vec_id"), "left_anti")
       case None => lists
     }
@@ -604,12 +609,11 @@ object Similarity {
     // pending tombstones FOLD here (physical delete), then reset
     publishRewrite(spark, s"$path/lists") { versionDir =>
       minusTombstoned(spark.read.parquet(resolve(spark, s"$path/lists")),
-        spark, path)
+        graft.ops.Stage.pendingTombstones(spark, path))
         .repartition(n, col("centroid"))
         .write.mode("overwrite").partitionBy("centroid").parquet(versionDir)
     }
-    graft.ops.Stage.resetTombstones(spark, path,
-      spark.range(0).select(col("id").as("vec_id")))
+    graft.ops.Stage.resetTombstones(spark, path)
     graft.ops.Stage.compactLedger(spark, path)
   }
 
@@ -641,7 +645,7 @@ object Similarity {
       else col("code")
     val c = minusTombstoned(
         spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/lists")),
-        spark, path)
+        graft.ops.Stage.pendingTombstones(spark, path))
       .select(col("vec_id").as("neighbor_id"), cvec.as("c_vec"), col("centroid"))
       .withColumn("c_norm", norm(col("c_vec")))
     val q = queries.select(col(idCol).as("query_id"),

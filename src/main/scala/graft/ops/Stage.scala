@@ -130,6 +130,12 @@ object Stage {
     * on first migration. The versions the pointer names (live +
     * previously-live) survive — an in-flight scan that resolved just
     * before the flip still finds its files; the next publish sweeps it.
+    * EXCEPTION: the first migration of a plain layout has no previous
+    * VERSION to name, so the plain data files sweep immediately — a
+    * reader that resolved the plain root just before the migrating flip
+    * can lose its files. One-time per index; schedule the first rewrite
+    * of a live plain index accordingly (the `save*` builders write plain
+    * layouts, and their first maintenance op migrates).
     */
   private def gcStale(fs: FileSystem, rootPath: Path): Unit = {
     val keep = pointerLines(fs, rootPath).toSet
@@ -166,23 +172,38 @@ object Stage {
   def appendExactlyOnce(spark: SparkSession, path: String, batchId: Long,
                         components: Seq[String])
                        (stage: String => Unit): Unit = {
-    val marker = new Path(s"$path/_ledger/batch-$batchId")
-    val fs = fsFor(spark, marker)
-    // fully published — replay is a no-op: either the batch's own marker
-    // survives, or ledger compaction folded it into a high-water marker
-    // (batch ids in one lineage are strictly increasing, so id ≤ high
-    // implies published)
-    if (batchId <= ledgerHighWater(fs, marker.getParent) ||
-      fs.exists(marker)) return
+    if (alreadyPublished(spark, path, batchId)) return
+    val fs = fsFor(spark, new Path(path))
     val staging = s"$path/_staging/batch-$batchId"
     fs.delete(new Path(staging), true) // wipe a dead attempt's partials
     stage(staging)
     components.foreach { comp =>
       publishStaged(fs, new Path(s"$staging/$comp"),
         new Path(resolve(spark, s"$path/$comp")), s"b$batchId") }
+    val marker = new Path(s"$path/_ledger/batch-$batchId")
     fs.mkdirs(marker.getParent)
     fs.create(marker, false).close() // atomic: the batch is now published
     fs.delete(new Path(staging), true)
+  }
+
+  /** Whether `batchId` has fully published in this lineage — its own
+    * `batch-<id>` marker survives, or ledger compaction folded it into a
+    * high-water marker (batch ids in one lineage strictly increase, so
+    * id ≤ high implies published). A positive answer also sweeps any
+    * staging directory a crash between the marker create and the staging
+    * cleanup left behind — the one window the replay no-op would
+    * otherwise never revisit. Families whose append must load index
+    * metadata first (IVF centroids, manifest parameters) call this
+    * before the load, so a replayed batch is a metadata-only no-op.
+    */
+  def alreadyPublished(spark: SparkSession, path: String,
+                       batchId: Long): Boolean = {
+    val marker = new Path(s"$path/_ledger/batch-$batchId")
+    val fs = fsFor(spark, marker)
+    val done = batchId <= ledgerHighWater(fs, marker.getParent) ||
+      fs.exists(marker)
+    if (done) fs.delete(new Path(s"$path/_staging/batch-$batchId"), true)
+    done
   }
 
   /** Append delete keys to an index root's `tombstones/` table — the
@@ -197,23 +218,37 @@ object Stage {
     keys.distinct().write.mode("append")
       .parquet(resolve(keys.sparkSession, s"$path/tombstones"))
 
-  /** The pending tombstone keys of an index root, or None when the index
-    * has never been tombstoned (no `tombstones/` directory). */
+  /** The pending tombstone keys of an index root, or None when none are
+    * pending. The emptiness probe is a metadata-only listing for
+    * COMMITTED data files, so two torn states read correctly as "no
+    * pending deletes" instead of erroring every later serve: a crashed
+    * [[appendTombstones]] that created the directory but committed
+    * nothing (only `_temporary` inside), and a crashed
+    * [[resetTombstones]] that deleted the data but left the directory
+    * skeleton. */
   def pendingTombstones(spark: SparkSession,
                         path: String): Option[DataFrame] = {
     val t = resolve(spark, s"$path/tombstones")
     val p = new Path(t)
-    if (fsFor(spark, p).exists(p)) Some(spark.read.parquet(t).distinct())
+    val fs = fsFor(spark, p)
+    def hasData(d: Path): Boolean = dataEntries(fs, d).exists(s =>
+      if (s.isDirectory) hasData(s.getPath) else true)
+    if (fs.exists(p) && hasData(p)) Some(spark.read.parquet(t).distinct())
     else None
   }
 
-  /** Reset the tombstone table after a compaction folded it (an
-    * `emptyLike` relation keeps the key schema). No-op when the index has
-    * never been tombstoned. */
-  def resetTombstones(spark: SparkSession, path: String,
-                      emptyKeys: DataFrame): Unit =
-    if (pendingTombstones(spark, path).isDefined)
-      publishRewrite(spark, s"$path/tombstones", emptyKeys)
+  /** Drop the tombstone table after a compaction folded it into a
+    * physical delete. Deletion rather than an empty-table publish, so
+    * [[pendingTombstones]] goes back to None and every fast path that
+    * tombstoning suspended (the text index's one-row stats read, the
+    * anti-join-free serves) RETURNS after the fold instead of being lost
+    * forever to an empty-but-present table. Safe at every crash point:
+    * the fold physically removed every pending key's rows first, so
+    * stale keys surviving a partial delete anti-join as no-ops, and a
+    * torn table with no committed data files reads as no pending
+    * tombstones. */
+  def resetTombstones(spark: SparkSession, path: String): Unit =
+    clearTombstones(spark, path)
 
   /** Drop an index root's tombstone table entirely — the rebuild
     * boundary: a fresh build must not inherit the old corpus's pending

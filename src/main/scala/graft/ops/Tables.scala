@@ -60,9 +60,16 @@ object Tables {
     */
   private[graft] def requireUtc(spark: SparkSession): Unit = {
     val tz = spark.conf.get("spark.sql.session.timeZone")
-    require(tz == "UTC",
-      s"events.ts NTZ normalization requires spark.sql.session.timeZone=UTC " +
-        s"(got '$tz') — set it in the SparkSession builder")
+    // compare the RESOLVED zone, not the literal id: "Etc/UTC", "GMT",
+    // "UT", "Z", "+00:00" are all value-preserving for the NTZ cast
+    val utc =
+      try java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).normalized() ==
+        java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    require(utc,
+      s"events.ts NTZ normalization requires a UTC-equivalent " +
+        s"spark.sql.session.timeZone (got '$tz') — set UTC in the " +
+        s"SparkSession builder")
   }
 
   /** Register every table as a temp view so spec SQL / spark.sql can see them. */

@@ -143,10 +143,10 @@ object TextQueries {
       // DEFLATE-codec plumbing, oracle-checked end-to-end: the harness
       // query runs the REAL java.util.zip.Deflater mapPartitions stage at
       // level 0, the one level where DEFLATE's output is closed-form
-      // (zlib stored framing: 2-byte header + one 5-byte stored block +
-      // 4-byte adler32 = raw + 11 for raw <= ~64 KiB — documents top out
-      // near 600 bytes), so DuckDB recomputes the exact byte counts and
-      // the hash compare proves the codec stage ran correctly. The
+      // (zlib stored framing: 2-byte header + 4-byte adler32 + a 5-byte
+      // header per stored block, ceil(raw/65535) blocks), so DuckDB
+      // recomputes the exact byte counts at any document size and the
+      // hash compare proves the codec stage ran correctly. The
       // level-6 repetition/junk SIGNAL (RefinedWeb-style) is the same
       // code path at its default level, pinned by TextAnalysisSpec's
       // hand-computed values — levels differ only in the zlib parameter.
@@ -206,18 +206,24 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // level-0 DEFLATE is zlib stored framing: raw + 2 (header) + 5 (one
-    // stored-block header; documents are far under the 64 KiB block
-    // limit) + 4 (adler32). The ratio is ONE double division on both
-    // sides — bit-identical.
+    // level-0 DEFLATE is zlib stored framing: raw + 2 (header) + 4
+    // (adler32) + 5 per stored block, ceil(raw/65535) blocks — exact at
+    // EVERY document size, not just under the 64 KiB single-block limit
+    // (TextAnalysisSpec pins a 3-block input against the JDK Deflater).
+    // The ratio is ONE double division on both sides — bit-identical.
     "q90_compression_ratio" ->
       """SELECT doc_id,
                 CASE WHEN text IS NULL THEN 0
                      ELSE octet_length(encode(text)) END AS raw_bytes,
                 CASE WHEN text IS NULL OR text = '' THEN 0
-                     ELSE octet_length(encode(text)) + 11 END AS deflate_bytes,
+                     ELSE octet_length(encode(text)) + 6
+                          + 5 * CAST(ceil(octet_length(encode(text))
+                                          / 65535.0) AS BIGINT)
+                END AS deflate_bytes,
                 CASE WHEN text IS NULL OR text = '' THEN 1.0
-                     ELSE (octet_length(encode(text)) + 11)::DOUBLE
+                     ELSE (octet_length(encode(text)) + 6
+                           + 5 * CAST(ceil(octet_length(encode(text))
+                                           / 65535.0) AS BIGINT))::DOUBLE
                           / octet_length(encode(text))::DOUBLE
                 END AS compression_ratio
          FROM documents ORDER BY doc_id""",

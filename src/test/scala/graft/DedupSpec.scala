@@ -676,8 +676,7 @@ class DedupSpec extends AnyFunSuite {
     Dedup.compactMinhashManifest(spark, path)
     assert(spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/docs"))
       .where($"doc" === 1L).count() == 0)
-    assert(spark.read.parquet(
-      graft.ops.Stage.resolve(spark, s"$path/tombstones")).count() == 0)
+    assert(graft.ops.Stage.pendingTombstones(spark, path).isEmpty)
     assert(verdicts() == Map(10L -> false, 11L -> true))
     // with tombstones folded, the content can be re-admitted
     Dedup.appendToMinhashManifest(

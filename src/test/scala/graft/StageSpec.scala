@@ -140,11 +140,11 @@ class StageSpec extends AnyFunSuite {
     // identical BM25 scores require identical idf/avgdl — the stats must
     // reflect the pending deletes, not just the filtered postings
     assert(serve(tomb) == serve(cut))
-    // compaction folds: tombstone table resets, doclens shrinks, serving
-    // unchanged; the stats fast path takes over (one additive row)
+    // compaction folds: the tombstone table is DROPPED (pendingTombstones
+    // back to None — the stats fast path returns), doclens shrinks,
+    // serving unchanged
     Search.compactTextIndex(spark, tomb)
-    assert(spark.read.parquet(Stage.resolve(spark, s"$tomb/tombstones"))
-      .count() == 0)
+    assert(Stage.pendingTombstones(spark, tomb).isEmpty)
     assert(spark.read.parquet(Stage.resolve(spark, s"$tomb/doclens"))
       .count() == 2)
     assert(serve(tomb) == serve(cut))
@@ -173,8 +173,7 @@ class StageSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet
     assert(serve(tomb) == serve(cut))
     graft.ext.Similarity.compactIvfIndex(spark, tomb)
-    assert(spark.read.parquet(Stage.resolve(spark, s"$tomb/tombstones"))
-      .count() == 0)
+    assert(Stage.pendingTombstones(spark, tomb).isEmpty)
     assert(serve(tomb) == serve(cut))
   }
 
@@ -190,6 +189,35 @@ class StageSpec extends AnyFunSuite {
     assert(Search.conjunctiveSearch(spark, idx, Seq("spark")).count() == 0)
     Search.compactTextIndex(spark, idx)
     assert(Search.bm25TopKIndexed(spark, idx, Seq("spark"), 10).count() == 0)
+  }
+
+  test("a torn tombstone table reads as no pending deletes, not an error") {
+    val idx = "target/graft-test-tomb-torn"
+    fs(idx).delete(new Path(idx), true)
+    Search.saveTextIndex(Seq((1L, "spark join")).toDF("doc_id", "text"), idx)
+    // simulate a crashed appendTombstones: the directory exists but only
+    // an uncommitted _temporary entry inside — nothing committed
+    fs(idx).mkdirs(new Path(s"$idx/tombstones/_temporary/0"))
+    assert(Stage.pendingTombstones(spark, idx).isEmpty)
+    assert(Search.bm25TopKIndexed(spark, idx, Seq("spark"), 10).count() == 1)
+    // and a later successful tombstone still lands and serves
+    Search.tombstoneFromTextIndex(spark, idx, Seq(1L).toDF("doc_id"))
+    assert(Search.bm25TopKIndexed(spark, idx, Seq("spark"), 10).count() == 0)
+  }
+
+  test("a replayed batch sweeps staging left by a crash after the marker") {
+    val idx = "target/graft-test-staging-sweep"
+    fs(idx).delete(new Path(idx), true)
+    Search.saveTextIndex(Seq((1L, "alpha beta")).toDF("doc_id", "text"), idx)
+    Search.appendToTextIndexExactlyOnce(
+      Seq((2L, "gamma delta")).toDF("doc_id", "text"), idx, batchId = 0L)
+    // crash window: marker created, staging cleanup never ran
+    fs(idx).mkdirs(new Path(s"$idx/_staging/batch-0/postings"))
+    Search.appendToTextIndexExactlyOnce( // replay → no-op + staging sweep
+      Seq((2L, "gamma delta")).toDF("doc_id", "text"), idx, batchId = 0L)
+    assert(!fs(idx).exists(new Path(s"$idx/_staging/batch-0")))
+    assert(Search.conjunctiveSearch(spark, idx, Seq("gamma"))
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
   test("ledger compaction folds batch markers into one high-water marker") {

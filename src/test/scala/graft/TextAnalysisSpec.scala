@@ -229,6 +229,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("compressionRatios at level 0: multi-block framing past 64 KiB") {
+    // the general closed form the q90 oracle computes: raw + 2 + 4 + 5
+    // per stored block, ceil(raw/65535) blocks — a 150 000-byte document
+    // spans 3 stored blocks, so the single-block raw+11 would be 10 short
+    val raw = 150000L
+    val df = Seq((1L, "a" * raw.toInt)).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatios(df, "text", "doc_id", level = 0)
+      .as[(Long, Long, Long, Double)].collect().head
+    val blocks = (raw + 65534) / 65535
+    val expect = raw + 2 + 4 + 5 * blocks
+    assert(blocks == 3L)
+    assert(got == ((1L, raw, expect, expect.toDouble / raw)))
+  }
+
   test("gopher rule metrics: symbol ratio, alpha-word fraction, stop count") {
     val df = Seq(
       "see # section ... below",   // 1 '#' + 1 '...' over 5 words
