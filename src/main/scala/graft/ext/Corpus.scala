@@ -588,12 +588,9 @@ object Corpus {
     * (CorpusSpec pins it).
     */
   def appendToLm(batch: DataFrame, path: String, textCol: String,
-                 idCol: String): Unit = {
-    val spark = batch.sparkSession
-    import graft.ops.Stage.resolve
+                 idCol: String, opId: String): Unit = {
     val (cbD, vD) = lmDeltas(batch, textCol, idCol, sign = 1)
-    cbD.write.mode("append").parquet(resolve(spark, s"$path/bigrams"))
-    vD.write.mode("append").parquet(resolve(spark, s"$path/vocab"))
+    stageLmDeltas(batch.sparkSession, path, s"add_$opId", cbD, vD)
   }
 
   /** [[appendToLm]] with EXACTLY-ONCE semantics for streaming ingest, via
@@ -626,13 +623,27 @@ object Corpus {
     * the model, V counts only tokens with surviving occurrences.
     */
   def deleteFromLm(deleted: DataFrame, path: String, textCol: String,
-                   idCol: String): Unit = {
-    val spark = deleted.sparkSession
-    import graft.ops.Stage.resolve
+                   idCol: String, opId: String): Unit = {
     val (cbD, vD) = lmDeltas(deleted, textCol, idCol, sign = -1)
-    cbD.write.mode("append").parquet(resolve(spark, s"$path/bigrams"))
-    vD.write.mode("append").parquet(resolve(spark, s"$path/vocab"))
+    stageLmDeltas(deleted.sparkSession, path, s"del_$opId", cbD, vD)
   }
+
+  /** One atomic, retry-idempotent publish of a paired (bigrams, vocab)
+    * delta — [[graft.ops.Stage.publishOnce]] under the caller's op id.
+    * The counts ARE the model, so the two tables must move together: a
+    * crash between two plain appends left vocab counting tokens whose
+    * bigrams were already subtracted (V too high, every unseen-bigram
+    * score off), and a retry would double-apply the half that landed.
+    * Staged + marker-protected, a retry with the same op id republishes
+    * exactly once or no-ops. */
+  private def stageLmDeltas(spark: org.apache.spark.sql.SparkSession,
+                            path: String, opId: String,
+                            cbD: DataFrame, vD: DataFrame): Unit =
+    graft.ops.Stage.publishOnce(spark, path, opId,
+      Seq("bigrams", "vocab")) { staging =>
+      cbD.write.mode("overwrite").parquet(s"$staging/bigrams")
+      vD.write.mode("overwrite").parquet(s"$staging/vocab")
+    }
 
   /** Compact a [[saveLm]] model's delta trail: fold the additive rows to
     * one positive row per key (dropping zeroed bigrams/tokens — folded
@@ -645,6 +656,9 @@ object Corpus {
   def compactLm(spark: org.apache.spark.sql.SparkSession,
                 path: String): Unit = {
     import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
+    // crashed-mid-publish batch leavings must not fold (see
+    // Stage.sweepUncommitted — the replay would double their counts)
+    graft.ops.Stage.sweepUncommitted(spark, path, Seq("bigrams", "vocab"))
     val nB = compactionPartitions(spark, s"$path/bigrams")
     publishRewrite(spark, s"$path/bigrams",
       spark.read.parquet(resolve(spark, s"$path/bigrams"))

@@ -711,7 +711,11 @@ object Dedup {
   def compactMinhashManifest(spark: org.apache.spark.sql.SparkSession,
                              path: String): Unit = {
     import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
-    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    // crashed-mid-publish batch leavings must not fold (see
+    // Stage.sweepUncommitted — the replay would double them)
+    graft.ops.Stage.sweepUncommitted(spark, path, Seq("docs", "bands"))
+    val snap = graft.ops.Stage.tombstoneSnapshot(spark, path)
+    val tomb = snap.map(_._1)
     val removed = tomb match {
       case Some(t) => spark.read.parquet(resolve(spark, s"$path/docs"))
         .withColumn("seth", xxhash64(col("toks")))
@@ -727,7 +731,8 @@ object Dedup {
     publishRewrite(spark, s"$path/docs",
       minusTombstoned(spark.read.parquet(resolve(spark, s"$path/docs")),
         tomb).repartition(nDocs))
-    graft.ops.Stage.resetTombstones(spark, path)
+    graft.ops.Stage.resetTombstones(spark, path,
+      snap.map(_._2).getOrElse(Nil))
     graft.ops.Stage.compactLedger(spark, path)
   }
 

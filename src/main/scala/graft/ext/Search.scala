@@ -271,10 +271,17 @@ object Search {
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, idCol: String = "doc_id"): Unit = {
     import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
+    // partial leavings of a crashed mid-publish batch must NOT fold —
+    // anonymized into part files, the replay's prefix sweep couldn't
+    // remove them and the batch would land twice
+    graft.ops.Stage.sweepUncommitted(spark, path,
+      Seq("postings", "doclens", "stats"))
     // pending tombstones FOLD here: postings/doclens drop the tombstoned
     // documents, stats recompute from the surviving doclens (the
-    // immediate-delete recipe), then the tombstone table resets
-    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    // immediate-delete recipe), then exactly the consumed tombstone
+    // files reset (keys appended mid-fold stay pending)
+    val snap = graft.ops.Stage.tombstoneSnapshot(spark, path)
+    val tomb = snap.map(_._1)
     val nPost = compactionPartitions(spark, s"$path/postings")
     publishRewrite(spark, s"$path/postings") { versionDir =>
       minusTombstoned(spark.read.parquet(resolve(spark, s"$path/postings")),
@@ -291,7 +298,8 @@ object Search {
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
         .repartition(1))
-    graft.ops.Stage.resetTombstones(spark, path)
+    graft.ops.Stage.resetTombstones(spark, path,
+      snap.map(_._2).getOrElse(Nil))
     graft.ops.Stage.compactLedger(spark, path)
   }
 

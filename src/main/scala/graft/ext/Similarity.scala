@@ -605,15 +605,21 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
     import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
+    // crashed-mid-publish batch leavings must not fold (see
+    // Stage.sweepUncommitted — the replay would double them)
+    graft.ops.Stage.sweepUncommitted(spark, path, Seq("lists"))
     val n = compactionPartitions(spark, s"$path/lists")
-    // pending tombstones FOLD here (physical delete), then reset
+    // pending tombstones FOLD here (physical delete), then exactly the
+    // consumed tombstone files reset (keys appended mid-fold stay)
+    val snap = graft.ops.Stage.tombstoneSnapshot(spark, path)
     publishRewrite(spark, s"$path/lists") { versionDir =>
       minusTombstoned(spark.read.parquet(resolve(spark, s"$path/lists")),
-        graft.ops.Stage.pendingTombstones(spark, path))
+        snap.map(_._1))
         .repartition(n, col("centroid"))
         .write.mode("overwrite").partitionBy("centroid").parquet(versionDir)
     }
-    graft.ops.Stage.resetTombstones(spark, path)
+    graft.ops.Stage.resetTombstones(spark, path,
+      snap.map(_._2).getOrElse(Nil))
     graft.ops.Stage.compactLedger(spark, path)
   }
 

@@ -49,6 +49,8 @@ object Stage {
   private val VersionRe = "v\\d{8}".r
   private val BatchMarkerRe = "batch-(\\d+)".r
   private val HighMarkerRe = "high-(\\d+)".r
+  private val BatchFileRe = "b(\\d+)-.*".r
+  private val OpFileRe = "o([A-Za-z0-9_]+)-.*".r
 
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -186,6 +188,71 @@ object Stage {
     fs.delete(new Path(staging), true)
   }
 
+  /** [[appendExactlyOnce]] for NON-streaming maintenance ops: the same
+    * staged, marker-protected, prefix-idempotent publish, keyed by a
+    * caller-chosen operation id instead of a checkpoint batch id. The
+    * marker lives at `_ledger/op-<opId>` — outside the batch-id
+    * high-water fold, because op ids carry no order — and survives until
+    * the index is rebuilt ([[clearLedger]]): a compaction must NOT clear
+    * it, or a crashed-then-retried op from before the compaction would
+    * re-apply. What this buys multi-component maintenance writes (the
+    * LM's paired bigram/vocab deltas): atomicity under retry — either
+    * every component published and the marker commits, or the retry
+    * (same id, same content — the caller's contract) sweeps the partial
+    * `o<opId>-*` prefix and republishes whole; a retry of a completed op
+    * is a metadata-only no-op.
+    */
+  def publishOnce(spark: SparkSession, path: String, opId: String,
+                  components: Seq[String])(stage: String => Unit): Unit = {
+    require(opId.matches("[A-Za-z0-9_]+"),
+      s"opId '$opId' must match [A-Za-z0-9_]+ (it names ledger and file prefixes)")
+    val marker = new Path(s"$path/_ledger/op-$opId")
+    val fs = fsFor(spark, marker)
+    val staging = s"$path/_staging/op-$opId"
+    if (fs.exists(marker)) { fs.delete(new Path(staging), true); return }
+    fs.delete(new Path(staging), true)
+    stage(staging)
+    components.foreach { comp =>
+      publishStaged(fs, new Path(s"$staging/$comp"),
+        new Path(resolve(spark, s"$path/$comp")), s"o$opId") }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close() // atomic: the op is now published
+    fs.delete(new Path(staging), true)
+  }
+
+  /** Sweep from components' LIVE directories the partial leavings of
+    * publishes that never committed: `b<id>-*` files whose batch id has
+    * no ledger marker (nor high-water cover) and `o<opId>-*` files with
+    * no op marker — an append that crashed mid-publish. Compactions call
+    * this FIRST: folding an uncommitted batch's files would anonymize
+    * them into part files the replay's prefix sweep can no longer find,
+    * so the replayed batch would land TWICE (its rows double-counted
+    * forever). Sweeping instead returns the batch wholly to the replay.
+    * Relies on the single-writer contract — no publish is in flight
+    * while a maintenance op runs.
+    */
+  def sweepUncommitted(spark: SparkSession, path: String,
+                       components: Seq[String]): Unit = {
+    val ledger = new Path(s"$path/_ledger")
+    val fs = fsFor(spark, ledger)
+    val high = ledgerHighWater(fs, ledger)
+    def committedBatch(id: Long): Boolean =
+      id <= high || fs.exists(new Path(ledger, s"batch-$id"))
+    def committedOp(op: String): Boolean =
+      fs.exists(new Path(ledger, s"op-$op"))
+    def sweep(d: Path): Unit = dataEntries(fs, d).foreach { s =>
+      if (s.isDirectory) sweep(s.getPath)
+      else s.getPath.getName match {
+        case BatchFileRe(id) if !committedBatch(id.toLong) =>
+          fs.delete(s.getPath, false)
+        case OpFileRe(op) if !committedOp(op) =>
+          fs.delete(s.getPath, false)
+        case _ => ()
+      }
+    }
+    components.foreach(c => sweep(new Path(resolve(spark, s"$path/$c"))))
+  }
+
   /** Whether `batchId` has fully published in this lineage — its own
     * `batch-<id>` marker survives, or ledger compaction folded it into a
     * high-water marker (batch ids in one lineage strictly increase, so
@@ -218,37 +285,59 @@ object Stage {
     keys.distinct().write.mode("append")
       .parquet(resolve(keys.sparkSession, s"$path/tombstones"))
 
-  /** The pending tombstone keys of an index root, or None when none are
-    * pending. The emptiness probe is a metadata-only listing for
-    * COMMITTED data files, so two torn states read correctly as "no
-    * pending deletes" instead of erroring every later serve: a crashed
-    * [[appendTombstones]] that created the directory but committed
-    * nothing (only `_temporary` inside), and a crashed
-    * [[resetTombstones]] that deleted the data but left the directory
-    * skeleton. */
-  def pendingTombstones(spark: SparkSession,
-                        path: String): Option[DataFrame] = {
+  /** A consistent snapshot of an index root's pending tombstones: the
+    * keys DataFrame PINNED to the exact data files present at call time,
+    * plus that file list. Pinning matters twice over. A fold runs
+    * several jobs, and parquet scans list their directory lazily — an
+    * unpinned relation could read a different key set in each job when a
+    * delete service appends mid-fold. And [[resetTombstones]] takes the
+    * file list so the fold deletes precisely what it consumed: keys
+    * appended DURING a compaction keep their files and stay pending for
+    * the next one, instead of being silently forgotten by a
+    * whole-directory drop (a lost right-to-be-forgotten request).
+    *
+    * None when nothing is pending. The emptiness probe is a
+    * metadata-only listing for COMMITTED data files, so torn states read
+    * correctly as "no pending deletes" instead of erroring every later
+    * serve: a crashed [[appendTombstones]] that created the directory
+    * but committed nothing (only `_temporary` inside), and a crashed
+    * reset that deleted some files.
+    */
+  def tombstoneSnapshot(spark: SparkSession,
+                        path: String): Option[(DataFrame, Seq[Path])] = {
     val t = resolve(spark, s"$path/tombstones")
     val p = new Path(t)
     val fs = fsFor(spark, p)
-    def hasData(d: Path): Boolean = dataEntries(fs, d).exists(s =>
-      if (s.isDirectory) hasData(s.getPath) else true)
-    if (fs.exists(p) && hasData(p)) Some(spark.read.parquet(t).distinct())
-    else None
+    def files(d: Path): Seq[Path] = dataEntries(fs, d).toSeq.flatMap(s =>
+      if (s.isDirectory) files(s.getPath) else Seq(s.getPath))
+    if (!fs.exists(p)) None
+    else {
+      val fl = files(p)
+      if (fl.isEmpty) None
+      else Some((spark.read.parquet(fl.map(_.toString): _*).distinct(), fl))
+    }
   }
 
-  /** Drop the tombstone table after a compaction folded it into a
-    * physical delete. Deletion rather than an empty-table publish, so
-    * [[pendingTombstones]] goes back to None and every fast path that
+  /** The pending tombstone keys of an index root, or None when none are
+    * pending — [[tombstoneSnapshot]] for serve paths that don't fold. */
+  def pendingTombstones(spark: SparkSession,
+                        path: String): Option[DataFrame] =
+    tombstoneSnapshot(spark, path).map(_._1)
+
+  /** Delete exactly the tombstone files a fold consumed (the file list
+    * of its [[tombstoneSnapshot]]) after compaction turned those keys
+    * into a physical delete. Keys appended after the snapshot keep
+    * their files and stay pending. With nothing left, the fast paths
     * tombstoning suspended (the text index's one-row stats read, the
-    * anti-join-free serves) RETURNS after the fold instead of being lost
-    * forever to an empty-but-present table. Safe at every crash point:
-    * the fold physically removed every pending key's rows first, so
-    * stale keys surviving a partial delete anti-join as no-ops, and a
-    * torn table with no committed data files reads as no pending
-    * tombstones. */
-  def resetTombstones(spark: SparkSession, path: String): Unit =
-    clearTombstones(spark, path)
+    * anti-join-free serves) return — [[pendingTombstones]] probes for
+    * files, not the directory. Safe at every crash point: the fold
+    * physically removed the consumed keys' rows first, so stale keys
+    * surviving a partial delete anti-join as no-ops. */
+  def resetTombstones(spark: SparkSession, path: String,
+                      consumed: Seq[Path]): Unit = {
+    val fs = fsFor(spark, new Path(path))
+    consumed.foreach(f => fs.delete(f, false))
+  }
 
   /** Drop an index root's tombstone table entirely — the rebuild
     * boundary: a fresh build must not inherit the old corpus's pending

@@ -292,7 +292,7 @@ object CorpusQueries {
       Corpus.saveLm(train, "text", "doc_id", path)
       Corpus.deleteFromLm(
         train.where(pmod(col("doc_id"), lit(10)) === 3), path,
-        "text", "doc_id")
+        "text", "doc_id", opId = "q107_forget")
       Corpus.lmPerplexityIndexed(
         docs.where(col("split") === "test" && col("text").isNotNull),
         path, "text", "doc_id")

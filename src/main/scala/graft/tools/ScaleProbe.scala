@@ -164,7 +164,8 @@ object ScaleProbe {
       val victim = corpus.where(pmod(col("doc_id"), lit(1000)) === 7)
         .localCheckpoint()
       time(s"${k}x lm-delete(delta-append)") {
-        graft.ext.Corpus.deleteFromLm(victim, path, "text", "doc_id")
+        graft.ext.Corpus.deleteFromLm(victim, path, "text", "doc_id",
+          opId = "probe_delete")
       }
       time(s"${k}x lm-score-with-pending-deltas") {
         graft.ext.Corpus.lmPerplexityIndexed(base, path, "text", "doc_id")

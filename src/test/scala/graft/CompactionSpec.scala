@@ -18,17 +18,10 @@ class CompactionSpec extends AnyFunSuite {
   private def fs =
     new Path("target").getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Recursive parquet data-file count of a component's LIVE version. */
-  private def dataFiles(root: String): Int = {
-    def walk(p: Path): Int =
-      fs.listStatus(p).map { s =>
-        val n = s.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) 0
-        else if (s.isDirectory) walk(s.getPath)
-        else 1
-      }.sum
-    walk(new Path(Stage.resolve(spark, root)))
-  }
+  /** Recursive parquet data-file count of a component's LIVE version —
+    * the product code's own fragmentation probe, so the spec measures
+    * exactly what the auto-compaction trigger measures. */
+  private def dataFiles(root: String): Int = Stage.fragmentation(spark, root)
 
   test("compactTextIndex: fewer files, one stats row, identical serving") {
     val idx = "target/graft-test-compact-text"

@@ -264,7 +264,7 @@ class CorpusSpec extends AnyFunSuite {
     val batch = Seq((10L, "a b c d e"), (11L, "x y")).toDF("doc_id", "text")
     val grown = "target/graft-test-lm-append"
     Corpus.saveLm(half1, "text", "doc_id", grown)
-    Corpus.appendToLm(half2, grown, "text", "doc_id")
+    Corpus.appendToLm(half2, grown, "text", "doc_id", opId = "grow1")
     def score(p: String) = Corpus.lmPerplexityIndexed(batch, p, "text", "doc_id")
       .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toList
     val fresh = "target/graft-test-lm-append-fresh"
@@ -486,7 +486,7 @@ class CorpusSpec extends AnyFunSuite {
       shrunk)
     graft.ext.Corpus.deleteFromLm(
       train.filter(d => deadIds.contains(d._1)).toDF("doc_id", "text"),
-      shrunk, "text", "doc_id")
+      shrunk, "text", "doc_id", opId = "forget1")
     val fresh = "target/graft-test-lm-fresh"
     graft.ext.Corpus.saveLm(
       train.filterNot(d => deadIds.contains(d._1)).toDF("doc_id", "text"),
@@ -508,6 +508,33 @@ class CorpusSpec extends AnyFunSuite {
       .where($"tok" === "zonly").count() == 0)
     // and the compacted model still scores identically to the fresh train
     assert(scores(shrunk) == scores(fresh))
+  }
+
+  test("LM delta ops are atomic under retry: same opId applies exactly once") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val extra = Seq((3L, "c d e")).toDF("doc_id", "text")
+    val path = "target/graft-test-lm-retry"
+    graft.ext.Corpus.saveLm(docs, "text", "doc_id", path)
+    graft.ext.Corpus.appendToLm(extra, path, "text", "doc_id", opId = "g1")
+    def score() = graft.ext.Corpus.lmPerplexityIndexed(
+      Seq((9L, "a b c d e")).toDF("doc_id", "text"), path, "text", "doc_id")
+      .collect().map(_.toSeq).toSeq
+    val once = score()
+    // a RETRY of the same op (the crashed-caller recovery path) is a
+    // no-op — a plain re-append would double the batch's counts
+    graft.ext.Corpus.appendToLm(extra, path, "text", "doc_id", opId = "g1")
+    assert(score() == once)
+    // the delete path shares the machinery: retried forget, one apply
+    graft.ext.Corpus.deleteFromLm(extra, path, "text", "doc_id", opId = "f1")
+    val afterDelete = score()
+    graft.ext.Corpus.deleteFromLm(extra, path, "text", "doc_id", opId = "f1")
+    assert(score() == afterDelete)
+    // and the fold keeps both verdicts (op markers survive compaction)
+    graft.ext.Corpus.compactLm(spark, path)
+    assert(score() == afterDelete)
+    graft.ext.Corpus.appendToLm(extra, path, "text", "doc_id", opId = "g1")
+    assert(score() == afterDelete)
   }
 
   test("merged per-part histograms reproduce the whole-corpus report card exactly") {

@@ -191,6 +191,50 @@ class StageSpec extends AnyFunSuite {
     assert(Search.bm25TopKIndexed(spark, idx, Seq("spark"), 10).count() == 0)
   }
 
+  test("tombstones appended during a fold survive the reset") {
+    val idx = "target/graft-test-tomb-midfold"
+    fs(idx).delete(new Path(idx), true)
+    Search.saveTextIndex(Seq(
+      (1L, "spark join"), (2L, "spark stream"), (3L, "spark table"))
+      .toDF("doc_id", "text"), idx)
+    Search.tombstoneFromTextIndex(spark, idx, Seq(1L).toDF("doc_id"))
+    // the fold pins its snapshot...
+    val snap = Stage.tombstoneSnapshot(spark, idx).get
+    assert(snap._1.collect().map(_.getLong(0)).toSet == Set(1L))
+    // ...a delete service lands doc 2 while the fold runs...
+    Search.tombstoneFromTextIndex(spark, idx, Seq(2L).toDF("doc_id"))
+    // ...and the reset consumes exactly the snapshot: doc 2 stays pending
+    Stage.resetTombstones(spark, idx, snap._2)
+    assert(Stage.pendingTombstones(spark, idx).get
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("compaction sweeps an uncommitted batch's partial files") {
+    val idx = "target/graft-test-sweep-uncommitted"
+    fs(idx).delete(new Path(idx), true)
+    Search.saveTextIndex(Seq((1L, "alpha beta")).toDF("doc_id", "text"), idx)
+    Search.appendToTextIndexExactlyOnce(
+      Seq((2L, "alpha gamma")).toDF("doc_id", "text"), idx, batchId = 0L)
+    // batch 1 crashed MID-PUBLISH: its postings landed under b1-*, but
+    // doclens/stats/marker never did — simulate with a manual staged move
+    val tmp = "target/graft-test-sweep-uncommitted-tmp"
+    fs(tmp).delete(new Path(tmp), true)
+    Seq(("alpha", 9L, 1L)).toDF("token", "doc_id", "tf").write.parquet(tmp)
+    Stage.publishStaged(fs(idx), new Path(tmp),
+      new Path(Stage.resolve(spark, s"$idx/postings")), "b1")
+    // compaction must EXCLUDE the torn batch (folding it would anonymize
+    // the b1 files, and the replay below would then double doc 9)
+    Search.compactTextIndex(spark, idx)
+    assert(Search.conjunctiveSearch(spark, idx, Seq("alpha"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // the stream restarts and replays batch 1 whole — counted ONCE
+    Search.appendToTextIndexExactlyOnce(
+      Seq((9L, "alpha delta")).toDF("doc_id", "text"), idx, batchId = 1L)
+    val got = Search.conjunctiveSearch(spark, idx, Seq("alpha"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 1L))
+  }
+
   test("a torn tombstone table reads as no pending deletes, not an error") {
     val idx = "target/graft-test-tomb-torn"
     fs(idx).delete(new Path(idx), true)
