@@ -604,10 +604,7 @@ object Corpus {
                             idCol: String, batchId: Long): Unit = {
     val (cbD, vD) = lmDeltas(batch, textCol, idCol, sign = 1)
     graft.ops.Stage.appendExactlyOnce(batch.sparkSession, path, batchId,
-      Seq("bigrams", "vocab")) { staging =>
-      cbD.write.mode("overwrite").parquet(s"$staging/bigrams")
-      vD.write.mode("overwrite").parquet(s"$staging/vocab")
-    }
+      Seq("bigrams", "vocab"))(writeLmDeltas(cbD, vD))
   }
 
   /** Delete documents from a [[saveLm]] model — exact subtraction, now as
@@ -640,10 +637,16 @@ object Corpus {
                             path: String, opId: String,
                             cbD: DataFrame, vD: DataFrame): Unit =
     graft.ops.Stage.publishOnce(spark, path, opId,
-      Seq("bigrams", "vocab")) { staging =>
-      cbD.write.mode("overwrite").parquet(s"$staging/bigrams")
-      vD.write.mode("overwrite").parquet(s"$staging/vocab")
-    }
+      Seq("bigrams", "vocab"))(writeLmDeltas(cbD, vD))
+
+  /** The ONE staged layout for a paired (bigrams, vocab) delta, shared
+    * by the streaming and maintenance publish paths so their on-disk
+    * formats can never diverge. */
+  private def writeLmDeltas(cbD: DataFrame, vD: DataFrame)
+                           (staging: String): Unit = {
+    cbD.write.mode("overwrite").parquet(s"$staging/bigrams")
+    vD.write.mode("overwrite").parquet(s"$staging/vocab")
+  }
 
   /** Compact a [[saveLm]] model's delta trail: fold the additive rows to
     * one positive row per key (dropping zeroed bigrams/tokens — folded

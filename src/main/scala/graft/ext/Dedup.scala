@@ -638,6 +638,9 @@ object Dedup {
   def deleteContentFromMinhashManifest(deleted: DataFrame, textCol: String,
                                        path: String): Unit = {
     val spark = deleted.sparkSession
+    // like every compacting rewrite: a crashed batch's uncommitted
+    // b<id>-* files must not fold (the replay would double them)
+    graft.ops.Stage.sweepUncommitted(spark, path, Seq("docs", "bands"))
     val delKeys = deleted.where(col(textCol).isNotNull)
       .select(xxhash64(tokenHashes(col(textCol))).as("seth")).distinct()
     import graft.ops.Stage.{publishRewrite, resolve}

@@ -234,6 +234,10 @@ object Search {
                           path: String, ids: DataFrame,
                           idCol: String = "doc_id"): Unit = {
     import graft.ops.Stage.{publishRewrite, resolve}
+    // like every compacting rewrite: a crashed batch's uncommitted
+    // b<id>-* files must not fold (the replay would double them)
+    graft.ops.Stage.sweepUncommitted(spark, path,
+      Seq("postings", "doclens", "stats"))
     val del = ids.select(col(idCol)).distinct()
     publishRewrite(spark, s"$path/postings",
       spark.read.parquet(resolve(spark, s"$path/postings"))

@@ -551,6 +551,9 @@ object Similarity {
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, ids: DataFrame,
                          idCol: String = "vec_id"): Unit = {
+    // like every compacting rewrite: a crashed batch's uncommitted
+    // b<id>-* files must not fold (the replay would double them)
+    graft.ops.Stage.sweepUncommitted(spark, path, Seq("lists"))
     val del = ids.select(col(idCol).as("vec_id")).distinct()
     graft.ops.Stage.publishRewrite(spark, s"$path/lists") { versionDir =>
       spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/lists"))

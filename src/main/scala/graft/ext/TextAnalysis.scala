@@ -284,7 +284,6 @@ object TextAnalysis {
     val spark = df.sparkSession
     val rdd = df.select(col(idCol), col(textCol)).rdd.mapPartitions { it =>
       val deflater = new java.util.zip.Deflater(level)
-      val buf = new Array[Byte](64 * 1024)
       it.map { r =>
         val id = r.getLong(0)
         val text = if (r.isNullAt(1)) null else r.getString(1)
@@ -295,9 +294,20 @@ object TextAnalysis {
           deflater.reset()
           deflater.setInput(raw)
           deflater.finish()
-          var compressed = 0L
-          while (!deflater.finished())
-            compressed += deflater.deflate(buf)
+          // ONE deflate call with full output space: zlib then emits
+          // MAXIMAL stored blocks (65535 bytes) at level 0, making the
+          // output size a pure function of the input — the closed form
+          // the q90 oracle replays. A fixed-buffer loop instead splits
+          // stored blocks at the buffer remainder, so documents within
+          // 6 bytes under a 65535 multiple gained an extra 5-byte block
+          // header per buffer cycle (measured; boundary-pinned in
+          // TextAnalysisSpec). The bound covers zlib's worst case at
+          // every level (stored framing needs raw/13107; level-6
+          // incompressible needs ~raw/3277 + 10).
+          val out = new Array[Byte](raw.length + (raw.length >>> 10) + 128)
+          var compressed = deflater.deflate(out).toLong
+          while (!deflater.finished()) // unreachable given the bound
+            compressed += deflater.deflate(out)
           org.apache.spark.sql.Row(id, raw.length.toLong, compressed,
             compressed.toDouble / raw.length)
         }

@@ -51,6 +51,7 @@ object Stage {
   private val HighMarkerRe = "high-(\\d+)".r
   private val BatchFileRe = "b(\\d+)-.*".r
   private val OpFileRe = "o([A-Za-z0-9_]+)-.*".r
+  private val OpMarkerRe = "op-([A-Za-z0-9_]+)".r
 
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -201,6 +202,16 @@ object Stage {
     * (same id, same content — the caller's contract) sweeps the partial
     * `o<opId>-*` prefix and republishes whole; a retry of a completed op
     * is a metadata-only no-op.
+    *
+    * DURABILITY CONTRACT: the op is durable only when this method
+    * RETURNS. Published component files are visible to readers before
+    * the marker commits, so a caller that crashes mid-op may OBSERVE
+    * the op's effect — that is not confirmation. An unretried crashed
+    * op is eventually REVERTED: the next compaction's
+    * [[sweepUncommitted]] removes its markerless `o<opId>-*` files.
+    * Crashed callers must retry with the same id before relying on the
+    * effect (the same rule Structured Streaming's checkpoint enforces
+    * automatically for [[appendExactlyOnce]] batches).
     */
   def publishOnce(spark: SparkSession, path: String, opId: String,
                   components: Seq[String])(stage: String => Unit): Unit = {
@@ -235,17 +246,25 @@ object Stage {
                        components: Seq[String]): Unit = {
     val ledger = new Path(s"$path/_ledger")
     val fs = fsFor(spark, ledger)
-    val high = ledgerHighWater(fs, ledger)
-    def committedBatch(id: Long): Boolean =
-      id <= high || fs.exists(new Path(ledger, s"batch-$id"))
-    def committedOp(op: String): Boolean =
-      fs.exists(new Path(ledger, s"op-$op"))
+    // ONE ledger listing up front: the per-file committed checks below
+    // are set lookups, not exists() RPCs — a fragmented index can carry
+    // hundreds of prefixed files per component
+    val entries =
+      if (fs.exists(ledger)) fs.listStatus(ledger).map(_.getPath.getName)
+      else Array.empty[String]
+    val high = entries.foldLeft(-1L) {
+      case (acc, HighMarkerRe(n)) => math.max(acc, n.toLong)
+      case (acc, _)               => acc
+    }
+    val batchIds = entries.collect { case BatchMarkerRe(n) => n.toLong }.toSet
+    val opIds = entries.collect { case OpMarkerRe(op) => op }.toSet
     def sweep(d: Path): Unit = dataEntries(fs, d).foreach { s =>
       if (s.isDirectory) sweep(s.getPath)
       else s.getPath.getName match {
-        case BatchFileRe(id) if !committedBatch(id.toLong) =>
+        case BatchFileRe(id)
+          if id.toLong > high && !batchIds.contains(id.toLong) =>
           fs.delete(s.getPath, false)
-        case OpFileRe(op) if !committedOp(op) =>
+        case OpFileRe(op) if !opIds.contains(op) =>
           fs.delete(s.getPath, false)
         case _ => ()
       }
@@ -312,9 +331,27 @@ object Stage {
       if (s.isDirectory) files(s.getPath) else Seq(s.getPath))
     if (!fs.exists(p)) None
     else {
-      val fl = files(p)
+      // files a past fold consumed are excluded (their keys are already
+      // physically deleted) but still ON DISK for one compaction cycle —
+      // the reader grace [[resetTombstones]] maintains
+      val consumed = consumedNames(fs, p)
+      val fl = files(p).filterNot(f => consumed.contains(f.getName))
       if (fl.isEmpty) None
       else Some((spark.read.parquet(fl.map(_.toString): _*).distinct(), fl))
+    }
+  }
+
+  /** The file names the previous fold's [[resetTombstones]] recorded in
+    * `_consumed` — consumed (already physically folded) but kept on disk
+    * for one compaction cycle of reader grace. */
+  private def consumedNames(fs: FileSystem, tombDir: Path): Set[String] = {
+    val f = new Path(tombDir, "_consumed")
+    if (!fs.exists(f)) Set.empty
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
     }
   }
 
@@ -324,19 +361,41 @@ object Stage {
                         path: String): Option[DataFrame] =
     tombstoneSnapshot(spark, path).map(_._1)
 
-  /** Delete exactly the tombstone files a fold consumed (the file list
-    * of its [[tombstoneSnapshot]]) after compaction turned those keys
-    * into a physical delete. Keys appended after the snapshot keep
-    * their files and stay pending. With nothing left, the fast paths
-    * tombstoning suspended (the text index's one-row stats read, the
-    * anti-join-free serves) return — [[pendingTombstones]] probes for
-    * files, not the directory. Safe at every crash point: the fold
-    * physically removed the consumed keys' rows first, so stale keys
-    * surviving a partial delete anti-join as no-ops. */
+  /** Retire the tombstone files a fold consumed (the file list of its
+    * [[tombstoneSnapshot]]) after compaction turned those keys into a
+    * physical delete — with ONE COMPACTION CYCLE of reader grace, like
+    * the version GC: a serve query that pinned the files just before
+    * the fold must still find them. The consumed names are recorded in
+    * `tombstones/_consumed` (atomic overwrite-rename) and excluded from
+    * every later snapshot; the NEXT reset physically deletes them.
+    * Keys appended after the snapshot keep their files and stay
+    * pending; with nothing pending, the fast paths tombstoning
+    * suspended (the text index's one-row stats read, the anti-join-free
+    * serves) return. Safe at every crash point: the fold physically
+    * removed the consumed keys' rows first, so a crash that loses the
+    * `_consumed` record merely re-reads stale keys whose anti-joins are
+    * no-ops until the next fold retires them. */
   def resetTombstones(spark: SparkSession, path: String,
                       consumed: Seq[Path]): Unit = {
-    val fs = fsFor(spark, new Path(path))
-    consumed.foreach(f => fs.delete(f, false))
+    val tombDir = new Path(resolve(spark, s"$path/tombstones"))
+    val fs = fsFor(spark, tombDir)
+    if (!fs.exists(tombDir)) return
+    val expired = consumedNames(fs, tombDir) // grace cycle over
+    if (expired.nonEmpty) {
+      def sweep(d: Path): Unit = dataEntries(fs, d).foreach { s =>
+        if (s.isDirectory) sweep(s.getPath)
+        else if (expired.contains(s.getPath.getName))
+          fs.delete(s.getPath, false)
+      }
+      sweep(tombDir)
+    }
+    val tmp = new Path(tombDir, "_consumed.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(consumed.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val fc = FileContext.getFileContext(tombDir.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(tombDir, "_consumed"), Options.Rename.OVERWRITE)
   }
 
   /** Drop an index root's tombstone table entirely — the rebuild

@@ -207,6 +207,16 @@ class StageSpec extends AnyFunSuite {
     Stage.resetTombstones(spark, idx, snap._2)
     assert(Stage.pendingTombstones(spark, idx).get
       .collect().map(_.getLong(0)).toSet == Set(2L))
+    // reader grace: the consumed files survive ON DISK one compaction
+    // cycle — a serve query that pinned them just before the fold still
+    // reads them...
+    assert(spark.read.parquet(snap._2.map(_.toString): _*)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // ...and the NEXT fold's reset physically retires them
+    val snap2 = Stage.tombstoneSnapshot(spark, idx).get
+    Stage.resetTombstones(spark, idx, snap2._2)
+    assert(snap._2.forall(f => !fs(idx).exists(f)))
+    assert(Stage.pendingTombstones(spark, idx).isEmpty)
   }
 
   test("compaction sweeps an uncommitted batch's partial files") {

@@ -243,6 +243,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == ((1L, raw, expect, expect.toDouble / raw)))
   }
 
+  test("compressionRatios at level 0: exact at the stored-block boundaries") {
+    // the hard window: a fixed-output-buffer deflate loop splits stored
+    // blocks at the buffer remainder, so sizes within 6 bytes under a
+    // 65535 multiple gained an extra 5-byte block header (measured with
+    // the old 64 KiB loop: 65530..65535 each came out 5 bytes over the
+    // closed form). The single-full-buffer call must match the formula
+    // on BOTH sides of every boundary.
+    val sizes = Seq(65529L, 65530L, 65535L, 65536L, 131066L, 131071L)
+    val df = sizes.zipWithIndex
+      .map { case (n, i) => (i.toLong, "a" * n.toInt) }.toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatios(df, "text", "doc_id", level = 0)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toList
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val expect = n + 2 + 4 + 5 * ((n + 65534) / 65535)
+      assert(got(i) == ((i.toLong, n, expect, expect.toDouble / n)),
+        s"size $n")
+    }
+  }
+
   test("gopher rule metrics: symbol ratio, alpha-word fraction, stop count") {
     val df = Seq(
       "see # section ... below",   // 1 '#' + 1 '...' over 5 words
