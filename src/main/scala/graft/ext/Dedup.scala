@@ -816,6 +816,9 @@ object Dedup {
     val meta = spark.read.parquet(
       graft.ops.Stage.resolve(spark, s"$manifestPath/meta")).head()
     val (k, bands) = (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+    // tombstones BEFORE the data resolves (the linearizable ordering —
+    // see Stage.tombstoneSnapshot)
+    val tomb = graft.ops.Stage.pendingTombstones(spark, manifestPath)
     val manBands = spark.read.parquet(
       graft.ops.Stage.resolve(spark, s"$manifestPath/bands"))
     // pending tombstones mask their content here: a tombstoned doc's bands
@@ -823,7 +826,7 @@ object Dedup {
     // verification join against the filtered docs relation
     val manDocs = minusTombstoned(
       spark.read.parquet(graft.ops.Stage.resolve(spark, s"$manifestPath/docs")),
-      graft.ops.Stage.pendingTombstones(spark, manifestPath))
+      tomb)
     val keyed = keyedSignatures(probe, k, bands, keepToks = carryTokens)
     val carryIn = if (carryTokens) Seq(col("toks").as("toks_n")) else Seq.empty
     val carryOn = if (carryTokens) Seq(col("toks_n")) else Seq.empty

@@ -386,10 +386,12 @@ object Search {
                         terms: Seq[String], idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty && terms.size == terms.distinct.size,
       "conjunctiveSearch needs a non-empty, duplicate-free term set")
+    // tombstones BEFORE the data resolve (the linearizable ordering —
+    // see Stage.tombstoneSnapshot)
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
     minusTombstoned(
       spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/postings"))
-        .where(col("token").isInCollection(terms)),
-      graft.ops.Stage.pendingTombstones(spark, path), idCol)
+        .where(col("token").isInCollection(terms)), tomb, idCol)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_occurrences"))
       .where(col("n_terms") === terms.size)

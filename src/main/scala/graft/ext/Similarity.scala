@@ -652,9 +652,12 @@ object Similarity {
     val (scale, cents) = loadIvfMeta(spark, path)
     val cvec = if (scale > 0) dequantize(col("code"), scale)
       else col("code")
+    // tombstones BEFORE the lists resolve (the linearizable ordering —
+    // see Stage.tombstoneSnapshot)
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
     val c = minusTombstoned(
         spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/lists")),
-        graft.ops.Stage.pendingTombstones(spark, path))
+        tomb)
       .select(col("vec_id").as("neighbor_id"), cvec.as("c_vec"), col("centroid"))
       .withColumn("c_norm", norm(col("c_vec")))
     val q = queries.select(col(idCol).as("query_id"),

@@ -271,24 +271,53 @@ object TextAnalysis {
     * deterministic output for a given (input, level), so the score is
     * reproducible across runs and executors. Compressed output at
     * levels >= 1 is NOT expressible in SQL (the spec pins hand-computed
-    * level-6 values); level 0 IS — zlib stored framing is raw + 11 bytes
-    * for inputs that fit one stored block (<= ~64 KiB with this buffer),
-    * which is how the q90 harness query gets a full DuckDB oracle over
-    * the identical codec stage. Shuffle-free map stage;
-    * one Deflater instance is reused (reset) across each partition's rows
-    * rather than allocated per document. Empty and NULL text score 1.0
-    * (nothing to compress — never "maximally repetitive").
+    * level-6 values); level 0 IS — zlib stored framing is
+    * `raw + 6 + 5·ceil(raw/65535)` bytes at EVERY document size (the
+    * deflater gets full output space in one call, so stored blocks are
+    * maximal — boundary-pinned in TextAnalysisSpec), which is how the
+    * q90 harness query gets a full DuckDB oracle over the identical
+    * codec stage. Assumes zlib >= 1.2.9 stored-block behavior (older
+    * zlib capped stored blocks at 65531 bytes under memLevel 8) — a
+    * one-time probe asserts it per JVM rather than letting the oracle
+    * mismatch mysteriously on an exotic JDK. Shuffle-free map stage; one
+    * Deflater and one output buffer (grown to the partition's largest
+    * document) are reused across each partition's rows, and the Deflater
+    * releases its native buffers at partition end. Empty and NULL text
+    * score 1.0 (nothing to compress — never "maximally repetitive").
     */
+  /** One-time zlib behavior probe (per JVM): level-0 DEFLATE of 65535
+    * bytes with full output space must come out as ONE maximal stored
+    * block (raw + 11) — true for zlib >= 1.2.9, which every current JDK
+    * bundles or links; ancient zlib capped stored blocks at 65531 bytes
+    * under memLevel 8, which would silently break the q90 closed form.
+    * Failing loudly here beats a mysterious oracle hash mismatch. */
+  private lazy val storedBlocksAreMaximal: Unit = {
+    val d = new java.util.zip.Deflater(0)
+    try {
+      d.setInput(new Array[Byte](65535))
+      d.finish()
+      val out = new Array[Byte](65535 + 64)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(out)
+      require(n == 65535L + 11,
+        s"zlib stored-block probe: got $n bytes for a 65535-byte level-0 " +
+          "input, expected 65546 — this zlib does not emit maximal stored " +
+          "blocks, so the closed-form level-0 contract (q90) does not hold")
+    } finally d.end()
+  }
+
   def compressionRatios(df: org.apache.spark.sql.DataFrame, textCol: String,
                         idCol: String, level: Int = 6): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     val rdd = df.select(col(idCol), col(textCol)).rdd.mapPartitions { it =>
+      storedBlocksAreMaximal // once per JVM: fail loudly on exotic zlib
       val deflater = new java.util.zip.Deflater(level)
-      it.map { r =>
+      var out = new Array[Byte](64 * 1024) // grown to the partition max
+      val rows = it.map { r =>
         val id = r.getLong(0)
         val text = if (r.isNullAt(1)) null else r.getString(1)
         if (text == null || text.isEmpty) {
-          org.apache.spark.sql.Row(id, if (text == null) 0L else 0L, 0L, 1.0)
+          org.apache.spark.sql.Row(id, 0L, 0L, 1.0)
         } else {
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           deflater.reset()
@@ -303,14 +332,29 @@ object TextAnalysis {
           // header per buffer cycle (measured; boundary-pinned in
           // TextAnalysisSpec). The bound covers zlib's worst case at
           // every level (stored framing needs raw/13107; level-6
-          // incompressible needs ~raw/3277 + 10).
-          val out = new Array[Byte](raw.length + (raw.length >>> 10) + 128)
+          // incompressible needs ~raw/3277 + 10); Long math + cap so a
+          // near-2 GiB document degrades to the loop instead of
+          // overflowing the allocation size negative.
+          val bound = math.min(
+            raw.length.toLong + (raw.length >>> 10) + 128L,
+            Int.MaxValue.toLong - 8).toInt
+          if (out.length < bound) out = new Array[Byte](bound)
           var compressed = deflater.deflate(out).toLong
-          while (!deflater.finished()) // unreachable given the bound
+          while (!deflater.finished()) // only reachable near the Int cap
             compressed += deflater.deflate(out)
           org.apache.spark.sql.Row(id, raw.length.toLong, compressed,
             compressed.toDouble / raw.length)
         }
+      }
+      // release native zlib buffers at partition end (hasNext is called
+      // again after exhaustion by Spark's pipeline; end() is idempotent)
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h) deflater.end()
+          h
+        }
+        def next(): org.apache.spark.sql.Row = rows.next()
       }
     }
     spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(

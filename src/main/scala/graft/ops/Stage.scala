@@ -321,6 +321,15 @@ object Stage {
     * serve: a crashed [[appendTombstones]] that created the directory
     * but committed nothing (only `_temporary` inside), and a crashed
     * reset that deleted some files.
+    *
+    * ORDERING RULE for serve paths racing a fold: load the tombstone
+    * snapshot BEFORE resolving any data component. Tombstones-first is
+    * linearizable — if a fold lands in between, the data resolve gets
+    * the post-fold version (keys already physically gone) and the stale
+    * pending set anti-joins as a no-op. Data-first is NOT: a pre-fold
+    * data version paired with the post-reset (empty) pending set would
+    * serve deleted rows. Every serve path in Search/Similarity/Dedup
+    * follows tombstones-first.
     */
   def tombstoneSnapshot(spark: SparkSession,
                         path: String): Option[(DataFrame, Seq[Path])] = {
