@@ -343,6 +343,35 @@ object ScaleProbe {
       }
     }
 
+    if (sel("ledger")) {
+      // the ledger's own small-files problem: one batch-<id> marker per
+      // micro-batch, forever, vs one folded high-water marker. Measure
+      // the maintenance listing cost both ways (the replay check itself
+      // is one exists() either way — the listing is what sweepUncommitted
+      // and compactLedger pay per maintenance op)
+      import org.apache.hadoop.fs.Path
+      val root = "target/graft-scaleprobe-ledger"
+      val p = new Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val ledger = new Path(root, "_ledger")
+      fs.mkdirs(ledger)
+      val nMarkers = 43200 // a month of minute-batches
+      time(s"ledger-write-${nMarkers}-markers") {
+        (0 until nMarkers).foreach(i =>
+          fs.create(new Path(ledger, s"batch-$i"), false).close())
+      }
+      time(s"ledger-list-${nMarkers}-markers") {
+        fs.listStatus(ledger).length
+      }
+      time("ledger-fold(compactLedger)") {
+        graft.ops.Stage.compactLedger(spark, root)
+      }
+      time("ledger-list-folded") {
+        fs.listStatus(ledger).length
+      }
+    }
+
     // ---- salted join (q99): 90% of 4M probe rows pile on one key (the
     // null-pile / dominant-tenant shape); compare straggler task time
     // plain vs salted at the same shuffle width. The salted plan's build

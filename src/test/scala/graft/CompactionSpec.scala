@@ -134,4 +134,64 @@ class CompactionSpec extends AnyFunSuite {
       s"expected fewer files per table, got $filesBefore -> $filesAfter")
     assert(probe() == before)
   }
+
+  test("autoCompact wrappers (IVF/manifest/LM): threshold gates the rewrite") {
+    // the text-index wrapper's trigger/no-op contract is pinned in
+    // StageSpec; this covers the other three families' wrappers
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = emb.select(col("vec_id"),
+      Similarity.dequantize(
+        Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+    val ivf = "target/graft-test-autocompact-ivf"
+    fs.delete(new Path(ivf), true)
+    Similarity.saveIvfIndex(emb.where(col("vec_id") % 2 === 0), ivf,
+      nCentroids = 8, dim = 64, quantScale = 200.0,
+      centroidsIn = Similarity.sampleCentroids(deq, 8))
+    Similarity.appendToIvfIndexExactlyOnce(
+      emb.where(col("vec_id") % 2 === 1), ivf, batchId = 1L)
+    def serveIvf() = Similarity.topKIvfIndexed(spark,
+      deq.where(col("vec_id") < 5), ivf, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val ivfBefore = serveIvf()
+    val ivfFrag = Stage.fragmentation(spark, s"$ivf/lists")
+    assert(!Similarity.autoCompactIvfIndex(spark, ivf, 10000)) // below: no-op
+    assert(Stage.fragmentation(spark, s"$ivf/lists") == ivfFrag)
+    assert(Similarity.autoCompactIvfIndex(spark, ivf, 1)) // above: rewrite
+    assert(Stage.fragmentation(spark, s"$ivf/lists") < ivfFrag)
+    assert(serveIvf() == ivfBefore)
+
+    val man = "target/graft-test-autocompact-man"
+    fs.delete(new Path(man), true)
+    Dedup.saveMinhashManifest(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      "text", "doc_id", man, k = 32, bands = 16)
+    Dedup.appendToMinhashManifestExactlyOnce(
+      Seq((2L, "totally different content here")).toDF("doc_id", "text"),
+      "text", "doc_id", man, batchId = 1L)
+    def probeMan() = Dedup.incrementalNearDups(
+      Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      man, "text", "doc_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+    val manBefore = probeMan()
+    assert(!Dedup.autoCompactMinhashManifest(spark, man, 10000))
+    assert(Dedup.autoCompactMinhashManifest(spark, man, 1))
+    assert(probeMan() == manBefore)
+
+    val lm = "target/graft-test-autocompact-lm"
+    fs.delete(new Path(lm), true)
+    graft.ext.Corpus.saveLm(
+      Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text"),
+      "text", "doc_id", lm)
+    graft.ext.Corpus.appendToLm(
+      Seq((3L, "c d e")).toDF("doc_id", "text"), lm, "text", "doc_id",
+      opId = "auto1")
+    def scoreLm() = graft.ext.Corpus.lmPerplexityIndexed(
+      Seq((9L, "a b c d e")).toDF("doc_id", "text"), lm, "text", "doc_id")
+      .collect().map(_.toSeq).toSeq
+    val lmBefore = scoreLm()
+    assert(!graft.ext.Corpus.autoCompactLm(spark, lm, 10000))
+    assert(graft.ext.Corpus.autoCompactLm(spark, lm, 1))
+    assert(scoreLm() == lmBefore)
+  }
 }
