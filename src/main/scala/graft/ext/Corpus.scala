@@ -420,6 +420,83 @@ object Corpus {
         Seq(col("score"), col("n_tokens")): _*)
   }
 
+  /** DSIR-style importance weights for domain-targeted data selection
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023): score every raw-corpus document by how
+    * much more likely its hashed-n-gram profile is under a TARGET
+    * corpus's feature distribution than under the raw corpus's own,
+    * log w(x) = Σ_f [log p_target(f) − log p_raw(f)] over the document's
+    * feature occurrences — then keep the documents that look most like
+    * the target domain. Re-expressed engine-portably:
+    *
+    *  - features are word BIGRAMS hashed into `buckets` buckets by the
+    *    portable char-fold hash (the q32-SimHash hash, SQL-replayable);
+    *  - both distributions are add-`1`-smoothed bucket frequencies
+    *    (c(b)+1)/(tot+B) — the paper's bag-of-hashed-ngrams model;
+    *  - the log-ratio is kept in INTEGER bits via the floor-log₂ trick
+    *    the bigram LM uses ([[lmPerplexity]]):
+    *    wbits(b) = bitsRaw(b) − bitsTgt(b), where
+    *    bitsX(b) = floor(log₂((totX + B) div (cX(b) + 1))) is the
+    *    bucket's whole-bit surprisal under distribution X. Positive
+    *    wbits = the bucket is more target-like than corpus-average;
+    *    per-bucket resolution is whole bits, and the per-document sum
+    *    over hundreds of occurrences recovers discrimination (the same
+    *    trade [[lmPerplexity]] documents).
+    *
+    * Output: (doc_id, n_bigrams, dsir_bits, selected) per raw document,
+    * selected = dsir_bits > 0 (the deterministic stand-in for the
+    * paper's gumbel-noised resampling: thresholding at "more
+    * target-like than not", RNG-free so re-ingestion is stable; for a
+    * budgeted selection feed `dsir_bits` to [[budgetSelect]] as the
+    * score). Documents with no bigrams (<2 tokens or NULL text) come
+    * back (0, 0, false).
+    *
+    * Scale shape: one bigram explode per corpus; both count tables have
+    * exactly `buckets` rows and the totals are one-row aggregates, so
+    * the weight table is bucket-sized and BROADCAST into the per-doc
+    * scoring join — the only corpus-sized exchange is the groupBy(doc)
+    * sum. The target corpus is typically tiny (a curated domain sample);
+    * its pass costs target-size. No vocabulary table exists at all —
+    * hashing bounds the model at `buckets` rows no matter the corpus
+    * (the paper's reason for hashed features).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                  idCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    def bucketed(df: DataFrame): DataFrame =
+      bigramStream(df, textCol, idCol).select(col("doc"),
+        (graft.functions.TextExpressions.charFold(
+          concat_ws(" ", col("p"), col("w")), 31L, 1000000007L)
+          % buckets).as("bucket"))
+    val rawB = bucketed(raw)
+    val tgtB = bucketed(target)
+    val cr = rawB.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val ct = tgtB.groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totR = rawB.agg(count(lit(1)).as("tot_r"))
+    val totT = tgtB.agg(count(lit(1)).as("tot_t"))
+    // every bucket the raw corpus touches has a cr row; target counts
+    // left-join (absent = 0, the add-one floor). All relations here are
+    // bucket-sized or one-row — the broadcast below is the whole model.
+    // `div` keeps the ratio in integers (q81's discipline — `/` on longs
+    // is double division and a 100 TB total would round in it)
+    val weights = cr.join(ct, Seq("bucket"), "left")
+      .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
+      .select(col("bucket"),
+        ((length(bin(expr(s"(tot_r + $buckets) div (cr + 1)"))) - 1)
+          - (length(bin(expr(
+              s"(tot_t + $buckets) div (coalesce(ct, 0) + 1)"))) - 1))
+          .cast("long").as("wbits"))
+    val perDoc = rawB.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("wbits")).as("dsir_bits"))
+    raw.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits"),
+        (coalesce(col("dsir_bits"), lit(0L)) > 0).as("selected"))
+  }
+
   /** KenLM-shaped n-gram LM quality score: per-document surprisal under a
     * bigram model with add-one smoothing, trained on the corpus itself
     * (the CCNet recipe scores against a reference-corpus LM — pass that

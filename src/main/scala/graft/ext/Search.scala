@@ -180,14 +180,14 @@ object Search {
     * deletes are pending.
     */
   private def readStats(spark: org.apache.spark.sql.SparkSession,
-                        path: String,
+                        statsDir: String,
                         filteredDoclens: Option[DataFrame]): DataFrame =
     filteredDoclens match {
       case Some(dl) =>
         dl.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
       case None =>
-        spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/stats"))
+        spark.read.parquet(statsDir)
           .agg(sum(col("n_docs")).as("n_docs"),
             sum(col("total_tokens")).as("total_tokens"))
     }
@@ -366,15 +366,61 @@ object Search {
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                       terms: Seq[String], k: Int, idCol: String = "doc_id",
                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // tombstones BEFORE the data resolve (the linearizable ordering —
+    // see Stage.tombstoneSnapshot)
     val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    def live(c: String) = graft.ops.Stage.resolve(spark, s"$path/$c")
+    serveBm25(spark, live("postings"), live("doclens"), live("stats"),
+      tomb, terms, k, idCol, k1, b)
+  }
+
+  /** [[bm25TopKIndexed]] from the PREVIOUS index snapshot — the version a
+    * maintenance op (delete, compaction) superseded, which the versioned
+    * publish keeps for one cycle anyway ([[graft.ops.Stage.resolvePrevious]]).
+    * The validation read of the maintenance story: serve the pre-op
+    * snapshot next to the live index and diff before trusting the op —
+    * at zero extra storage, because the grace version already exists for
+    * in-flight readers. Fails loudly when any component lacks a previous
+    * version (plain layout, or only one publish so far), and the window
+    * is ONE publish cycle — the next maintenance op GCs the snapshot.
+    *
+    * PENDING tombstones still apply: a right-to-be-forgotten request
+    * must hold for snapshot reads too, so the anti-join filters the
+    * previous snapshot exactly as it filters the live one (only
+    * already-FOLDED deletes are visible again — they are part of the
+    * superseded physical state this read exists to inspect).
+    */
+  def bm25TopKIndexedPrevious(spark: org.apache.spark.sql.SparkSession,
+                              path: String, terms: Seq[String], k: Int,
+                              idCol: String = "doc_id", k1: Double = 1.2,
+                              b: Double = 0.75): DataFrame = {
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    def prev(c: String) = graft.ops.Stage
+      .resolvePrevious(spark, s"$path/$c")
+      .getOrElse(throw new IllegalStateException(
+        s"$path/$c has no previous snapshot to serve — previous-serving " +
+          "needs at least two publishes (the single-writer maintenance " +
+          "history moves all components together)"))
+    serveBm25(spark, prev("postings"), prev("doclens"), prev("stats"),
+      tomb, terms, k, idCol, k1, b)
+  }
+
+  /** The shared indexed-serve body over RESOLVED component directories —
+    * live ([[bm25TopKIndexed]]) and previous-snapshot
+    * ([[bm25TopKIndexedPrevious]]) serving must score identically, so
+    * they share everything after version resolution.
+    */
+  private def serveBm25(spark: org.apache.spark.sql.SparkSession,
+                        postingsDir: String, doclensDir: String,
+                        statsDir: String, tomb: Option[DataFrame],
+                        terms: Seq[String], k: Int, idCol: String,
+                        k1: Double, b: Double): DataFrame = {
     val tf = minusTombstoned(
-      spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/postings"))
+      spark.read.parquet(postingsDir)
         .where(col("token").isInCollection(terms)), tomb, idCol)
-    val dl = minusTombstoned(
-      spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/doclens")),
-      tomb, idCol)
-    scoreBm25(tf, dl, readStats(spark, path, tomb.map(_ => dl)), terms, k,
-      idCol, k1, b)
+    val dl = minusTombstoned(spark.read.parquet(doclensDir), tomb, idCol)
+    scoreBm25(tf, dl, readStats(spark, statsDir, tomb.map(_ => dl)), terms,
+      k, idCol, k1, b)
   }
 
   /** Conjunctive (AND-semantics) search from the same index: documents

@@ -649,15 +649,45 @@ object Similarity {
                      queries: DataFrame, path: String, k: Int, nProbe: Int = 4,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val (scale, cents) = loadIvfMeta(spark, path)
-    val cvec = if (scale > 0) dequantize(col("code"), scale)
-      else col("code")
     // tombstones BEFORE the lists resolve (the linearizable ordering —
     // see Stage.tombstoneSnapshot)
     val tomb = graft.ops.Stage.pendingTombstones(spark, path)
-    val c = minusTombstoned(
-        spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/lists")),
-        tomb)
+    serveIvf(spark, queries, path,
+      graft.ops.Stage.resolve(spark, s"$path/lists"), tomb, k, nProbe,
+      idCol, vecCol)
+  }
+
+  /** [[topKIvfIndexed]] from the PREVIOUS lists snapshot — the version a
+    * delete or compaction superseded, kept for one publish cycle by the
+    * versioned publish ([[graft.ops.Stage.resolvePrevious]]; the text
+    * index's [[graft.ext.Search.bm25TopKIndexedPrevious]] is the same
+    * read applied there). Centroids and meta are FROZEN after the build
+    * (every maintenance op rewrites only `lists/`), so the previous
+    * snapshot needs only the lists' prior version. Pending tombstones
+    * still mask it — right-to-be-forgotten holds for validation reads.
+    */
+  def topKIvfIndexedPrevious(spark: org.apache.spark.sql.SparkSession,
+                             queries: DataFrame, path: String, k: Int,
+                             nProbe: Int = 4, idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    val listsDir = graft.ops.Stage.resolvePrevious(spark, s"$path/lists")
+      .getOrElse(throw new IllegalStateException(
+        s"$path/lists has no previous snapshot to serve — previous-serving " +
+          "needs at least two publishes"))
+    serveIvf(spark, queries, path, listsDir, tomb, k, nProbe, idCol, vecCol)
+  }
+
+  /** The shared IVF serve body over a RESOLVED lists directory — live and
+    * previous-snapshot serving must rank identically. */
+  private def serveIvf(spark: org.apache.spark.sql.SparkSession,
+                       queries: DataFrame, path: String, listsDir: String,
+                       tomb: Option[DataFrame], k: Int, nProbe: Int,
+                       idCol: String, vecCol: String): DataFrame = {
+    val (scale, cents) = loadIvfMeta(spark, path)
+    val cvec = if (scale > 0) dequantize(col("code"), scale)
+      else col("code")
+    val c = minusTombstoned(spark.read.parquet(listsDir), tomb)
       .select(col("vec_id").as("neighbor_id"), cvec.as("c_vec"), col("centroid"))
       .withColumn("c_norm", norm(col("c_vec")))
     val q = queries.select(col(idCol).as("query_id"),

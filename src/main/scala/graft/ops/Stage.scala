@@ -86,6 +86,25 @@ object Stage {
       .map(v => new Path(rootPath, v).toString).getOrElse(root)
   }
 
+  /** The previously-live data directory of `root` — the version the
+    * pointer's second line names, which [[gcStale]] spares for exactly
+    * one publish cycle. None for a plain layout or an index that has
+    * published only once (the first migration of a plain layout has no
+    * previous VERSION — see [[gcStale]]). This is the read half of
+    * TIME-TRAVEL serving: a maintenance op (delete, compaction) can be
+    * validated by serving the pre-op snapshot next to the live one and
+    * diffing, without any extra storage — the grace version already
+    * exists for in-flight readers. The snapshot's lifetime is one
+    * publish cycle: the NEXT maintenance op garbage-collects it, so
+    * previous-serving is a validation window, not an archive (retention
+    * beyond one cycle belongs to an external snapshot copy).
+    */
+  def resolvePrevious(spark: SparkSession, root: String): Option[String] = {
+    val rootPath = new Path(root)
+    pointerLines(fsFor(spark, rootPath), rootPath).drop(1).headOption
+      .map(v => new Path(rootPath, v).toString)
+  }
+
   /** Atomically replace the contents of `root`: `write` receives a fresh
     * version directory to populate, and only after it returns is the
     * `_current` pointer flipped there. If `write` throws, the pointer is

@@ -178,6 +178,21 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q120_dsir_select" -> ((s, d) => {
+      // DSIR-style domain-targeted selection (Xie et al., NeurIPS 2023):
+      // score every document by the hashed-bigram importance log-ratio
+      // between a TARGET domain sample (here the English subset — the
+      // "select data that looks like my curated domain" use) and the raw
+      // corpus, in integer bits (engine-portable floor-log₂, q81's
+      // trick). selected = more target-like than corpus-average. The
+      // model is 64 hashed buckets — corpus-size-invariant by
+      // construction, broadcast into the scoring join.
+      val docs = t(s, d, "documents")
+      Corpus.dsirWeights(docs, docs.where(col("lang") === "en"),
+        "text", "doc_id", buckets = 64)
+        .orderBy("doc_id")
+    }),
+
     "q113_pipeline_funnel" -> ((s, d) =>
       // the composed cleaning pipeline's attrition report: ingest →
       // quality gate → normalized exact dedup → token-budget selection,
@@ -379,6 +394,45 @@ object CorpusQueries {
        ORDER BY te.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    // q120: replay the hashed-bigram importance weights exactly — the
+    // char-fold bucket hash (q32's replay applied to 'p w' gram strings),
+    // add-one-smoothed bucket counts for raw and target (lang='en')
+    // distributions, integer floor-log₂ surprisal difference per bucket
+    // (q81's length(bin(..)) trick), summed per document
+    "q120_dsir_select" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS gram
+               FROM (SELECT doc_id, lang, toks,
+                            unnest(range(1, len(toks))) AS i
+                     FROM t)),
+         b AS (SELECT doc_id, lang,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(gram) + 1),
+                          i -> CAST(ascii(substr(gram, i, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000000007) % 64
+                        AS bucket
+               FROM g),
+         cr AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket),
+         ct AS (SELECT bucket, count(*) AS ct FROM b
+                WHERE lang = 'en' GROUP BY bucket),
+         tot AS (SELECT (SELECT count(*) FROM b) AS tr,
+                        (SELECT count(*) FROM b WHERE lang = 'en') AS tt),
+         w AS (SELECT cr.bucket,
+                      (length(bin((tot.tr + 64) // (cr.cr + 1))) - 1)
+                    - (length(bin((tot.tt + 64) // (coalesce(ct.ct, 0) + 1)))
+                       - 1) AS wbits
+               FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket CROSS JOIN tot),
+         s AS (SELECT b.doc_id, count(*) AS n_bigrams,
+                      sum(w.wbits) AS dsir_bits
+               FROM b JOIN w ON b.bucket = w.bucket GROUP BY b.doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(coalesce(s.dsir_bits, 0) AS BIGINT) AS dsir_bits,
+                coalesce(s.dsir_bits, 0) > 0 AS selected
+         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         ORDER BY d.doc_id""",
+
     "q53_split_assign" ->
       s"""SELECT doc_id, CAST(fp % 100 AS INTEGER) AS bucket,
                  CASE WHEN fp % 100 < 80 THEN 'train'

@@ -158,6 +158,25 @@ object SearchQueries {
       Search.bm25TopKIndexed(s, path, bmTerms, k = 20, k1 = k1, b = b)
     }),
 
+    "q119_index_time_travel" -> ((s, d) => {
+      // TIME-TRAVEL validation read: serve the index snapshot a DELETE
+      // superseded. The versioned publish keeps the previously-live
+      // version for one cycle anyway (reader grace), so the pre-op
+      // snapshot is free — a maintenance op can be validated by diffing
+      // previous vs live before trusting it. Fixture: build, compact
+      // (migrates the plain layout to v1), delete a tenth (v2), then
+      // serve PREVIOUS — which must equal fresh compute over the FULL
+      // corpus, q102's oracle verbatim.
+      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val path = s"target/graft-text-index-asof-$sf"
+      val docs = t(s, d, "documents")
+      Search.saveTextIndex(docs, path)
+      Search.compactTextIndex(s, path)
+      Search.deleteFromTextIndex(s, path,
+        docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"))
+      Search.bm25TopKIndexedPrevious(s, path, bmTerms, k = 20, k1 = k1, b = b)
+    }),
+
     "q117_bm25_index_tombstone" -> ((s, d) => {
       // the DRIP-FEED right-to-be-forgotten path: instead of q105's
       // per-call index rewrite, two delete batches append their id sets
@@ -288,6 +307,10 @@ object SearchQueries {
     // the tombstones PENDING must equal the physically-deleted index
     "q117_bm25_index_tombstone" ->
       bm25SqlOver("SELECT * FROM documents WHERE doc_id % 10 <> 3"),
+
+    // q119 serves the snapshot the delete superseded — the full corpus,
+    // exactly as if the delete never happened
+    "q119_index_time_travel" -> bm25SqlOver("SELECT * FROM documents"),
 
     // AND-semantics over the same posting lists (DuckDB sum(BIGINT) is
     // HUGEINT — cast back to the engine's LONG)

@@ -166,6 +166,29 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q121_ann_index_time_travel" -> ((s, d) => {
+      // TIME-TRAVEL validation read on the ANN index (q119's read applied
+      // to the IVF family): build, compact (migrates the plain lists to
+      // v1), DELETE a tenth (v2), then serve the PREVIOUS snapshot —
+      // which must equal the fresh build over the full corpus, q82's
+      // oracle verbatim. Centroids/meta are frozen, so only the lists'
+      // prior version is needed.
+      val emb = t(s, d, "embeddings")
+      val deq = emb.select(col("vec_id"),
+        Similarity.dequantize(
+          Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+      val path = s"target/graft-ivf-asof-${new java.io.File(d).getName}"
+      Similarity.saveIvfIndex(emb, path, nCentroids = 16, dim = 64,
+        quantScale = 200.0,
+        centroidsIn = Similarity.sampleCentroids(deq, 16))
+      Similarity.compactIvfIndex(s, path)
+      Similarity.deleteFromIvfIndex(s, path,
+        emb.where(pmod(col("vec_id"), lit(10)) === 7).select("vec_id"))
+      Similarity.topKIvfIndexedPrevious(s, deq.where(col("vec_id") < 10),
+        path, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q118_ann_index_tombstone" -> ((s, d) => {
       // the DRIP-FEED right-to-be-forgotten path on the ANN index:
       // instead of q106's per-call lists rewrite, two delete batches
@@ -516,6 +539,10 @@ object SimilarityQueries {
     // sample centroids), with exactly-once appends: served results equal
     // q82's fresh build, so the oracle is q82's replay verbatim
     "q114_stream_ivf_ingest" -> ivfIndexedReplay,
+
+    // q121 serves the snapshot the delete superseded — the full corpus,
+    // exactly as if the delete never happened (q82's replay verbatim)
+    "q121_ann_index_time_travel" -> ivfIndexedReplay,
 
     // q82's replay with the centroid sample drawn from the BUILD half
     // only (vec_id % 2 = 0): append with frozen centroids equals a fresh

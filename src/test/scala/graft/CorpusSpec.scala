@@ -586,4 +586,46 @@ class CorpusSpec extends AnyFunSuite {
       // 3 (cum 6), 5 (cum 14), 6 (cum 22 > 16 — dropped); 2 never reached
       ("budget", 2L, 14L)))
   }
+
+  test("dsirWeights: target == raw means zero importance everywhere") {
+    // identical distributions → bitsRaw == bitsTgt per bucket → every
+    // document's log-ratio is exactly 0 and nothing is selected
+    val df = docs.toDF("doc_id", "text")
+    val out = Corpus.dsirWeights(df, df, "text", "doc_id")
+      .select("dsir_bits", "selected")
+      .as[(Long, Boolean)].collect()
+    assert(out.forall { case (bits, sel) => bits == 0L && !sel })
+  }
+
+  test("dsirWeights separates target-like from corpus-typical documents") {
+    // 62 common docs + 2 rare docs; target = the rare pair. The rare
+    // gram's bucket is frequent in the target and rare in raw → positive
+    // bits; the common gram is absent from the target → negative. Counts
+    // sized so the whole-bit floor keeps a nonzero signal:
+    //   common: floor(log2((64+64)//63)) − floor(log2((2+64)//1)) = 1−6
+    //   rare:   floor(log2((64+64)//3))  − floor(log2((2+64)//3)) = 5−4
+    // (grams chosen to hash to DISTINCT buckets — 'aa bb' → 0,
+    // 'xx zz' → 32 under the char-fold hash mod 64)
+    val raw = (Seq.tabulate(62)(i => (i.toLong, "aa bb")) ++
+      Seq((100L, "xx zz"), (101L, "xx zz"))).toDF("doc_id", "text")
+    val target = raw.where(col("doc_id") >= 100L)
+    val byId = Corpus.dsirWeights(raw, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(byId(100L) == ((1L, 1L, true)))
+    assert(byId(0L) == ((1L, -5L, false)))
+  }
+
+  test("dsirWeights: documents with no bigrams come back (0, 0, false)") {
+    val raw = Seq((1L, "single"), (2L, null: String), (3L, "aa bb"))
+      .toDF("doc_id", "text")
+    val target = raw.where(col("doc_id") === 3L)
+    val byId = Corpus.dsirWeights(raw, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(byId(1L) == ((0L, 0L, false)))
+    assert(byId(2L) == ((0L, 0L, false)))
+    // the only bigram is 100% of BOTH distributions → log-ratio exactly 0
+    assert(byId(3L) == ((1L, 0L, false)))
+  }
 }

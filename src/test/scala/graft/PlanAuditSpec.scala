@@ -357,6 +357,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("q120 DSIR: the bucket model broadcasts; no corpus-sized sort-merge") {
+    val plan = planOf("q120_dsir_select")
+    // the weight table is `buckets` rows — it must enter the per-doc
+    // scoring join as a broadcast, never shuffle the exploded gram stream
+    // against it; the only corpus-sized exchange is the groupBy(doc)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q93 APSS: equi-joins only — no cartesian pair generation") {
     val plan = planOf("q93_apss_cosine")
     assert(!plan.contains("CartesianProduct") &&

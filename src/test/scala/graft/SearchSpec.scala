@@ -184,6 +184,44 @@ class SearchSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(s"$idx/_staging/batch-1")))
   }
 
+  test("bm25TopKIndexedPrevious serves the pre-delete snapshot") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("target").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val idx = "target/graft-test-search-prev"
+    fs.delete(new Path(idx), true)
+    val docs = Seq(
+      (1L, "spark join spark"),
+      (2L, "stream window table"),
+      (3L, "spark stream spark")).toDF("doc_id", "text")
+    val terms = Seq("spark", "stream")
+    Search.saveTextIndex(docs, idx)
+    // a freshly built plain index has no snapshot history — loud failure
+    intercept[IllegalStateException] {
+      Search.bm25TopKIndexedPrevious(spark, idx, terms, 10)
+    }
+    Search.compactTextIndex(spark, idx) // migrate plain → v1
+    // the migrating publish names no prior version either
+    intercept[IllegalStateException] {
+      Search.bm25TopKIndexedPrevious(spark, idx, terms, 10)
+    }
+    Search.deleteFromTextIndex(spark, idx, Seq(1L).toDF("doc_id")) // → v2
+    // previous-serve == fresh compute over the FULL corpus, bit-identical
+    assert(Search.bm25TopKIndexedPrevious(spark, idx, terms, 10)
+      .collect().map(_.toSeq).toSeq ==
+      Search.bm25TopK(docs, terms, 10).collect().map(_.toSeq).toSeq)
+    // while the live index serves the survivors
+    assert(Search.bm25TopKIndexed(spark, idx, terms, 10)
+      .collect().map(_.toSeq).toSeq ==
+      Search.bm25TopK(docs.where(col("doc_id") =!= 1L), terms, 10)
+        .collect().map(_.toSeq).toSeq)
+    // PENDING tombstones mask the snapshot too (right-to-be-forgotten
+    // holds for validation reads)
+    Search.tombstoneFromTextIndex(spark, idx, Seq(2L).toDF("doc_id"))
+    assert(!Search.bm25TopKIndexedPrevious(spark, idx, terms, 10)
+      .collect().map(_.getLong(0)).contains(2L))
+  }
+
   test("conjunctiveSearch keeps only documents containing every term") {
     val docs = Seq(
       (1L, "spark join spark window"), // both terms

@@ -497,4 +497,34 @@ class SimilaritySpec extends AnyFunSuite {
     val deadIds = dead.as[Long].collect().toSet
     assert(rows(shrunk).forall(r => !deadIds.contains(r._2)))
   }
+
+  test("topKIvfIndexedPrevious serves the pre-delete lists snapshot") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = emb.select(col("vec_id"),
+      Similarity.dequantize(
+        Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+    val cents = Similarity.sampleCentroids(deq, 16)
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-ivf-prev-").toString
+    Similarity.saveIvfIndex(emb, idx, nCentroids = 16, dim = 64,
+      quantScale = 200.0, centroidsIn = cents)
+    val qset = deq.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // plain layout: no snapshot history — loud failure
+    intercept[IllegalStateException] {
+      Similarity.topKIvfIndexedPrevious(spark, qset, idx, k = 5)
+    }
+    val full = rows(Similarity.topKIvfIndexed(spark, qset, idx, k = 5))
+    Similarity.compactIvfIndex(spark, idx) // migrate plain → v1
+    Similarity.deleteFromIvfIndex(spark, idx,
+      emb.where(pmod(col("vec_id"), lit(3)) === 1).select("vec_id")) // → v2
+    // previous-serve == the pre-delete (full corpus) ranking
+    assert(rows(Similarity.topKIvfIndexedPrevious(spark, qset, idx, k = 5))
+      == full)
+    // while the live index excludes the deleted ids
+    assert(rows(Similarity.topKIvfIndexed(spark, qset, idx, k = 5))
+      .forall(r => r._2 % 3 != 1))
+  }
 }

@@ -73,6 +73,23 @@ class StageSpec extends AnyFunSuite {
     assert(values(root) == Set(4L))
   }
 
+  test("resolvePrevious names the superseded version for one cycle") {
+    val root = "target/graft-test-stage-resolveprev"
+    fs(root).delete(new Path(root), true)
+    Seq(1L).toDF("v").write.parquet(root)
+    // plain layout: no snapshot history at all
+    assert(Stage.resolvePrevious(spark, root).isEmpty)
+    Stage.publishRewrite(spark, root, Seq(2L).toDF("v")) // → v1
+    // the migrating publish has no previous VERSION to name
+    assert(Stage.resolvePrevious(spark, root).isEmpty)
+    Stage.publishRewrite(spark, root, Seq(3L).toDF("v")) // → v2, v1 spared
+    assert(Stage.resolvePrevious(spark, root).contains(s"$root/v00000001"))
+    assert(spark.read.parquet(Stage.resolvePrevious(spark, root).get)
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    Stage.publishRewrite(spark, root, Seq(4L).toDF("v")) // → v3, v1 swept
+    assert(Stage.resolvePrevious(spark, root).contains(s"$root/v00000002"))
+  }
+
   test("a crashed rewrite of a versioned directory keeps the prior version") {
     val root = "target/graft-test-stage-crash2"
     fs(root).delete(new Path(root), true)
