@@ -208,6 +208,46 @@ object Corpus {
           .otherwise(lit(0.0)))
   }
 
+  /** Per-document NOVELTY within one corpus: the fraction of each
+    * document's distinct n-grams that appear in at least one OTHER
+    * document — the corpus-internal dual of [[contaminationOverlap]]
+    * (there: "seen in train?"; here: "seen anywhere else?"). High
+    * shared_frac = boilerplate-heavy/templated content; low = novel
+    * prose — the uniqueness signal data-curation pipelines rank or gate
+    * on next to the intra-document repetition metrics (q61), which see
+    * only WITHIN-document repeats and miss cross-document template mass.
+    *
+    * A gram's document frequency counts DISTINCT documents (each doc
+    * contributes its gram set once), so df > 1 is exactly "some other
+    * document also has it" for every contributing document.
+    *
+    * Plan shape: one explode to (doc, gram_hash) — 8-byte keys, never
+    * text — a skew-safe partial-agged df groupBy, one equi-join of the
+    * gram stream back to the df relation (q24's tf⋈df shape; hot grams
+    * are AQE-skew-splittable), and a per-doc count. shared_frac is one
+    * IEEE division of exact integers — bit-identical in any engine.
+    * Documents with no grams (< n tokens or NULL text) report (0, 0, 0.0).
+    */
+  def docNovelty(docs: DataFrame, textCol: String, idCol: String,
+                 n: Int = 3): DataFrame = {
+    val grams = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        explode(gramHashes(col(textCol), n)).as("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(dfreq, Seq("g"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+    docs.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_shared").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("shared_frac"))
+  }
+
   /** Enforcement form of [[decontaminate]]: the TRAIN corpus with every
     * document that leaks into the eval set removed (shares ≥ minShared
     * distinct n-grams with ANY eval doc). [[decontaminate]] is the report;

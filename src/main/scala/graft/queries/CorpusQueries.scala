@@ -193,6 +193,14 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q122_doc_novelty" -> ((s, d) =>
+      // corpus-internal uniqueness: per document, the fraction of its
+      // distinct trigrams appearing in at least one OTHER document — the
+      // cross-document template/boilerplate signal intra-doc repetition
+      // (q61) cannot see. 8-byte gram hashes through every exchange.
+      Corpus.docNovelty(t(s, d, "documents"), "text", "doc_id", n = 3)
+        .orderBy("doc_id")),
+
     "q113_pipeline_funnel" -> ((s, d) =>
       // the composed cleaning pipeline's attrition report: ingest →
       // quality gate → normalized exact dedup → token-budget selection,
@@ -430,6 +438,31 @@ object CorpusQueries {
                 CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                 CAST(coalesce(s.dsir_bits, 0) AS BIGINT) AS dsir_bits,
                 coalesce(s.dsir_bits, 0) > 0 AS selected
+         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         ORDER BY d.doc_id""",
+
+    // q122: distinct-trigram sets per doc (the engine's distinct gram
+    // HASHES equal distinct gram strings modulo 2^-64 collisions — the
+    // q31/q54 argument); df counts contributing documents, df>1 = shared
+    "q122_doc_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT doc_id,
+                      unnest(list_distinct(list_transform(
+                        range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' '
+                             || toks[i + 2]))) AS gram
+               FROM t),
+         dfq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+         s AS (SELECT g.doc_id, count(*) AS n_grams,
+                      sum(CASE WHEN dfq.df > 1 THEN 1 ELSE 0 END) AS n_shared
+               FROM g JOIN dfq USING (gram) GROUP BY g.doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+                CASE WHEN coalesce(s.n_grams, 0) > 0
+                     THEN CAST(s.n_shared AS DOUBLE) / s.n_grams
+                     ELSE 0.0 END AS shared_frac
          FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
          ORDER BY d.doc_id""",
 

@@ -66,6 +66,20 @@ object ScaleProbe {
       }
     }
 
+    // ---- DSIR selection (q120): the model is a `buckets`-row count
+    // table no matter the corpus — replication changes NOTHING about it
+    // (identical bucket frequencies), so the cost must be the linear
+    // explode + broadcast-join + per-doc sum and nothing else. The probe
+    // times 1× vs n× and prints the model row count both ways.
+    if (sel("dsir")) for (k <- Seq(1, n)) {
+      val docs = replicated(k).localCheckpoint()
+      val target = docs.where(pmod(col("doc_id"), lit(10L)) < 2)
+      time(s"${k}x dsir-weights") {
+        graft.ext.Corpus.dsirWeights(docs, target, "text", "doc_id")
+          .agg(sum(col("dsir_bits")), sum(when(col("selected"), 1L))).head()
+      }
+    }
+
     // ---- persisted minhash manifest (q84): the corpus side's signature/
     // banding work is paid once at build; per-ingest probe cost must be
     // batch-dominated, NOT corpus-dominated. Salted replication (each copy

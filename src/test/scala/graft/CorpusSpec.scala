@@ -587,6 +587,24 @@ class CorpusSpec extends AnyFunSuite {
       ("budget", 2L, 14L)))
   }
 
+  test("docNovelty counts cross-document trigram sharing exactly") {
+    val df = Seq(
+      (1L, "a b c d"),       // trigrams {a b c, b c d}
+      (2L, "a b c x"),       // {a b c, b c x} — shares "a b c" with 1
+      (3L, "p q r"),         // {p q r} — unique
+      (4L, "u v"),           // too short: no grams
+      (5L, null: String)
+    ).toDF("doc_id", "text")
+    val byId = Corpus.docNovelty(df, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byId(1L) == ((2L, 1L, 0.5)))
+    assert(byId(2L) == ((2L, 1L, 0.5)))
+    assert(byId(3L) == ((1L, 0L, 0.0)))
+    assert(byId(4L) == ((0L, 0L, 0.0)))
+    assert(byId(5L) == ((0L, 0L, 0.0)))
+  }
+
   test("dsirWeights: target == raw means zero importance everywhere") {
     // identical distributions → bitsRaw == bitsTgt per bucket → every
     // document's log-ratio is exactly 0 and nothing is selected
