@@ -499,6 +499,14 @@ object Corpus {
     * its pass costs target-size. No vocabulary table exists at all —
     * hashing bounds the model at `buckets` rows no matter the corpus
     * (the paper's reason for hashed features).
+    *
+    * DEGENERATE CASE: an EMPTY target (zero bigrams — a bad filter, not a
+    * crash) makes every bucket's target surprisal the same constant
+    * floor(log₂(buckets)), so the weights collapse to "rarity under raw
+    * minus a constant" — documents full of rare buckets can still come
+    * back selected. Deterministic and pinned by EdgeCaseSpec, but it
+    * means nothing about any domain: validate the target sample is
+    * non-empty before trusting a selection.
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
                   idCol: String, buckets: Int = 64): DataFrame = {

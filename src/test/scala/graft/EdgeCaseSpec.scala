@@ -122,4 +122,23 @@ class EdgeCaseSpec extends AnyFunSuite {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(splits.values.forall(Set("train", "val", "test")))
   }
+
+  test("dsirWeights with an EMPTY target degenerates to rarity-minus-constant") {
+    // zero target bigrams: every bucket's target surprisal is the same
+    // floor(log2((0+64) div 1)) = 6-bit constant, so weights become
+    // "rarity under raw − 6·n_bigrams" — deterministic, never a crash,
+    // and documented as meaning nothing about any domain
+    val raw = (Seq.tabulate(62)(i => (i.toLong, "aa bb")) ++
+      Seq((100L, "xx zz"), (101L, "xx zz"))).toDF("doc_id", "text")
+    val empty = raw.where(col("doc_id") < 0)
+    val byId = Corpus.dsirWeights(raw, empty, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // common bucket: floor(log2(128//63)) − 6 = 1 − 6; rare: 5 − 6
+    assert(byId(0L) == -5L && byId(100L) == -1L)
+    // messy corpus: no-gram docs stay (0, 0, false) under an empty target
+    val messyOut = Corpus.dsirWeights(messy, messy.where(col("doc_id") < 0),
+      "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(messyOut(3L) == 0L && messyOut(6L) == 0L)
+  }
 }

@@ -366,6 +366,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("q122 novelty: grams hash pre-explode; df partial-aggs; no window") {
+    val plan = planOf("q122_doc_novelty")
+    // gram hashing happens INSIDE the pre-explode transform — Generate
+    // emits 8-byte xxhash64 slots, never gram strings, so the df groupBy
+    // and the join-back shuffle hashes only
+    assert(plan.contains("xxhash64"), plan.take(3000))
+    // df is a skew-safe two-phase aggregate, never a window; the gram
+    // stream joins df by equi-key
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q93 APSS: equi-joins only — no cartesian pair generation") {
     val plan = planOf("q93_apss_cosine")
     assert(!plan.contains("CartesianProduct") &&
