@@ -407,6 +407,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Corpus COMPOSITION over embedding clusters: assign every vector to
+    * its argmax-dot centroid (the IVF assignment geometry, frozen and
+    * replayable) and roll up counts per (centroid, label) with each
+    * label's share of its cluster — the mixture matrix a corpus designer
+    * reads before reweighting sources (the DoReMi/SemDeDup-adjacent
+    * "what does my embedding space actually contain per domain" report;
+    * the same rollup keyed by source instead of label audits crawl
+    * composition). Pass [[trainCentroids]] in production;
+    * [[sampleCentroids]] keeps the oracle replayable.
+    *
+    * `share` is one IEEE division of exact integers — bit-identical in
+    * any engine. Scale shape: assignment is pure map work against the
+    * broadcast k×dim centroid matrix (the [[topKIvf]] expression array);
+    * the only exchanges aggregate (centroid, label) rows — at most
+    * k×|labels| of them — and the cluster-total join-back is a broadcast
+    * of ≤ k rows.
+    */
+  def clusterMixture(corpus: DataFrame, labelCol: String,
+                     centroidsIn: Array[Array[Double]],
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val assigned = corpus.select(col(labelCol).as("label"),
+      array_max(centDotsFor(centroidsIn)(col(vecCol).cast("array<double>")))
+        .getField("c").as("centroid"))
+    val counts = assigned.groupBy("centroid", "label")
+      .agg(count(lit(1)).as("n_vecs"))
+    val totals = counts.groupBy("centroid").agg(sum(col("n_vecs")).as("n_total"))
+    counts.join(broadcast(totals), Seq("centroid"))
+      .select(col("centroid"), col("label"), col("n_vecs"), col("n_total"),
+        (col("n_vecs").cast("double") / col("n_total")).as("share"))
+  }
+
   // -------------------------------------------------------- index persistence
 
   /** Persist a servable IVF index under `path` so repeated query batches

@@ -166,6 +166,17 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q123_cluster_mixture" -> ((s, d) =>
+      // corpus composition over embedding clusters: argmax-dot assignment
+      // to the frozen sampled centroids (the IVF geometry), rolled up to
+      // the (centroid, label) mixture matrix with per-cluster shares —
+      // what a mixture designer reads before reweighting sources. The
+      // oracle replays seed selection, assignment (d DESC, c DESC
+      // tie-break) and the share division exactly.
+      Similarity.clusterMixture(t(s, d, "embeddings"), "label",
+        Similarity.sampleCentroids(t(s, d, "embeddings"), 16))
+        .orderBy("centroid", "label")),
+
     "q121_ann_index_time_travel" -> ((s, d) => {
       // TIME-TRAVEL validation read on the ANN index (q119's read applied
       // to the IVF family): build, compact (migrates the plain lists to
@@ -543,6 +554,43 @@ object SimilarityQueries {
     // q121 serves the snapshot the delete superseded — the full corpus,
     // exactly as if the delete never happened (q82's replay verbatim)
     "q121_ann_index_time_travel" -> ivfIndexedReplay,
+
+    // q123: replay the seed sample (n smallest vec_ids), the argmax-dot
+    // assignment with its (d DESC, c DESC) tie-break, and the exact-int
+    // share division
+    "q123_cluster_mixture" ->
+      s"""WITH smp AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                     AS rn,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))
+                     AS embedding
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT 16)),
+          cent AS (SELECT rn AS c, embedding AS cv FROM smp),
+          e AS (SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS embedding
+                FROM embeddings),
+          cd AS (
+            SELECT e.vec_id, e.label, cent.c,
+                   ${duckDot("e.embedding", "cent.cv")} AS d
+            FROM e CROSS JOIN cent),
+          assigned AS (
+            SELECT vec_id, label, c AS centroid FROM (
+              SELECT vec_id, label, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, c DESC) AS r
+              FROM cd) WHERE r = 1),
+          counts AS (SELECT centroid, label, count(*) AS n_vecs
+                     FROM assigned GROUP BY centroid, label),
+          tot AS (SELECT centroid, sum(n_vecs) AS n_total
+                  FROM counts GROUP BY centroid)
+          SELECT counts.centroid, counts.label,
+                 CAST(counts.n_vecs AS BIGINT) AS n_vecs,
+                 CAST(tot.n_total AS BIGINT) AS n_total,
+                 CAST(counts.n_vecs AS DOUBLE) / tot.n_total AS share
+          FROM counts JOIN tot USING (centroid)
+          ORDER BY counts.centroid, counts.label""",
 
     // q82's replay with the centroid sample drawn from the BUILD half
     // only (vec_id % 2 = 0): append with frozen centroids equals a fresh

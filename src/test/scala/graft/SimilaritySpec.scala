@@ -498,6 +498,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(shrunk).forall(r => !deadIds.contains(r._2)))
   }
 
+  test("clusterMixture rolls up argmax-dot assignment with exact shares") {
+    // 2-D fixture, centroids = the two smallest-id vectors: e1=(1,0),
+    // e2=(0,1). Dots decide assignment; the (d, c) struct max breaks the
+    // exact tie (0.5, 0.5) toward the LARGER centroid id — pinned here.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"),   // centroid 0 (seed itself)
+      (2L, Seq(0.0f, 1.0f), "a"),   // centroid 1 (seed itself)
+      (3L, Seq(0.9f, 0.1f), "b"),   // → centroid 0
+      (4L, Seq(0.1f, 0.9f), "b"),   // → centroid 1
+      (5L, Seq(0.5f, 0.5f), "b")    // exact tie → centroid 1 (larger c)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.sampleCentroids(vecs, 2)
+    val out = Similarity.clusterMixture(vecs, "label", cents)
+      .orderBy("centroid", "label")
+      .select("centroid", "label", "n_vecs", "n_total", "share")
+      .as[(Int, String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0, "a", 1L, 2L, 0.5),
+      (0, "b", 1L, 2L, 0.5),
+      (1, "a", 1L, 3L, 1.0 / 3.0),
+      (1, "b", 2L, 3L, 2.0 / 3.0)))
+  }
+
   test("topKIvfIndexedPrevious serves the pre-delete lists snapshot") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val deq = emb.select(col("vec_id"),
