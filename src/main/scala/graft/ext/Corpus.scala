@@ -208,6 +208,53 @@ object Corpus {
           .otherwise(lit(0.0)))
   }
 
+  /** Distribution DRIFT between two corpus snapshots (yesterday's crawl
+    * vs today's): per token-length bucket, each snapshot's share in ppm
+    * and the absolute share difference — the per-bucket terms of the
+    * total-variation distance (TVD = Σ delta_ppm / 2), the
+    * data-quality regression check a pipeline owner runs before letting
+    * a new crawl into the mixture. Shares are INTEGER ppm
+    * (n·1 000 000 div N), so every value replays exactly in any engine —
+    * no float division ever decides a drift number (the engine-portable
+    * stand-in for PSI/KL, whose logs are not exactly replayable; TVD is
+    * a bounded metric in its own right).
+    *
+    * Scale shape: two histogram aggregations (map-side partial, output
+    * = distinct buckets — corpus-size-invariant, the [[corpusStats]]
+    * argument), a full outer join of two bucket-sized relations, and
+    * two one-row totals entering as broadcasts. NULL-text documents are
+    * excluded on both sides, as in [[corpusStats]]; a bucket absent
+    * from one side contributes its full other-side share to the drift.
+    */
+  def histogramDrift(a: DataFrame, b: DataFrame, textCol: String,
+                     bucketWidth: Int = 8): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // floor of a double division is exact here (token counts ≪ 2^53);
+    // the ppm shares below stay in `div` — n·10⁶ can pass 2^53 at scale
+    def hist(df: DataFrame, n: String): DataFrame =
+      df.where(col(textCol).isNotNull)
+        .select(floor(TextAnalysis.tokenCount(col(textCol)).cast("long")
+          / lit(bucketWidth)).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(n))
+    val ha = hist(a, "n_a")
+    val hb = hist(b, "n_b")
+    val ta = ha.agg(coalesce(sum(col("n_a")), lit(0L)).as("tot_a"))
+    val tb = hb.agg(coalesce(sum(col("n_b")), lit(0L)).as("tot_b"))
+    ha.join(hb, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("tot_a"), col("tot_b"))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        when(col("tot_a") > 0, expr("n_a * 1000000 div tot_a"))
+          .otherwise(lit(0L)).as("share_a_ppm"),
+        when(col("tot_b") > 0, expr("n_b * 1000000 div tot_b"))
+          .otherwise(lit(0L)).as("share_b_ppm"))
+      .withColumn("delta_ppm",
+        abs(col("share_a_ppm") - col("share_b_ppm")))
+  }
+
   /** Per-document NOVELTY within one corpus: the fraction of each
     * document's distinct n-grams that appear in at least one OTHER
     * document — the corpus-internal dual of [[contaminationOverlap]]
@@ -660,6 +707,18 @@ object Corpus {
     * positive summed count — so growing or shrinking the model never
     * read-modify-writes an aggregate row. [[compactLm]] folds the delta
     * trail on the maintenance schedule.
+    *
+    * TIME TRAVEL: the version-flip previous-serve the text and IVF
+    * indexes offer (`bm25TopKIndexedPrevious` / `topKIvfIndexedPrevious`)
+    * deliberately has no LM counterpart. Those families maintain by
+    * REWRITE (each op publishes a full new version, so "the state the op
+    * superseded" is a directory that already exists); the LM maintains
+    * by DELTA — an append/delete lands rows, and only [[compactLm]]
+    * publishes a version, so the pre-op state is not a version but "the
+    * trail minus the op's rows". Reverting an op here is the delta
+    * design's native move instead: publish the op's deltas negated
+    * (same staging machinery, batch-sized), rather than serving an
+    * old directory.
     */
   def saveLm(train: DataFrame, textCol: String, idCol: String,
              path: String): Unit = {

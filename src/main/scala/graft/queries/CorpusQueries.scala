@@ -193,6 +193,20 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q124_corpus_drift" -> ((s, d) => {
+      // snapshot drift report: token-length histogram shares of two
+      // corpus halves in INTEGER ppm, per-bucket absolute difference —
+      // the total-variation terms (TVD = Σ delta_ppm / 2) a pipeline
+      // owner checks before admitting a new crawl into the mixture. No
+      // float division decides any drift number.
+      val docs = t(s, d, "documents")
+      Corpus.histogramDrift(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "text", bucketWidth = 8)
+        .orderBy("bucket")
+    }),
+
     "q122_doc_novelty" -> ((s, d) =>
       // corpus-internal uniqueness: per document, the fraction of its
       // distinct trigrams appearing in at least one OTHER document — the
@@ -440,6 +454,37 @@ object CorpusQueries {
                 coalesce(s.dsir_bits, 0) > 0 AS selected
          FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
          ORDER BY d.doc_id""",
+
+    // q124: integer-ppm histogram shares per bucket; // and div agree on
+    // non-negative operands, so every drift number replays exactly
+    "q124_corpus_drift" ->
+      """WITH ha AS (SELECT len(string_split(text, ' ')) // 8 AS bucket,
+                            count(*) AS n_a
+                     FROM documents
+                     WHERE doc_id % 2 = 0 AND text IS NOT NULL
+                     GROUP BY 1),
+         hb AS (SELECT len(string_split(text, ' ')) // 8 AS bucket,
+                       count(*) AS n_b
+                FROM documents
+                WHERE doc_id % 2 = 1 AND text IS NOT NULL
+                GROUP BY 1),
+         t AS (SELECT (SELECT coalesce(sum(n_a), 0) FROM ha) AS tot_a,
+                      (SELECT coalesce(sum(n_b), 0) FROM hb) AS tot_b),
+         j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+                      coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+               FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+         p AS (SELECT j.bucket, j.n_a, j.n_b,
+                      CASE WHEN t.tot_a > 0
+                           THEN j.n_a * 1000000 // t.tot_a ELSE 0 END AS sa,
+                      CASE WHEN t.tot_b > 0
+                           THEN j.n_b * 1000000 // t.tot_b ELSE 0 END AS sb
+               FROM j CROSS JOIN t)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                CAST(sa AS BIGINT) AS share_a_ppm,
+                CAST(sb AS BIGINT) AS share_b_ppm,
+                CAST(abs(sa - sb) AS BIGINT) AS delta_ppm
+         FROM p ORDER BY bucket""",
 
     // q122: distinct-trigram sets per doc (the engine's distinct gram
     // HASHES equal distinct gram strings modulo 2^-64 collisions — the

@@ -587,6 +587,28 @@ class CorpusSpec extends AnyFunSuite {
       ("budget", 2L, 14L)))
   }
 
+  test("histogramDrift: integer-ppm shares and per-bucket deltas, exact") {
+    def doc(id: Long, nTokens: Int) =
+      (id, Seq.fill(nTokens)("w").mkString(" "))
+    val a = Seq(doc(1, 4), doc(2, 9), doc(3, 12)).toDF("doc_id", "text")
+    val b = Seq(doc(4, 20), doc(5, 9)).toDF("doc_id", "text")
+    val rows = Corpus.histogramDrift(a, b, "text", bucketWidth = 8)
+      .orderBy("bucket")
+      .select("bucket", "n_a", "n_b", "share_a_ppm", "share_b_ppm",
+        "delta_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      (0L, 1L, 0L, 333333L, 0L, 333333L),
+      (1L, 2L, 1L, 666666L, 500000L, 166666L),
+      (2L, 0L, 1L, 0L, 500000L, 500000L)))
+    // an empty side reports 0 shares, never a division error
+    val empty = b.where(col("doc_id") < 0)
+    val vsEmpty = Corpus.histogramDrift(a, empty, "text", 8)
+      .agg(max(col("share_b_ppm")), sum(col("delta_ppm")))
+      .as[(Option[Long], Long)].head()
+    assert(vsEmpty == ((Some(0L), 999999L)))
+  }
+
   test("docNovelty counts cross-document trigram sharing exactly") {
     val df = Seq(
       (1L, "a b c d"),       // trigrams {a b c, b c d}
