@@ -80,6 +80,20 @@ object ScaleProbe {
       }
     }
 
+    // ---- doc novelty (q122): the gram-stream ⋈ df join is the one
+    // inverted-index join in the library WITHOUT a frequency cap (every
+    // occurrence must meet its df — a cap would change the answer), so
+    // hot grams fan out. Join OUTPUT is exactly the gram stream (one df
+    // row per gram), so wall must stay ~linear in rows; AQE's skew split
+    // handles the per-partition imbalance the hot keys cause.
+    if (sel("novelty")) for (k <- Seq(1, n)) {
+      val docs = replicated(k).localCheckpoint()
+      time(s"${k}x doc-novelty") {
+        graft.ext.Corpus.docNovelty(docs, "text", "doc_id")
+          .agg(sum(col("n_shared")), sum(col("n_grams"))).head()
+      }
+    }
+
     // ---- persisted minhash manifest (q84): the corpus side's signature/
     // banding work is paid once at build; per-ingest probe cost must be
     // batch-dominated, NOT corpus-dominated. Salted replication (each copy
