@@ -97,6 +97,73 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("docNovelty == brute-force trigram sharing on random corpora") {
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 8) {
+      val docs = Seq.tabulate(25) { i =>
+        val words = Seq.fill(rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, if (rnd.nextInt(10) == 0) null else words.mkString(" "))
+      }
+      val got = graft.ext.Corpus.docNovelty(
+          docs.toDF("doc_id", "text"), "text", "doc_id")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // plain-Scala reference: distinct trigram STRINGS per doc, df over
+      // docs, df>1 = shared (hash == string equality modulo 2^-64)
+      def grams(t: String): Set[String] = {
+        val w = t.split(" ", -1)
+        (0 to w.length - 3).map(j => s"${w(j)} ${w(j + 1)} ${w(j + 2)}").toSet
+      }
+      val sets = docs.collect { case (id, t) if t != null => id -> grams(t) }
+      val df = sets.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      for ((id, t) <- docs) {
+        val gs = if (t == null) Set.empty[String] else grams(t)
+        val shared = gs.count(g => df(g) > 1).toLong
+        val frac = if (gs.isEmpty) 0.0 else shared.toDouble / gs.size
+        assert(got(id) == ((gs.size.toLong, shared, frac)),
+          s"trial $trial doc $id")
+      }
+    }
+  }
+
+  test("dsirWeights == brute-force bucket log-ratios on random corpora") {
+    val rnd = new scala.util.Random(29)
+    def fold(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    def bits(tot: Long, c: Long): Long = {
+      val r = (tot + 64) / (c + 1)
+      63L - java.lang.Long.numberOfLeadingZeros(r) // floor(log2), r >= 1
+    }
+    for (trial <- 1 to 8) {
+      val docs = Seq.tabulate(20) { i =>
+        val words = Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, if (rnd.nextInt(12) == 0) null else words.mkString(" "))
+      }
+      val raw = docs.toDF("doc_id", "text")
+      val got = graft.ext.Corpus.dsirWeights(
+          raw, raw.where(col("doc_id") % 3 === 0), "text", "doc_id")
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      def bigrams(t: String): Seq[Long] = {
+        val w = t.split(" ", -1)
+        (0 to w.length - 2).map(j => fold(s"${w(j)} ${w(j + 1)}") % 64)
+      }
+      val occ = docs.collect { case (id, t) if t != null => id -> bigrams(t) }
+      val rawB = occ.flatMap(_._2)
+      val tgtB = occ.collect { case (id, bs) if id % 3 == 0 => bs }.flatten
+      val cr = rawB.groupBy(identity).view.mapValues(_.size.toLong)
+      val ct = tgtB.groupBy(identity).view.mapValues(_.size.toLong)
+        .toMap.withDefaultValue(0L)
+      for ((id, t) <- docs) {
+        val bs = if (t == null) Seq.empty[Long] else bigrams(t)
+        val w = bs.map(b =>
+          bits(rawB.size, cr(b)) - bits(tgtB.size, ct(b))).sum
+        assert(got(id) == ((bs.size.toLong, w, w > 0)),
+          s"trial $trial doc $id")
+      }
+    }
+  }
+
   test("connectedComponents handles hub graphs (star + chain) exactly") {
     // the shapes that stress the contraction: a high-degree hub (every
     // leaf attached to one center) and a long chain (worst case for
