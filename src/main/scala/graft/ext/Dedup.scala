@@ -771,13 +771,37 @@ object Dedup {
     */
   def incrementalNearDups(newDf: DataFrame, manifestPath: String,
                           textCol: String, idCol: String,
-                          threshold: Double = 0.9): DataFrame = {
+                          threshold: Double = 0.9): DataFrame =
+    incrementalNearDupsImpl(newDf, manifestPath, textCol, idCol, threshold,
+      previous = false)
+
+  /** [[incrementalNearDups]] against the PREVIOUS manifest snapshot — the
+    * state a content delete or compaction superseded, kept one publish
+    * cycle by the versioned publish ([[graft.ops.Stage.resolvePrevious]];
+    * the text index's `bm25TopKIndexedPrevious` and the IVF's
+    * `topKIvfIndexedPrevious` are the same read in their families). The
+    * validation use: diff a forget operation's verdict changes before
+    * trusting it. Meta (k, bands) is frozen at build, so only docs/bands
+    * resolve to their prior versions; pending tombstones still mask the
+    * snapshot (right-to-be-forgotten holds for validation reads).
+    */
+  def incrementalNearDupsPrevious(newDf: DataFrame, manifestPath: String,
+                                  textCol: String, idCol: String,
+                                  threshold: Double = 0.9): DataFrame =
+    incrementalNearDupsImpl(newDf, manifestPath, textCol, idCol, threshold,
+      previous = true)
+
+  private def incrementalNearDupsImpl(newDf: DataFrame, manifestPath: String,
+                                      textCol: String, idCol: String,
+                                      threshold: Double,
+                                      previous: Boolean): DataFrame = {
     val docs = newDf.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
     val members = exactClasses(docs) // null-text docs excluded: never match
     val repDocs = docs.join(
       members.where(col("doc") === col("rep")).select(col("doc")),
       Seq("doc"), "left_semi")
-    val verdicts = manifestMatchRows(repDocs, manifestPath, threshold)
+    val verdicts = manifestMatchRows(repDocs, manifestPath, threshold,
+        previous = previous)
       .groupBy("doc_n").agg(max(col("jaccard")).as("near_jaccard"))
     // rep verdicts fan out over exact-class members; docs outside `members`
     // (null text) and unmatched reps flag false with a null jaccard
@@ -811,22 +835,29 @@ object Dedup {
     */
   private[graft] def manifestMatchRows(probe: DataFrame, manifestPath: String,
                                        threshold: Double,
-                                       carryTokens: Boolean = false): DataFrame = {
+                                       carryTokens: Boolean = false,
+                                       previous: Boolean = false): DataFrame = {
     val spark = probe.sparkSession
+    // meta is frozen at build — always the live (only) copy
     val meta = spark.read.parquet(
       graft.ops.Stage.resolve(spark, s"$manifestPath/meta")).head()
     val (k, bands) = (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
     // tombstones BEFORE the data resolves (the linearizable ordering —
     // see Stage.tombstoneSnapshot)
     val tomb = graft.ops.Stage.pendingTombstones(spark, manifestPath)
-    val manBands = spark.read.parquet(
-      graft.ops.Stage.resolve(spark, s"$manifestPath/bands"))
+    def dataDir(c: String): String =
+      if (previous) graft.ops.Stage
+        .resolvePrevious(spark, s"$manifestPath/$c")
+        .getOrElse(throw new IllegalStateException(
+          s"$manifestPath/$c has no previous snapshot to probe — " +
+            "previous-probing needs at least two publishes"))
+      else graft.ops.Stage.resolve(spark, s"$manifestPath/$c")
+    val manBands = spark.read.parquet(dataDir("bands"))
     // pending tombstones mask their content here: a tombstoned doc's bands
     // rows may still generate candidates, but those die in the
     // verification join against the filtered docs relation
     val manDocs = minusTombstoned(
-      spark.read.parquet(graft.ops.Stage.resolve(spark, s"$manifestPath/docs")),
-      tomb)
+      spark.read.parquet(dataDir("docs")), tomb)
     val keyed = keyedSignatures(probe, k, bands, keepToks = carryTokens)
     val carryIn = if (carryTokens) Seq(col("toks").as("toks_n")) else Seq.empty
     val carryOn = if (carryTokens) Seq(col("toks_n")) else Seq.empty

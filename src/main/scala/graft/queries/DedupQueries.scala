@@ -60,6 +60,28 @@ object DedupQueries {
         .orderBy("src_lo", "src_hi")
     }),
 
+    "q125_manifest_time_travel" -> ((s, d) => {
+      // TIME-TRAVEL validation probe on the dedup manifest (q119/q121's
+      // read for this family): build q84's manifest, compact (migrates
+      // the plain tables to v1), FORGET a seventh of its content (v2),
+      // then probe the PREVIOUS snapshot — verdicts must equal probing
+      // the undeleted manifest, q84's oracle verbatim. This is how a
+      // forget operation's verdict changes are diffed before trusting it.
+      val docs = t(s, d, "documents")
+      val path =
+        s"target/graft-manifest-asof-${new java.io.File(d).getName}"
+      val manifest = docs.where(pmod(col("doc_id"), lit(10)) < 5)
+      Dedup.saveMinhashManifest(manifest, "text", "doc_id", path,
+        k = 32, bands = 16)
+      Dedup.compactMinhashManifest(s, path)
+      Dedup.deleteContentFromMinhashManifest(
+        manifest.where(pmod(col("doc_id"), lit(7)) === 2), "text", path)
+      Dedup.incrementalNearDupsPrevious(
+        docs.where(pmod(col("doc_id"), lit(10)) >= 5), path,
+        "text", "doc_id", threshold = 0.9)
+        .orderBy("doc_id")
+    }),
+
     "q108_manifest_content_delete" -> ((s, d) => {
       // right-to-be-forgotten on the dedup manifest — CONTENT-keyed (the
       // docs table stores exact-collapse representatives, so id-keyed
@@ -309,6 +331,10 @@ object DedupQueries {
           GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q84_dedup_incremental_minhash" -> incrementalMinhashReplay,
+
+    // q125 probes the snapshot the content delete superseded — the full
+    // manifest, exactly as if the forget never happened (q84's oracle)
+    "q125_manifest_time_travel" -> incrementalMinhashReplay,
 
     // q115 streams the same manifest half in through exactly-once appends:
     // the grown manifest's content equals q84's batch build, so the probe

@@ -536,6 +536,39 @@ class DedupSpec extends AnyFunSuite {
     assert(strict(12L) == false && strict(10L) == true)
   }
 
+  test("incrementalNearDupsPrevious probes the pre-forget manifest snapshot") {
+    val path = "target/graft-test-manifest-prev"
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val manifest = Seq((1L, base), (2L, unrelated(0)))
+      .toDF("doc_id", "text")
+    Dedup.saveMinhashManifest(manifest, "text", "doc_id", path,
+      k = 32, bands = 16)
+    val batch = Seq((10L, base), (11L, unrelated(0)), (12L, unrelated(1)))
+      .toDF("doc_id", "text")
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // a freshly built plain manifest has no snapshot history
+    intercept[IllegalStateException] {
+      Dedup.incrementalNearDupsPrevious(batch, path, "text", "doc_id")
+        .collect()
+    }
+    val full = verdicts(
+      Dedup.incrementalNearDups(batch, path, "text", "doc_id"))
+    assert(full == Map(10L -> true, 11L -> true, 12L -> false))
+    Dedup.compactMinhashManifest(spark, path) // migrate plain → v1
+    Dedup.deleteContentFromMinhashManifest(
+      Seq((99L, base)).toDF("doc_id", "text"), "text", path) // → v2
+    // live probe forgot `base`; the previous snapshot still knows it
+    assert(verdicts(
+      Dedup.incrementalNearDups(batch, path, "text", "doc_id"))
+      == Map(10L -> false, 11L -> true, 12L -> false))
+    assert(verdicts(
+      Dedup.incrementalNearDupsPrevious(batch, path, "text", "doc_id"))
+      == full)
+  }
+
   test("incrementalNearDups ≡ brute-force max-Jaccard on randomized corpora") {
     val rnd = new scala.util.Random(13)
     val vocab = Vector.tabulate(40)(i => s"tok$i")
