@@ -227,17 +227,32 @@ object Corpus {
     * from one side contributes its full other-side share to the drift.
     */
   def histogramDrift(a: DataFrame, b: DataFrame, textCol: String,
-                     bucketWidth: Int = 8): DataFrame = {
+                     bucketWidth: Int = 8): DataFrame =
+    driftFromHistograms(
+      lengthBucketHistogram(a, textCol, bucketWidth, "n_a"),
+      lengthBucketHistogram(b, textCol, bucketWidth, "n_b"))
+
+  /** One snapshot's (bucket, count) token-length histogram — the
+    * mergeable drift state. Public because the STREAMING drift monitor
+    * maintains exactly this relation as complete-mode aggregation state
+    * (corpus-size-invariant, the [[tokenHistogram]] argument) and both
+    * sides of a drift comparison must bucket identically. floor of a
+    * double division is exact here (token counts ≪ 2^53).
+    */
+  def lengthBucketHistogram(df: DataFrame, textCol: String,
+                            bucketWidth: Int, countName: String): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    // floor of a double division is exact here (token counts ≪ 2^53);
-    // the ppm shares below stay in `div` — n·10⁶ can pass 2^53 at scale
-    def hist(df: DataFrame, n: String): DataFrame =
-      df.where(col(textCol).isNotNull)
-        .select(floor(TextAnalysis.tokenCount(col(textCol)).cast("long")
-          / lit(bucketWidth)).cast("long").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as(n))
-    val ha = hist(a, "n_a")
-    val hb = hist(b, "n_b")
+    df.where(col(textCol).isNotNull)
+      .select(floor(TextAnalysis.tokenCount(col(textCol)).cast("long")
+        / lit(bucketWidth)).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(countName))
+  }
+
+  /** [[histogramDrift]]'s comparison half over two prebuilt
+    * (bucket, n_a) / (bucket, n_b) histograms — the ppm shares stay in
+    * `div` (n·10⁶ can pass 2^53 at scale, where `/` would round).
+    */
+  def driftFromHistograms(ha: DataFrame, hb: DataFrame): DataFrame = {
     val ta = ha.agg(coalesce(sum(col("n_a")), lit(0L)).as("tot_a"))
     val tb = hb.agg(coalesce(sum(col("n_b")), lit(0L)).as("tot_b"))
     ha.join(hb, Seq("bucket"), "full_outer")

@@ -193,6 +193,20 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q126_stream_drift_monitor" -> ((s, d) => {
+      // q124's pre-admission drift check LIVE on the ingest stream: the
+      // new crawl's bucket histogram is complete-mode streaming state
+      // (corpus-size-invariant), the reference half is static. Counts
+      // are order-insensitive sums, so the report equals the batch
+      // drift — q124's oracle verbatim.
+      val docs = t(s, d, "documents")
+      graft.streaming.DocumentStreams.streamingDriftMonitor(s, d,
+        reference = docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        newFilter = pmod(col("doc_id"), lit(2)) === 1,
+        bucketWidth = 8)
+        .orderBy("bucket")
+    }),
+
     "q124_corpus_drift" -> ((s, d) => {
       // snapshot drift report: token-length histogram shares of two
       // corpus halves in INTEGER ppm, per-bucket absolute difference —
@@ -415,6 +429,39 @@ object CorpusQueries {
        FROM te LEFT JOIN r ON te.doc_id = r.doc_id
        ORDER BY te.doc_id"""
 
+  /** q124/q126 drift replay: integer-ppm histogram shares per bucket
+    * between the even/odd corpus halves; `//` and `div` agree on
+    * non-negative operands, so every drift number replays exactly.
+    */
+  private val driftReplay =
+    """WITH ha AS (SELECT len(string_split(text, ' ')) // 8 AS bucket,
+                          count(*) AS n_a
+                   FROM documents
+                   WHERE doc_id % 2 = 0 AND text IS NOT NULL
+                   GROUP BY 1),
+       hb AS (SELECT len(string_split(text, ' ')) // 8 AS bucket,
+                     count(*) AS n_b
+              FROM documents
+              WHERE doc_id % 2 = 1 AND text IS NOT NULL
+              GROUP BY 1),
+       t AS (SELECT (SELECT coalesce(sum(n_a), 0) FROM ha) AS tot_a,
+                    (SELECT coalesce(sum(n_b), 0) FROM hb) AS tot_b),
+       j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+                    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+             FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+       p AS (SELECT j.bucket, j.n_a, j.n_b,
+                    CASE WHEN t.tot_a > 0
+                         THEN j.n_a * 1000000 // t.tot_a ELSE 0 END AS sa,
+                    CASE WHEN t.tot_b > 0
+                         THEN j.n_b * 1000000 // t.tot_b ELSE 0 END AS sb
+             FROM j CROSS JOIN t)
+       SELECT CAST(bucket AS BIGINT) AS bucket,
+              CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+              CAST(sa AS BIGINT) AS share_a_ppm,
+              CAST(sb AS BIGINT) AS share_b_ppm,
+              CAST(abs(sa - sb) AS BIGINT) AS delta_ppm
+       FROM p ORDER BY bucket"""
+
   val oracles: Map[String, String] = Map(
     // q120: replay the hashed-bigram importance weights exactly — the
     // char-fold bucket hash (q32's replay applied to 'p w' gram strings),
@@ -457,34 +504,11 @@ object CorpusQueries {
 
     // q124: integer-ppm histogram shares per bucket; // and div agree on
     // non-negative operands, so every drift number replays exactly
-    "q124_corpus_drift" ->
-      """WITH ha AS (SELECT len(string_split(text, ' ')) // 8 AS bucket,
-                            count(*) AS n_a
-                     FROM documents
-                     WHERE doc_id % 2 = 0 AND text IS NOT NULL
-                     GROUP BY 1),
-         hb AS (SELECT len(string_split(text, ' ')) // 8 AS bucket,
-                       count(*) AS n_b
-                FROM documents
-                WHERE doc_id % 2 = 1 AND text IS NOT NULL
-                GROUP BY 1),
-         t AS (SELECT (SELECT coalesce(sum(n_a), 0) FROM ha) AS tot_a,
-                      (SELECT coalesce(sum(n_b), 0) FROM hb) AS tot_b),
-         j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
-                      coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
-               FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
-         p AS (SELECT j.bucket, j.n_a, j.n_b,
-                      CASE WHEN t.tot_a > 0
-                           THEN j.n_a * 1000000 // t.tot_a ELSE 0 END AS sa,
-                      CASE WHEN t.tot_b > 0
-                           THEN j.n_b * 1000000 // t.tot_b ELSE 0 END AS sb
-               FROM j CROSS JOIN t)
-         SELECT CAST(bucket AS BIGINT) AS bucket,
-                CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-                CAST(sa AS BIGINT) AS share_a_ppm,
-                CAST(sb AS BIGINT) AS share_b_ppm,
-                CAST(abs(sa - sb) AS BIGINT) AS delta_ppm
-         FROM p ORDER BY bucket""",
+    "q124_corpus_drift" -> driftReplay,
+
+    // q126 maintains the same histogram as streaming state — counts are
+    // order-insensitive sums, so the streamed report equals batch drift
+    "q126_stream_drift_monitor" -> driftReplay,
 
     // q122: distinct-trigram sets per doc (the engine's distinct gram
     // HASHES equal distinct gram strings modulo 2^-64 collisions — the

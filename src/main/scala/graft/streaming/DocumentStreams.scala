@@ -165,4 +165,33 @@ object DocumentStreams {
     try q.processAllAvailable() finally q.stop()
     Corpus.statsFromHistogram(spark.table(queryName), groupCols)
   }
+
+  /** Streaming DRIFT monitor: the incoming crawl's token-length bucket
+    * histogram is maintained as complete-mode aggregation state over the
+    * document stream ([[streamingStats]]'s state shape — bucket-count
+    * rows, corpus-size INVARIANT), then compared against a static
+    * reference corpus with [[graft.ext.Corpus.driftFromHistograms]]'
+    * integer-ppm shares — the live version of the q124 pre-admission
+    * check, sitting on the raw ingest stream forever at constant state.
+    * Histogram counts are order-insensitive integer sums, so the
+    * streamed snapshot is bit-identical to the batch histogram over the
+    * same rows and the drift report equals batch [[graft.ext.Corpus.histogramDrift]].
+    */
+  def streamingDriftMonitor(spark: SparkSession, sfDir: String,
+                            reference: DataFrame,
+                            newFilter: org.apache.spark.sql.Column,
+                            bucketWidth: Int = 8,
+                            queryName: String = "graft_stream_drift"): DataFrame = {
+    val docs = spark.readStream.schema(docSchema).parquet(s"$sfDir/documents.*")
+    val hist = Corpus.lengthBucketHistogram(
+      docs.where(newFilter), "text", bucketWidth, "n_b")
+    val q = hist.writeStream
+      .outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Corpus.driftFromHistograms(
+      Corpus.lengthBucketHistogram(reference, "text", bucketWidth, "n_a"),
+      spark.table(queryName))
+  }
 }

@@ -200,6 +200,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty) // fixture plants cross-split duplicates
   }
 
+  test("streaming drift monitor == batch histogramDrift over the same halves") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.t(spark, sf, "documents")
+    val streamed = graft.streaming.DocumentStreams.streamingDriftMonitor(
+      spark, sf, reference = docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      newFilter = pmod(col("doc_id"), lit(2)) === 1, bucketWidth = 8,
+      queryName = "graft_test_drift")
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val batch = graft.ext.Corpus.histogramDrift(
+      docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      docs.where(pmod(col("doc_id"), lit(2)) === 1), "text", 8)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("parquet sink round-trips with partition pruning directories") {
     import spark.implicits._
     val dir = java.nio.file.Files
