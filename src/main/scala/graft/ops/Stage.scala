@@ -507,6 +507,60 @@ object Stage {
     components.exists(c =>
       fragmentation(spark, s"$path/$c") > maxFilesPerComponent)
 
+  /** Operational health report of a persisted index root — the
+    * introspection an operator reads before deciding whether to compact,
+    * fold the ledger, or worry: one row per component with its live
+    * version (empty = plain layout), on-disk version count, live
+    * data-file count and bytes, plus the root's ledger entry count and
+    * pending tombstone file count stamped on every row. Metadata-only
+    * (directory listings, no data read). NOT a `SparkEntry` query on
+    * purpose: file counts depend on the writing cluster's parallelism,
+    * so the numbers are deterministic per deployment but not across
+    * engines — no DuckDB oracle can replay them (StageSpec pins the
+    * fixture-determined columns instead).
+    */
+  def healthReport(spark: SparkSession, path: String,
+                   components: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val ledgerEntries = {
+      val ledger = new Path(s"$path/_ledger")
+      val fs = fsFor(spark, ledger)
+      if (!fs.exists(ledger)) 0 else fs.listStatus(ledger).length
+    }
+    val tombFiles = {
+      val t = new Path(resolve(spark, s"$path/tombstones"))
+      val fs = fsFor(spark, t)
+      if (!fs.exists(t)) 0
+      else {
+        val consumed = consumedNames(fs, t)
+        def count(d: Path): Int = dataEntries(fs, d).map(s =>
+          if (s.isDirectory) count(s.getPath)
+          else if (consumed.contains(s.getPath.getName)) 0 else 1).sum
+        count(t)
+      }
+    }
+    val rows = components.map { c =>
+      val root = new Path(s"$path/$c")
+      val fs = fsFor(spark, root)
+      val lines = pointerLines(fs, root)
+      val nVersions =
+        if (!fs.exists(root)) 0
+        else fs.listStatus(root).count(s => VersionRe.matches(s.getPath.getName))
+      val live = new Path(resolve(spark, s"$path/$c"))
+      def filesBytes(d: Path): (Int, Long) =
+        dataEntries(fs, d).foldLeft((0, 0L)) { case ((n, b), s) =>
+          if (s.isDirectory) { val (n2, b2) = filesBytes(s.getPath); (n + n2, b + b2) }
+          else (n + 1, b + s.getLen)
+        }
+      val (nFiles, nBytes) =
+        if (fs.exists(live)) filesBytes(live) else (0, 0L)
+      (c, lines.headOption.getOrElse(""), nVersions, nFiles, nBytes,
+        ledgerEntries, tombFiles)
+    }
+    rows.toDF("component", "live_version", "n_versions", "n_files",
+      "n_bytes", "ledger_entries", "pending_tombstone_files")
+  }
+
   /** Reset an index root's exactly-once machinery — called by the `save*`
     * builders: a REBUILT index starts a fresh checkpoint lineage whose
     * batch ids restart at 0, and `_ledger` markers surviving from the

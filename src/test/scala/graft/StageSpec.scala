@@ -134,6 +134,33 @@ class StageSpec extends AnyFunSuite {
     assert(after.map(_.head) == Seq(3L, 2L).map(x => x: Any))
   }
 
+  test("healthReport tracks versions, ledger, and pending tombstones") {
+    import spark.implicits._
+    val idx = "target/graft-test-health"
+    fs(idx).delete(new Path(idx), true)
+    val docs = Seq((1L, "spark join"), (2L, "stream window"))
+      .toDF("doc_id", "text")
+    Search.saveTextIndex(docs, idx)
+    def report = Stage
+      .healthReport(spark, idx, Seq("postings", "doclens", "stats"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(5), r.getInt(6)))).toMap
+    // fresh build: plain layout, empty ledger, nothing pending
+    assert(report("postings") == (("", 0, 0, 0)))
+    Search.appendToTextIndexExactlyOnce(
+      Seq((3L, "spark stream")).toDF("doc_id", "text"), idx, batchId = 0L)
+    assert(report("postings")._3 == 1) // one batch marker
+    Search.tombstoneFromTextIndex(spark, idx, Seq(1L).toDF("doc_id"))
+    assert(report("doclens")._4 >= 1) // pending tombstone files visible
+    Search.compactTextIndex(spark, idx)
+    val after = report
+    // compaction migrated to v1, folded the ledger to one high-water
+    // marker, and consumed the tombstones (grace files excluded)
+    assert(after("postings")._1 == "v00000001" && after("postings")._2 == 1)
+    assert(after("postings")._3 == 1)
+    assert(after("doclens")._4 == 0)
+  }
+
   test("text-index tombstones: pending == physically deleted; compaction folds") {
     val docs = Seq(
       (1L, "spark join spark"),
