@@ -428,9 +428,12 @@ object Similarity {
                      centroidsIn: Array[Array[Double]],
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val assigned = corpus.select(col(labelCol).as("label"),
-      array_max(centDotsFor(centroidsIn)(col(vecCol).cast("array<double>")))
-        .getField("c").as("centroid"))
+    // NULL vectors have no argmax cell — excluded, like NULL text in
+    // corpusStats (callers filter explicitly when they need them counted)
+    val assigned = corpus.where(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        array_max(centDotsFor(centroidsIn)(col(vecCol).cast("array<double>")))
+          .getField("c").as("centroid"))
     val counts = assigned.groupBy("centroid", "label")
       .agg(count(lit(1)).as("n_vecs"))
     val totals = counts.groupBy("centroid").agg(sum(col("n_vecs")).as("n_total"))

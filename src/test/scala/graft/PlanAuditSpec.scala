@@ -366,6 +366,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("q123 mixture: assignment is map work; the totals join broadcasts") {
+    val plan = planOf("q123_cluster_mixture")
+    // argmax-dot assignment is an expression array against literal
+    // centroids — no join, no explode feeds it; the only joins are the
+    // ≤k-row cluster-totals broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q122 novelty: grams hash pre-explode; df partial-aggs; no window") {
     val plan = planOf("q122_doc_novelty")
     // gram hashing happens INSIDE the pre-explode transform — Generate

@@ -510,7 +510,11 @@ class SimilaritySpec extends AnyFunSuite {
       (5L, Seq(0.5f, 0.5f), "b")    // exact tie → centroid 1 (larger c)
     ).toDF("vec_id", "embedding", "label")
     val cents = Similarity.sampleCentroids(vecs, 2)
-    val out = Similarity.clusterMixture(vecs, "label", cents)
+    // NULL vectors are excluded like NULL text in corpusStats
+    val withNull = vecs.unionByName(
+      Seq((9L, null.asInstanceOf[Seq[Float]], "a"))
+        .toDF("vec_id", "embedding", "label"))
+    val out = Similarity.clusterMixture(withNull, "label", cents)
       .orderBy("centroid", "label")
       .select("centroid", "label", "n_vecs", "n_total", "share")
       .as[(Int, String, Long, Long, Double)].collect().toSeq
