@@ -251,16 +251,21 @@ object Corpus {
   /** [[histogramDrift]]'s comparison half over two prebuilt
     * (bucket, n_a) / (bucket, n_b) histograms — the ppm shares stay in
     * `div` (n·10⁶ can pass 2^53 at scale, where `/` would round).
+    * Totals come from a WINDOW over the joined histogram (the q74 rule:
+    * window the histogram, never the corpus) — separate `.agg` totals
+    * would recompute each histogram's corpus-scan subtree, one extra
+    * full pass per side at 100 TB. The window's single partition holds
+    * only bucket rows, bounded by max-doc-length / bucketWidth.
     */
   def driftFromHistograms(ha: DataFrame, hb: DataFrame): DataFrame = {
-    val ta = ha.agg(coalesce(sum(col("n_a")), lit(0L)).as("tot_a"))
-    val tb = hb.agg(coalesce(sum(col("n_b")), lit(0L)).as("tot_b"))
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
     ha.join(hb, Seq("bucket"), "full_outer")
-      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
       .select(col("bucket"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"),
-        col("tot_a"), col("tot_b"))
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("tot_a", sum(col("n_a")).over(all))
+      .withColumn("tot_b", sum(col("n_b")).over(all))
       .select(col("bucket"), col("n_a"), col("n_b"),
         when(col("tot_a") > 0, expr("n_a * 1000000 div tot_a"))
           .otherwise(lit(0L)).as("share_a_ppm"),
@@ -582,17 +587,22 @@ object Corpus {
     val tgtB = bucketed(target)
     val cr = rawB.groupBy("bucket").agg(count(lit(1)).as("cr"))
     val ct = tgtB.groupBy("bucket").agg(count(lit(1)).as("ct"))
-    val totR = rawB.agg(count(lit(1)).as("tot_r"))
-    val totT = tgtB.agg(count(lit(1)).as("tot_t"))
-    // every bucket the raw corpus touches has a cr row; target counts
-    // left-join (absent = 0, the add-one floor). All relations here are
-    // bucket-sized or one-row — the broadcast below is the whole model.
-    // `div` keeps the ratio in integers (q81's discipline — `/` on longs
-    // is double division and a 100 TB total would round in it)
-    val weights = cr.join(ct, Seq("bucket"), "left")
-      .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
+    // totals via a WINDOW over the full-outer bucket join (the q74 rule:
+    // window the histogram, never the corpus): Σ cr == |rawB| exactly,
+    // and a separate `.agg` of either gram stream (or of cr/ct — Spark
+    // shares no subtrees across consumers) would recompute a whole
+    // explode pass per total at 100 TB. FULL outer, not left: a bucket
+    // only the target touches has no cr row but its ct still belongs in
+    // tot_t; the perDoc join below only ever reads raw-present buckets.
+    // `div` keeps the ratios in integers (q81's discipline — `/` on
+    // longs is double division and a 100 TB total would round in it).
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val weights = cr.join(ct, Seq("bucket"), "full_outer")
+      .withColumn("tot_r", sum(coalesce(col("cr"), lit(0L))).over(all))
+      .withColumn("tot_t", sum(coalesce(col("ct"), lit(0L))).over(all))
       .select(col("bucket"),
-        ((length(bin(expr(s"(tot_r + $buckets) div (cr + 1)"))) - 1)
+        ((length(bin(expr(
+            s"(tot_r + $buckets) div (coalesce(cr, 0) + 1)"))) - 1)
           - (length(bin(expr(
               s"(tot_t + $buckets) div (coalesce(ct, 0) + 1)"))) - 1))
           .cast("long").as("wbits"))

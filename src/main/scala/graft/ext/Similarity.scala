@@ -436,8 +436,13 @@ object Similarity {
           .getField("c").as("centroid"))
     val counts = assigned.groupBy("centroid", "label")
       .agg(count(lit(1)).as("n_vecs"))
-    val totals = counts.groupBy("centroid").agg(sum(col("n_vecs")).as("n_total"))
-    counts.join(broadcast(totals), Seq("centroid"))
+    // cluster totals via a window over the k×|labels| counts relation —
+    // a separate totals aggregate would recompute the whole assignment
+    // scan (one extra corpus pass at 100 TB); the window partitions are
+    // per-centroid label rows, bounded by |labels|
+    val perCentroid = Window.partitionBy(col("centroid"))
+    counts
+      .withColumn("n_total", sum(col("n_vecs")).over(perCentroid))
       .select(col("centroid"), col("label"), col("n_vecs"), col("n_total"),
         (col("n_vecs").cast("double") / col("n_total")).as("share"))
   }

@@ -366,14 +366,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
-  test("q123 mixture: assignment is map work; the totals join broadcasts") {
+  test("q123 mixture: assignment is map work; totals window the counts") {
     val plan = planOf("q123_cluster_mixture")
     // argmax-dot assignment is an expression array against literal
-    // centroids — no join, no explode feeds it; the only joins are the
-    // ≤k-row cluster-totals broadcast
-    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
-    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
-    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // centroids — NO join anywhere: cluster totals come from a window
+    // over the k×|labels| counts relation, never a second corpus pass
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
   }
 
   test("q122 novelty: grams hash pre-explode; df partial-aggs; no window") {
