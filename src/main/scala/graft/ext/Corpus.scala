@@ -288,12 +288,15 @@ object Corpus {
     * contributes its gram set once), so df > 1 is exactly "some other
     * document also has it" for every contributing document.
     *
-    * Plan shape: one explode to (doc, gram_hash) — 8-byte keys, never
-    * text — a skew-safe partial-agged df groupBy, one equi-join of the
-    * gram stream back to the df relation (q24's tf⋈df shape; hot grams
-    * are AQE-skew-splittable), and a per-doc count. shared_frac is one
-    * IEEE division of exact integers — bit-identical in any engine.
-    * Documents with no grams (< n tokens or NULL text) report (0, 0, 0.0).
+    * Plan shape: the gram stream — (doc, gram_hash), 8-byte keys, never
+    * text — is deliberately exploded TWICE (once under the skew-safe df
+    * groupBy, once as the join probe; the [[decontaminate]] recompute
+    * argument — persisting it would materialize ~tokens-per-doc rows per
+    * document), then one equi-join of the stream back to the df relation
+    * (q24's tf⋈df shape; hot grams are AQE-skew-splittable) and a
+    * per-doc count. shared_frac is one IEEE division of exact integers —
+    * bit-identical in any engine. Documents with no grams (< n tokens or
+    * NULL text) report (0, 0, 0.0).
     */
   def docNovelty(docs: DataFrame, textCol: String, idCol: String,
                  n: Int = 3): DataFrame = {
@@ -558,14 +561,18 @@ object Corpus {
     * score). Documents with no bigrams (<2 tokens or NULL text) come
     * back (0, 0, false).
     *
-    * Scale shape: one bigram explode per corpus; both count tables have
-    * exactly `buckets` rows and the totals are one-row aggregates, so
-    * the weight table is bucket-sized and BROADCAST into the per-doc
-    * scoring join — the only corpus-sized exchange is the groupBy(doc)
-    * sum. The target corpus is typically tiny (a curated domain sample);
-    * its pass costs target-size. No vocabulary table exists at all —
-    * hashing bounds the model at `buckets` rows no matter the corpus
-    * (the paper's reason for hashed features).
+    * Scale shape: the raw corpus pays TWO bigram explodes (the bucket
+    * counts and the per-doc scoring stream — deliberately unshared, the
+    * [[decontaminate]] recompute argument: persisting the gram stream
+    * would materialize ~tokens-per-doc rows per document), the target
+    * one; both count tables have exactly `buckets` rows with totals from
+    * a window over them, so the weight table is bucket-sized and
+    * BROADCAST into the per-doc scoring join — the only corpus-sized
+    * exchange is the groupBy(doc) sum. The target corpus is typically
+    * tiny (a curated domain sample); its pass costs target-size. No
+    * vocabulary table exists at all — hashing bounds the model at
+    * `buckets` rows no matter the corpus (the paper's reason for hashed
+    * features).
     *
     * DEGENERATE CASE: an EMPTY target (zero bigrams — a bad filter, not a
     * crash) makes every bucket's target surprisal the same constant
