@@ -488,25 +488,21 @@ object Corpus {
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")): _*)
     val hist = docs.groupBy(keyCols.map(col): _*)
       .agg(sum(col("n_tokens")).as("tok_sum"))
-    // the budget enters the plan as a relation, never a collect. It
-    // aggregates the HISTOGRAM, not the corpus: Σ tok_sum over score
-    // classes equals the (per-partition) total, so this costs a
-    // histogram-sized pass instead of a third corpus scan. Decimal
+    // the budget enters the plan as a WINDOW over the histogram, never a
+    // collect — and never a separate aggregate of `hist`, whose subtree
+    // (a corpus groupBy) Spark would recompute for the second consumer:
+    // one extra full corpus scan at 100 TB. Both windows here read one
+    // row per distinct (partition, score), never the corpus. Decimal
     // arithmetic: at 100 TB total_tokens · 1000 overflows the
     // double-precision integer range a plain `/` would route through
-    val budgetExpr = (sum(col("tok_sum")).cast("decimal(38,0)")
-      * budgetPerMille / 1000).cast("long").as("budget")
-    // running totals over the HISTOGRAM: this window's input is one row
-    // per distinct (partition, score), never the corpus
     val byScore = Window.partitionBy(pcols: _*).orderBy(col("score").desc)
-    val edgesBase = hist
+    val byPart = Window.partitionBy(pcols: _*)
+    val edges = hist
       .withColumn("cum_incl", sum(col("tok_sum")).over(byScore))
       .withColumn("cum_before", col("cum_incl") - col("tok_sum"))
-    val edges =
-      if (partitionCols.isEmpty)
-        edgesBase.crossJoin(broadcast(hist.agg(budgetExpr)))
-      else edgesBase.join(
-        hist.groupBy(pcols: _*).agg(budgetExpr), partitionCols)
+      .withColumn("budget",
+        (sum(col("tok_sum")).over(byPart).cast("decimal(38,0)")
+          * budgetPerMille / 1000).cast("long"))
     val interior = docs.join(
       edges.where(col("cum_incl") <= col("budget"))
         .select(keyCols.map(col): _*),
