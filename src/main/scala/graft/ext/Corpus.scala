@@ -253,9 +253,10 @@ object Corpus {
     * `div` (n·10⁶ can pass 2^53 at scale, where `/` would round).
     * Totals come from a WINDOW over the joined histogram (the q74 rule:
     * window the histogram, never the corpus) — separate `.agg` totals
-    * would recompute each histogram's corpus-scan subtree, one extra
-    * full pass per side at 100 TB. The window's single partition holds
-    * only bucket rows, bounded by max-doc-length / bucketWidth.
+    * would repeat each histogram subtree and depend on ReuseExchange to
+    * avoid a second corpus scan; the window states the one-pass shape
+    * structurally. Its single partition holds only bucket rows, bounded
+    * by max-doc-length / bucketWidth.
     */
   def driftFromHistograms(ha: DataFrame, hb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -489,10 +490,11 @@ object Corpus {
     val hist = docs.groupBy(keyCols.map(col): _*)
       .agg(sum(col("n_tokens")).as("tok_sum"))
     // the budget enters the plan as a WINDOW over the histogram, never a
-    // collect — and never a separate aggregate of `hist`, whose subtree
-    // (a corpus groupBy) Spark would recompute for the second consumer:
-    // one extra full corpus scan at 100 TB. Both windows here read one
-    // row per distinct (partition, score), never the corpus. Decimal
+    // collect — and never a separate aggregate of `hist`, which would
+    // repeat the corpus-groupBy subtree and depend on ReuseExchange to
+    // avoid a second corpus scan (the window states the one-pass shape
+    // structurally). Both windows here read one row per distinct
+    // (partition, score), never the corpus. Decimal
     // arithmetic: at 100 TB total_tokens · 1000 overflows the
     // double-precision integer range a plain `/` would route through
     val byScore = Window.partitionBy(pcols: _*).orderBy(col("score").desc)
@@ -591,14 +593,17 @@ object Corpus {
     val cr = rawB.groupBy("bucket").agg(count(lit(1)).as("cr"))
     val ct = tgtB.groupBy("bucket").agg(count(lit(1)).as("ct"))
     // totals via a WINDOW over the full-outer bucket join (the q74 rule:
-    // window the histogram, never the corpus): Σ cr == |rawB| exactly,
-    // and a separate `.agg` of either gram stream (or of cr/ct — Spark
-    // shares no subtrees across consumers) would recompute a whole
-    // explode pass per total at 100 TB. FULL outer, not left: a bucket
-    // only the target touches has no cr row but its ct still belongs in
-    // tot_t; the perDoc join below only ever reads raw-present buckets.
-    // `div` keeps the ratios in integers (q81's discipline — `/` on
-    // longs is double division and a 100 TB total would round in it).
+    // window the histogram, never the corpus): Σ cr == |rawB| exactly.
+    // A separate one-row `.agg` of either GRAM STREAM would genuinely
+    // recompute its explode (map-only subtree — no exchange for
+    // ReuseExchange to dedupe); aggregating cr/ct instead would lean on
+    // exchange reuse to avoid the recompute — the window states the
+    // one-pass shape structurally rather than trusting the rule. FULL
+    // outer, not left: a bucket only the target touches has no cr row
+    // but its ct still belongs in tot_t; the perDoc join below only
+    // ever reads raw-present buckets. `div` keeps the ratios in
+    // integers (q81's discipline — `/` on longs is double division and
+    // a 100 TB total would round in it).
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
     val weights = cr.join(ct, Seq("bucket"), "full_outer")
       .withColumn("tot_r", sum(coalesce(col("cr"), lit(0L))).over(all))

@@ -437,9 +437,10 @@ object Similarity {
     val counts = assigned.groupBy("centroid", "label")
       .agg(count(lit(1)).as("n_vecs"))
     // cluster totals via a window over the k×|labels| counts relation —
-    // a separate totals aggregate would recompute the whole assignment
-    // scan (one extra corpus pass at 100 TB); the window partitions are
-    // per-centroid label rows, bounded by |labels|
+    // a separate totals aggregate would repeat the counts subtree and
+    // depend on ReuseExchange to avoid a second assignment pass; the
+    // window states the one-pass shape structurally, and its partitions
+    // are per-centroid label rows, bounded by |labels|
     val perCentroid = Window.partitionBy(col("centroid"))
     counts
       .withColumn("n_total", sum(col("n_vecs")).over(perCentroid))
