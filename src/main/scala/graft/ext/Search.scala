@@ -430,13 +430,36 @@ object Search {
     */
   def conjunctiveSearch(spark: org.apache.spark.sql.SparkSession, path: String,
                         terms: Seq[String], idCol: String = "doc_id"): DataFrame = {
-    require(terms.nonEmpty && terms.size == terms.distinct.size,
-      "conjunctiveSearch needs a non-empty, duplicate-free term set")
     // tombstones BEFORE the data resolve (the linearizable ordering —
     // see Stage.tombstoneSnapshot)
     val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    serveConjunctive(spark,
+      graft.ops.Stage.resolve(spark, s"$path/postings"), tomb, terms, idCol)
+  }
+
+  /** [[conjunctiveSearch]] from the PREVIOUS index snapshot — the same
+    * validation read as [[bm25TopKIndexedPrevious]], for the index's
+    * other serve path (only postings resolve back; pending tombstones
+    * still mask the snapshot). */
+  def conjunctiveSearchPrevious(spark: org.apache.spark.sql.SparkSession,
+                                path: String, terms: Seq[String],
+                                idCol: String = "doc_id"): DataFrame = {
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    val postingsDir = graft.ops.Stage
+      .resolvePrevious(spark, s"$path/postings")
+      .getOrElse(throw new IllegalStateException(
+        s"$path/postings has no previous snapshot to serve — " +
+          "previous-serving needs at least two publishes"))
+    serveConjunctive(spark, postingsDir, tomb, terms, idCol)
+  }
+
+  private def serveConjunctive(spark: org.apache.spark.sql.SparkSession,
+                               postingsDir: String, tomb: Option[DataFrame],
+                               terms: Seq[String], idCol: String): DataFrame = {
+    require(terms.nonEmpty && terms.size == terms.distinct.size,
+      "conjunctiveSearch needs a non-empty, duplicate-free term set")
     minusTombstoned(
-      spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/postings"))
+      spark.read.parquet(postingsDir)
         .where(col("token").isInCollection(terms)), tomb, idCol)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_occurrences"))

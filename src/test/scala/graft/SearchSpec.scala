@@ -215,6 +215,12 @@ class SearchSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq ==
       Search.bm25TopK(docs.where(col("doc_id") =!= 1L), terms, 10)
         .collect().map(_.toSeq).toSeq)
+    // the index's other serve path reads the same snapshot: conjunctive
+    // search over the previous postings equals pre-delete results
+    assert(Search.conjunctiveSearchPrevious(spark, idx, Seq("spark"))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(Search.conjunctiveSearch(spark, idx, Seq("spark"))
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
     // PENDING tombstones mask the snapshot too (right-to-be-forgotten
     // holds for validation reads)
     Search.tombstoneFromTextIndex(spark, idx, Seq(2L).toDF("doc_id"))
