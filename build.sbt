@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must pass through UNPREFIXED: sbt's default
+// LoggedOutput decorates every line with "[info] ", which has broken the
+// driver's line-oriented JSON parse of Bench's summary for two rounds
+// (BENCH_r9/r10 `parsed: null`). StdoutOutput pipes the child process's
+// stdout straight through.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -225,6 +225,15 @@ object Corpus {
     * two one-row totals entering as broadcasts. NULL-text documents are
     * excluded on both sides, as in [[corpusStats]]; a bucket absent
     * from one side contributes its full other-side share to the drift.
+    *
+    * `bucketWidth` lower bound, practical: the totals window serializes
+    * ALL bucket rows through one task (deliberate — see
+    * [[driftFromHistograms]]), so bucket cardinality ≈ max-token-count /
+    * bucketWidth must stay in the thousands-to-millions range, not
+    * beyond. The default 8 gives ~10⁵ buckets even for 10⁶-token
+    * documents; a bucketWidth of 1 against book-length outliers is the
+    * one way to make this window a bottleneck — keep
+    * max-token-count / bucketWidth ≲ 10⁷.
     */
   def histogramDrift(a: DataFrame, b: DataFrame, textCol: String,
                      bucketWidth: Int = 8): DataFrame =

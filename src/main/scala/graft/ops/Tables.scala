@@ -35,6 +35,15 @@ object Tables {
     * per read call would surprise concurrent users of a shared session,
     * hence the build-time nanosAsLong requirement documented here.
     */
+  /** Filesystem-safe tag from a dataset directory's name — the suffix the
+    * persisted-index fixture paths use so concurrent scale-factor runs
+    * don't collide. Sanitized in ONE place: a dataset dir with unusual
+    * characters must not yield malformed target paths for some queries
+    * and valid ones for others.
+    */
+  def sfTag(sfDir: String): String =
+    new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")

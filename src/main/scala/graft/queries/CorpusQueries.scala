@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ext.Corpus
-import graft.ops.Tables.t
+import graft.ops.Tables.{sfTag, t}
 import org.apache.spark.sql.functions._
 
 /** Corpus-management queries: deterministic splitting + decontamination.
@@ -114,7 +114,7 @@ object CorpusQueries {
       // state is the watermark-evicted emission dedup) and flags arriving
       // docs with Jaccard ≥ 0.9 against yesterday's corpus
       val docs = t(s, d, "documents")
-      val path = s"target/graft-minhash-manifest-stream-${new java.io.File(d).getName}"
+      val path = s"target/graft-minhash-manifest-stream-${sfTag(d)}"
       graft.ext.Dedup.saveMinhashManifest(
         docs.where(pmod(col("doc_id"), lit(10)) < 5), "text", "doc_id",
         path, k = 32, bands = 16)
@@ -251,7 +251,7 @@ object CorpusQueries {
       // pass per batch. Unseen test bigrams hit the add-one floor via
       // the left joins.
       val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
-      val path = s"target/graft-lm-${new java.io.File(d).getName}"
+      val path = s"target/graft-lm-${sfTag(d)}"
       Corpus.saveLm(docs.where(col("split") === "train"), "text", "doc_id",
         path)
       Corpus.lmPerplexityIndexed(
@@ -271,7 +271,7 @@ object CorpusQueries {
       // split. Counts are exact sums regardless of batching, so the
       // streamed model scores bit-identically to q91's one-shot build —
       // q91's oracle verbatim.
-      val path = s"target/graft-stream-lm-${new java.io.File(d).getName}"
+      val path = s"target/graft-stream-lm-${sfTag(d)}"
       val conf = s.sparkContext.hadoopConfiguration
       Seq(path, s"$path.ckpt").foreach { dir =>
         val p = new org.apache.hadoop.fs.Path(dir)
@@ -338,7 +338,7 @@ object CorpusQueries {
       // must score bit-identically to a fresh train over the surviving
       // train docs (the oracle trains on exactly those)
       val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
-      val path = s"target/graft-lm-delete-${new java.io.File(d).getName}"
+      val path = s"target/graft-lm-delete-${sfTag(d)}"
       val train = docs.where(col("split") === "train")
       Corpus.saveLm(train, "text", "doc_id", path)
       Corpus.deleteFromLm(

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ext.Dedup
-import graft.ops.Tables.t
+import graft.ops.Tables.{sfTag, t}
 import org.apache.spark.sql.functions._
 
 /** Dedup operator queries.
@@ -69,7 +69,7 @@ object DedupQueries {
       // forget operation's verdict changes are diffed before trusting it.
       val docs = t(s, d, "documents")
       val path =
-        s"target/graft-manifest-asof-${new java.io.File(d).getName}"
+        s"target/graft-manifest-asof-${sfTag(d)}"
       val manifest = docs.where(pmod(col("doc_id"), lit(10)) < 5)
       Dedup.saveMinhashManifest(manifest, "text", "doc_id", path,
         k = 32, bands = 16)
@@ -91,7 +91,7 @@ object DedupQueries {
       // verdicts must equal probing a manifest that never held it.
       val docs = t(s, d, "documents")
       val path =
-        s"target/graft-manifest-delete-${new java.io.File(d).getName}"
+        s"target/graft-manifest-delete-${sfTag(d)}"
       val manifest = docs.where(pmod(col("doc_id"), lit(10)) < 5)
       Dedup.saveMinhashManifest(manifest, "text", "doc_id", path,
         k = 32, bands = 16)
@@ -114,7 +114,7 @@ object DedupQueries {
       // half afterwards equals probing a batch-built manifest — q84's
       // oracle verbatim.
       val docs = t(s, d, "documents")
-      val path = s"target/graft-stream-manifest-${new java.io.File(d).getName}"
+      val path = s"target/graft-stream-manifest-${sfTag(d)}"
       val conf = s.sparkContext.hadoopConfiguration
       Seq(path, s"$path.ckpt").foreach { dir =>
         val p = new org.apache.hadoop.fs.Path(dir)
@@ -157,7 +157,7 @@ object DedupQueries {
       // ≈ 1 as q31, so the verdict equals "∃ manifest doc with exact
       // Jaccard ≥ 0.9" and the oracle is the exact cross check.
       val docs = t(s, d, "documents")
-      val path = s"target/graft-minhash-manifest-${new java.io.File(d).getName}"
+      val path = s"target/graft-minhash-manifest-${sfTag(d)}"
       Dedup.saveMinhashManifest(
         docs.where(pmod(col("doc_id"), lit(10)) < 5), "text", "doc_id",
         path, k = 32, bands = 16)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ext.Search
 import graft.ops.Num
-import graft.ops.Tables.t
+import graft.ops.Tables.{sfTag, t}
 import org.apache.spark.sql.functions._
 
 /** Search + join-scale-path operator queries: BM25 ranked retrieval
@@ -43,7 +43,7 @@ object SearchQueries {
       // count is per-cluster config (8 here for local[32] at test SF);
       // PlanAuditSpec pins the exchange-free plan shape. Results are
       // bucketing-invariant, so the oracle is the plain join.
-      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val sf = sfTag(d)
       val lt = s"graft_bkt_lineitem_$sf"; val ot = s"graft_bkt_orders_$sf"
       // the warehouse directory outlives the in-memory catalog, so a
       // stale location from a previous JVM blocks saveAsTable even with
@@ -73,7 +73,7 @@ object SearchQueries {
       // stats on disk (one corpus pass, amortized over every later query
       // batch), then score from the query terms' posting lists alone.
       // Must be bit-identical to q92 — the oracle is q92's SQL verbatim.
-      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val sf = sfTag(d)
       val path = s"target/graft-text-index-$sf"
       Search.saveTextIndex(t(s, d, "documents"), path)
       Search.bm25TopKIndexed(s, path, bmTerms, k = 20, k1 = k1, b = b)
@@ -82,7 +82,7 @@ object SearchQueries {
     "q103_conjunctive_search" -> ((s, d) => {
       // AND-semantics retrieval from the same persisted index: documents
       // containing every query term, with per-doc match statistics
-      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val sf = sfTag(d)
       val path = s"target/graft-text-index-conj-$sf"
       Search.saveTextIndex(t(s, d, "documents"), path)
       Search.conjunctiveSearch(s, path, bmTerms)
@@ -98,7 +98,7 @@ object SearchQueries {
       // ledger, so a replayed batch is a no-op (the file-side dual of
       // Sinks.streamJdbcExactlyOnce; replay windows pinned in
       // SearchSpec).
-      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val sf = sfTag(d)
       val path = s"target/graft-stream-index-$sf"
       val conf = s.sparkContext.hadoopConfiguration
       Seq(path, s"$path.ckpt").foreach { dir =>
@@ -135,7 +135,7 @@ object SearchQueries {
       // files; stats are plain sums), serve from the grown index. BM25
       // over summed stats equals a fresh build over the union — the
       // oracle is whole-corpus q92 verbatim.
-      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val sf = sfTag(d)
       val path = s"target/graft-text-index-append-$sf"
       val docs = t(s, d, "documents")
       Search.saveTextIndex(docs.where(pmod(col("doc_id"), lit(2)) === 0), path)
@@ -149,7 +149,7 @@ object SearchQueries {
       // tenth of the documents (compaction rewrite + stats recompute from
       // the surviving doclens), serve. Must equal fresh compute over the
       // survivors — the oracle filters the same ids out of the corpus.
-      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val sf = sfTag(d)
       val path = s"target/graft-text-index-delete-$sf"
       val docs = t(s, d, "documents")
       Search.saveTextIndex(docs, path)
@@ -167,7 +167,7 @@ object SearchQueries {
       // (migrates the plain layout to v1), delete a tenth (v2), then
       // serve PREVIOUS — which must equal fresh compute over the FULL
       // corpus, q102's oracle verbatim.
-      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val sf = sfTag(d)
       val path = s"target/graft-text-index-asof-$sf"
       val docs = t(s, d, "documents")
       Search.saveTextIndex(docs, path)
@@ -186,7 +186,7 @@ object SearchQueries {
       // shift exactly as if the index had been rewritten. Served results
       // must equal fresh compute over the survivors BEFORE any
       // compaction folds the tombstones — q105's oracle verbatim.
-      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val sf = sfTag(d)
       val path = s"target/graft-text-index-tomb-$sf"
       val docs = t(s, d, "documents")
       Search.saveTextIndex(docs, path)
@@ -207,7 +207,7 @@ object SearchQueries {
       // PartitionFilters entry. Results are layout-invariant, so the
       // oracle is the plain filtered aggregate over the unpartitioned
       // parquet.
-      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val sf = sfTag(d)
       val path = s"target/graft-part-docs-$sf"
       t(s, d, "documents").write.mode("overwrite")
         .partitionBy("lang").parquet(path)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ext.Similarity
-import graft.ops.Tables.t
+import graft.ops.Tables.{sfTag, t}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search queries over the embeddings table. Cosine math is
@@ -115,7 +115,7 @@ object SimilarityQueries {
       val deq = emb.select(col("vec_id"),
         Similarity.dequantize(
           Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
-      val path = s"target/graft-ivf-index-${new java.io.File(d).getName}"
+      val path = s"target/graft-ivf-index-${sfTag(d)}"
       Similarity.saveIvfIndex(emb, path, nCentroids = 16, dim = 64,
         quantScale = 200.0,
         centroidsIn = Similarity.sampleCentroids(deq, 16))
@@ -135,7 +135,7 @@ object SimilarityQueries {
       val deq = emb.select(col("vec_id"),
         Similarity.dequantize(
           Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
-      val path = s"target/graft-ivf-append-${new java.io.File(d).getName}"
+      val path = s"target/graft-ivf-append-${sfTag(d)}"
       Similarity.saveIvfIndex(emb.where(pmod(col("vec_id"), lit(2)) === 0),
         path, nCentroids = 16, dim = 64, quantScale = 200.0,
         centroidsIn = Similarity.sampleCentroids(
@@ -156,7 +156,7 @@ object SimilarityQueries {
       val deq = emb.select(col("vec_id"),
         Similarity.dequantize(
           Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
-      val path = s"target/graft-ivf-delete-${new java.io.File(d).getName}"
+      val path = s"target/graft-ivf-delete-${sfTag(d)}"
       Similarity.saveIvfIndex(emb, path, nCentroids = 16, dim = 64,
         quantScale = 200.0,
         centroidsIn = Similarity.sampleCentroids(deq, 16))
@@ -188,7 +188,7 @@ object SimilarityQueries {
       val deq = emb.select(col("vec_id"),
         Similarity.dequantize(
           Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
-      val path = s"target/graft-ivf-asof-${new java.io.File(d).getName}"
+      val path = s"target/graft-ivf-asof-${sfTag(d)}"
       Similarity.saveIvfIndex(emb, path, nCentroids = 16, dim = 64,
         quantScale = 200.0,
         centroidsIn = Similarity.sampleCentroids(deq, 16))
@@ -212,7 +212,7 @@ object SimilarityQueries {
       val deq = emb.select(col("vec_id"),
         Similarity.dequantize(
           Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
-      val path = s"target/graft-ivf-tomb-${new java.io.File(d).getName}"
+      val path = s"target/graft-ivf-tomb-${sfTag(d)}"
       Similarity.saveIvfIndex(emb, path, nCentroids = 16, dim = 64,
         quantScale = 200.0,
         centroidsIn = Similarity.sampleCentroids(deq, 16))
@@ -249,7 +249,7 @@ object SimilarityQueries {
       val deq = emb.select(col("vec_id"),
         Similarity.dequantize(
           Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
-      val path = s"target/graft-stream-ivf-${new java.io.File(d).getName}"
+      val path = s"target/graft-stream-ivf-${sfTag(d)}"
       val conf = s.sparkContext.hadoopConfiguration
       Seq(path, s"$path.ckpt").foreach { dir =>
         val p = new org.apache.hadoop.fs.Path(dir)
