@@ -786,6 +786,19 @@ object Corpus {
   private def loadLm(spark: org.apache.spark.sql.SparkSession,
                      path: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.ops.Stage.resolve
+    // enforce publishOnce's retry contract at the one place every LM
+    // consumer passes through: a crashed-unretried delete/append is
+    // SERVING but not durable — the next compaction reverts it. Surface
+    // the pending op ids loudly so the operator retries (same id) first;
+    // metadata-only (one ledger + two component listings).
+    val pending = graft.ops.Stage.pendingOps(spark, path,
+      Seq("bigrams", "vocab"))
+    if (pending.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"LM at $path has UNCOMMITTED maintenance ops " +
+          s"[${pending.mkString(", ")}]: their deltas serve now but are " +
+          "not durable — retry each op with its original id BEFORE any " +
+          "compaction, or the compaction will revert it")
     val cb = spark.read.parquet(resolve(spark, s"$path/bigrams"))
       .groupBy("p", "w").agg(sum(col("cb")).as("cb"))
       .where(col("cb") > 0)
@@ -883,7 +896,8 @@ object Corpus {
     * the delta trail serving.
     */
   def compactLm(spark: org.apache.spark.sql.SparkSession,
-                path: String): Unit = {
+                path: String): Unit =
+      graft.ops.Stage.withWriterLease(spark, path) {
     import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
     // crashed-mid-publish batch leavings must not fold (see
     // Stage.sweepUncommitted — the replay would double their counts)

@@ -638,6 +638,7 @@ object Dedup {
   def deleteContentFromMinhashManifest(deleted: DataFrame, textCol: String,
                                        path: String): Unit = {
     val spark = deleted.sparkSession
+    graft.ops.Stage.withWriterLease(spark, path) {
     // like every compacting rewrite: a crashed batch's uncommitted
     // b<id>-* files must not fold (the replay would double them)
     graft.ops.Stage.sweepUncommitted(spark, path, Seq("docs", "bands"))
@@ -652,6 +653,7 @@ object Dedup {
         .join(removed, Seq("doc"), "left_anti"))
     publishRewrite(spark, s"$path/docs",
       live.join(delKeys, Seq("seth"), "left_anti").drop("seth"))
+    }
   }
 
   /** TOMBSTONE content in a persisted manifest — the batched alternative
@@ -712,7 +714,8 @@ object Dedup {
     * manifest next time.
     */
   def compactMinhashManifest(spark: org.apache.spark.sql.SparkSession,
-                             path: String): Unit = {
+                             path: String): Unit =
+      graft.ops.Stage.withWriterLease(spark, path) {
     import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
     // crashed-mid-publish batch leavings must not fold (see
     // Stage.sweepUncommitted — the replay would double them)

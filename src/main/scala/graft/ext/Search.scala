@@ -232,7 +232,8 @@ object Search {
     */
   def deleteFromTextIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, ids: DataFrame,
-                          idCol: String = "doc_id"): Unit = {
+                          idCol: String = "doc_id"): Unit =
+      graft.ops.Stage.withWriterLease(spark, path) {
     import graft.ops.Stage.{publishRewrite, resolve}
     // like every compacting rewrite: a crashed batch's uncommitted
     // b<id>-* files must not fold (the replay would double them)
@@ -273,7 +274,8 @@ object Search {
     * multiset the rewrite preserves — SearchSpec pins it).
     */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
-                       path: String, idCol: String = "doc_id"): Unit = {
+                       path: String, idCol: String = "doc_id"): Unit =
+      graft.ops.Stage.withWriterLease(spark, path) {
     import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
     // partial leavings of a crashed mid-publish batch must NOT fold —
     // anonymized into part files, the replay's prefix sweep couldn't
@@ -405,9 +407,53 @@ object Search {
       tomb, terms, k, idCol, k1, b)
   }
 
+  /** Pin the index's current state under a NAMED snapshot — retention
+    * beyond [[bm25TopKIndexedPrevious]]'s one-publish-cycle validation
+    * window ([[graft.ops.Stage.snapshot]] per component, one shared
+    * name). The pinned versions survive every later maintenance op's GC
+    * until [[dropTextIndexSnapshot]] releases them, so an operator can
+    * hold the pre-campaign state across a whole run of deletes and
+    * compactions and keep diffing against it. Components move together
+    * under the single-writer contract, so one name pins a CONSISTENT
+    * (postings, doclens, stats) triple. Requires a versioned layout —
+    * snapshot after the first maintenance op (or compact once first).
+    */
+  def snapshotTextIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, name: String): Unit =
+    Seq("postings", "doclens", "stats").foreach(c =>
+      graft.ops.Stage.snapshot(spark, s"$path/$c", name))
+
+  /** Release a [[snapshotTextIndex]] pin; the pinned versions become
+    * ordinary GC candidates at the next publish. */
+  def dropTextIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
+                            path: String, name: String): Unit =
+    Seq("postings", "doclens", "stats").foreach(c =>
+      graft.ops.Stage.dropSnapshot(spark, s"$path/$c", name))
+
+  /** [[bm25TopKIndexed]] served from a NAMED snapshot — identical scoring
+    * over the pinned (postings, doclens, stats) triple, any number of
+    * maintenance ops later. Pending tombstones still apply, as in
+    * previous-serving: a right-to-be-forgotten request holds for
+    * snapshot reads too. Fails loudly on an unknown name.
+    */
+  def bm25TopKIndexedSnapshot(spark: org.apache.spark.sql.SparkSession,
+                              path: String, name: String, terms: Seq[String],
+                              k: Int, idCol: String = "doc_id",
+                              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    def snap(c: String) = graft.ops.Stage
+      .resolveSnapshot(spark, s"$path/$c", name)
+      .getOrElse(throw new IllegalStateException(
+        s"$path/$c has no snapshot named '$name' — pin one with " +
+          "snapshotTextIndex before serving it"))
+    serveBm25(spark, snap("postings"), snap("doclens"), snap("stats"),
+      tomb, terms, k, idCol, k1, b)
+  }
+
   /** The shared indexed-serve body over RESOLVED component directories —
-    * live ([[bm25TopKIndexed]]) and previous-snapshot
-    * ([[bm25TopKIndexedPrevious]]) serving must score identically, so
+    * live ([[bm25TopKIndexed]]), previous-snapshot
+    * ([[bm25TopKIndexedPrevious]]), and named-snapshot
+    * ([[bm25TopKIndexedSnapshot]]) serving must score identically, so
     * they share everything after version resolution.
     */
   private def serveBm25(spark: org.apache.spark.sql.SparkSession,

@@ -491,7 +491,15 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
     Seq((dim, cents.length, quantScale)).toDF("dim", "n_centroids", "quant_scale")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
-    writeIvfLists(corpus, cents, quantScale, idCol, vecCol, path, "overwrite")
+    // lists are BORN VERSIONED (publishRewrite on a fresh dir = v1 +
+    // pointer): a Hive-partitioned component must never live as a plain
+    // layout, because its first migration would leave a root that mixes
+    // `centroid=N/` and version directories — unreadable as a fresh scan
+    // (see Stage.resolvePrevious). Born versioned, every maintenance op
+    // including the first gets full reader grace and previous-serving.
+    graft.ops.Stage.publishRewrite(spark, s"$path/lists")(versionDir =>
+      writeIvfLists(corpus, cents, quantScale, idCol, vecCol, versionDir,
+        "overwrite"))
   }
 
   /** The (scale, centroids) a persisted index was built with — ONE loader
@@ -516,7 +524,7 @@ object Similarity {
     */
   private def writeIvfLists(vecs: DataFrame, cents: Array[Array[Double]],
                             quantScale: Double, idCol: String,
-                            vecCol: String, path: String,
+                            vecCol: String, listsDir: String,
                             mode: String): Unit = {
     val code = if (quantScale > 0) quantize(col(vecCol), quantScale)
       else col(vecCol).cast("array<double>")
@@ -525,8 +533,7 @@ object Similarity {
     else col(vecCol).cast("array<double>")
     vecs.select(col(idCol).as("vec_id"), code.as("code"),
         array_max(centDotsFor(cents)(assignVec)).getField("c").as("centroid"))
-      .write.mode(mode).partitionBy("centroid")
-      .parquet(graft.ops.Stage.resolve(vecs.sparkSession, s"$path/lists"))
+      .write.mode(mode).partitionBy("centroid").parquet(listsDir)
   }
 
   /** Append new vectors to a persisted [[saveIvfIndex]] index WITHOUT
@@ -546,7 +553,8 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): Unit = {
     val (scale, cents) = loadIvfMeta(newVecs.sparkSession, path)
-    writeIvfLists(newVecs, cents, scale, idCol, vecCol, path, "append")
+    writeIvfLists(newVecs, cents, scale, idCol, vecCol,
+      graft.ops.Stage.resolve(newVecs.sparkSession, s"$path/lists"), "append")
   }
 
   /** [[appendToIvfIndex]] with EXACTLY-ONCE semantics for streaming
@@ -574,7 +582,8 @@ object Similarity {
     val (scale, cents) = loadIvfMeta(newVecs.sparkSession, path)
     graft.ops.Stage.appendExactlyOnce(newVecs.sparkSession, path, batchId,
       Seq("lists")) { staging =>
-      writeIvfLists(newVecs, cents, scale, idCol, vecCol, staging, "overwrite")
+      writeIvfLists(newVecs, cents, scale, idCol, vecCol, s"$staging/lists",
+        "overwrite")
     }
   }
 
@@ -591,7 +600,8 @@ object Similarity {
     */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, ids: DataFrame,
-                         idCol: String = "vec_id"): Unit = {
+                         idCol: String = "vec_id"): Unit =
+      graft.ops.Stage.withWriterLease(spark, path) {
     // like every compacting rewrite: a crashed batch's uncommitted
     // b<id>-* files must not fold (the replay would double them)
     graft.ops.Stage.sweepUncommitted(spark, path, Seq("lists"))
@@ -647,7 +657,8 @@ object Similarity {
     * the fragmented-but-correct lists serving.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Unit = {
+                      path: String): Unit =
+      graft.ops.Stage.withWriterLease(spark, path) {
     import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
     // crashed-mid-publish batch leavings must not fold (see
     // Stage.sweepUncommitted — the replay would double them)

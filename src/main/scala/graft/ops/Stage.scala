@@ -47,6 +47,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Stage {
 
   private val VersionRe = "v\\d{8}".r
+
+  /** Pointer token naming the PLAIN layout as a previous "version": the
+    * first (migrating) publish over a plain directory writes it as the
+    * pointer's second line, so [[gcStale]] spares the plain top-level
+    * data files for one publish cycle — the same reader grace every
+    * later publish gives its predecessor — and [[resolvePrevious]] can
+    * serve them (the root itself reads as the pre-migration snapshot:
+    * parquet scans of a directory read only its top-level files, so the
+    * version subdirectories alongside are invisible to it). The next
+    * publish drops the token and sweeps the plain files.
+    */
+  private val PlainToken = "plain"
   private val BatchMarkerRe = "batch-(\\d+)".r
   private val HighMarkerRe = "high-(\\d+)".r
   private val BatchFileRe = "b(\\d+)-.*".r
@@ -71,7 +83,8 @@ object Stage {
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .map(_.trim).filter(_.nonEmpty).toList
         finally in.close()
-      require(lines.nonEmpty && lines.forall(VersionRe.matches),
+      require(lines.nonEmpty && VersionRe.matches(lines.head) &&
+        lines.tail.forall(l => VersionRe.matches(l) || l == PlainToken),
         s"$pointer names ${lines.mkString(",")}, not version directories")
       lines
     }
@@ -88,21 +101,32 @@ object Stage {
 
   /** The previously-live data directory of `root` — the version the
     * pointer's second line names, which [[gcStale]] spares for exactly
-    * one publish cycle. None for a plain layout or an index that has
-    * published only once (the first migration of a plain layout has no
-    * previous VERSION — see [[gcStale]]). This is the read half of
+    * one publish cycle. None for a plain layout or an index whose only
+    * publish replaced an EMPTY root. This is the read half of
     * TIME-TRAVEL serving: a maintenance op (delete, compaction) can be
     * validated by serving the pre-op snapshot next to the live one and
     * diffing, without any extra storage — the grace version already
     * exists for in-flight readers. The snapshot's lifetime is one
     * publish cycle: the NEXT maintenance op garbage-collects it, so
     * previous-serving is a validation window, not an archive (retention
-    * beyond one cycle belongs to an external snapshot copy).
+    * beyond one cycle belongs to [[snapshot]]).
+    *
+    * After the first (migrating) publish over a plain layout, the
+    * previous snapshot is the root itself: the plain data files stay in
+    * place for one cycle ([[PlainToken]]) and a parquet scan of the
+    * root reads exactly them — version subdirectories are invisible to
+    * a top-level scan. Caveat, FLAT layouts only: a plain layout that
+    * was itself Hive-partitioned (`key=value/` subdirectories) cannot
+    * be re-read as a fresh scan once version directories sit alongside
+    * (conflicting-structure detection); partitioned components should
+    * be born versioned instead (as [[graft.ext.Similarity.saveIvfIndex]]
+    * does for `lists/`), which makes this caveat unreachable for them.
     */
   def resolvePrevious(spark: SparkSession, root: String): Option[String] = {
     val rootPath = new Path(root)
     pointerLines(fsFor(spark, rootPath), rootPath).drop(1).headOption
-      .map(v => new Path(rootPath, v).toString)
+      .map(v => if (v == PlainToken) root
+                else new Path(rootPath, v).toString)
   }
 
   /** Atomically replace the contents of `root`: `write` receives a fresh
@@ -111,18 +135,19 @@ object Stage {
     * untouched and the old contents keep serving.
     */
   def publishRewrite(spark: SparkSession, root: String)
-                    (write: String => Unit): Unit = {
-    val rootPath = new Path(root)
-    val fs = fsFor(spark, rootPath)
-    fs.mkdirs(rootPath)
-    val existing = fs.listStatus(rootPath).map(_.getPath.getName)
-    val next = existing.filter(VersionRe.matches)
-      .map(_.drop(1).toInt).foldLeft(0)(math.max) + 1
-    val version = f"v$next%08d"
-    write(new Path(rootPath, version).toString)
-    flipPointer(spark, fs, rootPath, version)
-    gcStale(fs, rootPath)
-  }
+                    (write: String => Unit): Unit =
+    withWriterLease(spark, root) {
+      val rootPath = new Path(root)
+      val fs = fsFor(spark, rootPath)
+      fs.mkdirs(rootPath)
+      val existing = fs.listStatus(rootPath).map(_.getPath.getName)
+      val next = existing.filter(VersionRe.matches)
+        .map(_.drop(1).toInt).foldLeft(0)(math.max) + 1
+      val version = f"v$next%08d"
+      write(new Path(rootPath, version).toString)
+      flipPointer(spark, fs, rootPath, version)
+      gcStale(fs, rootPath)
+    }
 
   /** The common case: replace a directory's contents with a DataFrame.
     * The plan may read from the directory being replaced — it scans the
@@ -134,11 +159,20 @@ object Stage {
 
   /** Point `root/_current` at `version` with an atomic overwrite-rename;
     * the previously-live version rides along as the second line so GC
-    * can spare it for one cycle. */
+    * can spare it for one cycle. A first publish over a PLAIN layout
+    * records [[PlainToken]] instead — the plain top-level data files
+    * are that publish's predecessor and get the same one-cycle grace. */
   private def flipPointer(spark: SparkSession, fs: FileSystem,
                           rootPath: Path, version: String): Unit = {
-    val content = (version +: pointerLines(fs, rootPath).take(1))
-      .mkString("\n")
+    val previous = pointerLines(fs, rootPath).headOption.orElse {
+      // called after write(versionDir): any non-version data entry is
+      // pre-migration plain data (the fresh version dir is excluded by
+      // name; `_`/`.` metadata by dataEntries)
+      val plainData = dataEntries(fs, rootPath)
+        .exists(s => !VersionRe.matches(s.getPath.getName))
+      if (plainData) Some(PlainToken) else None
+    }
+    val content = (version +: previous.toSeq).mkString("\n")
     val tmp = new Path(rootPath, "_current.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
@@ -148,22 +182,178 @@ object Stage {
   }
 
   /** Delete stale state under `root`: orphan versions of crashed
-    * publishes, older generations, and the plain layout's old data files
-    * on first migration. The versions the pointer names (live +
-    * previously-live) survive — an in-flight scan that resolved just
-    * before the flip still finds its files; the next publish sweeps it.
-    * EXCEPTION: the first migration of a plain layout has no previous
-    * VERSION to name, so the plain data files sweep immediately — a
-    * reader that resolved the plain root just before the migrating flip
-    * can lose its files. One-time per index; schedule the first rewrite
-    * of a live plain index accordingly (the `save*` builders write plain
-    * layouts, and their first maintenance op migrates).
+    * publishes and older generations. The versions the pointer names
+    * (live + previously-live) survive — an in-flight scan that resolved
+    * just before the flip still finds its files; the next publish sweeps
+    * them. When the pointer's second line is [[PlainToken]] (the first
+    * migration of a plain layout), every non-version entry IS the
+    * previous snapshot and gets the same one-cycle grace — a reader that
+    * resolved the plain root just before the migrating flip still reads
+    * its files (pinned listings keep working even for partitioned plain
+    * layouts; fresh top-level scans work for flat ones). The publish
+    * after the migration drops the token and sweeps the plain files.
     */
   private def gcStale(fs: FileSystem, rootPath: Path): Unit = {
-    val keep = pointerLines(fs, rootPath).toSet
+    val lines = pointerLines(fs, rootPath)
+    // keep: pointer-named versions (live + one-cycle grace) PLUS any
+    // version a named snapshot pins — [[snapshot]]'s whole point is
+    // surviving publish cycles until dropped
+    val keep = lines.toSet ++ snapshotVersions(fs, rootPath)
+    val plainGrace = lines.contains(PlainToken)
     fs.listStatus(rootPath).map(_.getPath)
-      .filter(p => p.getName != "_current" && !keep.contains(p.getName))
+      .filter { p =>
+        val n = p.getName
+        !ControlNames.contains(n) && !keep.contains(n) &&
+          (VersionRe.matches(n) || !plainGrace)
+      }
       .foreach(p => fs.delete(p, true))
+  }
+
+  /** Control entries of a versioned directory that no GC may touch: the
+    * pointer, the writer lease, and the named-snapshot registry. */
+  private val ControlNames = Set("_current", "_writer.lock", "_snapshots")
+
+  private val SnapshotNameRe = "[A-Za-z0-9_][A-Za-z0-9_.-]*"
+
+  /** Every version some `_snapshots/<name>` file pins in `rootPath`.
+    * `.`-prefixed entries are in-flight tmp files of [[snapshot]]'s
+    * atomic rename, never pins — a crashed one must not pin a version
+    * forever. */
+  private def snapshotVersions(fs: FileSystem, rootPath: Path): Set[String] = {
+    val dir = new Path(rootPath, "_snapshots")
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).map(_.getPath)
+      .filter(!_.getName.startsWith("."))
+      .flatMap { p =>
+        val in = fs.open(p)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        if (VersionRe.matches(v)) Some(v) else None
+      }.toSet
+  }
+
+  /** Pin `dir`'s LIVE version under the name `name` — retention beyond
+    * [[resolvePrevious]]'s one-cycle validation window: a pinned version
+    * survives every later publish's GC until [[dropSnapshot]] releases
+    * it, so an operator can hold a known-good state across a whole
+    * maintenance campaign (N deletes + compactions) and diff or roll
+    * analysis back to it at any point. Storage cost: the pinned
+    * version's files, frozen — snapshots of an actively-rewritten index
+    * accumulate full copies, which is why they are named and explicitly
+    * dropped rather than automatic. Re-pinning an existing name moves it
+    * (atomic overwrite-rename, like the pointer flip). Requires a
+    * versioned layout: a plain directory has no version to pin —
+    * publish once first (or build born-versioned).
+    */
+  def snapshot(spark: SparkSession, dir: String, name: String): Unit = {
+    require(name.matches(SnapshotNameRe),
+      s"snapshot name '$name' must match $SnapshotNameRe (it names a file)")
+    val rootPath = new Path(dir)
+    val fs = fsFor(spark, rootPath)
+    val live = pointerLines(fs, rootPath).headOption.getOrElse(
+      throw new IllegalStateException(
+        s"$dir is a plain layout — a snapshot pins a VERSION; publish " +
+          "once first (save builders that write born-versioned layouts, " +
+          "or any maintenance op, create one)"))
+    val snapDir = new Path(rootPath, "_snapshots")
+    fs.mkdirs(snapDir)
+    val tmp = new Path(snapDir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(live.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(rootPath.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(snapDir, name), Options.Rename.OVERWRITE)
+  }
+
+  /** The data directory a named snapshot pins, or None if the name does
+    * not exist (never dangling: [[gcStale]] spares pinned versions). */
+  def resolveSnapshot(spark: SparkSession, dir: String,
+                      name: String): Option[String] = {
+    val rootPath = new Path(dir)
+    val fs = fsFor(spark, rootPath)
+    val f = new Path(new Path(rootPath, "_snapshots"), name)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(VersionRe.matches(v), s"$f names '$v', not a version")
+      Some(new Path(rootPath, v).toString)
+    }
+  }
+
+  /** Release a named snapshot's pin. The pinned version is NOT deleted
+    * here — the next publish's GC sweeps it (unless the pointer or
+    * another snapshot still names it), the same deferred-sweep shape as
+    * every other stale version. */
+  def dropSnapshot(spark: SparkSession, dir: String, name: String): Unit = {
+    val f = new Path(new Path(dir, "_snapshots"), name)
+    fsFor(spark, f).delete(f, false)
+  }
+
+  /** Currently-held lease paths of THIS thread — makes [[withWriterLease]]
+    * reentrant, so a family-level maintenance op holding the index-root
+    * lease can call nested helpers that also lease without deadlocking
+    * on itself. */
+  private val heldLeases = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** Run `body` holding an exclusive writer lease on `path` — the
+    * single-writer contract made LOUD instead of assumed. A
+    * create-exclusive `_writer.lock` file guards the critical section:
+    * a second concurrent maintenance op fails immediately with a clear
+    * error instead of silently corrupting a multi-step fold (the
+    * tombstone-snapshot → rewrite → reset sequence is only correct
+    * single-writer). The lock releases on ANY exit, including an
+    * exception inside `body`; only a killed JVM leaves it behind, and a
+    * lock older than `staleAfterMs` is presumed crashed and RECLAIMED
+    * (delete + one create-exclusive retry — two simultaneous reclaimers
+    * race on the atomic create and exactly one wins). Reentrant per
+    * thread, so nested leases on the same path pass through.
+    *
+    * The atomic create is the same primitive the exactly-once ledger
+    * markers rely on (atomic on HDFS and local filesystems; on raw
+    * object stores an HDFS-compatible metadata layer is assumed, the
+    * standard caveat). Default staleness 30 min — longer than any sane
+    * compaction, shorter than an operator's patience.
+    */
+  def withWriterLease[T](spark: SparkSession, path: String,
+                         staleAfterMs: Long = 30 * 60 * 1000L)(body: => T): T = {
+    val rootPath = new Path(path)
+    val fs = fsFor(spark, rootPath)
+    val lock = new Path(rootPath, "_writer.lock")
+    val key = lock.toString
+    if (heldLeases.get.contains(key)) return body
+    def tryAcquire(): Boolean =
+      try {
+        fs.mkdirs(rootPath)
+        val out = fs.create(lock, false)
+        try out.write(
+          s"pid=${ProcessHandle.current.pid} t=${System.currentTimeMillis}"
+            .getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val age = try System.currentTimeMillis -
+        fs.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      // stale (or vanished between attempts): presumed crashed — reclaim
+      if (age > staleAfterMs) fs.delete(lock, false)
+      if (age <= staleAfterMs || !tryAcquire())
+        throw new IllegalStateException(
+          s"$lock is held by a concurrent maintenance op (age ${age}ms, " +
+            s"stale after ${staleAfterMs}ms) — the single-writer contract " +
+            "forbids concurrent maintenance on one index; retry after it " +
+            "finishes, or delete the lock if its holder is known dead")
+    }
+    heldLeases.set(heldLeases.get + key)
+    try body
+    finally {
+      heldLeases.set(heldLeases.get - key)
+      fs.delete(lock, false)
+    }
   }
 
   /** Run one ingest batch against a persisted index with EXACTLY-ONCE
@@ -195,17 +385,19 @@ object Stage {
                         components: Seq[String])
                        (stage: String => Unit): Unit = {
     if (alreadyPublished(spark, path, batchId)) return
-    val fs = fsFor(spark, new Path(path))
-    val staging = s"$path/_staging/batch-$batchId"
-    fs.delete(new Path(staging), true) // wipe a dead attempt's partials
-    stage(staging)
-    components.foreach { comp =>
-      publishStaged(fs, new Path(s"$staging/$comp"),
-        new Path(resolve(spark, s"$path/$comp")), s"b$batchId") }
-    val marker = new Path(s"$path/_ledger/batch-$batchId")
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, false).close() // atomic: the batch is now published
-    fs.delete(new Path(staging), true)
+    withWriterLease(spark, path) {
+      val fs = fsFor(spark, new Path(path))
+      val staging = s"$path/_staging/batch-$batchId"
+      fs.delete(new Path(staging), true) // wipe a dead attempt's partials
+      stage(staging)
+      components.foreach { comp =>
+        publishStaged(fs, new Path(s"$staging/$comp"),
+          new Path(resolve(spark, s"$path/$comp")), s"b$batchId") }
+      val marker = new Path(s"$path/_ledger/batch-$batchId")
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, false).close() // atomic: the batch is now published
+      fs.delete(new Path(staging), true)
+    }
   }
 
   /** [[appendExactlyOnce]] for NON-streaming maintenance ops: the same
@@ -230,7 +422,10 @@ object Stage {
     * [[sweepUncommitted]] removes its markerless `o<opId>-*` files.
     * Crashed callers must retry with the same id before relying on the
     * effect (the same rule Structured Streaming's checkpoint enforces
-    * automatically for [[appendExactlyOnce]] batches).
+    * automatically for [[appendExactlyOnce]] batches). ENFORCED at load:
+    * [[pendingOps]] names every crashed-unretried op, the LM loader
+    * logs them loudly, and [[healthReport]] carries the count — the
+    * operator no longer has to remember the contract unaided.
     */
   def publishOnce(spark: SparkSession, path: String, opId: String,
                   components: Seq[String])(stage: String => Unit): Unit = {
@@ -240,14 +435,16 @@ object Stage {
     val fs = fsFor(spark, marker)
     val staging = s"$path/_staging/op-$opId"
     if (fs.exists(marker)) { fs.delete(new Path(staging), true); return }
-    fs.delete(new Path(staging), true)
-    stage(staging)
-    components.foreach { comp =>
-      publishStaged(fs, new Path(s"$staging/$comp"),
-        new Path(resolve(spark, s"$path/$comp")), s"o$opId") }
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, false).close() // atomic: the op is now published
-    fs.delete(new Path(staging), true)
+    withWriterLease(spark, path) {
+      fs.delete(new Path(staging), true)
+      stage(staging)
+      components.foreach { comp =>
+        publishStaged(fs, new Path(s"$staging/$comp"),
+          new Path(resolve(spark, s"$path/$comp")), s"o$opId") }
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, false).close() // atomic: the op is now published
+      fs.delete(new Path(staging), true)
+    }
   }
 
   /** Sweep from components' LIVE directories the partial leavings of
@@ -289,6 +486,38 @@ object Stage {
       }
     }
     components.foreach(c => sweep(new Path(resolve(spark, s"$path/$c"))))
+  }
+
+  /** Op ids with `o<opId>-*` files in some component's live directory but
+    * NO committed `_ledger/op-<opId>` marker — [[publishOnce]] calls that
+    * crashed mid-publish. The enforcement half of publishOnce's retry
+    * contract: a crashed op's effect is VISIBLE to readers but not
+    * durable, and the next compaction's [[sweepUncommitted]] silently
+    * REVERTS it — so an operator must learn about the pending op and
+    * retry (same id) before any compaction runs. Load paths surface this
+    * set loudly (the LM loader logs it; [[healthReport]] carries it as a
+    * column) instead of leaving the burden on operator memory.
+    * Metadata-only: one ledger listing plus one recursive listing per
+    * component.
+    */
+  def pendingOps(spark: SparkSession, path: String,
+                 components: Seq[String]): Seq[String] = {
+    val ledger = new Path(s"$path/_ledger")
+    val fs = fsFor(spark, ledger)
+    val committed =
+      if (!fs.exists(ledger)) Set.empty[String]
+      else fs.listStatus(ledger).map(_.getPath.getName)
+        .collect { case OpMarkerRe(op) => op }.toSet
+    val found = scala.collection.mutable.SortedSet.empty[String]
+    def scan(d: Path): Unit = dataEntries(fs, d).foreach { s =>
+      if (s.isDirectory) scan(s.getPath)
+      else s.getPath.getName match {
+        case OpFileRe(op) if !committed.contains(op) => found += op
+        case _ => ()
+      }
+    }
+    components.foreach(c => scan(new Path(resolve(spark, s"$path/$c"))))
+    found.toSeq
   }
 
   /** Whether `batchId` has fully published in this lineage — its own
@@ -511,8 +740,10 @@ object Stage {
     * introspection an operator reads before deciding whether to compact,
     * fold the ledger, or worry: one row per component with its live
     * version (empty = plain layout), on-disk version count, live
-    * data-file count and bytes, plus the root's ledger entry count and
-    * pending tombstone file count stamped on every row. Metadata-only
+    * data-file count and bytes, plus the root's ledger entry count,
+    * pending tombstone file count, and uncommitted-op count
+    * ([[pendingOps]] — nonzero means a crashed publishOnce needs its
+    * retry BEFORE the next compaction) stamped on every row. Metadata-only
     * (directory listings, no data read). NOT a `SparkEntry` query on
     * purpose: file counts depend on the writing cluster's parallelism,
     * so the numbers are deterministic per deployment but not across
@@ -539,6 +770,10 @@ object Stage {
         count(t)
       }
     }
+    // crashed-but-unretried publishOnce ops: their effect serves now but
+    // the next compaction reverts it — the one signal an operator MUST
+    // see before compacting (see [[pendingOps]])
+    val uncommittedOps = pendingOps(spark, path, components).size
     val rows = components.map { c =>
       val root = new Path(s"$path/$c")
       val fs = fsFor(spark, root)
@@ -555,10 +790,11 @@ object Stage {
       val (nFiles, nBytes) =
         if (fs.exists(live)) filesBytes(live) else (0, 0L)
       (c, lines.headOption.getOrElse(""), nVersions, nFiles, nBytes,
-        ledgerEntries, tombFiles)
+        ledgerEntries, tombFiles, uncommittedOps)
     }
     rows.toDF("component", "live_version", "n_versions", "n_files",
-      "n_bytes", "ledger_entries", "pending_tombstone_files")
+      "n_bytes", "ledger_entries", "pending_tombstone_files",
+      "uncommitted_ops")
   }
 
   /** Reset an index root's exactly-once machinery — called by the `save*`

@@ -158,6 +158,27 @@ object SearchQueries {
       Search.bm25TopKIndexed(s, path, bmTerms, k = 20, k1 = k1, b = b)
     }),
 
+    "q127_index_named_snapshot" -> ((s, d) => {
+      // NAMED-snapshot serving: where q119's previous-version read
+      // survives exactly ONE maintenance op, a named snapshot pins its
+      // versions until dropped. Fixture: build, compact (v1), PIN
+      // "pre_campaign", then run TWO maintenance ops (delete a tenth →
+      // v2, compact again → v3 — the op that would GC v1 without the
+      // pin), and serve the pinned snapshot — which must equal fresh
+      // compute over the FULL corpus, q102's oracle verbatim.
+      val sf = sfTag(d)
+      val path = s"target/graft-text-index-snap-$sf"
+      val docs = t(s, d, "documents")
+      Search.saveTextIndex(docs, path)
+      Search.compactTextIndex(s, path)
+      Search.snapshotTextIndex(s, path, "pre_campaign")
+      Search.deleteFromTextIndex(s, path,
+        docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"))
+      Search.compactTextIndex(s, path)
+      Search.bm25TopKIndexedSnapshot(s, path, "pre_campaign", bmTerms,
+        k = 20, k1 = k1, b = b)
+    }),
+
     "q119_index_time_travel" -> ((s, d) => {
       // TIME-TRAVEL validation read: serve the index snapshot a DELETE
       // superseded. The versioned publish keeps the previously-live
@@ -311,6 +332,10 @@ object SearchQueries {
     // q119 serves the snapshot the delete superseded — the full corpus,
     // exactly as if the delete never happened
     "q119_index_time_travel" -> bm25SqlOver("SELECT * FROM documents"),
+
+    // q127 serves a NAMED snapshot pinned before a two-op maintenance
+    // campaign — still the full corpus, however many publishes later
+    "q127_index_named_snapshot" -> bm25SqlOver("SELECT * FROM documents"),
 
     // AND-semantics over the same posting lists (DuckDB sum(BIGINT) is
     // HUGEINT — cast back to the engine's LONG)

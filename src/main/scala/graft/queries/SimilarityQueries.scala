@@ -179,8 +179,8 @@ object SimilarityQueries {
 
     "q121_ann_index_time_travel" -> ((s, d) => {
       // TIME-TRAVEL validation read on the ANN index (q119's read applied
-      // to the IVF family): build, compact (migrates the plain lists to
-      // v1), DELETE a tenth (v2), then serve the PREVIOUS snapshot —
+      // to the IVF family): build (lists born versioned, v1), compact
+      // (v2), DELETE a tenth (v3), then serve the PREVIOUS snapshot —
       // which must equal the fresh build over the full corpus, q82's
       // oracle verbatim. Centroids/meta are frozen, so only the lists'
       // prior version is needed.

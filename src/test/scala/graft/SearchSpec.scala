@@ -201,10 +201,12 @@ class SearchSpec extends AnyFunSuite {
       Search.bm25TopKIndexedPrevious(spark, idx, terms, 10)
     }
     Search.compactTextIndex(spark, idx) // migrate plain → v1
-    // the migrating publish names no prior version either
-    intercept[IllegalStateException] {
-      Search.bm25TopKIndexedPrevious(spark, idx, terms, 10)
-    }
+    // the MIGRATING publish's previous snapshot is the plain layout
+    // itself (its files stay in place for the grace cycle) — and the
+    // compaction preserved content, so it serves the same full corpus
+    assert(Search.bm25TopKIndexedPrevious(spark, idx, terms, 10)
+      .collect().map(_.toSeq).toSeq ==
+      Search.bm25TopK(docs, terms, 10).collect().map(_.toSeq).toSeq)
     Search.deleteFromTextIndex(spark, idx, Seq(1L).toDF("doc_id")) // → v2
     // previous-serve == fresh compute over the FULL corpus, bit-identical
     assert(Search.bm25TopKIndexedPrevious(spark, idx, terms, 10)

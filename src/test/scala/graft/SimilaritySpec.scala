@@ -137,7 +137,8 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.saveIvfIndex(emb, dir, nCentroids = 16, dim = 64,
       quantScale = 200.0, centroidsIn = cents)
     // the lists really hold int8 codes — the 4x storage lever is real
-    val codeType = spark.read.parquet(s"$dir/lists").schema("code").dataType
+    val codeType = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$dir/lists")).schema("code").dataType
     assert(codeType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
       codeType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
         org.apache.spark.sql.types.ByteType, codeType)
@@ -397,7 +398,8 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.saveIvfIndex(emb, rebuilt, nCentroids = 16, dim = 64,
       quantScale = 200.0, centroidsIn = cents)
     // identical logical index content: (vec_id, centroid, code)
-    def content(p: String) = spark.read.parquet(s"$p/lists")
+    def content(p: String) = spark.read.parquet(
+        graft.ops.Stage.resolve(spark, s"$p/lists"))
       .select(col("vec_id"), col("centroid"), col("code"))
       .as[(Long, Int, Seq[Byte])].collect()
       .map { case (v, c, cd) => (v, c, cd.toList) }.toSet
@@ -539,14 +541,14 @@ class SimilaritySpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select("query_id", "neighbor_id", "cos_sim", "rank")
       .as[(Long, Long, Double, Int)].collect().toSet
-    // plain layout: no snapshot history — loud failure
+    // born-versioned with a single publish: no history yet — loud failure
     intercept[IllegalStateException] {
       Similarity.topKIvfIndexedPrevious(spark, qset, idx, k = 5)
     }
     val full = rows(Similarity.topKIvfIndexed(spark, qset, idx, k = 5))
-    Similarity.compactIvfIndex(spark, idx) // migrate plain → v1
+    Similarity.compactIvfIndex(spark, idx) // v1 → v2
     Similarity.deleteFromIvfIndex(spark, idx,
-      emb.where(pmod(col("vec_id"), lit(3)) === 1).select("vec_id")) // → v2
+      emb.where(pmod(col("vec_id"), lit(3)) === 1).select("vec_id")) // → v3
     // previous-serve == the pre-delete (full corpus) ranking
     assert(rows(Similarity.topKIvfIndexedPrevious(spark, qset, idx, k = 5))
       == full)

@@ -26,16 +26,26 @@ class StageSpec extends AnyFunSuite {
   private def children(dir: String): Set[String] =
     fs(dir).listStatus(new Path(dir)).map(_.getPath.getName).toSet
 
-  test("publishRewrite migrates a plain directory and GCs its old files") {
+  test("publishRewrite migrates a plain directory with one cycle of reader grace") {
     val root = "target/graft-test-stage-migrate"
     fs(root).delete(new Path(root), true)
     Seq(1L, 2L, 3L).toDF("v").write.parquet(root) // plain layout
-    assert(Stage.resolve(spark, root) == root)
+    val preMigration = Stage.resolve(spark, root)
+    assert(preMigration == root)
     Stage.publishRewrite(spark, root, Seq(4L, 5L).toDF("v"))
     assert(Stage.resolve(spark, root) == s"$root/v00000001")
     assert(values(root) == Set(4L, 5L))
-    // the plain layout's data files are swept; only pointer + version remain
-    assert(children(root) == Set("_current", "v00000001"))
+    // FIRST-MIGRATION READER GRACE: a reader that resolved the plain
+    // root just before the migrating flip still reads its files — the
+    // plain data files stay in place for one publish cycle (version
+    // subdirectories are invisible to a top-level parquet scan)
+    assert(spark.read.parquet(preMigration)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(children(root).contains("v00000001"))
+    // the NEXT publish ends the grace: plain files swept, v1 spared
+    Stage.publishRewrite(spark, root, Seq(6L).toDF("v"))
+    assert(children(root) == Set("_current", "v00000001", "v00000002"))
+    assert(values(root) == Set(6L))
   }
 
   test("a crash between the version write and the flip leaves the old data serving") {
@@ -52,10 +62,15 @@ class StageSpec extends AnyFunSuite {
     // pointer untouched: still the plain layout, still the old rows
     assert(Stage.resolve(spark, root) == root)
     assert(values(root) == Set(1L, 2L))
-    // a later successful publish supersedes and GCs the orphan version
+    // a later successful publish supersedes and GCs the orphan version;
+    // the plain files get their migration grace cycle
     Stage.publishRewrite(spark, root, Seq(7L).toDF("v"))
     assert(values(root) == Set(7L))
-    assert(children(root) == Set("_current", "v00000002"))
+    assert(!children(root).contains("v00000001")) // orphan swept
+    assert(spark.read.parquet(root) // plain snapshot still readable
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    Stage.publishRewrite(spark, root, Seq(8L).toDF("v")) // grace over
+    assert(children(root) == Set("_current", "v00000002", "v00000003"))
   }
 
   test("the previously-live version survives exactly one publish cycle") {
@@ -80,8 +95,11 @@ class StageSpec extends AnyFunSuite {
     // plain layout: no snapshot history at all
     assert(Stage.resolvePrevious(spark, root).isEmpty)
     Stage.publishRewrite(spark, root, Seq(2L).toDF("v")) // → v1
-    // the migrating publish has no previous VERSION to name
-    assert(Stage.resolvePrevious(spark, root).isEmpty)
+    // the migrating publish's previous snapshot is the plain root
+    // itself — its data files stay in place for the grace cycle
+    assert(Stage.resolvePrevious(spark, root).contains(root))
+    assert(spark.read.parquet(Stage.resolvePrevious(spark, root).get)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
     Stage.publishRewrite(spark, root, Seq(3L).toDF("v")) // → v2, v1 spared
     assert(Stage.resolvePrevious(spark, root).contains(s"$root/v00000001"))
     assert(spark.read.parquet(Stage.resolvePrevious(spark, root).get)
@@ -380,6 +398,112 @@ class StageSpec extends AnyFunSuite {
     val served = Search.conjunctiveSearch(spark, idx, Seq("epsilon"))
       .collect().map(_.getLong(0)).toSeq
     assert(served == Seq(3L), s"lineage-2 batch 0 was dropped: $served")
+  }
+
+  test("writer lease: a second concurrent maintenance op fails loudly") {
+    val root = "target/graft-test-stage-lease"
+    fs(root).delete(new Path(root), true)
+    Stage.withWriterLease(spark, root) {
+      // same thread re-enters (a family op calling nested helpers)...
+      Stage.withWriterLease(spark, root) { assert(true) }
+      // ...but a SECOND writer (simulated from another thread — leases
+      // are tracked per thread) is rejected while the first holds
+      var err: Throwable = null
+      val t = new Thread(() => {
+        try Stage.withWriterLease(spark, root) { fail("acquired held lease") }
+        catch { case e: Throwable => err = e }
+      })
+      t.start(); t.join()
+      assert(err != null &&
+        err.getMessage.contains("concurrent maintenance"), s"$err")
+    }
+    // released on exit: the next op acquires freely
+    Stage.withWriterLease(spark, root) { assert(true) }
+    // and an exception inside the critical section also releases
+    intercept[RuntimeException] {
+      Stage.withWriterLease(spark, root) { throw new RuntimeException("boom") }
+    }
+    assert(!fs(root).exists(new Path(s"$root/_writer.lock")))
+  }
+
+  test("writer lease: a stale lock from a crashed holder is reclaimed") {
+    val root = "target/graft-test-stage-lease-stale"
+    fs(root).delete(new Path(root), true)
+    // a crashed JVM's leftover: a lock file nobody will ever release
+    fs(root).mkdirs(new Path(root))
+    fs(root).create(new Path(s"$root/_writer.lock"), false).close()
+    // within the staleness window the lock holds...
+    intercept[IllegalStateException] {
+      Stage.withWriterLease(spark, root, staleAfterMs = 60 * 1000L) { () }
+    }
+    // ...past it the lock is presumed dead and reclaimed
+    var ran = false
+    Stage.withWriterLease(spark, root, staleAfterMs = 0L) { ran = true }
+    assert(ran)
+    assert(!fs(root).exists(new Path(s"$root/_writer.lock")))
+  }
+
+  test("a named snapshot pins its version across publish cycles until dropped") {
+    val root = "target/graft-test-stage-snap"
+    fs(root).delete(new Path(root), true)
+    Seq(1L).toDF("v").write.parquet(root)
+    // a plain layout has no version to pin — loud failure
+    intercept[IllegalStateException] {
+      Stage.snapshot(spark, root, "good")
+    }
+    Stage.publishRewrite(spark, root, Seq(2L).toDF("v")) // → v1
+    Stage.snapshot(spark, root, "good")
+    assert(Stage.resolveSnapshot(spark, root, "good")
+      .contains(s"$root/v00000001"))
+    // TWO subsequent publishes — the second would GC v1 without the pin
+    Stage.publishRewrite(spark, root, Seq(3L).toDF("v")) // → v2
+    Stage.publishRewrite(spark, root, Seq(4L).toDF("v")) // → v3, v1 pinned
+    assert(children(root).contains("v00000001"))
+    assert(spark.read.parquet(Stage.resolveSnapshot(spark, root, "good").get)
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(values(root) == Set(4L))
+    // unknown names resolve to None, never dangling paths
+    assert(Stage.resolveSnapshot(spark, root, "nope").isEmpty)
+    // dropping the pin makes the version an ordinary GC candidate
+    Stage.dropSnapshot(spark, root, "good")
+    Stage.publishRewrite(spark, root, Seq(5L).toDF("v")) // → v4 sweeps v1
+    assert(!children(root).contains("v00000001"))
+    assert(Stage.resolveSnapshot(spark, root, "good").isEmpty)
+  }
+
+  test("pendingOps surfaces a crashed publishOnce until its retry commits") {
+    val idx = "target/graft-test-pending-ops"
+    fs(idx).delete(new Path(idx), true)
+    Seq((1L, 10L)).toDF("k", "c").write.parquet(s"$idx/counts")
+    def stageOp(opId: String, crashBeforeMarker: Boolean): Unit = {
+      if (crashBeforeMarker) {
+        // simulate publishOnce dying between the component publish and
+        // the marker create: files land under the o<opId>- prefix with
+        // no ledger marker
+        val tmp = s"$idx/_tmp-stage"
+        fs(idx).delete(new Path(tmp), true)
+        Seq((2L, -10L)).toDF("k", "c").write.parquet(tmp)
+        Stage.publishStaged(fs(idx), new Path(tmp),
+          new Path(Stage.resolve(spark, s"$idx/counts")), s"o$opId")
+      } else Stage.publishOnce(spark, idx, opId, Seq("counts")) { staging =>
+        Seq((2L, -10L)).toDF("k", "c").write.parquet(s"$staging/counts")
+      }
+    }
+    assert(Stage.pendingOps(spark, idx, Seq("counts")).isEmpty)
+    stageOp("del_7", crashBeforeMarker = true)
+    // the crashed op's effect is VISIBLE but not durable — pendingOps
+    // names it, and the health report carries the count
+    assert(Stage.pendingOps(spark, idx, Seq("counts")) == Seq("del_7"))
+    val health = Stage.healthReport(spark, idx, Seq("counts")).head()
+    assert(health.getAs[Int]("uncommitted_ops") == 1)
+    // the mandated retry (same id) commits the marker; pending clears
+    stageOp("del_7", crashBeforeMarker = false)
+    assert(Stage.pendingOps(spark, idx, Seq("counts")).isEmpty)
+    // and the committed op survives a sweep (it has its marker)
+    Stage.sweepUncommitted(spark, idx, Seq("counts"))
+    assert(spark.read.parquet(Stage.resolve(spark, s"$idx/counts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, -10L)))
   }
 
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
