@@ -84,6 +84,33 @@ object RecallCheck {
       }
     }
 
+    // ---- topKIvfIndexed: recall@10 vs brute force over the index's own
+    // (dequantized int8) geometry, nProbe ∈ {1, 4, 8} of 16 lists — the
+    // served index's quality knob measured where users turn it. The
+    // reference set uses the same dequantized vectors, so the number
+    // isolates the nProbe list-truncation loss from quantization error.
+    {
+      val emb = t(spark, sfDir, "embeddings")
+      val deq = emb.select(col("vec_id"),
+        Similarity.dequantize(
+          Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+      val qs = deq.where(col("vec_id") < 50)
+      val exactTopk = Similarity.topKBruteForce(qs, deq, k = 10)
+        .select("query_id", "neighbor_id")
+      val nTopk = exactTopk.count()
+      val path = "target/graft-recall-ivf"
+      Similarity.saveIvfIndex(emb, path, nCentroids = 16, dim = 64,
+        quantScale = 200.0, centroidsIn = Similarity.sampleCentroids(deq, 16))
+      for (np <- Seq(1, 4, 8, 16)) {
+        val got = Similarity
+          .topKIvfIndexed(spark, qs, path, k = 10, nProbe = np)
+          .select("query_id", "neighbor_id")
+        val hit = exactTopk.intersect(got).count()
+        println(f"[recall] topKIvfIndexed@10 nProbe=$np/16: " +
+          f"recall=${hit.toDouble / nTopk}%.3f ($hit/$nTopk)")
+      }
+    }
+
     // ---- q38 vectors: portable hash embedding of documents, LSH vs exact
     val pvecs = docs.select(col("doc_id").as("vec_id"),
       graft.ext.TextAnalysis.portableHashEmbedding(col("text"), 64).as("embedding"))

@@ -400,6 +400,39 @@ object ScaleProbe {
       }
     }
 
+    // ---- docNovelty under a PATHOLOGICAL hot gram: a fixed 4-token tail
+    // appended to half the corpus plants trigrams whose df is N/2 — the
+    // worst key shape for the one uncapped inverted-index join in the
+    // library (every gram occurrence must meet its df row; a frequency
+    // cap would change the answer). The probe measures whether AQE's
+    // skew split actually breaks the hot keys' partitions at local[32]:
+    // straggler task time must stay near the mean and wall must stay
+    // ~linear 1×→n×, else the documented mitigation (two-level (gram,
+    // salt) pre-aggregation) gets implemented rather than documented.
+    if (sel("noveltyskew")) for (k <- Seq(1, n)) {
+      val docs = replicated(k).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(col("text"), lit(" zqhotw zqhotx zqhoty zqhotz")))
+          .otherwise(col("text")).as("text"))
+        .localCheckpoint()
+      spark.sparkContext.addSparkListener(listener)
+      val walls = (1 to 3).map { _ =>
+        taskMs.synchronized(taskMs.clear())
+        val t0 = System.nanoTime()
+        graft.ext.Corpus.docNovelty(docs, "text", "doc_id")
+          .agg(sum(col("n_shared")), sum(col("n_grams"))).head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200) // let the async listener bus drain
+        val ts = taskMs.synchronized(taskMs.toVector)
+        (dt, ts.max, ts.sum.toDouble / ts.length)
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      val med = walls.sortBy(_._1).apply(1)
+      println(f"[scale] ${k}x novelty-hotgram: median ${med._1}%.2fs " +
+        f"(straggler task ${med._2}ms vs mean ${med._3}%.0fms; " +
+        s"walls=${walls.map(w => f"${w._1}%.2f").mkString(",")})")
+    }
+
     // ---- salted join (q99): 90% of 4M probe rows pile on one key (the
     // null-pile / dominant-tenant shape); compare straggler task time
     // plain vs salted at the same shuffle width. The salted plan's build
