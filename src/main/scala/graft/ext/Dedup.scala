@@ -794,17 +794,48 @@ object Dedup {
     incrementalNearDupsImpl(newDf, manifestPath, textCol, idCol, threshold,
       previous = true)
 
+  /** Pin the manifest's current (docs, bands) versions under a NAMED
+    * snapshot — retention beyond the one-cycle previous window
+    * ([[graft.ops.Stage.snapshot]] per component, one shared name; the
+    * text index's `snapshotTextIndex` is the same pin there). Meta is
+    * frozen at build. Requires versioned components — any maintenance
+    * op (compaction, content delete) migrates a fresh manifest. */
+  def snapshotMinhashManifest(spark: org.apache.spark.sql.SparkSession,
+                              path: String, name: String): Unit =
+    Seq("docs", "bands").foreach(c =>
+      graft.ops.Stage.snapshot(spark, s"$path/$c", name))
+
+  /** Release a [[snapshotMinhashManifest]] pin; the pinned versions
+    * become ordinary GC candidates at the next publish. */
+  def dropMinhashManifestSnapshot(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, name: String): Unit =
+    Seq("docs", "bands").foreach(c =>
+      graft.ops.Stage.dropSnapshot(spark, s"$path/$c", name))
+
+  /** [[incrementalNearDups]] probed against a NAMED manifest snapshot —
+    * identical verdict contract over the pinned (docs, bands) pair, any
+    * number of maintenance ops later. Pending tombstones still mask it;
+    * fails loudly on an unknown name. */
+  def incrementalNearDupsSnapshot(newDf: DataFrame, manifestPath: String,
+                                  name: String, textCol: String,
+                                  idCol: String,
+                                  threshold: Double = 0.9): DataFrame =
+    incrementalNearDupsImpl(newDf, manifestPath, textCol, idCol, threshold,
+      previous = false, snapshotName = Some(name))
+
   private def incrementalNearDupsImpl(newDf: DataFrame, manifestPath: String,
                                       textCol: String, idCol: String,
                                       threshold: Double,
-                                      previous: Boolean): DataFrame = {
+                                      previous: Boolean,
+                                      snapshotName: Option[String] = None)
+      : DataFrame = {
     val docs = newDf.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
     val members = exactClasses(docs) // null-text docs excluded: never match
     val repDocs = docs.join(
       members.where(col("doc") === col("rep")).select(col("doc")),
       Seq("doc"), "left_semi")
     val verdicts = manifestMatchRows(repDocs, manifestPath, threshold,
-        previous = previous)
+        previous = previous, snapshotName = snapshotName)
       .groupBy("doc_n").agg(max(col("jaccard")).as("near_jaccard"))
     // rep verdicts fan out over exact-class members; docs outside `members`
     // (null text) and unmatched reps flag false with a null jaccard
@@ -839,7 +870,9 @@ object Dedup {
   private[graft] def manifestMatchRows(probe: DataFrame, manifestPath: String,
                                        threshold: Double,
                                        carryTokens: Boolean = false,
-                                       previous: Boolean = false): DataFrame = {
+                                       previous: Boolean = false,
+                                       snapshotName: Option[String] = None)
+      : DataFrame = {
     val spark = probe.sparkSession
     // meta is frozen at build — always the live (only) copy
     val meta = spark.read.parquet(
@@ -848,13 +881,19 @@ object Dedup {
     // tombstones BEFORE the data resolves (the linearizable ordering —
     // see Stage.tombstoneSnapshot)
     val tomb = graft.ops.Stage.pendingTombstones(spark, manifestPath)
-    def dataDir(c: String): String =
-      if (previous) graft.ops.Stage
+    def dataDir(c: String): String = snapshotName match {
+      case Some(name) => graft.ops.Stage
+        .resolveSnapshot(spark, s"$manifestPath/$c", name)
+        .getOrElse(throw new IllegalStateException(
+          s"$manifestPath/$c has no snapshot named '$name' — pin one " +
+            "with snapshotMinhashManifest before probing it"))
+      case None if previous => graft.ops.Stage
         .resolvePrevious(spark, s"$manifestPath/$c")
         .getOrElse(throw new IllegalStateException(
           s"$manifestPath/$c has no previous snapshot to probe — " +
             "previous-probing needs at least two publishes"))
-      else graft.ops.Stage.resolve(spark, s"$manifestPath/$c")
+      case None => graft.ops.Stage.resolve(spark, s"$manifestPath/$c")
+    }
     val manBands = spark.read.parquet(dataDir("bands"))
     // pending tombstones mask their content here: a tombstoned doc's bands
     // rows may still generate candidates, but those die in the

@@ -730,8 +730,44 @@ object Similarity {
     serveIvf(spark, queries, path, listsDir, tomb, k, nProbe, idCol, vecCol)
   }
 
-  /** The shared IVF serve body over a RESOLVED lists directory — live and
-    * previous-snapshot serving must rank identically. */
+  /** Pin the index's current lists version under a NAMED snapshot —
+    * retention beyond [[topKIvfIndexedPrevious]]'s one-cycle validation
+    * window ([[graft.ops.Stage.snapshot]]; the text index's
+    * [[graft.ext.Search.snapshotTextIndex]] is the same pin there).
+    * Centroids and meta are frozen after the build, so `lists/` is the
+    * only component with versions to pin. Requires the lists to be
+    * versioned — [[saveIvfIndex]] writes them born-versioned, so any
+    * saved index qualifies immediately. */
+  def snapshotIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, name: String): Unit =
+    graft.ops.Stage.snapshot(spark, s"$path/lists", name)
+
+  /** Release a [[snapshotIvfIndex]] pin; the pinned version becomes an
+    * ordinary GC candidate at the next publish. */
+  def dropIvfIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
+                           path: String, name: String): Unit =
+    graft.ops.Stage.dropSnapshot(spark, s"$path/lists", name)
+
+  /** [[topKIvfIndexed]] served from a NAMED snapshot — identical ranking
+    * over the pinned lists, any number of maintenance ops later. Pending
+    * tombstones still mask it; fails loudly on an unknown name. */
+  def topKIvfIndexedSnapshot(spark: org.apache.spark.sql.SparkSession,
+                             queries: DataFrame, path: String, name: String,
+                             k: Int, nProbe: Int = 4,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    val listsDir = graft.ops.Stage
+      .resolveSnapshot(spark, s"$path/lists", name)
+      .getOrElse(throw new IllegalStateException(
+        s"$path/lists has no snapshot named '$name' — pin one with " +
+          "snapshotIvfIndex before serving it"))
+    serveIvf(spark, queries, path, listsDir, tomb, k, nProbe, idCol, vecCol)
+  }
+
+  /** The shared IVF serve body over a RESOLVED lists directory — live,
+    * previous-snapshot, and named-snapshot serving must rank
+    * identically. */
   private def serveIvf(spark: org.apache.spark.sql.SparkSession,
                        queries: DataFrame, path: String, listsDir: String,
                        tomb: Option[DataFrame], k: Int, nProbe: Int,

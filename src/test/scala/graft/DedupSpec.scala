@@ -569,6 +569,45 @@ class DedupSpec extends AnyFunSuite {
       == full)
   }
 
+  test("a named manifest snapshot serves across two maintenance ops") {
+    val path = "target/graft-test-manifest-snap"
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val manifest = Seq((1L, base), (2L, unrelated(0)))
+      .toDF("doc_id", "text")
+    Dedup.saveMinhashManifest(manifest, "text", "doc_id", path,
+      k = 32, bands = 16)
+    val batch = Seq((10L, base), (11L, unrelated(0)), (12L, unrelated(1)))
+      .toDF("doc_id", "text")
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val full = verdicts(
+      Dedup.incrementalNearDups(batch, path, "text", "doc_id"))
+    Dedup.compactMinhashManifest(spark, path) // migrate plain → v1
+    Dedup.snapshotMinhashManifest(spark, path, "pre_campaign")
+    // TWO maintenance ops later — the second would GC v1 unpinned
+    Dedup.deleteContentFromMinhashManifest(
+      Seq((99L, base)).toDF("doc_id", "text"), "text", path) // → v2
+    Dedup.compactMinhashManifest(spark, path) // → v3
+    // the previous window has moved past v1, but the pin still serves it
+    assert(verdicts(Dedup.incrementalNearDupsSnapshot(
+      batch, path, "pre_campaign", "text", "doc_id")) == full)
+    assert(verdicts(
+      Dedup.incrementalNearDups(batch, path, "text", "doc_id"))
+      == Map(10L -> false, 11L -> true, 12L -> false))
+    // unknown names fail loudly, and a dropped pin stops resolving
+    intercept[IllegalStateException] {
+      Dedup.incrementalNearDupsSnapshot(
+        batch, path, "nope", "text", "doc_id").collect()
+    }
+    Dedup.dropMinhashManifestSnapshot(spark, path, "pre_campaign")
+    intercept[IllegalStateException] {
+      Dedup.incrementalNearDupsSnapshot(
+        batch, path, "pre_campaign", "text", "doc_id").collect()
+    }
+  }
+
   test("incrementalNearDups ≡ brute-force max-Jaccard on randomized corpora") {
     val rnd = new scala.util.Random(13)
     val vocab = Vector.tabulate(40)(i => s"tok$i")

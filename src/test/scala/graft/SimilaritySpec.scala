@@ -556,4 +556,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(Similarity.topKIvfIndexed(spark, qset, idx, k = 5))
       .forall(r => r._2 % 3 != 1))
   }
+
+  test("a named IVF snapshot serves across two maintenance ops") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = emb.select(col("vec_id"),
+      Similarity.dequantize(
+        Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+    val cents = Similarity.sampleCentroids(deq, 16)
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-ivf-snap-").toString
+    Similarity.saveIvfIndex(emb, idx, nCentroids = 16, dim = 64,
+      quantScale = 200.0, centroidsIn = cents) // lists born versioned: v1
+    val qset = deq.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val full = rows(Similarity.topKIvfIndexed(spark, qset, idx, k = 5))
+    Similarity.snapshotIvfIndex(spark, idx, "pre_campaign") // pins v1
+    // TWO maintenance ops — the second would GC v1 unpinned
+    Similarity.deleteFromIvfIndex(spark, idx,
+      emb.where(pmod(col("vec_id"), lit(3)) === 1).select("vec_id")) // → v2
+    Similarity.compactIvfIndex(spark, idx) // → v3
+    assert(rows(Similarity.topKIvfIndexedSnapshot(
+      spark, qset, idx, "pre_campaign", k = 5)) == full)
+    assert(rows(Similarity.topKIvfIndexed(spark, qset, idx, k = 5))
+      .forall(r => r._2 % 3 != 1))
+    // dropped pin stops resolving
+    Similarity.dropIvfIndexSnapshot(spark, idx, "pre_campaign")
+    intercept[IllegalStateException] {
+      Similarity.topKIvfIndexedSnapshot(
+        spark, qset, idx, "pre_campaign", k = 5)
+    }
+  }
 }
