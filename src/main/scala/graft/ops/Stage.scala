@@ -315,8 +315,12 @@ object Stage {
     * The atomic create is the same primitive the exactly-once ledger
     * markers rely on (atomic on HDFS and local filesystems; on raw
     * object stores an HDFS-compatible metadata layer is assumed, the
-    * standard caveat). Default staleness 30 min — longer than any sane
-    * compaction, shorter than an operator's patience.
+    * standard caveat). A lock whose recorded holder is a dead SAME-HOST
+    * process reclaims immediately (the local-cluster / test-harness
+    * case: a killed driver must not stall the next run for the whole
+    * staleness window); cross-host holders fall back to the age check.
+    * Default staleness 30 min — longer than any sane compaction,
+    * shorter than an operator's patience.
     */
   def withWriterLease[T](spark: SparkSession, path: String,
                          staleAfterMs: Long = 30 * 60 * 1000L)(body: => T): T = {
@@ -330,8 +334,8 @@ object Stage {
         fs.mkdirs(rootPath)
         val out = fs.create(lock, false)
         try out.write(
-          s"pid=${ProcessHandle.current.pid} t=${System.currentTimeMillis}"
-            .getBytes("UTF-8"))
+          (s"pid=${ProcessHandle.current.pid} host=$localHost " +
+            s"t=${System.currentTimeMillis}").getBytes("UTF-8"))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
@@ -339,9 +343,11 @@ object Stage {
       val age = try System.currentTimeMillis -
         fs.getFileStatus(lock).getModificationTime
       catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-      // stale (or vanished between attempts): presumed crashed — reclaim
-      if (age > staleAfterMs) fs.delete(lock, false)
-      if (age <= staleAfterMs || !tryAcquire())
+      // presumed crashed — reclaim: holder provably dead on this host,
+      // or silent past the staleness window (or vanished between tries)
+      if (age > staleAfterMs || holderDeadOnThisHost(fs, lock))
+        fs.delete(lock, false)
+      if (!tryAcquire())
         throw new IllegalStateException(
           s"$lock is held by a concurrent maintenance op (age ${age}ms, " +
             s"stale after ${staleAfterMs}ms) — the single-writer contract " +
@@ -355,6 +361,29 @@ object Stage {
       fs.delete(lock, false)
     }
   }
+
+  private lazy val localHost =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "unknown" }
+
+  private val LockPidRe = "pid=(\\d+) host=(\\S+).*".r
+
+  /** Whether `lock` names a holder process on THIS host that no longer
+    * exists — the provably-dead case that reclaims without waiting out
+    * the staleness window. False on cross-host holders (a pid means
+    * nothing remotely), unreadable locks, and torn content. */
+  private def holderDeadOnThisHost(fs: FileSystem, lock: Path): Boolean =
+    try {
+      val in = fs.open(lock)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      content match {
+        case LockPidRe(pid, host) if host == localHost =>
+          ProcessHandle.of(pid.toLong).map[Boolean](!_.isAlive).orElse(true)
+        case _ => false
+      }
+    } catch { case _: java.io.IOException => false }
 
   /** Run one ingest batch against a persisted index with EXACTLY-ONCE
     * semantics — the shared ledger protocol of the text-index, IVF, and

@@ -441,6 +441,14 @@ class StageSpec extends AnyFunSuite {
     Stage.withWriterLease(spark, root, staleAfterMs = 0L) { ran = true }
     assert(ran)
     assert(!fs(root).exists(new Path(s"$root/_writer.lock")))
+    // a lock naming a DEAD same-host pid reclaims immediately — a killed
+    // driver must not stall the next run for the staleness window
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val out = fs(root).create(new Path(s"$root/_writer.lock"), false)
+    out.write(s"pid=999999999 host=$host t=0".getBytes("UTF-8")); out.close()
+    var ran2 = false
+    Stage.withWriterLease(spark, root) { ran2 = true } // default staleness
+    assert(ran2)
   }
 
   test("a named snapshot pins its version across publish cycles until dropped") {
