@@ -772,7 +772,9 @@ object Stage {
     * data-file count and bytes, plus the root's ledger entry count,
     * pending tombstone file count, and uncommitted-op count
     * ([[pendingOps]] — nonzero means a crashed publishOnce needs its
-    * retry BEFORE the next compaction) stamped on every row. Metadata-only
+    * retry BEFORE the next compaction) stamped on every row, plus the
+    * component's pinned-snapshot count (each pin holds a full version's
+    * storage until dropped). Metadata-only
     * (directory listings, no data read). NOT a `SparkEntry` query on
     * purpose: file counts depend on the writing cluster's parallelism,
     * so the numbers are deterministic per deployment but not across
@@ -818,12 +820,15 @@ object Stage {
         }
       val (nFiles, nBytes) =
         if (fs.exists(live)) filesBytes(live) else (0, 0L)
+      // snapshot pins hold full version copies — storage an operator
+      // must SEE to know to drop ([[snapshot]]'s accumulation caveat)
+      val nPinned = snapshotVersions(fs, root).size
       (c, lines.headOption.getOrElse(""), nVersions, nFiles, nBytes,
-        ledgerEntries, tombFiles, uncommittedOps)
+        ledgerEntries, tombFiles, uncommittedOps, nPinned)
     }
     rows.toDF("component", "live_version", "n_versions", "n_files",
       "n_bytes", "ledger_entries", "pending_tombstone_files",
-      "uncommitted_ops")
+      "uncommitted_ops", "pinned_versions")
   }
 
   /** Reset an index root's exactly-once machinery — called by the `save*`

@@ -472,6 +472,10 @@ class StageSpec extends AnyFunSuite {
     assert(values(root) == Set(4L))
     // unknown names resolve to None, never dangling paths
     assert(Stage.resolveSnapshot(spark, root, "nope").isEmpty)
+    // the health report shows the pin (storage held until dropped)
+    val parent = new Path(root).getParent.toString
+    assert(Stage.healthReport(spark, parent, Seq(new Path(root).getName))
+      .head().getAs[Int]("pinned_versions") == 1)
     // dropping the pin makes the version an ordinary GC candidate
     Stage.dropSnapshot(spark, root, "good")
     Stage.publishRewrite(spark, root, Seq(5L).toDF("v")) // → v4 sweeps v1
@@ -504,6 +508,7 @@ class StageSpec extends AnyFunSuite {
     assert(Stage.pendingOps(spark, idx, Seq("counts")) == Seq("del_7"))
     val health = Stage.healthReport(spark, idx, Seq("counts")).head()
     assert(health.getAs[Int]("uncommitted_ops") == 1)
+    assert(health.getAs[Int]("pinned_versions") == 0)
     // the mandated retry (same id) commits the marker; pending clears
     stageOp("del_7", crashBeforeMarker = false)
     assert(Stage.pendingOps(spark, idx, Seq("counts")).isEmpty)

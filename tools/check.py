@@ -30,6 +30,11 @@ def norm(v):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional 3rd arg: comma-separated substring filter — the sf0.1
+    # spot-run needs it (several oracles are exact pair self-joins,
+    # quadratic in DuckDB; at sf0.1 those take hours and are gated at
+    # sf0.01 instead)
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -37,6 +42,8 @@ def main():
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     failures = 0
     for name in sorted(oracle):
+        if only is not None and not any(s in name for s in only):
+            continue
         res_dir = Path(out_dir, name)
         if not res_dir.exists():
             print(f"FAIL {name}: no result parquet")
