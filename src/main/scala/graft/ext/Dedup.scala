@@ -802,8 +802,13 @@ object Dedup {
     * op (compaction, content delete) migrates a fresh manifest. */
   def snapshotMinhashManifest(spark: org.apache.spark.sql.SparkSession,
                               path: String, name: String): Unit =
-    Seq("docs", "bands").foreach(c =>
-      graft.ops.Stage.snapshot(spark, s"$path/$c", name))
+    // root lease: both pins must capture ONE maintenance state (see
+    // Search.snapshotTextIndex — a concurrent forget landing between
+    // them would freeze a mixed docs/bands pair)
+    graft.ops.Stage.withWriterLease(spark, path) {
+      Seq("docs", "bands").foreach(c =>
+        graft.ops.Stage.snapshot(spark, s"$path/$c", name))
+    }
 
   /** Release a [[snapshotMinhashManifest]] pin; the pinned versions
     * become ordinary GC candidates at the next publish. */

@@ -420,8 +420,13 @@ object Search {
     */
   def snapshotTextIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, name: String): Unit =
-    Seq("postings", "doclens", "stats").foreach(c =>
-      graft.ops.Stage.snapshot(spark, s"$path/$c", name))
+    // root lease: the three pins must capture ONE maintenance state — a
+    // concurrent delete landing between pins would freeze a mixed
+    // (pre-op postings, post-op doclens) triple that scores wrong
+    graft.ops.Stage.withWriterLease(spark, path) {
+      Seq("postings", "doclens", "stats").foreach(c =>
+        graft.ops.Stage.snapshot(spark, s"$path/$c", name))
+    }
 
   /** Release a [[snapshotTextIndex]] pin; the pinned versions become
     * ordinary GC candidates at the next publish. */

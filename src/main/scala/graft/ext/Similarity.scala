@@ -479,10 +479,13 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     // a rebuild starts a fresh streaming lineage: stale exactly-once
-    // markers would silently no-op the new stream's first batches, and a
-    // stale tombstone table would mask the new corpus's vectors
+    // markers would silently no-op the new stream's first batches, a
+    // stale tombstone table would mask the new corpus's vectors, and a
+    // stale snapshot pin would keep serving (and keep alive) the OLD
+    // corpus's lists under its name
     graft.ops.Stage.clearLedger(spark, path)
     graft.ops.Stage.clearTombstones(spark, path)
+    graft.ops.Stage.clearSnapshots(spark, s"$path/lists")
     val cents = if (centroidsIn == null)
       trainCentroids(corpus, nCentroids, dim, iters, idCol, vecCol)
     else centroidsIn

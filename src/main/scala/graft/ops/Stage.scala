@@ -248,21 +248,28 @@ object Stage {
   def snapshot(spark: SparkSession, dir: String, name: String): Unit = {
     require(name.matches(SnapshotNameRe),
       s"snapshot name '$name' must match $SnapshotNameRe (it names a file)")
-    val rootPath = new Path(dir)
-    val fs = fsFor(spark, rootPath)
-    val live = pointerLines(fs, rootPath).headOption.getOrElse(
-      throw new IllegalStateException(
-        s"$dir is a plain layout — a snapshot pins a VERSION; publish " +
-          "once first (save builders that write born-versioned layouts, " +
-          "or any maintenance op, create one)"))
-    val snapDir = new Path(rootPath, "_snapshots")
-    fs.mkdirs(snapDir)
-    val tmp = new Path(snapDir, s".$name.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(live.getBytes("UTF-8")) finally out.close()
-    val fc = FileContext.getFileContext(rootPath.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(snapDir, name), Options.Rename.OVERWRITE)
+    // under the writer lease: the pin must land while the version it
+    // read is still within GC grace — serializing with publishes makes
+    // read-pointer → write-pin atomic against a concurrent maintenance
+    // op (without it, two publishes between the read and the pin could
+    // GC the version being pinned)
+    withWriterLease(spark, dir) {
+      val rootPath = new Path(dir)
+      val fs = fsFor(spark, rootPath)
+      val live = pointerLines(fs, rootPath).headOption.getOrElse(
+        throw new IllegalStateException(
+          s"$dir is a plain layout — a snapshot pins a VERSION; publish " +
+            "once first (save builders that write born-versioned layouts, " +
+            "or any maintenance op, create one)"))
+      val snapDir = new Path(rootPath, "_snapshots")
+      fs.mkdirs(snapDir)
+      val tmp = new Path(snapDir, s".$name.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(live.getBytes("UTF-8")) finally out.close()
+      val fc = FileContext.getFileContext(rootPath.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, new Path(snapDir, name), Options.Rename.OVERWRITE)
+    }
   }
 
   /** The data directory a named snapshot pins, or None if the name does
@@ -289,6 +296,18 @@ object Stage {
   def dropSnapshot(spark: SparkSession, dir: String, name: String): Unit = {
     val f = new Path(new Path(dir, "_snapshots"), name)
     fsFor(spark, f).delete(f, false)
+  }
+
+  /** Drop ALL of a directory's snapshot pins — the rebuild boundary,
+    * like [[clearLedger]]: a rebuilt index must not inherit pins, or a
+    * name would keep resolving to (and keep alive) a version of the OLD
+    * corpus — a silently-wrong serve. Builders that rebuild through
+    * [[publishRewrite]] (which preserves pinned versions by design)
+    * call this first; builders that plain-overwrite their component
+    * directories wipe `_snapshots` with everything else. */
+  def clearSnapshots(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir, "_snapshots")
+    fsFor(spark, p).delete(p, true)
   }
 
   /** Currently-held lease paths of THIS thread — makes [[withWriterLease]]
@@ -320,7 +339,11 @@ object Stage {
     * case: a killed driver must not stall the next run for the whole
     * staleness window); cross-host holders fall back to the age check.
     * Default staleness 30 min — longer than any sane compaction,
-    * shorter than an operator's patience.
+    * shorter than an operator's patience. LIMITATION, inherent to
+    * lease-by-staleness: a LIVE cross-host op that runs longer than
+    * `staleAfterMs` can be wrongly reclaimed — size the window above
+    * the longest maintenance op for the deployment (heartbeat-refreshed
+    * leases belong to a coordination service, not a filesystem).
     */
   def withWriterLease[T](spark: SparkSession, path: String,
                          staleAfterMs: Long = 30 * 60 * 1000L)(body: => T): T = {
@@ -344,9 +367,21 @@ object Stage {
         fs.getFileStatus(lock).getModificationTime
       catch { case _: java.io.FileNotFoundException => Long.MaxValue }
       // presumed crashed — reclaim: holder provably dead on this host,
-      // or silent past the staleness window (or vanished between tries)
-      if (age > staleAfterMs || holderDeadOnThisHost(fs, lock))
-        fs.delete(lock, false)
+      // or silent past the staleness window (or vanished between tries).
+      // The reclaim is a RENAME, not delete-then-create: two
+      // simultaneous reclaimers would otherwise race — the slower one's
+      // pre-reclaim staleness read could delete the faster one's FRESH
+      // lock and both would enter. rename's source vanishes for the
+      // loser (atomic), so exactly one reclaimer retires the stale lock;
+      // the loser falls through to the contention error and retries
+      // against whatever the winner holds.
+      if (age > staleAfterMs || holderDeadOnThisHost(fs, lock)) {
+        val retired = new Path(lock.getParent,
+          s"_writer.lock.reclaimed-${ProcessHandle.current.pid}-" +
+            System.nanoTime)
+        try { if (fs.rename(lock, retired)) fs.delete(retired, false) }
+        catch { case _: java.io.IOException => () } // loser: src vanished
+      }
       if (!tryAcquire())
         throw new IllegalStateException(
           s"$lock is held by a concurrent maintenance op (age ${age}ms, " +

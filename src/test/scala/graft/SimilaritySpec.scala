@@ -587,5 +587,13 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.topKIvfIndexedSnapshot(
         spark, qset, idx, "pre_campaign", k = 5)
     }
+    // REBUILD clears pins (the clearLedger/clearTombstones rule): a
+    // stale name must not keep serving the old corpus's lists
+    Similarity.snapshotIvfIndex(spark, idx, "stale_pin")
+    Similarity.saveIvfIndex(emb, idx, nCentroids = 16, dim = 64,
+      quantScale = 200.0, centroidsIn = cents)
+    intercept[IllegalStateException] {
+      Similarity.topKIvfIndexedSnapshot(spark, qset, idx, "stale_pin", k = 5)
+    }
   }
 }
