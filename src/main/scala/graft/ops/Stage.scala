@@ -418,7 +418,10 @@ object Stage {
           ProcessHandle.of(pid.toLong).map[Boolean](!_.isAlive).orElse(true)
         case _ => false
       }
-    } catch { case _: java.io.IOException => false }
+      // NonFatal, not just IOException: a corrupted lock (e.g. a pid
+      // string past Long range) must degrade to "not provably dead" and
+      // the clean contention error, never crash the maintenance op
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Run one ingest batch against a persisted index with EXACTLY-ONCE
     * semantics — the shared ledger protocol of the text-index, IVF, and
