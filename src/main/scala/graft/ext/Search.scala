@@ -429,11 +429,53 @@ object Search {
     }
 
   /** Release a [[snapshotTextIndex]] pin; the pinned versions become
-    * ordinary GC candidates at the next publish. */
+    * ordinary GC candidates at the next publish — or immediately via
+    * [[vacuumTextIndex]]. */
   def dropTextIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
                             path: String, name: String): Unit =
     Seq("postings", "doclens", "stats").foreach(c =>
       graft.ops.Stage.dropSnapshot(spark, s"$path/$c", name))
+
+  /** Reclaim the index's stale versions now ([[graft.ops.Stage.vacuum]]
+    * per component) — the storage release after dropping a pin, without
+    * waiting for the next maintenance op's publish. */
+  def vacuumTextIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit =
+    Seq("postings", "doclens", "stats").foreach(c =>
+      graft.ops.Stage.vacuum(spark, s"$path/$c"))
+
+  /** Maintenance DIFF of the index's two serveable states: PREVIOUS
+    * (the snapshot the last maintenance op superseded) vs LIVE, as one
+    * per-document report — the first-class form of the validation
+    * workflow the previous-serving exists for ("serve the pre-op
+    * snapshot next to the live one and diff before trusting the op").
+    * One row per document in either top-k: its score/rank on each side
+    * and a status — `dropped` (left the top-k: deleted, or displaced),
+    * `entered` (rose into it: the corpus-stats shift can promote),
+    * `moved`, `held`. Cost: two top-k serves over posting-list-sized
+    * scans plus a full outer join of two k-row relations — the join is
+    * broadcast-trivial; the report is what an operator reads BEFORE
+    * letting a delete's effect stand (q128 pins it against a DuckDB
+    * replay of both rankings).
+    */
+  def bm25MaintenanceDiff(spark: org.apache.spark.sql.SparkSession,
+                          path: String, terms: Seq[String], k: Int,
+                          idCol: String = "doc_id", k1: Double = 1.2,
+                          b: Double = 0.75): DataFrame = {
+    val before = bm25TopKIndexedPrevious(spark, path, terms, k, idCol, k1, b)
+      .select(col(idCol), col("score").as("score_before"),
+        col("rank").as("rank_before"))
+    val after = bm25TopKIndexed(spark, path, terms, k, idCol, k1, b)
+      .select(col(idCol), col("score").as("score_after"),
+        col("rank").as("rank_after"))
+    before.join(after, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("rank_after").isNull, lit("dropped"))
+          .when(col("rank_before").isNull, lit("entered"))
+          .when(col("rank_before") =!= col("rank_after"), lit("moved"))
+          .otherwise(lit("held")))
+      .orderBy(idCol)
+  }
 
   /** [[bm25TopKIndexed]] served from a NAMED snapshot — identical scoring
     * over the pinned (postings, doclens, stats) triple, any number of

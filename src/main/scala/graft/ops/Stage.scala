@@ -298,6 +298,25 @@ object Stage {
     fsFor(spark, f).delete(f, false)
   }
 
+  /** Reclaim a versioned directory's stale versions NOW instead of at
+    * the next publish — the storage-release half of [[dropSnapshot]]:
+    * GC otherwise runs only as a publish epilogue, so a dropped pin's
+    * version (possibly a large fraction of the index's footprint) would
+    * linger until some future maintenance op happens to rewrite this
+    * component. Deletes exactly what the next publish's GC would: orphan
+    * and superseded versions not named by the pointer (live +
+    * previously-live keep their one-cycle reader grace) nor pinned by a
+    * surviving snapshot. Under the writer lease; a no-op on plain
+    * layouts (nothing versioned to reclaim — and the plain data files
+    * are the LIVE data, never garbage).
+    */
+  def vacuum(spark: SparkSession, dir: String): Unit =
+    withWriterLease(spark, dir) {
+      val rootPath = new Path(dir)
+      val fs = fsFor(spark, rootPath)
+      if (pointerLines(fs, rootPath).nonEmpty) gcStale(fs, rootPath)
+    }
+
   /** Drop ALL of a directory's snapshot pins — the rebuild boundary,
     * like [[clearLedger]]: a rebuilt index must not inherit pins, or a
     * name would keep resolving to (and keep alive) a version of the OLD

@@ -179,6 +179,23 @@ object SearchQueries {
         k = 20, k1 = k1, b = b)
     }),
 
+    "q128_maintenance_diff" -> ((s, d) => {
+      // the validation workflow AS AN OPERATOR: after a delete, diff the
+      // superseded snapshot's top-k against the live one — per document,
+      // both scores/ranks and a dropped/entered/moved/held status. The
+      // oracle replays BOTH rankings (full corpus vs survivors) and the
+      // same full outer join, so every score, rank, and status label is
+      // value-checked.
+      val sf = sfTag(d)
+      val path = s"target/graft-text-index-diff-$sf"
+      val docs = t(s, d, "documents")
+      Search.saveTextIndex(docs, path)
+      Search.compactTextIndex(s, path)
+      Search.deleteFromTextIndex(s, path,
+        docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"))
+      Search.bm25MaintenanceDiff(s, path, bmTerms, k = 20, k1 = k1, b = b)
+    }),
+
     "q119_index_time_travel" -> ((s, d) => {
       // TIME-TRAVEL validation read: serve the index snapshot a DELETE
       // superseded. The versioned publish keeps the previously-live
@@ -336,6 +353,23 @@ object SearchQueries {
     // q127 serves a NAMED snapshot pinned before a two-op maintenance
     // campaign — still the full corpus, however many publishes later
     "q127_index_named_snapshot" -> bm25SqlOver("SELECT * FROM documents"),
+
+    // q128 diffs the pre-delete ranking against the live one: both
+    // rankings replayed (full corpus vs survivors), same outer join,
+    // same status classification
+    "q128_maintenance_diff" ->
+      s"""SELECT coalesce(bef.doc_id, aft.doc_id) AS doc_id,
+                 bef.score AS score_before, bef.rank AS rank_before,
+                 aft.score AS score_after, aft.rank AS rank_after,
+                 CASE WHEN aft.doc_id IS NULL THEN 'dropped'
+                      WHEN bef.doc_id IS NULL THEN 'entered'
+                      WHEN bef.rank <> aft.rank THEN 'moved'
+                      ELSE 'held' END AS status
+          FROM (${bm25SqlOver("SELECT * FROM documents")}) bef
+          FULL OUTER JOIN
+               (${bm25SqlOver("SELECT * FROM documents WHERE doc_id % 10 <> 3")}) aft
+          ON bef.doc_id = aft.doc_id
+          ORDER BY doc_id""",
 
     // AND-semantics over the same posting lists (DuckDB sum(BIGINT) is
     // HUGEINT — cast back to the engine's LONG)

@@ -483,6 +483,30 @@ class StageSpec extends AnyFunSuite {
     assert(Stage.resolveSnapshot(spark, root, "good").isEmpty)
   }
 
+  test("vacuum reclaims dropped pins immediately, sparing live+grace+pins") {
+    val root = "target/graft-test-stage-vacuum"
+    fs(root).delete(new Path(root), true)
+    // vacuum on a PLAIN layout is a no-op — its files are the live data
+    Seq(1L).toDF("v").write.parquet(root)
+    Stage.vacuum(spark, root)
+    assert(spark.read.parquet(root).count() == 1)
+    Stage.publishRewrite(spark, root, Seq(2L).toDF("v")) // → v1
+    Stage.snapshot(spark, root, "keep")
+    Stage.publishRewrite(spark, root, Seq(3L).toDF("v")) // → v2
+    Stage.publishRewrite(spark, root, Seq(4L).toDF("v")) // → v3; v1 pinned
+    assert(children(root).contains("v00000001"))
+    // pinned + live + grace all survive a vacuum
+    Stage.vacuum(spark, root)
+    assert(children(root).filter(_.startsWith("v")) ==
+      Set("v00000001", "v00000002", "v00000003"))
+    // dropping the pin + vacuum reclaims NOW — no publish needed
+    Stage.dropSnapshot(spark, root, "keep")
+    Stage.vacuum(spark, root)
+    assert(children(root).filter(_.startsWith("v")) ==
+      Set("v00000002", "v00000003"))
+    assert(values(root) == Set(4L))
+  }
+
   test("pendingOps surfaces a crashed publishOnce until its retry commits") {
     val idx = "target/graft-test-pending-ops"
     fs(idx).delete(new Path(idx), true)
