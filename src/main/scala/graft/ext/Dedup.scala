@@ -794,6 +794,42 @@ object Dedup {
     incrementalNearDupsImpl(newDf, manifestPath, textCol, idCol, threshold,
       previous = true)
 
+  /** Maintenance DIFF of the manifest's two probeable states: PREVIOUS
+    * (the snapshot the last forget/compaction superseded) vs LIVE, one
+    * row per probe document with both verdicts and a status —
+    * `forgotten` (was a near-dup, no longer: its match was deleted),
+    * `appeared` (the reverse — an append's effect), `rematched` (still
+    * a near-dup but the best-match Jaccard changed: the TOP match was
+    * forgotten, a weaker one remains), `held`. The per-document report
+    * an operator reads before trusting a right-to-be-forgotten batch:
+    * exactly the documents whose verdicts the op changed, with the
+    * evidence. Cost: two probes plus a join of two batch-sized verdict
+    * relations. q130 pins every verdict, Jaccard, and label against a
+    * DuckDB replay of both manifest states.
+    */
+  def incrementalNearDupsDiff(newDf: DataFrame, manifestPath: String,
+                              textCol: String, idCol: String,
+                              threshold: Double = 0.9): DataFrame = {
+    val before = incrementalNearDupsPrevious(newDf, manifestPath, textCol,
+        idCol, threshold)
+      .select(col(idCol), col("near_jaccard").as("jaccard_before"),
+        col("is_near_dup").as("dup_before"))
+    val after = incrementalNearDups(newDf, manifestPath, textCol, idCol,
+        threshold)
+      .select(col(idCol), col("near_jaccard").as("jaccard_after"),
+        col("is_near_dup").as("dup_after"))
+    // both relations emit one row per newDf document (left-join +
+    // zero-fill contract), so the inner join is total
+    before.join(after, Seq(idCol))
+      .withColumn("status",
+        when(col("dup_before") && !col("dup_after"), lit("forgotten"))
+          .when(!col("dup_before") && col("dup_after"), lit("appeared"))
+          .when(col("dup_before") && col("dup_after") &&
+            col("jaccard_before") =!= col("jaccard_after"), lit("rematched"))
+          .otherwise(lit("held")))
+      .orderBy(idCol)
+  }
+
   /** Pin the manifest's current (docs, bands) versions under a NAMED
     * snapshot — retention beyond the one-cycle previous window
     * ([[graft.ops.Stage.snapshot]] per component, one shared name; the

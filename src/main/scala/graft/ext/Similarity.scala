@@ -768,6 +768,37 @@ object Similarity {
     serveIvf(spark, queries, path, listsDir, tomb, k, nProbe, idCol, vecCol)
   }
 
+  /** Maintenance DIFF of the index's two serveable states: PREVIOUS
+    * (the lists snapshot the last maintenance op superseded) vs LIVE,
+    * one row per (query, neighbor) pair in either top-k with both
+    * ranks and a status — `dropped` (deleted, or displaced by the
+    * candidate-set change), `entered`, `moved`, `held`. Centroids and
+    * codes are frozen, so a pair present on both sides keeps its exact
+    * cos_sim — only membership and rank can move. The first-class form
+    * of the validation read ([[topKIvfIndexedPrevious]]'s purpose);
+    * cost is two probes plus a full outer join of two k-per-query
+    * relations. q129 pins it against a DuckDB replay of both rankings.
+    */
+  def ivfMaintenanceDiff(spark: org.apache.spark.sql.SparkSession,
+                         queries: DataFrame, path: String, k: Int,
+                         nProbe: Int = 4, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val before = topKIvfIndexedPrevious(spark, queries, path, k, nProbe,
+        idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos_sim").as("cos_before"), col("rank").as("rank_before"))
+    val after = topKIvfIndexed(spark, queries, path, k, nProbe, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos_sim").as("cos_after"), col("rank").as("rank_after"))
+    before.join(after, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("status",
+        when(col("rank_after").isNull, lit("dropped"))
+          .when(col("rank_before").isNull, lit("entered"))
+          .when(col("rank_before") =!= col("rank_after"), lit("moved"))
+          .otherwise(lit("held")))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** The shared IVF serve body over a RESOLVED lists directory — live,
     * previous-snapshot, and named-snapshot serving must rank
     * identically. */

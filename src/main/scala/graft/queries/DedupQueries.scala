@@ -82,6 +82,26 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    "q130_manifest_maintenance_diff" -> ((s, d) => {
+      // q128's validation-diff applied to the dedup manifest: build
+      // q84's manifest, FORGET a seventh of its content (the forget is
+      // the manifest's FIRST maintenance op — the migration grace makes
+      // the plain layout the previous snapshot, so no warm-up compact
+      // is needed), then diff the probe verdicts: exactly the documents
+      // whose best match was forgotten flip, with both Jaccards as
+      // evidence. The oracle replays both manifest states.
+      val docs = t(s, d, "documents")
+      val path = s"target/graft-manifest-diff-${sfTag(d)}"
+      val manifest = docs.where(pmod(col("doc_id"), lit(10)) < 5)
+      Dedup.saveMinhashManifest(manifest, "text", "doc_id", path,
+        k = 32, bands = 16)
+      Dedup.deleteContentFromMinhashManifest(
+        manifest.where(pmod(col("doc_id"), lit(7)) === 2), "text", path)
+      Dedup.incrementalNearDupsDiff(
+        docs.where(pmod(col("doc_id"), lit(10)) >= 5), path,
+        "text", "doc_id", threshold = 0.9)
+    }),
+
     "q108_manifest_content_delete" -> ((s, d) => {
       // right-to-be-forgotten on the dedup manifest — CONTENT-keyed (the
       // docs table stores exact-collapse representatives, so id-keyed
@@ -302,6 +322,36 @@ object DedupQueries {
               coalesce(bool_or(jac >= 0.9), false) AS is_near_dup
        FROM p GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q108's replay: q84's exact cross-check with the manifest side minus
+    * the forgotten CONTENT — any manifest doc whose distinct-token set
+    * equals a deleted doc's set drops out (set equality via sorted
+    * distinct lists — identical to the engine's hash-set key modulo
+    * 2^-64 collisions). Shared with q130's diff oracle. */
+  private val contentDeleteReplay =
+    """WITH m0 AS (
+         SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+         FROM documents WHERE doc_id % 10 < 5 AND text IS NOT NULL),
+       del AS (
+         SELECT DISTINCT list_sort(list_distinct(string_split(text, ' '))) AS k
+         FROM documents
+         WHERE doc_id % 10 < 5 AND doc_id % 7 = 2 AND text IS NOT NULL),
+       m AS (
+         SELECT m0.doc_id, m0.toks FROM m0
+         LEFT JOIN del ON m0.toks = del.k WHERE del.k IS NULL),
+       n AS (
+         SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+         FROM documents WHERE doc_id % 10 >= 5),
+       p AS (
+         SELECT n.doc_id,
+                CAST(len(list_intersect(n.toks, m.toks)) AS DOUBLE)
+                  / (len(n.toks) + len(m.toks)
+                     - len(list_intersect(n.toks, m.toks))) AS jac
+         FROM n LEFT JOIN m ON n.toks IS NOT NULL)
+       SELECT doc_id,
+              max(CASE WHEN jac >= 0.9 THEN jac END) AS near_jaccard,
+              coalesce(bool_or(jac >= 0.9), false) AS is_near_dup
+       FROM p GROUP BY doc_id ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -345,30 +395,27 @@ object DedupQueries {
     // CONTENT: any manifest doc whose distinct-token set equals a deleted
     // doc's set drops out (set equality via sorted distinct lists —
     // identical to the engine's hash-set key modulo 2^-64 collisions)
-    "q108_manifest_content_delete" ->
-      """WITH m0 AS (
-           SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
-           FROM documents WHERE doc_id % 10 < 5 AND text IS NOT NULL),
-         del AS (
-           SELECT DISTINCT list_sort(list_distinct(string_split(text, ' '))) AS k
-           FROM documents
-           WHERE doc_id % 10 < 5 AND doc_id % 7 = 2 AND text IS NOT NULL),
-         m AS (
-           SELECT m0.doc_id, m0.toks FROM m0
-           LEFT JOIN del ON m0.toks = del.k WHERE del.k IS NULL),
-         n AS (
-           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-           FROM documents WHERE doc_id % 10 >= 5),
-         p AS (
-           SELECT n.doc_id,
-                  CAST(len(list_intersect(n.toks, m.toks)) AS DOUBLE)
-                    / (len(n.toks) + len(m.toks)
-                       - len(list_intersect(n.toks, m.toks))) AS jac
-           FROM n LEFT JOIN m ON n.toks IS NOT NULL)
-         SELECT doc_id,
-                max(CASE WHEN jac >= 0.9 THEN jac END) AS near_jaccard,
-                coalesce(bool_or(jac >= 0.9), false) AS is_near_dup
-         FROM p GROUP BY doc_id ORDER BY doc_id""",
+    "q108_manifest_content_delete" -> contentDeleteReplay,
+
+    // q130 diffs the pre-forget verdicts against the live ones: both
+    // manifest states replayed, same join, same status classification
+    "q130_manifest_maintenance_diff" ->
+      s"""SELECT doc_id,
+                 bef.near_jaccard AS jaccard_before,
+                 bef.is_near_dup AS dup_before,
+                 aft.near_jaccard AS jaccard_after,
+                 aft.is_near_dup AS dup_after,
+                 CASE WHEN bef.is_near_dup AND NOT aft.is_near_dup
+                        THEN 'forgotten'
+                      WHEN NOT bef.is_near_dup AND aft.is_near_dup
+                        THEN 'appeared'
+                      WHEN bef.is_near_dup AND aft.is_near_dup
+                           AND bef.near_jaccard <> aft.near_jaccard
+                        THEN 'rematched'
+                      ELSE 'held' END AS status
+          FROM ($incrementalMinhashReplay) bef
+          JOIN ($contentDeleteReplay) aft USING (doc_id)
+          ORDER BY doc_id""",
 
     // q32: replay the portable hash → per-bit votes → signature → exact
     // Hamming join. Bits 61-63 of the packed hash are always 0, so both

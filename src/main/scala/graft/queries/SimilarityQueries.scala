@@ -177,6 +177,27 @@ object SimilarityQueries {
         Similarity.sampleCentroids(t(s, d, "embeddings"), 16))
         .orderBy("centroid", "label")),
 
+    "q129_ann_maintenance_diff" -> ((s, d) => {
+      // q128's validation-diff applied to the ANN index: build (lists
+      // born versioned, v1), DELETE a tenth (v2), then diff the
+      // superseded snapshot's top-k against the live one per (query,
+      // neighbor). Codes and centroids are frozen, so cos_sim is
+      // identical where a pair appears on both sides — the oracle
+      // replays both rankings and checks every rank and status label.
+      val emb = t(s, d, "embeddings")
+      val deq = emb.select(col("vec_id"),
+        Similarity.dequantize(
+          Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+      val path = s"target/graft-ivf-diff-${sfTag(d)}"
+      Similarity.saveIvfIndex(emb, path, nCentroids = 16, dim = 64,
+        quantScale = 200.0,
+        centroidsIn = Similarity.sampleCentroids(deq, 16))
+      Similarity.deleteFromIvfIndex(s, path,
+        emb.where(pmod(col("vec_id"), lit(10)) === 7).select("vec_id"))
+      Similarity.ivfMaintenanceDiff(s, deq.where(col("vec_id") < 10),
+        path, k = 10)
+    }),
+
     "q121_ann_index_time_travel" -> ((s, d) => {
       // TIME-TRAVEL validation read on the ANN index (q119's read applied
       // to the IVF family): build (lists born versioned, v1), compact
@@ -680,6 +701,23 @@ object SimilarityQueries {
     // centroids/probing/scoring unchanged (frozen centroid geometry);
     // deletion touches only which vectors sit in the inverted lists
     "q106_ann_index_delete" -> ivfDeleteReplay,
+
+    // q129 diffs the pre-delete ranking against the live one: both
+    // rankings replayed, same outer join, same status classification
+    "q129_ann_maintenance_diff" ->
+      s"""SELECT coalesce(bef.query_id, aft.query_id) AS query_id,
+                 coalesce(bef.neighbor_id, aft.neighbor_id) AS neighbor_id,
+                 bef.cos_sim AS cos_before, bef.rank AS rank_before,
+                 aft.cos_sim AS cos_after, aft.rank AS rank_after,
+                 CASE WHEN aft.rank IS NULL THEN 'dropped'
+                      WHEN bef.rank IS NULL THEN 'entered'
+                      WHEN bef.rank <> aft.rank THEN 'moved'
+                      ELSE 'held' END AS status
+          FROM ($ivfIndexedReplay) bef
+          FULL OUTER JOIN ($ivfDeleteReplay) aft
+          ON bef.query_id = aft.query_id
+             AND bef.neighbor_id = aft.neighbor_id
+          ORDER BY query_id, neighbor_id""",
 
     // q118 tombstones the same tenth instead of rewriting; serving with
     // the tombstones PENDING must equal the physically-deleted index
