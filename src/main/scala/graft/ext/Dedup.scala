@@ -842,6 +842,9 @@ object Dedup {
     // Search.snapshotTextIndex — a concurrent forget landing between
     // them would freeze a mixed docs/bands pair)
     graft.ops.Stage.withWriterLease(spark, path) {
+      // a crashed batch's doomed partials must not be pinned (the pin
+      // records file lists; a later sweep would dangle them)
+      graft.ops.Stage.sweepUncommitted(spark, path, Seq("docs", "bands"))
       Seq("docs", "bands").foreach(c =>
         graft.ops.Stage.snapshot(spark, s"$path/$c", name))
     }
@@ -922,25 +925,27 @@ object Dedup {
     // tombstones BEFORE the data resolves (the linearizable ordering —
     // see Stage.tombstoneSnapshot)
     val tomb = graft.ops.Stage.pendingTombstones(spark, manifestPath)
-    def dataDir(c: String): String = snapshotName match {
+    // named snapshots read their pinned FILE LISTS, not directories —
+    // appends publish into the live version dir (see Stage.snapshot)
+    def data(c: String): DataFrame = snapshotName match {
       case Some(name) => graft.ops.Stage
-        .resolveSnapshot(spark, s"$manifestPath/$c", name)
+        .readSnapshot(spark, s"$manifestPath/$c", name)
         .getOrElse(throw new IllegalStateException(
           s"$manifestPath/$c has no snapshot named '$name' — pin one " +
             "with snapshotMinhashManifest before probing it"))
-      case None if previous => graft.ops.Stage
+      case None if previous => spark.read.parquet(graft.ops.Stage
         .resolvePrevious(spark, s"$manifestPath/$c")
         .getOrElse(throw new IllegalStateException(
           s"$manifestPath/$c has no previous snapshot to probe — " +
-            "previous-probing needs at least two publishes"))
-      case None => graft.ops.Stage.resolve(spark, s"$manifestPath/$c")
+            "previous-probing needs at least two publishes")))
+      case None => spark.read.parquet(
+        graft.ops.Stage.resolve(spark, s"$manifestPath/$c"))
     }
-    val manBands = spark.read.parquet(dataDir("bands"))
+    val manBands = data("bands")
     // pending tombstones mask their content here: a tombstoned doc's bands
     // rows may still generate candidates, but those die in the
     // verification join against the filtered docs relation
-    val manDocs = minusTombstoned(
-      spark.read.parquet(dataDir("docs")), tomb)
+    val manDocs = minusTombstoned(data("docs"), tomb)
     val keyed = keyedSignatures(probe, k, bands, keepToks = carryTokens)
     val carryIn = if (carryTokens) Seq(col("toks").as("toks_n")) else Seq.empty
     val carryOn = if (carryTokens) Seq(col("toks_n")) else Seq.empty

@@ -179,15 +179,14 @@ object Search {
     * aggregate over a relation serving already scans, and only while
     * deletes are pending.
     */
-  private def readStats(spark: org.apache.spark.sql.SparkSession,
-                        statsDir: String,
+  private def readStats(statsRows: DataFrame,
                         filteredDoclens: Option[DataFrame]): DataFrame =
     filteredDoclens match {
       case Some(dl) =>
         dl.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
       case None =>
-        spark.read.parquet(statsDir)
+        statsRows
           .agg(sum(col("n_docs")).as("n_docs"),
             sum(col("total_tokens")).as("total_tokens"))
     }
@@ -424,6 +423,10 @@ object Search {
     // concurrent delete landing between pins would freeze a mixed
     // (pre-op postings, post-op doclens) triple that scores wrong
     graft.ops.Stage.withWriterLease(spark, path) {
+      // a crashed batch's doomed partials must not be pinned (the pin
+      // records file lists; a later sweep would dangle them)
+      graft.ops.Stage.sweepUncommitted(spark, path,
+        Seq("postings", "doclens", "stats"))
       Seq("postings", "doclens", "stats").foreach(c =>
         graft.ops.Stage.snapshot(spark, s"$path/$c", name))
     }
@@ -488,12 +491,15 @@ object Search {
                               k: Int, idCol: String = "doc_id",
                               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    // pinned FILE LISTS, not directories: appends publish into the live
+    // version dir, so a dir read of a pinned live version would absorb
+    // post-pin batches (Stage.snapshot's whole point)
     def snap(c: String) = graft.ops.Stage
-      .resolveSnapshot(spark, s"$path/$c", name)
+      .readSnapshot(spark, s"$path/$c", name)
       .getOrElse(throw new IllegalStateException(
         s"$path/$c has no snapshot named '$name' — pin one with " +
           "snapshotTextIndex before serving it"))
-    serveBm25(spark, snap("postings"), snap("doclens"), snap("stats"),
+    serveBm25Frames(snap("postings"), snap("doclens"), snap("stats"),
       tomb, terms, k, idCol, k1, b)
   }
 
@@ -507,12 +513,23 @@ object Search {
                         postingsDir: String, doclensDir: String,
                         statsDir: String, tomb: Option[DataFrame],
                         terms: Seq[String], k: Int, idCol: String,
-                        k1: Double, b: Double): DataFrame = {
+                        k1: Double, b: Double): DataFrame =
+    serveBm25Frames(spark.read.parquet(postingsDir),
+      spark.read.parquet(doclensDir), spark.read.parquet(statsDir),
+      tomb, terms, k, idCol, k1, b)
+
+  /** [[serveBm25]] over already-materialized component relations — the
+    * layer snapshot serving enters at (pinned FILE LISTS, not
+    * directories, carry a snapshot's data — see
+    * [[graft.ops.Stage.snapshot]]). */
+  private def serveBm25Frames(postings: DataFrame, doclens: DataFrame,
+                              statsRows: DataFrame, tomb: Option[DataFrame],
+                              terms: Seq[String], k: Int, idCol: String,
+                              k1: Double, b: Double): DataFrame = {
     val tf = minusTombstoned(
-      spark.read.parquet(postingsDir)
-        .where(col("token").isInCollection(terms)), tomb, idCol)
-    val dl = minusTombstoned(spark.read.parquet(doclensDir), tomb, idCol)
-    scoreBm25(tf, dl, readStats(spark, statsDir, tomb.map(_ => dl)), terms,
+      postings.where(col("token").isInCollection(terms)), tomb, idCol)
+    val dl = minusTombstoned(doclens, tomb, idCol)
+    scoreBm25(tf, dl, readStats(statsRows, tomb.map(_ => dl)), terms,
       k, idCol, k1, b)
   }
 

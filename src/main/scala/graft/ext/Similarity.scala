@@ -743,7 +743,12 @@ object Similarity {
     * saved index qualifies immediately. */
   def snapshotIvfIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, name: String): Unit =
-    graft.ops.Stage.snapshot(spark, s"$path/lists", name)
+    graft.ops.Stage.withWriterLease(spark, path) {
+      // a crashed batch's doomed partials must not be pinned (the pin
+      // records file lists; a later sweep would dangle them)
+      graft.ops.Stage.sweepUncommitted(spark, path, Seq("lists"))
+      graft.ops.Stage.snapshot(spark, s"$path/lists", name)
+    }
 
   /** Release a [[snapshotIvfIndex]] pin; the pinned version becomes an
     * ordinary GC candidate at the next publish. */
@@ -760,12 +765,16 @@ object Similarity {
                              idCol: String = "vec_id",
                              vecCol: String = "embedding"): DataFrame = {
     val tomb = graft.ops.Stage.pendingTombstones(spark, path)
-    val listsDir = graft.ops.Stage
-      .resolveSnapshot(spark, s"$path/lists", name)
+    // pinned FILE LIST, not the directory: appends publish into the
+    // live version dir (see Stage.snapshot); basePath keeps the
+    // centroid partition column inferable from the pinned paths
+    val lists = graft.ops.Stage
+      .readSnapshot(spark, s"$path/lists", name)
       .getOrElse(throw new IllegalStateException(
         s"$path/lists has no snapshot named '$name' — pin one with " +
           "snapshotIvfIndex before serving it"))
-    serveIvf(spark, queries, path, listsDir, tomb, k, nProbe, idCol, vecCol)
+    serveIvfFrames(spark, queries, path, lists, tomb, k, nProbe, idCol,
+      vecCol)
   }
 
   /** Maintenance DIFF of the index's two serveable states: PREVIOUS
@@ -805,11 +814,22 @@ object Similarity {
   private def serveIvf(spark: org.apache.spark.sql.SparkSession,
                        queries: DataFrame, path: String, listsDir: String,
                        tomb: Option[DataFrame], k: Int, nProbe: Int,
-                       idCol: String, vecCol: String): DataFrame = {
+                       idCol: String, vecCol: String): DataFrame =
+    serveIvfFrames(spark, queries, path, spark.read.parquet(listsDir),
+      tomb, k, nProbe, idCol, vecCol)
+
+  /** [[serveIvf]] over an already-materialized lists relation — the
+    * layer snapshot serving enters at (pinned FILE LISTS, not
+    * directories — see [[graft.ops.Stage.snapshot]]). */
+  private def serveIvfFrames(spark: org.apache.spark.sql.SparkSession,
+                             queries: DataFrame, path: String,
+                             lists: DataFrame, tomb: Option[DataFrame],
+                             k: Int, nProbe: Int, idCol: String,
+                             vecCol: String): DataFrame = {
     val (scale, cents) = loadIvfMeta(spark, path)
     val cvec = if (scale > 0) dequantize(col("code"), scale)
       else col("code")
-    val c = minusTombstoned(spark.read.parquet(listsDir), tomb)
+    val c = minusTombstoned(lists, tomb)
       .select(col("vec_id").as("neighbor_id"), cvec.as("c_vec"), col("centroid"))
       .withColumn("c_norm", norm(col("c_vec")))
     val q = queries.select(col(idCol).as("query_id"),

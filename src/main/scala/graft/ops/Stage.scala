@@ -218,18 +218,23 @@ object Stage {
   /** Every version some `_snapshots/<name>` file pins in `rootPath`.
     * `.`-prefixed entries are in-flight tmp files of [[snapshot]]'s
     * atomic rename, never pins — a crashed one must not pin a version
-    * forever. */
+    * forever. Only the FIRST line names the version; the rest is the
+    * pinned file list. */
   private def snapshotVersions(fs: FileSystem, rootPath: Path): Set[String] = {
     val dir = new Path(rootPath, "_snapshots")
     if (!fs.exists(dir)) Set.empty
     else fs.listStatus(dir).map(_.getPath)
       .filter(!_.getName.startsWith("."))
-      .flatMap { p =>
-        val in = fs.open(p)
-        val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        if (VersionRe.matches(v)) Some(v) else None
-      }.toSet
+      .flatMap(p => snapshotLines(fs, p).headOption)
+      .filter(VersionRe.matches)
+      .toSet
+  }
+
+  private def snapshotLines(fs: FileSystem, f: Path): List[String] = {
+    val in = fs.open(f)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
   }
 
   /** Pin `dir`'s LIVE version under the name `name` — retention beyond
@@ -244,6 +249,16 @@ object Stage {
     * (atomic overwrite-rename, like the pointer flip). Requires a
     * versioned layout: a plain directory has no version to pin —
     * publish once first (or build born-versioned).
+    *
+    * The pin records the version's data FILE LIST, not just its name:
+    * maintenance REWRITES publish fresh versions and leave the pinned
+    * one untouched, but APPENDS publish new files INTO the live version
+    * directory — a directory-level pin of the live version would
+    * silently absorb them. Snapshot reads therefore go through
+    * [[readSnapshot]]/[[resolveSnapshotFiles]], which serve exactly the
+    * files present at pin time. Callers that can see the index root
+    * should [[sweepUncommitted]] first (the family-level `snapshot*`
+    * surfaces do), so a crashed batch's doomed partials are not pinned.
     */
   def snapshot(spark: SparkSession, dir: String, name: String): Unit = {
     require(name.matches(SnapshotNameRe),
@@ -261,33 +276,70 @@ object Stage {
           s"$dir is a plain layout — a snapshot pins a VERSION; publish " +
             "once first (save builders that write born-versioned layouts, " +
             "or any maintenance op, create one)"))
+      val versionDir = new Path(rootPath, live)
+      def rel(d: Path, prefix: String): Seq[String] =
+        dataEntries(fs, d).toSeq.flatMap { s =>
+          val n = prefix + s.getPath.getName
+          if (s.isDirectory) rel(s.getPath, n + "/") else Seq(n)
+        }
+      val content = (live +: rel(versionDir, "")).mkString("\n")
       val snapDir = new Path(rootPath, "_snapshots")
       fs.mkdirs(snapDir)
       val tmp = new Path(snapDir, s".$name.tmp")
       val out = fs.create(tmp, true)
-      try out.write(live.getBytes("UTF-8")) finally out.close()
+      try out.write(content.getBytes("UTF-8")) finally out.close()
       val fc = FileContext.getFileContext(rootPath.toUri,
         spark.sparkContext.hadoopConfiguration)
       fc.rename(tmp, new Path(snapDir, name), Options.Rename.OVERWRITE)
     }
   }
 
-  /** The data directory a named snapshot pins, or None if the name does
-    * not exist (never dangling: [[gcStale]] spares pinned versions). */
+  /** The version directory a named snapshot pins, or None if the name
+    * does not exist (never dangling: [[gcStale]] spares pinned
+    * versions). Existence/introspection only — DATA reads must go
+    * through [[readSnapshot]]/[[resolveSnapshotFiles]], because appends
+    * publish new files into the live version directory and a pinned
+    * LIVE version's directory contents can therefore grow past the pin.
+    */
   def resolveSnapshot(spark: SparkSession, dir: String,
-                      name: String): Option[String] = {
+                      name: String): Option[String] =
+    resolveSnapshotFiles(spark, dir, name).map(_._1)
+
+  /** A named snapshot's (versionDir, pinned absolute file paths), or
+    * None if the name does not exist. The file list is the point-in-time
+    * truth — see [[snapshot]] on why a directory read is not. */
+  def resolveSnapshotFiles(spark: SparkSession, dir: String, name: String)
+      : Option[(String, Seq[String])] = {
     val rootPath = new Path(dir)
     val fs = fsFor(spark, rootPath)
     val f = new Path(new Path(rootPath, "_snapshots"), name)
     if (!fs.exists(f)) None
     else {
-      val in = fs.open(f)
-      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      require(VersionRe.matches(v), s"$f names '$v', not a version")
-      Some(new Path(rootPath, v).toString)
+      val lines = snapshotLines(fs, f)
+      require(lines.nonEmpty && VersionRe.matches(lines.head),
+        s"$f names '${lines.headOption.getOrElse("")}', not a version")
+      val versionDir = new Path(rootPath, lines.head)
+      Some((versionDir.toString,
+        lines.tail.map(r => new Path(versionDir, r).toString)))
     }
   }
+
+  /** Read a named snapshot's pinned data as a DataFrame — exactly the
+    * files recorded at pin time, with Hive-partition columns inferred
+    * relative to the pinned version directory (`basePath`), so
+    * partitioned components ([[graft.ext.Similarity.saveIvfIndex]]'s
+    * lists) read identically to a directory scan of the frozen state.
+    * None for an unknown name; a pin over an EMPTY component fails
+    * loudly at read (no data files to carry a schema).
+    */
+  def readSnapshot(spark: SparkSession, dir: String,
+                   name: String): Option[DataFrame] =
+    resolveSnapshotFiles(spark, dir, name).map { case (base, files) =>
+      if (files.isEmpty) throw new IllegalStateException(
+        s"snapshot '$name' of $dir pinned no data files — the component " +
+          "was empty at pin time; nothing can serve from it")
+      spark.read.option("basePath", base).parquet(files: _*)
+    }
 
   /** Release a named snapshot's pin. The pinned version is NOT deleted
     * here — the next publish's GC sweeps it (unless the pointer or

@@ -483,6 +483,28 @@ class StageSpec extends AnyFunSuite {
     assert(Stage.resolveSnapshot(spark, root, "good").isEmpty)
   }
 
+  test("a snapshot pins FILES: appends into the live version stay invisible") {
+    val idx = "target/graft-test-snap-append"
+    fs(idx).delete(new Path(idx), true)
+    Search.saveTextIndex(Seq(
+      (1L, "spark join spark"),
+      (2L, "stream window table")).toDF("doc_id", "text"), idx)
+    Search.compactTextIndex(spark, idx) // migrate → v1
+    Search.snapshotTextIndex(spark, idx, "pinned")
+    def serveSnap() = Search
+      .bm25TopKIndexedSnapshot(spark, idx, "pinned", Seq("spark"), 10)
+      .collect().map(_.toSeq).toSeq
+    val atPin = serveSnap()
+    // the append publishes INTO v1 — the directory a naive pin would
+    // serve — so only file-list pinning keeps the snapshot frozen
+    Search.appendToTextIndexExactlyOnce(
+      Seq((3L, "spark spark spark")).toDF("doc_id", "text"), idx,
+      batchId = 0L)
+    assert(Search.bm25TopKIndexed(spark, idx, Seq("spark"), 10)
+      .collect().map(_.getLong(0)).toSeq.contains(3L)) // live sees it
+    assert(serveSnap() == atPin) // the pin does not
+  }
+
   test("vacuum reclaims dropped pins immediately, sparing live+grace+pins") {
     val root = "target/graft-test-stage-vacuum"
     fs(root).delete(new Path(root), true)
