@@ -455,4 +455,33 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(plan.contains("SelectedBucketsCount"), plan.take(4000))
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("snapshot IVF serve keeps dynamic partition pruning on pinned files") {
+    // the named-snapshot read pins an explicit FILE LIST (basePath-
+    // relative) instead of scanning the lists directory — the probe
+    // batch's dynamic partition filter must survive that read shape, or
+    // snapshot validation reads would pay full-index scans that live
+    // serving doesn't
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("target").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val idx = "target/graft-test-plan-ivf-snap"
+    fs.delete(new Path(idx), true)
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = emb.select(col("vec_id"),
+      graft.ext.Similarity.dequantize(
+        graft.ext.Similarity.quantize(col("embedding"), 200.0), 200.0)
+        .as("embedding"))
+    graft.ext.Similarity.saveIvfIndex(emb, idx, nCentroids = 8, dim = 64,
+      quantScale = 200.0,
+      centroidsIn = graft.ext.Similarity.sampleCentroids(deq, 8))
+    graft.ext.Similarity.snapshotIvfIndex(spark, idx, "audit")
+    val df = graft.ext.Similarity.topKIvfIndexedSnapshot(spark,
+      deq.where(col("vec_id") < 3), idx, "audit", k = 5)
+    df.collect() // force execution so the adaptive plan finalizes
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+  }
 }
