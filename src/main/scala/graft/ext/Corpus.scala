@@ -764,16 +764,24 @@ object Corpus {
     */
   def saveLm(train: DataFrame, textCol: String, idCol: String,
              path: String): Unit = {
+    val spark = train.sparkSession
     // a rebuild starts a fresh streaming lineage: stale exactly-once
-    // markers would silently no-op the new stream's first batches
-    graft.ops.Stage.clearLedger(train.sparkSession, path)
-    bigramStream(train, textCol, idCol)
-      .groupBy("p", "w").agg(count(lit(1)).as("cb"))
-      .write.mode("overwrite").parquet(s"$path/bigrams")
-    train.where(col(textCol).isNotNull)
-      .select(explode(split(col(textCol), " ")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-      .write.mode("overwrite").parquet(s"$path/vocab")
+    // markers would silently no-op the new stream's first batches, and
+    // stale snapshot pins would keep serving the OLD corpus's counts
+    // (publishRewrite preserves pinned versions by design)
+    graft.ops.Stage.clearLedger(spark, path)
+    graft.ops.Stage.clearSnapshots(spark, s"$path/bigrams")
+    graft.ops.Stage.clearSnapshots(spark, s"$path/vocab")
+    // BORN VERSIONED (like the IVF lists): [[snapshotLm]] pins need a
+    // version from the first build, and the migration's one-cycle plain
+    // grace then covers every later layout uniformly
+    graft.ops.Stage.publishRewrite(spark, s"$path/bigrams",
+      bigramStream(train, textCol, idCol)
+        .groupBy("p", "w").agg(count(lit(1)).as("cb")))
+    graft.ops.Stage.publishRewrite(spark, s"$path/vocab",
+      train.where(col(textCol).isNotNull)
+        .select(explode(split(col(textCol), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c")))
   }
 
   /** The model relations of a persisted LM: summed positive bigram
@@ -799,11 +807,20 @@ object Corpus {
           s"[${pending.mkString(", ")}]: their deltas serve now but are " +
           "not durable — retry each op with its original id BEFORE any " +
           "compaction, or the compaction will revert it")
-    val cb = spark.read.parquet(resolve(spark, s"$path/bigrams"))
+    loadLmFrames(spark.read.parquet(resolve(spark, s"$path/bigrams")),
+      spark.read.parquet(resolve(spark, s"$path/vocab")))
+  }
+
+  /** [[loadLm]]'s fold over already-materialized delta relations — the
+    * layer snapshot scoring enters at (pinned FILE LISTS, not
+    * directories — see [[graft.ops.Stage.snapshot]]). */
+  private def loadLmFrames(bigrams: DataFrame, vocab: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cb = bigrams
       .groupBy("p", "w").agg(sum(col("cb")).as("cb"))
       .where(col("cb") > 0)
     val cu = cb.groupBy("p").agg(sum(col("cb")).as("cu"))
-    val v = spark.read.parquet(resolve(spark, s"$path/vocab"))
+    val v = vocab
       .groupBy("tok").agg(sum(col("c")).as("c"))
       .agg(count(when(col("c") > 0, lit(1))).as("v"))
     (cb, cu, v)
@@ -934,6 +951,52 @@ object Corpus {
   def lmPerplexityIndexed(score: DataFrame, path: String, textCol: String,
                           idCol: String): DataFrame = {
     val (cb, cu, v) = loadLm(score.sparkSession, path)
+    scoreAgainstLm(score, cb, cu, v, textCol, idCol)
+  }
+
+  /** FREEZE the model under a named snapshot ([[graft.ops.Stage.snapshot]]
+    * on both count components, under the root lease so the pair captures
+    * one state). Because the pin records FILE LISTS and the LM maintains
+    * by additive delta — appends/deletes land new delta files, never
+    * rewrite old ones — a pinned model stays scoreable bit-identically
+    * while ingest continues: the frozen-model contract an eval pipeline
+    * needs (today's quality scores must not drift because tonight's
+    * crawl landed). This is NOT version time-travel (the LM deliberately
+    * has none — reverting an op is a negated-delta publish, see
+    * [[saveLm]]); it is a reproducibility pin. [[compactLm]] REWRITES the
+    * components, after which the pin keeps serving the pre-compaction
+    * state it captured (the pinned version survives GC until dropped).
+    */
+  def snapshotLm(spark: org.apache.spark.sql.SparkSession,
+                 path: String, name: String): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      // a crashed batch's doomed partials must not be pinned (the pin
+      // records file lists; a later sweep would dangle them)
+      graft.ops.Stage.sweepUncommitted(spark, path, Seq("bigrams", "vocab"))
+      Seq("bigrams", "vocab").foreach(c =>
+        graft.ops.Stage.snapshot(spark, s"$path/$c", name))
+    }
+
+  /** Release a [[snapshotLm]] pin; its versions become ordinary GC
+    * candidates at the next publish (or [[graft.ops.Stage.vacuum]]). */
+  def dropLmSnapshot(spark: org.apache.spark.sql.SparkSession,
+                     path: String, name: String): Unit =
+    Seq("bigrams", "vocab").foreach(c =>
+      graft.ops.Stage.dropSnapshot(spark, s"$path/$c", name))
+
+  /** [[lmPerplexityIndexed]] against a [[snapshotLm]] pin — the frozen
+    * model's counts, whatever has been appended or deleted since.
+    * Fails loudly on an unknown name. */
+  def lmPerplexityIndexedSnapshot(score: DataFrame, path: String,
+                                  name: String, textCol: String,
+                                  idCol: String): DataFrame = {
+    val spark = score.sparkSession
+    def pinned(c: String) = graft.ops.Stage
+      .readSnapshot(spark, s"$path/$c", name)
+      .getOrElse(throw new IllegalStateException(
+        s"$path/$c has no snapshot named '$name' — pin one with " +
+          "snapshotLm before scoring against it"))
+    val (cb, cu, v) = loadLmFrames(pinned("bigrams"), pinned("vocab"))
     scoreAgainstLm(score, cb, cu, v, textCol, idCol)
   }
 

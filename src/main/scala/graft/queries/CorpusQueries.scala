@@ -260,6 +260,27 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q131_lm_frozen_snapshot" -> ((s, d) => {
+      // FROZEN-MODEL scoring: pin the model, grow it with the val split
+      // (delta appends land new files next to the pinned ones), then
+      // score the test split from the PIN — which must equal scoring
+      // against the train-only model, q91's oracle verbatim. This is
+      // the file-list pin earning its keep on the one delta-maintained
+      // index: a directory pin would absorb the appended counts and
+      // every score would drift.
+      val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
+      val path = s"target/graft-lm-frozen-${sfTag(d)}"
+      Corpus.saveLm(docs.where(col("split") === "train"), "text", "doc_id",
+        path)
+      Corpus.snapshotLm(s, path, "eval_pin")
+      Corpus.appendToLm(docs.where(col("split") === "val"), path,
+        "text", "doc_id", opId = "grow_val")
+      Corpus.lmPerplexityIndexedSnapshot(
+        docs.where(col("split") === "test" && col("text").isNotNull),
+        path, "eval_pin", "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q116_stream_lm_ingest" -> ((s, d) => {
       // the LM lifecycle CLOSED over streaming (q109's shape for the
       // model counts): the reference LM grows from a document stream —
@@ -628,6 +649,10 @@ object CorpusQueries {
     // exactly-once count-delta appends + compaction: counts are exact
     // sums regardless of batching, so the oracle is q91's verbatim
     "q116_stream_lm_ingest" -> lmIndexedReplay,
+
+    // q131 scores from a pin taken BEFORE the val-split append — the
+    // frozen model IS the train-only model, q91's replay verbatim
+    "q131_lm_frozen_snapshot" -> lmIndexedReplay,
 
     // q91's replay with the TRAIN side filtered to the survivors — the
     // subtracted model must be indistinguishable from training on them

@@ -258,6 +258,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(indexed(2) == ((12L, 0L, 0L, 0L))) // one-token doc zero-fills
   }
 
+  test("snapshotLm: the pin scores the frozen model while the live one grows") {
+    val train = Seq((1L, "a b c a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val grow = Seq((3L, "a b a b a b")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b c")).toDF("doc_id", "text")
+    val path = "target/graft-test-lm-frozen"
+    Corpus.saveLm(train, "text", "doc_id", path)
+    Corpus.snapshotLm(spark, path, "pin")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toList
+    val atPin = rows(Corpus.lmPerplexityIndexed(batch, path, "text", "doc_id"))
+    // the append lands delta FILES next to the pinned ones — a directory
+    // pin would absorb them and drift every score
+    Corpus.appendToLm(grow, path, "text", "doc_id", opId = "spec_grow")
+    val live = rows(Corpus.lmPerplexityIndexed(batch, path, "text", "doc_id"))
+    assert(live != atPin, "the append must actually change live scores")
+    assert(rows(Corpus.lmPerplexityIndexedSnapshot(
+      batch, path, "pin", "text", "doc_id")) == atPin)
+    // compaction REWRITES the components; the pin keeps its state
+    Corpus.compactLm(spark, path)
+    assert(rows(Corpus.lmPerplexityIndexedSnapshot(
+      batch, path, "pin", "text", "doc_id")) == atPin)
+    assert(rows(Corpus.lmPerplexityIndexed(batch, path, "text", "doc_id"))
+      == live)
+    // dropped pin stops resolving
+    Corpus.dropLmSnapshot(spark, path, "pin")
+    intercept[IllegalStateException] {
+      Corpus.lmPerplexityIndexedSnapshot(batch, path, "pin", "text", "doc_id")
+    }
+  }
+
   test("appendToLm: grown model scores exactly like training on the union") {
     val half1 = Seq((1L, "a b c a b"), (2L, "b c d")).toDF("doc_id", "text")
     val half2 = Seq((3L, "c d e"), (4L, "a e b")).toDF("doc_id", "text")
