@@ -978,11 +978,19 @@ object Corpus {
     }
 
   /** Release a [[snapshotLm]] pin; its versions become ordinary GC
-    * candidates at the next publish (or [[graft.ops.Stage.vacuum]]). */
+    * candidates at the next publish — or immediately via [[vacuumLm]]. */
   def dropLmSnapshot(spark: org.apache.spark.sql.SparkSession,
                      path: String, name: String): Unit =
     Seq("bigrams", "vocab").foreach(c =>
       graft.ops.Stage.dropSnapshot(spark, s"$path/$c", name))
+
+  /** Reclaim the model's stale count versions now
+    * ([[graft.ops.Stage.vacuum]] per component) — the storage release
+    * after dropping a pin, without waiting for the next compaction. */
+  def vacuumLm(spark: org.apache.spark.sql.SparkSession,
+               path: String): Unit =
+    Seq("bigrams", "vocab").foreach(c =>
+      graft.ops.Stage.vacuum(spark, s"$path/$c"))
 
   /** [[lmPerplexityIndexed]] against a [[snapshotLm]] pin — the frozen
     * model's counts, whatever has been appended or deleted since.

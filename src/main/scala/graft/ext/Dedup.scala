@@ -850,11 +850,20 @@ object Dedup {
     }
 
   /** Release a [[snapshotMinhashManifest]] pin; the pinned versions
-    * become ordinary GC candidates at the next publish. */
+    * become ordinary GC candidates at the next publish — or immediately
+    * via [[vacuumMinhashManifest]]. */
   def dropMinhashManifestSnapshot(spark: org.apache.spark.sql.SparkSession,
                                   path: String, name: String): Unit =
     Seq("docs", "bands").foreach(c =>
       graft.ops.Stage.dropSnapshot(spark, s"$path/$c", name))
+
+  /** Reclaim the manifest's stale versions now
+    * ([[graft.ops.Stage.vacuum]] per component) — the storage release
+    * after dropping a pin, without waiting for the next publish. */
+  def vacuumMinhashManifest(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit =
+    Seq("docs", "bands").foreach(c =>
+      graft.ops.Stage.vacuum(spark, s"$path/$c"))
 
   /** [[incrementalNearDups]] probed against a NAMED manifest snapshot —
     * identical verdict contract over the pinned (docs, bands) pair, any

@@ -563,14 +563,36 @@ object Search {
     serveConjunctive(spark, postingsDir, tomb, terms, idCol)
   }
 
+  /** [[conjunctiveSearch]] from a NAMED snapshot — the same pinned-file
+    * read as [[bm25TopKIndexedSnapshot]], for the index's other serve
+    * path (only postings pin back; pending tombstones still mask). */
+  def conjunctiveSearchSnapshot(spark: org.apache.spark.sql.SparkSession,
+                                path: String, name: String,
+                                terms: Seq[String],
+                                idCol: String = "doc_id"): DataFrame = {
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    val postings = graft.ops.Stage
+      .readSnapshot(spark, s"$path/postings", name)
+      .getOrElse(throw new IllegalStateException(
+        s"$path/postings has no snapshot named '$name' — pin one with " +
+          "snapshotTextIndex before serving it"))
+    serveConjunctiveFrames(postings, tomb, terms, idCol)
+  }
+
   private def serveConjunctive(spark: org.apache.spark.sql.SparkSession,
                                postingsDir: String, tomb: Option[DataFrame],
-                               terms: Seq[String], idCol: String): DataFrame = {
+                               terms: Seq[String], idCol: String): DataFrame =
+    serveConjunctiveFrames(spark.read.parquet(postingsDir), tomb, terms,
+      idCol)
+
+  private def serveConjunctiveFrames(postings: DataFrame,
+                                     tomb: Option[DataFrame],
+                                     terms: Seq[String],
+                                     idCol: String): DataFrame = {
     require(terms.nonEmpty && terms.size == terms.distinct.size,
       "conjunctiveSearch needs a non-empty, duplicate-free term set")
     minusTombstoned(
-      spark.read.parquet(postingsDir)
-        .where(col("token").isInCollection(terms)), tomb, idCol)
+      postings.where(col("token").isInCollection(terms)), tomb, idCol)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_occurrences"))
       .where(col("n_terms") === terms.size)

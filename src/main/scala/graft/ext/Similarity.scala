@@ -751,10 +751,18 @@ object Similarity {
     }
 
   /** Release a [[snapshotIvfIndex]] pin; the pinned version becomes an
-    * ordinary GC candidate at the next publish. */
+    * ordinary GC candidate at the next publish — or immediately via
+    * [[vacuumIvfIndex]]. */
   def dropIvfIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
                            path: String, name: String): Unit =
     graft.ops.Stage.dropSnapshot(spark, s"$path/lists", name)
+
+  /** Reclaim the index's stale list versions now
+    * ([[graft.ops.Stage.vacuum]]) — the storage release after dropping a
+    * pin, without waiting for the next maintenance op's publish. */
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit =
+    graft.ops.Stage.vacuum(spark, s"$path/lists")
 
   /** [[topKIvfIndexed]] served from a NAMED snapshot — identical ranking
     * over the pinned lists, any number of maintenance ops later. Pending

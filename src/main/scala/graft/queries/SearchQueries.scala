@@ -158,6 +158,24 @@ object SearchQueries {
       Search.bm25TopKIndexed(s, path, bmTerms, k = 20, k1 = k1, b = b)
     }),
 
+    "q132_conjunctive_snapshot" -> ((s, d) => {
+      // the index's OTHER serve path from a named pin: q127's fixture
+      // shape (compact → pin → delete + compact), served through
+      // conjunctiveSearchSnapshot — must equal fresh AND-search over the
+      // FULL corpus, q103's oracle verbatim. Shares q127's fixture path
+      // deliberately: two serve paths, one pinned state.
+      val sf = sfTag(d)
+      val path = s"target/graft-text-index-conjsnap-$sf"
+      val docs = t(s, d, "documents")
+      Search.saveTextIndex(docs, path)
+      Search.compactTextIndex(s, path)
+      Search.snapshotTextIndex(s, path, "pre_campaign")
+      Search.deleteFromTextIndex(s, path,
+        docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"))
+      Search.compactTextIndex(s, path)
+      Search.conjunctiveSearchSnapshot(s, path, "pre_campaign", bmTerms)
+    }),
+
     "q127_index_named_snapshot" -> ((s, d) => {
       // NAMED-snapshot serving: where q119's previous-version read
       // survives exactly ONE maintenance op, a named snapshot pins its
@@ -280,6 +298,22 @@ object SearchQueries {
     * must be bit-identical to fresh compute over its effective corpus —
     * only the corpus relation differs.
     */
+  /** q103's conjunctive-search replay over the full corpus (AND-semantics
+    * match statistics; DuckDB sum(BIGINT) is HUGEINT — cast back to the
+    * engine's LONG). Shared by q132's snapshot serve, whose pin holds
+    * the full-corpus state. */
+  private lazy val conjunctiveReplay =
+    s"""WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf FROM toks
+          WHERE token IN ($termListSql) GROUP BY doc_id, token)
+        SELECT doc_id, count(*) AS n_terms,
+               CAST(sum(tf) AS BIGINT) AS n_occurrences
+        FROM tf GROUP BY doc_id HAVING count(*) = ${bmTerms.size}
+        ORDER BY doc_id"""
+
   private def bm25SqlOver(corpus: String): String = {
       val cExprs = bmTerms.map(t =>
         s"coalesce(max(CASE WHEN token = '$t' THEN c END), 0.0) AS c_$t")
@@ -373,17 +407,11 @@ object SearchQueries {
 
     // AND-semantics over the same posting lists (DuckDB sum(BIGINT) is
     // HUGEINT — cast back to the engine's LONG)
-    "q103_conjunctive_search" ->
-      s"""WITH toks AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS token
-            FROM documents),
-          tf AS (
-            SELECT doc_id, token, count(*) AS tf FROM toks
-            WHERE token IN ($termListSql) GROUP BY doc_id, token)
-          SELECT doc_id, count(*) AS n_terms,
-                 CAST(sum(tf) AS BIGINT) AS n_occurrences
-          FROM tf GROUP BY doc_id HAVING count(*) = ${bmTerms.size}
-          ORDER BY doc_id""",
+    "q103_conjunctive_search" -> conjunctiveReplay,
+
+    // q132 serves conjunctive search from a NAMED snapshot pinned before
+    // a delete + compaction — still the full corpus's match statistics
+    "q132_conjunctive_snapshot" -> conjunctiveReplay,
 
     // brute-force reference: the prefix filter is lossless (Bayardo bound),
     // so the full self-join IS the engine's contract. 25·dot² ≥ 16·n_a·n_b
