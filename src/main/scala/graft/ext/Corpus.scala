@@ -773,12 +773,15 @@ object Corpus {
     graft.ops.Stage.clearSnapshots(spark, s"$path/bigrams")
     graft.ops.Stage.clearSnapshots(spark, s"$path/vocab")
     // BORN VERSIONED (like the IVF lists): [[snapshotLm]] pins need a
-    // version from the first build, and the migration's one-cycle plain
-    // grace then covers every later layout uniformly
-    graft.ops.Stage.publishRewrite(spark, s"$path/bigrams",
+    // version from the first build. publishREBUILD, not publishRewrite:
+    // rebuilding over an existing model must give the OLD corpus's
+    // counts no previous-version grace — the rebuild boundary resets
+    // the whole history (ledger/snapshots above, previous pointer here),
+    // so nothing can serve cross-corpus state under this path.
+    graft.ops.Stage.publishRebuild(spark, s"$path/bigrams",
       bigramStream(train, textCol, idCol)
         .groupBy("p", "w").agg(count(lit(1)).as("cb")))
-    graft.ops.Stage.publishRewrite(spark, s"$path/vocab",
+    graft.ops.Stage.publishRebuild(spark, s"$path/vocab",
       train.where(col(textCol).isNotNull)
         .select(explode(split(col(textCol), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c")))

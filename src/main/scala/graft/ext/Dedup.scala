@@ -587,12 +587,16 @@ object Dedup {
     * Similarity.appendToIvfIndex.
     */
   def appendToMinhashManifest(newDf: DataFrame, textCol: String,
-                              idCol: String, path: String): Unit = {
-    val meta = newDf.sparkSession.read.parquet(
-      graft.ops.Stage.resolve(newDf.sparkSession, s"$path/meta")).head()
-    writeManifestTables(newDf, textCol, idCol, path,
-      meta.getAs[Int]("k"), meta.getAs[Int]("bands"), "append")
-  }
+                              idCol: String, path: String): Unit =
+    // root lease, like the exactly-once variant: an unleased append
+    // racing a [[snapshotMinhashManifest]] pin could hand the pin a
+    // torn (partially committed) file list
+    graft.ops.Stage.withWriterLease(newDf.sparkSession, path) {
+      val meta = newDf.sparkSession.read.parquet(
+        graft.ops.Stage.resolve(newDf.sparkSession, s"$path/meta")).head()
+      writeManifestTables(newDf, textCol, idCol, path,
+        meta.getAs[Int]("k"), meta.getAs[Int]("bands"), "append")
+    }
 
   /** [[appendToMinhashManifest]] with EXACTLY-ONCE semantics for
     * streaming ingest, via the shared ledger protocol

@@ -140,11 +140,19 @@ object Search {
     * are plain sums — the grown index serves bit-identically to a fresh
     * build over the union. Batch-sized work only; the one-row stats
     * update is the only driver-side read (constant by construction).
+    * Under the ROOT writer lease, like the exactly-once variant: an
+    * unleased append racing a [[snapshotTextIndex]] pin could hand the
+    * pin a torn (partially committed) file list.
     */
   def appendToTextIndex(batch: DataFrame, path: String,
                         idCol: String = "doc_id",
                         textCol: String = "text"): Unit = {
     val spark = batch.sparkSession
+    graft.ops.Stage.withWriterLease(spark, path) {
+    // like the streaming shells, an index CREATED by this append is born
+    // versioned, so snapshot pins work from the first batch
+    Seq("postings", "doclens", "stats").foreach(c =>
+      graft.ops.Stage.ensureVersioned(spark, s"$path/$c"))
     batch
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
@@ -159,6 +167,7 @@ object Search {
     // the index.
     batchStats(batch, textCol).write.mode("append")
       .parquet(graft.ops.Stage.resolve(spark, s"$path/stats"))
+    }
   }
 
   /** One additive stats row for a batch (coalesce: zero docs must still

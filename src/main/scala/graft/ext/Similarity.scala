@@ -494,13 +494,19 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
     Seq((dim, cents.length, quantScale)).toDF("dim", "n_centroids", "quant_scale")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
-    // lists are BORN VERSIONED (publishRewrite on a fresh dir = v1 +
-    // pointer): a Hive-partitioned component must never live as a plain
-    // layout, because its first migration would leave a root that mixes
+    // lists are BORN VERSIONED (publish on a fresh dir = v1 + pointer):
+    // a Hive-partitioned component must never live as a plain layout,
+    // because its first migration would leave a root that mixes
     // `centroid=N/` and version directories — unreadable as a fresh scan
-    // (see Stage.resolvePrevious). Born versioned, every maintenance op
-    // including the first gets full reader grace and previous-serving.
-    graft.ops.Stage.publishRewrite(spark, s"$path/lists")(versionDir =>
+    // (see Stage.resolvePrevious). publishREBUILD, not publishRewrite:
+    // on a rebuild over an existing index the old corpus's version must
+    // get NO previous-serving grace — topKIvfIndexedPrevious right after
+    // a rebuild would otherwise silently dequantize OLD-corpus lists
+    // with the NEW meta's quantScale/centroids. The rebuild boundary
+    // resets the whole history (ledger/tombstones/snapshots above, and
+    // the previous pointer here); previous-serving returns after the
+    // first post-rebuild maintenance op.
+    graft.ops.Stage.publishRebuild(spark, s"$path/lists")(versionDir =>
       writeIvfLists(corpus, cents, quantScale, idCol, vecCol, versionDir,
         "overwrite"))
   }
@@ -554,11 +560,16 @@ object Similarity {
     */
   def appendToIvfIndex(newVecs: DataFrame, path: String,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit = {
-    val (scale, cents) = loadIvfMeta(newVecs.sparkSession, path)
-    writeIvfLists(newVecs, cents, scale, idCol, vecCol,
-      graft.ops.Stage.resolve(newVecs.sparkSession, s"$path/lists"), "append")
-  }
+                       vecCol: String = "embedding"): Unit =
+    // root lease, like the exactly-once variant: an unleased append
+    // racing a [[snapshotIvfIndex]] pin could hand the pin a torn
+    // (partially committed) file list
+    graft.ops.Stage.withWriterLease(newVecs.sparkSession, path) {
+      val (scale, cents) = loadIvfMeta(newVecs.sparkSession, path)
+      writeIvfLists(newVecs, cents, scale, idCol, vecCol,
+        graft.ops.Stage.resolve(newVecs.sparkSession, s"$path/lists"),
+        "append")
+    }
 
   /** [[appendToIvfIndex]] with EXACTLY-ONCE semantics for streaming
     * ingest, via the shared ledger protocol

@@ -136,18 +136,7 @@ object Stage {
     */
   def publishRewrite(spark: SparkSession, root: String)
                     (write: String => Unit): Unit =
-    withWriterLease(spark, root) {
-      val rootPath = new Path(root)
-      val fs = fsFor(spark, rootPath)
-      fs.mkdirs(rootPath)
-      val existing = fs.listStatus(rootPath).map(_.getPath.getName)
-      val next = existing.filter(VersionRe.matches)
-        .map(_.drop(1).toInt).foldLeft(0)(math.max) + 1
-      val version = f"v$next%08d"
-      write(new Path(rootPath, version).toString)
-      flipPointer(spark, fs, rootPath, version)
-      gcStale(fs, rootPath)
-    }
+    publishImpl(spark, root, grace = true)(write)
 
   /** The common case: replace a directory's contents with a DataFrame.
     * The plan may read from the directory being replaced — it scans the
@@ -157,21 +146,91 @@ object Stage {
     publishRewrite(spark, root)(versionDir =>
       df.write.mode("overwrite").parquet(versionDir))
 
-  /** Point `root/_current` at `version` with an atomic overwrite-rename;
-    * the previously-live version rides along as the second line so GC
-    * can spare it for one cycle. A first publish over a PLAIN layout
-    * records [[PlainToken]] instead — the plain top-level data files
-    * are that publish's predecessor and get the same one-cycle grace. */
-  private def flipPointer(spark: SparkSession, fs: FileSystem,
-                          rootPath: Path, version: String): Unit = {
-    val previous = pointerLines(fs, rootPath).headOption.orElse {
-      // called after write(versionDir): any non-version data entry is
-      // pre-migration plain data (the fresh version dir is excluded by
-      // name; `_`/`.` metadata by dataEntries)
-      val plainData = dataEntries(fs, rootPath)
-        .exists(s => !VersionRe.matches(s.getPath.getName))
-      if (plainData) Some(PlainToken) else None
+  /** [[publishRewrite]] for REBUILDS — the pointer flips with NO previous
+    * line, so the superseded state gets no one-cycle reader grace and is
+    * GC'd with this publish. Within one corpus that grace is a feature
+    * (in-flight scans finish; [[resolvePrevious]] time-travel); across a
+    * REBUILD it is a hazard: the old corpus's data would survive as "the
+    * previous version" next to the new build's metadata, and a
+    * previous-serving read immediately after the rebuild would silently
+    * pair OLD data with NEW parameters (the IVF case: old-corpus lists
+    * dequantized with the new quantScale/centroids). Builders that
+    * rebuild in place ([[graft.ext.Similarity.saveIvfIndex]],
+    * [[graft.ext.Corpus.saveLm]]) publish through this, so
+    * `resolvePrevious` fails loudly until the first POST-rebuild
+    * maintenance op establishes a same-corpus history.
+    */
+  def publishRebuild(spark: SparkSession, root: String)
+                    (write: String => Unit): Unit =
+    publishImpl(spark, root, grace = false)(write)
+
+  /** [[publishRebuild]] with a DataFrame. */
+  def publishRebuild(spark: SparkSession, root: String, df: DataFrame): Unit =
+    publishRebuild(spark, root)(versionDir =>
+      df.write.mode("overwrite").parquet(versionDir))
+
+  private def publishImpl(spark: SparkSession, root: String, grace: Boolean)
+                         (write: String => Unit): Unit =
+    withWriterLease(spark, root) {
+      val rootPath = new Path(root)
+      val fs = fsFor(spark, rootPath)
+      fs.mkdirs(rootPath)
+      val existing = fs.listStatus(rootPath).map(_.getPath.getName)
+      val next = existing.filter(VersionRe.matches)
+        .map(_.drop(1).toInt).foldLeft(0)(math.max) + 1
+      val version = f"v$next%08d"
+      write(new Path(rootPath, version).toString)
+      flipPointer(spark, fs, rootPath, version, grace)
+      gcStale(fs, rootPath)
     }
+
+  /** Make an EMPTY component root a versioned layout: a `v00000001` data
+    * directory plus the pointer, with no previous line. This is how
+    * STREAM-BORN indexes come into being ([[appendExactlyOnce]] /
+    * [[publishOnce]] call it before their first publish into a fresh
+    * component), so the first exactly-once batch lands inside a version
+    * — and [[snapshot]] pins work from birth instead of failing until a
+    * warm-up compaction migrates the layout (the batch-built families'
+    * born-versioned shape, extended to streaming shells). A no-op on
+    * roots that already have a pointer OR plain data files (an existing
+    * plain index keeps its layout until its first migrating publish).
+    */
+  def ensureVersioned(spark: SparkSession, dir: String): Unit = {
+    val rootPath = new Path(dir)
+    val fs = fsFor(spark, rootPath)
+    if (pointerLines(fs, rootPath).isEmpty &&
+        dataEntries(fs, rootPath).isEmpty) {
+      val version = "v00000001"
+      fs.mkdirs(new Path(rootPath, version))
+      writePointer(spark, fs, rootPath, version)
+    }
+  }
+
+  /** Point `root/_current` at `version` with an atomic overwrite-rename;
+    * with `grace`, the previously-live version rides along as the second
+    * line so GC can spare it for one cycle. A first graced publish over a
+    * PLAIN layout records [[PlainToken]] instead — the plain top-level
+    * data files are that publish's predecessor and get the same one-cycle
+    * grace. Without grace (rebuilds), only the new version is named. */
+  private def flipPointer(spark: SparkSession, fs: FileSystem,
+                          rootPath: Path, version: String,
+                          grace: Boolean): Unit = {
+    val previous =
+      if (!grace) None
+      else pointerLines(fs, rootPath).headOption.orElse {
+        // called after write(versionDir): any non-version data entry is
+        // pre-migration plain data (the fresh version dir is excluded by
+        // name; `_`/`.` metadata by dataEntries)
+        val plainData = dataEntries(fs, rootPath)
+          .exists(s => !VersionRe.matches(s.getPath.getName))
+        if (plainData) Some(PlainToken) else None
+      }
+    writePointer(spark, fs, rootPath, version, previous)
+  }
+
+  private def writePointer(spark: SparkSession, fs: FileSystem,
+                           rootPath: Path, version: String,
+                           previous: Option[String] = None): Unit = {
     val content = (version +: previous.toSeq).mkString("\n")
     val tmp = new Path(rootPath, "_current.tmp")
     val out = fs.create(tmp, true)
@@ -414,22 +473,30 @@ object Stage {
     * lease-by-staleness: a LIVE cross-host op that runs longer than
     * `staleAfterMs` can be wrongly reclaimed — size the window above
     * the longest maintenance op for the deployment (heartbeat-refreshed
-    * leases belong to a coordination service, not a filesystem).
+    * leases belong to a coordination service, not a filesystem). The
+    * wrongly-reclaimed VICTIM, however, cannot escalate the damage: its
+    * release is owner-checked (the lock carries a per-acquire nonce and
+    * the exit deletes only a lock still holding it), so the victim's
+    * exit leaves the reclaimer's fresh lock intact instead of silently
+    * re-admitting a third writer mid-fold.
     */
   def withWriterLease[T](spark: SparkSession, path: String,
-                         staleAfterMs: Long = 30 * 60 * 1000L)(body: => T): T = {
+                         staleAfterMs: Long = DefaultStaleAfterMs)(body: => T): T = {
     val rootPath = new Path(path)
     val fs = fsFor(spark, rootPath)
     val lock = new Path(rootPath, "_writer.lock")
     val key = lock.toString
     if (heldLeases.get.contains(key)) return body
+    // the nonce makes this ACQUIRE's lock content unique, so release can
+    // tell "still my lock" from "a reclaimer's fresh lock" (pid+host+time
+    // alone could collide across a same-process reclaim in one millisecond)
+    val token = s"pid=${ProcessHandle.current.pid} host=$localHost " +
+      s"t=${System.currentTimeMillis} nonce=${java.util.UUID.randomUUID()}"
     def tryAcquire(): Boolean =
       try {
         fs.mkdirs(rootPath)
         val out = fs.create(lock, false)
-        try out.write(
-          (s"pid=${ProcessHandle.current.pid} host=$localHost " +
-            s"t=${System.currentTimeMillis}").getBytes("UTF-8"))
+        try out.write(token.getBytes("UTF-8"))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
@@ -464,8 +531,44 @@ object Stage {
     try body
     finally {
       heldLeases.set(heldLeases.get - key)
-      fs.delete(lock, false)
+      releaseIfOwner(fs, lock, token)
     }
+  }
+
+  /** The default [[withWriterLease]] staleness window. */
+  val DefaultStaleAfterMs: Long = 30 * 60 * 1000L
+
+  /** Delete `lock` only if it still holds `token` — the release half of
+    * the lease's owner check. The failure chain this breaks: writer A
+    * outlives the staleness window; writer B reclaims and creates a
+    * FRESH lock; A finishes, and an unconditional finally-delete would
+    * remove B's lock, letting a writer C acquire while B is still
+    * mid-fold — two concurrent writers, exactly what the lease exists
+    * to prevent. With the check, A's exit sees content ≠ its token,
+    * logs, and leaves B's lock standing (A was the wrongful party: it
+    * ran past the window). A lock that vanished (the reclaimer's rename
+    * won between A's read and now) is equally not-ours — nothing to do.
+    * The read-compare-delete is not atomic, but the residual window is
+    * microseconds versus the minutes-long staleness window that gates
+    * any reclaim — and only a reclaim can change ownership.
+    */
+  private def releaseIfOwner(fs: FileSystem, lock: Path,
+                             token: String): Unit = {
+    val current =
+      try {
+        val in = fs.open(lock)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (current.contains(token)) {
+      try fs.delete(lock, false)
+      catch { case _: java.io.IOException => () }
+    } else org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"$lock is no longer this op's lease (now held by " +
+        s"'${current.getOrElse("<gone>")}'): this op ran past the " +
+        "staleness window and was reclaimed — leaving the new holder's " +
+        "lock in place. This op's writes may interleave with the " +
+        "reclaimer's; verify the index and re-run if needed")
   }
 
   private lazy val localHost =
@@ -524,17 +627,27 @@ object Stage {
                        (stage: String => Unit): Unit = {
     if (alreadyPublished(spark, path, batchId)) return
     withWriterLease(spark, path) {
-      val fs = fsFor(spark, new Path(path))
-      val staging = s"$path/_staging/batch-$batchId"
-      fs.delete(new Path(staging), true) // wipe a dead attempt's partials
-      stage(staging)
-      components.foreach { comp =>
-        publishStaged(fs, new Path(s"$staging/$comp"),
-          new Path(resolve(spark, s"$path/$comp")), s"b$batchId") }
-      val marker = new Path(s"$path/_ledger/batch-$batchId")
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, false).close() // atomic: the batch is now published
-      fs.delete(new Path(staging), true)
+      // re-check INSIDE the lease: a duplicate delivery serialized behind
+      // a concurrent committer of the same batch must exit as the
+      // intended idempotent no-op, not re-stage and then die on the
+      // marker's create-exclusive
+      if (!alreadyPublished(spark, path, batchId)) {
+        val fs = fsFor(spark, new Path(path))
+        val staging = s"$path/_staging/batch-$batchId"
+        fs.delete(new Path(staging), true) // wipe a dead attempt's partials
+        stage(staging)
+        components.foreach { comp =>
+          // stream-born shells are BORN VERSIONED: the first batch into a
+          // fresh component creates v00000001 + pointer, so snapshot pins
+          // work before any compaction migrates the layout
+          ensureVersioned(spark, s"$path/$comp")
+          publishStaged(fs, new Path(s"$staging/$comp"),
+            new Path(resolve(spark, s"$path/$comp")), s"b$batchId") }
+        val marker = new Path(s"$path/_ledger/batch-$batchId")
+        fs.mkdirs(marker.getParent)
+        fs.create(marker, false).close() // atomic: the batch is now published
+        fs.delete(new Path(staging), true)
+      }
     }
   }
 
@@ -574,14 +687,24 @@ object Stage {
     val staging = s"$path/_staging/op-$opId"
     if (fs.exists(marker)) { fs.delete(new Path(staging), true); return }
     withWriterLease(spark, path) {
-      fs.delete(new Path(staging), true)
-      stage(staging)
-      components.foreach { comp =>
-        publishStaged(fs, new Path(s"$staging/$comp"),
-          new Path(resolve(spark, s"$path/$comp")), s"o$opId") }
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, false).close() // atomic: the op is now published
-      fs.delete(new Path(staging), true)
+      // re-check INSIDE the lease: a duplicate retry serialized behind a
+      // concurrent committer of the same op must exit as the intended
+      // idempotent no-op, not re-stage the work and then die with a raw
+      // FileAlreadyExistsException on the marker create
+      if (fs.exists(marker)) fs.delete(new Path(staging), true)
+      else {
+        fs.delete(new Path(staging), true)
+        stage(staging)
+        components.foreach { comp =>
+          // maintain parity with the streaming path: the first op into a
+          // fresh component births it versioned, so pins work from birth
+          ensureVersioned(spark, s"$path/$comp")
+          publishStaged(fs, new Path(s"$staging/$comp"),
+            new Path(resolve(spark, s"$path/$comp")), s"o$opId") }
+        fs.mkdirs(marker.getParent)
+        fs.create(marker, false).close() // atomic: the op is now published
+        fs.delete(new Path(staging), true)
+      }
     }
   }
 
@@ -883,7 +1006,13 @@ object Stage {
     * ([[pendingOps]] — nonzero means a crashed publishOnce needs its
     * retry BEFORE the next compaction) stamped on every row, plus the
     * component's pinned-snapshot count (each pin holds a full version's
-    * storage until dropped). Metadata-only
+    * storage until dropped), plus the WRITER LOCK in flight, if any:
+    * holder line, age, and the fraction of the default staleness window
+    * consumed (`writer_lock_*` — the component's own lock when one is
+    * held there, else the root's family-wide lock; a fraction nearing
+    * 1.0 means a live op is about to be treated as crashed and
+    * reclaimed, a stuck or abandoned op is visible here instead of
+    * requiring a filesystem look). Metadata-only
     * (directory listings, no data read). NOT a `SparkEntry` query on
     * purpose: file counts depend on the writing cluster's parallelism,
     * so the numbers are deterministic per deployment but not across
@@ -898,6 +1027,7 @@ object Stage {
       val fs = fsFor(spark, ledger)
       if (!fs.exists(ledger)) 0 else fs.listStatus(ledger).length
     }
+    val rootLock = lockInfo(fsFor(spark, new Path(path)), new Path(path))
     val tombFiles = {
       val t = new Path(resolve(spark, s"$path/tombstones"))
       val fs = fsFor(spark, t)
@@ -932,13 +1062,37 @@ object Stage {
       // snapshot pins hold full version copies — storage an operator
       // must SEE to know to drop ([[snapshot]]'s accumulation caveat)
       val nPinned = snapshotVersions(fs, root).size
+      // a lock held on THIS component (a publish in flight) wins over
+      // the root's family-wide lock (ingest/snapshot/sweep in flight)
+      val (holder, ageMs) = lockInfo(fs, root).orElse(rootLock)
+        .getOrElse(("", -1L))
+      val staleFrac =
+        if (ageMs < 0) 0.0 else ageMs.toDouble / DefaultStaleAfterMs
       (c, lines.headOption.getOrElse(""), nVersions, nFiles, nBytes,
-        ledgerEntries, tombFiles, uncommittedOps, nPinned)
+        ledgerEntries, tombFiles, uncommittedOps, nPinned,
+        holder, ageMs, staleFrac)
     }
     rows.toDF("component", "live_version", "n_versions", "n_files",
       "n_bytes", "ledger_entries", "pending_tombstone_files",
-      "uncommitted_ops", "pinned_versions")
+      "uncommitted_ops", "pinned_versions", "writer_lock_holder",
+      "writer_lock_age_ms", "writer_lock_stale_frac")
   }
+
+  /** (content, age ms) of a live `_writer.lock` under `dir`, or None —
+    * the introspection read [[healthReport]] surfaces. NonFatal-safe:
+    * a lock vanishing mid-read (its holder just released) is "no lock",
+    * never an error in a dashboard query. */
+  private def lockInfo(fs: FileSystem,
+                       dir: Path): Option[(String, Long)] =
+    try {
+      val lock = new Path(dir, "_writer.lock")
+      val st = fs.getFileStatus(lock)
+      val in = fs.open(lock)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some((content, System.currentTimeMillis - st.getModificationTime))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Reset an index root's exactly-once machinery — called by the `save*`
     * builders: a REBUILT index starts a fresh checkpoint lineage whose

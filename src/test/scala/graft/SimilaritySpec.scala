@@ -596,4 +596,35 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.topKIvfIndexedSnapshot(spark, qset, idx, "stale_pin", k = 5)
     }
   }
+
+  test("a rebuild severs previous-serving — no cross-corpus grace") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = emb.select(col("vec_id"),
+      Similarity.dequantize(
+        Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+    val cents = Similarity.sampleCentroids(deq, 8)
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-ivf-rebuild-").toString
+    Similarity.saveIvfIndex(emb, idx, nCentroids = 8, dim = 64,
+      quantScale = 200.0, centroidsIn = cents)
+    val qset = deq.where(col("vec_id") < 5)
+    // same-corpus maintenance establishes previous-serving...
+    Similarity.deleteFromIvfIndex(spark, idx,
+      emb.where(pmod(col("vec_id"), lit(3)) === 1).select("vec_id"))
+    assert(Similarity.topKIvfIndexedPrevious(spark, qset, idx, k = 5)
+      .count() > 0)
+    // ...but a REBUILD (new quantScale = new geometry) must NOT leave
+    // the old corpus's lists as "the previous version": serving them
+    // dequantized with the NEW meta would be silently wrong, so the
+    // previous read fails loudly until post-rebuild maintenance runs
+    Similarity.saveIvfIndex(emb, idx, nCentroids = 8, dim = 64,
+      quantScale = 100.0, centroidsIn = cents)
+    intercept[IllegalStateException] {
+      Similarity.topKIvfIndexedPrevious(spark, qset, idx, k = 5)
+    }
+    // live serving over the rebuilt index is intact
+    assert(Similarity.topKIvfIndexed(spark, qset, idx, k = 5).count() > 0)
+  }
 }

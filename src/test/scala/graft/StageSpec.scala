@@ -451,6 +451,119 @@ class StageSpec extends AnyFunSuite {
     assert(ran2)
   }
 
+  test("a wrongly-reclaimed victim's release leaves the reclaimer's lock intact") {
+    // the escalation chain the owner check breaks: A runs past the
+    // staleness window, B reclaims with a FRESH lock; A's exit must NOT
+    // delete B's lock (an unconditional finally-delete would, silently
+    // re-admitting a third writer while B is mid-fold)
+    val root = "target/graft-test-stage-lease-owner"
+    fs(root).delete(new Path(root), true)
+    val lock = new Path(s"$root/_writer.lock")
+    val aHolds = new java.util.concurrent.CountDownLatch(1)
+    val aMayRelease = new java.util.concurrent.CountDownLatch(1)
+    val bHolds = new java.util.concurrent.CountDownLatch(1)
+    val bMayRelease = new java.util.concurrent.CountDownLatch(1)
+    val a = new Thread(() => Stage.withWriterLease(spark, root) {
+      aHolds.countDown(); aMayRelease.await()
+    })
+    a.start(); aHolds.await()
+    val aToken = {
+      val in = fs(root).open(lock)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    // age A's lock past the window (mtime drives the staleness check) —
+    // A is ALIVE in this JVM, so only the age path can reclaim it
+    fs(root).setTimes(lock, System.currentTimeMillis - 3600 * 1000L, -1)
+    val b = new Thread(() => Stage.withWriterLease(spark, root,
+        staleAfterMs = 60 * 1000L) {
+      bHolds.countDown(); bMayRelease.await()
+    })
+    b.start(); bHolds.await() // B reclaimed and holds a fresh lock
+    aMayRelease.countDown(); a.join() // A exits; owner check must fire
+    // B's lock SURVIVES A's release (and is B's, not A's)
+    assert(fs(root).exists(lock), "victim's release deleted the reclaimer's lock")
+    val after = {
+      val in = fs(root).open(lock)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    assert(after != aToken)
+    bMayRelease.countDown(); b.join()
+    assert(!fs(root).exists(lock)) // B's own release still works
+  }
+
+  test("healthReport surfaces the writer lock in flight") {
+    val idx = "target/graft-test-health-lock"
+    fs(idx).delete(new Path(idx), true)
+    Seq((1L, 10L)).toDF("k", "c").write.parquet(s"$idx/counts")
+    def head = Stage.healthReport(spark, idx, Seq("counts")).head()
+    // no lock: empty holder, sentinel age, zero fraction
+    val idle = head
+    assert(idle.getAs[String]("writer_lock_holder") == "")
+    assert(idle.getAs[Long]("writer_lock_age_ms") == -1L)
+    assert(idle.getAs[Double]("writer_lock_stale_frac") == 0.0)
+    // root lock held (a family-wide op in flight): stamped on the row
+    Stage.withWriterLease(spark, idx) {
+      val busy = head
+      assert(busy.getAs[String]("writer_lock_holder").startsWith("pid="))
+      assert(busy.getAs[Long]("writer_lock_age_ms") >= 0L)
+      val frac = busy.getAs[Double]("writer_lock_stale_frac")
+      assert(frac >= 0.0 && frac < 1.0)
+    }
+    // a COMPONENT lock (a publish in flight there) wins over the root's
+    Stage.withWriterLease(spark, s"$idx/counts") {
+      assert(head.getAs[String]("writer_lock_holder").startsWith("pid="))
+    }
+    assert(head.getAs[String]("writer_lock_holder") == "")
+  }
+
+  test("publishRebuild severs previous-version grace at the rebuild boundary") {
+    val root = "target/graft-test-stage-rebuild"
+    fs(root).delete(new Path(root), true)
+    Stage.publishRewrite(spark, root, Seq(1L).toDF("v")) // → v1
+    Stage.publishRewrite(spark, root, Seq(2L).toDF("v")) // → v2, v1 grace
+    assert(Stage.resolvePrevious(spark, root).contains(s"$root/v00000001"))
+    // the REBUILD: new corpus, no cross-corpus previous-serving — the
+    // pointer names only v3, and the old corpus's versions are swept now
+    Stage.publishRebuild(spark, root, Seq(9L).toDF("v"))
+    assert(Stage.resolve(spark, root) == s"$root/v00000003")
+    assert(Stage.resolvePrevious(spark, root).isEmpty)
+    assert(children(root).filter(_.startsWith("v")) == Set("v00000003"))
+    assert(values(root) == Set(9L))
+    // post-rebuild maintenance re-establishes same-corpus grace
+    Stage.publishRewrite(spark, root, Seq(10L).toDF("v"))
+    assert(Stage.resolvePrevious(spark, root).contains(s"$root/v00000003"))
+  }
+
+  test("a stream-born index is versioned from its first batch and pinnable") {
+    val idx = "target/graft-test-stream-born-pin"
+    fs(idx).delete(new Path(idx), true)
+    // NO builder, NO compaction: the first exactly-once batch creates
+    // the shell — born versioned, so a snapshot pin works immediately
+    Search.appendToTextIndexExactlyOnce(
+      Seq((1L, "spark join"), (2L, "spark stream")).toDF("doc_id", "text"),
+      idx, batchId = 0L)
+    assert(Stage.resolve(spark, s"$idx/postings") ==
+      s"$idx/postings/v00000001")
+    Search.snapshotTextIndex(spark, idx, "at_birth")
+    def pinned() = Search
+      .bm25TopKIndexedSnapshot(spark, idx, "at_birth", Seq("spark"), 10)
+      .collect().map(_.toSeq).toSeq
+    val atPin = pinned()
+    assert(atPin.nonEmpty)
+    // later batches land INTO v1; the file-list pin stays frozen
+    Search.appendToTextIndexExactlyOnce(
+      Seq((3L, "spark spark spark")).toDF("doc_id", "text"), idx,
+      batchId = 1L)
+    assert(Search.bm25TopKIndexed(spark, idx, Seq("spark"), 10)
+      .collect().map(_.getLong(0)).toSeq.contains(3L))
+    assert(pinned() == atPin)
+    // and the first compaction (v2) spares the pinned v1
+    Search.compactTextIndex(spark, idx)
+    assert(pinned() == atPin)
+  }
+
   test("a named snapshot pins its version across publish cycles until dropped") {
     val root = "target/graft-test-stage-snap"
     fs(root).delete(new Path(root), true)
