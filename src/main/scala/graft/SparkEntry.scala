@@ -20,7 +20,7 @@ object SparkEntry {
     ParityQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
       MultimodalQueries.queries ++ CorpusQueries.queries ++
-      SearchQueries.queries
+      SearchQueries.queries ++ CampaignQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,5 @@ object SparkEntry {
     ParityQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
       MultimodalQueries.oracles ++ CorpusQueries.oracles ++
-      SearchQueries.oracles
+      SearchQueries.oracles ++ CampaignQueries.oracles
 }

@@ -1,0 +1,129 @@
+package graft.ext
+
+import graft.ops.Stage
+import org.apache.spark.sql.SparkSession
+
+/** Cross-family CAMPAIGN snapshots: one name pinning several persisted
+  * indexes at ONE logical instant.
+  *
+  * The per-family pins ([[Search.snapshotTextIndex]],
+  * [[Dedup.snapshotMinhashManifest]], [[Corpus.snapshotLm]],
+  * [[Similarity.snapshotIvfIndex]]) are each internally consistent —
+  * every component of one family moves together under its root lease.
+  * But a production pipeline serves SEVERAL families built from the same
+  * corpus (the text index it retrieves with, the dedup manifest it
+  * admits against, the LM it scores with), and "reproduce this release"
+  * means all of them as of one instant: a dedup verdict computed against
+  * yesterday's manifest next to BM25 scores from today's index is a
+  * cross-family inconsistency no single-family pin can rule out.
+  * Without this operator, that consistency was manual operator
+  * sequencing (quiesce everything, pin each family, hope nothing
+  * landed in between).
+  *
+  * [[snapshot]] makes it a primitive: it takes every member family's
+  * ROOT writer lease — the lease all of that family's maintenance ops,
+  * exactly-once ingest batches, and single-family pins serialize on —
+  * in ONE FIXED GLOBAL ORDER (sorted by root path), then pins each
+  * family under the shared name, then releases. While the leases are
+  * held nothing can publish into any member, so the pins capture one
+  * logical instant across all families; the fixed acquisition order
+  * makes two concurrent campaign snapshots deadlock-free (they collide
+  * on the first shared root and the loser fails loudly with the lease's
+  * contention error, like any concurrent maintenance op).
+  *
+  * Cost: metadata-only per member (the family pins record file lists),
+  * plus blocking member ingest for the pin's duration — milliseconds,
+  * not a data pass. On failure (e.g. a member still in a plain,
+  * never-published layout), pins already taken under this name are
+  * rolled back best-effort before the error propagates, so a campaign
+  * name never resolves to a partial member set.
+  *
+  * Serving reads nothing new: each family's existing `*Snapshot` serve
+  * path takes the campaign name (q133 serves all three from one pin).
+  * [[drop]] releases every member's pin; [[vacuum]] reclaims the
+  * storage immediately ([[Stage.vacuum]] per member component).
+  */
+object Campaign {
+
+  /** A campaign member: one persisted index root, tagged with its
+    * family so the campaign knows which components to pin. */
+  sealed trait Member { def path: String }
+  /** A [[Search.saveTextIndex]] root (postings, doclens, stats). */
+  final case class TextIndex(path: String) extends Member
+  /** A [[Dedup.saveMinhashManifest]] root (docs, bands). */
+  final case class MinhashManifest(path: String) extends Member
+  /** A [[Corpus.saveLm]] root (bigrams, vocab). */
+  final case class Lm(path: String) extends Member
+  /** A [[Similarity.saveIvfIndex]] root (lists). */
+  final case class IvfIndex(path: String) extends Member
+
+  /** Pin every member under `name` at one logical instant — all member
+    * root leases held (in sorted-path order) for the duration of all
+    * pins. Fails loudly if any member cannot be pinned, rolling back
+    * the pins already taken under this name. */
+  def snapshot(spark: SparkSession, name: String,
+               members: Seq[Member]): Unit = {
+    require(members.nonEmpty, "a campaign needs at least one member")
+    require(members.map(_.path).distinct.size == members.size,
+      s"campaign members must have distinct roots, got " +
+        members.map(_.path).mkString(", "))
+    // THE fixed global order: every multi-root acquisition in the
+    // library goes through this sort, which is what makes concurrent
+    // campaigns deadlock-free
+    val ordered = members.sortBy(_.path).toList
+    def nest(rest: List[Member]): Unit = rest match {
+      case Nil =>
+        try ordered.foreach(pin(spark, name, _))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // never leave a partial campaign behind the name: roll back
+            // best-effort (dropping an untaken pin is a no-op), then
+            // surface the original failure
+            ordered.foreach { m =>
+              try dropMember(spark, name, m)
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+            throw e
+        }
+      case m :: tail =>
+        Stage.withWriterLease(spark, m.path)(nest(tail))
+    }
+    nest(ordered)
+  }
+
+  /** Release every member's pin under `name`. The pinned versions become
+    * ordinary GC candidates at each family's next publish — or
+    * immediately via [[vacuum]]. Idempotent (unknown names no-op). */
+  def drop(spark: SparkSession, name: String, members: Seq[Member]): Unit =
+    members.foreach(dropMember(spark, name, _))
+
+  /** Reclaim every member's stale versions now — the storage release
+    * after [[drop]], without waiting for each family's next publish. */
+  def vacuum(spark: SparkSession, members: Seq[Member]): Unit =
+    members.foreach {
+      case TextIndex(p)       => Search.vacuumTextIndex(spark, p)
+      case MinhashManifest(p) => Dedup.vacuumMinhashManifest(spark, p)
+      case Lm(p)              => Corpus.vacuumLm(spark, p)
+      case IvfIndex(p)        => Similarity.vacuumIvfIndex(spark, p)
+    }
+
+  /** The member's own family pin — runs under the already-held root
+    * lease (the family surfaces lease the same root; reentrancy passes
+    * them through), so the family-level consistency guarantees apply
+    * unchanged inside the campaign's wider instant. */
+  private def pin(spark: SparkSession, name: String, m: Member): Unit =
+    m match {
+      case TextIndex(p)       => Search.snapshotTextIndex(spark, p, name)
+      case MinhashManifest(p) => Dedup.snapshotMinhashManifest(spark, p, name)
+      case Lm(p)              => Corpus.snapshotLm(spark, p, name)
+      case IvfIndex(p)        => Similarity.snapshotIvfIndex(spark, p, name)
+    }
+
+  private def dropMember(spark: SparkSession, name: String,
+                         m: Member): Unit = m match {
+    case TextIndex(p)       => Search.dropTextIndexSnapshot(spark, p, name)
+    case MinhashManifest(p) => Dedup.dropMinhashManifestSnapshot(spark, p, name)
+    case Lm(p)              => Corpus.dropLmSnapshot(spark, p, name)
+    case IvfIndex(p)        => Similarity.dropIvfIndexSnapshot(spark, p, name)
+  }
+}

@@ -418,7 +418,7 @@ object CorpusQueries {
     * one-shot persisted LM (q91) and the stream-ingested one (q116):
     * every model statistic is a count, exact under any batching.
     */
-  private val lmIndexedReplay =
+  private[queries] val lmIndexedReplay =
     s"""WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
                            $fpFold % 100 AS b
                     FROM documents WHERE text IS NOT NULL),

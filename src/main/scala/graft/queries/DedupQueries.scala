@@ -304,7 +304,7 @@ object DedupQueries {
     * engine's LSH candidates + first-matching-band dedup are invisible to
     * the contract at this recall; null-text docs pair with nothing.
     */
-  private val incrementalMinhashReplay =
+  private[queries] val incrementalMinhashReplay =
     """WITH m AS (
          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
          FROM documents WHERE doc_id % 10 < 5 AND text IS NOT NULL),

@@ -18,9 +18,9 @@ object SearchQueries {
   /** Fixed query-term set for q92 — all present in the fixture vocabulary
     * with distinct document frequencies, so idf actually differentiates.
     */
-  private val bmTerms = Seq("spark", "join", "window", "stream")
-  private val k1 = 1.2
-  private val b = 0.75
+  private[queries] val bmTerms = Seq("spark", "join", "window", "stream")
+  private[queries] val k1 = 1.2
+  private[queries] val b = 0.75
 
   val queries: Map[String, Q] = Map(
     "q92_bm25_topk" -> ((s, d) =>
@@ -314,7 +314,7 @@ object SearchQueries {
         FROM tf GROUP BY doc_id HAVING count(*) = ${bmTerms.size}
         ORDER BY doc_id"""
 
-  private def bm25SqlOver(corpus: String): String = {
+  private[queries] def bm25SqlOver(corpus: String): String = {
       val cExprs = bmTerms.map(t =>
         s"coalesce(max(CASE WHEN token = '$t' THEN c END), 0.0) AS c_$t")
         .mkString(",\n                  ")

@@ -1,0 +1,136 @@
+package graft
+
+import graft.ext.{Campaign, Corpus, Dedup, Search}
+import graft.ops.Stage
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cross-family campaign-snapshot contract
+  * ([[graft.ext.Campaign]]): one name pins several index families at
+  * one logical instant; maintenance on every member afterwards is
+  * invisible through the pin; a failed pin never leaves a partial
+  * campaign; drop + vacuum release the storage.
+  */
+class CampaignSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def wipe(ps: String*): Unit =
+    ps.foreach(p => fs(p).delete(new Path(p), true))
+
+  private val docRows = Seq(
+    (1L, "spark join spark table"),
+    (2L, "stream window table spark"),
+    (3L, "spark stream spark join"),
+    (4L, "window join table stream"),
+    (5L, "spark join spark table"), // near-dup of 1
+    (6L, "alpha beta gamma delta"))
+
+  test("one campaign pin survives maintenance on every member family") {
+    val text = "target/graft-test-campaign-text"
+    val mani = "target/graft-test-campaign-mani"
+    val lm = "target/graft-test-campaign-lm"
+    wipe(text, mani, lm)
+    val docs = docRows.toDF("doc_id", "text")
+    Search.saveTextIndex(docs, text)
+    Search.compactTextIndex(spark, text) // → versioned
+    Dedup.saveMinhashManifest(docs.where(col("doc_id") <= 4),
+      "text", "doc_id", mani, k = 16, bands = 8)
+    Dedup.compactMinhashManifest(spark, mani) // → versioned
+    Corpus.saveLm(docs.where(col("doc_id") <= 4), "text", "doc_id", lm)
+    val members = Seq(Campaign.TextIndex(text),
+      Campaign.MinhashManifest(mani), Campaign.Lm(lm))
+    val probe = docs.where(col("doc_id") >= 5)
+    def served() = (
+      Search.bm25TopKIndexedSnapshot(spark, text, "rel", Seq("spark"), 10)
+        .collect().map(_.toSeq).toSeq,
+      Dedup.incrementalNearDupsSnapshot(probe, mani, "rel", "text",
+        "doc_id").collect().map(_.toSeq).toSeq,
+      Corpus.lmPerplexityIndexedSnapshot(probe, lm, "rel", "text",
+        "doc_id").collect().map(_.toSeq).toSeq)
+    Campaign.snapshot(spark, "rel", members)
+    val atPin = served()
+    assert(atPin._1.nonEmpty && atPin._2.nonEmpty && atPin._3.nonEmpty)
+    // doc 5 IS a near-dup of manifest doc 1 at pin time — the verdict
+    // the later content-forget will flip on the live manifest
+    assert(atPin._2.find(_.head == (5L: Any)).get.last == (true: Any))
+    // maintenance on ALL THREE members
+    Search.deleteFromTextIndex(spark, text, Seq(1L).toDF("doc_id"))
+    Search.compactTextIndex(spark, text)
+    Dedup.deleteContentFromMinhashManifest(
+      docs.where(col("doc_id") === 1), "text", mani)
+    Dedup.compactMinhashManifest(spark, mani)
+    Corpus.appendToLm(docs.where(col("doc_id") === 6), lm, "text",
+      "doc_id", opId = "grow6")
+    Corpus.compactLm(spark, lm)
+    // live state diverged...
+    assert(!Search.bm25TopKIndexed(spark, text, Seq("spark"), 10)
+      .collect().map(_.getLong(0)).contains(1L))
+    assert(Dedup.incrementalNearDups(probe, mani, "text", "doc_id")
+      .where(col("doc_id") === 5).head().getAs[Boolean]("is_near_dup")
+      == false)
+    // ...the pin did not
+    assert(served() == atPin)
+    // drop + vacuum: the name stops resolving and storage reclaims
+    Campaign.drop(spark, "rel", members)
+    Campaign.vacuum(spark, members)
+    intercept[IllegalStateException] {
+      Search.bm25TopKIndexedSnapshot(spark, text, "rel", Seq("spark"), 10)
+    }
+  }
+
+  test("a failed member pin rolls back the whole campaign") {
+    val text = "target/graft-test-campaign-rb-text"
+    val mani = "target/graft-test-campaign-rb-mani"
+    wipe(text, mani)
+    val docs = docRows.toDF("doc_id", "text")
+    Search.saveTextIndex(docs, text)
+    Search.compactTextIndex(spark, text) // versioned: pinnable
+    Dedup.saveMinhashManifest(docs, "text", "doc_id", mani, 16, 8)
+    // mani NOT compacted → plain layout → its pin must fail...
+    intercept[IllegalStateException] {
+      Campaign.snapshot(spark, "rel", Seq(
+        Campaign.TextIndex(text), Campaign.MinhashManifest(mani)))
+    }
+    // ...and the text pin taken before the failure is rolled back: the
+    // name resolves NOWHERE (never a partial campaign)
+    intercept[IllegalStateException] {
+      Search.bm25TopKIndexedSnapshot(spark, text, "rel", Seq("spark"), 10)
+    }
+    // no leases left behind either — the next op acquires freely
+    Stage.withWriterLease(spark, text) { () }
+    Stage.withWriterLease(spark, mani) { () }
+  }
+
+  test("member order does not matter: acquisition is by sorted path") {
+    val a = "target/graft-test-campaign-ord-a"
+    val b = "target/graft-test-campaign-ord-b"
+    wipe(a, b)
+    val docs = docRows.toDF("doc_id", "text")
+    Search.saveTextIndex(docs, a)
+    Search.compactTextIndex(spark, a)
+    Search.saveTextIndex(docs, b)
+    Search.compactTextIndex(spark, b)
+    // two campaigns over the same members in OPPOSITE declaration order
+    // both succeed (same sorted acquisition order — no lock inversion)
+    Campaign.snapshot(spark, "x", Seq(
+      Campaign.TextIndex(a), Campaign.TextIndex(b)))
+    Campaign.snapshot(spark, "y", Seq(
+      Campaign.TextIndex(b), Campaign.TextIndex(a)))
+    assert(Search.bm25TopKIndexedSnapshot(spark, a, "y", Seq("spark"), 10)
+      .count() > 0)
+    Campaign.drop(spark, "x", Seq(Campaign.TextIndex(a), Campaign.TextIndex(b)))
+    Campaign.drop(spark, "y", Seq(Campaign.TextIndex(a), Campaign.TextIndex(b)))
+  }
+
+  test("campaign members with duplicate roots are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Campaign.snapshot(spark, "rel", Seq(
+        Campaign.TextIndex("target/x"), Campaign.TextIndex("target/x")))
+    }
+  }
+}
