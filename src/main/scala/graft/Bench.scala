@@ -63,11 +63,44 @@ object Bench {
     val med = jmap(median)
     val mins = jmap(_.min)
     val maxs = jmap(_.max)
+    // AMORTIZED-SERVING pass: the lifecycle totals above pay an honest
+    // per-run index build, which dominates them and hides serve-path
+    // regressions the production deployment would feel. Build the
+    // persisted-index fixtures ONCE (untimed), then time only the
+    // serve/probe/diff stages — reported ALONGSIDE the lifecycle totals.
+    val serveSel = graft.queries.ServeBench.serves.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    val serveSamples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    if (serveSel.nonEmpty)
+      graft.queries.ServeBench.fixtures.foreach { case (fam, build) =>
+        try build(spark, sfDir)
+        catch { case e: Throwable =>
+          errors(s"serve_fixture_$fam") =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200) }
+      }
+    for (_ <- 1 to runs; (name, fn) <- serveSel) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        serveSamples(name) = serveSamples.getOrElse(name, Vector.empty) :+ dt
+      } catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
+      }
+    }
+    val serveOk = serveSel.filter { case (n, _) => serveSamples.contains(n) }
+    val serveMed = serveOk
+      .map { case (n, _) => s"\"" + n + "\":" + median(serveSamples(n)) }
+      .mkString("{", ",", "}")
+    val serveTotal = serveOk
+      .map { case (n, _) => median(serveSamples(n)) }.sum
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (n, m) => s"\"" + n + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map { case (n, _) => median(samples(n)) }.sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"runs":$runs,"queries_min":$mins,"queries_max":$maxs,"errors":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"runs":$runs,"queries_min":$mins,"queries_max":$maxs,"serve_total":$serveTotal,"serve_queries":$serveMed,"errors":$errs,"sf":"$sfDir"}"""
     // The driver's artifact capture keeps only the TAIL of stdout and its
     // parser has failed on every long line so far (r9: full JSON captured,
     // `parsed` still null). Defend three ways: persist the full JSON to a
@@ -79,7 +112,7 @@ object Bench {
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort: read-only cwd must not fail the bench
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${ok.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${ok.size},"serve_total":$serveTotal,"n_serve":${serveOk.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

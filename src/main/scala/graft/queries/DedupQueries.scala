@@ -102,6 +102,30 @@ object DedupQueries {
         "text", "doc_id", threshold = 0.9)
     }),
 
+    "q134_manifest_diff_spot" -> ((s, d) => {
+      // q130's maintenance diff with the probe batch restricted to a
+      // FIXED 200-doc slice (doc_id < 400 on the probe half). Purpose:
+      // the manifest family's exact-pair oracles are quadratic in
+      // probe × manifest and sf0.01-gated (>100 CPU-min each at sf0.1,
+      // measured — BASELINE.md), so the family had no size-step check.
+      // Slicing the PROBE keeps the oracle linear in the corpus
+      // (quadratic only in the 200-doc slice) while the engine still
+      // builds, forgets from, and double-probes the FULL-size manifest —
+      // exactly the state a 10× step could break (bucket boundaries,
+      // banding fanout, tombstone-mask joins).
+      val docs = t(s, d, "documents")
+      val path = s"target/graft-manifest-spot-${sfTag(d)}"
+      val manifest = docs.where(pmod(col("doc_id"), lit(10)) < 5)
+      Dedup.saveMinhashManifest(manifest, "text", "doc_id", path,
+        k = 32, bands = 16)
+      Dedup.deleteContentFromMinhashManifest(
+        manifest.where(pmod(col("doc_id"), lit(7)) === 2), "text", path)
+      Dedup.incrementalNearDupsDiff(
+        docs.where(pmod(col("doc_id"), lit(10)) >= 5 &&
+          col("doc_id") < 400),
+        path, "text", "doc_id", threshold = 0.9)
+    }),
+
     "q108_manifest_content_delete" -> ((s, d) => {
       // right-to-be-forgotten on the dedup manifest — CONTENT-keyed (the
       // docs table stores exact-collapse representatives, so id-keyed
@@ -305,12 +329,19 @@ object DedupQueries {
     * the contract at this recall; null-text docs pair with nothing.
     */
   private[queries] val incrementalMinhashReplay =
-    """WITH m AS (
+    incrementalMinhashReplayOver("TRUE")
+
+  /** [[incrementalMinhashReplay]] with the probe batch restricted by
+    * `probeWhere` — the spot-run lever: the replay is quadratic in
+    * probe × manifest, so a fixed probe slice keeps it linear in the
+    * corpus (quadratic only in the slice) at sf0.1. */
+  private def incrementalMinhashReplayOver(probeWhere: String) =
+    s"""WITH m AS (
          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
          FROM documents WHERE doc_id % 10 < 5 AND text IS NOT NULL),
        n AS (
          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-         FROM documents WHERE doc_id % 10 >= 5),
+         FROM documents WHERE doc_id % 10 >= 5 AND ($probeWhere)),
        p AS (
          SELECT n.doc_id,
                 CAST(len(list_intersect(n.toks, m.toks)) AS DOUBLE)
@@ -327,8 +358,12 @@ object DedupQueries {
     * equals a deleted doc's set drops out (set equality via sorted
     * distinct lists — identical to the engine's hash-set key modulo
     * 2^-64 collisions). Shared with q130's diff oracle. */
-  private val contentDeleteReplay =
-    """WITH m0 AS (
+  private val contentDeleteReplay = contentDeleteReplayOver("TRUE")
+
+  /** [[contentDeleteReplay]] with the probe batch restricted by
+    * `probeWhere` — see [[incrementalMinhashReplayOver]]. */
+  private def contentDeleteReplayOver(probeWhere: String) =
+    s"""WITH m0 AS (
          SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
          FROM documents WHERE doc_id % 10 < 5 AND text IS NOT NULL),
        del AS (
@@ -340,7 +375,7 @@ object DedupQueries {
          LEFT JOIN del ON m0.toks = del.k WHERE del.k IS NULL),
        n AS (
          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-         FROM documents WHERE doc_id % 10 >= 5),
+         FROM documents WHERE doc_id % 10 >= 5 AND ($probeWhere)),
        p AS (
          SELECT n.doc_id,
                 CAST(len(list_intersect(n.toks, m.toks)) AS DOUBLE)
@@ -415,6 +450,28 @@ object DedupQueries {
                       ELSE 'held' END AS status
           FROM ($incrementalMinhashReplay) bef
           JOIN ($contentDeleteReplay) aft USING (doc_id)
+          ORDER BY doc_id""",
+
+    // q134: q130's diff replay with the probe fixed to the 200-doc
+    // slice — quadratic only in the slice, so it runs at sf0.1 (the
+    // family's size-step check)
+    "q134_manifest_diff_spot" ->
+      s"""SELECT doc_id,
+                 bef.near_jaccard AS jaccard_before,
+                 bef.is_near_dup AS dup_before,
+                 aft.near_jaccard AS jaccard_after,
+                 aft.is_near_dup AS dup_after,
+                 CASE WHEN bef.is_near_dup AND NOT aft.is_near_dup
+                        THEN 'forgotten'
+                      WHEN NOT bef.is_near_dup AND aft.is_near_dup
+                        THEN 'appeared'
+                      WHEN bef.is_near_dup AND aft.is_near_dup
+                           AND bef.near_jaccard <> aft.near_jaccard
+                        THEN 'rematched'
+                      ELSE 'held' END AS status
+          FROM (${incrementalMinhashReplayOver("doc_id < 400")}) bef
+          JOIN (${contentDeleteReplayOver("doc_id < 400")}) aft
+            USING (doc_id)
           ORDER BY doc_id""",
 
     // q32: replay the portable hash → per-bit votes → signature → exact

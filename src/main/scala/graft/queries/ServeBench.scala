@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.ext.{Corpus, Dedup, Search, Similarity}
+import graft.ops.Tables.{sfTag, t}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** AMORTIZED-SERVING benchmark registry. The lifecycle queries
+  * (q102-q132) deliberately pay an honest per-run index build +
+  * maintenance + serve, which is the right correctness contract but the
+  * wrong performance lens for production: a deployed index is built
+  * once and served thousands of times, so a serve-path regression
+  * (slower probe join, lost partition pruning) hides inside a total
+  * dominated by the build. This registry separates the two: [[fixtures]]
+  * builds each family's persisted state ONCE (untimed), [[serves]] are
+  * the pure serve/probe/diff stages timed against those prebuilt states.
+  * [[graft.Bench]] runs them after the lifecycle loop and reports
+  * `serve_total`/`serve_queries` ALONGSIDE (never replacing) the
+  * honest-lifecycle totals.
+  *
+  * Serve entries mirror the lifecycle queries' shapes (same terms, k,
+  * probe batches) so a serve number here is the amortized cost of the
+  * corresponding lifecycle query's final stage.
+  */
+object ServeBench {
+
+  private def textPath(d: String) = s"target/graft-servebench-text-${sfTag(d)}"
+  private def maniPath(d: String) = s"target/graft-servebench-mani-${sfTag(d)}"
+  private def ivfPath(d: String) = s"target/graft-servebench-ivf-${sfTag(d)}"
+  private def lmPath(d: String) = s"target/graft-servebench-lm-${sfTag(d)}"
+
+  private def deq(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      Similarity.dequantize(
+        Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+
+  /** One builder per family: save → compact/version → pin "bench_pin" →
+    * one maintenance op, so every serve path (live, snapshot, previous,
+    * diff) has a state to read. Untimed by [[graft.Bench]]. */
+  val fixtures: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "text" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val p = textPath(d)
+      Search.saveTextIndex(docs, p)
+      Search.compactTextIndex(s, p)
+      Search.snapshotTextIndex(s, p, "bench_pin")
+      Search.deleteFromTextIndex(s, p,
+        docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"))
+    }),
+    "manifest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val p = maniPath(d)
+      Dedup.saveMinhashManifest(
+        docs.where(pmod(col("doc_id"), lit(10)) < 5), "text", "doc_id",
+        p, k = 32, bands = 16)
+      Dedup.compactMinhashManifest(s, p)
+      Dedup.snapshotMinhashManifest(s, p, "bench_pin")
+      Dedup.deleteContentFromMinhashManifest(
+        docs.where(pmod(col("doc_id"), lit(10)) === 1), "text", p)
+    }),
+    "ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val p = ivfPath(d)
+      Similarity.saveIvfIndex(emb, p, nCentroids = 16, dim = 64,
+        quantScale = 200.0,
+        centroidsIn = Similarity.sampleCentroids(deq(emb), 16))
+      Similarity.snapshotIvfIndex(s, p, "bench_pin")
+      Similarity.deleteFromIvfIndex(s, p,
+        emb.where(pmod(col("vec_id"), lit(10)) === 7).select("vec_id"))
+    }),
+    "lm" -> ((s, d) => {
+      val split = Corpus.splitAssign(t(s, d, "documents"), "text")
+      val p = lmPath(d)
+      Corpus.saveLm(split.where(col("split") === "train"), "text",
+        "doc_id", p)
+      Corpus.snapshotLm(s, p, "bench_pin")
+      Corpus.appendToLm(split.where(col("split") === "val"), p,
+        "text", "doc_id", opId = "bench_grow")
+    })
+  )
+
+  /** The timed serve/probe/diff stages — each the final stage of a
+    * lifecycle query, against the prebuilt fixture. */
+  val serves: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // text family: live serve (q102/q105 tail), AND-search (q103),
+    // pinned serve (q127), snapshot AND-search (q132), diff (q128)
+    "s01_bm25_indexed" -> ((s, d) =>
+      Search.bm25TopKIndexed(s, textPath(d), SearchQueries.bmTerms, k = 20,
+        k1 = SearchQueries.k1, b = SearchQueries.b)),
+    "s02_conjunctive" -> ((s, d) =>
+      Search.conjunctiveSearch(s, textPath(d), SearchQueries.bmTerms)),
+    "s03_bm25_snapshot" -> ((s, d) =>
+      Search.bm25TopKIndexedSnapshot(s, textPath(d), "bench_pin",
+        SearchQueries.bmTerms, k = 20,
+        k1 = SearchQueries.k1, b = SearchQueries.b)),
+    "s04_conjunctive_snapshot" -> ((s, d) =>
+      Search.conjunctiveSearchSnapshot(s, textPath(d), "bench_pin",
+        SearchQueries.bmTerms)),
+    "s05_bm25_diff" -> ((s, d) =>
+      Search.bm25MaintenanceDiff(s, textPath(d), SearchQueries.bmTerms,
+        k = 20, k1 = SearchQueries.k1, b = SearchQueries.b)),
+    // manifest family: live probe (q84 tail), pinned probe (the
+    // incrementalNearDupsSnapshot serve), diff (q130 tail)
+    "s06_neardup_probe" -> ((s, d) =>
+      Dedup.incrementalNearDups(
+        t(s, d, "documents").where(pmod(col("doc_id"), lit(10)) >= 5),
+        maniPath(d), "text", "doc_id", threshold = 0.9)),
+    "s07_neardup_snapshot" -> ((s, d) =>
+      Dedup.incrementalNearDupsSnapshot(
+        t(s, d, "documents").where(pmod(col("doc_id"), lit(10)) >= 5),
+        maniPath(d), "bench_pin", "text", "doc_id", threshold = 0.9)),
+    "s08_neardup_diff" -> ((s, d) =>
+      Dedup.incrementalNearDupsDiff(
+        t(s, d, "documents").where(pmod(col("doc_id"), lit(10)) >= 5),
+        maniPath(d), "text", "doc_id", threshold = 0.9)),
+    // IVF family: live top-k (q82 tail), pinned top-k (q114's serve
+    // shape), diff (q129 tail)
+    "s09_ivf_topk" -> ((s, d) =>
+      Similarity.topKIvfIndexed(s,
+        deq(t(s, d, "embeddings")).where(col("vec_id") < 10),
+        ivfPath(d), k = 10)),
+    "s10_ivf_snapshot" -> ((s, d) =>
+      Similarity.topKIvfIndexedSnapshot(s,
+        deq(t(s, d, "embeddings")).where(col("vec_id") < 10),
+        ivfPath(d), "bench_pin", k = 10)),
+    "s11_ivf_diff" -> ((s, d) =>
+      Similarity.ivfMaintenanceDiff(s,
+        deq(t(s, d, "embeddings")).where(col("vec_id") < 10),
+        ivfPath(d), k = 10)),
+    // LM family: live scoring (q91 tail), frozen-pin scoring (q131 tail)
+    "s12_lm_score" -> ((s, d) =>
+      Corpus.lmPerplexityIndexed(
+        Corpus.splitAssign(t(s, d, "documents"), "text")
+          .where(col("split") === "test" && col("text").isNotNull),
+        lmPath(d), "text", "doc_id")),
+    "s13_lm_snapshot" -> ((s, d) =>
+      Corpus.lmPerplexityIndexedSnapshot(
+        Corpus.splitAssign(t(s, d, "documents"), "text")
+          .where(col("split") === "test" && col("text").isNotNull),
+        lmPath(d), "bench_pin", "text", "doc_id"))
+  )
+}
