@@ -36,6 +36,7 @@ object Multimodal {
     */
   def imageIoDecode(bytes: Array[Byte]): Option[(String, Int, Int, Double)] = {
     import javax.imageio.ImageIO
+    imageIoNoDiskCache
     val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
     // createImageInputStream returns null when no ImageInputStreamSpi is
     // registered (stripped IIORegistry / isolated classloader); that must
@@ -67,6 +68,17 @@ object Multimodal {
     } catch { case _: Exception => None }
     finally iis.close()
   }
+
+  /** ImageIO's stream factory defaults to a DISK-backed cache
+    * (`FileCacheImageInputStream`) — one temp file created and deleted
+    * PER BLOB, which dominates the per-row cost when the reader probe
+    * rejects the bytes immediately (the q50 fake-blob path: ~0.5 ms/row
+    * of filesystem churn for a header sniff). In-memory blobs are
+    * already fully buffered, so the disk cache buys nothing — switch it
+    * off once per JVM (the JDK-sanctioned knob, thread-safe to set).
+    */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
 
   /** [[imageIoDecode]] with the deterministic fallback: the decode every
     * batch stage runs per blob.
@@ -121,6 +133,7 @@ object Multimodal {
       .select(col(idCol), col(textCol)).rdd.mapPartitions { it =>
         import java.awt.image.BufferedImage
         import javax.imageio.ImageIO
+        imageIoNoDiskCache // encode side pays the same per-blob temp file
         val bos = new java.io.ByteArrayOutputStream() // reused per partition
         it.map { r =>
           val id = r.getLong(0)
