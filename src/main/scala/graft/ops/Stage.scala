@@ -469,16 +469,20 @@ object Stage {
     * case: a killed driver must not stall the next run for the whole
     * staleness window); cross-host holders fall back to the age check.
     * Default staleness 30 min — longer than any sane compaction,
-    * shorter than an operator's patience. LIMITATION, inherent to
-    * lease-by-staleness: a LIVE cross-host op that runs longer than
-    * `staleAfterMs` can be wrongly reclaimed — size the window above
-    * the longest maintenance op for the deployment (heartbeat-refreshed
-    * leases belong to a coordination service, not a filesystem). The
-    * wrongly-reclaimed VICTIM, however, cannot escalate the damage: its
-    * release is owner-checked (the lock carries a per-acquire nonce and
-    * the exit deletes only a lock still holding it), so the victim's
-    * exit leaves the reclaimer's fresh lock intact instead of silently
-    * re-admitting a third writer mid-fold.
+    * shorter than an operator's patience. The lease is HEARTBEAT-
+    * REFRESHED: while the holder lives, a daemon thread touches the
+    * lock's mtime every `staleAfterMs / 3` (after re-reading that the
+    * lock is still its own), so a LIVE op of ANY duration never goes
+    * stale — wrongful reclaim now requires the refresher itself to
+    * starve for the whole window (a stop-the-world pause or filesystem
+    * partition longer than `staleAfterMs`), not merely a long op.
+    * Residual hazard bounded two ways: the reclaim-side staleness
+    * window gates how soon a starved holder can be presumed dead, and
+    * the victim's release is OWNER-CHECKED (the lock carries a
+    * per-acquire nonce and the exit deletes only a lock still holding
+    * it), so even a wrongly-reclaimed victim's exit leaves the
+    * reclaimer's fresh lock intact instead of silently re-admitting a
+    * third writer mid-fold.
     */
   def withWriterLease[T](spark: SparkSession, path: String,
                          staleAfterMs: Long = DefaultStaleAfterMs)(body: => T): T = {
@@ -528,12 +532,54 @@ object Stage {
             "finishes, or delete the lock if its holder is known dead")
     }
     heldLeases.set(heldLeases.get + key)
+    val refresher = startLeaseRefresher(fs, lock, token, staleAfterMs)
     try body
     finally {
       heldLeases.set(heldLeases.get - key)
+      refresher.foreach { case (t, stop) => stop.countDown(); t.join(1000) }
       releaseIfOwner(fs, lock, token)
     }
   }
+
+  /** The heartbeat half of the lease: a daemon thread that, every
+    * `staleAfterMs / 3`, re-reads the lock and — only while it still
+    * holds `token` — touches its mtime, which is what the reclaim-side
+    * staleness check ages. A live holder therefore never goes stale;
+    * after a (wrongful) reclaim the content no longer matches and the
+    * refresher stands down immediately, never touching the new holder's
+    * lock. Cost: one read + one setTimes per interval per held lease —
+    * metadata noise. None (no refresher) for sub-3-second windows,
+    * which exist only in tests exercising the reclaim path itself.
+    */
+  private def startLeaseRefresher(fs: FileSystem, lock: Path, token: String,
+                                  staleAfterMs: Long)
+      : Option[(Thread, java.util.concurrent.CountDownLatch)] =
+    if (staleAfterMs < 3000L) None
+    else {
+      val stop = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => {
+        val interval = staleAfterMs / 3
+        var live = true
+        while (live &&
+            !stop.await(interval, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+          val mine =
+            try {
+              val in = fs.open(lock)
+              try scala.io.Source.fromInputStream(in, "UTF-8")
+                .mkString.trim == token
+              finally in.close()
+            } catch { case scala.util.control.NonFatal(_) => false }
+          if (mine)
+            try fs.setTimes(lock, System.currentTimeMillis, -1)
+            catch { case scala.util.control.NonFatal(_) => () }
+          else live = false // reclaimed out from under us: stand down
+        }
+      })
+      t.setDaemon(true)
+      t.setName(s"graft-lease-heartbeat-${lock.getParent.getName}")
+      t.start()
+      Some((t, stop))
+    }
 
   /** The default [[withWriterLease]] staleness window. */
   val DefaultStaleAfterMs: Long = 30 * 60 * 1000L

@@ -493,6 +493,35 @@ class StageSpec extends AnyFunSuite {
     assert(!fs(root).exists(lock)) // B's own release still works
   }
 
+  test("a live holder's heartbeat keeps the lease past the staleness window") {
+    val root = "target/graft-test-stage-lease-heartbeat"
+    fs(root).delete(new Path(root), true)
+    val holding = new java.util.concurrent.CountDownLatch(1)
+    val mayRelease = new java.util.concurrent.CountDownLatch(1)
+    // a 4 s window with a ~1.3 s heartbeat: the op below runs well past
+    // the window, which WITHOUT the refresher would let a second writer
+    // stale-reclaim a live op's lock
+    val a = new Thread(() => Stage.withWriterLease(spark, root,
+        staleAfterMs = 4000L) {
+      holding.countDown(); mayRelease.await()
+    })
+    a.start(); holding.await()
+    Thread.sleep(4500) // op age > window; heartbeat keeps mtime fresh
+    var err: Throwable = null
+    val b = new Thread(() => {
+      try Stage.withWriterLease(spark, root, staleAfterMs = 4000L) {
+        fail("stale-reclaimed a LIVE holder's heartbeat-refreshed lease")
+      } catch { case e: Throwable => err = e }
+    })
+    b.start(); b.join()
+    assert(err != null && err.getMessage.contains("concurrent maintenance"),
+      s"$err")
+    mayRelease.countDown(); a.join()
+    // released cleanly; the next op acquires freely
+    Stage.withWriterLease(spark, root) { () }
+    assert(!fs(root).exists(new Path(s"$root/_writer.lock")))
+  }
+
   test("healthReport surfaces the writer lock in flight") {
     val idx = "target/graft-test-health-lock"
     fs(idx).delete(new Path(idx), true)
