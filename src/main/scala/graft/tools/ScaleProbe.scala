@@ -371,6 +371,40 @@ object ScaleProbe {
       }
     }
 
+    // ---- campaign pin (q133's primitive): the pin is METADATA-ONLY —
+    // per member component one recursive listing + one atomic rename,
+    // under the member root leases — so its cost tracks live FILE COUNT,
+    // never data bytes. Probe: build a three-family campaign (text index
+    // + manifest + LM) over the 1× and n× corpora and time pin /
+    // drop+vacuum; bytes grow n×, file counts stay write-parallelism-
+    // bound, so the pin should be ~flat.
+    if (sel("campaign")) for (k <- Seq(1, n)) {
+      val docs = replicated(k).localCheckpoint()
+      val text = s"target/graft-scaleprobe-campaign-text-$k"
+      val mani = s"target/graft-scaleprobe-campaign-mani-$k"
+      val lm = s"target/graft-scaleprobe-campaign-lm-$k"
+      Seq(text, mani, lm).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+      }
+      graft.ext.Search.saveTextIndex(docs, text)
+      graft.ext.Search.compactTextIndex(spark, text)
+      Dedup.saveMinhashManifest(docs, "text", "doc_id", mani)
+      Dedup.compactMinhashManifest(spark, mani)
+      graft.ext.Corpus.saveLm(docs, "text", "doc_id", lm)
+      val members = Seq(graft.ext.Campaign.TextIndex(text),
+        graft.ext.Campaign.MinhashManifest(mani),
+        graft.ext.Campaign.Lm(lm))
+      time(s"${k}x campaign-pin(3 families)") {
+        graft.ext.Campaign.snapshot(spark, "probe_pin", members); "pinned"
+      }
+      time(s"${k}x campaign-drop+vacuum") {
+        graft.ext.Campaign.drop(spark, "probe_pin", members)
+        graft.ext.Campaign.vacuum(spark, members); "reclaimed"
+      }
+    }
+
     if (sel("ledger")) {
       // the ledger's own small-files problem: one batch-<id> marker per
       // micro-batch, forever, vs one folded high-water marker. Measure

@@ -127,6 +127,66 @@ class CampaignSpec extends AnyFunSuite {
     Campaign.drop(spark, "y", Seq(Campaign.TextIndex(a), Campaign.TextIndex(b)))
   }
 
+  test("a pin racing live exactly-once ingest never records a torn file set") {
+    // the attack the root-lease serialization exists for: each ingest
+    // batch publishes one b<id>-* file into EACH of postings/doclens/
+    // stats; a pin landing mid-publish would freeze a file list where
+    // some components carry batch N and others don't — BM25 over that
+    // state silently drops or misweights the torn batch. The lease
+    // makes pin and publish mutually exclusive, so every pin must see
+    // batch-ATOMIC file sets across all three components.
+    val idx = "target/graft-test-campaign-race"
+    wipe(idx)
+    Search.saveTextIndex(docRows.toDF("doc_id", "text"), idx)
+    Search.compactTextIndex(spark, idx) // versioned → pinnable
+    val stopIngest = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ingestErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val ingester = new Thread(() => {
+      var b = 0L
+      try while (!stopIngest.get && b < 60) {
+        // losing the root lease to a pin is the designed outcome —
+        // retry the same batch, exactly as a streaming sink would
+        try {
+          Search.appendToTextIndexExactlyOnce(
+            Seq((100L + b, s"spark batchtok$b")).toDF("doc_id", "text"),
+            idx, batchId = b)
+          b += 1
+        } catch {
+          case e: IllegalStateException
+            if e.getMessage.contains("concurrent maintenance") => ()
+        }
+      } catch { case e: Throwable => ingestErr.set(e) }
+    })
+    def batchIds(comp: String, name: String): Set[String] = {
+      val files = graft.ops.Stage
+        .resolveSnapshotFiles(spark, s"$idx/$comp", name).get._2
+      files.map(_.split('/').last)
+        .filter(_.startsWith("b")).map(_.takeWhile(_ != '-')).toSet
+    }
+    ingester.start()
+    try {
+      for (k <- 0 until 12) {
+        val name = s"race_$k"
+        // the family pin (root lease inside) racing the ingest thread:
+        // IllegalStateException "concurrent maintenance" is an allowed
+        // outcome (the lease refusing to interleave) — a torn pin is not
+        try {
+          Search.snapshotTextIndex(spark, idx, name)
+          val p = batchIds("postings", name)
+          val d = batchIds("doclens", name)
+          val s = batchIds("stats", name)
+          assert(p == d && d == s,
+            s"torn pin $name: postings=$p doclens=$d stats=$s")
+          Search.dropTextIndexSnapshot(spark, idx, name)
+        } catch {
+          case e: IllegalStateException
+            if e.getMessage.contains("concurrent maintenance") => ()
+        }
+      }
+    } finally { stopIngest.set(true); ingester.join() }
+    assert(ingestErr.get == null, s"ingest died: ${ingestErr.get}")
+  }
+
   test("campaign members with duplicate roots are rejected loudly") {
     intercept[IllegalArgumentException] {
       Campaign.snapshot(spark, "rel", Seq(
