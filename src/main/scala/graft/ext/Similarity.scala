@@ -62,6 +62,73 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** HARD-NEGATIVE mining for metric-learning / embedding-model training
+    * data: per query, the k most-similar corpus vectors whose LABEL
+    * DIFFERS from the query's — the "looks like a match, must be pushed
+    * apart" pairs a contrastive objective needs (easy negatives are
+    * already far and teach nothing). Same exact brute-force shape as
+    * [[topKBruteForce]] (broadcast query side, one codegen'd dot per
+    * surviving pair, per-query window heap); the label-mismatch filter
+    * runs BEFORE the dot, so same-label pairs cost an equality test, not
+    * a d-length fold. Output adds both labels as evidence columns.
+    *
+    * Scale path: compose the same post-filter over [[topKIvfIndexed]]
+    * output with an OVER-FETCH (serve k' > k, filter, re-rank) — an
+    * inverted list cannot label-filter internally without one index per
+    * label, and over-fetch is the standard remedy; this exact form is
+    * the oracle-checkable baseline the over-fetched serve is validated
+    * against (q135).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    labelCol: String = "label", idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"),
+      col(vecCol).cast("array<double>").as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"),
+      col(vecCol).cast("array<double>").as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Recall@k report of an approximate top-k relation against the exact
+    * one — ANN index QUALITY MONITORING as an operator (the operator
+    * form of tools/RecallCheck's round-11 measurement): per query, how
+    * many of the exact top-k neighbors the approximate serve recovered.
+    * Inputs are any two (query_id, neighbor_id, …) top-k relations —
+    * [[topKLsh]] / [[topKIvf]] / [[topKIvfIndexed]] against
+    * [[topKBruteForce]] — so the report slots after any serve path,
+    * including snapshot serves (pin recall BEFORE a maintenance campaign,
+    * re-measure after). Cost: a join of two k-rows-per-query relations —
+    * the expensive parts are the inputs, which the caller already has.
+    * Queries the approximate side missed entirely (empty probe buckets)
+    * report recall 0, not absence. recall = n_hit / k_exact with both
+    * operands small exact integers — bit-identical in any engine.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val ex = exact.select(col("query_id"), col("neighbor_id"))
+    val ap = approx.select(col("query_id"), col("neighbor_id"))
+    val hits = ex.join(ap, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    ex.groupBy("query_id").agg(count(lit(1)).as("k_exact"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("k_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("k_exact").cast("double")).as("recall"))
+  }
+
   /** Scalar int8 quantization of an embedding column: the first memory
     * lever of a 100 TB vector store (4× fewer bytes than float32 through
     * every scan, shuffle and cache; recall cost bounded by the rounding

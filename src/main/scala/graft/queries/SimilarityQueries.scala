@@ -104,6 +104,32 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q135_hard_negatives" -> ((s, d) => {
+      // metric-learning data prep: per query, the 10 most-similar
+      // vectors with a DIFFERENT label — the pairs a contrastive
+      // objective pushes apart. Exact brute-force contract (q35's shape
+      // plus the pre-dot label filter); the oracle replays it with the
+      // same mismatch predicate.
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegatives(emb.where(col("vec_id") < 10), emb, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q136_ann_recall_report" -> ((s, d) => {
+      // index quality monitoring as an operator: recall@10 of the IVF
+      // serve (q39's geometry — sample centroids, 4 probes) against the
+      // exact brute-force top-10, one row per query. The oracle replays
+      // BOTH rankings and the same hit count, so every per-query recall
+      // value is checked — not asserted against a threshold.
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.topKBruteForce(qs, emb, k = 10),
+        Similarity.topKIvf(qs, emb, k = 10, dim = 64,
+          centroidsIn = Similarity.sampleCentroids(emb, 16)))
+        .orderBy("query_id")
+    }),
+
     "q82_ann_indexed" -> ((s, d) => {
       // the PERSISTED-index serving path: build an int8-quantized IVF
       // index on disk (one corpus pass — in production amortized over
@@ -561,6 +587,85 @@ object SimilarityQueries {
           SELECT query_id, neighbor_id, cos_sim, rank
           FROM ranked WHERE rank <= 10
           ORDER BY query_id, rank""",
+
+    // q35's replay with labels carried through and the mismatch filter
+    // applied BEFORE ranking — exactly the engine's hard-negative contract
+    "q135_hard_negatives" ->
+      s"""WITH e AS (
+              SELECT vec_id, label, embedding,
+                     sqrt(${duckDot("embedding", "embedding")}) AS nrm
+              FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, q.label AS query_label,
+                     c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                     ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+              FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 10) q
+              WHERE q.vec_id <> c.vec_id AND q.label <> c.label),
+            ranked AS (
+              SELECT query_id, query_label, neighbor_id, neighbor_label,
+                     cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM scored)
+          SELECT query_id, query_label, neighbor_id, neighbor_label,
+                 cos_sim, rank
+          FROM ranked WHERE rank <= 10
+          ORDER BY query_id, rank""",
+
+    // both rankings replayed (q39's IVF machinery + q35's brute force),
+    // then the per-query hit count and exact-integer recall ratio
+    "q136_ann_recall_report" ->
+      s"""WITH e AS ($normed),
+              cent AS (SELECT rn AS c, embedding AS cv FROM ($sample16)),
+              cd AS (
+                SELECT e.vec_id, cent.c,
+                       ${duckDot("e.embedding", "cent.cv")} AS d
+                FROM e CROSS JOIN cent),
+              assigned AS (
+                SELECT vec_id, c AS centroid FROM (
+                  SELECT vec_id, c,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d DESC, c DESC) AS r
+                  FROM cd) WHERE r = 1),
+              probes AS (
+                SELECT vec_id, c AS centroid FROM (
+                  SELECT vec_id, c,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d DESC, c DESC) AS r
+                  FROM cd WHERE vec_id < 10) WHERE r <= 4),
+              ivf_scored AS (
+                SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                       ${duckDot("qe.embedding", "ce.embedding")}
+                         / (qe.nrm * ce.nrm) AS cos_sim
+                FROM probes p JOIN assigned a ON p.centroid = a.centroid
+                JOIN e qe ON qe.vec_id = p.vec_id
+                JOIN e ce ON ce.vec_id = a.vec_id
+                WHERE p.vec_id <> a.vec_id),
+              ivf AS (
+                SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+                  FROM ivf_scored) WHERE rank <= 10),
+              bf_scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+                FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 10) q
+                WHERE q.vec_id <> c.vec_id),
+              bf AS (
+                SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+                  FROM bf_scored) WHERE rank <= 10)
+          SELECT b.query_id,
+                 CAST(count(*) AS BIGINT) AS k_exact,
+                 CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+                 CAST(count(i.neighbor_id) AS DOUBLE) / count(*) AS recall
+          FROM bf b LEFT JOIN ivf i
+            ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+          GROUP BY b.query_id
+          ORDER BY b.query_id""",
 
     // q39's IVF replay composed over q77's quantize→dequantize vectors —
     // the persisted index stores int8 codes, so the index-served geometry

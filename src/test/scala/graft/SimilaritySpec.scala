@@ -597,6 +597,48 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives mines cross-label neighbors only, ranked by cosine") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // query 0 (label A) points at +x; same-label 1 is CLOSEST but must be
+    // excluded; cross-label 2, 3, 4 rank by cosine with the id tiebreak
+    val vecs = Seq(
+      (0L, "A", Seq(1.0f, 0.0f)),
+      (1L, "A", Seq(0.99f, 0.01f)), // nearest overall — same label, OUT
+      (2L, "B", Seq(0.9f, 0.1f)),
+      (3L, "B", Seq(0.5f, 0.5f)),
+      (4L, "C", Seq(0.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    val got = graft.ext.Similarity.hardNegatives(
+      vecs.where(col("vec_id") === 0), vecs, k = 2)
+      .select("query_id", "neighbor_id", "neighbor_label", "rank")
+      .as[(Long, Long, String, Int)].collect().toSeq.sortBy(_._4)
+    assert(got.map(_._2) == Seq(2L, 3L), s"$got")
+    assert(got.forall(_._3 != "A"))
+    // and the exclusion is the ONLY difference vs plain top-k: the
+    // same-label nearest neighbor tops the unfiltered ranking
+    val plain = graft.ext.Similarity.topKBruteForce(
+      vecs.where(col("vec_id") === 0), vecs, k = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(plain == 1L)
+  }
+
+  test("recallAtK counts exact-top-k hits per query, zero-filling misses") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L)).toDF("query_id", "neighbor_id")
+    // query 1: approx recovered 2 of 4 (one spurious extra neighbor is
+    // ignored — recall is measured against the EXACT set only);
+    // query 2: approx returned nothing at all
+    val approx = Seq((1L, 11L), (1L, 13L), (1L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val got = graft.ext.Similarity.recallAtK(exact, approx)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (q, k, h, r) => q -> ((k, h, r)) }.toMap
+    assert(got(1L) == ((4L, 2L, 0.5)))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+  }
+
   test("a rebuild severs previous-serving — no cross-corpus grace") {
     val spark = TestSpark.spark
     import spark.implicits._
