@@ -790,6 +790,47 @@ object Similarity {
       idCol, vecCol)
   }
 
+  /** [[hardNegatives]]' SCALE PATH, made concrete: mine cross-label hard
+    * negatives from the PERSISTED IVF index via OVER-FETCH — serve
+    * `k × overFetch` candidates per query from the inverted lists, join
+    * neighbor labels from the caller's labels relation (the index stores
+    * codes, not labels — one index per label would be the only
+    * alternative, and it would break every other consumer), drop
+    * same-label candidates, re-rank, keep k. The standard remedy for
+    * post-filtered ANN: the filter can only SHRINK a ranked prefix, so
+    * over-fetching restores depth; queries whose entire over-fetched
+    * prefix was same-label yield fewer than k rows (raise `overFetch` or
+    * `nProbe` — the exact [[hardNegatives]] is the oracle-checked
+    * baseline to validate a chosen setting against, which is exactly
+    * what q137's oracle does at the replayed geometry). Cost: the
+    * [[topKIvfIndexed]] serve at depth k·overFetch plus one join of a
+    * k·overFetch·|Q|-row relation against the labels table.
+    */
+  def hardNegativesIndexed(spark: org.apache.spark.sql.SparkSession,
+                           queries: DataFrame, path: String,
+                           labels: DataFrame, k: Int, overFetch: Int = 4,
+                           nProbe: Int = 4, labelCol: String = "label",
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    require(overFetch >= 1, s"overFetch must be >= 1, got $overFetch")
+    val served = topKIvfIndexed(spark, queries, path, k * overFetch,
+      nProbe, idCol, vecCol)
+    val qLabels = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"))
+    val nLabels = labels.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"))
+    val filtered = served
+      .join(broadcast(qLabels), Seq("query_id"))
+      .join(nLabels, Seq("neighbor_id"))
+      .where(col("neighbor_label") =!= col("query_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    filtered
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** [[topKIvfIndexed]] from the PREVIOUS lists snapshot — the version a
     * delete or compaction superseded, kept for one publish cycle by the
     * versioned publish ([[graft.ops.Stage.resolvePrevious]]; the text

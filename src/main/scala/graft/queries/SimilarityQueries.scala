@@ -130,6 +130,25 @@ object SimilarityQueries {
         .orderBy("query_id")
     }),
 
+    "q137_hard_negatives_indexed" -> ((s, d) => {
+      // q135's scale path on the persisted index: over-fetch 4k
+      // candidates from the inverted lists, join labels, drop same-label,
+      // re-rank, keep k. The oracle replays the full IVF machinery at
+      // depth 4k plus the same label logic — the over-fetch setting
+      // itself is what gets value-checked.
+      val emb = t(s, d, "embeddings")
+      val deq = emb.select(col("vec_id"), col("label"),
+        Similarity.dequantize(
+          Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+      val path = s"target/graft-ivf-hardneg-${sfTag(d)}"
+      Similarity.saveIvfIndex(emb, path, nCentroids = 16, dim = 64,
+        quantScale = 200.0,
+        centroidsIn = Similarity.sampleCentroids(deq, 16))
+      Similarity.hardNegativesIndexed(s, deq.where(col("vec_id") < 10),
+        path, emb.select("vec_id", "label"), k = 10, overFetch = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     "q82_ann_indexed" -> ((s, d) => {
       // the PERSISTED-index serving path: build an int8-quantized IVF
       // index on disk (one corpus pass — in production amortized over
@@ -666,6 +685,72 @@ object SimilarityQueries {
             ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
           GROUP BY b.query_id
           ORDER BY b.query_id""",
+
+    // q82's quantized IVF replay at over-fetch depth 40, then the label
+    // join, mismatch filter, and re-rank to 10 — the engine's
+    // hardNegativesIndexed contract end to end
+    "q137_hard_negatives_indexed" ->
+      s"""WITH dq AS (
+            SELECT vec_id, list_transform(embedding,
+              x -> greatest(least(floor(CAST(x AS DOUBLE) * 200 + 0.5),
+                                  127), -128) / 200.0) AS embedding
+            FROM embeddings),
+          e AS (SELECT vec_id, embedding,
+                       sqrt(${duckDot("embedding", "embedding")}) AS nrm
+                FROM dq),
+          smp AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS rn,
+                   embedding
+            FROM (SELECT vec_id, embedding FROM dq ORDER BY vec_id LIMIT 16)),
+          cent AS (SELECT rn AS c, embedding AS cv FROM smp),
+          cd AS (
+            SELECT e.vec_id, cent.c,
+                   ${duckDot("e.embedding", "cent.cv")} AS d
+            FROM e CROSS JOIN cent),
+          assigned AS (
+            SELECT vec_id, c AS centroid FROM (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, c DESC) AS r
+              FROM cd) WHERE r = 1),
+          probes AS (
+            SELECT vec_id, c AS centroid FROM (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, c DESC) AS r
+              FROM cd WHERE vec_id < 10) WHERE r <= 4),
+          scored AS (
+            SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   ${duckDot("qe.embedding", "ce.embedding")}
+                     / (qe.nrm * ce.nrm) AS cos_sim
+            FROM probes p JOIN assigned a ON p.centroid = a.centroid
+            JOIN e qe ON qe.vec_id = p.vec_id
+            JOIN e ce ON ce.vec_id = a.vec_id
+            WHERE p.vec_id <> a.vec_id),
+          fetched AS (
+            SELECT query_id, neighbor_id, cos_sim FROM (
+              SELECT query_id, neighbor_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM scored) WHERE rank <= 40),
+          lab AS (SELECT vec_id, label FROM embeddings),
+          filt AS (
+            SELECT f.query_id, ql.label AS query_label, f.neighbor_id,
+                   nl.label AS neighbor_label, f.cos_sim
+            FROM fetched f
+            JOIN lab ql ON ql.vec_id = f.query_id
+            JOIN lab nl ON nl.vec_id = f.neighbor_id
+            WHERE ql.label <> nl.label),
+          rr AS (
+            SELECT query_id, query_label, neighbor_id, neighbor_label,
+                   cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM filt)
+          SELECT query_id, query_label, neighbor_id, neighbor_label,
+                 cos_sim, rank
+          FROM rr WHERE rank <= 10
+          ORDER BY query_id, rank""",
 
     // q39's IVF replay composed over q77's quantize→dequantize vectors —
     // the persisted index stores int8 codes, so the index-served geometry
