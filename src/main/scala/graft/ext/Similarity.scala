@@ -515,6 +515,41 @@ object Similarity {
         (col("n_vecs").cast("double") / col("n_total")).as("share"))
   }
 
+  /** EMBEDDING-SPACE drift monitor — [[graft.ext.Corpus.histogramDrift]]
+    * (q124's ppm drift report) applied to the vector modality: assign
+    * BOTH corpus snapshots to the same FROZEN centroids (argmax dot,
+    * [[clusterMixture]]'s assignment geometry) and compare per-centroid
+    * occupancy shares in integer ppm, one row per centroid with both
+    * counts, both shares, and the absolute ppm delta (TVD = Σ delta / 2,
+    * the same bounded metric q124 uses — no float division decides any
+    * drift number). This is the signal a text-length histogram cannot
+    * see: a new crawl whose documents LOOK the same but whose embedding
+    * mass shifts between clusters (topic/source drift) moves these
+    * shares before any length statistic moves. Centroids must be FROZEN
+    * (train once on the reference, reuse — the [[saveIvfIndex]]
+    * discipline); re-training per comparison would chase the drift it
+    * is meant to measure.
+    *
+    * Scale shape: assignment is map work against the broadcast k×dim
+    * matrix; the only exchanges aggregate (centroid, count) rows — at
+    * most k per side — and the totals ride a window over that k-row
+    * relation ([[graft.ext.Corpus.driftFromHistograms]], reused
+    * verbatim so text and embedding drift share one comparison
+    * arithmetic). NULL vectors are excluded on both sides.
+    */
+  def embeddingDrift(reference: DataFrame, current: DataFrame,
+                     centroidsIn: Array[Array[Double]],
+                     vecCol: String = "embedding"): DataFrame = {
+    def hist(df: DataFrame, cname: String) =
+      df.where(col(vecCol).isNotNull)
+        .select(array_max(
+            centDotsFor(centroidsIn)(col(vecCol).cast("array<double>")))
+          .getField("c").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(cname))
+    Corpus.driftFromHistograms(hist(reference, "n_a"), hist(current, "n_b"))
+      .withColumnRenamed("bucket", "centroid")
+  }
+
   // -------------------------------------------------------- index persistence
 
   /** Persist a servable IVF index under `path` so repeated query batches

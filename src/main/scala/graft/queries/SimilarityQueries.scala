@@ -222,6 +222,20 @@ object SimilarityQueries {
         Similarity.sampleCentroids(t(s, d, "embeddings"), 16))
         .orderBy("centroid", "label")),
 
+    "q138_embedding_drift" -> ((s, d) => {
+      // embedding-space drift between the even- and odd-id corpus halves
+      // against frozen full-corpus sample centroids — the q124 ppm drift
+      // report over cluster occupancy instead of token-length buckets.
+      // The oracle replays seed selection, argmax-dot assignment, both
+      // histograms, and the integer-ppm share arithmetic exactly.
+      val emb = t(s, d, "embeddings")
+      Similarity.embeddingDrift(
+        emb.where(pmod(col("vec_id"), lit(2)) === 0),
+        emb.where(pmod(col("vec_id"), lit(2)) === 1),
+        Similarity.sampleCentroids(emb, 16))
+        .orderBy("centroid")
+    }),
+
     "q129_ann_maintenance_diff" -> ((s, d) => {
       // q128's validation-diff applied to the ANN index: build (lists
       // born versioned, v1), DELETE a tenth (v2), then diff the
@@ -685,6 +699,43 @@ object SimilarityQueries {
             ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
           GROUP BY b.query_id
           ORDER BY b.query_id""",
+
+    // q123's assignment replay split into even/odd halves, then q124's
+    // integer-ppm share arithmetic — both counts, both shares, abs delta
+    "q138_embedding_drift" ->
+      s"""WITH cent AS (SELECT rn AS c, embedding AS cv FROM ($sample16)),
+            cd AS (
+              SELECT e.vec_id, cent.c,
+                     ${duckDot("e.embedding", "cent.cv")} AS d
+              FROM embeddings e CROSS JOIN cent),
+            assigned AS (
+              SELECT vec_id, c AS centroid FROM (
+                SELECT vec_id, c,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, c DESC) AS r
+                FROM cd) WHERE r = 1),
+            ha AS (SELECT centroid, count(*) AS n_a FROM assigned
+                   WHERE vec_id % 2 = 0 GROUP BY centroid),
+            hb AS (SELECT centroid, count(*) AS n_b FROM assigned
+                   WHERE vec_id % 2 = 1 GROUP BY centroid),
+            j AS (
+              SELECT coalesce(ha.centroid, hb.centroid) AS centroid,
+                     coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+              FROM ha FULL OUTER JOIN hb ON ha.centroid = hb.centroid),
+            t AS (
+              SELECT *, sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb
+              FROM j),
+            sel AS (
+              SELECT centroid, n_a, n_b,
+                     CASE WHEN ta > 0 THEN n_a * 1000000 // ta ELSE 0 END AS sa,
+                     CASE WHEN tb > 0 THEN n_b * 1000000 // tb ELSE 0 END AS sb
+              FROM t)
+          SELECT centroid,
+                 CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                 CAST(sa AS BIGINT) AS share_a_ppm,
+                 CAST(sb AS BIGINT) AS share_b_ppm,
+                 CAST(abs(sa - sb) AS BIGINT) AS delta_ppm
+          FROM sel ORDER BY centroid""",
 
     // q82's quantized IVF replay at over-fetch depth 40, then the label
     // join, mismatch filter, and re-rank to 10 — the engine's

@@ -639,6 +639,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 0L, 0.0)))
   }
 
+  test("embeddingDrift reports integer-ppm occupancy shifts per centroid") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // reference: all mass on centroid 0; current: split 50/50 — a clean
+    // planted topic shift the length histogram could never see
+    val ref = Seq((0L, Seq(1.0f, 0.1f)), (1L, Seq(0.9f, 0.0f)),
+      (2L, Seq(0.8f, 0.2f)), (3L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cur = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(0.7f, 0.1f)),
+      (12L, Seq(0.1f, 1.0f)), (13L, Seq(0.0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.embeddingDrift(ref, cur, cents)
+      .select("centroid", "n_a", "n_b", "share_a_ppm", "share_b_ppm",
+        "delta_ppm")
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0) == ((0, 4L, 2L, 1000000L, 500000L, 500000L)))
+    assert(got(1) == ((1, 0L, 2L, 0L, 500000L, 500000L)))
+    // TVD = sum(delta)/2 = 0.5: exactly half the mass moved
+    assert(got.values.map(_._6).sum == 1000000L)
+  }
+
   test("a rebuild severs previous-serving — no cross-corpus grace") {
     val spark = TestSpark.spark
     import spark.implicits._
