@@ -539,16 +539,26 @@ object Similarity {
     */
   def embeddingDrift(reference: DataFrame, current: DataFrame,
                      centroidsIn: Array[Array[Double]],
-                     vecCol: String = "embedding"): DataFrame = {
-    def hist(df: DataFrame, cname: String) =
-      df.where(col(vecCol).isNotNull)
-        .select(array_max(
-            centDotsFor(centroidsIn)(col(vecCol).cast("array<double>")))
-          .getField("c").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as(cname))
-    Corpus.driftFromHistograms(hist(reference, "n_a"), hist(current, "n_b"))
+                     vecCol: String = "embedding"): DataFrame =
+    Corpus.driftFromHistograms(
+      centroidHistogram(reference, centroidsIn, "n_a", vecCol),
+      centroidHistogram(current, centroidsIn, "n_b", vecCol))
       .withColumnRenamed("bucket", "centroid")
-  }
+
+  /** One snapshot's (bucket = centroid, count) occupancy histogram — the
+    * mergeable drift state of [[embeddingDrift]], public for the same
+    * reason [[graft.ext.Corpus.lengthBucketHistogram]] is: the STREAMING
+    * embedding-drift monitor maintains exactly this relation as
+    * complete-mode aggregation state (k rows, corpus-size invariant),
+    * and both sides of a drift comparison must assign identically. */
+  def centroidHistogram(df: DataFrame, centroidsIn: Array[Array[Double]],
+                        countName: String,
+                        vecCol: String = "embedding"): DataFrame =
+    df.where(col(vecCol).isNotNull)
+      .select(array_max(
+          centDotsFor(centroidsIn)(col(vecCol).cast("array<double>")))
+        .getField("c").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(countName))
 
   // -------------------------------------------------------- index persistence
 

@@ -236,6 +236,20 @@ object SimilarityQueries {
         .orderBy("centroid")
     }),
 
+    "q139_stream_embedding_drift" -> ((s, d) => {
+      // the q138 drift report computed LIVE: the odd-id half streams in,
+      // its centroid-occupancy histogram is complete-mode state (k rows
+      // forever), the even-id half is the static reference. Counts are
+      // order-insensitive sums — bit-identical to batch q138, whose
+      // oracle this reuses verbatim.
+      val emb = t(s, d, "embeddings")
+      graft.streaming.DocumentStreams.streamingEmbeddingDrift(s, d,
+        reference = emb.where(pmod(col("vec_id"), lit(2)) === 0),
+        newFilter = pmod(col("vec_id"), lit(2)) === 1,
+        centroidsIn = Similarity.sampleCentroids(emb, 16))
+        .orderBy("centroid")
+    }),
+
     "q129_ann_maintenance_diff" -> ((s, d) => {
       // q128's validation-diff applied to the ANN index: build (lists
       // born versioned, v1), DELETE a tenth (v2), then diff the
@@ -433,6 +447,43 @@ object SimilarityQueries {
         SELECT query_id, neighbor_id, cos_sim, rank
         FROM ranked WHERE rank <= 10
         ORDER BY query_id, rank"""
+
+  /** q138/q139: assignment replay split into even/odd halves, then
+    * q124's integer-ppm share arithmetic. */
+  private lazy val embeddingDriftReplay =
+    s"""WITH cent AS (SELECT rn AS c, embedding AS cv FROM ($sample16)),
+            cd AS (
+              SELECT e.vec_id, cent.c,
+                     ${duckDot("e.embedding", "cent.cv")} AS d
+              FROM embeddings e CROSS JOIN cent),
+            assigned AS (
+              SELECT vec_id, c AS centroid FROM (
+                SELECT vec_id, c,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, c DESC) AS r
+                FROM cd) WHERE r = 1),
+            ha AS (SELECT centroid, count(*) AS n_a FROM assigned
+                   WHERE vec_id % 2 = 0 GROUP BY centroid),
+            hb AS (SELECT centroid, count(*) AS n_b FROM assigned
+                   WHERE vec_id % 2 = 1 GROUP BY centroid),
+            j AS (
+              SELECT coalesce(ha.centroid, hb.centroid) AS centroid,
+                     coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+              FROM ha FULL OUTER JOIN hb ON ha.centroid = hb.centroid),
+            t AS (
+              SELECT *, sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb
+              FROM j),
+            sel AS (
+              SELECT centroid, n_a, n_b,
+                     CASE WHEN ta > 0 THEN n_a * 1000000 // ta ELSE 0 END AS sa,
+                     CASE WHEN tb > 0 THEN n_b * 1000000 // tb ELSE 0 END AS sb
+              FROM t)
+          SELECT centroid,
+                 CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                 CAST(sa AS BIGINT) AS share_a_ppm,
+                 CAST(sb AS BIGINT) AS share_b_ppm,
+                 CAST(abs(sa - sb) AS BIGINT) AS delta_ppm
+          FROM sel ORDER BY centroid"""
 
   val oracles: Map[String, String] = Map(
     "q35_sim_topk_bruteforce" ->
@@ -702,40 +753,13 @@ object SimilarityQueries {
 
     // q123's assignment replay split into even/odd halves, then q124's
     // integer-ppm share arithmetic — both counts, both shares, abs delta
-    "q138_embedding_drift" ->
-      s"""WITH cent AS (SELECT rn AS c, embedding AS cv FROM ($sample16)),
-            cd AS (
-              SELECT e.vec_id, cent.c,
-                     ${duckDot("e.embedding", "cent.cv")} AS d
-              FROM embeddings e CROSS JOIN cent),
-            assigned AS (
-              SELECT vec_id, c AS centroid FROM (
-                SELECT vec_id, c,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY d DESC, c DESC) AS r
-                FROM cd) WHERE r = 1),
-            ha AS (SELECT centroid, count(*) AS n_a FROM assigned
-                   WHERE vec_id % 2 = 0 GROUP BY centroid),
-            hb AS (SELECT centroid, count(*) AS n_b FROM assigned
-                   WHERE vec_id % 2 = 1 GROUP BY centroid),
-            j AS (
-              SELECT coalesce(ha.centroid, hb.centroid) AS centroid,
-                     coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
-              FROM ha FULL OUTER JOIN hb ON ha.centroid = hb.centroid),
-            t AS (
-              SELECT *, sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb
-              FROM j),
-            sel AS (
-              SELECT centroid, n_a, n_b,
-                     CASE WHEN ta > 0 THEN n_a * 1000000 // ta ELSE 0 END AS sa,
-                     CASE WHEN tb > 0 THEN n_b * 1000000 // tb ELSE 0 END AS sb
-              FROM t)
-          SELECT centroid,
-                 CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-                 CAST(sa AS BIGINT) AS share_a_ppm,
-                 CAST(sb AS BIGINT) AS share_b_ppm,
-                 CAST(abs(sa - sb) AS BIGINT) AS delta_ppm
-          FROM sel ORDER BY centroid""",
+    "q138_embedding_drift" -> embeddingDriftReplay,
+
+    // q139 streams the odd half into the same report as complete-mode
+    // state: order-insensitive counts make it bit-identical to batch
+    // q138 — its replay verbatim
+    "q139_stream_embedding_drift" -> embeddingDriftReplay,
+
 
     // q82's quantized IVF replay at over-fetch depth 40, then the label
     // join, mismatch filter, and re-rank to 10 — the engine's

@@ -194,4 +194,39 @@ object DocumentStreams {
       Corpus.lengthBucketHistogram(reference, "text", bucketWidth, "n_a"),
       spark.table(queryName))
   }
+
+  /** [[streamingDriftMonitor]] for the VECTOR modality: the incoming
+    * embedding stream's FROZEN-centroid occupancy histogram is
+    * maintained as complete-mode aggregation state
+    * ([[graft.ext.Similarity.centroidHistogram]] — k rows, corpus-size
+    * INVARIANT; assignment is map work against the broadcast k×dim
+    * matrix, so the streaming state never grows with ingest volume),
+    * compared live against a static reference with the same integer-ppm
+    * arithmetic as every other drift report. Counts are
+    * order-insensitive integer sums, so the report is bit-identical to
+    * batch [[graft.ext.Similarity.embeddingDrift]] over the same rows —
+    * which is exactly what q139's oracle (q138's replay verbatim)
+    * checks.
+    */
+  def streamingEmbeddingDrift(spark: SparkSession, sfDir: String,
+                              reference: DataFrame,
+                              newFilter: org.apache.spark.sql.Column,
+                              centroidsIn: Array[Array[Double]],
+                              queryName: String = "graft_stream_embdrift")
+      : DataFrame = {
+    val vecs = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/embeddings.parquet").schema)
+      .parquet(s"$sfDir/embeddings.*")
+    val hist = graft.ext.Similarity.centroidHistogram(
+      vecs.where(newFilter), centroidsIn, "n_b")
+    val q = hist.writeStream
+      .outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Corpus.driftFromHistograms(
+      graft.ext.Similarity.centroidHistogram(reference, centroidsIn, "n_a"),
+      spark.table(queryName))
+      .withColumnRenamed("bucket", "centroid")
+  }
 }
