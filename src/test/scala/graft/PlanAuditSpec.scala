@@ -484,4 +484,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("dynamicpruningexpression"), plan.take(4000))
     assert(!plan.contains("SortMergeJoin"), plan.take(4000))
   }
+
+  test("q135 hard negatives: query side broadcasts; per-query heap window") {
+    val plan = planOf("q135_hard_negatives")
+    // the corpus is never shuffled for scoring: the query set enters as a
+    // broadcast (nested-loop against the corpus scan), and ranking is the
+    // per-query window — no sort-merge join anywhere
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q138 embedding drift: assignment is map work; k-row drift join") {
+    val plan = planOf("q138_embedding_drift")
+    // argmax-dot assignment against literal centroids — the ONLY join
+    // in the plan is the full-outer compare of the two k-row centroid
+    // histograms (full outer cannot broadcast; a sort-merge of k rows is
+    // the right plan), never a corpus-keyed join; counts
+    // partial-aggregate map-side before the one exchange per side
+    assert("SortMergeJoin \\[bucket[^\n]*FullOuter".r.findFirstIn(plan)
+      .isDefined, plan.take(3000))
+    assert("Join".r.findAllIn(plan).length == 1, plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
 }
