@@ -187,6 +187,40 @@ class CampaignSpec extends AnyFunSuite {
     assert(ingestErr.get == null, s"ingest died: ${ingestErr.get}")
   }
 
+  test("an IVF member pins and serves with the rest of the campaign") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ivf = "target/graft-test-campaign-ivf"
+    val text = "target/graft-test-campaign-ivf-text"
+    wipe(ivf, text)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = emb.select(col("vec_id"),
+      graft.ext.Similarity.dequantize(
+        graft.ext.Similarity.quantize(col("embedding"), 200.0), 200.0)
+        .as("embedding"))
+    graft.ext.Similarity.saveIvfIndex(emb, ivf, nCentroids = 8, dim = 64,
+      quantScale = 200.0,
+      centroidsIn = graft.ext.Similarity.sampleCentroids(deq, 8))
+    Search.saveTextIndex(docRows.toDF("doc_id", "text"), text)
+    Search.compactTextIndex(spark, text)
+    val members = Seq(Campaign.IvfIndex(ivf), Campaign.TextIndex(text))
+    Campaign.snapshot(spark, "rel", members)
+    val qset = deq.where(col("vec_id") < 3)
+    def pinned() = graft.ext.Similarity
+      .topKIvfIndexedSnapshot(spark, qset, ivf, "rel", k = 5)
+      .collect().map(_.toSeq).toSet
+    val atPin = pinned()
+    assert(atPin.nonEmpty)
+    // maintenance on the IVF member after the pin is invisible through it
+    graft.ext.Similarity.deleteFromIvfIndex(spark, ivf,
+      emb.where(pmod(col("vec_id"), lit(3)) === 1).select("vec_id"))
+    graft.ext.Similarity.compactIvfIndex(spark, ivf)
+    assert(pinned() == atPin)
+    Campaign.drop(spark, "rel", members)
+    Campaign.vacuum(spark, members)
+    intercept[IllegalStateException] { pinned() }
+  }
+
   test("campaign members with duplicate roots are rejected loudly") {
     intercept[IllegalArgumentException] {
       Campaign.snapshot(spark, "rel", Seq(

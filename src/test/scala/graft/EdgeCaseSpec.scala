@@ -141,4 +141,36 @@ class EdgeCaseSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(messyOut(3L) == 0L && messyOut(6L) == 0L)
   }
+
+  test("similarity round-12 operators tolerate empty and null-vector inputs") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val some = Seq((1L, "A", Seq(1.0f, 0.0f)), (2L, "B", Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val none = some.where(lit(false))
+    // hard negatives: empty corpus -> empty result, never a crash
+    assert(graft.ext.Similarity.hardNegatives(
+      some.where(col("vec_id") === 1), none, k = 5).count() == 0)
+    // single-label corpus: every candidate filtered -> empty, not error
+    assert(graft.ext.Similarity.hardNegatives(
+      some.where(col("vec_id") === 1),
+      some.withColumn("label", lit("A")), k = 5).count() == 0)
+    // recallAtK: empty exact side -> empty report (nothing to recall)
+    assert(graft.ext.Similarity.recallAtK(
+      none.select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id")),
+      some.select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"))).count() == 0)
+    // embeddingDrift: one side EMPTY -> its shares are 0 (the tot > 0
+    // guard), the other side's full mass reports, no division blows up
+    val drift = graft.ext.Similarity
+      .embeddingDrift(some.select("vec_id", "embedding"), none, cents)
+      .collect().map(r => (r.getInt(0), r.getLong(3), r.getLong(4))).toSet
+    assert(drift == Set((0, 500000L, 0L), (1, 500000L, 0L)))
+    // NULL vectors drop on both sides, like null text in corpusStats
+    val withNull = some.union(Seq((3L, "C",
+      null.asInstanceOf[Seq[Float]])).toDF("vec_id", "label", "embedding"))
+    assert(graft.ext.Similarity
+      .embeddingDrift(withNull, withNull, cents)
+      .agg(sum(col("n_a"))).head().getLong(0) == 2L)
+  }
 }
