@@ -107,6 +107,33 @@ object Campaign {
       case IvfIndex(p)        => Similarity.vacuumIvfIndex(spark, p)
     }
 
+  /** One operational dashboard for the whole campaign: every member's
+    * [[Stage.healthReport]] rows (live version, file/byte counts,
+    * ledger/tombstone/uncommitted-op state, pinned versions, writer
+    * lock in flight) unioned under `family` and `root` columns — the
+    * single query an operator reads before deciding which member needs
+    * a compaction, a pending-op retry, or a dropped pin. Metadata-only,
+    * like the per-family report.
+    */
+  def healthReport(spark: SparkSession,
+                   members: Seq[Member]): org.apache.spark.sql.DataFrame = {
+    require(members.nonEmpty, "a campaign needs at least one member")
+    import org.apache.spark.sql.functions.{col, lit}
+    members.map { m =>
+      val (family, comps) = componentsOf(m)
+      val r = Stage.healthReport(spark, m.path, comps)
+      r.select(lit(family).as("family") +: lit(m.path).as("root") +:
+        r.columns.map(col): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  private def componentsOf(m: Member): (String, Seq[String]) = m match {
+    case TextIndex(_)       => ("text_index", Seq("postings", "doclens", "stats"))
+    case MinhashManifest(_) => ("minhash_manifest", Seq("docs", "bands"))
+    case Lm(_)              => ("lm", Seq("bigrams", "vocab"))
+    case IvfIndex(_)        => ("ivf_index", Seq("lists"))
+  }
+
   /** The member's own family pin — runs under the already-held root
     * lease (the family surfaces lease the same root; reentrancy passes
     * them through), so the family-level consistency guarantees apply

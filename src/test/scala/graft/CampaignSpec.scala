@@ -221,6 +221,27 @@ class CampaignSpec extends AnyFunSuite {
     intercept[IllegalStateException] { pinned() }
   }
 
+  test("campaign healthReport unions every member's rows under family/root") {
+    val text = "target/graft-test-campaign-health-text"
+    val lm = "target/graft-test-campaign-health-lm"
+    wipe(text, lm)
+    val docs = docRows.toDF("doc_id", "text")
+    Search.saveTextIndex(docs, text)
+    Corpus.saveLm(docs.where(col("doc_id") <= 4), "text", "doc_id", lm)
+    val rep = Campaign.healthReport(spark, Seq(
+      Campaign.TextIndex(text), Campaign.Lm(lm)))
+    // one row per (member, component): 3 text components + 2 LM
+    val rows = rep.collect()
+    assert(rows.length == 5)
+    assert(rep.columns.take(3).toSeq ==
+      Seq("family", "root", "component"))
+    val byFam = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byFam == Map("text_index" -> 3, "lm" -> 2))
+    // the per-family columns survive the union (lock introspection incl.)
+    assert(rep.columns.contains("writer_lock_stale_frac"))
+    assert(rows.forall(r => r.getAs[String]("root").nonEmpty))
+  }
+
   test("campaign members with duplicate roots are rejected loudly") {
     intercept[IllegalArgumentException] {
       Campaign.snapshot(spark, "rel", Seq(

