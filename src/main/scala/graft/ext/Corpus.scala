@@ -957,6 +957,50 @@ object Corpus {
     scoreAgainstLm(score, cb, cu, v, textCol, idCol)
   }
 
+  /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al., LREC'20): split a
+    * corpus into `nBuckets` fluency tiers — head/middle/tail at the
+    * default 3 — by LM score against a persisted reference model
+    * ([[lmPerplexityIndexed]]'s integer bits_x100, ascending = more
+    * fluent), the partition CCNet trains on head+middle and discards or
+    * down-weights tail from. Bucketing is SCORE-CLASS GRANULAR: every
+    * document sharing one bits_x100 value lands in one bucket —
+    * `bucket = min(cum_docs_before · nBuckets div N + 1, nBuckets)`, all
+    * integer arithmetic, so the boundary replays identically in any
+    * engine (a per-document NTILE would need a global corpus sort AND
+    * tie-break semantics; the class rule needs neither). Granularity
+    * cost: one straddling class can overfill its bucket by its class
+    * size — bounded by the docs sharing one 0.01-bit score value.
+    *
+    * Scale shape: the scoring pass is [[lmPerplexityIndexed]]; the
+    * bucket rule rides windows over the SCORE HISTOGRAM (one row per
+    * distinct bits_x100 — bounded by the score RANGE, not the corpus;
+    * the [[budgetSelectBy]] discipline), and the class→bucket map joins
+    * back AQE-broadcast. No corpus-sized sort, no collect.
+    */
+  def perplexityBuckets(score: DataFrame, lmPath: String, textCol: String,
+                        idCol: String, nBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val scored = lmPerplexityIndexed(score, lmPath, textCol, idCol)
+      .select(col(idCol), col("n_bigrams"), col("total_bits"),
+        col("bits_x100"))
+    val hist = scored.groupBy("bits_x100").agg(count(lit(1)).as("n_docs"))
+    // both windows read one row per distinct score class — the single
+    // partition holds the bounded histogram, never the corpus
+    val byScore = Window.orderBy(col("bits_x100"))
+    val all = Window.partitionBy()
+    val classes = hist
+      .withColumn("cum_before",
+        sum(col("n_docs")).over(byScore) - col("n_docs"))
+      .withColumn("n_total", sum(col("n_docs")).over(all))
+      .select(col("bits_x100"),
+        least(expr(s"cum_before * $nBuckets div n_total") + 1,
+          lit(nBuckets.toLong)).as("ppl_bucket"))
+    scored.join(classes, Seq("bits_x100"))
+      .select(col(idCol), col("n_bigrams"), col("total_bits"),
+        col("bits_x100"), col("ppl_bucket"))
+  }
+
   /** FREEZE the model under a named snapshot ([[graft.ops.Stage.snapshot]]
     * on both count components, under the root lease so the pair captures
     * one state). Because the pin records FILE LISTS and the LM maintains

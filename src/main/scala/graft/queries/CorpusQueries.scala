@@ -260,6 +260,22 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q140_perplexity_buckets" -> ((s, d) => {
+      // CCNet head/middle/tail: score the test split against the
+      // train-split LM, then bucket by integer bits_x100 terciles —
+      // score-class granular, so every boundary decision is integer
+      // arithmetic the oracle replays exactly (q91's replay + the same
+      // histogram cumsum + the same div rule).
+      val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
+      val path = s"target/graft-lm-buckets-${sfTag(d)}"
+      Corpus.saveLm(docs.where(col("split") === "train"), "text", "doc_id",
+        path)
+      Corpus.perplexityBuckets(
+        docs.where(col("split") === "test" && col("text").isNotNull),
+        path, "text", "doc_id", nBuckets = 3)
+        .orderBy("doc_id")
+    }),
+
     "q131_lm_frozen_snapshot" -> ((s, d) => {
       // FROZEN-MODEL scoring: pin the model, grow it with the val split
       // (delta appends land new files next to the pinned ones), then
@@ -653,6 +669,25 @@ object CorpusQueries {
     // q131 scores from a pin taken BEFORE the val-split append — the
     // frozen model IS the train-only model, q91's replay verbatim
     "q131_lm_frozen_snapshot" -> lmIndexedReplay,
+
+    // q140: q91's replay wrapped in the score-class tercile rule — the
+    // same histogram cumsum and integer div the engine applies
+    "q140_perplexity_buckets" ->
+      s"""WITH scored AS ($lmIndexedReplay),
+            hist AS (SELECT bits_x100, count(*) AS n FROM scored
+                     GROUP BY bits_x100),
+            c AS (SELECT bits_x100,
+                         sum(n) OVER (ORDER BY bits_x100) - n AS cb,
+                         sum(n) OVER () AS nt
+                  FROM hist),
+            b AS (SELECT bits_x100,
+                         CAST(least(cb * 3 // nt + 1, 3) AS BIGINT)
+                           AS ppl_bucket
+                  FROM c)
+          SELECT s.doc_id, s.n_bigrams, s.total_bits, s.bits_x100,
+                 b.ppl_bucket
+          FROM scored s JOIN b USING (bits_x100)
+          ORDER BY s.doc_id""",
 
     // q91's replay with the TRAIN side filtered to the survivors — the
     // subtracted model must be indistinguishable from training on them

@@ -698,4 +698,36 @@ class CorpusSpec extends AnyFunSuite {
     // the only bigram is 100% of BOTH distributions → log-ratio exactly 0
     assert(byId(3L) == ((1L, 0L, false)))
   }
+
+  test("perplexityBuckets: score-class terciles with integer boundaries") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // a tiny LM over a fluent phrase; score docs of graded fluency so
+    // bits_x100 classes separate deterministically
+    val train = Seq((1L, "the cat sat on the mat the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val lm = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-lm-bkt-").toString
+    Corpus.saveLm(train, "text", "doc_id", lm)
+    val probe = Seq(
+      (10L, "the cat sat on the mat"),   // all seen bigrams — most fluent
+      (11L, "the cat sat on the mat"),   // same class as 10
+      (12L, "the cat sat zz on"),        // one unseen bigram
+      (13L, "zz qq ww ee rr tt"),        // all unseen — least fluent
+      (14L, "the cat zz qq ww ee"))      // 1 of 5 bigrams seen
+      .toDF("doc_id", "text")
+    val got = Corpus.perplexityBuckets(probe, lm, "text", "doc_id",
+      nBuckets = 3)
+      .select("doc_id", "bits_x100", "ppl_bucket")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // same score class ⇒ same bucket, always (10 and 11 are identical)
+    assert(got(10L)._2 == got(11L)._2 && got(10L)._3 == got(11L)._3)
+    // buckets are monotone in the score and span the range
+    val byScore = got.values.toSeq.sortBy(_._2)
+    assert(byScore.map(_._3) == byScore.map(_._3).sorted)
+    assert(byScore.head._3 == 1L && byScore.last._3 == 3L)
+    // the class boundary rule: cum_before * 3 div N + 1 — with N = 5 and
+    // the leading class of size 2, that class has cb = 0 → bucket 1
+    assert(got(10L)._3 == 1L)
+  }
 }
