@@ -195,6 +195,45 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** INTRA-document chunk dedup — C4's within-document repetition trim,
+    * the complement of the cross-corpus [[chunkDedup]]: a document that
+    * repeats its own paragraphs (scraper loops, templated sections,
+    * chatbot stutter) keeps each distinct `chunkTokens`-token chunk's
+    * FIRST occurrence and drops later copies; content repeated only
+    * ACROSS documents is untouched (that is [[chunkDedup]]'s job — run
+    * both for the full C4 treatment). Same output contract:
+    * (doc_id, n_chunks, n_kept, clean_text).
+    *
+    * Scale shape — the best possible one: a PURE per-row expression.
+    * Because the keep decision never looks outside the document, the
+    * whole operator is higher-order functions over the row's own chunk
+    * array (keep chunk i iff it is absent from chunks 0..i-1) — NO
+    * shuffle, NO join, whole-stage codegen end to end, where the
+    * cross-corpus variant must exchange chunk hashes. Per-row cost is
+    * O(nChunks²) chunk compares, bounded by document length, never by
+    * corpus size.
+    */
+  def chunkDedupWithinDoc(df: DataFrame, textCol: String, idCol: String,
+                          chunkTokens: Int = 20): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    // NULL-safe token source: the expression tree is evaluated per row
+    // regardless of the output gates, and sequence(0, -1) over NULL
+    // text's size -1 would generate a DESCENDING [0, -1] (chunkDedup's
+    // phantom-chunk hazard, avoided the expression-local way here)
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val nChunks = (floor((size(toks) - 1) / lit(chunkTokens)) + 1).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
+    val kept = filter(chunks, (c, i) =>
+      not(array_contains(slice(chunks, lit(1), i), c)))
+    df.select(col(idCol).as("doc_id"),
+      when(col(textCol).isNotNull, nChunks).otherwise(lit(0)).as("n_chunks"),
+      when(col(textCol).isNotNull, size(kept).cast("long")).otherwise(lit(0L))
+        .as("n_kept"),
+      when(col(textCol).isNotNull, array_join(kept, " ")).otherwise(lit(""))
+        .as("clean_text"))
+  }
+
   /** Boilerplate removal, CCNet-shaped at paragraph granularity: drop every
     * chunk whose content appears in at least `minDocs` DISTINCT documents —
     * from ALL of them, first occurrence included — and rebuild each

@@ -271,6 +271,15 @@ object DedupQueries {
         chunkTokens = 20, minDocs = 3)
         .orderBy("doc_id")),
 
+    "q141_dedup_chunk_within" -> ((s, d) =>
+      // C4's WITHIN-document repetition trim: each doc keeps its own
+      // distinct chunks' first occurrences — a pure per-row HOF
+      // expression, shuffle-free where q66's cross-corpus ownership
+      // must exchange chunk hashes
+      Dedup.chunkDedupWithinDoc(t(s, d, "documents"), "text", "doc_id",
+        chunkTokens = 20)
+        .orderBy("doc_id")),
+
     "q80_dedup_substring" -> ((s, d) =>
       // exact-substring dedup: repeated >=20-token runs at ARBITRARY
       // offsets removed from all but their first corpus occurrence —
@@ -621,6 +630,33 @@ object DedupQueries {
          k AS (SELECT doc_id, idx, chunk,
                       row_number() OVER (PARTITION BY chunk
                                          ORDER BY doc_id, idx) AS rn
+               FROM c),
+         r AS (SELECT doc_id, count(*) AS n_kept,
+                      string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+               FROM k WHERE rn = 1 GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(CASE WHEN d.text IS NULL THEN 0
+                          ELSE (len(string_split(d.text, ' ')) - 1) // 20 + 1
+                     END AS INTEGER) AS n_chunks,
+                coalesce(r.n_kept, 0) AS n_kept,
+                coalesce(r.clean_text, '') AS clean_text
+         FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+         ORDER BY d.doc_id""",
+
+    // q66's replay with ownership PARTITIONED BY (doc, chunk) instead of
+    // corpus-wide chunk — first occurrence within each document wins
+    "q141_dedup_chunk_within" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id,
+                      list_transform(range(0, (len(toks) - 1) // 20 + 1),
+                        i -> struct_pack(idx := i,
+                               chunk := array_to_string(toks[(i*20+1):(i*20+20)], ' '))) AS cs
+               FROM t),
+         c AS (SELECT doc_id, u.idx AS idx, u.chunk AS chunk
+               FROM (SELECT doc_id, unnest(cs) AS u FROM g)),
+         k AS (SELECT doc_id, idx, chunk,
+                      row_number() OVER (PARTITION BY doc_id, chunk
+                                         ORDER BY idx) AS rn
                FROM c),
          r AS (SELECT doc_id, count(*) AS n_kept,
                       string_agg(chunk, ' ' ORDER BY idx) AS clean_text

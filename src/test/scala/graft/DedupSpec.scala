@@ -782,4 +782,31 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/docs"))
       .where($"doc" === 1L).count() == 0)
   }
+
+  test("chunkDedupWithinDoc trims self-repeats only, shuffle-free") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rep = ("alpha beta " * 2).trim          // chunk repeated WITHIN doc 1
+    val docs = Seq(
+      (1L, s"$rep"),                            // [alpha beta][alpha beta]
+      (2L, "alpha beta"),                       // same chunk, other doc
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup
+      .chunkDedupWithinDoc(docs, "text", "doc_id", chunkTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 drops its OWN second copy; doc 2's copy is untouched (the
+    // cross-corpus variant would have dropped it — that contrast is the
+    // operator's whole point)
+    assert(got(1L) == ((2, 1L, "alpha beta")))
+    assert(got(2L) == ((1, 1L, "alpha beta")))
+    assert(got(3L) == ((0, 0L, "")))
+    assert(got(4L) == ((1, 1L, "")))
+    // shuffle-FREE: a pure per-row expression — no exchange anywhere
+    val plan = graft.ext.Dedup
+      .chunkDedupWithinDoc(docs, "text", "doc_id", chunkTokens = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
 }
