@@ -202,4 +202,57 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"trial $trial n=$n edges=${edges.size}")
     }
   }
+
+  test("hardNegatives == topKBruteForce over the label-filtered corpus") {
+    // the operator's defining identity, per query: mining hard negatives
+    // equals plain top-k over the corpus with the query's own label
+    // removed — checked on the real embeddings fixture
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for (qid <- Seq(0L, 3L, 7L)) {
+      val q = emb.where(col("vec_id") === qid)
+      val qLabel = q.select("label").head().getInt(0)
+      val mined = graft.ext.Similarity.hardNegatives(q, emb, k = 8)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .collect().map(_.toSeq).toSeq
+      val reference = graft.ext.Similarity.topKBruteForce(
+          q, emb.where(col("label") =!= qLabel), k = 8)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .collect().map(_.toSeq).toSeq
+      assert(mined == reference, s"query $qid")
+    }
+  }
+
+  test("recallAtK: identity gives recall 1.0; disjoint gives 0.0") {
+    val exact = graft.ext.Similarity.topKBruteForce(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(col("vec_id") < 4),
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), k = 5)
+    val self = graft.ext.Similarity.recallAtK(exact, exact).collect()
+    assert(self.length == 4 && self.forall(_.getAs[Double]("recall") == 1.0))
+    val shifted = exact.withColumn("neighbor_id",
+      col("neighbor_id") + lit(10000000L))
+    val none = graft.ext.Similarity.recallAtK(exact, shifted).collect()
+    assert(none.forall(_.getAs[Double]("recall") == 0.0))
+  }
+
+  test("chunkDedupWithinDoc == plain-Scala first-occurrence trim on random docs") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 10) {
+      val docs = Seq.tabulate(12) { i =>
+        // random texts with deliberate self-repeats: chunkTokens=2 so
+        // two-word chunks collide often
+        val words = Seq.fill(2 * (1 + rnd.nextInt(6)))(
+          vocab(rnd.nextInt(4))) // tiny alphabet forces repeats
+        (i.toLong, words.mkString(" "))
+      }
+      val got = graft.ext.Dedup.chunkDedupWithinDoc(
+          docs.toDF("doc_id", "text"), "text", "doc_id", chunkTokens = 2)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      docs.foreach { case (id, text) =>
+        val chunks = text.split(" ").grouped(2).map(_.mkString(" ")).toSeq
+        val expect = chunks.distinct.mkString(" ") // first-occurrence order
+        assert(got(id) == expect, s"trial $trial doc $id: $text")
+      }
+    }
+  }
 }
