@@ -52,7 +52,7 @@ object ServeBench {
       val p = maniPath(d)
       Dedup.saveMinhashManifest(
         docs.where(pmod(col("doc_id"), lit(10)) < 5), "text", "doc_id",
-        p, k = 32, bands = 16)
+        p, k = 32, bands = 16) // q84's parameters, so serve == its tail
       Dedup.compactMinhashManifest(s, p)
       Dedup.snapshotMinhashManifest(s, p, "bench_pin")
       Dedup.deleteContentFromMinhashManifest(
