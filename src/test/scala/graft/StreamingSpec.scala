@@ -218,6 +218,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming embedding drift == batch embeddingDrift; empty stream safe") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.ext.Similarity.sampleCentroids(emb, 8)
+    val streamed = graft.streaming.DocumentStreams.streamingEmbeddingDrift(
+      spark, sf, reference = emb.where(pmod(col("vec_id"), lit(2)) === 0),
+      newFilter = pmod(col("vec_id"), lit(2)) === 1, centroidsIn = cents,
+      queryName = "graft_test_embdrift")
+      .orderBy("centroid")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    val batch = graft.ext.Similarity.embeddingDrift(
+      emb.where(pmod(col("vec_id"), lit(2)) === 0),
+      emb.where(pmod(col("vec_id"), lit(2)) === 1), cents)
+      .orderBy("centroid")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // MONITOR-BEFORE-DATA: a stream whose filter admits nothing yet must
+    // report the reference side with zero incoming shares, not error —
+    // the state a drift dashboard starts in
+    val idle = graft.streaming.DocumentStreams.streamingEmbeddingDrift(
+      spark, sf, reference = emb.where(pmod(col("vec_id"), lit(2)) === 0),
+      newFilter = lit(false), centroidsIn = cents,
+      queryName = "graft_test_embdrift_idle")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(idle.nonEmpty)
+    assert(idle.forall(r => r._3 == 0L && r._5 == 0L)) // n_b, share_b_ppm
+    assert(idle.map(_._4).sum >= 999990L) // reference shares ≈ 1e6
+  }
+
   test("parquet sink round-trips with partition pruning directories") {
     import spark.implicits._
     val dir = java.nio.file.Files
