@@ -172,6 +172,61 @@ object Corpus {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Release-gate LEAKAGE MATRIX across data splits: for every ordered
+    * pair of split values, the number of leaking (doc, doc) pairs
+    * (sharing ≥ `minShared` distinct n-grams after the stop-gram cap)
+    * plus the distinct leaking-document count on each side and the
+    * total shared-gram mass — the one-table split-integrity gate a
+    * training run reads before writing shards. [[decontaminate]] gives
+    * the per-pair evidence for ONE directed split pair; this rolls
+    * EVERY pair up to release granularity, including explicit zero rows
+    * for clean pairs (a gate must distinguish "clean" from "not
+    * checked"). The stop-gram cap here is CORPUS-wide document
+    * frequency (all splits), where decontaminate's is train-side —
+    * symmetric by construction, since no split is "the train side" yet.
+    *
+    * Scale shape: grams explode ONCE with the split carried; the pair
+    * join is the same capped 8-byte-hash equi-join as decontaminate
+    * (candidate fanout bounded by the cap), `split_a < split_b` keeps
+    * each unordered pair once; the matrix rollup aggregates the pair
+    * relation, and the zero-fill joins a (#splits)²-row frame —
+    * trivially broadcast. No text ever enters a shuffle.
+    */
+  def splitLeakageMatrix(df: DataFrame, textCol: String, idCol: String,
+                         splitCol: String = "split", n: Int = 5,
+                         minShared: Int = 1,
+                         maxDf: Long = 10000L): DataFrame = {
+    val grams = df.select(col(splitCol).as("split"), col(idCol).as("doc"),
+      explode(gramHashes(col(textCol), n)).as("g"))
+    val stop = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("g")
+    val kept = grams.join(stop, Seq("g"), "left_anti")
+    val lo = kept.select(col("g"), col("split").as("split_a"),
+      col("doc").as("doc_a"))
+    val hi = kept.select(col("g"), col("split").as("split_b"),
+      col("doc").as("doc_b"))
+    val pairs = lo.join(hi, Seq("g"))
+      .where(col("split_a") < col("split_b"))
+      .groupBy("split_a", "doc_a", "split_b", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    val matrix = pairs.groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_leak_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"),
+        countDistinct(col("doc_b")).as("n_docs_b"),
+        sum(col("n_shared")).as("n_shared_total"))
+    val splits = df.select(col(splitCol).as("s")).distinct()
+    val frame = splits.select(col("s").as("split_a"))
+      .crossJoin(splits.select(col("s").as("split_b")))
+      .where(col("split_a") < col("split_b"))
+    frame.join(matrix, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_leak_pairs"), lit(0L)).as("n_leak_pairs"),
+        coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+        coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"),
+        coalesce(col("n_shared_total"), lit(0L)).as("n_shared_total"))
+  }
+
   /** Per-eval-document n-gram contamination OVERLAP: the fraction of each
     * eval doc's distinct n-grams that appear anywhere in the train corpus
     * — the corpus-level overlap statistic reported alongside benchmark

@@ -41,6 +41,17 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q142_split_leakage_matrix" -> ((s, d) =>
+      // the release gate: pairwise n-gram leakage across all three
+      // splits as one matrix — leak-pair counts, distinct leaking docs
+      // per side, shared-gram mass, zero rows for clean pairs. Oracle
+      // replays split assignment, gram sets, the corpus-wide stop cap,
+      // and every rollup count.
+      Corpus.splitLeakageMatrix(
+        Corpus.splitAssign(t(s, d, "documents"), "text"),
+        "text", "doc_id", n = 5, minShared = 1)
+        .orderBy("split_a", "split_b")),
+
     "q87_contamination_overlap" -> ((s, d) => {
       // corpus-level dirtiness statistic: per test doc, the fraction of
       // its distinct 3-grams that appear anywhere in the train split —
@@ -628,6 +639,54 @@ object CorpusQueries {
           GROUP BY eval_id, train_id
           HAVING count(*) >= 1
           ORDER BY eval_id, train_id""",
+
+    // q54's gram machinery generalized to all split pairs: one gram
+    // relation with the split carried, corpus-wide stop cap, pair join
+    // with split_a < split_b, matrix rollup with zero-filled clean pairs
+    "q142_split_leakage_matrix" ->
+      s"""WITH s AS (
+            SELECT doc_id, string_split(text, ' ') AS toks, $fpFold % 100 AS b
+            FROM documents),
+          sp AS (
+            SELECT doc_id, toks,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM s),
+          g AS (
+            SELECT doc_id, split,
+                   list_distinct(list_transform(range(1, len(toks) - 3),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4])) AS grams
+            FROM sp),
+          x AS (SELECT split, doc_id AS doc, unnest(grams) AS gr FROM g),
+          dfc AS (SELECT gr, count(*) AS c FROM x GROUP BY gr),
+          k AS (SELECT x.split, x.doc, x.gr FROM x JOIN dfc USING (gr)
+                WHERE c <= 10000),
+          p AS (
+            SELECT a.split AS split_a, a.doc AS doc_a,
+                   b2.split AS split_b, b2.doc AS doc_b,
+                   count(*) AS ns
+            FROM k a JOIN k b2 ON a.gr = b2.gr AND a.split < b2.split
+            GROUP BY 1, 2, 3, 4 HAVING count(*) >= 1),
+          m AS (
+            SELECT split_a, split_b,
+                   count(*) AS n_leak_pairs,
+                   count(DISTINCT doc_a) AS n_docs_a,
+                   count(DISTINCT doc_b) AS n_docs_b,
+                   sum(ns) AS n_shared_total
+            FROM p GROUP BY split_a, split_b),
+          sp2 AS (SELECT DISTINCT split FROM sp),
+          ap AS (SELECT a.split AS split_a, b.split AS split_b
+                 FROM sp2 a JOIN sp2 b ON a.split < b.split)
+          SELECT ap.split_a, ap.split_b,
+                 CAST(coalesce(m.n_leak_pairs, 0) AS BIGINT) AS n_leak_pairs,
+                 CAST(coalesce(m.n_docs_a, 0) AS BIGINT) AS n_docs_a,
+                 CAST(coalesce(m.n_docs_b, 0) AS BIGINT) AS n_docs_b,
+                 CAST(coalesce(m.n_shared_total, 0) AS BIGINT) AS n_shared_total
+          FROM ap LEFT JOIN m
+            ON ap.split_a = m.split_a AND ap.split_b = m.split_b
+          ORDER BY ap.split_a, ap.split_b""",
 
     // integer-only bigram LM replay: counts, integer division, and log2
     // floor via binary-string length — no float log on either engine

@@ -730,4 +730,29 @@ class CorpusSpec extends AnyFunSuite {
     // the leading class of size 2, that class has cb = 0 → bucket 1
     assert(got(10L)._3 == 1L)
   }
+
+  test("splitLeakageMatrix: planted leaks roll up; clean pairs report zero") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val leak = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, "tr", leak),                         // leaks into va 3 AND 4
+      (2L, "tr", "one two three four five six"),
+      (3L, "va", leak),
+      (4L, "va", leak + " extra tail tokens here"),
+      (5L, "te", "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "split", "text")
+    val got = graft.ext.Corpus.splitLeakageMatrix(docs, "text", "doc_id",
+      splitCol = "split", n = 5, minShared = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // all three ordered pairs present (te < tr < va lexicographically)
+    assert(got.keySet == Set(("te", "tr"), ("te", "va"), ("tr", "va")))
+    // the planted leak: doc 1 pairs with 3 and 4 — two leak pairs, one
+    // distinct doc on the tr side, two on the va side
+    assert(got(("tr", "va")) == ((2L, 1L, 2L)))
+    // clean pairs are EXPLICIT zeros, not missing rows
+    assert(got(("te", "tr")) == ((0L, 0L, 0L)))
+    assert(got(("te", "va")) == ((0L, 0L, 0L)))
+  }
 }
