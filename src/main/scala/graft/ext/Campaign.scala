@@ -91,6 +91,52 @@ object Campaign {
     nest(ordered)
   }
 
+  /** ROLL every member BACK to its pin under `name` — the cross-family
+    * undo: when post-release validation says the campaign's maintenance
+    * was wrong, one call returns the text index, manifest, and LM to the
+    * instant [[snapshot]] captured. Same fixed sorted-path lease order
+    * as the pin (deadlock-free against concurrent campaigns), and the
+    * same all-or-nothing entry check: every member must carry the pin
+    * before ANY is restored, so a partially-pinned name (or a member
+    * list that does not match the pin's) fails loudly up front. The
+    * restores themselves run inside the held leases, so no ingest batch
+    * can land between two members' rollbacks — the restored state is
+    * cross-family consistent by the same argument as the pin. A crash
+    * mid-restore leaves earlier members rolled back; rerunning converges
+    * (each member restore is idempotent). The pins survive.
+    */
+  def restore(spark: SparkSession, name: String,
+              members: Seq[Member]): Unit = {
+    require(members.nonEmpty, "a campaign needs at least one member")
+    val ordered = members.sortBy(_.path).toList
+    def nest(rest: List[Member]): Unit = rest match {
+      case Nil =>
+        val missing = ordered.filterNot(hasPin(spark, name, _))
+        require(missing.isEmpty,
+          s"campaign '$name' does not pin member(s) " +
+            s"${missing.map(_.path).mkString(", ")} — nothing restored")
+        ordered.foreach(restoreMember(spark, name, _))
+      case m :: tail =>
+        Stage.withWriterLease(spark, m.path)(nest(tail))
+    }
+    nest(ordered)
+  }
+
+  /** Does every component of `m` carry the pin `name`? */
+  private def hasPin(spark: SparkSession, name: String, m: Member): Boolean = {
+    val (_, comps) = componentsOf(m)
+    comps.forall(c =>
+      Stage.resolveSnapshot(spark, s"${m.path}/$c", name).isDefined)
+  }
+
+  private def restoreMember(spark: SparkSession, name: String,
+                            m: Member): Unit = m match {
+    case TextIndex(p)       => Search.restoreTextIndex(spark, p, name)
+    case MinhashManifest(p) => Dedup.restoreMinhashManifest(spark, p, name)
+    case Lm(p)              => Corpus.restoreLm(spark, p, name)
+    case IvfIndex(p)        => Similarity.restoreIvfIndex(spark, p, name)
+  }
+
   /** Release every member's pin under `name`. The pinned versions become
     * ordinary GC candidates at each family's next publish — or
     * immediately via [[vacuum]]. Idempotent (unknown names no-op). */

@@ -1079,6 +1079,29 @@ object Corpus {
         graft.ops.Stage.snapshot(spark, s"$path/$c", name))
     }
 
+  /** ROLL the live LM BACK to a [[snapshotLm]] pin
+    * ([[graft.ops.Stage.restoreSnapshot]] per component, under the root
+    * lease so bigrams and vocab flip as ONE state) — the undo for an
+    * ingest the scores say was poison. Where reverting ONE op is a
+    * negated-delta publish (see [[saveLm]]), restore undoes a whole
+    * campaign of deltas in one bytes-of-the-pin copy. Both components
+    * are checked for the pin BEFORE either is restored. The ledger is
+    * kept, so replays of rolled-back ingest batches stay no-ops —
+    * re-ingesting that content needs new batch/op ids (see
+    * [[Search.restoreTextIndex]] for the shared contract). */
+  def restoreLm(spark: org.apache.spark.sql.SparkSession,
+                path: String, name: String): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      val comps = Seq("bigrams", "vocab")
+      val missing = comps.filter(c =>
+        graft.ops.Stage.resolveSnapshot(spark, s"$path/$c", name).isEmpty)
+      require(missing.isEmpty,
+        s"snapshot '$name' does not pin component(s) " +
+          s"${missing.mkString(", ")} of $path — nothing restored")
+      comps.foreach(c =>
+        graft.ops.Stage.restoreSnapshot(spark, s"$path/$c", name))
+    }
+
   /** Release a [[snapshotLm]] pin; its versions become ordinary GC
     * candidates at the next publish — or immediately via [[vacuumLm]]. */
   def dropLmSnapshot(spark: org.apache.spark.sql.SparkSession,

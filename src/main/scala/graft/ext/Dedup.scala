@@ -892,6 +892,29 @@ object Dedup {
         graft.ops.Stage.snapshot(spark, s"$path/$c", name))
     }
 
+  /** ROLL the live manifest BACK to a [[snapshotMinhashManifest]] pin
+    * ([[graft.ops.Stage.restoreSnapshot]] per component, under the root
+    * lease so docs and bands flip as ONE maintenance state) — the undo
+    * for a forget/ingest campaign [[incrementalNearDupsDiff]] flagged
+    * as wrong. Both components are checked for the pin BEFORE either is
+    * restored (a typo'd name must not leave a mixed docs/bands pair).
+    * The pin survives; see [[Search.restoreTextIndex]] for the shared
+    * tombstone/ledger contract — in particular, a content-forget whose
+    * tombstone was already compacted away is resurrected by restoring a
+    * pre-forget pin and must be re-issued if it is to hold. */
+  def restoreMinhashManifest(spark: org.apache.spark.sql.SparkSession,
+                             path: String, name: String): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      val comps = Seq("docs", "bands")
+      val missing = comps.filter(c =>
+        graft.ops.Stage.resolveSnapshot(spark, s"$path/$c", name).isEmpty)
+      require(missing.isEmpty,
+        s"snapshot '$name' does not pin component(s) " +
+          s"${missing.mkString(", ")} of $path — nothing restored")
+      comps.foreach(c =>
+        graft.ops.Stage.restoreSnapshot(spark, s"$path/$c", name))
+    }
+
   /** Release a [[snapshotMinhashManifest]] pin; the pinned versions
     * become ordinary GC candidates at the next publish — or immediately
     * via [[vacuumMinhashManifest]]. */

@@ -440,6 +440,33 @@ object Search {
         graft.ops.Stage.snapshot(spark, s"$path/$c", name))
     }
 
+  /** ROLL the live index BACK to a [[snapshotTextIndex]] pin
+    * ([[graft.ops.Stage.restoreSnapshot]] per component, under the root
+    * lease so the three components flip as ONE maintenance state) — the
+    * undo for a delete/compaction campaign [[bm25MaintenanceDiff]]
+    * flagged as wrong. All three components are checked for the pin
+    * BEFORE any is restored, so a typo'd name fails loudly instead of
+    * leaving a mixed (restored postings, live doclens) index. The pin
+    * survives (restore consumes nothing); pending tombstones keep
+    * masking (a post-pin forget still holds), but a forget whose
+    * tombstone was already COMPACTED away is resurrected — re-issue it
+    * if it must outlive the rollback. A crash mid-restore leaves some
+    * components rolled back and others not; rerunning the restore
+    * converges (each component restore is an atomic pointer flip).
+    */
+  def restoreTextIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, name: String): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      val comps = Seq("postings", "doclens", "stats")
+      val missing = comps.filter(c =>
+        graft.ops.Stage.resolveSnapshot(spark, s"$path/$c", name).isEmpty)
+      require(missing.isEmpty,
+        s"snapshot '$name' does not pin component(s) " +
+          s"${missing.mkString(", ")} of $path — nothing restored")
+      comps.foreach(c =>
+        graft.ops.Stage.restoreSnapshot(spark, s"$path/$c", name))
+    }
+
   /** Release a [[snapshotTextIndex]] pin; the pinned versions become
     * ordinary GC candidates at the next publish — or immediately via
     * [[vacuumTextIndex]]. */

@@ -914,6 +914,21 @@ object Similarity {
       graft.ops.Stage.snapshot(spark, s"$path/lists", name)
     }
 
+  /** ROLL the live lists BACK to a [[snapshotIvfIndex]] pin
+    * ([[graft.ops.Stage.restoreSnapshot]]) — the undo for an
+    * append/forget campaign [[ivfMaintenanceDiff]] flagged as wrong.
+    * Centroids and meta are frozen at build, so restoring `lists/`
+    * restores the whole serveable state; the restored partition
+    * directories byte-match the pin, so dynamic partition pruning and
+    * the dequantization parameters serve exactly as at pin time. The
+    * pin survives; see [[Search.restoreTextIndex]] for the shared
+    * tombstone/ledger contract. */
+  def restoreIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, name: String): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      graft.ops.Stage.restoreSnapshot(spark, s"$path/lists", name)
+    }
+
   /** Release a [[snapshotIvfIndex]] pin; the pinned version becomes an
     * ordinary GC candidate at the next publish — or immediately via
     * [[vacuumIvfIndex]]. */

@@ -400,6 +400,91 @@ object Stage {
       spark.read.option("basePath", base).parquet(files: _*)
     }
 
+  /** ROLL BACK: make a named snapshot's pinned file set the LIVE state
+    * again, as a fresh forward publish — the version counter advances
+    * and the superseded (bad) state gets the normal one-cycle reader
+    * grace, so a rollback is itself an auditable maintenance op (and
+    * [[resolvePrevious]] immediately after serves the rolled-back-FROM
+    * state, which is exactly what a post-restore validation diff wants).
+    * This is the missing half of the pin → maintain → diff workflow:
+    * when the diff says the op was wrong, restore puts the pinned state
+    * back without a corpus rebuild.
+    *
+    * The restore COPIES the pinned file list into the new version rather
+    * than re-pointing at the pinned version directory: appends publish
+    * new files INTO the live version directory, so a pin of a
+    * then-live version can name a strict subset of its directory — a
+    * pointer flip would resurrect the post-pin batches the caller is
+    * rolling back (the same reason [[snapshot]] records file lists).
+    * Cost: one version's bytes, the same class as a compaction rewrite;
+    * the copy runs executor-parallel, so wall time is bytes /
+    * cluster-write-bandwidth, not a driver funnel. Byte-copying (not a
+    * DataFrame rewrite) preserves the pinned files exactly — sort
+    * order, row-group layout, and Hive partition directories survive,
+    * so the restored state serves bit-identically to the snapshot.
+    *
+    * What restore does NOT touch (each deliberate):
+    *  - the LEDGER: batch/op markers of rolled-back publishes remain
+    *    committed, so replays of those batches stay no-ops —
+    *    idempotency keys outlive the data they guarded (re-ingesting
+    *    rolled-back content needs NEW batch/op ids, the standard
+    *    event-sourcing contract). Keeping the markers is also what
+    *    makes the restored `b<id>-*`/`o<op>-*` file names safe from
+    *    [[sweepUncommitted]].
+    *  - pending TOMBSTONES: they keep masking the restored state, so a
+    *    forget issued after the pin still holds. A forget that was
+    *    already COMPACTED (tombstone consumed) is resurrected by
+    *    restoring a pre-forget pin — that is the point of rollback, but
+    *    right-to-be-forgotten callers must re-issue such forgets.
+    *  - other PINS (and this one): restore consumes nothing; the name
+    *    keeps serving and can be restored again.
+    *
+    * Idempotent under crash: if the copy dies, the pointer is untouched
+    * (the old state keeps serving) and the orphan version is swept by
+    * the next publish's GC — rerun to converge. Fails loudly on an
+    * unknown name or an empty pin.
+    */
+  def restoreSnapshot(spark: SparkSession, dir: String, name: String): Unit =
+    withWriterLease(spark, dir) {
+      val (pinnedDir, files) = resolveSnapshotFiles(spark, dir, name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot '$name' under $dir — nothing to restore"))
+      if (files.isEmpty) throw new IllegalStateException(
+        s"snapshot '$name' of $dir pinned no data files — the component " +
+          "was empty at pin time; an empty restore would publish an " +
+          "unreadable version")
+      // fidelity on real clusters: ship the driver's Hadoop conf entries
+      // to the copy tasks (fs.defaultFS, object-store credentials…) —
+      // a bare executor-side `new Configuration()` would only see
+      // whatever config files the executor image carries
+      val confEntries = {
+        val it = spark.sparkContext.hadoopConfiguration.iterator()
+        val b = Seq.newBuilder[(String, String)]
+        while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+        b.result()
+      }
+      val prefix = if (pinnedDir.endsWith("/")) pinnedDir else pinnedDir + "/"
+      publishRewrite(spark, dir) { versionDir =>
+        val pairs = files.map { src =>
+          require(src.startsWith(prefix),
+            s"pinned file $src is outside its version directory $pinnedDir")
+          (src, new Path(versionDir, src.stripPrefix(prefix)).toString)
+        }
+        val slices = math.max(1, math.min(pairs.size,
+          spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(pairs, slices).foreach {
+          case (src, dst) =>
+            val conf = new org.apache.hadoop.conf.Configuration()
+            confEntries.foreach { case (k, v) => conf.set(k, v) }
+            val s = new Path(src); val t = new Path(dst)
+            if (!org.apache.hadoop.fs.FileUtil.copy(
+                s.getFileSystem(conf), s, t.getFileSystem(conf), t,
+                false, conf))
+              throw new java.io.IOException(s"restore copy $src -> $dst failed")
+        }
+      }
+    }
+
   /** Release a named snapshot's pin. The pinned version is NOT deleted
     * here — the next publish's GC sweeps it (unless the pointer or
     * another snapshot still names it), the same deferred-sweep shape as

@@ -78,15 +78,75 @@ object CampaignQueries {
           col("n_bigrams").cast("double").as("v2"),
           col("total_bits").cast("double").as("v3"))
       bm.unionByName(nd).unionByName(lmScores).orderBy("family", "doc_id")
+    }),
+
+    "q144_campaign_rollback" -> ((s, d) => {
+      // q133's workflow taken one step further: pin, run the SAME
+      // destructive campaign on all three families (every tombstone
+      // compacted away — nothing pending masks), then decide the
+      // campaign was wrong and ROLL ALL THREE BACK with one
+      // Campaign.restore. The serves below are the ordinary LIVE
+      // paths — production reads, not snapshot reads — and must equal
+      // the same pre-maintenance union oracle: the restored file sets
+      // byte-match the pin, so every score is bit-stable.
+      val sf = sfTag(d)
+      val docs = t(s, d, "documents")
+      val text = s"target/graft-campaign-rb-text-$sf"
+      val mani = s"target/graft-campaign-rb-manifest-$sf"
+      val lm = s"target/graft-campaign-rb-lm-$sf"
+      Search.saveTextIndex(docs, text)
+      Search.compactTextIndex(s, text)
+      Dedup.saveMinhashManifest(
+        docs.where(pmod(col("doc_id"), lit(10)) < 5), "text", "doc_id",
+        mani, k = 32, bands = 16)
+      Dedup.compactMinhashManifest(s, mani)
+      val split = Corpus.splitAssign(docs, "text")
+      Corpus.saveLm(split.where(col("split") === "train"), "text", "doc_id",
+        lm)
+      val members = Seq(Campaign.TextIndex(text),
+        Campaign.MinhashManifest(mani), Campaign.Lm(lm))
+      Campaign.snapshot(s, "release_pin", members)
+      Search.deleteFromTextIndex(s, text,
+        docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"))
+      Search.compactTextIndex(s, text)
+      Dedup.deleteContentFromMinhashManifest(
+        docs.where(pmod(col("doc_id"), lit(10)) === 1), "text", mani)
+      Dedup.compactMinhashManifest(s, mani)
+      Corpus.appendToLm(split.where(col("split") === "val"), lm,
+        "text", "doc_id", opId = "grow_val")
+      Corpus.compactLm(s, lm)
+      Campaign.restore(s, "release_pin", members)
+      val bm = Search.bm25TopKIndexed(s, text,
+          SearchQueries.bmTerms, k = 20,
+          k1 = SearchQueries.k1, b = SearchQueries.b)
+        .select(lit("bm25").as("family"), col("doc_id"),
+          col("score").as("v1"), col("rank").cast("double").as("v2"),
+          col("dl").cast("double").as("v3"))
+      val nd = Dedup.incrementalNearDups(
+          docs.where(pmod(col("doc_id"), lit(10)) >= 5), mani,
+          "text", "doc_id", threshold = 0.9)
+        .select(lit("neardup").as("family"), col("doc_id"),
+          col("near_jaccard").as("v1"),
+          col("is_near_dup").cast("double").as("v2"),
+          lit(null).cast("double").as("v3"))
+      val lmScores = Corpus.lmPerplexityIndexed(
+          split.where(col("split") === "test" && col("text").isNotNull),
+          lm, "text", "doc_id")
+        .select(lit("lm").as("family"), col("doc_id"),
+          col("bits_x100").cast("double").as("v1"),
+          col("n_bigrams").cast("double").as("v2"),
+          col("total_bits").cast("double").as("v3"))
+      bm.unionByName(nd).unionByName(lmScores).orderBy("family", "doc_id")
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    // the three families' existing full-corpus replays (q102 / q84 /
-    // q91 — maintenance must be invisible through the pin), composed
-    // with the same per-family projections the query applies
-    "q133_campaign_snapshot" ->
-      s"""SELECT * FROM (
+  /** The three families' existing full-corpus replays (q102 / q84 /
+    * q91), composed with the same per-family projections the queries
+    * apply. Shared by q133 (maintenance must be invisible through the
+    * pin) and q144 (a restore must make the LIVE state equal the pin).
+    */
+  private val unionReplay: String =
+    s"""SELECT * FROM (
             SELECT 'bm25' AS family, doc_id, score AS v1,
                    CAST(rank AS DOUBLE) AS v2, CAST(dl AS DOUBLE) AS v3
             FROM (${SearchQueries.bm25SqlOver("SELECT * FROM documents")})
@@ -102,5 +162,9 @@ object CampaignQueries {
                    CAST(total_bits AS DOUBLE) AS v3
             FROM (${CorpusQueries.lmIndexedReplay})
           ) ORDER BY family, doc_id"""
+
+  val oracles: Map[String, String] = Map(
+    "q133_campaign_snapshot" -> unionReplay,
+    "q144_campaign_rollback" -> unionReplay
   )
 }

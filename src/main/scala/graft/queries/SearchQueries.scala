@@ -197,6 +197,27 @@ object SearchQueries {
         k = 20, k1 = k1, b = b)
     }),
 
+    "q143_index_rollback" -> ((s, d) => {
+      // ROLLBACK as an operator — the missing half of the pin → maintain
+      // → diff workflow: pin, run a destructive campaign (delete a tenth,
+      // then compact so the tombstone is CONSUMED — nothing pending masks
+      // afterwards), then RESTORE the pin as the LIVE state and serve the
+      // ordinary live path. Must equal fresh compute over the FULL
+      // corpus, q102's oracle verbatim: the restored files byte-match the
+      // pin, so scoring is bit-identical to the pre-campaign index.
+      val sf = sfTag(d)
+      val path = s"target/graft-text-index-rollback-$sf"
+      val docs = t(s, d, "documents")
+      Search.saveTextIndex(docs, path)
+      Search.compactTextIndex(s, path)
+      Search.snapshotTextIndex(s, path, "pre_campaign")
+      Search.deleteFromTextIndex(s, path,
+        docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"))
+      Search.compactTextIndex(s, path)
+      Search.restoreTextIndex(s, path, "pre_campaign")
+      Search.bm25TopKIndexed(s, path, bmTerms, k = 20, k1 = k1, b = b)
+    }),
+
     "q128_maintenance_diff" -> ((s, d) => {
       // the validation workflow AS AN OPERATOR: after a delete, diff the
       // superseded snapshot's top-k against the live one — per document,
@@ -387,6 +408,11 @@ object SearchQueries {
     // q127 serves a NAMED snapshot pinned before a two-op maintenance
     // campaign — still the full corpus, however many publishes later
     "q127_index_named_snapshot" -> bm25SqlOver("SELECT * FROM documents"),
+
+    // q143 restores the pre-campaign pin as the LIVE state after a
+    // delete + compaction — the live serve is the full corpus again,
+    // exactly as if the campaign never ran
+    "q143_index_rollback" -> bm25SqlOver("SELECT * FROM documents"),
 
     // q128 diffs the pre-delete ranking against the live one: both
     // rankings replayed (full corpus vs survivors), same outer join,

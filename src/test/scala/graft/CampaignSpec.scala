@@ -83,6 +83,80 @@ class CampaignSpec extends AnyFunSuite {
     }
   }
 
+  test("Campaign.restore rolls every member back to the pin at one instant") {
+    val text = "target/graft-test-campaign-rs-text"
+    val mani = "target/graft-test-campaign-rs-mani"
+    val lm = "target/graft-test-campaign-rs-lm"
+    wipe(text, mani, lm)
+    val docs = docRows.toDF("doc_id", "text")
+    Search.saveTextIndex(docs, text)
+    Search.compactTextIndex(spark, text)
+    Dedup.saveMinhashManifest(docs.where(col("doc_id") <= 4),
+      "text", "doc_id", mani, k = 16, bands = 8)
+    Dedup.compactMinhashManifest(spark, mani)
+    Corpus.saveLm(docs.where(col("doc_id") <= 4), "text", "doc_id", lm)
+    val members = Seq(Campaign.TextIndex(text),
+      Campaign.MinhashManifest(mani), Campaign.Lm(lm))
+    val probe = docs.where(col("doc_id") >= 5)
+    // the LIVE serve paths — what production reads between campaigns
+    def servedLive() = (
+      Search.bm25TopKIndexed(spark, text, Seq("spark"), 10)
+        .collect().map(_.toSeq).toSeq,
+      Dedup.incrementalNearDups(probe, mani, "text", "doc_id")
+        .collect().map(_.toSeq).toSeq,
+      Corpus.lmPerplexityIndexed(probe, lm, "text", "doc_id")
+        .collect().map(_.toSeq).toSeq)
+    Campaign.snapshot(spark, "rel", members)
+    val atPin = servedLive()
+    // a destructive campaign on ALL THREE members, fully compacted so
+    // nothing pending masks and the tombstones are CONSUMED
+    Search.deleteFromTextIndex(spark, text, Seq(1L).toDF("doc_id"))
+    Search.compactTextIndex(spark, text)
+    Dedup.deleteContentFromMinhashManifest(
+      docs.where(col("doc_id") === 1), "text", mani)
+    Dedup.compactMinhashManifest(spark, mani)
+    Corpus.appendToLm(docs.where(col("doc_id") === 6), lm, "text",
+      "doc_id", opId = "grow6")
+    Corpus.compactLm(spark, lm)
+    assert(servedLive() != atPin) // the campaign changed what serves
+    // ONE restore call returns all three to the pinned instant
+    Campaign.restore(spark, "rel", members)
+    assert(servedLive() == atPin)
+    // the pins survive a restore — a second rollback still works
+    Search.deleteFromTextIndex(spark, text, Seq(3L).toDF("doc_id"))
+    Search.compactTextIndex(spark, text)
+    Campaign.restore(spark, "rel", members)
+    assert(servedLive() == atPin)
+    Campaign.drop(spark, "rel", members)
+  }
+
+  test("Campaign.restore is all-or-nothing: a member missing the pin restores nothing") {
+    val text = "target/graft-test-campaign-rs2-text"
+    val text2 = "target/graft-test-campaign-rs2-text2"
+    wipe(text, text2)
+    val docs = docRows.toDF("doc_id", "text")
+    Search.saveTextIndex(docs, text)
+    Search.compactTextIndex(spark, text)
+    Search.saveTextIndex(docs, text2)
+    Search.compactTextIndex(spark, text2)
+    // pin only ONE member under the name
+    Campaign.snapshot(spark, "rel", Seq(Campaign.TextIndex(text)))
+    Search.deleteFromTextIndex(spark, text, Seq(1L).toDF("doc_id"))
+    Search.compactTextIndex(spark, text)
+    def live() = Search.bm25TopKIndexed(spark, text, Seq("spark"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(live() == Set(2L, 3L, 5L)) // "spark" docs minus the deleted 1
+    // restoring a campaign that CLAIMS both members must fail up front —
+    // and the member that DOES carry the pin must not be restored
+    val boom = intercept[IllegalArgumentException] {
+      Campaign.restore(spark, "rel",
+        Seq(Campaign.TextIndex(text), Campaign.TextIndex(text2)))
+    }
+    assert(boom.getMessage.contains(text2))
+    assert(live() == Set(2L, 3L, 5L)) // text untouched by the failed restore
+    Campaign.drop(spark, "rel", Seq(Campaign.TextIndex(text)))
+  }
+
   test("a failed member pin rolls back the whole campaign") {
     val text = "target/graft-test-campaign-rb-text"
     val mani = "target/graft-test-campaign-rb-mani"

@@ -671,6 +671,68 @@ class StageSpec extends AnyFunSuite {
     assert(values(root) == Set(4L))
   }
 
+  test("restoreSnapshot republishes exactly the pinned FILES as a forward version") {
+    val root = "target/graft-test-stage-restore"
+    fs(root).delete(new Path(root), true)
+    Stage.publishRewrite(spark, root, Seq(1L, 2L).toDF("v")) // → v1
+    Stage.snapshot(spark, root, "pin")
+    // an append lands new files INTO the live v1 — the pin's file list
+    // is now a strict subset of v1's directory, so a pointer-flip
+    // restore would resurrect the post-pin batch
+    Seq(99L).toDF("v").write.mode("append").parquet(s"$root/v00000001")
+    assert(values(root) == Set(1L, 2L, 99L))
+    Stage.publishRewrite(spark, root, Seq(7L).toDF("v")) // "bad campaign" → v2
+    assert(values(root) == Set(7L))
+    Stage.restoreSnapshot(spark, root, "pin") // → v3, copied from the pin
+    // the restore serves the PINNED files — not v1's directory
+    assert(values(root) == Set(1L, 2L))
+    assert(Stage.resolve(spark, root) == s"$root/v00000003")
+    // a FORWARD publish: the rolled-back-FROM state is the grace
+    // version, so a post-restore validation diff can still serve it
+    assert(Stage.resolvePrevious(spark, root).contains(s"$root/v00000002"))
+    assert(spark.read.parquet(Stage.resolvePrevious(spark, root).get)
+      .collect().map(_.getLong(0)).toSet == Set(7L))
+    // the pin survives (restore consumes nothing) — restoring again
+    // converges to the same state
+    Stage.restoreSnapshot(spark, root, "pin") // → v4
+    assert(values(root) == Set(1L, 2L))
+    // unknown names fail loudly, and the pointer is untouched
+    intercept[IllegalArgumentException] {
+      Stage.restoreSnapshot(spark, root, "nope")
+    }
+    assert(values(root) == Set(1L, 2L))
+  }
+
+  test("restoreTextIndex is all-or-nothing and keeps pending tombstones masking") {
+    val idx = "target/graft-test-restore-text"
+    fs(idx).delete(new Path(idx), true)
+    Search.saveTextIndex(Seq(
+      (1L, "spark join spark"),
+      (2L, "stream window table"),
+      (3L, "spark stream join")).toDF("doc_id", "text"), idx)
+    Search.compactTextIndex(spark, idx) // migrate → versioned
+    Search.snapshotTextIndex(spark, idx, "pin")
+    def live() = Search.bm25TopKIndexed(spark, idx, Seq("spark"), 10)
+      .collect().map(_.getLong(0)).toSet
+    // a typo'd name fails BEFORE any component is restored
+    val boom = intercept[IllegalArgumentException] {
+      Search.restoreTextIndex(spark, idx, "npie")
+    }
+    assert(boom.getMessage.contains("postings"))
+    assert(live() == Set(1L, 3L))
+    // a post-pin forget whose tombstone is still PENDING keeps masking
+    // across the restore — right-to-be-forgotten survives the rollback
+    // (restore touches versioned components, never the tombstone dir)
+    Search.tombstoneFromTextIndex(spark, idx, Seq(1L).toDF("doc_id"))
+    assert(live() == Set(3L))
+    Search.restoreTextIndex(spark, idx, "pin")
+    assert(live() == Set(3L)) // doc 1 stays masked
+    // ...but a COMPACTED (consumed) forget is resurrected by the pin
+    Search.compactTextIndex(spark, idx) // consume the tombstone
+    Search.restoreTextIndex(spark, idx, "pin")
+    assert(live() == Set(1L, 3L))
+  }
+
   test("pendingOps surfaces a crashed publishOnce until its retry commits") {
     val idx = "target/graft-test-pending-ops"
     fs(idx).delete(new Path(idx), true)
