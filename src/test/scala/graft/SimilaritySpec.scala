@@ -597,6 +597,38 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("restoreIvfIndex makes the pinned lists the LIVE serve again") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deq = emb.select(col("vec_id"),
+      Similarity.dequantize(
+        Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+    val cents = Similarity.sampleCentroids(deq, 16)
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-ivf-restore-").toString
+    Similarity.saveIvfIndex(emb, idx, nCentroids = 16, dim = 64,
+      quantScale = 200.0, centroidsIn = cents)
+    val qset = deq.where(col("vec_id") < 5)
+    def live() = Similarity.topKIvfIndexed(spark, qset, idx, k = 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val atPin = live()
+    Similarity.snapshotIvfIndex(spark, idx, "pre_campaign")
+    // destructive campaign, fully compacted — nothing pending masks
+    Similarity.deleteFromIvfIndex(spark, idx,
+      emb.where(pmod(col("vec_id"), lit(3)) === 1).select("vec_id"))
+    Similarity.compactIvfIndex(spark, idx)
+    assert(live() != atPin)
+    // centroids/meta are frozen at build, so restoring lists/ restores
+    // the whole serveable state — scores bit-match the pre-campaign serve
+    Similarity.restoreIvfIndex(spark, idx, "pre_campaign")
+    assert(live() == atPin)
+    // a typo'd name fails loudly, live state untouched
+    intercept[IllegalArgumentException] {
+      Similarity.restoreIvfIndex(spark, idx, "nope")
+    }
+    assert(live() == atPin)
+  }
+
   test("hardNegatives mines cross-label neighbors only, ranked by cosine") {
     val spark = TestSpark.spark
     import spark.implicits._
