@@ -399,6 +399,14 @@ object ScaleProbe {
       time(s"${k}x campaign-pin(3 families)") {
         graft.ext.Campaign.snapshot(spark, "probe_pin", members); "pinned"
       }
+      // restore is the one snapshot op that MOVES DATA (executor-parallel
+      // byte copies of the pinned version) — unlike the metadata-only
+      // pin, its wall time should track bytes / write-parallelism, i.e.
+      // grow with k but stay far under a rebuild (no shuffle, no
+      // banding/counting compute — just copies)
+      time(s"${k}x campaign-restore(3 families)") {
+        graft.ext.Campaign.restore(spark, "probe_pin", members); "restored"
+      }
       time(s"${k}x campaign-drop+vacuum") {
         graft.ext.Campaign.drop(spark, "probe_pin", members)
         graft.ext.Campaign.vacuum(spark, members); "reclaimed"
