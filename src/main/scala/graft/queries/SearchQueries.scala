@@ -218,6 +218,29 @@ object SearchQueries {
       Search.bm25TopKIndexed(s, path, bmTerms, k = 20, k1 = k1, b = b)
     }),
 
+    "q145_rollback_audit" -> ((s, d) => {
+      // AUDIT THE ROLLBACK ITSELF: a restore is a forward publish, so
+      // the state it superseded — the bad campaign's result — becomes
+      // the PREVIOUS version, and the standard maintenance diff now
+      // reads "what did the rollback change": every doc the campaign
+      // deleted re-ENTERS, survivors' scores shift back with the
+      // corpus stats. Same operator as q128 (nothing rollback-specific
+      // to build — that is the point of restore being an ordinary
+      // publish); the oracle replays both rankings with the sides
+      // swapped relative to q128's.
+      val sf = sfTag(d)
+      val path = s"target/graft-text-index-rb-audit-$sf"
+      val docs = t(s, d, "documents")
+      Search.saveTextIndex(docs, path)
+      Search.compactTextIndex(s, path)
+      Search.snapshotTextIndex(s, path, "pre_campaign")
+      Search.deleteFromTextIndex(s, path,
+        docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"))
+      Search.compactTextIndex(s, path)
+      Search.restoreTextIndex(s, path, "pre_campaign")
+      Search.bm25MaintenanceDiff(s, path, bmTerms, k = 20, k1 = k1, b = b)
+    }),
+
     "q128_maintenance_diff" -> ((s, d) => {
       // the validation workflow AS AN OPERATOR: after a delete, diff the
       // superseded snapshot's top-k against the live one — per document,
@@ -428,6 +451,23 @@ object SearchQueries {
           FROM (${bm25SqlOver("SELECT * FROM documents")}) bef
           FULL OUTER JOIN
                (${bm25SqlOver("SELECT * FROM documents WHERE doc_id % 10 <> 3")}) aft
+          ON bef.doc_id = aft.doc_id
+          ORDER BY doc_id""",
+
+    // q145 diffs the rolled-back-FROM state (survivors) against the
+    // restored live state (full corpus) — q128's replay, sides swapped:
+    // the campaign's deletions show as 'entered' (they re-enter live)
+    "q145_rollback_audit" ->
+      s"""SELECT coalesce(bef.doc_id, aft.doc_id) AS doc_id,
+                 bef.score AS score_before, bef.rank AS rank_before,
+                 aft.score AS score_after, aft.rank AS rank_after,
+                 CASE WHEN aft.doc_id IS NULL THEN 'dropped'
+                      WHEN bef.doc_id IS NULL THEN 'entered'
+                      WHEN bef.rank <> aft.rank THEN 'moved'
+                      ELSE 'held' END AS status
+          FROM (${bm25SqlOver("SELECT * FROM documents WHERE doc_id % 10 <> 3")}) bef
+          FULL OUTER JOIN
+               (${bm25SqlOver("SELECT * FROM documents")}) aft
           ON bef.doc_id = aft.doc_id
           ORDER BY doc_id""",
 
