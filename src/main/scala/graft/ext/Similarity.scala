@@ -116,6 +116,56 @@ object Similarity {
     * report recall 0, not absence. recall = n_hit / k_exact with both
     * operands small exact integers — bit-identical in any engine.
     */
+  /** SEMANTIC DECONTAMINATION: for every train vector, its maximum
+    * cosine against a held-out probe/eval set, the probe that attains
+    * it, and a `is_contaminated` verdict at `threshold` — the
+    * embedding-space complement of the n-gram decontamination family
+    * (exact/substring overlap can be paraphrased away; an eval item
+    * reworded still lands next to its source in embedding space).
+    *
+    * SCALE SHAPE — the whole point of the operator: the probe set is
+    * small by nature (an eval suite, not a corpus), so it is folded
+    * into ONE row of (id, vec, norm) structs and broadcast; scoring is
+    * then a map-only `aggregate` HOF pass over the train side — ZERO
+    * shuffle at any train size, no groupBy, no window, no per-pair row
+    * explosion (the |train|·|probe| pairs exist only inside the fold).
+    * Contrast [[topKBruteForce]], which materializes the pair relation
+    * because it must rank per QUERY; here the max is per TRAIN row, so
+    * the reduction lives in the row itself. Argmax ties break to the
+    * smallest probe id (probes fold in ascending-id order with a
+    * strict `>`), mirroring the oracle's (cos DESC, id ASC) rank.
+    * Train rows are scored against every probe INCLUDING an identical
+    * twin if the caller passes overlapping sets — disjointness is the
+    * caller's split contract, not re-checked here.
+    */
+  def semanticDecontam(train: DataFrame, probe: DataFrame,
+                       threshold: Double, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val probes = probe
+      .select(struct(col(idCol).as("pid"),
+        col(vecCol).cast("array<double>").as("pv"),
+        norm(col(vecCol)).as("pnrm")).as("p"))
+      .agg(sort_array(collect_list(col("p"))).as("probes")) // pid asc
+    val t = train.select(col(idCol),
+      col(vecCol).cast("array<double>").as("tv"),
+      norm(col(vecCol)).as("tnrm"))
+    val init = struct(lit(-2.0).as("cos"), lit(-1L).as("pid"))
+    t.crossJoin(broadcast(probes))
+      .withColumn("best",
+        aggregate(col("probes"), init, (acc, p) => {
+          val c = dot(col("tv"), p.getField("pv")) /
+            (col("tnrm") * p.getField("pnrm"))
+          when(c > acc.getField("cos"),
+            struct(c.as("cos"), p.getField("pid").as("pid")))
+            .otherwise(acc)
+        }))
+      .select(col(idCol),
+        col("best.pid").as("nearest_probe_id"),
+        col("best.cos").as("max_probe_cos"),
+        (col("best.cos") >= lit(threshold)).as("is_contaminated"))
+      .orderBy(idCol)
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val ex = exact.select(col("query_id"), col("neighbor_id"))
     val ap = approx.select(col("query_id"), col("neighbor_id"))

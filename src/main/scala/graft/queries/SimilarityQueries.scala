@@ -328,6 +328,21 @@ object SimilarityQueries {
         centroidsIn = Similarity.sampleCentroids(emb, 16))
     }),
 
+    "q146_semantic_decontam" -> ((s, d) => {
+      // embedding-space decontamination: every train vector's max cosine
+      // against the held-out probe slice (vec_id % 20 == 7 — an "eval
+      // suite" by construction), argmax probe, and the ≥0.35 verdict
+      // (p90 of the max-cos distribution sits at ~0.33, so both
+      // verdicts appear). The probe set folds to ONE broadcast row of
+      // structs and scoring is a map-only HOF pass — zero shuffle at
+      // any train size; the oracle replays the full cross join + argmax
+      val emb = t(s, d, "embeddings")
+      Similarity.semanticDecontam(
+        emb.where(pmod(col("vec_id"), lit(20)) =!= 7),
+        emb.where(pmod(col("vec_id"), lit(20)) === 7),
+        threshold = 0.35)
+    }),
+
     "q114_stream_ivf_ingest" -> ((s, d) => {
       // the IVF ingest loop CLOSED over streaming (q109's shape for the
       // ANN index): an index SHELL is built first — frozen full-corpus
@@ -928,6 +943,28 @@ object SimilarityQueries {
           SELECT query_id, neighbor_id, cos_sim, rank
           FROM ranked WHERE rank <= 10
           ORDER BY query_id, rank""",
+
+    // every train×probe cosine, argmax per train row by (cos DESC,
+    // probe id ASC) — the rank rule mirroring the engine's ascending-id
+    // strict-> fold — then the threshold verdict
+    "q146_semantic_decontam" ->
+      s"""WITH e AS ($normed),
+              probe AS (SELECT * FROM e WHERE vec_id % 20 = 7),
+              train AS (SELECT * FROM e WHERE vec_id % 20 <> 7),
+              scored AS (
+                SELECT t.vec_id, p.vec_id AS pid,
+                       ${duckDot("t.embedding", "p.embedding")}
+                         / (t.nrm * p.nrm) AS c
+                FROM train t CROSS JOIN probe p),
+              ranked AS (
+                SELECT vec_id, pid, c,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY c DESC, pid) AS r
+                FROM scored)
+          SELECT vec_id, pid AS nearest_probe_id, c AS max_probe_cos,
+                 c >= 0.35 AS is_contaminated
+          FROM ranked WHERE r = 1
+          ORDER BY vec_id""",
 
     // q39's assignment replay (raw vectors, sample centroids), then the
     // within-cell pair search: dup_of = min earlier same-cell id with

@@ -495,6 +495,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan.take(3000))
   }
 
+  test("q146 semantic decontam: probe folds to one broadcast row; train never hash-shuffles") {
+    val plan = planOf("q146_semantic_decontam")
+    // the |train|·|probe| pairs exist only inside the HOF fold — the one
+    // join is the broadcast of the single probes row; no per-pair row
+    // explosion, no window, and the train side is never re-keyed (the
+    // only exchanges are the probe-side single-partition fold and the
+    // final deterministic sort)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+  }
+
   test("q138 embedding drift: assignment is map work; k-row drift join") {
     val plan = planOf("q138_embedding_drift")
     // argmax-dot assignment against literal centroids — the ONLY join

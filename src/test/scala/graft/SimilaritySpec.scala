@@ -597,6 +597,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDecontam: max-cos verdicts with smallest-probe-id argmax ties") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // cos 1.0 vs both probes — tie → probe 100
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal to both → cos 0.0, clean
+      (3L, Seq(0.8f, 0.6f))    // cos 0.8 vs probes — contaminated at 0.5
+    ).toDF("vec_id", "embedding")
+    val probe = Seq(
+      (101L, Seq(2.0f, 0.0f)), // same DIRECTION as 100 (cosine ignores scale)
+      (100L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontam(train, probe, threshold = 0.5)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._4)) == Seq(
+      (1L, 100L, true),   // exact-equal cosines: ascending-id fold keeps 100
+      (2L, 100L, false),
+      (3L, 100L, true)))
+    assert(math.abs(out(2)._3 - 0.8) < 1e-6) // float32 literals widen inexactly
+  }
+
   test("restoreIvfIndex makes the pinned lists the LIVE serve again") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val deq = emb.select(col("vec_id"),
