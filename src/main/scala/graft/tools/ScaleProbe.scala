@@ -171,6 +171,25 @@ object ScaleProbe {
       }
     }
 
+    // ---- semantic decontam (q146): probe set broadcast once, scoring a
+    // map-only HOF fold — wall should be LINEAR in train rows (no
+    // shuffle to go super-linear, no pair relation to go quadratic)
+    if (sel("semdecon")) for (k <- Seq(1, n)) {
+      val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val probeSet = embBase.where(pmod(col("vec_id"), lit(20)) === 7)
+        .localCheckpoint()
+      val train = (0 until k).map(i => embBase
+        .where(pmod(col("vec_id"), lit(20)) =!= 7)
+        .select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ union _).localCheckpoint()
+      time(s"${k}x semantic-decontam") {
+        graft.ext.Similarity.semanticDecontam(train, probeSet, 0.35)
+          .agg(sum(col("is_contaminated").cast("long"))).head()
+      }
+    }
+
     // ---- LM maintenance cost (q91/q107/q116): with additive delta
     // counts, append and delete are BATCH-sized (one delta write) while
     // the fold defers to compaction — the same shape as the manifest's
