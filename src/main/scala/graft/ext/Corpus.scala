@@ -57,6 +57,44 @@ object Corpus {
     df.where(pmod(TextAnalysis.fingerprint(col(textCol)), lit(1000L)) < rate)
   }
 
+  /** DETERMINISTIC EPOCH SHUFFLE: per (epoch, id), a shard assignment
+    * and an intra-shard sort key — the reproducible training-order
+    * primitive. Training wants a different document order every epoch,
+    * the SAME order for the same epoch on every rerun (resume-from-step,
+    * loss-spike forensics, data-order ablations), and it wants the
+    * order WITHOUT a global sort: shard = seeded-hash mod `nShards` is
+    * a map-only label, so the writer can `partitionBy(shard)` and sort
+    * WITHIN shards — each a bounded, parallel sort; readers stream
+    * shards in id order and rows in key order, a total order no single
+    * node ever materializes. No RNG anywhere: the key is
+    * md5(epoch ":" id), so the permutation is a pure function of the
+    * epoch number — any worker, any partitioning, any restart agrees.
+    * (md5 over the epoch-salted id, not a cheaper non-crypto hash,
+    * because the ORACLE must replay it: both engines spell md5
+    * identically, and at one hash per row per epoch the cost is noise
+    * next to reading the row.) Shard uniformity comes from the first
+    * two hex nibbles (256 cells folded mod nShards, ≤256 enforced so
+    * the fold stays balanced).
+    */
+  def epochShards(df: DataFrame, idCol: String, epoch: Int,
+                  nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 256,
+      s"nShards must be in [1,256], got $nShards (shards fold from two " +
+        "hex nibbles = 256 cells; more shards would be non-uniform)")
+    require(epoch >= 0, s"epoch must be non-negative, got $epoch")
+    df.select(col(idCol), lit(epoch).as("epoch"),
+        md5(concat_ws(":", lit(epoch), col(idCol).cast("string")))
+          .as("sort_key"))
+      // nibble positions via locate over the hex alphabet — spelled the
+      // same way in the DuckDB oracle (strpos), unlike a hex→int conv
+      // which DuckDB lacks
+      .withColumn("shard", pmod(
+        (expr("locate(substring(sort_key, 1, 1), '0123456789abcdef')") * 16
+          + expr("locate(substring(sort_key, 2, 1), '0123456789abcdef')"))
+          .cast("int"),
+        lit(nShards)))
+  }
+
   /** Sequence packing: assign each document a pack id such that packs are
     * filled to `budget` tokens in doc-id order WITHIN each shard column
     * (source, split, …). pack = floor(tokens-before-this-doc / budget) —

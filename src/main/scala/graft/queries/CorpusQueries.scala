@@ -20,6 +20,20 @@ object CorpusQueries {
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")),
 
+    "q147_epoch_shards" -> ((s, d) => {
+      // two epochs of the deterministic training-order shuffle over one
+      // corpus: per (epoch, doc), the shard label and intra-shard sort
+      // key. The epochs must be DIFFERENT permutations of the SAME docs
+      // (the oracle replays both md5 keys and both shard folds), and
+      // everything is a map-only label — the one exchange is the final
+      // deterministic presentation sort
+      val docs = t(s, d, "documents")
+      Corpus.epochShards(docs, "doc_id", epoch = 0, nShards = 16)
+        .unionByName(
+          Corpus.epochShards(docs, "doc_id", epoch = 1, nShards = 16))
+        .orderBy("epoch", "shard", "sort_key", "doc_id")
+    }),
+
     "q54_decontaminate" -> ((s, d) => {
       val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
       Corpus.decontaminate(
@@ -582,6 +596,21 @@ object CorpusQueries {
                      ELSE 0.0 END AS shared_frac
          FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
          ORDER BY d.doc_id""",
+
+    // both epochs' md5 keys and the two-nibble shard fold, spelled with
+    // strpos over the same hex alphabet as the engine's locate
+    "q147_epoch_shards" ->
+      s"""WITH k AS (
+            SELECT doc_id, e.epoch,
+                   md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                       CAST(doc_id AS VARCHAR)) AS sort_key
+            FROM documents CROSS JOIN (VALUES (0), (1)) AS e(epoch))
+          SELECT doc_id, epoch, sort_key,
+                 CAST((strpos('0123456789abcdef', substr(sort_key, 1, 1)) * 16
+                       + strpos('0123456789abcdef', substr(sort_key, 2, 1)))
+                      % 16 AS INTEGER) AS shard
+          FROM k
+          ORDER BY epoch, shard, sort_key, doc_id""",
 
     "q53_split_assign" ->
       s"""SELECT doc_id, CAST(fp % 100 AS INTEGER) AS bucket,

@@ -36,6 +36,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.size == 200)
   }
 
+  test("epochShards: reproducible per epoch, distinct across epochs, balanced") {
+    val df = docs.toDF("doc_id", "text")
+    def run(epoch: Int, partitions: Int) =
+      Corpus.epochShards(df.repartition(partitions), "doc_id", epoch, 16)
+        .select("doc_id", "shard", "sort_key")
+        .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    // the same epoch is the same permutation on ANY partitioning/rerun
+    assert(run(3, 1) == run(3, 11))
+    // different epochs produce different orders over the same docs
+    val e0 = run(0, 4); val e1 = run(1, 4)
+    assert(e0.map(_._1) == e1.map(_._1)) // same docs...
+    assert(e0.map(_._3) != e1.map(_._3)) // ...different keys
+    assert(e0.map(r => (r._1, r._2)) != e1.map(r => (r._1, r._2))) // reshuffled shards
+    // shards are in range and roughly balanced (200 docs over 16 shards:
+    // expected 12.5; a uniform fold should keep every cell under ~3x)
+    val sizes = e0.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.keys.forall(s => s >= 0 && s < 16))
+    assert(sizes.values.max <= 38, sizes.toMap.toString)
+    // shard bound enforced (the two-nibble fold covers 256 cells)
+    intercept[IllegalArgumentException] {
+      Corpus.epochShards(df, "doc_id", epoch = 0, nShards = 257)
+    }
+  }
+
   test("mixtureSample keeps configured per-source fractions, deterministically") {
     val df = (docs.map { case (id, tx) => (id, tx, "web") } ++
       docs.map { case (id, tx) => (id + 1000L, tx + " curated", "books") })
