@@ -57,6 +57,40 @@ object Corpus {
     df.where(pmod(TextAnalysis.fingerprint(col(textCol)), lit(1000L)) < rate)
   }
 
+  /** TEMPERATURE-FLATTENED mixture resampling at α = 1/2 — the
+    * multilingual/multi-source rebalancing practice: sampling
+    * probability ∝ n_source^α flattens the source distribution, so a
+    * per-document keep rate ∝ n^(α−1) = 1/√n downweights dominant
+    * sources toward the √-scaled mix while the SMALLEST source anchors
+    * at 1000‰ (kept whole — rare sources are the ones temperature
+    * sampling exists to protect). α is fixed at 1/2 because the rate
+    * must replay bit-identically in the oracle: `sqrt` is
+    * IEEE-exact in any engine where a general `pow` is not, and the
+    * rate is computed as the single expression
+    * floor((1000·√n_min)/√n_s) — one multiply, one divide, one floor,
+    * in a spelled order both engines share. The keep decision is the
+    * same content-fingerprint bucket as [[mixtureSample]]: no RNG,
+    * stable under re-partitioning.
+    *
+    * Scale: one tiny per-source count aggregation (|sources| rows), the
+    * 1-row min broadcast onto it, and the rate table broadcast onto the
+    * corpus — the corpus itself is never shuffled; the filter is
+    * map-side. Output keeps `n_source` and `rate_pm` so the mix report
+    * rides along with the sample.
+    */
+  def temperatureResample(df: DataFrame, textCol: String,
+                          sourceCol: String): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_source"))
+    val minN = counts.agg(min(col("n_source")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(sourceCol), col("n_source"),
+        floor((lit(1000) * sqrt(col("n_min"))) / sqrt(col("n_source")))
+          .cast("long").as("rate_pm"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .where(pmod(TextAnalysis.fingerprint(col(textCol)), lit(1000L))
+        < col("rate_pm"))
+  }
+
   /** DETERMINISTIC EPOCH SHUFFLE: per (epoch, id), a shard assignment
     * and an intra-shard sort key — the reproducible training-order
     * primitive. Training wants a different document order every epoch,

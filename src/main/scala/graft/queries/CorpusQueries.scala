@@ -34,6 +34,22 @@ object CorpusQueries {
         .orderBy("epoch", "shard", "sort_key", "doc_id")
     }),
 
+    "q148_temperature_mixture" -> ((s, d) => {
+      // α=1/2 temperature flattening over a deliberately SKEWED source
+      // grouping (the testdata's sources are uniform, which would make
+      // every rate 1000‰ — a no-op; 4:2:1 group sizes exercise real
+      // downsampling): 'big' lands near 500‰, 'mid' near 707‰, 'rare'
+      // anchors at 1000‰. Oracle replays counts, the sqrt-ratio rate,
+      // and the fingerprint keep decision
+      val docs = t(s, d, "documents").withColumn("grp",
+        when(pmod(col("doc_id"), lit(7)) < 4, lit("big"))
+          .when(pmod(col("doc_id"), lit(7)) < 6, lit("mid"))
+          .otherwise(lit("rare")))
+      Corpus.temperatureResample(docs, "text", "grp")
+        .select(col("doc_id"), col("grp"), col("n_source"), col("rate_pm"))
+        .orderBy("doc_id")
+    }),
+
     "q54_decontaminate" -> ((s, d) => {
       val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
       Corpus.decontaminate(
@@ -611,6 +627,26 @@ object CorpusQueries {
                       % 16 AS INTEGER) AS shard
           FROM k
           ORDER BY epoch, shard, sort_key, doc_id""",
+
+    // per-group counts, the sqrt-ratio rate in the engine's exact
+    // expression order, then the same fingerprint keep decision as q59
+    "q148_temperature_mixture" ->
+      s"""WITH g AS (
+            SELECT doc_id, text,
+                   CASE WHEN doc_id % 7 < 4 THEN 'big'
+                        WHEN doc_id % 7 < 6 THEN 'mid'
+                        ELSE 'rare' END AS grp
+            FROM documents),
+          n AS (SELECT grp, count(*) AS n_source FROM g GROUP BY grp),
+          m AS (SELECT min(n_source) AS n_min FROM n),
+          r AS (SELECT grp, n_source,
+                       CAST(floor((1000 * sqrt(n_min)) / sqrt(n_source))
+                            AS BIGINT) AS rate_pm
+                FROM n CROSS JOIN m)
+          SELECT doc_id, grp, n_source, rate_pm
+          FROM g JOIN r USING (grp)
+          WHERE $fpFold % 1000 < rate_pm
+          ORDER BY doc_id""",
 
     "q53_split_assign" ->
       s"""SELECT doc_id, CAST(fp % 100 AS INTEGER) AS bucket,

@@ -60,6 +60,26 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureResample: sqrt-flattened rates anchored at the smallest source") {
+    // 160/30/10 split → rates floor(1000·√10/√n): big 250‰, mid 577‰,
+    // rare 1000‰ (the smallest source is kept WHOLE — the anchor)
+    val df = docs.toDF("doc_id", "text").withColumn("grp",
+      when(col("doc_id") < 160, lit("big"))
+        .when(col("doc_id") < 190, lit("mid")).otherwise(lit("rare")))
+    val out = Corpus.temperatureResample(df, "text", "grp")
+      .select("doc_id", "grp", "n_source", "rate_pm")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._2, r._3, r._4)).toSet == Set(
+      ("big", 160L, 250L), ("mid", 30L, 577L), ("rare", 10L, 1000L)))
+    // the anchor source survives complete; the others thin toward √-mix
+    assert(out.count(_._2 == "rare") == 10)
+    assert(out.count(_._2 == "big") < 160)
+    // deterministic under re-partitioning (fingerprint decision, no RNG)
+    val again = Corpus.temperatureResample(df.repartition(13), "text", "grp")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+  }
+
   test("mixtureSample keeps configured per-source fractions, deterministically") {
     val df = (docs.map { case (id, tx) => (id, tx, "web") } ++
       docs.map { case (id, tx) => (id + 1000L, tx + " curated", "books") })

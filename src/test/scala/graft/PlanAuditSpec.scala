@@ -508,6 +508,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
   }
 
+  test("q148 temperature mixture: rate table broadcasts; corpus rows never sort-merge") {
+    val plan = planOf("q148_temperature_mixture")
+    // the only corpus-wide exchange is the per-source partial-agg count
+    // (|partitions|·|sources| rows); the rate table re-enters as a
+    // broadcast hash join and the keep decision is map-side
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
   test("q138 embedding drift: assignment is map work; k-row drift join") {
     val plan = planOf("q138_embedding_drift")
     // argmax-dot assignment against literal centroids — the ONLY join
