@@ -140,7 +140,17 @@ object Similarity {
     */
   def semanticDecontam(train: DataFrame, probe: DataFrame,
                        threshold: Double, idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding"): DataFrame =
+    semanticDecontamScores(train, probe, threshold, idCol, vecCol)
+      .orderBy(idCol)
+
+  /** [[semanticDecontam]] WITHOUT the presentation sort — the row-local
+    * scoring alone, so the same plan runs under a streaming query
+    * (append mode forbids global sorts; the gate is stateless, so
+    * streaming results are batch-identical row for row). */
+  def semanticDecontamScores(train: DataFrame, probe: DataFrame,
+                             threshold: Double, idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
     val probes = probe
       .select(struct(col(idCol).as("pid"),
         col(vecCol).cast("array<double>").as("pv"),
@@ -163,7 +173,6 @@ object Similarity {
         col("best.pid").as("nearest_probe_id"),
         col("best.cos").as("max_probe_cos"),
         (col("best.cos") >= lit(threshold)).as("is_contaminated"))
-      .orderBy(idCol)
   }
 
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {

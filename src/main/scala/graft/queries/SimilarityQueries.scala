@@ -343,6 +343,19 @@ object SimilarityQueries {
         threshold = 0.35)
     }),
 
+    "q149_stream_decontam_gate" -> ((s, d) => {
+      // q146's scoring under a REAL streaming query: the probe slice is
+      // the static broadcast side, the train slice streams in, verdicts
+      // append statelessly — row-identical to batch, so q146's oracle
+      // replays it verbatim (the sort happens on the materialized sink)
+      val emb = t(s, d, "embeddings")
+      graft.streaming.DocumentStreams.streamingDecontamGate(s, d,
+        probe = emb.where(pmod(col("vec_id"), lit(20)) === 7),
+        newFilter = pmod(col("vec_id"), lit(20)) =!= 7,
+        threshold = 0.35)
+        .orderBy("vec_id")
+    }),
+
     "q114_stream_ivf_ingest" -> ((s, d) => {
       // the IVF ingest loop CLOSED over streaming (q109's shape for the
       // ANN index): an index SHELL is built first — frozen full-corpus
@@ -395,6 +408,29 @@ object SimilarityQueries {
     s"""SELECT vec_id, embedding,
                sqrt(${duckDot("embedding", "embedding")}) AS nrm
         FROM embeddings"""
+
+  /** q146/q149's shared replay: every train×probe cosine, argmax per
+    * train row by (cos DESC, probe id ASC) — the rank rule mirroring
+    * the engine's ascending-id strict-> fold — then the 0.35 verdict.
+    */
+  private lazy val semanticDecontamReplay: String =
+    s"""WITH e AS ($normed),
+            probe AS (SELECT * FROM e WHERE vec_id % 20 = 7),
+            train AS (SELECT * FROM e WHERE vec_id % 20 <> 7),
+            scored AS (
+              SELECT t.vec_id, p.vec_id AS pid,
+                     ${duckDot("t.embedding", "p.embedding")}
+                       / (t.nrm * p.nrm) AS c
+              FROM train t CROSS JOIN probe p),
+            ranked AS (
+              SELECT vec_id, pid, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY c DESC, pid) AS r
+              FROM scored)
+        SELECT vec_id, pid AS nearest_probe_id, c AS max_probe_cos,
+               c >= 0.35 AS is_contaminated
+        FROM ranked WHERE r = 1
+        ORDER BY vec_id"""
 
   /** The 16 smallest-id vectors, numbered 0..15 in id order — q37's plane
     * material and q39's centroid set.
@@ -944,27 +980,14 @@ object SimilarityQueries {
           FROM ranked WHERE rank <= 10
           ORDER BY query_id, rank""",
 
+    // q146's scoring under a streaming query is stateless, so the same
+    // replay checks it row for row
+    "q149_stream_decontam_gate" -> semanticDecontamReplay,
+
     // every train×probe cosine, argmax per train row by (cos DESC,
     // probe id ASC) — the rank rule mirroring the engine's ascending-id
     // strict-> fold — then the threshold verdict
-    "q146_semantic_decontam" ->
-      s"""WITH e AS ($normed),
-              probe AS (SELECT * FROM e WHERE vec_id % 20 = 7),
-              train AS (SELECT * FROM e WHERE vec_id % 20 <> 7),
-              scored AS (
-                SELECT t.vec_id, p.vec_id AS pid,
-                       ${duckDot("t.embedding", "p.embedding")}
-                         / (t.nrm * p.nrm) AS c
-                FROM train t CROSS JOIN probe p),
-              ranked AS (
-                SELECT vec_id, pid, c,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY c DESC, pid) AS r
-                FROM scored)
-          SELECT vec_id, pid AS nearest_probe_id, c AS max_probe_cos,
-                 c >= 0.35 AS is_contaminated
-          FROM ranked WHERE r = 1
-          ORDER BY vec_id""",
+    "q146_semantic_decontam" -> semanticDecontamReplay,
 
     // q39's assignment replay (raw vectors, sample centroids), then the
     // within-cell pair search: dup_of = min earlier same-cell id with

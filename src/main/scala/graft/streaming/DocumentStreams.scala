@@ -229,4 +229,34 @@ object DocumentStreams {
       spark.table(queryName))
       .withColumnRenamed("bucket", "centroid")
   }
+
+  /** SEMANTIC-DECONTAM GATE under a REAL streaming query: every arriving
+    * vector scored against the STATIC broadcast probe set
+    * ([[graft.ext.Similarity.semanticDecontamScores]] — the map-only HOF
+    * fold), verdicts emitted in append mode. Stateless by construction
+    * (per-row max against a frozen probe set — no watermark, no state
+    * store, zero state at any stream length), so the streamed report is
+    * row-identical to the batch operator over the same rows: the ingest
+    * gate a training pipeline runs so eval-contaminated documents never
+    * reach the corpus in the first place, rather than decontaminating
+    * after the fact.
+    */
+  def streamingDecontamGate(spark: SparkSession, sfDir: String,
+                            probe: DataFrame,
+                            newFilter: org.apache.spark.sql.Column,
+                            threshold: Double,
+                            queryName: String = "graft_stream_decontam")
+      : DataFrame = {
+    val vecs = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/embeddings.parquet").schema)
+      .parquet(s"$sfDir/embeddings.*")
+    val scored = graft.ext.Similarity.semanticDecontamScores(
+      vecs.where(newFilter), probe, threshold)
+    val q = scored.writeStream
+      .outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
 }

@@ -218,6 +218,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming decontam gate == batch semanticDecontam, row for row") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probe = emb.where(pmod(col("vec_id"), lit(20)) === 7)
+    val streamed = graft.streaming.DocumentStreams.streamingDecontamGate(
+      spark, sf, probe, newFilter = pmod(col("vec_id"), lit(20)) =!= 7,
+      threshold = 0.35, queryName = "graft_test_decontam")
+      .orderBy("vec_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val batch = graft.ext.Similarity.semanticDecontam(
+      emb.where(pmod(col("vec_id"), lit(20)) =!= 7), probe, 0.35)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    // stateless gate: bit-identical verdicts AND cosines either way
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming embedding drift == batch embeddingDrift; empty stream safe") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
