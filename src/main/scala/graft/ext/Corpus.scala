@@ -1272,6 +1272,63 @@ object Corpus {
     * that has already MATERIALIZED per-stage outputs should aggregate
     * those instead of re-deriving them here.
     */
+  /** [[pipelineFunnel]] extended to the FULL training-data-prep shape —
+    * the round-12 capstone composition: ingest → quality gate →
+    * normalized exact dedup → SEMANTIC DECONTAMINATION (drop survivors
+    * whose embedding sits within `decontamThreshold` of the held-out
+    * probe set — [[graft.ext.Similarity.semanticDecontamScores]]'s
+    * broadcast fold; documents WITHOUT an embedding pass through: there
+    * is nothing to judge, and silently dropping them would make missing
+    * metadata a deletion) → TEMPERATURE MIXTURE ([[temperatureResample]]
+    * at α=1/2 over the decontaminated survivors — rates computed on the
+    * SURVIVOR counts, gate order again: upstream attrition reshapes the
+    * source distribution the flattening must correct). One row per
+    * stage with surviving doc/token counts.
+    *
+    * Scale shape: the per-stage gates are the standalone operators'
+    * own plans (map-only scoring, hash-groupBy dedup, broadcast probe
+    * fold, broadcast rate table); the funnel adds id-only anti/semi
+    * joins and five aggregate rows. Contamination verdicts are computed
+    * over the full non-probe embedding side, not the joined survivors —
+    * the verdict is a property of the id, so the result is identical
+    * and the plan skips a join in the hot path.
+    */
+  def trainingPrepFunnel(docs: DataFrame, emb: DataFrame,
+                         textCol: String, idCol: String,
+                         stopwords: Seq[String], qualityMin: Double,
+                         probeFilter: Column, decontamThreshold: Double,
+                         sourceCol: String,
+                         vecIdCol: String = "vec_id"): DataFrame = {
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(sourceCol).as("src"),
+        col(textCol).as("text"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore(col(textCol), stopwords).as("quality"))
+    val gated = base.where(col("quality") >= qualityMin)
+    val keepers = gated
+      .groupBy(sha2(Dedup.normalizeText(col("text")), 256).as("h"))
+      .agg(min(col("id")).as("id"))
+      .select("id")
+    val deduped = gated.join(keepers, Seq("id"), "left_semi")
+    val contaminated = graft.ext.Similarity.semanticDecontamScores(
+        emb.where(!probeFilter), emb.where(probeFilter),
+        decontamThreshold, idCol = vecIdCol)
+      .where(col("is_contaminated"))
+      .select(col(vecIdCol).as("id"))
+    val decon = deduped.join(contaminated, Seq("id"), "left_anti")
+    val mixed = temperatureResample(decon, "text", "src")
+    def stageRow(i: Int, name: String, stage: DataFrame) =
+      stage.agg(count(lit(1)).as("docs_kept"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("tokens_kept"))
+        .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+          col("docs_kept"), col("tokens_kept"))
+    stageRow(0, "ingest", base)
+      .unionAll(stageRow(1, "quality", gated))
+      .unionAll(stageRow(2, "dedup", deduped))
+      .unionAll(stageRow(3, "decontam", decon))
+      .unionAll(stageRow(4, "mixture", mixed))
+  }
+
   def pipelineFunnel(df: DataFrame, textCol: String, idCol: String,
                      stopwords: Seq[String], qualityMin: Double = 0.5,
                      budgetPerMille: Int = 500): DataFrame = {

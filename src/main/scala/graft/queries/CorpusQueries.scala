@@ -285,6 +285,21 @@ object CorpusQueries {
         stopwords, qualityMin = 0.68, budgetPerMille = 500)
         .orderBy("stage_idx")),
 
+    "q150_training_prep_funnel" -> ((s, d) =>
+      // the round-12 capstone: q113's funnel extended with the semantic
+      // decontam gate (q146's scoring as a stage) and the temperature
+      // mixture (q148's rates over the SURVIVORS — upstream attrition
+      // reshapes the source counts the flattening corrects). The oracle
+      // replays every stage: quality expr, normalized-dedup keepers,
+      // the max-cos contamination verdicts, and the sqrt-ratio rates +
+      // fingerprint decision over the post-decontam counts
+      Corpus.trainingPrepFunnel(
+        t(s, d, "documents"), t(s, d, "embeddings"),
+        "text", "doc_id", stopwords, qualityMin = 0.68,
+        probeFilter = pmod(col("vec_id"), lit(20)) === 7,
+        decontamThreshold = 0.35, sourceCol = "source")
+        .orderBy("stage_idx")),
+
     "q91_lm_perplexity_indexed" -> ((s, d) => {
       // the CCNet deployment shape: the reference LM (trained on the
       // train split) persists to disk ONCE, and each later batch (here
@@ -1072,6 +1087,62 @@ object CorpusQueries {
             UNION ALL
             SELECT 3, 'budget', count(*),
                    CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM sel)
+          ORDER BY stage_idx""",
+
+    // q113's stage replays + the q146 contamination verdict (max-cos
+    // HAVING — only the verdict is needed, no argmax) + q148's
+    // sqrt-ratio rates computed over the POST-decontam survivor counts
+    "q150_training_prep_funnel" ->
+      s"""WITH base AS (
+            SELECT doc_id, source AS src, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) * 0.5
+                   + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ($stopListSql))) AS DOUBLE)
+                       / len(string_split(text, ' '))) * 0.3
+                   + (CASE WHEN CAST(length(text)
+                                     - (len(string_split(text, ' ')) - 1)
+                                  AS DOUBLE) / len(string_split(text, ' '))
+                             BETWEEN 3.0 AND 8.0
+                           THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+            FROM documents WHERE text IS NOT NULL),
+          gated AS (SELECT * FROM base WHERE quality >= 0.68),
+          keep AS (SELECT min(doc_id) AS doc_id FROM gated
+                   GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+          dd AS (SELECT gated.* FROM gated JOIN keep USING (doc_id)),
+          e AS (SELECT vec_id, embedding,
+                       sqrt(${SimilarityQueries.duckDot(
+                         "embedding", "embedding")}) AS nrm
+                FROM embeddings),
+          cont AS (
+            SELECT t.vec_id FROM (SELECT * FROM e WHERE vec_id % 20 <> 7) t
+            CROSS JOIN (SELECT * FROM e WHERE vec_id % 20 = 7) p
+            GROUP BY t.vec_id
+            HAVING max(${SimilarityQueries.duckDot(
+              "t.embedding", "p.embedding")} / (t.nrm * p.nrm)) >= 0.35),
+          dc AS (SELECT dd.* FROM dd LEFT JOIN cont
+                 ON dd.doc_id = cont.vec_id WHERE cont.vec_id IS NULL),
+          n AS (SELECT src, count(*) AS n_source FROM dc GROUP BY src),
+          m AS (SELECT min(n_source) AS n_min FROM n),
+          r AS (SELECT src, CAST(floor((1000 * sqrt(n_min)) / sqrt(n_source))
+                                 AS BIGINT) AS rate_pm
+                FROM n CROSS JOIN m),
+          mx AS (SELECT dc.* FROM dc JOIN r USING (src)
+                 WHERE $fpFold % 1000 < rate_pm)
+          SELECT * FROM (
+            SELECT CAST(0 AS INTEGER) AS stage_idx, 'ingest' AS stage,
+                   count(*) AS docs_kept,
+                   CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS tokens_kept
+            FROM base
+            UNION ALL SELECT 1, 'quality', count(*),
+                   CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM gated
+            UNION ALL SELECT 2, 'dedup', count(*),
+                   CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM dd
+            UNION ALL SELECT 3, 'decontam', count(*),
+                   CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM dc
+            UNION ALL SELECT 4, 'mixture', count(*),
+                   CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM mx)
           ORDER BY stage_idx""",
 
     // exact dual of q56's oracle on the q63 split: the Bloom prefilter is

@@ -25,7 +25,7 @@ object SimilarityQueries {
     * widen floats to double, multiply pairwise in index order, left-fold
     * addition seeded with 0.0.
     */
-  private def duckDot(a: String, b: String) =
+  private[queries] def duckDot(a: String, b: String) =
     s"""list_reduce(list_prepend(0.0,
           list_transform(range(1, len($a) + 1),
             i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
