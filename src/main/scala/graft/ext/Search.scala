@@ -635,6 +635,70 @@ object Search {
       .orderBy(idCol)
   }
 
+  /** POSITIONAL postings for PHRASE queries: (token, doc_id, positions)
+    * with each token's 0-based occurrence positions as a sorted array —
+    * what [[conjunctiveSearch]]'s bag-of-words postings cannot answer
+    * ("table hash" as a phrase, not two co-occurring terms). Written
+    * beside the [[saveTextIndex]] components under `positions/`,
+    * token-sorted within files for the same row-group pruning: a phrase
+    * serve reads only its terms' lists. Positions add one integer per
+    * TOKEN OCCURRENCE to the index — the standard positional-index size
+    * trade (≈ index bytes ∝ corpus tokens, vs ∝ distinct (token, doc)
+    * pairs without them). REBUILD-ONLY component: `appendToTextIndex`
+    * does not maintain it — rebuild after ingest before phrase-serving,
+    * or the phrase index silently lags the corpus (the doc-level
+    * tombstone masks DO apply at serve time, so deletes are safe).
+    */
+  def savePositionalIndex(docs: DataFrame, path: String,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): Unit =
+    docs.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
+      .groupBy(col("token"), col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .repartition(col("token")).sortWithinPartitions("token", idCol)
+      .write.mode("overwrite").parquet(s"$path/positions")
+
+  /** PHRASE SEARCH over a [[savePositionalIndex]] component: documents
+    * containing the EXACT token sequence `phrase`, with occurrence
+    * counts, top-k by (count desc, id). Adjacency is decided on posting
+    * lists alone: for each phrase slot i the term's positions shift by
+    * −i, and a phrase hit is a position present in EVERY shifted list —
+    * computed as a codegen'd filter over the first term's array with
+    * `array_contains` probes into the others (lists are occurrence-
+    * sized; no token re-scan of any document). Cost: |phrase|
+    * term-filtered pruned scans + |phrase|−1 doc_id equi-joins of
+    * posting-list-sized relations + the per-row HOF — the classic
+    * positional-intersection plan. Duplicate phrase terms are fine
+    * (each SLOT joins its own aliased relation). Pending tombstones
+    * mask, as on every serve path.
+    */
+  def phraseSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                          path: String, phrase: Seq[String], k: Int,
+                          idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phrase search needs at least one term")
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    val positions = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$path/positions"))
+    // one aliased, term-filtered relation per phrase SLOT (not per
+    // distinct term): the pushed filter prunes token-sorted row groups
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      positions.where(col("token") === t)
+        .select(col(idCol), col("positions").as(s"p_$i"))
+    }
+    val joined = slots.reduceLeft(_.join(_, Seq(idCol)))
+    val isHit = (start: Column) => phrase.indices.tail
+      .map(i => array_contains(col(s"p_$i"), start + lit(i)))
+      .foldLeft(lit(true))(_ && _)
+    val counted = joined.select(col(idCol),
+        size(filter(col("p_0"), isHit)).as("n_occurrences"))
+      .where(col("n_occurrences") > 0)
+    val masked = minusTombstoned(counted, tomb, idCol)
+    val top = masked.orderBy(col("n_occurrences").desc, col(idCol)).limit(k)
+    val w = Window.orderBy(col("n_occurrences").desc, col(idCol))
+    top.withColumn("rank", row_number().over(w)).orderBy("rank")
+  }
+
   /** Exact all-pairs cosine similarity over distinct word n-gram shingle
     * sets at rational threshold tau = tauNum/tauDen, via prefix filtering
     * (Bayardo, Ma, Srikant — "Scaling Up All Pairs Similarity Search",

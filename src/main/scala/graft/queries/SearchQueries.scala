@@ -218,6 +218,24 @@ object SearchQueries {
       Search.bm25TopKIndexed(s, path, bmTerms, k = 20, k1 = k1, b = b)
     }),
 
+    "q151_phrase_search" -> ((s, d) => {
+      // PHRASE queries over the positional component: a bigram and a
+      // trigram served from posting-list intersections (never a token
+      // re-scan), top-20 each by occurrence count. The oracle re-derives
+      // every document's adjacency count from the raw text, so the
+      // positional index's build AND the shifted-intersection serve are
+      // both value-checked.
+      val sf = sfTag(d)
+      val path = s"target/graft-phrase-index-$sf"
+      Search.savePositionalIndex(t(s, d, "documents"), path)
+      def one(tag: String, phrase: Seq[String]) =
+        Search.phraseSearchIndexed(s, path, phrase, k = 20)
+          .withColumn("phrase", lit(tag))
+      one("table hash", Seq("table", "hash"))
+        .unionByName(one("part filter scan", Seq("part", "filter", "scan")))
+        .orderBy("phrase", "rank")
+    }),
+
     "q145_rollback_audit" -> ((s, d) => {
       // AUDIT THE ROLLBACK ITSELF: a restore is a forward publish, so
       // the state it superseded — the bad campaign's result — becomes
@@ -453,6 +471,43 @@ object SearchQueries {
                (${bm25SqlOver("SELECT * FROM documents WHERE doc_id % 10 <> 3")}) aft
           ON bef.doc_id = aft.doc_id
           ORDER BY doc_id""",
+
+    // both phrases' adjacency counts re-derived from raw text (1-based
+    // list indices; the engine's 0-based posting positions count the
+    // same hits), ranked (n DESC, doc_id) and cut at 20 per phrase
+    "q151_phrase_search" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl
+                        FROM documents),
+              h2 AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(range(1, len(tl)),
+                         i -> tl[i] = 'table' AND tl[i+1] = 'hash'))
+                         AS BIGINT) AS n_occurrences
+                FROM toks),
+              h3 AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(range(1, len(tl) - 1),
+                         i -> tl[i] = 'part' AND tl[i+1] = 'filter'
+                              AND tl[i+2] = 'scan')) AS BIGINT)
+                         AS n_occurrences
+                FROM toks),
+              r2 AS (
+                SELECT doc_id, n_occurrences,
+                       row_number() OVER (ORDER BY n_occurrences DESC,
+                                          doc_id) AS rank
+                FROM h2 WHERE n_occurrences > 0),
+              r3 AS (
+                SELECT doc_id, n_occurrences,
+                       row_number() OVER (ORDER BY n_occurrences DESC,
+                                          doc_id) AS rank
+                FROM h3 WHERE n_occurrences > 0)
+          SELECT * FROM (
+            SELECT doc_id, n_occurrences, rank, 'table hash' AS phrase
+            FROM r2 WHERE rank <= 20
+            UNION ALL
+            SELECT doc_id, n_occurrences, rank, 'part filter scan'
+            FROM r3 WHERE rank <= 20)
+          ORDER BY phrase, rank""",
 
     // q145 diffs the rolled-back-FROM state (survivors) against the
     // restored live state (full corpus) — q128's replay, sides swapped:

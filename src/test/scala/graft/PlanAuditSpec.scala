@@ -518,6 +518,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan.take(3000))
   }
 
+  test("q151 phrase search: term filters reach the positions scan") {
+    val plan = planOf("q151_phrase_search")
+    // every phrase slot's scan carries its pushed token-equality filter
+    // (row-group pruned on the token-sorted files) — never a full
+    // positional-postings read, and never a token re-scan of documents
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(token".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("q138 embedding drift: assignment is map work; k-row drift join") {
     val plan = planOf("q138_embedding_drift")
     // argmax-dot assignment against literal centroids — the ONLY join

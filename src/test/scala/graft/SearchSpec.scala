@@ -265,6 +265,33 @@ class SearchSpec extends AnyFunSuite {
     } yield (ia, ib, na, nb, dot)).toSet
   }
 
+  test("phraseSearchIndexed: adjacency counts, duplicate-term phrases, tombstones") {
+    val idx = "target/graft-test-phrase"
+    new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(idx), true)
+    Search.savePositionalIndex(Seq(
+      (1L, "a b a b a"), // "a b" at 0 and 2 (4 has no following b) → 2
+      (2L, "b a b"),     // "a b" at 1 → 1
+      (3L, "a a b b")    // "a b" at 1 only (0 fails: next is a) → 1
+    ).toDF("doc_id", "text"), idx)
+    def serve(phrase: String*) =
+      Search.phraseSearchIndexed(spark, idx, phrase, k = 10)
+        .select("doc_id", "n_occurrences", "rank")
+        .as[(Long, Int, Int)].collect().toSeq
+    assert(serve("a", "b") == Seq((1L, 2, 1), (2L, 1, 2), (3L, 1, 3)))
+    // duplicate term in the phrase: each SLOT joins its own relation
+    assert(serve("a", "b", "a") == Seq((1L, 2, 1)))
+    // adjacent same-term pair: doc 3's "b b" is a hit, doc 1's
+    // alternating "a b a b a" is not
+    assert(serve("b", "b") == Seq((3L, 1, 1)))
+    // no match anywhere → empty, not an error
+    assert(serve("b", "a", "a").isEmpty)
+    // pending tombstones mask phrase serves like every other serve path
+    Search.tombstoneFromTextIndex(spark, idx, Seq(1L).toDF("doc_id"))
+    assert(serve("a", "b") == Seq((2L, 1, 1), (3L, 1, 2)))
+  }
+
   test("apssCosinePairs equals brute force on a randomized corpus with planted dups") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("key", "agg", "row", "scan", "slow", "fast", "table",
