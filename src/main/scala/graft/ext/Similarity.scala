@@ -116,6 +116,122 @@ object Similarity {
     * report recall 0, not absence. recall = n_hit / k_exact with both
     * operands small exact integers — bit-identical in any engine.
     */
+  /** L2-normalize a (castable) vector column elementwise — the
+    * pre-step that makes PQ's approximate INNER PRODUCT an approximate
+    * COSINE. Zero vectors become NaN (undefined direction) — callers'
+    * contract, as with cosine itself. */
+  def normalizeVec(v: Column): Column = {
+    val d = v.cast("array<double>")
+    transform(d, x => x / sqrt(dot(d, d)))
+  }
+
+  /** PRODUCT-QUANTIZATION codebooks (Jégou, Douze, Schmid — "Product
+    * Quantization for Nearest Neighbor Search", TPAMI'11): the vector
+    * space splits into `m` contiguous subspaces of dim/m dimensions,
+    * each with its own `nCent`-entry codebook; a vector encodes as m
+    * small code indices — here 8 codes over 16 centroids = 8 bytes per
+    * vector vs 256 for raw floats, the 30×-class compression that lets
+    * a 100 TB corpus's candidate scan fit in memory. Codebooks are the
+    * first `nCent` corpus vectors' NORMALIZED subvectors (the frozen
+    * smallest-id sample convention of [[sampleCentroids]]/q39 — fully
+    * deterministic, so the oracle re-derives them from the table).
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, nCent: Int, dim: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val subDim = dim / m
+    val seeds = sampleCentroids(
+      corpus.select(col(idCol), normalizeVec(col(vecCol)).as(vecCol)),
+      nCent, idCol, vecCol)
+    Array.tabulate(m)(j => seeds.map(_.slice(j * subDim, (j + 1) * subDim)))
+  }
+
+  /** PQ ENCODE + ADC SERVE: corpus vectors normalize, encode to m code
+    * indices (per subspace, argmin exact-L2² against the codebook —
+    * strict `<` keeps the SMALLEST index on ties, mirrored by the
+    * oracle's (d, c) rank), and queries rank candidates by the
+    * asymmetric distance computation: approx cos(q, v) =
+    * Σ_j dot(q_subj, codebook_j[code_j(v)]) — the QUERY side stays
+    * exact, only the corpus side is quantized (Jégou et al.'s ADC,
+    * which dominates symmetric code-to-code distances). The sum folds
+    * j-ascending left-associated, spelled identically in the oracle.
+    *
+    * Scale shape: encoding is MAP-ONLY against the broadcast literal
+    * codebooks (one pass, then the 8-byte codes persist in place of
+    * 256-byte vectors); serving broadcasts the query side and scans
+    * CODES, never raw vectors — per pair m array lookups + m tiny dots
+    * instead of a dim-length dot. Compose with the IVF lists for the
+    * full IVF-PQ shape (coarse cells prune, codes rank); here the flat
+    * scan keeps the oracle replay exact end to end.
+    */
+  /** PQ ENCODE alone: (id, codes) — each vector's m argmin-L2² code
+    * indices against the normalized codebooks (strict `<` keeps the
+    * SMALLEST index on ties). The argmin runs as an `aggregate` HOF
+    * over the literal codebook — the accumulator is a bound lambda
+    * variable, so the plan stays LINEAR in nCent (a Column-level
+    * foldLeft of when/otherwise would copy the accumulator subtree per
+    * step: exponential tree, driver OOM — measured). Normalization
+    * sits in its OWN projection: `nv` feeds all m subspace encoders,
+    * and CollapseProject refuses to inline a non-cheap expression
+    * referenced m times — without the boundary the whole normalize
+    * tree would re-evaluate once per subspace per row (4.5× slower,
+    * measured at sf0.1).
+    */
+  def pqCodes(corpus: DataFrame, dim: Int,
+              codebooks: Array[Array[Array[Double]]],
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m")
+    val subDim = dim / m
+    def codeOf(vec: Column, j: Int): Column = {
+      val sub = slice(vec, j * subDim + 1, subDim)
+      val cbJ = typedLit(codebooks(j).zipWithIndex.map {
+        case (cv, c) => (c, cv.toSeq)
+      }.toSeq) // array<struct<_1: code, _2: centroid subvector>>
+      aggregate(cbJ,
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+        (acc, e) => {
+          val dd = aggregate(
+            zip_with(sub, e.getField("_2"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, z) => a + z)
+          when(dd < acc.getField("d"),
+            struct(dd.as("d"), e.getField("_1").as("c")))
+            .otherwise(acc)
+        }).getField("c")
+    }
+    corpus
+      .select(col(idCol), normalizeVec(col(vecCol)).as("nv"))
+      .select(col(idCol),
+        array((0 until m).map(j => codeOf(col("nv"), j)): _*).as("codes"))
+  }
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+             codebooks: Array[Array[Array[Double]]],
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m")
+    val subDim = dim / m
+    val codes = pqCodes(corpus, dim, codebooks, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"),
+      normalizeVec(col(vecCol)).as("qv"))
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val approx = (0 until m).map { j =>
+      dot(slice(col("qv"), j * subDim + 1, subDim),
+        element_at(element_at(cbLit, j + 1),
+          element_at(col("codes"), j + 1) + lit(1)))
+    }.reduceLeft(_ + _)
+    val scored = codes.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), approx.as("approx_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** SEMANTIC DECONTAMINATION: for every train vector, its maximum
     * cosine against a held-out probe/eval set, the probe that attains
     * it, and a `is_contaminated` verdict at `threshold` — the

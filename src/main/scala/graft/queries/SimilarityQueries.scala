@@ -328,6 +328,20 @@ object SimilarityQueries {
         centroidsIn = Similarity.sampleCentroids(emb, 16))
     }),
 
+    "q152_ann_pq_adc" -> ((s, d) => {
+      // product quantization end to end: normalized corpus encodes to
+      // 8 codes over 16-entry per-subspace codebooks (the frozen
+      // smallest-id sample convention), queries rank by the asymmetric
+      // distance sum. The oracle re-derives the codebooks, every code
+      // assignment, and every ADC sum from the raw table — the full
+      // encode + serve path is value-checked, not just the ranking
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.pqCodebooks(emb, m = 8, nCent = 16, dim = 64)
+      Similarity.pqTopK(emb.where(col("vec_id") < 10), emb, k = 10,
+        dim = 64, codebooks = cb)
+        .orderBy("query_id", "rank")
+    }),
+
     "q146_semantic_decontam" -> ((s, d) => {
       // embedding-space decontamination: every train vector's max cosine
       // against the held-out probe slice (vec_id % 20 == 7 — an "eval
@@ -983,6 +997,62 @@ object SimilarityQueries {
     // q146's scoring under a streaming query is stateless, so the same
     // replay checks it row for row
     "q149_stream_decontam_gate" -> semanticDecontamReplay,
+
+    // the full PQ replay: normalize, re-derive the 16 smallest-id
+    // codebook seeds, per-(vector, subspace) argmin-L2² codes (rank
+    // (d, c) == the engine's strict-< fold), then the ADC sum as a
+    // j-ascending left fold (list_reduce over list(t ORDER BY j) ==
+    // reduceLeft — no seed on either side)
+    "q152_ann_pq_adc" ->
+      s"""WITH raw AS (
+            SELECT vec_id, embedding,
+                   sqrt(${duckDot("embedding", "embedding")}) AS nrm
+            FROM embeddings),
+          e AS (SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) / nrm) AS v
+                FROM raw),
+          cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                   FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+          sub AS (SELECT unnest(range(0, 8)) AS j),
+          centsub AS (SELECT j, c, list_slice(v, j*8+1, j*8+8) AS sv
+                      FROM cent CROSS JOIN sub),
+          dist AS (
+            SELECT e.vec_id, cs.j, cs.c,
+                   list_reduce(list_prepend(0.0,
+                     list_transform(
+                       list_zip(list_slice(e.v, cs.j*8+1, cs.j*8+8), cs.sv),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                     (x, y) -> x + y) AS dd
+            FROM e CROSS JOIN centsub cs),
+          codes AS (
+            SELECT vec_id, j, c AS code FROM (
+              SELECT vec_id, j, c,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY dd, c) AS r
+              FROM dist) WHERE r = 1),
+          q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+          terms AS (
+            SELECT q.query_id, cd.vec_id AS neighbor_id, cd.j,
+                   ${duckDot("list_slice(q.v, cd.j*8+1, cd.j*8+8)", "cs.sv")}
+                     AS t
+            FROM q CROSS JOIN codes cd
+            JOIN centsub cs ON cs.j = cd.j AND cs.c = cd.code
+            WHERE q.query_id <> cd.vec_id),
+          adc AS (
+            SELECT query_id, neighbor_id,
+                   list_reduce(list(t ORDER BY j), (x, y) -> x + y)
+                     AS approx_sim
+            FROM terms GROUP BY query_id, neighbor_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, approx_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_sim DESC,
+                                               neighbor_id) AS rank
+            FROM adc)
+          SELECT query_id, neighbor_id, approx_sim, rank
+          FROM ranked WHERE rank <= 10
+          ORDER BY query_id, rank""",
 
     // every train×probe cosine, argmax per train row by (cos DESC,
     // probe id ASC) — the rank rule mirroring the engine's ascending-id

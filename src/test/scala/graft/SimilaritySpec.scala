@@ -597,6 +597,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pqCodes: codebook seed vectors encode to their own entry; pqTopK ranks by ADC") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqCodebooks(emb, m = 8, nCent = 16, dim = 64)
+    assert(cb.length == 8 && cb.forall(_.length == 16)
+      && cb.forall(_.forall(_.length == 8)))
+    // the 16 smallest-id vectors ARE the codebook seeds: every subspace
+    // distance to their own entry is exactly 0 → code == their seed rank
+    val seedIds = emb.select("vec_id").orderBy("vec_id").limit(16)
+      .as[Long].collect()
+    val codes = Similarity.pqCodes(emb, dim = 64, codebooks = cb)
+      .where(col("vec_id").isin(seedIds: _*))
+      .orderBy("vec_id")
+      .select("codes").as[Seq[Int]].collect()
+    codes.zipWithIndex.foreach { case (cs, rank) =>
+      assert(cs == Seq.fill(8)(rank), s"seed $rank encoded as $cs")
+    }
+    // the serve path: every query gets exactly k ranked rows, rank
+    // follows (approx_sim desc, neighbor_id) — and is deterministic
+    val top = Similarity.pqTopK(emb.where(col("vec_id") < 3), emb,
+      k = 5, dim = 64, codebooks = cb)
+      .select("query_id", "neighbor_id", "approx_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(top.count(_._1 == 0L) == 5)
+    val again = Similarity.pqTopK(emb.where(col("vec_id") < 3), emb,
+      k = 5, dim = 64, codebooks = cb)
+      .select("query_id", "neighbor_id", "approx_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(top.toSet == again.toSet)
+  }
+
   test("semanticDecontam: max-cos verdicts with smallest-probe-id argmax ties") {
     val spark = TestSpark.spark
     import spark.implicits._
