@@ -182,11 +182,22 @@ object Similarity {
               codebooks: Array[Array[Array[Double]]],
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    corpus
+      .select(col(idCol), normalizeVec(col(vecCol)).as("nv"))
+      .select(col(idCol), pqCodeArray(col("nv"), dim, codebooks).as("codes"))
+  }
+
+  /** The m-element PQ code array for a NORMALIZED vector column —
+    * shared by [[pqCodes]] and [[ivfPqTopK]] so both paths encode
+    * identically. See [[pqCodes]] for the HOF-argmin and projection-
+    * boundary rationale. */
+  private def pqCodeArray(nv: Column, dim: Int,
+                          codebooks: Array[Array[Array[Double]]]): Column = {
     val m = codebooks.length
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m")
     val subDim = dim / m
-    def codeOf(vec: Column, j: Int): Column = {
-      val sub = slice(vec, j * subDim + 1, subDim)
+    def codeOf(j: Int): Column = {
+      val sub = slice(nv, j * subDim + 1, subDim)
       val cbJ = typedLit(codebooks(j).zipWithIndex.map {
         case (cv, c) => (c, cv.toSeq)
       }.toSeq) // array<struct<_1: code, _2: centroid subvector>>
@@ -201,32 +212,76 @@ object Similarity {
             .otherwise(acc)
         }).getField("c")
     }
-    corpus
-      .select(col(idCol), normalizeVec(col(vecCol)).as("nv"))
-      .select(col(idCol),
-        array((0 until m).map(j => codeOf(col("nv"), j)): _*).as("codes"))
+    array((0 until m).map(codeOf): _*)
+  }
+
+  /** The ADC score expression shared by [[pqTopK]] and [[ivfPqTopK]]:
+    * Σ_j dot(q_subj, codebook_j[code_j]) as a j-ascending left fold. */
+  private def adcScore(qv: Column, codes: Column, dim: Int,
+                       codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val subDim = dim / m
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    (0 until m).map { j =>
+      dot(slice(qv, j * subDim + 1, subDim),
+        element_at(element_at(cbLit, j + 1),
+          element_at(codes, j + 1) + lit(1)))
+    }.reduceLeft(_ + _)
+  }
+
+  /** The FULL IVF-PQ composition (the production ANN shape at 100 TB:
+    * coarse cells PRUNE, compact codes RANK): corpus vectors carry an
+    * IVF cell (argmax raw dot against the frozen coarse centroids —
+    * the q39 assignment convention, ties to the larger index via the
+    * (d, c) struct max) AND their PQ codes; queries probe their
+    * `nProbe` nearest cells and rank ONLY those cells' candidates by
+    * ADC. Per query the scan cost is (corpus/nCells)·nProbe code rows
+    * — cell pruning bounds candidates, 8-byte codes bound bytes, and
+    * the query side stays exact. Recall loss vs [[pqTopK]]'s flat scan
+    * is exactly the IVF probe miss, measurable with [[recallAtK]].
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+                codebooks: Array[Array[Array[Double]]],
+                centroidsIn: Array[Array[Double]], nProbe: Int = 4,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    def centDots(v: Column): Column = centDotsFor(centroidsIn)(v)
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("dv"),
+        normalizeVec(col(vecCol)).as("nv"))
+      .select(col("neighbor_id"),
+        array_max(centDots(col("dv"))).getField("c").as("centroid"),
+        pqCodeArray(col("nv"), dim, codebooks).as("codes"))
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("dv"),
+        normalizeVec(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(transform(
+          slice(reverse(array_sort(centDots(col("dv")))), 1, nProbe),
+          p => p.getField("c"))).as("centroid"))
+    val scored = c.join(broadcast(q), Seq("centroid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcScore(col("qv"), col("codes"), dim, codebooks).as("approx_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
              codebooks: Array[Array[Array[Double]]],
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
-    val m = codebooks.length
-    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m")
-    val subDim = dim / m
     val codes = pqCodes(corpus, dim, codebooks, idCol, vecCol)
       .withColumnRenamed(idCol, "neighbor_id")
     val q = queries.select(col(idCol).as("query_id"),
       normalizeVec(col(vecCol)).as("qv"))
-    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    val approx = (0 until m).map { j =>
-      dot(slice(col("qv"), j * subDim + 1, subDim),
-        element_at(element_at(cbLit, j + 1),
-          element_at(col("codes"), j + 1) + lit(1)))
-    }.reduceLeft(_ + _)
     val scored = codes.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), approx.as("approx_sim"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcScore(col("qv"), col("codes"), dim, codebooks).as("approx_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

@@ -342,6 +342,20 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q153_ann_ivf_pq" -> ((s, d) => {
+      // the production composition: IVF cells prune (raw-dot argmax,
+      // q39's frozen sample-centroid convention, nProbe=4), PQ codes
+      // rank (q152's encode + ADC). Per query only the probed cells'
+      // 8-byte code rows are scanned. The oracle replays cell
+      // assignment, probe selection, codes, and every ADC sum.
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.pqCodebooks(emb, m = 8, nCent = 16, dim = 64)
+      Similarity.ivfPqTopK(emb.where(col("vec_id") < 10), emb, k = 10,
+        dim = 64, codebooks = cb,
+        centroidsIn = Similarity.sampleCentroids(emb, 16), nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     "q146_semantic_decontam" -> ((s, d) => {
       // embedding-space decontamination: every train vector's max cosine
       // against the held-out probe slice (vec_id % 20 == 7 — an "eval
@@ -997,6 +1011,81 @@ object SimilarityQueries {
     // q146's scoring under a streaming query is stateless, so the same
     // replay checks it row for row
     "q149_stream_decontam_gate" -> semanticDecontamReplay,
+
+    // q153 = q39's cell replay (raw-dot argmax, (d DESC, c DESC) rank,
+    // top-4 probe) gating q152's code + ADC replay: candidates are only
+    // the probed cells' members
+    "q153_ann_ivf_pq" ->
+      s"""WITH raw AS (
+            SELECT vec_id, embedding,
+                   sqrt(${duckDot("embedding", "embedding")}) AS nrm
+            FROM embeddings),
+          e AS (SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) / nrm) AS v
+                FROM raw),
+          rawcent AS ($sample16),
+          celld AS (
+            SELECT em.vec_id, rc.rn AS c,
+                   ${duckDot("em.embedding", "rc.embedding")} AS d
+            FROM embeddings em CROSS JOIN rawcent rc),
+          cells AS (
+            SELECT vec_id, c AS centroid FROM (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, c DESC) AS r
+              FROM celld) WHERE r = 1),
+          qcells AS (
+            SELECT vec_id AS query_id, c AS centroid FROM (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, c DESC) AS r
+              FROM celld WHERE vec_id < 10) WHERE r <= 4),
+          cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                   FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+          sub AS (SELECT unnest(range(0, 8)) AS j),
+          centsub AS (SELECT j, c, list_slice(v, j*8+1, j*8+8) AS sv
+                      FROM cent CROSS JOIN sub),
+          dist AS (
+            SELECT e.vec_id, cs.j, cs.c,
+                   list_reduce(list_prepend(0.0,
+                     list_transform(
+                       list_zip(list_slice(e.v, cs.j*8+1, cs.j*8+8), cs.sv),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                     (x, y) -> x + y) AS dd
+            FROM e CROSS JOIN centsub cs),
+          codes AS (
+            SELECT vec_id, j, c AS code FROM (
+              SELECT vec_id, j, c,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY dd, c) AS r
+              FROM dist) WHERE r = 1),
+          cand AS (
+            SELECT qc.query_id, cl.vec_id AS neighbor_id
+            FROM qcells qc JOIN cells cl ON cl.centroid = qc.centroid
+            WHERE qc.query_id <> cl.vec_id),
+          terms AS (
+            SELECT ca.query_id, ca.neighbor_id, cd.j,
+                   ${duckDot("list_slice(q.v, cd.j*8+1, cd.j*8+8)", "cs.sv")}
+                     AS t
+            FROM cand ca
+            JOIN e q ON q.vec_id = ca.query_id
+            JOIN codes cd ON cd.vec_id = ca.neighbor_id
+            JOIN centsub cs ON cs.j = cd.j AND cs.c = cd.code),
+          adc AS (
+            SELECT query_id, neighbor_id,
+                   list_reduce(list(t ORDER BY j), (x, y) -> x + y)
+                     AS approx_sim
+            FROM terms GROUP BY query_id, neighbor_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, approx_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_sim DESC,
+                                               neighbor_id) AS rank
+            FROM adc)
+          SELECT query_id, neighbor_id, approx_sim, rank
+          FROM ranked WHERE rank <= 10
+          ORDER BY query_id, rank""",
 
     // the full PQ replay: normalize, re-derive the 16 smallest-id
     // codebook seeds, per-(vector, subspace) argmin-L2² codes (rank

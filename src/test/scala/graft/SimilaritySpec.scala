@@ -627,6 +627,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.toSet == again.toSet)
   }
 
+  test("ivfPqTopK at full probe equals pqTopK's flat scan exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqCodebooks(emb, m = 8, nCent = 16, dim = 64)
+    val cents = Similarity.sampleCentroids(emb, 16)
+    val queries = emb.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "approx_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // probing EVERY cell removes the pruning: the composition must
+    // degrade to the flat PQ scan bit for bit — the same sanity anchor
+    // as the IVF family's nProbe=16 == brute-force row
+    val full = rows(Similarity.ivfPqTopK(queries, emb, k = 5, dim = 64,
+      codebooks = cb, centroidsIn = cents, nProbe = 16))
+    val flat = rows(Similarity.pqTopK(queries, emb, k = 5, dim = 64,
+      codebooks = cb))
+    assert(full == flat && full.nonEmpty)
+    // a 1-probe serve returns a subset of the flat candidates per query
+    val one = rows(Similarity.ivfPqTopK(queries, emb, k = 5, dim = 64,
+      codebooks = cb, centroidsIn = cents, nProbe = 1))
+    assert(one.nonEmpty && one.size <= full.size)
+  }
+
   test("semanticDecontam: max-cos verdicts with smallest-probe-id argmax ties") {
     val spark = TestSpark.spark
     import spark.implicits._
