@@ -120,6 +120,41 @@ object RecallCheck {
     println(s"[recall] portableEmb@0.98: exact=${pexact.count()} " +
       s"missed=${pexact.except(plsh).count()} extra=${plsh.except(pexact).count()}")
 
+    // ---- PQ / IVF-PQ: recall@10 vs exact cosine over the SAME
+    // normalized geometry — separates the two loss sources: the flat PQ
+    // row is pure quantization distortion (all candidates scanned), the
+    // nProbe rows add the IVF probe-miss on top; nProbe=16 == flat-PQ
+    // is the full-probe anchor (SimilaritySpec pins it bit-exactly)
+    {
+      val emb = t(spark, sfDir, "embeddings")
+      val qs = emb.where(col("vec_id") < 50)
+      val exactTopk = Similarity.topKBruteForce(qs, emb, k = 10)
+        .select("query_id", "neighbor_id")
+      val nTopk = exactTopk.count()
+      val cb = Similarity.pqCodebooks(emb, m = 8, nCent = 16, dim = 64)
+      val cents = Similarity.sampleCentroids(emb, 16)
+      val flat = Similarity.pqTopK(qs, emb, k = 10, dim = 64, cb)
+        .select("query_id", "neighbor_id")
+      val fh = exactTopk.intersect(flat).count()
+      println(f"[recall] pqTopK@10 (flat ADC): recall=${fh.toDouble / nTopk}%.3f ($fh/$nTopk)")
+      for (np <- Seq(1, 4, 8, 16)) {
+        val got = Similarity.ivfPqTopK(qs, emb, k = 10, dim = 64, cb,
+          centroidsIn = cents, nProbe = np)
+          .select("query_id", "neighbor_id")
+        val hit = exactTopk.intersect(got).count()
+        println(f"[recall] ivfPqTopK@10 nProbe=$np/16: " +
+          f"recall=${hit.toDouble / nTopk}%.3f ($hit/$nTopk)")
+      }
+      // exact re-ranking recovers what the shortlist retains
+      for (fetch <- Seq(20, 50, 100)) {
+        val got = Similarity.pqTopKRerank(qs, emb, k = 10, fetch = fetch,
+          dim = 64, codebooks = cb).select("query_id", "neighbor_id")
+        val hit = exactTopk.intersect(got).count()
+        println(f"[recall] pqTopKRerank@10 fetch=$fetch: " +
+          f"recall=${hit.toDouble / nTopk}%.3f ($hit/$nTopk)")
+      }
+    }
+
     // ---- q52 vectors: chunk-hash media embedding, LSH vs exact
     val blobs = graft.ext.Multimodal.withFakeBlob(docs, "text")
     val mvecs = graft.ext.Multimodal.embedMedia(spark, blobs)
