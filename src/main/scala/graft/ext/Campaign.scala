@@ -124,7 +124,7 @@ object Campaign {
 
   /** Does every component of `m` carry the pin `name`? */
   private def hasPin(spark: SparkSession, name: String, m: Member): Boolean = {
-    val (_, comps) = componentsOf(m)
+    val (_, comps) = componentsOf(spark, m)
     comps.forall(c =>
       Stage.resolveSnapshot(spark, s"${m.path}/$c", name).isDefined)
   }
@@ -166,15 +166,18 @@ object Campaign {
     require(members.nonEmpty, "a campaign needs at least one member")
     import org.apache.spark.sql.functions.{col, lit}
     members.map { m =>
-      val (family, comps) = componentsOf(m)
+      val (family, comps) = componentsOf(spark, m)
       val r = Stage.healthReport(spark, m.path, comps)
       r.select(lit(family).as("family") +: lit(m.path).as("root") +:
         r.columns.map(col): _*)
     }.reduce(_ unionByName _)
   }
 
-  private def componentsOf(m: Member): (String, Seq[String]) = m match {
-    case TextIndex(_)       => ("text_index", Seq("postings", "doclens", "stats"))
+  private def componentsOf(spark: SparkSession,
+                           m: Member): (String, Seq[String]) = m match {
+    // the text set is DYNAMIC: +positions when the phrase component
+    // exists ([[Search.textComponents]] — pins and health must cover it)
+    case TextIndex(p)       => ("text_index", Search.textComponents(spark, p))
     case MinhashManifest(_) => ("minhash_manifest", Seq("docs", "bands"))
     case Lm(_)              => ("lm", Seq("bigrams", "vocab"))
     case IvfIndex(_)        => ("ivf_index", Seq("lists"))

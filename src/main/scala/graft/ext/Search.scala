@@ -114,6 +114,38 @@ object Search {
     * df needs no table of its own: postings rows are distinct (token,
     * doc) pairs, so df(t) is a count over the already-filtered postings.
     */
+  /** The index's LIVE component set: the base (postings, doclens, stats)
+    * triple, plus `positions` when the positional component
+    * ([[savePositionalIndex]]) exists at this path. Every maintenance op
+    * — append (plain and exactly-once), delete, tombstone fold, compact,
+    * snapshot, restore, vacuum — moves the positional component together
+    * with the rest, so an ingest-maintained index phrase-serves the full
+    * corpus without a positional rebuild. The existence probe is one
+    * metadata call; maintenance ops run it once under the root writer
+    * lease they already hold, so the set cannot change mid-op
+    * (single-writer contract).
+    */
+  private[ext] def textComponents(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): Seq[String] = {
+    val base = Seq("postings", "doclens", "stats")
+    val p = new org.apache.hadoop.fs.Path(s"$path/positions")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) base :+ "positions" else base
+  }
+
+  /** The positional-posting relation for one document batch — the shape
+    * both the fresh build ([[savePositionalIndex]]) and every append
+    * path write, so grown and fresh-built components are
+    * file-layout-identical: (token, doc_id, sorted 0-based positions),
+    * token-sorted within files for row-group pruning. */
+  private def positionalPostings(docs: DataFrame, idCol: String,
+                                 textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
+      .groupBy(col("token"), col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .repartition(col("token")).sortWithinPartitions("token", idCol)
+
   def saveTextIndex(docs: DataFrame, path: String,
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
     // a rebuild starts a fresh streaming lineage: stale exactly-once
@@ -149,9 +181,10 @@ object Search {
                         textCol: String = "text"): Unit = {
     val spark = batch.sparkSession
     graft.ops.Stage.withWriterLease(spark, path) {
+    val comps = textComponents(spark, path)
     // like the streaming shells, an index CREATED by this append is born
     // versioned, so snapshot pins work from the first batch
-    Seq("postings", "doclens", "stats").foreach(c =>
+    comps.foreach(c =>
       graft.ops.Stage.ensureVersioned(spark, s"$path/$c"))
     batch
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
@@ -167,6 +200,12 @@ object Search {
     // the index.
     batchStats(batch, textCol).write.mode("append")
       .parquet(graft.ops.Stage.resolve(spark, s"$path/stats"))
+    // positional component, when present: new documents' posting rows
+    // are disjoint from existing ones, so the batch lands as new files —
+    // the same per-doc-disjoint argument as postings
+    if (comps.contains("positions"))
+      positionalPostings(batch, idCol, textCol).write.mode("append")
+        .parquet(graft.ops.Stage.resolve(spark, s"$path/positions"))
     }
   }
 
@@ -214,9 +253,10 @@ object Search {
     */
   def appendToTextIndexExactlyOnce(batch: DataFrame, path: String,
                                    batchId: Long, idCol: String = "doc_id",
-                                   textCol: String = "text"): Unit =
+                                   textCol: String = "text"): Unit = {
+    val comps = textComponents(batch.sparkSession, path)
     graft.ops.Stage.appendExactlyOnce(batch.sparkSession, path, batchId,
-      Seq("postings", "doclens", "stats")) { staging =>
+      comps) { staging =>
       batch
         .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
         .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
@@ -227,7 +267,11 @@ object Search {
         .write.mode("overwrite").parquet(s"$staging/doclens")
       batchStats(batch, textCol).write.mode("overwrite")
         .parquet(s"$staging/stats")
+      if (comps.contains("positions"))
+        positionalPostings(batch, idCol, textCol).write.mode("overwrite")
+          .parquet(s"$staging/positions")
     }
+  }
 
   /** Delete documents from a [[saveTextIndex]] index — the
     * right-to-be-forgotten path. A compaction rewrite: postings and
@@ -243,10 +287,10 @@ object Search {
                           idCol: String = "doc_id"): Unit =
       graft.ops.Stage.withWriterLease(spark, path) {
     import graft.ops.Stage.{publishRewrite, resolve}
+    val comps = textComponents(spark, path)
     // like every compacting rewrite: a crashed batch's uncommitted
     // b<id>-* files must not fold (the replay would double them)
-    graft.ops.Stage.sweepUncommitted(spark, path,
-      Seq("postings", "doclens", "stats"))
+    graft.ops.Stage.sweepUncommitted(spark, path, comps)
     val del = ids.select(col(idCol)).distinct()
     publishRewrite(spark, s"$path/postings",
       spark.read.parquet(resolve(spark, s"$path/postings"))
@@ -257,6 +301,10 @@ object Search {
     publishRewrite(spark, s"$path/stats",
       spark.read.parquet(resolve(spark, s"$path/doclens")) // post-delete lens
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens")))
+    if (comps.contains("positions"))
+      publishRewrite(spark, s"$path/positions",
+        spark.read.parquet(resolve(spark, s"$path/positions"))
+          .join(del, Seq(idCol), "left_anti"))
   }
 
   /** Compact a [[saveTextIndex]] index after a run of per-batch appends.
@@ -285,11 +333,11 @@ object Search {
                        path: String, idCol: String = "doc_id"): Unit =
       graft.ops.Stage.withWriterLease(spark, path) {
     import graft.ops.Stage.{compactionPartitions, publishRewrite, resolve}
+    val comps = textComponents(spark, path)
     // partial leavings of a crashed mid-publish batch must NOT fold —
     // anonymized into part files, the replay's prefix sweep couldn't
     // remove them and the batch would land twice
-    graft.ops.Stage.sweepUncommitted(spark, path,
-      Seq("postings", "doclens", "stats"))
+    graft.ops.Stage.sweepUncommitted(spark, path, comps)
     // pending tombstones FOLD here: postings/doclens drop the tombstoned
     // documents, stats recompute from the surviving doclens (the
     // immediate-delete recipe), then exactly the consumed tombstone
@@ -312,6 +360,18 @@ object Search {
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
         .repartition(1))
+    if (comps.contains("positions")) {
+      // same fold for the positional lists: tombstones drop, fragments
+      // re-sort to the builder's token-ordered layout
+      val nPos = compactionPartitions(spark, s"$path/positions")
+      publishRewrite(spark, s"$path/positions") { versionDir =>
+        minusTombstoned(
+          spark.read.parquet(resolve(spark, s"$path/positions")),
+          tomb, idCol)
+          .repartition(nPos, col("token")).sortWithinPartitions("token", idCol)
+          .write.mode("overwrite").parquet(versionDir)
+      }
+    }
     graft.ops.Stage.resetTombstones(spark, path,
       snap.map(_._2).getOrElse(Nil))
     graft.ops.Stage.compactLedger(spark, path)
@@ -330,7 +390,7 @@ object Search {
                            path: String, maxFilesPerComponent: Int = 64,
                            idCol: String = "doc_id"): Boolean = {
     val go = graft.ops.Stage.shouldCompact(spark, path,
-      Seq("postings", "doclens", "stats"), maxFilesPerComponent)
+      textComponents(spark, path), maxFilesPerComponent)
     if (go) compactTextIndex(spark, path, idCol)
     go
   }
@@ -432,11 +492,11 @@ object Search {
     // concurrent delete landing between pins would freeze a mixed
     // (pre-op postings, post-op doclens) triple that scores wrong
     graft.ops.Stage.withWriterLease(spark, path) {
+      val comps = textComponents(spark, path)
       // a crashed batch's doomed partials must not be pinned (the pin
       // records file lists; a later sweep would dangle them)
-      graft.ops.Stage.sweepUncommitted(spark, path,
-        Seq("postings", "doclens", "stats"))
-      Seq("postings", "doclens", "stats").foreach(c =>
+      graft.ops.Stage.sweepUncommitted(spark, path, comps)
+      comps.foreach(c =>
         graft.ops.Stage.snapshot(spark, s"$path/$c", name))
     }
 
@@ -457,7 +517,7 @@ object Search {
   def restoreTextIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, name: String): Unit =
     graft.ops.Stage.withWriterLease(spark, path) {
-      val comps = Seq("postings", "doclens", "stats")
+      val comps = textComponents(spark, path)
       val missing = comps.filter(c =>
         graft.ops.Stage.resolveSnapshot(spark, s"$path/$c", name).isEmpty)
       require(missing.isEmpty,
@@ -472,7 +532,7 @@ object Search {
     * [[vacuumTextIndex]]. */
   def dropTextIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
                             path: String, name: String): Unit =
-    Seq("postings", "doclens", "stats").foreach(c =>
+    textComponents(spark, path).foreach(c =>
       graft.ops.Stage.dropSnapshot(spark, s"$path/$c", name))
 
   /** Reclaim the index's stale versions now ([[graft.ops.Stage.vacuum]]
@@ -480,7 +540,7 @@ object Search {
     * waiting for the next maintenance op's publish. */
   def vacuumTextIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit =
-    Seq("postings", "doclens", "stats").foreach(c =>
+    textComponents(spark, path).foreach(c =>
       graft.ops.Stage.vacuum(spark, s"$path/$c"))
 
   /** Maintenance DIFF of the index's two serveable states: PREVIOUS
@@ -644,19 +704,19 @@ object Search {
     * serve reads only its terms' lists. Positions add one integer per
     * TOKEN OCCURRENCE to the index — the standard positional-index size
     * trade (≈ index bytes ∝ corpus tokens, vs ∝ distinct (token, doc)
-    * pairs without them). REBUILD-ONLY component: `appendToTextIndex`
-    * does not maintain it — rebuild after ingest before phrase-serving,
-    * or the phrase index silently lags the corpus (the doc-level
-    * tombstone masks DO apply at serve time, so deletes are safe).
+    * pairs without them). MAINTAINED component: once it exists, every
+    * text-index maintenance op moves it with the rest
+    * ([[textComponents]] — appends add the batch's positional rows,
+    * deletes anti-join it, compaction folds tombstones and re-sorts,
+    * snapshot/restore pin and roll it with the triple), so phrase serves
+    * never lag ingest. Call it right after [[saveTextIndex]] in the
+    * fresh-build phase (it is itself a component REBUILD: mode-overwrite
+    * wipes any versioned history, like the other fresh-build writes).
     */
   def savePositionalIndex(docs: DataFrame, path: String,
                           idCol: String = "doc_id",
                           textCol: String = "text"): Unit =
-    docs.select(col(idCol),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
-      .groupBy(col("token"), col(idCol))
-      .agg(sort_array(collect_list(col("pos"))).as("positions"))
-      .repartition(col("token")).sortWithinPartitions("token", idCol)
+    positionalPostings(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$path/positions")
 
   /** PHRASE SEARCH over a [[savePositionalIndex]] component: documents

@@ -147,6 +147,85 @@ object Similarity {
     Array.tabulate(m)(j => seeds.map(_.slice(j * subDim, (j + 1) * subDim)))
   }
 
+  /** K-MEANS-TRAINED PQ codebooks: [[pqCodebooks]]' frozen smallest-id
+    * seeds refined by `iters` Lloyd iterations of plain (non-spherical)
+    * per-subspace k-means — the TPAMI'11 training recipe. Each iteration
+    * is DataFrame work (one corpus pass: explode to (subspace, subvector)
+    * rows, argmin-L2² assignment against the literal codebooks, one
+    * groupBy re-estimation); only the m×nCent×subDim codebook matrix
+    * reaches the driver, so training a 100 TB corpus is `iters`
+    * distributed passes, exactly like [[trainCentroids]].
+    *
+    * DETERMINISM — the property that lets an oracle value-check a
+    * TRAINED model: a float mean over shuffled partitions is
+    * order-dependent in its last ulp, and a last-ulp flip near a Voronoi
+    * boundary flips code assignments. So the update statistics accumulate
+    * on a 2^-20 fixed-point grid (the [[quantize]] floor(x·G + 0.5)
+    * convention applied to the k-means update): per (subspace, code,
+    * position) the sum of LONG-quantized coordinates is exact integer
+    * arithmetic in any engine and any order, and the re-estimated
+    * coordinate is one division chain (sum / n / G) spelled identically
+    * in the replay. Assignment ties keep the SMALLEST code (strict <,
+    * mirroring [[pqCodes]]); empty clusters keep their previous entry.
+    * The 1e-6 grid error is far below any plausible cluster geometry —
+    * it buys bit-identical codebooks, not worse ones.
+    */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, nCent: Int, dim: Int,
+                       iters: Int = 1, idCol: String = "vec_id",
+                       vecCol: String = "embedding")
+      : Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    require(iters >= 0, s"iters=$iters must be non-negative")
+    val subDim = dim / m
+    val Grid = 1048576.0 // 2^20
+    var cb = pqCodebooks(corpus, m, nCent, dim, idCol, vecCol)
+    // (j, sv) rows: every vector's m normalized subvectors. The
+    // normalize sits in its own projection (see pqCodes), the explode in
+    // the next — one corpus pass per iteration re-reads this lineage.
+    val sub = corpus
+      .select(normalizeVec(col(vecCol)).as("nv"))
+      .select(explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          slice(col("nv"), j * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("e.j").as("j"), col("e.sv").as("sv"))
+    for (_ <- 1 to iters) {
+      // array-by-subspace of (code, centroid) pairs, one literal — the
+      // bound-lambda HOF argmin of pqCodes, indexed by the row's j
+      val cbLit = typedLit(cb.map(_.zipWithIndex.map {
+        case (cv, c) => (c, cv.toSeq)
+      }.toSeq).toSeq)
+      val cbJ = element_at(cbLit, col("j") + 1)
+      // aliases on struct fields built from lambda-bound values get
+      // stripped by the analyzer here (unlike pqCodeArray's literal-fed
+      // variant), so both branches cast to one explicit struct type
+      val accType = "struct<d:double,c:int>"
+      val code = aggregate(cbJ,
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")).cast(accType),
+        (acc, e) => {
+          val dd = aggregate(
+            zip_with(col("sv"), e.getField("_2"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, z) => a + z)
+          when(dd < acc.getField("d"),
+            struct(dd.as("d"), e.getField("_1").as("c")).cast(accType))
+            .otherwise(acc)
+        }).getField("c")
+      val stats = sub
+        .select(col("j"), code.as("c"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("j", "c", "pos")
+        .agg(sum(floor(col("x") * Grid + lit(0.5)).cast("long")).as("smi"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getLong(3).toDouble / r.getLong(4) / Grid
+      }
+      cb = next
+    }
+    cb
+  }
+
   /** PQ ENCODE + ADC SERVE: corpus vectors normalize, encode to m code
     * indices (per subspace, argmin exact-L2² against the codebook —
     * strict `<` keeps the SMALLEST index on ties, mirrored by the

@@ -228,12 +228,29 @@ object SearchQueries {
       val sf = sfTag(d)
       val path = s"target/graft-phrase-index-$sf"
       Search.savePositionalIndex(t(s, d, "documents"), path)
-      def one(tag: String, phrase: Seq[String]) =
-        Search.phraseSearchIndexed(s, path, phrase, k = 20)
-          .withColumn("phrase", lit(tag))
-      one("table hash", Seq("table", "hash"))
-        .unionByName(one("part filter scan", Seq("part", "filter", "scan")))
-        .orderBy("phrase", "rank")
+      phraseServePair(s, path)
+    }),
+
+    "q155_phrase_after_ingest" -> ((s, d) => {
+      // the "rebuild positions after ingest" limit, CLOSED: positions
+      // are a maintained component (Search.textComponents), so phrase
+      // serving after appends equals a fresh positional build over the
+      // union — q151's full-corpus oracle verbatim. Build on two thirds
+      // of the corpus, grow with one plain batch + one exactly-once
+      // batch (replayed: the positional rows must not double), serve.
+      val sf = sfTag(d)
+      val path = s"target/graft-phrase-ingest-$sf"
+      val docs = t(s, d, "documents")
+      val base = docs.where(pmod(col("doc_id"), lit(3)) =!= 2)
+      Search.saveTextIndex(base, path)
+      Search.savePositionalIndex(base, path)
+      Search.appendToTextIndex(docs.where(pmod(col("doc_id"), lit(3)) === 2
+        && pmod(col("doc_id"), lit(2)) === 0), path)
+      val eo = docs.where(pmod(col("doc_id"), lit(3)) === 2
+        && pmod(col("doc_id"), lit(2)) === 1)
+      Search.appendToTextIndexExactlyOnce(eo, path, batchId = 1L)
+      Search.appendToTextIndexExactlyOnce(eo, path, batchId = 1L) // replay
+      phraseServePair(s, path)
     }),
 
     "q145_rollback_audit" -> ((s, d) => {
@@ -420,6 +437,18 @@ object SearchQueries {
           WHERE rank <= 20 ORDER BY rank"""
   }
 
+  /** The shared q151/q155 serve: a bigram and a trigram phrase from the
+    * positional component, top-20 each by occurrence count. */
+  private def phraseServePair(s: org.apache.spark.sql.SparkSession,
+                              path: String): org.apache.spark.sql.DataFrame = {
+    def one(tag: String, phrase: Seq[String]) =
+      Search.phraseSearchIndexed(s, path, phrase, k = 20)
+        .withColumn("phrase", lit(tag))
+    one("table hash", Seq("table", "hash"))
+      .unionByName(one("part filter scan", Seq("part", "filter", "scan")))
+      .orderBy("phrase", "rank")
+  }
+
   val oracles: Map[String, String] = Map(
     "q92_bm25_topk" -> bm25SqlOver("SELECT * FROM documents"),
 
@@ -475,39 +504,12 @@ object SearchQueries {
     // both phrases' adjacency counts re-derived from raw text (1-based
     // list indices; the engine's 0-based posting positions count the
     // same hits), ranked (n DESC, doc_id) and cut at 20 per phrase
-    "q151_phrase_search" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl
-                        FROM documents),
-              h2 AS (
-                SELECT doc_id,
-                       CAST(len(list_filter(range(1, len(tl)),
-                         i -> tl[i] = 'table' AND tl[i+1] = 'hash'))
-                         AS BIGINT) AS n_occurrences
-                FROM toks),
-              h3 AS (
-                SELECT doc_id,
-                       CAST(len(list_filter(range(1, len(tl) - 1),
-                         i -> tl[i] = 'part' AND tl[i+1] = 'filter'
-                              AND tl[i+2] = 'scan')) AS BIGINT)
-                         AS n_occurrences
-                FROM toks),
-              r2 AS (
-                SELECT doc_id, n_occurrences,
-                       row_number() OVER (ORDER BY n_occurrences DESC,
-                                          doc_id) AS rank
-                FROM h2 WHERE n_occurrences > 0),
-              r3 AS (
-                SELECT doc_id, n_occurrences,
-                       row_number() OVER (ORDER BY n_occurrences DESC,
-                                          doc_id) AS rank
-                FROM h3 WHERE n_occurrences > 0)
-          SELECT * FROM (
-            SELECT doc_id, n_occurrences, rank, 'table hash' AS phrase
-            FROM r2 WHERE rank <= 20
-            UNION ALL
-            SELECT doc_id, n_occurrences, rank, 'part filter scan'
-            FROM r3 WHERE rank <= 20)
-          ORDER BY phrase, rank""",
+    "q151_phrase_search" -> phraseReplaySql,
+
+    // q155 grows the positional component through the append paths and
+    // must serve exactly what a fresh full-corpus build serves — the
+    // same replay, verbatim
+    "q155_phrase_after_ingest" -> phraseReplaySql,
 
     // q145 diffs the rolled-back-FROM state (survivors) against the
     // restored live state (full corpus) — q128's replay, sides swapped:
@@ -581,4 +583,38 @@ object SearchQueries {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
+
+  private lazy val phraseReplaySql: String =
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl                        FROM documents),
+              h2 AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(range(1, len(tl)),
+                         i -> tl[i] = 'table' AND tl[i+1] = 'hash'))
+                         AS BIGINT) AS n_occurrences
+                FROM toks),
+              h3 AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(range(1, len(tl) - 1),
+                         i -> tl[i] = 'part' AND tl[i+1] = 'filter'
+                              AND tl[i+2] = 'scan')) AS BIGINT)
+                         AS n_occurrences
+                FROM toks),
+              r2 AS (
+                SELECT doc_id, n_occurrences,
+                       row_number() OVER (ORDER BY n_occurrences DESC,
+                                          doc_id) AS rank
+                FROM h2 WHERE n_occurrences > 0),
+              r3 AS (
+                SELECT doc_id, n_occurrences,
+                       row_number() OVER (ORDER BY n_occurrences DESC,
+                                          doc_id) AS rank
+                FROM h3 WHERE n_occurrences > 0)
+          SELECT * FROM (
+            SELECT doc_id, n_occurrences, rank, 'table hash' AS phrase
+            FROM r2 WHERE rank <= 20
+            UNION ALL
+            SELECT doc_id, n_occurrences, rank, 'part filter scan'
+            FROM r3 WHERE rank <= 20)
+          ORDER BY phrase, rank"""
+
 }

@@ -369,6 +369,25 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q156_ann_pq_trained" -> ((s, d) => {
+      // TRAINED product quantization: q152's frozen smallest-id seeds
+      // refined by ONE per-subspace Lloyd iteration whose update
+      // statistics accumulate on a 2^-20 fixed-point grid — the detail
+      // that makes a TRAINED model oracle-checkable: integer sums are
+      // order-independent in any engine, so the refined codebooks are
+      // bit-identical between Spark and the replay
+      // (Similarity.trainPqCodebooks). The oracle re-derives the seeds,
+      // the first assignment, the quantized-mean update (empty clusters
+      // keep their seed), every code against the TRAINED books, and
+      // every ADC sum.
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.trainPqCodebooks(emb, m = 8, nCent = 16,
+        dim = 64, iters = 1)
+      Similarity.pqTopK(emb.where(col("vec_id") < 10), emb, k = 10,
+        dim = 64, codebooks = cb)
+        .orderBy("query_id", "rank")
+    }),
+
     "q146_semantic_decontam" -> ((s, d) => {
       // embedding-space decontamination: every train vector's max cosine
       // against the held-out probe slice (vec_id % 20 == 7 — an "eval
@@ -1207,6 +1226,98 @@ object SimilarityQueries {
                      AS t
             FROM q CROSS JOIN codes cd
             JOIN centsub cs ON cs.j = cd.j AND cs.c = cd.code
+            WHERE q.query_id <> cd.vec_id),
+          adc AS (
+            SELECT query_id, neighbor_id,
+                   list_reduce(list(t ORDER BY j), (x, y) -> x + y)
+                     AS approx_sim
+            FROM terms GROUP BY query_id, neighbor_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, approx_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_sim DESC,
+                                               neighbor_id) AS rank
+            FROM adc)
+          SELECT query_id, neighbor_id, approx_sim, rank
+          FROM ranked WHERE rank <= 10
+          ORDER BY query_id, rank""",
+
+    // q156 = q152's replay with ONE Lloyd refinement between the seeds
+    // and the codes: assignment against the seeds (rank (dd, c) == the
+    // engine's strict-< fold), the re-estimated mean as EXACT integer
+    // sums of 2^-20-quantized coordinates (floor(x·G + 0.5), the
+    // engine's quantize convention — order-independent, so the trained
+    // coordinate (sum / n / G) is bit-identical in both engines), empty
+    // clusters keeping their seed, then codes + ADC against the TRAINED
+    // books
+    "q156_ann_pq_trained" ->
+      s"""WITH raw AS (
+            SELECT vec_id, embedding,
+                   sqrt(${duckDot("embedding", "embedding")}) AS nrm
+            FROM embeddings),
+          e AS (SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) / nrm) AS v
+                FROM raw),
+          cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                   FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+          sub AS (SELECT unnest(range(0, 8)) AS j),
+          seedsub AS (SELECT j, c, list_slice(v, j*8+1, j*8+8) AS sv
+                      FROM cent CROSS JOIN sub),
+          esub AS (SELECT vec_id, j, list_slice(v, j*8+1, j*8+8) AS sv
+                   FROM e CROSS JOIN sub),
+          dist0 AS (
+            SELECT es.vec_id, ss.j, ss.c,
+                   list_reduce(list_prepend(0.0,
+                     list_transform(list_zip(es.sv, ss.sv),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                     (x, y) -> x + y) AS dd
+            FROM esub es JOIN seedsub ss ON ss.j = es.j),
+          assign0 AS (
+            SELECT vec_id, j, c FROM (
+              SELECT vec_id, j, c,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY dd, c) AS r
+              FROM dist0) WHERE r = 1),
+          coords AS (
+            SELECT a.j, a.c, p.pos, es.sv[p.pos] AS x
+            FROM assign0 a
+            JOIN esub es ON es.vec_id = a.vec_id AND es.j = a.j
+            CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) p),
+          stats AS (
+            SELECT j, c, pos,
+                   CAST(sum(CAST(floor(x * 1048576.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS smi,
+                   count(*) AS n
+            FROM coords GROUP BY j, c, pos),
+          trained AS (
+            SELECT j, c,
+                   list(CAST(smi AS DOUBLE) / n / 1048576.0
+                        ORDER BY pos) AS sv
+            FROM stats GROUP BY j, c),
+          cbt AS (SELECT s.j, s.c, coalesce(t.sv, s.sv) AS sv
+                  FROM seedsub s
+                  LEFT JOIN trained t ON t.j = s.j AND t.c = s.c),
+          dist AS (
+            SELECT es.vec_id, cs.j, cs.c,
+                   list_reduce(list_prepend(0.0,
+                     list_transform(list_zip(es.sv, cs.sv),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                     (x, y) -> x + y) AS dd
+            FROM esub es JOIN cbt cs ON cs.j = es.j),
+          codes AS (
+            SELECT vec_id, j, c AS code FROM (
+              SELECT vec_id, j, c,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY dd, c) AS r
+              FROM dist) WHERE r = 1),
+          q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+          terms AS (
+            SELECT q.query_id, cd.vec_id AS neighbor_id, cd.j,
+                   ${duckDot("list_slice(q.v, cd.j*8+1, cd.j*8+8)", "cs.sv")}
+                     AS t
+            FROM q CROSS JOIN codes cd
+            JOIN cbt cs ON cs.j = cd.j AND cs.c = cd.code
             WHERE q.query_id <> cd.vec_id),
           adc AS (
             SELECT query_id, neighbor_id,

