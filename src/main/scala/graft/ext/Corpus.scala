@@ -761,6 +761,83 @@ object Corpus {
         (coalesce(col("dsir_bits"), lit(0L)) > 0).as("selected"))
   }
 
+  /** Naive Bayes reference-class filter — the fastText/CCNet-style
+    * "train a cheap classifier on a labeled seed, filter the crawl with
+    * it" pipeline stage, as one declarative plan. `labelCol` marks the
+    * training rows' reference class (CCNet uses "is Wikipedia"; q157
+    * uses `lang = 'en'`); every `score` document gets the multinomial-NB
+    * log-odds of that class over its token stream, with add-one
+    * smoothing and a uniform class prior.
+    *
+    * ALL log arithmetic is the corpus's INTEGER floor-log₂ convention
+    * ([[lmPerplexity]]'s `length(bin(x)) − 1` trick): per token t and
+    * class c the smoothed surprisal is
+    * bits_c(t) = floor(log₂((T_c + V) div (n_c(t) + 1))) with T_c the
+    * class's token total and V the train vocabulary size, and the
+    * per-token evidence is wbits(t) = bits_neg(t) − bits_pos(t)
+    * (positive ⇒ the token is cheaper to encode under the reference
+    * class). No float log anywhere, so the trained model AND every
+    * verdict replay bit-identically in any engine. Tokens unseen in
+    * training score the n_c = 0 floor through the same formula (the
+    * one-row `unk` fallback); resolution is whole bits per token and a
+    * document's margin sums hundreds of them.
+    *
+    * Output: (id, n_tokens, margin_bits, keep) per score document,
+    * keep = margin_bits ≥ 0; empty/NULL-text documents come back
+    * (0, 0, true) — a zero-evidence doc is uniform, the caller's
+    * threshold decides its fate.
+    *
+    * Scale shape: training is one labeled-token explode folded to a
+    * vocabulary-sized (token, n_pos, n_neg) relation (map-side partial
+    * aggs); totals and V ride as WINDOWS over that relation (the q74
+    * rule — window the histogram, never the corpus). Scoring joins the
+    * score corpus's token stream to the weight relation by token —
+    * broadcast when the vocabulary is bounded, AQE-skew-splittable
+    * otherwise — and folds per doc. Nothing ever collects; at 100 TB
+    * persist the count relation like the LM's and rescore incrementally.
+    */
+  def nbClassBits(train: DataFrame, score: DataFrame, labelCol: Column,
+                  textCol: String, idCol: String): DataFrame = {
+    val toks = train
+      .where(col(textCol).isNotNull)
+      .select(labelCol.cast("boolean").as("y"),
+        explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("nn"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val weighted = counts
+      .withColumn("tp", sum(col("np")).over(all))
+      .withColumn("tn", sum(col("nn")).over(all))
+      .withColumn("v", count(lit(1)).over(all))
+      .select(col("tok"),
+        ((length(bin(expr("(tn + v) div (nn + 1)"))) - 1)
+          - (length(bin(expr("(tp + v) div (np + 1)"))) - 1))
+          .cast("long").as("wbits"))
+    // the unseen-token fallback: the same formula at n_c = 0, one row
+    val unk = counts
+      .agg(sum("np").as("tp"), sum("nn").as("tn"), count(lit(1)).as("v"))
+      .select(((length(bin(expr("(tn + v) div 1"))) - 1)
+        - (length(bin(expr("(tp + v) div 1"))) - 1))
+        .cast("long").as("unk_wbits"))
+    val stream = score
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("tok"))
+    val perDoc = stream
+      .join(broadcast(weighted), Seq("tok"), "left")
+      .crossJoin(broadcast(unk))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("wbits"), col("unk_wbits"))).as("margin_bits"))
+    score.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("margin_bits"), lit(0L)).as("margin_bits"),
+        (coalesce(col("margin_bits"), lit(0L)) >= 0).as("keep"))
+  }
+
   /** KenLM-shaped n-gram LM quality score: per-document surprisal under a
     * bigram model with add-one smoothing, trained on the corpus itself
     * (the CCNet recipe scores against a reference-corpus LM — pass that

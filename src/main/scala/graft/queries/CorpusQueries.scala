@@ -316,6 +316,19 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q157_nb_class_filter" -> ((s, d) => {
+      // the fastText/CCNet classifier-filter stage: train a multinomial
+      // Naive Bayes on a labeled reference class (here lang = 'en' —
+      // CCNet's "is Wikipedia" seed, with the testdata's label), score
+      // every document's class log-odds in INTEGER floor-log₂ bits
+      // (q81's no-float-log discipline — the trained model itself
+      // replays exactly), keep = margin ≥ 0. The oracle re-derives the
+      // class counts, every per-token weight, and every verdict.
+      val docs = t(s, d, "documents")
+      Corpus.nbClassBits(docs, docs, col("lang") === "en", "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q140_perplexity_buckets" -> ((s, d) => {
       // CCNet head/middle/tail: score the test split against the
       // train-split LM, then bucket by integer bits_x100 terciles —
@@ -808,6 +821,41 @@ object CorpusQueries {
     // q131 scores from a pin taken BEFORE the val-split append — the
     // frozen model IS the train-only model, q91's replay verbatim
     "q131_lm_frozen_snapshot" -> lmIndexedReplay,
+
+    // q157: the class counts, the per-token floor-log₂ weights (length
+    // (bin(x)) − 1 == the engine's spelling), and every margin/verdict —
+    // scoring over the train corpus itself, so the inner token join is
+    // the engine's left-join-with-unk-fallback on this data
+    "q157_nb_class_filter" ->
+      """WITH tr AS (SELECT (lang = 'en') AS y,
+                            unnest(string_split(text, ' ')) AS tok
+                     FROM documents WHERE text IS NOT NULL),
+          c AS (SELECT tok,
+                       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                         AS np,
+                       CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nn
+                FROM tr GROUP BY tok),
+          w AS (SELECT tok,
+                       CAST((length(bin((tn + v) // (nn + 1))) - 1)
+                          - (length(bin((tp + v) // (np + 1))) - 1)
+                            AS BIGINT) AS wbits
+                FROM (SELECT tok, np, nn,
+                             CAST(sum(np) OVER () AS BIGINT) AS tp,
+                             CAST(sum(nn) OVER () AS BIGINT) AS tn,
+                             CAST(count(*) OVER () AS BIGINT) AS v
+                      FROM c)),
+          s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL),
+          pd AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                        CAST(sum(w.wbits) AS BIGINT) AS margin_bits
+                 FROM s JOIN w USING (tok) GROUP BY s.doc_id)
+          SELECT d.doc_id,
+                 CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(pd.margin_bits, 0) AS BIGINT) AS margin_bits,
+                 coalesce(pd.margin_bits, 0) >= 0 AS keep
+          FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+          ORDER BY d.doc_id""",
 
     // q140: q91's replay wrapped in the score-class tercile rule — the
     // same histogram cumsum and integer div the engine applies

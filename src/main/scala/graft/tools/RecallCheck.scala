@@ -153,6 +153,18 @@ object RecallCheck {
         println(f"[recall] pqTopKRerank@10 fetch=$fetch: " +
           f"recall=${hit.toDouble / nTopk}%.3f ($hit/$nTopk)")
       }
+      // trained codebooks (q156): does Lloyd refinement move ADC recall
+      // on this geometry? (random embeddings cluster poorly — the row
+      // calibrates the knob next to the frozen-sample anchor above)
+      for (iters <- Seq(1, 3)) {
+        val tcb = Similarity.trainPqCodebooks(emb, m = 8, nCent = 16,
+          dim = 64, iters = iters)
+        val got = Similarity.pqTopK(qs, emb, k = 10, dim = 64, tcb)
+          .select("query_id", "neighbor_id")
+        val hit = exactTopk.intersect(got).count()
+        println(f"[recall] pqTopK@10 trained iters=$iters: " +
+          f"recall=${hit.toDouble / nTopk}%.3f ($hit/$nTopk)")
+      }
     }
 
     // ---- q52 vectors: chunk-hash media embedding, LSH vs exact

@@ -743,6 +743,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(byId(3L) == ((1L, 0L, false)))
   }
 
+  test("nbClassBits: hand-computed weights, unknown-token fallback, empty docs") {
+    // train: positive class says "good", negative says "bad"; "both"
+    // appears once in each. Counts: np(good)=2, nn(good)=0; np(bad)=0,
+    // nn(bad)=2; np(both)=nn(both)=1. Totals tp=tn=3, V=3.
+    val train = Seq(
+      (1L, true, "good good both"),
+      (2L, false, "bad bad both")
+    ).toDF("doc_id", "y", "text")
+    // bits_c(t) = floor(log2((T_c + V) div (n_c + 1))), wbits = neg - pos:
+    //   good: pos (6 div 3)=2 -> 1 bit;  neg (6 div 1)=6 -> 2 bits; w=+1
+    //   bad : pos 6 -> 2;               neg 2 -> 1;                w=-1
+    //   both: pos (6 div 2)=3 -> 1;     neg 3 -> 1;                w=0
+    //   unknown (n_c = 0 both sides): 6 -> 2 vs 6 -> 2;            w=0
+    val score = Seq(
+      (10L, "good good bad"),   // +1 +1 -1 = +1, keep
+      (11L, "bad both"),        // -1 +0 = -1, drop
+      (12L, "novel good"),      // unk 0 + 1 = +1, keep
+      (13L, null.asInstanceOf[String]) // empty: (0, 0, keep)
+    ).toDF("doc_id", "text")
+    val got = Corpus.nbClassBits(train, score, col("y"), "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "margin_bits", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (10L, 3L, 1L, true),
+      (11L, 2L, -1L, false),
+      (12L, 2L, 1L, true),
+      (13L, 0L, 0L, true)))
+  }
+
   test("perplexityBuckets: score-class terciles with integer boundaries") {
     val spark = TestSpark.spark
     import spark.implicits._
