@@ -773,6 +773,61 @@ object Similarity {
     cents
   }
 
+  /** [[trainCentroids]] in the PORTABLE fixed-point discipline of
+    * [[trainPqCodebooks]] — the variant an oracle can value-check, which
+    * is what lets the TRAINED IVF path (q158) sit under the same
+    * bit-exact correctness gate as the frozen-sample one (q39). Same
+    * spherical-k-means semantics: seeds are the `n` smallest-id
+    * NORMALIZED vectors (the q152 cent convention), assignment is
+    * argmax-dot with ties to the LARGER centroid id (the engine's
+    * (d, c) struct array_max == the replay's ORDER BY d DESC, c DESC),
+    * and each re-estimated mean is computed from exact integer sums of
+    * 2^-20-quantized coordinates, then re-unitized with one
+    * fixed-order sum of squares + sqrt (both IEEE-exact in any engine).
+    * Empty cells keep their previous unit centroid. `iters` distributed
+    * passes; only the n×dim matrix reaches the driver.
+    */
+  def trainCentroidsPortable(corpus: DataFrame, n: Int, dim: Int,
+                             iters: Int = 1, idCol: String = "vec_id",
+                             vecCol: String = "embedding")
+      : Array[Array[Double]] = {
+    require(iters >= 0, s"iters=$iters must be non-negative")
+    val Grid = 1048576.0 // 2^20
+    def unitize(c: Array[Double]): Array[Double] = {
+      // ascending-position fold, the duckDot spelling
+      val nrm = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+      if (nrm > 0.0) c.map(_ / nrm) else c
+    }
+    var cents = sampleCentroids(
+      corpus.select(col(idCol), normalizeVec(col(vecCol)).as(vecCol)),
+      n, idCol, vecCol)
+    val nv = corpus.select(normalizeVec(col(vecCol)).as("nv"))
+    for (_ <- 1 to iters) {
+      val cd = array(cents.zipWithIndex.map { case (cv, i) =>
+        struct(dot(col("nv"), array(cv.map(lit(_)): _*)).as("d"),
+          lit(i).as("c"))
+      }: _*)
+      val stats = nv
+        .select(array_max(cd).getField("c").as("c"),
+          posexplode(col("nv")).as(Seq("pos", "x")))
+        .groupBy("c", "pos")
+        .agg(sum(floor(col("x") * Grid + lit(0.5)).cast("long")).as("smi"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.clone())
+      val touched = scala.collection.mutable.Set.empty[Int]
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getLong(2).toDouble / r.getLong(3) / Grid
+        touched += r.getInt(0)
+      }
+      cents = next.zipWithIndex.map { case (c, i) =>
+        if (touched(i)) unitize(c) else c
+      }
+    }
+    cents
+  }
+
   /** IVF-style ANN: corpus rows are assigned to their best coarse centroid
     * (the inverted list); each query probes its `nProbe` nearest centroids
     * and scores only those lists. The assignment/probing is pure expression

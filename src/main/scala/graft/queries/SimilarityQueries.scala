@@ -369,6 +369,22 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q158_ann_ivf_trained" -> ((s, d) => {
+      // TRAINED coarse quantizer under the oracle: one portable Lloyd
+      // iteration (fixed-point update statistics + fixed-order
+      // re-unitization — Similarity.trainCentroidsPortable) refines the
+      // q39 sample seeds, then the UNCHANGED IVF serve runs over the
+      // trained cells. The replay re-derives the seeds, the assignment,
+      // the exact quantized means, the re-unitization, and the full
+      // assignment/probe/score pipeline against the trained centroids.
+      val emb = t(s, d, "embeddings")
+      Similarity.topKIvf(emb.where(col("vec_id") < 10), emb, k = 10,
+        dim = 64, nProbe = 4,
+        centroidsIn = Similarity.trainCentroidsPortable(emb, 16, 64,
+          iters = 1))
+        .orderBy("query_id", "rank")
+    }),
+
     "q156_ann_pq_trained" -> ((s, d) => {
       // TRAINED product quantization: q152's frozen smallest-id seeds
       // refined by ONE per-subspace Lloyd iteration whose update
@@ -1239,6 +1255,88 @@ object SimilarityQueries {
                                                neighbor_id) AS rank
             FROM adc)
           SELECT query_id, neighbor_id, approx_sim, rank
+          FROM ranked WHERE rank <= 10
+          ORDER BY query_id, rank""",
+
+    // q158 = q39's serve replay against TRAINED centroids: the training
+    // CTEs re-derive the normalized smallest-id seeds, the argmax-dot
+    // assignment (d DESC, c DESC == the engine's struct array_max), the
+    // fixed-point quantized means (exact integer sums — order-free in
+    // both engines), and the fixed-order re-unitization; the serve CTEs
+    // are q39's verbatim with the trained centroid relation
+    "q158_ann_ivf_trained" ->
+      s"""WITH e AS ($normed),
+          nn AS (SELECT vec_id,
+                        list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) / nrm) AS v
+                 FROM e),
+          cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                    FROM (SELECT * FROM nn ORDER BY vec_id LIMIT 16)),
+          ad AS (
+            SELECT nn.vec_id, c0.c,
+                   ${duckDot("nn.v", "c0.v")} AS d
+            FROM nn CROSS JOIN cent0 c0),
+          asg AS (
+            SELECT vec_id, c FROM (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, c DESC) AS r
+              FROM ad) WHERE r = 1),
+          crd AS (
+            SELECT a.c, p.pos, nn.v[p.pos] AS x
+            FROM asg a JOIN nn USING (vec_id)
+            CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p),
+          st AS (
+            SELECT c, pos,
+                   CAST(sum(CAST(floor(x * 1048576.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS smi,
+                   count(*) AS cnt
+            FROM crd GROUP BY c, pos),
+          mn AS (
+            SELECT c, list(CAST(smi AS DOUBLE) / cnt / 1048576.0
+                           ORDER BY pos) AS mv
+            FROM st GROUP BY c),
+          un AS (
+            SELECT c, mv, sqrt(${duckDot("mv", "mv")}) AS mnrm FROM mn),
+          cbt AS (
+            SELECT c0.c,
+                   coalesce(
+                     CASE WHEN un.mnrm > 0
+                          THEN list_transform(un.mv, x -> x / un.mnrm)
+                          ELSE un.mv END,
+                     c0.v) AS cv
+            FROM cent0 c0 LEFT JOIN un ON un.c = c0.c),
+          cd AS (
+            SELECT e.vec_id, cbt.c,
+                   ${duckDot("e.embedding", "cbt.cv")} AS d
+            FROM e CROSS JOIN cbt),
+          assigned AS (
+            SELECT vec_id, c AS centroid FROM (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, c DESC) AS r
+              FROM cd) WHERE r = 1),
+          probes AS (
+            SELECT vec_id, c AS centroid FROM (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, c DESC) AS r
+              FROM cd WHERE vec_id < 10) WHERE r <= 4),
+          scored AS (
+            SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   ${duckDot("qe.embedding", "ce.embedding")}
+                     / (qe.nrm * ce.nrm) AS cos_sim
+            FROM probes p JOIN assigned a ON p.centroid = a.centroid
+            JOIN e qe ON qe.vec_id = p.vec_id
+            JOIN e ce ON ce.vec_id = a.vec_id
+            WHERE p.vec_id <> a.vec_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id)
+                     AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, cos_sim, rank
           FROM ranked WHERE rank <= 10
           ORDER BY query_id, rank""",
 

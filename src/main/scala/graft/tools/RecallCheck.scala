@@ -165,6 +165,17 @@ object RecallCheck {
         println(f"[recall] pqTopK@10 trained iters=$iters: " +
           f"recall=${hit.toDouble / nTopk}%.3f ($hit/$nTopk)")
       }
+      // trained coarse cells (q158) vs the sample cells above: the IVF
+      // probe-miss at equal nProbe is the quantity training improves
+      val tc = Similarity.trainCentroidsPortable(emb, 16, 64, iters = 3)
+      for (np <- Seq(1, 4, 8)) {
+        val got = Similarity.topKIvf(qs, emb, k = 10, dim = 64,
+          nProbe = np, centroidsIn = tc)
+          .select("query_id", "neighbor_id")
+        val hit = exactTopk.intersect(got).count()
+        println(f"[recall] topKIvf@10 trained(3) nProbe=$np/16: " +
+          f"recall=${hit.toDouble / nTopk}%.3f ($hit/$nTopk)")
+      }
     }
 
     // ---- q52 vectors: chunk-hash media embedding, LSH vs exact

@@ -680,6 +680,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cb3.forall(_.forall(_.forall(x => !x.isNaN))))
   }
 
+  test("trainCentroidsPortable: unit norms, repartition-invariant, empty cells keep seeds") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tc = Similarity.trainCentroidsPortable(emb, 16, 64, iters = 2)
+    assert(tc.length == 16 && tc.forall(_.length == 64))
+    // every trained centroid sits on the unit sphere (or is an
+    // untouched unit seed)
+    tc.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"norm $n")
+    }
+    // fixed-point sums are order-independent: a shuffled corpus trains
+    // the SAME centroids bit for bit
+    val shuffled = Similarity.trainCentroidsPortable(emb.repartition(13),
+      16, 64, iters = 2)
+    assert(tc.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq)
+    // iters=0 == the normalized smallest-id seeds
+    val zero = Similarity.trainCentroidsPortable(emb, 16, 64, iters = 0)
+    val seeds = Similarity.sampleCentroids(
+      emb.select(col("vec_id"),
+        Similarity.normalizeVec(col("embedding")).as("embedding")), 16)
+    assert(zero.map(_.toSeq).toSeq == seeds.map(_.toSeq).toSeq)
+  }
+
   test("ivfPqTopK at full probe equals pqTopK's flat scan exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cb = Similarity.pqCodebooks(emb, m = 8, nCent = 16, dim = 64)
