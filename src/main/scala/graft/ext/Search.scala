@@ -719,6 +719,21 @@ object Search {
     positionalPostings(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$path/positions")
 
+  /** Opt an index into the positional component BEFORE any document
+    * lands — the STREAM-BORN phrase path: creates an empty,
+    * born-versioned `positions/`, so [[textComponents]] includes it from
+    * the first exactly-once micro-batch and the stream-built index
+    * phrase-serves without ever running [[savePositionalIndex]]. A
+    * no-op on an index that already has the component. (A batch build
+    * doesn't need this — call [[savePositionalIndex]] after
+    * [[saveTextIndex]] instead.)
+    */
+  def enablePositionalIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      graft.ops.Stage.ensureVersioned(spark, s"$path/positions")
+    }
+
   /** PHRASE SEARCH over a [[savePositionalIndex]] component: documents
     * containing the EXACT token sequence `phrase`, with occurrence
     * counts, top-k by (count desc, id). Adjacency is decided on posting

@@ -253,6 +253,40 @@ object SearchQueries {
       phraseServePair(s, path)
     }),
 
+    "q159_stream_phrase_ingest" -> ((s, d) => {
+      // the STREAM-BORN phrase index: enablePositionalIndex opts the
+      // (not yet existing) index into the positional component, then
+      // q109's exactly-once ingest loop builds ALL FOUR components from
+      // the first micro-batch — postings, doclens, stats, positions —
+      // with the self-compacting sink folding the per-batch file trail.
+      // Phrase serving afterwards equals a fresh positional build over
+      // everything ingested: q151's full-corpus oracle verbatim.
+      val sf = sfTag(d)
+      val path = s"target/graft-stream-phrase-$sf"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(path, s"$path.ckpt").foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Search.enablePositionalIndex(s, path)
+      val docs = s.readStream
+        .schema(graft.streaming.DocumentStreams.docSchema)
+        .parquet(s"$d/documents.*")
+      val q = docs.writeStream
+        .option("checkpointLocation", s"$path.ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          Search.appendToTextIndexExactlyOnce(batch, path, batchId)
+          Search.autoCompactTextIndex(batch.sparkSession, path)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Search.compactTextIndex(s, path)
+      phraseServePair(s, path)
+    }),
+
     "q145_rollback_audit" -> ((s, d) => {
       // AUDIT THE ROLLBACK ITSELF: a restore is a forward publish, so
       // the state it superseded — the bad campaign's result — becomes
@@ -510,6 +544,10 @@ object SearchQueries {
     // must serve exactly what a fresh full-corpus build serves — the
     // same replay, verbatim
     "q155_phrase_after_ingest" -> phraseReplaySql,
+
+    // q159's stream-born index must phrase-serve everything ingested —
+    // the same full-corpus replay
+    "q159_stream_phrase_ingest" -> phraseReplaySql,
 
     // q145 diffs the rolled-back-FROM state (survivors) against the
     // restored live state (full corpus) — q128's replay, sides swapped:

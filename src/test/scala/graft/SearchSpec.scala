@@ -338,6 +338,27 @@ class SearchSpec extends AnyFunSuite {
     assert(bm == Seq(2L, 3L, 4L))
   }
 
+  test("stream-born phrase index: enablePositionalIndex + exactly-once birth, pinnable pre-compaction") {
+    val idx = "target/graft-test-phrase-born"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    Search.enablePositionalIndex(spark, idx)
+    Search.appendToTextIndexExactlyOnce(
+      Seq((1L, "p q"), (2L, "q p q")).toDF("doc_id", "text"), idx, 5L)
+    def phrase() = Search.phraseSearchIndexed(spark, idx, Seq("p", "q"), 10)
+      .select("doc_id", "n_occurrences").as[(Long, Int)].collect().toSeq.sorted
+    assert(phrase() == Seq((1L, 1), (2L, 1)))
+    // all four components are born versioned → a pin works BEFORE any
+    // compaction, and keeps serving the birth state across later growth
+    Search.snapshotTextIndex(spark, idx, "birth")
+    Search.appendToTextIndexExactlyOnce(
+      Seq((3L, "p q p q")).toDF("doc_id", "text"), idx, 6L)
+    assert(phrase() == Seq((1L, 1), (2L, 1), (3L, 2)))
+    Search.restoreTextIndex(spark, idx, "birth")
+    assert(phrase() == Seq((1L, 1), (2L, 1)))
+  }
+
   test("apssCosinePairs equals brute force on a randomized corpus with planted dups") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("key", "agg", "row", "scan", "slow", "fast", "table",
