@@ -933,6 +933,113 @@ object Corpus {
           .as("bits_x100"))
   }
 
+  /** STUPID BACKOFF scoring (Brants, Popat, Xu, Och, Dean — "Large
+    * Language Models in Machine Translation", EMNLP'07): the
+    * web-scale LM recipe that skips discounting entirely — score an
+    * n-gram by its relative frequency when seen and recursively back
+    * off with a constant penalty when not. Trigram model, per
+    * test-corpus trigram (a, p, w), in the integer floor-log₂ bits of
+    * [[lmPerplexity]] (no float log anywhere — the trained model and
+    * every score replay exactly):
+    *
+    *   seen trigram:      bits = floor(log₂(c(a,p) div c(a,p,w)))
+    *   else seen bigram:  bits = floor(log₂(c(p) div c(p,w))) + 1
+    *   else:              bits = floor(log₂((N + V) div (c(w) + 1))) + 2
+    *
+    * with N the train corpus's token total, V its vocabulary size, and
+    * add-one smoothing only where a count can be zero. The +1 bit per
+    * backoff LEVEL is the backoff constant: α = 1/2 exactly, chosen
+    * integral by design (Brants et al.'s α = 0.4 ≈ 1.32 bits — the
+    * paper notes the value barely matters, and a whole bit keeps every
+    * score integer).
+    *
+    * Versus [[lmPerplexity]]'s add-one bigram model: seen n-grams are
+    * not dragged toward the vocabulary floor (c(p) + V inflates every
+    * denominator there), and unseen ones fall back on real
+    * lower-order evidence instead of a uniform V-sized guess — the
+    * standard reason backoff dominates plain add-one at web scale.
+    * The per-document backoff counts are reported too (the OOV-gram
+    * rate is a quality signal in its own right).
+    *
+    * Output: (doc_id, n_trigrams, n_backoffs, n_unigram_backoffs,
+    * total_bits, bits_x100) per score document — n_backoffs counts
+    * trigram misses (either level), n_unigram_backoffs the full
+    * two-level falls; documents with fewer than three tokens come back
+    * all-zero.
+    *
+    * Scale shape: [[lmPerplexity]]'s counts-relation joins, one per
+    * model order (trigram-, bigram-, unigram-count relations — each
+    * partial-agged map-side, the lower orders vocabulary-sized and
+    * broadcastable); the (N, V) pair rides as a one-row broadcast. Hot
+    * contexts AQE-skew-split like the base model's.
+    */
+  def stupidBackoffBits(train: DataFrame, score: DataFrame,
+                        textCol: String, idCol: String): DataFrame = {
+    val c3 = trigramStream(train, textCol, idCol)
+      .groupBy("a", "p", "w").agg(count(lit(1)).as("c3"))
+    // context counts reaggregate the gram-count relation (the
+    // trainLmCounts shape), never a second corpus pass
+    val c3p = c3.groupBy("a", "p").agg(sum(col("c3")).as("c3p"))
+    val cb = bigramStream(train, textCol, idCol)
+      .groupBy("p", "w").agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy("p").agg(sum(col("cb")).as("cu"))
+    val cw = train.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val nv = cw.agg(sum(col("cw")).as("n"), count(lit(1)).as("v"))
+    val scored = trigramStream(score, textCol, idCol)
+      .join(c3, Seq("a", "p", "w"), "left")
+      .join(c3p, Seq("a", "p"), "left")
+      .join(cb, Seq("p", "w"), "left")
+      .join(cu, Seq("p"), "left")
+      .join(cw, Seq("w"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("doc"),
+        when(col("c3").isNotNull,
+          (length(bin(expr("c3p div c3"))) - 1).cast("long"))
+          .when(col("cb").isNotNull,
+            (length(bin(expr("cu div cb"))) - 1 + 1).cast("long"))
+          .otherwise(
+            (length(bin(expr("(n + v) div (coalesce(cw, 0) + 1)")))
+              - 1 + 2).cast("long"))
+          .as("bits"),
+        when(col("c3").isNotNull, 0L)
+          .when(col("cb").isNotNull, 1L).otherwise(2L).as("level"))
+    val perDoc = scored.groupBy("doc")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("level") >= 1, 1L).otherwise(0L)).as("n_backoffs"),
+        sum(when(col("level") === 2, 1L).otherwise(0L))
+          .as("n_unigram_backoffs"),
+        sum(col("bits")).as("total_bits"))
+    score.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_backoffs"), lit(0L)).as("n_backoffs"),
+        coalesce(col("n_unigram_backoffs"), lit(0L))
+          .as("n_unigram_backoffs"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        coalesce(expr("total_bits * 100 div n_trigrams"), lit(0L))
+          .as("bits_x100"))
+  }
+
+  /** The (doc, a, p, w) trigram stream — [[bigramStream]]'s shape one
+    * order up, tokenizing identically. */
+  private def trigramStream(df: DataFrame, textCol: String,
+                            idCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val idxs = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
+      .otherwise(array().cast("array<int>"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        explode(transform(idxs, i => struct(
+          element_at(toks, i).as("a"),
+          element_at(toks, i + 1).as("p"),
+          element_at(toks, i + 2).as("w")))).as("g"))
+      .select(col("doc"), col("g.a").as("a"), col("g.p").as("p"),
+        col("g.w").as("w"))
+  }
+
   /** Persist the bigram LM to `path` — the CCNet deployment shape: train
     * the reference LM once, score every later crawl batch from the loaded
     * counts ([[lmPerplexityIndexed]]) without touching the reference

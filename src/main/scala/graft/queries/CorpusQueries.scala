@@ -316,6 +316,22 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q160_stupid_backoff" -> ((s, d) => {
+      // the web-scale LM scoring recipe (Brants et al.): seen trigrams
+      // score by relative frequency, misses back off trigram → bigram →
+      // smoothed unigram at exactly one penalty bit per level (α = 1/2,
+      // integral by design) — q91's train/test split; ~46% of test
+      // trigrams are unseen at sf0.01, so every branch fires. The
+      // oracle replays all three count orders, the full chain, and the
+      // per-doc backoff rates.
+      val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
+      Corpus.stupidBackoffBits(
+        docs.where(col("split") === "train"),
+        docs.where(col("split") === "test" && col("text").isNotNull),
+        "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q157_nb_class_filter" -> ((s, d) => {
       // the fastText/CCNet classifier-filter stage: train a multinomial
       // Naive Bayes on a labeled reference class (here lang = 'en' —
@@ -821,6 +837,77 @@ object CorpusQueries {
     // q131 scores from a pin taken BEFORE the val-split append — the
     // frozen model IS the train-only model, q91's replay verbatim
     "q131_lm_frozen_snapshot" -> lmIndexedReplay,
+
+    // q160: lmIndexedReplay's split with the trigram backoff chain —
+    // seen trigrams at c3p // c3, trigram misses at the bigram ratio
+    // plus one penalty bit (spelled − 1 + 1 in both engines), full
+    // falls at the add-one unigram floor plus two, and both per-doc
+    // backoff counts
+    "q160_stupid_backoff" ->
+      s"""WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                             $fpFold % 100 AS b
+                      FROM documents WHERE text IS NOT NULL),
+          tr AS (SELECT doc_id, toks FROM s0 WHERE b < 80),
+          te AS (SELECT doc_id, toks FROM s0 WHERE b >= 90),
+          g3tr AS (SELECT toks[i] AS a, toks[i + 1] AS p,
+                          toks[i + 2] AS w
+                   FROM (SELECT toks,
+                                unnest(range(1, len(toks) - 1)) AS i
+                         FROM tr)),
+          g3te AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS p,
+                          toks[i + 2] AS w
+                   FROM (SELECT doc_id, toks,
+                                unnest(range(1, len(toks) - 1)) AS i
+                         FROM te)),
+          gtr AS (SELECT toks[i] AS p, toks[i + 1] AS w
+                  FROM (SELECT toks,
+                               unnest(range(1, len(toks))) AS i
+                        FROM tr)),
+          c3 AS (SELECT a, p, w, count(*) AS c3 FROM g3tr
+                 GROUP BY a, p, w),
+          c3p AS (SELECT a, p, CAST(sum(c3) AS BIGINT) AS c3p
+                  FROM c3 GROUP BY a, p),
+          cb AS (SELECT p, w, count(*) AS cb FROM gtr GROUP BY p, w),
+          cu AS (SELECT p, CAST(sum(cb) AS BIGINT) AS cu
+                 FROM cb GROUP BY p),
+          cw AS (SELECT tok AS w, count(*) AS cw
+                 FROM (SELECT unnest(toks) AS tok FROM tr) GROUP BY tok),
+          nv AS (SELECT CAST(sum(cw) AS BIGINT) AS n,
+                        CAST(count(*) AS BIGINT) AS v
+                 FROM cw),
+          s AS (SELECT g3te.doc_id,
+                       CASE WHEN c3.c3 IS NOT NULL
+                            THEN length(bin(c3p.c3p // c3.c3)) - 1
+                            WHEN cb.cb IS NOT NULL
+                            THEN length(bin(cu.cu // cb.cb)) - 1 + 1
+                            ELSE length(bin((nv.n + nv.v)
+                                   // (coalesce(cw.cw, 0) + 1))) - 1 + 2
+                       END AS bits,
+                       CASE WHEN c3.c3 IS NOT NULL THEN 0
+                            WHEN cb.cb IS NOT NULL THEN 1
+                            ELSE 2 END AS lvl
+                FROM g3te LEFT JOIN c3 USING (a, p, w)
+                LEFT JOIN c3p USING (a, p)
+                LEFT JOIN cb USING (p, w)
+                LEFT JOIN cu USING (p)
+                LEFT JOIN cw USING (w) CROSS JOIN nv),
+          r AS (SELECT doc_id, count(*) AS n_trigrams,
+                       sum(CASE WHEN lvl >= 1 THEN 1 ELSE 0 END)
+                         AS n_backoffs,
+                       sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END)
+                         AS n_unigram_backoffs,
+                       sum(bits) AS total_bits
+                FROM s GROUP BY doc_id)
+          SELECT te.doc_id,
+                 CAST(coalesce(r.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+                 CAST(coalesce(r.n_backoffs, 0) AS BIGINT) AS n_backoffs,
+                 CAST(coalesce(r.n_unigram_backoffs, 0) AS BIGINT)
+                   AS n_unigram_backoffs,
+                 CAST(coalesce(r.total_bits, 0) AS BIGINT) AS total_bits,
+                 CAST(coalesce(r.total_bits * 100 // r.n_trigrams, 0)
+                      AS BIGINT) AS bits_x100
+          FROM te LEFT JOIN r ON te.doc_id = r.doc_id
+          ORDER BY te.doc_id""",
 
     // q157: the class counts, the per-token floor-log₂ weights (length
     // (bin(x)) − 1 == the engine's spelling), and every margin/verdict —

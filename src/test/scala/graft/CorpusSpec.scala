@@ -743,6 +743,49 @@ class CorpusSpec extends AnyFunSuite {
     assert(byId(3L) == ((1L, 0L, false)))
   }
 
+  test("stupidBackoffBits: all three chain levels, hand-computed") {
+    // train: "a b c a b d" → trigrams abc, bca, cab, abd; bigrams
+    // ab(2) bc bd ca; unigrams a(2) b(2) c d → N=6, V=4
+    val train = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      // "a b c": seen trigram, c3p(ab)=2, c3=1 → bits = log2(2//1) = 1
+      (10L, "a b c"),
+      // "c a b": seen trigram c3p(ca)=1, c3=1 → 0 bits
+      (11L, "c a b"),
+      // "b c d": trigram bcd unseen, bigram cd unseen → unigram fall:
+      //   (N+V) // (c(d)+1) = 10 // 2 = 5 → 2 bits + 2 penalty = 4
+      (12L, "b c d"),
+      // "d a b": trigram dab unseen, but bigram (p,w) = "ab" IS seen →
+      //   level 1: cu(a)=2 // cb(ab)=2 → 0 bits + 1 penalty = 1
+      (13L, "d a b"),
+      // "c a q": trigram unseen, bigram aq unseen, q OOV:
+      //   10 // 1 = 10 → 3 bits + 2 = 5
+      (14L, "c a q"),
+      // "a b x" where bigram ab IS seen but trigram abx is not →
+      //   level-1: cu(a)=2, cb(ab)=2 → log2(1)=0 bits + 1 penalty = 1
+      (15L, "a b x x b d"),
+      // too short for any trigram
+      (16L, "a b")
+    ).toDF("doc_id", "text")
+    val got = Corpus.stupidBackoffBits(train, score, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_trigrams", "n_backoffs", "n_unigram_backoffs",
+        "total_bits")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got(0) == ((10L, 1L, 0L, 0L, 1L)))
+    assert(got(1) == ((11L, 1L, 0L, 0L, 0L)))
+    assert(got(2) == ((12L, 1L, 1L, 1L, 4L)))
+    assert(got(3) == ((13L, 1L, 1L, 0L, 1L)))
+    assert(got(4) == ((14L, 1L, 1L, 1L, 5L)))
+    // doc 15: trigrams abx, bxx, xxb, xbd — abx's bigram is (b,x),
+    // unseen → unigram x OOV: 10//1 → 3+2 = 5 (level 2); bxx → (x,x)
+    // unseen → x OOV again: 5; xxb → (x,b) unseen → unigram b: 10//3 →
+    // 1+2 = 3; xbd → bigram (b,d) SEEN: cu(b)=2 // cb(bd)=1 → 1 bit
+    // +1 = 2 (level 1)
+    assert(got(5) == ((15L, 4L, 4L, 3L, 5L + 5L + 3L + 2L)))
+    assert(got(6) == ((16L, 0L, 0L, 0L, 0L)))
+  }
+
   test("nbClassBits: hand-computed weights, unknown-token fallback, empty docs") {
     // train: positive class says "good", negative says "bad"; "both"
     // appears once in each. Counts: np(good)=2, nn(good)=0; np(bad)=0,
