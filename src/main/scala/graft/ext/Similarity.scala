@@ -352,9 +352,19 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
              codebooks: Array[Array[Array[Double]]],
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
-    val codes = pqCodes(corpus, dim, codebooks, idCol, vecCol)
-      .withColumnRenamed(idCol, "neighbor_id")
+             vecCol: String = "embedding"): DataFrame =
+    pqServeCodes(
+      pqCodes(corpus, dim, codebooks, idCol, vecCol)
+        .withColumnRenamed(idCol, "neighbor_id"),
+      queries, k, dim, codebooks, idCol, vecCol)
+
+  /** The ADC serve tail over a (neighbor_id, codes) relation — ONE
+    * implementation shared by the inline [[pqTopK]] and the persisted
+    * [[pqTopKIndexed]], so fresh and stored codes serve bit-identically
+    * (the writeIvfLists argument, applied to PQ). */
+  private def pqServeCodes(codes: DataFrame, queries: DataFrame, k: Int,
+                           dim: Int, codebooks: Array[Array[Array[Double]]],
+                           idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       normalizeVec(col(vecCol)).as("qv"))
     val scored = codes.crossJoin(broadcast(q))
@@ -404,6 +414,163 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  // ----------------------------------------------------- PQ index persistence
+
+  /** Persist a servable PQ index under `path` — the production form of
+    * the [[pqTopK]] claim: 8-byte codes stand in for 256-byte raw
+    * vectors ON DISK, so every later query batch scans codes, never
+    * re-encodes the corpus. Layout (all parquet):
+    *
+    *  - `codes/`: (vec_id, codes ARRAY<INT>) — one row per vector,
+    *    BORN VERSIONED ([[graft.ops.Stage.publishRebuild]], the
+    *    saveIvfIndex convention: a rebuild severs previous-serving
+    *    grace, so stale codes can never pair with new codebooks);
+    *  - `codebooks/`: (j, c, vec) — the m×nCent codebook entries, tiny;
+    *  - `meta/`: one row (dim, m, n_cent).
+    *
+    * `trainIters` > 0 trains the codebooks ([[trainPqCodebooks]] —
+    * oracle-replayable fixed-point Lloyd); 0 keeps the frozen
+    * smallest-id sample. Codes are a pure function of (vector,
+    * codebooks), so append/delete (frozen codebooks) leave the index
+    * bit-identical in content to a fresh build over the effective
+    * corpus — the invariant the q161 oracle and SimilaritySpec pin.
+    * Deletes are immediate anti-join rewrites, deliberately: the codes
+    * relation is ~32× smaller than raw vectors by construction, so the
+    * rewrite costs what a tombstone COMPACTION would — the pending-
+    * tombstone machinery would buy nothing here.
+    */
+  def savePqIndex(corpus: DataFrame, path: String, m: Int, nCent: Int,
+                  dim: Int, trainIters: Int = 0, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.ops.Stage.clearLedger(spark, path)
+    graft.ops.Stage.clearTombstones(spark, path)
+    graft.ops.Stage.clearSnapshots(spark, s"$path/codes")
+    val cb = if (trainIters > 0)
+      trainPqCodebooks(corpus, m, nCent, dim, trainIters, idCol, vecCol)
+    else pqCodebooks(corpus, m, nCent, dim, idCol, vecCol)
+    cb.zipWithIndex.flatMap { case (cbJ, j) =>
+      cbJ.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
+    }.toSeq.toDF("j", "c", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((dim, m, nCent)).toDF("dim", "m", "n_cent")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.ops.Stage.publishRebuild(spark, s"$path/codes")(versionDir =>
+      pqCodes(corpus, dim, cb, idCol, vecCol)
+        .withColumnRenamed(idCol, "vec_id")
+        .write.mode("overwrite").parquet(versionDir))
+  }
+
+  /** The (dim, codebooks) a persisted PQ index was built with — one
+    * loader for every function that must agree on them bit-exactly.
+    * Only m×nCent×subDim doubles reach the driver. */
+  private def loadPqMeta(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (Int, Array[Array[Array[Double]]]) = {
+    val meta = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$path/meta")).head()
+    val m = meta.getAs[Int]("m"); val nCent = meta.getAs[Int]("n_cent")
+    val cb = Array.fill(m, nCent)(Array.empty[Double])
+    spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/codebooks"))
+      .collect()
+      .foreach(r => cb(r.getInt(0))(r.getInt(1)) =
+        r.getSeq[Double](2).toArray)
+    (meta.getAs[Int]("dim"), cb)
+  }
+
+  /** Append new vectors to a persisted [[savePqIndex]] index: the saved
+    * codebooks stay frozen, arrivals encode with the same argmin
+    * geometry and land as new code files — batch-sized work, and the
+    * grown index serves bit-identically to a fresh build over the union
+    * with the same codebooks. Under the root writer lease (the torn-pin
+    * argument of every other append). */
+  def appendToPqIndex(newVecs: DataFrame, path: String,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit =
+    graft.ops.Stage.withWriterLease(newVecs.sparkSession, path) {
+      val spark = newVecs.sparkSession
+      val (dim, cb) = loadPqMeta(spark, path)
+      pqCodes(newVecs, dim, cb, idCol, vecCol)
+        .withColumnRenamed(idCol, "vec_id")
+        .write.mode("append")
+        .parquet(graft.ops.Stage.resolve(spark, s"$path/codes"))
+    }
+
+  /** Delete vectors from a [[savePqIndex]] index — an immediate
+    * anti-join rewrite of the codes relation (see [[savePqIndex]] on
+    * why PQ skips pending tombstones), atomically published; codebooks
+    * and meta stay frozen, so the shrunk index equals a fresh build
+    * over the survivors. */
+  def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, ids: DataFrame,
+                        idCol: String = "vec_id"): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      graft.ops.Stage.sweepUncommitted(spark, path, Seq("codes"))
+      val del = ids.select(col(idCol).as("vec_id")).distinct()
+      graft.ops.Stage.publishRewrite(spark, s"$path/codes",
+        spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/codes"))
+          .join(del, Seq("vec_id"), "left_anti"))
+    }
+
+  /** ADC top-k served from a persisted [[savePqIndex]] index: the scan
+    * is the 8-byte-code relation, the query side stays exact —
+    * bit-identical to [[pqTopK]] over the same effective corpus (shared
+    * serve tail). */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                    queries: DataFrame, path: String, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val (dim, cb) = loadPqMeta(spark, path)
+    pqServeCodes(
+      spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/codes"))
+        .withColumnRenamed("vec_id", "neighbor_id"),
+      queries, k, dim, cb, idCol, vecCol)
+  }
+
+  /** [[pqTopKIndexed]] from a NAMED snapshot's pinned file list — the
+    * retention serve ([[graft.ops.Stage.snapshot]] semantics; appends
+    * land new files beside pinned ones, so the pin records files, not
+    * the directory). */
+  def pqTopKIndexedSnapshot(spark: org.apache.spark.sql.SparkSession,
+                            queries: DataFrame, path: String, name: String,
+                            k: Int, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val (dim, cb) = loadPqMeta(spark, path)
+    val codes = graft.ops.Stage.readSnapshot(spark, s"$path/codes", name)
+      .getOrElse(throw new IllegalStateException(
+        s"$path/codes has no snapshot named '$name' — pin one with " +
+          "snapshotPqIndex before serving it"))
+    pqServeCodes(codes.withColumnRenamed("vec_id", "neighbor_id"),
+      queries, k, dim, cb, idCol, vecCol)
+  }
+
+  /** Pin / restore / release / reclaim for the PQ codes component —
+    * the standard [[graft.ops.Stage.snapshot]] lifecycle under the root
+    * lease. */
+  def snapshotPqIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, name: String): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      graft.ops.Stage.sweepUncommitted(spark, path, Seq("codes"))
+      graft.ops.Stage.snapshot(spark, s"$path/codes", name)
+    }
+
+  def restorePqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String, name: String): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      require(graft.ops.Stage
+          .resolveSnapshot(spark, s"$path/codes", name).isDefined,
+        s"snapshot '$name' does not pin $path/codes — nothing restored")
+      graft.ops.Stage.restoreSnapshot(spark, s"$path/codes", name)
+    }
+
+  def dropPqIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
+                          path: String, name: String): Unit =
+    graft.ops.Stage.dropSnapshot(spark, s"$path/codes", name)
+
+  def vacuumPqIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Unit =
+    graft.ops.Stage.vacuum(spark, s"$path/codes")
 
   /** SEMANTIC DECONTAMINATION: for every train vector, its maximum
     * cosine against a held-out probe/eval set, the probe that attains

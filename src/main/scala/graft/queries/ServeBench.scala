@@ -28,6 +28,7 @@ object ServeBench {
   private def maniPath(d: String) = s"target/graft-servebench-mani-${sfTag(d)}"
   private def ivfPath(d: String) = s"target/graft-servebench-ivf-${sfTag(d)}"
   private def lmPath(d: String) = s"target/graft-servebench-lm-${sfTag(d)}"
+  private def pqPath(d: String) = s"target/graft-servebench-pq-${sfTag(d)}"
 
   private def deq(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
@@ -42,6 +43,10 @@ object ServeBench {
       val docs = t(s, d, "documents")
       val p = textPath(d)
       Search.saveTextIndex(docs, p)
+      // positions ride the same maintenance history below (compaction
+      // re-sorts them, the delete anti-joins them), so the phrase serve
+      // (s14) reads a maintained component, not a fresh build
+      Search.savePositionalIndex(docs, p)
       Search.compactTextIndex(s, p)
       Search.snapshotTextIndex(s, p, "bench_pin")
       Search.deleteFromTextIndex(s, p,
@@ -76,6 +81,10 @@ object ServeBench {
       Corpus.snapshotLm(s, p, "bench_pin")
       Corpus.appendToLm(split.where(col("split") === "val"), p,
         "text", "doc_id", opId = "bench_grow")
+    }),
+    "pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.savePqIndex(emb, pqPath(d), m = 8, nCent = 16, dim = 64)
     })
   )
 
@@ -137,6 +146,17 @@ object ServeBench {
       Corpus.lmPerplexityIndexedSnapshot(
         Corpus.splitAssign(t(s, d, "documents"), "text")
           .where(col("split") === "test" && col("text").isNotNull),
-        lmPath(d), "bench_pin", "text", "doc_id"))
+        lmPath(d), "bench_pin", "text", "doc_id")),
+    // phrase serve over the maintained positional component (q151/q155
+    // tail): slot-filtered pruned scans + the shifted intersection
+    "s14_phrase_search" -> ((s, d) =>
+      Search.phraseSearchIndexed(s, textPath(d),
+        Seq("part", "filter", "scan"), k = 20)),
+    // persisted-PQ ADC serve (q161 tail): the 8-byte code scan with the
+    // exact query side — the compact-candidate production serve
+    "s15_pq_topk" -> ((s, d) =>
+      Similarity.pqTopKIndexed(s,
+        t(s, d, "embeddings").where(col("vec_id") < 10), pqPath(d),
+        k = 10))
   )
 }

@@ -369,6 +369,30 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q161_ann_pq_index_lifecycle" -> ((s, d) => {
+      // the PERSISTED PQ index's full lifecycle under one oracle: build
+      // on the even half (codebooks = its 16 smallest-id normalized
+      // subvectors, frozen), append the odd half with the frozen books
+      // (codes are a pure function of vector + codebooks, so the grown
+      // index equals a fresh build over the union — q89's argument for
+      // PQ), DELETE a tenth (immediate anti-join rewrite of the 8-byte
+      // code relation), then serve from the stored codes. The oracle
+      // re-derives the build-half codebooks, every code over the union,
+      // drops the deleted tenth, and replays every ADC sum.
+      val sf = sfTag(d)
+      val path = s"target/graft-pq-index-$sf"
+      val emb = t(s, d, "embeddings")
+      Similarity.savePqIndex(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+        path, m = 8, nCent = 16, dim = 64)
+      Similarity.appendToPqIndex(
+        emb.where(pmod(col("vec_id"), lit(2)) === 1), path)
+      Similarity.deleteFromPqIndex(s, path,
+        emb.where(pmod(col("vec_id"), lit(10)) === 7).select("vec_id"))
+      Similarity.pqTopKIndexed(s, emb.where(col("vec_id") < 10), path,
+        k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q158_ann_ivf_trained" -> ((s, d) => {
       // TRAINED coarse quantizer under the oracle: one portable Lloyd
       // iteration (fixed-point update statistics + fixed-order
@@ -1243,6 +1267,63 @@ object SimilarityQueries {
             FROM q CROSS JOIN codes cd
             JOIN centsub cs ON cs.j = cd.j AND cs.c = cd.code
             WHERE q.query_id <> cd.vec_id),
+          adc AS (
+            SELECT query_id, neighbor_id,
+                   list_reduce(list(t ORDER BY j), (x, y) -> x + y)
+                     AS approx_sim
+            FROM terms GROUP BY query_id, neighbor_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, approx_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_sim DESC,
+                                               neighbor_id) AS rank
+            FROM adc)
+          SELECT query_id, neighbor_id, approx_sim, rank
+          FROM ranked WHERE rank <= 10
+          ORDER BY query_id, rank""",
+
+    // q161 = q152's replay with the codebook seeds drawn from the BUILD
+    // half only (vec_id % 2 = 0 — frozen books make append exact) and
+    // the deleted tenth dropped from the candidate side; queries stay
+    // unfiltered (a deleted vector can still arrive as an external
+    // query)
+    "q161_ann_pq_index_lifecycle" ->
+      s"""WITH raw AS (
+            SELECT vec_id, embedding,
+                   sqrt(${duckDot("embedding", "embedding")}) AS nrm
+            FROM embeddings),
+          e AS (SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) / nrm) AS v
+                FROM raw),
+          cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                   FROM (SELECT * FROM e WHERE vec_id % 2 = 0
+                         ORDER BY vec_id LIMIT 16)),
+          sub AS (SELECT unnest(range(0, 8)) AS j),
+          centsub AS (SELECT j, c, list_slice(v, j*8+1, j*8+8) AS sv
+                      FROM cent CROSS JOIN sub),
+          dist AS (
+            SELECT e.vec_id, cs.j, cs.c,
+                   list_reduce(list_prepend(0.0,
+                     list_transform(
+                       list_zip(list_slice(e.v, cs.j*8+1, cs.j*8+8), cs.sv),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                     (x, y) -> x + y) AS dd
+            FROM e CROSS JOIN centsub cs),
+          codes AS (
+            SELECT vec_id, j, c AS code FROM (
+              SELECT vec_id, j, c,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY dd, c) AS r
+              FROM dist) WHERE r = 1),
+          q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+          terms AS (
+            SELECT q.query_id, cd.vec_id AS neighbor_id, cd.j,
+                   ${duckDot("list_slice(q.v, cd.j*8+1, cd.j*8+8)", "cs.sv")}
+                     AS t
+            FROM q CROSS JOIN codes cd
+            JOIN centsub cs ON cs.j = cd.j AND cs.c = cd.code
+            WHERE q.query_id <> cd.vec_id AND cd.vec_id % 10 <> 7),
           adc AS (
             SELECT query_id, neighbor_id,
                    list_reduce(list(t ORDER BY j), (x, y) -> x + y)

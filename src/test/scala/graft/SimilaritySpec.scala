@@ -680,6 +680,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cb3.forall(_.forall(_.forall(x => !x.isNaN))))
   }
 
+  test("PQ index: grown == fresh build over the union; delete == survivors; snapshot serves frozen") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = "target/graft-test-pq-index"
+    new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(idx), true)
+    val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val queries = emb.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "approx_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    Similarity.savePqIndex(even, idx, m = 8, nCent = 16, dim = 64)
+    Similarity.appendToPqIndex(odd, idx)
+    // the frozen-codebook invariant: grown index == inline pqTopK over
+    // the union with the build half's codebooks, bit for bit
+    val cbEven = Similarity.pqCodebooks(even, m = 8, nCent = 16, dim = 64)
+    assert(rows(Similarity.pqTopKIndexed(spark, queries, idx, k = 5))
+      == rows(Similarity.pqTopK(queries, emb, k = 5, dim = 64, cbEven)))
+    // pin, delete, serve: live == survivors, pin == pre-delete state
+    Similarity.snapshotPqIndex(spark, idx, "pre_del")
+    Similarity.deleteFromPqIndex(spark, idx,
+      emb.where(pmod(col("vec_id"), lit(10)) === 3).select("vec_id"))
+    val live = rows(Similarity.pqTopKIndexed(spark, queries, idx, k = 5))
+    assert(live == rows(Similarity.pqTopK(queries,
+      emb.where(pmod(col("vec_id"), lit(10)) =!= 3), k = 5, dim = 64,
+      cbEven)))
+    assert(rows(Similarity.pqTopKIndexedSnapshot(spark, queries, idx,
+      "pre_del", k = 5))
+      == rows(Similarity.pqTopK(queries, emb, k = 5, dim = 64, cbEven)))
+    // restore rolls the codes back; the pin survives
+    Similarity.restorePqIndex(spark, idx, "pre_del")
+    assert(rows(Similarity.pqTopKIndexed(spark, queries, idx, k = 5))
+      == rows(Similarity.pqTopK(queries, emb, k = 5, dim = 64, cbEven)))
+  }
+
   test("trainCentroidsPortable: unit norms, repartition-invariant, empty cells keep seeds") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val tc = Similarity.trainCentroidsPortable(emb, 16, 64, iters = 2)
