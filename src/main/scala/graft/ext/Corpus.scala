@@ -761,6 +761,99 @@ object Corpus {
         (coalesce(col("dsir_bits"), lit(0L)) > 0).as("selected"))
   }
 
+  /** BPE MERGE TRAINING (Sennrich, Haddow, Birch — "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL'16): learn the
+    * first `nMerges` byte-pair merges from the corpus — tokenizer
+    * TRAINING as an engine operator, not just tokenizer application.
+    * The Sennrich insight carries the whole scale story: BPE statistics
+    * depend only on the WORD FREQUENCY table, so after one corpus pass
+    * (word → freq) every iteration works on the vocabulary-sized symbol
+    * table — explode adjacent symbol pairs weighted by freq, count,
+    * take the argmax pair (ties (count DESC, left, right) — fully
+    * deterministic), and rewrite the symbol sequences with the merge
+    * applied. Words start as character sequences with a terminal
+    * `</w>` symbol (the classic end-of-word marker).
+    *
+    * Merge application is the standard LEFT-TO-RIGHT single pass
+    * ("a a a" under merge (a,a) → "aa a", the merged symbol does not
+    * re-pair within the pass), implemented as a codegen'd `aggregate`
+    * fold whose accumulator carries the one pending symbol — no UDF,
+    * no driver loop over words. Each generation of the symbol table is
+    * persisted and the previous unpersisted, so iteration i never
+    * re-derives merges 1..i−1 (at production scale, checkpoint instead:
+    * the table is vocabulary-sized either way).
+    *
+    * Output: (rank, left, right, pair_count) — the ordered merge table,
+    * which IS the trained tokenizer. Deterministic end to end, so the
+    * DuckDB oracle replays the full training loop (q162). Honest limit:
+    * a 30k-merge production vocabulary wants the in-memory pair-count
+    * algorithm once counts fit on the driver; this operator is the
+    * distributed bootstrap that gets you there, and `nMerges` here is
+    * demo-sized.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges=$nMerges must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(concat(split(col("word"), ""), array(lit("</w>"))).as("syms"),
+        col("freq"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var stop = false
+    for (i <- 1 to nMerges if !stop) {
+      val top = words
+        .select(col("freq"),
+          explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) stop = true
+      else {
+        val a = top.head.getString(0)
+        val b = top.head.getString(1)
+        val n = top.head.getLong(2)
+        merges += ((i, a, b, n))
+        val next = words
+          .select(bpeApplyMerge(col("syms"), a, b).as("syms"), col("freq"))
+          .persist()
+        next.count() // materialize before releasing the parent lineage
+        words.unpersist()
+        words = next
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** One left-to-right merge pass over a symbol array: replace every
+    * non-overlapping adjacent (a, b) with the concatenated symbol. The
+    * accumulator holds (emitted symbols, one pending symbol); the
+    * finisher flushes the pending tail. */
+  private def bpeApplyMerge(syms: Column, a: String, b: String): Column = {
+    val accT = "struct<done:array<string>,prev:string>"
+    def flush(acc: Column): Column =
+      when(acc.getField("prev").isNull, acc.getField("done"))
+        .otherwise(concat(acc.getField("done"), array(acc.getField("prev"))))
+    aggregate(syms,
+      struct(array().cast("array<string>").as("done"),
+        lit(null).cast("string").as("prev")).cast(accT),
+      (acc, s) =>
+        when(acc.getField("prev") === lit(a) && s === lit(b),
+          struct(
+            concat(acc.getField("done"), array(lit(a + b))).as("done"),
+            lit(null).cast("string").as("prev")).cast(accT))
+          .otherwise(struct(flush(acc).as("done"), s.as("prev")).cast(accT)),
+      acc => flush(acc))
+  }
+
   /** Naive Bayes reference-class filter — the fastText/CCNet-style
     * "train a cheap classifier on a labeled seed, filter the crawl with
     * it" pipeline stage, as one declarative plan. `labelCol` marks the

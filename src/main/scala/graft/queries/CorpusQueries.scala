@@ -316,6 +316,16 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q162_bpe_train" -> ((s, d) =>
+      // tokenizer TRAINING: the first 8 BPE merges learned from the
+      // corpus's word-frequency table (Sennrich et al.) — pair counts,
+      // deterministic (count DESC, left, right) argmax, left-to-right
+      // merge application as a codegen'd fold. The oracle replays the
+      // ENTIRE training loop: 8 chained CTE generations of the symbol
+      // table, each applying the previous argmax merge with the same
+      // string-accumulator fold.
+      Corpus.bpeMerges(t(s, d, "documents"), "text", nMerges = 8)),
+
     "q160_stupid_backoff" -> ((s, d) => {
       // the web-scale LM scoring recipe (Brants et al.): seen trigrams
       // score by relative frequency, misses back off trigram → bigram →
@@ -550,6 +560,58 @@ object CorpusQueries {
                    AS BIGINT) AS bits_x100
        FROM te LEFT JOIN r ON te.doc_id = r.doc_id
        ORDER BY te.doc_id"""
+
+  /** The q162 BPE-training replay, GENERATED for `n` merges: the loop
+    * structure is static per merge (pair counts → argmax → fold-apply),
+    * so the oracle is n chained CTE generations of the symbol table.
+    * The fold mirrors `Corpus.bpeApplyMerge` exactly — accumulator =
+    * chr(1)-joined emitted symbols, chr(2), pending symbol (empty ⇔
+    * none); a merge emits a||b and clears the pending; the flush joins
+    * the tail back and drops the leading empty from the chr(1) joins.
+    */
+  private def bpeReplaySql(n: Int): String = {
+    def accDone(acc: String) = s"string_split($acc, chr(2))[1]"
+    def accPrev(acc: String) = s"string_split($acc, chr(2))[2]"
+    val iters = (1 to n).map { i =>
+      s"""p$i AS (SELECT syms[j] AS a, syms[j + 1] AS b,
+                       CAST(sum(freq) AS BIGINT) AS n
+                FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS j
+                      FROM w$i)
+                GROUP BY 1, 2),
+          m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+          w${i + 1} AS (
+            SELECT list_filter(string_split(
+                     CASE WHEN ${accPrev("folded")} = ''
+                          THEN ${accDone("folded")}
+                          ELSE ${accDone("folded")} || chr(1) ||
+                               ${accPrev("folded")} END,
+                     chr(1)), x -> x <> '') AS syms, freq
+            FROM (SELECT list_reduce(list_prepend(chr(2), syms),
+                    (acc, s) -> CASE
+                      WHEN ${accPrev("acc")} = m.a AND s = m.b
+                        THEN ${accDone("acc")} || chr(1) || m.a || m.b
+                             || chr(2)
+                      WHEN ${accPrev("acc")} = '' THEN acc || s
+                      ELSE ${accDone("acc")} || chr(1) ||
+                           ${accPrev("acc")} || chr(2) || s END) AS folded,
+                    freq
+                  FROM w$i CROSS JOIN m$i m))"""
+    }.mkString(",\n          ")
+    val out = (1 to n).map(i =>
+      s"""SELECT CAST($i AS INTEGER) AS rank, a AS "left", b AS "right",
+                n AS pair_count FROM m$i""").mkString("\n          UNION ALL ")
+    s"""WITH w0 AS (SELECT word, count(*) AS freq
+                    FROM (SELECT unnest(string_split(text, ' ')) AS word
+                          FROM documents WHERE text IS NOT NULL)
+                    WHERE length(word) > 0 GROUP BY word),
+        w1 AS (SELECT list_append(
+                        list_transform(range(1, length(word) + 1),
+                          i -> substr(word, i, 1)), '</w>') AS syms, freq
+               FROM w0),
+          $iters
+        SELECT * FROM (
+          $out) ORDER BY rank"""
+  }
 
   /** q124/q126 drift replay: integer-ppm histogram shares per bucket
     * between the even/odd corpus halves; `//` and `div` agree on
@@ -837,6 +899,12 @@ object CorpusQueries {
     // q131 scores from a pin taken BEFORE the val-split append — the
     // frozen model IS the train-only model, q91's replay verbatim
     "q131_lm_frozen_snapshot" -> lmIndexedReplay,
+
+    // q162: the full 8-merge training replay, generated — per
+    // generation: adjacent-pair counts over the symbol table, the
+    // (n DESC, a, b) argmax, and the same left-to-right fold (string
+    // accumulator: chr(1)-joined emitted symbols + chr(2) + pending)
+    "q162_bpe_train" -> bpeReplaySql(8),
 
     // q160: lmIndexedReplay's split with the trigram backoff chain —
     // seen trigrams at c3p // c3, trigram misses at the bigram ratio

@@ -743,6 +743,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(byId(3L) == ((1L, 0L, false)))
   }
 
+  test("bpeMerges: hand-traced merges, left-to-right overlap rule, tie-breaks") {
+    // corpus: "aaab" x3, "ab" x2 → words {aaab:3, ab:2}
+    //   syms: [a a a b </w>]:3, [a b </w>]:2
+    // iter1 pairs: (a,a):6 [two per aaab], (a,b):5, (b,</w>):5
+    //   → merge (a,a) n=6; aaab → [aa a b </w>] (LEFT-TO-RIGHT: the
+    //     second (a,a) overlaps the first and does NOT merge)
+    // iter2 pairs: (aa,a):3, (a,b):5, (b,</w>):5 → tie at 5 →
+    //   lexicographic: (a,b) wins; → [aa ab </w>]:3, [ab </w>]:2
+    // iter3: (aa,ab):3, (ab,</w>):5 → (ab,</w>) n=5
+    val docs = Seq(
+      (1L, "aaab aaab ab"),
+      (2L, "aaab ab")
+    ).toDF("doc_id", "text")
+    val got = Corpus.bpeMerges(docs, "text", nMerges = 3)
+      .orderBy("rank")
+      .select("rank", "left", "right", "pair_count")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", "a", 6L),
+      (2, "a", "b", 5L),
+      (3, "ab", "</w>", 5L)))
+    // exhaustion: a corpus whose symbols fully merge stops early
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val all = Corpus.bpeMerges(tiny, "text", nMerges = 10)
+      .select("left", "right").as[(String, String)].collect().toSeq
+    // [a b </w>] → (a,b) → [ab </w>] → (ab,</w>) → [ab</w>] → no pairs
+    assert(all == Seq(("a", "b"), ("ab", "</w>")))
+  }
+
   test("stupidBackoffBits: all three chain levels, hand-computed") {
     // train: "a b c a b d" → trigrams abc, bca, cab, abd; bigrams
     // ab(2) bc bd ca; unigrams a(2) b(2) c d → N=6, V=4
