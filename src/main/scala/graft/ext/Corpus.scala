@@ -833,6 +833,46 @@ object Corpus {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** BPE SEGMENTATION with a trained merge table — the apply half of
+    * [[bpeMerges]], closing the train → tokenize loop: per document,
+    * the whitespace token count next to the BPE token count under the
+    * learned merges (the sequence-length accounting every packing /
+    * budget decision actually needs — models consume BPE tokens, not
+    * words). The production shape: merges apply to the DISTINCT-WORD
+    * dictionary (vocabulary-sized, the Sennrich table), never per
+    * occurrence; the corpus-sized word stream then broadcast-joins the
+    * finished dictionary and folds per doc. `merges` ordered as
+    * learned; each applies as one [[bpeApplyMerge]] projection layer.
+    *
+    * Output: (doc_id, n_words, n_bpe_tokens); empty/NULL-text documents
+    * come back (0, 0).
+    */
+  def bpeSegmentCounts(docs: DataFrame, textCol: String, idCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    var dict = docs.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0).distinct()
+      .select(col("word"),
+        concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+    merges.foreach { case (a, b) =>
+      dict = dict.select(col("word"),
+        bpeApplyMerge(col("syms"), a, b).as("syms"))
+    }
+    val stream = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+    val perDoc = stream.join(broadcast(dict), Seq("word"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).cast("long").as("n_bpe_tokens"))
+    docs.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /** One left-to-right merge pass over a symbol array: replace every
     * non-overlapping adjacent (a, b) with the concatenated symbol. The
     * accumulator holds (emitted symbols, one pending symbol); the

@@ -326,6 +326,21 @@ object CorpusQueries {
       // string-accumulator fold.
       Corpus.bpeMerges(t(s, d, "documents"), "text", nMerges = 8)),
 
+    "q163_bpe_segment" -> ((s, d) => {
+      // the apply half: train the 8 merges, segment every document with
+      // them via the broadcast word dictionary, report whitespace vs
+      // BPE token counts — the sequence-length accounting packing and
+      // budget decisions need. The oracle replays training AND the
+      // dictionary join.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val merges = Corpus.bpeMerges(docs, "text", nMerges = 8)
+        .orderBy("rank").select("left", "right")
+        .as[(String, String)].collect().toSeq
+      Corpus.bpeSegmentCounts(docs, "text", "doc_id", merges)
+        .orderBy("doc_id")
+    }),
+
     "q160_stupid_backoff" -> ((s, d) => {
       // the web-scale LM scoring recipe (Brants et al.): seen trigrams
       // score by relative frequency, misses back off trigram → bigram →
@@ -569,7 +584,7 @@ object CorpusQueries {
     * none); a merge emits a||b and clears the pending; the flush joins
     * the tail back and drops the leading empty from the chr(1) joins.
     */
-  private def bpeReplaySql(n: Int): String = {
+  private def bpeTrainCtes(n: Int): String = {
     def accDone(acc: String) = s"string_split($acc, chr(2))[1]"
     def accPrev(acc: String) = s"string_split($acc, chr(2))[2]"
     val iters = (1 to n).map { i =>
@@ -580,13 +595,13 @@ object CorpusQueries {
                 GROUP BY 1, 2),
           m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
           w${i + 1} AS (
-            SELECT list_filter(string_split(
+            SELECT word, list_filter(string_split(
                      CASE WHEN ${accPrev("folded")} = ''
                           THEN ${accDone("folded")}
                           ELSE ${accDone("folded")} || chr(1) ||
                                ${accPrev("folded")} END,
                      chr(1)), x -> x <> '') AS syms, freq
-            FROM (SELECT list_reduce(list_prepend(chr(2), syms),
+            FROM (SELECT word, list_reduce(list_prepend(chr(2), syms),
                     (acc, s) -> CASE
                       WHEN ${accPrev("acc")} = m.a AND s = m.b
                         THEN ${accDone("acc")} || chr(1) || m.a || m.b
@@ -597,21 +612,46 @@ object CorpusQueries {
                     freq
                   FROM w$i CROSS JOIN m$i m))"""
     }.mkString(",\n          ")
-    val out = (1 to n).map(i =>
-      s"""SELECT CAST($i AS INTEGER) AS rank, a AS "left", b AS "right",
-                n AS pair_count FROM m$i""").mkString("\n          UNION ALL ")
-    s"""WITH w0 AS (SELECT word, count(*) AS freq
+    s"""w0 AS (SELECT word, count(*) AS freq
                     FROM (SELECT unnest(string_split(text, ' ')) AS word
                           FROM documents WHERE text IS NOT NULL)
                     WHERE length(word) > 0 GROUP BY word),
-        w1 AS (SELECT list_append(
+        w1 AS (SELECT word, list_append(
                         list_transform(range(1, length(word) + 1),
                           i -> substr(word, i, 1)), '</w>') AS syms, freq
                FROM w0),
-          $iters
+          $iters"""
+  }
+
+  private def bpeReplaySql(n: Int): String = {
+    val out = (1 to n).map(i =>
+      s"""SELECT CAST($i AS INTEGER) AS rank, a AS "left", b AS "right",
+                n AS pair_count FROM m$i""").mkString("\n          UNION ALL ")
+    s"""WITH ${bpeTrainCtes(n)}
         SELECT * FROM (
           $out) ORDER BY rank"""
   }
+
+  /** q163: the trained dictionary (generation n+1 of the symbol table)
+    * joined back onto every document's word stream — per-doc whitespace
+    * vs BPE token counts. */
+  private def bpeSegmentSql(n: Int): String =
+    s"""WITH ${bpeTrainCtes(n)},
+        ds AS (SELECT doc_id, word
+               FROM (SELECT doc_id,
+                            unnest(string_split(text, ' ')) AS word
+                     FROM documents WHERE text IS NOT NULL)
+               WHERE length(word) > 0),
+        seg AS (SELECT ds.doc_id, count(*) AS n_words,
+                       CAST(sum(len(w.syms)) AS BIGINT) AS n_bpe_tokens
+                FROM ds JOIN w${n + 1} w USING (word)
+                GROUP BY ds.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(seg.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(seg.n_bpe_tokens, 0) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM documents d LEFT JOIN seg USING (doc_id)
+        ORDER BY d.doc_id"""
 
   /** q124/q126 drift replay: integer-ppm histogram shares per bucket
     * between the even/odd corpus halves; `//` and `div` agree on
@@ -905,6 +945,10 @@ object CorpusQueries {
     // (n DESC, a, b) argmax, and the same left-to-right fold (string
     // accumulator: chr(1)-joined emitted symbols + chr(2) + pending)
     "q162_bpe_train" -> bpeReplaySql(8),
+
+    // q163: the same 8 training generations, then the dictionary join
+    // back onto every document's word stream
+    "q163_bpe_segment" -> bpeSegmentSql(8),
 
     // q160: lmIndexedReplay's split with the trigram backoff chain —
     // seen trigrams at c3p // c3, trigram misses at the bigram ratio
