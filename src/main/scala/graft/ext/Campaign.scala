@@ -56,6 +56,8 @@ object Campaign {
   final case class Lm(path: String) extends Member
   /** A [[Similarity.saveIvfIndex]] root (lists). */
   final case class IvfIndex(path: String) extends Member
+  /** A [[Similarity.savePqIndex]] root (codes). */
+  final case class PqIndex(path: String) extends Member
 
   /** Pin every member under `name` at one logical instant — all member
     * root leases held (in sorted-path order) for the duration of all
@@ -135,6 +137,7 @@ object Campaign {
     case MinhashManifest(p) => Dedup.restoreMinhashManifest(spark, p, name)
     case Lm(p)              => Corpus.restoreLm(spark, p, name)
     case IvfIndex(p)        => Similarity.restoreIvfIndex(spark, p, name)
+    case PqIndex(p)         => Similarity.restorePqIndex(spark, p, name)
   }
 
   /** Release every member's pin under `name`. The pinned versions become
@@ -151,6 +154,7 @@ object Campaign {
       case MinhashManifest(p) => Dedup.vacuumMinhashManifest(spark, p)
       case Lm(p)              => Corpus.vacuumLm(spark, p)
       case IvfIndex(p)        => Similarity.vacuumIvfIndex(spark, p)
+      case PqIndex(p)         => Similarity.vacuumPqIndex(spark, p)
     }
 
   /** One operational dashboard for the whole campaign: every member's
@@ -181,6 +185,7 @@ object Campaign {
     case MinhashManifest(_) => ("minhash_manifest", Seq("docs", "bands"))
     case Lm(_)              => ("lm", Seq("bigrams", "vocab"))
     case IvfIndex(_)        => ("ivf_index", Seq("lists"))
+    case PqIndex(_)         => ("pq_index", Seq("codes"))
   }
 
   /** The member's own family pin — runs under the already-held root
@@ -193,6 +198,7 @@ object Campaign {
       case MinhashManifest(p) => Dedup.snapshotMinhashManifest(spark, p, name)
       case Lm(p)              => Corpus.snapshotLm(spark, p, name)
       case IvfIndex(p)        => Similarity.snapshotIvfIndex(spark, p, name)
+      case PqIndex(p)         => Similarity.snapshotPqIndex(spark, p, name)
     }
 
   private def dropMember(spark: SparkSession, name: String,
@@ -201,5 +207,6 @@ object Campaign {
     case MinhashManifest(p) => Dedup.dropMinhashManifestSnapshot(spark, p, name)
     case Lm(p)              => Corpus.dropLmSnapshot(spark, p, name)
     case IvfIndex(p)        => Similarity.dropIvfIndexSnapshot(spark, p, name)
+    case PqIndex(p)         => Similarity.dropPqIndexSnapshot(spark, p, name)
   }
 }

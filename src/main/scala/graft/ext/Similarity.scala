@@ -545,6 +545,37 @@ object Similarity {
       queries, k, dim, cb, idCol, vecCol)
   }
 
+  /** [[pqTopKRerank]] served from the PERSISTED codes: the ADC
+    * shortlist comes from the stored 8-byte relation, then exact cosine
+    * re-scores ONLY the |queries|·fetch shortlisted raw vectors from
+    * `corpus` (the raw-vector side stays wherever the vectors live —
+    * the index never duplicates them). The production serve: compact
+    * scan for candidates, exact math for the final order. */
+  def pqTopKRerankIndexed(spark: org.apache.spark.sql.SparkSession,
+                          queries: DataFrame, corpus: DataFrame,
+                          path: String, k: Int, fetch: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(fetch >= k, s"fetch=$fetch must be >= k=$k")
+    val shortlist = pqTopKIndexed(spark, queries, path, fetch, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val cVec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val qVec = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val exact = shortlist
+      .join(cVec, Seq("neighbor_id"))
+      .join(broadcast(qVec), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Pin / restore / release / reclaim for the PQ codes component —
     * the standard [[graft.ops.Stage.snapshot]] lifecycle under the root
     * lease. */

@@ -369,6 +369,21 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q164_ann_pq_rerank_indexed" -> ((s, d) => {
+      // the production serve composition over the PERSISTED codes: ADC
+      // shortlist from the stored 8-byte relation (full corpus,
+      // frozen-sample books — q152's geometry), exact cosine re-rank of
+      // only the shortlisted raw vectors. Must equal the inline q154
+      // bit for bit — its oracle verbatim.
+      val sf = sfTag(d)
+      val path = s"target/graft-pq-serve-$sf"
+      val emb = t(s, d, "embeddings")
+      Similarity.savePqIndex(emb, path, m = 8, nCent = 16, dim = 64)
+      Similarity.pqTopKRerankIndexed(s, emb.where(col("vec_id") < 10),
+        emb, path, k = 10, fetch = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     "q161_ann_pq_index_lifecycle" -> ((s, d) => {
       // the PERSISTED PQ index's full lifecycle under one oracle: build
       // on the even half (codebooks = its 16 smallest-id normalized
@@ -1086,70 +1101,11 @@ object SimilarityQueries {
 
     // q154 = q152's replay cut at rank <= 50 (the ADC shortlist), then
     // exact raw-vector cosine over only those pairs, re-ranked top-10
-    "q154_ann_pq_rerank" ->
-      s"""WITH raw AS (
-            SELECT vec_id, embedding,
-                   sqrt(${duckDot("embedding", "embedding")}) AS nrm
-            FROM embeddings),
-          e AS (SELECT vec_id,
-                       list_transform(embedding,
-                         x -> CAST(x AS DOUBLE) / nrm) AS v
-                FROM raw),
-          cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
-                   FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
-          sub AS (SELECT unnest(range(0, 8)) AS j),
-          centsub AS (SELECT j, c, list_slice(v, j*8+1, j*8+8) AS sv
-                      FROM cent CROSS JOIN sub),
-          dist AS (
-            SELECT e.vec_id, cs.j, cs.c,
-                   list_reduce(list_prepend(0.0,
-                     list_transform(
-                       list_zip(list_slice(e.v, cs.j*8+1, cs.j*8+8), cs.sv),
-                       z -> (z[1] - z[2]) * (z[1] - z[2]))),
-                     (x, y) -> x + y) AS dd
-            FROM e CROSS JOIN centsub cs),
-          codes AS (
-            SELECT vec_id, j, c AS code FROM (
-              SELECT vec_id, j, c,
-                     row_number() OVER (PARTITION BY vec_id, j
-                                        ORDER BY dd, c) AS r
-              FROM dist) WHERE r = 1),
-          q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
-          terms AS (
-            SELECT q.query_id, cd.vec_id AS neighbor_id, cd.j,
-                   ${duckDot("list_slice(q.v, cd.j*8+1, cd.j*8+8)", "cs.sv")}
-                     AS t
-            FROM q CROSS JOIN codes cd
-            JOIN centsub cs ON cs.j = cd.j AND cs.c = cd.code
-            WHERE q.query_id <> cd.vec_id),
-          adc AS (
-            SELECT query_id, neighbor_id,
-                   list_reduce(list(t ORDER BY j), (x, y) -> x + y)
-                     AS approx_sim
-            FROM terms GROUP BY query_id, neighbor_id),
-          shortlist AS (
-            SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY approx_sim DESC,
-                                                 neighbor_id) AS r
-              FROM adc) WHERE r <= 50),
-          rer AS (
-            SELECT s.query_id, s.neighbor_id,
-                   ${duckDot("rq.embedding", "rn.embedding")}
-                     / (rq.nrm * rn.nrm) AS cos_sim
-            FROM shortlist s
-            JOIN raw rq ON rq.vec_id = s.query_id
-            JOIN raw rn ON rn.vec_id = s.neighbor_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, cos_sim,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos_sim DESC,
-                                               neighbor_id) AS rank
-            FROM rer)
-          SELECT query_id, neighbor_id, cos_sim, rank
-          FROM ranked WHERE rank <= 10
-          ORDER BY query_id, rank""",
+    "q154_ann_pq_rerank" -> pqRerankReplay,
+
+    // q164 serves the same shortlist from the PERSISTED codes (full-
+    // corpus frozen-sample index), then the same exact re-rank
+    "q164_ann_pq_rerank_indexed" -> pqRerankReplay,
 
     // q153 = q39's cell replay (raw-dot argmax, (d DESC, c DESC) rank,
     // top-4 probe) gating q152's code + ADC replay: candidates are only
@@ -1627,4 +1583,70 @@ object SimilarityQueries {
         SELECT query_id, neighbor_id, cos_sim, rank
         FROM ranked WHERE rank <= 10
         ORDER BY query_id, rank"""
+
+  /** q154/q164 shared replay: q152 cut at rank <= 50, exact re-rank. */
+  private lazy val pqRerankReplay: String =
+      s"""WITH raw AS (
+            SELECT vec_id, embedding,
+                   sqrt(${duckDot("embedding", "embedding")}) AS nrm
+            FROM embeddings),
+          e AS (SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) / nrm) AS v
+                FROM raw),
+          cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                   FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+          sub AS (SELECT unnest(range(0, 8)) AS j),
+          centsub AS (SELECT j, c, list_slice(v, j*8+1, j*8+8) AS sv
+                      FROM cent CROSS JOIN sub),
+          dist AS (
+            SELECT e.vec_id, cs.j, cs.c,
+                   list_reduce(list_prepend(0.0,
+                     list_transform(
+                       list_zip(list_slice(e.v, cs.j*8+1, cs.j*8+8), cs.sv),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                     (x, y) -> x + y) AS dd
+            FROM e CROSS JOIN centsub cs),
+          codes AS (
+            SELECT vec_id, j, c AS code FROM (
+              SELECT vec_id, j, c,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY dd, c) AS r
+              FROM dist) WHERE r = 1),
+          q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+          terms AS (
+            SELECT q.query_id, cd.vec_id AS neighbor_id, cd.j,
+                   ${duckDot("list_slice(q.v, cd.j*8+1, cd.j*8+8)", "cs.sv")}
+                     AS t
+            FROM q CROSS JOIN codes cd
+            JOIN centsub cs ON cs.j = cd.j AND cs.c = cd.code
+            WHERE q.query_id <> cd.vec_id),
+          adc AS (
+            SELECT query_id, neighbor_id,
+                   list_reduce(list(t ORDER BY j), (x, y) -> x + y)
+                     AS approx_sim
+            FROM terms GROUP BY query_id, neighbor_id),
+          shortlist AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY approx_sim DESC,
+                                                 neighbor_id) AS r
+              FROM adc) WHERE r <= 50),
+          rer AS (
+            SELECT s.query_id, s.neighbor_id,
+                   ${duckDot("rq.embedding", "rn.embedding")}
+                     / (rq.nrm * rn.nrm) AS cos_sim
+            FROM shortlist s
+            JOIN raw rq ON rq.vec_id = s.query_id
+            JOIN raw rn ON rn.vec_id = s.neighbor_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC,
+                                               neighbor_id) AS rank
+            FROM rer)
+          SELECT query_id, neighbor_id, cos_sim, rank
+          FROM ranked WHERE rank <= 10
+          ORDER BY query_id, rank"""
 }

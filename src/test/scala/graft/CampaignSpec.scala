@@ -295,6 +295,37 @@ class CampaignSpec extends AnyFunSuite {
     intercept[IllegalStateException] { pinned() }
   }
 
+  test("a PQ member pins and serves with the rest of the campaign") {
+    val pq = "target/graft-test-campaign-pq"
+    val text = "target/graft-test-campaign-pq-text"
+    wipe(pq, text)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.ext.Similarity.savePqIndex(emb, pq, m = 8, nCent = 16, dim = 64)
+    Search.saveTextIndex(docRows.toDF("doc_id", "text"), text)
+    Search.compactTextIndex(spark, text)
+    val members = Seq(Campaign.PqIndex(pq), Campaign.TextIndex(text))
+    Campaign.snapshot(spark, "rel", members)
+    val qset = emb.where(col("vec_id") < 3)
+    def pinned() = graft.ext.Similarity
+      .pqTopKIndexedSnapshot(spark, qset, pq, "rel", k = 5)
+      .collect().map(_.toSeq).toSet
+    val atPin = pinned()
+    assert(atPin.nonEmpty)
+    // maintenance on the PQ member after the pin is invisible through it
+    graft.ext.Similarity.deleteFromPqIndex(spark, pq,
+      emb.where(pmod(col("vec_id"), lit(3)) === 1).select("vec_id"))
+    assert(pinned() == atPin)
+    // cross-family restore brings the deleted codes back
+    Campaign.restore(spark, "rel", members)
+    val live = graft.ext.Similarity
+      .pqTopKIndexed(spark, qset, pq, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(live == atPin)
+    Campaign.drop(spark, "rel", members)
+    Campaign.vacuum(spark, members)
+    intercept[IllegalStateException] { pinned() }
+  }
+
   test("campaign healthReport unions every member's rows under family/root") {
     val text = "target/graft-test-campaign-health-text"
     val lm = "target/graft-test-campaign-health-lm"
