@@ -774,6 +774,47 @@ object Search {
     top.withColumn("rank", row_number().over(w)).orderBy("rank")
   }
 
+  /** RECIPROCAL RANK FUSION (Cormack, Clarke, Büttcher, SIGIR'09) — the
+    * standard hybrid-retrieval combiner: two rankings of the same id
+    * space (say BM25 and embedding cosine — lexical recall meets
+    * semantic recall) fuse by score(d) = Σ_systems 1/(kRrf + rank_d),
+    * summing only the systems that ranked d. Rank-based on purpose: the
+    * systems' raw scores are incommensurable (BM25 sums vs cosines),
+    * and RRF needs no calibration — the SIGIR'09 result is that it
+    * beats learned score fusion surprisingly often. kRrf = 60 is the
+    * paper's constant.
+    *
+    * Determinism: each fused score is at most two IEEE divisions added
+    * in a fixed order, spelled identically in the replay — no float
+    * hazard. Absent ranks surface as 0 (not NULL) so the output is
+    * integer-exact everywhere.
+    *
+    * Scale shape: both inputs are top-k relations (k rows each, the
+    * producers' scale contracts apply); the fusion is a full outer join
+    * of two k-row relations plus one ≤2k-row window — driver-free and
+    * broadcast-trivial.
+    *
+    * Inputs need columns (`idCol`, rank); output: (idCol, rank_a,
+    * rank_b, rrf_score, rank), top `k` by (score DESC, id).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
+              kRrf: Int = 60): DataFrame = {
+    val ra = a.select(col(idCol), col("rank").as("rank_a"))
+    val rb = b.select(col(idCol), col("rank").as("rank_b"))
+    val fused = ra.join(rb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        coalesce(col("rank_a"), lit(0)).cast("long").as("rank_a"),
+        coalesce(col("rank_b"), lit(0)).cast("long").as("rank_b"))
+      .withColumn("rrf_score",
+        when(col("rank_a") > 0, lit(1.0) / (lit(kRrf) + col("rank_a")))
+          .otherwise(lit(0.0))
+          + when(col("rank_b") > 0, lit(1.0) / (lit(kRrf) + col("rank_b")))
+            .otherwise(lit(0.0)))
+    val w = Window.orderBy(col("rrf_score").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k).orderBy("rank")
+  }
+
   /** Exact all-pairs cosine similarity over distinct word n-gram shingle
     * sets at rational threshold tau = tauNum/tauDen, via prefix filtering
     * (Bayardo, Ma, Srikant — "Scaling Up All Pairs Similarity Search",

@@ -576,6 +576,49 @@ object Similarity {
     exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** [[pqTopKIndexed]] from the PREVIOUS codes snapshot — the version
+    * the last maintenance op superseded, kept for one publish cycle
+    * ([[graft.ops.Stage.resolvePrevious]]). Fails loudly when no
+    * previous version exists (fresh build, or a rebuild severed the
+    * grace). */
+  def pqTopKIndexedPrevious(spark: org.apache.spark.sql.SparkSession,
+                            queries: DataFrame, path: String, k: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val (dim, cb) = loadPqMeta(spark, path)
+    val prev = graft.ops.Stage.resolvePrevious(spark, s"$path/codes")
+      .getOrElse(throw new IllegalStateException(
+        s"$path/codes has no previous snapshot to serve — previous-" +
+          "serving needs at least two publishes"))
+    pqServeCodes(
+      spark.read.parquet(prev).withColumnRenamed("vec_id", "neighbor_id"),
+      queries, k, dim, cb, idCol, vecCol)
+  }
+
+  /** Maintenance DIFF of the PQ index's two serveable states — PREVIOUS
+    * vs LIVE top-k per query with both ranks and a status, the same
+    * validation read as [[ivfMaintenanceDiff]]. Codebooks are frozen,
+    * so a pair on both sides keeps its exact approx_sim; only
+    * membership and rank can move. */
+  def pqMaintenanceDiff(spark: org.apache.spark.sql.SparkSession,
+                        queries: DataFrame, path: String, k: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val before = pqTopKIndexedPrevious(spark, queries, path, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"),
+        col("approx_sim").as("sim_before"), col("rank").as("rank_before"))
+    val after = pqTopKIndexed(spark, queries, path, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"),
+        col("approx_sim").as("sim_after"), col("rank").as("rank_after"))
+    before.join(after, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("status",
+        when(col("rank_after").isNull, lit("dropped"))
+          .when(col("rank_before").isNull, lit("entered"))
+          .when(col("rank_before") =!= col("rank_after"), lit("moved"))
+          .otherwise(lit("held")))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** Pin / restore / release / reclaim for the PQ codes component —
     * the standard [[graft.ops.Stage.snapshot]] lifecycle under the root
     * lease. */

@@ -253,6 +253,24 @@ object SearchQueries {
       phraseServePair(s, path)
     }),
 
+    "q165_hybrid_rrf" -> ((s, d) => {
+      // HYBRID retrieval: BM25 top-20 (lexical) fused with embedding-
+      // cosine top-20 for query vector 0 (semantic) by reciprocal rank
+      // fusion at the SIGIR'09 constant — rank-based, so the
+      // incommensurable raw scores never meet. Absent ranks are 0; the
+      // oracle replays both rankings and every fused score.
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val text = Search.bm25TopK(docs, bmTerms, k = 20, k1 = k1, b = b)
+        .select(col("doc_id"), col("rank"))
+      val vec = graft.ext.Similarity
+        .topKBruteForce(emb.where(col("vec_id") === 0), emb, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Search.rrfFuse(text, vec, "doc_id", k = 20)
+        .withColumnRenamed("rank_a", "rank_text")
+        .withColumnRenamed("rank_b", "rank_vec")
+    }),
+
     "q159_stream_phrase_ingest" -> ((s, d) => {
       // the STREAM-BORN phrase index: enablePositionalIndex opts the
       // (not yet existing) index into the positional component, then
@@ -548,6 +566,42 @@ object SearchQueries {
     // q159's stream-born index must phrase-serve everything ingested —
     // the same full-corpus replay
     "q159_stream_phrase_ingest" -> phraseReplaySql,
+
+    // q165: both rankings replayed (bm25SqlOver's top-20; brute cosine
+    // top-20 for vec 0 with the (cos DESC, id) rank), absent ranks 0,
+    // the two-term RRF sum spelled identically, (score DESC, id) cut
+    "q165_hybrid_rrf" ->
+      s"""WITH bm AS (${bm25SqlOver("SELECT * FROM documents")}),
+          e AS (SELECT vec_id, embedding,
+                       sqrt(${SimilarityQueries.duckDot("embedding", "embedding")}) AS nrm
+                FROM embeddings),
+          vec AS (
+            SELECT neighbor_id AS doc_id, rank FROM (
+              SELECT c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       ORDER BY ${SimilarityQueries.duckDot("c.embedding", "q.embedding")}
+                                  / (c.nrm * q.nrm) DESC,
+                                c.vec_id) AS rank
+              FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id = 0) q
+              WHERE c.vec_id <> 0) WHERE rank <= 20),
+          f AS (
+            SELECT coalesce(bm.doc_id, vec.doc_id) AS doc_id,
+                   CAST(coalesce(bm.rank, 0) AS BIGINT) AS rank_text,
+                   CAST(coalesce(vec.rank, 0) AS BIGINT) AS rank_vec
+            FROM (SELECT doc_id, rank FROM bm) bm
+            FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id),
+          sc AS (
+            SELECT doc_id, rank_text, rank_vec,
+                   (CASE WHEN rank_text > 0
+                         THEN 1.0 / (60 + rank_text) ELSE 0.0 END)
+                 + (CASE WHEN rank_vec > 0
+                         THEN 1.0 / (60 + rank_vec) ELSE 0.0 END)
+                     AS rrf_score
+            FROM f)
+          SELECT doc_id, rank_text, rank_vec, rrf_score, rank
+          FROM (SELECT *, row_number() OVER (
+                  ORDER BY rrf_score DESC, doc_id) AS rank FROM sc)
+          WHERE rank <= 20 ORDER BY rank""",
 
     // q145 diffs the rolled-back-FROM state (survivors) against the
     // restored live state (full corpus) — q128's replay, sides swapped:

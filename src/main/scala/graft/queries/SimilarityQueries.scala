@@ -369,6 +369,23 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q166_ann_pq_maintenance_diff" -> ((s, d) => {
+      // the pin → maintain → diff workflow on the PQ family: build the
+      // full-corpus index, delete a tenth (the rewrite leaves the
+      // superseded codes as the one-cycle previous), then diff the two
+      // serveable states per (query, neighbor) — frozen codebooks keep
+      // approx_sim bit-stable across sides, so only membership and
+      // rank move. Oracle replays both rankings and every verdict.
+      val sf = sfTag(d)
+      val path = s"target/graft-pq-diff-$sf"
+      val emb = t(s, d, "embeddings")
+      Similarity.savePqIndex(emb, path, m = 8, nCent = 16, dim = 64)
+      Similarity.deleteFromPqIndex(s, path,
+        emb.where(pmod(col("vec_id"), lit(10)) === 7).select("vec_id"))
+      Similarity.pqMaintenanceDiff(s, emb.where(col("vec_id") < 10),
+        path, k = 10)
+    }),
+
     "q164_ann_pq_rerank_indexed" -> ((s, d) => {
       // the production serve composition over the PERSISTED codes: ADC
       // shortlist from the stored 8-byte relation (full corpus,
@@ -1237,6 +1254,77 @@ object SimilarityQueries {
           SELECT query_id, neighbor_id, approx_sim, rank
           FROM ranked WHERE rank <= 10
           ORDER BY query_id, rank""",
+
+    // q166: both PQ rankings from one codes derivation — before
+    // unfiltered, after minus the deleted tenth — full-outer joined
+    // with q129's status classification
+    "q166_ann_pq_maintenance_diff" ->
+      s"""WITH raw AS (
+            SELECT vec_id, embedding,
+                   sqrt(${duckDot("embedding", "embedding")}) AS nrm
+            FROM embeddings),
+          e AS (SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) / nrm) AS v
+                FROM raw),
+          cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                   FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+          sub AS (SELECT unnest(range(0, 8)) AS j),
+          centsub AS (SELECT j, c, list_slice(v, j*8+1, j*8+8) AS sv
+                      FROM cent CROSS JOIN sub),
+          dist AS (
+            SELECT e.vec_id, cs.j, cs.c,
+                   list_reduce(list_prepend(0.0,
+                     list_transform(
+                       list_zip(list_slice(e.v, cs.j*8+1, cs.j*8+8), cs.sv),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                     (x, y) -> x + y) AS dd
+            FROM e CROSS JOIN centsub cs),
+          codes AS (
+            SELECT vec_id, j, c AS code FROM (
+              SELECT vec_id, j, c,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY dd, c) AS r
+              FROM dist) WHERE r = 1),
+          q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+          terms AS (
+            SELECT q.query_id, cd.vec_id AS neighbor_id, cd.j,
+                   ${duckDot("list_slice(q.v, cd.j*8+1, cd.j*8+8)", "cs.sv")}
+                     AS t
+            FROM q CROSS JOIN codes cd
+            JOIN centsub cs ON cs.j = cd.j AND cs.c = cd.code
+            WHERE q.query_id <> cd.vec_id),
+          adc AS (
+            SELECT query_id, neighbor_id,
+                   list_reduce(list(t ORDER BY j), (x, y) -> x + y)
+                     AS approx_sim
+            FROM terms GROUP BY query_id, neighbor_id),
+          bef AS (
+            SELECT query_id, neighbor_id, approx_sim, rank FROM (
+              SELECT query_id, neighbor_id, approx_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY approx_sim DESC,
+                                                 neighbor_id) AS rank
+              FROM adc) WHERE rank <= 10),
+          aft AS (
+            SELECT query_id, neighbor_id, approx_sim, rank FROM (
+              SELECT query_id, neighbor_id, approx_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY approx_sim DESC,
+                                                 neighbor_id) AS rank
+              FROM adc WHERE neighbor_id % 10 <> 7) WHERE rank <= 10)
+          SELECT coalesce(bef.query_id, aft.query_id) AS query_id,
+                 coalesce(bef.neighbor_id, aft.neighbor_id) AS neighbor_id,
+                 bef.approx_sim AS sim_before, bef.rank AS rank_before,
+                 aft.approx_sim AS sim_after, aft.rank AS rank_after,
+                 CASE WHEN aft.rank IS NULL THEN 'dropped'
+                      WHEN bef.rank IS NULL THEN 'entered'
+                      WHEN bef.rank <> aft.rank THEN 'moved'
+                      ELSE 'held' END AS status
+          FROM bef FULL OUTER JOIN aft
+          ON bef.query_id = aft.query_id
+             AND bef.neighbor_id = aft.neighbor_id
+          ORDER BY query_id, neighbor_id""",
 
     // q161 = q152's replay with the codebook seeds drawn from the BUILD
     // half only (vec_id % 2 = 0 — frozen books make append exact) and
