@@ -442,13 +442,18 @@ object Similarity {
     */
   def savePqIndex(corpus: DataFrame, path: String, m: Int, nCent: Int,
                   dim: Int, trainIters: Int = 0, idCol: String = "vec_id",
-                  vecCol: String = "embedding"): Unit = {
+                  vecCol: String = "embedding",
+                  codebooksIn: Array[Array[Array[Double]]] = null): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     graft.ops.Stage.clearLedger(spark, path)
     graft.ops.Stage.clearTombstones(spark, path)
     graft.ops.Stage.clearSnapshots(spark, s"$path/codes")
-    val cb = if (trainIters > 0)
+    // codebooksIn is the SHELL path for streaming ingest: codebooks from
+    // the full (static) corpus, an empty codes relation, the stream
+    // fills it (q114's shell convention for the IVF lists)
+    val cb = if (codebooksIn != null) codebooksIn
+    else if (trainIters > 0)
       trainPqCodebooks(corpus, m, nCent, dim, trainIters, idCol, vecCol)
     else pqCodebooks(corpus, m, nCent, dim, idCol, vecCol)
     cb.zipWithIndex.flatMap { case (cbJ, j) =>
@@ -496,6 +501,29 @@ object Similarity {
         .write.mode("append")
         .parquet(graft.ops.Stage.resolve(spark, s"$path/codes"))
     }
+
+  /** [[appendToPqIndex]] with EXACTLY-ONCE semantics for streaming
+    * ingest, via the shared ledger protocol
+    * ([[graft.ops.Stage.appendExactlyOnce]]): the batch encodes with
+    * the frozen codebooks into staging, then publishes under a
+    * batchId-deterministic name — a replayed batch is a no-op, so
+    * duplicated vectors never surface as duplicate top-k candidates
+    * (the [[appendToIvfIndexExactlyOnce]] argument, applied to codes).
+    */
+  def appendToPqIndexExactlyOnce(newVecs: DataFrame, path: String,
+                                 batchId: Long, idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): Unit = {
+    // replay fast-exit before the metadata load, like the IVF variant
+    if (graft.ops.Stage.alreadyPublished(newVecs.sparkSession, path, batchId))
+      return
+    val (dim, cb) = loadPqMeta(newVecs.sparkSession, path)
+    graft.ops.Stage.appendExactlyOnce(newVecs.sparkSession, path, batchId,
+      Seq("codes")) { staging =>
+      pqCodes(newVecs, dim, cb, idCol, vecCol)
+        .withColumnRenamed(idCol, "vec_id")
+        .write.mode("overwrite").parquet(s"$staging/codes")
+    }
+  }
 
   /** Delete vectors from a [[savePqIndex]] index — an immediate
     * anti-join rewrite of the codes relation (see [[savePqIndex]] on
@@ -574,6 +602,33 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Compact a [[savePqIndex]] index after a run of per-batch appends:
+    * one rewrite restores a bounded file count
+    * ([[graft.ops.Stage.compactionPartitions]]) and folds the ledger to
+    * its high-water marker. Serving before and after is identical (the
+    * codes multiset is preserved). */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      graft.ops.Stage.sweepUncommitted(spark, path, Seq("codes"))
+      val n = graft.ops.Stage.compactionPartitions(spark, s"$path/codes")
+      graft.ops.Stage.publishRewrite(spark, s"$path/codes",
+        spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/codes"))
+          .repartition(n))
+      graft.ops.Stage.compactLedger(spark, path)
+    }
+
+  /** [[compactPqIndex]] when fragmentation passes the threshold — the
+    * self-maintenance hook for streaming ingest. */
+  def autoCompactPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String,
+                         maxFilesPerComponent: Int = 64): Boolean = {
+    val go = graft.ops.Stage.shouldCompact(spark, path, Seq("codes"),
+      maxFilesPerComponent)
+    if (go) compactPqIndex(spark, path)
+    go
   }
 
   /** [[pqTopKIndexed]] from the PREVIOUS codes snapshot — the version

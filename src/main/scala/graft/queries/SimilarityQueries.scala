@@ -369,6 +369,44 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q167_stream_pq_ingest" -> ((s, d) => {
+      // the PQ ingest loop CLOSED over streaming (q114's shape for the
+      // code relation): a shell with full-corpus frozen codebooks and
+      // EMPTY codes, then the embedding stream fills it via exactly-once
+      // encode-appends with the self-compacting sink; codes are a pure
+      // function of (vector, frozen books), so serving afterwards equals
+      // the inline full-corpus scan — q152's oracle verbatim.
+      val emb = t(s, d, "embeddings")
+      val path = s"target/graft-stream-pq-${sfTag(d)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(path, s"$path.ckpt").foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Similarity.savePqIndex(emb.where(lit(false)), path, m = 8,
+        nCent = 16, dim = 64,
+        codebooksIn = Similarity.pqCodebooks(emb, m = 8, nCent = 16,
+          dim = 64))
+      val vecs = s.readStream
+        .schema(s.read.parquet(s"$d/embeddings.parquet").schema)
+        .parquet(s"$d/embeddings.*")
+      val q = vecs.writeStream
+        .option("checkpointLocation", s"$path.ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          Similarity.appendToPqIndexExactlyOnce(batch, path, batchId)
+          Similarity.autoCompactPqIndex(batch.sparkSession, path)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Similarity.compactPqIndex(s, path)
+      Similarity.pqTopKIndexed(s, emb.where(col("vec_id") < 10), path,
+        k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q166_ann_pq_maintenance_diff" -> ((s, d) => {
       // the pin → maintain → diff workflow on the PQ family: build the
       // full-corpus index, delete a tenth (the rewrite leaves the
@@ -1204,7 +1242,22 @@ object SimilarityQueries {
     // (d, c) == the engine's strict-< fold), then the ADC sum as a
     // j-ascending left fold (list_reduce over list(t ORDER BY j) ==
     // reduceLeft — no seed on either side)
-    "q152_ann_pq_adc" ->
+    "q152_ann_pq_adc" -> pqAdcReplay,
+
+    // q167 streams the full corpus into a PQ shell (full-corpus frozen
+    // codebooks) with exactly-once code appends + self-compaction, then
+    // serves from the stored codes — the same full-corpus replay
+    "q167_stream_pq_ingest" -> pqAdcReplay,
+
+    // q156 = q152's replay with ONE Lloyd refinement between the seeds
+    // and the codes: assignment against the seeds (rank (dd, c) == the
+    // engine's strict-< fold), the re-estimated mean as EXACT integer
+    // sums of 2^-20-quantized coordinates (floor(x·G + 0.5), the
+    // engine's quantize convention — order-independent, so the trained
+    // coordinate (sum / n / G) is bit-identical in both engines), empty
+    // clusters keeping their seed, then codes + ADC against the TRAINED
+    // books
+    "q156_ann_pq_trained" ->
       s"""WITH raw AS (
             SELECT vec_id, embedding,
                    sqrt(${duckDot("embedding", "embedding")}) AS nrm
@@ -1216,16 +1269,49 @@ object SimilarityQueries {
           cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
                    FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
           sub AS (SELECT unnest(range(0, 8)) AS j),
-          centsub AS (SELECT j, c, list_slice(v, j*8+1, j*8+8) AS sv
+          seedsub AS (SELECT j, c, list_slice(v, j*8+1, j*8+8) AS sv
                       FROM cent CROSS JOIN sub),
-          dist AS (
-            SELECT e.vec_id, cs.j, cs.c,
+          esub AS (SELECT vec_id, j, list_slice(v, j*8+1, j*8+8) AS sv
+                   FROM e CROSS JOIN sub),
+          dist0 AS (
+            SELECT es.vec_id, ss.j, ss.c,
                    list_reduce(list_prepend(0.0,
-                     list_transform(
-                       list_zip(list_slice(e.v, cs.j*8+1, cs.j*8+8), cs.sv),
+                     list_transform(list_zip(es.sv, ss.sv),
                        z -> (z[1] - z[2]) * (z[1] - z[2]))),
                      (x, y) -> x + y) AS dd
-            FROM e CROSS JOIN centsub cs),
+            FROM esub es JOIN seedsub ss ON ss.j = es.j),
+          assign0 AS (
+            SELECT vec_id, j, c FROM (
+              SELECT vec_id, j, c,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY dd, c) AS r
+              FROM dist0) WHERE r = 1),
+          coords AS (
+            SELECT a.j, a.c, p.pos, es.sv[p.pos] AS x
+            FROM assign0 a
+            JOIN esub es ON es.vec_id = a.vec_id AND es.j = a.j
+            CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) p),
+          stats AS (
+            SELECT j, c, pos,
+                   CAST(sum(CAST(floor(x * 1048576.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS smi,
+                   count(*) AS n
+            FROM coords GROUP BY j, c, pos),
+          trained AS (
+            SELECT j, c,
+                   list(CAST(smi AS DOUBLE) / n / 1048576.0
+                        ORDER BY pos) AS sv
+            FROM stats GROUP BY j, c),
+          cbt AS (SELECT s.j, s.c, coalesce(t.sv, s.sv) AS sv
+                  FROM seedsub s
+                  LEFT JOIN trained t ON t.j = s.j AND t.c = s.c),
+          dist AS (
+            SELECT es.vec_id, cs.j, cs.c,
+                   list_reduce(list_prepend(0.0,
+                     list_transform(list_zip(es.sv, cs.sv),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                     (x, y) -> x + y) AS dd
+            FROM esub es JOIN cbt cs ON cs.j = es.j),
           codes AS (
             SELECT vec_id, j, c AS code FROM (
               SELECT vec_id, j, c,
@@ -1238,7 +1324,7 @@ object SimilarityQueries {
                    ${duckDot("list_slice(q.v, cd.j*8+1, cd.j*8+8)", "cs.sv")}
                      AS t
             FROM q CROSS JOIN codes cd
-            JOIN centsub cs ON cs.j = cd.j AND cs.c = cd.code
+            JOIN cbt cs ON cs.j = cd.j AND cs.c = cd.code
             WHERE q.query_id <> cd.vec_id),
           adc AS (
             SELECT query_id, neighbor_id,
@@ -1255,6 +1341,68 @@ object SimilarityQueries {
           FROM ranked WHERE rank <= 10
           ORDER BY query_id, rank""",
 
+    // every train×probe cosine, argmax per train row by (cos DESC,
+    // probe id ASC) — the rank rule mirroring the engine's ascending-id
+    // strict-> fold — then the threshold verdict
+    "q146_semantic_decontam" -> semanticDecontamReplay,
+
+    // q39's assignment replay (raw vectors, sample centroids), then the
+    // within-cell pair search: dup_of = min earlier same-cell id with
+    // cos ≥ 0.98, keep = 1 iff none — deterministic integer minima over
+    // bit-identical cosines
+    "q94_semdedup" ->
+      s"""WITH e AS ($normed),
+          cent AS (SELECT rn AS c, embedding AS cv FROM ($sample16)),
+          cd AS (
+            SELECT e.vec_id, cent.c,
+                   ${duckDot("e.embedding", "cent.cv")} AS d
+            FROM e CROSS JOIN cent),
+          assigned AS (
+            SELECT vec_id, c AS centroid FROM (
+              SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, c DESC) AS r
+              FROM cd) WHERE r = 1),
+          dups AS (
+            SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+            FROM assigned a JOIN assigned b
+              ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id
+            WHERE ${duckDot("ea.embedding", "eb.embedding")}
+                    / (ea.nrm * eb.nrm) >= 0.98
+            GROUP BY b.vec_id)
+          SELECT a.vec_id, a.centroid,
+                 coalesce(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of,
+                 CAST(CASE WHEN coalesce(d.dup_of, CAST(-1 AS BIGINT)) < 0
+                           THEN 1 ELSE 0 END AS INTEGER) AS keep
+          FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+          ORDER BY a.vec_id""",
+
+    // q82's replay with the ASSIGNED corpus filtered to the survivors —
+    // centroids/probing/scoring unchanged (frozen centroid geometry);
+    // deletion touches only which vectors sit in the inverted lists
+    "q106_ann_index_delete" -> ivfDeleteReplay,
+
+    // q129 diffs the pre-delete ranking against the live one: both
+    // rankings replayed, same outer join, same status classification
+    "q129_ann_maintenance_diff" ->
+      s"""SELECT coalesce(bef.query_id, aft.query_id) AS query_id,
+                 coalesce(bef.neighbor_id, aft.neighbor_id) AS neighbor_id,
+                 bef.cos_sim AS cos_before, bef.rank AS rank_before,
+                 aft.cos_sim AS cos_after, aft.rank AS rank_after,
+                 CASE WHEN aft.rank IS NULL THEN 'dropped'
+                      WHEN bef.rank IS NULL THEN 'entered'
+                      WHEN bef.rank <> aft.rank THEN 'moved'
+                      ELSE 'held' END AS status
+          FROM ($ivfIndexedReplay) bef
+          FULL OUTER JOIN ($ivfDeleteReplay) aft
+          ON bef.query_id = aft.query_id
+             AND bef.neighbor_id = aft.neighbor_id
+          ORDER BY query_id, neighbor_id""",
+
+    // q118 tombstones the same tenth instead of rewriting; serving with
+    // the tombstones PENDING must equal the physically-deleted index
     // q166: both PQ rankings from one codes derivation — before
     // unfiltered, after minus the deleted tenth — full-outer joined
     // with q129's status classification
@@ -1465,160 +1613,6 @@ object SimilarityQueries {
           FROM ranked WHERE rank <= 10
           ORDER BY query_id, rank""",
 
-    // q156 = q152's replay with ONE Lloyd refinement between the seeds
-    // and the codes: assignment against the seeds (rank (dd, c) == the
-    // engine's strict-< fold), the re-estimated mean as EXACT integer
-    // sums of 2^-20-quantized coordinates (floor(x·G + 0.5), the
-    // engine's quantize convention — order-independent, so the trained
-    // coordinate (sum / n / G) is bit-identical in both engines), empty
-    // clusters keeping their seed, then codes + ADC against the TRAINED
-    // books
-    "q156_ann_pq_trained" ->
-      s"""WITH raw AS (
-            SELECT vec_id, embedding,
-                   sqrt(${duckDot("embedding", "embedding")}) AS nrm
-            FROM embeddings),
-          e AS (SELECT vec_id,
-                       list_transform(embedding,
-                         x -> CAST(x AS DOUBLE) / nrm) AS v
-                FROM raw),
-          cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
-                   FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
-          sub AS (SELECT unnest(range(0, 8)) AS j),
-          seedsub AS (SELECT j, c, list_slice(v, j*8+1, j*8+8) AS sv
-                      FROM cent CROSS JOIN sub),
-          esub AS (SELECT vec_id, j, list_slice(v, j*8+1, j*8+8) AS sv
-                   FROM e CROSS JOIN sub),
-          dist0 AS (
-            SELECT es.vec_id, ss.j, ss.c,
-                   list_reduce(list_prepend(0.0,
-                     list_transform(list_zip(es.sv, ss.sv),
-                       z -> (z[1] - z[2]) * (z[1] - z[2]))),
-                     (x, y) -> x + y) AS dd
-            FROM esub es JOIN seedsub ss ON ss.j = es.j),
-          assign0 AS (
-            SELECT vec_id, j, c FROM (
-              SELECT vec_id, j, c,
-                     row_number() OVER (PARTITION BY vec_id, j
-                                        ORDER BY dd, c) AS r
-              FROM dist0) WHERE r = 1),
-          coords AS (
-            SELECT a.j, a.c, p.pos, es.sv[p.pos] AS x
-            FROM assign0 a
-            JOIN esub es ON es.vec_id = a.vec_id AND es.j = a.j
-            CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) p),
-          stats AS (
-            SELECT j, c, pos,
-                   CAST(sum(CAST(floor(x * 1048576.0 + 0.5) AS BIGINT))
-                        AS BIGINT) AS smi,
-                   count(*) AS n
-            FROM coords GROUP BY j, c, pos),
-          trained AS (
-            SELECT j, c,
-                   list(CAST(smi AS DOUBLE) / n / 1048576.0
-                        ORDER BY pos) AS sv
-            FROM stats GROUP BY j, c),
-          cbt AS (SELECT s.j, s.c, coalesce(t.sv, s.sv) AS sv
-                  FROM seedsub s
-                  LEFT JOIN trained t ON t.j = s.j AND t.c = s.c),
-          dist AS (
-            SELECT es.vec_id, cs.j, cs.c,
-                   list_reduce(list_prepend(0.0,
-                     list_transform(list_zip(es.sv, cs.sv),
-                       z -> (z[1] - z[2]) * (z[1] - z[2]))),
-                     (x, y) -> x + y) AS dd
-            FROM esub es JOIN cbt cs ON cs.j = es.j),
-          codes AS (
-            SELECT vec_id, j, c AS code FROM (
-              SELECT vec_id, j, c,
-                     row_number() OVER (PARTITION BY vec_id, j
-                                        ORDER BY dd, c) AS r
-              FROM dist) WHERE r = 1),
-          q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
-          terms AS (
-            SELECT q.query_id, cd.vec_id AS neighbor_id, cd.j,
-                   ${duckDot("list_slice(q.v, cd.j*8+1, cd.j*8+8)", "cs.sv")}
-                     AS t
-            FROM q CROSS JOIN codes cd
-            JOIN cbt cs ON cs.j = cd.j AND cs.c = cd.code
-            WHERE q.query_id <> cd.vec_id),
-          adc AS (
-            SELECT query_id, neighbor_id,
-                   list_reduce(list(t ORDER BY j), (x, y) -> x + y)
-                     AS approx_sim
-            FROM terms GROUP BY query_id, neighbor_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, approx_sim,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY approx_sim DESC,
-                                               neighbor_id) AS rank
-            FROM adc)
-          SELECT query_id, neighbor_id, approx_sim, rank
-          FROM ranked WHERE rank <= 10
-          ORDER BY query_id, rank""",
-
-    // every train×probe cosine, argmax per train row by (cos DESC,
-    // probe id ASC) — the rank rule mirroring the engine's ascending-id
-    // strict-> fold — then the threshold verdict
-    "q146_semantic_decontam" -> semanticDecontamReplay,
-
-    // q39's assignment replay (raw vectors, sample centroids), then the
-    // within-cell pair search: dup_of = min earlier same-cell id with
-    // cos ≥ 0.98, keep = 1 iff none — deterministic integer minima over
-    // bit-identical cosines
-    "q94_semdedup" ->
-      s"""WITH e AS ($normed),
-          cent AS (SELECT rn AS c, embedding AS cv FROM ($sample16)),
-          cd AS (
-            SELECT e.vec_id, cent.c,
-                   ${duckDot("e.embedding", "cent.cv")} AS d
-            FROM e CROSS JOIN cent),
-          assigned AS (
-            SELECT vec_id, c AS centroid FROM (
-              SELECT vec_id, c,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY d DESC, c DESC) AS r
-              FROM cd) WHERE r = 1),
-          dups AS (
-            SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
-            FROM assigned a JOIN assigned b
-              ON a.centroid = b.centroid AND a.vec_id < b.vec_id
-            JOIN e ea ON ea.vec_id = a.vec_id
-            JOIN e eb ON eb.vec_id = b.vec_id
-            WHERE ${duckDot("ea.embedding", "eb.embedding")}
-                    / (ea.nrm * eb.nrm) >= 0.98
-            GROUP BY b.vec_id)
-          SELECT a.vec_id, a.centroid,
-                 coalesce(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of,
-                 CAST(CASE WHEN coalesce(d.dup_of, CAST(-1 AS BIGINT)) < 0
-                           THEN 1 ELSE 0 END AS INTEGER) AS keep
-          FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
-          ORDER BY a.vec_id""",
-
-    // q82's replay with the ASSIGNED corpus filtered to the survivors —
-    // centroids/probing/scoring unchanged (frozen centroid geometry);
-    // deletion touches only which vectors sit in the inverted lists
-    "q106_ann_index_delete" -> ivfDeleteReplay,
-
-    // q129 diffs the pre-delete ranking against the live one: both
-    // rankings replayed, same outer join, same status classification
-    "q129_ann_maintenance_diff" ->
-      s"""SELECT coalesce(bef.query_id, aft.query_id) AS query_id,
-                 coalesce(bef.neighbor_id, aft.neighbor_id) AS neighbor_id,
-                 bef.cos_sim AS cos_before, bef.rank AS rank_before,
-                 aft.cos_sim AS cos_after, aft.rank AS rank_after,
-                 CASE WHEN aft.rank IS NULL THEN 'dropped'
-                      WHEN bef.rank IS NULL THEN 'entered'
-                      WHEN bef.rank <> aft.rank THEN 'moved'
-                      ELSE 'held' END AS status
-          FROM ($ivfIndexedReplay) bef
-          FULL OUTER JOIN ($ivfDeleteReplay) aft
-          ON bef.query_id = aft.query_id
-             AND bef.neighbor_id = aft.neighbor_id
-          ORDER BY query_id, neighbor_id""",
-
-    // q118 tombstones the same tenth instead of rewriting; serving with
-    // the tombstones PENDING must equal the physically-deleted index
     "q118_ann_index_tombstone" -> ivfDeleteReplay
   )
 
@@ -1735,6 +1729,58 @@ object SimilarityQueries {
                                                neighbor_id) AS rank
             FROM rer)
           SELECT query_id, neighbor_id, cos_sim, rank
+          FROM ranked WHERE rank <= 10
+          ORDER BY query_id, rank"""
+
+  /** q152/q167 shared replay: codebooks, every code, every ADC sum. */
+  private lazy val pqAdcReplay: String =
+      s"""WITH raw AS (
+            SELECT vec_id, embedding,
+                   sqrt(${duckDot("embedding", "embedding")}) AS nrm
+            FROM embeddings),
+          e AS (SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) / nrm) AS v
+                FROM raw),
+          cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                   FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+          sub AS (SELECT unnest(range(0, 8)) AS j),
+          centsub AS (SELECT j, c, list_slice(v, j*8+1, j*8+8) AS sv
+                      FROM cent CROSS JOIN sub),
+          dist AS (
+            SELECT e.vec_id, cs.j, cs.c,
+                   list_reduce(list_prepend(0.0,
+                     list_transform(
+                       list_zip(list_slice(e.v, cs.j*8+1, cs.j*8+8), cs.sv),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                     (x, y) -> x + y) AS dd
+            FROM e CROSS JOIN centsub cs),
+          codes AS (
+            SELECT vec_id, j, c AS code FROM (
+              SELECT vec_id, j, c,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY dd, c) AS r
+              FROM dist) WHERE r = 1),
+          q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+          terms AS (
+            SELECT q.query_id, cd.vec_id AS neighbor_id, cd.j,
+                   ${duckDot("list_slice(q.v, cd.j*8+1, cd.j*8+8)", "cs.sv")}
+                     AS t
+            FROM q CROSS JOIN codes cd
+            JOIN centsub cs ON cs.j = cd.j AND cs.c = cd.code
+            WHERE q.query_id <> cd.vec_id),
+          adc AS (
+            SELECT query_id, neighbor_id,
+                   list_reduce(list(t ORDER BY j), (x, y) -> x + y)
+                     AS approx_sim
+            FROM terms GROUP BY query_id, neighbor_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, approx_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_sim DESC,
+                                               neighbor_id) AS rank
+            FROM adc)
+          SELECT query_id, neighbor_id, approx_sim, rank
           FROM ranked WHERE rank <= 10
           ORDER BY query_id, rank"""
 }

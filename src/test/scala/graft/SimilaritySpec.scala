@@ -716,6 +716,27 @@ class SimilaritySpec extends AnyFunSuite {
       == rows(Similarity.pqTopK(queries, emb, k = 5, dim = 64, cbEven)))
   }
 
+  test("PQ exactly-once append: a replayed batch never duplicates served candidates") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = "target/graft-test-pq-eo"
+    new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(idx), true)
+    Similarity.savePqIndex(emb.where(lit(false)), idx, m = 8, nCent = 16,
+      dim = 64, codebooksIn = Similarity.pqCodebooks(emb, 8, 16, 64))
+    val half = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    Similarity.appendToPqIndexExactlyOnce(half, idx, batchId = 0L)
+    Similarity.appendToPqIndexExactlyOnce(half, idx, batchId = 0L) // replay
+    val n = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$idx/codes")).count()
+    assert(n == half.count(), s"replay duplicated codes: $n")
+    // compaction folds batch files; replays across the fold stay no-ops
+    Similarity.compactPqIndex(spark, idx)
+    Similarity.appendToPqIndexExactlyOnce(half, idx, batchId = 0L)
+    assert(spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$idx/codes")).count() == n)
+  }
+
   test("trainCentroidsPortable: unit norms, repartition-invariant, empty cells keep seeds") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val tc = Similarity.trainCentroidsPortable(emb, 16, 64, iters = 2)
