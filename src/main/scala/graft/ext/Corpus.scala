@@ -549,6 +549,148 @@ object Corpus {
     cum.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** COUNT–MIN SKETCH of the token stream (Cormode & Muthukrishnan,
+    * J.Algorithms'05) — the fixed-size MERGEABLE frequency summary: a
+    * depth × width grid of counters where every token occurrence
+    * increments one counter per row, and a token's estimate is the MIN
+    * over its depth counters (never an underestimate; collisions only
+    * inflate). Like [[tokenHistogram]], the sketch is the incremental
+    * report-card state — sketches of disjoint corpus parts SUM
+    * componentwise ([[cmsMerge]]) to the union's sketch, so a daily
+    * pipeline folds today's batch into a 4×1024-cell relation and never
+    * re-scans the accumulated corpus; unlike the histogram, the state
+    * size is a CONSTANT (depth·width cells) no matter how large the
+    * vocabulary grows — the 100 TB crawl regime where even the distinct-
+    * token relation is too big to ship to a dashboard.
+    *
+    * The depth hash family is Kirsch–Mitzenmacher double hashing over
+    * the two portable char-folds the SimHash oracle already replays
+    * (h1 = fold(31, 1e9+7), h2 = fold(131, 998244353)):
+    * bucket_i = (h1 + i·h2) mod width — pure integer arithmetic, so an
+    * oracle engine replays the sketch CELL FOR CELL (Spark's own
+    * CountMinSketch agg exists but its hash is not replayable outside
+    * the JVM — same trade as hashEmbedding vs portableHashEmbedding).
+    *
+    * Output: (d, bucket, c) cell rows. Scale shape: one explode over
+    * the token stream × depth, map-side partial agg into depth·width
+    * cells, exchange of cell-sized partials only.
+    */
+  def cmsTokenSketch(df: DataFrame, textCol: String,
+                     depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth in [1,8], got $depth")
+    require(width >= 2, s"width >= 2, got $width")
+    cmsBuckets(
+      df.where(col(textCol).isNotNull)
+        .select(explode(split(col(textCol), " ")).as("tok")),
+      depth, width)
+      .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** The (d, bucket) cell coordinates of each input token — shared by
+    * sketch construction and estimation, which must hash identically. */
+  private def cmsBuckets(toks: DataFrame, depth: Int,
+                         width: Int): DataFrame = {
+    import graft.functions.TextExpressions.charFold
+    toks
+      .select(col("tok"),
+        charFold(col("tok"), 31L, 1000000007L).as("h1"),
+        charFold(col("tok"), 131L, 998244353L).as("h2"))
+      .select(col("tok"),
+        explode(sequence(lit(0L), lit(depth - 1L))).as("d"),
+        col("h1"), col("h2"))
+      // h1 + d·h2 < 1e9+7 + 7·998244353 < 2^33 — no overflow
+      .select(col("tok"), col("d"),
+        pmod(col("h1") + col("d") * col("h2"), lit(width.toLong))
+          .as("bucket"))
+  }
+
+  /** Sum per-part sketches into the union's sketch — counter grids over
+    * the same (d, bucket) cells add componentwise; the exchange is
+    * cell-count-sized on both ends. Parts must share depth/width (cells
+    * outside a common grid would silently mis-merge; the caller owns
+    * that contract, as with [[mergeHistograms]]' key space). */
+  def cmsMerge(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "cmsMerge needs at least one part")
+    parts.reduce(_.unionByName(_))
+      .groupBy("d", "bucket").agg(sum(col("c")).as("c"))
+  }
+
+  /** Point-estimate each candidate token against a [[cmsTokenSketch]]:
+    * est(tok) = min over depth of its cells — ≥ the true count always,
+    * within εN with probability 1−δ for depth = ln(1/δ), width = e/ε.
+    * The sketch rides as a broadcast (depth·width cells); the candidate
+    * relation is the only scan. */
+  def cmsEstimates(sketch: DataFrame, candidates: DataFrame, depth: Int,
+                   width: Int): DataFrame =
+    cmsBuckets(candidates, depth, width)
+      .join(broadcast(sketch), Seq("d", "bucket"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+
+  /** HYPERLOGLOG registers of the token stream (Flajolet et al.,
+    * AofA'07) — the fixed-size mergeable DISTINCT-count summary:
+    * bucket = hash mod m, register = max over the bucket's tokens of
+    * ρ(hash div m) (leading-zero rank of the remaining hash bits).
+    * Registers of disjoint parts MAX componentwise ([[hllMerge]]) to
+    * the union's registers — the cross-day vocabulary-growth monitor
+    * that never re-scans: m rows of state forever, vs countDistinct's
+    * full-vocabulary exchange. Spark's approx_count_distinct is this
+    * same structure tuned harder (HLL++); production callers should
+    * use it — this construction exists because every register and the
+    * estimate replay EXACTLY in an oracle engine (integer-only):
+    * the fold hash is < 1e9+7, so y = h div m fits W = 24 bits at
+    * m = 64, ρ(y) = 25 − length(bin(y)) for y ≥ 1 (25 for y = 0), and
+    * the harmonic sum scales to the exact integer S = Σ 2^(25−r)
+    * (empty registers r = 0 contribute 2^25). Output: (bucket, r).
+    */
+  def hllTokenRegisters(df: DataFrame, textCol: String,
+                        m: Int = 64): DataFrame = {
+    require(m == 64, s"m = 64 is the replayable register count, got $m")
+    import graft.functions.TextExpressions.charFold
+    df.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .select(charFold(col("tok"), 31L, 1000000007L).as("h"))
+      .select(pmod(col("h"), lit(m.toLong)).as("bucket"),
+        (col("h") / lit(m.toLong)).cast("long").as("y"))
+      .select(col("bucket"),
+        when(col("y") === 0L, lit(25L))
+          .otherwise(lit(25L) - (length(bin(col("y")))))
+          .as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("r"))
+  }
+
+  /** Max per-part registers into the union's registers. */
+  def hllMerge(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "hllMerge needs at least one part")
+    parts.reduce(_.unionByName(_))
+      .groupBy("bucket").agg(max(col("r")).as("r"))
+  }
+
+  /** Finalize [[hllTokenRegisters]] into the one-row estimate report —
+    * all-integer: S = Σ_buckets 2^(25−r) with absent buckets at r = 0,
+    * est = (709·m²·2^25) div (1000·S) (α₆₄ = 0.709 as the exact
+    * rational 709/1000; numerator ≈ 9.7e13, no overflow). The
+    * small-range linear-counting correction (est < 5m/2 with zero
+    * registers present) needs a float ln — deliberately NOT applied
+    * here; `zero_registers` is reported so a serving layer can apply
+    * it. Output: (m, zero_registers, s, est_distinct).
+    */
+  def hllEstimate(registers: DataFrame, m: Int = 64): DataFrame = {
+    require(m == 64, s"m = 64 is the replayable register count, got $m")
+    registers
+      .agg(count(lit(1)).as("filled"),
+        sum(expr("shiftleft(1L, cast(25 - r as int))")).as("s_filled"))
+      .select(lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("filled")).as("zero_registers"),
+        (col("s_filled")
+          + (lit(m.toLong) - col("filled")) * lit(1L << 25)).as("s"))
+      .select(col("m"), col("zero_registers"), col("s"),
+        // the numerator precomputed in Scala — spelled as int literals
+        // in SQL it would overflow Int silently in non-ANSI mode
+        expr(s"${709L * m * m * (1L << 25)}L div (1000L * s)")
+          .as("est_distinct"))
+  }
+
   /** Token-budget corpus selection: keep the best documents by `score`
     * until the running token total reaches `budgetPerMille`/1000 of the
     * corpus's tokens — the data-selection step that turns a quality signal
@@ -1171,6 +1313,92 @@ object Corpus {
           element_at(toks, i + 2).as("w")))).as("g"))
       .select(col("doc"), col("g.a").as("a"), col("g.p").as("p"),
         col("g.w").as("w"))
+  }
+
+  /** Interpolated KNESER–NEY bigram scoring (Kneser & Ney, ICASSP'95;
+    * Chen & Goodman's interpolated form, TR-10-98) — the smoothing the
+    * KenLM/CCNet quality-filter stack actually ships, in the exact
+    * integer floor-log₂-bits discipline of [[lmPerplexity]] and
+    * [[stupidBackoffBits]] so the DuckDB oracle replays every score.
+    *
+    * The model, with absolute discount D = 3/4 (integral-rational by
+    * design) and the continuation distribution add-one smoothed over
+    * the vocabulary:
+    *
+    *   P(w|p) = (max(c(p,w) − D, 0) + D·N1+(p·)·Pc(w)) / c(p)
+    *   Pc(w)  = (N1+(·w) + 1) / (B + V)
+    *
+    * where N1+(p·) = distinct continuations of prefix p, N1+(·w) =
+    * distinct contexts preceding w (the "how novel is this word"
+    * statistic that makes KN KN — a word seen often but only in one
+    * collocation gets a LOW continuation weight), B = distinct bigram
+    * types, V = vocab size. Multiplying through by 4·(B + V) makes both
+    * sides of the ratio pure integers:
+    *
+    *   num = max(4·c(p,w) − 3, 0)·(B + V) + 3·N1+(p·)·(N1+(·w) + 1)
+    *   den = 4·c(p)·(B + V)
+    *   bits = floor(log₂(den / num)) = length(bin(den div num)) − 1
+    *
+    * Σ_w num = den EXACTLY (the discount mass D·N1+(p·) re-spreads over
+    * Pc, which itself sums to one: Σ N1+(·w) = B, Σ 1 = V), so this is
+    * a proper distribution and `den div num ≥ 1` for every gram — no
+    * float anywhere, no clamping. An unseen PREFIX (c(p) = 0, so there
+    * is no discount mass to interpolate) falls back to Pc alone:
+    * bits = floor(log₂((B + V) div (N1+(·w) + 1))), counted per doc as
+    * `n_unseen_prefix`.
+    *
+    * Output: (doc_id, n_bigrams, n_unseen_prefix, total_bits, bits_x100)
+    * per score document — [[lmPerplexity]]'s surface plus the
+    * prefix-miss rate; sub-two-token documents come back all-zero.
+    *
+    * Scale shape: identical to [[lmPerplexity]] — the model is three
+    * count relations (bigram-sized cb; vocabulary-sized cu/n1p per
+    * prefix and n1p per word, derived by REAGGREGATING cb, never a
+    * second corpus pass) joined onto the score gram stream, plus a
+    * one-row (B, V) broadcast. Hot prefixes AQE-skew-split like the
+    * base model's.
+    */
+  def kneserNeyBits(train: DataFrame, score: DataFrame, textCol: String,
+                    idCol: String): DataFrame = {
+    val cb = bigramStream(train, textCol, idCol)
+      .groupBy("p", "w").agg(count(lit(1)).as("cb"))
+    // c(p) and N1+(p·) in one reaggregation of the bigram-count relation
+    val cu = cb.groupBy("p")
+      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1p_p"))
+    val cwn = cb.groupBy("w").agg(count(lit(1)).as("n1p_w"))
+    val bv = cb.agg(count(lit(1)).as("b")).crossJoin(
+      train.where(col(textCol).isNotNull)
+        .select(explode(split(col(textCol), " ")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v")))
+    val scored = bigramStream(score, textCol, idCol)
+      .join(cb, Seq("p", "w"), "left")
+      .join(cu, Seq("p"), "left")
+      .join(cwn, Seq("w"), "left")
+      .crossJoin(broadcast(bv))
+      .select(col("doc"),
+        when(col("cu").isNotNull,
+          (length(bin(expr(
+            """(4 * cu * (b + v)) div
+               (greatest(4 * coalesce(cb, 0) - 3, 0) * (b + v)
+                + 3 * n1p_p * (coalesce(n1p_w, 0) + 1))"""))) - 1)
+            .cast("long"))
+          .otherwise(
+            (length(bin(expr("(b + v) div (coalesce(n1p_w, 0) + 1)")))
+              - 1).cast("long"))
+          .as("bits"),
+        when(col("cu").isNull, 1L).otherwise(0L).as("miss"))
+    val perDoc = scored.groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("miss")).as("n_unseen_prefix"),
+        sum(col("bits")).as("total_bits"))
+    score.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen_prefix"), lit(0L)).as("n_unseen_prefix"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        coalesce(expr("total_bits * 100 div n_bigrams"), lit(0L))
+          .as("bits_x100"))
   }
 
   /** Persist the bigram LM to `path` — the CCNet deployment shape: train

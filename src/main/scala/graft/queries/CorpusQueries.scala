@@ -341,6 +341,70 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    "q169_heavy_hitters_cms" -> ((s, d) => {
+      // the fixed-size mergeable frequency summary: two disjoint halves
+      // sketched separately, MERGED (q96's incremental report-card move,
+      // but with CONSTANT state — 4×1024 cells no matter the vocabulary),
+      // then every distinct token point-estimated against the merged
+      // sketch; heavy hitters = est ≥ N/200. The oracle replays the
+      // double-hash cells, the min-over-depth estimates, and the exact
+      // counts, so the CMS ≥-truth guarantee is value-checked per token.
+      val docs = t(s, d, "documents")
+      val (depth, width) = (4, 1024)
+      val sketch = Corpus.cmsMerge(Seq(
+        Corpus.cmsTokenSketch(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), "text", depth, width),
+        Corpus.cmsTokenSketch(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), "text", depth, width)))
+      val toks = docs.where(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      Corpus.cmsEstimates(sketch, exact.select("tok"), depth, width)
+        .join(exact, Seq("tok"))
+        .crossJoin(broadcast(total))
+        .where(col("est") * 200 >= col("n"))
+        .select(col("tok"), col("est"), col("exact"),
+          (col("est") - col("exact")).as("overcount"))
+        .orderBy("tok")
+    }),
+
+    "q170_hll_distinct" -> ((s, d) => {
+      // the fixed-size mergeable DISTINCT-count summary: per-half HLL
+      // registers MAXed together (m = 64 rows of state forever — the
+      // cross-day vocabulary-growth monitor), finalized into the
+      // all-integer estimate; the exact distinct count rides along so
+      // the estimator's error is itself under the oracle.
+      val docs = t(s, d, "documents")
+      val regs = Corpus.hllMerge(Seq(
+        Corpus.hllTokenRegisters(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), "text"),
+        Corpus.hllTokenRegisters(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), "text")))
+      val exact = docs.where(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(countDistinct(col("tok")).as("exact_distinct"))
+      Corpus.hllEstimate(regs).crossJoin(broadcast(exact))
+        .select(col("m"), col("zero_registers"), col("s"),
+          col("est_distinct"), col("exact_distinct"),
+          (col("est_distinct") - col("exact_distinct")).as("err"))
+    }),
+
+    "q168_kneser_ney" -> ((s, d) => {
+      // the KenLM/CCNet smoothing itself: interpolated Kneser–Ney with
+      // D = 3/4 and an add-one continuation floor, every probability a
+      // ratio of pure integers (the distribution sums to exactly 1 —
+      // see Corpus.kneserNeyBits), scored over q91's train/test split.
+      // The oracle replays the continuation counts N1+(p·)/N1+(·w),
+      // the interpolation, and the unseen-prefix fallback per gram.
+      val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
+      Corpus.kneserNeyBits(
+        docs.where(col("split") === "train"),
+        docs.where(col("split") === "test" && col("text").isNotNull),
+        "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q160_stupid_backoff" -> ((s, d) => {
       // the web-scale LM scoring recipe (Brants et al.): seen trigrams
       // score by relative frequency, misses back off trigram → bigram →
@@ -955,6 +1019,132 @@ object CorpusQueries {
     // plus one penalty bit (spelled − 1 + 1 in both engines), full
     // falls at the add-one unigram floor plus two, and both per-doc
     // backoff counts
+    // q169: replays the Kirsch–Mitzenmacher cells (the two char-folds
+    // q32's oracle already spells), the grouped cell counts, the
+    // min-over-depth estimates, exact counts, and the N/200 threshold
+    "q169_heavy_hitters_cms" -> {
+      def fold(base: Long, p: Long) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(tok) + 1),
+                i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+              (acc, c) -> (acc * $base + c) % $p)"""
+      s"""WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL),
+          h AS (SELECT tok, ${fold(31L, 1000000007L)} AS h1,
+                       ${fold(131L, 998244353L)} AS h2
+                FROM toks),
+          cells AS (
+            SELECT dd.d, (h1 + dd.d * h2) % 1024 AS bucket,
+                   count(*) AS c
+            FROM h CROSS JOIN range(0, 4) dd(d) GROUP BY 1, 2),
+          cand AS (SELECT tok, count(*) AS exact FROM toks GROUP BY tok),
+          n AS (SELECT count(*) AS n FROM toks),
+          candh AS (SELECT tok, exact, ${fold(31L, 1000000007L)} AS h1,
+                           ${fold(131L, 998244353L)} AS h2
+                    FROM cand),
+          est AS (
+            SELECT x.tok, x.exact, min(coalesce(c.c, 0)) AS est
+            FROM (SELECT tok, exact, dd.d AS d,
+                         (h1 + dd.d * h2) % 1024 AS bucket
+                  FROM candh CROSS JOIN range(0, 4) dd(d)) x
+            LEFT JOIN cells c ON c.d = x.d AND c.bucket = x.bucket
+            GROUP BY x.tok, x.exact)
+          SELECT tok, CAST(est AS BIGINT) AS est,
+                 CAST(exact AS BIGINT) AS exact,
+                 CAST(est - exact AS BIGINT) AS overcount
+          FROM est CROSS JOIN n
+          WHERE est * 200 >= n.n
+          ORDER BY tok"""
+    },
+
+    // q170: replays the register relation (bucket, max leading-zero
+    // rank), the exact-integer harmonic sum (empty registers at 2^25),
+    // the α₆₄ = 709/1000 integer estimate, and the signed error
+    "q170_hll_distinct" -> {
+      val fold =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(tok) + 1),
+                i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007)"""
+      s"""WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL),
+          h AS (SELECT $fold AS h FROM toks),
+          r AS (SELECT h % 64 AS bucket,
+                       max(CASE WHEN h // 64 = 0 THEN 25
+                                ELSE 25 - length(bin(h // 64)) END) AS r
+                FROM h GROUP BY 1),
+          s AS (SELECT CAST(sum(1 << (25 - r)) AS BIGINT)
+                       + (64 - count(*)) * ${1L << 25} AS s,
+                       64 - count(*) AS zero_registers
+                FROM r),
+          e AS (SELECT count(DISTINCT tok) AS exact_distinct FROM toks)
+          SELECT CAST(64 AS BIGINT) AS m,
+                 CAST(zero_registers AS BIGINT) AS zero_registers,
+                 CAST(s AS BIGINT) AS s,
+                 CAST(${709L * 64 * 64 * (1L << 25)} // (1000 * s)
+                      AS BIGINT) AS est_distinct,
+                 CAST(exact_distinct AS BIGINT) AS exact_distinct,
+                 CAST(${709L * 64 * 64 * (1L << 25)} // (1000 * s)
+                      - exact_distinct AS BIGINT) AS err
+          FROM s CROSS JOIN e"""
+    },
+
+    // q168: replays the continuation statistics (N1+(p·) per prefix,
+    // N1+(·w) per word, B distinct bigram types), the integerized
+    // interpolation num/den, and the unseen-prefix continuation fall —
+    // exact equality because every probability is a ratio of integers
+    "q168_kneser_ney" ->
+      s"""WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                             $fpFold % 100 AS b
+                      FROM documents WHERE text IS NOT NULL),
+          tr AS (SELECT doc_id, toks FROM s0 WHERE b < 80),
+          te AS (SELECT doc_id, toks FROM s0 WHERE b >= 90),
+          gtr AS (SELECT toks[i] AS p, toks[i + 1] AS w
+                  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                        FROM tr)),
+          gte AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+                  FROM (SELECT doc_id, toks,
+                               unnest(range(1, len(toks))) AS i
+                        FROM te)),
+          cb AS (SELECT p, w, count(*) AS cb FROM gtr GROUP BY p, w),
+          cu AS (SELECT p, CAST(sum(cb) AS BIGINT) AS cu,
+                        count(*) AS n1p_p
+                 FROM cb GROUP BY p),
+          cwn AS (SELECT w, count(*) AS n1p_w FROM cb GROUP BY w),
+          bv AS (SELECT (SELECT count(*) FROM cb) AS b,
+                        (SELECT count(DISTINCT tok)
+                         FROM (SELECT unnest(toks) AS tok FROM tr)) AS v),
+          s AS (SELECT gte.doc_id,
+                       CASE WHEN cu.cu IS NOT NULL
+                            THEN length(bin((4 * cu.cu * (bv.b + bv.v))
+                                   // (greatest(4 * coalesce(cb.cb, 0) - 3,
+                                               0) * (bv.b + bv.v)
+                                      + 3 * cu.n1p_p
+                                        * (coalesce(cwn.n1p_w, 0) + 1))))
+                                 - 1
+                            ELSE length(bin((bv.b + bv.v)
+                                   // (coalesce(cwn.n1p_w, 0) + 1))) - 1
+                       END AS bits,
+                       CASE WHEN cu.cu IS NULL THEN 1 ELSE 0 END AS miss
+                FROM gte LEFT JOIN cb USING (p, w)
+                LEFT JOIN cu USING (p)
+                LEFT JOIN cwn USING (w) CROSS JOIN bv),
+          r AS (SELECT doc_id, count(*) AS n_bigrams,
+                       sum(miss) AS n_unseen_prefix,
+                       sum(bits) AS total_bits
+                FROM s GROUP BY doc_id)
+          SELECT te.doc_id,
+                 CAST(coalesce(r.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                 CAST(coalesce(r.n_unseen_prefix, 0) AS BIGINT)
+                   AS n_unseen_prefix,
+                 CAST(coalesce(r.total_bits, 0) AS BIGINT) AS total_bits,
+                 CAST(coalesce(r.total_bits * 100 // r.n_bigrams, 0)
+                      AS BIGINT) AS bits_x100
+          FROM te LEFT JOIN r ON te.doc_id = r.doc_id
+          ORDER BY te.doc_id""",
+
     "q160_stupid_backoff" ->
       s"""WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
                              $fpFold % 100 AS b

@@ -815,6 +815,129 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(6) == ((16L, 0L, 0L, 0L, 0L)))
   }
 
+  test("cmsTokenSketch: merge(parts) == sketch(whole), estimates >= truth") {
+    val docs = Seq((1L, "a b a c d"), (2L, "b e f a"), (3L, "g h a b"))
+      .toDF("doc_id", "text")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("d", "bucket", "c").as[(Long, Long, Long)].collect()
+        .map { case (d, b, c) => (d, b) -> c }.toMap
+    val whole = cells(Corpus.cmsTokenSketch(docs, "text", 4, 1024))
+    val merged = cells(Corpus.cmsMerge(Seq(
+      Corpus.cmsTokenSketch(docs.where($"doc_id" <= 1), "text", 4, 1024),
+      Corpus.cmsTokenSketch(docs.where($"doc_id" > 1), "text", 4, 1024))))
+    assert(whole == merged)
+    // every estimate dominates the true count
+    val sketch = Corpus.cmsTokenSketch(docs, "text", 4, 1024)
+    val exact = docs.select(explode(split($"text", " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact"))
+    val est = Corpus.cmsEstimates(sketch, exact.select("tok"), 4, 1024)
+      .join(exact, Seq("tok"))
+      .select("tok", "est", "exact").as[(String, Long, Long)].collect()
+    assert(est.nonEmpty && est.forall { case (_, e, x) => e >= x })
+    // a was seen 4 times; with 4096 cells over 8 tokens no depth
+    // collides, so the min is exact
+    assert(est.find(_._1 == "a").get._2 == 4L)
+  }
+
+  test("cmsTokenSketch: a forced collision only ever overcounts") {
+    // width 2, depth 1: 8 distinct tokens into 2 buckets MUST collide;
+    // the estimate equals the bucket total — strictly above truth for
+    // any token sharing its bucket, never below
+    val docs = Seq((1L, "a b c d e f g h a")).toDF("doc_id", "text")
+    val sketch = Corpus.cmsTokenSketch(docs, "text", 1, 2)
+    val total = sketch.agg(sum($"c")).as[Long].head()
+    assert(total == 9L) // every occurrence lands in exactly one cell
+    val exact = docs.select(explode(split($"text", " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact"))
+    val est = Corpus.cmsEstimates(sketch, exact.select("tok"), 1, 2)
+      .join(exact, Seq("tok"))
+      .select("est", "exact").as[(Long, Long)].collect()
+    assert(est.forall { case (e, x) => e >= x })
+    assert(est.exists { case (e, x) => e > x }) // the collision is real
+  }
+
+  test("hllTokenRegisters: merge == whole, estimate replays, repetition-blind") {
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h i j"), (3L, "a b c f g"))
+      .toDF("doc_id", "text")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.select("bucket", "r").as[(Long, Long)].collect().toMap
+    val whole = regs(Corpus.hllTokenRegisters(docs, "text"))
+    val merged = regs(Corpus.hllMerge(Seq(
+      Corpus.hllTokenRegisters(docs.where($"doc_id" <= 1), "text"),
+      Corpus.hllTokenRegisters(docs.where($"doc_id" > 1), "text"))))
+    assert(whole == merged)
+    // doc 3 repeats tokens docs 1-2 already carry: registers are a
+    // DISTINCT summary, so dropping it changes nothing
+    val dedup = regs(Corpus.hllTokenRegisters(docs.where($"doc_id" <= 2), "text"))
+    assert(whole == dedup)
+    val est = Corpus.hllEstimate(Corpus.hllTokenRegisters(docs, "text"))
+      .select("m", "zero_registers", "s", "est_distinct")
+      .as[(Long, Long, Long, Long)].head()
+    assert(est._1 == 64L && est._2 == 64L - whole.size)
+    // S = filled-register sum + 2^25 per empty register, exactly
+    val sExpected = whole.values.map(r => 1L << (25 - r)).sum +
+      (64L - whole.size) * (1L << 25)
+    assert(est._3 == sExpected)
+    assert(est._4 == 709L * 64 * 64 * (1L << 25) / (1000L * sExpected))
+  }
+
+  test("kneserNeyBits: interpolation, continuation fall, hand-computed") {
+    // train: "a b a c" + "a b b" → cb: ab=2 ba=1 ac=1 bb=1;
+    // cu(a)=3 n1p_p(a)=2 {b,c}; cu(b)=2 n1p_p(b)=2 {a,b};
+    // n1p_w: b←{a,b}=2, a←{b}=1, c←{a}=1; B=4 types, V=3, B+V=7
+    val train = Seq((1L, "a b a c"), (2L, "a b b")).toDF("doc_id", "text")
+    val score = Seq(
+      // (a,b): num = max(4·2−3,0)·7 + 3·2·(2+1) = 35+18 = 53,
+      //   den = 4·3·7 = 84 → 84//53 = 1 → 0 bits
+      // (b,z): cb=0 → num = 3·2·(0+1) = 6, den = 4·2·7 = 56 →
+      //   56//6 = 9 → 3 bits
+      (10L, "a b z"),
+      // (z,a): prefix z unseen → continuation fall:
+      //   7 // (n1p_w(a)+1 = 2) = 3 → 1 bit, 1 prefix miss
+      (11L, "z a"),
+      // sub-two-token → all zeros
+      (12L, "q")
+    ).toDF("doc_id", "text")
+    val got = Corpus.kneserNeyBits(train, score, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "n_unseen_prefix", "total_bits",
+        "bits_x100")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got(0) == ((10L, 2L, 0L, 3L, 150L)))
+    assert(got(1) == ((11L, 1L, 1L, 1L, 100L)))
+    assert(got(2) == ((12L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("kneserNeyBits: per-prefix probabilities sum to exactly 1") {
+    // the design claim behind `den div num >= 1`: for each seen prefix,
+    // Σ_w∈V num(w) == den. Verify by brute force over the tiny model.
+    val train = Seq((1L, "a b a c"), (2L, "a b b")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "c")
+    // model stats (as in the previous test's comment)
+    val cb = Map(("a", "b") -> 2L, ("b", "a") -> 1L, ("a", "c") -> 1L,
+      ("b", "b") -> 1L)
+    val cu = Map("a" -> 3L, "b" -> 2L)
+    val n1pP = Map("a" -> 2L, "b" -> 2L)
+    val n1pW = Map("a" -> 1L, "b" -> 2L, "c" -> 1L)
+    val bv = 4L + 3L
+    for (p <- Seq("a", "b")) {
+      val den = 4L * cu(p) * bv
+      val numSum = vocab.map { w =>
+        math.max(4L * cb.getOrElse((p, w), 0L) - 3L, 0L) * bv +
+          3L * n1pP(p) * (n1pW.getOrElse(w, 0L) + 1L)
+      }.sum
+      assert(numSum == den, s"prefix $p: $numSum != $den")
+    }
+    // and the engine agrees the seen-prefix branch never clamps: score
+    // the full vocab cross product, every bits value must be >= 0
+    val score = (for (p <- vocab; w <- vocab) yield s"$p $w")
+      .zipWithIndex.map { case (t, i) => (100L + i, t) }
+      .toDF("doc_id", "text")
+    val bits = Corpus.kneserNeyBits(train, score, "text", "doc_id")
+      .select("total_bits").as[Long].collect()
+    assert(bits.forall(_ >= 0L))
+  }
+
   test("nbClassBits: hand-computed weights, unknown-token fallback, empty docs") {
     // train: positive class says "good", negative says "bad"; "both"
     // appears once in each. Counts: np(good)=2, nn(good)=0; np(bad)=0,
