@@ -691,6 +691,179 @@ object Corpus {
           .as("est_distinct"))
   }
 
+  /** K-MINIMUM-VALUES distinct sketch of the word n-gram stream
+    * (Bar-Yossef et al., RANDOM'02; Beyer et al., SIGMOD'07 — the
+    * "KMV synopsis") — the third fixed-size mergeable summary next to
+    * [[cmsTokenSketch]] (frequencies) and [[hllTokenRegisters]] (distinct
+    * count): keep the k SMALLEST distinct hash values of the stream. The
+    * k-th smallest pins the distinct count — k uniform minima on [0, P)
+    * sit near i·P/D, so D̂ = (k−1)·P div h_(k) ([[kmvEstimate]], integer
+    * division only). Unlike HLL registers the state is a set of REAL
+    * hash values, so two corpora's sketches support set operations —
+    * [[kmvPairOverlap]] estimates cross-corpus Jaccard from sketches
+    * alone, which registers cannot do; that is the reason this third
+    * sketch earns its place.
+    *
+    * Grams are space-joined word n-grams (the q33 oracle's shingle
+    * spelling) hashed with the portable char-fold (31, 1e9+7), so an
+    * oracle engine replays every retained hash value for value.
+    *
+    * Scale shape: a bounded per-partition fold (a TreeSet capped at k —
+    * the DataSketches theta-sketch update loop) emits ≤ k values per
+    * partition; the exchange is k·partitions rows into one k-row
+    * TakeOrdered — CONSTANT state like CMS/HLL, never the distinct-gram
+    * exchange `countDistinct` pays. `mapPartitions` is justified exactly
+    * as the theta sketch justifies it: the fold's state is bounded and
+    * its result (the k smallest distinct values of a partition) is
+    * independent of row order, so determinism survives any partitioning.
+    */
+  def kmvShingleMins(df: DataFrame, textCol: String, n: Int = 3,
+                     k: Int = 256): DataFrame =
+    kmvMins(shingleHashes(df, textCol, n), k)
+
+  /** The k smallest distinct values of a one-column `h` relation — the
+    * shared tail of [[kmvShingleMins]] and the per-key variant. */
+  private def kmvMins(hashes: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k >= 2, got $k")
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val partials = hashes.as[Long].mapPartitions { it =>
+      val mins = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { h =>
+        if (mins.size < k) mins.add(h)
+        else if (h < mins.last) { if (mins.add(h)) mins.pollLast() }
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(mins.iterator())
+        .asScala.map(_.longValue())
+    }
+    partials.toDF("h").distinct().orderBy("h").limit(k)
+  }
+
+  /** Portable hashes of the space-joined word n-grams of each document,
+    * repeats kept — one `h` column. */
+  private def shingleHashes(df: DataFrame, textCol: String,
+                            n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, s"n in [1,8], got $n")
+    import graft.functions.TextExpressions.charFold
+    val gramExpr =
+      if (n == 1) "toks"
+      else {
+        val parts = (0 until n).map(j =>
+          if (j == 0) "element_at(toks, i)"
+          else s"element_at(toks, i + $j)").mkString(", ' ', ")
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat($parts))"
+      }
+    df.where(col(textCol).isNotNull)
+      .select(split(col(textCol), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(explode(expr(gramExpr)).as("g"))
+      .select(charFold(col("g"), 31L, 1000000007L).as("h"))
+  }
+
+  /** Union per-part KMV sketches into the union corpus's sketch: the k
+    * smallest of a union are among each part's k smallest, so
+    * union-then-retake-k is EXACTLY the sketch a single pass over the
+    * union would build — the mergeability the oracle checks by computing
+    * the union's sketch directly. Sketch-sized compute on both ends. */
+  def kmvMerge(parts: Seq[DataFrame], k: Int = 256): DataFrame = {
+    require(parts.nonEmpty, "kmvMerge needs at least one part")
+    parts.reduce(_.unionByName(_)).distinct().orderBy("h").limit(k)
+  }
+
+  /** Finalize a KMV sketch into the one-row estimate report — integer
+    * only: with the sketch saturated (filled = k), est = (k−1)·P div
+    * h_(k); below saturation the sketch holds EVERY distinct hash and the
+    * count is exact. Output: (k, filled, hk, est_distinct). */
+  def kmvEstimate(mins: DataFrame, k: Int = 256): DataFrame =
+    mins.agg(count(lit(1)).as("filled"), max(col("h")).as("hk"))
+      .select(lit(k.toLong).as("k"), col("filled"), col("hk"),
+        when(col("filled") < k, col("filled"))
+          // (k−1)·P ≤ 255·(1e9+7) < 2^38 — no overflow
+          .otherwise(expr(s"(${(k - 1).toLong}L * 1000000007L) div hk"))
+          .as("est_distinct"))
+
+  /** Per-key KMV sketches — one bounded TreeSet per key inside the
+    * partition fold. Contract: the key is a LOW-CARDINALITY grouping
+    * (languages, sources — the 64-row DSIR bucket-model class), so the
+    * fold's state is keys·k values; a high-cardinality key would belong
+    * to the ungrouped sketch applied per partition of a partitioned
+    * write instead. Output: (key, h), ≤ k rows per key. */
+  def kmvGroupedShingleMins(df: DataFrame, keyCol: String,
+                            textCol: String, n: Int = 3,
+                            k: Int = 256): DataFrame = {
+    require(k >= 2, s"k >= 2, got $k")
+    import graft.functions.TextExpressions.charFold
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gramRel = df
+      .where(col(textCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        split(col(textCol), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+    val parts = (0 until n).map(j =>
+      if (j == 0) "element_at(toks, i)"
+      else s"element_at(toks, i + $j)").mkString(", ' ', ")
+    val gramExpr =
+      if (n == 1) "toks"
+      else s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat($parts))"
+    val hashed = gramRel
+      .select(col("key"), explode(expr(gramExpr)).as("g"))
+      .select(col("key"), charFold(col("g"), 31L, 1000000007L).as("h"))
+      .as[(String, Long)]
+    val partials = hashed.mapPartitions { it =>
+      val sets = scala.collection.mutable.Map
+        .empty[String, java.util.TreeSet[java.lang.Long]]
+      it.foreach { case (key, h) =>
+        val mins = sets.getOrElseUpdate(key,
+          new java.util.TreeSet[java.lang.Long]())
+        if (mins.size < k) mins.add(h)
+        else if (h < mins.last) { if (mins.add(h)) mins.pollLast() }
+      }
+      sets.iterator.flatMap { case (key, mins) =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(mins.iterator())
+          .asScala.map(h => (key, h.longValue())).toList
+      }
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy("h")
+    partials.toDF("key", "h").distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k).drop("rn")
+  }
+
+  /** Cross-key set overlap estimated from [[kmvGroupedShingleMins]]
+    * sketches ALONE (Beyer et al. SIGMOD'07 §5 — the multi-set KMV
+    * estimator at K = 2): for each key pair, the k smallest of the two
+    * sketches' union is itself the UNION's KMV synopsis; the fraction of
+    * those values present in BOTH input sketches estimates Jaccard.
+    * Everything after the sketches is sketch-sized — pairs·k rows — no
+    * matter the corpus size; the exact intersection/union rider a caller
+    * joins alongside (q172) is the verification cost, not the
+    * estimator's. Output per pair: (key_a, key_b, k_used, matched,
+    * jacc_est_pm) with jacc_est_pm = 1000·matched div k_used. */
+  def kmvPairOverlap(mins: DataFrame, k: Int = 256): DataFrame = {
+    require(k >= 2, s"k >= 2, got $k")
+    val keys = mins.select(col("key")).distinct()
+    val pairs = keys.select(col("key").as("key_a"))
+      .crossJoin(keys.select(col("key").as("key_b")))
+      .where(col("key_a") < col("key_b"))
+    val members = broadcast(pairs)
+      .join(mins,
+        mins("key") === col("key_a") || mins("key") === col("key_b"))
+      .groupBy("key_a", "key_b", "h")
+      .agg(max(when(col("key") === col("key_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("key") === col("key_b"), 1).otherwise(0)).as("in_b"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key_a", "key_b").orderBy("h")
+    members.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .groupBy("key_a", "key_b")
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("in_a") + col("in_b") === 2, 1L).otherwise(0L))
+          .as("matched"))
+      .withColumn("jacc_est_pm", expr("(1000 * matched) div k_used"))
+  }
+
   /** Token-budget corpus selection: keep the best documents by `score`
     * until the running token total reaches `budgetPerMille`/1000 of the
     * corpus's tokens — the data-selection step that turns a quality signal

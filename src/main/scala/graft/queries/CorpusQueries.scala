@@ -589,11 +589,94 @@ object CorpusQueries {
         .withColumn("is_outlier",
           (col("n_toks") > col("p90_tokens")).cast("int"))
         .orderBy("doc_id")
+    }),
+
+    "q171_kmv_distinct" -> ((s, d) => {
+      // the third fixed-size mergeable summary, completing the sketch
+      // trio (q169 CMS frequencies, q170 HLL distinct): K MINIMUM VALUES
+      // over the TRIGRAM stream — two disjoint halves sketched
+      // separately, merged (union-then-retake-k IS the union's sketch),
+      // finalized into the (k−1)·P div h_k integer estimate; the exact
+      // distinct count rides along so the estimator's error is itself
+      // under the oracle. Trigrams, not tokens: the testdata vocabulary
+      // (31 words) is smaller than k and would never saturate the
+      // sketch — the trigram space (~16k grams at sf0.001) exercises the
+      // estimator branch at every SF.
+      val docs = t(s, d, "documents")
+      val mins = Corpus.kmvMerge(Seq(
+        Corpus.kmvShingleMins(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), "text", 3, 256),
+        Corpus.kmvShingleMins(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), "text", 3, 256)),
+        256)
+      val exact = docs.where(col("text").isNotNull)
+        .select(split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat(" +
+            "element_at(toks, i), ' ', element_at(toks, i + 1), ' ', " +
+            "element_at(toks, i + 2)))")).as("g"))
+        .agg(countDistinct(col("g")).as("exact_distinct"))
+      Corpus.kmvEstimate(mins, 256).crossJoin(broadcast(exact))
+        .select(col("k"), col("filled"), col("hk"), col("est_distinct"),
+          col("exact_distinct"),
+          (col("est_distinct") - col("exact_distinct")).as("err"))
+    }),
+
+    "q172_kmv_lang_overlap" -> ((s, d) => {
+      // the set operation registers cannot do — cross-corpus Jaccard
+      // from sketches ALONE: per-language trigram KMV sketches, each
+      // pair's union re-sketched (the k smallest of the two sketches'
+      // union) and its members flagged for membership in both sides;
+      // matched/k_used estimates Jaccard. The exact intersection, union,
+      // and Jaccard ride along per pair, so the estimator's per-pair
+      // error is value-checked. Everything past the sketches is
+      // pairs·k-sized no matter the corpus.
+      val docs = t(s, d, "documents")
+      val mins = Corpus.kmvGroupedShingleMins(docs, "lang", "text", 3, 256)
+      val est = Corpus.kmvPairOverlap(mins, 256)
+      val grams = docs
+        .where(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("lang"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat(" +
+            "element_at(toks, i), ' ', element_at(toks, i + 1), ' ', " +
+            "element_at(toks, i + 2)))")).as("g"))
+        .distinct()
+      val sizes = grams.groupBy("lang").agg(count(lit(1)).as("n"))
+      val inter = grams.as("ga")
+        .join(grams.as("gb"),
+          col("ga.g") === col("gb.g") && col("ga.lang") < col("gb.lang"))
+        .groupBy(col("ga.lang").as("key_a"), col("gb.lang").as("key_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      est.join(inter, Seq("key_a", "key_b"), "left")
+        .na.fill(0L, Seq("exact_inter"))
+        .join(sizes.select(col("lang").as("key_a"), col("n").as("n_a")),
+          Seq("key_a"))
+        .join(sizes.select(col("lang").as("key_b"), col("n").as("n_b")),
+          Seq("key_b"))
+        .select(col("key_a"), col("key_b"), col("k_used"), col("matched"),
+          col("jacc_est_pm"), col("exact_inter"),
+          (col("n_a") + col("n_b") - col("exact_inter")).as("exact_union"),
+          expr("(1000 * exact_inter) div (n_a + n_b - exact_inter)")
+            .as("exact_jacc_pm"))
+        .withColumn("err_pm", col("jacc_est_pm") - col("exact_jacc_pm"))
+        .orderBy("key_a", "key_b")
     })
   )
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopListSql = stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** The portable char-fold (31, 1e9+7) over the space-joined gram
+    * column `g` — the q169/q170 token fold applied to shingles, so the
+    * KMV oracles replay every retained hash value for value. */
+  private val gramFold =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(1, length(g) + 1),
+           i -> CAST(ascii(substr(g, i, 1)) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007)"""
 
   /** q23's rolling fingerprint fold, reused for the split bucket. */
   private val fpFold =
@@ -1666,6 +1749,99 @@ object CorpusQueries {
                           THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
          FROM documents d JOIN st ON d.source = st.source AND d.lang = st.lang
          WHERE d.text IS NOT NULL
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // q171: replays the trigram stream, the fold hashes, the k smallest
+    // distinct values (the merged halves' sketch EQUALS the union's —
+    // the mergeability claim — so the oracle sketches the union
+    // directly), the (k−1)·P div h_k estimate, and the exact rider
+    "q171_kmv_distinct" ->
+      s"""WITH s0 AS (SELECT string_split(text, ' ') AS toks
+                      FROM documents WHERE text IS NOT NULL),
+          gs AS (SELECT unnest(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' '
+                             || toks[i + 2])) AS g
+                 FROM s0 WHERE len(toks) >= 3),
+          hs AS (SELECT DISTINCT $gramFold AS h FROM gs),
+          mins AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+          a AS (SELECT count(*) AS filled, max(h) AS hk FROM mins),
+          e AS (SELECT count(DISTINCT g) AS exact_distinct FROM gs)
+          SELECT CAST(256 AS BIGINT) AS k,
+                 CAST(filled AS BIGINT) AS filled,
+                 CAST(hk AS BIGINT) AS hk,
+                 CAST(CASE WHEN filled < 256 THEN filled
+                      ELSE (CAST(255 AS BIGINT) * 1000000007) // hk END AS BIGINT)
+                   AS est_distinct,
+                 CAST(exact_distinct AS BIGINT) AS exact_distinct,
+                 CAST(CASE WHEN filled < 256 THEN filled
+                      ELSE (CAST(255 AS BIGINT) * 1000000007) // hk END
+                      - exact_distinct AS BIGINT) AS err
+          FROM a CROSS JOIN e""",
+
+    // q172: replays the per-language k-smallest sketches, each pair's
+    // union re-sketch with both-side membership flags, the matched/k
+    // estimate, and the exact intersection/union/Jaccard riders
+    "q172_kmv_lang_overlap" ->
+      s"""WITH s0 AS (SELECT lang, string_split(text, ' ') AS toks
+                      FROM documents
+                      WHERE text IS NOT NULL AND lang IS NOT NULL),
+          gr AS (SELECT lang,
+                        unnest(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1] || ' '
+                               || toks[i + 2])) AS g
+                 FROM s0 WHERE len(toks) >= 3),
+          gd AS (SELECT DISTINCT lang, g FROM gr),
+          hd AS (SELECT DISTINCT lang, $gramFold AS h FROM gd),
+          mins AS (SELECT lang, h
+                   FROM (SELECT lang, h, row_number()
+                           OVER (PARTITION BY lang ORDER BY h) AS rn
+                         FROM hd)
+                   WHERE rn <= 256),
+          mem AS (SELECT a.lang AS key_a, b.lang AS key_b, m.h,
+                         max(CASE WHEN m.lang = a.lang THEN 1 ELSE 0 END)
+                           AS in_a,
+                         max(CASE WHEN m.lang = b.lang THEN 1 ELSE 0 END)
+                           AS in_b
+                  FROM (SELECT DISTINCT lang FROM mins) a
+                  JOIN (SELECT DISTINCT lang FROM mins) b
+                    ON a.lang < b.lang
+                  JOIN mins m ON m.lang IN (a.lang, b.lang)
+                  GROUP BY 1, 2, 3),
+          sel AS (SELECT * FROM (SELECT *, row_number()
+                                   OVER (PARTITION BY key_a, key_b
+                                         ORDER BY h) AS rn
+                                 FROM mem)
+                  WHERE rn <= 256),
+          est AS (SELECT key_a, key_b, count(*) AS k_used,
+                         sum(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END)
+                           AS matched
+                  FROM sel GROUP BY 1, 2),
+          sz AS (SELECT lang, count(*) AS n FROM gd GROUP BY 1),
+          inter AS (SELECT a.lang AS key_a, b.lang AS key_b,
+                           count(*) AS exact_inter
+                    FROM gd a JOIN gd b
+                      ON a.g = b.g AND a.lang < b.lang
+                    GROUP BY 1, 2)
+          SELECT est.key_a, est.key_b,
+                 CAST(k_used AS BIGINT) AS k_used,
+                 CAST(matched AS BIGINT) AS matched,
+                 CAST((1000 * matched) // k_used AS BIGINT)
+                   AS jacc_est_pm,
+                 CAST(coalesce(exact_inter, 0) AS BIGINT) AS exact_inter,
+                 CAST(sa.n + sb.n - coalesce(exact_inter, 0) AS BIGINT)
+                   AS exact_union,
+                 CAST((1000 * coalesce(exact_inter, 0))
+                      // (sa.n + sb.n - coalesce(exact_inter, 0))
+                      AS BIGINT) AS exact_jacc_pm,
+                 CAST((1000 * matched) // k_used
+                      - (1000 * coalesce(exact_inter, 0))
+                        // (sa.n + sb.n - coalesce(exact_inter, 0))
+                      AS BIGINT) AS err_pm
+          FROM est
+          LEFT JOIN inter ON inter.key_a = est.key_a
+                         AND inter.key_b = est.key_b
+          JOIN sz sa ON sa.lang = est.key_a
+          JOIN sz sb ON sb.lang = est.key_b
+          ORDER BY est.key_a, est.key_b"""
   )
 }

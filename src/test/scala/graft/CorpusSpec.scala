@@ -1024,4 +1024,59 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(("te", "tr")) == ((0L, 0L, 0L)))
     assert(got(("te", "va")) == ((0L, 0L, 0L)))
   }
+
+  test("kmvShingleMins: merge == whole, partition-invariant, exact below k") {
+    val docs = Seq((1L, "a b c d e"), (2L, "b c d e f"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    def hs(df: org.apache.spark.sql.DataFrame) =
+      df.select("h").as[Long].collect().sorted.toSeq
+    val whole = hs(Corpus.kmvShingleMins(docs, "text", 3, 256))
+    // merged halves == whole (the k smallest of a union are among each
+    // part's k smallest), and any partitioning folds to the same set
+    val merged = hs(Corpus.kmvMerge(Seq(
+      Corpus.kmvShingleMins(docs.where($"doc_id" <= 1), "text", 3, 256),
+      Corpus.kmvShingleMins(docs.where($"doc_id" > 1), "text", 3, 256)),
+      256))
+    assert(whole == merged)
+    assert(whole == hs(Corpus.kmvShingleMins(
+      docs.repartition(7), "text", 3, 256)))
+    // 3+3+3 trigrams, one shared pair ("b c d", "c d e") → 7 distinct;
+    // below saturation the sketch holds every hash and the estimate is
+    // the exact distinct count
+    assert(whole.size == 7)
+    val est = Corpus.kmvEstimate(
+      Corpus.kmvShingleMins(docs, "text", 3, 256), 256)
+      .select("filled", "est_distinct").as[(Long, Long)].head()
+    assert(est == ((7L, 7L)))
+  }
+
+  test("kmvEstimate saturates at k and lands in the error band") {
+    // 100 docs × 2 unique trigrams each = 200 distinct grams >> k = 16
+    val docs = Seq.tabulate(100)(i => (i.toLong, s"w$i x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    val r = Corpus.kmvEstimate(
+      Corpus.kmvShingleMins(docs, "text", 3, 16), 16)
+      .select("filled", "est_distinct").as[(Long, Long)].head()
+    assert(r._1 == 16L)
+    // KMV std error is ~1/sqrt(k−2) ≈ 27% at k = 16; this fixed corpus
+    // lands well inside a generous 3σ window around 200
+    assert(r._2 > 60L && r._2 < 550L, s"est ${r._2} outside band")
+  }
+
+  test("kmvPairOverlap: identical keys read 1000‰, disjoint keys 0") {
+    val docs = Seq(
+      (1L, "ka", "p q r s t u"), (2L, "kb", "p q r s t u"),
+      (3L, "kc", "m n o aa bb cc"))
+      .toDF("doc_id", "lang", "text")
+    val mins = Corpus.kmvGroupedShingleMins(docs, "lang", "text", 3, 8)
+    val got = Corpus.kmvPairOverlap(mins, 8)
+      .select("key_a", "key_b", "matched", "k_used", "jacc_est_pm")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // ka and kb sketch the SAME gram set → every union member is in both
+    assert(got(("ka", "kb"))._3 == 1000L)
+    // kc shares nothing with either → matched 0, estimate 0
+    assert(got(("ka", "kc"))._1 == 0L && got(("ka", "kc"))._3 == 0L)
+    assert(got(("kb", "kc"))._1 == 0L)
+  }
 }
