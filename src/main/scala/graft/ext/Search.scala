@@ -815,6 +815,104 @@ object Search {
       .where(col("rank") <= k).orderBy("rank")
   }
 
+  /** [[rrfFuse]] generalized to N rankings: lists join full-outer on id
+    * IN THE GIVEN ORDER and each contributes 1/(kRrf + rank_i) (0 when
+    * absent), summed left-to-right over the fixed list order — the same
+    * fixed-association discipline as [[scoreBm25]]'s pivot sum, so the
+    * fused double is bit-stable under any execution plan and replays
+    * verbatim in an oracle that spells the additions in list order.
+    * Output: (idCol, rank_1..rank_n, rrf_score, rank). Scale: n top-k
+    * relations folded through n−1 k-row outer joins — broadcast-trivial.
+    */
+  def rrfFuseAll(lists: Seq[DataFrame], idCol: String, k: Int,
+                 kRrf: Int = 60): DataFrame = {
+    require(lists.size >= 2, s"rrfFuseAll needs >= 2 lists, got ${lists.size}")
+    val ranked = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col(idCol), col("rank").cast("long").as(s"rank_${i + 1}"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val filled = lists.indices.foldLeft(joined)((df, i) =>
+      df.withColumn(s"rank_${i + 1}",
+        coalesce(col(s"rank_${i + 1}"), lit(0L))))
+    val contribs = lists.indices.map(i =>
+      when(col(s"rank_${i + 1}") > 0,
+        lit(1.0) / (lit(kRrf) + col(s"rank_${i + 1}"))).otherwise(lit(0.0)))
+    val fused = filled.withColumn("rrf_score", contribs.reduceLeft(_ + _))
+    val w = Window.orderBy(col("rrf_score").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k).orderBy("rank")
+  }
+
+  /** Closest-vocabulary spelling correction for query terms — the
+    * serving half of a did-you-mean / typo-tolerant retrieval front end:
+    * the corpus vocabulary (with document frequencies — the same distinct
+    * (doc, token) roll-up the BM25 df relation pays) is scanned ONCE
+    * against the broadcast query terms; candidates within `maxDist`
+    * Levenshtein edits rank by (distance, df DESC, term) and the best
+    * survives. An in-vocabulary term corrects to itself at distance 0 —
+    * nothing beats it. Terms with no candidate inside the budget come
+    * back ABSENT (no row), never silently passed through: the caller
+    * decides whether a hopeless term drops or fails the query.
+    *
+    * Scale shape: one corpus tokenize + distinct for the vocabulary
+    * (shared with any BM25 build), then a |vocab| × |terms| map stage —
+    * terms is a handful, so this is one pass with a broadcast; the
+    * window orders |terms|-partitioned candidate slivers, never the
+    * vocabulary. Output: (qterm, corrected, dist, df).
+    */
+  def spellCorrections(docs: DataFrame, queryTerms: Seq[String],
+                       maxDist: Int = 2, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty &&
+      queryTerms.size == queryTerms.distinct.size,
+      "spellCorrections needs a non-empty, duplicate-free term list")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val qt = queryTerms.toDF("qterm")
+    val cand = vocab.crossJoin(broadcast(qt))
+      .withColumn("dist", levenshtein(col("qterm"), col("token")))
+      .where(col("dist") <= maxDist)
+    val w = Window.partitionBy("qterm")
+      .orderBy(col("dist"), col("df").desc, col("token"))
+    cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("qterm"), col("token").as("corrected"), col("dist"),
+        col("df"))
+  }
+
+  /** Salient-term extraction for MORE-LIKE-THIS retrieval (the Lucene
+    * MLT recipe's selection step): the source document's terms rank by
+    * (tf in source DESC, corpus df ASC, term) — frequent HERE, rare
+    * EVERYWHERE is exactly tf·idf's order without a float — and the top
+    * `m` become the query. Downstream, each term retrieves its own BM25
+    * list and [[rrfFuseAll]] fuses them: per-term lists + rank fusion
+    * rather than one multi-term score, so every stage stays replayable.
+    * Output: (token, tf, df, term_rank), `m` rows.
+    *
+    * Scale: source tf is one document's terms; corpus df is the shared
+    * distinct (doc, token) roll-up; the join broadcasts the source side.
+    */
+  def moreLikeThisTerms(docs: DataFrame, srcId: Long, m: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(m >= 1, s"m >= 1, got $m")
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val dfreq = toks.distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val srcTf = toks.where(col(idCol) === srcId)
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val w = Window.orderBy(col("tf").desc, col("df").asc, col("token"))
+    dfreq.join(broadcast(srcTf), Seq("token"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= m)
+      .select(col("token"), col("tf"), col("df"),
+        col("rn").as("term_rank"))
+  }
+
   /** Exact all-pairs cosine similarity over distinct word n-gram shingle
     * sets at rational threshold tau = tauNum/tauDen, via prefix filtering
     * (Bayardo, Ma, Srikant — "Scaling Up All Pairs Similarity Search",

@@ -417,7 +417,62 @@ object SearchQueries {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_items"),
           Num.moneySum(col("l_extendedprice")).as("sum_price"))
-        .orderBy("o_orderstatus"))
+        .orderBy("o_orderstatus")),
+
+    "q173_spell_corrected" -> ((s, d) => {
+      // typo-tolerant retrieval end to end: two misspelled query words
+      // ("custommer", "vektor" — neither in the vocabulary) correct to
+      // their closest vocabulary terms by (levenshtein, df DESC, term),
+      // each corrected term retrieves its own BM25 top-20, and RRF
+      // fuses the two lists. The corrected terms are stamped onto every
+      // output row so the correction itself is under the oracle, which
+      // replays the vocabulary scan, both rankings, and the fusion.
+      // The 2-row corrections collect is constant-size by construction
+      // (one row per query term) — the config-cell class.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val corr = Search.spellCorrections(
+        docs, Seq("custommer", "vektor"), maxDist = 2)
+        .orderBy("qterm")
+        .select("qterm", "corrected").as[(String, String)].collect()
+      require(corr.length == 2,
+        s"expected both terms to correct, got ${corr.toSeq}")
+      val (termA, termB) = (corr(0)._2, corr(1)._2)
+      val listA = Search.bm25TopK(docs, Seq(termA), 20, k1 = k1, b = b)
+        .select(col("doc_id"), col("rank"))
+      val listB = Search.bm25TopK(docs, Seq(termB), 20, k1 = k1, b = b)
+        .select(col("doc_id"), col("rank"))
+      Search.rrfFuse(listA, listB, "doc_id", k = 10)
+        .withColumn("term_a", lit(termA))
+        .withColumn("term_b", lit(termB))
+    }),
+
+    "q174_more_like_this" -> ((s, d) => {
+      // document-as-query retrieval (the Lucene MLT shape, each stage
+      // replayable): the corpus's first document contributes its top-3
+      // salient terms — (tf DESC, df ASC, term), tf·idf's order without
+      // a float — each term retrieves a BM25 top-20 over the corpus
+      // WITHOUT the source, and 3-way RRF fuses the lists in fixed
+      // order. Source id + term collects are constant-size (1 and 3
+      // rows). The oracle replays term selection, all three rankings,
+      // and the left-associated fused sum.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val srcId = docs.where(col("text").isNotNull)
+        .agg(min(col("doc_id"))).as[Long].head()
+      val terms = Search.moreLikeThisTerms(docs, srcId, m = 3)
+        .orderBy("term_rank").select("token").as[String].collect()
+      require(terms.length == 3, s"expected 3 MLT terms, got ${terms.toSeq}")
+      val rest = docs.where(col("doc_id") =!= srcId)
+      val lists = terms.toSeq.map(tm =>
+        Search.bm25TopK(rest, Seq(tm), 20, k1 = k1, b = b)
+          .select(col("doc_id"), col("rank")))
+      Search.rrfFuseAll(lists, "doc_id", k = 10)
+        .withColumn("src_id", lit(srcId))
+        .withColumn("term_1", lit(terms(0)))
+        .withColumn("term_2", lit(terms(1)))
+        .withColumn("term_3", lit(terms(2)))
+    })
   )
 
   private val termListSql = bmTerms.map(t => s"'$t'").mkString(", ")
@@ -673,8 +728,143 @@ object SearchQueries {
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // q173: replays the vocabulary scan with df, the (levenshtein,
+    // df DESC, term) pick per query term, both single-term BM25 top-20s
+    // (bm25SqlOver's contribution formula to the paren), and the RRF
+    // fusion — the corrected terms are stamped so the correction itself
+    // is value-checked
+    "q173_spell_corrected" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+                          AS token FROM documents),
+          vocab AS (SELECT token, count(*) AS df
+                    FROM (SELECT DISTINCT doc_id, token FROM toks)
+                    GROUP BY token),
+          q(qterm) AS (VALUES ('custommer'), ('vektor')),
+          cand AS (SELECT qterm, token, df,
+                          levenshtein(qterm, token) AS dist
+                   FROM vocab CROSS JOIN q
+                   WHERE levenshtein(qterm, token) <= 2),
+          corr AS (SELECT qterm, token AS corrected FROM
+                   (SELECT *, row_number() OVER (PARTITION BY qterm
+                      ORDER BY dist, df DESC, token) AS rn FROM cand)
+                   WHERE rn = 1),
+          stats AS (SELECT count(*) AS n_docs,
+                           sum(len(string_split(text, ' ')))
+                             AS total_tokens
+                    FROM documents),
+          dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+                 FROM documents),
+          ${singleTermBm25Sql("a",
+            "SELECT corrected FROM corr WHERE qterm = 'custommer'")},
+          ${singleTermBm25Sql("b",
+            "SELECT corrected FROM corr WHERE qterm = 'vektor'")},
+          f AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+                       CAST(coalesce(ra.rank, 0) AS BIGINT) AS rank_a,
+                       CAST(coalesce(rb.rank, 0) AS BIGINT) AS rank_b
+                FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id),
+          sc AS (SELECT doc_id, rank_a, rank_b,
+                        (CASE WHEN rank_a > 0
+                              THEN 1.0 / (60 + rank_a) ELSE 0.0 END)
+                      + (CASE WHEN rank_b > 0
+                              THEN 1.0 / (60 + rank_b) ELSE 0.0 END)
+                          AS rrf_score
+                 FROM f)
+          SELECT doc_id, rank_a, rank_b, rrf_score, rank,
+                 (SELECT corrected FROM corr WHERE qterm = 'custommer')
+                   AS term_a,
+                 (SELECT corrected FROM corr WHERE qterm = 'vektor')
+                   AS term_b
+          FROM (SELECT *, row_number() OVER (
+                  ORDER BY rrf_score DESC, doc_id) AS rank FROM sc)
+          WHERE rank <= 10 ORDER BY rank""",
+
+    // q174: replays the source pick (min doc_id with text), the
+    // (tf DESC, df ASC, term) top-3 selection, three single-term BM25
+    // top-20s over the corpus WITHOUT the source, and the 3-way RRF
+    // with the left-associated sum
+    "q174_more_like_this" ->
+      s"""WITH src AS (SELECT min(doc_id) AS id FROM documents
+                       WHERE text IS NOT NULL),
+          toksall AS (SELECT doc_id, unnest(string_split(text, ' '))
+                        AS token FROM documents),
+          dfv AS (SELECT token, count(*) AS df
+                  FROM (SELECT DISTINCT doc_id, token FROM toksall)
+                  GROUP BY token),
+          stf AS (SELECT token, count(*) AS tf FROM toksall
+                  WHERE doc_id = (SELECT id FROM src) GROUP BY token),
+          mt AS (SELECT token, row_number() OVER (
+                   ORDER BY tf DESC, df ASC, token) AS term_rank
+                 FROM stf JOIN dfv USING (token)),
+          cdocs AS (SELECT * FROM documents
+                    WHERE doc_id <> (SELECT id FROM src)),
+          toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+                     AS token FROM cdocs),
+          stats AS (SELECT count(*) AS n_docs,
+                           sum(len(string_split(text, ' ')))
+                             AS total_tokens
+                    FROM cdocs),
+          dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+                 FROM cdocs),
+          ${singleTermBm25Sql("1",
+            "SELECT token FROM mt WHERE term_rank = 1")},
+          ${singleTermBm25Sql("2",
+            "SELECT token FROM mt WHERE term_rank = 2")},
+          ${singleTermBm25Sql("3",
+            "SELECT token FROM mt WHERE term_rank = 3")},
+          f AS (SELECT coalesce(r1.doc_id, r2.doc_id, r3.doc_id)
+                         AS doc_id,
+                       CAST(coalesce(r1.rank, 0) AS BIGINT) AS rank_1,
+                       CAST(coalesce(r2.rank, 0) AS BIGINT) AS rank_2,
+                       CAST(coalesce(r3.rank, 0) AS BIGINT) AS rank_3
+                FROM r1
+                FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+                FULL OUTER JOIN r3
+                  ON coalesce(r1.doc_id, r2.doc_id) = r3.doc_id),
+          sc AS (SELECT doc_id, rank_1, rank_2, rank_3,
+                        (CASE WHEN rank_1 > 0
+                              THEN 1.0 / (60 + rank_1) ELSE 0.0 END)
+                      + (CASE WHEN rank_2 > 0
+                              THEN 1.0 / (60 + rank_2) ELSE 0.0 END)
+                      + (CASE WHEN rank_3 > 0
+                              THEN 1.0 / (60 + rank_3) ELSE 0.0 END)
+                          AS rrf_score
+                 FROM f)
+          SELECT doc_id, rank_1, rank_2, rank_3, rrf_score, rank,
+                 CAST((SELECT id FROM src) AS BIGINT) AS src_id,
+                 (SELECT token FROM mt WHERE term_rank = 1) AS term_1,
+                 (SELECT token FROM mt WHERE term_rank = 2) AS term_2,
+                 (SELECT token FROM mt WHERE term_rank = 3) AS term_3
+          FROM (SELECT *, row_number() OVER (
+                  ORDER BY rrf_score DESC, doc_id) AS rank FROM sc)
+          WHERE rank <= 10 ORDER BY rank"""
   )
+
+  /** Single-term BM25 CTE block: tf/df for the scalar-subquery term,
+    * the contribution formula spelled to the paren like [[bm25SqlOver]],
+    * and the top-20 rank — CTE names tf<tag>/df<tag>/c<tag>/r<tag>;
+    * expects `toks`, `dl`, `stats` in scope. */
+  private def singleTermBm25Sql(tag: String, termSql: String): String =
+    s"""tf$tag AS (SELECT doc_id, count(*) AS tf FROM toks
+                   WHERE token = ($termSql) GROUP BY doc_id),
+        df$tag AS (SELECT count(*) AS df FROM tf$tag),
+        c$tag AS (SELECT tf.doc_id,
+                    (CAST(stats.n_docs - df$tag.df AS DOUBLE) + 0.5)
+                      / (CAST(df$tag.df AS DOUBLE) + 0.5)
+                      * ((CAST(tf.tf AS DOUBLE) * ${k1 + 1.0})
+                         / (CAST(tf.tf AS DOUBLE) + $k1
+                            * (${1.0 - b} + $b
+                               * (CAST(dl.dl AS DOUBLE)
+                                  / (CAST(stats.total_tokens AS DOUBLE)
+                                     / CAST(stats.n_docs AS DOUBLE))))))
+                      AS score
+                  FROM tf$tag tf JOIN dl USING (doc_id)
+                  CROSS JOIN df$tag CROSS JOIN stats),
+        r$tag AS (SELECT doc_id, rank FROM
+                  (SELECT doc_id, row_number() OVER (
+                     ORDER BY score DESC, doc_id) AS rank FROM c$tag)
+                  WHERE rank <= 20)"""
 
   private lazy val phraseReplaySql: String =
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl                        FROM documents),

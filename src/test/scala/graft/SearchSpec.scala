@@ -422,4 +422,65 @@ class SearchSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out == Map(3L -> -1L, 7L -> 3L, 9L -> 3L))
   }
+
+  // --------------------------------------------- spell / MLT / n-way RRF
+
+  test("spellCorrections: self at dist 0, nearest wins, df breaks ties") {
+    val docs = Seq(
+      (1L, "spark sparks charm"), (2L, "spark charm"), (3L, "sparks"))
+      .toDF("doc_id", "text")
+    val got = Search.spellCorrections(
+      docs, Seq("spark", "sparc", "zzzzzz"), maxDist = 2)
+      .select("qterm", "corrected", "dist")
+      .as[(String, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // in-vocabulary: corrects to itself at distance 0
+    assert(got("spark") == (("spark", 0)))
+    // "sparc" is distance 1 from "spark" (df 2) AND "sparks" would be
+    // distance 2 — nearest wins before df even matters
+    assert(got("sparc") == (("spark", 1)))
+    // nothing within 2 edits: ABSENT, not passed through
+    assert(!got.contains("zzzzzz"))
+    // full tie: "spakr" is distance 2 from both "spark" (df 2, docs 1-2)
+    // and "sparks" (df 2, docs 1 and 3) — dist ties, df ties, the
+    // lexicographic term order decides
+    val got2 = Search.spellCorrections(docs, Seq("spakr"), maxDist = 2)
+      .select("corrected").as[String].head()
+    assert(got2 == "spark")
+  }
+
+  test("moreLikeThisTerms ranks by (tf DESC, df ASC, term)") {
+    val docs = Seq(
+      (1L, "alpha alpha beta gamma"),
+      (2L, "beta delta"), (3L, "beta gamma")).toDF("doc_id", "text")
+    val got = Search.moreLikeThisTerms(docs, srcId = 1L, m = 3)
+      .orderBy("term_rank")
+      .select("token", "tf", "df").as[(String, Long, Long)].collect().toSeq
+    // alpha: tf 2 (wins). beta tf 1 df 3; gamma tf 1 df 2 → gamma first
+    assert(got == Seq(("alpha", 2L, 1L), ("gamma", 1L, 2L),
+      ("beta", 1L, 3L)))
+  }
+
+  test("rrfFuseAll: 3-way fusion hand-checked; 2-way equals rrfFuse") {
+    val l1 = Seq((10L, 1), (20L, 2)).toDF("doc_id", "rank")
+    val l2 = Seq((20L, 1), (30L, 2)).toDF("doc_id", "rank")
+    val l3 = Seq((10L, 1), (30L, 2), (20L, 3)).toDF("doc_id", "rank")
+    val got = Search.rrfFuseAll(Seq(l1, l2, l3), "doc_id", k = 10)
+      .select("doc_id", "rank_1", "rank_2", "rank_3", "rrf_score", "rank")
+      .as[(Long, Long, Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 20: ranks (2, 1, 3) → 1/62 + 1/61 + 1/63
+    val s20 = 1.0 / 62 + 1.0 / 61 + 1.0 / 63
+    assert(got(20L)._5 == s20 && got(20L)._6 == 1)
+    // doc 10: (1, absent, 1) → 1/61 + 0 + 1/61; absent rank surfaces as 0
+    assert(got(10L)._3 == 0L && got(10L)._5 == 1.0 / 61 + 0.0 + 1.0 / 61)
+    // two-list call agrees with rrfFuse up to column names
+    val a = Search.rrfFuseAll(Seq(l1, l2), "doc_id", k = 10)
+      .select("doc_id", "rrf_score", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._1).toSeq
+    val b = Search.rrfFuse(l1, l2, "doc_id", k = 10)
+      .select("doc_id", "rrf_score", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }
