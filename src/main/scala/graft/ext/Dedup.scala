@@ -1514,4 +1514,97 @@ object Dedup {
           .sortedSetJaccard(col("g_a"), col("g_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  // ------------------------------------------------------------- winnowing
+
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken —
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03; the MOSS scheme): hash every word n-gram, slide a window
+    * of `w` consecutive gram hashes over each document, and in each
+    * window select the MINIMUM hash — rightmost position on ties, the
+    * paper's rule. The selected positions fingerprint the document with
+    * the paper's guarantee: any shared substring of at least n + w − 1
+    * words produces at least one IDENTICAL selected fingerprint in both
+    * documents (a window of that match lies entirely inside it), while
+    * the expected density is only 2/(w+1) of the grams — position-robust
+    * partial-overlap detection (plagiarism, quotation, template reuse)
+    * that [[ngramJaccardPairs]]' whole-set Jaccard dilutes away and
+    * MinHash, which samples the whole document, cannot localize.
+    * Documents shorter than one window keep their global minimum — short
+    * docs are never unfingerprintable.
+    *
+    * Gram hash = the portable char-fold over [[rawWordNgrams]]' space-
+    * joined shingles, so the oracle replays every window argmin.
+    *
+    * Scale shape: each gram row fans out to the ≤ w windows that contain
+    * it (a bounded explode — w is 4-8, the algorithm's own constant),
+    * and the per-window argmin is a groupBy MIN over a lexicographic
+    * (h, −pos, pos) struct — partial-aggregated map-side, so the (id,
+    * window) exchange carries pre-collapsed minima, not the w× fanout.
+    * No window-function sort over the corpus. Output: distinct
+    * (id, pos, h) selected fingerprints.
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 3, w: Int = 4): DataFrame = {
+    require(n >= 2 && n <= 8, s"n in [2,8], got $n")
+    require(w >= 2 && w <= 64, s"w in [2,64], got $w")
+    import graft.functions.TextExpressions.charFold
+    val grams = df
+      .select(col(idCol), rawWordNgrams(col(textCol), n).as("grams"))
+      .where(size(col("grams")) > 0)
+      .select(col(idCol), size(col("grams")).as("m"),
+        posexplode(col("grams")).as(Seq("pos", "g")))
+      .select(col(idCol), col("m"), col("pos"),
+        charFold(col("g"), 31L, 1000000007L).as("h"))
+    // window starts containing pos: [pos−w+1, pos] ∩ [0, max(m−w, 0)] —
+    // non-empty for every pos (short docs collapse to the s = 0 window)
+    val wins = grams.select(col(idCol), col("pos"), col("h"),
+      explode(sequence(
+        greatest(col("pos") - (w - 1), lit(0)),
+        least(col("pos"), greatest(col("m") - w, lit(0))))).as("s"))
+    wins.groupBy(col(idCol), col("s"))
+      // lexicographic min: smallest h, then LARGEST pos (rightmost tie)
+      .agg(min(struct(col("h"), (-col("pos")).as("np"), col("pos")))
+        .as("sel"))
+      .select(col(idCol), col("sel.pos").as("pos"), col("sel.h").as("h"))
+      .distinct()
+  }
+
+  /** Near-duplicate candidate pairs from shared winnowing fingerprints:
+    * documents sharing ≥ `minShared` selected hashes, with each side's
+    * fingerprint count for containment math downstream. Fingerprints
+    * whose document frequency exceeds `maxDf` are dropped FIRST — the
+    * boilerplate guard every fingerprint joiner needs: one template
+    * fragment selected in 1% of a 100 TB corpus would otherwise
+    * contribute quadratic join output; after the cap each hash yields
+    * ≤ maxDf² pairs. One hash-equi self-join over the (id, h) relation —
+    * document text never travels. Output: (doc_a, doc_b, shared, fp_a,
+    * fp_b) with fp counts over the capped fingerprint sets.
+    */
+  def winnowNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 3, w: Int = 4, minShared: Int = 2,
+                         maxDf: Int = 20): DataFrame = {
+    require(minShared >= 1, s"minShared >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf >= 2, got $maxDf")
+    val fps = winnowFingerprints(df, textCol, idCol, n, w)
+      .select(col(idCol), col("h")).distinct()
+    val dfh = fps.groupBy("h").agg(count(lit(1)).as("hdf"))
+    val kept = fps
+      .join(dfh.where(col("hdf") <= maxDf).select("h"), Seq("h"))
+    val cnt = kept.groupBy(col(idCol)).agg(count(lit(1)).as("nfp"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.h") === col("b.h") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+    pairs
+      .join(cnt.select(col(idCol).as("doc_a"), col("nfp").as("fp_a")),
+        Seq("doc_a"))
+      .join(cnt.select(col(idCol).as("doc_b"), col("nfp").as("fp_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("fp_a"),
+        col("fp_b"))
+  }
 }
