@@ -100,7 +100,16 @@ object Bench {
       .map { case (n, m) => s"\"" + n + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map { case (n, _) => median(samples(n)) }.sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"runs":$runs,"queries_min":$mins,"queries_max":$maxs,"serve_total":$serveTotal,"serve_queries":$serveMed,"errors":$errs,"sf":"$sfDir"}"""
+    // GOVERNING gate reading (BASELINE.md "Bench gate definition"): the
+    // sum of this bench's medians over EXACTLY the 46 queries in the r1
+    // table, vs the 97.64 s anchor — carried in the bench JSON itself so
+    // the driver's recorded line always contains the governing number.
+    val r1Workload: Set[String] =
+      ((1 to 24) ++ (30 to 48) ++ (50 to 52)).map(i => f"q$i%02d_").toSet
+    val sameWorkload = ok.collect {
+      case (n, _) if r1Workload.exists(n.startsWith) => median(samples(n))
+    }.sum
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"runs":$runs,"queries_min":$mins,"queries_max":$maxs,"same_workload_total":$sameWorkload,"serve_total":$serveTotal,"serve_queries":$serveMed,"errors":$errs,"sf":"$sfDir"}"""
     // The driver's artifact capture keeps only the TAIL of stdout and its
     // parser has failed on every long line so far (r9: full JSON captured,
     // `parsed` still null). Defend three ways: persist the full JSON to a
@@ -112,7 +121,7 @@ object Bench {
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort: read-only cwd must not fail the bench
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${ok.size},"serve_total":$serveTotal,"n_serve":${serveOk.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${ok.size},"same_workload_total":$sameWorkload,"serve_total":$serveTotal,"n_serve":${serveOk.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -672,14 +672,19 @@ object Corpus {
     * rational 709/1000; numerator ≈ 9.7e13, no overflow). The
     * small-range linear-counting correction (est < 5m/2 with zero
     * registers present) needs a float ln — deliberately NOT applied
-    * here; `zero_registers` is reported so a serving layer can apply
-    * it. Output: (m, zero_registers, s, est_distinct).
+    * here; `zero_registers` is reported so the serving layer
+    * ([[hllServedEstimate]]) can apply it.
+    * Output: (m, zero_registers, s, est_distinct).
     */
   def hllEstimate(registers: DataFrame, m: Int = 64): DataFrame = {
     require(m == 64, s"m = 64 is the replayable register count, got $m")
     registers
       .agg(count(lit(1)).as("filled"),
-        sum(expr("shiftleft(1L, cast(25 - r as int))")).as("s_filled"))
+        // coalesce: an EMPTY register relation (empty/all-null corpus)
+        // must yield the well-defined all-zero-registers report
+        // (zero_registers = m, S = m·2^25), not NULL-propagated columns
+        coalesce(sum(expr("shiftleft(1L, cast(25 - r as int))")), lit(0L))
+          .as("s_filled"))
       .select(lit(m.toLong).as("m"),
         (lit(m.toLong) - col("filled")).as("zero_registers"),
         (col("s_filled")
@@ -690,6 +695,28 @@ object Corpus {
         expr(s"${709L * m * m * (1L << 25)}L div (1000L * s)")
           .as("est_distinct"))
   }
+
+  /** SERVING-LAYER small-range correction over a [[hllEstimate]] report
+    * (Flajolet et al., AofA'07 §4): when the raw estimate sits under
+    * 5m/2 AND zero registers remain, the harmonic estimator biases high
+    * and LINEAR COUNTING — m·ln(m/V) with V = zero_registers — is the
+    * better cardinality estimate. The float `ln` is exactly why this
+    * lives OUTSIDE the oracle-replayed [[hllEstimate]] (its contract is
+    * integer-only); serving applies it on the one-row report, driver- or
+    * executor-side — a constant-size projection either way. No
+    * large-range correction: it exists for 32-bit-hash saturation
+    * (E > 2³²/30) and the portable fold hash's value space (< 1e9+7)
+    * cannot reach it. Output: the report plus `served_estimate`
+    * (corrected when eligible, `est_distinct` otherwise, rounded long).
+    */
+  def hllServedEstimate(report: DataFrame): DataFrame =
+    report.select(col("m"), col("zero_registers"), col("s"),
+      col("est_distinct"),
+      when(col("est_distinct") <= lit(5L) * col("m") / lit(2L) &&
+          col("zero_registers") > 0L,
+        round(col("m").cast("double") *
+          log(col("m").cast("double") / col("zero_registers"))).cast("long"))
+        .otherwise(col("est_distinct")).as("served_estimate"))
 
   /** K-MINIMUM-VALUES distinct sketch of the word n-gram stream
     * (Bar-Yossef et al., RANDOM'02; Beyer et al., SIGMOD'07 — the
@@ -1148,6 +1175,108 @@ object Corpus {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** BPE MERGE TRAINING, PHASE 2 — the PRODUCTION path ([[bpeMerges]]'s
+    * scaladoc's "honest limit" closed): Sennrich et al.'s classic
+    * in-memory merge loop over the word-frequency table, run on the
+    * driver once that table fits there. The split of labor mirrors the
+    * reference implementation's own structure: the corpus-sized work
+    * (word → freq) is ONE distributed pass — the only part that scales
+    * with corpus bytes — and the merge loop is vocabulary-sized, with
+    * incremental pair-count maintenance (only words CONTAINING the
+    * merged pair are re-counted, via a pair → word index), so 30k
+    * merges cost 30k argmax scans plus touched-word rewrites, not 30k
+    * corpus passes and not 30k Spark jobs. Identical output contract
+    * and determinism to [[bpeMerges]] — same (count DESC, left, right)
+    * tie rule, same left-to-right non-overlapping merge application —
+    * property-pinned equal on shared fixtures (CorpusSpec) and
+    * oracle-replayed at 64 merges (q176).
+    *
+    * `maxVocab` is the loud guard on the driver-residency assumption: a
+    * vocabulary above it (the raw-web-crawl case) fails with
+    * instructions rather than OOMing mid-collect — at that size, run
+    * [[bpeMerges]]' distributed loop or pre-filter the tail (freq ≥ 2
+    * cuts a crawl vocabulary ~in half with no effect on early merges).
+    *
+    * Output: (rank, left, right, pair_count), rank 1..nMerges (fewer if
+    * the table runs out of pairs).
+    */
+  def bpeMergesInMemory(docs: DataFrame, textCol: String, nMerges: Int,
+                        maxVocab: Int = 5000000): DataFrame = {
+    require(nMerges >= 1, s"nMerges=$nMerges must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wfDf = docs.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val nWords = wfDf.count()
+    require(nWords <= maxVocab,
+      s"vocabulary has $nWords distinct words > maxVocab=$maxVocab — " +
+        "the in-memory merge loop assumes the word-frequency table fits " +
+        "the driver; use bpeMerges (distributed) or pre-filter the " +
+        "frequency tail first")
+    // the ONE driver-side collect: vocabulary-sized by the guard above
+    val wf = wfDf.as[(String, Long)].collect()
+    val words: Array[Array[String]] =
+      wf.map { case (w, _) => w.split("").filter(_.nonEmpty) :+ "</w>" }
+    val freqs: Array[Long] = wf.map(_._2)
+    val counts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    val index = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def tally(i: Int, sign: Long): Unit = {
+      val s = words(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freqs(i)
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0)
+          index.getOrElseUpdate(p,
+            scala.collection.mutable.Set.empty[Int]) += i
+        j += 1
+      }
+    }
+    words.indices.foreach(tally(_, 1L))
+    def applyMerge(s: Array[String], a: String, b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < s.length) {
+        if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+          out += a + b; j += 2
+        } else { out += s(j); j += 1 }
+      }
+      out.toArray
+    }
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var stop = false
+    for (r <- 1 to nMerges if !stop) {
+      if (counts.isEmpty) stop = true
+      else {
+        // argmax with bpeMerges' exact tie rule: count DESC, then
+        // (left, right) ascending — one linear scan, as in the
+        // reference implementation
+        val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        merges += ((r, a, b, n))
+        // stale-tolerant index walk: entries outlive rewrites; the
+        // adjacency re-check is the merge application itself
+        index.getOrElse((a, b), scala.collection.mutable.Set.empty)
+          .toArray.sorted.foreach { i =>
+            val next = applyMerge(words(i), a, b)
+            if (!(next sameElements words(i))) {
+              tally(i, -1L)
+              words(i) = next
+              tally(i, 1L)
+            }
+          }
+        // no explicit removal: the tally decrements drain (a, b) to zero
+        // exactly (every word holding it is indexed), which deletes it
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
   /** BPE SEGMENTATION with a trained merge table — the apply half of
     * [[bpeMerges]], closing the train → tokenize loop: per document,
     * the whitespace token count next to the BPE token count under the
@@ -1155,9 +1284,15 @@ object Corpus {
     * budget decision actually needs — models consume BPE tokens, not
     * words). The production shape: merges apply to the DISTINCT-WORD
     * dictionary (vocabulary-sized, the Sennrich table), never per
-    * occurrence; the corpus-sized word stream then broadcast-joins the
-    * finished dictionary and folds per doc. `merges` ordered as
-    * learned; each applies as one [[bpeApplyMerge]] projection layer.
+    * occurrence; the corpus-sized word stream then equi-joins the
+    * finished dictionary and folds per doc. The dictionary join is NOT
+    * broadcast-hinted: a web-crawl vocabulary runs to hundreds of
+    * millions of distinct words, where a forced broadcast OOMs the
+    * driver — Spark's planner (and AQE at runtime) broadcasts it when
+    * its measured size is small and falls back to a shuffled join when
+    * it is not, which is the contract a 100 TB corpus needs. `merges`
+    * ordered as learned; each applies as one [[bpeApplyMerge]]
+    * projection layer.
     *
     * Output: (doc_id, n_words, n_bpe_tokens); empty/NULL-text documents
     * come back (0, 0).
@@ -1177,7 +1312,7 @@ object Corpus {
       .select(col(idCol).as("doc"),
         explode(split(col(textCol), " ")).as("word"))
       .where(length(col("word")) > 0)
-    val perDoc = stream.join(broadcast(dict), Seq("word"))
+    val perDoc = stream.join(dict, Seq("word"))
       .groupBy("doc")
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("syms"))).cast("long").as("n_bpe_tokens"))

@@ -254,7 +254,12 @@ object Search {
   def appendToTextIndexExactlyOnce(batch: DataFrame, path: String,
                                    batchId: Long, idCol: String = "doc_id",
                                    textCol: String = "text"): Unit = {
-    val comps = textComponents(batch.sparkSession, path)
+    // LAZY so the component-existence probe first runs INSIDE the writer
+    // lease appendExactlyOnce acquires (its `components` param is by-name)
+    // — probing before the lease would let a concurrent
+    // enablePositionalIndex race the probe, violating textComponents'
+    // documented under-the-lease invariant
+    lazy val comps = textComponents(batch.sparkSession, path)
     graft.ops.Stage.appendExactlyOnce(batch.sparkSession, path, batchId,
       comps) { staging =>
       batch
@@ -710,14 +715,36 @@ object Search {
     * deletes anti-join it, compaction folds tombstones and re-sorts,
     * snapshot/restore pin and roll it with the triple), so phrase serves
     * never lag ingest. Call it right after [[saveTextIndex]] in the
-    * fresh-build phase (it is itself a component REBUILD: mode-overwrite
-    * wipes any versioned history, like the other fresh-build writes).
+    * fresh-build phase. BORN VERSIONED ([[graft.ops.Stage.publishRebuild]],
+    * like [[graft.ext.Similarity.saveIvfIndex]] / [[graft.ext.Corpus.saveLm]]):
+    * a fresh positional build lands as the next version of `positions/`
+    * instead of wiping any existing versioned history, so snapshot pins
+    * work from birth and a re-build over an already-maintained component
+    * does not destroy the pointer/GC line. As with every rebuild publish,
+    * `resolvePrevious` fails loudly afterwards until a post-rebuild
+    * maintenance op establishes a same-corpus history.
+    *
+    * SNAPSHOT-PIN CONSEQUENCE (documented behavior change): enabling the
+    * positional component makes [[textComponents]] — and therefore
+    * [[restoreTextIndex]]'s all-components-pinned check — include
+    * `positions`, so a [[snapshotTextIndex]] pin taken BEFORE the
+    * component existed (a triple-only pin) becomes unrestorable once
+    * positions exist: restore fails loudly rather than roll back a mixed
+    * (pinned triple, live positions) state. Re-pin after enabling
+    * positions if rollback coverage must span the transition.
     */
   def savePositionalIndex(docs: DataFrame, path: String,
                           idCol: String = "doc_id",
-                          textCol: String = "text"): Unit =
-    positionalPostings(docs, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$path/positions")
+                          textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    // root lease first (the established root→component nesting order,
+    // same as deleteFromTextIndex): a concurrent snapshot/append must
+    // not interleave with the component flip
+    graft.ops.Stage.withWriterLease(spark, path) {
+      graft.ops.Stage.publishRebuild(spark, s"$path/positions",
+        positionalPostings(docs, idCol, textCol))
+    }
+  }
 
   /** Opt an index into the positional component BEFORE any document
     * lands — the STREAM-BORN phrase path: creates an empty,

@@ -754,7 +754,7 @@ object Stage {
     * one listing + |files| renames per component — no second data pass.
     */
   def appendExactlyOnce(spark: SparkSession, path: String, batchId: Long,
-                        components: Seq[String])
+                        components: => Seq[String])
                        (stage: String => Unit): Unit = {
     if (alreadyPublished(spark, path, batchId)) return
     withWriterLease(spark, path) {

@@ -326,6 +326,16 @@ object CorpusQueries {
       // string-accumulator fold.
       Corpus.bpeMerges(t(s, d, "documents"), "text", nMerges = 8)),
 
+    "q176_bpe_train_production" -> ((s, d) =>
+      // tokenizer training PHASE 2 (the production path): the classic
+      // in-memory Sennrich merge loop over the one-distributed-pass
+      // word-frequency table — 64 merges here, 30k at production, with
+      // incremental pair-count maintenance so depth costs argmax scans,
+      // not corpus passes. Output-identical to the distributed
+      // bootstrap (CorpusSpec property); the oracle replays all 64
+      // training generations.
+      Corpus.bpeMergesInMemory(t(s, d, "documents"), "text", nMerges = 64)),
+
     "q163_bpe_segment" -> ((s, d) => {
       // the apply half: train the 8 merges, segment every document with
       // them via the broadcast word dictionary, report whitespace vs
@@ -410,14 +420,21 @@ object CorpusQueries {
       // score by relative frequency, misses back off trigram → bigram →
       // smoothed unigram at exactly one penalty bit per level (α = 1/2,
       // integral by design) — q91's train/test split; ~46% of test
-      // trigrams are unseen at sf0.01, so every branch fires. The
-      // oracle replays all three count orders, the full chain, and the
-      // per-doc backoff rates.
+      // trigrams are unseen at sf0.01. The natural split never reaches
+      // the LAST rung at this sf (every test-split BIGRAM is seen in
+      // train), so the score set also carries a deterministic OOV
+      // variant of each test doc — every token '~v'-suffixed, doc_id
+      // offset by 10M — whose trigrams all fall through to the add-one
+      // unigram floor; the oracle replays the same variant, so all
+      // three ladder rungs are DuckDB-checked.
       val docs = Corpus.splitAssign(t(s, d, "documents"), "text")
+      val test = docs.where(col("split") === "test" && col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val oov = test.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        expr("concat(replace(text, ' ', '~v '), '~v')").as("text"))
       Corpus.stupidBackoffBits(
         docs.where(col("split") === "train"),
-        docs.where(col("split") === "test" && col("text").isNotNull),
-        "text", "doc_id")
+        test.unionByName(oov), "text", "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -734,14 +751,20 @@ object CorpusQueries {
   private def bpeTrainCtes(n: Int): String = {
     def accDone(acc: String) = s"string_split($acc, chr(2))[1]"
     def accPrev(acc: String) = s"string_split($acc, chr(2))[2]"
+    // AS MATERIALIZED: every generation references w$i several times
+    // (pair counts + the rewrite); DuckDB's default CTE inlining would
+    // otherwise expand the chain to 3^n copies of the base scan — at
+    // the q176 depth (64) that exhausts file handles before it
+    // exhausts time. Materialization makes the replay linear in n.
     val iters = (1 to n).map { i =>
-      s"""p$i AS (SELECT syms[j] AS a, syms[j + 1] AS b,
+      s"""p$i AS MATERIALIZED (SELECT syms[j] AS a, syms[j + 1] AS b,
                        CAST(sum(freq) AS BIGINT) AS n
                 FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS j
                       FROM w$i)
                 GROUP BY 1, 2),
-          m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
-          w${i + 1} AS (
+          m$i AS MATERIALIZED (SELECT a, b, n FROM p$i
+                ORDER BY n DESC, a, b LIMIT 1),
+          w${i + 1} AS MATERIALIZED (
             SELECT word, list_filter(string_split(
                      CASE WHEN ${accPrev("folded")} = ''
                           THEN ${accDone("folded")}
@@ -759,11 +782,11 @@ object CorpusQueries {
                     freq
                   FROM w$i CROSS JOIN m$i m))"""
     }.mkString(",\n          ")
-    s"""w0 AS (SELECT word, count(*) AS freq
+    s"""w0 AS MATERIALIZED (SELECT word, count(*) AS freq
                     FROM (SELECT unnest(string_split(text, ' ')) AS word
                           FROM documents WHERE text IS NOT NULL)
                     WHERE length(word) > 0 GROUP BY word),
-        w1 AS (SELECT word, list_append(
+        w1 AS MATERIALIZED (SELECT word, list_append(
                         list_transform(range(1, length(word) + 1),
                           i -> substr(word, i, 1)), '</w>') AS syms, freq
                FROM w0),
@@ -1093,6 +1116,10 @@ object CorpusQueries {
     // accumulator: chr(1)-joined emitted symbols + chr(2) + pending)
     "q162_bpe_train" -> bpeReplaySql(8),
 
+    // q176: the same generated replay at the production query's depth —
+    // 64 chained CTE generations
+    "q176_bpe_train_production" -> bpeReplaySql(64),
+
     // q163: the same 8 training generations, then the dictionary join
     // back onto every document's word stream
     "q163_bpe_segment" -> bpeSegmentSql(8),
@@ -1229,11 +1256,16 @@ object CorpusQueries {
           ORDER BY te.doc_id""",
 
     "q160_stupid_backoff" ->
-      s"""WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      s"""WITH s0 AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
                              $fpFold % 100 AS b
                       FROM documents WHERE text IS NOT NULL),
           tr AS (SELECT doc_id, toks FROM s0 WHERE b < 80),
-          te AS (SELECT doc_id, toks FROM s0 WHERE b >= 90),
+          te AS (SELECT doc_id, toks FROM s0 WHERE b >= 90
+                 UNION ALL
+                 SELECT doc_id + 10000000 AS doc_id,
+                        string_split(replace(text, ' ', '~v ') || '~v', ' ')
+                          AS toks
+                 FROM s0 WHERE b >= 90),
           g3tr AS (SELECT toks[i] AS a, toks[i + 1] AS p,
                           toks[i + 2] AS w
                    FROM (SELECT toks,

@@ -280,6 +280,15 @@ object DedupQueries {
         chunkTokens = 20)
         .orderBy("doc_id")),
 
+    "q175_winnow_near_dup" -> ((s, d) =>
+      // MOSS-style winnowing near-dup candidates: position-robust
+      // partial-overlap detection via shared selected-fingerprint
+      // counts, boilerplate-capped. The oracle replays every window
+      // argmin (rightmost tie), the df cap, and both fp counts.
+      Dedup.winnowNearDupPairs(t(s, d, "documents"), "text", "doc_id",
+        n = 3, w = 4, minShared = 2, maxDf = 20)
+        .orderBy("doc_a", "doc_b")),
+
     "q80_dedup_substring" -> ((s, d) =>
       // exact-substring dedup: repeated >=20-token runs at ARBITRARY
       // offsets removed from all but their first corpus occurrence —
@@ -698,6 +707,50 @@ object DedupQueries {
                 coalesce(r.clean_text, '') AS clean_text
          FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
          ORDER BY d.doc_id""",
+
+    // q175: full SIGMOD'03 winnowing replay — the char-fold gram hashes,
+    // every w-window argmin with the RIGHTMOST-position tie rule
+    // (row_number over h ASC, pos DESC), the distinct selected set, the
+    // df cap, the shared-count gate, and both sides' fp counts
+    "q175_winnow_near_dup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents
+                    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+         g AS (SELECT doc_id, len(toks) - 2 AS m, i - 1 AS pos,
+                      array_to_string(toks[i:i+2], ' ') AS tok
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, len(toks) - 1)) AS i
+                     FROM t)),
+         h AS (SELECT doc_id, m, pos,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(tok) + 1),
+                          i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+               FROM g),
+         wins AS (SELECT doc_id, pos, h,
+                         unnest(range(greatest(pos - 3, 0),
+                           least(pos, greatest(m - 4, 0)) + 1)) AS s
+                  FROM h),
+         sel AS (SELECT DISTINCT doc_id, h FROM (
+                   SELECT doc_id, s, pos, h,
+                          row_number() OVER (PARTITION BY doc_id, s
+                                             ORDER BY h ASC, pos DESC) AS rn
+                   FROM wins) WHERE rn = 1),
+         dfh AS (SELECT h, count(*) AS hdf FROM sel GROUP BY h),
+         kept AS (SELECT sel.doc_id, sel.h FROM sel
+                  JOIN dfh USING (h) WHERE hdf <= 20),
+         cnt AS (SELECT doc_id, count(*) AS nfp FROM kept GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          count(*) AS shared
+                   FROM kept a JOIN kept b
+                     ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+                CAST(ca.nfp AS BIGINT) AS fp_a, CAST(cb.nfp AS BIGINT) AS fp_b
+         FROM pairs
+         JOIN cnt ca ON ca.doc_id = doc_a
+         JOIN cnt cb ON cb.doc_id = doc_b
+         ORDER BY doc_a, doc_b""",
 
     // ownership on the window TEXT where the engine uses a double-modulus
     // rolling hash (collision odds ~2^-61 per pair); a token survives iff

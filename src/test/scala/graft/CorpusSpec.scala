@@ -772,6 +772,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(all == Seq(("a", "b"), ("ab", "</w>")))
   }
 
+  test("bpeMergesInMemory ≡ bpeMerges: fixture, real docs, deep-merge prefix") {
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").select("rank", "left", "right", "pair_count")
+        .as[(Int, String, String, Long)].collect().toSeq
+    // the hand-traced fixture, including tie-breaks and early exhaustion
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    assert(table(Corpus.bpeMergesInMemory(docs, "text", 3)) ==
+      table(Corpus.bpeMerges(docs, "text", 3)))
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(table(Corpus.bpeMergesInMemory(tiny, "text", 10)) ==
+      table(Corpus.bpeMerges(tiny, "text", 10)))
+    // real corpus text at sf0.001: the two loops agree merge-for-merge,
+    // and the production loop's deeper run EXTENDS the bootstrap's table
+    // (training is a deterministic prefix process)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dist8 = table(Corpus.bpeMerges(real, "text", 8))
+    val mem32 = table(Corpus.bpeMergesInMemory(real, "text", 32))
+    assert(mem32.take(8) == dist8)
+    assert(mem32.size == 32)
+    // the driver-residency guard fails loudly, never mid-collect
+    val e = intercept[IllegalArgumentException] {
+      Corpus.bpeMergesInMemory(real, "text", 4, maxVocab = 10)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
   test("stupidBackoffBits: all three chain levels, hand-computed") {
     // train: "a b c a b d" → trigrams abc, bca, cab, abd; bigrams
     // ab(2) bc bd ca; unigrams a(2) b(2) c d → N=6, V=4
@@ -879,6 +905,45 @@ class CorpusSpec extends AnyFunSuite {
       (64L - whole.size) * (1L << 25)
     assert(est._3 == sExpected)
     assert(est._4 == 709L * 64 * 64 * (1L << 25) / (1000L * sExpected))
+  }
+
+  test("hllEstimate: empty input yields the all-zero-registers report") {
+    // sum() over zero register rows is NULL — the report must coalesce
+    // to the well-defined empty-corpus shape, not NULL-propagate
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val est = Corpus.hllEstimate(Corpus.hllTokenRegisters(empty, "text"))
+      .select("m", "zero_registers", "s", "est_distinct")
+      .as[(Long, Long, Long, Long)].head()
+    assert(est._1 == 64L && est._2 == 64L)
+    assert(est._3 == 64L * (1L << 25)) // S = m·2^25, all registers empty
+    // raw estimate α·m²·2^25 / S = 709·64/1000 = 45 (div) — the serving
+    // correction below is what maps this to ~0
+    assert(est._4 == 709L * 64 * 64 * (1L << 25) / (1000L * 64 * (1L << 25)))
+  }
+
+  test("hllServedEstimate: linear counting when eligible, hand-computed") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("m", LongType), StructField("zero_registers", LongType),
+      StructField("s", LongType), StructField("est_distinct", LongType)))
+    def served(m: Long, v: Long, est: Long): Long =
+      Corpus.hllServedEstimate(spark.createDataFrame(
+        java.util.Arrays.asList(Row(m, v, 0L, est)), schema))
+        .select("served_estimate").as[Long].head()
+    // eligible (est ≤ 5m/2 = 160, V > 0): linear counting m·ln(m/V)
+    // V = 32 → 64·ln(2) = 44.361… → 44 (round-half-even on .36)
+    assert(served(64L, 32L, 100L) == 44L)
+    // V = 8 → 64·ln(8) = 133.084… → 133
+    assert(served(64L, 8L, 150L) == 133L)
+    // empty corpus: V = m → 64·ln(1) = 0 — the correction maps the raw
+    // div-estimate (45) to the true zero
+    assert(served(64L, 64L, 45L) == 0L)
+    // ineligible by estimate (> 160): raw estimate passes through
+    assert(served(64L, 3L, 161L) == 161L)
+    // ineligible by zero_registers (V = 0): linear counting undefined,
+    // raw estimate passes through
+    assert(served(64L, 0L, 120L) == 120L)
   }
 
   test("kneserNeyBits: interpolation, continuation fall, hand-computed") {

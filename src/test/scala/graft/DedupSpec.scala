@@ -809,4 +809,107 @@ class DedupSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
+
+  /** Plain-Scala reference of SIGMOD'03 winnowing (sliding window over
+    * gram hashes, min per window, RIGHTMOST position on ties) — the
+    * independent oracle the distributed version is compared against. */
+  private def refWinnow(text: String, n: Int, w: Int): Set[(Int, Long)] = {
+    def fold(s: String): Long =
+      s.codePoints.toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val toks = text.split(" ", -1)
+    if (toks.length < n) return Set.empty
+    val hs = (0 to toks.length - n)
+      .map(i => fold(toks.slice(i, i + n).mkString(" ")))
+    val m = hs.length
+    (0 to math.max(m - w, 0)).flatMap { s =>
+      val win = (s until math.min(s + w, m)).map(p => (p, hs(p)))
+      val minH = win.map(_._2).min
+      val pos = win.filter(_._2 == minH).map(_._1).max // rightmost tie
+      Some((pos, hs(pos)))
+    }.toSet
+  }
+
+  test("winnowFingerprints equals the plain-Scala SIGMOD'03 reference") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the quick brown fox"),
+      (2L, "pack my box with five dozen liquor jugs pack my box"),
+      (3L, "a b c d e f g h i j k l m n o p"),
+      (4L, "x y x y x y x y x"), // heavy tie territory
+      (5L, "one two three"),     // exactly n tokens at n=3: one gram
+      (6L, "just two"),          // < n tokens: no fingerprints
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    for ((n, w) <- Seq((3, 4), (2, 3), (2, 8))) {
+      val got = graft.ext.Dedup.winnowFingerprints(docs, "text", "doc_id", n, w)
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+        .map(id => id -> refWinnow(docs.where($"doc_id" === id)
+          .select("text").as[String].head(), n, w))
+        .filter(_._2.nonEmpty).toMap
+      assert(got == want, s"n=$n w=$w")
+    }
+  }
+
+  test("winnowing ties select the RIGHTMOST minimal position") {
+    // "x y x y x", n=2: gram hashes [h(xy), h(yx), h(xy), h(yx)];
+    // h(xy) < h(yx) (same length, 'x' < 'y' at the first char), so every
+    // w=3 window's min is h(xy) — window 0 covers pos {0,1,2} with the
+    // min at 0 AND 2 → rightmost rule selects pos 2; window 1 covers
+    // {1,2,3} → pos 2. Selected set: {(2, h(xy))} exactly.
+    val docs = Seq((1L, "x y x y x")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.winnowFingerprints(docs, "text", "doc_id", 2, 3)
+      .select("pos", "h").as[(Int, Long)].collect().toSet
+    def fold(s: String): Long =
+      s.codePoints.toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    assert(got == Set((2, fold("x y"))))
+  }
+
+  test("winnowing guarantee: a shared n+w-1-word run yields a shared fingerprint") {
+    // disjoint vocabularies except one shared 6-word run (n=3, w=4 →
+    // n+w−1 = 6): the paper's guarantee says at least one selected
+    // fingerprint is identical across the two documents
+    val shared = "golden ratio spiral sequence fibonacci lattice"
+    val docs = Seq(
+      (1L, s"aa bb cc dd $shared ee ff gg hh"),
+      (2L, s"pp qq rr $shared ss tt uu vv ww zz")).toDF("doc_id", "text")
+    val fps = graft.ext.Dedup
+      .winnowFingerprints(docs, "text", "doc_id", n = 3, w = 4)
+      .select("doc_id", "h").as[(Long, Long)].collect().toSet
+    val common = fps.collect { case (1L, h) => h }
+      .intersect(fps.collect { case (2L, h) => h })
+    assert(common.nonEmpty)
+  }
+
+  test("winnowNearDupPairs: shared counts, minShared gate, maxDf boilerplate drop") {
+    val run = "golden ratio spiral sequence fibonacci lattice prime harmonic"
+    val docs = Seq(
+      (1L, s"aa bb cc $run dd ee ff"),
+      (2L, s"gg hh $run ii jj kk ll"),
+      (3L, "mm nn oo pp qq rr ss tt uu")).toDF("doc_id", "text")
+    val pairs = graft.ext.Dedup
+      .winnowNearDupPairs(docs, "text", "doc_id", n = 3, w = 4,
+        minShared = 1, maxDf = 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // only the run-sharing pair appears, and its counts replay the
+    // reference implementation exactly
+    assert(pairs.keySet == Set((1L, 2L)))
+    val ref = Map(
+      1L -> refWinnow(s"aa bb cc $run dd ee ff", 3, 4),
+      2L -> refWinnow(s"gg hh $run ii jj kk ll", 3, 4))
+    val sharedHs = ref(1L).map(_._2).intersect(ref(2L).map(_._2))
+    assert(pairs((1L, 2L)) == ((sharedHs.size.toLong,
+      ref(1L).map(_._2).size.toLong, ref(2L).map(_._2).size.toLong)))
+    // minShared above the overlap silences the pair
+    assert(graft.ext.Dedup.winnowNearDupPairs(docs, "text", "doc_id", 3, 4,
+      minShared = sharedHs.size + 1, maxDf = 20).isEmpty)
+    // maxDf = 2 with THREE IDENTICAL docs: every fingerprint has df = 3
+    // — boilerplate by the cap — so no pair survives, though without the
+    // cap all three pairs would
+    val docs3 = Seq((1L, run), (2L, run), (3L, run)).toDF("doc_id", "text")
+    assert(graft.ext.Dedup.winnowNearDupPairs(docs3, "text", "doc_id",
+      3, 4, minShared = 1, maxDf = 2).isEmpty)
+    assert(graft.ext.Dedup.winnowNearDupPairs(docs3, "text", "doc_id",
+      3, 4, minShared = 1, maxDf = 3).count() == 3L)
+  }
 }

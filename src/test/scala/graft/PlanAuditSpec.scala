@@ -529,6 +529,34 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("bpeSegmentCounts: dictionary join survives a non-broadcastable dict") {
+    // the dictionary is vocabulary-sized — hundreds of millions of words
+    // on a web crawl — so it must NOT be broadcast-hinted: with the
+    // planner's broadcast path disabled (the stand-in for "dict exceeds
+    // driver memory"), the word-stream join must still plan and execute
+    // as a shuffled join, and the result must not change
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("text").isNotNull).limit(50)
+    val merges = Seq(("t", "h</w>"), ("a", "n"))
+    def run() = graft.ext.Corpus
+      .bpeSegmentCounts(docs, "text", "doc_id", merges)
+    val unrestricted = run().orderBy("doc_id").collect().toSeq
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = run()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan.take(3000))
+      assert(df.orderBy("doc_id").collect().toSeq == unrestricted)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q138 embedding drift: assignment is map work; k-row drift join") {
     val plan = planOf("q138_embedding_drift")
     // argmax-dot assignment against literal centroids — the ONLY join

@@ -359,6 +359,36 @@ class SearchSpec extends AnyFunSuite {
     assert(phrase() == Seq((1L, 1), (2L, 1)))
   }
 
+  test("savePositionalIndex is born-versioned: a fresh rebuild preserves pins") {
+    val idx = "target/graft-test-phrase-rebuild"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    val docsDF = Seq((1L, "x y z"), (2L, "y x y"), (3L, "x y x y"))
+      .toDF("doc_id", "text")
+    Search.saveTextIndex(docsDF, idx)
+    Search.savePositionalIndex(docsDF, idx)
+    // fresh-built positional component is BORN versioned: v00000001 +
+    // pointer exist before any maintenance op migrates the layout
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/positions/_current")))
+    def phrase() = Search.phraseSearchIndexed(spark, idx, Seq("x", "y"), 10)
+      .select("doc_id", "n_occurrences").as[(Long, Int)].collect().toSeq.sorted
+    assert(phrase() == Seq((1L, 1), (2L, 1), (3L, 2)))
+    // migrate the triple to versioned (delete is a compacting rewrite),
+    // then pin the whole four-component state
+    Search.deleteFromTextIndex(spark, idx, Seq(1L).toDF("doc_id"))
+    Search.snapshotTextIndex(spark, idx, "pre_rebuild")
+    // REBUILD the positional component in place over a different corpus
+    // slice — before the publishRebuild change this mode-overwrite wiped
+    // positions/' versioned history and dangled the pin
+    Search.savePositionalIndex(docsDF.where($"doc_id" === 2L), idx)
+    assert(phrase() == Seq((2L, 1)))
+    // the pin survived the rebuild: restore rolls positions back with
+    // the triple and serves the pre-rebuild state
+    Search.restoreTextIndex(spark, idx, "pre_rebuild")
+    assert(phrase() == Seq((2L, 1), (3L, 2)))
+  }
+
   test("apssCosinePairs equals brute force on a randomized corpus with planted dups") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("key", "agg", "row", "scan", "slow", "fast", "table",
