@@ -1460,6 +1460,56 @@ object Corpus {
   /** The (doc, p, w) bigram stream of a corpus — shared by LM training
     * and scoring, which must tokenize identically.
     */
+  /** PMI COLLOCATION MINING (Church & Hanks, CL'90): the top-k adjacent
+    * word pairs by pointwise mutual information — the collocation table
+    * tokenizer-vocabulary and phrase-mining decisions read. In the
+    * floor-log₂-bits discipline of [[lmPerplexity]]: lift =
+    * (c(w1,w2)·N) div (c(w1)·c(w2)) as pure integers, pmi_bits =
+    * length(bin(lift)) − 1, keep lift ≥ `minLift` (default 2 = PMI ≥ 1
+    * bit, the standard positive-PMI cut; 1 = "at least independence",
+    * the right floor for near-uniform corpora where nothing clears a
+    * full bit) and pair count ≥ `minCount` (the classic
+    * low-frequency PMI-inflation guard: a hapax pair has sky-high PMI
+    * and zero evidence). The products run in DECIMAL(38,0): at a 100 TB
+    * corpus c·N overflows a long (~10¹³ · 10¹³), while the DIV result
+    * is ≤ N and always fits.
+    *
+    * Total order (lift DESC, n_pair DESC, w1, w2) → fully deterministic
+    * top-k. Scale shape: the pair and unigram count relations are the
+    * only corpus-sized passes (partial-agged map-side); the joins are
+    * vocabulary-sized (planner-decided, no forced broadcast — the crawl
+    * vocabulary rule from bpeSegmentCounts); N rides as a one-row
+    * broadcast; the top-k is TakeOrderedAndProject, never a global sort.
+    * Output: (w1, w2, n_pair, n_l, n_r, lift, pmi_bits).
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, idCol: String,
+                      k: Int = 50, minCount: Long = 5L,
+                      minLift: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(minCount >= 1, s"minCount must be positive: $minCount")
+    require(minLift >= 1, s"minLift must be positive: $minLift")
+    val cb = bigramStream(docs, textCol, idCol)
+      .groupBy(col("p").as("w1"), col("w").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val cw = docs.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    val n = cw.agg(sum(col("n_tok")).as("n"))
+    cb.where(col("n_pair") >= minCount)
+      .join(cw.select(col("tok").as("w1"), col("n_tok").as("n_l")), Seq("w1"))
+      .join(cw.select(col("tok").as("w2"), col("n_tok").as("n_r")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_l"), col("n_r"),
+        expr("(CAST(n_pair AS DECIMAL(38,0)) * n) div " +
+          "(CAST(n_l AS DECIMAL(38,0)) * n_r)").as("lift"))
+      .where(col("lift") >= minLift)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_l"), col("n_r"),
+        col("lift"),
+        (length(bin(col("lift"))) - 1).cast("long").as("pmi_bits"))
+      .orderBy(col("lift").desc, col("n_pair").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   private def bigramStream(df: DataFrame, textCol: String,
                            idCol: String): DataFrame = {
     val toks = split(col(textCol), " ")

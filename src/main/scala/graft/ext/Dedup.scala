@@ -1581,6 +1581,38 @@ object Dedup {
     * document text never travels. Output: (doc_a, doc_b, shared, fp_a,
     * fp_b) with fp counts over the capped fingerprint sets.
     */
+  /** Overlap LOCALIZATION from winnowing fingerprints — the step beyond
+    * [[winnowNearDupPairs]]' who-matches-whom: WHERE the shared content
+    * sits. One row per shared selected fingerprint occurrence across a
+    * document pair: (doc_a, doc_b, h, pos_a, pos_b) — pos_* are the
+    * 0-based word-gram positions of the shared hash on each side, i.e.
+    * alignment anchor points for quotation extraction, plagiarism-span
+    * reporting, or containment math (anchors clustered in doc_a but
+    * spread in doc_b = a quoted in b). The SIGMOD'03 guarantee makes the
+    * anchors dense: every shared run of ≥ n + w − 1 words contributes at
+    * least one row.
+    *
+    * Same boilerplate cap as the pair form: fingerprints with document
+    * frequency > `maxDf` are dropped before the self-join, bounding the
+    * per-hash output at maxDf² alignment rows. Scale shape: one
+    * hash-equi self-join over the selected (id, pos, h) relation —
+    * document text never travels.
+    */
+  def winnowAlignments(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, w: Int = 4, maxDf: Int = 20): DataFrame = {
+    require(maxDf >= 2, s"maxDf >= 2, got $maxDf")
+    val fps = winnowFingerprints(df, textCol, idCol, n, w)
+    val dfh = fps.select(col(idCol), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("hdf"))
+    val kept = fps.join(dfh.where(col("hdf") <= maxDf).select("h"), Seq("h"))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("a.h").as("h"), col("a.pos").as("pos_a"),
+        col("b.pos").as("pos_b"))
+  }
+
   def winnowNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                          n: Int = 3, w: Int = 4, minShared: Int = 2,
                          maxDf: Int = 20): DataFrame = {

@@ -801,6 +801,48 @@ object Search {
     top.withColumn("rank", row_number().over(w)).orderBy("rank")
   }
 
+  /** PROXIMITY SEARCH over the positional component: documents where
+    * `termA` and `termB` co-occur within `maxDist` token positions —
+    * the relaxed cousin of [[phraseSearchIndexed]]'s exact adjacency
+    * (the "terms NEAR each other" operator of every classic IR engine),
+    * which bag-of-words AND-search ([[conjunctiveSearch]]) cannot
+    * express. Per qualifying document: the number of (posA, posB) pairs
+    * within the window and the closest distance, top-k by
+    * (n_pairs DESC, id). Decided on posting lists alone — one
+    * term-filtered pruned scan per term (row-group pruned on the
+    * token-sorted files), one doc_id equi-join of posting-list-sized
+    * relations, and a per-row pair count as a codegen'd HOF over the
+    * two position arrays (occurrence-sized per doc — the classic
+    * positional-intersection cost); no token re-scan of any document.
+    * Pending tombstones mask, as on every serve path.
+    *
+    * Output: (doc_id, n_pairs, min_dist, rank), rank 1..k.
+    */
+  def proximitySearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                             path: String, termA: String, termB: String,
+                             maxDist: Int, k: Int,
+                             idCol: String = "doc_id"): DataFrame = {
+    require(termA != termB, "proximity needs two distinct terms")
+    require(maxDist >= 1, s"maxDist must be positive: $maxDist")
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    val positions = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$path/positions"))
+    def side(t: String, as: String) = positions.where(col("token") === t)
+      .select(col(idCol), col("positions").as(as))
+    val joined = side(termA, "pa").join(side(termB, "pb"), Seq(idCol))
+    val pairs = joined.select(col(idCol),
+      aggregate(col("pa"), lit(0L), (acc, a) =>
+        acc + size(filter(col("pb"),
+          b => abs(b - a) <= maxDist)).cast("long")).as("n_pairs"),
+      array_min(flatten(transform(col("pa"), a =>
+        transform(col("pb"), b => abs(b - a))))).cast("long").as("min_dist"))
+      .where(col("n_pairs") > 0L)
+    val masked = minusTombstoned(pairs, tomb, idCol)
+    val top = masked.orderBy(col("n_pairs").desc, col(idCol)).limit(k)
+    val w = Window.orderBy(col("n_pairs").desc, col(idCol))
+    top.withColumn("rank", row_number().over(w)).orderBy("rank")
+  }
+
   /** RECIPROCAL RANK FUSION (Cormack, Clarke, Büttcher, SIGIR'09) — the
     * standard hybrid-retrieval combiner: two rankings of the same id
     * space (say BM25 and embedding cosine — lexical recall meets

@@ -326,6 +326,18 @@ object CorpusQueries {
       // string-accumulator fold.
       Corpus.bpeMerges(t(s, d, "documents"), "text", nMerges = 8)),
 
+    "q177_pmi_collocations" -> ((s, d) =>
+      // Church & Hanks collocation mining: top-50 adjacent pairs by
+      // integer-bits PMI with the min-count-5 hapax guard — products in
+      // DECIMAL(38,0) so the same query survives 100 TB counts. The
+      // testdata draws words near-uniformly (no pair clears a full PMI
+      // bit), so the query runs at minLift = 1 — the at-least-
+      // independence floor — to exercise real output; the oracle
+      // replays the counts, the HUGEINT lift, the floor, and the
+      // total-order top-k.
+      Corpus.pmiCollocations(t(s, d, "documents"), "text", "doc_id",
+        k = 50, minCount = 5L, minLift = 1L)),
+
     "q176_bpe_train_production" -> ((s, d) =>
       // tokenizer training PHASE 2 (the production path): the classic
       // in-memory Sennrich merge loop over the one-distributed-pass
@@ -1119,6 +1131,34 @@ object CorpusQueries {
     // q176: the same generated replay at the production query's depth —
     // 64 chained CTE generations
     "q176_bpe_train_production" -> bpeReplaySql(64),
+
+    // q177: pair/unigram counts, HUGEINT lift (the decimal-width replay
+    // of the engine's DECIMAL(38,0) products), floor-log₂ bits, and the
+    // (lift DESC, n_pair DESC, w1, w2) total-order top-k
+    "q177_pmi_collocations" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS toks
+                     FROM documents WHERE text IS NOT NULL),
+         cb AS (SELECT toks[i] AS w1, toks[i + 1] AS w2,
+                       count(*) AS n_pair
+                FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                      FROM tk) GROUP BY 1, 2),
+         cw AS (SELECT tok, count(*) AS n_tok
+                FROM (SELECT unnest(toks) AS tok FROM tk) GROUP BY tok),
+         nn AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n FROM cw),
+         j AS (SELECT w1, w2, n_pair, l.n_tok AS n_l, r.n_tok AS n_r,
+                      CAST((CAST(n_pair AS HUGEINT) * n)
+                        // (CAST(l.n_tok AS HUGEINT) * r.n_tok)
+                        AS BIGINT) AS lift
+               FROM cb
+               JOIN cw l ON l.tok = w1
+               JOIN cw r ON r.tok = w2
+               CROSS JOIN nn
+               WHERE n_pair >= 5)
+         SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+                CAST(n_l AS BIGINT) AS n_l, CAST(n_r AS BIGINT) AS n_r,
+                lift, CAST(length(bin(lift)) - 1 AS BIGINT) AS pmi_bits
+         FROM j WHERE lift >= 1
+         ORDER BY lift DESC, n_pair DESC, w1, w2 LIMIT 50""",
 
     // q163: the same 8 training generations, then the dictionary join
     // back onto every document's word stream

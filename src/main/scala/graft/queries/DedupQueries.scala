@@ -289,6 +289,16 @@ object DedupQueries {
         n = 3, w = 4, minShared = 2, maxDf = 20)
         .orderBy("doc_a", "doc_b")),
 
+    "q179_winnow_alignments" -> ((s, d) =>
+      // overlap LOCALIZATION: every shared selected fingerprint's
+      // positions on both sides of a document pair — the alignment
+      // anchors quotation extraction / plagiarism-span reporting read.
+      // The oracle replays the q175 selection plus the position-pair
+      // self-join.
+      Dedup.winnowAlignments(t(s, d, "documents"), "text", "doc_id",
+        n = 3, w = 4, maxDf = 20)
+        .orderBy("doc_a", "doc_b", "h", "pos_a", "pos_b")),
+
     "q80_dedup_substring" -> ((s, d) =>
       // exact-substring dedup: repeated >=20-token runs at ARBITRARY
       // offsets removed from all but their first corpus occurrence —
@@ -751,6 +761,43 @@ object DedupQueries {
          JOIN cnt ca ON ca.doc_id = doc_a
          JOIN cnt cb ON cb.doc_id = doc_b
          ORDER BY doc_a, doc_b""",
+
+    // q179: q175's selection replay with positions retained, then the
+    // df-capped position-pair self-join — every alignment anchor
+    "q179_winnow_alignments" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents
+                    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+         g AS (SELECT doc_id, len(toks) - 2 AS m, i - 1 AS pos,
+                      array_to_string(toks[i:i+2], ' ') AS tok
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, len(toks) - 1)) AS i
+                     FROM t)),
+         h AS (SELECT doc_id, m, pos,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(tok) + 1),
+                          i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+               FROM g),
+         wins AS (SELECT doc_id, pos, h,
+                         unnest(range(greatest(pos - 3, 0),
+                           least(pos, greatest(m - 4, 0)) + 1)) AS s
+                  FROM h),
+         sel AS (SELECT DISTINCT doc_id, pos, h FROM (
+                   SELECT doc_id, s, pos, h,
+                          row_number() OVER (PARTITION BY doc_id, s
+                                             ORDER BY h ASC, pos DESC) AS rn
+                   FROM wins) WHERE rn = 1),
+         dfh AS (SELECT h, count(*) AS hdf
+                 FROM (SELECT DISTINCT doc_id, h FROM sel) GROUP BY h),
+         kept AS (SELECT sel.doc_id, sel.pos, sel.h FROM sel
+                  JOIN dfh USING (h) WHERE hdf <= 20)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h AS h,
+                CAST(a.pos AS INTEGER) AS pos_a,
+                CAST(b.pos AS INTEGER) AS pos_b
+         FROM kept a JOIN kept b
+           ON a.h = b.h AND a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b, h, pos_a, pos_b""",
 
     // ownership on the window TEXT where the engine uses a double-modulus
     // rolling hash (collision odds ~2^-61 per pair); a token survives iff

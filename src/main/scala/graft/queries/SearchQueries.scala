@@ -231,6 +231,20 @@ object SearchQueries {
       phraseServePair(s, path)
     }),
 
+    "q178_proximity_search" -> ((s, d) => {
+      // terms-NEAR-each-other retrieval from the positional component:
+      // 'spark' within 5 positions of 'join', top-20 docs by
+      // within-window pair count with the closest distance — the
+      // relaxed cousin of q151's exact adjacency, decided on posting
+      // lists alone. The oracle re-derives every document's position
+      // pairs from the raw text.
+      val sf = sfTag(d)
+      val path = s"target/graft-phrase-index-$sf"
+      Search.savePositionalIndex(t(s, d, "documents"), path)
+      Search.proximitySearchIndexed(s, path, "spark", "join",
+        maxDist = 5, k = 20)
+    }),
+
     "q155_phrase_after_ingest" -> ((s, d) => {
       // the "rebuild positions after ingest" limit, CLOSED: positions
       // are a maintained component (Search.textComponents), so phrase
@@ -612,6 +626,29 @@ object SearchQueries {
     // list indices; the engine's 0-based posting positions count the
     // same hits), ranked (n DESC, doc_id) and cut at 20 per phrase
     "q151_phrase_search" -> phraseReplaySql,
+
+    // q178: every document's 'spark'/'join' position pairs re-derived
+    // from raw text — the within-window pair count, the closest
+    // distance, and the (n_pairs DESC, doc_id) top-k with ranks
+    "q178_proximity_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         p AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, len(toks) + 1)) AS i
+                     FROM t)),
+         pa AS (SELECT doc_id, pos FROM p WHERE tok = 'spark'),
+         pb AS (SELECT doc_id, pos FROM p WHERE tok = 'join'),
+         j AS (SELECT pa.doc_id,
+                      CAST(sum(CASE WHEN abs(pa.pos - pb.pos) <= 5
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+                      CAST(min(abs(pa.pos - pb.pos)) AS BIGINT) AS min_dist
+               FROM pa JOIN pb USING (doc_id) GROUP BY pa.doc_id)
+         SELECT doc_id, n_pairs, min_dist,
+                CAST(row_number() OVER (ORDER BY n_pairs DESC, doc_id)
+                     AS INTEGER) AS rank
+         FROM j WHERE n_pairs > 0
+         ORDER BY rank LIMIT 20""",
 
     // q155 grows the positional component through the append paths and
     // must serve exactly what a fresh full-corpus build serves — the

@@ -946,6 +946,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(served(64L, 0L, 120L) == 120L)
   }
 
+  test("pmiCollocations: hand-computed lifts, floors, total-order top-k") {
+    // "a b a b c": N = 5; bigrams (a,b):2 (b,a):1 (b,c):1;
+    // unigrams a:2 b:2 c:1
+    //   (a,b): lift = 2·5 div (2·2) = 2 → 1 bit
+    //   (b,c): lift = 1·5 div (2·1) = 2 → 1 bit
+    //   (b,a): lift = 1·5 div (2·2) = 1 → 0 bits
+    val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    def run(k: Int, minCount: Long, minLift: Long) =
+      Corpus.pmiCollocations(docs, "text", "doc_id", k, minCount, minLift)
+        .select("w1", "w2", "n_pair", "n_l", "n_r", "lift", "pmi_bits")
+        .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(run(10, 1L, 1L) == Seq(
+      ("a", "b", 2L, 2L, 2L, 2L, 1L),  // lift ties break by n_pair DESC
+      ("b", "c", 1L, 2L, 1L, 2L, 1L),
+      ("b", "a", 1L, 2L, 2L, 1L, 0L)))
+    // the positive-PMI default floor drops the independence-level pair
+    assert(run(10, 1L, 2L).map(r => (r._1, r._2)) ==
+      Seq(("a", "b"), ("b", "c")))
+    // the hapax guard drops everything below the count floor
+    assert(run(10, 2L, 1L).map(r => (r._1, r._2)) == Seq(("a", "b")))
+    // k truncates the total order deterministically
+    assert(run(1, 1L, 1L).map(r => (r._1, r._2)) == Seq(("a", "b")))
+  }
+
   test("kneserNeyBits: interpolation, continuation fall, hand-computed") {
     // train: "a b a c" + "a b b" → cb: ab=2 ba=1 ac=1 bb=1;
     // cu(a)=3 n1p_p(a)=2 {b,c}; cu(b)=2 n1p_p(b)=2 {a,b};

@@ -880,6 +880,30 @@ class DedupSpec extends AnyFunSuite {
     assert(common.nonEmpty)
   }
 
+  test("winnowAlignments: anchor positions replay the reference on both sides") {
+    val run = "golden ratio spiral sequence fibonacci lattice prime harmonic"
+    val a = s"aa bb cc $run dd ee ff"
+    val b = s"gg hh $run ii jj kk ll"
+    val docs = Seq((1L, a), (2L, b), (3L, "mm nn oo pp qq rr"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup
+      .winnowAlignments(docs, "text", "doc_id", n = 3, w = 4, maxDf = 20)
+      .select("doc_a", "doc_b", "h", "pos_a", "pos_b")
+      .as[(Long, Long, Long, Int, Int)].collect().toSet
+    // expected: every (posA, posB) combination of a shared hash's
+    // selected occurrences, derived from the plain-Scala reference
+    val ra = refWinnow(a, 3, 4)
+    val rb = refWinnow(b, 3, 4)
+    val want = (for {
+      (pa, ha) <- ra; (pb, hb) <- rb if ha == hb
+    } yield (1L, 2L, ha, pa, pb)).toSet
+    assert(want.nonEmpty && got == want)
+    // anchors localize: both sides' positions sit inside the shared run
+    // (offset 3 in doc a, offset 2 in doc b; 8 words → 6 trigrams)
+    assert(got.forall { case (_, _, _, pa, pb) =>
+      pa >= 3 && pa <= 8 && pb >= 2 && pb <= 7 })
+  }
+
   test("winnowNearDupPairs: shared counts, minShared gate, maxDf boilerplate drop") {
     val run = "golden ratio spiral sequence fibonacci lattice prime harmonic"
     val docs = Seq(

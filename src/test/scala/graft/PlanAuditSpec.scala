@@ -557,6 +557,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q177 PMI: counts partial-agg map-side; top-k is TakeOrderedAndProject") {
+    val plan = planOf("q177_pmi_collocations")
+    // the two corpus passes pre-collapse before any exchange, and the
+    // top-k never globally sorts the pair table
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("q178 proximity: term filters reach the positions scan") {
+    val plan = planOf("q178_proximity_search")
+    // both term relations scan with their pushed token-equality filter
+    // (row-group pruned on token-sorted files) — never a full
+    // positional-postings read or a document token re-scan
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(token".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+  }
+
   test("q138 embedding drift: assignment is map work; k-row drift join") {
     val plan = planOf("q138_embedding_drift")
     // argmax-dot assignment against literal centroids — the ONLY join

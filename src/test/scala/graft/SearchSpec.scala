@@ -359,6 +359,30 @@ class SearchSpec extends AnyFunSuite {
     assert(phrase() == Seq((1L, 1), (2L, 1)))
   }
 
+  test("proximitySearchIndexed: window pair counts, min distance, tombstones") {
+    val idx = "target/graft-test-proximity"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    val docs = Seq(
+      (1L, "x q q y q x"), // x@{0,5}, y@{3}: |0-3|=3 out, |5-3|=2 in → (1, 2)
+      (2L, "y x"),         // |1-0|=1 → (1, 1)
+      (3L, "x y q x y"),   // x@{0,3}, y@{1,4}: dists 1,4,2,1 → ≤2: 3 pairs, min 1
+      (4L, "x q q q q q q q y"), // dist 8 > 2: excluded by n_pairs = 0
+      (5L, "x x x")        // no y at all: excluded by the join
+    ).toDF("doc_id", "text")
+    Search.saveTextIndex(docs, idx)
+    Search.savePositionalIndex(docs, idx)
+    def got() = Search.proximitySearchIndexed(spark, idx, "x", "y",
+        maxDist = 2, k = 10)
+      .select("doc_id", "n_pairs", "min_dist", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got() == Seq((3L, 3L, 1L, 1), (1L, 1L, 2L, 2), (2L, 1L, 1L, 3)))
+    // pending tombstones mask proximity serves like every serve path
+    Search.tombstoneFromTextIndex(spark, idx, Seq(3L).toDF("doc_id"))
+    assert(got() == Seq((1L, 1L, 2L, 1), (2L, 1L, 1L, 2)))
+  }
+
   test("savePositionalIndex is born-versioned: a fresh rebuild preserves pins") {
     val idx = "target/graft-test-phrase-rebuild"
     val fs = new org.apache.hadoop.fs.Path(idx)
