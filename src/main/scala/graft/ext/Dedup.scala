@@ -1613,6 +1613,148 @@ object Dedup {
         col("b.pos").as("pos_b"))
   }
 
+  // --------------------------------------- persisted winnow manifest (q180)
+
+  /** Build and persist a WINNOWING manifest for a corpus — the
+    * partial-overlap analogue of [[saveMinhashManifest]]: MinHash
+    * manifests answer "is this batch document a NEAR-DUP of known
+    * content?" (whole-document Jaccard); this one answers "does it
+    * CONTAIN or QUOTE known content?" — overlap the whole-set measure
+    * dilutes away. Layout under `path`:
+    *  - `fps/`  (doc, pos, h): the corpus's selected winnowing
+    *    fingerprints ([[winnowFingerprints]]), h-sorted within files so
+    *    probe-side slices prune row groups. Positions ride along for
+    *    alignment-grade probes.
+    *  - `meta/` (n, w): the winnowing parameters, validated at probe
+    *    time — a probe winnowed with different (n, w) shares no hashes
+    *    and would silently miss everything.
+    * `minShared`/`maxDf` are probe-time choices, like the MinHash
+    * manifest's threshold.
+    */
+  def saveWinnowManifest(df: DataFrame, textCol: String, idCol: String,
+                         path: String, n: Int = 3, w: Int = 4): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // a rebuild starts a fresh streaming lineage (the shared rule):
+    // stale exactly-once markers would no-op a new stream's batches
+    graft.ops.Stage.clearLedger(spark, path)
+    graft.ops.Stage.clearTombstones(spark, path)
+    writeWinnowTables(df, textCol, idCol, path, n, w, "overwrite")
+    Seq((n, w)).toDF("n", "w")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The shared fps pipeline of [[saveWinnowManifest]] (overwrite) and
+    * the appends — ONE implementation so build and append stay
+    * join-compatible (the [[writeManifestTables]] rule). */
+  private def writeWinnowTables(df: DataFrame, textCol: String,
+                                idCol: String, path: String, n: Int,
+                                w: Int, mode: String): Unit = {
+    val spark = df.sparkSession
+    winnowFingerprints(df, textCol, idCol, n, w)
+      .select(col(idCol).as("doc"), col("pos"), col("h"))
+      .repartition(col("h")).sortWithinPartitions("h", "doc", "pos")
+      .write.mode(mode)
+      .parquet(graft.ops.Stage.resolve(spark, s"$path/fps"))
+  }
+
+  /** Append a batch's fingerprints to a [[saveWinnowManifest]] manifest
+    * without rebuilding — batch-sized work against the manifest's own
+    * (n, w); new documents' rows are per-doc disjoint, so they land as
+    * new files. Under the root writer lease, like every manifest append. */
+  def appendToWinnowManifest(newDf: DataFrame, textCol: String,
+                             idCol: String, path: String): Unit =
+    graft.ops.Stage.withWriterLease(newDf.sparkSession, path) {
+      val meta = newDf.sparkSession.read.parquet(
+        graft.ops.Stage.resolve(newDf.sparkSession, s"$path/meta")).head()
+      writeWinnowTables(newDf, textCol, idCol, path,
+        meta.getAs[Int]("n"), meta.getAs[Int]("w"), "append")
+    }
+
+  /** [[appendToWinnowManifest]] with EXACTLY-ONCE semantics for
+    * streaming ingest ([[graft.ops.Stage.appendExactlyOnce]] — marker
+    * check, staged publish under `b<batchId>-*`): a replayed batch does
+    * not double its fingerprint rows (a double would inflate every
+    * later probe's shared counts for that content). */
+  def appendToWinnowManifestExactlyOnce(newDf: DataFrame, textCol: String,
+                                        idCol: String, path: String,
+                                        batchId: Long): Unit = {
+    val spark = newDf.sparkSession
+    if (graft.ops.Stage.alreadyPublished(spark, path, batchId)) return
+    val meta = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$path/meta")).head()
+    graft.ops.Stage.appendExactlyOnce(spark, path, batchId, Seq("fps")) {
+      staging =>
+        writeWinnowTables(newDf, textCol, idCol, staging,
+          meta.getAs[Int]("n"), meta.getAs[Int]("w"), "overwrite")
+    }
+  }
+
+  /** Probe an ingest batch against a persisted [[saveWinnowManifest]]
+    * manifest: per batch document, its strongest partial-overlap match
+    * in the known corpus — WITHOUT recomputing any corpus fingerprints.
+    * Verdict columns per batch doc: `n_fp` (its df-surviving
+    * fingerprints), `best_match` (the corpus doc sharing the most, ties
+    * to the smallest id; NULL when nothing shares), `shared`,
+    * `containment_ppm` (shared·10⁶ div n_fp — "how much of me is
+    * already known"), `flagged` (shared ≥ `minShared`).
+    *
+    * Scale shape: the batch winnows batch-sized; the manifest is sliced
+    * to the PROBE'S OWN HASHES first (a broadcast semi-join — the
+    * posting-list rule), the df cap is computed on that slice (bounded
+    * by batch hashes, never a manifest-wide aggregate), and the shared
+    * join broadcasts the batch side over the ≤ maxDf-per-hash slice, so
+    * probe cost is batch-sized at ANY manifest size.
+    */
+  def probeWinnowOverlap(batch: DataFrame, path: String,
+                         idCol: String = "doc_id",
+                         textCol: String = "text", minShared: Int = 2,
+                         maxDf: Int = 20): DataFrame = {
+    require(minShared >= 1, s"minShared >= 1, got $minShared")
+    require(maxDf >= 1, s"maxDf >= 1, got $maxDf")
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$path/meta")).head()
+    val (n, w) = (meta.getAs[Int]("n"), meta.getAs[Int]("w"))
+    val bf = winnowFingerprints(batch, textCol, idCol, n, w)
+      .select(col(idCol).as("bdoc"), col("h")).distinct()
+    val mf = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$path/fps"))
+      .select(col("doc"), col("h")).distinct()
+    // slice the manifest to the probe's hashes BEFORE any aggregate:
+    // everything downstream is bounded by the batch, not the corpus
+    val mfp = mf.join(broadcast(bf.select("h").distinct()), Seq("h"))
+    // boilerplate cap by EXCLUSION: drop hashes the manifest holds in
+    // more than maxDf documents — but keep batch hashes the manifest
+    // has never seen, so n_fp stays "my fingerprints" (the containment
+    // denominator), not "my fingerprints the corpus knows"
+    val cappedHs = mfp.groupBy("h").agg(count(lit(1)).as("hdf"))
+      .where(col("hdf") > maxDf).select("h")
+    val bk = bf.join(broadcast(cappedHs), Seq("h"), "left_anti")
+    val mk = mfp.join(broadcast(cappedHs), Seq("h"), "left_anti")
+    val nfp = bk.groupBy("bdoc").agg(count(lit(1)).as("n_fp"))
+    val best = mk.join(broadcast(bk), Seq("h"))
+      .groupBy(col("bdoc"), col("doc"))
+      .agg(count(lit(1)).as("shared"))
+      .groupBy("bdoc")
+      // argmax: most shared, then the SMALLEST corpus doc id
+      .agg(max(struct(col("shared"), (-col("doc")).as("nd"),
+        col("doc"))).as("b"))
+      .select(col("bdoc"), col("b.shared").as("shared"),
+        col("b.doc").as("best_match"))
+    batch.select(col(idCol).as("bdoc"))
+      .join(nfp, Seq("bdoc"), "left")
+      .join(best, Seq("bdoc"), "left")
+      .select(col("bdoc").as(idCol),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        col("best_match"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        when(coalesce(col("n_fp"), lit(0L)) > 0L,
+          expr("coalesce(shared, 0L) * 1000000L div n_fp"))
+          .otherwise(lit(0L)).as("containment_ppm"),
+        (coalesce(col("shared"), lit(0L)) >= minShared).as("flagged"))
+  }
+
   def winnowNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                          n: Int = 3, w: Int = 4, minShared: Int = 2,
                          maxDf: Int = 20): DataFrame = {

@@ -289,6 +289,26 @@ object DedupQueries {
         n = 3, w = 4, minShared = 2, maxDf = 20)
         .orderBy("doc_a", "doc_b")),
 
+    "q180_winnow_manifest_probe" -> ((s, d) => {
+      // incremental partial-overlap detection at ingest: persist the
+      // corpus's winnowing fingerprints ONCE (built on a quarter of the
+      // docs, grown to the even half with a plain append — probe must
+      // equal a fresh build over the union), then probe the odd half
+      // batch-sized. Per probe doc: its strongest known-corpus overlap,
+      // containment ppm, and the flag. The oracle replays both sides'
+      // winnowing, the exclusion-style df cap, and the argmax.
+      val sf = sfTag(d)
+      val path = s"target/graft-winnow-manifest-$sf"
+      val docs = t(s, d, "documents")
+      Dedup.saveWinnowManifest(
+        docs.where(pmod(col("doc_id"), lit(4)) === 0), "text", "doc_id", path)
+      Dedup.appendToWinnowManifest(
+        docs.where(pmod(col("doc_id"), lit(4)) === 2), "text", "doc_id", path)
+      Dedup.probeWinnowOverlap(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), path)
+        .orderBy("doc_id")
+    }),
+
     "q179_winnow_alignments" -> ((s, d) =>
       // overlap LOCALIZATION: every shared selected fingerprint's
       // positions on both sides of a document pair — the alignment
@@ -761,6 +781,61 @@ object DedupQueries {
          JOIN cnt ca ON ca.doc_id = doc_a
          JOIN cnt cb ON cb.doc_id = doc_b
          ORDER BY doc_a, doc_b""",
+
+    // q180: both sides' winnowing replayed (manifest = even ids, probe
+    // = odd ids), the exclusion-style df cap (drop hashes the manifest
+    // holds in > 20 docs; keep manifest-unknown probe hashes in n_fp),
+    // the (shared DESC, doc ASC) argmax, and the ppm division
+    "q180_winnow_manifest_probe" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents
+                    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+         g AS (SELECT doc_id, len(toks) - 2 AS m, i - 1 AS pos,
+                      array_to_string(toks[i:i+2], ' ') AS tok
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, len(toks) - 1)) AS i
+                     FROM t)),
+         h AS (SELECT doc_id, m, pos,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(tok) + 1),
+                          i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+               FROM g),
+         wins AS (SELECT doc_id, pos, h,
+                         unnest(range(greatest(pos - 3, 0),
+                           least(pos, greatest(m - 4, 0)) + 1)) AS s
+                  FROM h),
+         sel AS (SELECT DISTINCT doc_id, h FROM (
+                   SELECT doc_id, s, pos, h,
+                          row_number() OVER (PARTITION BY doc_id, s
+                                             ORDER BY h ASC, pos DESC) AS rn
+                   FROM wins) WHERE rn = 1),
+         mf AS (SELECT doc_id AS doc, h FROM sel WHERE doc_id % 2 = 0),
+         bf AS (SELECT doc_id AS bdoc, h FROM sel WHERE doc_id % 2 = 1),
+         capped AS (SELECT h FROM (SELECT h, count(*) AS hdf
+                                   FROM mf GROUP BY h) WHERE hdf > 20),
+         bk AS (SELECT bdoc, h FROM bf WHERE h NOT IN (SELECT h FROM capped)),
+         mk AS (SELECT doc, h FROM mf WHERE h NOT IN (SELECT h FROM capped)),
+         nfp AS (SELECT bdoc, count(*) AS n_fp FROM bk GROUP BY bdoc),
+         sh AS (SELECT bk.bdoc, mk.doc, count(*) AS shared
+                FROM bk JOIN mk USING (h) GROUP BY 1, 2),
+         best AS (SELECT bdoc, doc AS best_match, shared FROM (
+                    SELECT bdoc, doc, shared,
+                           row_number() OVER (PARTITION BY bdoc
+                             ORDER BY shared DESC, doc ASC) AS rn
+                    FROM sh) WHERE rn = 1)
+         SELECT d.doc_id,
+                CAST(coalesce(nfp.n_fp, 0) AS BIGINT) AS n_fp,
+                CAST(best.best_match AS BIGINT) AS best_match,
+                CAST(coalesce(best.shared, 0) AS BIGINT) AS shared,
+                CAST(CASE WHEN coalesce(nfp.n_fp, 0) > 0
+                     THEN coalesce(best.shared, 0) * 1000000 // nfp.n_fp
+                     ELSE 0 END AS BIGINT) AS containment_ppm,
+                coalesce(best.shared, 0) >= 2 AS flagged
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         LEFT JOIN nfp ON nfp.bdoc = d.doc_id
+         LEFT JOIN best ON best.bdoc = d.doc_id
+         ORDER BY d.doc_id""",
 
     // q179: q175's selection replay with positions retained, then the
     // df-capped position-pair self-join — every alignment anchor

@@ -29,6 +29,8 @@ object ServeBench {
   private def ivfPath(d: String) = s"target/graft-servebench-ivf-${sfTag(d)}"
   private def lmPath(d: String) = s"target/graft-servebench-lm-${sfTag(d)}"
   private def pqPath(d: String) = s"target/graft-servebench-pq-${sfTag(d)}"
+  private def winnowPath(d: String) =
+    s"target/graft-servebench-winnow-${sfTag(d)}"
 
   private def deq(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
@@ -85,7 +87,11 @@ object ServeBench {
     "pq" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.savePqIndex(emb, pqPath(d), m = 8, nCent = 16, dim = 64)
-    })
+    }),
+    "winnow" -> ((s, d) =>
+      Dedup.saveWinnowManifest(
+        t(s, d, "documents").where(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "doc_id", winnowPath(d)))
   )
 
   /** The timed serve/probe/diff stages — each the final stage of a
@@ -157,6 +163,17 @@ object ServeBench {
     "s15_pq_topk" -> ((s, d) =>
       Similarity.pqTopKIndexed(s,
         t(s, d, "embeddings").where(col("vec_id") < 10), pqPath(d),
-        k = 10))
+        k = 10)),
+    // proximity serve over the maintained positional component (q178
+    // tail): two pruned term scans + the windowed pair-count HOF
+    "s16_proximity" -> ((s, d) =>
+      Search.proximitySearchIndexed(s, textPath(d), "spark", "join",
+        maxDist = 5, k = 20)),
+    // winnow-manifest overlap probe (q180 tail): batch-sized probe of
+    // the persisted fingerprint corpus
+    "s17_winnow_probe" -> ((s, d) =>
+      Dedup.probeWinnowOverlap(
+        t(s, d, "documents").where(pmod(col("doc_id"), lit(2)) === 1),
+        winnowPath(d)))
   )
 }

@@ -904,6 +904,55 @@ class DedupSpec extends AnyFunSuite {
       pa >= 3 && pa <= 8 && pb >= 2 && pb <= 7 })
   }
 
+  test("winnow manifest: build+append ≡ fresh build; probe verdicts; replay no-op") {
+    val path = "target/graft-test-winnow-manifest"
+    val path2 = "target/graft-test-winnow-manifest-fresh"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(path, path2).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val run = "golden ratio spiral sequence fibonacci lattice prime harmonic"
+    val corpusA = Seq((1L, s"aa bb cc $run dd ee ff"))
+    val corpusB = Seq((2L, "mm nn oo pp qq rr ss tt uu vv"))
+    val probe = Seq(
+      (3L, s"gg hh $run ii jj kk"), // quotes doc 1's run → flagged
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8"), // nothing shared
+      (5L, null.asInstanceOf[String])) // no fingerprints at all
+      .toDF("doc_id", "text")
+    // grow a manifest in two steps, and fresh-build the union beside it
+    graft.ext.Dedup.saveWinnowManifest(
+      corpusA.toDF("doc_id", "text"), "text", "doc_id", path)
+    graft.ext.Dedup.appendToWinnowManifest(
+      corpusB.toDF("doc_id", "text"), "text", "doc_id", path)
+    graft.ext.Dedup.saveWinnowManifest(
+      (corpusA ++ corpusB).toDF("doc_id", "text"), "text", "doc_id", path2)
+    def verdicts(p: String) = graft.ext.Dedup
+      .probeWinnowOverlap(probe, p)
+      .select("doc_id", "n_fp", "best_match", "shared", "containment_ppm",
+        "flagged")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    val got = verdicts(path)
+    assert(got == verdicts(path2)) // append ≡ fresh build over the union
+    val d3 = got.find(_._1 == 3L).get
+    assert(d3._3 == 1L && d3._4 >= 1L && d3._6) // doc 1 matched, flagged
+    assert(d3._5 == d3._4 * 1000000L / d3._2)   // ppm = shared/n_fp
+    val d4 = got.find(_._1 == 4L).get
+    assert(d4._3 == -1L && d4._4 == 0L && !d4._6 && d4._2 > 0L)
+    assert(got.find(_._1 == 5L).get ==
+      ((5L, 0L, -1L, 0L, 0L, false))) // null text: all-zero row, not absent
+    // exactly-once: a replayed batch id is a no-op (verdicts unchanged)
+    graft.ext.Dedup.appendToWinnowManifestExactlyOnce(
+      Seq((6L, "zz yy xx ww vv uu")).toDF("doc_id", "text"),
+      "text", "doc_id", path, batchId = 9L)
+    val after = verdicts(path)
+    graft.ext.Dedup.appendToWinnowManifestExactlyOnce(
+      Seq((6L, "zz yy xx ww vv uu")).toDF("doc_id", "text"),
+      "text", "doc_id", path, batchId = 9L)
+    assert(verdicts(path) == after)
+  }
+
   test("winnowNearDupPairs: shared counts, minShared gate, maxDf boilerplate drop") {
     val run = "golden ratio spiral sequence fibonacci lattice prime harmonic"
     val docs = Seq(
