@@ -1639,24 +1639,29 @@ object Dedup {
     // stale exactly-once markers would no-op a new stream's batches
     graft.ops.Stage.clearLedger(spark, path)
     graft.ops.Stage.clearTombstones(spark, path)
-    writeWinnowTables(df, textCol, idCol, path, n, w, "overwrite")
+    // BORN VERSIONED (Stage.publishRebuild, like savePositionalIndex):
+    // snapshot pins work straight off a fresh build, and a re-build
+    // over a maintained manifest preserves the pointer/GC line
+    graft.ops.Stage.publishRebuild(spark, s"$path/fps")(versionDir =>
+      winnowFps(df, textCol, idCol, n, w)
+        .write.mode("overwrite").parquet(versionDir))
     Seq((n, w)).toDF("n", "w")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** The shared fps pipeline of [[saveWinnowManifest]] (overwrite) and
-    * the appends — ONE implementation so build and append stay
-    * join-compatible (the [[writeManifestTables]] rule). */
-  private def writeWinnowTables(df: DataFrame, textCol: String,
-                                idCol: String, path: String, n: Int,
-                                w: Int, mode: String): Unit = {
-    val spark = df.sparkSession
+  /** The ONE fps pipeline shared by build and both appends, so they
+    * stay join-compatible (the [[writeManifestTables]] rule). */
+  private def winnowFps(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, w: Int): DataFrame =
     winnowFingerprints(df, textCol, idCol, n, w)
       .select(col(idCol).as("doc"), col("pos"), col("h"))
       .repartition(col("h")).sortWithinPartitions("h", "doc", "pos")
-      .write.mode(mode)
-      .parquet(graft.ops.Stage.resolve(spark, s"$path/fps"))
-  }
+
+  private def writeWinnowTables(df: DataFrame, textCol: String,
+                                idCol: String, path: String, n: Int,
+                                w: Int, mode: String): Unit =
+    winnowFps(df, textCol, idCol, n, w).write.mode(mode)
+      .parquet(graft.ops.Stage.resolve(df.sparkSession, s"$path/fps"))
 
   /** Append a batch's fingerprints to a [[saveWinnowManifest]] manifest
     * without rebuilding — batch-sized work against the manifest's own
@@ -1689,6 +1694,44 @@ object Dedup {
           meta.getAs[Int]("n"), meta.getAs[Int]("w"), "overwrite")
     }
   }
+
+  /** Delete documents from a [[saveWinnowManifest]] manifest — the
+    * right-to-be-forgotten path, ID-keyed (unlike the MinHash
+    * manifest's content-keyed delete: that one stores exact-collapse
+    * REPRESENTATIVES, so ids under-delete there; winnow fps are plain
+    * per-document rows, so the id IS the right key). One anti-join +
+    * atomic publish ([[graft.ops.Stage.publishRewrite]] — a crash
+    * mid-rewrite leaves the old manifest serving); probing afterwards
+    * equals probing a manifest built without those documents. */
+  def deleteFromWinnowManifest(spark: org.apache.spark.sql.SparkSession,
+                               path: String, ids: DataFrame,
+                               idCol: String = "doc_id"): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      graft.ops.Stage.sweepUncommitted(spark, path, Seq("fps"))
+      val del = ids.select(col(idCol).as("doc")).distinct()
+      graft.ops.Stage.publishRewrite(spark, s"$path/fps",
+        spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/fps"))
+          .join(del, Seq("doc"), "left_anti"))
+    }
+
+  /** Pin / roll back the winnow manifest's state under a NAMED snapshot
+    * ([[graft.ops.Stage.snapshot]] / [[graft.ops.Stage.restoreSnapshot]]
+    * on the fps component, under the root lease) — the same
+    * campaign-grade undo surface as the other index families. */
+  def snapshotWinnowManifest(spark: org.apache.spark.sql.SparkSession,
+                             path: String, name: String): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      graft.ops.Stage.sweepUncommitted(spark, path, Seq("fps"))
+      graft.ops.Stage.snapshot(spark, s"$path/fps", name)
+    }
+
+  /** Restore the [[snapshotWinnowManifest]] pin (atomic pointer flip;
+    * the pin survives). */
+  def restoreWinnowManifest(spark: org.apache.spark.sql.SparkSession,
+                            path: String, name: String): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      graft.ops.Stage.restoreSnapshot(spark, s"$path/fps", name)
+    }
 
   /** Probe an ingest batch against a persisted [[saveWinnowManifest]]
     * manifest: per batch document, its strongest partial-overlap match

@@ -309,6 +309,25 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    "q181_winnow_manifest_delete" -> ((s, d) => {
+      // the winnow manifest's right-to-be-forgotten path: build on the
+      // even half, pin, DELETE every eighth id (an anti-join compaction
+      // rewrite), probe the odd half — verdicts must equal probing a
+      // manifest built without the deleted docs (the oracle filters the
+      // manifest side identically). Restore-from-pin is spec-pinned.
+      val sf = sfTag(d)
+      val path = s"target/graft-winnow-manifest-del-$sf"
+      val docs = t(s, d, "documents")
+      Dedup.saveWinnowManifest(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id", path)
+      Dedup.snapshotWinnowManifest(s, path, "pre_forget")
+      Dedup.deleteFromWinnowManifest(s, path,
+        docs.where(pmod(col("doc_id"), lit(8)) === 0).select("doc_id"))
+      Dedup.probeWinnowOverlap(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), path)
+        .orderBy("doc_id")
+    }),
+
     "q179_winnow_alignments" -> ((s, d) =>
       // overlap LOCALIZATION: every shared selected fingerprint's
       // positions on both sides of a document pair — the alignment
@@ -434,6 +453,58 @@ object DedupQueries {
               max(CASE WHEN jac >= 0.9 THEN jac END) AS near_jaccard,
               coalesce(bool_or(jac >= 0.9), false) AS is_near_dup
        FROM p GROUP BY doc_id ORDER BY doc_id"""
+
+  private def winnowProbeReplay(manifestExtra: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents
+                    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+         g AS (SELECT doc_id, len(toks) - 2 AS m, i - 1 AS pos,
+                      array_to_string(toks[i:i+2], ' ') AS tok
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, len(toks) - 1)) AS i
+                     FROM t)),
+         h AS (SELECT doc_id, m, pos,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(tok) + 1),
+                          i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+               FROM g),
+         wins AS (SELECT doc_id, pos, h,
+                         unnest(range(greatest(pos - 3, 0),
+                           least(pos, greatest(m - 4, 0)) + 1)) AS s
+                  FROM h),
+         sel AS (SELECT DISTINCT doc_id, h FROM (
+                   SELECT doc_id, s, pos, h,
+                          row_number() OVER (PARTITION BY doc_id, s
+                                             ORDER BY h ASC, pos DESC) AS rn
+                   FROM wins) WHERE rn = 1),
+         mf AS (SELECT doc_id AS doc, h FROM sel WHERE doc_id % 2 = 0
+                $manifestExtra),
+         bf AS (SELECT doc_id AS bdoc, h FROM sel WHERE doc_id % 2 = 1),
+         capped AS (SELECT h FROM (SELECT h, count(*) AS hdf
+                                   FROM mf GROUP BY h) WHERE hdf > 20),
+         bk AS (SELECT bdoc, h FROM bf WHERE h NOT IN (SELECT h FROM capped)),
+         mk AS (SELECT doc, h FROM mf WHERE h NOT IN (SELECT h FROM capped)),
+         nfp AS (SELECT bdoc, count(*) AS n_fp FROM bk GROUP BY bdoc),
+         sh AS (SELECT bk.bdoc, mk.doc, count(*) AS shared
+                FROM bk JOIN mk USING (h) GROUP BY 1, 2),
+         best AS (SELECT bdoc, doc AS best_match, shared FROM (
+                    SELECT bdoc, doc, shared,
+                           row_number() OVER (PARTITION BY bdoc
+                             ORDER BY shared DESC, doc ASC) AS rn
+                    FROM sh) WHERE rn = 1)
+         SELECT d.doc_id,
+                CAST(coalesce(nfp.n_fp, 0) AS BIGINT) AS n_fp,
+                CAST(best.best_match AS BIGINT) AS best_match,
+                CAST(coalesce(best.shared, 0) AS BIGINT) AS shared,
+                CAST(CASE WHEN coalesce(nfp.n_fp, 0) > 0
+                     THEN coalesce(best.shared, 0) * 1000000 // nfp.n_fp
+                     ELSE 0 END AS BIGINT) AS containment_ppm,
+                coalesce(best.shared, 0) >= 2 AS flagged
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         LEFT JOIN nfp ON nfp.bdoc = d.doc_id
+         LEFT JOIN best ON best.bdoc = d.doc_id
+         ORDER BY d.doc_id"""
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -782,60 +853,14 @@ object DedupQueries {
          JOIN cnt cb ON cb.doc_id = doc_b
          ORDER BY doc_a, doc_b""",
 
-    // q180: both sides' winnowing replayed (manifest = even ids, probe
-    // = odd ids), the exclusion-style df cap (drop hashes the manifest
-    // holds in > 20 docs; keep manifest-unknown probe hashes in n_fp),
-    // the (shared DESC, doc ASC) argmax, and the ppm division
-    "q180_winnow_manifest_probe" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-                    FROM documents
-                    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
-         g AS (SELECT doc_id, len(toks) - 2 AS m, i - 1 AS pos,
-                      array_to_string(toks[i:i+2], ' ') AS tok
-               FROM (SELECT doc_id, toks,
-                            unnest(range(1, len(toks) - 1)) AS i
-                     FROM t)),
-         h AS (SELECT doc_id, m, pos,
-                      list_reduce(list_prepend(CAST(0 AS BIGINT),
-                        list_transform(range(1, length(tok) + 1),
-                          i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
-                        (acc, c) -> (acc * 31 + c) % 1000000007) AS h
-               FROM g),
-         wins AS (SELECT doc_id, pos, h,
-                         unnest(range(greatest(pos - 3, 0),
-                           least(pos, greatest(m - 4, 0)) + 1)) AS s
-                  FROM h),
-         sel AS (SELECT DISTINCT doc_id, h FROM (
-                   SELECT doc_id, s, pos, h,
-                          row_number() OVER (PARTITION BY doc_id, s
-                                             ORDER BY h ASC, pos DESC) AS rn
-                   FROM wins) WHERE rn = 1),
-         mf AS (SELECT doc_id AS doc, h FROM sel WHERE doc_id % 2 = 0),
-         bf AS (SELECT doc_id AS bdoc, h FROM sel WHERE doc_id % 2 = 1),
-         capped AS (SELECT h FROM (SELECT h, count(*) AS hdf
-                                   FROM mf GROUP BY h) WHERE hdf > 20),
-         bk AS (SELECT bdoc, h FROM bf WHERE h NOT IN (SELECT h FROM capped)),
-         mk AS (SELECT doc, h FROM mf WHERE h NOT IN (SELECT h FROM capped)),
-         nfp AS (SELECT bdoc, count(*) AS n_fp FROM bk GROUP BY bdoc),
-         sh AS (SELECT bk.bdoc, mk.doc, count(*) AS shared
-                FROM bk JOIN mk USING (h) GROUP BY 1, 2),
-         best AS (SELECT bdoc, doc AS best_match, shared FROM (
-                    SELECT bdoc, doc, shared,
-                           row_number() OVER (PARTITION BY bdoc
-                             ORDER BY shared DESC, doc ASC) AS rn
-                    FROM sh) WHERE rn = 1)
-         SELECT d.doc_id,
-                CAST(coalesce(nfp.n_fp, 0) AS BIGINT) AS n_fp,
-                CAST(best.best_match AS BIGINT) AS best_match,
-                CAST(coalesce(best.shared, 0) AS BIGINT) AS shared,
-                CAST(CASE WHEN coalesce(nfp.n_fp, 0) > 0
-                     THEN coalesce(best.shared, 0) * 1000000 // nfp.n_fp
-                     ELSE 0 END AS BIGINT) AS containment_ppm,
-                coalesce(best.shared, 0) >= 2 AS flagged
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
-         LEFT JOIN nfp ON nfp.bdoc = d.doc_id
-         LEFT JOIN best ON best.bdoc = d.doc_id
-         ORDER BY d.doc_id""",
+    // q180/q181: both sides' winnowing replayed (manifest = even ids,
+    // probe = odd ids; q181 additionally forgets every eighth id), the
+    // exclusion-style df cap (drop hashes the manifest holds in > 20
+    // docs; keep manifest-unknown probe hashes in n_fp), the
+    // (shared DESC, doc ASC) argmax, and the ppm division
+    "q180_winnow_manifest_probe" -> winnowProbeReplay(""),
+    "q181_winnow_manifest_delete" ->
+      winnowProbeReplay("AND doc_id % 8 <> 0"),
 
     // q179: q175's selection replay with positions retained, then the
     // df-capped position-pair self-join — every alignment anchor

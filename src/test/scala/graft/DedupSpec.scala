@@ -951,6 +951,15 @@ class DedupSpec extends AnyFunSuite {
       Seq((6L, "zz yy xx ww vv uu")).toDF("doc_id", "text"),
       "text", "doc_id", path, batchId = 9L)
     assert(verdicts(path) == after)
+    // forget doc 1: its quote verdict vanishes; the pinned pre-forget
+    // state restores it (born-versioned: the pin works off the build)
+    graft.ext.Dedup.snapshotWinnowManifest(spark, path, "pre_forget")
+    graft.ext.Dedup.deleteFromWinnowManifest(spark, path,
+      Seq(1L).toDF("doc_id"))
+    val forgotten = verdicts(path).find(_._1 == 3L).get
+    assert(forgotten._3 == -1L && forgotten._4 == 0L && !forgotten._6)
+    graft.ext.Dedup.restoreWinnowManifest(spark, path, "pre_forget")
+    assert(verdicts(path) == after)
   }
 
   test("winnowNearDupPairs: shared counts, minShared gate, maxDf boilerplate drop") {
