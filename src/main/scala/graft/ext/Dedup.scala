@@ -1613,6 +1613,57 @@ object Dedup {
         col("b.pos").as("pos_b"))
   }
 
+  /** The cross-split RELEASE-GATE matrix at winnowed density — the
+    * winnow counterpart of [[graft.ext.Corpus.splitLeakageMatrix]]'s
+    * full n-gram matrix: pairwise leakage across splits computed over
+    * SELECTED fingerprints only (expected 2/(w+1) of the grams — ~28%
+    * at w = 4), with the SIGMOD'03 guarantee that any shared run of
+    * ≥ n + w − 1 words still registers. The trade the operator states:
+    * a leak shorter than n + w − 1 words can slip a winnowed matrix
+    * that the full-gram matrix would catch; in exchange the self-join
+    * input shrinks by the density factor — the right default for a
+    * 100 TB release gate, with the full matrix as the escalation.
+    * Same surface: (split_a, split_b, n_leak_pairs, n_docs_a,
+    * n_docs_b, n_shared_total), zero rows for clean pairs, document
+    * frequency > `maxDf` fingerprints dropped first.
+    */
+  def winnowLeakageMatrix(df: DataFrame, textCol: String, idCol: String,
+                          splitCol: String = "split", n: Int = 3,
+                          w: Int = 4, minShared: Int = 1,
+                          maxDf: Int = 20): DataFrame = {
+    val fps = winnowFingerprints(df, textCol, idCol, n, w)
+      .select(col(idCol), col("h")).distinct()
+      .join(df.select(col(idCol), col(splitCol).as("split")), Seq(idCol))
+      .select(col("split"), col(idCol).as("doc"), col("h"))
+    val stop = fps.groupBy("h").agg(count(lit(1)).as("hdf"))
+      .where(col("hdf") > maxDf).select("h")
+    val kept = fps.join(stop, Seq("h"), "left_anti")
+    val lo = kept.select(col("h"), col("split").as("split_a"),
+      col("doc").as("doc_a"))
+    val hi = kept.select(col("h"), col("split").as("split_b"),
+      col("doc").as("doc_b"))
+    val pairs = lo.join(hi, Seq("h"))
+      .where(col("split_a") < col("split_b"))
+      .groupBy("split_a", "doc_a", "split_b", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    val matrix = pairs.groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_leak_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"),
+        countDistinct(col("doc_b")).as("n_docs_b"),
+        sum(col("n_shared")).as("n_shared_total"))
+    val splits = df.select(col(splitCol).as("s")).distinct()
+    val frame = splits.select(col("s").as("split_a"))
+      .crossJoin(splits.select(col("s").as("split_b")))
+      .where(col("split_a") < col("split_b"))
+    frame.join(matrix, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_leak_pairs"), lit(0L)).as("n_leak_pairs"),
+        coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+        coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"),
+        coalesce(col("n_shared_total"), lit(0L)).as("n_shared_total"))
+  }
+
   // --------------------------------------- persisted winnow manifest (q180)
 
   /** Build and persist a WINNOWING manifest for a corpus — the
@@ -1712,6 +1763,20 @@ object Dedup {
       graft.ops.Stage.publishRewrite(spark, s"$path/fps",
         spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/fps"))
           .join(del, Seq("doc"), "left_anti"))
+    }
+
+  /** Fold the winnow manifest's per-batch file trail into one fresh,
+    * h-sorted version ([[graft.ops.Stage.publishRewrite]] — atomic, old
+    * version keeps serving through a crash): streaming ingest lands one
+    * file set per micro-batch, and probe-side row-group pruning wants
+    * the h-sort restored. Manifest-sized work, no corpus re-winnowing. */
+  def compactWinnowManifest(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      graft.ops.Stage.sweepUncommitted(spark, path, Seq("fps"))
+      graft.ops.Stage.publishRewrite(spark, s"$path/fps",
+        spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/fps"))
+          .repartition(col("h")).sortWithinPartitions("h", "doc", "pos"))
     }
 
   /** Pin / roll back the winnow manifest's state under a NAMED snapshot

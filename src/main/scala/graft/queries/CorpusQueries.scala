@@ -708,7 +708,7 @@ object CorpusQueries {
          (acc, c) -> (acc * 31 + c) % 1000000007)"""
 
   /** q23's rolling fingerprint fold, reused for the split bucket. */
-  private val fpFold =
+  private[queries] val fpFold =
     """list_reduce(
          list_prepend(CAST(0 AS BIGINT),
            list_transform(string_split(text, ' '),

@@ -309,6 +309,54 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    "q183_winnow_leakage_matrix" -> ((s, d) =>
+      // the release gate at winnowed density: q142's pairwise
+      // cross-split leakage matrix computed over selected fingerprints
+      // (~2/(w+1) of the grams) instead of every n-gram — the cheap
+      // first gate, with the full-gram matrix as the escalation. The
+      // oracle replays split assignment, every window argmin, the df
+      // cap, and every rollup count.
+      Dedup.winnowLeakageMatrix(
+        graft.ext.Corpus.splitAssign(t(s, d, "documents"), "text"),
+        "text", "doc_id", n = 3, w = 4, minShared = 1, maxDf = 20)
+        .orderBy("split_a", "split_b")),
+
+    "q182_stream_winnow_ingest" -> ((s, d) => {
+      // the winnow-manifest ingest loop CLOSED over streaming (q115's
+      // shape for this family): an empty born-versioned SHELL first,
+      // then the even half streams in via foreachBatch with
+      // EXACTLY-ONCE fingerprint appends; compact the per-batch file
+      // trail (restores the h-sort); probe the odd half — must equal
+      // probing a batch-built manifest, q180's oracle verbatim.
+      val docs = t(s, d, "documents")
+      val path = s"target/graft-stream-winnow-${sfTag(d)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(path, s"$path.ckpt").foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Dedup.saveWinnowManifest(docs.where(lit(false)), "text", "doc_id", path)
+      val stream = s.readStream
+        .schema(graft.streaming.DocumentStreams.docSchema)
+        .parquet(s"$d/documents.*")
+        .where(pmod(col("doc_id"), lit(2)) === 0)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$path.ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          Dedup.appendToWinnowManifestExactlyOnce(batch, "text", "doc_id",
+            path, batchId)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Dedup.compactWinnowManifest(s, path)
+      Dedup.probeWinnowOverlap(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), path)
+        .orderBy("doc_id")
+    }),
+
     "q181_winnow_manifest_delete" -> ((s, d) => {
       // the winnow manifest's right-to-be-forgotten path: build on the
       // even half, pin, DELETE every eighth id (an anti-join compaction
@@ -861,6 +909,70 @@ object DedupQueries {
     "q180_winnow_manifest_probe" -> winnowProbeReplay(""),
     "q181_winnow_manifest_delete" ->
       winnowProbeReplay("AND doc_id % 8 <> 0"),
+    // q182 streams the even half in via exactly-once appends, then
+    // compacts — verdicts must equal the batch-built manifest's
+    "q182_stream_winnow_ingest" -> winnowProbeReplay(""),
+
+    // q183: the winnow selection replay (q175's CTEs) + q142's split
+    // assignment and rollup — leakage matrix over selected fingerprints
+    "q183_winnow_leakage_matrix" ->
+      s"""WITH t AS (SELECT doc_id,
+                          CASE WHEN ${CorpusQueries.fpFold} % 100 < 80
+                               THEN 'train'
+                               WHEN ${CorpusQueries.fpFold} % 100 < 90
+                               THEN 'val' ELSE 'test' END AS split,
+                          string_split(text, ' ') AS toks
+                    FROM documents
+                    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+         g AS (SELECT doc_id, split, len(toks) - 2 AS m, i - 1 AS pos,
+                      array_to_string(toks[i:i+2], ' ') AS tok
+               FROM (SELECT doc_id, split, toks,
+                            unnest(range(1, len(toks) - 1)) AS i
+                     FROM t)),
+         h AS (SELECT doc_id, split, m, pos,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(tok) + 1),
+                          i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+               FROM g),
+         wins AS (SELECT doc_id, split, pos, h,
+                         unnest(range(greatest(pos - 3, 0),
+                           least(pos, greatest(m - 4, 0)) + 1)) AS s
+                  FROM h),
+         sel AS (SELECT DISTINCT doc_id, split, h FROM (
+                   SELECT doc_id, split, s, pos, h,
+                          row_number() OVER (PARTITION BY doc_id, s
+                                             ORDER BY h ASC, pos DESC) AS rn
+                   FROM wins) WHERE rn = 1),
+         dfh AS (SELECT h, count(*) AS hdf FROM sel GROUP BY h),
+         kept AS (SELECT sel.split, sel.doc_id AS doc, sel.h FROM sel
+                  JOIN dfh USING (h) WHERE hdf <= 20),
+         p AS (SELECT a.split AS split_a, a.doc AS doc_a,
+                      b2.split AS split_b, b2.doc AS doc_b,
+                      count(*) AS ns
+               FROM kept a JOIN kept b2
+                 ON a.h = b2.h AND a.split < b2.split
+               GROUP BY 1, 2, 3, 4 HAVING count(*) >= 1),
+         mx AS (SELECT split_a, split_b,
+                       CAST(count(*) AS BIGINT) AS n_leak_pairs,
+                       CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+                       CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b,
+                       CAST(sum(ns) AS BIGINT) AS n_shared_total
+                FROM p GROUP BY 1, 2),
+         sp AS (SELECT DISTINCT CASE WHEN ${CorpusQueries.fpFold} % 100 < 80
+                                     THEN 'train'
+                                     WHEN ${CorpusQueries.fpFold} % 100 < 90
+                                     THEN 'val' ELSE 'test' END AS s
+                FROM documents),
+         fr AS (SELECT a.s AS split_a, b.s AS split_b
+                FROM sp a JOIN sp b ON a.s < b.s)
+         SELECT fr.split_a, fr.split_b,
+                coalesce(mx.n_leak_pairs, 0) AS n_leak_pairs,
+                coalesce(mx.n_docs_a, 0) AS n_docs_a,
+                coalesce(mx.n_docs_b, 0) AS n_docs_b,
+                coalesce(mx.n_shared_total, 0) AS n_shared_total
+         FROM fr LEFT JOIN mx USING (split_a, split_b)
+         ORDER BY fr.split_a, fr.split_b""",
 
     // q179: q175's selection replay with positions retained, then the
     // df-capped position-pair self-join — every alignment anchor
