@@ -58,6 +58,8 @@ object Campaign {
   final case class IvfIndex(path: String) extends Member
   /** A [[Similarity.savePqIndex]] root (codes). */
   final case class PqIndex(path: String) extends Member
+  /** A [[Dedup.saveWinnowManifest]] root (fps). */
+  final case class WinnowManifest(path: String) extends Member
 
   /** Pin every member under `name` at one logical instant — all member
     * root leases held (in sorted-path order) for the duration of all
@@ -138,6 +140,7 @@ object Campaign {
     case Lm(p)              => Corpus.restoreLm(spark, p, name)
     case IvfIndex(p)        => Similarity.restoreIvfIndex(spark, p, name)
     case PqIndex(p)         => Similarity.restorePqIndex(spark, p, name)
+    case WinnowManifest(p)  => Dedup.restoreWinnowManifest(spark, p, name)
   }
 
   /** Release every member's pin under `name`. The pinned versions become
@@ -155,6 +158,7 @@ object Campaign {
       case Lm(p)              => Corpus.vacuumLm(spark, p)
       case IvfIndex(p)        => Similarity.vacuumIvfIndex(spark, p)
       case PqIndex(p)         => Similarity.vacuumPqIndex(spark, p)
+      case WinnowManifest(p)  => Dedup.vacuumWinnowManifest(spark, p)
     }
 
   /** One operational dashboard for the whole campaign: every member's
@@ -186,6 +190,7 @@ object Campaign {
     case Lm(_)              => ("lm", Seq("bigrams", "vocab"))
     case IvfIndex(_)        => ("ivf_index", Seq("lists"))
     case PqIndex(_)         => ("pq_index", Seq("codes"))
+    case WinnowManifest(_)  => ("winnow_manifest", Seq("fps"))
   }
 
   /** The member's own family pin — runs under the already-held root
@@ -199,6 +204,7 @@ object Campaign {
       case Lm(p)              => Corpus.snapshotLm(spark, p, name)
       case IvfIndex(p)        => Similarity.snapshotIvfIndex(spark, p, name)
       case PqIndex(p)         => Similarity.snapshotPqIndex(spark, p, name)
+      case WinnowManifest(p)  => Dedup.snapshotWinnowManifest(spark, p, name)
     }
 
   private def dropMember(spark: SparkSession, name: String,
@@ -208,5 +214,6 @@ object Campaign {
     case Lm(p)              => Corpus.dropLmSnapshot(spark, p, name)
     case IvfIndex(p)        => Similarity.dropIvfIndexSnapshot(spark, p, name)
     case PqIndex(p)         => Similarity.dropPqIndexSnapshot(spark, p, name)
+    case WinnowManifest(p)  => Dedup.dropWinnowManifestSnapshot(spark, p, name)
   }
 }

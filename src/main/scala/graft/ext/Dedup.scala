@@ -1798,6 +1798,17 @@ object Dedup {
       graft.ops.Stage.restoreSnapshot(spark, s"$path/fps", name)
     }
 
+  /** Release a [[snapshotWinnowManifest]] pin; the pinned version
+    * becomes an ordinary GC candidate at the next publish. */
+  def dropWinnowManifestSnapshot(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, name: String): Unit =
+    graft.ops.Stage.dropSnapshot(spark, s"$path/fps", name)
+
+  /** Reclaim the manifest's stale versions now. */
+  def vacuumWinnowManifest(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit =
+    graft.ops.Stage.vacuum(spark, s"$path/fps")
+
   /** Probe an ingest batch against a persisted [[saveWinnowManifest]]
     * manifest: per batch document, its strongest partial-overlap match
     * in the known corpus — WITHOUT recomputing any corpus fingerprints.
@@ -1817,7 +1828,29 @@ object Dedup {
   def probeWinnowOverlap(batch: DataFrame, path: String,
                          idCol: String = "doc_id",
                          textCol: String = "text", minShared: Int = 2,
-                         maxDf: Int = 20): DataFrame = {
+                         maxDf: Int = 20): DataFrame =
+    probeWinnowImpl(batch, path,
+      graft.ops.Stage.resolve(batch.sparkSession, s"$path/fps"),
+      idCol, textCol, minShared, maxDf)
+
+  /** [[probeWinnowOverlap]] against a [[snapshotWinnowManifest]] pin —
+    * the frozen-corpus read (validation probes, reproducible reports)
+    * while the live manifest keeps maintaining. */
+  def probeWinnowOverlapSnapshot(batch: DataFrame, path: String,
+                                 name: String, idCol: String = "doc_id",
+                                 textCol: String = "text",
+                                 minShared: Int = 2,
+                                 maxDf: Int = 20): DataFrame =
+    probeWinnowImpl(batch, path,
+      graft.ops.Stage.resolveSnapshot(batch.sparkSession, s"$path/fps", name)
+        .getOrElse(throw new IllegalStateException(
+          s"$path/fps has no snapshot '$name' to probe")),
+      idCol, textCol, minShared, maxDf)
+
+  private def probeWinnowImpl(batch: DataFrame, path: String,
+                              fpsDir: String, idCol: String,
+                              textCol: String, minShared: Int,
+                              maxDf: Int): DataFrame = {
     require(minShared >= 1, s"minShared >= 1, got $minShared")
     require(maxDf >= 1, s"maxDf >= 1, got $maxDf")
     val spark = batch.sparkSession
@@ -1826,8 +1859,7 @@ object Dedup {
     val (n, w) = (meta.getAs[Int]("n"), meta.getAs[Int]("w"))
     val bf = winnowFingerprints(batch, textCol, idCol, n, w)
       .select(col(idCol).as("bdoc"), col("h")).distinct()
-    val mf = spark.read.parquet(
-      graft.ops.Stage.resolve(spark, s"$path/fps"))
+    val mf = spark.read.parquet(fpsDir)
       .select(col("doc"), col("h")).distinct()
     // slice the manifest to the probe's hashes BEFORE any aggregate:
     // everything downstream is bounded by the batch, not the corpus

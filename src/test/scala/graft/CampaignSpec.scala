@@ -326,6 +326,40 @@ class CampaignSpec extends AnyFunSuite {
     intercept[IllegalStateException] { pinned() }
   }
 
+  test("a winnow-manifest member pins and serves with the rest of the campaign") {
+    val wm = "target/graft-test-campaign-winnow"
+    val text = "target/graft-test-campaign-winnow-text"
+    wipe(wm, text)
+    val run = "golden ratio spiral sequence fibonacci lattice prime harmonic"
+    val corpus = Seq((1L, s"aa bb cc $run dd"), (2L, "mm nn oo pp qq rr ss"))
+      .toDF("doc_id", "text")
+    val probe = Seq((3L, s"gg hh $run ii jj")).toDF("doc_id", "text")
+    graft.ext.Dedup.saveWinnowManifest(corpus, "text", "doc_id", wm)
+    Search.saveTextIndex(docRows.toDF("doc_id", "text"), text)
+    Search.compactTextIndex(spark, text)
+    val members = Seq(Campaign.WinnowManifest(wm), Campaign.TextIndex(text))
+    Campaign.snapshot(spark, "rel", members)
+    def pinned() = graft.ext.Dedup
+      .probeWinnowOverlapSnapshot(probe, wm, "rel")
+      .collect().map(_.toSeq).toSet
+    val atPin = pinned()
+    assert(atPin.nonEmpty)
+    // a post-pin forget is invisible through the pin...
+    graft.ext.Dedup.deleteFromWinnowManifest(spark, wm, Seq(1L).toDF("doc_id"))
+    assert(pinned() == atPin)
+    // ...but visible live; cross-family restore undoes it
+    val forgotten = graft.ext.Dedup.probeWinnowOverlap(probe, wm)
+      .select("flagged").collect().map(_.getBoolean(0)).toSeq
+    assert(forgotten == Seq(false))
+    Campaign.restore(spark, "rel", members)
+    val live = graft.ext.Dedup.probeWinnowOverlap(probe, wm)
+      .collect().map(_.toSeq).toSet
+    assert(live == atPin)
+    Campaign.drop(spark, "rel", members)
+    Campaign.vacuum(spark, members)
+    intercept[IllegalStateException] { pinned() }
+  }
+
   test("campaign healthReport unions every member's rows under family/root") {
     val text = "target/graft-test-campaign-health-text"
     val lm = "target/graft-test-campaign-health-lm"
