@@ -159,6 +159,22 @@ object Corpus {
       .withColumn("pack_id", floor(before / lit(budget)).cast("long"))
   }
 
+  /** [[packSequences]] generalized to a PRECOMPUTED length column — the
+    * production form: models consume BPE tokens, not whitespace words,
+    * so the packer a training-file writer actually runs budgets on the
+    * tokenizer's own counts ([[bpeSegmentCounts]]'s `n_bpe_tokens`).
+    * Same shard-partitioned prefix-sum window, same deterministic
+    * `orderCol` assignment. */
+  def packSequencesBy(df: DataFrame, lenCol: String, shardCol: String,
+                      orderCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val before = coalesce(sum(col(lenCol)).over(w), lit(0L))
+    df.withColumn("pack_id", floor(before / lit(budget)).cast("long"))
+  }
+
   /** Deterministic stratified sample: exactly `k` documents per stratum
     * (source, language, …), chosen by smallest content fingerprint with an
     * id tiebreak — the eval-set builder. Content-keyed like [[splitAssign]]

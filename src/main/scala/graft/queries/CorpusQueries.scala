@@ -326,6 +326,28 @@ object CorpusQueries {
       // string-accumulator fold.
       Corpus.bpeMerges(t(s, d, "documents"), "text", nMerges = 8)),
 
+    "q184_pack_bpe_budget" -> ((s, d) => {
+      // the PRODUCTION packing composition: train the tokenizer (the
+      // in-memory loop, 8 merges to stay oracle-tractable), segment
+      // every document, then pack per source shard on the BPE token
+      // budget — models consume BPE tokens, so this is the count the
+      // training-file writer actually budgets on. The oracle replays
+      // training, segmentation, AND the prefix-sum pack assignment.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val merges = Corpus.bpeMergesInMemory(docs, "text", nMerges = 8)
+        .orderBy("rank").select("left", "right")
+        .as[(String, String)].collect().toSeq
+      val seg = Corpus.bpeSegmentCounts(docs, "text", "doc_id", merges)
+      Corpus.packSequencesBy(
+        docs.select(col("doc_id"), col("source"))
+          .join(seg.select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id")),
+        "n_bpe_tokens", shardCol = "source", orderCol = "doc_id",
+        budget = 512L)
+        .select("doc_id", "source", "n_bpe_tokens", "pack_id")
+        .orderBy("doc_id")
+    }),
+
     "q177_pmi_collocations" -> ((s, d) =>
       // Church & Hanks collocation mining: top-50 adjacent pairs by
       // integer-bits PMI with the min-count-5 hapax guard — products in
@@ -1131,6 +1153,32 @@ object CorpusQueries {
     // q176: the same generated replay at the production query's depth —
     // 64 chained CTE generations
     "q176_bpe_train_production" -> bpeReplaySql(64),
+
+    // q184: the 8-generation training replay + the dictionary join
+    // (q163's CTEs) + q60's windowed prefix-sum pack assignment on the
+    // BPE counts
+    "q184_pack_bpe_budget" ->
+      s"""WITH ${bpeTrainCtes(8)},
+          ds AS (SELECT doc_id, word
+                 FROM (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents WHERE text IS NOT NULL)
+                 WHERE length(word) > 0),
+          seg AS (SELECT ds.doc_id,
+                         CAST(sum(len(w.syms)) AS BIGINT) AS n_bpe
+                  FROM ds JOIN w9 w USING (word)
+                  GROUP BY ds.doc_id),
+          base AS (SELECT d.doc_id, d.source,
+                          CAST(coalesce(seg.n_bpe, 0) AS BIGINT)
+                            AS n_bpe_tokens
+                   FROM documents d LEFT JOIN seg USING (doc_id))
+          SELECT doc_id, source, n_bpe_tokens,
+                 CAST(floor(COALESCE(sum(n_bpe_tokens)
+                     OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)
+                   / 512.0) AS BIGINT) AS pack_id
+          FROM base ORDER BY doc_id""",
 
     // q177: pair/unigram counts, HUGEINT lift (the decimal-width replay
     // of the engine's DECIMAL(38,0) products), floor-log₂ bits, and the
