@@ -1664,6 +1664,49 @@ object Dedup {
         coalesce(col("n_shared_total"), lit(0L)).as("n_shared_total"))
   }
 
+  /** Quotation/plagiarism SPAN reconstruction from alignment anchors —
+    * the human-readable form of [[winnowAlignments]]: shared anchors
+    * between two documents that sit on one DIAGONAL (pos_a − pos_b
+    * constant) and within `maxGap` gram positions of each other are one
+    * contiguous shared passage, reported as word-index spans on both
+    * sides. A span's end covers its last gram's n words
+    * (end = last_pos + n − 1), so `[start_a, end_a]` is the quoted
+    * word range in doc_a and `[start_b, end_b]` the matching range in
+    * doc_b; `n_anchors` is its evidence weight. The diagonal constraint
+    * is what makes this spans and not co-occurrence: a reordered or
+    * interleaved match breaks into separate spans, exactly as a
+    * plagiarism reviewer would want.
+    *
+    * Scale shape: [[winnowAlignments]]' bounded self-join, then a
+    * window PER (pair, diagonal) — anchor-sized relations throughout,
+    * never corpus-sized; the classic sessionize split (lag > maxGap
+    * starts a new run) over at most a few anchors per group.
+    */
+  def winnowSpans(df: DataFrame, textCol: String, idCol: String,
+                  n: Int = 3, w: Int = 4, maxDf: Int = 20,
+                  maxGap: Int = 8): DataFrame = {
+    require(maxGap >= 1, s"maxGap >= 1, got $maxGap")
+    import org.apache.spark.sql.expressions.Window
+    val al = winnowAlignments(df, textCol, idCol, n, w, maxDf)
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val ord = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    val runBreak = when(lag(col("pos_a"), 1).over(ord).isNull ||
+      col("pos_a") - lag(col("pos_a"), 1).over(ord) > maxGap, 1L)
+      .otherwise(0L)
+    al.withColumn("brk", runBreak)
+      .withColumn("run", sum(col("brk")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_a", "doc_b", "diag", "run")
+      .agg(min(col("pos_a")).as("start_a"),
+        (max(col("pos_a")) + (n - 1)).as("end_a"),
+        count(lit(1)).as("n_anchors"))
+      .select(col("doc_a"), col("doc_b"),
+        col("start_a"), col("end_a"),
+        (col("start_a") - col("diag")).as("start_b"),
+        (col("end_a") - col("diag")).as("end_b"),
+        col("n_anchors"))
+  }
+
   // --------------------------------------- persisted winnow manifest (q180)
 
   /** Build and persist a WINNOWING manifest for a corpus — the

@@ -309,6 +309,16 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    "q185_winnow_spans" -> ((s, d) =>
+      // quotation-span reconstruction: q179's anchors collapsed into
+      // contiguous shared passages — same diagonal (pos_a − pos_b),
+      // gaps ≤ 8 gram positions — reported as word-index ranges on
+      // both sides with anchor counts. The oracle replays the anchor
+      // join, the diagonal sessionize, and every span boundary.
+      Dedup.winnowSpans(t(s, d, "documents"), "text", "doc_id",
+        n = 3, w = 4, maxDf = 20, maxGap = 8)
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")),
+
     "q183_winnow_leakage_matrix" -> ((s, d) =>
       // the release gate at winnowed density: q142's pairwise
       // cross-split leakage matrix computed over selected fingerprints
@@ -973,6 +983,64 @@ object DedupQueries {
                 coalesce(mx.n_shared_total, 0) AS n_shared_total
          FROM fr LEFT JOIN mx USING (split_a, split_b)
          ORDER BY fr.split_a, fr.split_b""",
+
+    // q185: q179's anchor replay + the diagonal sessionize (lag > 8
+    // starts a run) + span boundaries on both sides
+    "q185_winnow_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents
+                    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+         g AS (SELECT doc_id, len(toks) - 2 AS m, i - 1 AS pos,
+                      array_to_string(toks[i:i+2], ' ') AS tok
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, len(toks) - 1)) AS i
+                     FROM t)),
+         h AS (SELECT doc_id, m, pos,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(tok) + 1),
+                          i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+               FROM g),
+         wins AS (SELECT doc_id, pos, h,
+                         unnest(range(greatest(pos - 3, 0),
+                           least(pos, greatest(m - 4, 0)) + 1)) AS s
+                  FROM h),
+         sel AS (SELECT DISTINCT doc_id, pos, h FROM (
+                   SELECT doc_id, s, pos, h,
+                          row_number() OVER (PARTITION BY doc_id, s
+                                             ORDER BY h ASC, pos DESC) AS rn
+                   FROM wins) WHERE rn = 1),
+         dfh AS (SELECT h, count(*) AS hdf
+                 FROM (SELECT DISTINCT doc_id, h FROM sel) GROUP BY h),
+         kept AS (SELECT sel.doc_id, sel.pos, sel.h FROM sel
+                  JOIN dfh USING (h) WHERE hdf <= 20),
+         al AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.pos AS pos_a, b.pos AS pos_b,
+                       a.pos - b.pos AS diag
+                FROM kept a JOIN kept b
+                  ON a.h = b.h AND a.doc_id < b.doc_id),
+         r AS (SELECT doc_a, doc_b, pos_a, diag,
+                      CASE WHEN lag(pos_a) OVER
+                             (PARTITION BY doc_a, doc_b, diag
+                              ORDER BY pos_a) IS NULL
+                           OR pos_a - lag(pos_a) OVER
+                             (PARTITION BY doc_a, doc_b, diag
+                              ORDER BY pos_a) > 8
+                           THEN 1 ELSE 0 END AS brk
+               FROM al),
+         rr AS (SELECT doc_a, doc_b, pos_a, diag,
+                       sum(brk) OVER (PARTITION BY doc_a, doc_b, diag
+                                      ORDER BY pos_a
+                                      ROWS UNBOUNDED PRECEDING) AS run
+                FROM r)
+         SELECT doc_a, doc_b,
+                CAST(min(pos_a) AS INTEGER) AS start_a,
+                CAST(max(pos_a) + 2 AS INTEGER) AS end_a,
+                CAST(min(pos_a) - diag AS INTEGER) AS start_b,
+                CAST(max(pos_a) + 2 - diag AS INTEGER) AS end_b,
+                CAST(count(*) AS BIGINT) AS n_anchors
+         FROM rr GROUP BY doc_a, doc_b, diag, run
+         ORDER BY doc_a, doc_b, start_a, start_b""",
 
     // q179: q175's selection replay with positions retained, then the
     // df-capped position-pair self-join — every alignment anchor

@@ -904,6 +904,36 @@ class DedupSpec extends AnyFunSuite {
       pa >= 3 && pa <= 8 && pb >= 2 && pb <= 7 })
   }
 
+  test("winnowSpans: diagonal runs become word spans with exact boundaries") {
+    val run = "golden ratio spiral sequence fibonacci lattice prime harmonic"
+    val a = s"aa bb cc $run dd ee ff" // run at word offset 3
+    val b = s"gg hh $run ii jj kk ll" // run at word offset 2
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val spans = graft.ext.Dedup
+      .winnowSpans(docs, "text", "doc_id", n = 3, w = 4, maxDf = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getLong(6))).toSeq
+    // one shared passage on one diagonal: every span sits on the
+    // offset-1 diagonal and inside the planted 8-word run
+    assert(spans.nonEmpty)
+    assert(spans.forall { case (da, db, sa, ea, sb, eb, nA) =>
+      da == 1L && db == 2L && sa - sb == 1 && ea - eb == 1 &&
+        sa >= 3 && ea <= 3 + 7 && nA >= 1L })
+    // the anchors all fall in ONE run (gaps within the run < maxGap)
+    assert(spans.size == 1)
+    // identical documents collapse to one full-width span per diagonal:
+    // the zero diagonal's span covers every selected anchor
+    val twin = Seq((1L, run), (2L, run)).toDF("doc_id", "text")
+    val ref = refWinnow(run, 3, 4)
+    val ts = graft.ext.Dedup
+      .winnowSpans(twin, "text", "doc_id", n = 3, w = 4, maxDf = 20)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getLong(6))).toSeq
+    val diag0 = ts.filter(t => t._1 == t._3) // pos_a == pos_b spans
+    assert(diag0 == Seq((ref.map(_._1).min, ref.map(_._1).max + 2,
+      ref.map(_._1).min, ref.map(_._1).max + 2, ref.size.toLong)))
+  }
+
   test("winnow manifest: build+append ≡ fresh build; probe verdicts; replay no-op") {
     val path = "target/graft-test-winnow-manifest"
     val path2 = "target/graft-test-winnow-manifest-fresh"
