@@ -1339,6 +1339,32 @@ object Corpus {
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** TOKENIZER FERTILITY report: BPE tokens per word, per group — the
+    * metric a tokenizer owner reads per language/source before fixing
+    * the vocabulary (a group whose fertility runs high is paying more
+    * sequence length per word; the classic multilingual-vocab
+    * diagnostic). Integer ppm (tokens·10⁶ div words) in the repo's
+    * no-float-ratio discipline. Groups with zero words report 0.
+    * Input: [[bpeSegmentCounts]] output joined back to the grouping
+    * column — count relations only, one aggregate per group.
+    */
+  def bpeFertility(docs: DataFrame, textCol: String, idCol: String,
+                   groupCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val seg = bpeSegmentCounts(docs, textCol, idCol, merges)
+    docs.select(col(idCol), col(groupCol))
+      .join(seg, Seq(idCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        when(col("n_words") > 0L,
+          expr("n_bpe_tokens * 1000000L div n_words"))
+          .otherwise(lit(0L)).as("fertility_ppm"))
+  }
+
   /** One left-to-right merge pass over a symbol array: replace every
     * non-overlapping adjacent (a, b) with the concatenated symbol. The
     * accumulator holds (emitted symbols, one pending symbol); the

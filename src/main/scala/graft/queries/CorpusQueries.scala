@@ -326,6 +326,21 @@ object CorpusQueries {
       // string-accumulator fold.
       Corpus.bpeMerges(t(s, d, "documents"), "text", nMerges = 8)),
 
+    "q186_bpe_fertility" -> ((s, d) => {
+      // tokenizer FERTILITY by language: BPE tokens per word in integer
+      // ppm, per lang group — the diagnostic a vocabulary owner reads
+      // before reallocating merges across languages. Trains the
+      // in-memory 8-merge table, segments, rolls up. The oracle replays
+      // training, segmentation, and every ppm ratio.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val merges = Corpus.bpeMergesInMemory(docs, "text", nMerges = 8)
+        .orderBy("rank").select("left", "right")
+        .as[(String, String)].collect().toSeq
+      Corpus.bpeFertility(docs, "text", "doc_id", "lang", merges)
+        .orderBy("lang")
+    }),
+
     "q184_pack_bpe_budget" -> ((s, d) => {
       // the PRODUCTION packing composition: train the tokenizer (the
       // in-memory loop, 8 merges to stay oracle-tractable), segment
@@ -1153,6 +1168,32 @@ object CorpusQueries {
     // q176: the same generated replay at the production query's depth —
     // 64 chained CTE generations
     "q176_bpe_train_production" -> bpeReplaySql(64),
+
+    // q186: the training + segmentation replay rolled up per lang with
+    // the integer ppm ratio
+    "q186_bpe_fertility" ->
+      s"""WITH ${bpeTrainCtes(8)},
+          ds AS (SELECT doc_id, word
+                 FROM (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents WHERE text IS NOT NULL)
+                 WHERE length(word) > 0),
+          seg AS (SELECT ds.doc_id, count(*) AS n_words,
+                         CAST(sum(len(w.syms)) AS BIGINT) AS n_bpe
+                  FROM ds JOIN w9 w USING (word)
+                  GROUP BY ds.doc_id),
+          base AS (SELECT d.lang, d.doc_id,
+                          CAST(coalesce(seg.n_words, 0) AS BIGINT)
+                            AS n_words,
+                          CAST(coalesce(seg.n_bpe, 0) AS BIGINT) AS n_bpe
+                   FROM documents d LEFT JOIN seg USING (doc_id))
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_words) AS BIGINT) AS n_words,
+                 CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+                 CAST(CASE WHEN sum(n_words) > 0
+                      THEN sum(n_bpe) * 1000000 // sum(n_words)
+                      ELSE 0 END AS BIGINT) AS fertility_ppm
+          FROM base GROUP BY lang ORDER BY lang""",
 
     // q184: the 8-generation training replay + the dictionary join
     // (q163's CTEs) + q60's windowed prefix-sum pack assignment on the
