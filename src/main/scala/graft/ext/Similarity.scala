@@ -62,6 +62,89 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** MMR-DIVERSIFIED top-k retrieval (Carbonell & Goldstein, SIGIR'98 —
+    * maximal marginal relevance): per query, k results chosen greedily
+    * by `λ·cos(q, c) − (1−λ)·max_{s∈picked} cos(c, s)` — the second
+    * term is what plain top-k lacks: it PENALIZES picking another
+    * near-copy of something already picked, so the result set covers
+    * the neighborhood instead of repeating its densest cluster (the
+    * retrieval-augmentation and eval-set-builder default). Entirely
+    * deterministic: the candidate pool is the EXACT brute-force
+    * top-`fetch` (ties by id), every score is IEEE double arithmetic
+    * in pinned operation order (the [[topKBruteForce]] discipline, so
+    * the DuckDB oracle replays every pick), score ties break to the
+    * smaller id, and the empty-selection first pick is plain top-1.
+    * `lam` must be exactly binary-representable (0.5, 0.25, …) or the
+    * oracle's literal differs from the engine's.
+    *
+    * Scale shape: stage 1 is [[topKBruteForce]] (broadcast query side);
+    * stage 2 is one groupBy over the (|Q|·fetch)-sized candidate
+    * relation and a per-query greedy fold as a codegen'd HOF — k
+    * iterations over ≤ fetch candidates with ≤ k·dim flops each,
+    * bounded per group, never corpus-sized. The candidate relation
+    * broadcasts into the corpus-side vector join.
+    *
+    * Output: (query_id, neighbor_id, cos_sim, mmr_score, rank),
+    * rank 1..k per query.
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              fetch: Int = 50, lam: Double = 0.5,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(fetch >= k, s"fetch ($fetch) must be >= k ($k)")
+    require(lam >= 0.0 && lam <= 1.0, s"lambda in [0,1], got $lam")
+    val cands = topKBruteForce(queries, corpus, fetch, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    val cvecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    // (|Q|·fetch)-sized side broadcasts into the corpus-sized one
+    val enriched = cvecs.join(broadcast(cands), Seq("neighbor_id"))
+    val candT =
+      "struct<id:bigint,cos:double,vec:array<double>,nrm:double>"
+    val pickT = "array<struct<id:bigint,cos:double,score:double," +
+      "vec:array<double>,nrm:double>>"
+    val grouped = enriched.groupBy("query_id")
+      .agg(collect_list(struct(
+        col("neighbor_id").cast("long").as("id"),
+        col("cos_sim").as("cos"), col("vec"), col("nrm")).cast(candT))
+        .as("cands"))
+    def pickStep(acc: Column): Column = {
+      val remaining = filter(col("cands"), c =>
+        !exists(acc, p => p.getField("id") === c.getField("id")))
+      val scoredC = transform(remaining, c => {
+        val maxsim = coalesce(array_max(transform(acc, p =>
+          dot(c.getField("vec"), p.getField("vec")) /
+            (c.getField("nrm") * p.getField("nrm")))), lit(0.0))
+        struct(
+          (lit(lam) * c.getField("cos") - lit(1.0 - lam) * maxsim)
+            .as("score"),
+          (-c.getField("id")).as("negid"),
+          c.getField("id").as("id"), c.getField("cos").as("cos"),
+          c.getField("vec").as("vec"), c.getField("nrm").as("nrm"))
+      })
+      val best = array_max(scoredC)
+      val pickedT = "struct<id:bigint,cos:double,score:double," +
+        "vec:array<double>,nrm:double>"
+      when(size(scoredC) > 0,
+        concat(acc, array(struct(
+          best.getField("id").as("id"), best.getField("cos").as("cos"),
+          best.getField("score").as("score"),
+          best.getField("vec").as("vec"),
+          best.getField("nrm").as("nrm")).cast(pickedT))))
+        .otherwise(acc)
+    }
+    val greedy = aggregate(sequence(lit(1), lit(k)),
+      array().cast(pickT), (acc, _) => pickStep(acc))
+    grouped
+      .select(col("query_id"),
+        posexplode(greedy).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.cos").as("cos_sim"), col("p.score").as("mmr_score"),
+        (col("pos") + 1).as("rank"))
+  }
+
   /** HARD-NEGATIVE mining for metric-learning / embedding-model training
     * data: per query, the k most-similar corpus vectors whose LABEL
     * DIFFERS from the query's — the "looks like a match, must be pushed

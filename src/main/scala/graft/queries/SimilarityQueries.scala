@@ -32,6 +32,19 @@ object SimilarityQueries {
           (x, y) -> x + y)"""
 
   val queries: Map[String, Q] = Map(
+    "q187_mmr_diversified" -> ((s, d) => {
+      // MMR-diversified retrieval (Carbonell & Goldstein): exact
+      // top-50 candidate pool, then the greedy λ=0.5 relevance-vs-
+      // redundancy fold — the retrieval-augmentation default that
+      // plain top-k lacks. Fully deterministic (pinned double
+      // arithmetic, id tie-breaks), so the oracle replays every pick
+      // via a generated per-iteration CTE chain.
+      val emb = t(s, d, "embeddings")
+      Similarity.mmrTopK(emb.where(col("vec_id") < 10), emb,
+        k = 10, fetch = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     "q35_sim_topk_bruteforce" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.topKBruteForce(
@@ -573,6 +586,66 @@ object SimilarityQueries {
     })
   )
 
+  /** q187's generated MMR replay: the exact top-`fetch` pool, candidate
+    * pairwise sims, then `k` greedy iterations — each a scored CTE
+    * (0.5·cos − 0.5·max-sim-to-selected, empty selection → 0.0) and a
+    * (score DESC, id) argmax — exactly the engine's fold, iteration for
+    * iteration. MATERIALIZED throughout: the selection chain is
+    * referenced multiple times per step and DuckDB's inlining would
+    * otherwise re-expand it exponentially (the bpeTrainCtes lesson). */
+  private def mmrReplay(k: Int, fetch: Int): String = {
+    val steps = (1 to k).map { i =>
+      val prev = s"s${i - 1}"
+      s"""sc$i AS MATERIALIZED (
+            SELECT c.query_id, c.id, c.cos,
+                   0.5 * c.cos - 0.5 * coalesce(mx.m, 0.0) AS score
+            FROM cands c
+            LEFT JOIN (SELECT p.query_id, p.id_a AS id, max(p.sim) AS m
+                       FROM pair p JOIN $prev s
+                         ON s.query_id = p.query_id AND s.id = p.id_b
+                       GROUP BY 1, 2) mx
+              ON mx.query_id = c.query_id AND mx.id = c.id
+            WHERE NOT EXISTS (SELECT 1 FROM $prev s
+                              WHERE s.query_id = c.query_id
+                                AND s.id = c.id)),
+          p$i AS MATERIALIZED (
+            SELECT query_id, id, cos, score, $i AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, id) AS rn
+              FROM sc$i) WHERE rn = 1),
+          s$i AS MATERIALIZED (
+            SELECT query_id, id FROM $prev
+            UNION ALL SELECT query_id, id FROM p$i)"""
+    }.mkString(",\n          ")
+    val unions = (1 to k).map(i => s"SELECT * FROM p$i")
+      .mkString("\n            UNION ALL ")
+    s"""WITH e AS MATERIALIZED ($normed),
+        qs AS MATERIALIZED (SELECT * FROM e WHERE vec_id < 10),
+        scored0 AS (
+          SELECT qs.vec_id AS query_id, c.vec_id AS id,
+                 ${duckDot("qs.embedding", "c.embedding")}
+                   / (qs.nrm * c.nrm) AS cos
+          FROM e c CROSS JOIN qs WHERE qs.vec_id <> c.vec_id),
+        cands AS MATERIALIZED (SELECT query_id, id, cos FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, id) AS rk
+                   FROM scored0) WHERE rk <= $fetch),
+        pair AS MATERIALIZED (
+          SELECT a.query_id, a.id AS id_a, b.id AS id_b,
+                 ${duckDot("ea.embedding", "eb.embedding")}
+                   / (ea.nrm * eb.nrm) AS sim
+          FROM cands a
+          JOIN cands b ON a.query_id = b.query_id AND a.id <> b.id
+          JOIN e ea ON ea.vec_id = a.id
+          JOIN e eb ON eb.vec_id = b.id),
+        s0 AS (SELECT query_id, id FROM cands WHERE FALSE),
+        $steps
+        SELECT query_id, id AS neighbor_id, cos AS cos_sim,
+               score AS mmr_score, CAST(rank AS INTEGER) AS rank
+        FROM ($unions)
+        ORDER BY query_id, rank"""
+  }
+
   /** Norm-annotated embeddings. */
   private val normed =
     s"""SELECT vec_id, embedding,
@@ -707,6 +780,8 @@ object SimilarityQueries {
           FROM sel ORDER BY centroid"""
 
   val oracles: Map[String, String] = Map(
+    "q187_mmr_diversified" -> mmrReplay(10, 50),
+
     "q35_sim_topk_bruteforce" ->
       s"""WITH e AS ($normed),
               scored AS (

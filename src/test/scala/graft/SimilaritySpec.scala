@@ -62,6 +62,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2)._2 == 0.0)
   }
 
+  test("mmrTopK diversifies: redundancy penalty skips the near-copy") {
+    // query = unit x. Candidates 1 and 2 are near-copies of each other
+    // at the same relevance to q; 3 has the SAME relevance but a
+    // different azimuth (low sim to 1). Plain top-2 takes both copies;
+    // MMR at λ = 0.5 takes one copy, then 3 — the copy's redundancy
+    // (cos ≈ 1 to pick #1) beats its relevance edge, 3's doesn't
+    // (cos(3,1) ≈ 0.81).
+    val vecs = Seq(
+      0L -> Seq(1.0f, 0.0f, 0.0f),
+      1L -> Seq(0.9f, 0.435f, 0.0f),
+      2L -> Seq(0.9f, 0.436f, 0.0f), // near-copy of 1
+      3L -> Seq(0.9f, 0.0f, 0.436f)) // same relevance, other azimuth
+      .toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" === 0L)
+    val plain = Similarity.topKBruteForce(q, vecs, k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(plain == Seq(1L, 2L))
+    val mmr = Similarity.mmrTopK(q, vecs, k = 2, fetch = 3)
+      .orderBy("rank")
+      .select("neighbor_id", "cos_sim", "mmr_score", "rank")
+      .as[(Long, Double, Double, Int)].collect().toSeq
+    assert(mmr.map(_._1) == Seq(1L, 3L))
+    // first pick is plain top-1 with score = λ·cos (empty selection)
+    assert(mmr(0)._3 == 0.5 * mmr(0)._2)
+    // λ = 1 degenerates to plain top-k order
+    val lam1 = Similarity.mmrTopK(q, vecs, k = 3, fetch = 3, lam = 1.0)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(lam1 == Seq(1L, 2L, 3L))
+    // k beyond the candidate pool returns the whole pool, no more
+    assert(Similarity.mmrTopK(q, vecs, k = 3, fetch = 3).count() == 3L)
+  }
+
   test("quantize/dequantize: int8 round trip bounded by half a code, clamped") {
     val vecs = Seq((1L, Seq(0.1f, -0.3f, 0.45f, -0.52f, 5.0f, -5.0f, 0.0f)))
       .toDF("vec_id", "embedding")
