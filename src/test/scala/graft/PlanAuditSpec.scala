@@ -574,6 +574,19 @@ class PlanAuditSpec extends AnyFunSuite {
       .findFirstIn(plan).isDefined, plan.take(3000))
   }
 
+  test("q180 winnow probe: hash joins broadcast; batch-keyed SMJ only") {
+    val plan = planOf("q180_winnow_manifest_probe")
+    // the manifest slice and the df-cap exclusion join as broadcasts
+    // (the probe side is batch-sized by contract); no cartesian ever;
+    // any sort-merge join keys on the BATCH doc id (k-row assembly),
+    // never on the fingerprint hash (which would shuffle the manifest)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert("BroadcastHashJoin [^\n]*LeftAnti".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert("SortMergeJoin \\[h#".r.findFirstIn(plan).isEmpty, plan.take(3000))
+  }
+
   test("q138 embedding drift: assignment is map work; k-row drift join") {
     val plan = planOf("q138_embedding_drift")
     // argmax-dot assignment against literal centroids — the ONLY join
