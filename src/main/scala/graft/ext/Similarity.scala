@@ -100,7 +100,45 @@ object Similarity {
       col(vecCol).cast("array<double>").as("vec"),
       norm(col(vecCol)).as("nrm"))
     // (|Q|·fetch)-sized side broadcasts into the corpus-sized one
-    val enriched = cvecs.join(broadcast(cands), Seq("neighbor_id"))
+    mmrGreedy(cvecs.join(broadcast(cands), Seq("neighbor_id")), k, lam)
+  }
+
+  /** [[mmrTopK]] served from the PERSISTED IVF index — diversified
+    * retrieval at the amortized-index price: the candidate pool is
+    * [[topKIvfIndexed]] at depth `fetch` (partition-pruned probe of the
+    * inverted lists), and the redundancy sims compute over the INDEX'S
+    * OWN dequantized codes, so the whole pick sequence is a pure
+    * function of the persisted state (oracle-replayed end to end, like
+    * the q82 family). Tombstoned vectors never enter (the serve masks
+    * them). Same determinism contract as [[mmrTopK]].
+    */
+  def mmrTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                     queries: DataFrame, path: String, k: Int,
+                     fetch: Int = 40, nProbe: Int = 4, lam: Double = 0.5,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(fetch >= k, s"fetch ($fetch) must be >= k ($k)")
+    val served = topKIvfIndexed(spark, queries, path, fetch, nProbe,
+      idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    val (scale, _) = loadIvfMeta(spark, path)
+    val cvec = if (scale > 0) dequantize(col("code"), scale)
+      else col("code")
+    val vecs = spark.read
+      .parquet(graft.ops.Stage.resolve(spark, s"$path/lists"))
+      .select(col("vec_id").as("neighbor_id"), cvec.as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+    mmrGreedy(vecs.join(broadcast(served), Seq("neighbor_id")), k, lam)
+  }
+
+  /** The shared greedy stage of [[mmrTopK]]/[[mmrTopKIndexed]]: input is
+    * the vector-enriched candidate relation (query_id, neighbor_id,
+    * cos_sim, vec, nrm); one groupBy and a per-query k-iteration HOF
+    * fold, bounded per group. */
+  private def mmrGreedy(enriched: DataFrame, k: Int,
+                        lam: Double): DataFrame = {
+    require(lam >= 0.0 && lam <= 1.0, s"lambda in [0,1], got $lam")
     val candT =
       "struct<id:bigint,cos:double,vec:array<double>,nrm:double>"
     val pickT = "array<struct<id:bigint,cos:double,score:double," +

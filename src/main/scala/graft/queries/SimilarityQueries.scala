@@ -32,6 +32,25 @@ object SimilarityQueries {
           (x, y) -> x + y)"""
 
   val queries: Map[String, Q] = Map(
+    "q188_mmr_indexed" -> ((s, d) => {
+      // q187's diversified retrieval at the amortized-index price:
+      // candidates from the persisted IVF index's pruned probe (q82's
+      // fixture), redundancy sims over the index's own dequantized
+      // codes — the whole pick sequence a pure function of the
+      // persisted state, replayed end to end by the oracle.
+      val emb = t(s, d, "embeddings")
+      val deq = emb.select(col("vec_id"),
+        Similarity.dequantize(
+          Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+      val path = s"target/graft-ivf-mmr-${sfTag(d)}"
+      Similarity.saveIvfIndex(emb, path, nCentroids = 16, dim = 64,
+        quantScale = 200.0,
+        centroidsIn = Similarity.sampleCentroids(deq, 16))
+      Similarity.mmrTopKIndexed(s, deq.where(col("vec_id") < 10), path,
+        k = 10, fetch = 40, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     "q187_mmr_diversified" -> ((s, d) => {
       // MMR-diversified retrieval (Carbonell & Goldstein): exact
       // top-50 candidate pool, then the greedy λ=0.5 relevance-vs-
@@ -593,7 +612,72 @@ object SimilarityQueries {
     * iteration. MATERIALIZED throughout: the selection chain is
     * referenced multiple times per step and DuckDB's inlining would
     * otherwise re-expand it exponentially (the bpeTrainCtes lesson). */
-  private def mmrReplay(k: Int, fetch: Int): String = {
+  /** The brute-force candidate prelude (q187): exact top-`fetch` pool.
+    * Contract shared with [[mmrIvfPrelude]]: must define `e`
+    * (vec_id, embedding, nrm — the geometry the pair sims replay over)
+    * and `cands` (query_id, id, cos). */
+  private def mmrBrutePrelude(fetch: Int): String =
+    s"""e AS MATERIALIZED ($normed),
+        qs AS MATERIALIZED (SELECT * FROM e WHERE vec_id < 10),
+        scored0 AS (
+          SELECT qs.vec_id AS query_id, c.vec_id AS id,
+                 ${duckDot("qs.embedding", "c.embedding")}
+                   / (qs.nrm * c.nrm) AS cos
+          FROM e c CROSS JOIN qs WHERE qs.vec_id <> c.vec_id),
+        cands AS MATERIALIZED (SELECT query_id, id, cos FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, id) AS rk
+                   FROM scored0) WHERE rk <= $fetch)"""
+
+  /** The IVF candidate prelude (q188): q82's replay — quantize→
+    * dequantize geometry, sample-16 centroids, 4-probe pruned scoring —
+    * cut at depth `fetch`. Same `e`/`cands` contract as
+    * [[mmrBrutePrelude]], with `e` over the DEQUANTIZED vectors (the
+    * index's own codes are what the engine's redundancy sims read). */
+  private def mmrIvfPrelude(fetch: Int): String =
+    s"""dq AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding,
+            x -> greatest(least(floor(CAST(x AS DOUBLE) * 200 + 0.5),
+                                127), -128) / 200.0) AS embedding
+          FROM embeddings),
+        e AS MATERIALIZED (SELECT vec_id, embedding,
+                     sqrt(${duckDot("embedding", "embedding")}) AS nrm
+              FROM dq),
+        smp AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS rn,
+                 embedding
+          FROM (SELECT vec_id, embedding FROM dq ORDER BY vec_id LIMIT 16)),
+        cent AS (SELECT rn AS c, embedding AS cv FROM smp),
+        cd AS MATERIALIZED (
+          SELECT e.vec_id, cent.c,
+                 ${duckDot("e.embedding", "cent.cv")} AS d
+          FROM e CROSS JOIN cent),
+        assigned AS (
+          SELECT vec_id, c AS centroid FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, c DESC) AS r
+            FROM cd) WHERE r = 1),
+        probes AS (
+          SELECT vec_id, c AS centroid FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, c DESC) AS r
+            FROM cd WHERE vec_id < 10) WHERE r <= 4),
+        scored0 AS (
+          SELECT p.vec_id AS query_id, a.vec_id AS id,
+                 ${duckDot("qe.embedding", "ce.embedding")}
+                   / (qe.nrm * ce.nrm) AS cos
+          FROM probes p JOIN assigned a ON p.centroid = a.centroid
+          JOIN e qe ON qe.vec_id = p.vec_id
+          JOIN e ce ON ce.vec_id = a.vec_id
+          WHERE p.vec_id <> a.vec_id),
+        cands AS MATERIALIZED (SELECT query_id, id, cos FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, id) AS rk
+                   FROM scored0) WHERE rk <= $fetch)"""
+
+  private def mmrChain(k: Int, prelude: String): String = {
     val steps = (1 to k).map { i =>
       val prev = s"s${i - 1}"
       s"""sc$i AS MATERIALIZED (
@@ -619,17 +703,7 @@ object SimilarityQueries {
     }.mkString(",\n          ")
     val unions = (1 to k).map(i => s"SELECT * FROM p$i")
       .mkString("\n            UNION ALL ")
-    s"""WITH e AS MATERIALIZED ($normed),
-        qs AS MATERIALIZED (SELECT * FROM e WHERE vec_id < 10),
-        scored0 AS (
-          SELECT qs.vec_id AS query_id, c.vec_id AS id,
-                 ${duckDot("qs.embedding", "c.embedding")}
-                   / (qs.nrm * c.nrm) AS cos
-          FROM e c CROSS JOIN qs WHERE qs.vec_id <> c.vec_id),
-        cands AS MATERIALIZED (SELECT query_id, id, cos FROM (
-                   SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos DESC, id) AS rk
-                   FROM scored0) WHERE rk <= $fetch),
+    s"""WITH $prelude,
         pair AS MATERIALIZED (
           SELECT a.query_id, a.id AS id_a, b.id AS id_b,
                  ${duckDot("ea.embedding", "eb.embedding")}
@@ -780,7 +854,8 @@ object SimilarityQueries {
           FROM sel ORDER BY centroid"""
 
   val oracles: Map[String, String] = Map(
-    "q187_mmr_diversified" -> mmrReplay(10, 50),
+    "q187_mmr_diversified" -> mmrChain(10, mmrBrutePrelude(50)),
+    "q188_mmr_indexed" -> mmrChain(10, mmrIvfPrelude(40)),
 
     "q35_sim_topk_bruteforce" ->
       s"""WITH e AS ($normed),
