@@ -174,6 +174,12 @@ object ServeBench {
     "s17_winnow_probe" -> ((s, d) =>
       Dedup.probeWinnowOverlap(
         t(s, d, "documents").where(pmod(col("doc_id"), lit(2)) === 1),
-        winnowPath(d)))
+        winnowPath(d))),
+    // diversified serve from the persisted IVF index (q188 tail): the
+    // pruned over-fetch probe plus the per-query greedy MMR fold
+    "s18_mmr_indexed" -> ((s, d) =>
+      Similarity.mmrTopKIndexed(s,
+        deq(t(s, d, "embeddings")).where(col("vec_id") < 10),
+        ivfPath(d), k = 10, fetch = 40))
   )
 }
