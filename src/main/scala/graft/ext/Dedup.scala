@@ -1808,18 +1808,44 @@ object Dedup {
           .join(del, Seq("doc"), "left_anti"))
     }
 
+  /** TOMBSTONE documents in the winnow manifest — the batched
+    * alternative to [[deleteFromWinnowManifest]]'s per-call
+    * manifest-sized rewrite (the drip-feed-of-forgets economics of
+    * [[tombstoneContentInMinhashManifest]]): append the doc ids to the
+    * shared `tombstones/` table (batch-sized), probes mask pending ids
+    * immediately (the fps relation anti-joins before anything else),
+    * and [[compactWinnowManifest]] folds them into a physical delete on
+    * the compaction schedule. ID-keyed like the family's delete. */
+  def tombstoneFromWinnowManifest(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, ids: DataFrame,
+                                  idCol: String = "doc_id"): Unit =
+    graft.ops.Stage.appendTombstones(
+      ids.select(col(idCol).as("doc")), path)
+
   /** Fold the winnow manifest's per-batch file trail into one fresh,
     * h-sorted version ([[graft.ops.Stage.publishRewrite]] — atomic, old
     * version keeps serving through a crash): streaming ingest lands one
     * file set per micro-batch, and probe-side row-group pruning wants
-    * the h-sort restored. Manifest-sized work, no corpus re-winnowing. */
+    * the h-sort restored. Pending tombstones fold into the rewrite as a
+    * physical delete, then retire with the standard one-cycle reader
+    * grace ([[graft.ops.Stage.resetTombstones]]). Manifest-sized work,
+    * no corpus re-winnowing. */
   def compactWinnowManifest(spark: org.apache.spark.sql.SparkSession,
                             path: String): Unit =
     graft.ops.Stage.withWriterLease(spark, path) {
       graft.ops.Stage.sweepUncommitted(spark, path, Seq("fps"))
+      val snap = graft.ops.Stage.tombstoneSnapshot(spark, path)
+      val fps = spark.read
+        .parquet(graft.ops.Stage.resolve(spark, s"$path/fps"))
+      val live = snap.map(_._1) match {
+        case Some(t) => fps.join(t, Seq("doc"), "left_anti")
+        case None    => fps
+      }
       graft.ops.Stage.publishRewrite(spark, s"$path/fps",
-        spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/fps"))
-          .repartition(col("h")).sortWithinPartitions("h", "doc", "pos"))
+        live.repartition(col("h")).sortWithinPartitions("h", "doc", "pos"))
+      graft.ops.Stage.resetTombstones(spark, path,
+        snap.map(_._2).getOrElse(Nil))
+      graft.ops.Stage.compactLedger(spark, path)
     }
 
   /** Pin / roll back the winnow manifest's state under a NAMED snapshot
@@ -1902,8 +1928,15 @@ object Dedup {
     val (n, w) = (meta.getAs[Int]("n"), meta.getAs[Int]("w"))
     val bf = winnowFingerprints(batch, textCol, idCol, n, w)
       .select(col(idCol).as("bdoc"), col("h")).distinct()
-    val mf = spark.read.parquet(fpsDir)
-      .select(col("doc"), col("h")).distinct()
+    // pending tombstones mask every probe path immediately, snapshot
+    // reads included (right-to-be-forgotten holds for validation reads
+    // — the family rule)
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    val mfAll = spark.read.parquet(fpsDir).select(col("doc"), col("h"))
+    val mf = (tomb match {
+      case Some(t) => mfAll.join(broadcast(t), Seq("doc"), "left_anti")
+      case None    => mfAll
+    }).distinct()
     // slice the manifest to the probe's hashes BEFORE any aggregate:
     // everything downstream is bounded by the batch, not the corpus
     val mfp = mf.join(broadcast(bf.select("h").distinct()), Seq("h"))

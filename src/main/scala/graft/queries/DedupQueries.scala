@@ -331,6 +331,28 @@ object DedupQueries {
         "text", "doc_id", n = 3, w = 4, minShared = 1, maxDf = 20)
         .orderBy("split_a", "split_b")),
 
+    "q189_winnow_manifest_tombstone" -> ((s, d) => {
+      // the batched-forget path: tombstone every eighth id (batch-sized
+      // append), probe while PENDING (the mask must hold immediately),
+      // compact (the fold turns it physical), probe again — BOTH phases
+      // must equal probing a manifest built without those docs (q181's
+      // oracle, duplicated per phase).
+      val sf = sfTag(d)
+      val path = s"target/graft-winnow-manifest-ts-$sf"
+      val docs = t(s, d, "documents")
+      Dedup.saveWinnowManifest(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id", path)
+      Dedup.tombstoneFromWinnowManifest(s, path,
+        docs.where(pmod(col("doc_id"), lit(8)) === 0).select("doc_id"))
+      val probe = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      val pending = Dedup.probeWinnowOverlap(probe, path)
+        .withColumn("phase", lit("pending"))
+      Dedup.compactWinnowManifest(s, path)
+      val folded = Dedup.probeWinnowOverlap(probe, path)
+        .withColumn("phase", lit("folded"))
+      pending.unionByName(folded).orderBy("phase", "doc_id")
+    }),
+
     "q182_stream_winnow_ingest" -> ((s, d) => {
       // the winnow-manifest ingest loop CLOSED over streaming (q115's
       // shape for this family): an empty born-versioned SHELL first,
@@ -922,6 +944,14 @@ object DedupQueries {
     // q182 streams the even half in via exactly-once appends, then
     // compacts — verdicts must equal the batch-built manifest's
     "q182_stream_winnow_ingest" -> winnowProbeReplay(""),
+
+    // q189: q181's no-eighth-ids replay on BOTH sides of the fold —
+    // the pending mask and the physical delete serve identically
+    "q189_winnow_manifest_tombstone" ->
+      s"""SELECT t.*, p.phase
+          FROM (${winnowProbeReplay("AND doc_id % 8 <> 0")}) t
+          CROSS JOIN (VALUES ('pending'), ('folded')) p(phase)
+          ORDER BY p.phase, t.doc_id""",
 
     // q183: the winnow selection replay (q175's CTEs) + q142's split
     // assignment and rollup — leakage matrix over selected fingerprints

@@ -990,6 +990,18 @@ class DedupSpec extends AnyFunSuite {
     assert(forgotten._3 == -1L && forgotten._4 == 0L && !forgotten._6)
     graft.ext.Dedup.restoreWinnowManifest(spark, path, "pre_forget")
     assert(verdicts(path) == after)
+    // the BATCHED forget: a tombstone masks immediately, the fold turns
+    // it physical, and verdicts are identical at every point
+    graft.ext.Dedup.tombstoneFromWinnowManifest(spark, path,
+      Seq(1L).toDF("doc_id"))
+    val masked = verdicts(path)
+    assert(masked.find(_._1 == 3L).get._4 == 0L) // pending mask holds
+    graft.ext.Dedup.compactWinnowManifest(spark, path)
+    assert(verdicts(path) == masked) // the physical fold serves the same
+    val fpsDocs = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$path/fps"))
+      .select("doc").distinct().as[Long].collect().toSet
+    assert(!fpsDocs.contains(1L)) // rows physically gone after the fold
   }
 
   test("winnowNearDupPairs: shared counts, minShared gate, maxDf boilerplate drop") {
