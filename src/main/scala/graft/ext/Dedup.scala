@@ -1848,6 +1848,19 @@ object Dedup {
       graft.ops.Stage.compactLedger(spark, path)
     }
 
+  /** [[compactWinnowManifest]] when the fps component has fragmented
+    * past `maxFiles` live files ([[graft.ops.Stage.shouldCompact]]);
+    * otherwise a metadata-only listing — the self-maintenance hook for
+    * streaming ingest sinks, like [[autoCompactMinhashManifest]].
+    * Returns whether a compaction ran. */
+  def autoCompactWinnowManifest(spark: org.apache.spark.sql.SparkSession,
+                                path: String,
+                                maxFiles: Int = 64): Boolean = {
+    val go = graft.ops.Stage.shouldCompact(spark, path, Seq("fps"), maxFiles)
+    if (go) compactWinnowManifest(spark, path)
+    go
+  }
+
   /** Pin / roll back the winnow manifest's state under a NAMED snapshot
     * ([[graft.ops.Stage.snapshot]] / [[graft.ops.Stage.restoreSnapshot]]
     * on the fps component, under the root lease) — the same

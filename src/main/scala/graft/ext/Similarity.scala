@@ -132,6 +132,53 @@ object Similarity {
     mmrGreedy(vecs.join(broadcast(served), Seq("neighbor_id")), k, lam)
   }
 
+  /** DIVERSE hard negatives from the persisted IVF index —
+    * [[hardNegativesIndexed]] composed with the MMR greedy: over-fetch
+    * `fetch` candidates from the pruned probe, drop same-label rows,
+    * then pick k by relevance-vs-redundancy instead of plain top-k.
+    * Why a contrastive batch wants it: the k hardest negatives are
+    * frequently k near-copies of ONE confusable item — diverse
+    * negatives cover more of the decision boundary per batch slot
+    * (the in-batch-negative diversity argument). Same determinism and
+    * oracle-replay contract as [[mmrTopKIndexed]]; labels ride along
+    * as evidence columns. Queries whose label-filtered pool holds
+    * fewer than k rows return that many (raise `fetch`/`nProbe`).
+    */
+  def diverseHardNegativesIndexed(spark: org.apache.spark.sql.SparkSession,
+                                  queries: DataFrame, path: String,
+                                  labels: DataFrame, k: Int,
+                                  fetch: Int = 40, nProbe: Int = 4,
+                                  lam: Double = 0.5,
+                                  labelCol: String = "label",
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): DataFrame = {
+    require(fetch >= k, s"fetch ($fetch) must be >= k ($k)")
+    val served = topKIvfIndexed(spark, queries, path, fetch, nProbe,
+      idCol, vecCol)
+    val qL = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"))
+    val nL = labels.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"))
+    val cross = served
+      .join(broadcast(qL), Seq("query_id"))
+      .join(nL, Seq("neighbor_id"))
+      .where(col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    val (scale, _) = loadIvfMeta(spark, path)
+    val cvec = if (scale > 0) dequantize(col("code"), scale)
+      else col("code")
+    val vecs = spark.read
+      .parquet(graft.ops.Stage.resolve(spark, s"$path/lists"))
+      .select(col("vec_id").as("neighbor_id"), cvec.as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+    mmrGreedy(vecs.join(broadcast(cross), Seq("neighbor_id")), k, lam)
+      .join(broadcast(qL), Seq("query_id"))
+      .join(nL, Seq("neighbor_id"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cos_sim"), col("mmr_score"),
+        col("rank"))
+  }
+
   /** The shared greedy stage of [[mmrTopK]]/[[mmrTopKIndexed]]: input is
     * the vector-enriched candidate relation (query_id, neighbor_id,
     * cos_sim, vec, nrm); one groupBy and a per-query k-iteration HOF

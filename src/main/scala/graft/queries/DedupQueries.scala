@@ -379,6 +379,8 @@ object DedupQueries {
             org.apache.spark.sql.Row], batchId: Long) =>
           Dedup.appendToWinnowManifestExactlyOnce(batch, "text", "doc_id",
             path, batchId)
+          // self-maintaining sink: bound fps-file and ledger growth
+          Dedup.autoCompactWinnowManifest(batch.sparkSession, path)
           ()
         }
         .start()

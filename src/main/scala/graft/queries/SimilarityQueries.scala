@@ -32,6 +32,27 @@ object SimilarityQueries {
           (x, y) -> x + y)"""
 
   val queries: Map[String, Q] = Map(
+    "q190_diverse_hard_negatives" -> ((s, d) => {
+      // q137's hard negatives, DIVERSIFIED: over-fetch from the
+      // persisted index, drop same-label, then MMR-pick k instead of
+      // plain top-k — the k hardest negatives are often near-copies of
+      // one confusable item, and diverse negatives cover more decision
+      // boundary per batch slot. Oracle: the IVF replay + label filter
+      // + the same per-iteration greedy chain, value-exact.
+      val emb = t(s, d, "embeddings")
+      val deq = emb.select(col("vec_id"), col("label"),
+        Similarity.dequantize(
+          Similarity.quantize(col("embedding"), 200.0), 200.0).as("embedding"))
+      val path = s"target/graft-ivf-dhneg-${sfTag(d)}"
+      Similarity.saveIvfIndex(emb, path, nCentroids = 16, dim = 64,
+        quantScale = 200.0,
+        centroidsIn = Similarity.sampleCentroids(deq, 16))
+      Similarity.diverseHardNegativesIndexed(s,
+        deq.where(col("vec_id") < 10), path,
+        emb.select("vec_id", "label"), k = 10, fetch = 40)
+        .orderBy("query_id", "rank")
+    }),
+
     "q188_mmr_indexed" -> ((s, d) => {
       // q187's diversified retrieval at the amortized-index price:
       // candidates from the persisted IVF index's pruned probe (q82's
@@ -677,6 +698,20 @@ object SimilarityQueries {
                                ORDER BY cos DESC, id) AS rk
                    FROM scored0) WHERE rk <= $fetch)"""
 
+  /** q190's prelude: [[mmrIvfPrelude]]'s pool label-filtered — the
+    * hard-negative candidate set, same `e`/`cands` contract. */
+  private def mmrDiverseHardNegPrelude(fetch: Int): String =
+    mmrIvfPrelude(fetch)
+      .replace("cands AS MATERIALIZED", "cands0 AS MATERIALIZED") +
+      s""",
+        lab AS (SELECT vec_id, label FROM embeddings),
+        cands AS MATERIALIZED (
+          SELECT c.query_id, c.id, c.cos
+          FROM cands0 c
+          JOIN lab ql ON ql.vec_id = c.query_id
+          JOIN lab nl ON nl.vec_id = c.id
+          WHERE nl.label <> ql.label)"""
+
   private def mmrChain(k: Int, prelude: String): String = {
     val steps = (1 to k).map { i =>
       val prev = s"s${i - 1}"
@@ -856,6 +891,15 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q187_mmr_diversified" -> mmrChain(10, mmrBrutePrelude(50)),
     "q188_mmr_indexed" -> mmrChain(10, mmrIvfPrelude(40)),
+    // q190: the chain's picks re-joined to labels for the evidence cols
+    "q190_diverse_hard_negatives" ->
+      s"""SELECT t.query_id, ql.label AS query_label, t.neighbor_id,
+                 nl.label AS neighbor_label, t.cos_sim, t.mmr_score,
+                 t.rank
+          FROM (${mmrChain(10, mmrDiverseHardNegPrelude(40))}) t
+          JOIN embeddings ql ON ql.vec_id = t.query_id
+          JOIN embeddings nl ON nl.vec_id = t.neighbor_id
+          ORDER BY t.query_id, t.rank""",
 
     "q35_sim_topk_bruteforce" ->
       s"""WITH e AS ($normed),
