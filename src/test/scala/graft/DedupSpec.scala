@@ -1004,6 +1004,58 @@ class DedupSpec extends AnyFunSuite {
     assert(!fpsDocs.contains(1L)) // rows physically gone after the fold
   }
 
+  test("probeWinnowOverlap ≡ plain-Scala reference on randomized corpora") {
+    // randomized-but-seeded corpora with planted quotations: the probe
+    // against a PERSISTED manifest must equal verdicts computed from
+    // the reference winnowing directly (the manifest layer adds
+    // storage, never semantics)
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi")
+    def doc(): String =
+      Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    val corpus = (1L to 12L).map(i => (i, doc()))
+    val probes = (101L to 108L).map { i =>
+      // half the probes quote a corpus doc's middle run
+      if (i % 2 == 0) {
+        val src = corpus((i % corpus.size).toInt)._2.split(" ")
+        (i, (doc().split(" ").take(3) ++ src.slice(1, 7) ++
+          doc().split(" ").take(2)).mkString(" "))
+      } else (i, doc())
+    }
+    val path = "target/graft-test-winnow-prop"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    graft.ext.Dedup.saveWinnowManifest(
+      corpus.toDF("doc_id", "text"), "text", "doc_id", path)
+    val got = graft.ext.Dedup
+      .probeWinnowOverlap(probes.toDF("doc_id", "text"), path,
+        minShared = 2, maxDf = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    // reference: winnow both sides in plain Scala, replay the df cap,
+    // the (shared DESC, doc ASC) argmax, and the ppm division
+    val mFps = corpus.map { case (id, t) =>
+      id -> refWinnow(t, 3, 4).map(_._2) }.toMap
+    val dfh = mFps.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val capped = dfh.collect { case (h, c) if c > 20 => h }.toSet
+    probes.foreach { case (pid, t) =>
+      val pf = refWinnow(t, 3, 4).map(_._2) -- capped
+      val shared = corpus.map { case (cid, _) =>
+        cid -> pf.intersect(mFps(cid) -- capped).size }
+        .filter(_._2 > 0)
+      val best = if (shared.isEmpty) (-1L, 0L)
+        else { val m = shared.maxBy { case (cid, s) => (s, -cid) }; (m._1, m._2.toLong) }
+      val want = (pf.size.toLong, best._1, best._2,
+        if (pf.nonEmpty) best._2 * 1000000L / pf.size else 0L, best._2 >= 2L)
+      assert(got(pid) == want, s"probe $pid")
+    }
+  }
+
   test("winnowNearDupPairs: shared counts, minShared gate, maxDf boilerplate drop") {
     val run = "golden ratio spiral sequence fibonacci lattice prime harmonic"
     val docs = Seq(

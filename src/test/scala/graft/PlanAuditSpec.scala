@@ -574,6 +574,19 @@ class PlanAuditSpec extends AnyFunSuite {
       .findFirstIn(plan).isDefined, plan.take(3000))
   }
 
+  test("q187/q188 MMR: query side broadcasts; greedy is one partial-agged groupBy") {
+    for (q <- Seq("q187_mmr_diversified", "q188_mmr_indexed")) {
+      val plan = planOf(q)
+      // the candidate pool joins as broadcasts (query/candidate side is
+      // |Q|·fetch-sized by contract); the greedy fold is a per-query
+      // aggregate over collected candidates — no join after the pool,
+      // no cartesian anywhere
+      assert(plan.contains("BroadcastHashJoin"), q + "\n" + plan.take(3000))
+      assert(!plan.contains("CartesianProduct"), q + "\n" + plan.take(3000))
+      assert(plan.contains("collect_list"), q + "\n" + plan.take(3000))
+    }
+  }
+
   test("q180 winnow probe: hash joins broadcast; batch-keyed SMJ only") {
     val plan = planOf("q180_winnow_manifest_probe")
     // the manifest slice and the df-cap exclusion join as broadcasts
