@@ -326,6 +326,34 @@ object CorpusQueries {
       // string-accumulator fold.
       Corpus.bpeMerges(t(s, d, "documents"), "text", nMerges = 8)),
 
+    "q192_pack_efficiency" -> ((s, d) => {
+      // the packing-efficiency report the training-file writer
+      // monitors: per shard, documents, packs, BPE tokens, and FILL
+      // (tokens·10⁶ div packs·budget) — a low fill ppm means wasted
+      // sequence slots (padding) and argues for a different budget or
+      // doc ordering. q184's composition rolled up per source.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val merges = Corpus.bpeMergesInMemory(docs, "text", nMerges = 8)
+        .orderBy("rank").select("left", "right")
+        .as[(String, String)].collect().toSeq
+      val seg = Corpus.bpeSegmentCounts(docs, "text", "doc_id", merges)
+      Corpus.packSequencesBy(
+        docs.select(col("doc_id"), col("source"))
+          .join(seg.select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id")),
+        "n_bpe_tokens", shardCol = "source", orderCol = "doc_id",
+        budget = 512L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("pack_id")).as("n_packs"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .select(col("source"), col("n_docs"), col("n_packs"),
+          col("n_bpe_tokens"),
+          expr("n_bpe_tokens * 1000000L div (n_packs * 512L)")
+            .as("fill_ppm"))
+        .orderBy("source")
+    }),
+
     "q186_bpe_fertility" -> ((s, d) => {
       // tokenizer FERTILITY by language: BPE tokens per word in integer
       // ppm, per lang group — the diagnostic a vocabulary owner reads
@@ -1168,6 +1196,37 @@ object CorpusQueries {
     // q176: the same generated replay at the production query's depth —
     // 64 chained CTE generations
     "q176_bpe_train_production" -> bpeReplaySql(64),
+
+    // q192: q184's replay rolled up per shard with the fill-ppm ratio
+    "q192_pack_efficiency" ->
+      s"""WITH ${bpeTrainCtes(8)},
+          ds AS (SELECT doc_id, word
+                 FROM (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents WHERE text IS NOT NULL)
+                 WHERE length(word) > 0),
+          seg AS (SELECT ds.doc_id,
+                         CAST(sum(len(w.syms)) AS BIGINT) AS n_bpe
+                  FROM ds JOIN w9 w USING (word)
+                  GROUP BY ds.doc_id),
+          base AS (SELECT d.doc_id, d.source,
+                          CAST(coalesce(seg.n_bpe, 0) AS BIGINT)
+                            AS n_bpe_tokens
+                   FROM documents d LEFT JOIN seg USING (doc_id)),
+          packed AS (SELECT doc_id, source, n_bpe_tokens,
+                            CAST(floor(COALESCE(sum(n_bpe_tokens)
+                                OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0)
+                              / 512.0) AS BIGINT) AS pack_id
+                     FROM base)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+                 CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+                 CAST(sum(n_bpe_tokens) * 1000000
+                      // (count(DISTINCT pack_id) * 512) AS BIGINT)
+                   AS fill_ppm
+          FROM packed GROUP BY source ORDER BY source""",
 
     // q186: the training + segmentation replay rolled up per lang with
     // the integer ppm ratio

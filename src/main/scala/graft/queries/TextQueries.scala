@@ -45,6 +45,25 @@ object TextQueries {
         TextAnalysis.langId(col("text")).as("predicted_lang"))
         .orderBy("doc_id")),
 
+    "q191_langid_confusion" -> ((s, d) => {
+      // the classifier-quality rollup of q22: the (declared, predicted)
+      // CONFUSION MATRIX with per-declared-language shares in integer
+      // ppm — what a pipeline owner reads before trusting the lang-ID
+      // gate on a new crawl. The per-language total comes from a window
+      // over the MATRIX (languages² rows), never a second corpus pass.
+      val m = t(s, d, "documents").select(
+          col("lang").as("declared_lang"),
+          TextAnalysis.langId(col("text")).as("predicted_lang"))
+        .groupBy("declared_lang", "predicted_lang")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("declared_lang")
+      m.withColumn("total", sum(col("n")).over(w))
+        .select(col("declared_lang"), col("predicted_lang"), col("n"),
+          expr("n * 1000000L div total").as("share_ppm"))
+        .orderBy("declared_lang", "predicted_lang")
+    }),
+
     "q23_text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
@@ -267,6 +286,29 @@ object TextQueries {
                         THEN 'fr'
                         WHEN s_es > s_en THEN 'es' ELSE 'en' END AS predicted_lang
             FROM m ORDER BY doc_id""" },
+
+    // q191: q22's per-doc replay rolled up to the confusion matrix with
+    // integer-ppm per-declared shares
+    "q191_langid_confusion" ->
+      { val scores = TextAnalysis.langMarkers.map { case (lang, markers) =>
+          val list = markers.map(m => s"'$m'").mkString(", ")
+          s"len(list_filter(toks, x -> x IN ($list))) AS s_$lang"
+        }.mkString(", ")
+        s"""WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+            m AS (SELECT doc_id, lang, $scores FROM b),
+            p AS (SELECT lang AS declared_lang,
+                         CASE WHEN s_fr > (CASE WHEN s_es > s_en THEN s_es ELSE s_en END)
+                              THEN 'fr'
+                              WHEN s_es > s_en THEN 'es' ELSE 'en'
+                         END AS predicted_lang
+                  FROM m),
+            c AS (SELECT declared_lang, predicted_lang,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM p GROUP BY 1, 2)
+            SELECT declared_lang, predicted_lang, n,
+                   CAST(n * 1000000 // sum(n) OVER (PARTITION BY declared_lang)
+                        AS BIGINT) AS share_ppm
+            FROM c ORDER BY declared_lang, predicted_lang""" },
 
     "q23_text_fingerprint" ->
       """SELECT doc_id,
