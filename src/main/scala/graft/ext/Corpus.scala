@@ -1240,13 +1240,34 @@ object Corpus {
       .empty[(String, String), Long]
     val index = scala.collection.mutable.HashMap
       .empty[(String, String), scala.collection.mutable.Set[Int]]
+    // LAZY-DELETION max-heap over (count, left, right) with the exact
+    // argmax tie rule (count DESC, then lexicographic pair ASC): every
+    // count change enqueues the new value; pops that no longer match
+    // the live count are discarded. This turns the per-merge argmax
+    // from a linear scan over all pairs (the Sennrich reference's
+    // behavior — fine at 64 merges, 30k × |pairs| at production) into
+    // O(log |pairs|) amortized per count update.
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String),
+                  y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val a = y._2.compareTo(x._2) // reversed: smaller left wins
+          if (a != 0) a else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val pq = scala.collection.mutable.PriorityQueue
+      .empty[(Long, String, String)](ord)
     def tally(i: Int, sign: Long): Unit = {
       val s = words(i)
       var j = 0
       while (j < s.length - 1) {
         val p = (s(j), s(j + 1))
         val c = counts.getOrElse(p, 0L) + sign * freqs(i)
-        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (c == 0L) counts.remove(p)
+        else { counts(p) = c; pq.enqueue((c, p._1, p._2)) }
         if (sign > 0)
           index.getOrElseUpdate(p,
             scala.collection.mutable.Set.empty[Int]) += i
@@ -1268,12 +1289,18 @@ object Corpus {
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var stop = false
     for (r <- 1 to nMerges if !stop) {
-      if (counts.isEmpty) stop = true
+      // pop the heap past stale entries (lazy deletion: an entry is
+      // live iff its count still matches); every live count was
+      // enqueued at its current value, so the first live pop IS the
+      // argmax under the tie rule
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && pq.nonEmpty) {
+        val e = pq.dequeue()
+        if (counts.get((e._2, e._3)).contains(e._1)) top = Some(e)
+      }
+      if (top.isEmpty) stop = true
       else {
-        // argmax with bpeMerges' exact tie rule: count DESC, then
-        // (left, right) ascending — one linear scan, as in the
-        // reference implementation
-        val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        val (n, a, b) = top.get
         merges += ((r, a, b, n))
         // stale-tolerant index walk: entries outlive rewrites; the
         // adjacency re-check is the merge application itself
