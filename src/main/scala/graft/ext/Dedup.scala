@@ -1929,6 +1929,58 @@ object Dedup {
           s"$path/fps has no snapshot '$name' to probe")),
       idCol, textCol, minShared, maxDf)
 
+  /** [[probeWinnowOverlap]] against the PREVIOUS fps snapshot — the
+    * state the last maintenance op superseded, kept for one publish
+    * cycle by the versioned publish ([[graft.ops.Stage.resolvePrevious]];
+    * the minhash family's [[incrementalNearDupsPrevious]] is the same
+    * read) — the time-travel validation probe run before trusting a
+    * forget/compaction. Pending tombstones still mask it. */
+  def probeWinnowOverlapPrevious(batch: DataFrame, path: String,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text",
+                                 minShared: Int = 2,
+                                 maxDf: Int = 20): DataFrame =
+    probeWinnowImpl(batch, path,
+      graft.ops.Stage.resolvePrevious(batch.sparkSession, s"$path/fps")
+        .getOrElse(throw new IllegalStateException(
+          s"$path/fps has no previous snapshot to probe — time travel " +
+            "needs at least two publishes")),
+      idCol, textCol, minShared, maxDf)
+
+  /** Maintenance DIFF of the winnow manifest's two serveable states —
+    * PREVIOUS (what the last forget/compaction superseded) vs LIVE —
+    * as one per-probe-document report: both sides' best match and
+    * shared count plus a status — `lost` (overlap verdict vanished:
+    * its evidence was forgotten), `appeared`, `rematched` (a different
+    * corpus doc now wins), `changed` (same match, shared moved),
+    * `held`. The validate-before-trust workflow for a forget batch, as
+    * a first-class operator (the minhash family's
+    * [[incrementalNearDupsDiff]] shape). Cost: two batch-sized probes
+    * plus one batch-row join. */
+  def winnowMaintenanceDiff(batch: DataFrame, path: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text", minShared: Int = 2,
+                            maxDf: Int = 20): DataFrame = {
+    val prev = probeWinnowOverlapPrevious(batch, path, idCol, textCol,
+      minShared, maxDf)
+      .select(col(idCol), col("best_match").as("prev_match"),
+        col("shared").as("prev_shared"), col("flagged").as("prev_flagged"))
+    val live = probeWinnowOverlap(batch, path, idCol, textCol,
+      minShared, maxDf)
+      .select(col(idCol), col("best_match").as("live_match"),
+        col("shared").as("live_shared"), col("flagged").as("live_flagged"))
+    prev.join(live, Seq(idCol))
+      .select(col(idCol), col("prev_match"), col("prev_shared"),
+        col("live_match"), col("live_shared"),
+        when(col("prev_flagged") && !col("live_flagged"), lit("lost"))
+          .when(!col("prev_flagged") && col("live_flagged"),
+            lit("appeared"))
+          .when(col("prev_flagged") && col("live_flagged") &&
+            !(col("prev_match") <=> col("live_match")), lit("rematched"))
+          .when(col("prev_shared") =!= col("live_shared"), lit("changed"))
+          .otherwise(lit("held")).as("status"))
+  }
+
   private def probeWinnowImpl(batch: DataFrame, path: String,
                               fpsDir: String, idCol: String,
                               textCol: String, minShared: Int,

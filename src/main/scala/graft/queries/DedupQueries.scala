@@ -331,6 +331,46 @@ object DedupQueries {
         "text", "doc_id", n = 3, w = 4, minShared = 1, maxDf = 20)
         .orderBy("split_a", "split_b")),
 
+    "q193_winnow_time_travel" -> ((s, d) => {
+      // TIME-TRAVEL probe on the winnow manifest (q125's read for this
+      // family): build on the even half, FORGET every eighth id (the
+      // delete publishes v2 and keeps v1 as the previous snapshot),
+      // then probe the PREVIOUS state — verdicts must equal probing the
+      // undeleted manifest, q180's oracle verbatim.
+      val sf = sfTag(d)
+      val path = s"target/graft-winnow-manifest-tt-$sf"
+      val docs = t(s, d, "documents")
+      Dedup.saveWinnowManifest(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id", path)
+      Dedup.deleteFromWinnowManifest(s, path,
+        docs.where(pmod(col("doc_id"), lit(8)) === 0).select("doc_id"))
+      Dedup.probeWinnowOverlapPrevious(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), path)
+        .orderBy("doc_id")
+    }),
+
+    "q194_winnow_maintenance_diff" -> ((s, d) => {
+      // the validate-before-trust report for a forget batch: previous
+      // vs live probe verdicts per document with lost/appeared/
+      // rematched/changed/held status — the q130 shape for this family.
+      // The oracle joins the with- and without-the-forgotten replays
+      // and re-derives every status. (Under a forget-only fixture
+      // 'appeared' cannot fire — removing corpus evidence never creates
+      // overlap; it fires under append-driven maintenance. At sf0.1
+      // this fixture yields lost 182 / rematched 236 / changed 1 /
+      // held 2081.)
+      val sf = sfTag(d)
+      val path = s"target/graft-winnow-manifest-diff-$sf"
+      val docs = t(s, d, "documents")
+      Dedup.saveWinnowManifest(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id", path)
+      Dedup.deleteFromWinnowManifest(s, path,
+        docs.where(pmod(col("doc_id"), lit(8)) === 0).select("doc_id"))
+      Dedup.winnowMaintenanceDiff(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), path)
+        .orderBy("doc_id")
+    }),
+
     "q189_winnow_manifest_tombstone" -> ((s, d) => {
       // the batched-forget path: tombstone every eighth id (batch-sized
       // append), probe while PENDING (the mask must hold immediately),
@@ -946,6 +986,28 @@ object DedupQueries {
     // q182 streams the even half in via exactly-once appends, then
     // compacts — verdicts must equal the batch-built manifest's
     "q182_stream_winnow_ingest" -> winnowProbeReplay(""),
+
+    // q193: probing the PREVIOUS snapshot equals probing the undeleted
+    // manifest — q180's replay verbatim
+    "q193_winnow_time_travel" -> winnowProbeReplay(""),
+
+    // q194: the with- and without-the-forgotten replays joined, every
+    // status re-derived (null-safe match compare = IS DISTINCT FROM)
+    "q194_winnow_maintenance_diff" ->
+      s"""SELECT p.doc_id,
+                 p.best_match AS prev_match, p.shared AS prev_shared,
+                 l.best_match AS live_match, l.shared AS live_shared,
+                 CASE WHEN p.flagged AND NOT l.flagged THEN 'lost'
+                      WHEN NOT p.flagged AND l.flagged THEN 'appeared'
+                      WHEN p.flagged AND l.flagged AND
+                           (p.best_match IS DISTINCT FROM l.best_match)
+                        THEN 'rematched'
+                      WHEN p.shared <> l.shared THEN 'changed'
+                      ELSE 'held' END AS status
+          FROM (${winnowProbeReplay("")}) p
+          JOIN (${winnowProbeReplay("AND doc_id % 8 <> 0")}) l
+            USING (doc_id)
+          ORDER BY p.doc_id""",
 
     // q189: q181's no-eighth-ids replay on BOTH sides of the fold —
     // the pending mask and the physical delete serve identically
