@@ -106,10 +106,16 @@ object Bench {
     // the driver's recorded line always contains the governing number.
     val r1Workload: Set[String] =
       ((1 to 24) ++ (30 to 48) ++ (50 to 52)).map(i => f"q$i%02d_").toSet
-    val sameWorkload = ok.collect {
+    val sameWorkloadMedians = ok.collect {
       case (n, _) if r1Workload.exists(n.startsWith) => median(samples(n))
-    }.sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"runs":$runs,"queries_min":$mins,"queries_max":$maxs,"same_workload_total":$sameWorkload,"serve_total":$serveTotal,"serve_queries":$serveMed,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    val sameWorkload = sameWorkloadMedians.sum
+    // same_workload_n guards the gate reading: an erroring r1-workload
+    // query would otherwise silently DROP from the sum and make the
+    // governing number read faster than the true 46-query total — the
+    // gate consumer must assert n == 46 before trusting the total.
+    val sameWorkloadN = sameWorkloadMedians.size
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"runs":$runs,"queries_min":$mins,"queries_max":$maxs,"same_workload_total":$sameWorkload,"same_workload_n":$sameWorkloadN,"serve_total":$serveTotal,"serve_queries":$serveMed,"errors":$errs,"sf":"$sfDir"}"""
     // The driver's artifact capture keeps only the TAIL of stdout and its
     // parser has failed on every long line so far (r9: full JSON captured,
     // `parsed` still null). Defend three ways: persist the full JSON to a
@@ -121,7 +127,7 @@ object Bench {
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort: read-only cwd must not fail the bench
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${ok.size},"same_workload_total":$sameWorkload,"serve_total":$serveTotal,"n_serve":${serveOk.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${ok.size},"same_workload_total":$sameWorkload,"same_workload_n":$sameWorkloadN,"serve_total":$serveTotal,"n_serve":${serveOk.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1441,11 +1441,14 @@ object Corpus {
     *
     * Scale shape: training is one labeled-token explode folded to a
     * vocabulary-sized (token, n_pos, n_neg) relation (map-side partial
-    * aggs); totals and V ride as WINDOWS over that relation (the q74
-    * rule — window the histogram, never the corpus). Scoring joins the
+    * aggs); totals and V are three scalars folded by one aggregate and
+    * broadcast as a single row (never a window over the unbounded
+    * histogram, never a pass over the corpus). Scoring joins the
     * score corpus's token stream to the weight relation by token —
-    * broadcast when the vocabulary is bounded, AQE-skew-splittable
-    * otherwise — and folds per doc. Nothing ever collects; at 100 TB
+    * the planner/AQE broadcasts when the vocabulary is actually small
+    * and shuffles otherwise (no forced hint: a fastText-scale seed has
+    * tens of millions of tokens) — and folds per doc. Nothing collects;
+    * at 100 TB
     * persist the count relation like the LM's and rescore incrementally.
     */
   def nbClassBits(train: DataFrame, score: DataFrame, labelCol: Column,
@@ -1457,18 +1460,21 @@ object Corpus {
     val counts = toks.groupBy("tok")
       .agg(sum(when(col("y"), 1L).otherwise(0L)).as("np"),
         sum(when(!col("y"), 1L).otherwise(0L)).as("nn"))
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    // Class totals and V are three scalars: one map-side-partial agg,
+    // broadcast as a single row into everything that needs them. (An
+    // unpartitioned window here would funnel the whole vocabulary
+    // relation through one partition — the histogram is crawl-vocabulary
+    // sized, not bounded.)
+    val totals = counts
+      .agg(sum("np").as("tp"), sum("nn").as("tn"), count(lit(1)).as("v"))
     val weighted = counts
-      .withColumn("tp", sum(col("np")).over(all))
-      .withColumn("tn", sum(col("nn")).over(all))
-      .withColumn("v", count(lit(1)).over(all))
+      .crossJoin(broadcast(totals))
       .select(col("tok"),
         ((length(bin(expr("(tn + v) div (nn + 1)"))) - 1)
           - (length(bin(expr("(tp + v) div (np + 1)"))) - 1))
           .cast("long").as("wbits"))
     // the unseen-token fallback: the same formula at n_c = 0, one row
-    val unk = counts
-      .agg(sum("np").as("tp"), sum("nn").as("tn"), count(lit(1)).as("v"))
+    val unk = totals
       .select(((length(bin(expr("(tn + v) div 1"))) - 1)
         - (length(bin(expr("(tp + v) div 1"))) - 1))
         .cast("long").as("unk_wbits"))
@@ -1476,8 +1482,12 @@ object Corpus {
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("doc"),
         explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("tok"))
+    // No broadcast hint on the vocabulary join: `weighted` is one row per
+    // distinct seed-set token, unbounded for a fastText-scale labeled
+    // seed. The planner/AQE broadcasts it when it is actually small and
+    // shuffles otherwise (PlanAuditSpec pins the broadcast-disabled plan).
     val perDoc = stream
-      .join(broadcast(weighted), Seq("tok"), "left")
+      .join(weighted, Seq("tok"), "left")
       .crossJoin(broadcast(unk))
       .groupBy("doc")
       .agg(count(lit(1)).as("n_tokens"),

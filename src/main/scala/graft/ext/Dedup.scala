@@ -1780,10 +1780,14 @@ object Dedup {
                                         batchId: Long): Unit = {
     val spark = newDf.sparkSession
     if (graft.ops.Stage.alreadyPublished(spark, path, batchId)) return
-    val meta = spark.read.parquet(
-      graft.ops.Stage.resolve(spark, s"$path/meta")).head()
     graft.ops.Stage.appendExactlyOnce(spark, path, batchId, Seq("fps")) {
       staging =>
+        // meta (n, w) is read INSIDE the lease-held stage callback — a
+        // concurrent saveWinnowManifest rebuild with different (n, w)
+        // must not race the read and land join-incompatible fingerprints
+        // (the appendToTextIndexExactlyOnce rule)
+        val meta = spark.read.parquet(
+          graft.ops.Stage.resolve(spark, s"$path/meta")).head()
         writeWinnowTables(newDf, textCol, idCol, staging,
           meta.getAs[Int]("n"), meta.getAs[Int]("w"), "overwrite")
     }
@@ -1901,11 +1905,13 @@ object Dedup {
     * already known"), `flagged` (shared ≥ `minShared`).
     *
     * Scale shape: the batch winnows batch-sized; the manifest is sliced
-    * to the PROBE'S OWN HASHES first (a broadcast semi-join — the
-    * posting-list rule), the df cap is computed on that slice (bounded
-    * by batch hashes, never a manifest-wide aggregate), and the shared
-    * join broadcasts the batch side over the ≤ maxDf-per-hash slice, so
-    * probe cost is batch-sized at ANY manifest size.
+    * to the PROBE'S OWN HASHES first (the posting-list rule), the df cap
+    * is computed on that slice (bounded by batch hashes, never a
+    * manifest-wide aggregate), and the shared join runs over the
+    * ≤ maxDf-per-hash slice, so probe cost is batch-sized at ANY
+    * manifest size. No join is hint-forced: AQE broadcasts the batch
+    * side when the batch is actually small and shuffles a day-of-crawl
+    * batch instead of OOMing it into broadcast memory.
     */
   def probeWinnowOverlap(batch: DataFrame, path: String,
                          idCol: String = "doc_id",
@@ -1998,29 +2004,40 @@ object Dedup {
     // — the family rule)
     val tomb = graft.ops.Stage.pendingTombstones(spark, path)
     val mfAll = spark.read.parquet(fpsDir).select(col("doc"), col("h"))
+    // No forced broadcast hints anywhere below: the batch-derived
+    // relations (bf, cappedHs, bk) are "batch-sized" by contract but a
+    // production ingest batch — a day of crawl — makes its winnowed
+    // fingerprint set GBs, where a pinned broadcast OOMs and an
+    // un-hinted join gracefully shuffles. AQE broadcasts small batches
+    // on its own; PlanAuditSpec pins that the probe plans and answers
+    // with broadcast disabled outright.
     val mf = (tomb match {
-      case Some(t) => mfAll.join(broadcast(t), Seq("doc"), "left_anti")
+      case Some(t) => mfAll.join(t, Seq("doc"), "left_anti")
       case None    => mfAll
     }).distinct()
     // slice the manifest to the probe's hashes BEFORE any aggregate:
     // everything downstream is bounded by the batch, not the corpus
-    val mfp = mf.join(broadcast(bf.select("h").distinct()), Seq("h"))
+    val mfp = mf.join(bf.select("h").distinct(), Seq("h"))
     // boilerplate cap by EXCLUSION: drop hashes the manifest holds in
     // more than maxDf documents — but keep batch hashes the manifest
     // has never seen, so n_fp stays "my fingerprints" (the containment
     // denominator), not "my fingerprints the corpus knows"
     val cappedHs = mfp.groupBy("h").agg(count(lit(1)).as("hdf"))
       .where(col("hdf") > maxDf).select("h")
-    val bk = bf.join(broadcast(cappedHs), Seq("h"), "left_anti")
-    val mk = mfp.join(broadcast(cappedHs), Seq("h"), "left_anti")
+    val bk = bf.join(cappedHs, Seq("h"), "left_anti")
+    val mk = mfp.join(cappedHs, Seq("h"), "left_anti")
     val nfp = bk.groupBy("bdoc").agg(count(lit(1)).as("n_fp"))
-    val best = mk.join(broadcast(bk), Seq("h"))
+    val best = mk.join(bk, Seq("h"))
       .groupBy(col("bdoc"), col("doc"))
       .agg(count(lit(1)).as("shared"))
       .groupBy("bdoc")
-      // argmax: most shared, then the SMALLEST corpus doc id
-      .agg(max(struct(col("shared"), (-col("doc")).as("nd"),
-        col("doc"))).as("b"))
+      // argmin of (-shared, doc): most shared, then the SMALLEST corpus
+      // doc id — `shared` is a count so its negation is exact, and the
+      // doc tie-break is the struct field's own ordering, so it holds
+      // for STRING ids too (a negated string id would cast to null and
+      // silently flip ties to the largest id)
+      .agg(min(struct((-col("shared")).as("ns"), col("doc"),
+        col("shared"))).as("b"))
       .select(col("bdoc"), col("b.shared").as("shared"),
         col("b.doc").as("best_match"))
     batch.select(col(idCol).as("bdoc"))

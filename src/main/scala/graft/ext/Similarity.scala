@@ -152,6 +152,8 @@ object Similarity {
                                   labelCol: String = "label",
                                   idCol: String = "vec_id",
                                   vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k") // k=0 would make the greedy's
+    // sequence(1, k) DESCEND to [1, 0] and return 2 rows, not 0
     require(fetch >= k, s"fetch ($fetch) must be >= k ($k)")
     val served = topKIvfIndexed(spark, queries, path, fetch, nProbe,
       idCol, vecCol)

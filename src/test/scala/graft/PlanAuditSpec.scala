@@ -587,17 +587,86 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("q180 winnow probe: hash joins broadcast; batch-keyed SMJ only") {
-    val plan = planOf("q180_winnow_manifest_probe")
-    // the manifest slice and the df-cap exclusion join as broadcasts
-    // (the probe side is batch-sized by contract); no cartesian ever;
-    // any sort-merge join keys on the BATCH doc id (k-row assembly),
-    // never on the fingerprint hash (which would shuffle the manifest)
-    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
-    assert("BroadcastHashJoin [^\n]*LeftAnti".r.findFirstIn(plan).isDefined,
-      plan.take(3000))
-    assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    assert("SortMergeJoin \\[h#".r.findFirstIn(plan).isEmpty, plan.take(3000))
+  test("q180 winnow probe: AQE broadcasts the small batch side on its own") {
+    // the probe path carries NO broadcast hints (a day-of-crawl batch is
+    // GBs of fingerprints — a pinned broadcast would OOM); for a batch
+    // that IS small, AQE must still pick broadcast at runtime, so the
+    // assertion runs on the FINALIZED adaptive plan
+    val df = SparkEntry.queries("q180_winnow_manifest_probe")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("probeWinnowOverlap: probe survives a non-broadcastable batch") {
+    // the batch-derived relations (batch fingerprints, df-cap hash set,
+    // tombstone ids) are "batch-sized" by contract but unbounded in
+    // production — with every broadcast path disabled (the stand-in for
+    // "the ingest batch exceeds broadcast memory"), the probe must still
+    // plan as shuffled joins and answer identically
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = "target/graft-test-plan-winnow-nobc"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    graft.ext.Dedup.saveWinnowManifest(
+      Seq((1L, s"k1 k2 $run k3 k4"), (2L, "m1 m2 m3 m4 m5 m6 m7 m8"))
+        .toDF("doc_id", "text"), "text", "doc_id", path)
+    // a pending tombstone makes the anti-join leg part of the audit too
+    graft.ext.Dedup.tombstoneFromWinnowManifest(spark, path,
+      Seq(2L).toDF("doc_id"))
+    val probe = Seq((10L, s"x1 $run x2"), (11L, "y1 y2 y3 y4 y5 y6"))
+      .toDF("doc_id", "text")
+    def run0() = graft.ext.Dedup.probeWinnowOverlap(probe, path)
+      .orderBy("doc_id")
+    val unrestricted = run0().collect().toSeq
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = run0()
+      val got = df.collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(4000))
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan.take(4000))
+      assert(got == unrestricted)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("nbClassBits: vocabulary join survives a non-broadcastable seed") {
+    // the weight relation is one row per distinct seed-set token —
+    // fastText-scale seeds have tens of millions — so the scoring join
+    // must NOT be broadcast-hinted: with the planner's broadcast path
+    // disabled it must plan as a shuffled join and answer identically
+    // (the bpeSegmentCounts rule; the 1-row totals/unk crossjoins keep
+    // their hints — those are bounded by construction)
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("text").isNotNull).limit(60)
+    def run0() = graft.ext.Corpus
+      .nbClassBits(docs, docs, col("lang") === "en", "text", "doc_id")
+      .orderBy("doc_id")
+    val unrestricted = run0().collect().toSeq
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = run0()
+      val got = df.collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(4000))
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan.take(4000))
+      assert(got == unrestricted)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   test("q138 embedding drift: assignment is map work; k-row drift join") {
