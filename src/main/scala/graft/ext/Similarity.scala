@@ -74,8 +74,13 @@ object Similarity {
     * in pinned operation order (the [[topKBruteForce]] discipline, so
     * the DuckDB oracle replays every pick), score ties break to the
     * smaller id, and the empty-selection first pick is plain top-1.
-    * `lam` must be exactly binary-representable (0.5, 0.25, …) or the
-    * oracle's literal differs from the engine's.
+    * Any `lam` in [0,1] oracle-replays exactly: the replay emits
+    * BOTH engine coefficients — `lam` and the computed double
+    * `1.0 − lam` — as shortest-round-trip decimal literals
+    * (`Double.toString` round-trips by the IEEE 754 / Java spec, and
+    * DuckDB parses a decimal literal to the nearest double), so e.g.
+    * λ=0.3 replays with literals 0.3 and 0.7000000000000001, never the
+    * NOT-equal double 0.7.
     *
     * Scale shape: stage 1 is [[topKBruteForce]] (broadcast query side);
     * stage 2 is one groupBy over the (|Q|·fetch)-sized candidate

@@ -72,6 +72,18 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q195_mmr_lambda" -> ((s, d) => {
+      // q187's greedy at a NON-binary-representable λ=0.3: the oracle
+      // emits both engine coefficients (0.3 and the computed double
+      // 1.0−0.3 = 0.7000000000000001) as shortest-round-trip decimal
+      // literals, closing the "binary-representable λ only" replay gap
+      // — production λ values are arbitrary.
+      val emb = t(s, d, "embeddings")
+      Similarity.mmrTopK(emb.where(col("vec_id") < 10), emb,
+        k = 10, fetch = 50, lam = 0.3)
+        .orderBy("query_id", "rank")
+    }),
+
     "q187_mmr_diversified" -> ((s, d) => {
       // MMR-diversified retrieval (Carbonell & Goldstein): exact
       // top-50 candidate pool, then the greedy λ=0.5 relevance-vs-
@@ -712,12 +724,20 @@ object SimilarityQueries {
           JOIN lab nl ON nl.vec_id = c.id
           WHERE nl.label <> ql.label)"""
 
-  private def mmrChain(k: Int, prelude: String): String = {
+  private def mmrChain(k: Int, prelude: String,
+                       lam: Double = 0.5): String = {
+    // BOTH engine coefficients — lam and the COMPUTED double 1.0−lam —
+    // as shortest-round-trip decimal literals (Double.toString round-
+    // trips; DuckDB parses to nearest double), so any λ replays value-
+    // exact: λ=0.3 emits 0.3 and 0.7000000000000001, never the
+    // not-equal double 0.7
+    val lamL = lam.toString
+    val lam1L = (1.0 - lam).toString
     val steps = (1 to k).map { i =>
       val prev = s"s${i - 1}"
       s"""sc$i AS MATERIALIZED (
             SELECT c.query_id, c.id, c.cos,
-                   0.5 * c.cos - 0.5 * coalesce(mx.m, 0.0) AS score
+                   $lamL * c.cos - $lam1L * coalesce(mx.m, 0.0) AS score
             FROM cands c
             LEFT JOIN (SELECT p.query_id, p.id_a AS id, max(p.sim) AS m
                        FROM pair p JOIN $prev s
@@ -890,6 +910,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q187_mmr_diversified" -> mmrChain(10, mmrBrutePrelude(50)),
+    "q195_mmr_lambda" -> mmrChain(10, mmrBrutePrelude(50), lam = 0.3),
     "q188_mmr_indexed" -> mmrChain(10, mmrIvfPrelude(40)),
     // q190: the chain's picks re-joined to labels for the evidence cols
     "q190_diverse_hard_negatives" ->
