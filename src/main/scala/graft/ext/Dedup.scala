@@ -1402,6 +1402,49 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** PERCEPTUAL near-dup pairs over a 56-bit image-hash relation
+    * (doc, dhash) — [[Multimodal.dhashMedia]]'s output — by the same
+    * pigeonhole banding as [[simhashPairs]]: 7 chunks of 8 bits, so any
+    * pair at Hamming < 7 agrees on ≥1 chunk and an equi-join on
+    * (chunkIdx, chunkValue) finds ALL candidates (recall exactly 1, not
+    * probabilistic) without an image cross product. Requires
+    * maxHamming < 7. First-matching-chunk bit math dedupes candidates
+    * in-plan; output (doc_a, doc_b, hamming), doc_a < doc_b.
+    *
+    * Scale shape: identical to text SimHash — band explode is 7 rows per
+    * image, the join keys on (chunk, chunk_val) so only same-bucket
+    * images ever pair, and popcount(xor) is codegen'd. A pathological
+    * bucket (billions of near-black thumbnails) skews exactly like a hot
+    * SimHash chunk — AQE skew-join applies unchanged.
+    */
+  def perceptualNearDupPairs(hashes: DataFrame,
+                             maxHamming: Int = 6): DataFrame = {
+    val chunks = 7
+    require(maxHamming >= 0 && maxHamming < chunks,
+      s"pigeonhole banding needs 0 <= maxHamming < $chunks, got $maxHamming")
+    val bitsPer = 8
+    val mask = (1L << bitsPer) - 1
+    val sigs = hashes.select(col("doc_id").as("doc"),
+      col("dhash").as("sig"))
+    val banded = sigs.select(col("doc"), col("sig"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val l = banded.select(col("chunk"), col("chunk_val"),
+      col("doc").as("doc_a"), col("sig").as("sig_a"))
+    val rgt = banded.select(col("chunk"), col("chunk_val"),
+      col("doc").as("doc_b"), col("sig").as("sig_b"))
+    val xor = col("sig_a").bitwiseXOR(col("sig_b"))
+    val earlierChunkMatched = (0 until chunks - 1).map(c =>
+      (col("chunk") > c) &&
+        (shiftrightunsigned(xor, c * bitsPer).bitwiseAND(lit(mask)) === 0L))
+      .reduce(_ || _)
+    l.join(rgt, Seq("chunk", "chunk_val"))
+      .where(col("doc_a") < col("doc_b") && !earlierChunkMatched)
+      .select(col("doc_a"), col("doc_b"), bit_count(xor).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   // ---------------------------------------------------------- n-gram Jaccard
 
   /** Word n-gram shingles in document order, repeats kept (n ≥ 2) — the

@@ -217,6 +217,169 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaEmbeddingSchema)
   }
 
+  /** Synthesize a PATTERNED real PNG per row — the perceptual-hash
+    * fixture ([[pngBlobs]]'s uniform fill hashes to all-zero dHash bits;
+    * a gradient carries structure). Every pixel is a deterministic
+    * function of the text, so a SQL oracle replays the downstream hash
+    * from the raw text while the engine computes it from REAL decoded
+    * pixels: with n = |utf8|, s = Σ utf8 bytes,
+    *   width  = 16 + (n mod 17), height = 16 + (⌊n/2⌋ mod 17),
+    *   a = 17 + (n mod 29), c = 13 + (s mod 23),
+    *   gray(x, y) = (s + x·a + y·c) mod 256 on all three channels.
+    * The multipliers are LARGE on purpose: they wrap mod 256 several
+    * times per hash cell, so unrelated documents' dHashes decorrelate
+    * (measured on the real corpus: small multipliers left 36% of all
+    * pairs within Hamming 6 — a degenerate hash; these leave 0.2%).
+    * PNG is lossless and the fill is channel-uniform, so the decoded
+    * gray equals gray(x, y) exactly. NEAR-DUPLICATE texts (same length,
+    * slightly different byte sum) shift every pixel by the same small
+    * delta — most dHash comparisons survive, the perceptual property
+    * the planted-fixture spec pins.
+    */
+  def patternPngBlobs(spark: SparkSession, df: DataFrame, textCol: String,
+                      idCol: String = "doc_id"): DataFrame = {
+    val rdd = df.where(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol)).rdd.mapPartitions { it =>
+        import java.awt.image.BufferedImage
+        import javax.imageio.ImageIO
+        imageIoNoDiskCache
+        val bos = new java.io.ByteArrayOutputStream()
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getString(1).getBytes("UTF-8")
+          val n = bytes.length
+          var s = 0L
+          var i = 0
+          while (i < n) { s += bytes(i) & 0xff; i += 1 }
+          val (w, h) = (16 + n % 17, 16 + (n / 2) % 17)
+          val (a, c) = (17 + n % 29, 13 + (s % 23).toInt)
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val buf = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferInt].getData
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((s + x.toLong * a + y.toLong * c) % 256).toInt
+              buf(y * w + x) = (v << 16) | (v << 8) | v
+              x += 1
+            }
+            y += 1
+          }
+          bos.reset()
+          ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray)
+        }
+      }
+    spark.createDataFrame(rdd, blobSchema)
+  }
+
+  /** Output schema of the perceptual-hash stage. */
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** 56-bit DIFFERENCE HASH (dHash) per image — the classic perceptual
+    * near-dup fingerprint: box-downsample the decoded grayscale image to
+    * an 8×8 grid, then one bit per horizontally-adjacent cell pair
+    * (7 comparisons × 8 rows). 56 bits keeps the hash strictly
+    * non-negative, so band extraction and XOR/popcount replay portably
+    * in engines whose BIGINT ops reject sign-bit games (the 64-bit
+    * variant would put bit 63 in play).
+    *
+    * All arithmetic is INTEGER so an external oracle replays it exactly:
+    * gray(x,y) = (r+g+b) div 3; grid cell (i,j) covers
+    * x ∈ [i·W div 8, (i+1)·W div 8) × y ∈ [j·H div 8, (j+1)·H div 8)
+    * (requires W, H ≥ 8) and its value is sum(gray) div count;
+    * bit (j·7 + i) is set iff cell(i+1, j) > cell(i, j). Uniform
+    * brightness shifts preserve every strict comparison that does not
+    * wrap — the dHash invariance argument (Krawetz's "kind of like a
+    * hash, but not").
+    *
+    * Batch shape: mapPartitions like [[decodeMedia]] (ImageIO is the
+    * per-partition native-codec justification); output is one
+    * (doc_id, long) row per blob — hash-sized, never pixel-sized.
+    * Bytes no JDK codec parses hash from [[fakeDecode]]-style synthetic
+    * dims with gray(x,y) = byte arithmetic, keeping the stage total.
+    */
+  def dhashMedia(spark: SparkSession, blobs: DataFrame): DataFrame = {
+    val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+      import javax.imageio.ImageIO
+      imageIoNoDiskCache
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val grays: (Int, Int, (Int, Int) => Int) = {
+          val iis = ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val decoded =
+            if (iis == null) None
+            else try {
+              val readers = ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) None
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis)
+                  val img = reader.read(0)
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  val px = img.getRGB(0, 0, w, h, null, 0, w)
+                  Some((w, h, (x: Int, y: Int) => {
+                    val rgb = px(y * w + x)
+                    (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                      (rgb & 0xff)) / 3
+                  }))
+                } finally reader.dispose()
+              }
+            } catch { case _: Exception => None }
+            finally iis.close()
+          decoded.getOrElse {
+            // non-image bytes: synthetic dims + byte-arithmetic grays,
+            // same deterministic fallback discipline as fakeDecode
+            val n = math.max(bytes.length, 1)
+            val (w, h) = (8 + n % 25, 8 + (n / 2) % 25)
+            (w, h, (x: Int, y: Int) =>
+              if (bytes.isEmpty) 0
+              else bytes((x.toLong * 31 + y.toLong * 17).toInt % n) & 0xff)
+          }
+        }
+        val (w, h, gray) = grays
+        // box cells: integer ranges, integer means — oracle-exact
+        val cell = Array.ofDim[Int](8, 8)
+        var j = 0
+        while (j < 8) {
+          val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+          var i = 0
+          while (i < 8) {
+            val x0 = i * w / 8; val x1 = (i + 1) * w / 8
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { sum += gray(x, y); x += 1 }
+              y += 1
+            }
+            cell(j)(i) = (sum / ((x1 - x0).toLong * (y1 - y0))).toInt
+            i += 1
+          }
+          j += 1
+        }
+        var hash = 0L
+        j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 7) {
+            if (cell(j)(i + 1) > cell(j)(i)) hash |= 1L << (j * 7 + i)
+            i += 1
+          }
+          j += 1
+        }
+        Row(id, hash)
+      }
+    }
+    spark.createDataFrame(rdd, dhashSchema)
+  }
+
   /** Output schema of the resize stage. */
   val resizeSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

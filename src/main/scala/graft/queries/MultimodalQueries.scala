@@ -55,6 +55,19 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    "q196_perceptual_neardup" -> ((s, d) => {
+      // perceptual IMAGE near-dup: patterned real PNGs (every pixel a
+      // deterministic function of the text — Multimodal.patternPngBlobs
+      // doc), REAL javax.imageio decode, 56-bit dHash over the 8×8
+      // box-downsampled grays, then pigeonhole-banded Hamming pairs
+      // (recall exactly 1 at ham ≤ 6, never all-pairs). The oracle
+      // recomputes every pixel, cell, bit, and pair from the raw text.
+      val blobs = Multimodal.patternPngBlobs(s, t(s, d, "documents"), "text")
+      val hashes = Multimodal.dhashMedia(s, blobs)
+      graft.ext.Dedup.perceptualNearDupPairs(hashes, maxHamming = 6)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "q52_multimodal_embed_ann" -> ((s, d) => {
       // end-to-end modality pipeline: blob -> batched stub encoder
       // (mapPartitions) -> embedding column -> LSH-bucketed near-dup pairs.
@@ -189,6 +202,60 @@ object MultimodalQueries {
                 CAST(floor(width * scale) AS INTEGER) AS out_width,
                 CAST(floor(height * scale) AS INTEGER) AS out_height
          FROM s ORDER BY doc_id""",
+
+    // q196: replay the patterned PNG's every pixel from the text (the
+    // engine decodes REAL pixels; PNG is lossless and channel-uniform so
+    // gray(x,y) = (s + x·a + y·c) mod 256 exactly), box-average to the
+    // 8×8 grid in integer arithmetic, rebuild the 56-bit dHash, then
+    // brute-force the Hamming pairs — the banded engine result equals
+    // brute force EXACTLY by the pigeonhole theorem (ham 6 < 7 chunks)
+    "q196_perceptual_neardup" ->
+      """WITH b AS (
+           SELECT doc_id, length(text) AS n,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''),
+                        c -> CAST(ascii(c) AS BIGINT))),
+                    (a, x) -> a + x) AS s
+           FROM documents WHERE text IS NOT NULL),
+         dims AS (
+           SELECT doc_id, s,
+                  16 + (n % 17) AS w, 16 + ((n // 2) % 17) AS h,
+                  17 + (n % 29) AS a, 13 + (s % 23) AS c
+           FROM b),
+         grid AS (
+           SELECT doc_id, s, w, h, a, c,
+                  unnest(range(0, 64)) AS k
+           FROM dims),
+         gx AS (
+           SELECT doc_id, s, a, c, h, k % 8 AS i, k // 8 AS j,
+                  unnest(range((k % 8) * w // 8,
+                               ((k % 8) + 1) * w // 8)) AS x
+           FROM grid),
+         gy AS (
+           SELECT doc_id, s, a, c, i, j, x,
+                  unnest(range(j * h // 8, (j + 1) * h // 8)) AS y
+           FROM gx),
+         px AS (
+           SELECT doc_id, i, j, (s + x * a + y * c) % 256 AS v
+           FROM gy),
+         cells AS (
+           SELECT doc_id, i, j, sum(v) // count(*) AS cv
+           FROM px GROUP BY doc_id, i, j),
+         hashes AS (
+           SELECT l.doc_id,
+                  sum(CASE WHEN r.cv > l.cv
+                      THEN CAST(1 AS BIGINT) << CAST(l.j * 7 + l.i AS INTEGER)
+                      ELSE 0 END) AS dhash
+           FROM cells l
+           JOIN cells r ON r.doc_id = l.doc_id AND r.j = l.j
+                       AND r.i = l.i + 1
+           GROUP BY l.doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         ORDER BY doc_a, doc_b""",
 
     "q52_multimodal_embed_ann" ->
       s"""WITH v AS ($mediaVectors),

@@ -104,6 +104,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out == Seq((0, 2), (2, 2), (4, 2))) // frames 0,2,4 sampled
   }
 
+  test("dHash: planted near-duplicate images pair; unrelated ones don't") {
+    // same-length texts with a tiny byte-sum delta generate patterned
+    // PNGs that differ by a uniform brightness shift — the dHash
+    // perceptual property says most adjacent-cell comparisons survive,
+    // so the pair lands within the Hamming budget; an unrelated text
+    // (different length → different dims/multipliers) must not pair
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the lazy dog again and agaio" // +1 byte sum
+    val far = "completely different content with other words and lengths here yes"
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val hashes = Multimodal.dhashMedia(
+      spark, Multimodal.patternPngBlobs(spark, docs, "text"))
+    assert(hashes.schema == Multimodal.dhashSchema)
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.values.forall(h => h >= 0L && h < (1L << 56))) // 56-bit, non-negative
+    val pairs = graft.ext.Dedup
+      .perceptualNearDupPairs(hashes, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted near-dup did not pair: $hs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"unrelated doc paired: $hs")
+    // banding is EXACT by pigeonhole: equals brute force at every ham ≤ 6
+    val brute = for {
+      (a, ha) <- hs.toSeq; (b, hb) <- hs.toSeq if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (a, b)
+    assert(pairs == brute.toSet)
+  }
+
+  test("dHash is brightness-shift tolerant and wrap-aware by construction") {
+    // direct unit check on the decoded-pixel path: a real PNG decodes to
+    // the exact generated grays, so two texts whose only difference is a
+    // small byte-sum delta yield hashes within a small Hamming distance
+    val t1 = "abcdefghij klmnopqrst uvwxyz0123 456789abcd"
+    val t2 = "abcdefghij klmnopqrst uvwxyz0123 456789abce" // sum +1
+    val docs = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    val hs = Multimodal.dhashMedia(
+      spark, Multimodal.patternPngBlobs(spark, docs, "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) <= 6, hs.toString)
+  }
+
+  test("dhashMedia hashes non-image bytes through the fallback, total") {
+    val out = Multimodal.dhashMedia(spark,
+      Multimodal.withFakeBlob(Seq((7L, "not a png")).toDF("doc_id", "text"),
+        "text"))
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == 7L)
+    assert(out.head.getLong(1) >= 0L)
+  }
+
   test("documents fixture is ASCII-only (q50/q70/q71/q73 oracle assumption)") {
     // The DuckDB oracles rebuild byte arithmetic from length(text)/ascii(c)
     // — character-based — while the engine works on UTF-8 bytes. They agree
