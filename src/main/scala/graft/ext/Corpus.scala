@@ -1392,6 +1392,205 @@ object Corpus {
           .otherwise(lit(0L)).as("fertility_ppm"))
   }
 
+  /** UNIGRAM-LM TOKENIZER TRAINING (Kudo, ACL'18 — "Subword
+    * Regularization": the SentencePiece unigram model) — the OTHER
+    * production tokenizer next to BPE, trained by hard-EM over a seed
+    * vocabulary. Same split of labor as [[bpeMergesInMemory]]: the
+    * corpus-sized work (word → freq) is ONE distributed pass, and the
+    * EM loop runs on the driver over the vocabulary-sized table, with
+    * the same loud `maxVocab` residency guard.
+    *
+    * ALL statistics are INTEGER (the q156/q158 trained-model
+    * discipline), so the trained vocabulary replays bit-identically in
+    * any engine — no float log-likelihoods anywhere:
+    *  - seed: every substring of length 1..`maxPieceLen` of every
+    *    distinct word, counted weighted by word frequency; the vocab is
+    *    all single characters (never prunable, so segmentation is
+    *    total) plus the top `seedSize` multi-char pieces by
+    *    (count DESC, piece ASC);
+    *  - E-step: per distinct word, the VITERBI segmentation under
+    *    integer surprisal costs bits(p) = floor(log₂((T + V) div
+    *    (c(p) + 1))) (add-one smoothing; T = Σ counts, V = |vocab| —
+    *    the corpus's floor-log₂ convention), deterministic tie rule
+    *    (total bits ASC, then piece count ASC, then the '|'-joined
+    *    path string ASC);
+    *  - M-step: c(p) = Σ over words freq · (occurrences of p in the
+    *    word's Viterbi path); multi-char pieces whose count falls to 0
+    *    prune (the natural SentencePiece shrink), characters never do.
+    *
+    * Output: (piece, n_uses, cost_bits) — the trained model, cost_bits
+    * from the FINAL counts — ordered (n_uses DESC, piece). q197's
+    * DuckDB oracle replays the seed, every EM iteration's Viterbi
+    * (per-position argmin CTEs), the M-step counts, the pruning, and
+    * the final costs; CorpusSpec pins Viterbi optimality against
+    * brute-force enumeration of ALL segmentations.
+    */
+  def unigramTrain(docs: DataFrame, textCol: String, seedSize: Int = 64,
+                   maxPieceLen: Int = 3, iters: Int = 2,
+                   maxVocab: Int = 5000000): DataFrame = {
+    require(seedSize >= 1, s"seedSize must be positive: $seedSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be positive: $maxPieceLen")
+    require(iters >= 1, s"iters must be positive: $iters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wfDf = docs.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val nWords = wfDf.count()
+    require(nWords <= maxVocab,
+      s"vocabulary has $nWords distinct words > maxVocab=$maxVocab — " +
+        "the in-memory EM loop assumes the word-frequency table fits " +
+        "the driver; pre-filter the frequency tail first (freq >= 2 " +
+        "halves a crawl vocabulary with no effect on the learned pieces)")
+    // the ONE driver-side collect: vocabulary-sized by the guard above
+    val wf = wfDf.as[(String, Long)].collect().sortBy(_._1)
+    val seedCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, f) <- wf; st <- 0 until w.length;
+         pl <- 1 to math.min(maxPieceLen, w.length - st)) {
+      val p = w.substring(st, st + pl)
+      seedCounts(p) = seedCounts.getOrElse(p, 0L) + f
+    }
+    val chars = seedCounts.keysIterator.filter(_.length == 1).toSeq
+    val multi = seedCounts.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }(
+        Ordering.Tuple2(Ordering.Long, Ordering.String))
+      .take(seedSize).map(_._1)
+    var vocab: Map[String, Long] =
+      (chars ++ multi).map(p => p -> seedCounts(p)).toMap
+    for (_ <- 1 to iters if vocab.nonEmpty) {
+      val t = vocab.valuesIterator.sum
+      val v = vocab.size.toLong
+      val bits = vocab.map { case (p, c) => p -> unigramBits(c, t, v) }
+      val newCounts = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, f) <- wf;
+           p <- unigramViterbi(w, bits, maxPieceLen))
+        newCounts(p) = newCounts.getOrElse(p, 0L) + f
+      vocab = vocab.keysIterator
+        .map(p => p -> newCounts.getOrElse(p, 0L))
+        .filter { case (p, c) => p.length == 1 || c > 0 }
+        .toMap
+    }
+    val t = vocab.valuesIterator.sum
+    val v = vocab.size.toLong
+    vocab.toSeq
+      .sortBy { case (p, c) => (-c, p) }(
+        Ordering.Tuple2(Ordering.Long, Ordering.String))
+      .map { case (p, c) => (p, c, unigramBits(c, t, v)) }
+      .toDF("piece", "n_uses", "cost_bits")
+  }
+
+  /** floor(log₂((t + v) div (c + 1))) — the integer add-one-smoothed
+    * surprisal the whole corpus family uses. */
+  private[graft] def unigramBits(c: Long, t: Long, v: Long): Long =
+    63L - java.lang.Long.numberOfLeadingZeros((t + v) / (c + 1))
+
+  /** Deterministic Viterbi over one word: minimal (total bits, piece
+    * count, '|'-joined path) — the exact tie rule q197's oracle
+    * replays. Every single character is in the training vocabulary, so
+    * position k is always reachable from k−1. */
+  private[graft] def unigramViterbi(w: String, bits: Map[String, Long],
+                                    maxPieceLen: Int): Seq[String] = {
+    val dp = new Array[(Long, Int, String)](w.length + 1)
+    dp(0) = (0L, 0, "")
+    var k = 1
+    while (k <= w.length) {
+      var best: (Long, Int, String) = null
+      var j = math.max(0, k - maxPieceLen)
+      while (j < k) {
+        if (dp(j) != null) bits.get(w.substring(j, k)).foreach { b =>
+          val cand = (dp(j)._1 + b, dp(j)._2 + 1,
+            dp(j)._3 + "|" + w.substring(j, k))
+          if (best == null ||
+              cand._1 < best._1 ||
+              (cand._1 == best._1 && (cand._2 < best._2 ||
+                (cand._2 == best._2 && cand._3 < best._3))))
+            best = cand
+        }
+        j += 1
+      }
+      dp(k) = best
+      k += 1
+    }
+    require(dp(w.length) != null,
+      s"word '$w' not segmentable — a character is missing from the vocab")
+    dp(w.length)._3.split("\\|").iterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** UNIGRAM SEGMENTATION with a trained model — the apply half of
+    * [[unigramTrain]], [[bpeSegmentCounts]]'s sibling: per document,
+    * whitespace word count, unigram token count, and total model bits
+    * under the trained costs. `model` is [[unigramTrain]]'s output
+    * (piece, n_uses, cost_bits) — bounded by seedSize + |alphabet| BY
+    * CONSTRUCTION, so collecting it is a k-row read, and the costs ride
+    * into the plan as one literal map.
+    *
+    * The per-word Viterbi is a codegen'd `aggregate` HOF over a packed
+    * accumulator (bits·2²⁰ + pieces, so minimizing the packed long IS
+    * the (bits ASC, pieces ASC) tie rule — exact while words stay under
+    * 2²⁰ chars, i.e. always). Characters unseen in training cost
+    * unk_bits = floor(log₂(T + V)) (the c = 0 smoothing floor), so the
+    * stage is total on any corpus.
+    *
+    * The distinct-word dictionary is segmented ONCE (vocabulary-sized)
+    * and the corpus-sized word stream equi-joins it — NOT
+    * broadcast-hinted, the [[bpeSegmentCounts]] rule: a crawl
+    * dictionary is hundreds of millions of words; the planner/AQE
+    * broadcasts it only when it is actually small.
+    *
+    * Output: (id, n_words, n_unigram_tokens, n_bits); empty/NULL-text
+    * documents come back (0, 0, 0).
+    */
+  def unigramSegmentCounts(docs: DataFrame, textCol: String, idCol: String,
+                           model: DataFrame): DataFrame = {
+    val rows = model.select("piece", "n_uses", "cost_bits").collect()
+    require(rows.nonEmpty, "empty unigram model")
+    val t = rows.iterator.map(_.getLong(1)).sum
+    val v = rows.length.toLong
+    val unkBits = 63L - java.lang.Long.numberOfLeadingZeros(t + v)
+    val vocab = rows.map(r => (r.getString(0), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    val maxPieceLen = vocab.iterator.map(_._1.length).max
+    val vmap = map(vocab.flatMap { case (p, b) =>
+      Seq(lit(p), lit(b)) }: _*)
+    val packedDp = aggregate(
+      sequence(lit(1), length(col("word"))),
+      array(lit(0L)),
+      (acc, k) => concat(acc, array(array_min(transform(
+        sequence(greatest(k - maxPieceLen, lit(0)), k - lit(1)),
+        j => {
+          val plen = k - j
+          val piece = col("word").substr(j + lit(1), plen)
+          val b = element_at(vmap, piece)
+          val bEff = when(plen === lit(1),
+            coalesce(b, lit(unkBits))).otherwise(b)
+          element_at(acc, j + lit(1)) + (shiftleft(bEff, 20) + lit(1L))
+        })))),
+      acc => element_at(acc, -1))
+    val dict = docs.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0).distinct()
+      .select(col("word"), packedDp.as("pk"))
+      .select(col("word"),
+        col("pk").bitwiseAND(lit((1L << 20) - 1)).as("n_pieces"),
+        shiftrightunsigned(col("pk"), 20).as("seg_bits"))
+    val stream = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+    val perDoc = stream.join(dict, Seq("word"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_unigram_tokens"),
+        sum(col("seg_bits")).as("n_bits"))
+    docs.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_unigram_tokens"), lit(0L)).as("n_unigram_tokens"),
+        coalesce(col("n_bits"), lit(0L)).as("n_bits"))
+  }
+
   /** One left-to-right merge pass over a symbol array: replace every
     * non-overlapping adjacent (a, b) with the concatenated symbol. The
     * accumulator holds (emitted symbols, one pending symbol); the

@@ -369,6 +369,38 @@ object CorpusQueries {
         .orderBy("lang")
     }),
 
+    "q197_unigram_train" -> ((s, d) => {
+      // the OTHER production tokenizer: SentencePiece-style unigram-LM
+      // training — substring seed, top-k multi-char pieces, two hard-EM
+      // rounds of integer-bits Viterbi + count M-step with natural
+      // pruning. All statistics integer, so the oracle replays the seed,
+      // every Viterbi argmin, the re-counts, the prune, and the final
+      // costs — the trained MODEL is the checked artifact.
+      Corpus.unigramTrain(t(s, d, "documents"), "text",
+        seedSize = 24, maxPieceLen = 3, iters = 2)
+        .orderBy(col("n_uses").desc, col("piece"))
+    }),
+
+    "q198_pack_unigram_budget" -> ((s, d) => {
+      // q184's packing composition on the UNIGRAM tokenizer: train,
+      // segment every document with the trained costs (packed-long
+      // Viterbi HOF over the distinct-word dictionary), pack per source
+      // shard on the unigram token budget. The oracle replays training,
+      // segmentation, AND the prefix-sum pack assignment.
+      val docs = t(s, d, "documents")
+      val model = Corpus.unigramTrain(docs, "text",
+        seedSize = 24, maxPieceLen = 3, iters = 2)
+      val seg = Corpus.unigramSegmentCounts(docs, "text", "doc_id", model)
+      Corpus.packSequencesBy(
+        docs.select(col("doc_id"), col("source"))
+          .join(seg.select(col("doc_id"), col("n_unigram_tokens")),
+            Seq("doc_id")),
+        "n_unigram_tokens", shardCol = "source", orderCol = "doc_id",
+        budget = 256L)
+        .select("doc_id", "source", "n_unigram_tokens", "pack_id")
+        .orderBy("doc_id")
+    }),
+
     "q184_pack_bpe_budget" -> ((s, d) => {
       // the PRODUCTION packing composition: train the tokenizer (the
       // in-memory loop, 8 merges to stay oracle-tractable), segment
@@ -900,6 +932,169 @@ object CorpusQueries {
         FROM documents d LEFT JOIN seg USING (doc_id)
         ORDER BY d.doc_id"""
 
+  /** The q197 unigram-LM training replay, GENERATED: seed (substring
+    * counts, all chars + top-`seedSize` multi-char), then `iters` hard-EM
+    * rounds — each a bits table, an unrolled per-position Viterbi argmin
+    * (dp CTEs for word lengths 1..`maxLen`; the fixture's longest word is
+    * 8, asserted by the engine result matching), the path-exploded
+    * M-step re-count, and the natural prune. The Viterbi tie rule is the
+    * engine's exactly: (total bits, piece count, '|'-joined path).
+    * Returns the WITH body up to `vocab$iters` + `ftot` (final totals).
+    */
+  private def unigramTrainCtes(seedSize: Int, pieceLen: Int, iters: Int,
+                               maxLen: Int): String = {
+    val seed =
+      s"""uwords AS MATERIALIZED (
+            SELECT w AS word, count(*) AS f, length(w) AS wl
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE length(w) > 0 GROUP BY w),
+          ust AS (SELECT word, f, wl, unnest(range(1, wl + 1)) AS s
+                  FROM uwords),
+          upieces AS (
+            SELECT f, substr(word, CAST(s AS INTEGER),
+                             CAST(pl AS INTEGER)) AS piece
+            FROM (SELECT word, f, s,
+                         unnest(range(1, least($pieceLen, wl - s + 1) + 1))
+                           AS pl
+                  FROM ust)),
+          useedc AS MATERIALIZED (
+            SELECT piece, CAST(sum(f) AS BIGINT) AS c
+            FROM upieces GROUP BY piece),
+          vocab0 AS MATERIALIZED (
+            SELECT piece, c FROM useedc WHERE length(piece) = 1
+            UNION ALL
+            SELECT piece, c FROM (
+              SELECT piece, c,
+                     row_number() OVER (ORDER BY c DESC, piece) AS rn
+              FROM useedc WHERE length(piece) > 1) WHERE rn <= $seedSize)"""
+    val iterBlocks = (1 to iters).map { t =>
+      val pv = s"vocab${t - 1}"
+      val dp = (1 to maxLen).map { k =>
+        val legs = (math.max(0, k - pieceLen) until k).map { j =>
+          val plen = k - j
+          if (plen == 1)
+            s"""SELECT d.word, d.wl, d.f, d.bits + coalesce(b.b, u.ub)
+                         AS bits,
+                       d.np + 1 AS np,
+                       d.path || '|' || substr(d.word, $k, 1) AS path
+                FROM dp${t}_$j d
+                LEFT JOIN bits$t b ON b.piece = substr(d.word, $k, 1)
+                CROSS JOIN unk$t u
+                WHERE d.wl >= $k"""
+          else
+            s"""SELECT d.word, d.wl, d.f, d.bits + b.b AS bits,
+                       d.np + 1 AS np,
+                       d.path || '|' || substr(d.word, ${j + 1}, $plen)
+                         AS path
+                FROM dp${t}_$j d
+                JOIN bits$t b
+                  ON b.piece = substr(d.word, ${j + 1}, $plen)
+                WHERE d.wl >= $k"""
+        }.mkString("\nUNION ALL\n")
+        s"""dp${t}_$k AS MATERIALIZED (
+              SELECT word, wl, f, bits, np, path FROM (
+                SELECT *, row_number() OVER (PARTITION BY word
+                            ORDER BY bits, np, path) AS rn
+                FROM ($legs)) WHERE rn = 1)"""
+      }.mkString(",\n")
+      val segs = (1 to maxLen)
+        .map(k => s"SELECT f, path FROM dp${t}_$k WHERE wl = $k")
+        .mkString("\nUNION ALL\n")
+      s"""tot$t AS (SELECT CAST(sum(c) AS BIGINT) AS tt,
+                           CAST(count(*) AS BIGINT) AS tv FROM $pv),
+          bits$t AS MATERIALIZED (
+            SELECT piece,
+                   CAST(length(bin((t.tt + t.tv) // (c + 1))) - 1
+                        AS BIGINT) AS b
+            FROM $pv CROSS JOIN tot$t t),
+          unk$t AS (SELECT CAST(length(bin(tt + tv)) - 1 AS BIGINT) AS ub
+                    FROM tot$t),
+          dp${t}_0 AS (SELECT word, wl, f, CAST(0 AS BIGINT) AS bits,
+                              0 AS np, '' AS path
+                       FROM uwords),
+          $dp,
+          useg$t AS MATERIALIZED ($segs),
+          unc$t AS (
+            SELECT piece, CAST(sum(f) AS BIGINT) AS c
+            FROM (SELECT f, unnest(string_split(substr(path, 2), '|'))
+                           AS piece
+                  FROM useg$t)
+            GROUP BY piece),
+          vocab$t AS MATERIALIZED (
+            SELECT v.piece, coalesce(n.c, 0) AS c
+            FROM $pv v LEFT JOIN unc$t n ON n.piece = v.piece
+            WHERE length(v.piece) = 1 OR coalesce(n.c, 0) > 0)"""
+    }.mkString(",\n")
+    s"""$seed,
+        $iterBlocks,
+        ftot AS (SELECT CAST(sum(c) AS BIGINT) AS tt,
+                        CAST(count(*) AS BIGINT) AS tv FROM vocab$iters)"""
+  }
+
+  /** The q198 segmentation replay on top of [[unigramTrainCtes]]: final
+    * model costs, the PACKED (bits·2²⁰ + pieces) per-position Viterbi
+    * min — a plain `min` per dp cell, the engine's packed-long HOF
+    * exactly — then per-doc rollup and the prefix-sum pack assignment.
+    */
+  private def unigramPackSql(seedSize: Int, pieceLen: Int, iters: Int,
+                             maxLen: Int, budget: Long): String = {
+    val dp = (1 to maxLen).map { k =>
+      val legs = (math.max(0, k - pieceLen) until k).map { j =>
+        val plen = k - j
+        if (plen == 1)
+          s"""SELECT d.word, d.wl,
+                     d.pk + (coalesce(b.b, u.ub) * 1048576 + 1) AS pk
+              FROM adp_$j d
+              LEFT JOIN abits b ON b.piece = substr(d.word, $k, 1)
+              CROSS JOIN aunk u
+              WHERE d.wl >= $k"""
+        else
+          s"""SELECT d.word, d.wl, d.pk + (b.b * 1048576 + 1) AS pk
+              FROM adp_$j d
+              JOIN abits b ON b.piece = substr(d.word, ${j + 1}, $plen)
+              WHERE d.wl >= $k"""
+      }.mkString("\nUNION ALL\n")
+      s"""adp_$k AS MATERIALIZED (
+            SELECT word, wl, min(pk) AS pk FROM ($legs)
+            GROUP BY word, wl)"""
+    }.mkString(",\n")
+    val segs = (1 to maxLen)
+      .map(k => s"SELECT word, pk FROM adp_$k WHERE wl = $k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${unigramTrainCtes(seedSize, pieceLen, iters, maxLen)},
+        abits AS MATERIALIZED (
+          SELECT piece,
+                 CAST(length(bin((t.tt + t.tv) // (c + 1))) - 1 AS BIGINT)
+                   AS b
+          FROM vocab$iters CROSS JOIN ftot t),
+        aunk AS (SELECT CAST(length(bin(tt + tv)) - 1 AS BIGINT) AS ub
+                 FROM ftot),
+        adp_0 AS (SELECT word, wl, CAST(0 AS BIGINT) AS pk FROM uwords),
+        $dp,
+        aseg AS MATERIALIZED ($segs),
+        ads AS (SELECT doc_id, word
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS word
+                      FROM documents WHERE text IS NOT NULL)
+                WHERE length(word) > 0),
+        aper AS (SELECT ads.doc_id,
+                        CAST(sum(a.pk % 1048576) AS BIGINT) AS n_uni
+                 FROM ads JOIN aseg a USING (word)
+                 GROUP BY ads.doc_id),
+        abase AS (SELECT d.doc_id, d.source,
+                         CAST(coalesce(aper.n_uni, 0) AS BIGINT)
+                           AS n_unigram_tokens
+                  FROM documents d LEFT JOIN aper USING (doc_id))
+        SELECT doc_id, source, n_unigram_tokens,
+               CAST(floor(COALESCE(sum(n_unigram_tokens)
+                   OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0)
+                 / $budget.0) AS BIGINT) AS pack_id
+        FROM abase ORDER BY doc_id"""
+  }
+
   /** q124/q126 drift replay: integer-ppm histogram shares per bucket
     * between the even/odd corpus halves; `//` and `div` agree on
     * non-negative operands, so every drift number replays exactly.
@@ -1253,6 +1448,22 @@ object CorpusQueries {
                       THEN sum(n_bpe) * 1000000 // sum(n_words)
                       ELSE 0 END AS BIGINT) AS fertility_ppm
           FROM base GROUP BY lang ORDER BY lang""",
+
+    // q197: the generated unigram-LM EM replay — seed, two Viterbi
+    // E-steps (per-position argmin CTEs, tie rule (bits, np, path)),
+    // M-step counts, prune, final integer costs
+    "q197_unigram_train" ->
+      s"""${"WITH " + unigramTrainCtes(24, 3, 2, 12)}
+          SELECT piece, c AS n_uses,
+                 CAST(length(bin((t.tt + t.tv) // (c + 1))) - 1 AS BIGINT)
+                   AS cost_bits
+          FROM vocab2 CROSS JOIN ftot t
+          ORDER BY n_uses DESC, piece""",
+
+    // q198: the trained model's packed-long Viterbi over the dictionary,
+    // per-doc rollup, and the windowed prefix-sum pack (q184's shape on
+    // unigram counts)
+    "q198_pack_unigram_budget" -> unigramPackSql(24, 3, 2, 12, 256L),
 
     // q184: the 8-generation training replay + the dictionary join
     // (q163's CTEs) + q60's windowed prefix-sum pack assignment on the

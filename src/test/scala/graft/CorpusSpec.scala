@@ -12,6 +12,124 @@ class CorpusSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // ---- unigram-LM tokenizer: plain-Scala reference for the property tests
+
+  /** Brute-force reference: enumerate ALL segmentations of `w` into
+    * vocab pieces of length ≤ L, pick the minimal (total bits, piece
+    * count, '|'-joined path) — the spec's independent implementation of
+    * the Viterbi contract. Exponential, so only for short words. */
+  private def bruteBestSeg(w: String, bits: Map[String, Long],
+                           L: Int): Option[(Long, Int, String)] = {
+    def all(pos: Int): Seq[List[String]] =
+      if (pos == w.length) Seq(Nil)
+      else (1 to math.min(L, w.length - pos)).flatMap { pl =>
+        val p = w.substring(pos, pos + pl)
+        if (bits.contains(p)) all(pos + pl).map(p :: _) else Nil
+      }
+    val cands = all(0).map { seg =>
+      (seg.map(bits).sum, seg.length, seg.mkString("|", "|", ""))
+    }
+    if (cands.isEmpty) None else Some(cands.min)
+  }
+
+  test("unigramViterbi ≡ brute-force enumeration on randomized words") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd"
+    for (_ <- 1 to 60) {
+      val w = Seq.fill(3 + rnd.nextInt(8))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      // random vocab: all chars (always segmentable) + random substrings
+      val pieces = (alphabet.map(_.toString) ++
+        Seq.fill(6) {
+          val st = rnd.nextInt(w.length)
+          val len = 1 + rnd.nextInt(math.min(3, w.length - st))
+          w.substring(st, st + len)
+        }).distinct
+      val bits = pieces.map(p => p -> (1L + rnd.nextInt(9))).toMap
+      val got = Corpus.unigramViterbi(w, bits, 3)
+      val (gb, gn, gp) =
+        (got.map(bits).sum, got.length, got.mkString("|", "|", ""))
+      assert(bruteBestSeg(w, bits.filter(_._1.length <= 3), 3)
+        .contains((gb, gn, gp)), s"word=$w vocab=$bits got=$got")
+    }
+  }
+
+  test("unigramTrain: hand-checked seed, EM prune, integer costs, determinism") {
+    // corpus: 'abab' ×3, 'ab' ×2, 'cd' ×1 — the pair 'ab' dominates
+    val tiny = Seq((1L, "abab abab abab ab ab cd"))
+      .toDF("doc_id", "text")
+    val model = Corpus.unigramTrain(tiny, "text", seedSize = 4,
+      maxPieceLen = 3, iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byPiece = model.map(m => m._1 -> m).toMap
+    // all four single chars survive whatever the EM does
+    assert(Seq("a", "b", "c", "d").forall(byPiece.contains))
+    // 'ab' (or a longer winner containing it) carries the corpus: the
+    // dominant multi-char piece must be used, and every multi-char
+    // survivor has n_uses > 0 (the prune contract)
+    assert(model.filter(_._1.length > 1).forall(_._2 > 0L))
+    assert(model.exists(m => m._1.length > 1 && m._2 > 0L))
+    // integer cost sanity: bits = floor(log2((T+V) div (c+1))) exactly
+    val t = model.map(_._2).sum
+    val v = model.length.toLong
+    assert(model.forall { case (_, c, b) =>
+      b == Corpus.unigramBits(c, t, v) })
+    // byte-identical on a re-run (no RNG, no hash-order dependence)
+    val again = Corpus.unigramTrain(tiny, "text", seedSize = 4,
+      maxPieceLen = 3, iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(model.toSeq == again.toSeq)
+  }
+
+  test("unigramSegmentCounts HOF ≡ driver Viterbi on randomized corpora") {
+    // the codegen'd packed-long DP against the plain-Scala reference:
+    // same model, word-per-doc corpus, (n_tokens, n_bits) must agree
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(40)(Seq.fill(2 + rnd.nextInt(7))(
+      "abcde" (rnd.nextInt(5))).mkString)
+    val corpus = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val model = Corpus.unigramTrain(corpus, "text", seedSize = 8,
+      maxPieceLen = 3, iters = 2)
+    val rowsM = model.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val t = rowsM.map(_._2).sum
+    val v = rowsM.length.toLong
+    val bits = rowsM.map(r => r._1 -> r._3).toMap
+    val got = Corpus.unigramSegmentCounts(corpus, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      val seg = Corpus.unigramViterbi(w, bits, 3)
+      val want = (seg.length.toLong, seg.map(bits).sum)
+      assert(got(i.toLong) == want, s"word=$w got=${got(i.toLong)}")
+    }
+    // empty/NULL text rows come back all-zero, not absent
+    val withNull = Seq((100L, null.asInstanceOf[String]), (101L, "ab"))
+      .toDF("doc_id", "text")
+    val z = Corpus.unigramSegmentCounts(withNull, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(z(100L) == ((0L, 0L, 0L)))
+    assert(z(101L)._1 == 1L)
+  }
+
+  test("unigramSegmentCounts: unseen characters take the unk floor, total") {
+    val train = Seq((1L, "aa bb aa")).toDF("doc_id", "text")
+    val model = Corpus.unigramTrain(train, "text", seedSize = 4,
+      maxPieceLen = 2, iters = 1)
+    val rowsM = model.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val t = rowsM.map(_._2).sum
+    val v = rowsM.length.toLong
+    val score = Seq((9L, "zz")).toDF("doc_id", "text") // 'z' unseen
+    val out = Corpus.unigramSegmentCounts(score, "text", "doc_id", model)
+      .collect().head
+    // two unk single-char pieces, each at the c = 0 smoothing floor
+    val unkBits = 63L - java.lang.Long.numberOfLeadingZeros(t + v)
+    assert(out.getLong(2) == 2L && out.getLong(3) == 2L * unkBits)
+  }
+
   private val docs = Seq.tabulate(200) { i =>
     (i.toLong, s"document number $i talks about topic ${i % 7} in depth " +
       s"with unique trailing content piece$i")
