@@ -80,6 +80,65 @@ object CampaignQueries {
       bm.unionByName(nd).unionByName(lmScores).orderBy("family", "doc_id")
     }),
 
+    "q199_campaign_spot" -> ((s, d) => {
+      // q133's three-family pin/maintain/serve with the NEAR-DUP SERVE
+      // probe fixed to the 200-doc slice (the q134 sliced-probe trick):
+      // the exact-Jaccard member oracle is quadratic in probe × manifest
+      // and kept q133/q144 sf0.01-gated — slicing the PROBE makes the
+      // whole three-family union oracle linear in the corpus, so the
+      // campaign machinery (sorted-lease pin, triple maintenance,
+      // pinned serves) finally gets its 10× size-step check. The engine
+      // still builds, pins, and maintains the FULL-size states.
+      val sf = sfTag(d)
+      val docs = t(s, d, "documents")
+      val text = s"target/graft-campaign-spot-text-$sf"
+      val mani = s"target/graft-campaign-spot-manifest-$sf"
+      val lm = s"target/graft-campaign-spot-lm-$sf"
+      Search.saveTextIndex(docs, text)
+      Search.compactTextIndex(s, text)
+      Dedup.saveMinhashManifest(
+        docs.where(pmod(col("doc_id"), lit(10)) < 5), "text", "doc_id",
+        mani, k = 32, bands = 16)
+      Dedup.compactMinhashManifest(s, mani)
+      val split = Corpus.splitAssign(docs, "text")
+      Corpus.saveLm(split.where(col("split") === "train"), "text", "doc_id",
+        lm)
+      val members = Seq(Campaign.TextIndex(text),
+        Campaign.MinhashManifest(mani), Campaign.Lm(lm))
+      Campaign.snapshot(s, "release_pin", members)
+      Search.deleteFromTextIndex(s, text,
+        docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"))
+      Search.compactTextIndex(s, text)
+      Dedup.deleteContentFromMinhashManifest(
+        docs.where(pmod(col("doc_id"), lit(10)) === 1), "text", mani)
+      Dedup.compactMinhashManifest(s, mani)
+      Corpus.appendToLm(split.where(col("split") === "val"), lm,
+        "text", "doc_id", opId = "grow_val")
+      Corpus.compactLm(s, lm)
+      val bm = Search.bm25TopKIndexedSnapshot(s, text, "release_pin",
+          SearchQueries.bmTerms, k = 20,
+          k1 = SearchQueries.k1, b = SearchQueries.b)
+        .select(lit("bm25").as("family"), col("doc_id"),
+          col("score").as("v1"), col("rank").cast("double").as("v2"),
+          col("dl").cast("double").as("v3"))
+      val nd = Dedup.incrementalNearDupsSnapshot(
+          docs.where(pmod(col("doc_id"), lit(10)) >= 5 &&
+            col("doc_id") < 400), mani,
+          "release_pin", "text", "doc_id", threshold = 0.9)
+        .select(lit("neardup").as("family"), col("doc_id"),
+          col("near_jaccard").as("v1"),
+          col("is_near_dup").cast("double").as("v2"),
+          lit(null).cast("double").as("v3"))
+      val lmScores = Corpus.lmPerplexityIndexedSnapshot(
+          split.where(col("split") === "test" && col("text").isNotNull),
+          lm, "release_pin", "text", "doc_id")
+        .select(lit("lm").as("family"), col("doc_id"),
+          col("bits_x100").cast("double").as("v1"),
+          col("n_bigrams").cast("double").as("v2"),
+          col("total_bits").cast("double").as("v3"))
+      bm.unionByName(nd).unionByName(lmScores).orderBy("family", "doc_id")
+    }),
+
     "q144_campaign_rollback" -> ((s, d) => {
       // q133's workflow taken one step further: pin, run the SAME
       // destructive campaign on all three families (every tombstone
@@ -145,7 +204,7 @@ object CampaignQueries {
     * apply. Shared by q133 (maintenance must be invisible through the
     * pin) and q144 (a restore must make the LIVE state equal the pin).
     */
-  private val unionReplay: String =
+  private def unionReplayOver(neardupReplay: String): String =
     s"""SELECT * FROM (
             SELECT 'bm25' AS family, doc_id, score AS v1,
                    CAST(rank AS DOUBLE) AS v2, CAST(dl AS DOUBLE) AS v3
@@ -154,7 +213,7 @@ object CampaignQueries {
             SELECT 'neardup' AS family, doc_id, near_jaccard AS v1,
                    CAST(CAST(is_near_dup AS INT) AS DOUBLE) AS v2,
                    CAST(NULL AS DOUBLE) AS v3
-            FROM (${DedupQueries.incrementalMinhashReplay})
+            FROM ($neardupReplay)
             UNION ALL
             SELECT 'lm' AS family, doc_id,
                    CAST(bits_x100 AS DOUBLE) AS v1,
@@ -163,8 +222,15 @@ object CampaignQueries {
             FROM (${CorpusQueries.lmIndexedReplay})
           ) ORDER BY family, doc_id"""
 
+  private val unionReplay: String =
+    unionReplayOver(DedupQueries.incrementalMinhashReplay)
+
   val oracles: Map[String, String] = Map(
     "q133_campaign_snapshot" -> unionReplay,
-    "q144_campaign_rollback" -> unionReplay
+    "q144_campaign_rollback" -> unionReplay,
+    // q199: the same union with the q134 sliced-probe near-dup member —
+    // linear in the corpus, so the THREE-family campaign replays at sf0.1
+    "q199_campaign_spot" -> unionReplayOver(
+      DedupQueries.incrementalMinhashReplayOver("doc_id < 400"))
   )
 }

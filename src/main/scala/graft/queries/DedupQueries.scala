@@ -524,7 +524,7 @@ object DedupQueries {
     * `probeWhere` — the spot-run lever: the replay is quadratic in
     * probe × manifest, so a fixed probe slice keeps it linear in the
     * corpus (quadratic only in the slice) at sf0.1. */
-  private def incrementalMinhashReplayOver(probeWhere: String) =
+  private[queries] def incrementalMinhashReplayOver(probeWhere: String) =
     s"""WITH m AS (
          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
          FROM documents WHERE doc_id % 10 < 5 AND text IS NOT NULL),
