@@ -91,8 +91,63 @@ object ServeBench {
     "winnow" -> ((s, d) =>
       Dedup.saveWinnowManifest(
         t(s, d, "documents").where(pmod(col("doc_id"), lit(2)) === 0),
-        "text", "doc_id", winnowPath(d)))
+        "text", "doc_id", winnowPath(d))),
+    // campaign fixture — MUST run after text/manifest/lm (Seq order):
+    // one cross-family pin over the three maintained states, then an
+    // immediate restore OF THAT PIN. The restore leaves the live content
+    // byte-identical (it copies the just-pinned files back), so every
+    // earlier serve's semantics are untouched, while s19 gets a real
+    // campaign snapshot to read and s20 a genuinely post-restore live
+    // file layout — the q133/q144 amortized tails.
+    "campaign" -> ((s, d) => {
+      val members = Seq(
+        graft.ext.Campaign.TextIndex(textPath(d)),
+        graft.ext.Campaign.MinhashManifest(maniPath(d)),
+        graft.ext.Campaign.Lm(lmPath(d)))
+      graft.ext.Campaign.snapshot(s, "bench_campaign", members)
+      graft.ext.Campaign.restore(s, "bench_campaign", members)
+    })
   )
+
+  /** The q133/q144 serve tails: all three campaign members read from one
+    * pin (s19) or from the post-restore LIVE state (s20), harmonized
+    * into the (family, doc_id, v1, v2, v3) report. */
+  private def campaignUnion(s: SparkSession, d: String,
+                            pin: Option[String]): DataFrame = {
+    val docs = t(s, d, "documents")
+    val split = Corpus.splitAssign(docs, "text")
+    val probe = docs.where(pmod(col("doc_id"), lit(10)) >= 5)
+    val test = split.where(col("split") === "test" && col("text").isNotNull)
+    val bm = (pin match {
+      case Some(n) => Search.bm25TopKIndexedSnapshot(s, textPath(d), n,
+        SearchQueries.bmTerms, k = 20,
+        k1 = SearchQueries.k1, b = SearchQueries.b)
+      case None => Search.bm25TopKIndexed(s, textPath(d),
+        SearchQueries.bmTerms, k = 20,
+        k1 = SearchQueries.k1, b = SearchQueries.b)
+    }).select(lit("bm25").as("family"), col("doc_id"),
+      col("score").as("v1"), col("rank").cast("double").as("v2"),
+      col("dl").cast("double").as("v3"))
+    val nd = (pin match {
+      case Some(n) => Dedup.incrementalNearDupsSnapshot(probe, maniPath(d),
+        n, "text", "doc_id", threshold = 0.9)
+      case None => Dedup.incrementalNearDups(probe, maniPath(d),
+        "text", "doc_id", threshold = 0.9)
+    }).select(lit("neardup").as("family"), col("doc_id"),
+      col("near_jaccard").as("v1"),
+      col("is_near_dup").cast("double").as("v2"),
+      lit(null).cast("double").as("v3"))
+    val lm = (pin match {
+      case Some(n) => Corpus.lmPerplexityIndexedSnapshot(test, lmPath(d),
+        n, "text", "doc_id")
+      case None => Corpus.lmPerplexityIndexed(test, lmPath(d),
+        "text", "doc_id")
+    }).select(lit("lm").as("family"), col("doc_id"),
+      col("bits_x100").cast("double").as("v1"),
+      col("n_bigrams").cast("double").as("v2"),
+      col("total_bits").cast("double").as("v3"))
+    bm.unionByName(nd).unionByName(lm)
+  }
 
   /** The timed serve/probe/diff stages — each the final stage of a
     * lifecycle query, against the prebuilt fixture. */
@@ -180,6 +235,13 @@ object ServeBench {
     "s18_mmr_indexed" -> ((s, d) =>
       Similarity.mmrTopKIndexed(s,
         deq(t(s, d, "embeddings")).where(col("vec_id") < 10),
-        ivfPath(d), k = 10, fetch = 40))
+        ivfPath(d), k = 10, fetch = 40)),
+    // campaign family: all three members from one pin (q133 tail) and
+    // the post-restore live serve (q144 tail) — the serve-path
+    // regression signal for the heaviest lifecycle composites
+    "s19_campaign_snapshot" -> ((s, d) =>
+      campaignUnion(s, d, Some("bench_campaign"))),
+    "s20_campaign_restore_serve" -> ((s, d) =>
+      campaignUnion(s, d, None))
   )
 }

@@ -159,6 +159,34 @@ object ScaleProbe {
       }
     }
 
+    // ---- winnow probe df-cap cost (the deliberately-unpersisted dfs/
+    // question): the probe computes its df cap per call, but ON THE
+    // SLICE — manifest rows matching the batch's own hashes — so the
+    // aggregate is bounded by batch hashes × df, not manifest size. The
+    // probe times the SAME fixed batch against a 1× and an n× manifest;
+    // a flat-ish reading justifies recompute-per-probe over maintaining
+    // a persisted dfs/ component through appends/forgets/compactions.
+    if (sel("winnowprobe")) for (k <- Seq(1, n)) {
+      val corpus = (0 until k).map(i => base.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" v$i")).as("text")))
+        .reduce(_ union _).localCheckpoint()
+      val path = s"target/graft-scaleprobe-winnow-$k"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val batch = base.where(col("doc_id") < 500).localCheckpoint()
+      time(s"${k}x winnow-build") {
+        Dedup.saveWinnowManifest(corpus, "text", "doc_id", path)
+      }
+      time(s"${k}x winnow-probe(cold)") {
+        Dedup.probeWinnowOverlap(batch, path).count()
+      }
+      time(s"${k}x winnow-probe(repeat)") {
+        Dedup.probeWinnowOverlap(batch, path).count()
+      }
+    }
+
     // ---- sentence decontamination: train-side duplication (the crawl
     // regime) must collapse in the pre-distinct BEFORE the probe join —
     // the distinct sentence set is invariant in k, so N× train rows cost
