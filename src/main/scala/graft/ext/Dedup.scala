@@ -1418,14 +1418,17 @@ object Dedup {
     * SimHash chunk — AQE skew-join applies unchanged.
     */
   def perceptualNearDupPairs(hashes: DataFrame,
-                             maxHamming: Int = 6): DataFrame = {
+                             maxHamming: Int = 6,
+                             hashCol: String = "dhash",
+                             bitsPer: Int = 8): DataFrame = {
     val chunks = 7
     require(maxHamming >= 0 && maxHamming < chunks,
       s"pigeonhole banding needs 0 <= maxHamming < $chunks, got $maxHamming")
-    val bitsPer = 8
+    require(bitsPer >= 1 && chunks * bitsPer <= 63,
+      s"chunks * bitsPer must stay in the non-negative long: $bitsPer")
     val mask = (1L << bitsPer) - 1
     val sigs = hashes.select(col("doc_id").as("doc"),
-      col("dhash").as("sig"))
+      col(hashCol).as("sig"))
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit(mask))): _*)))

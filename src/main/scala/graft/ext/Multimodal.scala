@@ -302,7 +302,68 @@ object Multimodal {
     * Bytes no JDK codec parses hash from [[fakeDecode]]-style synthetic
     * dims with gray(x,y) = byte arithmetic, keeping the stage total.
     */
-  def dhashMedia(spark: SparkSession, blobs: DataFrame): DataFrame = {
+  def dhashMedia(spark: SparkSession, blobs: DataFrame): DataFrame =
+    perceptualHash(spark, blobs, dhashSchema) { cell =>
+      var hash = 0L
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 7) {
+          if (cell(j)(i + 1) > cell(j)(i)) hash |= 1L << (j * 7 + i)
+          i += 1
+        }
+        j += 1
+      }
+      hash
+    }
+
+  /** Output schema of the average-hash stage. */
+  val ahashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false)))
+
+  /** 63-bit AVERAGE HASH (aHash) per image — [[dhashMedia]]'s sibling:
+    * one bit per grid cell, set iff the cell's gray EXCEEDS the integer
+    * mean of all 64 cells (threshold = Σ cells div 64). The last cell
+    * (7,7) is dropped so the hash stays strictly non-negative in 63
+    * bits — same portability argument as dHash's 56. aHash reacts to
+    * absolute brightness structure where dHash reacts to gradients, so
+    * the two catch different near-dup classes (the standard pairing).
+    * Same decode path, grid arithmetic, fallback, and batch shape as
+    * [[dhashMedia]]; [[graft.ext.Dedup.perceptualNearDupPairs]] bands it
+    * with chunks = 7 × 9 bits.
+    */
+  def ahashMedia(spark: SparkSession, blobs: DataFrame): DataFrame =
+    perceptualHash(spark, blobs, ahashSchema) { cell =>
+      var tot = 0L
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) { tot += cell(j)(i); i += 1 }
+        j += 1
+      }
+      val thr = tot / 64
+      var hash = 0L
+      j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          val k = j * 8 + i
+          if (k < 63 && cell(j)(i) > thr) hash |= 1L << k
+          i += 1
+        }
+        j += 1
+      }
+      hash
+    }
+
+  /** Shared perceptual-hash stage: real decode (or the deterministic
+    * byte-arithmetic fallback) → integer 8×8 box-mean grid → the
+    * caller's bit rule. One long per blob; all arithmetic integer so
+    * any external oracle replays it. */
+  private def perceptualHash(spark: SparkSession, blobs: DataFrame,
+                             schema: StructType)
+                            (bitsOf: Array[Array[Int]] => Long): DataFrame = {
     val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
       import javax.imageio.ImageIO
       imageIoNoDiskCache
@@ -364,20 +425,10 @@ object Multimodal {
           }
           j += 1
         }
-        var hash = 0L
-        j = 0
-        while (j < 8) {
-          var i = 0
-          while (i < 7) {
-            if (cell(j)(i + 1) > cell(j)(i)) hash |= 1L << (j * 7 + i)
-            i += 1
-          }
-          j += 1
-        }
-        Row(id, hash)
+        Row(id, bitsOf(cell))
       }
     }
-    spark.createDataFrame(rdd, dhashSchema)
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Output schema of the resize stage. */

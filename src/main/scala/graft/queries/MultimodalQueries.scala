@@ -55,6 +55,19 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    "q200_perceptual_ahash" -> ((s, d) => {
+      // q196's sibling on the AVERAGE hash: same patterned PNGs and real
+      // decode, one bit per grid cell vs the integer mean of all 64
+      // (63-bit hash, cell (7,7) dropped for non-negativity), banded at
+      // 7 chunks × 9 bits. aHash reacts to absolute brightness structure
+      // where dHash reacts to gradients — the standard two-hash pairing.
+      val blobs = Multimodal.patternPngBlobs(s, t(s, d, "documents"), "text")
+      val hashes = Multimodal.ahashMedia(s, blobs)
+      graft.ext.Dedup.perceptualNearDupPairs(hashes, maxHamming = 6,
+        hashCol = "ahash", bitsPer = 9)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "q196_perceptual_neardup" -> ((s, d) => {
       // perceptual IMAGE near-dup: patterned real PNGs (every pixel a
       // deterministic function of the text — Multimodal.patternPngBlobs
@@ -121,6 +134,43 @@ object MultimodalQueries {
     * these oracles rebased onto octet_length/encode. q73's charFoldBytes
     * oracle (TextQueries) shares the same assumption.
     */
+  /** Shared q196/q200 replay prelude: the patterned PNG's pixels from
+    * the raw text, box-averaged to the integer 8×8 grid (`cells`:
+    * doc_id, i, j, cv). */
+  private val patternCells =
+    """b AS (
+           SELECT doc_id, length(text) AS n,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''),
+                        c -> CAST(ascii(c) AS BIGINT))),
+                    (a, x) -> a + x) AS s
+           FROM documents WHERE text IS NOT NULL),
+         dims AS (
+           SELECT doc_id, s,
+                  16 + (n % 17) AS w, 16 + ((n // 2) % 17) AS h,
+                  17 + (n % 29) AS a, 13 + (s % 23) AS c
+           FROM b),
+         grid AS (
+           SELECT doc_id, s, w, h, a, c,
+                  unnest(range(0, 64)) AS k
+           FROM dims),
+         gx AS (
+           SELECT doc_id, s, a, c, h, k % 8 AS i, k // 8 AS j,
+                  unnest(range((k % 8) * w // 8,
+                               ((k % 8) + 1) * w // 8)) AS x
+           FROM grid),
+         gy AS (
+           SELECT doc_id, s, a, c, i, j, x,
+                  unnest(range(j * h // 8, (j + 1) * h // 8)) AS y
+           FROM gx),
+         px AS (
+           SELECT doc_id, i, j, (s + x * a + y * c) % 256 AS v
+           FROM gy),
+         cells AS MATERIALIZED (
+           SELECT doc_id, i, j, sum(v) // count(*) AS cv
+           FROM px GROUP BY doc_id, i, j)"""
+
   val oracles: Map[String, String] = Map(
     "q50_multimodal_decode" ->
       """WITH b AS (
@@ -210,38 +260,7 @@ object MultimodalQueries {
     // brute-force the Hamming pairs — the banded engine result equals
     // brute force EXACTLY by the pigeonhole theorem (ham 6 < 7 chunks)
     "q196_perceptual_neardup" ->
-      """WITH b AS (
-           SELECT doc_id, length(text) AS n,
-                  list_reduce(
-                    list_prepend(CAST(0 AS BIGINT),
-                      list_transform(string_split(text, ''),
-                        c -> CAST(ascii(c) AS BIGINT))),
-                    (a, x) -> a + x) AS s
-           FROM documents WHERE text IS NOT NULL),
-         dims AS (
-           SELECT doc_id, s,
-                  16 + (n % 17) AS w, 16 + ((n // 2) % 17) AS h,
-                  17 + (n % 29) AS a, 13 + (s % 23) AS c
-           FROM b),
-         grid AS (
-           SELECT doc_id, s, w, h, a, c,
-                  unnest(range(0, 64)) AS k
-           FROM dims),
-         gx AS (
-           SELECT doc_id, s, a, c, h, k % 8 AS i, k // 8 AS j,
-                  unnest(range((k % 8) * w // 8,
-                               ((k % 8) + 1) * w // 8)) AS x
-           FROM grid),
-         gy AS (
-           SELECT doc_id, s, a, c, i, j, x,
-                  unnest(range(j * h // 8, (j + 1) * h // 8)) AS y
-           FROM gx),
-         px AS (
-           SELECT doc_id, i, j, (s + x * a + y * c) % 256 AS v
-           FROM gy),
-         cells AS (
-           SELECT doc_id, i, j, sum(v) // count(*) AS cv
-           FROM px GROUP BY doc_id, i, j),
+      s"""WITH $patternCells,
          hashes AS (
            SELECT l.doc_id,
                   sum(CASE WHEN r.cv > l.cv
@@ -255,6 +274,26 @@ object MultimodalQueries {
                 CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
          FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         ORDER BY doc_a, doc_b""",
+
+    // q200: the same cells, aHash bits — threshold = Σ cells div 64,
+    // bit (j·8 + i) for k < 63, then the brute-force Hamming pairs
+    "q200_perceptual_ahash" ->
+      s"""WITH $patternCells,
+         thr AS (
+           SELECT doc_id, sum(cv) // 64 AS t
+           FROM cells GROUP BY doc_id),
+         hashes AS (
+           SELECT c.doc_id,
+                  sum(CASE WHEN c.j * 8 + c.i < 63 AND c.cv > thr.t
+                      THEN CAST(1 AS BIGINT) << CAST(c.j * 8 + c.i AS INTEGER)
+                      ELSE 0 END) AS ahash
+           FROM cells c JOIN thr ON thr.doc_id = c.doc_id
+           GROUP BY c.doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
          ORDER BY doc_a, doc_b""",
 
     "q52_multimodal_embed_ann" ->

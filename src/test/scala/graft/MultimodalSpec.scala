@@ -146,6 +146,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) <= 6, hs.toString)
   }
 
+  test("aHash: planted near-dup pairs, 63-bit range, banding == brute force") {
+    // the planted pair is an ANAGRAM: same length and byte sum ⇒ the
+    // patterned PNGs are pixel-identical ⇒ aHash Hamming 0 — two
+    // different documents carrying the same image MUST pair. (dHash's
+    // test covers the small-brightness-shift tolerance story; aHash's
+    // mean threshold also shifts with the image, but the fixture's
+    // decorrelating multipliers wrap too much under a ±23 sum delta.)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the lazy dog again and ganai"
+    val far = "completely different content with other words and lengths here yes"
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val hashes = Multimodal.ahashMedia(
+      spark, Multimodal.patternPngBlobs(spark, docs, "text"))
+    assert(hashes.schema == Multimodal.ahashSchema)
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.values.forall(_ >= 0L)) // bits 0..62 only — never the sign bit
+    val pairs = graft.ext.Dedup
+      .perceptualNearDupPairs(hashes, maxHamming = 6,
+        hashCol = "ahash", bitsPer = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted near-dup did not pair: $hs")
+    val brute = for {
+      (a, ha) <- hs.toSeq; (b, hb) <- hs.toSeq if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (a, b)
+    assert(pairs == brute.toSet)
+  }
+
   test("dhashMedia hashes non-image bytes through the fallback, total") {
     val out = Multimodal.dhashMedia(spark,
       Multimodal.withFakeBlob(Seq((7L, "not a png")).toDF("doc_id", "text"),
