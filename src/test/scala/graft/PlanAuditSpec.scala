@@ -669,6 +669,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q196/q200 perceptual pairs: banded equi-join, never a cross product") {
+    for (q <- Seq("q196_perceptual_neardup", "q200_perceptual_ahash")) {
+      val plan = planOf(q)
+      // candidates pair ONLY through the (chunk, chunk_val) equi-join of
+      // the banded hash relation — no cartesian/nested-loop anywhere,
+      // and the join itself is a hash/sort join on the band key
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), q + "\n" + plan.take(4000))
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin") ||
+        plan.contains("BroadcastHashJoin"), q + "\n" + plan.take(4000))
+    }
+  }
+
   test("q138 embedding drift: assignment is map work; k-row drift join") {
     val plan = planOf("q138_embedding_drift")
     // argmax-dot assignment against literal centroids — the ONLY join
