@@ -1413,7 +1413,9 @@ object Corpus {
     *    (c(p) + 1))) (add-one smoothing; T = Σ counts, V = |vocab| —
     *    the corpus's floor-log₂ convention), deterministic tie rule
     *    (total bits ASC, then piece count ASC, then the '|'-joined
-    *    path string ASC);
+    *    path string ASC — Java UTF-16 order, which equals an oracle
+    *    engine's UTF-8 byte order while pieces are ASCII, the corpus
+    *    fixture's pinned assumption);
     *  - M-step: c(p) = Σ over words freq · (occurrences of p in the
     *    word's Viterbi path); multi-char pieces whose count falls to 0
     *    prune (the natural SentencePiece shrink), characters never do.
