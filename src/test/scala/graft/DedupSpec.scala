@@ -1004,6 +1004,40 @@ class DedupSpec extends AnyFunSuite {
     assert(!fpsDocs.contains(1L)) // rows physically gone after the fold
   }
 
+  test("winnow probe best-match ties break to the SMALLEST id — string ids too") {
+    // two corpus docs with IDENTICAL text carry identical fingerprint
+    // sets, so both share the same count with the probe — the argmin tie rule
+    // must pick the smaller doc id. The old max(struct(shared, -doc,
+    // doc)) encoding silently flipped ties to the LARGEST id for
+    // string ids (UnaryMinus on a string casts to null); this pins the
+    // type-agnostic rule on BOTH id types.
+    val run = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    // string ids: 'zz' and 'aa' carry identical text
+    val ps = "target/graft-test-winnow-tie-str"
+    val fsP = new org.apache.hadoop.fs.Path(ps)
+    fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(fsP, true)
+    graft.ext.Dedup.saveWinnowManifest(
+      Seq(("zz", s"x1 $run x2"), ("aa", s"x1 $run x2"))
+        .toDF("doc_id", "text"), "text", "doc_id", ps)
+    val gotS = graft.ext.Dedup.probeWinnowOverlap(
+      Seq(("p1", s"q1 $run q2")).toDF("doc_id", "text"), ps)
+      .select("best_match").head().getString(0)
+    assert(gotS == "aa", s"string-id tie broke to $gotS")
+    // long ids: 9 and 2 carry identical text → 2 wins
+    val pl = "target/graft-test-winnow-tie-long"
+    val flP = new org.apache.hadoop.fs.Path(pl)
+    flP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(flP, true)
+    graft.ext.Dedup.saveWinnowManifest(
+      Seq((9L, s"x1 $run x2"), (2L, s"x1 $run x2"))
+        .toDF("doc_id", "text"), "text", "doc_id", pl)
+    val gotL = graft.ext.Dedup.probeWinnowOverlap(
+      Seq((7L, s"q1 $run q2")).toDF("doc_id", "text"), pl)
+      .select("best_match").head().getLong(0)
+    assert(gotL == 2L, s"long-id tie broke to $gotL")
+  }
+
   test("probeWinnowOverlap ≡ plain-Scala reference on randomized corpora") {
     // randomized-but-seeded corpora with planted quotations: the probe
     // against a PERSISTED manifest must equal verdicts computed from
