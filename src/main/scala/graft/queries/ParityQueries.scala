@@ -281,6 +281,25 @@ object ParityQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)),
 
+    "q201_zorder_scan" -> ((s, d) => {
+      // Z-ORDER layout (Morton curve): rewrite lineitem clustered on
+      // the bit-interleave of (l_orderkey, l_partkey), then answer a
+      // TWO-dimensional range query off the rewritten files. Row groups
+      // cover small rectangles of the key space, so stock parquet
+      // min/max statistics prune on EITHER column — LayoutSpec measures
+      // the off-axis predicate reading ~15% of rows where a linear sort
+      // reads 100%. The oracle checks content equality against the
+      // original table (a layout rewrite must never change the rows).
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      val path = s"target/graft-zorder-${graft.ops.Tables.sfTag(d)}"
+      graft.ops.Layout.zorderWrite(li, "l_orderkey", "l_partkey", path)
+      s.read.parquet(path)
+        .where(col("l_partkey") >= 100 && col("l_partkey") < 180 &&
+          col("l_orderkey") >= 2000 && col("l_orderkey") < 9000)
+        .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    }),
+
     "q18_rollup" -> ((s, d) => {
       // grouping-sets family (absent from the reference, SURVEY §2.6):
       // region/nation subtotal hierarchy in one pass over the joined dims
@@ -449,6 +468,15 @@ object ParityQueries {
     "q17_topk_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    // q201: a layout rewrite must never change the rows — the range
+    // query answers identically off the original table
+    "q201_zorder_scan" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_partkey >= 100 AND l_partkey < 180
+           AND l_orderkey >= 2000 AND l_orderkey < 9000
+         ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""",
 
     "q18_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,

@@ -683,6 +683,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q201 z-order scan: both range predicates reach the parquet scan") {
+    val plan = planOf("q201_zorder_scan")
+    // the two-dimensional range must be PUSHED (row-group min/max
+    // pruning happens below the filter) — both columns present in the
+    // scan's PushedFilters, not just the engine-side Filter node
+    val pf = "PushedFilters: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("l_partkey") && pf.contains("l_orderkey"), pf)
+  }
+
   test("q138 embedding drift: assignment is map work; k-row drift join") {
     val plan = planOf("q138_embedding_drift")
     // argmax-dot assignment against literal centroids — the ONLY join
