@@ -1412,7 +1412,7 @@ object Corpus {
     *    integer surprisal costs bits(p) = floor(log₂((T + V) div
     *    (c(p) + 1))) (add-one smoothing; T = Σ counts, V = |vocab| —
     *    the corpus's floor-log₂ convention), deterministic tie rule
-    *    (total bits ASC, then piece count ASC, then the '|'-joined
+    *    (total bits ASC, then piece count ASC, then the U+0001-joined
     *    path string ASC — Java UTF-16 order, which equals an oracle
     *    engine's UTF-8 byte order while pieces are ASCII, the corpus
     *    fixture's pinned assumption);
@@ -1447,6 +1447,13 @@ object Corpus {
         "halves a crawl vocabulary with no effect on the learned pieces)")
     // the ONE driver-side collect: vocabulary-sized by the guard above
     val wf = wfDf.as[(String, Long)].collect().sortBy(_._1)
+    // the tie rule compares separator-joined path strings; a corpus
+    // character equal to the separator would make two different paths
+    // compare equal — reject loudly instead of training a silently
+    // ambiguous model
+    require(!wf.exists(_._1.indexOf(unigramSep.toInt) >= 0),
+      s"corpus contains the Viterbi path separator U+0001 — " +
+        "strip control characters before training")
     val seedCounts = scala.collection.mutable.HashMap.empty[String, Long]
     for ((w, f) <- wf; st <- 0 until w.length;
          pl <- 1 to math.min(maxPieceLen, w.length - st)) {
@@ -1487,22 +1494,32 @@ object Corpus {
   private[graft] def unigramBits(c: Long, t: Long, v: Long): Long =
     63L - java.lang.Long.numberOfLeadingZeros((t + v) / (c + 1))
 
+  /** The Viterbi path separator for the TIE RULE's string comparison —
+    * U+0001, a character no real token stream carries (and
+    * [[unigramTrain]] rejects loudly if one does). The path must NOT be
+    * split back into pieces (a piece containing the separator would
+    * silently vanish); the DP carries the piece list alongside. */
+  private[graft] val unigramSep = '\u0001'
+
   /** Deterministic Viterbi over one word: minimal (total bits, piece
-    * count, '|'-joined path) — the exact tie rule q197's oracle
-    * replays. Every single character is in the training vocabulary, so
-    * position k is always reachable from k−1. */
+    * count, separator-joined path string) — the exact tie rule q197's
+    * oracle replays (chr(1) joins on the SQL side). The pieces ride the
+    * DP as a list, never recovered by re-splitting the path. Every
+    * single character is in the training vocabulary, so position k is
+    * always reachable from k−1. */
   private[graft] def unigramViterbi(w: String, bits: Map[String, Long],
                                     maxPieceLen: Int): Seq[String] = {
-    val dp = new Array[(Long, Int, String)](w.length + 1)
-    dp(0) = (0L, 0, "")
+    val dp = new Array[(Long, Int, String, List[String])](w.length + 1)
+    dp(0) = (0L, 0, "", Nil)
     var k = 1
     while (k <= w.length) {
-      var best: (Long, Int, String) = null
+      var best: (Long, Int, String, List[String]) = null
       var j = math.max(0, k - maxPieceLen)
       while (j < k) {
         if (dp(j) != null) bits.get(w.substring(j, k)).foreach { b =>
+          val piece = w.substring(j, k)
           val cand = (dp(j)._1 + b, dp(j)._2 + 1,
-            dp(j)._3 + "|" + w.substring(j, k))
+            dp(j)._3 + unigramSep + piece, piece :: dp(j)._4)
           if (best == null ||
               cand._1 < best._1 ||
               (cand._1 == best._1 && (cand._2 < best._2 ||
@@ -1516,7 +1533,7 @@ object Corpus {
     }
     require(dp(w.length) != null,
       s"word '$w' not segmentable — a character is missing from the vocab")
-    dp(w.length)._3.split("\\|").iterator.filter(_.nonEmpty).toSeq
+    dp(w.length)._4.reverse
   }
 
   /** UNIGRAM SEGMENTATION with a trained model — the apply half of

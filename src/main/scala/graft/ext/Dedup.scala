@@ -1372,24 +1372,38 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 7, chunks: Int = 8,
                    hasher: Column => Column = xxhash64(_)): DataFrame = {
-    require(maxHamming < chunks, "pigeonhole banding needs maxHamming < chunks")
-    val bitsPer = 64 / chunks
+    require(chunks >= 1 && 64 % chunks == 0,
+      s"chunks must divide 64, got $chunks")
+    bandedHammingPairs(simhashSignatures(df, textCol, idCol, hasher)
+        .select(col("doc"), col("simhash").as("sig")),
+      maxHamming, chunks, 64 / chunks)
+  }
+
+  /** The ONE pigeonhole-banding core shared by [[simhashPairs]] and
+    * [[perceptualNearDupPairs]]: explode `chunks` bands of `bitsPer`
+    * bits, equi-join on (chunkIdx, chunkValue) — any pair at Hamming
+    * < chunks agrees on ≥ 1 chunk, so recall is exactly 1 — and dedupe
+    * candidates in-plan with the first-matching-chunk rule (pure bit
+    * math on the signature XOR: chunk c matched earlier iff its band of
+    * xor is zero — no candidate distinct(), no arrays through the join,
+    * all codegen'd). Input: (doc, sig). Output: (doc_a, doc_b, hamming),
+    * doc_a < doc_b, hamming ≤ maxHamming. */
+  private def bandedHammingPairs(sigs: DataFrame, maxHamming: Int,
+                                 chunks: Int, bitsPer: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < chunks,
+      s"pigeonhole banding needs 0 <= maxHamming < $chunks, got $maxHamming")
     val mask = (1L << bitsPer) - 1
-    val sigs = simhashSignatures(df, textCol, idCol, hasher)
-    val banded = sigs.select(col("doc"), col("simhash"),
+    val banded = sigs.select(col("doc"), col("sig"),
       posexplode(array((0 until chunks).map(c =>
-        shiftrightunsigned(col("simhash"), c * bitsPer).bitwiseAND(lit(mask))): _*)))
+        shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    val shufflePartitions =
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val shufflePartitions = sigs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     val l = banded.select(col("chunk"), col("chunk_val"),
-      col("doc").as("doc_a"), col("simhash").as("sig_a"))
+      col("doc").as("doc_a"), col("sig").as("sig_a"))
       .repartition(shufflePartitions, col("chunk"), col("chunk_val"))
     val rgt = banded.select(col("chunk"), col("chunk_val"),
-      col("doc").as("doc_b"), col("simhash").as("sig_b"))
-    // first-matching-chunk rule via pure bit math on the signature XOR:
-    // chunk c matched earlier iff byte c of xor is zero — no candidate
-    // distinct(), no arrays through the join, all codegen'd
+      col("doc").as("doc_b"), col("sig").as("sig_b"))
     val xor = col("sig_a").bitwiseXOR(col("sig_b"))
     val earlierChunkMatched = (0 until chunks - 1).map(c =>
       (col("chunk") > c) &&
@@ -1421,31 +1435,11 @@ object Dedup {
                              maxHamming: Int = 6,
                              hashCol: String = "dhash",
                              bitsPer: Int = 8): DataFrame = {
-    val chunks = 7
-    require(maxHamming >= 0 && maxHamming < chunks,
-      s"pigeonhole banding needs 0 <= maxHamming < $chunks, got $maxHamming")
-    require(bitsPer >= 1 && chunks * bitsPer <= 63,
-      s"chunks * bitsPer must stay in the non-negative long: $bitsPer")
-    val mask = (1L << bitsPer) - 1
-    val sigs = hashes.select(col("doc_id").as("doc"),
-      col(hashCol).as("sig"))
-    val banded = sigs.select(col("doc"), col("sig"),
-      posexplode(array((0 until chunks).map(c =>
-        shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit(mask))): _*)))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    val l = banded.select(col("chunk"), col("chunk_val"),
-      col("doc").as("doc_a"), col("sig").as("sig_a"))
-    val rgt = banded.select(col("chunk"), col("chunk_val"),
-      col("doc").as("doc_b"), col("sig").as("sig_b"))
-    val xor = col("sig_a").bitwiseXOR(col("sig_b"))
-    val earlierChunkMatched = (0 until chunks - 1).map(c =>
-      (col("chunk") > c) &&
-        (shiftrightunsigned(xor, c * bitsPer).bitwiseAND(lit(mask)) === 0L))
-      .reduce(_ || _)
-    l.join(rgt, Seq("chunk", "chunk_val"))
-      .where(col("doc_a") < col("doc_b") && !earlierChunkMatched)
-      .select(col("doc_a"), col("doc_b"), bit_count(xor).as("hamming"))
-      .where(col("hamming") <= maxHamming)
+    require(bitsPer >= 1 && 7 * bitsPer <= 63,
+      s"7 chunks * bitsPer must stay in the non-negative long: $bitsPer")
+    bandedHammingPairs(
+      hashes.select(col("doc_id").as("doc"), col(hashCol).as("sig")),
+      maxHamming, chunks = 7, bitsPer = bitsPer)
   }
 
   // ---------------------------------------------------------- n-gram Jaccard

@@ -290,7 +290,8 @@ object Multimodal {
     * All arithmetic is INTEGER so an external oracle replays it exactly:
     * gray(x,y) = (r+g+b) div 3; grid cell (i,j) covers
     * x ∈ [i·W div 8, (i+1)·W div 8) × y ∈ [j·H div 8, (j+1)·H div 8)
-    * (requires W, H ≥ 8) and its value is sum(gray) div count;
+    * (cells clamp to ≥ 1 pixel, so images smaller than the grid hash
+    * too — the stage is total) and its value is sum(gray) div count;
     * bit (j·7 + i) is set iff cell(i+1, j) > cell(i, j). Uniform
     * brightness shifts preserve every strict comparison that does not
     * wrap — the dHash invariance argument (Krawetz's "kind of like a
@@ -405,14 +406,21 @@ object Multimodal {
           }
         }
         val (w, h, gray) = grays
-        // box cells: integer ranges, integer means — oracle-exact
+        // box cells: integer ranges, integer means — oracle-exact. A
+        // REAL decoded image can be smaller than the 8×8 grid (a 4×4
+        // favicon): clamp every cell to at least one pixel (cells then
+        // re-read pixels — deterministic) instead of dividing by the
+        // empty range. The synthesized fixtures are all ≥ 8px, so the
+        // oracle never sees the clamp.
         val cell = Array.ofDim[Int](8, 8)
         var j = 0
         while (j < 8) {
-          val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+          val y0 = math.min(j * h / 8, h - 1)
+          val y1 = math.max(y0 + 1, (j + 1) * h / 8)
           var i = 0
           while (i < 8) {
-            val x0 = i * w / 8; val x1 = (i + 1) * w / 8
+            val x0 = math.min(i * w / 8, w - 1)
+            val x1 = math.max(x0 + 1, (i + 1) * w / 8)
             var sum = 0L
             var y = y0
             while (y < y1) {

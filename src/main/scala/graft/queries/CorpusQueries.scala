@@ -938,7 +938,7 @@ object CorpusQueries {
     * (dp CTEs for word lengths 1..`maxLen`; the fixture's longest word is
     * 8, asserted by the engine result matching), the path-exploded
     * M-step re-count, and the natural prune. The Viterbi tie rule is the
-    * engine's exactly: (total bits, piece count, '|'-joined path).
+    * engine's exactly: (total bits, piece count, chr(1)-joined path).
     * Returns the WITH body up to `vocab$iters` + `ftot` (final totals).
     */
   private def unigramTrainCtes(seedSize: Int, pieceLen: Int, iters: Int,
@@ -977,7 +977,7 @@ object CorpusQueries {
             s"""SELECT d.word, d.wl, d.f, d.bits + coalesce(b.b, u.ub)
                          AS bits,
                        d.np + 1 AS np,
-                       d.path || '|' || substr(d.word, $k, 1) AS path
+                       d.path || chr(1) || substr(d.word, $k, 1) AS path
                 FROM dp${t}_$j d
                 LEFT JOIN bits$t b ON b.piece = substr(d.word, $k, 1)
                 CROSS JOIN unk$t u
@@ -985,7 +985,7 @@ object CorpusQueries {
           else
             s"""SELECT d.word, d.wl, d.f, d.bits + b.b AS bits,
                        d.np + 1 AS np,
-                       d.path || '|' || substr(d.word, ${j + 1}, $plen)
+                       d.path || chr(1) || substr(d.word, ${j + 1}, $plen)
                          AS path
                 FROM dp${t}_$j d
                 JOIN bits$t b
@@ -1017,7 +1017,7 @@ object CorpusQueries {
           useg$t AS MATERIALIZED ($segs),
           unc$t AS (
             SELECT piece, CAST(sum(f) AS BIGINT) AS c
-            FROM (SELECT f, unnest(string_split(substr(path, 2), '|'))
+            FROM (SELECT f, unnest(string_split(substr(path, 2), chr(1)))
                            AS piece
                   FROM useg$t)
             GROUP BY piece),

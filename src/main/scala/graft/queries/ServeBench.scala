@@ -92,22 +92,47 @@ object ServeBench {
       Dedup.saveWinnowManifest(
         t(s, d, "documents").where(pmod(col("doc_id"), lit(2)) === 0),
         "text", "doc_id", winnowPath(d))),
-    // campaign fixture — MUST run after text/manifest/lm (Seq order):
-    // one cross-family pin over the three maintained states, then an
-    // immediate restore OF THAT PIN. The restore leaves the live content
-    // byte-identical (it copies the just-pinned files back), so every
-    // earlier serve's semantics are untouched, while s19 gets a real
-    // campaign snapshot to read and s20 a genuinely post-restore live
-    // file layout — the q133/q144 amortized tails.
+    // campaign fixture — its OWN paths, never the shared family
+    // fixtures above: Campaign.restore publishes a fresh version of
+    // every member, which would shift each shared component's PREVIOUS
+    // version to the post-maintenance state and silently turn the
+    // s05/s08 maintenance-diff serves into no-op comparisons of two
+    // identical states. Workflow = q144's: build the three states, one
+    // cross-family pin, destructive maintenance on all three, restore
+    // the pin — s19 reads the pin, s20 the post-restore live state.
     "campaign" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Search.saveTextIndex(docs, cTextPath(d))
+      Search.compactTextIndex(s, cTextPath(d))
+      Dedup.saveMinhashManifest(
+        docs.where(pmod(col("doc_id"), lit(10)) < 5), "text", "doc_id",
+        cManiPath(d), k = 32, bands = 16)
+      Dedup.compactMinhashManifest(s, cManiPath(d))
+      val split = Corpus.splitAssign(docs, "text")
+      Corpus.saveLm(split.where(col("split") === "train"), "text",
+        "doc_id", cLmPath(d))
       val members = Seq(
-        graft.ext.Campaign.TextIndex(textPath(d)),
-        graft.ext.Campaign.MinhashManifest(maniPath(d)),
-        graft.ext.Campaign.Lm(lmPath(d)))
+        graft.ext.Campaign.TextIndex(cTextPath(d)),
+        graft.ext.Campaign.MinhashManifest(cManiPath(d)),
+        graft.ext.Campaign.Lm(cLmPath(d)))
       graft.ext.Campaign.snapshot(s, "bench_campaign", members)
+      Search.deleteFromTextIndex(s, cTextPath(d),
+        docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"))
+      Dedup.deleteContentFromMinhashManifest(
+        docs.where(pmod(col("doc_id"), lit(10)) === 1), "text",
+        cManiPath(d))
+      Corpus.appendToLm(split.where(col("split") === "val"), cLmPath(d),
+        "text", "doc_id", opId = "bench_campaign_grow")
       graft.ext.Campaign.restore(s, "bench_campaign", members)
     })
   )
+
+  private def cTextPath(d: String) =
+    s"target/graft-servebench-ctext-${sfTag(d)}"
+  private def cManiPath(d: String) =
+    s"target/graft-servebench-cmani-${sfTag(d)}"
+  private def cLmPath(d: String) =
+    s"target/graft-servebench-clm-${sfTag(d)}"
 
   /** The q133/q144 serve tails: all three campaign members read from one
     * pin (s19) or from the post-restore LIVE state (s20), harmonized
@@ -119,28 +144,28 @@ object ServeBench {
     val probe = docs.where(pmod(col("doc_id"), lit(10)) >= 5)
     val test = split.where(col("split") === "test" && col("text").isNotNull)
     val bm = (pin match {
-      case Some(n) => Search.bm25TopKIndexedSnapshot(s, textPath(d), n,
+      case Some(n) => Search.bm25TopKIndexedSnapshot(s, cTextPath(d), n,
         SearchQueries.bmTerms, k = 20,
         k1 = SearchQueries.k1, b = SearchQueries.b)
-      case None => Search.bm25TopKIndexed(s, textPath(d),
+      case None => Search.bm25TopKIndexed(s, cTextPath(d),
         SearchQueries.bmTerms, k = 20,
         k1 = SearchQueries.k1, b = SearchQueries.b)
     }).select(lit("bm25").as("family"), col("doc_id"),
       col("score").as("v1"), col("rank").cast("double").as("v2"),
       col("dl").cast("double").as("v3"))
     val nd = (pin match {
-      case Some(n) => Dedup.incrementalNearDupsSnapshot(probe, maniPath(d),
+      case Some(n) => Dedup.incrementalNearDupsSnapshot(probe, cManiPath(d),
         n, "text", "doc_id", threshold = 0.9)
-      case None => Dedup.incrementalNearDups(probe, maniPath(d),
+      case None => Dedup.incrementalNearDups(probe, cManiPath(d),
         "text", "doc_id", threshold = 0.9)
     }).select(lit("neardup").as("family"), col("doc_id"),
       col("near_jaccard").as("v1"),
       col("is_near_dup").cast("double").as("v2"),
       lit(null).cast("double").as("v3"))
     val lm = (pin match {
-      case Some(n) => Corpus.lmPerplexityIndexedSnapshot(test, lmPath(d),
+      case Some(n) => Corpus.lmPerplexityIndexedSnapshot(test, cLmPath(d),
         n, "text", "doc_id")
-      case None => Corpus.lmPerplexityIndexed(test, lmPath(d),
+      case None => Corpus.lmPerplexityIndexed(test, cLmPath(d),
         "text", "doc_id")
     }).select(lit("lm").as("family"), col("doc_id"),
       col("bits_x100").cast("double").as("v1"),

@@ -26,8 +26,9 @@ class CorpusSpec extends AnyFunSuite {
         val p = w.substring(pos, pos + pl)
         if (bits.contains(p)) all(pos + pl).map(p :: _) else Nil
       }
+    val sep = Corpus.unigramSep.toString
     val cands = all(0).map { seg =>
-      (seg.map(bits).sum, seg.length, seg.mkString("|", "|", ""))
+      (seg.map(bits).sum, seg.length, seg.mkString(sep, sep, ""))
     }
     if (cands.isEmpty) None else Some(cands.min)
   }
@@ -47,8 +48,9 @@ class CorpusSpec extends AnyFunSuite {
         }).distinct
       val bits = pieces.map(p => p -> (1L + rnd.nextInt(9))).toMap
       val got = Corpus.unigramViterbi(w, bits, 3)
+      val sep = Corpus.unigramSep.toString
       val (gb, gn, gp) =
-        (got.map(bits).sum, got.length, got.mkString("|", "|", ""))
+        (got.map(bits).sum, got.length, got.mkString(sep, sep, ""))
       assert(bruteBestSeg(w, bits.filter(_._1.length <= 3), 3)
         .contains((gb, gn, gp)), s"word=$w vocab=$bits got=$got")
     }
