@@ -116,6 +116,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(z(101L)._1 == 1L)
   }
 
+  test("unigram pieces containing '|' survive the M-step; U+0001 rejects loudly") {
+    // '|' was the old path separator: a '|' piece must train and count
+    // normally now that the DP carries the piece list
+    val docs = Seq((1L, "a|b a|b a|b cd")).toDF("doc_id", "text")
+    val model = Corpus.unigramTrain(docs, "text", seedSize = 6,
+      maxPieceLen = 3, iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(model.contains("|"), model.toString)
+    assert(model("|") > 0L || model.keys.exists(p =>
+      p.contains("|") && p.length > 1 && model(p) > 0L), model.toString)
+    // the actual separator in a corpus word fails loudly, never silently
+    val bad = Seq((1L, "a" + Corpus.unigramSep + "b ok"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.unigramTrain(bad, "text", seedSize = 4,
+        maxPieceLen = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("U+0001"))
+  }
+
   test("unigramSegmentCounts: unseen characters take the unk floor, total") {
     val train = Seq((1L, "aa bb aa")).toDF("doc_id", "text")
     val model = Corpus.unigramTrain(train, "text", seedSize = 4,

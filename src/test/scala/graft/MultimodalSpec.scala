@@ -174,6 +174,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == brute.toSet)
   }
 
+  test("perceptual hashes stay total on REAL images smaller than the grid") {
+    // a decodable 4x4 PNG (favicon-sized): grid cells clamp to >= 1
+    // pixel instead of dividing by an empty box range
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 4)
+      img.setRGB(x, y, (x * 60 + y * 17) * 0x010101)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val blobs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, bos.toByteArray))),
+      Multimodal.blobSchema)
+    val d = Multimodal.dhashMedia(spark, blobs).collect()
+    val a = Multimodal.ahashMedia(spark, blobs).collect()
+    assert(d.length == 1 && d.head.getLong(1) >= 0L)
+    assert(a.length == 1 && a.head.getLong(1) >= 0L)
+  }
+
   test("dhashMedia hashes non-image bytes through the fallback, total") {
     val out = Multimodal.dhashMedia(spark,
       Multimodal.withFakeBlob(Seq((7L, "not a png")).toDF("doc_id", "text"),
