@@ -68,6 +68,36 @@ object Stage {
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Read a small metadata file (lock, pointer, marker, pin) fully as
+    * trimmed UTF-8 — the ONE read shape every metadata consumer shares;
+    * callers keep their own absence/error semantics. */
+  private def readUtf8(fs: FileSystem, f: Path): String = {
+    val in = fs.open(f)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** [[readUtf8]] split into trimmed non-empty lines. */
+  private def readTrimmedLines(fs: FileSystem, f: Path): List[String] = {
+    val in = fs.open(f)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Max batch id a listed ledger certifies as published: `high-<n>`
+    * markers always count; raw `batch-<n>` markers only when
+    * `includeBatch` (the [[compactLedger]] fold); −1 when none. The ONE
+    * encoding of the ledger invariant "id ≤ high ⇒ published" — the
+    * sweep, the replay check, and the fold must never disagree on it. */
+  private def highWaterIn(names: Iterable[String],
+                          includeBatch: Boolean): Long =
+    names.foldLeft(-1L) {
+      case (acc, HighMarkerRe(n))                  => math.max(acc, n.toLong)
+      case (acc, BatchMarkerRe(n)) if includeBatch => math.max(acc, n.toLong)
+      case (acc, _)                                => acc
+    }
+
   /** The pointer file's lines: the live version first, then (after a
     * second publish) the previously-live version — which [[gcStale]]
     * keeps for one publish cycle so in-flight scans that resolved just
@@ -78,11 +108,7 @@ object Stage {
     val pointer = new Path(rootPath, "_current")
     if (!fs.exists(pointer)) Nil
     else {
-      val in = fs.open(pointer)
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .map(_.trim).filter(_.nonEmpty).toList
-        finally in.close()
+      val lines = readTrimmedLines(fs, pointer)
       require(lines.nonEmpty && VersionRe.matches(lines.head) &&
         lines.tail.forall(l => VersionRe.matches(l) || l == PlainToken),
         s"$pointer names ${lines.mkString(",")}, not version directories")
@@ -179,7 +205,27 @@ object Stage {
       val next = existing.filter(VersionRe.matches)
         .map(_.drop(1).toInt).foldLeft(0)(math.max) + 1
       val version = f"v$next%08d"
-      write(new Path(rootPath, version).toString)
+      val versionPath = new Path(rootPath, version)
+      write(versionPath.toString)
+      // REWRITES refuse to flip onto an UNREADABLE version: an
+      // all-rows-deleted PARTITIONED rewrite writes zero files (no
+      // schema for any later scan) — the old state must keep serving
+      // and the caller must hear about it, not discover a dead index at
+      // the next read. (A non-partitioned empty DataFrame still writes
+      // one schema-carrying parquet file, so legitimate empty states
+      // pass.) REBUILDS are exempt: stream-born SHELLS deliberately
+      // birth an empty partitioned component (graceless, before the
+      // first exactly-once batch lands files into it) — there is no
+      // previous state a flip could strand.
+      if (grace &&
+          (!fs.exists(versionPath) || dataEntries(fs, versionPath).isEmpty)) {
+        fs.delete(versionPath, true)
+        throw new IllegalStateException(
+          s"publish into $root produced no data files — refusing to flip " +
+            "the pointer onto an unreadable empty version (the previous " +
+            "state keeps serving). If the component is genuinely empty " +
+            "now, drop or rebuild it instead of publishing emptiness")
+      }
       flipPointer(spark, fs, rootPath, version, grace)
       gcStale(fs, rootPath)
     }
@@ -289,12 +335,8 @@ object Stage {
       .toSet
   }
 
-  private def snapshotLines(fs: FileSystem, f: Path): List[String] = {
-    val in = fs.open(f)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .map(_.trim).filter(_.nonEmpty).toList
-    finally in.close()
-  }
+  private def snapshotLines(fs: FileSystem, f: Path): List[String] =
+    readTrimmedLines(fs, f)
 
   /** Pin `dir`'s LIVE version under the name `name` — retention beyond
     * [[resolvePrevious]]'s one-cycle validation window: a pinned version
@@ -322,11 +364,16 @@ object Stage {
   def snapshot(spark: SparkSession, dir: String, name: String): Unit = {
     require(name.matches(SnapshotNameRe),
       s"snapshot name '$name' must match $SnapshotNameRe (it names a file)")
-    // under the writer lease: the pin must land while the version it
-    // read is still within GC grace — serializing with publishes makes
-    // read-pointer → write-pin atomic against a concurrent maintenance
-    // op (without it, two publishes between the read and the pin could
-    // GC the version being pinned)
+    // under the COMPONENT writer lease: the pin must land while the
+    // version it read is still within GC grace — serializing with this
+    // component's rewrites/compactions makes read-pointer → write-pin
+    // atomic against them. CONTRACT for ledgered indexes: streaming
+    // appends (appendExactlyOnce/publishOnce) hold the INDEX-ROOT
+    // lease, which this component lease does NOT serialize with — a
+    // caller pinning a component of such an index must hold the root
+    // lease too, or the pin can record half of an in-flight batch.
+    // Every family-level `snapshot*` wrapper does exactly that; go
+    // through them rather than calling this raw on a component.
     withWriterLease(spark, dir) {
       val rootPath = new Path(dir)
       val fs = fsFor(spark, rootPath)
@@ -369,6 +416,12 @@ object Stage {
     * truth — see [[snapshot]] on why a directory read is not. */
   def resolveSnapshotFiles(spark: SparkSession, dir: String, name: String)
       : Option[(String, Seq[String])] = {
+    // validated on the READ side too, not just at pin time: a name
+    // containing '/' or '..' would URI-resolve OUT of _snapshots —
+    // dropSnapshot("../_current") would delete the live pointer, and a
+    // resolve of "../_current" would misparse the pointer as a pin
+    require(name.matches(SnapshotNameRe),
+      s"snapshot name '$name' must match $SnapshotNameRe (it names a file)")
     val rootPath = new Path(dir)
     val fs = fsFor(spark, rootPath)
     val f = new Path(new Path(rootPath, "_snapshots"), name)
@@ -490,6 +543,10 @@ object Stage {
     * another snapshot still names it), the same deferred-sweep shape as
     * every other stale version. */
   def dropSnapshot(spark: SparkSession, dir: String, name: String): Unit = {
+    // same read-side validation as [[resolveSnapshotFiles]]: an
+    // unvalidated "../_current" here would DELETE THE LIVE POINTER
+    require(name.matches(SnapshotNameRe),
+      s"snapshot name '$name' must match $SnapshotNameRe (it names a file)")
     val f = new Path(new Path(dir, "_snapshots"), name)
     fsFor(spark, f).delete(f, false)
   }
@@ -585,8 +642,19 @@ object Stage {
       try {
         fs.mkdirs(rootPath)
         val out = fs.create(lock, false)
-        try out.write(token.getBytes("UTF-8"))
-        finally out.close()
+        try {
+          try out.write(token.getBytes("UTF-8"))
+          finally out.close()
+        } catch { case e: java.io.IOException =>
+          // the create SUCCEEDED but the token write failed (quota,
+          // transient I/O): an ownerless empty lock would block every
+          // writer — including our own immediate retry — for the whole
+          // staleness window; remove what we created before reporting
+          // failure
+          try fs.delete(lock, false)
+          catch { case _: java.io.IOException => () }
+          throw e
+        }
         true
       } catch { case _: java.io.IOException => false }
     if (!tryAcquire()) {
@@ -648,12 +716,8 @@ object Stage {
         while (live &&
             !stop.await(interval, java.util.concurrent.TimeUnit.MILLISECONDS)) {
           val mine =
-            try {
-              val in = fs.open(lock)
-              try scala.io.Source.fromInputStream(in, "UTF-8")
-                .mkString.trim == token
-              finally in.close()
-            } catch { case scala.util.control.NonFatal(_) => false }
+            try readUtf8(fs, lock) == token
+            catch { case scala.util.control.NonFatal(_) => false }
           if (mine)
             try fs.setTimes(lock, System.currentTimeMillis, -1)
             catch { case scala.util.control.NonFatal(_) => () }
@@ -686,11 +750,8 @@ object Stage {
   private def releaseIfOwner(fs: FileSystem, lock: Path,
                              token: String): Unit = {
     val current =
-      try {
-        val in = fs.open(lock)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => None }
+      try Some(readUtf8(fs, lock))
+      catch { case scala.util.control.NonFatal(_) => None }
     if (current.contains(token)) {
       try fs.delete(lock, false)
       catch { case _: java.io.IOException => () }
@@ -711,15 +772,18 @@ object Stage {
   /** Whether `lock` names a holder process on THIS host that no longer
     * exists — the provably-dead case that reclaims without waiting out
     * the staleness window. False on cross-host holders (a pid means
-    * nothing remotely), unreadable locks, and torn content. */
+    * nothing remotely), unreadable locks, torn content, and — critically
+    * — whenever either hostname is the "unknown" fallback: two
+    * containers without resolvable hostnames would otherwise both read
+    * host=unknown, "prove" each other's pids dead, and reclaim a LIVE
+    * cross-host lease instantly (two concurrent writers). Same-NAME
+    * different-machine clones remain a residual risk of hostname-keyed
+    * identity; the heartbeat + staleness window still bound that case. */
   private def holderDeadOnThisHost(fs: FileSystem, lock: Path): Boolean =
     try {
-      val in = fs.open(lock)
-      val content =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      content match {
-        case LockPidRe(pid, host) if host == localHost =>
+      readUtf8(fs, lock) match {
+        case LockPidRe(pid, host)
+          if host == localHost && host != "unknown" =>
           ProcessHandle.of(pid.toLong).map[Boolean](!_.isAlive).orElse(true)
         case _ => false
       }
@@ -860,10 +924,7 @@ object Stage {
     val entries =
       if (fs.exists(ledger)) fs.listStatus(ledger).map(_.getPath.getName)
       else Array.empty[String]
-    val high = entries.foldLeft(-1L) {
-      case (acc, HighMarkerRe(n)) => math.max(acc, n.toLong)
-      case (acc, _)               => acc
-    }
+    val high = highWaterIn(entries, includeBatch = false)
     val batchIds = entries.collect { case BatchMarkerRe(n) => n.toLong }.toSet
     val opIds = entries.collect { case OpMarkerRe(op) => op }.toSet
     def sweep(d: Path): Unit = dataEntries(fs, d).foreach { s =>
@@ -996,12 +1057,7 @@ object Stage {
   private def consumedNames(fs: FileSystem, tombDir: Path): Set[String] = {
     val f = new Path(tombDir, "_consumed")
     if (!fs.exists(f)) Set.empty
-    else {
-      val in = fs.open(f)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).toSet
-      finally in.close()
-    }
+    else readTrimmedLines(fs, f).toSet
   }
 
   /** The pending tombstone keys of an index root, or None when none are
@@ -1061,10 +1117,8 @@ object Stage {
     * truth (each was only ever written over fully-published batches). */
   private def ledgerHighWater(fs: FileSystem, ledger: Path): Long =
     if (!fs.exists(ledger)) -1L
-    else fs.listStatus(ledger).map(_.getPath.getName).foldLeft(-1L) {
-      case (acc, HighMarkerRe(n)) => math.max(acc, n.toLong)
-      case (acc, _)               => acc
-    }
+    else highWaterIn(fs.listStatus(ledger).map(_.getPath.getName),
+      includeBatch = false)
 
   /** Fold an index root's per-batch ledger markers into one high-water
     * marker. [[appendExactlyOnce]] writes `_ledger/batch-<id>` per
@@ -1086,11 +1140,7 @@ object Stage {
     val fs = fsFor(spark, ledger)
     if (!fs.exists(ledger)) return
     val entries = fs.listStatus(ledger).map(_.getPath)
-    val high = entries.map(_.getName).foldLeft(-1L) {
-      case (acc, BatchMarkerRe(n)) => math.max(acc, n.toLong)
-      case (acc, HighMarkerRe(n))  => math.max(acc, n.toLong)
-      case (acc, _)                => acc
-    }
+    val high = highWaterIn(entries.map(_.getName), includeBatch = true)
     if (high < 0) return
     val highMarker = new Path(ledger, s"high-$high")
     if (!fs.exists(highMarker)) fs.create(highMarker, false).close()
@@ -1182,7 +1232,12 @@ object Stage {
       val nVersions =
         if (!fs.exists(root)) 0
         else fs.listStatus(root).count(s => VersionRe.matches(s.getPath.getName))
-      val live = new Path(resolve(spark, s"$path/$c"))
+      // derive the live dir from the pointer lines already in hand —
+      // a resolve() here would re-open and re-parse the same _current
+      // file, and a pointer flip between the two reads would make
+      // live_version and n_files describe different versions in one row
+      val live = lines.headOption
+        .map(v => new Path(root, v)).getOrElse(root)
       def filesBytes(d: Path): (Int, Long) =
         dataEntries(fs, d).foldLeft((0, 0L)) { case ((n, b), s) =>
           if (s.isDirectory) { val (n2, b2) = filesBytes(s.getPath); (n + n2, b + b2) }
@@ -1218,11 +1273,8 @@ object Stage {
     try {
       val lock = new Path(dir, "_writer.lock")
       val st = fs.getFileStatus(lock)
-      val in = fs.open(lock)
-      val content =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      Some((content, System.currentTimeMillis - st.getModificationTime))
+      Some((readUtf8(fs, lock),
+        System.currentTimeMillis - st.getModificationTime))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Reset an index root's exactly-once machinery — called by the `save*`

@@ -547,6 +547,46 @@ class StageSpec extends AnyFunSuite {
     assert(head.getAs[String]("writer_lock_holder") == "")
   }
 
+  test("a file-less publish refuses the flip; schema-carrying empties pass") {
+    val root = "target/graft-test-stage-emptypub"
+    fs(root).delete(new Path(root), true)
+    Stage.publishRewrite(spark, root, Seq(1L, 2L).toDF("v"))
+    // a PARTITIONED write of zero rows produces NO files at all —
+    // flipping onto it would leave an unreadable live state; the old
+    // version must keep serving and the caller must hear about it
+    val e = intercept[IllegalStateException] {
+      Stage.publishRewrite(spark, root) { versionDir =>
+        Seq.empty[(Long, Long)].toDF("v", "k")
+          .write.partitionBy("k").parquet(versionDir)
+      }
+    }
+    assert(e.getMessage.contains("no data files"))
+    assert(values(root) == Set(1L, 2L)) // old state still serving
+    // a NON-partitioned empty DataFrame writes one schema-carrying
+    // parquet file — a legitimate empty state, publishable and readable
+    Stage.publishRewrite(spark, root, Seq.empty[Long].toDF("v"))
+    assert(values(root) == Set.empty)
+  }
+
+  test("snapshot names are validated on the read/drop side too") {
+    val root = "target/graft-test-stage-snapname"
+    fs(root).delete(new Path(root), true)
+    Stage.publishRewrite(spark, root, Seq(1L).toDF("v"))
+    Stage.snapshot(spark, root, "good_pin")
+    // "../_current" would URI-resolve OUT of _snapshots: dropSnapshot
+    // would delete the LIVE POINTER, resolveSnapshot would misparse it
+    for (bad <- Seq("../_current", "a/b", "..")) {
+      intercept[IllegalArgumentException] {
+        Stage.dropSnapshot(spark, root, bad)
+      }
+      intercept[IllegalArgumentException] {
+        Stage.resolveSnapshot(spark, root, bad)
+      }
+    }
+    assert(Stage.resolve(spark, root) == s"$root/v00000001") // pointer intact
+    assert(Stage.resolveSnapshot(spark, root, "good_pin").isDefined)
+  }
+
   test("publishRebuild severs previous-version grace at the rebuild boundary") {
     val root = "target/graft-test-stage-rebuild"
     fs(root).delete(new Path(root), true)
