@@ -38,13 +38,17 @@ object Search {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
                idCol: String = "doc_id", textCol: String = "text",
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs
+    // NULL-text documents are not part of the searchable corpus: they
+    // can never match a term, and counting them in n_docs/avgdl would
+    // shift every surviving document's idf and length normalization
+    val live = docs.where(col(textCol).isNotNull)
+    val toks = live
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(col("token").isInCollection(terms))
     val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
+    val stats = live.agg(count(lit(1)).as("n_docs"),
       sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("total_tokens"))
-    val dl = docs.select(col(idCol),
+    val dl = live.select(col(idCol),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
     scoreBm25(tf, dl, stats, terms, k, idCol, k1, b)
   }
@@ -61,6 +65,13 @@ object Search {
                         k1: Double, b: Double): DataFrame = {
     require(terms.nonEmpty && terms.size == terms.distinct.size,
       "BM25 needs a non-empty, duplicate-free term set")
+    // case-INSENSITIVELY distinct too: the per-term pivot columns
+    // (c_<term>) resolve case-insensitively under Spark's default
+    // spark.sql.caseSensitive=false, so ("Apple", "apple") would die
+    // deep in planning with AMBIGUOUS_REFERENCE instead of here
+    require(terms.map(_.toLowerCase).distinct.size == terms.size,
+      s"terms collide case-insensitively (column resolution is " +
+        s"case-insensitive): $terms")
     require(terms.forall(_.matches("[A-Za-z0-9_]+")),
       s"terms become per-term output columns (c_<term>) — identifier-safe " +
         s"tokens only, got $terms")
@@ -146,6 +157,27 @@ object Search {
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
       .repartition(col("token")).sortWithinPartitions("token", idCol)
 
+  /** The ONE postings build plan shared by the fresh build and both
+    * append paths — the bit-identity contract (grown index ≡ fresh
+    * build) lives or dies on these staying literally the same plan.
+    * NULL-text rows are excluded throughout the index family: they can
+    * never match a query, and counting them in n_docs/avgdl would shift
+    * every BM25 score (the [[graft.ext.Corpus.saveLm]] guard). */
+  private def postingsOf(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .repartition(col("token")).sortWithinPartitions("token", idCol)
+
+  /** The doclens sibling of [[postingsOf]] — same sharing argument,
+    * same NULL-text exclusion. */
+  private def doclensOf(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+
   def saveTextIndex(docs: DataFrame, path: String,
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
     // a rebuild starts a fresh streaming lineage: stale exactly-once
@@ -153,16 +185,19 @@ object Search {
     // stale tombstone table would mask the new corpus's documents
     graft.ops.Stage.clearLedger(docs.sparkSession, path)
     graft.ops.Stage.clearTombstones(docs.sparkSession, path)
-    val toks = docs
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
-    toks.groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
-      .repartition(col("token")).sortWithinPartitions("token", idCol)
+    // the POSITIONAL component is the old corpus's too: left in place it
+    // would phrase-serve corpus-A hits for a corpus-B index, and the
+    // next append would MIX corpora into it (textComponents would still
+    // report it). A rebuild drops it; run savePositionalIndex again to
+    // re-enable phrase/proximity serving over the new corpus.
+    val posPath = new org.apache.hadoop.fs.Path(s"$path/positions")
+    posPath.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(posPath, true)
+    postingsOf(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$path/postings")
-    docs.select(col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+    doclensOf(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$path/doclens")
-    docs.agg(count(lit(1)).as("n_docs"),
-      sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("total_tokens"))
+    batchStats(docs, textCol)
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
@@ -186,13 +221,9 @@ object Search {
     // versioned, so snapshot pins work from the first batch
     comps.foreach(c =>
       graft.ops.Stage.ensureVersioned(spark, s"$path/$c"))
-    batch
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
-      .repartition(col("token")).sortWithinPartitions("token", idCol)
+    postingsOf(batch, idCol, textCol)
       .write.mode("append").parquet(graft.ops.Stage.resolve(spark, s"$path/postings"))
-    batch.select(col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+    doclensOf(batch, idCol, textCol)
       .write.mode("append").parquet(graft.ops.Stage.resolve(spark, s"$path/doclens"))
     // stats are ADDITIVE rows: the batch contributes one more, and
     // serving sums ([[readStats]]) — no read-modify-write, no collect.
@@ -212,9 +243,10 @@ object Search {
   /** One additive stats row for a batch (coalesce: zero docs must still
     * produce a (0, 0) row, and sum() over nothing is NULL). */
   private def batchStats(batch: DataFrame, textCol: String): DataFrame =
-    batch.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L))
-        .as("total_tokens"))
+    batch.where(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L))
+          .as("total_tokens"))
 
   /** The index's corpus stats as ONE row. No tombstones pending (None):
     * the sum of the additive stats rows (identity on a fresh single-row
@@ -262,13 +294,9 @@ object Search {
     lazy val comps = textComponents(batch.sparkSession, path)
     graft.ops.Stage.appendExactlyOnce(batch.sparkSession, path, batchId,
       comps) { staging =>
-      batch
-        .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
-        .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
-        .repartition(col("token")).sortWithinPartitions("token", idCol)
+      postingsOf(batch, idCol, textCol)
         .write.mode("overwrite").parquet(s"$staging/postings")
-      batch.select(col(idCol),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      doclensOf(batch, idCol, textCol)
         .write.mode("overwrite").parquet(s"$staging/doclens")
       batchStats(batch, textCol).write.mode("overwrite")
         .parquet(s"$staging/stats")
@@ -279,37 +307,26 @@ object Search {
   }
 
   /** Delete documents from a [[saveTextIndex]] index — the
-    * right-to-be-forgotten path. A compaction rewrite: postings and
-    * doclens are anti-joined against the id set and atomically published
-    * ([[graft.ops.Stage.publishRewrite]] — a crash mid-rewrite leaves the
-    * old index serving); stats recompute from the surviving doclens
-    * relation — index-sized work, never a corpus re-tokenization. Serving
-    * afterwards is bit-identical to a fresh build over the remaining
-    * corpus.
+    * right-to-be-forgotten path, IMMEDIATE form: the ids land as
+    * tombstones first (batch-sized, atomic append) and a compaction
+    * fold turns them physical in the same call. The two-step shape is
+    * what makes the multi-component delete CRASH-SAFE: the per-component
+    * publishes cannot be atomic as a group, and a bare anti-join rewrite
+    * that died between the postings publish and the stats publish would
+    * serve post-delete postings against pre-delete idf/avgdl — silently
+    * wrong scores with nothing demanding a retry. With the tombstone
+    * down first, every crash window serves the tombstone-MASKED index
+    * (exact — [[readStats]] recomputes from the filtered doclens), and
+    * re-running converges. Index-sized work, never a corpus
+    * re-tokenization; serving afterwards is bit-identical to a fresh
+    * build over the remaining corpus.
     */
   def deleteFromTextIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, ids: DataFrame,
-                          idCol: String = "doc_id"): Unit =
-      graft.ops.Stage.withWriterLease(spark, path) {
-    import graft.ops.Stage.{publishRewrite, resolve}
-    val comps = textComponents(spark, path)
-    // like every compacting rewrite: a crashed batch's uncommitted
-    // b<id>-* files must not fold (the replay would double them)
-    graft.ops.Stage.sweepUncommitted(spark, path, comps)
-    val del = ids.select(col(idCol)).distinct()
-    publishRewrite(spark, s"$path/postings",
-      spark.read.parquet(resolve(spark, s"$path/postings"))
-        .join(del, Seq(idCol), "left_anti"))
-    publishRewrite(spark, s"$path/doclens",
-      spark.read.parquet(resolve(spark, s"$path/doclens"))
-        .join(del, Seq(idCol), "left_anti"))
-    publishRewrite(spark, s"$path/stats",
-      spark.read.parquet(resolve(spark, s"$path/doclens")) // post-delete lens
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens")))
-    if (comps.contains("positions"))
-      publishRewrite(spark, s"$path/positions",
-        spark.read.parquet(resolve(spark, s"$path/positions"))
-          .join(del, Seq(idCol), "left_anti"))
+                          idCol: String = "doc_id"): Unit = {
+    tombstoneFromTextIndex(spark, path, ids.select(col(idCol)).distinct(),
+      idCol)
+    compactTextIndex(spark, path, idCol)
   }
 
   /** Compact a [[saveTextIndex]] index after a run of per-batch appends.
@@ -741,6 +758,13 @@ object Search {
     // same as deleteFromTextIndex): a concurrent snapshot/append must
     // not interleave with the component flip
     graft.ops.Stage.withWriterLease(spark, path) {
+      // pins deliberately SURVIVE this rebuild (unlike saveLm/savePqIndex,
+      // which clear them): positions is a self-contained re-derivation of
+      // the same index's corpus, restorable only TOGETHER with the triple
+      // through restoreTextIndex — SearchSpec pins the
+      // pin→rebuild→restore round trip. The cross-CORPUS stale-pin hazard
+      // is closed at the true rebuild boundary instead: saveTextIndex
+      // deletes the positional component outright.
       graft.ops.Stage.publishRebuild(spark, s"$path/positions",
         positionalPostings(docs, idCol, textCol))
     }
@@ -834,8 +858,12 @@ object Search {
       aggregate(col("pa"), lit(0L), (acc, a) =>
         acc + size(filter(col("pb"),
           b => abs(b - a) <= maxDist)).cast("long")).as("n_pairs"),
-      array_min(flatten(transform(col("pa"), a =>
-        transform(col("pb"), b => abs(b - a))))).cast("long").as("min_dist"))
+      // running-min fold, NEVER a materialized |pa|×|pb| cross-product
+      // array: two 20k-occurrence stop-word-ish terms would otherwise
+      // build a 400M-element array inside one row before array_min
+      aggregate(col("pa"), lit(Long.MaxValue), (acc, a) =>
+        least(acc, aggregate(col("pb"), lit(Long.MaxValue), (acc2, b) =>
+          least(acc2, abs(b - a).cast("long"))))).as("min_dist"))
       .where(col("n_pairs") > 0L)
     val masked = minusTombstoned(pairs, tomb, idCol)
     val top = masked.orderBy(col("n_pairs").desc, col(idCol)).limit(k)
@@ -965,7 +993,7 @@ object Search {
     * Scale: source tf is one document's terms; corpus df is the shared
     * distinct (doc, token) roll-up; the join broadcasts the source side.
     */
-  def moreLikeThisTerms(docs: DataFrame, srcId: Long, m: Int,
+  def moreLikeThisTerms(docs: DataFrame, srcId: Any, m: Int,
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     require(m >= 1, s"m >= 1, got $m")
@@ -973,7 +1001,11 @@ object Search {
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
     val dfreq = toks.distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
-    val srcTf = toks.where(col(idCol) === srcId)
+    // lit(srcId) keeps the comparison in the id column's OWN type:
+    // every other API here is id-type-generic via idCol, and a
+    // hard-typed Long would cast a string id column to bigint —
+    // CAST_INVALID_INPUT under ANSI, silent empty-result with ANSI off
+    val srcTf = toks.where(col(idCol) === lit(srcId))
       .groupBy("token").agg(count(lit(1)).as("tf"))
     val w = Window.orderBy(col("tf").desc, col("df").asc, col("token"))
     dfreq.join(broadcast(srcTf), Seq("token"))
@@ -1015,6 +1047,12 @@ object Search {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"need a threshold in (0, 1], got $tauNum/$tauDen")
+    // the prefix-bound floor below divides in DOUBLE; exactness needs
+    // t2n·sz < 2^53, which tauDen ≤ 1000 guarantees for any sz < 2^31
+    // (a finer threshold than 1/1000 distinguishes nothing at realistic
+    // shingle-set sizes anyway)
+    require(tauDen <= 1000,
+      s"tauDen ≤ 1000 keeps the prefix bound exact, got $tauDen")
     val t2n = tauNum.toLong * tauNum; val t2d = tauDen.toLong * tauDen
     val sets = docs.select(col(idCol).as("id"),
       explode(Dedup.wordNgrams(col(textCol), n)).as("g"))
@@ -1027,7 +1065,8 @@ object Search {
       .join(sizes, Seq("id"))
     // ceil(t2n·sz/t2d) in exact integer arithmetic (sz < 2^31 ⇒ no overflow)
     // allowed suffix length = ceil(tau²·sz) − 1; prefix = the rest.
-    // (t2n·sz + t2d − 1) ≤ 25·2³¹ ≪ 2⁵³ so the double division is exact.
+    // (t2n·sz + t2d − 1) ≤ 10⁶·2³¹ ≪ 2⁵³ (tauDen ≤ 1000 enforced above)
+    // so the double division is exact.
     val suffixLen = floor((lit(t2n) * col("sz") + lit(t2d - 1)) / lit(t2d))
       .cast("long") - lit(1L)
     val prefix = positioned.where(col("pos") <= col("sz") - suffixLen)
@@ -1046,7 +1085,12 @@ object Search {
     dots
       .join(sizes.select(col("id").as("id_a"), col("sz").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("sz").as("n_b")), Seq("id_b"))
-      .where(lit(t2d) * col("dot") * col("dot") >= lit(t2n) * col("n_a") * col("n_b"))
+      // DECIMAL(38,0) comparison: t2d·dot² on a million-shingle document
+      // overflows a long (ANSI would throw; non-ANSI would wrap into
+      // wrong verdicts) — decimal keeps the integer-exactness claim at
+      // any document size, and only candidate pairs pay it
+      .where(lit(t2d).cast("decimal(38,0)") * col("dot") * col("dot") >=
+        lit(t2n).cast("decimal(38,0)") * col("n_a") * col("n_b"))
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("dot"),
         (col("dot").cast("double") /
           sqrt((col("n_a") * col("n_b")).cast("double"))).as("cos_sim"))

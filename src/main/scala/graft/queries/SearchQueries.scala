@@ -519,7 +519,7 @@ object SearchQueries {
         s"coalesce(max(CASE WHEN token = '$t' THEN c END), 0.0) AS c_$t")
         .mkString(",\n                  ")
       val scoreSum = bmTerms.map(t => s"c_$t").mkString(" + ")
-      s"""WITH cdocs AS ($corpus),
+      s"""WITH cdocs AS (SELECT * FROM ($corpus) WHERE text IS NOT NULL),
           toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS token
             FROM cdocs),
