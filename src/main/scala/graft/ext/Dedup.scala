@@ -1405,10 +1405,11 @@ object Dedup {
     val rgt = banded.select(col("chunk"), col("chunk_val"),
       col("doc").as("doc_b"), col("sig").as("sig_b"))
     val xor = col("sig_a").bitwiseXOR(col("sig_b"))
+    // foldLeft, not reduce: chunks = 1 is legal and has no earlier chunk
     val earlierChunkMatched = (0 until chunks - 1).map(c =>
       (col("chunk") > c) &&
         (shiftrightunsigned(xor, c * bitsPer).bitwiseAND(lit(mask)) === 0L))
-      .reduce(_ || _)
+      .foldLeft(lit(false))(_ || _)
     l.join(rgt, Seq("chunk", "chunk_val"))
       .where(col("doc_a") < col("doc_b") && !earlierChunkMatched)
       .select(col("doc_a"), col("doc_b"),

@@ -73,7 +73,10 @@ object Similarity {
     * top-`fetch` (ties by id), every score is IEEE double arithmetic
     * in pinned operation order (the [[topKBruteForce]] discipline, so
     * the DuckDB oracle replays every pick), score ties break to the
-    * smaller id, and the empty-selection first pick is plain top-1.
+    * smaller id, and the empty-selection first pick is plain top-1
+    * for any λ > 0 (at λ = 0 — pure diversity, no relevance term —
+    * every first-pick score is 0·cos − 1·0 = 0 and the id tie-break
+    * decides; still deterministic and oracle-replayed, just not top-1).
     * Any `lam` in [0,1] oracle-replays exactly: the replay emits
     * BOTH engine coefficients — `lam` and the computed double
     * `1.0 − lam` — as shortest-round-trip decimal literals
@@ -124,14 +127,21 @@ object Similarity {
                      vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     require(fetch >= k, s"fetch ($fetch) must be >= k ($k)")
-    val served = topKIvfIndexed(spark, queries, path, fetch, nProbe,
-      idCol, vecCol)
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    // ONE tombstone read, ONE meta load, ONE lists resolve — shared by
+    // the candidate probe AND the redundancy-vector read. Two separate
+    // resolves would let a concurrent maintenance publish land between
+    // them: candidates from version V1 joined to vectors (and scale)
+    // from V2 — silently fewer than k rows, or OLD codes dequantized
+    // with NEW parameters after a rebuild.
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    val listsDir = graft.ops.Stage.resolve(spark, s"$path/lists")
     val (scale, _) = loadIvfMeta(spark, path)
+    val served = serveIvf(spark, queries, path, listsDir, tomb, fetch,
+      nProbe, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
     val cvec = if (scale > 0) dequantize(col("code"), scale)
       else col("code")
-    val vecs = spark.read
-      .parquet(graft.ops.Stage.resolve(spark, s"$path/lists"))
+    val vecs = spark.read.parquet(listsDir)
       .select(col("vec_id").as("neighbor_id"), cvec.as("vec"))
       .withColumn("nrm", norm(col("vec")))
     mmrGreedy(vecs.join(broadcast(served), Seq("neighbor_id")), k, lam)
@@ -160,8 +170,12 @@ object Similarity {
     require(k >= 1, s"k >= 1, got $k") // k=0 would make the greedy's
     // sequence(1, k) DESCEND to [1, 0] and return 2 rows, not 0
     require(fetch >= k, s"fetch ($fetch) must be >= k ($k)")
-    val served = topKIvfIndexed(spark, queries, path, fetch, nProbe,
-      idCol, vecCol)
+    // shared single resolve — the mmrTopKIndexed torn-read rationale
+    val tomb = graft.ops.Stage.pendingTombstones(spark, path)
+    val listsDir = graft.ops.Stage.resolve(spark, s"$path/lists")
+    val (scale, _) = loadIvfMeta(spark, path)
+    val served = serveIvf(spark, queries, path, listsDir, tomb, fetch,
+      nProbe, idCol, vecCol)
     val qL = queries.select(col(idCol).as("query_id"),
       col(labelCol).as("query_label"))
     val nL = labels.select(col(idCol).as("neighbor_id"),
@@ -171,11 +185,9 @@ object Similarity {
       .join(nL, Seq("neighbor_id"))
       .where(col("neighbor_label") =!= col("query_label"))
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
-    val (scale, _) = loadIvfMeta(spark, path)
     val cvec = if (scale > 0) dequantize(col("code"), scale)
       else col("code")
-    val vecs = spark.read
-      .parquet(graft.ops.Stage.resolve(spark, s"$path/lists"))
+    val vecs = spark.read.parquet(listsDir)
       .select(col("vec_id").as("neighbor_id"), cvec.as("vec"))
       .withColumn("nrm", norm(col("vec")))
     mmrGreedy(vecs.join(broadcast(cross), Seq("neighbor_id")), k, lam)
@@ -193,13 +205,20 @@ object Similarity {
   private def mmrGreedy(enriched: DataFrame, k: Int,
                         lam: Double): DataFrame = {
     require(lam >= 0.0 && lam <= 1.0, s"lambda in [0,1], got $lam")
+    // the id keeps its NATIVE type end to end: a cast("long") here
+    // would turn string ids (UUIDs — legal everywhere else in this
+    // file) into NULLs, and the de-dup `exists` below would silently
+    // drop every candidate after the first pick (one row per query, no
+    // error). The argmax therefore cannot lean on id negation either —
+    // it is an explicit (score DESC, id ASC) comparison fold.
+    val idT = enriched.schema("neighbor_id").dataType.sql
     val candT =
-      "struct<id:bigint,cos:double,vec:array<double>,nrm:double>"
-    val pickT = "array<struct<id:bigint,cos:double,score:double," +
+      s"struct<id:$idT,cos:double,vec:array<double>,nrm:double>"
+    val pickT = s"array<struct<id:$idT,cos:double,score:double," +
       "vec:array<double>,nrm:double>>"
     val grouped = enriched.groupBy("query_id")
       .agg(collect_list(struct(
-        col("neighbor_id").cast("long").as("id"),
+        col("neighbor_id").as("id"),
         col("cos_sim").as("cos"), col("vec"), col("nrm")).cast(candT))
         .as("cands"))
     def pickStep(acc: Column): Column = {
@@ -212,12 +231,16 @@ object Similarity {
         struct(
           (lit(lam) * c.getField("cos") - lit(1.0 - lam) * maxsim)
             .as("score"),
-          (-c.getField("id")).as("negid"),
           c.getField("id").as("id"), c.getField("cos").as("cos"),
           c.getField("vec").as("vec"), c.getField("nrm").as("nrm"))
       })
-      val best = array_max(scoredC)
-      val pickedT = "struct<id:bigint,cos:double,score:double," +
+      // argmax by (score DESC, id ASC), type-agnostically: fold the
+      // scored array against its own first element
+      val best = aggregate(scoredC, element_at(scoredC, 1), (b, c) =>
+        when(c.getField("score") > b.getField("score") ||
+          (c.getField("score") === b.getField("score") &&
+            c.getField("id") < b.getField("id")), c).otherwise(b))
+      val pickedT = s"struct<id:$idT,cos:double,score:double," +
         "vec:array<double>,nrm:double>"
       when(size(scoredC) > 0,
         concat(acc, array(struct(
@@ -277,27 +300,18 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Recall@k report of an approximate top-k relation against the exact
-    * one — ANN index QUALITY MONITORING as an operator (the operator
-    * form of tools/RecallCheck's round-11 measurement): per query, how
-    * many of the exact top-k neighbors the approximate serve recovered.
-    * Inputs are any two (query_id, neighbor_id, …) top-k relations —
-    * [[topKLsh]] / [[topKIvf]] / [[topKIvfIndexed]] against
-    * [[topKBruteForce]] — so the report slots after any serve path,
-    * including snapshot serves (pin recall BEFORE a maintenance campaign,
-    * re-measure after). Cost: a join of two k-rows-per-query relations —
-    * the expensive parts are the inputs, which the caller already has.
-    * Queries the approximate side missed entirely (empty probe buckets)
-    * report recall 0, not absence. recall = n_hit / k_exact with both
-    * operands small exact integers — bit-identical in any engine.
-    */
   /** L2-normalize a (castable) vector column elementwise — the
     * pre-step that makes PQ's approximate INNER PRODUCT an approximate
     * COSINE. Zero vectors become NaN (undefined direction) — callers'
-    * contract, as with cosine itself. */
+    * contract, as with cosine itself; the zero-norm case is an explicit
+    * branch because under Spark 4's default ANSI mode a bare x/0.0
+    * would THROW DIVIDE_BY_ZERO instead of yielding the documented NaN
+    * (which the family's isnan filters key on). */
   def normalizeVec(v: Column): Column = {
     val d = v.cast("array<double>")
-    transform(d, x => x / sqrt(dot(d, d)))
+    val nrm = sqrt(dot(d, d))
+    transform(d, x =>
+      when(nrm === lit(0.0), lit(Double.NaN)).otherwise(x / nrm))
   }
 
   /** PRODUCT-QUANTIZATION codebooks (Jégou, Douze, Schmid — "Product
@@ -359,6 +373,10 @@ object Similarity {
     // the next — one corpus pass per iteration re-reads this lineage.
     val sub = corpus
       .select(normalizeVec(col(vecCol)).as("nv"))
+      // a zero vector's NaN subvectors would carry the -1 argmin
+      // sentinel into the stats collect and index the codebook array at
+      // -1 on the driver (AIOOBE mid-training) — the pqCodes rule
+      .where(!isnan(element_at(col("nv"), 1)))
       .select(explode(array((0 until m).map(j =>
         struct(lit(j).as("j"),
           slice(col("nv"), j * subDim + 1, subDim).as("sv"))): _*)).as("e"))
@@ -401,7 +419,9 @@ object Similarity {
     cb
   }
 
-  /** PQ ENCODE + ADC SERVE: corpus vectors normalize, encode to m code
+  /* FAMILY OVERVIEW (plain comment, not scaladoc — it describes the
+   * whole PQ group, not the next member):
+   * PQ ENCODE + ADC SERVE: corpus vectors normalize, encode to m code
     * indices (per subspace, argmin exact-L2² against the codebook —
     * strict `<` keeps the SMALLEST index on ties, mirrored by the
     * oracle's (d, c) rank), and queries rank candidates by the
@@ -438,6 +458,12 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     corpus
       .select(col(idCol), normalizeVec(col(vecCol)).as("nv"))
+      // zero vectors normalize to all-NaN, every subspace distance is
+      // NaN, the argmin keeps its -1 sentinel, and element_at(codes, 0)
+      // would crash EVERY later ADC serve against the poisoned index —
+      // exclude them, the trainCentroids rule (a zero embedding has no
+      // direction to quantize)
+      .where(!isnan(element_at(col("nv"), 1)))
       .select(col(idCol), pqCodeArray(col("nv"), dim, codebooks).as("codes"))
   }
 
@@ -504,6 +530,7 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("dv"),
         normalizeVec(col(vecCol)).as("nv"))
+      .where(!isnan(element_at(col("nv"), 1))) // the pqCodes zero-vector rule
       .select(col("neighbor_id"),
         array_max(centDots(col("dv"))).getField("c").as("centroid"),
         pqCodeArray(col("nv"), dim, codebooks).as("codes"))
@@ -935,6 +962,20 @@ object Similarity {
         (col("best.cos") >= lit(threshold)).as("is_contaminated"))
   }
 
+  /** Recall@k report of an approximate top-k relation against the exact
+    * one — ANN index QUALITY MONITORING as an operator (the operator
+    * form of tools/RecallCheck's round-11 measurement): per query, how
+    * many of the exact top-k neighbors the approximate serve recovered.
+    * Inputs are any two (query_id, neighbor_id, …) top-k relations —
+    * [[topKLsh]] / [[topKIvf]] / [[topKIvfIndexed]] against
+    * [[topKBruteForce]] — so the report slots after any serve path,
+    * including snapshot serves (pin recall BEFORE a maintenance campaign,
+    * re-measure after). Cost: a join of two k-rows-per-query relations —
+    * the expensive parts are the inputs, which the caller already has.
+    * Queries the approximate side missed entirely (empty probe buckets)
+    * report recall 0, not absence. recall = n_hit / k_exact with both
+    * operands small exact integers — bit-identical in any engine.
+    */
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val ex = exact.select(col("query_id"), col("neighbor_id"))
     val ap = approx.select(col("query_id"), col("neighbor_id"))
@@ -1112,13 +1153,17 @@ object Similarity {
     require(pl.length == bitsPerBand * bands,
       s"need ${bitsPerBand * bands} planes, got ${pl.length}")
     // (id, v, nrm) feeds FOUR subtrees (mean aggregate, banding, both
-    // verification join-backs); persisting stops a computed embedding column
-    // (e.g. TextAnalysis.hashEmbedding) from being re-derived per consumer.
-    // MEMORY_AND_DISK: at cluster scale this spills instead of OOMing; if
-    // embeddings are already a stored table the persist is a cheap no-op win.
+    // verification join-backs). Deliberately NOT persisted: a lazily
+    // returned plan gives this function no hook to ever unpersist, so a
+    // cache here leaked one full corpus projection into the block
+    // manager PER CALL for the session's lifetime (a per-snapshot dedup
+    // sweep accumulates corpora until eviction). The projection is
+    // map-only over the corpus scan — lineage recompute per consumer is
+    // the standard Spark answer; callers that hold embeddings as a
+    // computed column and call this repeatedly should persist THEIR
+    // input, where they can also release it.
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"), norm(col(vecCol)).as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // RNG planes are origin-anchored, so they get mean-centered via per-plane
     // offsets dot(mean, p) — one tiny aggregate, collected as consts. Caller-
     // provided planes (e.g. [[samplePlanes]] differences) already adapt to
@@ -1156,19 +1201,21 @@ object Similarity {
     // first-matching-band: band b survives only if no earlier bitsPerBand-
     // wide chunk of sig_a XOR sig_b is zero — pairs unique by construction
     val xor = col("sig_a").bitwiseXOR(col("sig_b"))
+    // foldLeft, not reduce: bands = 1 is legal and has no earlier band
     val earlierBandMatched = (0 until bands - 1).map { b =>
       (col("band") > b) &&
         (shiftrightunsigned(xor, b * bitsPerBand).bitwiseAND(lit(mask)) === 0L)
-    }.reduce(_ || _)
+    }.foldLeft(lit(false))(_ || _)
     val candidates = left.join(right, Seq("band", "band_key"))
       .where(col("id_a") < col("id_b") && !earlierBandMatched)
       .select("id_a", "id_b")
-    candidates
+    val pairs = candidates
       .join(c.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
       .join(c.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
+    pairs
   }
 
   /** Deterministic coarse-quantizer centroids (fixed seed, distinct from the
@@ -1272,7 +1319,14 @@ object Similarity {
     var cents = sampleCentroids(
       corpus.select(col(idCol), normalizeVec(col(vecCol)).as(vecCol)),
       n, idCol, vecCol)
+    // zero vectors normalize to all-NaN and would silently drag a
+    // centroid's fixed-point update toward zero (NaN sorts greatest in
+    // the argmax; its floor(NaN·G) quantizes to 0 while still counting)
+    // — trainCentroids filters them (its line has the same guard), the
+    // portable variant must too or the two diverge AND the oracle replay
+    // of the NaN cast is engine-defined
     val nv = corpus.select(normalizeVec(col(vecCol)).as("nv"))
+      .where(!isnan(element_at(col("nv"), 1)))
     for (_ <- 1 to iters) {
       val cd = array(cents.zipWithIndex.map { case (cv, i) =>
         struct(dot(col("nv"), array(cv.map(lit(_)): _*)).as("d"),

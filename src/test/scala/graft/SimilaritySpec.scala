@@ -94,6 +94,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.mmrTopK(q, vecs, k = 3, fetch = 3).count() == 3L)
   }
 
+  test("mmrTopK works with STRING ids: full k rows, same geometry picks") {
+    // the greedy previously cast ids to long: string ids became NULL,
+    // the selected-set `exists` went NULL, and every query silently
+    // returned ONE row instead of k
+    val vecs = Seq(
+      "q0" -> Seq(1.0f, 0.0f, 0.0f),
+      "n1" -> Seq(0.9f, 0.435f, 0.0f),
+      "n2" -> Seq(0.9f, 0.436f, 0.0f),
+      "n3" -> Seq(0.9f, 0.0f, 0.436f))
+      .toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" === "q0")
+    val mmr = Similarity.mmrTopK(q, vecs, k = 2, fetch = 3)
+      .orderBy("rank").select("neighbor_id").as[String].collect().toSeq
+    assert(mmr == Seq("n1", "n3"), mmr.toString) // same picks as long ids
+  }
+
+  test("PQ encode/train exclude zero vectors instead of poisoning the index") {
+    // a zero embedding normalizes to all-NaN: the argmin would keep its
+    // -1 sentinel, persist it, and every later ADC serve would die on
+    // element_at(codes, 0); training would AIOOBE on the driver
+    val vecs = (Seq(99L -> Seq.fill(8)(0.0f)) ++
+      (0L until 20L).map(i => i -> Seq.tabulate(8)(d =>
+        math.sin(i * 1.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.trainPqCodebooks(vecs, m = 2, nCent = 4, dim = 8,
+      iters = 2) // must not throw
+    val codes = Similarity.pqCodes(vecs, dim = 8, cb).collect()
+    assert(codes.length == 20) // the zero vector is excluded, not encoded
+    assert(codes.forall(_.getSeq[Int](1).forall(_ >= 0)))
+  }
+
   test("quantize/dequantize: int8 round trip bounded by half a code, clamped") {
     val vecs = Seq((1L, Seq(0.1f, -0.3f, 0.45f, -0.52f, 5.0f, -5.0f, 0.0f)))
       .toDF("vec_id", "embedding")
