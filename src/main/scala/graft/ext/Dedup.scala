@@ -128,11 +128,15 @@ object Dedup {
         s"prefilter becomes overhead; raise expectedItems")
     val stamped = newDocs.withColumn("content_hash", sha2(col(textCol), 256))
     // null sketch = empty corpus: nothing can be a duplicate. NULL text
-    // makes the probe NULL, which must mean "not seen" (false), or the row
-    // would vanish from BOTH branches below; coalesce(..., false) routes
-    // NULL-text rows down the definitely-new path, where the final groupBy
-    // collapses them into one NULL-hash keeper group — exactly what
-    // [[incrementalNew]]'s anti-join does (null keys never match).
+    // does NOT null the probe — xxhash64(NULL) is the SEED constant, so a
+    // null-text row may route down either branch (confirm, if any prior
+    // null-text row put the seed hash in the sketch). Both branches are
+    // correct for it: its content_hash is NULL, the confirm anti-join's
+    // null key never matches `known`, and the final groupBy collapses all
+    // null-text rows into one NULL-hash keeper group — exactly
+    // [[incrementalNew]]'s behavior. The coalesce is belt-and-braces for
+    // a future probe expression that CAN return null, not load-bearing
+    // for the null-text path.
     val flagged =
       if (sketch == null) stamped.withColumn("maybe_seen", lit(false))
       else stamped.withColumn("maybe_seen",
@@ -166,6 +170,11 @@ object Dedup {
     */
   def chunkDedup(df: DataFrame, textCol: String, idCol: String,
                  chunkTokens: Int = 20): DataFrame = {
+    // the stripFrequentChunks/chunkDedupWithinDoc guard: 0 would yield
+    // zero chunks per doc — silent n_kept=0/clean_text="" for the WHOLE
+    // corpus (or DivideByZero under ANSI); negative generates descending
+    // phantom sequences
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     val toks = split(col(textCol), " ")
     val nChunks = (floor((size(toks) - 1) / lit(chunkTokens)) + 1).cast("int")
     // NULL text contributes no chunks: size(split(NULL)) is -1, and
@@ -582,7 +591,23 @@ object Dedup {
     // stale tombstone table would mask re-ingested content
     graft.ops.Stage.clearLedger(spark, path)
     graft.ops.Stage.clearTombstones(spark, path)
-    writeManifestTables(df, textCol, idCol, path, k, bands, "overwrite")
+    // BORN VERSIONED via publishRebuild, under the root lease — the
+    // saveWinnowManifest protocol. The old in-place overwrite of the
+    // RESOLVED live directory tore concurrent probes mid-scan, raced
+    // unleased appends, and silently re-pointed any snapshot pin of the
+    // live version at the new corpus's data.
+    graft.ops.Stage.withWriterLease(spark, path) {
+      val keyed = manifestKeyed(df, textCol, idCol, k, bands)
+      graft.ops.Stage.publishRebuild(spark, s"$path/docs")(vd =>
+        keyed.select(col("doc"), col("toks"), col("ntok"), col("keys"))
+          .write.mode("overwrite").parquet(vd))
+      graft.ops.Stage.publishRebuild(spark, s"$path/bands")(vd =>
+        keyed.select(col("doc"), col("ntok"), col("keys"),
+            posexplode(col("keys")))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "band_key")
+          .write.mode("overwrite").parquet(vd))
+    }
     Seq((k, bands)).toDF("k", "bands")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -594,9 +619,11 @@ object Dedup {
     * change applied to only one of them would silently corrupt every probe
     * of a mixed manifest.
     */
-  private def writeManifestTables(df: DataFrame, textCol: String,
-                                  idCol: String, path: String, k: Int,
-                                  bands: Int, mode: String): Unit = {
+  /** The shared tokenize → exact-collapse → sign pipeline — build and
+    * append MUST derive from this one implementation so a schema or
+    * collapse change cannot silently corrupt a mixed manifest. */
+  private def manifestKeyed(df: DataFrame, textCol: String, idCol: String,
+                            k: Int, bands: Int): DataFrame = {
     val docs = df.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
     val members = exactClasses(docs)
     val reps = docs.join(
@@ -604,8 +631,14 @@ object Dedup {
       Seq("doc"), "left_semi")
     // keepToks threads the token sets through the signature projection —
     // no join-back shuffle to reattach them for the docs table
+    keyedSignatures(reps, k, bands, keepToks = true)
+  }
+
+  private def writeManifestTables(df: DataFrame, textCol: String,
+                                  idCol: String, path: String, k: Int,
+                                  bands: Int, mode: String): Unit = {
     val spark = df.sparkSession
-    val keyed = keyedSignatures(reps, k, bands, keepToks = true)
+    val keyed = manifestKeyed(df, textCol, idCol, k, bands)
     keyed.select(col("doc"), col("toks"), col("ntok"), col("keys"))
       .write.mode(mode).parquet(graft.ops.Stage.resolve(spark, s"$path/docs"))
     keyed.select(col("doc"), col("ntok"), col("keys"), posexplode(col("keys")))
@@ -769,7 +802,11 @@ object Dedup {
       case Some(t) => spark.read.parquet(resolve(spark, s"$path/docs"))
         .withColumn("seth", xxhash64(col("toks")))
         .join(t, Seq("seth")).select("doc")
-      case None => spark.range(0).select(col("id").as("doc"))
+      // the empty relation derives from the manifest's OWN doc column —
+      // spark.range(0)'s LONG would coerce a string-id manifest's
+      // anti-join key (ANSI runtime cast error on a routine compaction)
+      case None => spark.read.parquet(resolve(spark, s"$path/docs"))
+        .select("doc").limit(0)
     }
     val nBands = compactionPartitions(spark, s"$path/bands")
     publishRewrite(spark, s"$path/bands",
@@ -1302,9 +1339,15 @@ object Dedup {
       .select(col(idCol), col("cluster_rep"))
     val scored = clusters.join(
       df.select(col(idCol), score.as("kb_score")), Seq(idCol))
+    // argmin of (-score, id): highest score, ties to the SMALLEST id —
+    // the id tie-break rides the struct field's own ordering, so STRING
+    // ids work too (negating the id — the old encoding — casts strings
+    // to null under ANSI and silently elects no keeper; the same hazard
+    // probeWinnowImpl documents and avoids)
     val keepers = scored.groupBy(col("cluster_rep"))
-      .agg(max(struct(col("kb_score"), (-col(idCol)).as("kb_neg_id"))).as("kb"))
-      .select(col("cluster_rep"), (-col("kb").getField("kb_neg_id")).as("keeper_id"))
+      .agg(min(struct((-col("kb_score")).as("kb_neg_score"),
+        col(idCol).as("kb_id"))).as("kb"))
+      .select(col("cluster_rep"), col("kb").getField("kb_id").as("keeper_id"))
     scored.join(keepers, Seq("cluster_rep"))
       .select(col(idCol), col("cluster_rep"), col("keeper_id"),
         (col(idCol) === col("keeper_id")).cast("int").as("is_keeper"))
@@ -1344,11 +1387,16 @@ object Dedup {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
-  /** (id, simhash) per document: explode distinct tokens, hash them, fold
-    * with the Aggregator (partial agg keeps the shuffle at one row per doc
-    * per partition). `hasher` defaults to xxhash64 (codegen'd, best bit
-    * mixing); pass [[TextAnalysis.portableTokenHash64]] when the signature
-    * must be replayable by an external oracle engine.
+  /** (id, simhash) per document WITH TOKENS: explode distinct tokens,
+    * hash them, fold with the Aggregator (partial agg keeps the shuffle
+    * at one row per doc per partition). NULL-text documents have no
+    * tokens and therefore NO ROW here (deliberate — an all-zero
+    * signature for every null doc would pair them all with each other
+    * and with anything within Hamming range of 0); callers joining back
+    * to the corpus must left-join. `hasher` defaults to xxhash64
+    * (codegen'd, best bit mixing); pass
+    * [[TextAnalysis.portableTokenHash64]] when the signature must be
+    * replayable by an external oracle engine.
     */
   def simhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         hasher: Column => Column = xxhash64(_)): DataFrame = {
@@ -1372,8 +1420,12 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 7, chunks: Int = 8,
                    hasher: Column => Column = xxhash64(_)): DataFrame = {
-    require(chunks >= 1 && 64 % chunks == 0,
-      s"chunks must divide 64, got $chunks")
+    // chunks = 1 would need a 64-bit band mask — (1L << 64) wraps to 0,
+    // every signature lands in ONE bucket, and the "banded" join
+    // degenerates to the full cross product. Hamming-0 search belongs
+    // to chunks = 2 (two 32-bit bands) or [[exact]].
+    require(chunks >= 2 && 64 % chunks == 0,
+      s"chunks must divide 64 and be >= 2, got $chunks")
     bandedHammingPairs(simhashSignatures(df, textCol, idCol, hasher)
         .select(col("doc"), col("simhash").as("sig")),
       maxHamming, chunks, 64 / chunks)
@@ -1539,8 +1591,13 @@ object Dedup {
     val fanouts = broadcast(
       bucketFanouts(df, bucketCol, fanout, targetPairsPerTask, shufflePartitions))
     val salted = docs.join(fanouts, Seq("bucket"))
+    // salt by HASH of the id, not the id itself: pmod(doc, f) assumes a
+    // numeric id — a string id would salt to NULL (legacy) or throw
+    // (ANSI), and NULL never equals the exploded 0..f−1 salts, so the
+    // pair join would silently return zero rows. The salt only spreads
+    // work; the pair set is identical under any assignment.
     val l = salted.select(col("bucket"),
-      pmod(col("doc"), col("f")).cast("int").as("salt"),
+      pmod(xxhash64(col("doc")), col("f")).cast("int").as("salt"),
       col("doc").as("doc_a"), col("grams").as("g_a"))
       .repartition(shufflePartitions, col("bucket"), col("salt"))
     val rgt = salted.select(col("bucket"), col("doc").as("doc_b"), col("grams").as("g_b"),
@@ -1590,13 +1647,22 @@ object Dedup {
     require(n >= 2 && n <= 8, s"n in [2,8], got $n")
     require(w >= 2 && w <= 64, s"w in [2,64], got $w")
     import graft.functions.TextExpressions.charFold
+    // DUAL-modulus gram hash (~61 bits, the windowHashesBytes/q32 rule):
+    // a single mod-1e9+7 fold is ~2^30 values — 50% birthday collision
+    // at only ~32k distinct grams, and winnowing's per-window MINIMUM
+    // selection concentrates the selected fingerprints at the LOW end of
+    // the space, making cross-document false shares (spurious leak-gate
+    // pairs) far likelier than uniform; the df cap would then silently
+    // drop the hottest collided hashes and destroy recall on real
+    // overlaps at corpus scale
     val grams = df
       .select(col(idCol), rawWordNgrams(col(textCol), n).as("grams"))
       .where(size(col("grams")) > 0)
       .select(col(idCol), size(col("grams")).as("m"),
         posexplode(col("grams")).as(Seq("pos", "g")))
       .select(col(idCol), col("m"), col("pos"),
-        charFold(col("g"), 31L, 1000000007L).as("h"))
+        (charFold(col("g"), 31L, 1000000007L) * lit(2147483648L) +
+          charFold(col("g"), 131L, 998244353L)).as("h"))
     // window starts containing pos: [pos−w+1, pos] ∩ [0, max(m−w, 0)] —
     // non-empty for every pos (short docs collapse to the s = 0 window)
     val wins = grams.select(col(idCol), col("pos"), col("h"),

@@ -589,7 +589,11 @@ object DedupQueries {
                       list_reduce(list_prepend(CAST(0 AS BIGINT),
                         list_transform(range(1, length(tok) + 1),
                           i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
-                        (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+                        (acc, c) -> (acc * 31 + c) % 1000000007) * 2147483648
+                      + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(tok) + 1),
+                          i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 131 + c) % 998244353) AS h
                FROM g),
          wins AS (SELECT doc_id, pos, h,
                          unnest(range(greatest(pos - 3, 0),
@@ -948,7 +952,11 @@ object DedupQueries {
                       list_reduce(list_prepend(CAST(0 AS BIGINT),
                         list_transform(range(1, length(tok) + 1),
                           i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
-                        (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+                        (acc, c) -> (acc * 31 + c) % 1000000007) * 2147483648
+                      + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(tok) + 1),
+                          i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 131 + c) % 998244353) AS h
                FROM g),
          wins AS (SELECT doc_id, pos, h,
                          unnest(range(greatest(pos - 3, 0),
@@ -1037,7 +1045,11 @@ object DedupQueries {
                       list_reduce(list_prepend(CAST(0 AS BIGINT),
                         list_transform(range(1, length(tok) + 1),
                           i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
-                        (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+                        (acc, c) -> (acc * 31 + c) % 1000000007) * 2147483648
+                      + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(tok) + 1),
+                          i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 131 + c) % 998244353) AS h
                FROM g),
          wins AS (SELECT doc_id, split, pos, h,
                          unnest(range(greatest(pos - 3, 0),
@@ -1093,7 +1105,11 @@ object DedupQueries {
                       list_reduce(list_prepend(CAST(0 AS BIGINT),
                         list_transform(range(1, length(tok) + 1),
                           i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
-                        (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+                        (acc, c) -> (acc * 31 + c) % 1000000007) * 2147483648
+                      + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(tok) + 1),
+                          i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 131 + c) % 998244353) AS h
                FROM g),
          wins AS (SELECT doc_id, pos, h,
                          unnest(range(greatest(pos - 3, 0),
@@ -1151,7 +1167,11 @@ object DedupQueries {
                       list_reduce(list_prepend(CAST(0 AS BIGINT),
                         list_transform(range(1, length(tok) + 1),
                           i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
-                        (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+                        (acc, c) -> (acc * 31 + c) % 1000000007) * 2147483648
+                      + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(tok) + 1),
+                          i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 131 + c) % 998244353) AS h
                FROM g),
          wins AS (SELECT doc_id, pos, h,
                          unnest(range(greatest(pos - 3, 0),

@@ -162,19 +162,20 @@ class CampaignSpec extends AnyFunSuite {
     val mani = "target/graft-test-campaign-rb-mani"
     wipe(text, mani)
     val docs = docRows.toDF("doc_id", "text")
+    // the text index is built but NOT compacted → plain layout → its pin
+    // must fail; the manifest is born-versioned (publishRebuild) and
+    // pins fine — and sorts FIRST by path, so its pin lands before the
+    // text failure
     Search.saveTextIndex(docs, text)
-    Search.compactTextIndex(spark, text) // versioned: pinnable
     Dedup.saveMinhashManifest(docs, "text", "doc_id", mani, 16, 8)
-    // mani NOT compacted → plain layout → its pin must fail...
     intercept[IllegalStateException] {
       Campaign.snapshot(spark, "rel", Seq(
         Campaign.TextIndex(text), Campaign.MinhashManifest(mani)))
     }
-    // ...and the text pin taken before the failure is rolled back: the
-    // name resolves NOWHERE (never a partial campaign)
-    intercept[IllegalStateException] {
-      Search.bm25TopKIndexedSnapshot(spark, text, "rel", Seq("spark"), 10)
-    }
+    // ...and the manifest pin taken before the failure is rolled back:
+    // the name resolves NOWHERE (never a partial campaign)
+    assert(Stage.resolveSnapshot(spark, s"$mani/docs", "rel").isEmpty)
+    assert(Stage.resolveSnapshot(spark, s"$mani/bands", "rel").isEmpty)
     // no leases left behind either — the next op acquires freely
     Stage.withWriterLease(spark, text) { () }
     Stage.withWriterLease(spark, mani) { () }

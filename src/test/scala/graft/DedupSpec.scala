@@ -508,8 +508,10 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     Dedup.saveMinhashManifest(manifest, "text", "doc_id", path,
       k = 32, bands = 16)
-    // manifest docs/ holds only exact-class representatives (1 of {1,2})
-    assert(spark.read.parquet(s"$path/docs").count() == 2)
+    // manifest docs/ holds only exact-class representatives (1 of {1,2});
+    // the build is born-versioned (publishRebuild), so read via resolve
+    assert(spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$path/docs")).count() == 2)
     val batch = Seq(
       (10L, base),             // exact copy of manifest content
       (11L, base),             // same class — same verdict as 10
@@ -814,8 +816,14 @@ class DedupSpec extends AnyFunSuite {
     * gram hashes, min per window, RIGHTMOST position on ties) — the
     * independent oracle the distributed version is compared against. */
   private def refWinnow(text: String, n: Int, w: Int): Set[(Int, Long)] = {
-    def fold(s: String): Long =
-      s.codePoints.toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    def fold(s: String): Long = {
+      // the engine's DUAL-modulus winnow gram hash (~61 bits)
+      val h1 = s.codePoints.toArray
+        .foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+      val h2 = s.codePoints.toArray
+        .foldLeft(0L)((a, c) => (a * 131 + c) % 998244353L)
+      h1 * 2147483648L + h2
+    }
     val toks = text.split(" ", -1)
     if (toks.length < n) return Set.empty
     val hs = (0 to toks.length - n)
@@ -859,8 +867,14 @@ class DedupSpec extends AnyFunSuite {
     val docs = Seq((1L, "x y x y x")).toDF("doc_id", "text")
     val got = graft.ext.Dedup.winnowFingerprints(docs, "text", "doc_id", 2, 3)
       .select("pos", "h").as[(Int, Long)].collect().toSet
-    def fold(s: String): Long =
-      s.codePoints.toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    def fold(s: String): Long = {
+      // the engine's DUAL-modulus winnow gram hash (~61 bits)
+      val h1 = s.codePoints.toArray
+        .foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+      val h2 = s.codePoints.toArray
+        .foldLeft(0L)((a, c) => (a * 131 + c) % 998244353L)
+      h1 * 2147483648L + h2
+    }
     assert(got == Set((2, fold("x y"))))
   }
 
