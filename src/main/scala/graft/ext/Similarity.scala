@@ -306,12 +306,25 @@ object Similarity {
     * contract, as with cosine itself; the zero-norm case is an explicit
     * branch because under Spark 4's default ANSI mode a bare x/0.0
     * would THROW DIVIDE_BY_ZERO instead of yielding the documented NaN
-    * (which the family's isnan filters key on). */
+    * (which the family's isnan filters key on).
+    *
+    * The norm is BOUND as a lambda variable (transform over a 1-element
+    * array holding it) so the dot product evaluates exactly ONCE per
+    * vector no matter where the column lands: a higher-order-function
+    * lambda body re-evaluates per element, so placing `sqrt(dot(d,d))`
+    * inline inside the per-element branch made the whole normalize
+    * O(dim²) — the same re-evaluation class as topGramRatio's sort and
+    * pqCodes' argmin accumulator, measured as a 1.3–1.8× PQ-family
+    * regression at dim=64 and a 100–1000× blowup at production dims.
+    * The zero-vector branch sits at ARRAY level (array_repeat of NaN),
+    * outside the per-element map. */
   def normalizeVec(v: Column): Column = {
     val d = v.cast("array<double>")
-    val nrm = sqrt(dot(d, d))
-    transform(d, x =>
-      when(nrm === lit(0.0), lit(Double.NaN)).otherwise(x / nrm))
+    element_at(
+      transform(array(sqrt(dot(d, d))), nrm =>
+        when(nrm === lit(0.0), array_repeat(lit(Double.NaN), size(d)))
+          .otherwise(transform(d, x => x / nrm))),
+      1)
   }
 
   /** PRODUCT-QUANTIZATION codebooks (Jégou, Douze, Schmid — "Product
