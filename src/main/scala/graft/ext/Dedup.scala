@@ -313,13 +313,26 @@ object Dedup {
     *  2. per distinct window hash, the first (doc, offset) occurrence owns
     *     it (groupBy-min + join back, the [[chunkDedup]] ownership
     *     machinery — skew-safe under mega-duplicated boilerplate);
-    *  3. a token is removed iff some NON-owned window covers it: a
-    *     repeated m ≥ minTokens run has all m−minTokens+1 of its windows
-    *     non-owned at later occurrences, so the union of their spans is
-    *     the whole run — while a unique token keeps at least one owned
-    *     window over every span containing it only if no window covering
-    *     it is duplicated, which is the definition of not being inside a
-    *     ≥ minTokens repeat.
+    *  3. a token is removed iff some NON-owned window covers it AND no
+    *     OWNED DUPLICATED window covers it: a repeated m ≥ minTokens run
+    *     has all m−minTokens+1 of its windows non-owned at later
+    *     occurrences, so the union of their spans is the whole run —
+    *     while a unique token keeps at least one owned window over every
+    *     span containing it only if no window covering it is duplicated,
+    *     which is the definition of not being inside a ≥ minTokens
+    *     repeat. The owned-duplicated protection exists for
+    *     SELF-OVERLAPPING (periodic) repeats: in a document of N
+    *     identical tokens every window past offset 0 is a non-owned
+    *     duplicate of the owner at offset 0, so coverage alone collapsed
+    *     the document to ONE token instead of its first minTokens-sized
+    *     occurrence (round-14 known limit). Protecting the spans of
+    *     windows this document owns corpus-wide AND that are duplicated
+    *     restores the invariant "the first corpus-wide occurrence of
+    *     every duplicated run survives intact" — and is a no-op on
+    *     non-overlapping repeats, because there a later occurrence's
+    *     interior windows are covered only by non-owned windows (the
+    *     straddle windows into unique context are unique, hence not
+    *     duplicated, hence never protect).
     *
     * Returns one row per input document: (doc_id, n_tokens, n_removed,
     * clean_text), clean_text the surviving tokens in original order.
@@ -338,20 +351,34 @@ object Dedup {
       posexplode(graft.functions.TextExpressions.tokenWindowHashes(
         col(textCol), minTokens)).as(Seq("i", "h")))
     val owners = wins.groupBy("h")
-      .agg(min(struct(col("doc"), col("i"))).as("owner"))
-    val dupStarts = wins.join(owners, Seq("h"))
+      .agg(min(struct(col("doc"), col("i"))).as("owner"),
+        count(lit(1)).as("cnt"))
+    val dupStarts = wins.join(owners.select("h", "owner"), Seq("h"))
       .where(col("doc") =!= col("owner").getField("doc") ||
         col("i") =!= col("owner").getField("i"))
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(col("i"))).as("starts"))
+    // spans this document owns corpus-wide AND that are duplicated — the
+    // periodic-repeat protection (scaladoc step 3). Derived straight from
+    // the owner aggregate (no join back): the owner struct already names
+    // the one (doc, i) whose span is protected.
+    val ownStarts = owners.where(col("cnt") > 1)
+      .select(col("owner").getField("doc").as("doc"),
+        col("owner").getField("i").as("oi"))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("oi"))).as("own_starts"))
     val toks = split(col(textCol), " ")
-    def covered(j: Column) = exists(col("starts"),
+    def coveredBy(arr: Column, j: Column) = exists(arr,
       s => s <= j && j < s + lit(minTokens))
-    val kept = filter(toks, (_, j) => !covered(j))
+    val kept = filter(toks, (_, j) =>
+      !coveredBy(col("starts"), j) || coveredBy(col("own_starts"), j))
     df.select(col(idCol).as("doc"), col(textCol))
       .join(dupStarts, Seq("doc"), "left")
+      .join(ownStarts, Seq("doc"), "left")
       .withColumn("starts",
         coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("own_starts",
+        coalesce(col("own_starts"), array().cast("array<int>")))
       .select(col("doc").as("doc_id"),
         when(col(textCol).isNotNull, size(toks)).otherwise(0).as("n_tokens"),
         when(col(textCol).isNotNull, size(toks) - size(kept))

@@ -1195,7 +1195,9 @@ object DedupQueries {
 
     // ownership on the window TEXT where the engine uses a double-modulus
     // rolling hash (collision odds ~2^-61 per pair); a token survives iff
-    // no non-first window covers it
+    // no non-first window covers it OR an owned duplicated window covers
+    // it (the periodic-repeat protection — first corpus occurrence of
+    // every duplicated run survives intact)
     "q80_dedup_substring" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents WHERE text IS NOT NULL),
@@ -1206,16 +1208,23 @@ object DedupQueries {
                      FROM t)),
          k AS (SELECT doc_id, i,
                       row_number() OVER (PARTITION BY win
-                                         ORDER BY doc_id, i) AS rn
+                                         ORDER BY doc_id, i) AS rn,
+                      count(*) OVER (PARTITION BY win) AS cnt
                FROM w),
          s AS (SELECT doc_id, list_sort(list(i)) AS starts
                FROM k WHERE rn > 1 GROUP BY doc_id),
+         p AS (SELECT doc_id, list_sort(list(i)) AS own_starts
+               FROM k WHERE rn = 1 AND cnt > 1 GROUP BY doc_id),
          r AS (SELECT t.doc_id, t.toks,
                       list_filter(range(0, len(t.toks)),
                         j -> len(list_filter(
                                coalesce(s.starts, CAST([] AS BIGINT[])),
-                               st -> st <= j AND j < st + 20)) = 0) AS keep
-               FROM t LEFT JOIN s ON t.doc_id = s.doc_id)
+                               st -> st <= j AND j < st + 20)) = 0
+                             OR len(list_filter(
+                               coalesce(p.own_starts, CAST([] AS BIGINT[])),
+                               st -> st <= j AND j < st + 20)) > 0) AS keep
+               FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+                      LEFT JOIN p ON t.doc_id = p.doc_id)
          SELECT d.doc_id,
                 CAST(CASE WHEN d.text IS NULL THEN 0
                           ELSE len(r.toks) END AS INTEGER) AS n_tokens,

@@ -302,22 +302,64 @@ class DedupSpec extends AnyFunSuite {
   }
 
   /** Sequential reference: iterate documents by id, windows left to right;
-    * a window seen before (anywhere earlier) covers its span.
+    * a window seen before (anywhere earlier) covers its span — UNLESS the
+    * token also sits under a window this document owns corpus-wide that is
+    * duplicated (the periodic-repeat protection: the first corpus
+    * occurrence of every duplicated run survives intact).
     */
   private def bruteSubstringDedup(docs: Seq[(Long, String)], l: Int)
       : Map[Long, (Int, Int, String)] = {
-    val seen = scala.collection.mutable.Set.empty[String]
-    docs.sortBy(_._1).map { case (id, text) =>
+    // global pass: per window text, its first (doc, i) occurrence + count
+    val owner = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    val cnt = scala.collection.mutable.Map.empty[String, Int]
+    for ((id, text) <- docs.sortBy(_._1); toksAll = text.split(" ", -1);
+         i <- 0 to toksAll.length - l) {
+      val win = toksAll.slice(i, i + l).mkString(" ")
+      if (!owner.contains(win)) owner(win) = (id, i)
+      cnt(win) = cnt.getOrElse(win, 0) + 1
+    }
+    docs.map { case (id, text) =>
       val toks = text.split(" ", -1)
       val covered = Array.fill(toks.length)(false)
+      val prot = Array.fill(toks.length)(false)
       for (i <- 0 to toks.length - l) {
         val win = toks.slice(i, i + l).mkString(" ")
-        if (seen.contains(win)) (i until i + l).foreach(covered(_) = true)
-        else seen += win
+        if (owner(win) != ((id, i)))
+          (i until i + l).foreach(covered(_) = true)
+        else if (cnt(win) > 1)
+          (i until i + l).foreach(prot(_) = true)
       }
-      val kept = toks.indices.filterNot(covered).map(toks)
-      id -> ((toks.length, covered.count(identity), kept.mkString(" ")))
+      val removed = toks.indices.filter(j => covered(j) && !prot(j))
+      val kept = toks.indices.filterNot(j => covered(j) && !prot(j)).map(toks)
+      id -> ((toks.length, removed.size, kept.mkString(" ")))
     }.toMap
+  }
+
+  test("substringDedup keeps the first minTokens of a periodic repeat") {
+    // round-14 known limit: a doc of N identical tokens collapsed to ONE
+    // token because every window past 0 is a non-owned duplicate of the
+    // owner at 0. The owned-duplicated-span protection keeps the first
+    // minTokens-sized occurrence in the OWNER doc; a later doc made of
+    // the same run owns nothing and empties entirely.
+    val spam = Seq.fill(50)("a").mkString(" ")
+    val docs = Seq((1L, spam), (2L, spam)).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "text", "doc_id", minTokens = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((50, 30, Seq.fill(20)("a").mkString(" "))))
+    assert(out(2L) == ((50, 50, "")))
+  }
+
+  test("substringDedup period-2 repeat keeps every owned duplicated window's first span") {
+    // period 2 < minTokens: windows at offsets 0 and 1 are DISTINCT texts,
+    // each duplicated (offsets 2,4,… resp. 3,5,…) and owned at their first
+    // offset — the protected union is [0, minTokens+1), everything later
+    // is a non-owned repeat.
+    val toks = Seq.tabulate(50)(i => if (i % 2 == 0) "x" else "y")
+    val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "text", "doc_id", minTokens = 20)
+      .as[(Long, Int, Int, String)].collect().head
+    assert(out == ((1L, 50, 29, toks.take(21).mkString(" "))))
   }
 
   test("substringDedup ≡ sequential first-occurrence reference on randomized docs") {
