@@ -605,9 +605,13 @@ object Dedup {
     *    buckets, ready to equi-join against a probe batch with no
     *    signature recomputation.
     *  - `meta/`   (k, bands, threshold is NOT pinned — it's a probe-time
-    *    choice): banding parameters, validated at probe time because a
-    *    probe banded with different parameters would silently miss every
-    *    bucket.
+    *    choice): banding parameters for APPEND paths (which read it
+    *    under the root lease, so it cannot race a rebuild). Probes do
+    *    NOT read it — they derive (k, bands) from the stamp columns on
+    *    the bands rows they actually scan, so a probe racing a rebuild
+    *    that changes the parameters can never band with one generation's
+    *    meta against the other's buckets (which would produce silent
+    *    zero-candidate verdicts).
     */
   def saveMinhashManifest(df: DataFrame, textCol: String, idCol: String,
                           path: String, k: Int = 32, bands: Int = 8): Unit = {
@@ -624,20 +628,36 @@ object Dedup {
     // unleased appends, and silently re-pointed any snapshot pin of the
     // live version at the new corpus's data.
     graft.ops.Stage.withWriterLease(spark, path) {
+      // meta publishes FIRST, versioned, inside the lease: the old
+      // unversioned overwrite AFTER the lease released was a non-atomic
+      // directory swap a concurrent meta read could transiently fail on,
+      // and it let a leased append read the OLD meta while the NEW data
+      // was already live
+      graft.ops.Stage.publishRebuild(spark, s"$path/meta")(vd =>
+        Seq((k, bands)).toDF("k", "bands")
+          .repartition(1).write.mode("overwrite").parquet(vd))
       val keyed = manifestKeyed(df, textCol, idCol, k, bands)
       graft.ops.Stage.publishRebuild(spark, s"$path/docs")(vd =>
         keyed.select(col("doc"), col("toks"), col("ntok"), col("keys"))
           .write.mode("overwrite").parquet(vd))
       graft.ops.Stage.publishRebuild(spark, s"$path/bands")(vd =>
-        keyed.select(col("doc"), col("ntok"), col("keys"),
-            posexplode(col("keys")))
-          .withColumnRenamed("pos", "band")
-          .withColumnRenamed("col", "band_key")
-          .write.mode("overwrite").parquet(vd))
+        bandsRows(keyed, k, bands).write.mode("overwrite").parquet(vd))
     }
-    Seq((k, bands)).toDF("k", "bands")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  /** The ONE bands projection shared by build and both appends — the
+    * exploded LSH buckets PLUS the (k, bands) stamp columns probes derive
+    * their banding parameters from. Stamping the parameters onto the data
+    * itself (two RLE-compressed int constants per row) is what makes a
+    * probe self-consistent: it bands its batch with exactly the
+    * parameters of the bucket rows it joins, whatever meta/ says at that
+    * instant. */
+  private def bandsRows(keyed: DataFrame, k: Int, bands: Int): DataFrame =
+    keyed.select(col("doc"), col("ntok"), col("keys"),
+        posexplode(col("keys")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+      .withColumn("k", lit(k)).withColumn("bands", lit(bands))
 
   /** The shared docs/bands pipeline of [[saveMinhashManifest]] (overwrite)
     * and [[appendToMinhashManifest]] (append): tokenize, exact-collapse to
@@ -668,8 +688,7 @@ object Dedup {
     val keyed = manifestKeyed(df, textCol, idCol, k, bands)
     keyed.select(col("doc"), col("toks"), col("ntok"), col("keys"))
       .write.mode(mode).parquet(graft.ops.Stage.resolve(spark, s"$path/docs"))
-    keyed.select(col("doc"), col("ntok"), col("keys"), posexplode(col("keys")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    bandsRows(keyed, k, bands)
       .write.mode(mode).parquet(graft.ops.Stage.resolve(spark, s"$path/bands"))
   }
 
@@ -1057,10 +1076,6 @@ object Dedup {
                                        snapshotName: Option[String] = None)
       : DataFrame = {
     val spark = probe.sparkSession
-    // meta is frozen at build — always the live (only) copy
-    val meta = spark.read.parquet(
-      graft.ops.Stage.resolve(spark, s"$manifestPath/meta")).head()
-    val (k, bands) = (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
     // tombstones BEFORE the data resolves (the linearizable ordering —
     // see Stage.tombstoneSnapshot)
     val tomb = graft.ops.Stage.pendingTombstones(spark, manifestPath)
@@ -1081,6 +1096,22 @@ object Dedup {
         graft.ops.Stage.resolve(spark, s"$manifestPath/$c"))
     }
     val manBands = data("bands")
+    // banding parameters come from the stamp on the bands rows the probe
+    // ACTUALLY READS — never from meta/, whose read could race a rebuild
+    // that changes (k, bands): banding the batch with one generation's
+    // parameters against the other generation's buckets shares no keys
+    // and returns a silent all-fresh verdict. The stamp also makes
+    // SNAPSHOT probes self-consistent (pins cover data, not meta). An
+    // EMPTY manifest has no stamp row and falls back to meta — any
+    // parameters probe an empty bucket relation identically.
+    val (k, bands) = manBands.select(col("k"), col("bands"))
+      .limit(1).collect().headOption
+      .map(r => (r.getInt(0), r.getInt(1)))
+      .getOrElse {
+        val meta = spark.read.parquet(
+          graft.ops.Stage.resolve(spark, s"$manifestPath/meta")).head()
+        (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+      }
     // pending tombstones mask their content here: a tombstoned doc's bands
     // rows may still generate candidates, but those die in the
     // verification join against the filtered docs relation
@@ -1370,9 +1401,18 @@ object Dedup {
     // the id tie-break rides the struct field's own ordering, so STRING
     // ids work too (negating the id — the old encoding — casts strings
     // to null under ANSI and silently elects no keeper; the same hazard
-    // probeWinnowImpl documents and avoids)
+    // probeWinnowImpl documents and avoids). NULL scores negate to NULL,
+    // and a null struct field sorts SMALLEST under ascending struct
+    // comparison — the bare argmin would elect a null-scored document
+    // over every real-scored one. Coalescing the negated score to +Inf
+    // makes null-scored rows sort LAST: they can never beat a scored
+    // document, yet an all-null cluster still elects its smallest id
+    // (an isNotNull pre-filter would instead drop such clusters from the
+    // keeper join entirely).
     val keepers = scored.groupBy(col("cluster_rep"))
-      .agg(min(struct((-col("kb_score")).as("kb_neg_score"),
+      .agg(min(struct(
+        coalesce(-col("kb_score"), lit(Double.PositiveInfinity))
+          .as("kb_neg_score"),
         col(idCol).as("kb_id"))).as("kb"))
       .select(col("cluster_rep"), col("kb").getField("kb_id").as("keeper_id"))
     scored.join(keepers, Seq("cluster_rep"))
@@ -1510,16 +1550,27 @@ object Dedup {
     * images ever pair, and popcount(xor) is codegen'd. A pathological
     * bucket (billions of near-black thumbnails) skews exactly like a hot
     * SimHash chunk — AQE skew-join applies unchanged.
+    *
+    * `hashBits` is the signature's bit-width (56 for [[Multimodal
+    * .dhashMedia]], 63 for [[Multimodal.ahashMedia]]); the chunk width
+    * derives as ceil(hashBits/7) so the 7 bands always COVER the whole
+    * hash. Taking the chunk width directly (the old API) let a caller
+    * under-cover — bitsPer=7 over a 56-bit hash banded only the low 49
+    * bits, silently missing pairs that differ solely in bits 49-55 and
+    * breaking the documented recall-1 pigeonhole guarantee. When 7 does
+    * not divide hashBits the top chunk carries hashBits mod 7 real bits
+    * (the rest read as zeros) — correctness and recall are unaffected,
+    * the top band is just coarser.
     */
   def perceptualNearDupPairs(hashes: DataFrame,
                              maxHamming: Int = 6,
                              hashCol: String = "dhash",
-                             bitsPer: Int = 8): DataFrame = {
-    require(bitsPer >= 1 && 7 * bitsPer <= 63,
-      s"7 chunks * bitsPer must stay in the non-negative long: $bitsPer")
+                             hashBits: Int = 56): DataFrame = {
+    require(hashBits >= 7 && hashBits <= 63,
+      s"hashBits must be in [7, 63] (non-negative long signatures): $hashBits")
     bandedHammingPairs(
       hashes.select(col("doc_id").as("doc"), col(hashCol).as("sig")),
-      maxHamming, chunks = 7, bitsPer = bitsPer)
+      maxHamming, chunks = 7, bitsPer = (hashBits + 6) / 7)
   }
 
   // ---------------------------------------------------------- n-gram Jaccard
@@ -1853,9 +1904,12 @@ object Dedup {
     *    fingerprints ([[winnowFingerprints]]), h-sorted within files so
     *    probe-side slices prune row groups. Positions ride along for
     *    alignment-grade probes.
-    *  - `meta/` (n, w): the winnowing parameters, validated at probe
-    *    time — a probe winnowed with different (n, w) shares no hashes
-    *    and would silently miss everything.
+    *  - `meta/` (n, w): the winnowing parameters for APPEND paths (read
+    *    under the root lease, so they cannot race a rebuild). Probes
+    *    derive (n, w) from the stamp columns on the fps rows they
+    *    actually scan — a probe winnowed with different (n, w) shares no
+    *    hashes and would silently miss everything, so the parameters
+    *    must travel WITH the data (the saveMinhashManifest rule).
     * `minShared`/`maxDf` are probe-time choices, like the MinHash
     * manifest's threshold.
     */
@@ -1867,23 +1921,36 @@ object Dedup {
     // stale exactly-once markers would no-op a new stream's batches
     graft.ops.Stage.clearLedger(spark, path)
     graft.ops.Stage.clearTombstones(spark, path)
-    // BORN VERSIONED (Stage.publishRebuild, like savePositionalIndex):
-    // snapshot pins work straight off a fresh build, and a re-build
-    // over a maintained manifest preserves the pointer/GC line
-    graft.ops.Stage.publishRebuild(spark, s"$path/fps")(versionDir =>
-      winnowFps(df, textCol, idCol, n, w)
-        .write.mode("overwrite").parquet(versionDir))
-    Seq((n, w)).toDF("n", "w")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    // ONE lease over meta + fps: a leased append between the two
+    // publishes must not pair one generation's parameters with the
+    // other's fingerprints
+    graft.ops.Stage.withWriterLease(spark, path) {
+      // meta FIRST, versioned (was an unversioned plain-directory
+      // overwrite AFTER the data flip — non-atomic for concurrent reads
+      // and wrong-ordered for leased appends)
+      graft.ops.Stage.publishRebuild(spark, s"$path/meta")(vd =>
+        Seq((n, w)).toDF("n", "w")
+          .repartition(1).write.mode("overwrite").parquet(vd))
+      // BORN VERSIONED (Stage.publishRebuild, like savePositionalIndex):
+      // snapshot pins work straight off a fresh build, and a re-build
+      // over a maintained manifest preserves the pointer/GC line
+      graft.ops.Stage.publishRebuild(spark, s"$path/fps")(versionDir =>
+        winnowFps(df, textCol, idCol, n, w)
+          .write.mode("overwrite").parquet(versionDir))
+    }
   }
 
   /** The ONE fps pipeline shared by build and both appends, so they
-    * stay join-compatible (the [[writeManifestTables]] rule). */
+    * stay join-compatible (the [[writeManifestTables]] rule). The (n, w)
+    * stamp columns ride on every row (RLE-compressed constants) so
+    * probes band with the parameters of the data they read, not with a
+    * meta/ read that can race a rebuild. */
   private def winnowFps(df: DataFrame, textCol: String, idCol: String,
                         n: Int, w: Int): DataFrame =
     winnowFingerprints(df, textCol, idCol, n, w)
       .select(col(idCol).as("doc"), col("pos"), col("h"))
       .repartition(col("h")).sortWithinPartitions("h", "doc", "pos")
+      .withColumn("n", lit(n)).withColumn("w", lit(w))
 
   private def writeWinnowTables(df: DataFrame, textCol: String,
                                 idCol: String, path: String, n: Int,
@@ -2128,9 +2195,19 @@ object Dedup {
     require(minShared >= 1, s"minShared >= 1, got $minShared")
     require(maxDf >= 1, s"maxDf >= 1, got $maxDf")
     val spark = batch.sparkSession
-    val meta = spark.read.parquet(
-      graft.ops.Stage.resolve(spark, s"$path/meta")).head()
-    val (n, w) = (meta.getAs[Int]("n"), meta.getAs[Int]("w"))
+    // (n, w) from the stamp on the fps rows this probe ACTUALLY reads
+    // (fpsDir is already resolved — live, snapshot, or previous), never
+    // from meta/, whose read could race a rebuild that changes the
+    // parameters (silently-empty overlap verdicts). Empty manifest →
+    // meta fallback: any parameters probe zero fingerprints identically.
+    val (n, w) = spark.read.parquet(fpsDir).select(col("n"), col("w"))
+      .limit(1).collect().headOption
+      .map(r => (r.getInt(0), r.getInt(1)))
+      .getOrElse {
+        val meta = spark.read.parquet(
+          graft.ops.Stage.resolve(spark, s"$path/meta")).head()
+        (meta.getAs[Int]("n"), meta.getAs[Int]("w"))
+      }
     val bf = winnowFingerprints(batch, textCol, idCol, n, w)
       .select(col(idCol).as("bdoc"), col("h")).distinct()
     // pending tombstones mask every probe path immediately, snapshot

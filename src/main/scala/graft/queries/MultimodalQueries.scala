@@ -64,7 +64,7 @@ object MultimodalQueries {
       val blobs = Multimodal.patternPngBlobs(s, t(s, d, "documents"), "text")
       val hashes = Multimodal.ahashMedia(s, blobs)
       graft.ext.Dedup.perceptualNearDupPairs(hashes, maxHamming = 6,
-        hashCol = "ahash", bitsPer = 9)
+        hashCol = "ahash", hashBits = 63)
         .orderBy("doc_a", "doc_b")
     }),
 

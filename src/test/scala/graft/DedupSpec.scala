@@ -196,6 +196,30 @@ class DedupSpec extends AnyFunSuite {
     assert(tied(1L) == 1L && tied(2L) == 1L && tied(3L) == 1L)
   }
 
+  test("minhashClustersKeepBest never elects a null-scored keeper") {
+    // doc 1's score is NULL (e.g. length(text) over null text): the
+    // negated-score argmin used to elect it (NULL struct field sorts
+    // smallest ascending). It must lose to ANY real-scored clustermate;
+    // an ALL-null cluster still elects its smallest id instead of
+    // vanishing from the keeper join.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", Option.empty[Long]),
+      (2L, "alpha beta gamma delta epsilon zeta", Some(3L)),
+      (3L, "alpha beta gamma delta epsilon zeta extra", Some(1L)),
+      (8L, "wholly different body of words here", Option.empty[Long]),
+      (9L, "wholly different body of words here", Option.empty[Long]))
+      .toDF("doc_id", "text", "quality")
+    val out = Dedup.minhashClustersKeepBest(docs, "text", "doc_id",
+      score = col("quality"), threshold = 0.5)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 0)))  // null score never wins
+    assert(out(2L) == ((2L, 1)))  // highest real score (3) is keeper
+    assert(out(3L) == ((2L, 0)))
+    assert(out(8L) == ((8L, 1)))  // all-null cluster: smallest id keeps
+    assert(out(9L) == ((8L, 0)))
+  }
+
   test("stripFrequentChunks drops every copy past the doc-frequency threshold") {
     val docs = Seq(
       (1L, "a b c d e f"),       // "a b c" in docs 1,2,3 → boilerplate

@@ -164,7 +164,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hs.values.forall(_ >= 0L)) // bits 0..62 only — never the sign bit
     val pairs = graft.ext.Dedup
       .perceptualNearDupPairs(hashes, maxHamming = 6,
-        hashCol = "ahash", bitsPer = 9)
+        hashCol = "ahash", hashBits = 63)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)), s"planted near-dup did not pair: $hs")
     val brute = for {
@@ -172,6 +172,20 @@ class MultimodalSpec extends AnyFunSuite {
       if java.lang.Long.bitCount(ha ^ hb) <= 6
     } yield (a, b)
     assert(pairs == brute.toSet)
+  }
+
+  test("perceptualNearDupPairs rejects hash widths the 7 bands cannot cover") {
+    // the old API took the chunk width directly, so bitsPer=7 over a
+    // 56-bit hash silently banded only the low 49 bits — pairs differing
+    // solely in bits 49-55 were missed, breaking the recall-1 pigeonhole
+    // guarantee. Width is the parameter now; out-of-range widths fail loud.
+    val hashes = Seq((1L, 5L)).toDF("doc_id", "dhash")
+    intercept[IllegalArgumentException] {
+      graft.ext.Dedup.perceptualNearDupPairs(hashes, hashBits = 64)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Dedup.perceptualNearDupPairs(hashes, hashBits = 6)
+    }
   }
 
   test("perceptual hashes stay total on REAL images smaller than the grid") {
