@@ -935,9 +935,14 @@ object CorpusQueries {
   /** The q197 unigram-LM training replay, GENERATED: seed (substring
     * counts, all chars + top-`seedSize` multi-char), then `iters` hard-EM
     * rounds — each a bits table, an unrolled per-position Viterbi argmin
-    * (dp CTEs for word lengths 1..`maxLen`; the fixture's longest word is
-    * 8, asserted by the engine result matching), the path-exploded
-    * M-step re-count, and the natural prune. The Viterbi tie rule is the
+    * (dp CTEs for word lengths 1..`maxLen` — 24 at both call sites, a
+    * 3× margin over the test corpus's longest word of 8; the ENGINE
+    * loops to the actual word length, so only this replay has an unroll
+    * bound, and a corpus with a 25+-char word needs it raised), the
+    * path-exploded M-step re-count, and the natural prune. A word
+    * LONGER than `maxLen` would silently drop from the replay's M-step
+    * (no dp CTE covers its length) while the engine still counts it —
+    * an engine/oracle mismatch, never a wrong engine. The Viterbi tie rule is the
     * engine's exactly: (total bits, piece count, chr(1)-joined path).
     * Returns the WITH body up to `vocab$iters` + `ftot` (final totals).
     */
@@ -1453,7 +1458,7 @@ object CorpusQueries {
     // E-steps (per-position argmin CTEs, tie rule (bits, np, path)),
     // M-step counts, prune, final integer costs
     "q197_unigram_train" ->
-      s"""${"WITH " + unigramTrainCtes(24, 3, 2, 12)}
+      s"""${"WITH " + unigramTrainCtes(24, 3, 2, 24)}
           SELECT piece, c AS n_uses,
                  CAST(length(bin((t.tt + t.tv) // (c + 1))) - 1 AS BIGINT)
                    AS cost_bits
@@ -1463,7 +1468,7 @@ object CorpusQueries {
     // q198: the trained model's packed-long Viterbi over the dictionary,
     // per-doc rollup, and the windowed prefix-sum pack (q184's shape on
     // unigram counts)
-    "q198_pack_unigram_budget" -> unigramPackSql(24, 3, 2, 12, 256L),
+    "q198_pack_unigram_budget" -> unigramPackSql(24, 3, 2, 24, 256L),
 
     // q184: the 8-generation training replay + the dictionary join
     // (q163's CTEs) + q60's windowed prefix-sum pack assignment on the

@@ -83,6 +83,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(model.toSeq == again.toSeq)
   }
 
+  test("unigramTrain + segment handle words past the oracle unroll depth") {
+    // the DuckDB replay unrolls its Viterbi to word length 24; the ENGINE
+    // loops to the actual length. Pin that a 25-char word trains and
+    // segments (deterministically) — the engine has no unroll bound.
+    val long = "abababababababababababab" + "c" // 25 chars
+    val corpus = Seq((1L, s"ab abab $long"), (2L, "ab cd"))
+      .toDF("doc_id", "text")
+    val model = Corpus.unigramTrain(corpus, "text", seedSize = 6,
+      maxPieceLen = 3, iters = 2)
+    val rows = model.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bits = rows.map(r => r._1 -> r._3).toMap
+    val seg = Corpus.unigramViterbi(long, bits, 3)
+    assert(seg.mkString == long) // segmentation reassembles the word
+    val got = Corpus.unigramSegmentCounts(corpus, "text", "doc_id", model)
+      .where(col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    val words = Seq("ab", "abab", long).map(w => Corpus.unigramViterbi(w, bits, 3))
+    assert(got == ((words.map(_.length.toLong).sum,
+      words.map(_.map(bits).sum).sum)))
+  }
+
   test("unigramSegmentCounts HOF ≡ driver Viterbi on randomized corpora") {
     // the codegen'd packed-long DP against the plain-Scala reference:
     // same model, word-per-doc corpus, (n_tokens, n_bits) must agree
