@@ -147,14 +147,18 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("aHash: planted near-dup pairs, 63-bit range, banding == brute force") {
-    // the planted pair is an ANAGRAM: same length and byte sum ⇒ the
-    // patterned PNGs are pixel-identical ⇒ aHash Hamming 0 — two
-    // different documents carrying the same image MUST pair. (dHash's
-    // test covers the small-brightness-shift tolerance story; aHash's
-    // mean threshold also shifts with the image, but the fixture's
-    // decorrelating multipliers wrap too much under a ±23 sum delta.)
-    val base = "the quick brown fox jumps over the lazy dog again and again"
-    val near = "the quick brown fox jumps over the lazy dog again and ganai"
+    // the planted pair is a TRUE BRIGHTNESS SHIFT: same length (so the
+    // dims and the x-multiplier match) and a byte-sum delta of exactly
+    // +23 ('a'→'x'), which is ≡ 0 (mod 23) so the y-multiplier
+    // c = 13 + (s mod 23) matches too — every pixel of the second image
+    // is the first's plus 23 (mod 256). Most cell-vs-mean comparisons
+    // survive the shift (only wrap-affected cells flip): measured
+    // Hamming 2, inside the banding radius — the same small-shift
+    // tolerance story dHash's spec pins. The base text was searched for
+    // under the fixture's own pixel formula (wrap-heavy texts can flip
+    // more than 6 of 63 bits under a +23 shift; this one doesn't).
+    val base = "again camera brown jumps sonata mean bright bright a"
+    val near = "again camera brown jumps sonata mean bright bright x" // sum +23
     val far = "completely different content with other words and lengths here yes"
     val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
     val hashes = Multimodal.ahashMedia(
