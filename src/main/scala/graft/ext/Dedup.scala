@@ -1474,6 +1474,27 @@ object Dedup {
       .groupBy("doc").agg(sim(col("h")).as("simhash"))
   }
 
+  /** Restore FULL-CORPUS cardinality on a per-document derived relation
+    * that deliberately dropped signature-less documents — NULL text for
+    * [[simhashSignatures]], undecodable blobs for the perceptual hashes
+    * ([[Multimodal.dhashMedia]]/[[Multimodal.ahashMedia]] hash even
+    * junk bytes via the fallback, but [[Multimodal.patternPngBlobs]]
+    * and real decode pipelines skip null/absent payloads): one row per
+    * corpus document, the derived columns NULL where the document has
+    * no signature. This is the left join every family scaladoc told
+    * callers to hand-write, shipped as an operator so the contract has
+    * one exercised spelling. Scale shape: an id equi-join; AQE
+    * broadcasts whichever side is small, and no token/blob payload
+    * rides through it when `corpus` is pre-projected to the id.
+    */
+  def joinBackToCorpus(corpus: DataFrame, derived: DataFrame,
+                       idCol: String = "doc_id",
+                       derivedIdCol: String = "doc"): DataFrame =
+    corpus.select(col(idCol)).join(
+      (if (derivedIdCol == idCol) derived
+       else derived.withColumnRenamed(derivedIdCol, idCol)),
+      Seq(idCol), "left")
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
     * pigeonhole banding: split the 64-bit signature into `chunks` pieces;
     * any pair within distance < chunks must agree on ≥1 chunk, so an

@@ -220,6 +220,22 @@ object DedupQueries {
         hasher = graft.ext.TextAnalysis.portableTokenHash64 _)
         .orderBy("doc_a", "doc_b")),
 
+    "q202_simhash_coverage" -> ((s, d) => {
+      // the NULL-doc join-back contract, exercised: simhashSignatures
+      // deliberately emits NO row for NULL-text documents (an all-zero
+      // signature would pair every null doc with everything near
+      // Hamming 0); joinBackToCorpus restores one row per corpus doc
+      // with a NULL signature where none exists — the coverage report a
+      // pipeline audits before trusting pair counts.
+      val docs = t(s, d, "documents")
+      Dedup.joinBackToCorpus(docs,
+        Dedup.simhashSignatures(docs, "text", "doc_id",
+          hasher = graft.ext.TextAnalysis.portableTokenHash64 _))
+        .select(col("doc_id"), col("simhash"),
+          col("simhash").isNotNull.as("has_signature"))
+        .orderBy("doc_id")
+    }),
+
     "q33_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
         bucketCol = "source", n = 2, threshold = 0.05)
@@ -469,6 +485,36 @@ object DedupQueries {
         minTokens = 20)
         .orderBy("doc_id"))
   )
+
+  /** The portable-hash SimHash signature replay (toks → packed 61-bit
+    * hash → per-bit votes → sig), shared by the q32 pair join and the
+    * q202 coverage join-back. NULL-text docs produce no sigs row.
+    */
+  private val simhashSigCtes: String = {
+    val charFold = (base: Long, p: Long) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(tok) + 1),
+              i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+            (acc, c) -> (acc * $base + c) % $p)"""
+    s"""toks AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 ${charFold(31L, 1000000007L)} * 2147483648
+                   + ${charFold(131L, 998244353L)} AS h
+          FROM toks),
+        votes AS (
+          SELECT doc_id, b.bit,
+                 sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN range(0, 61) b(bit)
+          GROUP BY doc_id, b.bit),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                     ELSE 0 END) AS BIGINT) AS sig
+          FROM votes GROUP BY doc_id)"""
+  }
 
   /** DuckDB left-fold dot product over two DOUBLE lists (mirrors the
     * engine's fixed fold order exactly).
@@ -723,36 +769,24 @@ object DedupQueries {
     // Hamming join. Bits 61-63 of the packed hash are always 0, so both
     // engines' signatures agree there (all-minus votes → bit 0) and the
     // oracle only materializes votes for bits 0..60.
-    "q32_dedup_simhash" -> {
-      val charFold = (base: Long, p: Long) =>
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(range(1, length(tok) + 1),
-                i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
-              (acc, c) -> (acc * $base + c) % $p)"""
-      s"""WITH toks AS (
-            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-            FROM documents),
-          h AS (
-            SELECT doc_id,
-                   ${charFold(31L, 1000000007L)} * 2147483648
-                     + ${charFold(131L, 998244353L)} AS h
-            FROM toks),
-          votes AS (
-            SELECT doc_id, b.bit,
-                   sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-            FROM h CROSS JOIN range(0, 61) b(bit)
-            GROUP BY doc_id, b.bit),
-          sigs AS (
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
-                       ELSE 0 END) AS BIGINT) AS sig
-            FROM votes GROUP BY doc_id)
+    "q32_dedup_simhash" ->
+      s"""WITH $simhashSigCtes
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sig, b.sig)) <= 7
-          ORDER BY doc_a, doc_b"""
-    },
+          ORDER BY doc_a, doc_b""",
+
+    // q202: q32's signature replay LEFT-joined back onto the corpus —
+    // NULL-text docs have no sigs row (string_split(NULL) unnests to
+    // nothing), exactly the engine's no-row contract, and come back
+    // with a NULL signature
+    "q202_simhash_coverage" ->
+      s"""WITH $simhashSigCtes
+          SELECT d.doc_id, s.sig AS simhash,
+                 s.sig IS NOT NULL AS has_signature
+          FROM documents d LEFT JOIN sigs s USING (doc_id)
+          ORDER BY d.doc_id""",
 
     "q33_dedup_ngram_jaccard" ->
       """WITH g AS (

@@ -410,6 +410,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("joinBackToCorpus restores NULL-text docs the signature stage dropped") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs, "text", "doc_id")
+    assert(sigs.count() == 2) // the documented no-row contract
+    val back = Dedup.joinBackToCorpus(docs, sigs)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(back.keySet == Set(1L, 2L, 3L))
+    assert(back(2L).isEmpty && back(1L).nonEmpty && back(3L).nonEmpty)
+  }
+
   test("simhash with the portable hasher keeps the planted-dup contract") {
     val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
       maxHamming = 7, chunks = 8,
