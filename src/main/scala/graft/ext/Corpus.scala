@@ -1454,19 +1454,7 @@ object Corpus {
     require(!wf.exists(_._1.indexOf(unigramSep.toInt) >= 0),
       s"corpus contains the Viterbi path separator U+0001 — " +
         "strip control characters before training")
-    val seedCounts = scala.collection.mutable.HashMap.empty[String, Long]
-    for ((w, f) <- wf; st <- 0 until w.length;
-         pl <- 1 to math.min(maxPieceLen, w.length - st)) {
-      val p = w.substring(st, st + pl)
-      seedCounts(p) = seedCounts.getOrElse(p, 0L) + f
-    }
-    val chars = seedCounts.keysIterator.filter(_.length == 1).toSeq
-    val multi = seedCounts.toSeq.filter(_._1.length > 1)
-      .sortBy { case (p, c) => (-c, p) }(
-        Ordering.Tuple2(Ordering.Long, Ordering.String))
-      .take(seedSize).map(_._1)
-    var vocab: Map[String, Long] =
-      (chars ++ multi).map(p => p -> seedCounts(p)).toMap
+    var vocab: Map[String, Long] = unigramSeed(wf, seedSize, maxPieceLen)
     for (_ <- 1 to iters if vocab.nonEmpty) {
       val t = vocab.valuesIterator.sum
       val v = vocab.size.toLong
@@ -1487,6 +1475,138 @@ object Corpus {
         Ordering.Tuple2(Ordering.Long, Ordering.String))
       .map { case (p, c) => (p, c, unigramBits(c, t, v)) }
       .toDF("piece", "n_uses", "cost_bits")
+  }
+
+  /** SOFT-EM unigram training — [[unigramTrain]]'s expected-counts
+    * sibling, the full Kudo ACL'18 E-step: instead of crediting only the
+    * single Viterbi path, each EM round runs FORWARD–BACKWARD over every
+    * word and credits every piece occurrence by its posterior
+    * probability under the current model (expected counts). This is
+    * what SentencePiece actually trains with; the hard-EM member stays
+    * the family's deterministic, integer-statistics, oracle-replayable
+    * one (float log-sum-exp cannot replay bit-identically across
+    * engines — the documented reason this variant is property-tested
+    * against a plain-Scala enumeration reference instead of
+    * DuckDB-replayed).
+    *
+    * Same split of labor and guards as the hard trainer: one
+    * distributed word→freq pass, the EM loop driver-side over the
+    * `maxVocab`-guarded vocabulary, the same seed
+    * ([[unigramSeed]] — shared code, identical starting vocabulary).
+    * Probabilities are add-one smoothed, p(piece) = (c + 1) / (T + V),
+    * mirroring the hard trainer's integer surprisal; the E-step runs in
+    * log space (scaled forward–backward) so long words cannot
+    * underflow. Pieces whose expected count falls below `pruneBelow`
+    * prune (multi-char only — characters keep segmentation total).
+    * Deterministic for a fixed corpus: words iterate in sorted order,
+    * so every float reduction has a fixed operation order.
+    *
+    * Output: (piece, exp_uses DOUBLE, neg_log2p DOUBLE — the final
+    * model's −log₂ p(piece)) ordered (exp_uses DESC, piece ASC).
+    */
+  def unigramTrainSoft(docs: DataFrame, textCol: String, seedSize: Int = 64,
+                       maxPieceLen: Int = 3, iters: Int = 2,
+                       pruneBelow: Double = 0.5,
+                       maxVocab: Int = 5000000): DataFrame = {
+    require(seedSize >= 1, s"seedSize must be positive: $seedSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be positive: $maxPieceLen")
+    require(iters >= 1, s"iters must be positive: $iters")
+    require(pruneBelow >= 0.0, s"pruneBelow must be >= 0: $pruneBelow")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wfDf = docs.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val nWords = wfDf.count()
+    require(nWords <= maxVocab,
+      s"vocabulary has $nWords distinct words > maxVocab=$maxVocab — " +
+        "the in-memory EM loop assumes the word-frequency table fits " +
+        "the driver; pre-filter the frequency tail first")
+    val wf = wfDf.as[(String, Long)].collect().sortBy(_._1)
+    var vocab: Map[String, Double] =
+      unigramSeed(wf, seedSize, maxPieceLen)
+        .map { case (p, c) => p -> c.toDouble }
+    for (_ <- 1 to iters if vocab.nonEmpty) {
+      val t = vocab.valuesIterator.sum
+      val v = vocab.size.toDouble
+      val logp = vocab.map { case (p, c) =>
+        p -> (math.log(c + 1.0) - math.log(t + v)) }
+      val newCounts = scala.collection.mutable.HashMap.empty[String, Double]
+      for ((w, f) <- wf;
+           (p, e) <- unigramExpectedCounts(w, logp, maxPieceLen))
+        newCounts(p) = newCounts.getOrElse(p, 0.0) + f * e
+      vocab = vocab.keysIterator
+        .map(p => p -> newCounts.getOrElse(p, 0.0))
+        .filter { case (p, c) => p.length == 1 || c >= pruneBelow }
+        .toMap
+    }
+    val t = vocab.valuesIterator.sum
+    val v = vocab.size.toDouble
+    vocab.toSeq
+      .sortBy { case (p, c) => (-c, p) }(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String))
+      .map { case (p, c) =>
+        (p, c, -(math.log(c + 1.0) - math.log(t + v)) / math.log(2.0)) }
+      .toDF("piece", "exp_uses", "neg_log2p")
+  }
+
+  /** Posterior expected piece-occurrence counts for ONE word under a
+    * unigram model (log-probabilities) — the forward–backward E-step of
+    * [[unigramTrainSoft]]:
+    *   α(0) = 1, α(k) = Σ_j α(j)·p(w[j:k]);  β(n) = 1 symmetric;
+    *   E[count of occurrence (j,k)] = α(j)·p(w[j:k])·β(k) / α(n).
+    * Log-space accumulation (log-sum-exp) so a long word of
+    * low-probability pieces cannot underflow. Every single character is
+    * in the vocabulary, so α(n) > 0 always. */
+  private[graft] def unigramExpectedCounts(
+      w: String, logp: Map[String, Double], maxPieceLen: Int)
+      : Map[String, Double] = {
+    val n = w.length
+    def lse(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else { val m = math.max(a, b); m + math.log1p(math.exp(-(a - b).abs)) }
+    val la = Array.fill(n + 1)(Double.NegativeInfinity)
+    la(0) = 0.0
+    for (k <- 1 to n; j <- math.max(0, k - maxPieceLen) until k;
+         lp <- logp.get(w.substring(j, k)))
+      la(k) = lse(la(k), la(j) + lp)
+    val lb = Array.fill(n + 1)(Double.NegativeInfinity)
+    lb(n) = 0.0
+    for (j <- n - 1 to 0 by -1;
+         k <- j + 1 to math.min(n, j + maxPieceLen);
+         lp <- logp.get(w.substring(j, k)))
+      lb(j) = lse(lb(j), lp + lb(k))
+    val e = scala.collection.mutable.HashMap.empty[String, Double]
+    for (j <- 0 until n; k <- j + 1 to math.min(n, j + maxPieceLen);
+         lp <- logp.get(w.substring(j, k))) {
+      val p = w.substring(j, k)
+      e(p) = e.getOrElse(p, 0.0) + math.exp(la(j) + lp + lb(k) - la(n))
+    }
+    e.toMap
+  }
+
+  /** The shared unigram SEED: every substring of length 1..maxPieceLen
+    * of every distinct word, counted weighted by word frequency; all
+    * single characters (never prunable — keeps segmentation total) plus
+    * the top `seedSize` multi-char pieces by (count DESC, piece ASC).
+    * One implementation for the hard-EM and soft-EM trainers so both
+    * start from the identical vocabulary. */
+  private def unigramSeed(wf: Array[(String, Long)], seedSize: Int,
+                          maxPieceLen: Int): Map[String, Long] = {
+    val seedCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, f) <- wf; st <- 0 until w.length;
+         pl <- 1 to math.min(maxPieceLen, w.length - st)) {
+      val p = w.substring(st, st + pl)
+      seedCounts(p) = seedCounts.getOrElse(p, 0L) + f
+    }
+    val chars = seedCounts.keysIterator.filter(_.length == 1).toSeq
+    val multi = seedCounts.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }(
+        Ordering.Tuple2(Ordering.Long, Ordering.String))
+      .take(seedSize).map(_._1)
+    (chars ++ multi).map(p => p -> seedCounts(p)).toMap
   }
 
   /** floor(log₂((t + v) div (c + 1))) — the integer add-one-smoothed

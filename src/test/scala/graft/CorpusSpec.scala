@@ -33,6 +33,79 @@ class CorpusSpec extends AnyFunSuite {
     if (cands.isEmpty) None else Some(cands.min)
   }
 
+  /** Brute-force posterior expected counts: enumerate ALL segmentations,
+    * weight each by the product of its piece probabilities, and credit
+    * every piece occurrence by weight/Z — the independent implementation
+    * of the forward–backward contract. Exponential; short words only. */
+  private def bruteExpectedCounts(w: String, prob: Map[String, Double],
+                                  L: Int): Map[String, Double] = {
+    def all(pos: Int): Seq[List[String]] =
+      if (pos == w.length) Seq(Nil)
+      else (1 to math.min(L, w.length - pos)).flatMap { pl =>
+        val p = w.substring(pos, pos + pl)
+        if (prob.contains(p)) all(pos + pl).map(p :: _) else Nil
+      }
+    val segs = all(0)
+    val weights = segs.map(_.map(prob).product)
+    val z = weights.sum
+    val e = scala.collection.mutable.HashMap.empty[String, Double]
+    for ((seg, wt) <- segs.zip(weights); p <- seg)
+      e(p) = e.getOrElse(p, 0.0) + wt / z
+    e.toMap
+  }
+
+  test("unigramExpectedCounts ≡ brute-force posterior enumeration") {
+    val rnd = new scala.util.Random(99)
+    val alphabet = "abcd"
+    for (_ <- 1 to 60) {
+      val w = Seq.fill(3 + rnd.nextInt(8))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val pieces = (alphabet.map(_.toString) ++
+        Seq.fill(6) {
+          val st = rnd.nextInt(w.length)
+          val len = 1 + rnd.nextInt(math.min(3, w.length - st))
+          w.substring(st, st + len)
+        }).distinct.filter(_.length <= 3)
+      // arbitrary (unnormalized is fine — posteriors are scale-free)
+      val prob = pieces.map(p => p -> (0.05 + rnd.nextDouble())).toMap
+      val logp = prob.map { case (p, v) => p -> math.log(v) }
+      val got = Corpus.unigramExpectedCounts(w, logp, 3)
+      val want = bruteExpectedCounts(w, prob, 3)
+      assert(got.keySet == want.keySet, s"word=$w")
+      for ((p, e) <- want)
+        assert(math.abs(got(p) - e) <= 1e-9 * math.max(1.0, e),
+          s"word=$w piece=$p got=${got(p)} want=$e")
+      // the expected piece-occurrence total equals the posterior mean
+      // segmentation length — a global conservation check
+      assert(math.abs(got.values.sum - want.values.sum) <= 1e-9)
+    }
+  }
+
+  test("unigramTrainSoft: deterministic, total, prune contract, soft≈hard on a peaked corpus") {
+    val tiny = Seq((1L, "abab abab abab ab ab cd"))
+      .toDF("doc_id", "text")
+    val m1 = Corpus.unigramTrainSoft(tiny, "text", seedSize = 4,
+      maxPieceLen = 3, iters = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // all chars survive (segmentation totality); multi-char survivors
+    // carry expected mass >= the prune floor
+    assert(Seq("a", "b", "c", "d").forall(p => m1.exists(_._1 == p)))
+    assert(m1.filter(_._1.length > 1).forall(_._2 >= 0.5))
+    // byte-identical on a re-run: sorted word iteration fixes every
+    // float reduction's operation order
+    val m2 = Corpus.unigramTrainSoft(tiny, "text", seedSize = 4,
+      maxPieceLen = 3, iters = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(m1.toSeq == m2.toSeq)
+    // on this 'ab'-dominated corpus the soft expected counts land near
+    // the hard Viterbi counts (the posterior is peaked): same survivor
+    // set as the hard model
+    val hard = Corpus.unigramTrain(tiny, "text", seedSize = 4,
+      maxPieceLen = 3, iters = 2)
+      .collect().map(r => r.getString(0)).toSet
+    assert(m1.map(_._1).toSet == hard)
+  }
+
   test("unigramViterbi ≡ brute-force enumeration on randomized words") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abcd"
