@@ -164,12 +164,19 @@ object Corpus {
     * so the packer a training-file writer actually runs budgets on the
     * tokenizer's own counts ([[bpeSegmentCounts]]'s `n_bpe_tokens`).
     * Same shard-partitioned prefix-sum window, same deterministic
-    * `orderCol` assignment. */
+    * `orderCol` assignment — including the same tie hazard: a running
+    * sum over an order with duplicates is only defined up to the tied
+    * rows' physical order, so pass `idCol` (a unique id) whenever
+    * `orderCol` can repeat within a shard, exactly as [[packSequences]]
+    * documents. */
   def packSequencesBy(df: DataFrame, lenCol: String, shardCol: String,
-                      orderCol: String, budget: Long): DataFrame = {
+                      orderCol: String, budget: Long,
+                      idCol: String = null): DataFrame = {
     require(budget >= 1, s"budget must be positive: $budget")
+    val order = if (idCol == null || idCol == orderCol) Seq(col(orderCol))
+      else Seq(col(orderCol), col(idCol))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(shardCol).orderBy(col(orderCol))
+      .partitionBy(shardCol).orderBy(order: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val before = coalesce(sum(col(lenCol)).over(w), lit(0L))
     df.withColumn("pack_id", floor(before / lit(budget)).cast("long"))
@@ -2112,7 +2119,10 @@ object Corpus {
     *
     *   num = max(4·c(p,w) − 3, 0)·(B + V) + 3·N1+(p·)·(N1+(·w) + 1)
     *   den = 4·c(p)·(B + V)
-    *   bits = floor(log₂(den / num)) = length(bin(den div num)) − 1
+    *   bits = floor(log₂(den / num)) — num/den in DECIMAL(38,0) (the
+    *   long products overflow at 100 TB counts — the pmiCollocations
+    *   class), the floor-log₂ via a two-step quotient (q div 2^30
+    *   first) because q itself can pass a long and bin() takes longs
     *
     * Σ_w num = den EXACTLY (the discount mass D·N1+(p·) re-spreads over
     * Pc, which itself sums to one: Σ N1+(·w) = B, Σ 1 = V), so this is
@@ -2145,18 +2155,35 @@ object Corpus {
       train.where(col(textCol).isNotNull)
         .select(explode(split(col(textCol), " ")).as("tok"))
         .agg(countDistinct(col("tok")).as("v")))
+    // den = 4·c(p)·(B+V) and num both run in DECIMAL(38,0): at 100 TB
+    // counts (c(p) ~ 1e13 for a stop-word prefix, B+V ~ 1e12) the long
+    // products overflow — under ANSI that is a runtime crash on the
+    // first hot prefix, the pmiCollocations overflow class. The
+    // floor-log₂ then needs the quotient q = den div num, which itself
+    // can exceed a long (bin() takes longs), so it is taken in two
+    // steps: h1 = den div (num·2^30) is q div 2^30 exactly — if zero,
+    // q < 2^30 and the direct div fits a long; otherwise
+    // bits = 30 + floor(log₂(h1)), with h1 ≤ ~1e16 long-safe. Headroom:
+    // den ≤ 4e25, num·2^30 ≤ 4.3e34 — both inside DECIMAL(38,0).
+    val seenBits =
+      """CASE WHEN h1 = 0
+              THEN length(bin(kn_den div kn_num)) - 1
+              ELSE 30 + length(bin(h1)) - 1 END"""
     val scored = bigramStream(score, textCol, idCol)
       .join(cb, Seq("p", "w"), "left")
       .join(cu, Seq("p"), "left")
       .join(cwn, Seq("w"), "left")
       .crossJoin(broadcast(bv))
+      .withColumn("kn_den",
+        expr("4 * CAST(cu AS DECIMAL(38,0)) * (b + v)"))
+      .withColumn("kn_num",
+        expr("""greatest(4 * CAST(coalesce(cb, 0) AS DECIMAL(38,0)) - 3, 0)
+                  * (b + v)
+                + 3 * CAST(n1p_p AS DECIMAL(38,0))
+                  * (coalesce(n1p_w, 0) + 1)"""))
+      .withColumn("h1", expr("kn_den div (kn_num * 1073741824)"))
       .select(col("doc"),
-        when(col("cu").isNotNull,
-          (length(bin(expr(
-            """(4 * cu * (b + v)) div
-               (greatest(4 * coalesce(cb, 0) - 3, 0) * (b + v)
-                + 3 * n1p_p * (coalesce(n1p_w, 0) + 1))"""))) - 1)
-            .cast("long"))
+        when(col("cu").isNotNull, expr(seenBits).cast("long"))
           .otherwise(
             (length(bin(expr("(b + v) div (coalesce(n1p_w, 0) + 1)")))
               - 1).cast("long"))
@@ -2219,19 +2246,25 @@ object Corpus {
     graft.ops.Stage.clearLedger(spark, path)
     graft.ops.Stage.clearSnapshots(spark, s"$path/bigrams")
     graft.ops.Stage.clearSnapshots(spark, s"$path/vocab")
-    // BORN VERSIONED (like the IVF lists): [[snapshotLm]] pins need a
-    // version from the first build. publishREBUILD, not publishRewrite:
-    // rebuilding over an existing model must give the OLD corpus's
-    // counts no previous-version grace — the rebuild boundary resets
-    // the whole history (ledger/snapshots above, previous pointer here),
-    // so nothing can serve cross-corpus state under this path.
-    graft.ops.Stage.publishRebuild(spark, s"$path/bigrams",
-      bigramStream(train, textCol, idCol)
-        .groupBy("p", "w").agg(count(lit(1)).as("cb")))
-    graft.ops.Stage.publishRebuild(spark, s"$path/vocab",
-      train.where(col(textCol).isNotNull)
-        .select(explode(split(col(textCol), " ")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c")))
+    // ONE root lease over both component rebuilds (the
+    // saveMinhashManifest protocol): a leased delta publish landing
+    // BETWEEN the two flips would pair the new corpus's bigrams with
+    // the old corpus's vocab — V wrong for every unseen-bigram score
+    graft.ops.Stage.withWriterLease(spark, path) {
+      // BORN VERSIONED (like the IVF lists): [[snapshotLm]] pins need a
+      // version from the first build. publishREBUILD, not publishRewrite:
+      // rebuilding over an existing model must give the OLD corpus's
+      // counts no previous-version grace — the rebuild boundary resets
+      // the whole history (ledger/snapshots above, previous pointer here),
+      // so nothing can serve cross-corpus state under this path.
+      graft.ops.Stage.publishRebuild(spark, s"$path/bigrams",
+        bigramStream(train, textCol, idCol)
+          .groupBy("p", "w").agg(count(lit(1)).as("cb")))
+      graft.ops.Stage.publishRebuild(spark, s"$path/vocab",
+        train.where(col(textCol).isNotNull)
+          .select(explode(split(col(textCol), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c")))
+    }
   }
 
   /** The model relations of a persisted LM: summed positive bigram

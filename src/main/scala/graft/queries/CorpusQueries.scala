@@ -1630,21 +1630,31 @@ object CorpusQueries {
           bv AS (SELECT (SELECT count(*) FROM cb) AS b,
                         (SELECT count(DISTINCT tok)
                          FROM (SELECT unnest(toks) AS tok FROM tr)) AS v),
-          s AS (SELECT gte.doc_id,
-                       CASE WHEN cu.cu IS NOT NULL
-                            THEN length(bin((4 * cu.cu * (bv.b + bv.v))
-                                   // (greatest(4 * coalesce(cb.cb, 0) - 3,
-                                               0) * (bv.b + bv.v)
-                                      + 3 * cu.n1p_p
-                                        * (coalesce(cwn.n1p_w, 0) + 1))))
-                                 - 1
-                            ELSE length(bin((bv.b + bv.v)
-                                   // (coalesce(cwn.n1p_w, 0) + 1))) - 1
+          -- den/num in HUGEINT (the engine's DECIMAL(38,0) — BIGINT
+          -- products overflow at scale) and the same two-step quotient:
+          -- h1 = q div 2^30; bin() takes BIGINT, q can pass it
+          sq AS (SELECT gte.doc_id, cu.cu, cwn.n1p_w, bv.b, bv.v,
+                        4 * CAST(cu.cu AS HUGEINT) * (bv.b + bv.v) AS den,
+                        (greatest(4 * CAST(coalesce(cb.cb, 0) AS HUGEINT)
+                                    - 3, 0) * (bv.b + bv.v)
+                         + 3 * CAST(cu.n1p_p AS HUGEINT)
+                           * (coalesce(cwn.n1p_w, 0) + 1)) AS num
+                 FROM gte LEFT JOIN cb USING (p, w)
+                 LEFT JOIN cu USING (p)
+                 LEFT JOIN cwn USING (w) CROSS JOIN bv),
+          s AS (SELECT doc_id,
+                       CASE WHEN cu IS NOT NULL
+                            THEN CASE WHEN den // (num * 1073741824) = 0
+                                 THEN length(bin(CAST(den // num AS BIGINT)))
+                                        - 1
+                                 ELSE 30 + length(bin(CAST(
+                                        den // (num * 1073741824)
+                                        AS BIGINT))) - 1 END
+                            ELSE length(bin((b + v)
+                                   // (coalesce(n1p_w, 0) + 1))) - 1
                        END AS bits,
-                       CASE WHEN cu.cu IS NULL THEN 1 ELSE 0 END AS miss
-                FROM gte LEFT JOIN cb USING (p, w)
-                LEFT JOIN cu USING (p)
-                LEFT JOIN cwn USING (w) CROSS JOIN bv),
+                       CASE WHEN cu IS NULL THEN 1 ELSE 0 END AS miss
+                FROM sq),
           r AS (SELECT doc_id, count(*) AS n_bigrams,
                        sum(miss) AS n_unseen_prefix,
                        sum(bits) AS total_bits
