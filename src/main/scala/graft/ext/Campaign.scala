@@ -34,9 +34,12 @@ import org.apache.spark.sql.SparkSession
   * Cost: metadata-only per member (the family pins record file lists),
   * plus blocking member ingest for the pin's duration — milliseconds,
   * not a data pass. On failure (e.g. a member still in a plain,
-  * never-published layout), pins already taken under this name are
-  * rolled back best-effort before the error propagates, so a campaign
-  * name never resolves to a partial member set.
+  * never-published layout), the name is rolled back best-effort before
+  * the error propagates — components whose pin pre-existed under this
+  * name get it RESTORED byte-for-byte (re-pinning an existing campaign
+  * name is routine, and a failed refresh must not destroy the previous
+  * campaign), fresh pins are dropped — so a campaign name never
+  * resolves to a partial or mixed member set.
   *
   * Serving reads nothing new: each family's existing `*Snapshot` serve
   * path takes the campaign name (q133 serves all three from one pin).
@@ -77,15 +80,37 @@ object Campaign {
     val ordered = members.sortBy(_.path).toList
     def nest(rest: List[Member]): Unit = rest match {
       case Nil =>
+        // capture every component's EXISTING pin bytes under this name
+        // before anything overwrites them: re-pinning an existing
+        // campaign name is routine (each release refreshes its pin), and
+        // a failed refresh must put the PREVIOUS campaign back — the old
+        // rollback dropped the name everywhere, destroying the prior
+        // campaign's pins (including members this run never touched).
+        // Safe under the held leases: GC only runs inside a publish,
+        // which the leases exclude, so the old pinned versions survive
+        // the capture→overwrite→restore window.
+        val prior: Map[(String, String), Option[String]] =
+          ordered.flatMap { m =>
+            val (_, comps) = componentsOf(spark, m)
+            comps.map(c => (m.path, c) ->
+              Stage.rawSnapshotPin(spark, s"${m.path}/$c", name))
+          }.toMap
         try ordered.foreach(pin(spark, name, _))
         catch {
           case scala.util.control.NonFatal(e) =>
-            // never leave a partial campaign behind the name: roll back
-            // best-effort (dropping an untaken pin is a no-op), then
-            // surface the original failure
+            // never leave a partial campaign behind the name: restore
+            // each component's prior pin where one existed, drop where
+            // none did (best-effort), then surface the original failure
             ordered.foreach { m =>
-              try dropMember(spark, name, m)
-              catch { case scala.util.control.NonFatal(_) => () }
+              val (_, comps) = componentsOf(spark, m)
+              comps.foreach { c =>
+                try prior.getOrElse((m.path, c), None) match {
+                  case Some(bytes) => Stage.restoreRawSnapshotPin(
+                    spark, s"${m.path}/$c", name, bytes)
+                  case None =>
+                    Stage.dropSnapshot(spark, s"${m.path}/$c", name)
+                } catch { case scala.util.control.NonFatal(_) => () }
+              }
             }
             throw e
         }

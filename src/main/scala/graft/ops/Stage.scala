@@ -400,6 +400,46 @@ object Stage {
     }
   }
 
+  /** The raw bytes of a pin file, or None when the name is not pinned —
+    * the capture half of [[Campaign]]'s re-pin rollback: a failed
+    * multi-member campaign over an EXISTING name must put back the pin
+    * contents it overwrote, not drop them (dropping would destroy the
+    * previous campaign's untouched pins). Caller must hold the root
+    * lease for the read→overwrite→restore window to be atomic. */
+  private[graft] def rawSnapshotPin(spark: SparkSession, dir: String,
+                                    name: String): Option[String] = {
+    require(name.matches(SnapshotNameRe),
+      s"snapshot name '$name' must match $SnapshotNameRe (it names a file)")
+    val rootPath = new Path(dir)
+    val fs = fsFor(spark, rootPath)
+    val f = new Path(new Path(rootPath, "_snapshots"), name)
+    if (!fs.exists(f)) None
+    else Some(snapshotLines(fs, f).mkString("\n"))
+  }
+
+  /** Atomically write back pin bytes captured by [[rawSnapshotPin]] —
+    * the restore half of the campaign re-pin rollback. Same tmp-write +
+    * overwrite-rename as [[snapshot]]'s pin flip. The version the old
+    * pin names is still on disk: the caller holds every involved root
+    * lease across capture→overwrite→restore, and GC only runs inside a
+    * publish, which those leases exclude. */
+  private[graft] def restoreRawSnapshotPin(spark: SparkSession, dir: String,
+                                           name: String,
+                                           content: String): Unit = {
+    require(name.matches(SnapshotNameRe),
+      s"snapshot name '$name' must match $SnapshotNameRe (it names a file)")
+    val rootPath = new Path(dir)
+    val fs = fsFor(spark, rootPath)
+    val snapDir = new Path(rootPath, "_snapshots")
+    fs.mkdirs(snapDir)
+    val tmp = new Path(snapDir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(rootPath.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(snapDir, name), Options.Rename.OVERWRITE)
+  }
+
   /** The version directory a named snapshot pins, or None if the name
     * does not exist (never dangling: [[gcStale]] spares pinned
     * versions). Existence/introspection only — DATA reads must go

@@ -181,6 +181,39 @@ class CampaignSpec extends AnyFunSuite {
     Stage.withWriterLease(spark, mani) { () }
   }
 
+  test("a failed RE-pin restores the previous campaign instead of destroying it") {
+    val mani = "target/graft-test-campaign-rp-mani"
+    val text = "target/graft-test-campaign-rp-text"
+    wipe(mani, text)
+    val docs = docRows.toDF("doc_id", "text")
+    Dedup.saveMinhashManifest(docs.where(col("doc_id") <= 4),
+      "text", "doc_id", mani, 16, 8)
+    // campaign v1 over the manifest alone, name 'rel'
+    Campaign.snapshot(spark, "rel", Seq(Campaign.MinhashManifest(mani)))
+    val probe = docs.where(col("doc_id") >= 5)
+    val v1 = Dedup.incrementalNearDupsSnapshot(probe, mani, "rel",
+      "text", "doc_id").collect().map(_.toSeq).toSeq
+    // maintenance moves the live state past the pin
+    Dedup.deleteContentFromMinhashManifest(
+      docs.where(col("doc_id") === 1), "text", mani)
+    // a REFRESH of 'rel' adds a member whose pin must fail (plain
+    // layout); the manifest's 'rel' pin is OVERWRITTEN before the text
+    // failure (manifest sorts first). The old rollback dropped 'rel'
+    // everywhere — destroying campaign v1; now the prior pin bytes are
+    // restored, so v1 keeps serving bit-identically.
+    Search.saveTextIndex(docs, text) // never compacted → plain → unpinnable
+    intercept[IllegalStateException] {
+      Campaign.snapshot(spark, "rel", Seq(
+        Campaign.MinhashManifest(mani), Campaign.TextIndex(text)))
+    }
+    val after = Dedup.incrementalNearDupsSnapshot(probe, mani, "rel",
+      "text", "doc_id").collect().map(_.toSeq).toSeq
+    assert(after == v1, "prior campaign pin must survive a failed refresh")
+    // the member that never had the pin stays unpinned
+    assert(Stage.resolveSnapshot(spark, s"$text/postings", "rel").isEmpty)
+    Campaign.drop(spark, "rel", Seq(Campaign.MinhashManifest(mani)))
+  }
+
   test("member order does not matter: acquisition is by sorted path") {
     val a = "target/graft-test-campaign-ord-a"
     val b = "target/graft-test-campaign-ord-b"
