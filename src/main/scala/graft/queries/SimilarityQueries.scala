@@ -104,6 +104,20 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q203_ann_binary_quant" -> ((s, d) => {
+      // BINARY (sign-bit) quantization ANN: 1 bit per dimension packed
+      // into non-negative longs, Hamming-popcount candidate generation
+      // (64x smaller scan than raw doubles at dim 64), exact cosine
+      // rerank of the 4k-deep pool. The oracle replays pack, Hamming
+      // ranking (ties to the smaller id), and the rerank exactly, so
+      // the approximate candidate geometry itself is equality-checked
+      // (the q37/q39 philosophy).
+      val emb = t(s, d, "embeddings")
+      Similarity.binaryTopK(emb.where(col("vec_id") < 10), emb,
+        k = 10, overfetch = 4, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     "q77_ann_quantized" -> ((s, d) => {
       // top-k over int8-QUANTIZED vectors (scale 200 covers the corpus's
       // ±0.53 range): the 4×-smaller store running the same brute-force
@@ -935,6 +949,55 @@ object SimilarityQueries {
                                           ORDER BY cos_sim DESC, neighbor_id) AS rank
                 FROM scored)
           SELECT query_id, neighbor_id, cos_sim, rank
+          FROM ranked WHERE rank <= 10
+          ORDER BY query_id, rank""",
+
+    // q203: replay the sign-bit pack (dims 1-63 → word0 bits 0-62, dim
+    // 64 → word1 bit 0 — the engine's 63-bits-per-word non-negative
+    // convention), the Hamming candidate ranking (popcount of xor, ties
+    // to the smaller id, pool = 4k), and the exact cosine rerank — the
+    // approximate candidate geometry itself is equality-checked
+    "q203_ann_binary_quant" ->
+      s"""WITH sig AS (
+            SELECT vec_id, embedding,
+                   sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, 64),
+                       j -> CASE WHEN CAST(embedding[j] AS DOUBLE) > 0
+                            THEN CAST(2 ** (j - 1) AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END)),
+                     (a, b) -> a | b) AS w0,
+                   CASE WHEN CAST(embedding[64] AS DOUBLE) > 0
+                        THEN CAST(1 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS w1
+            FROM embeddings),
+          ham AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(bit_count(xor(q.w0, c.w0))
+                        + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+            FROM sig c CROSS JOIN (SELECT * FROM sig WHERE vec_id < 10) q
+            WHERE q.vec_id <> c.vec_id),
+          cand AS (
+            SELECT query_id, neighbor_id, hamming,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming, neighbor_id)
+                     AS h_rank
+            FROM ham),
+          scored AS (
+            SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+                   ${duckDot("q.embedding", "c.embedding")}
+                     / (q.nrm * c.nrm) AS cos_sim
+            FROM cand
+            JOIN sig c ON c.vec_id = cand.neighbor_id
+            JOIN sig q ON q.vec_id = cand.query_id
+            WHERE cand.h_rank <= 40),
+          ranked AS (
+            SELECT query_id, neighbor_id, hamming, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id)
+                     AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, hamming, cos_sim, rank
           FROM ranked WHERE rank <= 10
           ORDER BY query_id, rank""",
 

@@ -158,6 +158,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
+  test("q203 binary-quant Hamming pool gets a map-side WindowGroupLimit") {
+    // the h_rank <= overfetch*k candidate filter must plan as a partial
+    // group-limit so each partition forwards at most the pool per query
+    // into the exchange — the property that keeps the candidate stage's
+    // shuffle query-pool-sized, never corpus-sized
+    val plan = planOf("q203_ann_binary_quant")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("q31 banded self-join spreads candidates across the shuffle width") {
     // the explicit repartition on (band, band_key) must survive planning —
     // without it every bucket's quadratic collision work lands in the

@@ -32,6 +32,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(both.forall { case (n, h) => n == h }) // bit-identical, not approx
   }
 
+  test("binarySignWords packs sign bits across the 63-bit word boundary") {
+    // dim 64 → two words: dims 1..63 → word0 bits 0..62, dim 64 → word1
+    // bit 0. Plant signs at the boundary positions.
+    val v = Array.tabulate(64)(i =>
+      if (i == 0 || i == 62 || i == 63) 1.0 else -1.0)
+    val got = Seq(Tuple1(v.toSeq)).toDF("v")
+      .select(Similarity.binarySignWords(col("v"), 64))
+      .collect().head.getSeq[Long](0)
+    assert(got == Seq((1L << 0) | (1L << 62), 1L))
+    assert(got.forall(_ >= 0L)) // non-negative words, the portable contract
+    // zeros and negatives both pack as 0 bits (strict > 0)
+    val z = Seq(Tuple1(Seq.fill(64)(0.0)))
+      .toDF("v").select(Similarity.binarySignWords(col("v"), 64))
+      .collect().head.getSeq[Long](0)
+    assert(z == Seq(0L, 0L))
+  }
+
+  test("binaryTopK ≡ plain-Scala sign-Hamming + exact-rerank reference") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i =>
+      i -> Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.binaryTopK(df.where(col("vec_id") < 5), df,
+        k = 5, overfetch = 3, dim = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(4)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // independent reference: one word at dim 16
+    def word(v: Array[Double]): Long =
+      v.zipWithIndex.foldLeft(0L) { case (a, (x, j)) =>
+        if (x > 0) a | (1L << j) else a }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = vecs.toMap
+    for (q <- 0L until 5L) {
+      val qw = word(byId(q))
+      val cand = vecs.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, java.lang.Long.bitCount(qw ^ word(v))) }
+        .sortBy { case (id, h) => (h, id) }.take(15)
+      val want = cand
+        .map { case (id, h) => (id, h.toLong, cos(byId(q), byId(id))) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(5)
+      want.zipWithIndex.foreach { case ((id, h, _), i) =>
+        assert(got((q, i + 1)) == ((id, h)),
+          s"query $q rank ${i + 1}: got ${got((q, i + 1))}, want ($id, $h)")
+      }
+    }
+  }
+
   test("DotProduct is null-safe and handles empty arrays") {
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
