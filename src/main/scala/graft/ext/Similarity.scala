@@ -119,11 +119,23 @@ object Similarity {
     * neighbor id (so the candidate SET is a pure function of the data
     * and the oracle replays it), cosine ties likewise.
     *
+    * Recall is governed by the pool depth: on the synthetic testdata's
+    * near-uniform dim-64 embeddings (the ADVERSARIAL case for sign
+    * bits — real text/image embeddings cluster, where sign patterns
+    * separate far better) the measured recall@10 ladder vs exact
+    * brute force is 0.33 / 0.48 / 0.65 at overfetch 4 / 8 / 16
+    * (BASELINE.md). Threshold-centering variants (per-vector mean,
+    * per-dimension mean, per-vector median) measured within noise of
+    * plain sign-of-coordinate on this data, so the simplest
+    * oracle-replayable rule stays; the pool stays k·overfetch rows per
+    * query at ANY corpus size, so raising overfetch buys recall at
+    * rerank cost, never at scan cost.
+    *
     * Output: (query_id, neighbor_id, hamming, cos_sim, rank),
     * rank 1..k per query by exact cosine over the candidate pool.
     */
   def binaryTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                 overfetch: Int = 4, dim: Int = 64,
+                 overfetch: Int = 16, dim: Int = 64,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be positive: $k")

@@ -108,13 +108,17 @@ object SimilarityQueries {
       // BINARY (sign-bit) quantization ANN: 1 bit per dimension packed
       // into non-negative longs, Hamming-popcount candidate generation
       // (64x smaller scan than raw doubles at dim 64), exact cosine
-      // rerank of the 4k-deep pool. The oracle replays pack, Hamming
-      // ranking (ties to the smaller id), and the rerank exactly, so
-      // the approximate candidate geometry itself is equality-checked
-      // (the q37/q39 philosophy).
+      // rerank of the 16k-deep pool. overfetch = 16 by measurement
+      // (BASELINE.md recall ladder: 0.33/0.48/0.65 @ 4/8/16 on the
+      // synthetic near-uniform embeddings — the adversarial case for
+      // 64 sign bits; thresholdcentering variants measured within
+      // noise of plain sign, so the simplest replayable rule stays).
+      // The oracle replays pack, Hamming ranking (ties to the smaller
+      // id), and the rerank exactly, so the approximate candidate
+      // geometry itself is equality-checked (the q37/q39 philosophy).
       val emb = t(s, d, "embeddings")
       Similarity.binaryTopK(emb.where(col("vec_id") < 10), emb,
-        k = 10, overfetch = 4, dim = 64)
+        k = 10, overfetch = 16, dim = 64)
         .orderBy("query_id", "rank")
     }),
 
@@ -990,7 +994,7 @@ object SimilarityQueries {
             FROM cand
             JOIN sig c ON c.vec_id = cand.neighbor_id
             JOIN sig q ON q.vec_id = cand.query_id
-            WHERE cand.h_rank <= 40),
+            WHERE cand.h_rank <= 160),
           ranked AS (
             SELECT query_id, neighbor_id, hamming, cos_sim,
                    row_number() OVER (PARTITION BY query_id
