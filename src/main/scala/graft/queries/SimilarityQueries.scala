@@ -111,7 +111,7 @@ object SimilarityQueries {
       // rerank of the 16k-deep pool. overfetch = 16 by measurement
       // (BASELINE.md recall ladder: 0.33/0.48/0.65 @ 4/8/16 on the
       // synthetic near-uniform embeddings — the adversarial case for
-      // 64 sign bits; thresholdcentering variants measured within
+      // 64 sign bits; threshold-centering variants measured within
       // noise of plain sign, so the simplest replayable rule stays).
       // The oracle replays pack, Hamming ranking (ties to the smaller
       // id), and the rerank exactly, so the approximate candidate
