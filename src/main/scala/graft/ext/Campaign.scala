@@ -61,6 +61,8 @@ object Campaign {
   final case class IvfIndex(path: String) extends Member
   /** A [[Similarity.savePqIndex]] root (codes). */
   final case class PqIndex(path: String) extends Member
+  /** A [[Similarity.saveBinaryIndex]] root (sig). */
+  final case class BinaryIndex(path: String) extends Member
   /** A [[Dedup.saveWinnowManifest]] root (fps). */
   final case class WinnowManifest(path: String) extends Member
 
@@ -165,6 +167,7 @@ object Campaign {
     case Lm(p)              => Corpus.restoreLm(spark, p, name)
     case IvfIndex(p)        => Similarity.restoreIvfIndex(spark, p, name)
     case PqIndex(p)         => Similarity.restorePqIndex(spark, p, name)
+    case BinaryIndex(p)     => Similarity.restoreBinaryIndex(spark, p, name)
     case WinnowManifest(p)  => Dedup.restoreWinnowManifest(spark, p, name)
   }
 
@@ -183,6 +186,7 @@ object Campaign {
       case Lm(p)              => Corpus.vacuumLm(spark, p)
       case IvfIndex(p)        => Similarity.vacuumIvfIndex(spark, p)
       case PqIndex(p)         => Similarity.vacuumPqIndex(spark, p)
+      case BinaryIndex(p)     => Similarity.vacuumBinaryIndex(spark, p)
       case WinnowManifest(p)  => Dedup.vacuumWinnowManifest(spark, p)
     }
 
@@ -215,6 +219,7 @@ object Campaign {
     case Lm(_)              => ("lm", Seq("bigrams", "vocab"))
     case IvfIndex(_)        => ("ivf_index", Seq("lists"))
     case PqIndex(_)         => ("pq_index", Seq("codes"))
+    case BinaryIndex(_)     => ("binary_index", Seq("sig"))
     case WinnowManifest(_)  => ("winnow_manifest", Seq("fps"))
   }
 
@@ -229,6 +234,7 @@ object Campaign {
       case Lm(p)              => Corpus.snapshotLm(spark, p, name)
       case IvfIndex(p)        => Similarity.snapshotIvfIndex(spark, p, name)
       case PqIndex(p)         => Similarity.snapshotPqIndex(spark, p, name)
+      case BinaryIndex(p)     => Similarity.snapshotBinaryIndex(spark, p, name)
       case WinnowManifest(p)  => Dedup.snapshotWinnowManifest(spark, p, name)
     }
 
@@ -239,6 +245,7 @@ object Campaign {
     case Lm(p)              => Corpus.dropLmSnapshot(spark, p, name)
     case IvfIndex(p)        => Similarity.dropIvfIndexSnapshot(spark, p, name)
     case PqIndex(p)         => Similarity.dropPqIndexSnapshot(spark, p, name)
+    case BinaryIndex(p)     => Similarity.dropBinaryIndexSnapshot(spark, p, name)
     case WinnowManifest(p)  => Dedup.dropWinnowManifestSnapshot(spark, p, name)
   }
 }

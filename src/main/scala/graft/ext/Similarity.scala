@@ -137,7 +137,22 @@ object Similarity {
   def binaryTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                  overfetch: Int = 16, dim: Int = 64,
                  idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
+                 vecCol: String = "embedding"): DataFrame =
+    binaryServeSigs(
+      corpus.select(col(idCol).as("neighbor_id"),
+        binarySignWords(col(vecCol), dim).as("words")),
+      queries, corpus, k, overfetch, dim, idCol, vecCol)
+
+  /** The ONE binary serve tail shared by the inline [[binaryTopK]] and
+    * every persisted-index serve ([[binaryTopKIndexed]] live / snapshot
+    * / previous), so they answer bit-identically over the same
+    * effective signature relation. `sigs` is (neighbor_id, words);
+    * reranking reads raw vectors from `corpus` — the index never
+    * duplicates them (the pqTopKRerankIndexed convention). */
+  private def binaryServeSigs(sigs: DataFrame, queries: DataFrame,
+                              corpus: DataFrame, k: Int, overfetch: Int,
+                              dim: Int, idCol: String,
+                              vecCol: String): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     require(overfetch >= 1, s"overfetch must be positive: $overfetch")
     val m = k * overfetch
@@ -145,9 +160,9 @@ object Similarity {
       binarySignWords(col(vecCol), dim).as("q_sig"))
     // the candidate scan carries ONLY (id, packed sign words) — never
     // the vector itself
-    val cSig = corpus.select(col(idCol).as("neighbor_id"),
-      binarySignWords(col(vecCol), dim).as("c_sig"))
-    val ham = cSig.crossJoin(broadcast(qSig))
+    val ham = sigs
+      .select(col("neighbor_id"), col("words").as("c_sig"))
+      .crossJoin(broadcast(qSig))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         hammingWords(col("q_sig"), col("c_sig")).as("hamming"))
@@ -1029,6 +1044,255 @@ object Similarity {
   def vacuumPqIndex(spark: org.apache.spark.sql.SparkSession,
                     path: String): Unit =
     graft.ops.Stage.vacuum(spark, s"$path/codes")
+
+  // ------------------------------------------------ binary index persistence
+
+  /** Persist a servable BINARY (sign-bit) index under `path` — the
+    * production form of the [[binaryTopK]] claim: 8·ceil(dim/63)-byte
+    * packed signatures stand in for the raw vectors ON DISK, so every
+    * later query batch scans words, never re-packs the corpus. Layout:
+    *
+    *  - `sig/`: (vec_id, words ARRAY<BIGINT>, dim INT) — one row per
+    *    vector, BORN VERSIONED ([[graft.ops.Stage.publishRebuild]]).
+    *    `dim` is STAMPED on every row (RLE-compressed constant — the
+    *    round-15 manifest rule: serves derive parameters from the data
+    *    they actually scan, so a serve racing a rebuild that changes
+    *    dim can never pack its queries against the other generation's
+    *    words);
+    *  - `meta/`: one row (dim), versioned, published FIRST inside the
+    *    root lease — the APPEND paths' parameter source (their reads
+    *    hold the lease, so they cannot race a rebuild) and the
+    *    empty-index serve fallback.
+    *
+    * Signatures are a pure function of (vector, dim), so append/delete
+    * leave the index bit-identical in content to a fresh build over
+    * the effective corpus (the savePqIndex invariant — q204's oracle
+    * pins it). Deletes are immediate anti-join rewrites: the sig
+    * relation is 64× smaller than raw vectors at dim 64, so the
+    * rewrite costs what a tombstone compaction would.
+    */
+  def saveBinaryIndex(corpus: DataFrame, path: String, dim: Int = 64,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.ops.Stage.clearLedger(spark, path)
+    graft.ops.Stage.clearTombstones(spark, path)
+    graft.ops.Stage.clearSnapshots(spark, s"$path/sig")
+    graft.ops.Stage.withWriterLease(spark, path) {
+      graft.ops.Stage.publishRebuild(spark, s"$path/meta")(vd =>
+        Seq(dim).toDF("dim")
+          .repartition(1).write.mode("overwrite").parquet(vd))
+      graft.ops.Stage.publishRebuild(spark, s"$path/sig")(vd =>
+        binarySigRows(corpus, dim, idCol, vecCol)
+          .write.mode("overwrite").parquet(vd))
+    }
+  }
+
+  /** The ONE sig projection shared by build and both appends (the
+    * writeManifestTables rule — a schema change applied to only one of
+    * them would corrupt every later serve of a mixed index). */
+  private def binarySigRows(vecs: DataFrame, dim: Int, idCol: String,
+                            vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("vec_id"),
+        binarySignWords(col(vecCol), dim).as("words"))
+      .withColumn("dim", lit(dim))
+
+  /** The index's dim — from the sig stamp when rows exist (the data the
+    * serve actually reads), from versioned meta for an empty index (any
+    * dim packs queries against zero candidates identically). */
+  private def binaryIndexDim(spark: org.apache.spark.sql.SparkSession,
+                             path: String, sigs: DataFrame): Int =
+    sigs.select(col("dim")).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(spark.read.parquet(
+        graft.ops.Stage.resolve(spark, s"$path/meta")).head().getAs[Int]("dim"))
+
+  /** Append new vectors to a persisted [[saveBinaryIndex]] index:
+    * arrivals pack with the index's own dim and land as new sig files —
+    * batch-sized work, and the grown index serves bit-identically to a
+    * fresh build over the union. Under the root writer lease (the
+    * torn-pin argument of every other append; the lease also means the
+    * meta read cannot race a rebuild). */
+  def appendToBinaryIndex(newVecs: DataFrame, path: String,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Unit =
+    graft.ops.Stage.withWriterLease(newVecs.sparkSession, path) {
+      val spark = newVecs.sparkSession
+      val dim = spark.read.parquet(
+        graft.ops.Stage.resolve(spark, s"$path/meta")).head().getAs[Int]("dim")
+      binarySigRows(newVecs, dim, idCol, vecCol)
+        .write.mode("append")
+        .parquet(graft.ops.Stage.resolve(spark, s"$path/sig"))
+    }
+
+  /** [[appendToBinaryIndex]] with EXACTLY-ONCE semantics for streaming
+    * ingest ([[graft.ops.Stage.appendExactlyOnce]] — marker check,
+    * staged publish under `b<batchId>-*`): a replayed batch never
+    * doubles its signature rows (doubles would surface as duplicate
+    * top-k candidates). Meta is read INSIDE the lease-held stage
+    * callback (the appendToWinnowManifestExactlyOnce rule). */
+  def appendToBinaryIndexExactlyOnce(newVecs: DataFrame, path: String,
+                                     batchId: Long,
+                                     idCol: String = "vec_id",
+                                     vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    if (graft.ops.Stage.alreadyPublished(spark, path, batchId)) return
+    graft.ops.Stage.appendExactlyOnce(spark, path, batchId, Seq("sig")) {
+      staging =>
+        val dim = spark.read.parquet(
+          graft.ops.Stage.resolve(spark, s"$path/meta")).head()
+          .getAs[Int]("dim")
+        binarySigRows(newVecs, dim, idCol, vecCol)
+          .write.mode("overwrite").parquet(s"$staging/sig")
+    }
+  }
+
+  /** Delete vectors from a [[saveBinaryIndex]] index — an immediate
+    * anti-join rewrite of the sig relation (see [[saveBinaryIndex]] on
+    * why binary skips pending tombstones), atomically published; the
+    * shrunk index equals a fresh build over the survivors. */
+  def deleteFromBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, ids: DataFrame,
+                            idCol: String = "vec_id"): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      graft.ops.Stage.sweepUncommitted(spark, path, Seq("sig"))
+      val del = ids.select(col(idCol).as("vec_id")).distinct()
+      graft.ops.Stage.publishRewrite(spark, s"$path/sig",
+        spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/sig"))
+          .join(del, Seq("vec_id"), "left_anti"))
+    }
+
+  /** Hamming-candidate + exact-rerank top-k served from a persisted
+    * [[saveBinaryIndex]] index: candidates come from the stored packed
+    * words, the rerank reads raw vectors from `corpus` (the raw-vector
+    * side stays wherever the vectors live — the index never duplicates
+    * them). Bit-identical to [[binaryTopK]] over the same effective
+    * corpus (shared serve tail). */
+  def binaryTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                        queries: DataFrame, corpus: DataFrame,
+                        path: String, k: Int, overfetch: Int = 16,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val sigs = spark.read.parquet(
+        graft.ops.Stage.resolve(spark, s"$path/sig"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    binaryServeSigs(sigs, queries, corpus, k, overfetch,
+      binaryIndexDim(spark, path, sigs), idCol, vecCol)
+  }
+
+  /** [[binaryTopKIndexed]] from a NAMED snapshot's pinned file list. */
+  def binaryTopKIndexedSnapshot(spark: org.apache.spark.sql.SparkSession,
+                                queries: DataFrame, corpus: DataFrame,
+                                path: String, name: String, k: Int,
+                                overfetch: Int = 16,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    val sigs = graft.ops.Stage.readSnapshot(spark, s"$path/sig", name)
+      .getOrElse(throw new IllegalStateException(
+        s"$path/sig has no snapshot named '$name' — pin one with " +
+          "snapshotBinaryIndex before serving it"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    binaryServeSigs(sigs, queries, corpus, k, overfetch,
+      binaryIndexDim(spark, path, sigs), idCol, vecCol)
+  }
+
+  /** [[binaryTopKIndexed]] from the PREVIOUS sig snapshot — the state
+    * the last maintenance op superseded, kept for one publish cycle
+    * ([[graft.ops.Stage.resolvePrevious]]). */
+  def binaryTopKIndexedPrevious(spark: org.apache.spark.sql.SparkSession,
+                                queries: DataFrame, corpus: DataFrame,
+                                path: String, k: Int, overfetch: Int = 16,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    val prev = graft.ops.Stage.resolvePrevious(spark, s"$path/sig")
+      .getOrElse(throw new IllegalStateException(
+        s"$path/sig has no previous snapshot to serve — previous-" +
+          "serving needs at least two publishes"))
+    val sigs = spark.read.parquet(prev)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    binaryServeSigs(sigs, queries, corpus, k, overfetch,
+      binaryIndexDim(spark, path, sigs), idCol, vecCol)
+  }
+
+  /** Maintenance DIFF of the binary index's two serveable states —
+    * PREVIOUS vs LIVE top-k per query, the [[pqMaintenanceDiff]]
+    * validation read. The rerank is exact cosine on both sides, so a
+    * pair present on both keeps its cos_sim and only membership/rank
+    * can move. */
+  def binaryMaintenanceDiff(spark: org.apache.spark.sql.SparkSession,
+                            queries: DataFrame, corpus: DataFrame,
+                            path: String, k: Int, overfetch: Int = 16,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val before = binaryTopKIndexedPrevious(spark, queries, corpus, path,
+        k, overfetch, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos_sim").as("sim_before"), col("rank").as("rank_before"))
+    val after = binaryTopKIndexed(spark, queries, corpus, path, k,
+        overfetch, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos_sim").as("sim_after"), col("rank").as("rank_after"))
+    before.join(after, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("status",
+        when(col("rank_after").isNull, lit("dropped"))
+          .when(col("rank_before").isNull, lit("entered"))
+          .when(col("rank_before") =!= col("rank_after"), lit("moved"))
+          .otherwise(lit("held")))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Compact a [[saveBinaryIndex]] index after a run of per-batch
+    * appends; serving before and after is identical (the sig multiset
+    * is preserved). */
+  def compactBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      graft.ops.Stage.sweepUncommitted(spark, path, Seq("sig"))
+      val n = graft.ops.Stage.compactionPartitions(spark, s"$path/sig")
+      graft.ops.Stage.publishRewrite(spark, s"$path/sig",
+        spark.read.parquet(graft.ops.Stage.resolve(spark, s"$path/sig"))
+          .repartition(n))
+      graft.ops.Stage.compactLedger(spark, path)
+    }
+
+  /** [[compactBinaryIndex]] when fragmentation passes the threshold —
+    * the self-maintenance hook for streaming ingest. */
+  def autoCompactBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             maxFilesPerComponent: Int = 64): Boolean = {
+    val go = graft.ops.Stage.shouldCompact(spark, path, Seq("sig"),
+      maxFilesPerComponent)
+    if (go) compactBinaryIndex(spark, path)
+    go
+  }
+
+  /** Pin / restore / release / reclaim for the sig component — the
+    * standard [[graft.ops.Stage.snapshot]] lifecycle under the root
+    * lease. */
+  def snapshotBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, name: String): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      graft.ops.Stage.sweepUncommitted(spark, path, Seq("sig"))
+      graft.ops.Stage.snapshot(spark, s"$path/sig", name)
+    }
+
+  def restoreBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, name: String): Unit =
+    graft.ops.Stage.withWriterLease(spark, path) {
+      require(graft.ops.Stage
+          .resolveSnapshot(spark, s"$path/sig", name).isDefined,
+        s"snapshot '$name' does not pin $path/sig — nothing restored")
+      graft.ops.Stage.restoreSnapshot(spark, s"$path/sig", name)
+    }
+
+  def dropBinaryIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
+                              path: String, name: String): Unit =
+    graft.ops.Stage.dropSnapshot(spark, s"$path/sig", name)
+
+  def vacuumBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit =
+    graft.ops.Stage.vacuum(spark, s"$path/sig")
 
   /** SEMANTIC DECONTAMINATION: for every train vector, its maximum
     * cosine against a held-out probe/eval set, the probe that attains

@@ -522,6 +522,66 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q204_ann_binary_index_lifecycle" -> ((s, d) => {
+      // the PERSISTED BINARY index's full lifecycle under one oracle:
+      // build on the even half, append the odd half (signatures are a
+      // pure function of vector + dim, so the grown index equals a
+      // fresh build over the union), DELETE a tenth (immediate
+      // anti-join rewrite of the packed-words relation), compact the
+      // append trail, then serve from the stored words with the exact
+      // rerank reading the raw vectors from the embeddings table. The
+      // oracle replays q203's pack/pool/rerank over the effective
+      // (union minus deleted) corpus.
+      val sf = sfTag(d)
+      val path = s"target/graft-binary-index-$sf"
+      val emb = t(s, d, "embeddings")
+      Similarity.saveBinaryIndex(
+        emb.where(pmod(col("vec_id"), lit(2)) === 0), path, dim = 64)
+      Similarity.appendToBinaryIndex(
+        emb.where(pmod(col("vec_id"), lit(2)) === 1), path)
+      Similarity.deleteFromBinaryIndex(s, path,
+        emb.where(pmod(col("vec_id"), lit(10)) === 7).select("vec_id"))
+      Similarity.compactBinaryIndex(s, path)
+      Similarity.binaryTopKIndexed(s, emb.where(col("vec_id") < 10),
+        emb, path, k = 10, overfetch = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q205_stream_binary_ingest" -> ((s, d) => {
+      // the binary ingest loop CLOSED over streaming (q167's shape for
+      // the sig relation): a shell with dim pinned and EMPTY words,
+      // then the embedding stream fills it via exactly-once
+      // pack-appends with the self-compacting sink; signatures are a
+      // pure function of (vector, dim), so serving afterwards equals
+      // the inline full-corpus scan — q203's oracle verbatim.
+      val emb = t(s, d, "embeddings")
+      val path = s"target/graft-stream-binary-${sfTag(d)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(path, s"$path.ckpt").foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Similarity.saveBinaryIndex(emb.where(lit(false)), path, dim = 64)
+      val vecs = s.readStream
+        .schema(s.read.parquet(s"$d/embeddings.parquet").schema)
+        .parquet(s"$d/embeddings.*")
+      val q = vecs.writeStream
+        .option("checkpointLocation", s"$path.ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          Similarity.appendToBinaryIndexExactlyOnce(batch, path, batchId)
+          Similarity.autoCompactBinaryIndex(batch.sparkSession, path)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Similarity.compactBinaryIndex(s, path)
+      Similarity.binaryTopKIndexed(s, emb.where(col("vec_id") < 10),
+        emb, path, k = 10, overfetch = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     "q161_ann_pq_index_lifecycle" -> ((s, d) => {
       // the PERSISTED PQ index's full lifecycle under one oracle: build
       // on the even half (codebooks = its 16 smallest-id normalized
@@ -793,6 +853,57 @@ object SimilarityQueries {
         ORDER BY query_id, rank"""
   }
 
+  /** The binary-quantization serve replay (q203 family): sign-bit pack
+    * into two non-negative words, Hamming pool of 160 (ties to the
+    * smaller id), exact cosine rerank to 10. `candWhere` restricts the
+    * CANDIDATE side — the persisted-index lifecycle's effective corpus;
+    * the query side always reads the full table (queries need not be
+    * index members). */
+  private def binaryTopKReplay(candWhere: String): String =
+    s"""WITH sigall AS (
+          SELECT vec_id, embedding,
+                 sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, 64),
+                     j -> CASE WHEN CAST(embedding[j] AS DOUBLE) > 0
+                          THEN CAST(2 ** (j - 1) AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END)),
+                   (a, b) -> a | b) AS w0,
+                 CASE WHEN CAST(embedding[64] AS DOUBLE) > 0
+                      THEN CAST(1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS w1
+          FROM embeddings),
+        sig AS (SELECT * FROM sigall WHERE $candWhere),
+        ham AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(bit_count(xor(q.w0, c.w0))
+                      + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+          FROM sig c CROSS JOIN (SELECT * FROM sigall WHERE vec_id < 10) q
+          WHERE q.vec_id <> c.vec_id),
+        cand AS (
+          SELECT query_id, neighbor_id, hamming,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY hamming, neighbor_id)
+                   AS h_rank
+          FROM ham),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+                 ${duckDot("q.embedding", "c.embedding")}
+                   / (q.nrm * c.nrm) AS cos_sim
+          FROM cand
+          JOIN sigall c ON c.vec_id = cand.neighbor_id
+          JOIN sigall q ON q.vec_id = cand.query_id
+          WHERE cand.h_rank <= 160),
+        ranked AS (
+          SELECT query_id, neighbor_id, hamming, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id)
+                   AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, hamming, cos_sim, rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank"""
+
   /** Norm-annotated embeddings. */
   private val normed =
     s"""SELECT vec_id, embedding,
@@ -959,51 +1070,20 @@ object SimilarityQueries {
     // q203: replay the sign-bit pack (dims 1-63 → word0 bits 0-62, dim
     // 64 → word1 bit 0 — the engine's 63-bits-per-word non-negative
     // convention), the Hamming candidate ranking (popcount of xor, ties
-    // to the smaller id, pool = 4k), and the exact cosine rerank — the
+    // to the smaller id, pool = 16k), and the exact cosine rerank — the
     // approximate candidate geometry itself is equality-checked
-    "q203_ann_binary_quant" ->
-      s"""WITH sig AS (
-            SELECT vec_id, embedding,
-                   sqrt(${duckDot("embedding", "embedding")}) AS nrm,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT),
-                     list_transform(range(1, 64),
-                       j -> CASE WHEN CAST(embedding[j] AS DOUBLE) > 0
-                            THEN CAST(2 ** (j - 1) AS BIGINT)
-                            ELSE CAST(0 AS BIGINT) END)),
-                     (a, b) -> a | b) AS w0,
-                   CASE WHEN CAST(embedding[64] AS DOUBLE) > 0
-                        THEN CAST(1 AS BIGINT)
-                        ELSE CAST(0 AS BIGINT) END AS w1
-            FROM embeddings),
-          ham AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   CAST(bit_count(xor(q.w0, c.w0))
-                        + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
-            FROM sig c CROSS JOIN (SELECT * FROM sig WHERE vec_id < 10) q
-            WHERE q.vec_id <> c.vec_id),
-          cand AS (
-            SELECT query_id, neighbor_id, hamming,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY hamming, neighbor_id)
-                     AS h_rank
-            FROM ham),
-          scored AS (
-            SELECT cand.query_id, cand.neighbor_id, cand.hamming,
-                   ${duckDot("q.embedding", "c.embedding")}
-                     / (q.nrm * c.nrm) AS cos_sim
-            FROM cand
-            JOIN sig c ON c.vec_id = cand.neighbor_id
-            JOIN sig q ON q.vec_id = cand.query_id
-            WHERE cand.h_rank <= 160),
-          ranked AS (
-            SELECT query_id, neighbor_id, hamming, cos_sim,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos_sim DESC, neighbor_id)
-                     AS rank
-            FROM scored)
-          SELECT query_id, neighbor_id, hamming, cos_sim, rank
-          FROM ranked WHERE rank <= 10
-          ORDER BY query_id, rank""",
+    "q203_ann_binary_quant" -> binaryTopKReplay("TRUE"),
+
+    // q204: the persisted-index lifecycle equals q203's inline scan over
+    // the EFFECTIVE corpus — build(even) + append(odd) − delete(tenth);
+    // signatures are a pure function of (vector, dim), so the replay is
+    // the same pack/pool/rerank with the candidate side filtered
+    "q204_ann_binary_index_lifecycle" ->
+      binaryTopKReplay("vec_id % 10 <> 7"),
+
+    // q205: exactly-once streamed ingest into the dim-pinned shell must
+    // serve identically to the inline full-corpus scan — q203 verbatim
+    "q205_stream_binary_ingest" -> binaryTopKReplay("TRUE"),
 
     // q35's replay over the quantize→dequantize round trip:
     // floor(x·200 + 0.5) clamped to int8, back to doubles, same ranking

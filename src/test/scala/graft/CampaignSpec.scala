@@ -360,6 +360,37 @@ class CampaignSpec extends AnyFunSuite {
     intercept[IllegalStateException] { pinned() }
   }
 
+  test("a binary-index member pins and serves with the rest of the campaign") {
+    val bi = "target/graft-test-campaign-binary"
+    val text = "target/graft-test-campaign-binary-text"
+    wipe(bi, text)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.ext.Similarity.saveBinaryIndex(emb, bi, dim = 64)
+    Search.saveTextIndex(docRows.toDF("doc_id", "text"), text)
+    Search.compactTextIndex(spark, text)
+    val members = Seq(Campaign.BinaryIndex(bi), Campaign.TextIndex(text))
+    Campaign.snapshot(spark, "rel", members)
+    val qset = emb.where(col("vec_id") < 3)
+    def pinned() = graft.ext.Similarity
+      .binaryTopKIndexedSnapshot(spark, qset, emb, bi, "rel", k = 5)
+      .collect().map(_.toSeq).toSet
+    val atPin = pinned()
+    assert(atPin.nonEmpty)
+    // maintenance on the binary member after the pin is invisible through it
+    graft.ext.Similarity.deleteFromBinaryIndex(spark, bi,
+      emb.where(pmod(col("vec_id"), lit(3)) === 1).select("vec_id"))
+    assert(pinned() == atPin)
+    // cross-family restore brings the deleted signatures back
+    Campaign.restore(spark, "rel", members)
+    val live = graft.ext.Similarity
+      .binaryTopKIndexed(spark, qset, emb, bi, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(live == atPin)
+    Campaign.drop(spark, "rel", members)
+    Campaign.vacuum(spark, members)
+    intercept[IllegalStateException] { pinned() }
+  }
+
   test("a winnow-manifest member pins and serves with the rest of the campaign") {
     val wm = "target/graft-test-campaign-winnow"
     val text = "target/graft-test-campaign-winnow-text"

@@ -87,6 +87,57 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("binary index lifecycle: grown == fresh union build, delete == survivors, pins hold") {
+    val fs = new org.apache.hadoop.fs.Path("target").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val path = "target/graft-test-binary-idx"
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val rnd = new scala.util.Random(21)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 3)
+    def serve() = Similarity.binaryTopKIndexed(spark, queries, vecs, path,
+        k = 5, overfetch = 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(4)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // build even half + append odd half == fresh inline scan of the union
+    Similarity.saveBinaryIndex(
+      vecs.where(pmod(col("vec_id"), lit(2)) === 0), path, dim = 16)
+    Similarity.appendToBinaryIndex(
+      vecs.where(pmod(col("vec_id"), lit(2)) === 1), path)
+    val inline = Similarity.binaryTopK(queries, vecs, k = 5,
+        overfetch = 3, dim = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(4)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(serve() == inline)
+    // pin, delete a slice, compact: the live serve equals a fresh build
+    // over the survivors; the pin keeps serving the pre-delete state
+    Similarity.snapshotBinaryIndex(spark, path, "pre_del")
+    val atPin = serve()
+    Similarity.deleteFromBinaryIndex(spark, path,
+      vecs.where(pmod(col("vec_id"), lit(10)) === 7).select("vec_id"))
+    // previous-vs-live diff sees the deletion (run BEFORE compaction —
+    // compaction would supersede the pre-delete state as "previous")
+    val diff = Similarity.binaryMaintenanceDiff(spark, queries, vecs, path,
+        k = 5, overfetch = 3)
+      .collect().map(_.getString(6))
+    assert(diff.toSet.subsetOf(Set("dropped", "entered", "moved", "held")))
+    Similarity.compactBinaryIndex(spark, path)
+    val survivors = vecs.where(pmod(col("vec_id"), lit(10)) =!= 7)
+    val fresh = Similarity.binaryTopK(queries, survivors, k = 5,
+        overfetch = 3, dim = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(4)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(serve() == fresh)
+    val pinned = Similarity.binaryTopKIndexedSnapshot(spark, queries, vecs,
+        path, "pre_del", k = 5, overfetch = 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(4)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(pinned == atPin)
+    Similarity.dropBinaryIndexSnapshot(spark, path, "pre_del")
+  }
+
   test("DotProduct is null-safe and handles empty arrays") {
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
