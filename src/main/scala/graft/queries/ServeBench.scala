@@ -31,6 +31,8 @@ object ServeBench {
   private def pqPath(d: String) = s"target/graft-servebench-pq-${sfTag(d)}"
   private def winnowPath(d: String) =
     s"target/graft-servebench-winnow-${sfTag(d)}"
+  private def binaryPath(d: String) =
+    s"target/graft-servebench-binary-${sfTag(d)}"
 
   private def deq(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
@@ -88,6 +90,9 @@ object ServeBench {
       val emb = t(s, d, "embeddings")
       Similarity.savePqIndex(emb, pqPath(d), m = 8, nCent = 16, dim = 64)
     }),
+    "binary" -> ((s, d) =>
+      Similarity.saveBinaryIndex(t(s, d, "embeddings"), binaryPath(d),
+        dim = 64)),
     "winnow" -> ((s, d) =>
       Dedup.saveWinnowManifest(
         t(s, d, "documents").where(pmod(col("doc_id"), lit(2)) === 0),
@@ -264,6 +269,12 @@ object ServeBench {
     // campaign family: all three members from one pin (q133 tail) and
     // the post-restore live serve (q144 tail) — the serve-path
     // regression signal for the heaviest lifecycle composites
+    // persisted-binary Hamming+rerank serve (q204 tail): the packed-
+    // words scan for candidates, exact cosine over the 16k pool
+    "s21_binary_topk" -> ((s, d) =>
+      Similarity.binaryTopKIndexed(s,
+        t(s, d, "embeddings").where(col("vec_id") < 10),
+        t(s, d, "embeddings"), binaryPath(d), k = 10)),
     "s19_campaign_snapshot" -> ((s, d) =>
       campaignUnion(s, d, Some("bench_campaign"))),
     "s20_campaign_restore_serve" -> ((s, d) =>
