@@ -33,8 +33,22 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in deterministic double arithmetic. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in deterministic double arithmetic. Zero-norm
+    * inputs yield NaN (undefined direction — the [[normalizeVec]]
+    * contract): under Spark 4's default ANSI mode a bare x/0.0 THROWS
+    * DIVIDE_BY_ZERO even for doubles, so every scoring path must branch
+    * on the zero denominator or crash on the first zero embedding. NaN
+    * sorts LAST under a descending rank, so zero vectors lose every
+    * top-k contest instead of killing the job. */
+  def cosine(a: Column, b: Column): Column =
+    safeCosine(dot(a, b), norm(a), norm(b))
+
+  /** The ONE guarded cosine division every pair-scoring site goes
+    * through (see [[cosine]] — ANSI throws on double /0). */
+  private[ext] def safeCosine(dotCol: Column, na: Column,
+                              nb: Column): Column =
+    when(na * nb === lit(0.0), lit(Double.NaN))
+      .otherwise(dotCol / (na * nb))
 
   /** Brute-force top-k cosine neighbors for each query vector.
     * The query set is broadcast; ranking ties break on corpus id.
@@ -55,11 +69,18 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+        safeCosine(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm"))
           .as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // zero-norm sides score NaN (safeCosine), and BOTH Spark and DuckDB
+    // sort NaN as the LARGEST double — unfiltered, a zero vector would
+    // win rank 1 of every top-k. Undefined-direction pairs are EXCLUDED
+    // (the simhashSignatures null-doc rule); joinBackToCorpus restores
+    // coverage rows where a caller needs them.
+    scored.where(!isnan(col("cos_sim")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Pack the SIGN BITS of a (castable) vector column into
@@ -181,11 +202,14 @@ object Similarity {
       .join(cVec, Seq("neighbor_id"))
       .join(broadcast(qVec), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("hamming"),
-        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+        safeCosine(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm"))
           .as("cos_sim"))
     val wC = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(wC))
+    // NaN (zero-norm) pairs excluded before ranking — see topKBruteForce
+    scored.where(!isnan(col("cos_sim")))
+      .withColumn("rank", row_number().over(wC))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("hamming"),
         col("cos_sim"), col("rank"))
@@ -422,11 +446,18 @@ object Similarity {
         col("neighbor_label") =!= col("query_label"))
       .select(col("query_id"), col("query_label"), col("neighbor_id"),
         col("neighbor_label"),
-        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+        safeCosine(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm"))
           .as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // zero-norm sides score NaN (safeCosine), and BOTH Spark and DuckDB
+    // sort NaN as the LARGEST double — unfiltered, a zero vector would
+    // win rank 1 of every top-k. Undefined-direction pairs are EXCLUDED
+    // (the simhashSignatures null-doc rule); joinBackToCorpus restores
+    // coverage rows where a caller needs them.
+    scored.where(!isnan(col("cos_sim")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** L2-normalize a (castable) vector column elementwise — the
@@ -752,11 +783,14 @@ object Similarity {
       .join(cVec, Seq("neighbor_id"))
       .join(broadcast(qVec), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+        safeCosine(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm"))
           .as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // NaN (zero-norm) pairs excluded before ranking — see topKBruteForce
+    exact.where(!isnan(col("cos_sim")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   // ----------------------------------------------------- PQ index persistence
@@ -941,11 +975,14 @@ object Similarity {
       .join(cVec, Seq("neighbor_id"))
       .join(broadcast(qVec), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+        safeCosine(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm"))
           .as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // NaN (zero-norm) pairs excluded before ranking — see topKBruteForce
+    exact.where(!isnan(col("cos_sim")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Compact a [[savePqIndex]] index after a run of per-batch appends:
@@ -1341,8 +1378,8 @@ object Similarity {
     t.crossJoin(broadcast(probes))
       .withColumn("best",
         aggregate(col("probes"), init, (acc, p) => {
-          val c = dot(col("tv"), p.getField("pv")) /
-            (col("tnrm") * p.getField("pnrm"))
+          val c = safeCosine(dot(col("tv"), p.getField("pv")),
+            col("tnrm"), p.getField("pnrm"))
           when(c > acc.getField("cos"),
             struct(c.as("cos"), p.getField("pid").as("pid")))
             .otherwise(acc)
@@ -1504,11 +1541,18 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+        safeCosine(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm"))
           .as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // zero-norm sides score NaN (safeCosine), and BOTH Spark and DuckDB
+    // sort NaN as the LARGEST double — unfiltered, a zero vector would
+    // win rank 1 of every top-k. Undefined-direction pairs are EXCLUDED
+    // (the simhashSignatures null-doc rule); joinBackToCorpus restores
+    // coverage rows where a caller needs them.
+    scored.where(!isnan(col("cos_sim")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Banded sign-LSH near-duplicate pairs: the scale path for
@@ -1604,7 +1648,8 @@ object Similarity {
       .join(c.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
       .join(c.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_sim"))
+        safeCosine(dot(col("v_a"), col("v_b")),
+          col("n_a"), col("n_b")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
     pairs
   }
@@ -1786,11 +1831,18 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("centroid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+        safeCosine(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm"))
           .as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // zero-norm sides score NaN (safeCosine), and BOTH Spark and DuckDB
+    // sort NaN as the LARGEST double — unfiltered, a zero vector would
+    // win rank 1 of every top-k. Undefined-direction pairs are EXCLUDED
+    // (the simhashSignatures null-doc rule); joinBackToCorpus restores
+    // coverage rows where a caller needs them.
+    scored.where(!isnan(col("cos_sim")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Corpus COMPOSITION over embedding clusters: assign every vector to
@@ -2348,11 +2400,18 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("centroid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+        safeCosine(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm"))
           .as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // zero-norm sides score NaN (safeCosine), and BOTH Spark and DuckDB
+    // sort NaN as the LARGEST double — unfiltered, a zero vector would
+    // win rank 1 of every top-k. Undefined-direction pairs are EXCLUDED
+    // (the simhashSignatures null-doc rule); joinBackToCorpus restores
+    // coverage rows where a caller needs them.
+    scored.where(!isnan(col("cos_sim")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
@@ -2388,7 +2447,8 @@ object Similarity {
       col("v").as("v_b"), col("nrm").as("n_b"))
     val dups = a.join(b, Seq("centroid"))
       .where(col("id_a") < col("id_b"))
-      .where(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")) >= tau)
+      .where(safeCosine(dot(col("v_a"), col("v_b")),
+        col("n_a"), col("n_b")) >= tau)
       .groupBy(col("id_b").as("vec_id")).agg(min(col("id_a")).as("dup_of"))
     assigned.select(col("vec_id"), col("centroid"))
       .join(dups, Seq("vec_id"), "left")
@@ -2422,7 +2482,8 @@ object Similarity {
       norm(col(vecCol)).as("n_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos_sim"))
+        safeCosine(dot(col("v_a"), col("v_b")),
+          col("n_a"), col("n_b")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 }

@@ -142,6 +142,36 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(messyOut(3L) == 0L && messyOut(6L) == 0L)
   }
 
+  test("binary quantization tolerates empty corpora, zero vectors, dim 1") {
+    import graft.ext.Similarity
+    val some = Seq((1L, Seq(0.5, -0.2)), (2L, Seq(-0.1, 0.9)))
+      .toDF("vec_id", "embedding")
+    val none = some.where(lit(false))
+    // empty corpus -> empty result, no pool/rank blowup
+    assert(Similarity.binaryTopK(some, none, k = 3, dim = 2).count() == 0)
+    // empty query side -> empty result
+    assert(Similarity.binaryTopK(none, some, k = 3, dim = 2).count() == 0)
+    // a ZERO vector must neither crash the rerank (under ANSI a bare
+    // double /0 THROWS — the round-15 safeCosine guard) nor win rank 1
+    // (Spark AND DuckDB sort NaN as the LARGEST double): undefined-
+    // direction pairs are EXCLUDED before ranking, the
+    // simhashSignatures null-doc rule
+    val withZero = some.union(
+      Seq((3L, Seq(0.0, 0.0))).toDF("vec_id", "embedding"))
+    val out = Similarity.binaryTopK(withZero.where(col("vec_id") === 1),
+      withZero, k = 2, dim = 2)
+      .collect().map(r => r.getInt(4) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 2L)) // the zero vector never pairs
+    // a zero-norm QUERY likewise returns no rows instead of crashing
+    assert(Similarity.binaryTopK(withZero.where(col("vec_id") === 3),
+      some, k = 2, dim = 2).count() == 0)
+    // dim 1: one word, one bit
+    val d1 = Seq((1L, Seq(1.0)), (2L, Seq(-1.0))).toDF("vec_id", "embedding")
+    val w = d1.select(Similarity.binarySignWords(col("embedding"), 1))
+      .collect().map(_.getSeq[Long](0))
+    assert(w.map(_.toList).toSet == Set(List(1L), List(0L)))
+  }
+
   test("similarity round-12 operators tolerate empty and null-vector inputs") {
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     val some = Seq((1L, "A", Seq(1.0f, 0.0f)), (2L, "B", Seq(0.0f, 1.0f)))
