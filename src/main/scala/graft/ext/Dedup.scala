@@ -2311,4 +2311,174 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("fp_a"),
         col("fp_b"))
   }
+
+  /** Prefix-filtered exact set-similarity self-join (the AllPairs / PPJoin
+    * family — Bayardo/Ma/Srikant "Scaling Up All Pairs Similarity Search"
+    * WWW'07; Xiao et al. "Efficient Similarity Joins for Near Duplicate
+    * Detection" WWW'08): every unordered document pair whose DISTINCT
+    * word-`shingle`-gram sets have Jaccard ≥ `threshold`, with an EXACT
+    * contract (the oracle is the all-pairs self-join) but never an
+    * all-pairs plan. This fills the deliberate gap between
+    * [[ngramJaccardPairs]] (exact, but needs a caller-supplied blocking
+    * bucket) and [[minhashPairs]] (corpus-wide, but probabilistic recall):
+    * corpus-wide AND deterministic-recall-1.
+    *
+    * Candidate generation is the LOSSLESS prefix filter: order the gram
+    * vocabulary globally by (document frequency asc, gram asc) — rarest
+    * first — and explode only each set's first
+    * `p = L − floor(t·L) + 1` grams. Pigeonhole: if two sets share no
+    * prefix element, each retains at most `ceil(t·L) − 1 < t·L` elements
+    * outside the other's reach, so their Jaccard is < t. Rarest-first makes
+    * the candidate join self-limiting at scale: a stop-word-frequency gram
+    * enters a prefix only when a document has almost nothing rarer, so
+    * candidate-bucket sizes track true-duplicate density, not vocabulary
+    * skew. The df table itself is one linear aggregate, joined back by
+    * gram — no global rank/row_number bottleneck.
+    *
+    * Float safety: the prefix length uses `floor(t·L − 1e-9)` and the
+    * symmetric size filter `min(L) ≥ t·max(L) − 1e-9`, each relaxed by an
+    * epsilon so IEEE rounding can only ADD candidates (the exact
+    * [[graft.functions.SetExpressions.sortedSetJaccard]] verification
+    * removes them); tightening would silently drop true pairs.
+    *
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, one row per true
+    * pair. Documents with no `shingle`-gram (text NULL or shorter than
+    * `shingle` tokens) emit nothing — an empty set has no defined Jaccard.
+    */
+  def setSimJoinPairs(df: DataFrame, textCol: String, idCol: String,
+                      threshold: Double = 0.7,
+                      shingle: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1], got $threshold")
+    require(shingle >= 1, s"shingle >= 1, got $shingle")
+    val sets = df.select(col(idCol).as("doc"),
+      array_sort(transform(wordNgrams(col(textCol), shingle),
+        g => xxhash64(g))).as("grams"))
+      .where(size(col("grams")) >= 1)
+      .withColumn("l", size(col("grams")))
+    // Gram document frequency: the global rarest-first ordering key. One
+    // linear explode + count; at corpus scale this relation is
+    // vocabulary-sized and hash-joins back by gram.
+    val gdf = sets.select(explode(col("grams")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("gdf"))
+    // Rank each doc's grams by (df asc, gram asc) WITHOUT a global
+    // row_number: the (df, gram) pair is itself a total order, so sorting
+    // the per-doc struct array and slicing the first p entries is the
+    // prefix. p = l − floor(t·l − ε) + 1 (ε relaxes, see scaladoc).
+    val ranked = sets.select(col("doc"), col("l"), explode(col("grams")).as("g"))
+      .join(gdf, Seq("g"))
+      .groupBy("doc", "l")
+      .agg(array_sort(collect_list(struct(col("gdf"), col("g")))).as("ord"))
+      .withColumn("p",
+        col("l") - floor(lit(threshold) * col("l") - lit(1e-9)).cast("int")
+          + lit(1))
+    val prefix = ranked.select(col("doc"), col("l"),
+      posexplode(slice(col("ord"), lit(1), col("p").cast("int"))))
+      .select(col("doc"), col("l"), (col("pos") + 1).as("rk"),
+        col("col.g").as("g"))
+    // Candidate pairs: equi-join on a shared prefix gram + two more
+    // lossless prunes, deduplicated before verification so each pair pays
+    // one merge-walk:
+    //  - size filter: Jaccard ≥ t forces t·max(L) ≤ min(L);
+    //  - PPJoin positional filter: Jaccard ≥ t ⟺ overlap o ≥ α =
+    //    t/(1+t)·(La+Lb); a match at ordered positions (i, j) bounds the
+    //    overlap THROUGH that match by 1 + min(La−i, Lb−j). Lossless
+    //    because a true pair survives via its FIRST shared gram in the
+    //    global order: that gram lies inside both prefixes (if all shared
+    //    grams sat beyond A's prefix then o < t·La, but o ≥ α ≥ t·La
+    //    given Lb ≥ t·La from the size filter — contradiction), and at
+    //    the first match nothing shared precedes (i, j), so the bound
+    //    there is ≥ o ≥ α and the row passes.
+    val alpha =
+      lit(threshold / (1.0 + threshold)) * (col("a.l") + col("b.l")) -
+        lit(1e-9)
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc") < col("b.doc") &&
+          least(col("a.l"), col("b.l")) >=
+            lit(threshold) * greatest(col("a.l"), col("b.l")) - lit(1e-9) &&
+          lit(1) + least(col("a.l") - col("a.rk"),
+            col("b.l") - col("b.rk")) >= alpha)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    val setsA = sets.select(col("doc").as("doc_a"), col("grams").as("g_a"))
+    val setsB = sets.select(col("doc").as("doc_b"), col("grams").as("g_b"))
+    cand.join(setsA, Seq("doc_a")).join(setsB, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.SetExpressions
+          .sortedSetJaccard(col("g_a"), col("g_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact edit-distance self-join over a string VALUE DOMAIN (q-gram
+    * count filtering — Gravano et al., "Approximate String Joins in a
+    * Database (Almost) for Free", VLDB'01): every unordered pair of
+    * DISTINCT non-null `strCol` values within Levenshtein distance
+    * `maxDist`, without an all-pairs scan. The record-linkage primitive:
+    * production runs it on the deduplicated value domain (|V| distinct
+    * names/titles ≪ row count at 100 TB) and equi-joins survivors back to
+    * rows.
+    *
+    * Candidates come from two LOSSLESS branches:
+    *  - **q-gram count filter** (the scale path): one edit destroys at
+    *    most `q` positional q-grams, so `lev(a,b) ≤ d` forces the
+    *    MULTISET q-gram overlap `≥ max(|a|,|b|) − q + 1 − q·d`. Multiset
+    *    semantics become an equi-join by keying each gram with its
+    *    occurrence index (row_number within (value, gram) by position):
+    *    join rows per pair = Σ_g min(cnt_a, cnt_b). Pairs whose bound is
+    *    ≥ 1 — i.e. max length ≥ q·(d+1) — are guaranteed caught here.
+    *  - **short-value band** : values shorter than `q·(maxDist+1)` can be
+    *    inside distance d while sharing zero grams; they pair among
+    *    themselves under the length filter. The set is domain-bounded
+    *    (strings under a constant length), not data-sized.
+    *    A (short, long) pair is covered by the gram branch: its bound
+    *    uses max length.
+    *
+    * Both branches also apply the length filter `||a|−|b|| ≤ d` (an
+    * insertion/deletion changes length by one). Verification uses Spark's
+    * codegen'd thresholded `levenshtein(a, b, d)` — early-exit at `d`, so
+    * verify cost is O(d·len) per candidate, not O(len²).
+    *
+    * Output: (name_a, name_b, dist), name_a < name_b, dist in [1, maxDist].
+    */
+  def editDistanceJoin(df: DataFrame, strCol: String,
+                       maxDist: Int = 2, q: Int = 2): DataFrame = {
+    require(maxDist >= 1, s"maxDist >= 1, got $maxDist")
+    require(q >= 1, s"q >= 1, got $q")
+    val names = df.select(col(strCol).as("name"))
+      .where(col("name").isNotNull).distinct()
+      .withColumn("len", length(col("name")))
+    // Positional q-grams with occurrence indices: multiset intersection as
+    // an equi-join on (gram, occ).
+    val grams = names
+      .select(col("name"), col("len"),
+        posexplode(transform(sequence(lit(1), col("len") - (q - 1)),
+          i => col("name").substr(i, lit(q)))))
+      .withColumn("occ", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("name"), col("col")).orderBy(col("pos"))))
+      .select(col("name"), col("len"), col("col").as("g"), col("occ"))
+    val gramCand = grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.occ") === col("b.occ") &&
+          col("a.name") < col("b.name") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .groupBy(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        col("a.len").as("len_a"), col("b.len").as("len_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >=
+        greatest(col("len_a"), col("len_b")) - (q - 1) - q * maxDist)
+      .select(col("name_a"), col("name_b"))
+    val shortBound = q * (maxDist + 1)
+    val shorts = names.where(col("len") < shortBound)
+    val shortCand = shorts.as("a")
+      .join(shorts.as("b"),
+        col("a.name") < col("b.name") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    gramCand.union(shortCand).distinct()
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist))
+      .where(col("dist") =!= -1)
+  }
 }

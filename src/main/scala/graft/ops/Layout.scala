@@ -31,13 +31,44 @@ object Layout {
     */
   def zorder2(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits in [1, 31], got $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftrightunsigned(a.cast("long"), i)
-          .bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftrightunsigned(b.cast("long"), i)
-          .bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    zorderN(Seq(a, b), bits)
   }
+
+  /** Morton interleave of `k` NON-NEGATIVE integer columns' low `bits`
+    * bits: bit i of column j lands at position i·k + j (so `zorderN(Seq(a,
+    * b), bits)` is exactly [[zorder2]]). The key must fit a non-negative
+    * long: k·bits ≤ 63. Same codegen'd OR-chain shape — cost is linear in
+    * k·bits, no UDF. Production tables z-order 3-4 columns routinely
+    * (order, part, supplier, date); each added column divides per-column
+    * resolution, which is the curve's intrinsic trade, not an
+    * implementation limit.
+    */
+  def zorderN(cols: Seq[Column], bits: Int = 16): Column = {
+    val k = cols.size
+    require(k >= 2, s"zorderN needs >= 2 columns, got $k")
+    require(bits >= 1 && k * bits <= 63,
+      s"k*bits must be in [k, 63], got $k*$bits")
+    (for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftrightunsigned(c.cast("long"), i)
+      .bitwiseAND(lit(1L)), i * k + j)).reduce(_ bitwiseOR _)
+  }
+
+  /** Hilbert-curve index of two NON-NEGATIVE integer columns' low `bits`
+    * bits (Hilbert 1891; the xy→d walk in Hamilton's compact form) — the
+    * locality-optimal alternative to [[zorder2]]: the Hilbert curve never
+    * jumps (consecutive keys are always grid neighbors), so the
+    * rectangles a contiguous key range covers are tighter than Morton's,
+    * which teleports across the space at every power-of-two boundary.
+    * Databricks ships exactly this upgrade as liquid clustering's curve.
+    * The per-bit state rotation makes a Column-fold expression tree grow
+    * exponentially (x and y each feed the next level twice), so this is a
+    * custom codegen'd expression — a real loop in generated Java, O(bits)
+    * per row ([[graft.functions.HilbertIndex2]]).
+    */
+  def hilbert2(a: Column, b: Column, bits: Int = 16): Column =
+    graft.functions.SpaceFillingExpressions.hilbertIndex2(a, b, bits)
 
   /** Write `df` to parquet CLUSTERED on the z-value of (`a`, `b`):
     * both columns are min/max-NORMALIZED to the full `bits` width
@@ -63,28 +94,53 @@ object Layout {
     */
   def zorderWrite(df: DataFrame, a: String, b: String, path: String,
                   nFiles: Int = 4, bits: Int = 16,
-                  rowGroupBytes: Int = 16 * 1024): Unit = {
-    val s = df.agg(min(col(a)).cast("long"), max(col(a)).cast("long"),
-      min(col(b)).cast("long"), max(col(b)).cast("long")).head()
-    require(!s.isNullAt(0) && !s.isNullAt(2),
-      s"zorderWrite: $a/$b must be non-null numeric columns")
-    val (aMin, aMax, bMin, bMax) =
-      (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+                  rowGroupBytes: Int = 16 * 1024): Unit =
+    zorderWriteN(df, Seq(a, b), path, nFiles, bits, rowGroupBytes)
+
+  /** [[zorderWrite]] over `k ≥ 2` columns (key = [[zorderN]]). */
+  def zorderWriteN(df: DataFrame, cols: Seq[String], path: String,
+                   nFiles: Int = 4, bits: Int = 16,
+                   rowGroupBytes: Int = 16 * 1024): Unit =
+    clusteredWrite(df, cols, cs => zorderN(cs, bits), path, nFiles, bits,
+      rowGroupBytes)
+
+  /** [[zorderWrite]] with the Hilbert key ([[hilbert2]]) — identical
+    * write shape, strictly better locality (measured in LayoutSpec). */
+  def hilbertWrite(df: DataFrame, a: String, b: String, path: String,
+                   nFiles: Int = 4, bits: Int = 16,
+                   rowGroupBytes: Int = 16 * 1024): Unit =
+    clusteredWrite(df, Seq(a, b), cs => hilbert2(cs(0), cs(1), bits), path,
+      nFiles, bits, rowGroupBytes)
+
+  private def clusteredWrite(df: DataFrame, cols: Seq[String],
+                             key: Seq[Column] => Column, path: String,
+                             nFiles: Int, bits: Int,
+                             rowGroupBytes: Int): Unit = {
+    // one min/max aggregate for every clustering column (map-side
+    // partial, 2k cells of driver state)
+    val aggs = cols.flatMap(n =>
+      Seq(min(col(n)).cast("long"), max(col(n)).cast("long")))
+    val s = df.agg(aggs.head, aggs.tail: _*).head()
+    val ranges = cols.zipWithIndex.map { case (n, j) =>
+      require(!s.isNullAt(2 * j),
+        s"clusteredWrite: $n must be a non-null numeric column")
+      (n, s.getLong(2 * j), s.getLong(2 * j + 1))
+    }
     val top = (1L << bits) - 1
-    Seq((a, aMin, aMax), (b, bMin, bMax)).foreach { case (n, mn, mx) =>
+    ranges.foreach { case (n, mn, mx) =>
       // (v − mn)·top must stay under 2^53: Spark's `/` on longs is
       // DOUBLE division, and below 2^53 the numerator is exactly
       // representable, so truncation equals exact integer division
       require(mx - mn < (1L << (53 - bits)),
-        s"zorderWrite: $n range ${mx - mn} too wide for $bits-bit " +
+        s"clusteredWrite: $n range ${mx - mn} too wide for $bits-bit " +
           "normalization — bucket the column first (v div width)")
     }
     def scaled(c: Column, mn: Long, mx: Long): Column =
       if (mx > mn)
         ((c.cast("long") - lit(mn)) * lit(top) / lit(mx - mn)).cast("long")
       else lit(0L)
-    df.withColumn("_z", zorder2(scaled(col(a), aMin, aMax),
-        scaled(col(b), bMin, bMax), bits))
+    df.withColumn("_z", key(ranges.map { case (n, mn, mx) =>
+        scaled(col(n), mn, mx) }))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")

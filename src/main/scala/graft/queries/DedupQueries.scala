@@ -246,6 +246,20 @@ object DedupQueries {
         bucketCol = "source", n = 2, threshold = 0.05)
         .orderBy("doc_id")),
 
+    "q206_setsim_join" -> ((s, d) =>
+      // prefix-filtered exact set-similarity join (AllPairs/PPJoin):
+      // corpus-wide, deterministic recall 1, no blocking bucket and no
+      // banding — the lossless prefix filter replaces both
+      Dedup.setSimJoinPairs(t(s, d, "documents"), "text", "doc_id",
+        threshold = 0.7, shingle = 3)
+        .orderBy("doc_a", "doc_b")),
+
+    "q207_editdist_join" -> ((s, d) =>
+      // q-gram count-filtered Levenshtein join over the distinct value
+      // domain (record linkage on part names)
+      Dedup.editDistanceJoin(t(s, d, "part"), "p_name", maxDist = 2, q = 2)
+        .orderBy("name_a", "name_b")),
+
     "q38_dedup_embed_cosine" -> ((s, d) => {
       // embedding-cosine near-dup, LSH-bucketed (the q36 brute-force's scale
       // path). Vectors come from the SQL-portable feature-hash embedding so
@@ -831,6 +845,37 @@ object DedupQueries {
          SELECT node AS doc_id, min(r) AS cluster_rep,
                 CAST(CASE WHEN node = min(r) THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
          FROM reach GROUP BY node ORDER BY doc_id""",
+
+    // q206: the prefix filter is lossless, so the oracle is the exact
+    // all-pairs 3-gram-shingle Jaccard self-join — same double division
+    // (CAST(i AS DOUBLE) / (la + lb - i)) as the engine's merge-walk
+    "q206_setsim_join" ->
+      """WITH g AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                  AS grams
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL))
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / (len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams))) AS jaccard
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE len(a.grams) >= 1 AND len(b.grams) >= 1)
+         WHERE jaccard >= 0.7
+         ORDER BY doc_a, doc_b""",
+
+    // q207: count filter + short band are lossless, so the oracle is the
+    // exact all-pairs Levenshtein self-join over the distinct value domain
+    "q207_editdist_join" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part
+                    WHERE p_name IS NOT NULL)
+         SELECT a.name AS name_a, b.name AS name_b,
+                CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+         FROM n a JOIN n b ON a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 2
+         ORDER BY name_a, name_b""",
 
     "q38_dedup_embed_cosine" ->
       s"""WITH v AS ($portableVectors),

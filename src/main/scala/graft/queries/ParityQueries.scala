@@ -300,6 +300,35 @@ object ParityQueries {
         .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
     }),
 
+    "q208_zorder3_scan" -> ((s, d) => {
+      // THREE-column Morton layout: the same rewrite clustered on
+      // (l_orderkey, l_partkey, l_suppkey) answers a range on the THIRD
+      // dimension — a 2-column z-order cannot prune this at all
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      val path = s"target/graft-zorder3-${graft.ops.Tables.sfTag(d)}"
+      graft.ops.Layout.zorderWriteN(li,
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), path)
+      s.read.parquet(path)
+        .where(col("l_suppkey") >= 20 && col("l_suppkey") < 40 &&
+          col("l_orderkey") >= 2000 && col("l_orderkey") < 9000)
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    }),
+
+    "q209_hilbert_scan" -> ((s, d) => {
+      // Hilbert-curve layout: q201's rewrite with the locality-optimal
+      // key (consecutive keys are always grid neighbors — no Morton
+      // teleports), same stock-parquet pruning machinery
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      val path = s"target/graft-hilbert-${graft.ops.Tables.sfTag(d)}"
+      graft.ops.Layout.hilbertWrite(li, "l_orderkey", "l_partkey", path)
+      s.read.parquet(path)
+        .where(col("l_partkey") >= 100 && col("l_partkey") < 180 &&
+          col("l_orderkey") >= 2000 && col("l_orderkey") < 9000)
+        .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    }),
+
     "q18_rollup" -> ((s, d) => {
       // grouping-sets family (absent from the reference, SURVEY §2.6):
       // region/nation subtotal hierarchy in one pass over the joined dims
@@ -472,6 +501,22 @@ object ParityQueries {
     // q201: a layout rewrite must never change the rows — the range
     // query answers identically off the original table
     "q201_zorder_scan" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_partkey >= 100 AND l_partkey < 180
+           AND l_orderkey >= 2000 AND l_orderkey < 9000
+         ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""",
+
+    // q208/q209: same contract as q201 — a layout rewrite must never
+    // change the rows
+    "q208_zorder3_scan" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+         FROM lineitem
+         WHERE l_suppkey >= 20 AND l_suppkey < 40
+           AND l_orderkey >= 2000 AND l_orderkey < 9000
+         ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity""",
+
+    "q209_hilbert_scan" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
          FROM lineitem
          WHERE l_partkey >= 100 AND l_partkey < 180

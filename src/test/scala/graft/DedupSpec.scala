@@ -1217,4 +1217,89 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.ext.Dedup.winnowNearDupPairs(docs3, "text", "doc_id",
       3, 4, minShared = 1, maxDf = 3).count() == 3L)
   }
+
+  private def shingleSet(text: String, n: Int): Set[String] = {
+    val toks = text.split(" ")
+    if (toks.length < n) Set.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  test("setSimJoinPairs ≡ brute-force all-pairs Jaccard on randomized docs") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(len: Int): String =
+      Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // random docs + planted near-dups (one-token edits) + a too-short doc
+    // (< shingle tokens, must emit nothing) + a NULL-text doc
+    val bases = Seq.tabulate(20)(i => (i.toLong, doc(8 + rnd.nextInt(8))))
+    val edited = bases.take(6).map { case (id, text) =>
+      val toks = text.split(" ")
+      val j = rnd.nextInt(toks.length)
+      (100L + id, toks.updated(j, vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val all = bases ++ edited ++ Seq((200L, "alpha beta"), (201L, null))
+    val df = all.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val got = Dedup.setSimJoinPairs(df, "text", "doc_id", t, shingle = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val sets = all.collect { case (id, text) if text != null =>
+        id -> shingleSet(text, 3)
+      }.filter(_._2.nonEmpty)
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= t
+      } yield (ia, ib) -> j).toMap
+      assert(got == want, s"threshold $t")
+    }
+  }
+
+  test("setSimJoinPairs emits a pair sitting EXACTLY at the threshold") {
+    // trigram sets {abc,bcd,cde} vs {abc,bcd,cdf}: |A∩B| = 2 of union 4
+    // → jaccard exactly 0.5; t·L integral (L = 3, 0.5·3) exercises the
+    // floor/epsilon prefix-length edge
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d f")).toDF("doc_id", "text")
+    val out = Dedup.setSimJoinPairs(df, "text", "doc_id", 0.5, shingle = 3)
+      .collect()
+    assert(out.length == 1 && out(0).getDouble(2) == 0.5)
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("editDistanceJoin ≡ brute-force Levenshtein over the value domain") {
+    val rnd = new scala.util.Random(77)
+    val alpha = "abc"
+    def word(len: Int): String =
+      Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+    // short strings (< q·(d+1) = 6 chars) exercise the band branch;
+    // longer ones the q-gram count filter; duplicates + NULL must not
+    // multiply or crash (value-domain semantics)
+    val words = (Seq.fill(30)(word(1 + rnd.nextInt(4))) ++
+      Seq.fill(30)(word(6 + rnd.nextInt(6))) ++
+      Seq("abcabc", "abcabd", "aabbcc")).distinct
+    val rows = words.flatMap(w => Seq(w, w)) :+ null // dup every value
+    val df = rows.map(Tuple1(_)).toDF("p_name")
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.editDistanceJoin(df, "p_name", maxDist = d, q = 2)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
+        .toMap
+      val want = (for {
+        a <- words; b <- words if a < b
+        dist = lev(a, b) if dist <= d
+      } yield (a, b) -> dist).toMap
+      assert(got == want, s"maxDist $d")
+    }
+  }
 }
