@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge relations (the family
+  * [[Dedup.connectedComponents]] opened; this file holds the ranking
+  * side).
+  *
+  * PageRank (Page/Brin/Motwani/Winograd 1998) here is INTEGER
+  * fixed-point: ranks live in micro-units (`scale` = 10⁶ per unit of
+  * mass) and every step is integer arithmetic — `div` for the per-edge
+  * contribution split, `(damping · Σ) div 1000` for the damped update.
+  * Floating-point PageRank cannot be hash-compared across engines (the
+  * contribution sum's addition order differs run to run and engine to
+  * engine); integer sums are exactly associative and commutative, so the
+  * fixed-point variant is bit-reproducible ANYWHERE — the same
+  * integerization move the repo's Kneser–Ney and fingerprint families
+  * use. The cost is bounded truncation error (< 1 micro-unit per edge
+  * per round), irrelevant for ordering-quality uses like sampling
+  * weights.
+  */
+object Graph {
+
+  /** Deterministic integer PageRank over a DIRECTED edge relation
+    * `(src, dst)` (union both orientations for an undirected graph —
+    * [[coOccurrenceEdges]] does). Nodes are the edge endpoints; every
+    * rank starts at `scale` and updates for exactly `iters` rounds as
+    *
+    * {{{ r'(v) = base + (damping · Σ_{(u,v)∈E} (r(u) div outdeg(u))) div 1000 }}}
+    *
+    * with `base = (scale · (1000 − dampingPermille)) div 1000`. Output:
+    * `(id, rank_fp)` — BIGINT micro-unit ranks, one row per node.
+    *
+    * Scale shape: each round is one equi-join (edges ⋈ ranks on src, a
+    * shuffle on the edge key) + one map-side-combining groupBy(dst) +
+    * one left join back to the node set — the Pregel contraction without
+    * any driver-side state. Rounds end in an eager checkpoint so the
+    * plan stays flat in the round number (the
+    * [[Dedup.connectedComponents]] lineage rule). Dangling nodes (no
+    * out-edges) keep their mass out of circulation rather than
+    * redistributing it — the common simplification; callers who need
+    * mass conservation should add self-loops. Long-overflow bound: the
+    * damped product tops out near `dampingPermille · n · scale`, safe
+    * below ~10¹⁰ nodes at the default scale — beyond that, lower
+    * `scale` (the same bound DuckDB's BIGINT oracle carries, so an
+    * overflow would be loud in both engines, never silent drift).
+    */
+  def pageRankInt(edges: DataFrame, iters: Int = 5,
+                  dampingPermille: Int = 850,
+                  scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters >= 1, got $iters")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille in [0, 1000], got $dampingPermille")
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
+    val e = ckpt(edges.select(col("src"), col("dst")).distinct())
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val base = scale * (1000 - dampingPermille) / 1000
+    var rank = ckpt(nodes.select(col("id"), lit(scale).as("r")))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(rank.select(col("id").as("src"), col("r")), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("id"), expr("r div od").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      rank = ckpt(nodes
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"($dampingPermille * coalesce(s, 0L)) div 1000")).as("r")))
+    }
+    rank.select(col("id"), col("r").as("rank_fp"))
+  }
+
+  /** Undirected co-occurrence edges from a `(group, item)` relation:
+    * items sharing a group get both directed orientations, deduplicated.
+    * The co-click/co-order/co-citation graph constructor — per-group
+    * fanout is quadratic in the GROUP size (bounded by the domain: order
+    * baskets, sessions), never in the table, so the edge build is an
+    * equi-join on the group key, linear shuffles end to end.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String,
+                        itemCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("grp"), col(itemCol).as("item"))
+      .where(col("item").isNotNull).distinct()
+    g.as("a").join(g.as("b"),
+        col("a.grp") === col("b.grp") && col("a.item") =!= col("b.item"))
+      .select(col("a.item").as("src"), col("b.item").as("dst"))
+      .distinct()
+  }
+}

@@ -329,6 +329,17 @@ object ParityQueries {
         .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
     }),
 
+    "q210_pagerank_coorder" -> ((s, d) => {
+      // integer fixed-point PageRank over the co-order part graph (the
+      // co-click graph shape): micro-unit ranks, bit-reproducible in any
+      // engine — float PageRank could never hash-match an oracle
+      val edges = graft.ext.Graph.coOccurrenceEdges(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey")
+      graft.ext.Graph.pageRankInt(edges, iters = 5)
+        .select(col("id").as("part"), col("rank_fp"))
+        .orderBy("part")
+    }),
+
     "q18_rollup" -> ((s, d) => {
       // grouping-sets family (absent from the reference, SURVEY §2.6):
       // region/nation subtotal hierarchy in one pass over the joined dims
@@ -506,6 +517,34 @@ object ParityQueries {
          WHERE l_partkey >= 100 AND l_partkey < 180
            AND l_orderkey >= 2000 AND l_orderkey < 9000
          ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""",
+
+    // q210: the oracle replays the INTEGER fixed-point update exactly —
+    // r' = 150000 + (850·Σ(r div outdeg)) // 1000, all BIGINT, so the
+    // value is engine-independent (a float PageRank would hash-differ
+    // on summation order alone)
+    "q210_pagerank_coorder" -> {
+      val iterBlocks = (1 to 5).map { i =>
+        s"""c$i AS (SELECT e.dst AS id,
+                           CAST(sum(r.r // o.od) AS BIGINT) AS s
+                    FROM edges e JOIN r${i - 1} r ON r.id = e.src
+                    JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+            r$i AS (SELECT n.id,
+                           CAST(150000 + (850 * coalesce(c.s, 0)) // 1000
+                                AS BIGINT) AS r
+                    FROM nodes n LEFT JOIN c$i c USING (id))"""
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+                      FROM lineitem),
+          edges AS (SELECT DISTINCT a.item AS src, b.item AS dst
+                    FROM li a JOIN li b
+                    ON a.grp = b.grp AND a.item <> b.item),
+          nodes AS (SELECT src AS id FROM edges
+                    UNION SELECT dst FROM edges),
+          outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+          r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+          $iterBlocks
+          SELECT id AS part, r AS rank_fp FROM r5 ORDER BY part"""
+    },
 
     // q208/q209: same contract as q201 — a layout rewrite must never
     // change the rows

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ext.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integer fixed-point PageRank: must replay a plain-Scala reference of
+  * the same integer update exactly (that is the whole point of the
+  * integerization), honor the obvious structural orderings, and build
+  * co-occurrence edges without cross-group contamination.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          damping: Long = 850L,
+                          scale: Long = 1000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val base = scale * (1000 - damping) / 1000
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = e.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (src, _) => r(src) / outdeg(src) }.sum
+      }
+      r = nodes.map(n => n -> (base + damping * contrib.getOrElse(n, 0L) / 1000))
+        .toMap
+    }
+    r
+  }
+
+  test("pageRankInt ≡ plain-Scala integer reference on a random digraph") {
+    val rnd = new scala.util.Random(99)
+    val edges = Seq.fill(120)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(p => p._1 != p._2)
+    val got = Graph.pageRankInt(edges.toDF("src", "dst"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refPageRank(edges, iters = 4))
+  }
+
+  test("symmetric 2-cycle is a fixpoint at exactly `scale`; hubs outrank leaves") {
+    // a <-> b: r' = 150000 + 850·(10⁶ div 1) div 1000 = 10⁶ every round
+    val cyc = Graph.pageRankInt(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+      iters = 6).as[(Long, Long)].collect().toMap
+    assert(cyc == Map(1L -> 1000000L, 2L -> 1000000L))
+    // undirected star 0—{1,2,3}: the hub receives three whole ranks,
+    // each leaf a third of the hub's
+    val star = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L), (0L, 3L),
+      (3L, 0L))
+    val r = Graph.pageRankInt(star.toDF("src", "dst"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r(0L) > r(1L) && r(1L) == r(2L) && r(2L) == r(3L))
+  }
+
+  test("coOccurrenceEdges pairs within groups only, both orientations, deduped") {
+    val df = Seq((10L, "a"), (10L, "b"), (10L, "c"), (20L, "c"), (20L, "d"),
+      (30L, "a"), (30L, "b"), // repeat pair in another group — must dedup
+      (40L, "e"), // singleton group — no edges
+      (50L, null.asInstanceOf[String])).toDF("grp", "item")
+    val got = Graph.coOccurrenceEdges(df, "grp", "item")
+      .as[(String, String)].collect().toSet
+    val within = Set(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"))
+    assert(got == within.flatMap { case (x, y) => Set((x, y), (y, x)) })
+  }
+}
