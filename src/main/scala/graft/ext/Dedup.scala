@@ -2348,12 +2348,24 @@ object Dedup {
   def setSimJoinPairs(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double = 0.7,
                       shingle: Int = 3): DataFrame = {
+    require(shingle >= 1, s"shingle >= 1, got $shingle")
+    setSimJoinOnSets(df.select(col(idCol).as("doc"),
+      array_sort(transform(wordNgrams(col(textCol), shingle),
+        g => xxhash64(g))).as("grams")), threshold)
+  }
+
+  /** The [[setSimJoinPairs]] core over PRE-BUILT element sets: `sets`
+    * must carry (`doc`, `grams`) with `grams` a SORTED DISTINCT long
+    * array (any hashed element domain — word shingles, frame hashes,
+    * feature ids). Same lossless prefix + positional + size filters,
+    * same exact merge-walk verification, same (doc_a, doc_b, jaccard)
+    * output. Empty sets emit nothing.
+    */
+  def setSimJoinOnSets(setsIn: DataFrame,
+                       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0, 1], got $threshold")
-    require(shingle >= 1, s"shingle >= 1, got $shingle")
-    val sets = df.select(col(idCol).as("doc"),
-      array_sort(transform(wordNgrams(col(textCol), shingle),
-        g => xxhash64(g))).as("grams"))
+    val sets = setsIn
       .where(size(col("grams")) >= 1)
       .withColumn("l", size(col("grams")))
     // Gram document frequency: the global rarest-first ordering key. One

@@ -478,4 +478,42 @@ object Multimodal {
           s"(?<=\\G.{$chunkBytes})")).as(Seq("frame_idx", "frame")))
       .where(pmod(col("frame_idx"), lit(everyN)) === 0)
       .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("frame_len"))
+
+  /** [[sampleFrames]] keeping a CONTENT hash per sampled frame instead of
+    * its length — the input to frame-set video analytics. Same chunking
+    * contract as sampleFrames (split keeps the trailing empty frame at
+    * exact multiples; a NULL blob emits nothing). */
+  def frameHashes(blobs: DataFrame, chunkBytes: Int, everyN: Int): DataFrame =
+    blobs.select(col("doc_id"),
+        posexplode(split(col("blob").cast("string"),
+          s"(?<=\\G.{$chunkBytes})")).as(Seq("frame_idx", "frame")))
+      .where(pmod(col("frame_idx"), lit(everyN)) === 0)
+      .select(col("doc_id"), col("frame_idx"), xxhash64(col("frame")).as("fh"))
+
+  /** Near-duplicate VIDEOS by sampled-frame-set overlap: hash every
+    * `everyN`-th `chunkBytes` frame ([[frameHashes]]), collapse each video
+    * to its DISTINCT frame-hash set, and emit pairs whose sets have
+    * Jaccard ≥ `threshold` through the lossless prefix-filtered
+    * set-similarity join ([[Dedup.setSimJoinOnSets]]) — never an
+    * all-pairs plan, recall exactly 1 at the threshold (modulo 2⁻⁶⁴ hash
+    * collisions). This is the standard near-dup-video shape (per-frame
+    * fingerprints + set overlap): re-encodes and re-uploads share most
+    * frames; trims and overlays share a large fraction. Frame ORDER is
+    * deliberately ignored (a set, not a sequence) — robust to
+    * re-ordering edits, blind to them as differences.
+    *
+    * Output: (doc_a, doc_b, jaccard). The decode step is the repo's
+    * stub-decode contract (frames are byte chunks of the blob); the
+    * plumbing — sampling cadence, set collapse, join shape — is the real
+    * 100 TB path and is what this operator pins.
+    */
+  def videoNearDupPairs(blobs: DataFrame, chunkBytes: Int = 32,
+                        everyN: Int = 2,
+                        threshold: Double = 0.5): DataFrame =
+    graft.ext.Dedup.setSimJoinOnSets(
+      frameHashes(blobs, chunkBytes, everyN)
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_set(col("fh"))).as("grams"))
+        .select(col("doc_id").as("doc"), col("grams")),
+      threshold)
 }

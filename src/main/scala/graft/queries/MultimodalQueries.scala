@@ -28,6 +28,18 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    "q211_video_neardup" -> ((s, d) => {
+      // near-dup VIDEOS: every 2nd 32-byte frame hashed, per-video
+      // DISTINCT frame-hash sets, prefix-filtered set-sim join at
+      // Jaccard >= 0.5 — the re-upload/re-encode detection shape; the
+      // oracle rebuilds every frame substring and the exact all-pairs
+      // Jaccard from the raw text
+      val blobs = Multimodal.withFakeBlob(t(s, d, "documents"), "text")
+      Multimodal.videoNearDupPairs(blobs, chunkBytes = 32, everyN = 2,
+        threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "q57_multimodal_resize" -> ((s, d) => {
       // fit-in-box resize over the decoded dims; the dimension arithmetic
       // (pure doubles on length(text)-derived dims) is oracle-replayable
@@ -203,6 +215,35 @@ object MultimodalQueries {
          FROM (SELECT doc_id, n, unnest(range(0, n_frames)) AS i FROM f)
          WHERE i % 4 = 0
          ORDER BY doc_id, frame_idx""",
+
+    // q211: frame boundaries replay q51's chunk arithmetic (incl. the
+    // trailing empty frame at exact multiples); sets compare by raw
+    // frame CONTENT where the engine compares 64-bit frame hashes —
+    // identical Jaccard modulo 2^-64 collisions (the q33 rule)
+    "q211_video_neardup" ->
+      """WITH f AS (
+           SELECT doc_id, substr(text, 32 * CAST(i AS INTEGER) + 1, 32)
+                    AS frame
+           FROM (SELECT doc_id, text,
+                        unnest(range(0,
+                          CASE WHEN length(text) % 32 = 0
+                               THEN length(text) // 32 + 1
+                               ELSE CAST(ceil(length(text) / 32.0) AS BIGINT)
+                          END)) AS i
+                 FROM documents WHERE text IS NOT NULL)
+           WHERE i % 2 = 0),
+         sets AS (SELECT doc_id, list_distinct(list(frame)) AS fs
+                  FROM f GROUP BY doc_id),
+         s2 AS (SELECT doc_id, fs, len(fs) AS l FROM sets
+                WHERE len(fs) >= 1)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_intersect(a.fs, b.fs)) AS DOUBLE)
+                    / (len(a.fs) + len(b.fs)
+                       - len(list_intersect(a.fs, b.fs))) AS jaccard
+           FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.5
+         ORDER BY doc_a, doc_b""",
 
     "q57_multimodal_resize" ->
       """WITH d AS (

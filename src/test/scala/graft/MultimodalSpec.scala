@@ -232,4 +232,26 @@ class MultimodalSpec extends AnyFunSuite {
       .count()
     assert(nonAscii == 0L)
   }
+
+  test("videoNearDupPairs: frame-set overlap finds re-orders and trims, not strangers") {
+    // 4-frame "videos" of 8-byte frames, sampled every frame so the set
+    // is the full frame multiset collapsed. Every length here is an
+    // exact multiple of 8, so each set also carries the trailing EMPTY
+    // frame (the split contract q51's oracle pins): a re-order shares
+    // ALL frames (jaccard 1.0), a one-frame trim 4 of 5 set elements
+    // (0.8), a stranger only the empty frame (1/9 < threshold)
+    val f = Seq("aaaaaaaa", "bbbbbbbb", "cccccccc", "dddddddd")
+    val videos = Seq(
+      (1L, f.mkString),                        // a b c d
+      (2L, Seq(f(3), f(2), f(1), f(0)).mkString), // d c b a — re-order
+      (3L, Seq(f(0), f(1), f(2)).mkString),    // a b c — trimmed
+      (4L, "eeeeeeeeffffffffgggggggghhhhhhhh"))
+      .toDF("doc_id", "text")
+    val blobs = graft.ext.Multimodal.withFakeBlob(videos, "text")
+    val got = graft.ext.Multimodal.videoNearDupPairs(blobs,
+      chunkBytes = 8, everyN = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got == Map((1L, 2L) -> 1.0, (1L, 3L) -> 0.8, (2L, 3L) -> 0.8))
+  }
 }
