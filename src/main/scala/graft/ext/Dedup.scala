@@ -2493,4 +2493,25 @@ object Dedup {
         levenshtein(col("name_a"), col("name_b"), maxDist))
       .where(col("dist") =!= -1)
   }
+
+  /** Canonicalize a noisy string VALUE DOMAIN: connected components over
+    * the [[editDistanceJoin]] graph (values within `maxDist` edits are
+    * the same entity), each cluster represented by its lexicographically
+    * smallest member. Output: one row per DISTINCT non-null `strCol`
+    * value — (`strCol`, canonical) — for the caller to equi-join back
+    * onto rows (the record-linkage loop closed: candidate → verify →
+    * cluster → canonical). Transitive by design: "color" ~ "colour" ~
+    * "colouur" collapse together even when the endpoints exceed
+    * `maxDist`, which is what entity resolution wants and what a plain
+    * pair list cannot give.
+    */
+  def fuzzyCanonicalize(df: DataFrame, strCol: String,
+                        maxDist: Int = 2, q: Int = 2): DataFrame = {
+    val nodes = df.select(col(strCol).as("id"))
+      .where(col("id").isNotNull).distinct()
+    val edges = editDistanceJoin(df, strCol, maxDist, q)
+      .select(col("name_a").as("src"), col("name_b").as("dst"))
+    connectedComponents(nodes, edges)
+      .select(col("id").as(strCol), col("comp").as("canonical"))
+  }
 }

@@ -260,6 +260,17 @@ object DedupQueries {
       Dedup.editDistanceJoin(t(s, d, "part"), "p_name", maxDist = 2, q = 2)
         .orderBy("name_a", "name_b")),
 
+    "q212_fuzzy_canonicalize" -> ((s, d) => {
+      // the record-linkage loop closed: edit-distance clusters over the
+      // value domain, every ROW remapped to its cluster's canonical name
+      val part = t(s, d, "part")
+      val canon = Dedup.fuzzyCanonicalize(part, "p_name", maxDist = 2)
+      part.join(canon, Seq("p_name"))
+        .select(col("p_partkey"), col("p_name"),
+          col("canonical").as("canonical_name"))
+        .orderBy("p_partkey")
+    }),
+
     "q38_dedup_embed_cosine" -> ((s, d) => {
       // embedding-cosine near-dup, LSH-bucketed (the q36 brute-force's scale
       // path). Vectors come from the SQL-portable feature-hash embedding so
@@ -876,6 +887,27 @@ object DedupQueries {
          FROM n a JOIN n b ON a.name < b.name
          WHERE levenshtein(a.name, b.name) <= 2
          ORDER BY name_a, name_b""",
+
+    // q212: reachability closure over the exact edit-distance pair set
+    // (the q34 recursive pattern); canonical = each component's
+    // lexicographic minimum, mapped back onto every row
+    "q212_fuzzy_canonicalize" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part
+                              WHERE p_name IS NOT NULL),
+         pairs AS (SELECT a.name AS na, b.name AS nb
+                   FROM n a JOIN n b ON a.name < b.name
+                   WHERE levenshtein(a.name, b.name) <= 2),
+         edges AS (SELECT na AS a, nb AS b FROM pairs
+                   UNION ALL SELECT nb, na FROM pairs),
+         reach(node, r) AS (
+           SELECT name, name FROM n
+           UNION
+           SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         comp AS (SELECT node AS name, min(r) AS canonical
+                  FROM reach GROUP BY node)
+         SELECT p.p_partkey, p.p_name, c.canonical AS canonical_name
+         FROM part p JOIN comp c ON c.name = p.p_name
+         ORDER BY p.p_partkey""",
 
     "q38_dedup_embed_cosine" ->
       s"""WITH v AS ($portableVectors),

@@ -1278,6 +1278,21 @@ class DedupSpec extends AnyFunSuite {
     d(a.length)(b.length)
   }
 
+  test("fuzzyCanonicalize collapses edit-chains transitively to the lex-min") {
+    // color ~ colour (1 edit) ~ colouur (1 more) — endpoints are 2 edits
+    // apart but the CHAIN binds them; "colr" reaches color at 1 edit.
+    // "shade"/"shady" form their own cluster; "tint" is a singleton.
+    val df = Seq("color", "colour", "colouur", "colr", "shade", "shady",
+      "tint", "color" /* dup row */, null)
+      .map(Tuple1(_)).toDF("name")
+    val got = Dedup.fuzzyCanonicalize(df, "name", maxDist = 2)
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "color" -> "color", "colour" -> "color", "colouur" -> "color",
+      "colr" -> "color", "shade" -> "shade", "shady" -> "shade",
+      "tint" -> "tint"))
+  }
+
   test("editDistanceJoin ≡ brute-force Levenshtein over the value domain") {
     val rnd = new scala.util.Random(77)
     val alpha = "abc"
