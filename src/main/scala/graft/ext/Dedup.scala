@@ -2461,11 +2461,16 @@ object Dedup {
       .where(col("name").isNotNull).distinct()
       .withColumn("len", length(col("name")))
     // Positional q-grams with occurrence indices: multiset intersection as
-    // an equi-join on (gram, occ).
+    // an equi-join on (gram, occ). Guard: a name shorter than q chars has
+    // NO grams — sequence(1, 0) would generate a DESCENDING range (the
+    // rawWordNgrams rule), manufacturing bogus grams (harmless to the
+    // result — verification is exact — but wasted candidate work).
     val grams = names
       .select(col("name"), col("len"),
-        posexplode(transform(sequence(lit(1), col("len") - (q - 1)),
-          i => col("name").substr(i, lit(q)))))
+        posexplode(when(col("len") >= q,
+          transform(sequence(lit(1), col("len") - (q - 1)),
+            i => col("name").substr(i, lit(q))))
+          .otherwise(array().cast("array<string>"))))
       .withColumn("occ", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("name"), col("col")).orderBy(col("pos"))))

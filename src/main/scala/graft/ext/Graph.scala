@@ -62,7 +62,10 @@ object Graph {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint()
       else df.localCheckpoint()
-    val e = ckpt(edges.select(col("src"), col("dst")).distinct())
+    // null endpoints carry no rank and would seed a phantom null node —
+    // drop them here rather than leaving the contract to every caller
+    val e = ckpt(edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull).distinct())
     val nodes = ckpt(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
     val outdeg = ckpt(e.groupBy(col("src")).agg(count(lit(1)).as("od")))
