@@ -23,6 +23,23 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"), Num.moneySum(col("value")).as("total_value"))
         .orderBy("hour_start", "event_type")),
 
+    "q213_retention_cohorts" -> ((s, d) => {
+      // the retention cohort matrix (product-analytics staple next to
+      // q42 sessionize / q113 funnel): users grouped by first-activity
+      // week, counted per week offset — two linear aggregates and one
+      // equi-join, no window over the event stream
+      val ev = t(s, d, "events")
+        .select(col("user_id"), date_trunc("WEEK", col("ts")).as("wk"))
+      val firstWk = ev.groupBy("user_id").agg(min(col("wk")).as("cwk"))
+      ev.distinct().join(firstWk, Seq("user_id"))
+        .groupBy(
+          date_format(col("cwk"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(col("wk").cast("date"), col("cwk").cast("date")) / 7)
+            .cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "q41_json_extract" -> ((s, d) =>
       // data-plane JSON (SURVEY §2.8: the reference parses JSON only on the
       // driver; from_json/get_json_object moves it into the plan)
@@ -193,6 +210,21 @@ object EventQueries {
     "q48_stream_window_append" -> hourlyOracle,
     "q42_sessionize" -> sessionizeOracle,
     "q46_stream_sessionize" -> sessionizeOracle,
+
+    // q213: both engines truncate to ISO weeks (Monday start), so the
+    // day difference between week starts is an exact multiple of 7
+    "q213_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id,
+                            date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+                     FROM events),
+         fw AS (SELECT user_id, min(wk) AS cwk FROM ev GROUP BY user_id),
+         act AS (SELECT DISTINCT user_id, wk FROM ev)
+         SELECT strftime(CAST(cwk AS DATE), '%Y-%m-%d') AS cohort_week,
+                CAST(date_diff('day', CAST(cwk AS DATE), CAST(wk AS DATE))
+                     // 7 AS INTEGER) AS week_offset,
+                count(DISTINCT user_id) AS n_users
+         FROM act JOIN fw USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
 
     "q41_json_extract" ->
       """SELECT event_type, count(*) AS n,
