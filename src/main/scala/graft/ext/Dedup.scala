@@ -2450,12 +2450,15 @@ object Dedup {
     *    occurrence index (row_number within (value, gram) by position):
     *    join rows per pair = Σ_g min(cnt_a, cnt_b). Pairs whose bound is
     *    ≥ 1 — i.e. max length ≥ q·(d+1) — are guaranteed caught here.
-    *  - **short-value band** : values shorter than `q·(maxDist+1)` can be
-    *    inside distance d while sharing zero grams; they pair among
-    *    themselves under the length filter. The set is domain-bounded
-    *    (strings under a constant length), not data-sized.
-    *    A (short, long) pair is covered by the gram branch: its bound
-    *    uses max length.
+    *  - **short-value band**: values shorter than `q·(maxDist+1)` can be
+    *    inside distance d while sharing zero q-grams; they pair among
+    *    themselves through the SAME count filter at gram size 1 (one
+    *    edit destroys at most one unigram, so `lev ≤ d` forces a shared-
+    *    char multiset overlap ≥ max(|a|,|b|) − d, which is ≥ 1 whenever
+    *    the longer side exceeds `d` chars). Only values of length ≤
+    *    `maxDist` — a constant alphabet-bounded domain — pair
+    *    unconditionally under the length filter. A (short, long) pair is
+    *    covered by the q-gram branch: its bound uses max length.
     *
     * Both branches also apply the length filter `||a|−|b|| ≤ d` (an
     * insertion/deletion changes length by one). Verification uses Spark's
@@ -2471,40 +2474,50 @@ object Dedup {
     val names = df.select(col(strCol).as("name"))
       .where(col("name").isNotNull).distinct()
       .withColumn("len", length(col("name")))
-    // Positional q-grams with occurrence indices: multiset intersection as
-    // an equi-join on (gram, occ). Guard: a name shorter than q chars has
-    // NO grams — sequence(1, 0) would generate a DESCENDING range (the
-    // rawWordNgrams rule), manufacturing bogus grams (harmless to the
-    // result — verification is exact — but wasted candidate work).
-    val grams = names
-      .select(col("name"), col("len"),
-        posexplode(when(col("len") >= q,
-          transform(sequence(lit(1), col("len") - (q - 1)),
-            i => col("name").substr(i, lit(q))))
-          .otherwise(array().cast("array<string>"))))
-      .withColumn("occ", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("name"), col("col")).orderBy(col("pos"))))
-      .select(col("name"), col("len"), col("col").as("g"), col("occ"))
-    val gramCand = grams.as("a")
-      .join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.occ") === col("b.occ") &&
-          col("a.name") < col("b.name") &&
-          abs(col("a.len") - col("b.len")) <= maxDist)
-      .groupBy(col("a.name").as("name_a"), col("b.name").as("name_b"),
-        col("a.len").as("len_a"), col("b.len").as("len_b"))
-      .agg(count(lit(1)).as("shared"))
-      .where(col("shared") >=
-        greatest(col("len_a"), col("len_b")) - (q - 1) - q * maxDist)
-      .select(col("name_a"), col("name_b"))
+    // Positional grams with occurrence indices: multiset intersection as
+    // an equi-join on (gram, occ). Guard: a name shorter than gq chars
+    // has NO grams — sequence(1, 0) would generate a DESCENDING range
+    // (the rawWordNgrams rule), manufacturing bogus grams (harmless to
+    // the result — verification is exact — but wasted candidate work).
+    def gramCand(subset: DataFrame, gq: Int): DataFrame = {
+      val grams = subset
+        .select(col("name"), col("len"),
+          posexplode(when(col("len") >= gq,
+            transform(sequence(lit(1), col("len") - (gq - 1)),
+              i => col("name").substr(i, lit(gq))))
+            .otherwise(array().cast("array<string>"))))
+        .withColumn("occ", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("name"), col("col")).orderBy(col("pos"))))
+        .select(col("name"), col("len"), col("col").as("g"), col("occ"))
+      grams.as("a")
+        .join(grams.as("b"),
+          col("a.g") === col("b.g") && col("a.occ") === col("b.occ") &&
+            col("a.name") < col("b.name") &&
+            abs(col("a.len") - col("b.len")) <= maxDist)
+        .groupBy(col("a.name").as("name_a"), col("b.name").as("name_b"),
+          col("a.len").as("len_a"), col("b.len").as("len_b"))
+        .agg(count(lit(1)).as("shared"))
+        .where(col("shared") >=
+          greatest(col("len_a"), col("len_b")) - (gq - 1) - gq * maxDist)
+        .select(col("name_a"), col("name_b"))
+    }
     val shortBound = q * (maxDist + 1)
     val shorts = names.where(col("len") < shortBound)
-    val shortCand = shorts.as("a")
-      .join(shorts.as("b"),
+    // values of length ≤ maxDist can share zero characters with a true
+    // match — pair that constant alphabet-bounded sliver unconditionally
+    val tiny = names.where(col("len") <= maxDist)
+    val tinyCand = tiny.as("a")
+      .join(names.as("b"),
         col("a.name") < col("b.name") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
-    gramCand.union(shortCand).distinct()
+      .union(tiny.as("b").join(names.as("a"),
+        col("a.name") < col("b.name") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b")))
+    gramCand(names, q).union(gramCand(shorts, 1)).union(tinyCand)
+      .distinct()
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b"), maxDist))
       .where(col("dist") =!= -1)
