@@ -2376,9 +2376,25 @@ object Dedup {
     // pass dominates (measured at sf0.1: 9.1 s → ~4 s with the two
     // checkpoints). One doc-count-sized materialization each, the
     // pageRankInt reuse rule.
-    val sets = ckpt(setsIn
+    val allSets = ckpt(setsIn
       .where(size(col("grams")) >= 1)
       .withColumn("l", size(col("grams"))))
+    // EXACT-COLLAPSE before the expensive machinery (the minhash
+    // classPairs rule): identical gram SETS — exact duplicates and
+    // re-crawls are the dominant class at corpus scale — collapse to one
+    // representative (min doc id), so the df table, the prefix join, and
+    // the verification all run on DISTINCT sets; member pairs expand
+    // afterward from the verified class pairs (cross-class) and as
+    // jaccard-1.0 rows (within-class, always ≥ any legal threshold).
+    // Grouping is by the full gram array (exact, no collapse-key
+    // collision risk); members join back on the array, a shuffle the
+    // class relation already paid.
+    val sets = ckpt(allSets.groupBy(col("grams"), col("l"))
+      .agg(min(col("doc")).as("doc"))
+      .select(col("doc"), col("grams"), col("l")))
+    val members = ckpt(allSets.select(col("doc").as("member"), col("grams"))
+      .join(sets.select(col("doc").as("rep"), col("grams")), Seq("grams"))
+      .select(col("rep"), col("member")))
     // Gram document frequency: the global rarest-first ordering key. One
     // linear explode + count; at corpus scale this relation is
     // vocabulary-sized and hash-joins back by gram.
@@ -2426,11 +2442,30 @@ object Dedup {
       .distinct()
     val setsA = sets.select(col("doc").as("doc_a"), col("grams").as("g_a"))
     val setsB = sets.select(col("doc").as("doc_b"), col("grams").as("g_b"))
-    cand.join(setsA, Seq("doc_a")).join(setsB, Seq("doc_b"))
+    val classPairs = cand
+      .join(setsA, Seq("doc_a")).join(setsB, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         graft.functions.SetExpressions
           .sortedSetJaccard(col("g_a"), col("g_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    // Expand class pairs to member pairs: cross-class pairs inherit the
+    // verified class Jaccard (identical sets ⇒ identical similarity);
+    // within-class pairs are exactly 1.0, always ≥ any legal threshold.
+    // Orientation re-derives per member pair — reps are ordered, members
+    // interleave arbitrarily.
+    val cross = classPairs
+      .join(members.select(col("rep").as("doc_a"), col("member").as("m_a")),
+        Seq("doc_a"))
+      .join(members.select(col("rep").as("doc_b"), col("member").as("m_b")),
+        Seq("doc_b"))
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"), col("jaccard"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.member") < col("y.member"))
+      .select(col("x.member").as("doc_a"), col("y.member").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.union(within)
   }
 
   /** Exact edit-distance self-join over a string VALUE DOMAIN (q-gram

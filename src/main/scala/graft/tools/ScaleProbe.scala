@@ -342,6 +342,22 @@ object ScaleProbe {
     // would also be the wrong probe: exact copies are genuine near-dups,
     // so the TRUE output itself is Θ(k²) pairs and no exact algorithm can
     // beat its own answer size.
+    // ---- prefix-filtered set-sim join (q206): replicating the corpus k×
+    // multiplies EXACT-duplicate classes, the dominant shape at crawl
+    // scale. The exact-collapse pre-pass keeps the df table, prefix join,
+    // and verification on DISTINCT sets (k-invariant); only the
+    // member-pair EXPANSION grows — and that is output-sized by
+    // definition (every expanded row is a true pair the caller asked
+    // for). Probe reports pairs + wall: wall must grow like the OUTPUT,
+    // not like k² join work on the heavy stages.
+    if (sel("setsim")) for (k <- Seq(1, n)) {
+      val docs = replicated(k).localCheckpoint()
+      time(s"${k}x setsim-pairs") {
+        graft.ext.Dedup.setSimJoinPairs(docs, "text", "doc_id",
+          threshold = 0.7, shingle = 3).count()
+      }
+    }
+
     if (sel("apss")) for (k <- Seq(1, n)) {
       val docs = (0 until k).map(i => base.select(
         (col("doc_id") + lit(i * 10000000L)).as("doc_id"),

@@ -1239,7 +1239,13 @@ class DedupSpec extends AnyFunSuite {
       (100L + id, toks.updated(j, vocab(rnd.nextInt(vocab.size)))
         .mkString(" "))
     }
-    val all = bases ++ edited ++ Seq((200L, "alpha beta"), (201L, null))
+    // exact-duplicate CLASSES (same gram set under several ids) exercise
+    // the collapse-expand path: within-class 1.0 pairs + cross-class
+    // pairs fanned out to every member
+    val copies = Seq((300L, bases(0)._2), (301L, bases(0)._2),
+      (302L, bases(1)._2))
+    val all = bases ++ edited ++ copies ++
+      Seq((200L, "alpha beta"), (201L, null))
     val df = all.toDF("doc_id", "text")
     for (t <- Seq(0.5, 0.7, 0.9)) {
       val got = Dedup.setSimJoinPairs(df, "text", "doc_id", t, shingle = 3)
