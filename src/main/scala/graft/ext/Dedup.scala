@@ -2540,8 +2540,12 @@ object Dedup {
     val shortBound = q * (maxDist + 1)
     val shorts = names.where(col("len") < shortBound)
     // values of length ≤ maxDist can share zero characters with a true
-    // match — pair that constant alphabet-bounded sliver unconditionally
-    val tiny = names.where(col("len") <= maxDist)
+    // match — pair that constant alphabet-bounded sliver unconditionally.
+    // The predicate is pure inequality, so this plans as a nested-loop
+    // join; the broadcast hint pins the build side to the PROVABLY
+    // constant-bounded tiny relation (≤ |Σ|^maxDist values) — without it
+    // the planner's stats could pick the data-sized side.
+    val tiny = broadcast(names.where(col("len") <= maxDist))
     val tinyCand = tiny.as("a")
       .join(names.as("b"),
         col("a.name") < col("b.name") &&

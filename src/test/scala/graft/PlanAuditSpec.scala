@@ -713,4 +713,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Join".r.findAllIn(plan).length == 1, plan.take(3000))
     assert(plan.contains("partial_count"), plan.take(3000))
   }
+
+  test("q206 set-sim join: every join is keyed, never a product") {
+    val plan = planOf("q206_setsim_join")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the candidate stage is an equi-join on the prefix gram
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("q207 edit-distance join: no cartesian; the one nested loop builds tiny") {
+    val plan = planOf("q207_editdist_join")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the length-≤-maxDist sliver is the ONLY nested-loop source, and it
+    // enters as the broadcast build side (constant alphabet-bounded);
+    // the gram branches are equi-joins on (gram, occ)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 2, s"$bnlj nested loops:\n${plan.take(3000)}")
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("q210 pagerank: rounds are keyed joins + partial-agged sums, no product") {
+    val plan = planOf("q210_pagerank_coorder")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // contribution sums partial-aggregate map-side before the exchange
+    assert(plan.contains("partial_sum"), plan.take(3000))
+  }
 }
