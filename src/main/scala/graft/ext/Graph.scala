@@ -88,6 +88,60 @@ object Graph {
     rank.select(col("id"), col("r").as("rank_fp"))
   }
 
+  /** Per-node triangle counts over an UNDIRECTED edge relation (pass
+    * either orientation or both; normalized internally), with the
+    * degree-ordered orientation trick (Schank/Wagner 2005; the standard
+    * distributed formulation): orient every edge from the
+    * lower-(degree, id) endpoint to the higher, so each node's
+    * out-neighborhood is O(√m) — wedge enumeration (the self-join on the
+    * oriented source) is then O(m^1.5) total instead of Σ deg² on hubs,
+    * which is the difference between a bounded shuffle and a hub-node
+    * explosion at graph scale. A triangle {a,b,c} is counted once as an
+    * oriented wedge (a→b, a→c) closed by the oriented edge b→c; the
+    * closing equi-join keys on the full edge, never a product.
+    *
+    * Output: `(id, n_triangles)` for every node that touches an edge
+    * (nodes in zero triangles report 0).
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
+    val und = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) → high-(deg, id); the (deg, id) pair is a
+    // total order, so orientation is deterministic and acyclic
+    val withDeg = ckpt(und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t")))
+    // wedges from each oriented source, closed by an oriented edge
+    val tri = withDeg.as("e1")
+      .join(withDeg.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+      .join(withDeg.select(
+        least(col("s"), col("t")).as("b"), greatest(col("s"), col("t")).as("c")),
+        Seq("b", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("id")).join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** Undirected co-occurrence edges from a `(group, item)` relation:
     * items sharing a group get both directed orientations, deduplicated.
     * The co-click/co-order/co-citation graph constructor — per-group

@@ -340,6 +340,21 @@ object ParityQueries {
         .orderBy("part")
     }),
 
+    "q214_triangle_counts" -> ((s, d) => {
+      // degree-ordered triangle counting over the HIGH-QUANTITY
+      // co-purchase graph (the co-order graph's baskets are dense; the
+      // quantity filter is the analyst's graph, quadratically thinner):
+      // orientation bounds every out-neighborhood at O(sqrt(m)), so the
+      // wedge join is O(m^1.5) — hub-safe where naive wedge counting
+      // explodes on the densest basket cliques
+      val edges = graft.ext.Graph.coOccurrenceEdges(
+        t(s, d, "lineitem").where(col("l_quantity") >= 40),
+        "l_orderkey", "l_partkey")
+      graft.ext.Graph.triangleCounts(edges)
+        .select(col("id").as("part"), col("n_triangles"))
+        .orderBy("part")
+    }),
+
     "q18_rollup" -> ((s, d) => {
       // grouping-sets family (absent from the reference, SURVEY §2.6):
       // region/nation subtotal hierarchy in one pass over the joined dims
@@ -545,6 +560,28 @@ object ParityQueries {
           $iterBlocks
           SELECT id AS part, r AS rank_fp FROM r5 ORDER BY part"""
     },
+
+    // q214: the oracle enumerates each triangle once in the canonical
+    // a<b<c representation and rolls per-node counts up with zero-fill —
+    // orientation is an engine-side WORK optimization, invisible in the
+    // result
+    "q214_triangle_counts" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+                     FROM lineitem WHERE l_quantity >= 40),
+         e0 AS (SELECT DISTINCT a.item AS u, b.item AS v
+                FROM li a JOIN li b ON a.grp = b.grp AND a.item < b.item),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                 FROM e0 e1 JOIN e0 e2 ON e1.u = e2.u AND e1.v < e2.v
+                 JOIN e0 e3 ON e3.u = e1.v AND e3.v = e2.v),
+         pern AS (SELECT id, count(*) AS n FROM (
+                    SELECT a AS id FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri) GROUP BY id),
+         nodes AS (SELECT u AS id FROM e0 UNION SELECT v FROM e0)
+         SELECT nodes.id AS part,
+                CAST(coalesce(pern.n, 0) AS BIGINT) AS n_triangles
+         FROM nodes LEFT JOIN pern USING (id)
+         ORDER BY part""",
 
     // q208/q209: same contract as q201 — a layout rewrite must never
     // change the rows

@@ -54,6 +54,35 @@ class GraphSpec extends AnyFunSuite {
     assert(r(0L) > r(1L) && r(1L) == r(2L) && r(2L) == r(3L))
   }
 
+  test("triangleCounts ≡ brute force; K4, path, and isolated-in-triangle cases") {
+    // K4: every node sits in C(3,2) = 3 triangles; the pendant path node
+    // (5) and the triangle-free edge (6-7) report 0
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val edges = k4 ++ Seq((3L, 5L), (6L, 7L))
+    val got = Graph.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L, 5L -> 0L,
+      6L -> 0L, 7L -> 0L))
+    // randomized graph vs brute-force enumeration
+    val rnd = new scala.util.Random(7)
+    val re = Seq.fill(150)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val es = re.toSet
+    val nodes = re.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = nodes.map { n =>
+      n -> (for {
+        (a, b) <- re; c <- nodes
+        if c != a && c != b && es.contains((math.min(a, c), math.max(a, c))) &&
+          es.contains((math.min(b, c), math.max(b, c)))
+        if Seq(a, b, c).contains(n)
+      } yield Set(a, b, c)).distinct.size.toLong
+    }.toMap
+    val got2 = Graph.triangleCounts(re.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == want)
+  }
+
   test("coOccurrenceEdges pairs within groups only, both orientations, deduped") {
     val df = Seq((10L, "a"), (10L, "b"), (10L, "c"), (20L, "c"), (20L, "d"),
       (30L, "a"), (30L, "b"), // repeat pair in another group — must dedup
