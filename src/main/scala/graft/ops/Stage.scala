@@ -630,6 +630,20 @@ object Stage {
     override def initialValue(): Set[String] = Set.empty
   }
 
+  /** JVM-global lease owners (lock key → acquire token). Hadoop's
+    * LocalFileSystem `create(f, overwrite = false)` is exists-THEN-create
+    * — not atomic — so two threads of ONE process (a pin racing a
+    * streaming ingest on local[n]) could both pass the existence check
+    * under load and both believe they hold the lease: exactly the torn
+    * pin the CampaignSpec race test caught. In-process acquisition
+    * therefore goes through this registry's atomic putIfAbsent FIRST;
+    * the filesystem lock stays the cross-process/cross-host half of the
+    * protocol (HDFS create-exclusive is server-side atomic; local
+    * cross-process uses O_CREAT|O_EXCL below).
+    */
+  private val jvmLeaseOwners =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Run `body` holding an exclusive writer lease on `path` — the
     * single-writer contract made LOUD instead of assumed. A
     * create-exclusive `_writer.lock` file guards the critical section:
@@ -678,9 +692,26 @@ object Stage {
     // alone could collide across a same-process reclaim in one millisecond)
     val token = s"pid=${ProcessHandle.current.pid} host=$localHost " +
       s"t=${System.currentTimeMillis} nonce=${java.util.UUID.randomUUID()}"
-    def tryAcquire(): Boolean =
-      try {
-        fs.mkdirs(rootPath)
+    // local filesystems get a REAL atomic exclusivity gate
+    // (File.createNewFile = O_CREAT|O_EXCL); Hadoop LocalFileSystem's
+    // create(f, false) is exists-then-create and two processes can both
+    // pass the check. HDFS/object-store schemes keep fs.create — there
+    // the exclusivity IS server-side atomic.
+    val localLockFile: Option[java.io.File] =
+      if (fs.getScheme == "file")
+        Some(new java.io.File(fs.makeQualified(lock).toUri.getPath))
+      else None
+    def createExclusive(): Boolean = localLockFile match {
+      case Some(f) =>
+        if (!f.createNewFile()) false
+        else {
+          // same ownerless-empty-lock hazard as the fs.create path: a
+          // failed token write must not leave the exclusive file behind
+          try java.nio.file.Files.write(f.toPath, token.getBytes("UTF-8"))
+          catch { case e: java.io.IOException => f.delete(); throw e }
+          true
+        }
+      case None =>
         val out = fs.create(lock, false)
         try {
           try out.write(token.getBytes("UTF-8"))
@@ -696,7 +727,19 @@ object Stage {
           throw e
         }
         true
-      } catch { case _: java.io.IOException => false }
+    }
+    def tryAcquire(): Boolean = {
+      // same-process exclusivity FIRST (atomic; the filesystem check on a
+      // local FS is not) — value-checked rollback on any downstream failure
+      if (jvmLeaseOwners.putIfAbsent(key, token) != null) return false
+      val ok =
+        try {
+          fs.mkdirs(rootPath)
+          createExclusive()
+        } catch { case _: java.io.IOException => false }
+      if (!ok) jvmLeaseOwners.remove(key, token)
+      ok
+    }
     if (!tryAcquire()) {
       val age = try System.currentTimeMillis -
         fs.getFileStatus(lock).getModificationTime
@@ -711,11 +754,21 @@ object Stage {
       // the loser falls through to the contention error and retries
       // against whatever the winner holds.
       if (age > staleAfterMs || holderDeadOnThisHost(fs, lock)) {
+        // read the stale holder's token BEFORE retiring its lock: if the
+        // holder is a thread of THIS JVM (stuck past the window with its
+        // heartbeat starved — a healthy holder never goes stale), its
+        // registry entry must retire with the lock, or the in-process
+        // gate would block every reclaimer forever. The remove is
+        // value-checked, so a fresh holder's entry is never evicted.
+        val staleToken =
+          try Some(readUtf8(fs, lock))
+          catch { case scala.util.control.NonFatal(_) => None }
         val retired = new Path(lock.getParent,
           s"_writer.lock.reclaimed-${ProcessHandle.current.pid}-" +
             System.nanoTime)
         try { if (fs.rename(lock, retired)) fs.delete(retired, false) }
         catch { case _: java.io.IOException => () } // loser: src vanished
+        staleToken.foreach(t => jvmLeaseOwners.remove(key, t))
       }
       if (!tryAcquire())
         throw new IllegalStateException(
@@ -731,6 +784,7 @@ object Stage {
       heldLeases.set(heldLeases.get - key)
       refresher.foreach { case (t, stop) => stop.countDown(); t.join(1000) }
       releaseIfOwner(fs, lock, token)
+      jvmLeaseOwners.remove(key, token)
     }
   }
 

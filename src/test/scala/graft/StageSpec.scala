@@ -810,4 +810,45 @@ class StageSpec extends AnyFunSuite {
   }
 
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
+
+  test("withWriterLease is mutually exclusive across THREADS of one JVM") {
+    // Hadoop LocalFileSystem create(f, false) is exists-then-create, not
+    // atomic — two same-process threads could both pass the check under
+    // load (the CampaignSpec torn-pin race). The JVM owner registry must
+    // make in-process acquisition atomic: across 8 hammering threads,
+    // at most ONE may ever be inside the lease body.
+    val dir = "target/graft-test-lease-mutex"
+    fs(dir).delete(new Path(dir), true)
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val acquired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map(_ => new Thread(() =>
+      try {
+        var done = 0
+        while (done < 25) {
+          try {
+            Stage.withWriterLease(spark, dir) {
+              val now = inside.incrementAndGet()
+              maxInside.accumulateAndGet(now, math.max)
+              Thread.sleep(0, 200000) // widen the window
+              inside.decrementAndGet()
+              acquired.incrementAndGet()
+            }
+            done += 1
+          } catch {
+            case e: IllegalStateException
+              if e.getMessage.contains("concurrent maintenance") =>
+              done += 1 // losing cleanly is an allowed outcome
+          }
+        }
+      } catch { case t: Throwable => errs.add(t) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    assert(maxInside.get == 1,
+      s"${maxInside.get} writers inside the lease simultaneously")
+    assert(acquired.get >= 1) // somebody actually got in
+    // the lock is released at the end — a fresh acquire succeeds
+    Stage.withWriterLease(spark, dir) { () }
+  }
 }
