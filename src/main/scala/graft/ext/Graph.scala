@@ -88,6 +88,51 @@ object Graph {
     rank.select(col("id"), col("r").as("rank_fp"))
   }
 
+  /** Multi-source BFS hop distances from a SEED set — the
+    * quality-propagation shape crawl curation uses (hops from trusted
+    * seed domains as a retention signal; Common Crawl seed-distance
+    * filtering): every node reachable within `maxHops` of any seed gets
+    * its exact minimum hop count, unreachable nodes report NULL via the
+    * caller's join. Directed edges; pass both orientations for an
+    * undirected graph.
+    *
+    * Each round relaxes the CURRENT FRONTIER only (classic distributed
+    * BFS): frontier ⋈ edges proposes dist+1, an anti-join against the
+    * settled set keeps first visits (BFS settles a node at its true
+    * minimum — no re-relaxation), and the new frontier checkpoints
+    * (unbounded-loop rule; the frontier relation changes shape per
+    * round). Work per round is frontier-sized, not graph-sized.
+    * Distances are exact integers — deterministic in any engine.
+    *
+    * Output: `(id, dist)` for every node within `maxHops` of a seed
+    * (seeds themselves at 0).
+    */
+  def seedDistances(edges: DataFrame, seeds: DataFrame,
+                    maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 0, s"maxHops >= 0, got $maxHops")
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
+    val e = ckpt(edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull).distinct())
+    var settled = ckpt(seeds.select(col("id")).where(col("id").isNotNull)
+      .distinct().withColumn("dist", lit(0)))
+    var frontier = settled
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = ckpt(frontier
+        .join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(settled.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop)))
+      settled = ckpt(settled.unionByName(next))
+      frontier = next
+    }
+    settled
+  }
+
   /** Per-node triangle counts over an UNDIRECTED edge relation (pass
     * either orientation or both; normalized internally), with the
     * degree-ordered orientation trick (Schank/Wagner 2005; the standard

@@ -355,6 +355,22 @@ object ParityQueries {
         .orderBy("part")
     }),
 
+    "q215_seed_distances" -> ((s, d) => {
+      // multi-source BFS from "trusted" seed parts over the q214 graph —
+      // the crawl-curation quality-propagation shape (hops from seed
+      // domains as a retention signal); frontier-sized rounds, exact
+      // integer distances
+      val edges = graft.ext.Graph.coOccurrenceEdges(
+        t(s, d, "lineitem").where(col("l_quantity") >= 40),
+        "l_orderkey", "l_partkey")
+      val seeds = t(s, d, "part")
+        .where(pmod(col("p_partkey"), lit(100)) === 0)
+        .select(col("p_partkey").as("id"))
+      graft.ext.Graph.seedDistances(edges, seeds, maxHops = 3)
+        .select(col("id").as("part"), col("dist"))
+        .orderBy("part")
+    }),
+
     "q18_rollup" -> ((s, d) => {
       // grouping-sets family (absent from the reference, SURVEY §2.6):
       // region/nation subtotal hierarchy in one pass over the joined dims
@@ -582,6 +598,26 @@ object ParityQueries {
                 CAST(coalesce(pern.n, 0) AS BIGINT) AS n_triangles
          FROM nodes LEFT JOIN pern USING (id)
          ORDER BY part""",
+
+    // q215: reachability with hop counts as a bounded recursive CTE
+    // (UNION dedups (id, dist) states per level, so enumeration is
+    // node×hops, never path-combinatorial); min(dist) = BFS level
+    "q215_seed_distances" ->
+      """WITH RECURSIVE li AS (
+           SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+           FROM lineitem WHERE l_quantity >= 40),
+         e0 AS (SELECT DISTINCT a.item AS src, b.item AS dst
+                FROM li a JOIN li b
+                ON a.grp = b.grp AND a.item <> b.item),
+         seeds AS (SELECT p_partkey AS id FROM part
+                   WHERE p_partkey % 100 = 0),
+         reach(id, dist) AS (
+           SELECT id, 0 FROM seeds
+           UNION
+           SELECT e0.dst, r.dist + 1
+           FROM reach r JOIN e0 ON e0.src = r.id WHERE r.dist < 3)
+         SELECT id AS part, CAST(min(dist) AS INTEGER) AS dist
+         FROM reach GROUP BY id ORDER BY part""",
 
     // q208/q209: same contract as q201 — a layout rewrite must never
     // change the rows

@@ -83,6 +83,25 @@ class GraphSpec extends AnyFunSuite {
     assert(got2 == want)
   }
 
+  test("seedDistances: BFS levels, multi-source min, hop cap, isolated seeds") {
+    //   1 - 2 - 3 - 4 - 5   and seed 10 isolated; seeds {1, 4}
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = chain.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val got = Graph.seedDistances(edges.toDF("src", "dst"),
+      Seq(1L, 4L, 10L).toDF("id"), maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    // node 3 is 2 hops from 1 but 1 hop from 4 → min wins; node 10 is a
+    // seed with no edges (dist 0); nothing beyond 2 hops appears — here
+    // everything is within 2 of some seed
+    assert(got == Map(1L -> 0, 4L -> 0, 10L -> 0, 2L -> 1, 3L -> 1,
+      5L -> 1))
+    // hop cap actually cuts: from seed 1 only, node 5 (4 hops) is absent
+    val capped = Graph.seedDistances(edges.toDF("src", "dst"),
+      Seq(1L).toDF("id"), maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
   test("coOccurrenceEdges pairs within groups only, both orientations, deduped") {
     val df = Seq((10L, "a"), (10L, "b"), (10L, "c"), (20L, "c"), (20L, "d"),
       (30L, "a"), (30L, "b"), // repeat pair in another group — must dedup
