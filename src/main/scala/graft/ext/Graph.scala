@@ -187,6 +187,48 @@ object Graph {
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** ROUNDS-BOUNDED k-core peeling over an undirected edge relation —
+    * the dense-subgraph miner (boilerplate hubs, citation cores,
+    * bot-ring detection): repeatedly drop every node whose degree in the
+    * SURVIVING graph is under `k`, `rounds` times. The bounded-rounds
+    * contract is deliberate: full k-core decomposition iterates to a
+    * data-dependent fixpoint, which no static oracle can replay — with
+    * a fixed round count both engines run the identical recurrence and
+    * the result is exact and hash-comparable (the unigram hard-EM rule:
+    * bounded iteration IS the portable contract; callers wanting the
+    * fixpoint raise `rounds` until the output stops changing — each
+    * round is one linear degree count + two semi-joins, edge-sized work,
+    * no wedges).
+    *
+    * Output: `(id, deg)` — the survivors after `rounds` peels with their
+    * degrees in the surviving subgraph.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    require(rounds >= 1, s"rounds >= 1, got $rounds")
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    var e = ckpt(edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct())
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).where(col("deg") >= k).select(col("id"))
+      e = ckpt(e
+        .join(keep.select(col("id").as("u")), Seq("u"))
+        .join(keep.select(col("id").as("v")), Seq("v"))
+        .select(col("u"), col("v")))
+    }
+    degrees(e)
+  }
+
   /** Undirected co-occurrence edges from a `(group, item)` relation:
     * items sharing a group get both directed orientations, deduplicated.
     * The co-click/co-order/co-citation graph constructor — per-group

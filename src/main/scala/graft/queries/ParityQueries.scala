@@ -371,6 +371,17 @@ object ParityQueries {
         .orderBy("part")
     }),
 
+    "q216_kcore_peel" -> ((s, d) => {
+      // rounds-bounded k-core peeling on the full co-order graph: the
+      // dense-core miner; k = 90 cascades (2000 → 527 nodes at sf0.01)
+      // so the peel actually peels
+      val edges = graft.ext.Graph.coOccurrenceEdges(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey")
+      graft.ext.Graph.kCorePeel(edges, k = 90, rounds = 4)
+        .select(col("id").as("part"), col("deg"))
+        .orderBy("part")
+    }),
+
     "q18_rollup" -> ((s, d) => {
       // grouping-sets family (absent from the reference, SURVEY §2.6):
       // region/nation subtotal hierarchy in one pass over the joined dims
@@ -598,6 +609,30 @@ object ParityQueries {
                 CAST(coalesce(pern.n, 0) AS BIGINT) AS n_triangles
          FROM nodes LEFT JOIN pern USING (id)
          ORDER BY part""",
+
+    // q216: the same fixed recurrence, generated per round (MATERIALIZED
+    // — an unhinted chain re-evaluates each e_r exponentially in DuckDB)
+    "q216_kcore_peel" -> {
+      val roundBlocks = (1 to 4).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT id, count(*) AS deg FROM (
+              SELECT u AS id FROM e${r - 1}
+              UNION ALL SELECT v FROM e${r - 1}) GROUP BY id),
+            k$r AS MATERIALIZED (SELECT id FROM d$r WHERE deg >= 90),
+            e$r AS MATERIALIZED (
+              SELECT e.u, e.v FROM e${r - 1} e
+              JOIN k$r a ON e.u = a.id JOIN k$r b ON e.v = b.id)"""
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+            FROM lineitem),
+          e0 AS MATERIALIZED (
+            SELECT DISTINCT a.item AS u, b.item AS v
+            FROM li a JOIN li b ON a.grp = b.grp AND a.item < b.item),
+          $roundBlocks
+          SELECT id AS part, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT u AS id FROM e4 UNION ALL SELECT v FROM e4)
+          GROUP BY id ORDER BY part"""
+    },
 
     // q215: reachability with hop counts as a bounded recursive CTE
     // (UNION dedups (id, dist) states per level, so enumeration is

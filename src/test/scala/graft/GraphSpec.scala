@@ -102,6 +102,27 @@ class GraphSpec extends AnyFunSuite {
     assert(capped == Map(1L -> 0, 2L -> 1, 3L -> 2))
   }
 
+  test("kCorePeel: K5 core survives, chains cascade exactly one layer per round") {
+    // K5 (every degree 4) + a pendant path 4-10-11-12: at k = 2 the path
+    // peels ONE layer per round (12 goes first, then 11, then 10), so
+    // the rounds bound is observable round by round
+    val k5 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
+    val edges = (k5 ++ Seq((4L, 10L), (10L, 11L), (11L, 12L)))
+      .toDF("src", "dst")
+    def survivors(rounds: Int): Map[Long, Long] =
+      Graph.kCorePeel(edges, k = 2, rounds = rounds)
+        .as[(Long, Long)].collect().toMap
+    // round 1: node 12 (deg 1) drops; 11 still had deg 2 when counted
+    assert(survivors(1).keySet == Set(0L, 1L, 2L, 3L, 4L, 10L, 11L))
+    // round 2: 11 (now deg 1) drops; round 3: 10 drops; K5 is stable
+    assert(survivors(2).keySet == Set(0L, 1L, 2L, 3L, 4L, 10L))
+    val s3 = survivors(3)
+    assert(s3.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(s3.values.toSet == Set(4L)) // the clean K5: every degree 4
+    // at k = 5 even K5 dies in one round
+    assert(Graph.kCorePeel(edges, k = 5, rounds = 1).isEmpty)
+  }
+
   test("coOccurrenceEdges pairs within groups only, both orientations, deduped") {
     val df = Seq((10L, "a"), (10L, "b"), (10L, "c"), (20L, "c"), (20L, "d"),
       (30L, "a"), (30L, "b"), // repeat pair in another group — must dedup
