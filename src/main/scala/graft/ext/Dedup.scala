@@ -2562,6 +2562,176 @@ object Dedup {
       .where(col("dist") =!= -1)
   }
 
+  /** Persist a DETERMINISTIC-EXACT set-similarity index: the incremental
+    * "does this batch near-dup against the corpus?" gate with
+    * [[setSimJoinPairs]]' exact contract, where [[saveMinhashManifest]]
+    * answers the same question probabilistically. Two components, both
+    * versioned under the root lease (the manifest protocol):
+    *
+    *  - `sets`: (doc, grams, l) — each document's sorted distinct hashed
+    *    `shingle`-gram set (the verification side);
+    *  - `postings`: (g, doc, l) — the FULL inverted gram postings (the
+    *    candidate side).
+    *
+    * Storing FULL postings (not index-time prefixes) is what makes the
+    * index APPEND-STABLE: the probe's candidate filter is the ONE-SIDED
+    * prefix theorem — if Jaccard(A, B) ≥ t then A's first
+    * `p = L_A − floor(t·L_A) + 1` elements under ANY fixed order must
+    * intersect B itself (all-shared-in-the-suffix would force
+    * o ≤ ceil(t·L_A) − 1 < t·L_A ≤ o) — which needs NO ordering
+    * agreement with the stored side. Document frequency therefore only
+    * tunes candidate VOLUME (the probe derives CURRENT df for the
+    * batch's grams from the postings), never recall, and appends can't
+    * stale anything.
+    */
+  def saveSetSimIndex(df: DataFrame, textCol: String, idCol: String,
+                      path: String, shingle: Int = 3): Unit = {
+    val spark = df.sparkSession
+    graft.ops.Stage.clearLedger(spark, path)
+    graft.ops.Stage.withWriterLease(spark, path) {
+      val sets = setSimSets(df, textCol, idCol, shingle)
+      graft.ops.Stage.publishRebuild(spark, s"$path/sets")(vd =>
+        sets.write.mode("overwrite").parquet(vd))
+      graft.ops.Stage.publishRebuild(spark, s"$path/postings")(vd =>
+        setSimPostings(sets).write.mode("overwrite").parquet(vd))
+    }
+  }
+
+  private def setSimSets(df: DataFrame, textCol: String, idCol: String,
+                         shingle: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        array_sort(transform(wordNgrams(col(textCol), shingle),
+          g => xxhash64(g))).as("grams"))
+      .where(size(col("grams")) >= 1)
+      .withColumn("l", size(col("grams")))
+
+  private def setSimPostings(sets: DataFrame): DataFrame =
+    sets.select(col("doc"), col("l"), explode(col("grams")).as("g"))
+      .select(col("g"), col("doc"), col("l"))
+
+  /** Append a batch to a [[saveSetSimIndex]] index (root lease; both
+    * components gain the batch's rows — full postings are append-stable,
+    * see the save scaladoc). The index's shingle width must match. */
+  def appendToSetSimIndex(newDf: DataFrame, textCol: String, idCol: String,
+                          path: String, shingle: Int = 3): Unit =
+    graft.ops.Stage.withWriterLease(newDf.sparkSession, path) {
+      val sets = setSimSets(newDf, textCol, idCol, shingle)
+      sets.write.mode("append")
+        .parquet(graft.ops.Stage.resolve(newDf.sparkSession, s"$path/sets"))
+      setSimPostings(sets).write.mode("append")
+        .parquet(graft.ops.Stage.resolve(newDf.sparkSession,
+          s"$path/postings"))
+    }
+
+  /** [[appendToSetSimIndex]] with EXACTLY-ONCE semantics for streaming
+    * ingest (the shared ledger protocol — a replayed batch would double
+    * its rows in both components and every later candidate join). */
+  def appendToSetSimIndexExactlyOnce(newDf: DataFrame, textCol: String,
+                                     idCol: String, path: String,
+                                     batchId: Long,
+                                     shingle: Int = 3): Unit = {
+    val spark = newDf.sparkSession
+    if (graft.ops.Stage.alreadyPublished(spark, path, batchId)) return
+    graft.ops.Stage.appendExactlyOnce(spark, path, batchId,
+      Seq("sets", "postings")) { staging =>
+      val sets = setSimSets(newDf, textCol, idCol, shingle)
+      sets.write.mode("overwrite").parquet(s"$staging/sets")
+      setSimPostings(sets).write.mode("overwrite")
+        .parquet(s"$staging/postings")
+    }
+  }
+
+  /** Probe a batch against a [[saveSetSimIndex]] index: every
+    * (batch doc, corpus doc) pair with gram-set Jaccard ≥ `threshold`,
+    * EXACTLY (recall 1 modulo 2⁻⁶⁴ gram-hash collisions). Work shape:
+    * the batch's gram df comes from the postings restricted to the
+    * batch's grams (posting-list-sized, the BM25 serve rule); the
+    * candidate join streams batch PREFIX grams (rarest-first under the
+    * derived df) against the full postings with the symmetric size
+    * filter; verification joins both sides' stored gram arrays through
+    * the merge-walk. Probing is read-only.
+    *
+    * Output: (doc_batch, doc_corpus, jaccard).
+    */
+  def probeSetSimOverlap(batch: DataFrame, path: String,
+                         threshold: Double = 0.7,
+                         textCol: String = "text",
+                         idCol: String = "doc_id",
+                         shingle: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1], got $threshold")
+    val spark = batch.sparkSession
+    import graft.ops.Stage.resolve
+    // one resolve per component, shared by candidates and verification —
+    // the torn-read rule (a concurrent rebuild must not split a probe
+    // across generations)
+    val postings = spark.read.parquet(resolve(spark, s"$path/postings"))
+    val corpusSets = spark.read.parquet(resolve(spark, s"$path/sets"))
+    def ckpt(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val bSets = ckpt(setSimSets(batch, textCol, idCol, shingle))
+    val bGrams = bSets.select(col("doc"), col("l"),
+      explode(col("grams")).as("g"))
+    // CURRENT corpus df for the batch's grams only (unseen grams → 0,
+    // i.e. rarest — they can't produce candidates anyway)
+    val gdf = postings.join(
+        bGrams.select(col("g")).distinct(), Seq("g"))
+      .groupBy("g").agg(count(lit(1)).as("gdf"))
+    val prefix = ckpt(bGrams
+      .join(gdf, Seq("g"), "left")
+      .na.fill(0L, Seq("gdf"))
+      .groupBy("doc", "l")
+      .agg(array_sort(collect_list(struct(col("gdf"), col("g")))).as("ord"))
+      .withColumn("p",
+        col("l") - floor(lit(threshold) * col("l") - lit(1e-9)).cast("int")
+          + lit(1))
+      .select(col("doc"), col("l"),
+        explode(slice(col("ord"), lit(1), col("p").cast("int"))).as("e"))
+      .select(col("doc"), col("l"), col("e.g").as("g")))
+    val cand = prefix.as("b")
+      .join(postings.as("c"),
+        col("b.g") === col("c.g") &&
+          least(col("b.l"), col("c.l")) >=
+            lit(threshold) * greatest(col("b.l"), col("c.l")) - lit(1e-9))
+      .select(col("b.doc").as("doc_batch"), col("c.doc").as("doc_corpus"))
+      .distinct()
+    cand
+      .join(bSets.select(col("doc").as("doc_batch"), col("grams").as("g_b")),
+        Seq("doc_batch"))
+      .join(corpusSets.select(col("doc").as("doc_corpus"),
+        col("grams").as("g_c")), Seq("doc_corpus"))
+      .select(col("doc_batch"), col("doc_corpus"),
+        graft.functions.SetExpressions
+          .sortedSetJaccard(col("g_b"), col("g_c")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Delete CONTENT from a [[saveSetSimIndex]] index — keyed by gram-set
+    * hash like [[deleteContentFromMinhashManifest]] (this content must
+    * no longer be recognized); anti-join rewrite of both components
+    * under the root lease, atomic per component. */
+  def deleteContentFromSetSimIndex(deleted: DataFrame, textCol: String,
+                                   path: String, shingle: Int = 3): Unit = {
+    val spark = deleted.sparkSession
+    graft.ops.Stage.withWriterLease(spark, path) {
+      graft.ops.Stage.sweepUncommitted(spark, path, Seq("sets", "postings"))
+      import graft.ops.Stage.{publishRewrite, resolve}
+      val delKeys = deleted.where(col(textCol).isNotNull)
+        .select(xxhash64(array_sort(transform(
+          wordNgrams(col(textCol), shingle), g => xxhash64(g)))).as("seth"))
+        .distinct()
+      val live = spark.read.parquet(resolve(spark, s"$path/sets"))
+        .withColumn("seth", xxhash64(col("grams")))
+      val removed = live.join(delKeys, Seq("seth")).select("doc")
+      publishRewrite(spark, s"$path/postings",
+        spark.read.parquet(resolve(spark, s"$path/postings"))
+          .join(removed, Seq("doc"), "left_anti"))
+      publishRewrite(spark, s"$path/sets",
+        live.join(delKeys, Seq("seth"), "left_anti").drop("seth"))
+    }
+  }
+
   /** Canonicalize a noisy string VALUE DOMAIN: connected components over
     * the [[editDistanceJoin]] graph (values within `maxDist` edits are
     * the same entity), each cluster represented by its lexicographically

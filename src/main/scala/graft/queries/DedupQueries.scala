@@ -260,6 +260,27 @@ object DedupQueries {
       Dedup.editDistanceJoin(t(s, d, "part"), "p_name", maxDist = 2, q = 2)
         .orderBy("name_a", "name_b")),
 
+    "q217_setsim_index_probe" -> ((s, d) => {
+      // the DETERMINISTIC-EXACT incremental near-dup gate: index half
+      // the corpus (built in two halves — rebuild + plain append, the
+      // append-stability contract), probe the other half; the oracle is
+      // the exact batch-vs-corpus cross Jaccard, so a recall loss from
+      // the one-sided prefix filter or an append-staled posting would
+      // hash-mismatch
+      val docs = t(s, d, "documents")
+      val path = s"target/graft-setsim-index-${sfTag(d)}"
+      Dedup.saveSetSimIndex(
+        docs.where(pmod(col("doc_id"), lit(4)) === 0), "text", "doc_id",
+        path)
+      Dedup.appendToSetSimIndex(
+        docs.where(pmod(col("doc_id"), lit(4)) === 2), "text", "doc_id",
+        path)
+      Dedup.probeSetSimOverlap(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), path,
+        threshold = 0.7)
+        .orderBy("doc_batch", "doc_corpus")
+    }),
+
     "q212_fuzzy_canonicalize" -> ((s, d) => {
       // the record-linkage loop closed: edit-distance clusters over the
       // value domain, every ROW remapped to its cluster's canonical name
@@ -887,6 +908,26 @@ object DedupQueries {
          FROM n a JOIN n b ON a.name < b.name
          WHERE levenshtein(a.name, b.name) <= 2
          ORDER BY name_a, name_b""",
+
+    // q217: probing a (rebuild + append)-built index over the evens with
+    // the odds must equal the exact cross Jaccard — append staleness or
+    // one-sided-filter recall loss would surface as missing rows
+    "q217_setsim_index_probe" ->
+      """WITH g AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                  AS grams
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL))
+         SELECT doc_batch, doc_corpus, jaccard FROM (
+           SELECT a.doc_id AS doc_batch, b.doc_id AS doc_corpus,
+                  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / (len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams))) AS jaccard
+           FROM g a JOIN g b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+           WHERE len(a.grams) >= 1 AND len(b.grams) >= 1)
+         WHERE jaccard >= 0.7
+         ORDER BY doc_batch, doc_corpus""",
 
     // q212: reachability closure over the exact edit-distance pair set
     // (the q34 recursive pattern); canonical = each component's

@@ -1284,6 +1284,47 @@ class DedupSpec extends AnyFunSuite {
     d(a.length)(b.length)
   }
 
+  test("setSim index lifecycle: append-stability, content delete, exactly-once") {
+    val path = "target/graft-test-setsim-index"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true)
+    val probe = Seq((100L, near)).toDF("doc_id", "text")
+    // built in one shot vs rebuilt-then-appended must probe identically
+    Dedup.saveSetSimIndex(corpus, "text", "doc_id", path, shingle = 2)
+    val oneShot = Dedup.probeSetSimOverlap(probe, path, 0.5, shingle = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.saveSetSimIndex(corpus.where(col("doc_id") <= 3), "text",
+      "doc_id", path, shingle = 2)
+    Dedup.appendToSetSimIndex(corpus.where(col("doc_id") > 3), "text",
+      "doc_id", path, shingle = 2)
+    val grown = Dedup.probeSetSimOverlap(probe, path, 0.5, shingle = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneShot == grown)
+    // the near-dup of docs 1/2/3 (base copies + near) is found exactly
+    assert(grown == Set((100L, 1L), (100L, 2L), (100L, 3L)))
+    // content delete: forgetting `base` leaves only the near-dup row
+    Dedup.deleteContentFromSetSimIndex(Seq(Tuple1(base)).toDF("text"),
+      "text", path, shingle = 2)
+    val afterDel = Dedup.probeSetSimOverlap(probe, path, 0.5, shingle = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterDel == Set((100L, 3L)))
+    // exactly-once: a replayed batch id is a no-op (no doubled rows)
+    val extra = Seq((50L, base)).toDF("doc_id", "text")
+    Dedup.appendToSetSimIndexExactlyOnce(extra, "text", "doc_id", path,
+      batchId = 7L, shingle = 2)
+    val before = Dedup.probeSetSimOverlap(probe, path, 0.5, shingle = 2)
+      .count()
+    Dedup.appendToSetSimIndexExactlyOnce(extra, "text", "doc_id", path,
+      batchId = 7L, shingle = 2)
+    assert(Dedup.probeSetSimOverlap(probe, path, 0.5, shingle = 2)
+      .count() == before)
+    val sets = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$path/sets"))
+    assert(sets.where(col("doc") === 50L).count() == 1L)
+  }
+
   test("fuzzyCanonicalize collapses edit-chains transitively to the lex-min") {
     // color ~ colour (1 edit) ~ colouur (1 more) — endpoints are 2 edits
     // apart but the CHAIN binds them; "colr" reaches color at 1 edit.
