@@ -281,6 +281,42 @@ object DedupQueries {
         .orderBy("doc_batch", "doc_corpus")
     }),
 
+    "q218_stream_setsim_ingest" -> ((s, d) => {
+      // the exact-gate ingest loop CLOSED over streaming (q182's shape
+      // for this family): empty born-versioned shell, the even half
+      // streams in via foreachBatch with EXACTLY-ONCE appends, probe
+      // the odd half — must equal probing the batch-built index (q217's
+      // oracle verbatim; append-stability is what makes the shell-fill
+      // path exact by construction)
+      val docs = t(s, d, "documents")
+      val path = s"target/graft-stream-setsim-${sfTag(d)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(path, s"$path.ckpt").foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Dedup.saveSetSimIndex(docs.where(lit(false)), "text", "doc_id", path)
+      val stream = s.readStream
+        .schema(graft.streaming.DocumentStreams.docSchema)
+        .parquet(s"$d/documents.*")
+        .where(pmod(col("doc_id"), lit(2)) === 0)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$path.ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          Dedup.appendToSetSimIndexExactlyOnce(batch, "text", "doc_id",
+            path, batchId)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Dedup.probeSetSimOverlap(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), path,
+        threshold = 0.7)
+        .orderBy("doc_batch", "doc_corpus")
+    }),
+
     "q212_fuzzy_canonicalize" -> ((s, d) => {
       // the record-linkage loop closed: edit-distance clusters over the
       // value domain, every ROW remapped to its cluster's canonical name
@@ -911,7 +947,26 @@ object DedupQueries {
 
     // q217: probing a (rebuild + append)-built index over the evens with
     // the odds must equal the exact cross Jaccard — append staleness or
-    // one-sided-filter recall loss would surface as missing rows
+    // one-sided-filter recall loss would surface as missing rows.
+    // q218: the streamed shell-fill builds the same evens index through
+    // exactly-once batches — same oracle verbatim
+    "q218_stream_setsim_ingest" ->
+      """WITH g AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                  AS grams
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL))
+         SELECT doc_batch, doc_corpus, jaccard FROM (
+           SELECT a.doc_id AS doc_batch, b.doc_id AS doc_corpus,
+                  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / (len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams))) AS jaccard
+           FROM g a JOIN g b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+           WHERE len(a.grams) >= 1 AND len(b.grams) >= 1)
+         WHERE jaccard >= 0.7
+         ORDER BY doc_batch, doc_corpus""",
+
     "q217_setsim_index_probe" ->
       """WITH g AS (
            SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
