@@ -54,7 +54,25 @@ object Graph {
     */
   def pageRankInt(edges: DataFrame, iters: Int = 5,
                   dampingPermille: Int = 850,
-                  scale: Long = 1000000L): DataFrame = {
+                  scale: Long = 1000000L): DataFrame =
+    // the unit-weight case: (r · 1) div Σ1 = r div outdeg, value-identical
+    pageRankIntWeighted(
+      edges.select(col("src"), col("dst")).distinct()
+        .withColumn("w", lit(1L)),
+      iters, dampingPermille, scale)
+
+  /** [[pageRankInt]] with INTEGER edge weights `(src, dst, w)` — the
+    * co-occurrence-count graph's natural form (a pair sharing 40 baskets
+    * should pull harder than one sharing 1): each round distributes
+    * `(r(u) · w(u,v)) div Σ_v' w(u,v')`. Same integer-determinism
+    * contract; parallel (src, dst) rows merge by summing w. Overflow
+    * bound tightens to `max(r) · max(w) < 2⁶³` — at the default scale
+    * that is weights up to ~10⁹ on a 10⁹-node graph, and the oracle's
+    * BIGINT fails just as loudly past it.
+    */
+  def pageRankIntWeighted(edges: DataFrame, iters: Int = 5,
+                          dampingPermille: Int = 850,
+                          scale: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters >= 1, got $iters")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille in [0, 1000], got $dampingPermille")
@@ -64,18 +82,19 @@ object Graph {
       else df.localCheckpoint()
     // null endpoints carry no rank and would seed a phantom null node —
     // drop them here rather than leaving the contract to every caller
-    val e = ckpt(edges.select(col("src"), col("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull).distinct())
+    val e = ckpt(edges.select(col("src"), col("dst"), col("w").cast("long"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
     val nodes = ckpt(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
-    val outdeg = ckpt(e.groupBy(col("src")).agg(count(lit(1)).as("od")))
+    val outw = ckpt(e.groupBy(col("src")).agg(sum(col("w")).as("ow")))
     val base = scale * (1000 - dampingPermille) / 1000
     var rank = nodes.select(col("id"), lit(scale).as("r"))
     for (i <- 1 to iters) {
       val contrib = e
         .join(rank.select(col("id").as("src"), col("r")), Seq("src"))
-        .join(outdeg, Seq("src"))
-        .select(col("dst").as("id"), expr("r div od").as("c"))
+        .join(outw, Seq("src"))
+        .select(col("dst").as("id"), expr("(r * w) div ow").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
       rank = nodes
         .join(contrib, Seq("id"), "left")
@@ -244,5 +263,18 @@ object Graph {
         col("a.grp") === col("b.grp") && col("a.item") =!= col("b.item"))
       .select(col("a.item").as("src"), col("b.item").as("dst"))
       .distinct()
+  }
+
+  /** [[coOccurrenceEdges]] keeping the co-occurrence COUNT as the edge
+    * weight `(src, dst, w)` — w = number of distinct groups sharing the
+    * pair, the natural strength signal for [[pageRankIntWeighted]]. */
+  def coOccurrenceEdgesWeighted(df: DataFrame, groupCol: String,
+                                itemCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("grp"), col(itemCol).as("item"))
+      .where(col("item").isNotNull).distinct()
+    g.as("a").join(g.as("b"),
+        col("a.grp") === col("b.grp") && col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("src"), col("b.item").as("dst"))
+      .agg(count(lit(1)).as("w"))
   }
 }

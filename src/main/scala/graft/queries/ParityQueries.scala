@@ -340,6 +340,17 @@ object ParityQueries {
         .orderBy("part")
     }),
 
+    "q219_pagerank_weighted" -> ((s, d) => {
+      // q210 with co-occurrence COUNTS as edge weights: a pair sharing
+      // 40 baskets pulls harder than one sharing 1 — same integer
+      // determinism, (r·w) div Σw per round
+      val edges = graft.ext.Graph.coOccurrenceEdgesWeighted(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey")
+      graft.ext.Graph.pageRankIntWeighted(edges, iters = 5)
+        .select(col("id").as("part"), col("rank_fp"))
+        .orderBy("part")
+    }),
+
     "q214_triangle_counts" -> ((s, d) => {
       // degree-ordered triangle counting over the HIGH-QUANTITY
       // co-purchase graph (the co-order graph's baskets are dense; the
@@ -583,6 +594,34 @@ object ParityQueries {
           nodes AS (SELECT src AS id FROM edges
                     UNION SELECT dst FROM edges),
           outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+          r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+          $iterBlocks
+          SELECT id AS part, r AS rank_fp FROM r5 ORDER BY part"""
+    },
+
+    // q219: the weighted update replayed exactly — (r·w) // Σw, BIGINT
+    "q219_pagerank_weighted" -> {
+      val iterBlocks = (1 to 5).map { i =>
+        s"""c$i AS (SELECT e.dst AS id,
+                           CAST(sum((r.r * e.w) // o.ow) AS BIGINT) AS s
+                    FROM edges e JOIN r${i - 1} r ON r.id = e.src
+                    JOIN outw o ON o.src = e.src GROUP BY e.dst),
+            r$i AS (SELECT n.id,
+                           CAST(150000 + (850 * coalesce(c.s, 0)) // 1000
+                                AS BIGINT) AS r
+                    FROM nodes n LEFT JOIN c$i c USING (id))"""
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+                      FROM lineitem),
+          edges AS (SELECT a.item AS src, b.item AS dst,
+                           CAST(count(*) AS BIGINT) AS w
+                    FROM li a JOIN li b
+                    ON a.grp = b.grp AND a.item <> b.item
+                    GROUP BY 1, 2),
+          nodes AS (SELECT src AS id FROM edges
+                    UNION SELECT dst FROM edges),
+          outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+                   FROM edges GROUP BY src),
           r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
           $iterBlocks
           SELECT id AS part, r AS rank_fp FROM r5 ORDER BY part"""

@@ -40,6 +40,34 @@ class GraphSpec extends AnyFunSuite {
     assert(got == refPageRank(edges, iters = 4))
   }
 
+  test("weighted pagerank ≡ unweighted at equal weights; weight pulls rank") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(80)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(p => p._1 != p._2).distinct
+    // all-equal weights must reproduce the unweighted ranks exactly
+    // ((r·c) div (deg·c) = r div deg for any constant c)
+    val unw = Graph.pageRankInt(edges.toDF("src", "dst"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    for (c <- Seq(1L, 7L)) {
+      val w = Graph.pageRankIntWeighted(
+        edges.map(p => (p._1, p._2, c)).toDF("src", "dst", "w"), iters = 4)
+        .as[(Long, Long)].collect().toMap
+      assert(w == unw, s"constant weight $c")
+    }
+    // a hub splitting mass 9:1 ranks the heavy target above the light one
+    val star = Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+    val r = Graph.pageRankIntWeighted(star.toDF("src", "dst", "w"),
+      iters = 3).as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(2L))
+    // parallel (src, dst) rows merge by summing: (0→1, w 4)+(0→1, w 5)
+    // equals one 0→1 edge of weight 9
+    val merged = Graph.pageRankIntWeighted(
+      (Seq((0L, 1L, 4L), (0L, 1L, 5L)) ++ star.drop(1))
+        .toDF("src", "dst", "w"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(merged == r)
+  }
+
   test("symmetric 2-cycle is a fixpoint at exactly `scale`; hubs outrank leaves") {
     // a <-> b: r' = 150000 + 850·(10⁶ div 1) div 1000 = 10⁶ every round
     val cyc = Graph.pageRankInt(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
