@@ -398,4 +398,30 @@ object TextAnalysis {
     */
   def piiCount(text: Column, kind: String): Column =
     regexp_count(text, lit(piiPatterns.toMap.apply(kind)))
+
+  /** INTEGERIZED Flesch reading ease, in milli-points (Flesch 1948;
+    * Kincaid et al. 1975 recalibration uses the same three statistics) —
+    * the classic pre-training readability gate next to [[qualityScore]].
+    * Definitions are pinned so any engine replays them exactly:
+    * words = non-empty space-split tokens; sentences =
+    * max(1, occurrences of [.!?]); syllables = maximal lowercase vowel
+    * runs `[aeiou]+`. The two ratio terms integerize through Catalyst
+    * `div` in milli-units — 1.015·(W/S) → `(1015·W) div S`, 84.6·(Syl/W)
+    * → `(84600·Syl) div W` — so the score is a pure integer function of
+    * (W, S, Syl): hash-identical in any engine, where the float formula
+    * would drift on division rounding.
+    * Returns NULL on NULL text and on zero-word text (no defined score).
+    */
+  def fleschMilli(text: Column): Column = {
+    def div(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftSqlBridge.expression(a),
+          org.apache.spark.sql.GraftSqlBridge.expression(b)))
+    val w = size(filter(tokens(text), t => length(t) > 0)).cast("long")
+    val s = greatest(regexp_count(text, lit("[.!?]")), lit(1)).cast("long")
+    val syl = regexp_count(lower(text), lit("[aeiou]+")).cast("long")
+    when(w >= 1L,
+      lit(206835L) - div(lit(1015L) * w, s) - div(lit(84600L) * syl, w))
+  }
 }

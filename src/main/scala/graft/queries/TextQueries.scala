@@ -31,6 +31,16 @@ object TextQueries {
         TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"))
         .orderBy("doc_id")),
 
+    "q220_readability" -> ((s, d) =>
+      // integerized Flesch reading ease (milli-points): the classic
+      // pre-training readability gate, a pure integer function of
+      // (words, sentences, vowel-run syllables) so it hash-matches
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fleschMilli(col("text")).as("flesch_milli"))
+        .where(col("flesch_milli").isNotNull)
+        .orderBy("doc_id")),
+
     "q21_text_quality" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
@@ -254,6 +264,21 @@ object TextQueries {
                 CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
                   / len(string_split(text, ' ')) AS mean_token_len
          FROM documents ORDER BY doc_id""",
+
+    // q220: the identical integer recurrence — W/S/Syl definitions pinned
+    // in TextAnalysis.fleschMilli's scaladoc, both divisions `//`
+    "q220_readability" ->
+      """SELECT doc_id,
+                CAST(206835 - (1015 * w) // s - (84600 * syl) // w
+                     AS BIGINT) AS flesch_milli
+         FROM (SELECT doc_id,
+                      len(list_filter(string_split(text, ' '),
+                        t -> len(t) > 0)) AS w,
+                      greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS s,
+                      len(regexp_extract_all(lower(text), '[aeiou]+')) AS syl
+               FROM documents WHERE text IS NOT NULL)
+         WHERE w >= 1
+         ORDER BY doc_id""",
 
     "q21_text_quality" ->
       s"""WITH b AS (

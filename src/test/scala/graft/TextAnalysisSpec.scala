@@ -278,4 +278,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2) == ((0.0, 1.0 / 3, 0)))
     assert(got(3) == ((0.0, 2.0 / 3, 0))) // letters mid-token still count
   }
+
+  test("fleschMilli replays the integerized formula; NULL on empty/NULL text") {
+    // "the cat sat. it ran!" → W=5, S=2 ([.!]), vowel runs: e,a,a,i,a = 5
+    // → 206835 − (1015·5) div 2 − (84600·5) div 5 = 206835 − 2537 − 84600
+    val rows = Seq((1L, "the cat sat. it ran!"), (2L, ""), (3L, null),
+      (4L, "aeiou")) // one word, one vowel run, zero sentence marks → S=1
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+      graft.ext.TextAnalysis.fleschMilli(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L).contains(206835L - 5075L / 2 - 84600L))
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+    assert(got(4L).contains(206835L - 1015L - 84600L))
+  }
 }
