@@ -33,6 +33,8 @@ object ServeBench {
     s"target/graft-servebench-winnow-${sfTag(d)}"
   private def binaryPath(d: String) =
     s"target/graft-servebench-binary-${sfTag(d)}"
+  private def setsimPath(d: String) =
+    s"target/graft-servebench-setsim-${sfTag(d)}"
 
   private def deq(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
@@ -93,6 +95,10 @@ object ServeBench {
     "binary" -> ((s, d) =>
       Similarity.saveBinaryIndex(t(s, d, "embeddings"), binaryPath(d),
         dim = 64)),
+    "setsim" -> ((s, d) =>
+      Dedup.saveSetSimIndex(
+        t(s, d, "documents").where(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "doc_id", setsimPath(d))),
     "winnow" -> ((s, d) =>
       Dedup.saveWinnowManifest(
         t(s, d, "documents").where(pmod(col("doc_id"), lit(2)) === 0),
@@ -275,6 +281,13 @@ object ServeBench {
       Similarity.binaryTopKIndexed(s,
         t(s, d, "embeddings").where(col("vec_id") < 10),
         t(s, d, "embeddings"), binaryPath(d), k = 10)),
+    "s22_setsim_probe" -> ((s, d) =>
+      // q217/q218's serve tail: the exact near-dup gate probing a
+      // 100-doc batch against the prebuilt evens index
+      Dedup.probeSetSimOverlap(
+        t(s, d, "documents")
+          .where(pmod(col("doc_id"), lit(2)) === 1 &&
+            col("doc_id") < 200), setsimPath(d), threshold = 0.7)),
     "s19_campaign_snapshot" -> ((s, d) =>
       campaignUnion(s, d, Some("bench_campaign"))),
     "s20_campaign_restore_serve" -> ((s, d) =>
