@@ -226,6 +226,9 @@ object Stage {
             "state keeps serving). If the component is genuinely empty " +
             "now, drop or rebuild it instead of publishing emptiness")
       }
+      // fencing: a wrongly-reclaimed (zombie) holder must not flip the
+      // pointer over the reclaimer's state — reject at the commit point
+      assertLeaseStillHeld(spark, root)
       flipPointer(spark, fs, rootPath, version, grace)
       gcStale(fs, rootPath)
     }
@@ -622,12 +625,51 @@ object Stage {
     fsFor(spark, p).delete(p, true)
   }
 
-  /** Currently-held lease paths of THIS thread — makes [[withWriterLease]]
-    * reentrant, so a family-level maintenance op holding the index-root
-    * lease can call nested helpers that also lease without deadlocking
-    * on itself. */
-  private val heldLeases = new ThreadLocal[Set[String]] {
-    override def initialValue(): Set[String] = Set.empty
+  /** Currently-held lease paths of THIS thread (lock key → acquire
+    * token) — makes [[withWriterLease]] reentrant, so a family-level
+    * maintenance op holding the index-root lease can call nested helpers
+    * that also lease without deadlocking on itself. Carrying the TOKEN
+    * (not just the key) is what arms the commit-point fencing check:
+    * [[assertLeaseStillHeld]] can re-read the lock and prove this
+    * thread's acquire is still the live one. */
+  private val heldLeases = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
+  }
+
+  /** FENCING check at a publish COMMIT point: if this thread holds (or
+    * believes it holds) the writer lease on `root`, re-read the lock file
+    * and require it still carries this thread's acquire token. A holder
+    * whose heartbeat starved past the staleness window may have been
+    * WRONGLY RECLAIMED — its lease handle is then a zombie, and letting
+    * its commit proceed would interleave two writers' publishes on one
+    * index. The check turns that residual hazard from "bounded by the
+    * staleness window" into "rejected at the commit point": the zombie's
+    * pointer flip / ledger-marker create throws loudly, its staged or
+    * renamed-but-markerless files are exactly what the next
+    * [[sweepUncommitted]] reverts, and the reclaimer's state is never
+    * mixed with. (A check-then-commit race of a few milliseconds remains
+    * — true CAS needs a server-side primitive local filesystems lack —
+    * but the exposure drops from the full staleness window to the
+    * check→rename gap.) No-op when this thread holds no lease on `root`
+    * (plain un-leased writes are not fenced). Cost: one small-file read
+    * per commit.
+    */
+  def assertLeaseStillHeld(spark: SparkSession, root: String): Unit = {
+    val lock = new Path(new Path(root), "_writer.lock")
+    heldLeases.get.get(lock.toString).foreach { token =>
+      val fs = fsFor(spark, lock)
+      val current =
+        try readUtf8(fs, lock)
+        catch { case scala.util.control.NonFatal(_) => "" }
+      if (current != token)
+        throw new IllegalStateException(
+          s"fencing check failed at commit: $lock no longer carries this " +
+            "writer's acquire token — the lease was reclaimed (heartbeat " +
+            "starved past the staleness window) and another writer may now " +
+            "hold the index. This publish is REJECTED; its uncommitted " +
+            "files will be swept by the next maintenance op. Re-run the " +
+            "operation under a fresh lease.")
+    }
   }
 
   /** JVM-global lease owners (lock key → acquire token). Hadoop's
@@ -736,7 +778,17 @@ object Stage {
         try {
           fs.mkdirs(rootPath)
           createExclusive()
-        } catch { case _: java.io.IOException => false }
+        } catch {
+          case _: java.io.IOException => false
+          // any OTHER failure (SecurityException, a RuntimeException out
+          // of an FS shim) must also roll back the registry entry before
+          // propagating: with the entry leaked, no lock file exists for
+          // the stale-reclaim path to read, so every future acquire on
+          // this path in this JVM would dead-end on the in-process gate
+          // until restart
+          case scala.util.control.NonFatal(e) =>
+            jvmLeaseOwners.remove(key, token); throw e
+        }
       if (!ok) jvmLeaseOwners.remove(key, token)
       ok
     }
@@ -777,7 +829,7 @@ object Stage {
             "forbids concurrent maintenance on one index; retry after it " +
             "finishes, or delete the lock if its holder is known dead")
     }
-    heldLeases.set(heldLeases.get + key)
+    heldLeases.set(heldLeases.get + (key -> token))
     val refresher = startLeaseRefresher(fs, lock, token, staleAfterMs)
     try body
     finally {
@@ -932,6 +984,10 @@ object Stage {
           ensureVersioned(spark, s"$path/$comp")
           publishStaged(fs, new Path(s"$staging/$comp"),
             new Path(resolve(spark, s"$path/$comp")), s"b$batchId") }
+        // fencing: a zombie holder's marker create is the durability
+        // commit — reject it if the lease was reclaimed mid-batch (the
+        // renamed b<id>-* files are then markerless and sweep-revertible)
+        assertLeaseStillHeld(spark, path)
         val marker = new Path(s"$path/_ledger/batch-$batchId")
         fs.mkdirs(marker.getParent)
         fs.create(marker, false).close() // atomic: the batch is now published
@@ -990,6 +1046,9 @@ object Stage {
           ensureVersioned(spark, s"$path/$comp")
           publishStaged(fs, new Path(s"$staging/$comp"),
             new Path(resolve(spark, s"$path/$comp")), s"o$opId") }
+        // fencing: same commit-point rejection as the batch path — a
+        // reclaimed holder's op must stay markerless (sweep-revertible)
+        assertLeaseStillHeld(spark, path)
         fs.mkdirs(marker.getParent)
         fs.create(marker, false).close() // atomic: the op is now published
         fs.delete(new Path(staging), true)

@@ -522,6 +522,56 @@ class StageSpec extends AnyFunSuite {
     assert(!fs(root).exists(new Path(s"$root/_writer.lock")))
   }
 
+  test("fencing: a reclaimed holder's pointer flip is rejected at commit") {
+    // the round-12 residual closed: a holder whose heartbeat starved past
+    // the staleness window gets RECLAIMED; its late publish must be
+    // rejected at the commit point, not interleaved with the reclaimer's
+    val root = "target/graft-test-stage-fence-flip"
+    fs(root).delete(new Path(root), true)
+    Stage.publishRebuild(spark, root, Seq(1L, 2L).toDF("v"))
+    val lock = new Path(s"$root/_writer.lock")
+    val boom = intercept[IllegalStateException] {
+      Stage.withWriterLease(spark, root) {
+        // simulate the wrongful reclaim: the lock now carries ANOTHER
+        // writer's token (a reclaimer retired ours and created afresh)
+        fs(root).delete(lock, false)
+        val out = fs(root).create(lock, false)
+        out.write("pid=424242 host=elsewhere t=0 nonce=imposter"
+          .getBytes("UTF-8"))
+        out.close()
+        Stage.publishRewrite(spark, root, Seq(9L).toDF("v"))
+      }
+    }
+    assert(boom.getMessage.contains("fencing"), s"$boom")
+    // the zombie's flip never happened: the pre-reclaim state keeps serving
+    assert(values(root) == Set(1L, 2L))
+    fs(root).delete(lock, false) // retire the imposter lock
+  }
+
+  test("fencing: a reclaimed holder's publishOnce stays markerless and sweeps") {
+    val root = "target/graft-test-stage-fence-op"
+    fs(root).delete(new Path(root), true)
+    val lock = new Path(s"$root/_writer.lock")
+    val boom = intercept[IllegalStateException] {
+      Stage.withWriterLease(spark, root) {
+        fs(root).delete(lock, false)
+        val out = fs(root).create(lock, false)
+        out.write("pid=1 host=elsewhere t=0 nonce=imposter".getBytes("UTF-8"))
+        out.close()
+        Stage.publishOnce(spark, root, "fenced_op", Seq("data")) { staging =>
+          Seq(7L).toDF("v").write.parquet(s"$staging/data")
+        }
+      }
+    }
+    assert(boom.getMessage.contains("fencing"), s"$boom")
+    fs(root).delete(lock, false)
+    // no marker committed: the renamed files are visible but pending, and
+    // the next maintenance sweep reverts exactly them
+    assert(Stage.pendingOps(spark, root, Seq("data")) == Seq("fenced_op"))
+    Stage.sweepUncommitted(spark, root, Seq("data"))
+    assert(Stage.pendingOps(spark, root, Seq("data")).isEmpty)
+  }
+
   test("healthReport surfaces the writer lock in flight") {
     val idx = "target/graft-test-health-lock"
     fs(idx).delete(new Path(idx), true)
