@@ -2611,17 +2611,33 @@ object Dedup {
 
   /** Append a batch to a [[saveSetSimIndex]] index (root lease; both
     * components gain the batch's rows — full postings are append-stable,
-    * see the save scaladoc). The index's shingle width must match. */
+    * see the save scaladoc). The index's shingle width must match.
+    *
+    * The append is STAGED, not written in place: a crash between the two
+    * components would otherwise leave a doc present in `sets` but absent
+    * from `postings` — candidates come only from postings, so such a doc
+    * would silently never surface again, a recall hole in an index whose
+    * headline contract is deterministic recall 1, and plain in-place
+    * appends are invisible to [[graft.ops.Stage.sweepUncommitted]]. Routing
+    * through the op-ledgered publish makes a torn append a SWEPT append:
+    * both components commit together or the next maintenance sweep reverts
+    * both. Pass a stable `opId` to make a caller-side retry idempotent;
+    * the default fresh id gives at-least-once (a retry re-appends whole,
+    * never torn). */
   def appendToSetSimIndex(newDf: DataFrame, textCol: String, idCol: String,
-                          path: String, shingle: Int = 3): Unit =
-    graft.ops.Stage.withWriterLease(newDf.sparkSession, path) {
+                          path: String, shingle: Int = 3,
+                          opId: String = ""): Unit = {
+    val spark = newDf.sparkSession
+    val id = if (opId.nonEmpty) opId
+      else "ssappend" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.ops.Stage.publishOnce(spark, path, id,
+      Seq("sets", "postings")) { staging =>
       val sets = setSimSets(newDf, textCol, idCol, shingle)
-      sets.write.mode("append")
-        .parquet(graft.ops.Stage.resolve(newDf.sparkSession, s"$path/sets"))
-      setSimPostings(sets).write.mode("append")
-        .parquet(graft.ops.Stage.resolve(newDf.sparkSession,
-          s"$path/postings"))
+      sets.write.mode("overwrite").parquet(s"$staging/sets")
+      setSimPostings(sets).write.mode("overwrite")
+        .parquet(s"$staging/postings")
     }
+  }
 
   /** [[appendToSetSimIndex]] with EXACTLY-ONCE semantics for streaming
     * ingest (the shared ledger protocol — a replayed batch would double

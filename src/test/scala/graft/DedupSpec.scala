@@ -1323,6 +1323,23 @@ class DedupSpec extends AnyFunSuite {
     val sets = spark.read.parquet(
       graft.ops.Stage.resolve(spark, s"$path/sets"))
     assert(sets.where(col("doc") === 50L).count() == 1L)
+    // the PLAIN append is staged too (op-ledgered): a caller retry with
+    // the same opId is a metadata no-op — no doubled rows in either
+    // component, and a torn two-component append is impossible by
+    // construction (both commit under one marker or the sweep reverts both)
+    val more = Seq((60L, near)).toDF("doc_id", "text")
+    Dedup.appendToSetSimIndex(more, "text", "doc_id", path, shingle = 2,
+      opId = "retry_probe")
+    Dedup.appendToSetSimIndex(more, "text", "doc_id", path, shingle = 2,
+      opId = "retry_probe")
+    val setsAfter = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$path/sets"))
+    assert(setsAfter.where(col("doc") === 60L).count() == 1L)
+    val postingsAfter = spark.read.parquet(
+      graft.ops.Stage.resolve(spark, s"$path/postings"))
+    assert(postingsAfter.where(col("doc") === 60L).count() ==
+      setsAfter.where(col("doc") === 60L).select(explode(col("grams")))
+        .count())
   }
 
   test("fuzzyCanonicalize collapses edit-chains transitively to the lex-min") {
