@@ -19,6 +19,29 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ORACLE-BUILD-TIME corpus parameter: the unigram-LM replay's Viterbi
+    // unroll depth (one dp CTE per word position) is derived from the
+    // corpus's actual longest whitespace token, not a constant — a corpus
+    // with longer words than the old 24-char margin would have silently
+    // dropped them from the replay's M-step while the engine (which loops
+    // to the real word length) still counted them. MUST run before the
+    // first SparkEntry access: the query/oracle maps build on object init.
+    try {
+      import org.apache.spark.sql.functions._
+      val longest = graft.ops.Tables.t(spark, sfDir, "documents")
+        .where(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(max(length(col("w"))).as("m"))
+        .head.getAs[Any]("m")
+      longest match {
+        case n: Number if n.intValue > 0 =>
+          sys.props("graft.oracle.unigram.maxlen") = n.intValue.toString
+          System.err.println(s"[verify] unigram oracle unroll depth = ${n.intValue}")
+        case _ => ()
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] unigram depth probe failed (default 24): $e")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()

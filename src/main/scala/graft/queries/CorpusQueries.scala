@@ -935,10 +935,10 @@ object CorpusQueries {
   /** The q197 unigram-LM training replay, GENERATED: seed (substring
     * counts, all chars + top-`seedSize` multi-char), then `iters` hard-EM
     * rounds — each a bits table, an unrolled per-position Viterbi argmin
-    * (dp CTEs for word lengths 1..`maxLen` — 24 at both call sites, a
-    * 3× margin over the test corpus's longest word of 8; the ENGINE
-    * loops to the actual word length, so only this replay has an unroll
-    * bound, and a corpus with a 25+-char word needs it raised), the
+    * (dp CTEs for word lengths 1..`maxLen` — [[unigramOracleMaxLen]] at
+    * both call sites, derived from the target corpus's actual longest
+    * word at oracle-build time; the ENGINE loops to the actual word
+    * length, so only this replay has an unroll bound), the
     * path-exploded M-step re-count, and the natural prune. A word
     * LONGER than `maxLen` would silently drop from the replay's M-step
     * (no dp CTE covers its length) while the engine still counts it —
@@ -946,6 +946,19 @@ object CorpusQueries {
     * engine's exactly: (total bits, piece count, chr(1)-joined path).
     * Returns the WITH body up to `vocab$iters` + `ftot` (final totals).
     */
+  /** Viterbi unroll depth for the unigram replay, DERIVED FROM THE CORPUS
+    * at oracle-build time: [[graft.Verify]] probes `max(length(word))`
+    * over the target corpus and publishes it through this property before
+    * the oracle map initializes, so a corpus with arbitrarily long words
+    * replays exactly (the engine loops to the real word length; only the
+    * generated SQL has an unroll bound). 24 is the standalone fallback
+    * (tests / Bench never evaluate these oracle strings against data).
+    */
+  private def unigramOracleMaxLen: Int =
+    sys.props.get("graft.oracle.unigram.maxlen")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(_ >= 1).getOrElse(24)
+
   private def unigramTrainCtes(seedSize: Int, pieceLen: Int, iters: Int,
                                maxLen: Int): String = {
     val seed =
@@ -1458,7 +1471,7 @@ object CorpusQueries {
     // E-steps (per-position argmin CTEs, tie rule (bits, np, path)),
     // M-step counts, prune, final integer costs
     "q197_unigram_train" ->
-      s"""${"WITH " + unigramTrainCtes(24, 3, 2, 24)}
+      s"""${"WITH " + unigramTrainCtes(24, 3, 2, unigramOracleMaxLen)}
           SELECT piece, c AS n_uses,
                  CAST(length(bin((t.tt + t.tv) // (c + 1))) - 1 AS BIGINT)
                    AS cost_bits
@@ -1468,7 +1481,8 @@ object CorpusQueries {
     // q198: the trained model's packed-long Viterbi over the dictionary,
     // per-doc rollup, and the windowed prefix-sum pack (q184's shape on
     // unigram counts)
-    "q198_pack_unigram_budget" -> unigramPackSql(24, 3, 2, 24, 256L),
+    "q198_pack_unigram_budget" ->
+      unigramPackSql(24, 3, 2, unigramOracleMaxLen, 256L),
 
     // q184: the 8-generation training replay + the dictionary join
     // (q163's CTEs) + q60's windowed prefix-sum pack assignment on the

@@ -254,6 +254,20 @@ object DedupQueries {
         threshold = 0.7, shingle = 3)
         .orderBy("doc_a", "doc_b")),
 
+    "q221_setsim_join_spot" -> ((s, d) =>
+      // q206 at the 10× size step: the ENGINE still runs the corpus-wide
+      // prefix-filtered self-join (full-size df table, prefixes,
+      // candidate buckets — exactly the state a size step could break);
+      // only the OUTPUT is restricted to pairs touching a fixed doc_id
+      // slice. Because the slice is an id PREFIX and output pairs have
+      // doc_a < doc_b, "touching" reduces to doc_a < 400, and the DuckDB
+      // replay becomes one slice × corpus join — linear in the corpus
+      // (q134's spot trick, giving the set-sim family its sf0.1 oracle)
+      Dedup.setSimJoinPairs(t(s, d, "documents"), "text", "doc_id",
+        threshold = 0.7, shingle = 3)
+        .where(col("doc_a") < 400)
+        .orderBy("doc_a", "doc_b")),
+
     "q207_editdist_join" -> ((s, d) =>
       // q-gram count-filtered Levenshtein join over the distinct value
       // domain (record linkage on part names)
@@ -931,6 +945,28 @@ object DedupQueries {
                        - len(list_intersect(a.grams, b.grams))) AS jaccard
            FROM g a JOIN g b ON a.doc_id < b.doc_id
            WHERE len(a.grams) >= 1 AND len(b.grams) >= 1)
+         WHERE jaccard >= 0.7
+         ORDER BY doc_a, doc_b""",
+
+    // q221: pairs with doc_a < doc_b touching the id-prefix slice are
+    // exactly the pairs with doc_a IN slice (doc_b < 400 implies
+    // doc_a < 400), so ONE slice-vs-corpus join replays the spot — linear
+    // in the corpus, quadratic only in the 400-doc slice
+    "q221_setsim_join_spot" ->
+      """WITH g AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                  AS grams
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL))
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / (len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams))) AS jaccard
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE a.doc_id < 400
+             AND len(a.grams) >= 1 AND len(b.grams) >= 1)
          WHERE jaccard >= 0.7
          ORDER BY doc_a, doc_b""",
 

@@ -393,6 +393,39 @@ object ParityQueries {
         .orderBy("part")
     }),
 
+    "q222_jdbc_sink_roundtrip" -> ((s, d) => {
+      // K1 (the reference's one real sink) under the driver oracle: the
+      // per-nation customer rollup is appended into a Derby report table
+      // through Sinks.jdbcAppend, then read back through the partitioned
+      // JDBC scan (S1) — so the sink→scan round trip itself is inside
+      // the hash compare; any value/type mangling (decimal precision,
+      // null handling, connection-level truncation) would mismatch the
+      // oracle's direct rollup
+      val url =
+        s"jdbc:derby:target/graft-q222-${graft.ops.Tables.sfTag(d)};create=true"
+      val result = t(s, d, "customer")
+        .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          Num.moneySum(col("c_acctbal")).as("total_bal"))
+      // fresh target per run — the sink is append-only by contract, so a
+      // rerun must not double the report rows
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate("DROP TABLE q222_report")
+        catch { case _: java.sql.SQLException => () }
+        finally st.close()
+      } finally conn.close()
+      graft.ops.Sinks.jdbcAppend(result, url, "q222_report")
+      // the partition column must be ANSI-quoted: Spark's JDBC writer
+      // creates quoted (case-sensitive lowercase) identifiers in Derby,
+      // so an unquoted name in the MIN/MAX probe would fold to uppercase
+      // and not resolve
+      graft.ops.Tables.jdbcPartitioned(s, url,
+        "SELECT * FROM q222_report", "\"nationkey\"", numPartitions = 4)
+        .orderBy("nationkey")
+    }),
+
     "q18_rollup" -> ((s, d) => {
       // grouping-sets family (absent from the reference, SURVEY §2.6):
       // region/nation subtotal hierarchy in one pass over the joined dims
@@ -708,6 +741,18 @@ object ParityQueries {
          WHERE l_partkey >= 100 AND l_partkey < 180
            AND l_orderkey >= 2000 AND l_orderkey < 9000
          ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""",
+
+    // q222: the oracle computes the rollup DIRECTLY — the engine's route
+    // through the Derby sink and back must be value-preserving, so any
+    // sink-side mangling hash-mismatches here
+    "q222_jdbc_sink_roundtrip" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+                count(*) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_bal
+         FROM customer
+         GROUP BY c_nationkey
+         ORDER BY nationkey""",
 
     "q18_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,

@@ -476,6 +476,69 @@ object ScaleProbe {
       }
     }
 
+    // ---- graph family (q210/q214/q215/q216): the co-occurrence graph's
+    // hub skew is the scale risk. Two 10× regimes, probed separately:
+    //  - DENSE (orderkeys shifted, partkeys SHARED): 10× baskets over one
+    //    catalog — the co-click regime of a 10× traffic step. Distinct
+    //    edges saturate (they're bounded by catalog²·basket-locality), so
+    //    the iterate cost must stay near-flat while only the edge-BUILD
+    //    join (pair fanout before distinct) pays ~10×.
+    //  - DISJOINT (both shifted): 10 independent copies — nodes AND edges
+    //    10×, per-node degree unchanged; everything downstream must scale
+    //    ~linearly and stragglers must stay near the mean (AQE-split
+    //    checkpointed rounds, no global collect anywhere).
+    if (sel("graph")) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      def liRep(k: Int, disjoint: Boolean) =
+        (0 until k).map(i => li.select(
+          (col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          (if (disjoint) col("l_partkey") + lit(i * 100000000L)
+           else col("l_partkey")).as("l_partkey"),
+          col("l_quantity"))).reduce(_ union _).localCheckpoint()
+      for ((tag, docsLi) <- Seq(
+          "1x" -> liRep(1, disjoint = false),
+          s"${n}x-dense" -> liRep(n, disjoint = false),
+          s"${n}x-disjoint" -> liRep(n, disjoint = true))) {
+        spark.sparkContext.addSparkListener(listener)
+        def timed(op: String)(f: => Long): Unit = {
+          taskMs.synchronized(taskMs.clear())
+          val t0 = System.nanoTime()
+          val r = f
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(200) // let the async listener bus drain
+          val ts = taskMs.synchronized(taskMs.toVector)
+          println(f"[scale] $tag graph-$op: $r rows in $dt%.2fs " +
+            f"(straggler task ${ts.max}ms vs mean ${ts.sum / ts.length}ms)")
+        }
+        // q214/q215's analyst graph (quantity-filtered, quadratically
+        // thinner) for the wedge-bound ops; the raw co-order graph for
+        // pagerank/k-core exactly as q210/q216 run them
+        val thin = graft.ext.Graph.coOccurrenceEdges(
+          docsLi.where(col("l_quantity") >= 40), "l_orderkey", "l_partkey")
+          .localCheckpoint()
+        val full = graft.ext.Graph.coOccurrenceEdges(
+          docsLi, "l_orderkey", "l_partkey")
+        timed("edges-build+pagerank5") {
+          graft.ext.Graph.pageRankInt(full, iters = 5).count()
+        }
+        timed("triangles") {
+          graft.ext.Graph.triangleCounts(thin).count()
+        }
+        timed("kcore90") {
+          graft.ext.Graph.kCorePeel(
+            graft.ext.Graph.coOccurrenceEdges(
+              docsLi, "l_orderkey", "l_partkey"), k = 90, rounds = 4).count()
+        }
+        val seeds = docsLi.select(col("l_partkey").as("id"))
+          .where(pmod(col("id"), lit(100)) === 0).distinct()
+        timed("bfs3") {
+          graft.ext.Graph.seedDistances(thin, seeds, maxHops = 3).count()
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    }
+
     if (sel("ledger")) {
       // the ledger's own small-files problem: one batch-<id> marker per
       // micro-batch, forever, vs one folded high-water marker. Measure
