@@ -1594,6 +1594,113 @@ object Corpus {
     e.toMap
   }
 
+  /** [[unigramTrainSoft]] in SHARED FIXED POINT — the determinism upgrade
+    * that moves soft-EM from property-tested into the exact-replay oracle
+    * set (the float trainer's log-sum-exp chains can never hash-match a
+    * SQL replay; see [[graft.ops.Fp]]). Same EM structure — seed, `iters`
+    * forward–backward E-steps, expectation-weighted M-step re-count,
+    * prune — but every quantity is an integer:
+    *
+    *  - counts are MICRO-UNITS (2^20 per expected use);
+    *  - log-probabilities are fp-bits via [[graft.ops.Fp.log2fp]]
+    *    (add-one smoothing becomes `log2fp(c + 2^20) − log2fp(t + v·2^20)`);
+    *  - α/β accumulate with the PAIRWISE quantized log-sum-exp
+    *    [[graft.ops.Fp.lse2]], legs folded in ascending split order (the
+    *    fold order is part of the contract — lse2 is not associative
+    *    under quantization, so the oracle folds identically);
+    *  - posteriors come from [[graft.ops.Fp.exp2fp30]] with the deficit
+    *    clamped at 0 (table rounding can push a path a quantum past its
+    *    own total).
+    *
+    * M-step sums are then plain integer sums — order-free, so a SQL
+    * GROUP BY replays them exactly. Driver-side over the collected
+    * word-frequency table like the float trainer (same `maxVocab`
+    * guard, same justification). Output: (piece, exp_uses_micro,
+    * neg_log2p_fp) ordered (exp_uses_micro DESC, piece ASC).
+    */
+  def unigramTrainSoftFp(docs: DataFrame, textCol: String,
+                         seedSize: Int = 64, maxPieceLen: Int = 3,
+                         iters: Int = 2,
+                         pruneBelowMicro: Long = graft.ops.Fp.B / 2,
+                         maxVocab: Int = 5000000): DataFrame = {
+    import graft.ops.Fp
+    require(seedSize >= 1, s"seedSize must be positive: $seedSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be positive: $maxPieceLen")
+    require(iters >= 1, s"iters must be positive: $iters")
+    require(pruneBelowMicro >= 0, s"pruneBelowMicro must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wfDf = docs.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val nWords = wfDf.count()
+    require(nWords <= maxVocab,
+      s"vocabulary has $nWords distinct words > maxVocab=$maxVocab — " +
+        "the in-memory EM loop assumes the word-frequency table fits " +
+        "the driver; pre-filter the frequency tail first")
+    val wf = wfDf.as[(String, Long)].collect().sortBy(_._1)
+    var vocab: Map[String, Long] =
+      unigramSeed(wf, seedSize, maxPieceLen)
+        .map { case (p, c) => p -> c * Fp.B }
+    for (_ <- 1 to iters if vocab.nonEmpty) {
+      val t = vocab.valuesIterator.sum
+      val v = vocab.size.toLong
+      val denom = Fp.log2fp(t + v * Fp.B)
+      val logp = vocab.map { case (p, c) =>
+        p -> (Fp.log2fp(c + Fp.B) - denom) }
+      val newCounts = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, f) <- wf;
+           (p, e) <- unigramExpectedCountsFp(w, logp, maxPieceLen))
+        newCounts(p) = newCounts.getOrElse(p, 0L) + f * e
+      vocab = vocab.keysIterator
+        .map(p => p -> newCounts.getOrElse(p, 0L))
+        .filter { case (p, c) => p.length == 1 || c >= pruneBelowMicro }
+        .toMap
+    }
+    val t = vocab.valuesIterator.sum
+    val v = vocab.size.toLong
+    val denom = Fp.log2fp(t + v * Fp.B)
+    vocab.toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .map { case (p, c) => (p, c, denom - Fp.log2fp(c + Fp.B)) }
+      .toDF("piece", "exp_uses_micro", "neg_log2p_fp")
+  }
+
+  /** Integer forward–backward posteriors for ONE word (fp-bits model) —
+    * [[unigramTrainSoftFp]]'s E-step. Returns MICRO-UNIT expected counts
+    * per piece. Leg fold order (ascending split index) and the max(0, ·)
+    * posterior clamp are contract — the oracle replays both. */
+  private[graft] def unigramExpectedCountsFp(
+      w: String, logp: Map[String, Long], maxPieceLen: Int)
+      : Map[String, Long] = {
+    import graft.ops.Fp
+    val n = w.length
+    val none = Long.MinValue
+    def acc(cur: Long, x: Long): Long = if (cur == none) x else Fp.lse2(cur, x)
+    val la = Array.fill(n + 1)(none)
+    la(0) = 0L
+    for (k <- 1 to n; j <- math.max(0, k - maxPieceLen) until k;
+         lp <- logp.get(w.substring(j, k)) if la(j) != none)
+      la(k) = acc(la(k), la(j) + lp)
+    val lb = Array.fill(n + 1)(none)
+    lb(n) = 0L
+    for (j <- n - 1 to 0 by -1;
+         k <- j + 1 to math.min(n, j + maxPieceLen);
+         lp <- logp.get(w.substring(j, k)) if lb(k) != none)
+      lb(j) = acc(lb(j), lp + lb(k))
+    val e = scala.collection.mutable.HashMap.empty[String, Long]
+    for (j <- 0 until n; k <- j + 1 to math.min(n, j + maxPieceLen);
+         lp <- logp.get(w.substring(j, k))
+         if la(j) != none && lb(k) != none) {
+      val p = w.substring(j, k)
+      val y = math.max(0L, la(n) - (la(j) + lp + lb(k)))
+      val micro = Fp.exp2fp30(y) >> (Fp.MantBits - Fp.FracBits)
+      e(p) = e.getOrElse(p, 0L) + micro
+    }
+    e.toMap
+  }
+
   /** The shared unigram SEED: every substring of length 1..maxPieceLen
     * of every distinct word, counted weighted by word frequency; all
     * single characters (never prunable — keeps segmentation total) plus

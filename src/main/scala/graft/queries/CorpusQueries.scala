@@ -381,6 +381,19 @@ object CorpusQueries {
         .orderBy(col("n_uses").desc, col("piece"))
     }),
 
+    "q223_unigram_soft_fp" -> ((s, d) =>
+      // soft (expectation-weighted) unigram-LM EM in SHARED FIXED POINT
+      // — the round-16 determinism upgrade that moves soft-EM from
+      // property-tested into the exact-replay oracle set: every
+      // transcendental is a defined integer function over tables both
+      // sides share (graft.ops.Fp), M-step sums are order-free integer
+      // sums, and the oracle replays seed, both forward-backward
+      // E-steps, the posterior quantization, the prune, and the final
+      // fp-bit costs bit-for-bit
+      Corpus.unigramTrainSoftFp(t(s, d, "documents"), "text",
+        seedSize = 24, maxPieceLen = 3, iters = 2)
+        .orderBy(col("exp_uses_micro").desc, col("piece"))),
+
     "q198_pack_unigram_budget" -> ((s, d) => {
       // q184's packing composition on the UNIGRAM tokenizer: train,
       // segment every document with the trained costs (packed-long
@@ -1050,6 +1063,156 @@ object CorpusQueries {
                         CAST(count(*) AS BIGINT) AS tv FROM vocab$iters)"""
   }
 
+  /** The q223 SOFT-EM replay, GENERATED — the fixed-point dual of
+    * [[unigramTrainCtes]]. Same seed and iteration skeleton, but the
+    * E-step is a full forward–backward in [[graft.ops.Fp]]'s integer
+    * fixed point instead of a Viterbi argmin: α by position (unrolled
+    * CTEs 1..maxLen), β by SUFFIX length (so one unroll serves every
+    * word length), posteriors through the shared exp2 table, and the
+    * M-step a plain integer GROUP BY sum — order-free, which is the
+    * whole point. log₂ is the 20-round mantissa-squaring recursive CTE
+    * ([[graft.ops.Fp.Sql.log2fpCte]]); the lse/exp2 tables are emitted
+    * as integer literals from the engine's OWN arrays, so the two sides
+    * cannot disagree even in table generation. Leg fold order (ascending
+    * split for α, ascending piece length for β) mirrors the engine's
+    * contract exactly — the pairwise quantized lse is not associative.
+    */
+  private def unigramSoftFpCtes(seedSize: Int, pieceLen: Int, iters: Int,
+                                maxLen: Int, pruneMicro: Long): String = {
+    import graft.ops.Fp
+    val BB = Fp.B
+    def lse2(a: String, b: String) = Fp.Sql.lse2Expr(a, b, "lsetab")
+    // fold legs with engine NULL-skip semantics: lse2 only between
+    // present legs, in the emission order given
+    def foldLegs(legs: Seq[String]): String = legs.reduce((acc, x) =>
+      s"""(CASE WHEN ($acc) IS NULL THEN ($x)
+                WHEN ($x) IS NULL THEN ($acc)
+                ELSE ${lse2(s"($acc)", s"($x)")} END)""")
+    val tables =
+      s"""${Fp.Sql.tableCte("exp2tab", Fp.exp2Tab)},
+          ${Fp.Sql.tableCte("lsetab", Fp.lseTab)}"""
+    val seed =
+      s"""uwords AS MATERIALIZED (
+            SELECT w AS word, count(*) AS f, length(w) AS wl
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE length(w) > 0 GROUP BY w),
+          ust AS (SELECT word, f, wl, unnest(range(1, wl + 1)) AS s
+                  FROM uwords),
+          upieces AS (
+            SELECT f, substr(word, CAST(s AS INTEGER),
+                             CAST(pl AS INTEGER)) AS piece
+            FROM (SELECT word, f, s,
+                         unnest(range(1, least($pieceLen, wl - s + 1) + 1))
+                           AS pl
+                  FROM ust)),
+          useedc AS MATERIALIZED (
+            SELECT piece, CAST(sum(f) AS BIGINT) AS c
+            FROM upieces GROUP BY piece),
+          vocab0 AS MATERIALIZED (
+            SELECT piece, c * $BB AS c FROM (
+              SELECT piece, c FROM useedc WHERE length(piece) = 1
+              UNION ALL
+              SELECT piece, c FROM (
+                SELECT piece, c,
+                       row_number() OVER (ORDER BY c DESC, piece) AS rn
+                FROM useedc WHERE length(piece) > 1) WHERE rn <= $seedSize))"""
+    val iterBlocks = (1 to iters).map { t =>
+      val pv = s"vocab${t - 1}"
+      // forward α: one CTE per absolute position k; legs by ascending
+      // split j (= descending piece length), engine fold order
+      val fwd = (1 to maxLen).map { k =>
+        val plens = (1 to pieceLen).filter(p => k - p >= 0).sortBy(p => -p)
+        val joins = plens.map { p =>
+          s"""LEFT JOIN (SELECT a.word, a.la + b.lp AS lv
+                 FROM fa${t}_${k - p} a JOIN bits$t b
+                   ON b.piece = substr(a.word, ${k - p + 1}, $p)
+                 WHERE a.wl >= $k AND a.la IS NOT NULL) g$p
+                ON g$p.word = w.word"""
+        }.mkString("\n")
+        s"""fa${t}_$k AS MATERIALIZED (
+              SELECT w.word, w.wl, w.f,
+                     ${foldLegs(plens.map(p => s"g$p.lv"))} AS la
+              FROM uwords w
+              $joins
+              WHERE w.wl >= $k)"""
+      }.mkString(",\n")
+      // backward β: one CTE per SUFFIX length m; legs by ascending piece
+      // length, engine fold order
+      val bwd = (1 to maxLen).map { m =>
+        val plens = (1 to pieceLen).filter(p => m - p >= 0)
+        val joins = plens.map { p =>
+          s"""LEFT JOIN (SELECT a.word, b.lp + a.lb AS lv
+                 FROM bb${t}_${m - p} a JOIN bits$t b
+                   ON b.piece = substr(a.word, a.wl - $m + 1, $p)
+                 WHERE a.wl >= $m AND a.lb IS NOT NULL) h$p
+                ON h$p.word = w.word"""
+        }.mkString("\n")
+        s"""bb${t}_$m AS MATERIALIZED (
+              SELECT w.word, w.wl,
+                     ${foldLegs(plens.map(p => s"h$p.lv"))} AS lb
+              FROM uwords w
+              $joins
+              WHERE w.wl >= $m)"""
+      }.mkString(",\n")
+      val faAll = (0 to maxLen)
+        .map(k => s"SELECT word, wl, f, $k AS pos, la FROM fa${t}_$k")
+        .mkString("\nUNION ALL\n")
+      val bbAll = (0 to maxLen)
+        .map(m => s"SELECT word, wl, wl - $m AS pos, lb FROM bb${t}_$m")
+        .mkString("\nUNION ALL\n")
+      s"""tot$t AS (SELECT CAST(sum(c) AS BIGINT) AS tt,
+                           CAST(count(*) AS BIGINT) AS tv FROM $pv),
+          dsrc$t AS (SELECT 1 AS kk, tt + tv * $BB AS x FROM tot$t),
+          ${Fp.Sql.log2fpCte(s"den$t", s"dsrc$t", "kk")},
+          psrc$t AS (SELECT piece, c + $BB AS x FROM $pv),
+          ${Fp.Sql.log2fpCte(s"plog$t", s"psrc$t", "piece")},
+          bits$t AS MATERIALIZED (
+            SELECT p.piece, p.l2 - (SELECT l2 FROM den$t) AS lp
+            FROM plog$t p),
+          fa${t}_0 AS (SELECT word, wl, f, CAST(0 AS BIGINT) AS la
+                       FROM uwords),
+          $fwd,
+          bb${t}_0 AS (SELECT word, wl, CAST(0 AS BIGINT) AS lb
+                       FROM uwords),
+          $bwd,
+          faAll$t AS ($faAll),
+          bbAll$t AS ($bbAll),
+          an$t AS (SELECT word, la AS lan FROM faAll$t
+                   WHERE pos = wl AND la IS NOT NULL),
+          legsE$t AS (
+            SELECT a.f, b.piece,
+                   greatest(n.lan - (a.la + b.lp + c.lb), 0) AS y
+            FROM faAll$t a
+            CROSS JOIN (SELECT unnest(range(1, ${pieceLen + 1})) AS plen) pl
+            JOIN bits$t b
+              ON b.piece = substr(a.word, CAST(a.pos + 1 AS INTEGER),
+                                  CAST(pl.plen AS INTEGER))
+            JOIN bbAll$t c ON c.word = a.word AND c.pos = a.pos + pl.plen
+            JOIN an$t n ON n.word = a.word
+            WHERE a.pos + pl.plen <= a.wl
+              AND a.la IS NOT NULL AND c.lb IS NOT NULL),
+          ex$t AS MATERIALIZED (
+            SELECT piece,
+                   CAST(sum(f * (${Fp.Sql.exp2Expr("y", "exp2tab")} // 1024))
+                        AS BIGINT) AS c
+            FROM legsE$t GROUP BY piece),
+          vocab$t AS MATERIALIZED (
+            SELECT v.piece, coalesce(e.c, 0) AS c
+            FROM $pv v LEFT JOIN ex$t e ON e.piece = v.piece
+            WHERE length(v.piece) = 1 OR coalesce(e.c, 0) >= $pruneMicro)"""
+    }.mkString(",\n")
+    s"""$tables,
+        $seed,
+        $iterBlocks,
+        ftot AS (SELECT CAST(sum(c) AS BIGINT) AS tt,
+                        CAST(count(*) AS BIGINT) AS tv FROM vocab$iters),
+        fdsrc AS (SELECT 1 AS kk, tt + tv * $BB AS x FROM ftot),
+        ${Fp.Sql.log2fpCte("fden", "fdsrc", "kk")},
+        fpsrc AS (SELECT piece, c + $BB AS x FROM vocab$iters),
+        ${Fp.Sql.log2fpCte("fplog", "fpsrc", "piece")}"""
+  }
+
   /** The q198 segmentation replay on top of [[unigramTrainCtes]]: final
     * model costs, the PACKED (bits·2²⁰ + pieces) per-position Viterbi
     * min — a plain `min` per dp cell, the engine's packed-long HOF
@@ -1477,6 +1640,18 @@ object CorpusQueries {
                    AS cost_bits
           FROM vocab2 CROSS JOIN ftot t
           ORDER BY n_uses DESC, piece""",
+
+    // q223: the generated fixed-point soft-EM replay (tables embedded as
+    // integer literals from the engine's own arrays; see
+    // unigramSoftFpCtes). pruneMicro 524288 = 0.5 expected uses.
+    "q223_unigram_soft_fp" ->
+      s"""WITH RECURSIVE
+          ${unigramSoftFpCtes(24, 3, 2, unigramOracleMaxLen, 524288L)}
+          SELECT v.piece, CAST(v.c AS BIGINT) AS exp_uses_micro,
+                 CAST((SELECT l2 FROM fden) - p.l2 AS BIGINT)
+                   AS neg_log2p_fp
+          FROM vocab2 v JOIN fplog p ON p.piece = v.piece
+          ORDER BY exp_uses_micro DESC, v.piece""",
 
     // q198: the trained model's packed-long Viterbi over the dictionary,
     // per-doc rollup, and the windowed prefix-sum pack (q184's shape on

@@ -106,6 +106,53 @@ class CorpusSpec extends AnyFunSuite {
     assert(m1.map(_._1).toSet == hard)
   }
 
+  test("unigramTrainSoftFp: integer totality, float-soft agreement, fp primitives exact") {
+    import graft.ops.Fp
+    // fixed-point primitive contracts (the oracle replays these exactly,
+    // so their defined-function properties are load-bearing):
+    // log2fp is exact on powers of two and monotone elsewhere
+    for (e <- 0 to 50) assert(Fp.log2fp(1L << e) == e.toLong << Fp.FracBits)
+    for (x <- Seq(3L, 7L, 100L, 999999L, 123456789012L))
+      assert(Fp.log2fp(x) <= Fp.log2fp(x + 1))
+    // log2fp(x) approximates log2(x) within a quantum
+    for (x <- Seq(3L, 10L, 1000L, 123456789L)) {
+      val got = Fp.log2fp(x).toDouble / Fp.B
+      assert(math.abs(got - math.log(x.toDouble) / math.log(2)) < 1e-5, s"$x")
+    }
+    // exp2fp30 inverts within table resolution (~2^-6 relative)
+    for (d <- Seq(0L, Fp.B / 2, Fp.B, 5L * Fp.B + 12345L)) {
+      val got = Fp.exp2fp30(d).toDouble / (1L << Fp.MantBits)
+      assert(math.abs(got - math.pow(2, -d.toDouble / Fp.B)) < 0.02, s"$d")
+    }
+    // lse2 ≈ float logaddexp, commutative, and ≥ max
+    for ((a, b) <- Seq((0L, 0L), (0L, -Fp.B), (-3L * Fp.B, -Fp.B / 3))) {
+      assert(Fp.lse2(a, b) == Fp.lse2(b, a))
+      assert(Fp.lse2(a, b) >= math.max(a, b))
+      val want = math.log(math.pow(2, a.toDouble / Fp.B) +
+        math.pow(2, b.toDouble / Fp.B)) / math.log(2)
+      assert(math.abs(Fp.lse2(a, b).toDouble / Fp.B - want) < 0.02)
+    }
+    val tiny = Seq((1L, "abab abab abab ab ab cd"))
+      .toDF("doc_id", "text")
+    val fp = Corpus.unigramTrainSoftFp(tiny, "text", seedSize = 4,
+      maxPieceLen = 3, iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // totality + prune floor in micro units
+    assert(Seq("a", "b", "c", "d").forall(p => fp.exists(_._1 == p)))
+    assert(fp.filter(_._1.length > 1).forall(_._2 >= Fp.B / 2))
+    // the quantized trainer lands within ~1% of the float trainer's
+    // expected counts on the peaked corpus (same survivor set)
+    val fl = Corpus.unigramTrainSoft(tiny, "text", seedSize = 4,
+      maxPieceLen = 3, iters = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(fp.map(_._1).toSet == fl.keySet)
+    for ((p, cMicro, _) <- fp) {
+      val c = cMicro.toDouble / Fp.B
+      assert(math.abs(c - fl(p)) <= 0.01 * math.max(1.0, fl(p)),
+        s"$p: fp $c vs float ${fl(p)}")
+    }
+  }
+
   test("unigramViterbi ≡ brute-force enumeration on randomized words") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abcd"
