@@ -111,6 +111,82 @@ trait DedupSimhash extends DedupMinhash {
       maxHamming, chunks, 64 / chunks)
   }
 
+  /** 128-BIT SimHash signatures — the documented SCALE PATH past
+    * [[simhashPairs]]' random-collision floor. With a 64-bit signature
+    * the pigeonhole banding for Hamming ≤ 7 is forced to 8 chunks of 8
+    * bits, and two UNRELATED documents collide on some chunk with
+    * probability ≈ 8/2⁸ — an n²/32 candidate floor that the round-16
+    * sf1 bench measured directly (q32 wall 67× for 10× docs while its
+    * true output grew 10×). Doubling the signature keeps the SAME 8
+    * bands but widens them to 16 bits: random chunk collisions drop to
+    * ≈ 8/2¹⁶ — a 256× lower floor — while the pigeonhole recall-1
+    * guarantee for Hamming ≤ 7 over the FULL 128 bits is unchanged.
+    *
+    * The second 64 bits vote over a SALTED token hash (`tok || "#2"`)
+    * — independent bits from the same replayable primitive, so the
+    * portable-hash oracle replays both words. Output: (doc,
+    * simhash_hi, simhash_lo); NULL-text docs emit nothing
+    * ([[simhashSignatures]]' contract; [[joinBackToCorpus]] restores).
+    */
+  def simhashSignatures128(df: DataFrame, textCol: String, idCol: String,
+                           hasher: Column => Column = xxhash64(_))
+      : DataFrame = {
+    val sim = udaf(new SimhashAgg, Encoders.scalaLong)
+    df.select(col(idCol).as("doc"),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .select(col("doc"), hasher(col("tok")).as("h1"),
+        hasher(concat(col("tok"), lit("#2"))).as("h2"))
+      .groupBy("doc").agg(sim(col("h1")).as("simhash_hi"),
+        sim(col("h2")).as("simhash_lo"))
+  }
+
+  /** All pairs at 128-bit SimHash Hamming ≤ `maxHamming` (< 8), by the
+    * same pigeonhole banding as [[simhashPairs]] but over 8 SIXTEEN-bit
+    * chunks spanning both signature words — the scale path (see
+    * [[simhashSignatures128]]). Recall exactly 1; first-matching-chunk
+    * candidate dedup in pure bit math; hamming = popcount(xor hi) +
+    * popcount(xor lo). Output (doc_a, doc_b, hamming), doc_a < doc_b.
+    */
+  def simhashPairs128(df: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 7,
+                      hasher: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      s"128-bit pigeonhole banding uses 8 chunks; needs maxHamming < 8, " +
+        s"got $maxHamming")
+    val sigs = simhashSignatures128(df, textCol, idCol, hasher)
+    val mask = (1L << 16) - 1
+    def chunkOf(c: Int, hi: Column, lo: Column): Column =
+      shiftrightunsigned(if (c < 4) hi else lo, (c % 4) * 16)
+        .bitwiseAND(lit(mask))
+    val banded = sigs.select(col("doc"), col("simhash_hi"),
+        col("simhash_lo"),
+        posexplode(array((0 until 8).map(c =>
+          chunkOf(c, col("simhash_hi"), col("simhash_lo"))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val shufflePartitions = sigs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val l = banded.select(col("chunk"), col("chunk_val"),
+      col("doc").as("doc_a"), col("simhash_hi").as("hi_a"),
+      col("simhash_lo").as("lo_a"))
+      .repartition(shufflePartitions, col("chunk"), col("chunk_val"))
+    val r = banded.select(col("chunk"), col("chunk_val"),
+      col("doc").as("doc_b"), col("simhash_hi").as("hi_b"),
+      col("simhash_lo").as("lo_b"))
+    val xorHi = col("hi_a").bitwiseXOR(col("hi_b"))
+    val xorLo = col("lo_a").bitwiseXOR(col("lo_b"))
+    def chunkXor(c: Int): Column =
+      shiftrightunsigned(if (c < 4) xorHi else xorLo, (c % 4) * 16)
+        .bitwiseAND(lit(mask))
+    val earlierChunkMatched = (0 until 7).map(c =>
+      (col("chunk") > c) && (chunkXor(c) === 0L))
+      .foldLeft(lit(false))(_ || _)
+    l.join(r, Seq("chunk", "chunk_val"))
+      .where(col("doc_a") < col("doc_b") && !earlierChunkMatched)
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(xorHi) + bit_count(xorLo)).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** The ONE pigeonhole-banding core shared by [[simhashPairs]] and
     * [[perceptualNearDupPairs]]: explode `chunks` bands of `bitsPer`
     * bits, equi-join on (chunkIdx, chunkValue) — any pair at Hamming

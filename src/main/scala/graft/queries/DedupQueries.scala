@@ -220,6 +220,19 @@ object DedupQueries {
         hasher = graft.ext.TextAnalysis.portableTokenHash64 _)
         .orderBy("doc_a", "doc_b")),
 
+    "q224_simhash_wide" -> ((s, d) =>
+      // the 128-bit SimHash SCALE PATH (round-16 sf1 bench finding:
+      // 64-bit/8-bit-band pigeonhole has an n²/32 random-collision
+      // candidate floor — q32's wall grew 67× at the 10× step while its
+      // output grew 10×). Same Hamming ≤ 7 recall-1 contract over the
+      // doubled signature, 16-bit bands → ≈256× lower collision floor;
+      // both words from the portable hash (second word salted), so the
+      // oracle replays the whole thing
+      Dedup.simhashPairs128(t(s, d, "documents"), "text", "doc_id",
+        maxHamming = 7,
+        hasher = graft.ext.TextAnalysis.portableTokenHash64 _)
+        .orderBy("doc_a", "doc_b")),
+
     "q202_simhash_coverage" -> ((s, d) => {
       // the NULL-doc join-back contract, exercised: simhashSignatures
       // deliberately emits NO row for NULL-text documents (an all-zero
@@ -586,31 +599,38 @@ object DedupQueries {
     * hash → per-bit votes → sig), shared by the q32 pair join and the
     * q202 coverage join-back. NULL-text docs produce no sigs row.
     */
-  private val simhashSigCtes: String = {
-    val charFold = (base: Long, p: Long) =>
+  /** The portable-hash vote→signature replay, NAMEABLE so q224 can run
+    * it twice (unsalted + salted second word) in one statement. `salt`
+    * is appended to each distinct token BEFORE the char folds — exactly
+    * the engine's `concat(tok, lit("#2"))`. */
+  private def simhashSigCtesNamed(p: String, salt: String): String = {
+    val charFold = (base: Long, pm: Long) =>
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
             list_transform(range(1, length(tok) + 1),
               i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
-            (acc, c) -> (acc * $base + c) % $p)"""
-    s"""toks AS (
-          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            (acc, c) -> (acc * $base + c) % $pm)"""
+    s"""${p}toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split(text, ' ')))$salt AS tok
           FROM documents),
-        h AS (
+        ${p}h AS (
           SELECT doc_id,
                  ${charFold(31L, 1000000007L)} * 2147483648
                    + ${charFold(131L, 998244353L)} AS h
-          FROM toks),
-        votes AS (
+          FROM ${p}toks),
+        ${p}votes AS (
           SELECT doc_id, b.bit,
                  sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-          FROM h CROSS JOIN range(0, 61) b(bit)
+          FROM ${p}h CROSS JOIN range(0, 61) b(bit)
           GROUP BY doc_id, b.bit),
-        sigs AS (
+        ${p}sigs AS (
           SELECT doc_id,
                  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
                      ELSE 0 END) AS BIGINT) AS sig
-          FROM votes GROUP BY doc_id)"""
+          FROM ${p}votes GROUP BY doc_id)"""
   }
+
+  private val simhashSigCtes: String = simhashSigCtesNamed("", "")
 
   /** DuckDB left-fold dot product over two DOUBLE lists (mirrors the
     * engine's fixed fold order exactly).
@@ -871,6 +891,22 @@ object DedupQueries {
                  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sig, b.sig)) <= 7
+          ORDER BY doc_a, doc_b""",
+
+    // q224: both signature words replayed (second over '#2'-salted
+    // tokens), then the exact all-pairs 128-bit Hamming join — the
+    // engine's banded candidates are pigeonhole-lossless, so equality
+    // holds exactly
+    "q224_simhash_wide" ->
+      s"""WITH $simhashSigCtes,
+          ${simhashSigCtesNamed("w2", " || '#2'")},
+          w AS (SELECT a.doc_id, a.sig AS hi, b.sig AS lo
+                FROM sigs a JOIN w2sigs b USING (doc_id))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                      AS INTEGER) AS hamming
+          FROM w a JOIN w b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
           ORDER BY doc_a, doc_b""",
 
     // q202: q32's signature replay LEFT-joined back onto the corpus —
