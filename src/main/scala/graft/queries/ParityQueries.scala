@@ -608,52 +608,64 @@ object ParityQueries {
     // r' = 150000 + (850·Σ(r div outdeg)) // 1000, all BIGINT, so the
     // value is engine-independent (a float PageRank would hash-differ
     // on summation order alone)
+    // MATERIALIZED throughout (the q216 lesson, relearned at sf1): an
+    // unhinted `edges` is re-inlined into every round's join — ~12
+    // re-evaluations of the basket self-join, which spilled >80 GB of
+    // DuckDB temp at sf1 before failing. Materialized, the replay is
+    // one edge build + 5 linear rounds.
     "q210_pagerank_coorder" -> {
       val iterBlocks = (1 to 5).map { i =>
-        s"""c$i AS (SELECT e.dst AS id,
+        s"""c$i AS MATERIALIZED (SELECT e.dst AS id,
                            CAST(sum(r.r // o.od) AS BIGINT) AS s
                     FROM edges e JOIN r${i - 1} r ON r.id = e.src
                     JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
-            r$i AS (SELECT n.id,
+            r$i AS MATERIALIZED (SELECT n.id,
                            CAST(150000 + (850 * coalesce(c.s, 0)) // 1000
                                 AS BIGINT) AS r
                     FROM nodes n LEFT JOIN c$i c USING (id))"""
       }.mkString(",\n")
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+      s"""WITH li AS MATERIALIZED (
+                      SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
                       FROM lineitem),
-          edges AS (SELECT DISTINCT a.item AS src, b.item AS dst
+          edges AS MATERIALIZED (
+                    SELECT DISTINCT a.item AS src, b.item AS dst
                     FROM li a JOIN li b
                     ON a.grp = b.grp AND a.item <> b.item),
-          nodes AS (SELECT src AS id FROM edges
+          nodes AS MATERIALIZED (SELECT src AS id FROM edges
                     UNION SELECT dst FROM edges),
-          outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+          outdeg AS MATERIALIZED (
+                    SELECT src, count(*) AS od FROM edges GROUP BY src),
           r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
           $iterBlocks
           SELECT id AS part, r AS rank_fp FROM r5 ORDER BY part"""
     },
 
-    // q219: the weighted update replayed exactly — (r·w) // Σw, BIGINT
+    // q219: the weighted update replayed exactly — (r·w) // Σw, BIGINT;
+    // MATERIALIZED for the same reason as q210
     "q219_pagerank_weighted" -> {
       val iterBlocks = (1 to 5).map { i =>
-        s"""c$i AS (SELECT e.dst AS id,
+        s"""c$i AS MATERIALIZED (SELECT e.dst AS id,
                            CAST(sum((r.r * e.w) // o.ow) AS BIGINT) AS s
                     FROM edges e JOIN r${i - 1} r ON r.id = e.src
                     JOIN outw o ON o.src = e.src GROUP BY e.dst),
-            r$i AS (SELECT n.id,
+            r$i AS MATERIALIZED (SELECT n.id,
                            CAST(150000 + (850 * coalesce(c.s, 0)) // 1000
                                 AS BIGINT) AS r
                     FROM nodes n LEFT JOIN c$i c USING (id))"""
       }.mkString(",\n")
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+      s"""WITH li AS MATERIALIZED (
+                      SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
                       FROM lineitem),
-          edges AS (SELECT a.item AS src, b.item AS dst,
+          edges AS MATERIALIZED (
+                    SELECT a.item AS src, b.item AS dst,
                            CAST(count(*) AS BIGINT) AS w
                     FROM li a JOIN li b
                     ON a.grp = b.grp AND a.item <> b.item
                     GROUP BY 1, 2),
-          nodes AS (SELECT src AS id FROM edges
+          nodes AS MATERIALIZED (SELECT src AS id FROM edges
                     UNION SELECT dst FROM edges),
-          outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+          outw AS MATERIALIZED (
+                   SELECT src, CAST(sum(w) AS BIGINT) AS ow
                    FROM edges GROUP BY src),
           r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
           $iterBlocks
