@@ -75,6 +75,28 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.keys.flatMap(p => Seq(p._1, p._2)).forall(_ <= 3L))
   }
 
+  test("simhashPairs128 equals the brute-force 128-bit Hamming join") {
+    // identical docs at distance 0; the banded candidates are
+    // pigeonhole-lossless, so output must EQUAL the signature
+    // cross-check — including the two-word hamming values
+    val pairs = Dedup.simhashPairs128(corpus, "text", "doc_id",
+      maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0)) // identical -> distance 0
+    val sigs = Dedup.simhashSignatures128(corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (a, ha, la) <- sigs; (b, hb, lb) <- sigs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 7
+    } yield (a, b) -> d).toMap
+    assert(pairs == brute)
+    // a 64-bit near-dup (q32's (1,3) one-token change) need not survive
+    // the doubled signature, but if it does the distance doubled-ish —
+    // the stricter bar is the POINT (lower random-collision floor)
+    pairs.get((1L, 3L)).foreach(d => assert(d >= 0 && d <= 7))
+  }
+
   test("exactNormalized collapses case and whitespace variants") {
     val docs = Seq(
       (1L, "The Quick Brown Fox"),
