@@ -35,6 +35,12 @@ object Verify {
         .head.getAs[Any]("m")
       longest match {
         case n: Number if n.intValue > 0 =>
+          // No upper cap here: the consumer (CorpusQueries) compares the
+          // published depth to its unroll cap and swaps the three unigram
+          // oracles for a LOUD generated error() when exceeded — one
+          // pathological long token (URL/base64 run) must fail those rows
+          // with a clear message, not emit thousands of dp CTEs DuckDB
+          // cannot plan.
           sys.props("graft.oracle.unigram.maxlen") = n.intValue.toString
           System.err.println(s"[verify] unigram oracle unroll depth = ${n.intValue}")
         case _ => ()

@@ -1,8 +1,5 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions._
-
 /** Corpus-management operators for training-data pipelines: deterministic
   * train/val/test splitting and cross-split decontamination.
   *

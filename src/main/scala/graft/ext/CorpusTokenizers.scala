@@ -511,6 +511,12 @@ trait CorpusTokenizers extends CorpusOps {
         .filter { case (p, c) => p.length == 1 || c >= pruneBelowMicro }
         .toMap
     }
+    // zero non-empty words → empty seed → the EM loop never runs and
+    // t = v = 0 would feed Fp.log2fp(0) below; return the empty model
+    // frame instead (the float twin's behavior on the same corpus)
+    if (vocab.isEmpty)
+      return Seq.empty[(String, Long, Long)]
+        .toDF("piece", "exp_uses_micro", "neg_log2p_fp")
     val t = vocab.valuesIterator.sum
     val v = vocab.size.toLong
     val denom = Fp.log2fp(t + v * Fp.B)
@@ -717,43 +723,4 @@ trait CorpusTokenizers extends CorpusOps {
           .otherwise(struct(flush(acc).as("done"), s.as("prev")).cast(accT)),
       acc => flush(acc))
   }
-
-  /** Naive Bayes reference-class filter — the fastText/CCNet-style
-    * "train a cheap classifier on a labeled seed, filter the crawl with
-    * it" pipeline stage, as one declarative plan. `labelCol` marks the
-    * training rows' reference class (CCNet uses "is Wikipedia"; q157
-    * uses `lang = 'en'`); every `score` document gets the multinomial-NB
-    * log-odds of that class over its token stream, with add-one
-    * smoothing and a uniform class prior.
-    *
-    * ALL log arithmetic is the corpus's INTEGER floor-log₂ convention
-    * ([[lmPerplexity]]'s `length(bin(x)) − 1` trick): per token t and
-    * class c the smoothed surprisal is
-    * bits_c(t) = floor(log₂((T_c + V) div (n_c(t) + 1))) with T_c the
-    * class's token total and V the train vocabulary size, and the
-    * per-token evidence is wbits(t) = bits_neg(t) − bits_pos(t)
-    * (positive ⇒ the token is cheaper to encode under the reference
-    * class). No float log anywhere, so the trained model AND every
-    * verdict replay bit-identically in any engine. Tokens unseen in
-    * training score the n_c = 0 floor through the same formula (the
-    * one-row `unk` fallback); resolution is whole bits per token and a
-    * document's margin sums hundreds of them.
-    *
-    * Output: (id, n_tokens, margin_bits, keep) per score document,
-    * keep = margin_bits ≥ 0; empty/NULL-text documents come back
-    * (0, 0, true) — a zero-evidence doc is uniform, the caller's
-    * threshold decides its fate.
-    *
-    * Scale shape: training is one labeled-token explode folded to a
-    * vocabulary-sized (token, n_pos, n_neg) relation (map-side partial
-    * aggs); totals and V are three scalars folded by one aggregate and
-    * broadcast as a single row (never a window over the unbounded
-    * histogram, never a pass over the corpus). Scoring joins the
-    * score corpus's token stream to the weight relation by token —
-    * the planner/AQE broadcasts when the vocabulary is actually small
-    * and shuffles otherwise (no forced hint: a fastText-scale seed has
-    * tens of millions of tokens) — and folds per doc. Nothing collects;
-    * at 100 TB
-    * persist the count relation like the LM's and rescore incrementally.
-    */
 }

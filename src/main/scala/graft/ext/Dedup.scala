@@ -1,10 +1,5 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Encoder, Encoders}
-
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard.
   *

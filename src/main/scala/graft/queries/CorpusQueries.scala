@@ -972,6 +972,30 @@ object CorpusQueries {
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .filter(_ >= 1).getOrElse(24)
 
+  /** Hard cap on the generated unigram replay's unroll depth. The
+    * statement emits one dp CTE per word position (q223 adds forward AND
+    * backward per iteration), so one pathological token — a URL or
+    * base64 run in a crawl-style corpus — would otherwise balloon the
+    * oracle into thousands of CTEs DuckDB likely cannot plan. Past the
+    * cap the three unigram oracles become a generated `error()` call
+    * naming the depth: a LOUD per-row failure with a clear message
+    * instead of an unbounded SQL text. The ENGINE is unaffected (it
+    * loops to the real word length); only the replay refuses. */
+  private val UnigramUnrollCap = 400
+
+  /** Wraps a unigram oracle body with the [[UnigramUnrollCap]] check —
+    * `sql` is by-name so the (expensive, depth-parameterized) generation
+    * never runs when the cap trips. */
+  private def unigramOracleGuard(sql: => String): String = {
+    val depth = unigramOracleMaxLen
+    if (depth > UnigramUnrollCap)
+      s"SELECT error('unigram replay unroll depth $depth exceeds cap " +
+        s"$UnigramUnrollCap (one dp CTE per word position; q223 doubles " +
+        "it) — the corpus has a pathological long token. Pre-split long " +
+        "tokens or raise the cap deliberately.')"
+    else sql
+  }
+
   private def unigramTrainCtes(seedSize: Int, pieceLen: Int, iters: Int,
                                maxLen: Int): String = {
     val seed =
@@ -1633,31 +1657,31 @@ object CorpusQueries {
     // q197: the generated unigram-LM EM replay — seed, two Viterbi
     // E-steps (per-position argmin CTEs, tie rule (bits, np, path)),
     // M-step counts, prune, final integer costs
-    "q197_unigram_train" ->
+    "q197_unigram_train" -> unigramOracleGuard(
       s"""${"WITH " + unigramTrainCtes(24, 3, 2, unigramOracleMaxLen)}
           SELECT piece, c AS n_uses,
                  CAST(length(bin((t.tt + t.tv) // (c + 1))) - 1 AS BIGINT)
                    AS cost_bits
           FROM vocab2 CROSS JOIN ftot t
-          ORDER BY n_uses DESC, piece""",
+          ORDER BY n_uses DESC, piece"""),
 
     // q223: the generated fixed-point soft-EM replay (tables embedded as
     // integer literals from the engine's own arrays; see
     // unigramSoftFpCtes). pruneMicro 524288 = 0.5 expected uses.
-    "q223_unigram_soft_fp" ->
+    "q223_unigram_soft_fp" -> unigramOracleGuard(
       s"""WITH RECURSIVE
           ${unigramSoftFpCtes(24, 3, 2, unigramOracleMaxLen, 524288L)}
           SELECT v.piece, CAST(v.c AS BIGINT) AS exp_uses_micro,
                  CAST((SELECT l2 FROM fden) - p.l2 AS BIGINT)
                    AS neg_log2p_fp
           FROM vocab2 v JOIN fplog p ON p.piece = v.piece
-          ORDER BY exp_uses_micro DESC, v.piece""",
+          ORDER BY exp_uses_micro DESC, v.piece"""),
 
     // q198: the trained model's packed-long Viterbi over the dictionary,
     // per-doc rollup, and the windowed prefix-sum pack (q184's shape on
     // unigram counts)
     "q198_pack_unigram_budget" ->
-      unigramPackSql(24, 3, 2, unigramOracleMaxLen, 256L),
+      unigramOracleGuard(unigramPackSql(24, 3, 2, unigramOracleMaxLen, 256L)),
 
     // q184: the 8-generation training replay + the dictionary join
     // (q163's CTEs) + q60's windowed prefix-sum pack assignment on the

@@ -153,6 +153,22 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("unigramTrainSoftFp: zero non-empty words returns the empty model frame") {
+    // the EM loop never runs on an empty vocabulary; the final denom
+    // would otherwise feed Fp.log2fp(0) — the guard must return the
+    // empty (piece, exp_uses_micro, neg_log2p_fp) frame like the float
+    // twin does
+    val empty = Seq((1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val fp = Corpus.unigramTrainSoftFp(empty, "text", seedSize = 4,
+      maxPieceLen = 3, iters = 2)
+    assert(fp.columns.toSeq ==
+      Seq("piece", "exp_uses_micro", "neg_log2p_fp"))
+    assert(fp.count() == 0L)
+    assert(Corpus.unigramTrainSoft(empty, "text", seedSize = 4,
+      maxPieceLen = 3, iters = 2).count() == 0L)
+  }
+
   test("unigramViterbi ≡ brute-force enumeration on randomized words") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abcd"
