@@ -227,8 +227,13 @@ object Stage {
             "now, drop or rebuild it instead of publishing emptiness")
       }
       // fencing: a wrongly-reclaimed (zombie) holder must not flip the
-      // pointer over the reclaimer's state — reject at the commit point
-      assertLeaseStillHeld(spark, root)
+      // pointer over the reclaimer's state — reject at the commit point.
+      // commitId = the version being flipped to: two contenders racing
+      // one publish list the same existing versions and compute the SAME
+      // next version, so the strict primitive's fence collides exactly
+      // when it must. (A crashed flip leaves the version DIR behind, so
+      // a later retry computes a fresh version — no stale-fence hazard.)
+      assertLeaseStillHeld(spark, root, s"flip-$version")
       flipPointer(spark, fs, rootPath, version, grace)
       gcStale(fs, rootPath)
     }
@@ -636,31 +641,55 @@ object Stage {
     override def initialValue(): Map[String, String] = Map.empty
   }
 
-  /** FENCING check at a publish COMMIT point: if this thread holds (or
-    * believes it holds) the writer lease on `root`, re-read the lock file
-    * and require it still carries this thread's acquire token. A holder
-    * whose heartbeat starved past the staleness window may have been
-    * WRONGLY RECLAIMED — its lease handle is then a zombie, and letting
-    * its commit proceed would interleave two writers' publishes on one
-    * index. The check turns that residual hazard from "bounded by the
-    * staleness window" into "rejected at the commit point": the zombie's
-    * pointer flip / ledger-marker create throws loudly, its staged or
-    * renamed-but-markerless files are exactly what the next
-    * [[sweepUncommitted]] reverts, and the reclaimer's state is never
-    * mixed with. (A check-then-commit race of a few milliseconds remains
-    * — true CAS needs a server-side primitive local filesystems lack —
-    * but the exposure drops from the full staleness window to the
-    * check→rename gap.) No-op when this thread holds no lease on `root`
-    * (plain un-leased writes are not fenced). Cost: one small-file read
-    * per commit.
+  /** Pluggable COMMIT-POINT fencing primitive (see
+    * [[assertLeaseStillHeld]] for where it fires). Two shipped
+    * strategies:
+    *
+    *  - [[LockReRead]] (the default): re-read the lock file and require
+    *    it still carries the committer's acquire token. One small-file
+    *    read per commit; a check→rename race of a few milliseconds
+    *    remains because plain filesystems give no atomic
+    *    compare-at-commit.
+    *  - [[ExclusiveCommitToken]] (the strict option): LockReRead PLUS a
+    *    create-exclusive fence token at `root/_fence/<commitId>` carrying
+    *    the writer's token. Two contenders for the SAME commit (a zombie
+    *    and its reclaimer racing one version flip or one ledger marker)
+    *    both pass a re-read inside the gap, but the atomic create admits
+    *    exactly one — the loser is rejected even though its re-read
+    *    passed. On HDFS-class stores the create is server-side atomic;
+    *    on local filesystems it is O_CREAT|O_EXCL. The residual exposure
+    *    shrinks to fence-create→rename. A same-token retry passes (the
+    *    fence records it already owns the commit); a DIFFERENT writer
+    *    retrying a crashed writer's commit must clear the stale fence
+    *    first — [[appendExactlyOnce]]/[[publishOnce]] do so next to
+    *    their staging wipe, under the lease, where the absent marker
+    *    proves the predecessor never committed.
     */
-  def assertLeaseStillHeld(spark: SparkSession, root: String): Unit = {
-    val lock = new Path(new Path(root), "_writer.lock")
-    heldLeases.get.get(lock.toString).foreach { token =>
-      val fs = fsFor(spark, lock)
-      val current =
+  sealed trait FencingPrimitive {
+    /** Throws IllegalStateException when the writer holding `token` must
+      * not commit `commitId` on `root`; `lock` is root's writer lock. */
+    def assertMayCommit(fs: FileSystem, root: Path, lock: Path,
+                        token: String, commitId: String): Unit
+  }
+
+  /** The default primitive: lock re-read, one retry on transient read
+    * errors. A missing lock file is a GENUINE reclaim signal (the
+    * reclaimer deleted/renamed it) → reject immediately; any other read
+    * failure is likely a filesystem hiccup — retry once before
+    * converting an otherwise-healthy leased publish into a rejection +
+    * sweep (still failing safe if the retry also cannot read). */
+  case object LockReRead extends FencingPrimitive {
+    def assertMayCommit(fs: FileSystem, root: Path, lock: Path,
+                        token: String, commitId: String): Unit = {
+      def readLock(): String =
         try readUtf8(fs, lock)
-        catch { case scala.util.control.NonFatal(_) => "" }
+        catch { case _: java.io.FileNotFoundException => "" }
+      val current =
+        try readLock()
+        catch { case scala.util.control.NonFatal(_) =>
+          try readLock()
+          catch { case scala.util.control.NonFatal(_) => "" }
+        }
       if (current != token)
         throw new IllegalStateException(
           s"fencing check failed at commit: $lock no longer carries this " +
@@ -669,6 +698,104 @@ object Stage {
             "hold the index. This publish is REJECTED; its uncommitted " +
             "files will be swept by the next maintenance op. Re-run the " +
             "operation under a fresh lease.")
+    }
+  }
+
+  /** The strict primitive — see [[FencingPrimitive]]'s contract notes. */
+  case object ExclusiveCommitToken extends FencingPrimitive {
+    def assertMayCommit(fs: FileSystem, root: Path, lock: Path,
+                        token: String, commitId: String): Unit = {
+      LockReRead.assertMayCommit(fs, root, lock, token, commitId)
+      if (commitId.nonEmpty) {
+        val fence = fencePath(root, commitId)
+        fs.mkdirs(fence.getParent)
+        if (!createExclusiveWithContent(fs, fence, token)) {
+          val holder =
+            try readUtf8(fs, fence)
+            catch { case scala.util.control.NonFatal(_) => "" }
+          if (holder != token)
+            throw new IllegalStateException(
+              s"fencing check failed at commit: $fence was already claimed " +
+                "by a different writer's token — a contender committed (or " +
+                "is committing) this same publish. This commit is REJECTED; " +
+                "its uncommitted files will be swept by the next " +
+                "maintenance op. If the fence belongs to a writer known " +
+                "crashed before its marker, the retrying op clears it " +
+                "under the lease.")
+        }
+      }
+    }
+  }
+
+  /** Where [[ExclusiveCommitToken]] materializes a commit's fence. */
+  private[graft] def fencePath(root: Path, commitId: String): Path =
+    new Path(new Path(root, "_fence"),
+      commitId.replaceAll("[^A-Za-z0-9_.-]", "_"))
+
+  /** Create `path` exclusively with `content`; false when it already
+    * exists. Local filesystems get a REAL O_CREAT|O_EXCL
+    * (File.createNewFile) because Hadoop LocalFileSystem's
+    * create(f, false) is exists-then-create; other schemes keep
+    * fs.create, where the exclusivity is server-side atomic. A created-
+    * but-unwritable file is removed before the error propagates (an
+    * ownerless empty fence would wedge every contender). */
+  private def createExclusiveWithContent(fs: FileSystem, path: Path,
+                                         content: String): Boolean =
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(fs.makeQualified(path).toUri.getPath)
+      if (!f.createNewFile()) false
+      else {
+        try java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+        catch { case e: java.io.IOException => f.delete(); throw e }
+        true
+      }
+    } else {
+      val out =
+        try fs.create(path, false)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          return false }
+      try {
+        try out.write(content.getBytes("UTF-8"))
+        finally out.close()
+      } catch { case e: java.io.IOException =>
+        try fs.delete(path, false)
+        catch { case _: java.io.IOException => () }
+        throw e
+      }
+      true
+    }
+
+  /** The installed commit-point primitive. [[LockReRead]] by default;
+    * deployments wanting the stricter per-commit CAS install
+    * [[ExclusiveCommitToken]] once at startup. A var, not config-file
+    * plumbing: the engine is a library and its host owns initialization
+    * order. */
+  @volatile var fencing: FencingPrimitive = LockReRead
+
+  /** FENCING check at a publish COMMIT point: if this thread holds (or
+    * believes it holds) the writer lease on `root`, run the installed
+    * [[fencing]] primitive. A holder whose heartbeat starved past the
+    * staleness window may have been WRONGLY RECLAIMED — its lease handle
+    * is then a zombie, and letting its commit proceed would interleave
+    * two writers' publishes on one index. The check turns that residual
+    * hazard from "bounded by the staleness window" into "rejected at the
+    * commit point": the zombie's pointer flip / ledger-marker create
+    * throws loudly, its staged or renamed-but-markerless files are
+    * exactly what the next [[sweepUncommitted]] reverts, and the
+    * reclaimer's state is never mixed with. With the default
+    * [[LockReRead]] a check→rename race of a few milliseconds remains;
+    * [[ExclusiveCommitToken]] narrows it to the atomic fence create when
+    * the call site supplies a `commitId` (the version being flipped /
+    * the ledger marker name — the id two contenders for one commit
+    * SHARE). No-op when this thread holds no lease on `root` (plain
+    * un-leased writes are not fenced).
+    */
+  def assertLeaseStillHeld(spark: SparkSession, root: String,
+                           commitId: String = ""): Unit = {
+    val lock = new Path(new Path(root), "_writer.lock")
+    heldLeases.get.get(lock.toString).foreach { token =>
+      fencing.assertMayCommit(fsFor(spark, lock), new Path(root), lock,
+        token, commitId)
     }
   }
 
@@ -976,6 +1103,11 @@ object Stage {
         val fs = fsFor(spark, new Path(path))
         val staging = s"$path/_staging/batch-$batchId"
         fs.delete(new Path(staging), true) // wipe a dead attempt's partials
+        // also clear a crashed predecessor's fence for this batch: under
+        // the lease, with the marker absent, the fence provably belongs
+        // to a writer that died between fence and marker — a different
+        // retrying token must not be wedged by it
+        fs.delete(fencePath(new Path(path), s"batch-$batchId"), false)
         stage(staging)
         components.foreach { comp =>
           // stream-born shells are BORN VERSIONED: the first batch into a
@@ -987,7 +1119,7 @@ object Stage {
         // fencing: a zombie holder's marker create is the durability
         // commit — reject it if the lease was reclaimed mid-batch (the
         // renamed b<id>-* files are then markerless and sweep-revertible)
-        assertLeaseStillHeld(spark, path)
+        assertLeaseStillHeld(spark, path, s"batch-$batchId")
         val marker = new Path(s"$path/_ledger/batch-$batchId")
         fs.mkdirs(marker.getParent)
         fs.create(marker, false).close() // atomic: the batch is now published
@@ -1039,6 +1171,8 @@ object Stage {
       if (fs.exists(marker)) fs.delete(new Path(staging), true)
       else {
         fs.delete(new Path(staging), true)
+        // clear a crashed predecessor's fence (see appendExactlyOnce)
+        fs.delete(fencePath(new Path(path), s"op-$opId"), false)
         stage(staging)
         components.foreach { comp =>
           // maintain parity with the streaming path: the first op into a
@@ -1048,7 +1182,7 @@ object Stage {
             new Path(resolve(spark, s"$path/$comp")), s"o$opId") }
         // fencing: same commit-point rejection as the batch path — a
         // reclaimed holder's op must stay markerless (sweep-revertible)
-        assertLeaseStillHeld(spark, path)
+        assertLeaseStillHeld(spark, path, s"op-$opId")
         fs.mkdirs(marker.getParent)
         fs.create(marker, false).close() // atomic: the op is now published
         fs.delete(new Path(staging), true)

@@ -572,6 +572,72 @@ class StageSpec extends AnyFunSuite {
     assert(Stage.pendingOps(spark, root, Seq("data")).isEmpty)
   }
 
+  test("fencing: the strict primitive rejects the zombie INSIDE the re-read gap") {
+    // LockReRead's residual: a zombie whose lock re-read lands just
+    // BEFORE the reclaim passes the check and still renames — a few-ms
+    // window no re-read can close. ExclusiveCommitToken materializes
+    // the commit itself as a create-exclusive fence keyed by the commit
+    // id the contenders SHARE: both re-reads pass, exactly one owns the
+    // fence, the loser is rejected even inside the gap.
+    val root = "target/graft-test-stage-fence-strict"
+    fs(root).delete(new Path(root), true)
+    fs(root).mkdirs(new Path(root))
+    val rootP = new Path(root)
+    val lock = new Path(s"$root/_writer.lock")
+    def writeLock(tok: String): Unit = {
+      fs(root).delete(lock, false)
+      val out = fs(root).create(lock, false)
+      out.write(tok.getBytes("UTF-8"))
+      out.close()
+    }
+    // contender A (the reclaimer) commits first: fence claimed with its token
+    writeLock("tok-reclaimer")
+    Stage.ExclusiveCommitToken.assertMayCommit(fs(root), rootP, lock,
+      "tok-reclaimer", "batch-7")
+    // the zombie wakes inside its gap: model the read-before-reclaim
+    // ordering by restoring ITS token on the lock, so the re-read half
+    // PASSES — only the fence can reject it now, and it must
+    writeLock("tok-zombie")
+    val boom = intercept[IllegalStateException] {
+      Stage.ExclusiveCommitToken.assertMayCommit(fs(root), rootP, lock,
+        "tok-zombie", "batch-7")
+    }
+    assert(boom.getMessage.contains("fence"), s"$boom")
+    // a same-token re-commit (retry after a partial failure) passes
+    writeLock("tok-reclaimer")
+    Stage.ExclusiveCommitToken.assertMayCommit(fs(root), rootP, lock,
+      "tok-reclaimer", "batch-7")
+    fs(root).delete(lock, false)
+  }
+
+  test("fencing: strict primitive installed end-to-end — publishes work, retries clear stale fences") {
+    val root = "target/graft-test-stage-fence-strict-e2e"
+    fs(root).delete(new Path(root), true)
+    Stage.fencing = Stage.ExclusiveCommitToken
+    try {
+      // ordinary lifecycle under the strict primitive: rebuild, rewrite,
+      // exactly-once op — all commit normally (each owns its fence)
+      Stage.publishRebuild(spark, root, Seq(1L, 2L).toDF("v"))
+      Stage.publishRewrite(spark, root, Seq(3L).toDF("v"))
+      assert(values(root) == Set(3L))
+      Stage.publishOnce(spark, root, "strict_op", Seq("data")) { staging =>
+        Seq(7L).toDF("v").write.parquet(s"$staging/data")
+      }
+      // a crashed predecessor's stale fence (fence present, marker
+      // absent) must not wedge a retry with a DIFFERENT token: the op
+      // clears it under the lease before staging
+      val staleFence = Stage.fencePath(new Path(root), "op-retried_op")
+      fs(root).mkdirs(staleFence.getParent)
+      val out = fs(root).create(staleFence, false)
+      out.write("tok-dead-writer".getBytes("UTF-8"))
+      out.close()
+      Stage.publishOnce(spark, root, "retried_op", Seq("data")) { staging =>
+        Seq(8L).toDF("v").write.parquet(s"$staging/data")
+      }
+      assert(fs(root).exists(new Path(s"$root/_ledger/op-retried_op")))
+    } finally Stage.fencing = Stage.LockReRead
+  }
+
   test("healthReport surfaces the writer lock in flight") {
     val idx = "target/graft-test-health-lock"
     fs(idx).delete(new Path(idx), true)
