@@ -87,19 +87,47 @@ trait DedupSimhash extends DedupMinhash {
        else derived.withColumnRenamed(derivedIdCol, idCol)),
       Seq(idCol), "left")
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
-    * pigeonhole banding: split the 64-bit signature into `chunks` pieces;
-    * any pair within distance < chunks must agree on ≥1 chunk, so an
-    * equi-join on (chunkIdx, chunkValue) finds all candidates without a
-    * cross product. Requires maxHamming < chunks. Recall is 1 by the
-    * pigeonhole theorem (not probabilistic), so the output is EXACTLY
-    * "all pairs at Hamming ≤ maxHamming" for whatever `hasher` feeds the
-    * votes — with the portable hasher that makes the whole operator
-    * replayable by a brute-force oracle join.
+  /** SimHash near-dup pairs — the DEFAULT routes to the 128-bit scale
+    * path ([[simhashPairs128]]): same recall-1 pigeonhole contract for
+    * Hamming ≤ 7, ≈256× lower random-collision candidate floor than the
+    * 64-bit banding (whose floor the round-16 sf1 bench measured as an
+    * n²/32 wall growing 67× for 10× docs). A caller reaching for the
+    * family name gets the variant that survives a corpus-size step;
+    * the 64-bit signature remains available EXPLICITLY as
+    * [[simhashPairs64]] (q32's pinned oracle contract). Note the
+    * distances are over the doubled signature: a 64-bit near-dup at
+    * Hamming h lands near 2h here — thresholds calibrated against
+    * 64-bit signatures must be re-calibrated, which is why this is a
+    * differently-named default and not a silent swap of
+    * [[simhashPairs64]]'s output.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 7, chunks: Int = 8,
-                   hasher: Column => Column = xxhash64(_)): DataFrame = {
+                   maxHamming: Int = 7,
+                   hasher: Column => Column = xxhash64(_)): DataFrame =
+    simhashPairs128(df, textCol, idCol, maxHamming, hasher)
+
+  /** 64-BIT SimHash near-dup pairs with Hamming distance ≤ maxHamming,
+    * found by pigeonhole banding: split the 64-bit signature into
+    * `chunks` pieces; any pair within distance < chunks must agree on ≥1
+    * chunk, so an equi-join on (chunkIdx, chunkValue) finds all
+    * candidates without a cross product. Requires maxHamming < chunks.
+    * Recall is 1 by the pigeonhole theorem (not probabilistic), so the
+    * output is EXACTLY "all pairs at Hamming ≤ maxHamming" for whatever
+    * `hasher` feeds the votes — with the portable hasher that makes the
+    * whole operator replayable by a brute-force oracle join.
+    *
+    * SCALE CEILING, measured: with Hamming ≤ 7 the banding is forced to
+    * 8 chunks of 8 bits and two UNRELATED documents collide on some
+    * chunk with probability ≈ 8/2⁸ — an n²/32 candidate floor (q32's
+    * sf1 wall grew 66.9× for 10× docs). This variant is the pinned
+    * 64-bit CONTRACT (q32's oracle replays it bit-exactly); production
+    * corpora past ~10⁶ docs should call [[simhashPairs]] /
+    * [[simhashPairs128]], whose 16-bit bands are measured
+    * linear/output-bound at the same step.
+    */
+  def simhashPairs64(df: DataFrame, textCol: String, idCol: String,
+                     maxHamming: Int = 7, chunks: Int = 8,
+                     hasher: Column => Column = xxhash64(_)): DataFrame = {
     // chunks = 1 would need a 64-bit band mask — (1L << 64) wraps to 0,
     // every signature lands in ONE bucket, and the "banded" join
     // degenerates to the full cross product. Hamming-0 search belongs

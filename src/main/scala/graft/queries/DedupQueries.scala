@@ -214,8 +214,11 @@ object DedupQueries {
     "q32_dedup_simhash" -> ((s, d) =>
       // portable 64-bit token hash so the oracle can replay the vote →
       // signature → Hamming pipeline exactly; banding recall is 1 by the
-      // pigeonhole theorem, so output = ALL pairs at Hamming ≤ 7
-      Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id",
+      // pigeonhole theorem, so output = ALL pairs at Hamming ≤ 7. This
+      // row pins the EXPLICIT 64-bit contract path (simhashPairs64) —
+      // the family default simhashPairs routes to the 128-bit scale
+      // variant q224 oracles.
+      Dedup.simhashPairs64(t(s, d, "documents"), "text", "doc_id",
         maxHamming = 7, chunks = 8,
         hasher = graft.ext.TextAnalysis.portableTokenHash64 _)
         .orderBy("doc_a", "doc_b")),
@@ -340,6 +343,68 @@ object DedupQueries {
       try q.processAllAvailable() finally q.stop()
       Dedup.probeSetSimOverlap(
         docs.where(pmod(col("doc_id"), lit(2)) === 1), path,
+        threshold = 0.7)
+        .orderBy("doc_batch", "doc_corpus")
+    }),
+
+    "q225_setsim_probe_spot" -> ((s, d) => {
+      // q217's lifecycle with an sf1-COMPUTABLE oracle (the q221 slice
+      // trick applied to the PROBE side): the ENGINE still pays the full
+      // composite — rebuild over a quarter of the corpus, plain append
+      // of another quarter, probe — but the probe batch is a fixed
+      // id-prefix slice of the odd half, so the DuckDB replay is ONE
+      // slice × evens join, linear in the corpus, where q217's full
+      // odd × even replay is quadratic (≈9 h at sf1, excluded by
+      // measurement). This gives the heaviest lifecycle composite
+      // direct scale-step evidence instead of "carried by q221".
+      val docs = t(s, d, "documents")
+      val path = s"target/graft-setsim-spot-${sfTag(d)}"
+      Dedup.saveSetSimIndex(
+        docs.where(pmod(col("doc_id"), lit(4)) === 0), "text", "doc_id",
+        path)
+      Dedup.appendToSetSimIndex(
+        docs.where(pmod(col("doc_id"), lit(4)) === 2), "text", "doc_id",
+        path)
+      Dedup.probeSetSimOverlap(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1 &&
+          col("doc_id") < 400), path,
+        threshold = 0.7)
+        .orderBy("doc_batch", "doc_corpus")
+    }),
+
+    "q226_stream_setsim_spot" -> ((s, d) => {
+      // q218's streamed shell-fill with the same sliced probe: the FULL
+      // even half still streams through exactly-once foreachBatch
+      // appends (the heavy, scale-relevant half of the composite); only
+      // the probe batch is the id-prefix slice, so the sf1 oracle is the
+      // same linear slice × evens replay as q225 — the two heaviest
+      // lifecycle composites get direct sf1-computable CORRECTNESS rows
+      val docs = t(s, d, "documents")
+      val path = s"target/graft-stream-setsim-spot-${sfTag(d)}"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(path, s"$path.ckpt").foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Dedup.saveSetSimIndex(docs.where(lit(false)), "text", "doc_id", path)
+      val stream = s.readStream
+        .schema(graft.streaming.DocumentStreams.docSchema)
+        .parquet(s"$d/documents.*")
+        .where(pmod(col("doc_id"), lit(2)) === 0)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$path.ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          Dedup.appendToSetSimIndexExactlyOnce(batch, "text", "doc_id",
+            path, batchId)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Dedup.probeSetSimOverlap(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1 &&
+          col("doc_id") < 400), path,
         threshold = 0.7)
         .orderBy("doc_batch", "doc_corpus")
     }),
@@ -1052,6 +1117,46 @@ object DedupQueries {
                     / (len(a.grams) + len(b.grams)
                        - len(list_intersect(a.grams, b.grams))) AS jaccard
            FROM g a JOIN g b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+           WHERE len(a.grams) >= 1 AND len(b.grams) >= 1)
+         WHERE jaccard >= 0.7
+         ORDER BY doc_batch, doc_corpus""",
+
+    // q225/q226: the q217/q218 lifecycle with the probe batch restricted
+    // to the id-prefix slice — a.doc_id < 400 makes the replay ONE
+    // slice × evens join, linear in the corpus at any scale factor
+    // (the reason these two exist; see the engine-side comments)
+    "q225_setsim_probe_spot" ->
+      """WITH g AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                  AS grams
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL))
+         SELECT doc_batch, doc_corpus, jaccard FROM (
+           SELECT a.doc_id AS doc_batch, b.doc_id AS doc_corpus,
+                  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / (len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams))) AS jaccard
+           FROM g a JOIN g b
+             ON a.doc_id % 2 = 1 AND a.doc_id < 400 AND b.doc_id % 2 = 0
+           WHERE len(a.grams) >= 1 AND len(b.grams) >= 1)
+         WHERE jaccard >= 0.7
+         ORDER BY doc_batch, doc_corpus""",
+
+    "q226_stream_setsim_spot" ->
+      """WITH g AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                  AS grams
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL))
+         SELECT doc_batch, doc_corpus, jaccard FROM (
+           SELECT a.doc_id AS doc_batch, b.doc_id AS doc_corpus,
+                  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / (len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams))) AS jaccard
+           FROM g a JOIN g b
+             ON a.doc_id % 2 = 1 AND a.doc_id < 400 AND b.doc_id % 2 = 0
            WHERE len(a.grams) >= 1 AND len(b.grams) >= 1)
          WHERE jaccard >= 0.7
          ORDER BY doc_batch, doc_corpus""",

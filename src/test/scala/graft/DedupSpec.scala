@@ -67,7 +67,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash pairs identical and near-identical docs within Hamming budget") {
-    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
+    val pairs = Dedup.simhashPairs64(corpus, "text", "doc_id",
       maxHamming = 7, chunks = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs.get((1L, 2L)).contains(0)) // identical -> distance 0
@@ -448,13 +448,42 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash with the portable hasher keeps the planted-dup contract") {
-    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
+    val pairs = Dedup.simhashPairs64(corpus, "text", "doc_id",
       maxHamming = 7, chunks = 8,
       hasher = graft.ext.TextAnalysis.portableTokenHash64 _)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs.get((1L, 2L)).contains(0))
     assert(pairs.contains((1L, 3L)))
     assert(pairs.keys.flatMap(p => Seq(p._1, p._2)).forall(_ <= 3L))
+  }
+
+  test("simhash 64↔128 agreement on the shared word; default routes to 128") {
+    // the 128-bit signature's FIRST word votes over the identical token
+    // hash the 64-bit signature does, so per doc simhash == simhash_hi
+    val s64 = Dedup.simhashSignatures(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s128 = Dedup.simhashSignatures128(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(s64.keySet == s128.keySet)
+    for ((doc, sig) <- s64) assert(s128(doc)._1 == sig,
+      s"doc $doc: 64-bit word != 128-bit hi word")
+    // every 128-bit pair at Hamming ≤ 7 PROJECTED TO THE SHARED WORD is a
+    // 64-bit pair at Hamming ≤ 7 (hamming_hi ≤ hamming_128), and the
+    // 64-bit path must report exactly that projected distance
+    val p64 = Dedup.simhashPairs64(corpus, "text", "doc_id", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val p128 = Dedup.simhashPairs128(corpus, "text", "doc_id", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (((a, b), _) <- p128) {
+      val hiDist = java.lang.Long.bitCount(s128(a)._1 ^ s128(b)._1)
+      assert(p64.get((a, b)).contains(hiDist),
+        s"pair ($a,$b): 128-bit survivor missing from the 64-bit set")
+    }
+    // the family default IS the 128-bit path
+    val viaDefault = Dedup.simhashPairs(corpus, "text", "doc_id",
+      maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(viaDefault == p128)
   }
 
   test("ngram jaccard within buckets matches brute force and respects buckets") {
