@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark entry point. Emits ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
@@ -19,6 +20,26 @@ object Bench {
     val s = xs.sorted
     val n = s.length
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** MACHINE-FACTOR calibration: a fixed CPU-bound query — a pure
+    * Levenshtein fold over deterministically generated 256-char strings,
+    * zero I/O, zero data-dependent shuffle — timed interleaved with every
+    * round. Two byte-identical trees benched in consecutive rounds have
+    * moved 1.2–1.5× with zero code change (the r15↔r16 machine band,
+    * proven by hand-built worktree controls); this query's median is that
+    * band MEASURED, so `queries_norm` (per-query median ÷ calibration)
+    * compares across rounds without re-running those controls. The work
+    * size is fixed forever — changing it breaks cross-round comparison.
+    */
+  private[graft] def calibration(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 24000, 1, 32)
+      .select(levenshtein(
+        repeat(md5(col("id").cast("string")), 8),
+        repeat(md5((col("id") + 1).cast("string")), 8)).as("d"))
+      .agg(sum(col("d"))).head()
+    (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -43,17 +64,25 @@ object Bench {
       only.forall(_.exists(n.contains)) }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val errors = scala.collection.mutable.Map.empty[String, String]
-    for (_ <- 1 to runs; (name, fn) <- selected) {
-      val t0 = System.nanoTime()
-      // a query that throws must NOT record its fast-fail wall time as a
-      // healthy sample — mark it errored and exclude it from the totals
-      try {
-        fn(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
-      } catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
+    var calibSamples = Vector.empty[Double]
+    calibration(spark) // untimed JIT warmup of the calibration path itself
+    for (_ <- 1 to runs) {
+      // one calibration sample per interleaved round, so a contention
+      // event that inflates this round's queries inflates the machine
+      // factor with them
+      calibSamples :+= calibration(spark)
+      for ((name, fn) <- selected) {
+        val t0 = System.nanoTime()
+        // a query that throws must NOT record its fast-fail wall time as
+        // a healthy sample — mark it errored and exclude it from totals
+        try {
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+        } catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
+        }
       }
     }
     val ok = selected.filter { case (n, _) => samples.contains(n) }
@@ -115,7 +144,14 @@ object Bench {
     // governing number read faster than the true 46-query total — the
     // gate consumer must assert n == 46 before trusting the total.
     val sameWorkloadN = sameWorkloadMedians.size
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"runs":$runs,"queries_min":$mins,"queries_max":$maxs,"same_workload_total":$sameWorkload,"same_workload_n":$sameWorkloadN,"serve_total":$serveTotal,"serve_queries":$serveMed,"errors":$errs,"sf":"$sfDir"}"""
+    // machine factor: the fixed CPU-bound query's median this run, plus
+    // per-query medians normalized by it — cross-round comparisons read
+    // queries_norm (machine-band-free) and raw seconds stay alongside
+    val calib = median(calibSamples)
+    val norm = ok
+      .map { case (n, _) => s"\"" + n + "\":" + (median(samples(n)) / calib) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"runs":$runs,"queries_min":$mins,"queries_max":$maxs,"same_workload_total":$sameWorkload,"same_workload_n":$sameWorkloadN,"calibration":$calib,"calibration_samples":[${calibSamples.mkString(",")}],"queries_norm":$norm,"serve_total":$serveTotal,"serve_queries":$serveMed,"errors":$errs,"sf":"$sfDir"}"""
     // The driver's artifact capture keeps only the TAIL of stdout and its
     // parser has failed on every long line so far (r9: full JSON captured,
     // `parsed` still null). Defend three ways: persist the full JSON to a
@@ -127,7 +163,7 @@ object Bench {
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort: read-only cwd must not fail the bench
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${ok.size},"same_workload_total":$sameWorkload,"same_workload_n":$sameWorkloadN,"serve_total":$serveTotal,"n_serve":${serveOk.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${ok.size},"same_workload_total":$sameWorkload,"same_workload_n":$sameWorkloadN,"calibration":$calib,"serve_total":$serveTotal,"n_serve":${serveOk.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
