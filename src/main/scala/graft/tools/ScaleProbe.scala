@@ -639,6 +639,157 @@ object ScaleProbe {
     }
     spark.sparkContext.removeSparkListener(listener)
     }
+
+    // ---- sf1 lifecycle stragglers: the graph probes record max-task vs
+    // mean-task; the winnow/campaign/manifest lifecycle composites (the
+    // 55–69 s walls of the sf1 bench) did not. Runs against the DERIVED
+    // sf1 dataset (SPARK_GRAFT_SF1_DIR; build it with ScaleUp/ScaleGate
+    // first) and prints straggler ratios for minhash-manifest
+    // compaction, winnow spans, and the three-family campaign build +
+    // snapshot pin — a straggler far above the mean would mean one hot
+    // partition carries the composite and the 10× step scaled by luck.
+    if (sel("sf1lifecycle")) {
+      val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+      val docs1 = spark.read.parquet(s"$sf1/documents.parquet")
+        .select("doc_id", "text").localCheckpoint()
+      spark.sparkContext.addSparkListener(listener)
+      def timed1(op: String)(f: => Any): Unit = {
+        taskMs.synchronized(taskMs.clear())
+        val t0 = System.nanoTime()
+        val r = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200) // let the async listener bus drain
+        val ts = taskMs.synchronized(taskMs.toVector)
+        println(f"[scale] sf1 $op: $r in $dt%.1fs " +
+          f"(straggler task ${ts.max}ms vs mean ${ts.sum / ts.length}ms, " +
+          f"${ts.length} tasks)")
+      }
+      val mani = "target/graft-scaleprobe-sf1-mani"
+      val maniP = new org.apache.hadoop.fs.Path(mani)
+      maniP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(maniP, true)
+      timed1("minhash-manifest-build(evens)") {
+        Dedup.saveMinhashManifest(
+          docs1.where(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id",
+          mani, k = 32, bands = 16); "built"
+      }
+      Dedup.tombstoneContentInMinhashManifest(
+        docs1.where(pmod(col("doc_id"), lit(1000)) === 6), "text", mani)
+      timed1("minhash-manifest-compaction") {
+        Dedup.compactMinhashManifest(spark, mani); "compacted"
+      }
+      timed1("winnow-spans") {
+        Dedup.winnowSpans(docs1, "text", "doc_id",
+          n = 3, w = 4, maxDf = 20, maxGap = 8).count()
+      }
+      val ctext = "target/graft-scaleprobe-sf1-camp-text"
+      val cmani = "target/graft-scaleprobe-sf1-camp-mani"
+      val clm = "target/graft-scaleprobe-sf1-camp-lm"
+      Seq(ctext, cmani, clm).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+      }
+      timed1("campaign-build(3 families)") {
+        graft.ext.Search.saveTextIndex(docs1, ctext)
+        graft.ext.Search.compactTextIndex(spark, ctext)
+        Dedup.saveMinhashManifest(
+          docs1.where(pmod(col("doc_id"), lit(10)) < 5), "text", "doc_id",
+          cmani, k = 32, bands = 16)
+        Dedup.compactMinhashManifest(spark, cmani)
+        graft.ext.Corpus.saveLm(docs1, "text", "doc_id", clm); "built"
+      }
+      val members = Seq(graft.ext.Campaign.TextIndex(ctext),
+        graft.ext.Campaign.MinhashManifest(cmani),
+        graft.ext.Campaign.Lm(clm))
+      timed1("campaign-snapshot(pin)") {
+        graft.ext.Campaign.snapshot(spark, "sf1_probe", members); "pinned"
+      }
+      graft.ext.Campaign.drop(spark, "sf1_probe", members)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // ---- sf3-equivalent MEMORY HEADROOM: the 128 GiB sandbox fits sf1
+    // easily; this probe pushes the top-RSS composites (set-sim index
+    // build, winnow spans, campaign-scale text index) at 3× the sf1
+    // document volume to find the first memory wall — the next missing
+    // scale fact. Replication follows the ScaleUp documents rule (per-
+    // copy variable hash-tag namespace on top of the sf1 copies), so
+    // duplication RATE stays constant and the probes measure genuinely
+    // larger corpora. Reports wall, straggler ratio, spill bytes, and
+    // the JVM's VmHWM after each op; an OOM or spill explosion names the
+    // first operator to hit the wall.
+    if (sel("sf3memory")) {
+      val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+      val base1 = spark.read.parquet(s"$sf1/documents.parquet")
+        .select("doc_id", "text")
+      val docs3 = (0 until 3).map { j =>
+        val shifted = base1.select(
+          (col("doc_id") + lit(j * 1000000000L)).as("doc_id"), col("text"))
+        if (j == 0) shifted
+        else shifted.withColumn("text",
+          when(col("text").isNotNull,
+            concat_ws(" ", transform(split(col("text"), " "), tok =>
+              when(length(tok) > 0,
+                concat(tok, lit(s"d$j"),
+                  lower(hex(pmod(xxhash64(tok, lit(j + 100)), lit(4096L))))))
+                .otherwise(tok)))))
+      }.reduce(_ union _).localCheckpoint()
+      println(s"[scale] sf3memory corpus rows: ${docs3.count()}")
+      val spills = new java.util.concurrent.atomic.AtomicLong(0L)
+      val spillListener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          taskMs.synchronized { taskMs += te.taskInfo.duration }
+          val m = te.taskMetrics
+          if (m != null)
+            spills.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(spillListener)
+      def vmHwmMb(): Long =
+        scala.util.Try(
+          scala.io.Source.fromFile("/proc/self/status").getLines()
+            .find(_.startsWith("VmHWM"))
+            .map(_.replaceAll("[^0-9]", "").toLong / 1024).getOrElse(-1L))
+          .getOrElse(-1L)
+      def timed3(op: String)(f: => Any): Unit = {
+        taskMs.synchronized(taskMs.clear())
+        spills.set(0L)
+        val t0 = System.nanoTime()
+        val r = try f catch { case e: Throwable =>
+          s"FAILED(${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").take(120)})" }
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200)
+        val ts = taskMs.synchronized(taskMs.toVector)
+        val strag = if (ts.isEmpty) "n/a"
+          else f"${ts.max}ms vs mean ${ts.sum / ts.length}ms"
+        println(f"[scale] sf3 $op: $r in $dt%.1fs (straggler $strag; " +
+          f"spilled ${spills.get / 1048576} MiB; VmHWM ${vmHwmMb()} MiB)")
+      }
+      val idx3 = "target/graft-scaleprobe-sf3-setsim"
+      val idx3P = new org.apache.hadoop.fs.Path(idx3)
+      idx3P.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(idx3P, true)
+      timed3("setsim-index-build") {
+        Dedup.saveSetSimIndex(docs3, "text", "doc_id", idx3); "built"
+      }
+      timed3("winnow-spans") {
+        Dedup.winnowSpans(docs3, "text", "doc_id",
+          n = 3, w = 4, maxDf = 20, maxGap = 8).count()
+      }
+      val text3 = "target/graft-scaleprobe-sf3-text"
+      val text3P = new org.apache.hadoop.fs.Path(text3)
+      text3P.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(text3P, true)
+      timed3("textindex-build+compact") {
+        graft.ext.Search.saveTextIndex(docs3, text3)
+        graft.ext.Search.compactTextIndex(spark, text3); "built"
+      }
+      spark.sparkContext.removeSparkListener(spillListener)
+    }
     spark.stop()
   }
 }

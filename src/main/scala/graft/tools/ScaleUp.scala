@@ -24,13 +24,23 @@ import org.apache.spark.sql.functions._
   *    10×, per-user session shape unchanged — the regime a 10× traffic
   *    step actually presents).
   *  - `documents`: copy 0 verbatim; copies ≥ 1 get a PER-COPY TOKEN
-  *    NAMESPACE (every token suffixed `c<i>`, the APSS-probe rule) so
-  *    cross-copy similarity is 0 and the near-dup PAIR DENSITY per copy
-  *    equals the original's. Plain replication would be the wrong
-  *    dataset: every copy is a true near-dup of every other, the true
-  *    output itself is Θ(factor²) pairs, and no exact algorithm can beat
-  *    its own answer size — duplication RATE, not volume, is what must
-  *    stay constant across a scale step.
+  *    NAMESPACE (the APSS-probe rule) so cross-copy similarity is 0 and
+  *    the near-dup PAIR DENSITY per copy equals the original's. Plain
+  *    replication would be the wrong dataset: every copy is a true
+  *    near-dup of every other, the true output itself is Θ(factor²)
+  *    pairs, and no exact algorithm can beat its own answer size —
+  *    duplication RATE, not volume, is what must stay constant across a
+  *    scale step. The namespace tag is `c<i>` plus a HASH-DERIVED 1–3
+  *    char suffix per (token, copy) — NOT the round-16 constant `c<i>`:
+  *    a constant tag preserves every token's relative length and chunk
+  *    alignment, so the byte-chunk-histogram embedder (q52) still saw
+  *    copies as ≥0.98-cosine near-dups (723 pairs at sf1 vs 20×10
+  *    expected — a dataset artifact, not a plan change). The variable
+  *    tag shifts chunk boundaries pseudo-randomly per token, making
+  *    cross-copy cosine behave like unrelated docs while staying a
+  *    BIJECTION per copy (a pure function of (token, copy)), so all
+  *    set-semantics operators (minhash/set-sim/winnow) keep per-copy
+  *    pair structure exactly.
   *  - `embeddings`: copies ≥ 1 get a small deterministic per-component
   *    jitter (±5e-3, hash-derived) so copies are near but not exact
   *    duplicates — ANN index balance and recall behave like a larger
@@ -54,7 +64,14 @@ object ScaleUp {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    derive(spark, src, dst, factor)
+    spark.stop()
+  }
 
+  /** The derivation body, callable from [[ScaleGate]] (which re-derives
+    * the dataset when absent) as well as from `main`. */
+  def derive(spark: SparkSession, src: String, dst: String,
+             factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame) =
       (0 until factor).map(i => shift(df, i)).reduce(_ union _)
 
@@ -98,7 +115,15 @@ object ScaleUp {
       val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * Stride))
       if (i == 0) shifted
       else shifted.withColumn("text",
-        regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1c$i")))
+        // variable-length hash tag per (token, copy): hex of a value in
+        // [0, 4096) is 1–3 chars, so chunk boundaries and byte content
+        // shift per token — see the documents rule in the scaladoc
+        when(col("text").isNotNull,
+          concat_ws(" ", transform(split(col("text"), " "), tok =>
+            when(length(tok) > 0,
+              concat(tok, lit(s"c$i"),
+                lower(hex(pmod(xxhash64(tok, lit(i)), lit(4096L))))))
+              .otherwise(tok)))))
         .withColumn("n_chars", length(coalesce(col("text"), lit(""))))
     })
 
@@ -115,7 +140,6 @@ object ScaleUp {
           (x, d) => (x + d).cast("float")))
     })
 
-    spark.stop()
     println(s"[scaleup] done: $dst at ${factor}x of $src")
   }
 }
