@@ -772,6 +772,24 @@ object Stage {
     * order. */
   @volatile var fencing: FencingPrimitive = LockReRead
 
+  /** Thread-scoped [[fencing]] override — flipping the GLOBAL install
+    * mid-flight would change the primitive under every other thread's
+    * in-progress commits (exactly what a concurrently-running test
+    * suite does); this scopes the choice to the calling thread. */
+  private val fencingOverride = new ThreadLocal[FencingPrimitive]
+
+  /** Run `body` with `primitive` as THIS THREAD's commit-point fencing
+    * (other threads keep the global install). */
+  def withFencing[T](primitive: FencingPrimitive)(body: => T): T = {
+    val prev = fencingOverride.get
+    fencingOverride.set(primitive)
+    try body
+    finally {
+      if (prev == null) fencingOverride.remove()
+      else fencingOverride.set(prev)
+    }
+  }
+
   /** FENCING check at a publish COMMIT point: if this thread holds (or
     * believes it holds) the writer lease on `root`, run the installed
     * [[fencing]] primitive. A holder whose heartbeat starved past the
@@ -794,7 +812,8 @@ object Stage {
                            commitId: String = ""): Unit = {
     val lock = new Path(new Path(root), "_writer.lock")
     heldLeases.get.get(lock.toString).foreach { token =>
-      fencing.assertMayCommit(fsFor(spark, lock), new Path(root), lock,
+      val primitive = Option(fencingOverride.get).getOrElse(fencing)
+      primitive.assertMayCommit(fsFor(spark, lock), new Path(root), lock,
         token, commitId)
     }
   }
@@ -1576,6 +1595,11 @@ object Stage {
     val fs = fsFor(spark, root)
     fs.delete(new Path(root, "_ledger"), true)
     fs.delete(new Path(root, "_staging"), true)
+    // the rebuild boundary also retires commit fences: a wiped root may
+    // restart version numbering, and a stale flip-v* fence from the old
+    // life would wrongly reject the reborn index's first publishes under
+    // the strict primitive
+    fs.delete(new Path(root, "_fence"), true)
   }
 
   /** How many partitions a compaction rewrite of `dir` should produce:

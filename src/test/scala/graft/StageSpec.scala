@@ -613,8 +613,10 @@ class StageSpec extends AnyFunSuite {
   test("fencing: strict primitive installed end-to-end — publishes work, retries clear stale fences") {
     val root = "target/graft-test-stage-fence-strict-e2e"
     fs(root).delete(new Path(root), true)
-    Stage.fencing = Stage.ExclusiveCommitToken
-    try {
+    // thread-scoped install: suites run concurrently in one JVM, and a
+    // global flip here would change the primitive under their in-flight
+    // commits (it did — a CampaignSpec run failed exactly that way)
+    Stage.withFencing(Stage.ExclusiveCommitToken) {
       // ordinary lifecycle under the strict primitive: rebuild, rewrite,
       // exactly-once op — all commit normally (each owns its fence)
       Stage.publishRebuild(spark, root, Seq(1L, 2L).toDF("v"))
@@ -635,7 +637,7 @@ class StageSpec extends AnyFunSuite {
         Seq(8L).toDF("v").write.parquet(s"$staging/data")
       }
       assert(fs(root).exists(new Path(s"$root/_ledger/op-retried_op")))
-    } finally Stage.fencing = Stage.LockReRead
+    }
   }
 
   test("healthReport surfaces the writer lock in flight") {
