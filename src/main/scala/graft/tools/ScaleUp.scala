@@ -30,17 +30,27 @@ import org.apache.spark.sql.functions._
   *    near-dup of every other, the true output itself is Θ(factor²)
   *    pairs, and no exact algorithm can beat its own answer size —
   *    duplication RATE, not volume, is what must stay constant across a
-  *    scale step. The namespace tag is `c<i>` plus a HASH-DERIVED 1–3
-  *    char suffix per (token, copy) — NOT the round-16 constant `c<i>`:
-  *    a constant tag preserves every token's relative length and chunk
-  *    alignment, so the byte-chunk-histogram embedder (q52) still saw
-  *    copies as ≥0.98-cosine near-dups (723 pairs at sf1 vs 20×10
-  *    expected — a dataset artifact, not a plan change). The variable
-  *    tag shifts chunk boundaries pseudo-randomly per token, making
-  *    cross-copy cosine behave like unrelated docs while staying a
-  *    BIJECTION per copy (a pure function of (token, copy)), so all
-  *    set-semantics operators (minhash/set-sim/winnow) keep per-copy
-  *    pair structure exactly.
+  *    scale step. The namespace is a LENGTH-PRESERVING RE-SPELLING per
+  *    (token, copy) — each token of copy i ≥ 1 is replaced by the same-
+  *    length prefix of repeat(hex(xxhash64(token, i))) — NOT the
+  *    round-16 constant `c<i>` suffix. Why: the chunk-histogram stub
+  *    embedder (q52) folds 16-byte chunks with h → 31·h + byte and
+  *    buckets by h mod 64, and 31² ≡ 1 (mod 64) — a constant same-
+  *    length suffix therefore only SHIFTS each chunk's slot by a
+  *    deterministic small amount (±δ or ±31δ, often cancelling), so
+  *    copies still read as ≥0.98-cosine near-dups (the 723-pair sf1
+  *    artifact); a variable-LENGTH tag instead lengthens documents and
+  *    pushes MORE long-doc histogram pairs over the saturation floor
+  *    (cosine of two independent N-chunk histograms ≈ N/(N+64)). The
+  *    re-spelling keeps every token length — so chunk boundaries, the
+  *    whitespace skeleton, and all length statistics are EXACTLY the
+  *    original's — while the bytes decorrelate completely, making
+  *    cross-copy cosine the generic same-length floor. It is a
+  *    deterministic per-copy map, so set-semantics operators
+  *    (minhash/set-sim/winnow) keep per-copy pair structure (not a
+  *    strict bijection: tokens of length L collide with probability
+  *    16^-L, concentrated on 1–2-char tokens — a handful of merged
+  *    short types, far below any operator threshold).
   *  - `embeddings`: copies ≥ 1 get a small deterministic per-component
   *    jitter (±5e-3, hash-derived) so copies are near but not exact
   *    duplicates — ANN index balance and recall behave like a larger
@@ -115,14 +125,16 @@ object ScaleUp {
       val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * Stride))
       if (i == 0) shifted
       else shifted.withColumn("text",
-        // variable-length hash tag per (token, copy): hex of a value in
-        // [0, 4096) is 1–3 chars, so chunk boundaries and byte content
-        // shift per token — see the documents rule in the scaladoc
+        // length-preserving re-spelling per (token, copy) — see the
+        // documents rule in the scaladoc. repeat(…, 8) covers tokens to
+        // 128 chars; a longer token would re-spell truncated (length no
+        // longer preserved) but the corpus's longest word is single-digit
+        // chars (the Verify depth probe), so the margin is ~16×.
         when(col("text").isNotNull,
           concat_ws(" ", transform(split(col("text"), " "), tok =>
             when(length(tok) > 0,
-              concat(tok, lit(s"c$i"),
-                lower(hex(pmod(xxhash64(tok, lit(i)), lit(4096L))))))
+              repeat(lower(hex(xxhash64(tok, lit(i)))), 8)
+                .substr(lit(1), length(tok)))
               .otherwise(tok)))))
         .withColumn("n_chars", length(coalesce(col("text"), lit(""))))
     })
