@@ -660,9 +660,11 @@ object ScaleProbe {
         val dt = (System.nanoTime() - t0) / 1e9
         Thread.sleep(200) // let the async listener bus drain
         val ts = taskMs.synchronized(taskMs.toVector)
-        println(f"[scale] sf1 $op: $r in $dt%.1fs " +
-          f"(straggler task ${ts.max}ms vs mean ${ts.sum / ts.length}ms, " +
-          f"${ts.length} tasks)")
+        // metadata-only ops (the snapshot pin) run ZERO Spark tasks —
+        // that absence is itself the measurement
+        val strag = if (ts.isEmpty) "no tasks (metadata-only)"
+          else f"straggler task ${ts.max}ms vs mean ${ts.sum / ts.length}ms, ${ts.length} tasks"
+        println(f"[scale] sf1 $op: $r in $dt%.1fs ($strag)")
       }
       val mani = "target/graft-scaleprobe-sf1-mani"
       val maniP = new org.apache.hadoop.fs.Path(mani)

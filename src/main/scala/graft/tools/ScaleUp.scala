@@ -31,26 +31,35 @@ import org.apache.spark.sql.functions._
   *    pairs, and no exact algorithm can beat its own answer size —
   *    duplication RATE, not volume, is what must stay constant across a
   *    scale step. The namespace is a LENGTH-PRESERVING RE-SPELLING per
-  *    (token, copy) — each token of copy i ≥ 1 is replaced by the same-
-  *    length prefix of repeat(hex(xxhash64(token, i))) — NOT the
-  *    round-16 constant `c<i>` suffix. Why: the chunk-histogram stub
-  *    embedder (q52) folds 16-byte chunks with h → 31·h + byte and
-  *    buckets by h mod 64, and 31² ≡ 1 (mod 64) — a constant same-
-  *    length suffix therefore only SHIFTS each chunk's slot by a
-  *    deterministic small amount (±δ or ±31δ, often cancelling), so
-  *    copies still read as ≥0.98-cosine near-dups (the 723-pair sf1
-  *    artifact); a variable-LENGTH tag instead lengthens documents and
-  *    pushes MORE long-doc histogram pairs over the saturation floor
-  *    (cosine of two independent N-chunk histograms ≈ N/(N+64)). The
-  *    re-spelling keeps every token length — so chunk boundaries, the
+  *    (token, copy): each token of copy i ≥ 1 is replaced by the same-
+  *    length prefix of repeat(hex(xxhash64(token, i))). Why this exact
+  *    construction — two alternatives were measured and rejected in
+  *    round 17:
+  *     - the round-16 constant `c<i>` suffix: the chunk-histogram stub
+  *       embedder (q52) folds 16-byte chunks with h → 31·h + byte
+  *       bucketed mod 64, and 31² ≡ 1 (mod 64) — a constant same-length
+  *       suffix only SHIFTS each chunk's slot deterministically, so
+  *       copies still read as ≥0.98-cosine near-dups (723 pairs at sf1
+  *       vs ~200 expected — the r16 dataset artifact);
+  *     - a per-copy VOCABULARY PERMUTATION within length classes
+  *       (bijective, length-exact, re-using real tokens): this corpus's
+  *       vocabulary is 31 TOKENS (synthetic testdata), so permuted
+  *       copies all write over the SAME tiny token space — the
+  *       namespace vanishes at the token-set level and cross-copy
+  *       near-dups explode (q32: 20M → 201M pairs, q31: 9.6M → 50M).
+  *       A namespace here MUST expand the token space per copy.
+  *    The re-spelling keeps every token length — chunk boundaries, the
   *    whitespace skeleton, and all length statistics are EXACTLY the
-  *    original's — while the bytes decorrelate completely, making
-  *    cross-copy cosine the generic same-length floor. It is a
-  *    deterministic per-copy map, so set-semantics operators
-  *    (minhash/set-sim/winnow) keep per-copy pair structure (not a
-  *    strict bijection: tokens of length L collide with probability
-  *    16^-L, concentrated on 1–2-char tokens — a handful of merged
-  *    short types, far below any operator threshold).
+  *    original's (so q52's histogram floor does not move: 218 pairs at
+  *    sf1 ≈ the per-copy density) — while copies' token spaces are
+  *    disjoint by hashing (cross-copy token/gram overlap ≈ 0; q185's
+  *    winnow spans measured 3,452,469 at sf1 vs 343,753 at sf0.1 —
+  *    10.04×, exactly linear). Within a copy the map is injective for
+  *    any realistic vocabulary (same-length collision probability
+  *    16^-L per type pair; this corpus's largest length class has 9
+  *    types), so per-copy pair structure is isomorphic to the
+  *    original's for every set/sequence/gram operator — q31/q32 row
+  *    counts are bit-identical across namespace spellings.
   *  - `embeddings`: copies ≥ 1 get a small deterministic per-component
   *    jitter (±5e-3, hash-derived) so copies are near but not exact
   *    duplicates — ANN index balance and recall behave like a larger
@@ -128,8 +137,8 @@ object ScaleUp {
         // length-preserving re-spelling per (token, copy) — see the
         // documents rule in the scaladoc. repeat(…, 8) covers tokens to
         // 128 chars; a longer token would re-spell truncated (length no
-        // longer preserved) but the corpus's longest word is single-digit
-        // chars (the Verify depth probe), so the margin is ~16×.
+        // longer preserved) but this corpus's longest word is 8 chars
+        // (the Verify depth probe), so the margin is 16×.
         when(col("text").isNotNull,
           concat_ws(" ", transform(split(col("text"), " "), tok =>
             when(length(tok) > 0,
