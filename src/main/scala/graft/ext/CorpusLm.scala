@@ -494,11 +494,15 @@ trait CorpusLm extends CorpusTokenizers {
       // counts no previous-version grace — the rebuild boundary resets
       // the whole history (ledger/snapshots above, previous pointer here),
       // so nothing can serve cross-corpus state under this path.
+      // bigram/token explosion amplifies each doc row ~|tokens|×; spread
+      // a compact scan before it (Tables.spreadAmplified scaladoc)
+      val spread = graft.ops.Tables.spreadAmplified(
+        train.select(col(idCol), col(textCol)), col(idCol))
       graft.ops.Stage.publishRebuild(spark, s"$path/bigrams",
-        bigramStream(train, textCol, idCol)
+        bigramStream(spread, textCol, idCol)
           .groupBy("p", "w").agg(count(lit(1)).as("cb")))
       graft.ops.Stage.publishRebuild(spark, s"$path/vocab",
-        train.where(col(textCol).isNotNull)
+        spread.where(col(textCol).isNotNull)
           .select(explode(split(col(textCol), " ")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("c")))
     }

@@ -51,7 +51,11 @@ trait DedupWinnow extends DedupSimhash {
     // pairs) far likelier than uniform; the df cap would then silently
     // drop the hottest collided hashes and destroy recall on real
     // overlaps at corpus scale
-    val grams = df
+    // the gram/window stages below amplify each input row ~L·w×; a
+    // bytes-sized scan partition must not carry the whole corpus
+    // (Tables.spreadAmplified scaladoc — the measured 30× sf1 straggler)
+    val grams = graft.ops.Tables.spreadAmplified(
+        df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), rawWordNgrams(col(textCol), n).as("grams"))
       .where(size(col("grams")) > 0)
       .select(col(idCol), size(col("grams")).as("m"),

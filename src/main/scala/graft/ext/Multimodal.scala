@@ -196,7 +196,13 @@ object Multimodal {
     */
   def embedMedia(spark: SparkSession, blobs: DataFrame,
                  dim: Int = 64, chunkBytes: Int = 16): DataFrame = {
-    val rdd = blobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+    // an encoder pass is the canonical work ≫ bytes stage (a real model
+    // forward per blob); spread a compact scan before it so one small
+    // parquet never serializes the whole corpus through one task
+    // (Tables.spreadAmplified scaladoc)
+    val rdd = graft.ops.Tables.spreadAmplified(
+        blobs.select(col("doc_id"), col("blob")), col("doc_id"))
+      .rdd.mapPartitions { it =>
       // model/session init would happen here, once per partition
       it.map { r =>
         val id = r.getLong(0)

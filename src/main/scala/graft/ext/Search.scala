@@ -193,11 +193,16 @@ object Search {
     val posPath = new org.apache.hadoop.fs.Path(s"$path/positions")
     posPath.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
       .delete(posPath, true)
-    postingsOf(docs, idCol, textCol)
+    // tokenization amplifies each doc row ~|tokens|×; spread a compact
+    // scan before it (Tables.spreadAmplified scaladoc — the measured
+    // sf1 campaign-build straggler)
+    val spread = graft.ops.Tables.spreadAmplified(
+      docs.select(col(idCol), col(textCol)), col(idCol))
+    postingsOf(spread, idCol, textCol)
       .write.mode("overwrite").parquet(s"$path/postings")
-    doclensOf(docs, idCol, textCol)
+    doclensOf(spread, idCol, textCol)
       .write.mode("overwrite").parquet(s"$path/doclens")
-    batchStats(docs, textCol)
+    batchStats(spread, textCol)
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 

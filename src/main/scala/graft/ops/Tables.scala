@@ -44,6 +44,34 @@ object Tables {
   def sfTag(sfDir: String): String =
     new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9_]", "_")
 
+  /** Spread an EXPLODE-AMPLIFIED stage across the configured shuffle
+    * width when the scan under-partitioned its input. Scan partitioning
+    * is BYTES-sized (`spark.sql.files.maxPartitionBytes`), but gram/
+    * window/token/encoder builders do work proportional to EXPLODED
+    * rows — a compact parquet (one 5 MiB file = one scan partition)
+    * funnels an entire corpus's window argmins into ONE task. Measured
+    * at sf1 by the round-17 straggler probes: a single 56 s task
+    * carried a 66 s winnow-spans wall (30× the task mean), and the
+    * campaign build showed the same shape (28 s vs 0.7 s mean) — with
+    * ZERO data skew (the largest window group was 42 rows; the probe
+    * checked). One input-sized hash shuffle on `key` bounds the stage's
+    * max task at corpus/width. It is paid ONLY when the scan's
+    * parallelism is under half the configured width, so at real scale —
+    * where inputs arrive already split into many files/row groups — the
+    * plan is untouched and no shuffle is added. Callers should pass a
+    * PROJECTED frame (id + payload) so the shuffle carries only what
+    * the amplified stage reads.
+    */
+  def spreadAmplified(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    // streaming frames have no scan-partition count to probe (and their
+    // micro-batches arrive through foreachBatch as batch frames anyway)
+    if (df.isStreaming) return df
+    val width = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions * 2 >= width) df
+    else df.repartition(width, key)
+  }
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
