@@ -53,13 +53,29 @@ trait DedupWinnow extends DedupSimhash {
     // overlaps at corpus scale
     // the gram/window stages below amplify each input row ~L·w×; a
     // bytes-sized scan partition must not carry the whole corpus
-    // (Tables.spreadAmplified scaladoc — the measured 30× sf1 straggler)
+    // (Tables.spreadAmplified scaladoc — the measured 30× sf1 straggler).
+    // The non-empty-grams filter is expressed on RAW TOKEN COUNT, not on
+    // the gram array: `size(grams) > 0` ⟺ tokens ≥ n (rawWordNgrams'
+    // guard), but a filter on the array PUSHES BELOW the repartition and
+    // drags the whole per-position gram construction into the scan stage
+    // — the round-17 stage probe measured it as a 45 s two-task stage
+    // (one per row group) under a 32-way plan. The cheap predicate
+    // pushes to the scan harmlessly; grams are built once, post-shuffle.
+    // posexplode_OUTER, not posexplode: InferFiltersFromGenerate adds
+    // `size(grams) > 0` before an inner generate, and THAT inferred
+    // predicate — carrying the whole gram construction — collapses
+    // through the projection and pushes below the repartition all the
+    // same (measured as the stage above re-appearing). The outer
+    // generate infers nothing; its one null row per gramless doc
+    // (already excluded by the token-count filter) drops for free.
     val grams = graft.ops.Tables.spreadAmplified(
-        df.select(col(idCol), col(textCol)), col(idCol))
+        df.select(col(idCol), col(textCol))
+          .where(col(textCol).isNotNull &&
+            size(split(col(textCol), " ")) >= n), col(idCol))
       .select(col(idCol), rawWordNgrams(col(textCol), n).as("grams"))
-      .where(size(col("grams")) > 0)
       .select(col(idCol), size(col("grams")).as("m"),
-        posexplode(col("grams")).as(Seq("pos", "g")))
+        posexplode_outer(col("grams")).as(Seq("pos", "g")))
+      .where(col("g").isNotNull)
       .select(col(idCol), col("m"), col("pos"),
         (charFold(col("g"), 31L, 1000000007L) * lit(2147483648L) +
           charFold(col("g"), 131L, 998244353L)).as("h"))
@@ -108,7 +124,15 @@ trait DedupWinnow extends DedupSimhash {
   def winnowAlignments(df: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, w: Int = 4, maxDf: Int = 20): DataFrame = {
     require(maxDf >= 2, s"maxDf >= 2, got $maxDf")
-    val fps = winnowFingerprints(df, textCol, idCol, n, w)
+    // MATERIALIZED once: the fingerprint subtree feeds the df-cap
+    // aggregate AND both sides of the self-join — left declarative,
+    // Spark re-executes the whole explode/window pipeline per consumer
+    // (the broadcast subquery and each join leg plan it independently;
+    // measured at sf1 by the round-17 stage probe: 4 evaluations,
+    // two riding 32 s broadcast-thread stages of a 45 s wall).
+    // localCheckpoint stores executor-local blocks — no driver collect,
+    // size is the selected-fingerprint relation (~2/(w+1) of the grams).
+    val fps = winnowFingerprints(df, textCol, idCol, n, w).localCheckpoint()
     val dfh = fps.select(col(idCol), col("h")).distinct()
       .groupBy("h").agg(count(lit(1)).as("hdf"))
     val kept = fps.join(dfh.where(col("hdf") <= maxDf).select("h"), Seq("h"))
@@ -138,10 +162,13 @@ trait DedupWinnow extends DedupSimhash {
                           splitCol: String = "split", n: Int = 3,
                           w: Int = 4, minShared: Int = 1,
                           maxDf: Int = 20): DataFrame = {
+    // materialized once — stop-list aggregate + both join legs consume
+    // it (the winnowAlignments recomputation note)
     val fps = winnowFingerprints(df, textCol, idCol, n, w)
       .select(col(idCol), col("h")).distinct()
       .join(df.select(col(idCol), col(splitCol).as("split")), Seq(idCol))
       .select(col("split"), col(idCol).as("doc"), col("h"))
+      .localCheckpoint()
     val stop = fps.groupBy("h").agg(count(lit(1)).as("hdf"))
       .where(col("hdf") > maxDf).select("h")
     val kept = fps.join(stop, Seq("h"), "left_anti")
@@ -530,8 +557,12 @@ trait DedupWinnow extends DedupSimhash {
           graft.ops.Stage.resolve(spark, s"$path/meta")).head()
         (meta.getAs[Int]("n"), meta.getAs[Int]("w"))
       }
+    // materialized once — the batch fingerprints feed the manifest
+    // slice, the cap anti-join, the n_fp counts, and the best-match
+    // join (the winnowAlignments recomputation note)
     val bf = winnowFingerprints(batch, textCol, idCol, n, w)
       .select(col(idCol).as("bdoc"), col("h")).distinct()
+      .localCheckpoint()
     // pending tombstones mask every probe path immediately, snapshot
     // reads included (right-to-be-forgotten holds for validation reads
     // — the family rule)
@@ -591,8 +622,11 @@ trait DedupWinnow extends DedupSimhash {
                          maxDf: Int = 20): DataFrame = {
     require(minShared >= 1, s"minShared >= 1, got $minShared")
     require(maxDf >= 2, s"maxDf >= 2, got $maxDf")
+    // materialized once — df-cap aggregate, per-doc counts, and both
+    // self-join legs consume it (the winnowAlignments recomputation note)
     val fps = winnowFingerprints(df, textCol, idCol, n, w)
       .select(col(idCol), col("h")).distinct()
+      .localCheckpoint()
     val dfh = fps.groupBy("h").agg(count(lit(1)).as("hdf"))
     val kept = fps
       .join(dfh.where(col("hdf") <= maxDf).select("h"), Seq("h"))
