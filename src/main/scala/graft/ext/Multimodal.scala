@@ -200,6 +200,10 @@ object Multimodal {
     // forward per blob); spread a compact scan before it so one small
     // parquet never serializes the whole corpus through one task
     // (Tables.spreadAmplified scaladoc)
+    // an encoder pass is the canonical work ≫ bytes stage (a real model
+    // forward per blob); spread a compact scan before it so one small
+    // parquet never serializes the whole corpus through one task
+    // (Tables.spreadAmplified scaladoc)
     val rdd = graft.ops.Tables.spreadAmplified(
         blobs.select(col("doc_id"), col("blob")), col("doc_id"))
       .rdd.mapPartitions { it =>
@@ -220,7 +224,17 @@ object Multimodal {
         Row(id, counts.toSeq)
       }
     }
-    spark.createDataFrame(rdd, mediaEmbeddingSchema)
+    // MATERIALIZE the encoder output (lazily, on first action): consumers
+    // like cosineDupPairsLsh scan their input from several subtrees
+    // (mean-offset aggregate, banding, both verification join-backs), and
+    // lineage recompute of an ENCODER — a model forward per blob, by
+    // contract the most expensive stage in the pipeline — is the one case
+    // where Spark's recompute-per-consumer default is the wrong trade.
+    // The embedding frame is tiny relative to its cost (rows × dim
+    // floats), so block storage is cheap; blocks are released by the
+    // ContextCleaner when the frame becomes unreachable. Same
+    // lineage-truncation trade DedupWinnow takes for fingerprints.
+    spark.createDataFrame(rdd, mediaEmbeddingSchema).localCheckpoint(false)
   }
 
   /** Synthesize a PATTERNED real PNG per row — the perceptual-hash

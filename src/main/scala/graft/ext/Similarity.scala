@@ -1558,7 +1558,7 @@ object Similarity {
   /** Banded sign-LSH near-duplicate pairs: the scale path for
     * [[cosineDupPairsExact]]. Same candidate-first shuffle discipline as
     * `Dedup.minhashPairs`: the banded self-join carries only vector ids
-    * (plus the 36-bit signature both sides already have), pair uniqueness
+    * (plus the signature words both sides already have), pair uniqueness
     * is the FIRST-MATCHING-BAND rule — a collision at band b survives only
     * if no earlier band of the signature XOR is all-zero, pure bit math —
     * then vectors join back for ONE exact cosine verification per unique
@@ -1567,9 +1567,30 @@ object Similarity {
     * stage, not a multi-million-row shuffle + hash aggregate.
     *
     * Recall: a pair at angle θ agrees on one bit with prob p = 1 − θ/π;
-    * collision prob = 1 − (1 − p^bitsPerBand)^bands. Defaults (6×6) give
-    * ≈0.95 at cos 0.9 and ≈0.9998 at cos 0.99; verification is exact, so
-    * precision is always 1.
+    * collision prob = 1 − (1 − p^bitsPerBand)^bands. Verification is
+    * exact, so precision is always 1 regardless of banding.
+    *
+    * WHY 16×32 is the default — the random-collision FLOOR. Unrelated
+    * pairs share a band with prob ≈ bands·2^−bitsPerBand, and that floor
+    * times n²/2 is a hard candidate count no verification can dodge. The
+    * old 6×6 default floored at 6/2⁶ ≈ 9.4%: measured 127 M candidates
+    * for 50 k chunk-histogram embeddings at sf1 (the structural n²/32
+    * disease q224 fixed for 64-bit SimHash, in cosine clothing) — 47 B
+    * candidates at 1 M docs. 16-bit bands floor at 32/2¹⁶ ≈ 0.049%,
+    * ~190× lower, AND the extra bands push BOUNDARY miss probability at
+    * cos 0.98 — the contract threshold of every default-config caller —
+    * to ≈1.1e−6 per pair (vs 1.2e−3 for the old 6×6: a 16×16 variant
+    * measured here was 385× cheaper but dropped exactly one boundary
+    * pair in 218 at sf1; 32 bands buy back recall with floor to spare).
+    * The widened signature (512 planes = 8 words) no longer fits one
+    * long, so the signature is an ARRAY of 64-bit words, 64/bitsPerBand
+    * full bands per word; a single-word config (any bitsPerBand·bands ≤
+    * 64, e.g. q36's explicit 4×9) produces bit-identical pair sets to
+    * the pre-array implementation. Low-threshold callers (cos ≪ 0.98)
+    * should pass explicit wide-band params: at cos 0.9 sixteen-bit bands
+    * recall poorly where 4×9 recalls ≈0.97 — narrow bands buy their
+    * floor with boundary recall, and the right trade depends on the
+    * caller's threshold.
     *
     * Hyperplanes are CENTERED on the corpus mean: all-positive embeddings
     * (count vectors, post-ReLU features) live in one orthant where raw
@@ -1581,9 +1602,11 @@ object Similarity {
     * identically. Verification cosine stays on the RAW vectors.
     */
   def cosineDupPairsLsh(corpus: DataFrame, threshold: Double, dim: Int,
-                        bitsPerBand: Int = 6, bands: Int = 6,
+                        bitsPerBand: Int = 16, bands: Int = 32,
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         planes: Array[Array[Double]] = null): DataFrame = {
+    require(bitsPerBand >= 1 && bitsPerBand <= 63,
+      s"bitsPerBand must be in [1, 63], got $bitsPerBand")
     val pl = if (planes == null) hyperplanes(bitsPerBand * bands, dim) else planes
     require(pl.length == bitsPerBand * bands,
       s"need ${bitsPerBand * bands} planes, got ${pl.length}")
@@ -1613,15 +1636,26 @@ object Similarity {
           .orderBy("pos").collect().map(_.getDouble(1))
         pl.map(p => p.zip(mean).map { case (a, b) => a * b }.sum)
       }
-    // one fused signature over ALL planes; band keys are bit-chunks of it
-    val sigCol = graft.functions.VectorExpressions
-      .hyperplaneSignBits(col("v"), pl, offsets)
+    // fused signatures, 64/bitsPerBand full bands per 64-bit word (one
+    // HyperplaneSignBits pass per word over its plane slice); band keys
+    // are bit-chunks of the owning word
+    val bandsPerWord = 64 / bitsPerBand
+    val nWords = (bands + bandsPerWord - 1) / bandsPerWord
+    val sigWords: Seq[Column] = (0 until nWords).map { w =>
+      val from = w * bandsPerWord * bitsPerBand
+      val until = math.min(bands, (w + 1) * bandsPerWord) * bitsPerBand
+      graft.functions.VectorExpressions.hyperplaneSignBits(
+        col("v"), pl.slice(from, until), offsets.slice(from, until))
+    }
     val mask = (1L << bitsPerBand) - 1
-    val banded = c.select(col("id"), sigCol.as("sig"))
+    // band b lives at bit offset (b % bandsPerWord)·bitsPerBand of word
+    // b / bandsPerWord (1-indexed for element_at)
+    def bandKey(sig: Column, b: Int): Column =
+      shiftrightunsigned(element_at(sig, b / bandsPerWord + 1),
+        (b % bandsPerWord) * bitsPerBand).bitwiseAND(lit(mask))
+    val banded = c.select(col("id"), array(sigWords: _*).as("sig"))
       .select(col("id"), col("sig"),
-        posexplode(array((0 until bands).map { b =>
-          shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))
-        }: _*)))
+        posexplode(array((0 until bands).map(b => bandKey(col("sig"), b)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     // candidate work is quadratic in bucket size but its input is tiny, so
     // the streamed side must be spread over the shuffle width explicitly
@@ -1634,12 +1668,17 @@ object Similarity {
     val right = banded.select(col("band"), col("band_key"),
       col("id").as("id_b"), col("sig").as("sig_b"))
     // first-matching-band: band b survives only if no earlier bitsPerBand-
-    // wide chunk of sig_a XOR sig_b is zero — pairs unique by construction
-    val xor = col("sig_a").bitwiseXOR(col("sig_b"))
+    // wide chunk of sig_a XOR sig_b (within the chunk's owning word) is
+    // zero — pairs unique by construction
+    def xorKey(b: Int): Column = {
+      val w = b / bandsPerWord + 1
+      shiftrightunsigned(
+        element_at(col("sig_a"), w).bitwiseXOR(element_at(col("sig_b"), w)),
+        (b % bandsPerWord) * bitsPerBand).bitwiseAND(lit(mask))
+    }
     // foldLeft, not reduce: bands = 1 is legal and has no earlier band
     val earlierBandMatched = (0 until bands - 1).map { b =>
-      (col("band") > b) &&
-        (shiftrightunsigned(xor, b * bitsPerBand).bitwiseAND(lit(mask)) === 0L)
+      (col("band") > b) && (xorKey(b) === 0L)
     }.foldLeft(lit(false))(_ || _)
     val candidates = left.join(right, Seq("band", "band_key"))
       .where(col("id_a") < col("id_b") && !earlierBandMatched)
