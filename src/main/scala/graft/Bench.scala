@@ -31,6 +31,17 @@ object Bench {
     * band MEASURED, so `queries_norm` (per-query median ÷ calibration)
     * compares across rounds without re-running those controls. The work
     * size is fixed forever — changing it breaks cross-round comparison.
+    *
+    * ONE SCALAR IS NOT ENOUGH — measured on the first container-reboot
+    * the sf1 gate straddled: short parallel CPU bursts read 32% FASTER
+    * on the new boot while shuffle-heavy queries read 1.1–1.3× slower —
+    * the two resources move independently across boots, so normalizing
+    * an I/O-bound query by a CPU probe ANTI-corrects. Hence the second
+    * scalar [[calibrationShuffle]]: `queries_norm` stays CPU-normalized
+    * (the band it was built for), and a tripwire hit is adjudicated by
+    * which calibration moved — CPU flat + shuffle elevated across
+    * disjoint untouched families means machine I/O band (re-record
+    * anchors on the new boot), both flat means a real regression.
     */
   private[graft] def calibration(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
@@ -39,6 +50,21 @@ object Bench {
         repeat(md5(col("id").cast("string")), 8),
         repeat(md5((col("id") + 1).cast("string")), 8)).as("d"))
       .agg(sum(col("d"))).head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The SHUFFLE-throughput twin of [[calibration]]: a fixed 2M-row hash
+    * exchange + wide aggregate, zero input I/O, trivial per-row CPU — its
+    * median moves with disk/page-cache/exchange throughput where the CPU
+    * probe stays flat. Work size fixed forever, same rule as above.
+    */
+  private[graft] def calibrationShuffle(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 2000000, 1, 32)
+      .select(pmod(col("id") * 2654435761L, lit(1000003L)).as("k"),
+        col("id"))
+      .groupBy(col("k")).agg(sum(col("id")).as("s"))
+      .agg(count(lit(1)), sum(col("s"))).head()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -65,12 +91,15 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val errors = scala.collection.mutable.Map.empty[String, String]
     var calibSamples = Vector.empty[Double]
+    var calibShuffleSamples = Vector.empty[Double]
     calibration(spark) // untimed JIT warmup of the calibration path itself
+    calibrationShuffle(spark)
     for (_ <- 1 to runs) {
       // one calibration sample per interleaved round, so a contention
       // event that inflates this round's queries inflates the machine
       // factor with them
       calibSamples :+= calibration(spark)
+      calibShuffleSamples :+= calibrationShuffle(spark)
       for ((name, fn) <- selected) {
         val t0 = System.nanoTime()
         // a query that throws must NOT record its fast-fail wall time as
@@ -148,10 +177,11 @@ object Bench {
     // per-query medians normalized by it — cross-round comparisons read
     // queries_norm (machine-band-free) and raw seconds stay alongside
     val calib = median(calibSamples)
+    val calibShuffle = median(calibShuffleSamples)
     val norm = ok
       .map { case (n, _) => s"\"" + n + "\":" + (median(samples(n)) / calib) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"runs":$runs,"queries_min":$mins,"queries_max":$maxs,"same_workload_total":$sameWorkload,"same_workload_n":$sameWorkloadN,"calibration":$calib,"calibration_samples":[${calibSamples.mkString(",")}],"queries_norm":$norm,"serve_total":$serveTotal,"serve_queries":$serveMed,"errors":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"runs":$runs,"queries_min":$mins,"queries_max":$maxs,"same_workload_total":$sameWorkload,"same_workload_n":$sameWorkloadN,"calibration":$calib,"calibration_shuffle":$calibShuffle,"calibration_samples":[${calibSamples.mkString(",")}],"queries_norm":$norm,"serve_total":$serveTotal,"serve_queries":$serveMed,"errors":$errs,"sf":"$sfDir"}"""
     // The driver's artifact capture keeps only the TAIL of stdout and its
     // parser has failed on every long line so far (r9: full JSON captured,
     // `parsed` still null). Defend three ways: persist the full JSON to a
@@ -163,7 +193,7 @@ object Bench {
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort: read-only cwd must not fail the bench
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${ok.size},"same_workload_total":$sameWorkload,"same_workload_n":$sameWorkloadN,"calibration":$calib,"serve_total":$serveTotal,"n_serve":${serveOk.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_queries":${ok.size},"same_workload_total":$sameWorkload,"same_workload_n":$sameWorkloadN,"calibration":$calib,"calibration_shuffle":$calibShuffle,"serve_total":$serveTotal,"n_serve":${serveOk.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

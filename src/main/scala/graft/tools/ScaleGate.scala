@@ -84,7 +84,8 @@ object ScaleGate {
     val pair = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
     val all = pair.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    (all.getOrElse("calibration", 0.0), all - "calibration")
+    (all.getOrElse("calibration", 0.0),
+      all - "calibration" - "calibration_shuffle")
   }
 
   def main(args: Array[String]): Unit = {
@@ -117,12 +118,15 @@ object ScaleGate {
 
     // 2. interleaved timed runs + one calibration sample per round
     graft.SparkEntry.entry(spark).count() // JIT/codegen warmup
-    graft.Bench.calibration(spark)        // warm the calibration path too
+    graft.Bench.calibration(spark)        // warm the calibration paths too
+    graft.Bench.calibrationShuffle(spark)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     var calibSamples = Vector.empty[Double]
+    var calibShuffleSamples = Vector.empty[Double]
     val errors = scala.collection.mutable.Map.empty[String, String]
     for (r <- 1 to runs) {
       calibSamples :+= graft.Bench.calibration(spark)
+      calibShuffleSamples :+= graft.Bench.calibrationShuffle(spark)
       for ((name, fn) <- selected) {
         val t0 = System.nanoTime()
         try {
@@ -138,8 +142,14 @@ object ScaleGate {
       }
     }
 
-    // 3. normalize + tripwire vs anchors
+    // 3. normalize + tripwire vs anchors. queries_norm divides by the CPU
+    // probe only; the shuffle probe is emitted for ADJUDICATION — a
+    // tripwire hit across disjoint untouched families with the CPU probe
+    // flat and the shuffle probe elevated is a machine I/O band (re-record
+    // anchors on the new boot), not a code regression (Bench.calibration
+    // scaladoc records the boot where the two moved opposite ways).
     val calib = median(calibSamples)
+    val calibShuffle = median(calibShuffleSamples)
     val (anchorCalib, anchors) = readAnchors("conf/sf1_anchors.json")
     val rows = selected.collect { case (n, _) if samples.contains(n) =>
       val raw = median(samples(n))
@@ -161,7 +171,7 @@ object ScaleGate {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (n, m) => s"\"$n\":\"$m\"" }.mkString("{", ",", "}")
     val total = rows.map(_._2).sum
-    val json = s"""{"metric":"sf1_gate","value":${jnum(total)},"unit":"sec","runs":$runs,"calibration":${jnum(calib)},"queries":$qJson,"queries_norm":$nJson,"ratios_vs_anchor":$rJson,"regressions":$regJson,"errors":$errJson,"tripwire":$Tripwire,"sf":"$sf1Dir"}"""
+    val json = s"""{"metric":"sf1_gate","value":${jnum(total)},"unit":"sec","runs":$runs,"calibration":${jnum(calib)},"calibration_shuffle":${jnum(calibShuffle)},"queries":$qJson,"queries_norm":$nJson,"ratios_vs_anchor":$rJson,"regressions":$regJson,"errors":$errJson,"tripwire":$Tripwire,"sf":"$sf1Dir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("sf1_gate_out.json"), (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
