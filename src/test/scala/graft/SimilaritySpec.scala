@@ -397,6 +397,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.values.forall(_ >= 0.99))
   }
 
+  test("multi-word banded LSH ≡ plain-Scala banding reference, pairs unique, " +
+    "single-word configs included") {
+    // the first-matching-band uniqueness rule crosses 64-bit word
+    // boundaries since the 16x32 default (512 planes = 8 words); pin the
+    // whole candidate machinery against a direct reference on explicit
+    // planes (offsets are zero for caller-provided planes, so the
+    // reference needs no mean-centering)
+    val rnd = new scala.util.Random(41)
+    val dim = 8
+    val corpus = ((900L, Seq.fill(dim)(0.5f)) +: (901L, Seq.fill(dim)(0.5f)) +:
+      Seq.tabulate(80)(i => (i + 1L) -> Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val rows = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    for ((bpb, bands) <- Seq((16, 6), (4, 9), (6, 6))) {
+      val planes = Array.fill(bpb * bands)(Array.fill(dim)(rnd.nextGaussian()))
+      val bandsPerWord = 64 / bpb
+      def bandKey(v: Array[Double], b: Int): Long = {
+        val w = b / bandsPerWord
+        val from = w * bandsPerWord * bpb
+        (0 until bpb).foldLeft(0L) { (acc, i) =>
+          // global plane index of bit (b % bandsPerWord)*bpb + i of word w
+          val p = from + (b % bandsPerWord) * bpb + i
+          val d = v.zip(planes(p)).map { case (x, y) => x * y }.sum
+          if (d > 0) acc | (1L << i) else acc
+        }
+      }
+      val expected = (for {
+        (ia, va) <- rows; (ib, vb) <- rows
+        if ia < ib
+        if (0 until bands).exists(b => bandKey(va, b) == bandKey(vb, b))
+      } yield (ia, ib)).toSet
+      val got = Similarity.cosineDupPairsLsh(corpus, threshold = -2.0,
+          dim = dim, bitsPerBand = bpb, bands = bands, planes = planes)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.distinct.length,
+        s"$bpb x $bands emitted duplicate pairs")
+      assert(got.toSet == expected, s"$bpb x $bands candidate set mismatch")
+      assert(expected.contains((900L, 901L))) // planted identical pair found
+    }
+  }
+
   test("IVF top-k finds the identical vector as rank-1 via its centroid list") {
     val rnd = new scala.util.Random(23)
     val v = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
