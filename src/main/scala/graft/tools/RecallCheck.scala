@@ -62,7 +62,12 @@ object RecallCheck {
       val m = exactCos.except(lshCos).count()
       val e = lshCos.except(exactCos).count()
       val n = exactCos.count()
-      println(s"[recall] cosineLsh@$th(6x6): exact=$n missed=$m extra=$e")
+      // NOTE: the 16x32 default is tuned for the >=0.98 near-dup regime;
+      // at these lower thresholds missed>0 is EXPECTED (boundary recall
+      // falls as bands narrow — cosineDupPairsLsh scaladoc), and the
+      // interesting reading is whether missed stays confined to pairs
+      // far below 0.98
+      println(s"[recall] cosineLsh@$th(16x32 default): exact=$n missed=$m extra=$e")
     }
 
     // ---- topKLsh multi-probe: recall@10 vs brute force, single bucket vs
