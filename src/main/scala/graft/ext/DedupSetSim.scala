@@ -287,17 +287,34 @@ trait DedupSetSim extends DedupWinnow {
     graft.ops.Stage.clearLedger(spark, path)
     graft.ops.Stage.withWriterLease(spark, path) {
       val sets = setSimSets(df, textCol, idCol, shingle)
-      graft.ops.Stage.publishRebuild(spark, s"$path/sets")(vd =>
-        sets.write.mode("overwrite").parquet(vd))
+      var setsDir: String = null
+      graft.ops.Stage.publishRebuild(spark, s"$path/sets") { vd =>
+        sets.write.mode("overwrite").parquet(vd); setsDir = vd
+      }
+      // postings derive from the PUBLISHED sets parquet, not the sets
+      // plan: lineage would re-run the whole gram pipeline (tokenize +
+      // ngram + hash + sort) just to explode it, and the parquet read
+      // arrives already split into row groups so the explode-amplified
+      // postings stage parallelizes from the scan (the sf3 probe's 2×
+      // build straggler was this recompute funneling through the
+      // input's partition count)
       graft.ops.Stage.publishRebuild(spark, s"$path/postings")(vd =>
-        setSimPostings(sets).write.mode("overwrite").parquet(vd))
+        setSimPostings(spark.read.parquet(setsDir))
+          .write.mode("overwrite").parquet(vd))
     }
   }
 
   private def setSimSets(df: DataFrame, textCol: String, idCol: String,
                          shingle: Int): DataFrame =
-    df.select(col(idCol).as("doc"),
-        array_sort(transform(wordNgrams(col(textCol), shingle),
+    // gram construction does work ∝ exploded grams, not input bytes —
+    // spread a compact scan first (Tables.spreadAmplified scaladoc;
+    // no-op passthrough for streaming micro-batch frames and for scans
+    // that already arrive split)
+    graft.ops.Tables.spreadAmplified(
+        df.select(col(idCol).as("doc"), col(textCol).as("_text")),
+        col("doc"))
+      .select(col("doc"),
+        array_sort(transform(wordNgrams(col("_text"), shingle),
           g => xxhash64(g))).as("grams"))
       .where(size(col("grams")) >= 1)
       .withColumn("l", size(col("grams")))
