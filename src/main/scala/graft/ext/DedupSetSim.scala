@@ -298,8 +298,12 @@ trait DedupSetSim extends DedupWinnow {
       // postings stage parallelizes from the scan (the sf3 probe's 2×
       // build straggler was this recompute funneling through the
       // input's partition count)
+      // the sets parquet is compact (hashed longs), so the scan packs it
+      // into one maxPartitionBytes-sized partition — spread it too or the
+      // posting explode funnels through a single task
       graft.ops.Stage.publishRebuild(spark, s"$path/postings")(vd =>
-        setSimPostings(spark.read.parquet(setsDir))
+        setSimPostings(graft.ops.Tables.spreadAmplified(
+            spark.read.parquet(setsDir), col("doc")))
           .write.mode("overwrite").parquet(vd))
     }
   }
