@@ -83,14 +83,19 @@ object ScaleUp {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    derive(spark, src, dst, factor)
+    // optional 4th arg: comma-separated table filter — a factor-100
+    // documents-only derivation for targeted probes need not pay for a
+    // 6 GB lineitem nobody scans
+    derive(spark, src, dst, factor,
+      args.drop(3).headOption.map(_.split(",").toSet).getOrElse(Set.empty))
     spark.stop()
   }
 
   /** The derivation body, callable from [[ScaleGate]] (which re-derives
-    * the dataset when absent) as well as from `main`. */
+    * the dataset when absent) as well as from `main`. `tables` empty =
+    * all tables; non-empty = derive only the named ones. */
   def derive(spark: SparkSession, src: String, dst: String,
-             factor: Int): Unit = {
+             factor: Int, tables: Set[String] = Set.empty): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame) =
       (0 until factor).map(i => shift(df, i)).reduce(_ union _)
 
@@ -102,6 +107,7 @@ object ScaleUp {
     // move the part file to <dst>/<table>.parquet (parquet is
     // row-group-splittable, so Spark still scans it in parallel)
     def writeOne(name: String, df: DataFrame): Unit = {
+      if (tables.nonEmpty && !tables.contains(name)) return
       val tmp = s"$dst/_build_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val conf = spark.sparkContext.hadoopConfiguration
