@@ -893,14 +893,28 @@ trait CorpusLm extends CorpusTokenizers {
                          probeFilter: Column, decontamThreshold: Double,
                          sourceCol: String,
                          vecIdCol: String = "vec_id"): DataFrame = {
-    val base = docs.where(col(textCol).isNotNull)
+    // the pipelineFunnel materialization rule, one stage deeper: five
+    // stage aggregates, the dedup groupBy, the anti-join, and the
+    // mixture's two consumers all re-derived the scan + tokenize +
+    // quality-regex lineage. The content hash (quality survivors only)
+    // and the mixture's per-mille sampling key are computed in the same
+    // single pass, so no text column crosses the materialization.
+    def ckpt(d: DataFrame): DataFrame =
+      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        d.checkpoint()
+      else d.localCheckpoint()
+    val base = ckpt(docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(sourceCol).as("src"),
         col(textCol).as("text"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
         TextAnalysis.qualityScore(col(textCol), stopwords).as("quality"))
+      .select(col("id"), col("src"), col("n_tokens"), col("quality"),
+        when(col("quality") >= qualityMin,
+          sha2(Dedup.normalizeText(col("text")), 256)).as("h"),
+        pmod(TextAnalysis.fingerprint(col("text")), lit(1000L)).as("fpm")))
     val gated = base.where(col("quality") >= qualityMin)
     val keepers = gated
-      .groupBy(sha2(Dedup.normalizeText(col("text")), 256).as("h"))
+      .groupBy(col("h"))
       .agg(min(col("id")).as("id"))
       .select("id")
     val deduped = gated.join(keepers, Seq("id"), "left_semi")
@@ -910,7 +924,7 @@ trait CorpusLm extends CorpusTokenizers {
       .where(col("is_contaminated"))
       .select(col(vecIdCol).as("id"))
     val decon = deduped.join(contaminated, Seq("id"), "left_anti")
-    val mixed = temperatureResample(decon, "text", "src")
+    val mixed = temperatureResampleByKey(decon, "fpm", "src")
     def stageRow(i: Int, name: String, stage: DataFrame) =
       stage.agg(count(lit(1)).as("docs_kept"),
           coalesce(sum(col("n_tokens")), lit(0L)).as("tokens_kept"))
@@ -926,17 +940,35 @@ trait CorpusLm extends CorpusTokenizers {
   def pipelineFunnel(df: DataFrame, textCol: String, idCol: String,
                      stopwords: Seq[String], qualityMin: Double = 0.5,
                      budgetPerMille: Int = 500): DataFrame = {
-    val base = df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), col(textCol).as("text"),
+    // ONE slim per-doc relation, materialized once: the four stage
+    // aggregates below plus the budget selector's three internal
+    // consumers each re-ran the scan + tokenize + quality-regex lineage
+    // (~10 corpus passes measured in the q113 plan) — ReuseExchange only
+    // dedups identical EXCHANGES, never the regex-heavy scan stage under
+    // them. The content hash is computed in the same pass (only for
+    // quality survivors — the rest never reach the dedup groupBy), so no
+    // text column crosses the materialization: 8 + 8 + 8 + 32-ish bytes
+    // per doc, corpus-count-sized, not corpus-byte-sized.
+    def ckpt(d: DataFrame): DataFrame =
+      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        d.checkpoint()
+      else d.localCheckpoint()
+    val base = ckpt(df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
-        TextAnalysis.qualityScore(col(textCol), stopwords).as("quality"))
+        TextAnalysis.qualityScore(col(textCol), stopwords).as("quality"),
+        col(textCol).as("text"))
+      .select(col("id"), col("n_tokens"), col("quality"),
+        when(col("quality") >= qualityMin,
+          sha2(Dedup.normalizeText(col("text")), 256)).as("h")))
     val gated = base.where(col("quality") >= qualityMin)
     val keepers = gated
-      .groupBy(sha2(Dedup.normalizeText(col("text")), 256).as("h"))
+      .groupBy(col("h"))
       .agg(min(col("id")).as("id"))
       .select("id")
     val deduped = gated.join(keepers, Seq("id"), "left_semi")
-    val selected = budgetSelectBy(deduped, "text", "id", col("quality"),
+    val selected = budgetSelectDocs(
+      deduped.select(col("id"), col("quality").as("score"), col("n_tokens")),
       Nil, budgetPerMille)
     def stageRow(i: Int, name: String, stage: DataFrame) =
       stage.agg(count(lit(1)).as("docs_kept"),

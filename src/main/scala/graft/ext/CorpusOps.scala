@@ -69,7 +69,21 @@ trait CorpusOps {
     * rides along with the sample.
     */
   def temperatureResample(df: DataFrame, textCol: String,
-                          sourceCol: String): DataFrame = {
+                          sourceCol: String): DataFrame =
+    temperatureResampleByKey(
+      df.withColumn("__fpm",
+        pmod(TextAnalysis.fingerprint(col(textCol)), lit(1000L))),
+      "__fpm", sourceCol).drop("__fpm")
+
+  /** [[temperatureResample]] over a PRECOMPUTED per-mille sampling key
+    * (`fpmCol` = `pmod(fingerprint(text), 1000)`): `df` is consumed
+    * twice below (the rate table's groupBy and the admission join), so a
+    * caller with an expensive lineage — the prep funnel, whose input
+    * carries the whole quality/dedup/decontam chain — precomputes the
+    * key once in its materialized base instead of re-running the
+    * rolling-hash fingerprint (and everything under it) per consumer. */
+  private[ext] def temperatureResampleByKey(df: DataFrame, fpmCol: String,
+                                            sourceCol: String): DataFrame = {
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_source"))
     val minN = counts.agg(min(col("n_source")).as("n_min"))
     val rates = counts.crossJoin(broadcast(minN))
@@ -77,8 +91,7 @@ trait CorpusOps {
         floor((lit(1000) * sqrt(col("n_min"))) / sqrt(col("n_source")))
           .cast("long").as("rate_pm"))
     df.join(broadcast(rates), Seq(sourceCol))
-      .where(pmod(TextAnalysis.fingerprint(col(textCol)), lit(1000L))
-        < col("rate_pm"))
+      .where(col(fpmCol) < col("rate_pm"))
   }
 
   /** DETERMINISTIC EPOCH SHUFFLE: per (epoch, id), a shard assignment
@@ -970,14 +983,30 @@ trait CorpusOps {
   def budgetSelectBy(df: DataFrame, textCol: String, idCol: String,
                      score: Column, partitionCols: Seq[String],
                      budgetPerMille: Int = 500): DataFrame = {
+    val pcols = partitionCols.map(col)
+    val docs = df.where(col(textCol).isNotNull)
+      .select(pcols ++ Seq(col(idCol).as("id"), score.as("score"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")): _*)
+    budgetSelectDocs(docs, partitionCols, budgetPerMille)
+      .select(Seq(col("id").as(idCol)) ++ pcols ++
+        Seq(col("score"), col("n_tokens")): _*)
+  }
+
+  /** [[budgetSelectBy]] over an ALREADY-PROJECTED (id, score, n_tokens
+    * [, partitionCols]) relation — the entry point for callers (the prep
+    * funnels) that have the token counts and scores materialized: `docs`
+    * is consumed THREE times below (histogram, interior semi-join,
+    * straddle join), so a caller handing in an expensive lineage would
+    * re-run it three times through the public wrapper. Output columns
+    * (id, partitionCols..., score, n_tokens). */
+  private[ext] def budgetSelectDocs(docs: DataFrame,
+                                    partitionCols: Seq[String],
+                                    budgetPerMille: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetPerMille >= 0 && budgetPerMille <= 1000,
       s"budgetPerMille out of [0,1000]: $budgetPerMille")
     val pcols = partitionCols.map(col)
     val keyCols = partitionCols :+ "score"
-    val docs = df.where(col(textCol).isNotNull)
-      .select(pcols ++ Seq(col(idCol).as("id"), score.as("score"),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")): _*)
     val hist = docs.groupBy(keyCols.map(col): _*)
       .agg(sum(col("n_tokens")).as("tok_sum"))
     // the budget enters the plan as a WINDOW over the histogram, never a
@@ -1015,7 +1044,7 @@ trait CorpusOps {
       .select(keyCols.map(col) :+ col("id") :+ col("n_tokens"): _*)
     interior.select(keyCols.map(col) :+ col("id") :+ col("n_tokens"): _*)
       .union(boundary)
-      .select(Seq(col("id").as(idCol)) ++ pcols ++
+      .select(Seq(col("id")) ++ pcols ++
         Seq(col("score"), col("n_tokens")): _*)
   }
 

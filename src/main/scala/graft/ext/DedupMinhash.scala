@@ -173,7 +173,17 @@ trait DedupMinhash extends DedupExactOps {
   private def classPairs(df: DataFrame, textCol: String, idCol: String,
                          threshold: Double, k: Int,
                          bands: Int): (DataFrame, DataFrame) = {
-    val docs = df.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
+    // materialized ONCE: the (doc, toks) relation feeds the class
+    // self-join (2 evals), the rep semi-join, the signature projection,
+    // and both verification token joins — without the checkpoint the
+    // tokenize pass re-runs ~7× (the prepareProbe / setSimJoinOnSets
+    // rule applied to the batch-level pair/cluster family)
+    def ckpt(d: DataFrame): DataFrame =
+      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        d.checkpoint()
+      else d.localCheckpoint()
+    val docs = ckpt(
+      df.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks")))
     val members = exactClasses(docs)
     // token arrays stay map-side: the rep filter is a slim semi-join on the
     // doc id, and only representatives enter the banded pipeline
@@ -262,8 +272,17 @@ trait DedupMinhash extends DedupExactOps {
       graft.ops.Stage.publishRebuild(spark, s"$path/docs")(vd =>
         keyed.select(col("doc"), col("toks"), col("ntok"), col("keys"))
           .write.mode("overwrite").parquet(vd))
+      // bands/ derives from the JUST-PUBLISHED docs parquet (safe under
+      // the held root lease), not from `keyed`'s lineage: the second
+      // publish used to re-run the whole tokenize → exact-collapse →
+      // sign pipeline — the build's dominant cost — just to explode the
+      // band keys it had already computed (the set-sim postings fix,
+      // applied here; bandsRows only reads (doc, ntok, keys), all of
+      // which the docs component persists)
+      val publishedDocs = spark.read.parquet(
+        graft.ops.Stage.resolve(spark, s"$path/docs"))
       graft.ops.Stage.publishRebuild(spark, s"$path/bands")(vd =>
-        bandsRows(keyed, k, bands).write.mode("overwrite").parquet(vd))
+        bandsRows(publishedDocs, k, bands).write.mode("overwrite").parquet(vd))
     }
   }
 
@@ -308,9 +327,19 @@ trait DedupMinhash extends DedupExactOps {
                                   bands: Int, mode: String): Unit = {
     val spark = df.sparkSession
     val keyed = manifestKeyed(df, textCol, idCol, k, bands)
+    val docsPath = graft.ops.Stage.resolve(spark, s"$path/docs")
     keyed.select(col("doc"), col("toks"), col("ntok"), col("keys"))
-      .write.mode(mode).parquet(graft.ops.Stage.resolve(spark, s"$path/docs"))
-    bandsRows(keyed, k, bands)
+      .write.mode(mode).parquet(docsPath)
+    // overwrite mode = a private staging dir (exactly-once appends) or a
+    // fresh target: the just-written docs parquet IS this batch's keyed
+    // rows, so bands derive from it instead of re-running the tokenize →
+    // collapse → sign lineage (saveMinhashManifest's recompute fix). In
+    // append mode the live docs dir holds OTHER batches' rows too, so the
+    // read-back would duplicate them into bands — keep the lineage there
+    // (plain appends are batch-sized by contract).
+    val bandsSource =
+      if (mode == "overwrite") spark.read.parquet(docsPath) else keyed
+    bandsRows(bandsSource, k, bands)
       .write.mode(mode).parquet(graft.ops.Stage.resolve(spark, s"$path/bands"))
   }
 
@@ -386,8 +415,14 @@ trait DedupMinhash extends DedupExactOps {
     // like every compacting rewrite: a crashed batch's uncommitted
     // b<id>-* files must not fold (the replay would double them)
     graft.ops.Stage.sweepUncommitted(spark, path, Seq("docs", "bands"))
-    val delKeys = deleted.where(col(textCol).isNotNull)
-      .select(xxhash64(tokenHashes(col(textCol))).as("seth")).distinct()
+    // materialized: consumed by BOTH component rewrites below — without
+    // it each anti-join re-runs the deleted batch's tokenize pass
+    def ckpt(d: DataFrame): DataFrame =
+      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        d.checkpoint()
+      else d.localCheckpoint()
+    val delKeys = ckpt(deleted.where(col(textCol).isNotNull)
+      .select(xxhash64(tokenHashes(col(textCol))).as("seth")).distinct())
     import graft.ops.Stage.{publishRewrite, resolve}
     val live = spark.read.parquet(resolve(spark, s"$path/docs"))
       .withColumn("seth", xxhash64(col("toks")))
@@ -558,12 +593,17 @@ trait DedupMinhash extends DedupExactOps {
   def incrementalNearDupsDiff(newDf: DataFrame, manifestPath: String,
                               textCol: String, idCol: String,
                               threshold: Double = 0.9): DataFrame = {
-    val before = incrementalNearDupsPrevious(newDf, manifestPath, textCol,
-        idCol, threshold)
+    // ONE prepared (tokenized, exact-collapsed, materialized) probe batch
+    // shared by both manifest-state probes — only the manifest side
+    // differs between them, so re-running the probe lineage per state
+    // doubled the batch's tokenize/collapse cost for nothing
+    val p = prepareProbe(newDf, textCol, idCol)
+    val before = probePrepared(p, idCol, manifestPath, threshold,
+        previous = true, snapshotName = None)
       .select(col(idCol), col("near_jaccard").as("jaccard_before"),
         col("is_near_dup").as("dup_before"))
-    val after = incrementalNearDups(newDf, manifestPath, textCol, idCol,
-        threshold)
+    val after = probePrepared(p, idCol, manifestPath, threshold,
+        previous = false, snapshotName = None)
       .select(col(idCol), col("near_jaccard").as("jaccard_after"),
         col("is_near_dup").as("dup_after"))
     // both relations emit one row per newDf document (left-join +
@@ -653,20 +693,47 @@ trait DedupMinhash extends DedupExactOps {
                                       previous: Boolean,
                                       snapshotName: Option[String] = None)
       : DataFrame = {
-    val docs = newDf.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
+    val p = prepareProbe(newDf, textCol, idCol)
+    probePrepared(p, idCol, manifestPath, threshold, previous, snapshotName)
+  }
+
+  /** The probe batch's (ids, tokenized docs, exact classes, class
+    * representatives), computed ONCE and materialized: `toks` feeds the
+    * class self-join, the rep semi-join AND the signature/verification
+    * paths — without the checkpoint each consumer re-runs the scan +
+    * tokenize (the setSimJoinOnSets rule), and the DIFF probe (two
+    * manifest states, same batch) would pay the whole lineage twice. */
+  private case class PreparedProbe(ids: DataFrame, members: DataFrame,
+                                   repDocs: DataFrame)
+
+  private def prepareProbe(newDf: DataFrame, textCol: String,
+                           idCol: String): PreparedProbe = {
+    def ckpt(d: DataFrame): DataFrame =
+      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        d.checkpoint()
+      else d.localCheckpoint()
+    val docs = ckpt(newDf.select(col(idCol).as("doc"),
+      tokenHashes(col(textCol)).as("toks")))
     val members = exactClasses(docs) // null-text docs excluded: never match
     val repDocs = docs.join(
       members.where(col("doc") === col("rep")).select(col("doc")),
       Seq("doc"), "left_semi")
-    val verdicts = manifestMatchRows(repDocs, manifestPath, threshold,
+    PreparedProbe(docs.select(col("doc")), members, repDocs)
+  }
+
+  private def probePrepared(p: PreparedProbe, idCol: String,
+                            manifestPath: String,
+                            threshold: Double, previous: Boolean,
+                            snapshotName: Option[String]): DataFrame = {
+    val verdicts = manifestMatchRows(p.repDocs, manifestPath, threshold,
         previous = previous, snapshotName = snapshotName)
       .groupBy("doc_n").agg(max(col("jaccard")).as("near_jaccard"))
     // rep verdicts fan out over exact-class members; docs outside `members`
     // (null text) and unmatched reps flag false with a null jaccard
-    val flags = members.select(col("doc"), col("rep"))
+    val flags = p.members.select(col("doc"), col("rep"))
       .join(verdicts.withColumnRenamed("doc_n", "rep"), Seq("rep"))
       .select(col("doc"), col("near_jaccard"))
-    newDf.select(col(idCol).as("doc"))
+    p.ids
       .join(flags, Seq("doc"), "left")
       .select(col("doc").as(idCol), col("near_jaccard"),
         col("near_jaccard").isNotNull.as("is_near_dup"))

@@ -1059,8 +1059,17 @@ object Search {
     require(tauDen <= 1000,
       s"tauDen ≤ 1000 keeps the prefix bound exact, got $tauDen")
     val t2n = tauNum.toLong * tauNum; val t2d = tauDen.toLong * tauDen
-    val sets = docs.select(col(idCol).as("id"),
-      explode(Dedup.wordNgrams(col(textCol), n)).as("g"))
+    // The (id, shingle) relation feeds SIX consumers (sizes, dfreq, the
+    // positioned join, the candidate join's full side, and both exact-dot
+    // sides); without materialization each consumer re-runs the scan +
+    // higher-order-function shingle construction — the setSimJoinOnSets
+    // checkpoint rule. One corpus-shingle-sized materialization.
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
+    val sets = ckpt(docs.select(col(idCol).as("id"),
+      explode(Dedup.wordNgrams(col(textCol), n)).as("g")))
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfreq = sets.groupBy("g").agg(count(lit(1)).as("gdf"))
     // global rarest-first order; position within each document's set

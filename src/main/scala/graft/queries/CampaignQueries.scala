@@ -14,6 +14,54 @@ import org.apache.spark.sql.functions._
   */
 object CampaignQueries {
   import ParityQueries.Q
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** The trio's shared BUILD phase — text index, minhash manifest, LM —
+    * run CONCURRENTLY ([[graft.ops.Par]], guide §2.6): the three builds
+    * touch disjoint persisted roots and share no side effects, so their
+    * jobs overlap and each build's straggler tail back-fills with the
+    * next family's tasks. Per-family work (and results) identical to the
+    * old sequential form. */
+  private def buildFamilies(s: SparkSession, docs: DataFrame,
+                            split: DataFrame, text: String, mani: String,
+                            lm: String): Unit =
+    graft.ops.Par.run(
+      () => {
+        Search.saveTextIndex(docs, text)
+        Search.compactTextIndex(s, text)
+      },
+      () => {
+        Dedup.saveMinhashManifest(
+          docs.where(pmod(col("doc_id"), lit(10)) < 5), "text", "doc_id",
+          mani, k = 32, bands = 16)
+        Dedup.compactMinhashManifest(s, mani)
+      },
+      () => Corpus.saveLm(split.where(col("split") === "train"), "text",
+        "doc_id", lm))
+
+  /** The trio's shared MAINTENANCE phase after the pin — a delete+compact
+    * on the index, a content-forget+compact on the manifest, a val-split
+    * ingest+compact on the LM — same disjoint-roots concurrency argument
+    * as [[buildFamilies]]. */
+  private def maintainFamilies(s: SparkSession, docs: DataFrame,
+                               split: DataFrame, text: String, mani: String,
+                               lm: String): Unit =
+    graft.ops.Par.run(
+      () => {
+        Search.deleteFromTextIndex(s, text,
+          docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"))
+        Search.compactTextIndex(s, text)
+      },
+      () => {
+        Dedup.deleteContentFromMinhashManifest(
+          docs.where(pmod(col("doc_id"), lit(10)) === 1), "text", mani)
+        Dedup.compactMinhashManifest(s, mani)
+      },
+      () => {
+        Corpus.appendToLm(split.where(col("split") === "val"), lm,
+          "text", "doc_id", opId = "grow_val")
+        Corpus.compactLm(s, lm)
+      })
 
   val queries: Map[String, Q] = Map(
     "q133_campaign_snapshot" -> ((s, d) => {
@@ -24,34 +72,18 @@ object CampaignQueries {
       val lm = s"target/graft-campaign-lm-$sf"
       // the release's three family states, built from one corpus:
       // the full-corpus text index (compacted → versioned), the q84
-      // manifest half, and the q91 train-split LM (born versioned)
-      Search.saveTextIndex(docs, text)
-      Search.compactTextIndex(s, text)
-      Dedup.saveMinhashManifest(
-        docs.where(pmod(col("doc_id"), lit(10)) < 5), "text", "doc_id",
-        mani, k = 32, bands = 16)
-      Dedup.compactMinhashManifest(s, mani)
+      // manifest half, and the q91 train-split LM (born versioned) —
+      // concurrently, the roots are disjoint (buildFamilies)
       val split = Corpus.splitAssign(docs, "text")
-      Corpus.saveLm(split.where(col("split") === "train"), "text", "doc_id",
-        lm)
+      buildFamilies(s, docs, split, text, mani, lm)
       // ONE pin, one instant, all three families — every member root
       // lease held (sorted order) while the per-family pins land
       val members = Seq(Campaign.TextIndex(text),
         Campaign.MinhashManifest(mani), Campaign.Lm(lm))
       Campaign.snapshot(s, "release_pin", members)
-      // maintenance lands on ALL THREE after the pin: a delete+compact
-      // on the index, a content-forget+compact on the manifest, a
-      // val-split ingest+compact on the LM — each family's live state
-      // diverges from the pin in its own way
-      Search.deleteFromTextIndex(s, text,
-        docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"))
-      Search.compactTextIndex(s, text)
-      Dedup.deleteContentFromMinhashManifest(
-        docs.where(pmod(col("doc_id"), lit(10)) === 1), "text", mani)
-      Dedup.compactMinhashManifest(s, mani)
-      Corpus.appendToLm(split.where(col("split") === "val"), lm,
-        "text", "doc_id", opId = "grow_val")
-      Corpus.compactLm(s, lm)
+      // maintenance lands on ALL THREE after the pin — each family's
+      // live state diverges from the pin in its own way
+      maintainFamilies(s, docs, split, text, mani, lm)
       // serve all three FROM THE PIN, harmonized into one report:
       // (family, doc_id, v1, v2, v3) — per family, v* carry its own
       // metrics (bm25: score/rank/dl; neardup: jaccard/verdict/—;
@@ -94,27 +126,12 @@ object CampaignQueries {
       val text = s"target/graft-campaign-spot-text-$sf"
       val mani = s"target/graft-campaign-spot-manifest-$sf"
       val lm = s"target/graft-campaign-spot-lm-$sf"
-      Search.saveTextIndex(docs, text)
-      Search.compactTextIndex(s, text)
-      Dedup.saveMinhashManifest(
-        docs.where(pmod(col("doc_id"), lit(10)) < 5), "text", "doc_id",
-        mani, k = 32, bands = 16)
-      Dedup.compactMinhashManifest(s, mani)
       val split = Corpus.splitAssign(docs, "text")
-      Corpus.saveLm(split.where(col("split") === "train"), "text", "doc_id",
-        lm)
+      buildFamilies(s, docs, split, text, mani, lm)
       val members = Seq(Campaign.TextIndex(text),
         Campaign.MinhashManifest(mani), Campaign.Lm(lm))
       Campaign.snapshot(s, "release_pin", members)
-      Search.deleteFromTextIndex(s, text,
-        docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"))
-      Search.compactTextIndex(s, text)
-      Dedup.deleteContentFromMinhashManifest(
-        docs.where(pmod(col("doc_id"), lit(10)) === 1), "text", mani)
-      Dedup.compactMinhashManifest(s, mani)
-      Corpus.appendToLm(split.where(col("split") === "val"), lm,
-        "text", "doc_id", opId = "grow_val")
-      Corpus.compactLm(s, lm)
+      maintainFamilies(s, docs, split, text, mani, lm)
       val bm = Search.bm25TopKIndexedSnapshot(s, text, "release_pin",
           SearchQueries.bmTerms, k = 20,
           k1 = SearchQueries.k1, b = SearchQueries.b)
@@ -153,27 +170,12 @@ object CampaignQueries {
       val text = s"target/graft-campaign-rb-text-$sf"
       val mani = s"target/graft-campaign-rb-manifest-$sf"
       val lm = s"target/graft-campaign-rb-lm-$sf"
-      Search.saveTextIndex(docs, text)
-      Search.compactTextIndex(s, text)
-      Dedup.saveMinhashManifest(
-        docs.where(pmod(col("doc_id"), lit(10)) < 5), "text", "doc_id",
-        mani, k = 32, bands = 16)
-      Dedup.compactMinhashManifest(s, mani)
       val split = Corpus.splitAssign(docs, "text")
-      Corpus.saveLm(split.where(col("split") === "train"), "text", "doc_id",
-        lm)
+      buildFamilies(s, docs, split, text, mani, lm)
       val members = Seq(Campaign.TextIndex(text),
         Campaign.MinhashManifest(mani), Campaign.Lm(lm))
       Campaign.snapshot(s, "release_pin", members)
-      Search.deleteFromTextIndex(s, text,
-        docs.where(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"))
-      Search.compactTextIndex(s, text)
-      Dedup.deleteContentFromMinhashManifest(
-        docs.where(pmod(col("doc_id"), lit(10)) === 1), "text", mani)
-      Dedup.compactMinhashManifest(s, mani)
-      Corpus.appendToLm(split.where(col("split") === "val"), lm,
-        "text", "doc_id", opId = "grow_val")
-      Corpus.compactLm(s, lm)
+      maintainFamilies(s, docs, split, text, mani, lm)
       Campaign.restore(s, "release_pin", members)
       val bm = Search.bm25TopKIndexed(s, text,
           SearchQueries.bmTerms, k = 20,
