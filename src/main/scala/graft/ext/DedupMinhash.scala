@@ -173,17 +173,13 @@ trait DedupMinhash extends DedupExactOps {
   private def classPairs(df: DataFrame, textCol: String, idCol: String,
                          threshold: Double, k: Int,
                          bands: Int): (DataFrame, DataFrame) = {
-    // materialized ONCE: the (doc, toks) relation feeds the class
-    // self-join (2 evals), the rep semi-join, the signature projection,
-    // and both verification token joins — without the checkpoint the
-    // tokenize pass re-runs ~7× (the prepareProbe / setSimJoinOnSets
-    // rule applied to the batch-level pair/cluster family)
-    def ckpt(d: DataFrame): DataFrame =
-      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        d.checkpoint()
-      else d.localCheckpoint()
-    val docs = ckpt(
-      df.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks")))
+    // deliberately NOT materialized (measured): checkpointing (doc, toks)
+    // here regressed q31/q88/q49/q111 1.5–2× at sf0.1 — the token-array
+    // materialization costs more than re-deriving the tokenize projection
+    // per consumer, because every consumer prunes it to a scalar
+    // (set hash, signature, count) in the scan stage anyway
+    val docs =
+      df.select(col(idCol).as("doc"), tokenHashes(col(textCol)).as("toks"))
     val members = exactClasses(docs)
     // token arrays stay map-side: the rep filter is a slim semi-join on the
     // doc id, and only representatives enter the banded pipeline
@@ -698,22 +694,19 @@ trait DedupMinhash extends DedupExactOps {
   }
 
   /** The probe batch's (ids, tokenized docs, exact classes, class
-    * representatives), computed ONCE and materialized: `toks` feeds the
-    * class self-join, the rep semi-join AND the signature/verification
-    * paths — without the checkpoint each consumer re-runs the scan +
-    * tokenize (the setSimJoinOnSets rule), and the DIFF probe (two
-    * manifest states, same batch) would pay the whole lineage twice. */
+    * representatives), built once so the single probes and the DIFF
+    * probe (two manifest states, same batch) share one construction of
+    * the probe-side plan. */
   private case class PreparedProbe(ids: DataFrame, members: DataFrame,
                                    repDocs: DataFrame)
 
   private def prepareProbe(newDf: DataFrame, textCol: String,
                            idCol: String): PreparedProbe = {
-    def ckpt(d: DataFrame): DataFrame =
-      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        d.checkpoint()
-      else d.localCheckpoint()
-    val docs = ckpt(newDf.select(col(idCol).as("doc"),
-      tokenHashes(col(textCol)).as("toks")))
+    // NOT checkpointed (measured, the classPairs note): materializing the
+    // token arrays regressed the probe family — consumers prune this
+    // relation to scalars in the scan stage, so recompute is cheaper
+    val docs = newDf.select(col(idCol).as("doc"),
+      tokenHashes(col(textCol)).as("toks"))
     val members = exactClasses(docs) // null-text docs excluded: never match
     val repDocs = docs.join(
       members.where(col("doc") === col("rep")).select(col("doc")),

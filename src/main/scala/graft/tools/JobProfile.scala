@@ -36,9 +36,11 @@ object JobProfile {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobs.synchronized {
           jobs += J(js.jobId, js.time,
-            site = Option(js.properties)
-              .flatMap(p => Option(p.getProperty("callSite.short")))
-              .getOrElse("?"))
+            site = Option(js.properties).map { p =>
+              val d = Option(p.getProperty("spark.job.description"))
+              val c = Option(p.getProperty("callSite.short"))
+              d.orElse(c).getOrElse("?").take(120)
+            }.getOrElse("?"))
         }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         jobs.synchronized {
