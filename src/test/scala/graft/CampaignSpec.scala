@@ -253,7 +253,13 @@ class CampaignSpec extends AnyFunSuite {
       var b = 0L
       try while (!stopIngest.get && b < 60) {
         // losing the root lease to a pin is the designed outcome —
-        // retry the same batch, exactly as a streaming sink would
+        // retry the same batch, exactly as a streaming sink would. Two
+        // messages express it: "concurrent maintenance" (lease refused at
+        // acquire) and the commit-point fencing rejection (lease acquired,
+        // then the heartbeat starved past the staleness window under CPU
+        // contention and the pin reclaimed it mid-publish — the rejected
+        // batch's markerless files are swept, the ledger never committed,
+        // so replaying the same batchId stays exactly-once)
         try {
           Search.appendToTextIndexExactlyOnce(
             Seq((100L + b, s"spark batchtok$b")).toDF("doc_id", "text"),
@@ -261,7 +267,8 @@ class CampaignSpec extends AnyFunSuite {
           b += 1
         } catch {
           case e: IllegalStateException
-            if e.getMessage.contains("concurrent maintenance") => ()
+            if e.getMessage.contains("concurrent maintenance") ||
+               e.getMessage.contains("fencing check failed at commit") => ()
         }
       } catch { case e: Throwable => ingestErr.set(e) }
     })
